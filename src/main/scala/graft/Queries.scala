@@ -1,0 +1,493 @@
+package graft
+
+import graft.conditions.Condition
+import graft.conditions.Condition._
+import graft.operators.{Analytics, Stateless, Windows}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The oracle-gated query suite: one entry per implemented operator
+  * (SURVEY §2), each with a DuckDB-equivalent SQL oracle.
+  *
+  * Determinism discipline (so a value-hash compare against DuckDB holds):
+  *   - event time stays a ns-long (`epoch_ns(ts)` on the DuckDB side) —
+  *     never pushed through doubles;
+  *   - sums/means of doubles go through DECIMAL(38,6) (order-independent,
+  *     then identical double casts on both sides); per-row double
+  *     arithmetic and min/max are exact as-is;
+  *   - every query ends in a full ORDER BY with a unique tie-break;
+  *   - outputs are atomic columns only (arrays are joined to strings).
+  */
+object Queries {
+
+  /** ns per second as SQL literal. */
+  private val Ns = "1000000000"
+
+  /** DuckDB view mirroring [[Tables.events]] 1:1. */
+  val EventsView: String =
+    """WITH ev AS (
+      |  SELECT event_id AS eventId,
+      |         epoch_ns(ts) AS time,
+      |         CAST(user_id AS VARCHAR) AS host,
+      |         event_type AS service,
+      |         CASE WHEN value > 150 THEN 'critical'
+      |              WHEN value > 100 THEN 'warning'
+      |              ELSE 'ok' END AS state,
+      |         value AS metric,
+      |         120.0 AS ttl,
+      |         props AS description,
+      |         [event_type, 'u' || CAST(user_id % 10 AS VARCHAR)] AS tags
+      |  FROM events
+      |)""".stripMargin
+
+  /** Decimal-stable double sum (order-independent across engines). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val registry = scala.collection.mutable.LinkedHashMap[String, (Q, Option[String])]()
+
+  private def register(name: String, oracle: String)(q: Q): Unit =
+    registry(name) = (q, Some(oracle))
+  private def registerRowsOnly(name: String)(q: Q): Unit =
+    registry(name) = (q, None)
+
+  def queries: Map[String, Q] = { ensure(); registry.view.mapValues(_._1).toMap }
+  def oracleSql: Map[String, String] =
+    { ensure(); registry.collect { case (k, (_, Some(sql))) => k -> sql }.toMap }
+
+  private var built = false
+  private def ensure(): Unit = synchronized { if (!built) { build(); built = true } }
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  // ------------------------------------------------------------------
+  private def build(): Unit = {
+
+    // ---------------- §2.2 filters ----------------
+
+    register("where",
+      s"""$EventsView
+         |SELECT eventId, host, service, metric FROM ev
+         |WHERE service = 'error' AND metric > 100
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .transform(Stateless.where(And.of(Eq(Field("service"), "error"), Gt(Field("metric"), 100))))
+        .select(col("eventId"), col("host"), col("service"), col("metric"))
+        .orderBy("eventId")
+    }
+
+    register("over",
+      s"""$EventsView
+         |SELECT eventId, metric FROM ev WHERE metric > 150 ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.over(150)).select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("under",
+      s"""$EventsView
+         |SELECT eventId, metric FROM ev WHERE metric < 10 ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.under(10)).select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("tagged_all",
+      s"""$EventsView
+         |SELECT eventId, array_to_string(tags, ',') AS tags_s FROM ev
+         |WHERE list_contains(tags, 'click') AND list_contains(tags, 'u3')
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.taggedAll(Seq("click", "u3")))
+        .select(col("eventId"), array_join(col("tags"), ",").as("tags_s"))
+        .orderBy("eventId")
+    }
+
+    register("split",
+      s"""$EventsView
+         |SELECT eventId,
+         |       CASE WHEN metric > 150 THEN 0 WHEN metric > 50 THEN 1 ELSE 2 END AS branch
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val conds = Seq(Gt(Field("metric"), 150), Gt(Field("metric"), 50))
+      ev(s, dir)
+        .withColumn("branch", Stateless.splitRoute(conds))
+        .select(col("eventId"), col("branch"))
+        .orderBy("eventId")
+    }
+
+    register("not_expired",
+      s"""$EventsView
+         |, clock AS (SELECT max(time) AS c FROM ev)
+         |SELECT eventId FROM ev, clock
+         |WHERE NOT (state = 'expired' OR (c - time) > CAST(ttl * $Ns AS BIGINT))
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.notExpiredBatch).select(col("eventId")).orderBy("eventId")
+    }
+
+    // ---------------- §2.3 transforms ----------------
+
+    register("increment",
+      s"""$EventsView
+         |SELECT eventId, metric + 1 AS metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.increment).select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("scale",
+      s"""$EventsView
+         |SELECT eventId, metric * 2.5 AS metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.scale(2.5)).select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("with_fields",
+      s"""$EventsView
+         |SELECT eventId, 'graft' AS name, 'forced' AS state FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.withFields(Map("name" -> "graft", "state" -> "forced")))
+        .select(col("eventId"), col("name"), col("state")).orderBy("eventId")
+    }
+
+    register("default",
+      s"""$EventsView
+         |SELECT eventId, COALESCE(NULL, 'none') AS description2 FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).withColumn("description2", lit(null).cast("string"))
+        .transform(Stateless.default("description2", "none"))
+        .select(col("eventId"), col("description2")).orderBy("eventId")
+    }
+
+    register("sformat",
+      s"""$EventsView
+         |SELECT eventId, printf('%s-%s', host, service) AS formatted FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.sformat("%s-%s", "formatted", Seq("host", "service")))
+        .select(col("eventId"), col("formatted")).orderBy("eventId")
+    }
+
+    register("tag_untag",
+      s"""$EventsView
+         |SELECT eventId,
+         |       array_to_string(tags || ['extra'], ',') AS tags_s
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.tag(Seq("extra")))
+        .select(col("eventId"), array_join(col("tags"), ",").as("tags_s"))
+        .orderBy("eventId")
+    }
+
+    register("to_string",
+      s"""$EventsView
+         |SELECT eventId, COALESCE(CAST(metric AS VARCHAR), '') AS metric_s
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).withColumn("metric_s", col("metric"))
+        .transform(Stateless.toStringField("metric_s"))
+        .select(col("eventId"), col("metric_s")).orderBy("eventId")
+    }
+
+    register("base64",
+      s"""$EventsView
+         |SELECT eventId, base64(encode(service)) AS b64,
+         |       decode(from_base64(base64(encode(service)))) AS roundtrip
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val d = ev(s, dir).withColumn("b64", col("service"))
+        .transform(Stateless.toBase64("b64"))
+      d.withColumn("roundtrip", col("b64"))
+        .transform(Stateless.fromBase64("roundtrip"))
+        .select(col("eventId"), col("b64"), col("roundtrip")).orderBy("eventId")
+    }
+
+    register("from_json",
+      s"""$EventsView
+         |SELECT eventId, json_extract_string(description, '$$.k') AS k FROM ev
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.fromJson("description"))
+        .select(col("eventId"), col("description")("k").as("k")).orderBy("eventId")
+    }
+
+    register("iterate_on",
+      s"""$EventsView
+         |SELECT * FROM (SELECT eventId, unnest(tags) AS tag FROM ev)
+         |ORDER BY eventId, tag""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.iterateOn("tags", "tag"))
+        .select(col("eventId"), col("tag")).orderBy("eventId", "tag")
+    }
+
+    // ---------------- §2.5 windows ----------------
+
+    val winSql = "(time // 3600000000000) * 3600000000000"
+
+    register("fixed_time_window",
+      s"""$EventsView
+         |SELECT $winSql AS window_start, count(*) AS n,
+         |       max(eventId) AS last_id
+         |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .select(col("window_start"), size(col("events")).cast("long").as("n"),
+          element_at(col("events"), -1)("eventId").as("last_id"))
+        .orderBy("window_start")
+    }
+
+    register("sum_window",
+      s"""$EventsView
+         |SELECT $winSql AS window_start,
+         |       CAST(sum(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS metric
+         |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).withColumn("metric", col("metric").cast("decimal(38,6)"))
+        .transform(Windows.sumWindow(3600))
+        .select(col("window_start"), col("metric").cast("double").as("metric"))
+        .orderBy("window_start")
+    }
+
+    register("mean_window",
+      s"""$EventsView
+         |SELECT $winSql AS window_start,
+         |       CAST(sum(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS metric
+         |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).withColumn("window_start", Windows.windowStart(3600))
+        .groupBy("window_start")
+        .agg((dsum(col("metric")) / count(lit(1))).as("metric"))
+        .orderBy("window_start")
+    }
+
+    register("top_window",
+      s"""$EventsView
+         |SELECT window_start, eventId, metric FROM (
+         |  SELECT $winSql AS window_start, eventId, metric,
+         |         row_number() OVER (PARTITION BY $winSql
+         |                            ORDER BY metric DESC, time DESC, eventId DESC) AS rn
+         |  FROM ev) WHERE rn = 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.topWindow(3600))
+        .select(col("window_start"), col("eventId"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("bottom_window",
+      s"""$EventsView
+         |SELECT window_start, eventId, metric FROM (
+         |  SELECT $winSql AS window_start, eventId, metric,
+         |         row_number() OVER (PARTITION BY $winSql
+         |                            ORDER BY metric ASC, time ASC, eventId ASC) AS rn
+         |  FROM ev) WHERE rn = 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.bottomWindow(3600))
+        .select(col("window_start"), col("eventId"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("rate_window",
+      s"""$EventsView
+         |SELECT $winSql AS window_start,
+         |       CAST(count(*) AS DOUBLE) / 3600.0 AS metric
+         |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.rateWindow(3600))
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("ratio_window",
+      s"""$EventsView
+         |SELECT $winSql AS window_start,
+         |       sum(CASE WHEN service = 'error' THEN 1.0 ELSE 0.0 END) /
+         |       sum(CASE WHEN 1 = 1 THEN 1.0 ELSE 0.0 END) AS metric
+         |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.ratioWindow(3600, Eq(Field("service"), "error"), AlwaysTrue))
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("percentiles",
+      s"""$EventsView
+         |, w AS (
+         |  SELECT $winSql AS window_start, list_sort(list(metric)) AS sorted
+         |  FROM ev GROUP BY 1)
+         |SELECT window_start, q.quantile,
+         |       sorted[CAST(least(len(sorted) - 1,
+         |                         floor(len(sorted) * q.quantile)) AS INT) + 1] AS metric
+         |FROM w, (SELECT unnest([0.5, 0.9, 0.99]) AS quantile) q
+         |ORDER BY window_start, quantile""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.percentiles(3600, Seq(0.5, 0.9, 0.99)))
+        .select(col("window_start"), col("quantile"), col("metric"))
+        .orderBy("window_start", "quantile")
+    }
+
+    register("coalesce_window",
+      s"""$EventsView
+         |, latest AS (
+         |  SELECT $winSql AS window_start, host, service, eventId, metric, time, state, ttl,
+         |         row_number() OVER (PARTITION BY $winSql, host, service
+         |                            ORDER BY time DESC, eventId DESC) AS rn,
+         |         max(time) OVER (PARTITION BY $winSql, host, service) AS clock
+         |  FROM ev)
+         |SELECT window_start, host, service, eventId, metric FROM latest
+         |WHERE rn = 1 AND NOT (state = 'expired' OR (clock - time) > CAST(ttl * $Ns AS BIGINT))
+         |ORDER BY window_start, host, service""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.coalesceWindow(3600, Seq("host", "service")))
+        .select(col("window_start"), col("host"), col("service"), col("eventId"), col("metric"))
+        .orderBy("window_start", "host", "service")
+    }
+
+    register("coll_increase",
+      s"""$EventsView
+         |SELECT DISTINCT window_start, metric FROM (
+         |  SELECT $winSql AS window_start,
+         |         last_value(metric) OVER w - first_value(metric) OVER w AS metric
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY $winSql ORDER BY time, eventId
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |WHERE metric > 0 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.collIncrease(3600))
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    // ---------------- §2.5 order-sensitive (batch twins) ----------------
+
+    register("ddt",
+      s"""$EventsView
+         |SELECT eventId, (metric - pm) / (time - pt) AS metric FROM (
+         |  SELECT eventId, metric, time,
+         |         lag(metric) OVER w AS pm, lag(time) OVER w AS pt
+         |  FROM ev WINDOW w AS (PARTITION BY host ORDER BY time, eventId))
+         |WHERE pt IS NOT NULL AND time != pt
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.ddt(Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("changed",
+      s"""$EventsView
+         |SELECT eventId, state FROM (
+         |  SELECT eventId, state,
+         |         COALESCE(lag(state) OVER (PARTITION BY host ORDER BY time, eventId), 'ok') AS prev
+         |  FROM ev)
+         |WHERE state IS DISTINCT FROM prev
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.changed("state", "ok", Seq("host")))
+        .select(col("eventId"), col("state")).orderBy("eventId")
+    }
+
+    register("smax",
+      s"""$EventsView
+         |SELECT eventId,
+         |       max(metric) OVER (PARTITION BY host ORDER BY time, eventId
+         |                         ROWS UNBOUNDED PRECEDING) AS metric
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.smax(Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("smin",
+      s"""$EventsView
+         |SELECT eventId,
+         |       min(metric) OVER (PARTITION BY host ORDER BY time, eventId
+         |                         ROWS UNBOUNDED PRECEDING) AS metric
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.smin(Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("moving_event_window",
+      s"""$EventsView
+         |SELECT eventId,
+         |       CAST(sum(CAST(metric AS DECIMAL(38,6)))
+         |            OVER (PARTITION BY host ORDER BY time, eventId
+         |                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window_sum,
+         |       count(*) OVER (PARTITION BY host ORDER BY time, eventId
+         |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS window_n
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.movingEventWindow(5, Seq("host")))
+        .select(col("eventId"),
+          aggregate(col("events"), lit(0).cast("decimal(38,6)"),
+            (acc, e) => (acc + e.getField("metric").cast("decimal(38,6)")).cast("decimal(38,6)"))
+            .cast("double").as("window_sum"),
+          size(col("events")).cast("long").as("window_n"))
+        .orderBy("eventId")
+    }
+
+    register("fixed_event_window",
+      s"""$EventsView
+         |SELECT host, window_id, count(*) AS n, max(eventId) AS last_id FROM (
+         |  SELECT host, eventId,
+         |         (row_number() OVER (PARTITION BY host ORDER BY time, eventId) - 1) // 10 AS window_id
+         |  FROM ev)
+         |GROUP BY host, window_id HAVING count(*) = 10
+         |ORDER BY host, window_id""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.fixedEventWindow(10, Seq("host")))
+        .select(col("host"), col("window_id"),
+          size(col("events")).cast("long").as("n"),
+          element_at(col("events"), -1)("eventId").as("last_id"))
+        .orderBy("host", "window_id")
+    }
+
+    register("above_dt",
+      s"""$EventsView
+         |, flagged AS (
+         |  SELECT eventId, host, time, metric, metric > 50 AS ok,
+         |         sum(CASE WHEN metric > 50 THEN 0 ELSE 1 END)
+         |           OVER (PARTITION BY host ORDER BY time, eventId
+         |                 ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM ev),
+         |runs AS (
+         |  SELECT *, min(CASE WHEN ok THEN time END)
+         |              OVER (PARTITION BY host, grp) AS run_start
+         |  FROM flagged)
+         |SELECT eventId, metric FROM runs
+         |WHERE ok AND time > run_start + 7200000000000
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.aboveDt(50, 7200, Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("stable",
+      s"""$EventsView
+         |, flips AS (
+         |  SELECT eventId, host, time, state,
+         |         sum(CASE WHEN prev IS NULL OR prev IS DISTINCT FROM state THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY host ORDER BY time, eventId
+         |                 ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM (SELECT *, lag(state) OVER (PARTITION BY host ORDER BY time, eventId) AS prev FROM ev)),
+         |runs AS (
+         |  SELECT *, min(time) OVER (PARTITION BY host, run) AS run_start,
+         |            max(time) OVER (PARTITION BY host, run) AS run_end
+         |  FROM flips)
+         |SELECT eventId, state FROM runs
+         |WHERE run_end > run_start + 3600000000000
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.stable(3600, "state", Seq("host")))
+        .select(col("eventId"), col("state")).orderBy("eventId")
+    }
+
+    register("ewma",
+      s"""$EventsView
+         |, ordered AS (
+         |  SELECT eventId, host, metric,
+         |         list(metric) OVER (PARTITION BY host ORDER BY time, eventId
+         |                            ROWS UNBOUNDED PRECEDING) AS prefix
+         |  FROM ev)
+         |SELECT eventId, list_reduce(list_prepend(0.0, prefix),
+         |                            (acc, x) -> 0.5 * acc + 0.5 * x) AS metric
+         |FROM ordered ORDER BY eventId""".stripMargin) { (s, dir) =>
+      Analytics.ewmaTimeless(0.5, Seq("host"))(ev(s, dir))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("throttle",
+      "" // placeholder replaced below; recursive CTE
+    ) { (s, dir) =>
+      Analytics.throttle(3, 86400, Seq("host"))(ev(s, dir))
+        .select(col("eventId")).orderBy("eventId")
+    }
+    // Reference throttle is a data-dependent sequential fold; DuckDB
+    // expresses it as a linear recursive CTE over per-key row numbers.
+    registry("throttle") = (registry("throttle")._1, Some(
+      s"""${EventsView.replaceFirst("WITH ev", "WITH RECURSIVE ev")}
+         |, seq AS (
+         |  SELECT eventId, host, time,
+         |         row_number() OVER (PARTITION BY host ORDER BY time, eventId) AS rn
+         |  FROM ev),
+         |step AS (
+         |  SELECT host, rn, time, eventId, time AS wstart, 1 AS cnt, true AS pass
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.host, n.rn, n.time, n.eventId,
+         |         CASE WHEN n.time >= s.wstart + 86400000000000 THEN n.time ELSE s.wstart END,
+         |         CASE WHEN n.time >= s.wstart + 86400000000000 THEN 1
+         |              WHEN s.cnt < 3 THEN s.cnt + 1 ELSE s.cnt END,
+         |         CASE WHEN n.time >= s.wstart + 86400000000000 THEN true
+         |              ELSE s.cnt < 3 END
+         |  FROM step s JOIN seq n ON n.host = s.host AND n.rn = s.rn + 1)
+         |SELECT eventId FROM step WHERE pass ORDER BY eventId""".stripMargin))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.conditions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine's condition language — same vocabulary as the reference's
+  * predicate DSL (`src/clojure/mirabelle/action/condition.clj:4-22`):
+  * `pos? neg? zero? > >= < <= = not= true always-true contains absent
+  * regex nil? not-nil?` with `and`/`or` nesting, fields addressable by
+  * nested path (`condition.clj:57-64`).
+  *
+  * Compiles straight to a Catalyst [[Column]] — predicates constant-fold,
+  * push down to parquet scans and participate in whole-stage codegen for
+  * free, which is the Spark-native replacement for the reference's memoized
+  * closure compilation (`condition.clj:67-92`).
+  */
+sealed trait Condition {
+  /** Catalyst predicate for this condition. */
+  def column: Column = Condition.compile(this)
+}
+
+object Condition {
+  /** Field reference: a top-level column or a nested path such as
+    * `attributes.quantile` (reference path vectors, `condition.clj:57-64`).
+    */
+  final case class Field(path: Seq[String]) {
+    require(path.nonEmpty, "empty field path")
+    def column: Column =
+      path.tail.foldLeft(col(path.head))((c, k) => c.getItem(k))
+  }
+  object Field {
+    def apply(name: String): Field = new Field(name.split('.').toSeq)
+  }
+
+  final case class Gt(field: Field, value: Any) extends Condition
+  final case class Gte(field: Field, value: Any) extends Condition
+  final case class Lt(field: Field, value: Any) extends Condition
+  final case class Lte(field: Field, value: Any) extends Condition
+  final case class Eq(field: Field, value: Any) extends Condition
+  final case class NotEq(field: Field, value: Any) extends Condition
+  final case class Pos(field: Field) extends Condition
+  final case class Neg(field: Field) extends Condition
+  final case class Zero(field: Field) extends Condition
+  final case class IsNil(field: Field) extends Condition
+  final case class NotNil(field: Field) extends Condition
+  /** Sequence field contains the value (`condition.clj:12`). */
+  final case class Contains(field: Field, value: Any) extends Condition
+  /** Sequence field does NOT contain the value (`condition.clj:13`). */
+  final case class Absent(field: Field, value: Any) extends Condition
+  /** Full-string regex match — the reference uses `re-matches`
+    * (`condition.clj:19`), so the pattern is anchored here.
+    */
+  final case class Regex(field: Field, pattern: String) extends Condition
+  case object AlwaysTrue extends Condition
+  final case class And(conditions: Seq[Condition]) extends Condition
+  final case class Or(conditions: Seq[Condition]) extends Condition
+  object And { def of(cs: Condition*): And = And(cs) }
+  object Or { def of(cs: Condition*): Or = Or(cs) }
+
+  def compile(c: Condition): Column = c match {
+    case Gt(f, v)       => f.column > lit(v)
+    case Gte(f, v)      => f.column >= lit(v)
+    case Lt(f, v)       => f.column < lit(v)
+    case Lte(f, v)      => f.column <= lit(v)
+    case Eq(f, v)       => f.column === lit(v)
+    case NotEq(f, v)    => !(f.column === lit(v))
+    case Pos(f)         => f.column > lit(0)
+    case Neg(f)         => f.column < lit(0)
+    case Zero(f)        => f.column === lit(0)
+    case IsNil(f)       => f.column.isNull
+    case NotNil(f)      => f.column.isNotNull
+    case Contains(f, v) => array_contains(f.column, v)
+    case Absent(f, v)   => !coalesce(array_contains(f.column, v), lit(false))
+    case Regex(f, p)    => f.column.rlike(anchored(p))
+    case AlwaysTrue     => lit(true)
+    case And(cs)        => cs.map(compile).reduceLeft(_ && _)
+    case Or(cs)         => cs.map(compile).reduceLeft(_ || _)
+  }
+
+  private def anchored(p: String): String = {
+    val pre = if (p.startsWith("^")) "" else "^"
+    val post = if (p.endsWith("$")) "" else "$"
+    pre + p + post
+  }
+
+  /** Parse the serialized vector form used by the IR, mirroring the
+    * reference's EDN shape (`condition.clj:30-48`):
+    * `["and" [">" "metric" 10] ["regex" "service" "web-.*"]]`.
+    * Field names may be dotted paths or list-of-segments.
+    */
+  def parse(v: Any): Condition = v match {
+    case s: Seq[_] =>
+      val op = s.head.toString.stripPrefix(":")
+      def field: Field = s(1) match {
+        case p: Seq[_] => new Field(p.map(_.toString))
+        case other     => Field(other.toString.stripPrefix(":"))
+      }
+      op match {
+        case "and"                  => And(s.tail.map(parse))
+        case "or"                   => Or(s.tail.map(parse))
+        case ">"                    => Gt(field, s(2))
+        case ">="                   => Gte(field, s(2))
+        case "<"                    => Lt(field, s(2))
+        case "<="                   => Lte(field, s(2))
+        case "=" | "=="             => Eq(field, s(2))
+        case "not="                 => NotEq(field, s(2))
+        case "pos?"                 => Pos(field)
+        case "neg?"                 => Neg(field)
+        case "zero?"                => Zero(field)
+        case "nil?"                 => IsNil(field)
+        case "not-nil?"             => NotNil(field)
+        case "contains"             => Contains(field, s(2))
+        case "absent"               => Absent(field, s(2))
+        case "regex"                => Regex(field, s(2).toString)
+        case "true" | "always-true" => AlwaysTrue
+        case other => throw new IllegalArgumentException(s"unknown condition op: $other")
+      }
+    case other => throw new IllegalArgumentException(s"condition must be a sequence, got: $other")
+  }
+}

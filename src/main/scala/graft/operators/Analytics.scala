@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.conditions.Condition
+import graft.model.Event
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Order-sensitive operators (SURVEY §2.5 "stateful" rows): batch
+  * implementations over analytic window functions, plus a scalable
+  * per-key ordered scan for the genuinely sequential folds.
+  *
+  * Design for scale: every operator partitions by the `by`-keys (the
+  * reference's per-key fork, `action.clj:1559-1641`) — state never crosses
+  * a key boundary, so Spark distributes these as one shuffle on the keys
+  * followed by a per-partition sort (external, spillable). Running them
+  * keyless reproduces the reference's single-stream semantics but forces a
+  * single partition — supported for parity, not the scale path.
+  */
+object Analytics {
+
+  private def orderedWindow(keys: Seq[String]): WindowSpec = {
+    val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    w.orderBy(col("time"), col("eventId"))
+  }
+
+  /** `ddt` / `ddt-pos` — d(metric)/d(time) between consecutive events
+    * (`action.clj:1042-1083`). The reference divides by the raw ns time
+    * delta; `ddt-pos` drops negative derivatives (counter resets), zero-dt
+    * pairs are skipped, the first event emits nothing.
+    */
+  def ddt(keys: Seq[String] = Nil, removeNeg: Boolean = false)(df: DataFrame): DataFrame = {
+    val w = orderedWindow(keys)
+    val dm = col("metric") - lag(col("metric"), 1).over(w)
+    val dt = col("time") - lag(col("time"), 1).over(w)
+    val out = df.withColumn("__dm", dm).withColumn("__dt", dt)
+      .filter(col("__dt").isNotNull && col("__dt") =!= 0L)
+      .withColumn("metric", col("__dm") / col("__dt"))
+      .drop("__dm", "__dt")
+    if (removeNeg) out.filter(col("metric") >= 0) else out
+  }
+  def ddtPos(keys: Seq[String] = Nil)(df: DataFrame): DataFrame = ddt(keys, removeNeg = true)(df)
+
+  /** `changed` — pass only when the field differs from the previous
+    * event's value; an initial value seeds the comparison
+    * (`action.clj:1329-1375`).
+    */
+  def changed(field: String, init: Any, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val prev = coalesce(lag(col(field), 1).over(orderedWindow(keys)), lit(init))
+    df.withColumn("__prev", prev).filter(!(col(field) <=> col("__prev"))).drop("__prev")
+  }
+
+  /** `smax` / `smin` — running extremum event, re-emitted per input
+    * (`action.clj:2742-2795`): metric becomes the running max/min.
+    */
+  def smax(keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    df.withColumn("metric",
+      max(col("metric")).over(orderedWindow(keys).rowsBetween(Window.unboundedPreceding, 0)))
+  def smin(keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    df.withColumn("metric",
+      min(col("metric")).over(orderedWindow(keys).rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** `moving-event-window` — sliding last-N-events payload, one output per
+    * input (`action.clj:1220-1246`).
+    */
+  def movingEventWindow(n: Int, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val w = orderedWindow(keys).rowsBetween(-(n - 1), 0)
+    df.withColumn("events", collect_list(struct(df.columns.map(col): _*)).over(w))
+  }
+
+  /** `moving-time-window` — sliding last-N-seconds payload
+    * (`action.clj:2596-2639`). Range frame over the ns-long time axis.
+    */
+  def movingTimeWindow(seconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val w = base.orderBy(col("time")).rangeBetween(-(seconds * Event.NsPerSecond - 1), 0)
+    df.withColumn("events", collect_list(struct(df.columns.map(col): _*)).over(w))
+  }
+
+  /** `fixed-event-window` — count-based tumbling window of size N
+    * (`action.clj:233-262`); only complete windows emit.
+    */
+  def fixedEventWindow(n: Int, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val rn = row_number().over(orderedWindow(keys))
+    val winId = expr(s"(__rn - 1) div $n")
+    df.withColumn("__rn", rn).withColumn("window_id", winId)
+      .groupBy((keys.map(col) :+ col("window_id")): _*)
+      .agg(Windows.collectOrdered(df.columns.toSeq).as("events"))
+      .filter(size(col("events")) === n)
+  }
+
+  /** `above-dt` / `below-dt` / `between-dt` / `outside-dt` / `cond-dt` —
+    * the condition must hold for more than `dt` seconds, then matching
+    * events pass until it breaks (`action.clj:476-647`). Batch shape:
+    * run-length groups of consecutive matching events; an event passes iff
+    * `time > run_start + dt` (strict, as in the reference:
+    * `(> event-time (+ time dt))`).
+    */
+  def condDt(condition: Condition, dtSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val w = orderedWindow(keys)
+    val ok = condition.column
+    val breaks = sum(when(ok, 0).otherwise(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val d = df.withColumn("__ok", ok).withColumn("__grp", breaks)
+    val runW = (if (keys.isEmpty) Window.partitionBy(col("__grp"))
+                else Window.partitionBy((keys.map(col) :+ col("__grp")): _*))
+    val runStart = min(when(col("__ok"), col("time"))).over(runW)
+    d.withColumn("__start", runStart)
+      .filter(col("__ok") && col("time") > col("__start") + lit(dtSeconds * Event.NsPerSecond))
+      .drop("__ok", "__grp", "__start")
+  }
+
+  def aboveDt(threshold: Double, dtSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    condDt(Condition.Gt(Condition.Field("metric"), threshold), dtSeconds, keys)(df)
+  def belowDt(threshold: Double, dtSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    condDt(Condition.Lt(Condition.Field("metric"), threshold), dtSeconds, keys)(df)
+  def betweenDt(low: Double, high: Double, dtSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    condDt(Condition.And.of(
+      Condition.Gt(Condition.Field("metric"), low),
+      Condition.Lt(Condition.Field("metric"), high)), dtSeconds, keys)(df)
+  def outsideDt(low: Double, high: Double, dtSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    condDt(Condition.Or.of(
+      Condition.Lt(Condition.Field("metric"), low),
+      Condition.Gt(Condition.Field("metric"), high)), dtSeconds, keys)(df)
+
+  /** `stable` — flap damping: events pass only if the field's value stays
+    * constant for at least `dt` seconds (`action.clj:2053-2138`). A run of
+    * equal values either reaches `dt` (first event past `run_start+dt`
+    * flushes the whole buffered run) and then every event of the run is
+    * emitted, or dies early and emits nothing.
+    */
+  def stable(dtSeconds: Long, field: String, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val w = orderedWindow(keys)
+    val flips = sum(
+      when(lag(col(field), 1).over(w).isNull || !(lag(col(field), 1).over(w) <=> col(field)), 1)
+        .otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val d = df.withColumn("__run", flips)
+    val runW = (if (keys.isEmpty) Window.partitionBy(col("__run"))
+                else Window.partitionBy((keys.map(col) :+ col("__run")): _*))
+    d.withColumn("__start", min(col("time")).over(runW))
+      .withColumn("__end", max(col("time")).over(runW))
+      .filter(col("__end") > col("__start") + lit(dtSeconds * Event.NsPerSecond))
+      .drop("__run", "__start", "__end")
+  }
+
+  // --------------------------------------------------------------------
+  // Genuinely sequential folds: one shuffle on the keys, external sort,
+  // then a linear per-partition scan — the batch twin of
+  // mapGroupsWithState. O(n) state, spill-safe, no collect().
+  // --------------------------------------------------------------------
+
+  /** Repartition by `keys`, sort each partition by (keys, time, eventId),
+    * then run a sequential stateful scan; `init` state is re-created at
+    * every key change.
+    */
+  def perKeyScan[S](df: DataFrame, keys: Seq[String])(
+      init: () => S)(step: (S, Event) => (S, Iterator[Event])): Dataset[Event] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col("host"), col("service"), col("name"), col("state"),
+      col("metric"), col("time"), col("ttl"), col("description"),
+      col("tags"), col("attributes"), col("eventId")).as[Event]
+    val sortCols = keys.map(col) ++ Seq(col("time"), col("eventId"))
+    val parted =
+      if (keys.isEmpty) ds.repartition(1).sortWithinPartitions(sortCols: _*)
+      else ds.repartition(keys.map(col): _*).sortWithinPartitions(sortCols: _*)
+    val keyOf: Event => Seq[Option[String]] = e => keys.map {
+      case "host"    => e.host
+      case "service" => e.service
+      case "name"    => e.name
+      case "state"   => e.state
+      case other     => e.attributes.get(other)
+    }
+    parted.mapPartitions { it =>
+      var curKey: Seq[Option[String]] = null
+      var state: S = null.asInstanceOf[S]
+      it.flatMap { e =>
+        val k = keyOf(e)
+        if (curKey == null || k != curKey) { curKey = k; state = init() }
+        val (s2, out) = step(state, e)
+        state = s2
+        out
+      }
+    }
+  }
+
+  /** `ewma-timeless` — EWMA with ratio r, seeded at 0, one output per
+    * input (`action.clj:1249-1276`): m' = (1-r)*m + r*x.
+    */
+  def ewmaTimeless(r: Double, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] =
+    perKeyScan(df, keys)(() => Double.box(0.0)) { (m, e) =>
+      e.metric match {
+        case Some(x) =>
+          val m2 = (1 - r) * m.doubleValue() + r * x
+          (Double.box(m2), Iterator.single(e.copy(metric = Some(m2))))
+        case None => (m, Iterator.single(e))
+      }
+    }
+
+  /** `throttle` — let at most N events pass per duration; the window opens
+    * at the first event's time and re-opens at the first event past
+    * `start + duration` (`action.clj:1163-1217`).
+    */
+  def throttle(count: Int, durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = {
+    val durNs = durationSeconds * Event.NsPerSecond
+    final case class St(var start: Long, var n: Int)
+    perKeyScan(df, keys)(() => St(Long.MinValue, 0)) { (s, e) =>
+      if (s.start == Long.MinValue || e.time >= s.start + durNs) {
+        s.start = e.time; s.n = 1; (s, Iterator.single(e))
+      } else if (s.n >= count) (s, Iterator.empty)
+      else { s.n += 1; (s, Iterator.single(e)) }
+    }
+  }
+}

@@ -1,0 +1,310 @@
+package graft.operators
+
+import graft.conditions.Condition
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time tumbling-window aggregations (SURVEY §2.5) and the
+  * collection (window-payload) aggregates (§2.6).
+  *
+  * The reference implements one shared `aggregation*` machine
+  * (`src/clojure/mirabelle/action.clj:2387-2454`): window index =
+  * `(time - start) / duration`, allowed lateness via `:delay`, pluggable
+  * accumulate/finalize pairs (`action.clj:2285-2374`) — exactly Spark's
+  * partial/final aggregate split. Here each window op is a single
+  * `groupBy(windowStart, keys).agg(...)`: map-side partial aggregation,
+  * one shuffle on (window, keys), whole-stage codegen — the plan scales
+  * linearly with input and never materializes per-window buffers except
+  * for the ops that genuinely emit the window payload (`collect_list`).
+  *
+  * Windows here are epoch-aligned (the reference aligns to the first event
+  * seen, `action.clj:2407-2417` — a single-process notion that has no
+  * distributed equivalent; epoch alignment is the deterministic,
+  * partition-friendly choice and is what the DuckDB oracle mirrors).
+  *
+  * Event time is a ns-long; window arithmetic stays in integer space
+  * (ns longs exceed 2^53 — double arithmetic would corrupt them).
+  */
+object Windows {
+
+  /** Epoch-aligned window start (ns) for a duration in seconds. */
+  def windowStart(durationSeconds: Long, timeCol: String = "time"): Column = {
+    val d = durationSeconds * graft.model.Event.NsPerSecond
+    expr(s"($timeCol div ${d}L) * ${d}L")
+  }
+
+  private def grouped(df: DataFrame, durationSeconds: Long, keys: Seq[String]) =
+    df.groupBy((col("window_start") +: keys.map(col)): _*)
+
+  private def withWindow(df: DataFrame, durationSeconds: Long): DataFrame =
+    df.withColumn("window_start", windowStart(durationSeconds))
+
+  /** Deterministic "latest event" ordering key: ties on `time` broken by
+    * `eventId` (the reference keeps first-seen on ties, `math.clj:39-63`;
+    * arrival order does not exist in a distributed engine, so we pin a
+    * total order instead).
+    */
+  private val latestKey: Column = struct(col("time"), col("eventId"))
+
+  /** Collect a window payload as an array of event structs, ordered by
+    * (time, eventId) regardless of column order.
+    */
+  private[operators] def collectOrdered(cols: Seq[String]): Column =
+    transform(
+      array_sort(
+        collect_list(struct(
+          struct(col("time"), col("eventId")).as("__k"),
+          struct(cols.map(col): _*).as("__e"))),
+        // events may carry MapType fields (attributes), which Spark's
+        // natural struct ordering rejects — compare the orderable key only
+        (a, b) => keyCompare(a.getField("__k"), b.getField("__k"))),
+      x => x.getField("__e"))
+
+  private def keyCompare(x: Column, y: Column): Column =
+    when(x < y, -1).when(x > y, 1).otherwise(0)
+
+  /** `fixed-time-window` — tumbling window emitting the list of events
+    * (`action.clj:2564-2594`), ordered by (time, eventId).
+    */
+  def fixedTimeWindow(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg(collectOrdered(df.columns.toSeq).as("events"))
+
+  /** `sum` — per-window sum of `metric`, payload = latest event
+    * (`action.clj:2468-2490`).
+    */
+  def sumWindow(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    aggWindow(df, durationSeconds, keys, sum(col("metric")))
+
+  /** `mean` — per-window mean (`action.clj:2540-2562`). */
+  def meanWindow(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    aggWindow(df, durationSeconds, keys, avg(col("metric")))
+
+  /** `rate` — count/duration per window (`action.clj:2836-2843`). */
+  def rateWindow(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    aggWindow(df, durationSeconds, keys, count(lit(1)).cast(DoubleType) / lit(durationSeconds.toDouble))
+
+  private def aggWindow(df: DataFrame, durationSeconds: Long, keys: Seq[String], metricAgg: Column): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg(max_by(all, latestKey).as("base"), metricAgg.as("m"))
+      .select((col("window_start") +: keys.map(col)) ++ Seq(col("base"), col("m")): _*)
+      .select(col("window_start"), col("base.*"), col("m"))
+      .drop("metric").withColumnRenamed("m", "metric")
+  }
+
+  /** `top` / `bottom` — per-window event with the max/min metric
+    * (`action.clj:2492-2538`); ties broken by (time, eventId) so the
+    * result is a total function of the data.
+    */
+  def topWindow(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    extremumWindow(df, durationSeconds, keys, isTop = true)
+  def bottomWindow(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    extremumWindow(df, durationSeconds, keys, isTop = false)
+
+  private def extremumWindow(df: DataFrame, durationSeconds: Long, keys: Seq[String], isTop: Boolean): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    val ord = struct(col("metric"), col("time"), col("eventId"))
+    val pick = if (isTop) max_by(all, ord) else min_by(all, ord)
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg(pick.as("base"))
+      .select(col("window_start"), col("base.*"))
+  }
+
+  /** `ratio` — per-window ratio of events (or metric sums) matching cond1
+    * vs cond2 (`action.clj:2975-3009`); Double semantics (the reference
+    * yields Clojure rationals — SURVEY §7.4.5 pins Double here).
+    */
+  def ratioWindow(durationSeconds: Long, c1: Condition, c2: Condition,
+                  useMetric: Boolean = false, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    def side(c: Condition): Column =
+      if (useMetric) sum(when(c.column, col("metric")).otherwise(lit(0.0)))
+      else sum(when(c.column, lit(1.0)).otherwise(lit(0.0)))
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg((side(c1) / side(c2)).as("metric"))
+  }
+
+  /** `ssort` — buffer per window, emit events sorted by a field
+    * (`action.clj:2641-2691`). One shuffle; the sort happens inside each
+    * window's array, not as a global sort.
+    */
+  def ssort(durationSeconds: Long, field: String, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val sortKey = struct(col(field), col("eventId"))
+    withWindow(df, durationSeconds)
+      .groupBy((col("window_start") +: keys.map(col)): _*)
+      .agg(array_sort(
+        collect_list(struct(sortKey.as("__k"), struct(cols.map(col): _*).as("__e"))),
+        (a, b) => keyCompare(a.getField("__k"), b.getField("__k"))).as("sorted"))
+      .select(explode(col("sorted.__e")).as("event"))
+      .select(col("event.*"))
+  }
+
+  /** `coalesce` — every duration, emit the latest non-expired event per
+    * `fields` combination (`action.clj:721-821`). Expiry clock = max event
+    * time within the window (batch analog of the reference's running
+    * clock).
+    */
+  def coalesceWindow(durationSeconds: Long, fields: Seq[String])(df: DataFrame): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    withWindow(df, durationSeconds)
+      .groupBy((col("window_start") +: fields.map(col)): _*)
+      .agg(max_by(all, latestKey).as("base"), max(col("time")).as("__clock"))
+      .select(col("window_start"), col("base.*"), col("__clock"))
+      .filter(!Stateless.expiredPredicate(col("__clock")))
+      .drop("__clock")
+  }
+
+  /** `project` — latest event matching each of N conditions
+    * (`action.clj:1377-1463`): one pass, N conditional max_by aggregates —
+    * no self-join, no extra shuffle.
+    */
+  def project(conditions: Seq[Condition])(df: DataFrame): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    val aggs = conditions.zipWithIndex.map { case (c, i) =>
+      max_by(when(c.column, all), when(c.column, latestKey)).as(s"match_$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `percentiles` — per-window quantiles, one row per quantile with the
+    * quantile echoed (`action.clj:2845-2929`). Uses the reference's exact
+    * index formula `idx = min(n-1, floor(n*q))` over metric-sorted values
+    * (Riemann's `sorted-sample-extract`, `math.clj:109-131`) rather than
+    * interpolation. For cluster-scale data prefer [[percentilesApprox]].
+    */
+  def percentiles(durationSeconds: Long, quantiles: Seq[Double], keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val qArr = array(quantiles.map(lit): _*)
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg(array_sort(collect_list(col("metric"))).as("sorted"))
+      .withColumn("quantile", explode(qArr))
+      .withColumn("metric",
+        expr("sorted[cast(least(size(sorted) - 1, floor(size(sorted) * quantile)) as int)]"))
+      .drop("sorted")
+  }
+
+  /** Sketch-based percentiles for the 100 TB path: constant-memory
+    * per-window state, mergeable across partitions.
+    */
+  def percentilesApprox(durationSeconds: Long, quantiles: Seq[Double], accuracy: Int = 10000,
+                        keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg(percentile_approx(col("metric"), array(quantiles.map(lit): _*), lit(accuracy)).as("metrics"))
+      .select(col("window_start") +: keys.map(col) :+
+        posexplode(col("metrics")).as(Seq("qi", "metric")): _*)
+
+  /** `coll-increase` — counter increase over a window: newest minus oldest
+    * metric, drop non-positive (counter reset) (`action.clj:2693-2740`).
+    */
+  def collIncrease(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg((max_by(col("metric"), latestKey) - min_by(col("metric"), latestKey)).as("metric"))
+      .filter(col("metric") > 0)
+
+  // --------------------------------------------------------------------
+  // §2.6 collection aggregates — higher-order functions over the window
+  // payload (`events` array column produced by fixedTimeWindow). These run
+  // entirely inside a row (no extra shuffle).
+  // --------------------------------------------------------------------
+
+  /** `coll-mean` (`action.clj:264-284`): mean of metrics; payload = latest event. */
+  def collMean(df: DataFrame): DataFrame = collAgg(df,
+    aggregate(col("events"), lit(0.0), (acc, e) => acc + e.getField("metric")) / size(col("events")))
+
+  /** `coll-sum` (`action.clj:324-343`). */
+  def collSum(df: DataFrame): DataFrame = collAgg(df,
+    aggregate(col("events"), lit(0.0), (acc, e) => acc + e.getField("metric")))
+
+  /** `coll-count` (`action.clj:1465-1487`). */
+  def collCount(df: DataFrame): DataFrame = collAgg(df, size(col("events")).cast(DoubleType))
+
+  /** `coll-rate` — sum / (maxTime - minTime) in seconds, sum if the
+    * interval is zero (`math.clj:80-106`).
+    */
+  def collRate(df: DataFrame): DataFrame = {
+    val sumM = aggregate(col("events"), lit(0.0), (acc, e) => acc + e.getField("metric"))
+    val span = (array_max(transform(col("events"), _.getField("time"))) -
+      array_min(transform(col("events"), _.getField("time")))).cast(DoubleType) / lit(1e9)
+    collAgg(df, when(span === 0.0, sumM).otherwise(sumM / span))
+  }
+
+  /** `coll-quotient` — first metric divided by the rest sequentially
+    * (`math.clj:16-26`).
+    */
+  def collQuotient(df: DataFrame): DataFrame = {
+    val ms = transform(col("events"), _.getField("metric"))
+    collAgg(df, aggregate(slice(ms, 2, 1000000), element_at(ms, 1), (acc, x) => acc / x))
+  }
+
+  /** `coll-max` / `coll-min` — the extreme event itself (`math.clj:39-78`). */
+  def collMax(df: DataFrame): DataFrame = collPick(df, asc = false)
+  def collMin(df: DataFrame): DataFrame = collPick(df, asc = true)
+
+  private def collPick(df: DataFrame, asc: Boolean): DataFrame = {
+    val sorted = sortedByMetric(asc)
+    df.withColumn("event", element_at(sorted, 1)).drop("events").select(col("event.*"))
+  }
+
+  private def sortedByMetric(asc: Boolean): Column =
+    array_sort(col("events"), (a, b) => {
+      val (x, y) = if (asc) (a, b) else (b, a)
+      when(x.getField("metric") < y.getField("metric"), -1)
+        .when(x.getField("metric") > y.getField("metric"), 1)
+        .when(x.getField("eventId") < y.getField("eventId"), -1)
+        .when(x.getField("eventId") > y.getField("eventId"), 1)
+        .otherwise(0)
+    })
+
+  /** `coll-top` / `coll-bottom` — top/bottom N events by metric
+    * (`action.clj:2007-2051`).
+    */
+  def collTop(n: Int)(df: DataFrame): DataFrame =
+    df.withColumn("events", slice(sortedByMetric(asc = false), 1, n))
+  def collBottom(n: Int)(df: DataFrame): DataFrame =
+    df.withColumn("events", slice(sortedByMetric(asc = true), 1, n))
+
+  /** `coll-sort` — sort the payload by a field (`action.clj:368-389`). */
+  def collSort(field: String)(df: DataFrame): DataFrame =
+    df.withColumn("events", array_sort(col("events"), (a, b) =>
+      when(a.getField(field) < b.getField(field), -1)
+        .when(a.getField(field) > b.getField(field), 1)
+        .when(a.getField("eventId") < b.getField("eventId"), -1)
+        .when(a.getField("eventId") > b.getField("eventId"), 1)
+        .otherwise(0)))
+
+  /** `coll-where` — filter inside the payload (`action.clj:115-137`);
+    * restricted to top-level scalar fields of the payload struct.
+    */
+  def collWhere(field: String, op: String, value: Any)(df: DataFrame): DataFrame = {
+    df.withColumn("events", filter(col("events"), e => {
+      val f = e.getField(field)
+      op match {
+        case ">"  => f > lit(value)
+        case ">=" => f >= lit(value)
+        case "<"  => f < lit(value)
+        case "<=" => f <= lit(value)
+        case "="  => f === lit(value)
+        case "not=" => !(f === lit(value))
+        case other => throw new IllegalArgumentException(s"coll-where op: $other")
+      }
+    }))
+  }
+
+  /** Shared shape for scalar coll-aggregates: metric := agg(payload),
+    * other fields from the latest event in the payload.
+    */
+  private def collAgg(df: DataFrame, metricExpr: Column): DataFrame = {
+    val latest = element_at(array_sort(col("events"), (a, b) =>
+      when(a.getField("time") > b.getField("time"), -1)
+        .when(a.getField("time") < b.getField("time"), 1)
+        .when(a.getField("eventId") > b.getField("eventId"), -1)
+        .when(a.getField("eventId") < b.getField("eventId"), 1)
+        .otherwise(0)), 1)
+    df.withColumn("__m", metricExpr)
+      .withColumn("event", latest)
+      .drop("events")
+      .select(col("event.*"), col("__m"))
+      .drop("metric").withColumnRenamed("__m", "metric")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated parquet fixtures (`TESTDATA.md`) and
+  * the canonical event view the operator suite runs on.
+  *
+  * The `events` table carries a parquet `TIMESTAMP(NANOS)` column, which
+  * Spark only reads as a nanosecond `LongType` (legacy conf below) — that
+  * is exactly the reference's time representation
+  * (`src/clojure/mirabelle/time.clj:3-6`), so the engine keeps event time
+  * as ns-longs end to end and derives µs `TimestampType` only at the
+  * streaming boundary.
+  */
+object Tables {
+
+  private def withNanos(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    withNanos(spark).read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+
+  /** Canonical event view over the driver's `events` table, mapping its
+    * columns onto the reference event model (SURVEY §1.1):
+    * `ts`→`time` (ns long), `user_id`→`host`, `event_type`→`service`,
+    * `value`→`metric`, `props` JSON→`attributes`, a state derived from the
+    * metric (so state-transition operators have transitions to see), and
+    * deterministic tags. `event_id` is kept as a stable tie-break id.
+    *
+    * The DuckDB oracle mirrors this mapping 1:1 — see
+    * [[graft.OracleViews.EventsView]].
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir).select(
+      col("event_id").as("eventId"),
+      // µs-aligned ns: DuckDB (the correctness oracle) reads parquet
+      // TIMESTAMP(NANOS) at µs precision, so the canonical view pins the
+      // same truncation. Integer arithmetic only — ns longs exceed 2^53.
+      expr("(ts div 1000) * 1000").as("time"),
+      col("user_id").cast(StringType).as("host"),
+      col("event_type").as("service"),
+      lit("events").as("name"),
+      when(col("value") > 150, "critical")
+        .when(col("value") > 100, "warning")
+        .otherwise("ok").as("state"),
+      col("value").as("metric"),
+      lit(Event120Ttl).as("ttl"),
+      col("props").as("description"),
+      array(col("event_type"), concat(lit("u"), pmod(col("user_id"), lit(10)))).as("tags"),
+      from_json(col("props"), MapType(StringType, StringType)).as("attributes")
+    )
+
+  private val Event120Ttl: Double = graft.model.Event.DefaultTtlSeconds
+}
