@@ -65,6 +65,9 @@ object Queries {
 
   // ------------------------------------------------------------------
   private def build(): Unit = {
+    buildTransforms2()
+    buildCollections()
+    buildAnalytics2()
 
     // ---------------- §2.2 filters ----------------
 
@@ -489,5 +492,380 @@ object Queries {
          |              ELSE s.cnt < 3 END
          |  FROM step s JOIN seq n ON n.host = s.host AND n.rn = s.rn + 1)
          |SELECT eventId FROM step WHERE pass ORDER BY eventId""".stripMargin))
+  }
+
+  // ---------------- remaining §2.3 transforms + §2.4 ----------------
+  private def buildTransforms2(): Unit = {
+
+    register("sdissoc",
+      s"""$EventsView
+         |SELECT eventId, CAST(NULL AS VARCHAR) AS k FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.sdissoc(Seq("description", "attributes.k")))
+        .select(col("eventId"), col("attributes")("k").as("k"))
+        .orderBy("eventId")
+    }
+
+    register("keep_keys",
+      s"""$EventsView
+         |SELECT eventId, host, metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.keepKeys(Seq("eventId", "host", "metric")))
+        .orderBy("eventId")
+    }
+
+    register("rename_keys",
+      s"""$EventsView
+         |SELECT eventId, host AS hostname, service AS check FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.renameKeys(Map("host" -> "hostname", "service" -> "check")))
+        .select(col("eventId"), col("hostname"), col("check"))
+        .orderBy("eventId")
+    }
+
+    register("untag",
+      s"""$EventsView
+         |SELECT eventId, array_to_string(list_filter(tags, t -> t != 'error'), ',') AS tags_s
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.untag(Seq("error")))
+        .select(col("eventId"), array_join(col("tags"), ",").as("tags_s"))
+        .orderBy("eventId")
+    }
+
+    register("extract",
+      s"""$EventsView
+         |SELECT eventId, json_extract_string(description, '$$.k') AS k
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val parsed = ev(s, dir).withColumn("payload",
+        from_json(col("description"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType)))))
+      parsed.withColumn("eid", col("eventId"))
+        .select(col("eid"), col("payload"))
+        .transform(d => d.select(col("eid"), col("payload.*")))
+        .withColumnRenamed("eid", "eventId")
+        .orderBy("eventId")
+    }
+
+    register("sflatten",
+      s"""$EventsView
+         |SELECT eventId, metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Stateless.sflatten("events"))
+        .select(col("eventId"), col("metric"))
+        .orderBy("eventId")
+    }
+
+    register("expired",
+      s"""$EventsView
+         |, clock AS (SELECT max(time) AS c FROM ev)
+         |SELECT eventId FROM ev, clock
+         |WHERE state = 'expired' OR (c - time) > CAST(ttl * $Ns AS BIGINT)
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(d => Stateless.expiredBatch(d)).select(col("eventId")).orderBy("eventId")
+    }
+
+    // `sdo` — tee the same input through two branches, fan back in
+    // (`action.clj:404-425`): in Spark the shared DataFrame is shared
+    // lineage (one scan feeding both branches after Catalyst CSE).
+    register("sdo",
+      s"""$EventsView
+         |SELECT branch, count(*) AS n FROM (
+         |  SELECT 'errors' AS branch FROM ev WHERE service = 'error'
+         |  UNION ALL
+         |  SELECT 'hot' AS branch FROM ev WHERE metric > 150)
+         |GROUP BY branch ORDER BY branch""".stripMargin) { (s, dir) =>
+      val base = ev(s, dir)
+      val b1 = base.transform(Stateless.where(Eq(Field("service"), "error")))
+        .select(lit("errors").as("branch"))
+      val b2 = base.transform(Stateless.over(150)).select(lit("hot").as("branch"))
+      b1.unionAll(b2).groupBy("branch").agg(count(lit(1)).as("n")).orderBy("branch")
+    }
+
+    // `by` — per-key stream forking (`action.clj:1559-1641`): Spark's
+    // groupBy keys replace fork management entirely.
+    register("by_sum",
+      s"""$EventsView
+         |SELECT host, service, (time // 3600000000000) * 3600000000000 AS window_start,
+         |       CAST(sum(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS metric
+         |FROM ev GROUP BY 1, 2, 3 ORDER BY host, service, window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).withColumn("metric", col("metric").cast("decimal(38,6)"))
+        .transform(Windows.sumWindow(3600, Seq("host", "service")))
+        .select(col("host"), col("service"), col("window_start"), col("metric").cast("double").as("metric"))
+        .orderBy("host", "service", "window_start")
+    }
+  }
+
+  // ---------------- §2.6 collection aggregates ----------------
+  private def buildCollections(): Unit = {
+    val winSql = "(time // 3600000000000) * 3600000000000"
+
+    // list fold prefix shared by the coll oracles: the payload in event
+    // order (time, eventId), exactly collectOrdered's order.
+    val collView =
+      s"""$EventsView
+         |, w AS (
+         |  SELECT $winSql AS window_start,
+         |         list(metric ORDER BY time, eventId) AS ms,
+         |         list(eventId ORDER BY time, eventId) AS ids,
+         |         max(time) AS tmax, min(time) AS tmin, count(*) AS n
+         |  FROM ev GROUP BY 1)""".stripMargin
+
+    register("coll_mean",
+      s"""$collView
+         |SELECT window_start,
+         |       list_reduce(list_prepend(0.0, ms), (acc, x) -> acc + x) / n AS metric
+         |FROM w ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collMean)
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("coll_sum",
+      s"""$collView
+         |SELECT window_start,
+         |       list_reduce(list_prepend(0.0, ms), (acc, x) -> acc + x) AS metric
+         |FROM w ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collSum)
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("coll_count",
+      s"""$collView
+         |SELECT window_start, CAST(n AS DOUBLE) AS metric FROM w ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collCount)
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("coll_rate",
+      s"""$collView
+         |SELECT window_start,
+         |       CASE WHEN tmax = tmin
+         |            THEN list_reduce(list_prepend(0.0, ms), (acc, x) -> acc + x)
+         |            ELSE list_reduce(list_prepend(0.0, ms), (acc, x) -> acc + x)
+         |                 / (CAST(tmax - tmin AS DOUBLE) / 1000000000.0) END AS metric
+         |FROM w ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collRate)
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("coll_quotient",
+      s"""$collView
+         |SELECT window_start, list_reduce(ms, (acc, x) -> acc / x) AS metric
+         |FROM w ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collQuotient)
+        .select(col("window_start"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("coll_max",
+      s"""$EventsView
+         |SELECT window_start, eventId, metric FROM (
+         |  SELECT $winSql AS window_start, eventId, metric,
+         |         row_number() OVER (PARTITION BY $winSql
+         |                            ORDER BY metric DESC, eventId DESC) AS rn
+         |  FROM ev) WHERE rn = 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collMax)
+        .select(col("window_start"), col("eventId"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("coll_min",
+      s"""$EventsView
+         |SELECT window_start, eventId, metric FROM (
+         |  SELECT $winSql AS window_start, eventId, metric,
+         |         row_number() OVER (PARTITION BY $winSql
+         |                            ORDER BY metric ASC, eventId ASC) AS rn
+         |  FROM ev) WHERE rn = 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collMin)
+        .select(col("window_start"), col("eventId"), col("metric"))
+        .orderBy("window_start")
+    }
+
+    register("coll_top",
+      s"""$EventsView
+         |SELECT window_start, eventId, metric FROM (
+         |  SELECT $winSql AS window_start, eventId, metric,
+         |         row_number() OVER (PARTITION BY $winSql
+         |                            ORDER BY metric DESC, eventId DESC) AS rn
+         |  FROM ev) WHERE rn <= 2 ORDER BY window_start, eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collTop(2))
+        .select(col("window_start"), explode(col("events")).as("event"))
+        .select(col("window_start"), col("event.eventId").as("eventId"), col("event.metric").as("metric"))
+        .orderBy("window_start", "eventId")
+    }
+
+    register("coll_bottom",
+      s"""$EventsView
+         |SELECT window_start, eventId, metric FROM (
+         |  SELECT $winSql AS window_start, eventId, metric,
+         |         row_number() OVER (PARTITION BY $winSql
+         |                            ORDER BY metric ASC, eventId ASC) AS rn
+         |  FROM ev) WHERE rn <= 2 ORDER BY window_start, eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collBottom(2))
+        .select(col("window_start"), explode(col("events")).as("event"))
+        .select(col("window_start"), col("event.eventId").as("eventId"), col("event.metric").as("metric"))
+        .orderBy("window_start", "eventId")
+    }
+
+    register("coll_sort",
+      s"""$EventsView
+         |SELECT window_start, pos, eventId FROM (
+         |  SELECT $winSql AS window_start, eventId,
+         |         row_number() OVER (PARTITION BY $winSql
+         |                            ORDER BY metric ASC, eventId ASC) - 1 AS pos
+         |  FROM ev) ORDER BY window_start, pos""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collSort("metric"))
+        .select(col("window_start"), posexplode(col("events")).as(Seq("pos", "event")))
+        .select(col("window_start"), col("pos").cast("long").as("pos"), col("event.eventId").as("eventId"))
+        .orderBy("window_start", "pos")
+    }
+
+    register("coll_where",
+      s"""$EventsView
+         |SELECT $winSql AS window_start,
+         |       count(*) FILTER (WHERE metric > 100) AS n
+         |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.fixedTimeWindow(3600))
+        .transform(Windows.collWhere("metric", ">", 100))
+        .select(col("window_start"), size(col("events")).cast("long").as("n"))
+        .orderBy("window_start")
+    }
+
+    register("coll_percentiles",
+      s"""$EventsView
+         |, w AS (
+         |  SELECT (time // 600000000000) * 600000000000 AS window_start,
+         |         list_sort(list(metric)) AS sorted
+         |  FROM ev GROUP BY 1)
+         |SELECT window_start, q.quantile,
+         |       sorted[CAST(least(len(sorted) - 1,
+         |                         floor(len(sorted) * q.quantile)) AS INT) + 1] AS metric
+         |FROM w, (SELECT unnest([0.0, 0.25, 0.75, 1.0]) AS quantile) q
+         |ORDER BY window_start, quantile""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.percentiles(600, Seq(0.0, 0.25, 0.75, 1.0)))
+        .select(col("window_start"), col("quantile"), col("metric"))
+        .orderBy("window_start", "quantile")
+    }
+  }
+
+  // ---------------- remaining §2.5 order-sensitive ----------------
+  private def buildAnalytics2(): Unit = {
+
+    register("ddt_pos",
+      s"""$EventsView
+         |SELECT eventId, (metric - pm) / (time - pt) AS metric FROM (
+         |  SELECT eventId, metric, time,
+         |         lag(metric) OVER w AS pm, lag(time) OVER w AS pt
+         |  FROM ev WINDOW w AS (PARTITION BY host ORDER BY time, eventId))
+         |WHERE pt IS NOT NULL AND time != pt AND (metric - pm) / (time - pt) >= 0
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.ddtPos(Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("below_dt",
+      s"""$EventsView
+         |, flagged AS (
+         |  SELECT eventId, host, time, metric, metric < 150 AS ok,
+         |         sum(CASE WHEN metric < 150 THEN 0 ELSE 1 END)
+         |           OVER (PARTITION BY host ORDER BY time, eventId
+         |                 ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM ev),
+         |runs AS (
+         |  SELECT *, min(CASE WHEN ok THEN time END)
+         |              OVER (PARTITION BY host, grp) AS run_start
+         |  FROM flagged)
+         |SELECT eventId, metric FROM runs
+         |WHERE ok AND time > run_start + 7200000000000
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.belowDt(150, 7200, Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("between_dt",
+      s"""$EventsView
+         |, flagged AS (
+         |  SELECT eventId, host, time, metric,
+         |         (metric > 20 AND metric < 180) AS ok,
+         |         sum(CASE WHEN metric > 20 AND metric < 180 THEN 0 ELSE 1 END)
+         |           OVER (PARTITION BY host ORDER BY time, eventId
+         |                 ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM ev),
+         |runs AS (
+         |  SELECT *, min(CASE WHEN ok THEN time END)
+         |              OVER (PARTITION BY host, grp) AS run_start
+         |  FROM flagged)
+         |SELECT eventId, metric FROM runs
+         |WHERE ok AND time > run_start + 7200000000000
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.betweenDt(20, 180, 7200, Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("outside_dt",
+      s"""$EventsView
+         |, flagged AS (
+         |  SELECT eventId, host, time, metric,
+         |         (metric < 20 OR metric > 180) AS ok,
+         |         sum(CASE WHEN metric < 20 OR metric > 180 THEN 0 ELSE 1 END)
+         |           OVER (PARTITION BY host ORDER BY time, eventId
+         |                 ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM ev),
+         |runs AS (
+         |  SELECT *, min(CASE WHEN ok THEN time END)
+         |              OVER (PARTITION BY host, grp) AS run_start
+         |  FROM flagged)
+         |SELECT eventId, metric FROM runs
+         |WHERE ok AND time > run_start + 7200000000000
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.outsideDt(20, 180, 7200, Seq("host")))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    register("moving_time_window",
+      s"""$EventsView
+         |SELECT eventId,
+         |       count(*) OVER w AS window_n,
+         |       min(metric) OVER w AS window_min,
+         |       max(metric) OVER w AS window_max
+         |FROM ev
+         |WINDOW w AS (PARTITION BY host ORDER BY time
+         |             RANGE BETWEEN 299999999999 PRECEDING AND CURRENT ROW)
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Analytics.movingTimeWindow(300, Seq("host")))
+        .select(col("eventId"),
+          size(col("events")).cast("long").as("window_n"),
+          array_min(transform(col("events"), _.getField("metric"))).as("window_min"),
+          array_max(transform(col("events"), _.getField("metric"))).as("window_max"))
+        .orderBy("eventId")
+    }
+
+    register("project",
+      s"""$EventsView
+         |SELECT
+         |  (SELECT eventId FROM ev WHERE service = 'error'
+         |   ORDER BY time DESC, eventId DESC LIMIT 1) AS error_id,
+         |  (SELECT eventId FROM ev WHERE metric > 150
+         |   ORDER BY time DESC, eventId DESC LIMIT 1) AS hot_id""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.project(Seq(Eq(Field("service"), "error"), Gt(Field("metric"), 150))))
+        .select(col("match_0")("eventId").as("error_id"), col("match_1")("eventId").as("hot_id"))
+    }
+
+    register("ssort",
+      s"""$EventsView
+         |SELECT eventId, metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.ssort(3600, "metric"))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
   }
 }

@@ -49,9 +49,12 @@ object Stateless {
     * Spark broadcasts (single-row cross join is a BroadcastNestedLoopJoin
     * over one row — constant cost at any scale).
     */
-  def notExpiredBatch(df: DataFrame): DataFrame = {
+  def notExpiredBatch(df: DataFrame): DataFrame = expiredBatch(df, keep = false)
+
+  def expiredBatch(df: DataFrame, keep: Boolean = true): DataFrame = {
     val clock = df.agg(max(col("time")).as("__clock"))
-    df.crossJoin(broadcast(clock)).filter(!expiredPredicate(col("__clock"))).drop("__clock")
+    val pred = expiredPredicate(col("__clock"))
+    df.crossJoin(broadcast(clock)).filter(if (keep) pred else !pred).drop("__clock")
   }
 
   /** `split` — first-matching-condition routing (`action.clj:1109-1161`).

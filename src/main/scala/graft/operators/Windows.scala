@@ -241,9 +241,23 @@ object Windows {
   def collMax(df: DataFrame): DataFrame = collPick(df, asc = false)
   def collMin(df: DataFrame): DataFrame = collPick(df, asc = true)
 
+  /** Columns to carry through a coll-aggregate: everything except the
+    * payload itself and anything shadowed by the payload's fields (group
+    * keys are also event fields — the payload's copy wins).
+    */
+  private def carriedCols(df: DataFrame): Seq[Column] = {
+    val eventFields = df.schema("events").dataType match {
+      case ArrayType(s: StructType, _) => s.fieldNames.toSet
+      case _ => Set.empty[String]
+    }
+    df.columns.filterNot(c => c == "events" || c == "event" || eventFields(c)).map(col).toSeq
+  }
+
   private def collPick(df: DataFrame, asc: Boolean): DataFrame = {
     val sorted = sortedByMetric(asc)
-    df.withColumn("event", element_at(sorted, 1)).drop("events").select(col("event.*"))
+    val carried = carriedCols(df)
+    df.withColumn("event", element_at(sorted, 1)).drop("events")
+      .select(carried :+ col("event.*"): _*)
   }
 
   private def sortedByMetric(asc: Boolean): Column =
@@ -301,10 +315,11 @@ object Windows {
         .when(a.getField("eventId") > b.getField("eventId"), -1)
         .when(a.getField("eventId") < b.getField("eventId"), 1)
         .otherwise(0)), 1)
+    val carried = carriedCols(df)
     df.withColumn("__m", metricExpr)
       .withColumn("event", latest)
       .drop("events")
-      .select(col("event.*"), col("__m"))
+      .select(carried ++ Seq(col("event.*"), col("__m")): _*)
       .drop("metric").withColumnRenamed("__m", "metric")
   }
 }

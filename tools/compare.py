@@ -47,6 +47,9 @@ def main(out_dir: str, sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     failed = []
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    for missing in sorted(set(oracles) - set(names)):
+        print(f"FAIL {missing}: declared oracle but no spark output written")
+        failed.append(missing)
     for name in names:
         spark_df = pd.read_parquet(os.path.join(out_dir, name))
         if name not in oracles:
