@@ -1,0 +1,195 @@
+package graft
+
+import graft.conditions.Condition._
+import graft.operators.{Analytics, Stateless, Windows}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator unit tests with literal event sequences, mirroring the
+  * reference's `test/mirabelle/action_test.clj` / `stream_test.clj`
+  * fixtures (FIXTURES.md §2).
+  */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("increment / decrement / scale") {
+    val df = events(ev(12, 1 * S, id = 1), ev(9, 2 * S, id = 2))
+    assert(Stateless.increment(df).select("metric").collect().map(_.getDouble(0)).sorted.toSeq == Seq(10.0, 13.0))
+    assert(Stateless.decrement(df).select("metric").collect().map(_.getDouble(0)).sorted.toSeq == Seq(8.0, 11.0))
+    assert(Stateless.scale(2)(df).select("metric").collect().map(_.getDouble(0)).sorted.toSeq == Seq(18.0, 24.0))
+  }
+
+  test("tag / untag / tagged-all") {
+    val df = events(ev(1, 1 * S, id = 1, tags = Seq("foo")))
+    assert(Stateless.tag(Seq("bar", "foo"))(df).select("tags").collect()
+      .head.getSeq[String](0) == Seq("foo", "bar"))
+    assert(Stateless.untag(Seq("foo"))(df).select("tags").collect()
+      .head.getSeq[String](0) == Seq.empty)
+    assert(Stateless.taggedAll(Seq("foo"))(df).count() == 1)
+    assert(Stateless.taggedAll(Seq("foo", "bar"))(df).count() == 0)
+  }
+
+  test("default only fills nulls") {
+    val df = events(ev(1, 1 * S, id = 1)).withColumn("description", lit(null).cast("string"))
+    assert(Stateless.default("description", "d")(df).select("description").collect().head.getString(0) == "d")
+    val df2 = events(ev(1, 1 * S, id = 1)).withColumn("description", lit("keep"))
+    assert(Stateless.default("description", "d")(df2).select("description").collect().head.getString(0) == "keep")
+  }
+
+  test("split routes to first matching branch with default") {
+    val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2), ev(5, 3 * S, id = 3))
+    val conds = Seq(Gt(Field("metric"), 150), Gt(Field("metric"), 50))
+    val routed = df.withColumn("b", Stateless.splitRoute(conds))
+      .select("eventId", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(routed == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("expired: state or ttl against stream clock (event.clj:12-19)") {
+    // clock = max time = 1000s; ttl 120s default
+    val df = events(ev(1, 1 * S, id = 1), ev(1, 950 * S, id = 2), ev(1, 1000 * S, id = 3))
+    assert(Stateless.notExpiredBatch(df).select("eventId").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(Stateless.expiredBatch(df).select("eventId").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("fixed-time-window groups by epoch-aligned event-time windows") {
+    val df = events(ev(1, 10 * S, id = 1), ev(2, 50 * S, id = 2), ev(3, 70 * S, id = 3))
+    val w = Windows.fixedTimeWindow(60)(df)
+      .select(col("window_start"), size(col("events")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(w == Map(0L -> 2, 60L * S -> 1))
+  }
+
+  test("sum/mean/rate windows set metric, keep latest event as base") {
+    val df = events(ev(10, 10 * S, id = 1, state = "a"), ev(20, 50 * S, id = 2, state = "b"))
+    val sum = Windows.sumWindow(60)(df).select("metric", "state").collect().head
+    assert(sum.getDouble(0) == 30.0 && sum.getString(1) == "b")
+    assert(Windows.meanWindow(60)(df).select("metric").collect().head.getDouble(0) == 15.0)
+    assert(Windows.rateWindow(60)(df).select("metric").collect().head.getDouble(0) == 2.0 / 60.0)
+  }
+
+  test("top/bottom pick the extreme event (ties: first by time,id)") {
+    val df = events(ev(5, 10 * S, id = 1), ev(9, 20 * S, id = 2), ev(9, 30 * S, id = 3), ev(2, 40 * S, id = 4))
+    assert(Windows.topWindow(60)(df).select("eventId").collect().head.getLong(0) == 3L)
+    assert(Windows.bottomWindow(60)(df).select("eventId").collect().head.getLong(0) == 4L)
+  }
+
+  test("ratio counts cond1/cond2 (action.clj:2975-3009)") {
+    val df = events(ev(1, 1 * S, state = "critical", id = 1), ev(1, 2 * S, id = 2),
+      ev(1, 3 * S, state = "critical", id = 3), ev(1, 4 * S, id = 4))
+    val r = Windows.ratioWindow(60, Eq(Field("state"), "critical"), AlwaysTrue)(df)
+      .select("metric").collect().head.getDouble(0)
+    assert(r == 0.5)
+  }
+
+  test("percentiles use the reference index formula min(n-1, floor(n*q))") {
+    // metrics 1..5: q=0.5 -> idx 2 -> 3.0 ; q=0.99 -> idx 4 -> 5.0 ; q=0 -> idx 0 -> 1.0
+    val df = events((1 to 5).map(i => ev(i.toDouble, i * S, id = i)): _*)
+    val m = Windows.percentiles(60, Seq(0.0, 0.5, 0.99))(df)
+      .select("quantile", "metric").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(m == Map(0.0 -> 1.0, 0.5 -> 3.0, 0.99 -> 5.0))
+  }
+
+  test("coll-count emits 0-style empty handling and coll ops fold in order") {
+    val df = events(ev(4, 10 * S, id = 1), ev(2, 20 * S, id = 2), ev(6, 30 * S, id = 3))
+    val w = Windows.fixedTimeWindow(60)(df)
+    assert(Windows.collCount(w).select("metric").collect().head.getDouble(0) == 3.0)
+    assert(Windows.collSum(w).select("metric").collect().head.getDouble(0) == 12.0)
+    assert(Windows.collMean(w).select("metric").collect().head.getDouble(0) == 4.0)
+    // quotient: first / rest sequentially = 4 / 2 / 6
+    assert(Windows.collQuotient(w).select("metric").collect().head.getDouble(0) == 4.0 / 2.0 / 6.0)
+    // max/min return the event itself
+    assert(Windows.collMax(w).select("eventId").collect().head.getLong(0) == 3L)
+    assert(Windows.collMin(w).select("eventId").collect().head.getLong(0) == 2L)
+  }
+
+  test("coll-rate = sum/interval-seconds (math.clj:80-106)") {
+    val df = events(ev(10, 10 * S, id = 1), ev(20, 40 * S, id = 2))
+    val r = Windows.collRate(Windows.fixedTimeWindow(60)(df)).select("metric").collect().head.getDouble(0)
+    assert(r == 30.0 / 30.0)
+  }
+
+  test("ddt: (m2-m1)/(t2-t1), skips zero dt, ddt-pos drops negatives (action.clj:1042-1083)") {
+    val df = events(ev(1, 1, id = 1), ev(10, 4, id = 2), ev(4, 6, id = 3))
+    val d = Analytics.ddt()(df).select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d == Map(2L -> 3.0, 3L -> -3.0))
+    val p = Analytics.ddtPos()(df).select("metric").collect().map(_.getDouble(0)).toSeq
+    assert(p == Seq(3.0))
+  }
+
+  test("ewma-timeless folds from 0 with ratio r (action.clj:1249-1276)") {
+    val df = events(ev(10, 1 * S, id = 1), ev(20, 2 * S, id = 2))
+    val m = Analytics.ewmaTimeless(0.5)(df).toDF().select("metric").collect().map(_.getDouble(0)).toSeq
+    assert(m == Seq(5.0, 12.5))
+  }
+
+  test("throttle: N per duration, window opens at first event (action.clj:1163-1217)") {
+    val df = events(ev(1, 1 * S, id = 1), ev(1, 2 * S, id = 2), ev(1, 3 * S, id = 3),
+      ev(1, 4 * S, id = 4), ev(1, 12 * S, id = 5))
+    val out = Analytics.throttle(2, 10)(df).toDF().select("eventId").collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(1L, 2L, 5L))
+  }
+
+  test("changed passes only transitions vs init (action.clj:1329-1375)") {
+    val df = events(ev(1, 1 * S, state = "ok", id = 1), ev(1, 2 * S, state = "critical", id = 2),
+      ev(1, 3 * S, state = "critical", id = 3), ev(1, 4 * S, state = "ok", id = 4))
+    val out = Analytics.changed("state", "ok")(df).select("eventId").collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(2L, 4L))
+  }
+
+  test("above-dt: condition must hold strictly longer than dt (action.clj:476-508)") {
+    // metric>5 run starts at t=10; dt=5s -> only events with time > 15 pass
+    val df = events(ev(10, 10 * S, id = 1), ev(10, 14 * S, id = 2), ev(10, 16 * S, id = 3),
+      ev(1, 20 * S, id = 4), ev(10, 21 * S, id = 5), ev(10, 40 * S, id = 6))
+    val out = Analytics.aboveDt(5, 5)(df).select("eventId").collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(3L, 6L))
+  }
+
+  test("stable: whole run emitted iff value constant past dt (action.clj:2053-2138)") {
+    val df = events(
+      ev(1, 1 * S, state = "ok", id = 1), ev(1, 3 * S, state = "ok", id = 2),
+      ev(1, 10 * S, state = "critical", id = 3), // flap: run dies at 12
+      ev(1, 12 * S, state = "ok", id = 4), ev(1, 30 * S, state = "ok", id = 5))
+    val out = Analytics.stable(5, "state")(df).select("eventId").collect().map(_.getLong(0)).toSeq.sorted
+    // run1 (ok, 1..3s) dies before dt; run2 (critical) single; run3 (ok, 12..30) stable
+    assert(out == Seq(4L, 5L))
+  }
+
+  test("smax re-emits running maximum") {
+    val df = events(ev(3, 1 * S, id = 1), ev(1, 2 * S, id = 2), ev(7, 3 * S, id = 3))
+    val out = Analytics.smax()(df).orderBy("time").select("metric").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(3.0, 3.0, 7.0))
+  }
+
+  test("moving-event-window emits last-N payload per event") {
+    val df = events(ev(1, 1 * S, id = 1), ev(2, 2 * S, id = 2), ev(3, 3 * S, id = 3))
+    val out = Analytics.movingEventWindow(2)(df).orderBy("time")
+      .select(size(col("events"))).collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 2, 2))
+  }
+
+  test("fixed-event-window: only complete windows of N emit (action.clj:233-262)") {
+    val df = events((1 to 7).map(i => ev(i.toDouble, i * S, id = i)): _*)
+    val out = Analytics.fixedEventWindow(3)(df)
+      .select(col("window_id"), size(col("events"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 3, 1L -> 3))
+  }
+
+  test("coalesce keeps latest non-expired event per key per tick") {
+    val df = events(
+      ev(1, 10 * S, host = "a", id = 1), ev(2, 20 * S, host = "a", id = 2),
+      ev(3, 15 * S, host = "b", id = 3))
+    val out = Windows.coalesceWindow(60, Seq("host"))(df)
+      .select("host", "eventId").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 3L))
+  }
+
+  test("project returns latest event per condition (action.clj:1377-1463)") {
+    val df = events(ev(200, 10 * S, id = 1), ev(1, 20 * S, state = "critical", id = 2),
+      ev(300, 15 * S, id = 3))
+    val r = Windows.project(Seq(Gt(Field("metric"), 100), Eq(Field("state"), "critical")))(df)
+      .select(col("match_0")("eventId"), col("match_1")("eventId")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+  }
+}
