@@ -68,6 +68,7 @@ object Queries {
     buildTransforms2()
     buildCollections()
     buildAnalytics2()
+    QueriesPipeline.registerAll((n, o) => q => register(n, o)(q))
 
     // ---------------- §2.2 filters ----------------
 

@@ -1,0 +1,311 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries for the LLM-training-data pipeline operators
+  * (dedup / similarity / text analysis / multimodal) over the
+  * `documents` and `embeddings` tables.
+  *
+  * The DuckDB oracles replicate each hash/fold bit-for-bit: polynomial
+  * string hash = identical integer fold; cosine = identical left fold in
+  * index order; so even MinHash-LSH candidate pairs hash-match.
+  */
+object QueriesPipeline {
+
+  /** Shared DuckDB token view (mirrors [[Text.tokens]]). */
+  private val DocsView =
+    """WITH docs AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     t -> len(t) > 0) AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB polynomial hash over a string expression (mirrors
+    * [[Text.polyHash]]): fold of acc*31+codepoint mod 1e9+7.
+    */
+  private def sqlPolyHash(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB bigram shingles from a token-list expression (mirrors
+    * [[Text.bigramShingles]]).
+    */
+  private def sqlShingles(toks: String): String =
+    s"""list_filter(list_transform(list_zip($toks, $toks[2:]),
+       |  z -> z[1] || ' ' || z[2]), x -> x IS NOT NULL)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB cosine similarity between two float-list expressions (mirrors
+    * [[Similarity.cosine]]'s index-order fold).
+    */
+  private def sqlCosine(a: String, b: String): String = {
+    def fold(l: String) = s"list_reduce(list_prepend(0.0, $l), (acc, x) -> acc + x)"
+    val dot = fold(s"list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))")
+    val na = fold(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val nb = fold(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
+
+    def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+    def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+    // ---------------- text analysis ----------------
+
+    register("text_tokens",
+      s"""$DocsView
+         |SELECT doc_id, len(toks) AS n_tokens FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }
+
+    register("text_fingerprint",
+      s"""$DocsView
+         |SELECT doc_id,
+         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+
+    locally {
+      val scoreCols = Text.LangStopwords.map { case (lang, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($arr, w -> list_contains(toks, w))) AS s_$lang"
+      }.mkString(",\n         ")
+      val langs = Text.LangStopwords.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      register("text_langid",
+        s"""$DocsView
+           |, scored AS (
+           |  SELECT doc_id,
+           |         $scoreCols
+           |  FROM docs)
+           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        docs(s, dir).select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id")
+      }
+    }
+
+    register("text_quality",
+      s"""$DocsView
+         |SELECT doc_id,
+         |       least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+         |       (CASE WHEN len(toks) > 0
+         |             AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                   list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+         |                   (a, x) -> a + x) AS DOUBLE) / len(toks) BETWEEN 3 AND 8
+         |             THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |       (CASE WHEN len(toks) > 0
+         |             THEN least(CAST(len(toks) AS DOUBLE) / 40.0, 1.0)
+         |             ELSE 0.0 END) * 0.3 AS quality
+         |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }
+
+    // ---------------- dedup ----------------
+
+    // exact dedup over a corpus with synthetic exact duplicates
+    register("dedup_exact",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exact(corpus, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    }
+
+    // fingerprint dedup: reversed-token variants collapse onto originals
+    register("dedup_fingerprint",
+      s"""$DocsView
+         |, corpus AS (
+         |  SELECT doc_id, text FROM docs
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         array_to_string(list_reverse(toks), ' ') AS text
+         |  FROM docs)
+         |, fp AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_sort(list_distinct(
+         |           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                       t -> len(t) > 0))), ' ')) AS f
+         |  FROM corpus)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+         |  FROM fp) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val reversed = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", reverse(Text.tokens(col("text")))).as("text"))
+      Dedup.byFingerprint(d.unionAll(reversed), "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }
+
+    locally {
+      val k = 8
+      val p = 1000000007L
+      val mins = (0 until k).map { j =>
+        val a = 2L * j + 1
+        val b = 7919L * j + 13
+        s"list_min(list_transform(hh, h -> ($a * h + $b) % $p)) AS m$j"
+      }.mkString(",\n         ")
+      val bandSelects = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val lshPrefix =
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM docs),
+           |hh AS (
+           |  SELECT doc_id, list_transform(shingles, s -> ${sqlPolyHash("s")}) AS hh FROM sh),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM hh),
+           |buckets AS (
+           |  $bandSelects)""".stripMargin
+
+      register("dedup_minhash_lsh",
+        s"""$lshPrefix
+           |SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |FROM buckets l JOIN buckets r
+           |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2)
+          .orderBy("id1", "id2")
+      }
+
+      register("dedup_ngram_jaccard",
+        s"""$lshPrefix,
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
+           |SELECT p.id1, p.id2,
+           |       CAST(len(list_filter(s1.ss, x -> list_contains(s2.ss, x))) AS DOUBLE) /
+           |       (len(s1.ss) + len(s2.ss) - len(list_filter(s1.ss, x -> list_contains(s2.ss, x)))) AS jaccard
+           |FROM pairs p
+           |JOIN sets s1 ON s1.doc_id = p.id1
+           |JOIN sets s2 ON s2.doc_id = p.id2
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.ngramJaccard(d, pairs, "text", "doc_id")
+          .select("id1", "id2", "jaccard").orderBy("id1", "id2")
+      }
+    }
+
+    locally {
+      val votes = (0 until 32).map { b =>
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(hh, h -> ((h >> $b) % 2) * 2 - 1)), (a, x) -> a + x) > 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" +\n       ")
+      register("dedup_simhash",
+        s"""$DocsView
+           |, hh AS (
+           |  SELECT doc_id, list_transform(toks, t -> ${sqlPolyHash("t")}) AS hh FROM docs)
+           |SELECT doc_id,
+           |       $votes AS simhash
+           |FROM hh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Dedup.simhash(docs(s, dir), "text")
+          .select("doc_id", "simhash").orderBy("doc_id")
+      }
+    }
+
+    // ---------------- similarity / ANN ----------------
+
+    register("embedding_near_dup",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+         |SELECT l.vec_id AS id1, r.vec_id AS id2,
+         |       ${sqlCosine("l.embedding", "r.embedding")} AS cosine
+         |FROM e l JOIN e r ON l.vec_id < r.vec_id
+         |WHERE ${sqlCosine("l.embedding", "r.embedding")} > 0.8
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", 0.8)
+        .orderBy("id1", "id2")
+    }
+
+    register("ann_topk",
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |         ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+         |  FROM q JOIN c ON c.vec_id != q.vec_id)
+         |SELECT query_id, rank, nn_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, nn_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    }
+
+    locally {
+      val bucketTerms = (1 to 16).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+      register("ann_bucketed_topk",
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings),
+           |q AS (SELECT * FROM e WHERE vec_id < 50),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           |         ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+           |  FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+           |SELECT query_id, rank, nn_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY cosine DESC, nn_id ASC) AS rank
+           |  FROM scored) WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        Similarity.bucketedTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 3)
+          .orderBy("query_id", "rank")
+      }
+    }
+
+    // ---------------- multimodal plumbing ----------------
+
+    register("media_decode",
+      s"""SELECT doc_id AS media_id,
+         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       16 + (ascii(substr(text, 1, 1)) % 64) * 16 AS width,
+         |       16 + (octet_length(encode(text)) % 64) * 16 AS height,
+         |       CAST(octet_length(encode(text)) AS BIGINT) * 20 AS duration_ms
+         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decode(Multimodal.synthesize(docs(s, dir), "doc_id", "text", "source"))
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("duration_ms"))
+        .orderBy("media_id")
+    }
+
+    register("media_frame_sample",
+      s"""SELECT doc_id AS media_id, f.frame_no,
+         |       f.frame_no * 32 AS byte_offset
+         |FROM documents,
+         |     (SELECT unnest(range(0, 1000)) AS frame_no) f
+         |WHERE f.frame_no <= (octet_length(encode(text)) - 1) // 32
+         |ORDER BY media_id, frame_no""".stripMargin) { (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.synthesize(docs(s, dir), "doc_id", "text", "source"), 32)
+        .orderBy("media_id", "frame_no")
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language-ID, quality scoring, token counting and document
+  * fingerprinting. All pure `Column` algebra — codegen'd, no UDFs — so
+  * they pipeline into scans and cost one pass at any scale.
+  *
+  * Hash discipline: [[polyHash]] is a cross-engine-reproducible polynomial
+  * hash (the DuckDB oracle computes the identical fold); production paths
+  * that don't need oracle parity should prefer the codegen'd `xxhash64`.
+  */
+object Text {
+
+  /** Lowercase word tokens (alnum runs). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Deterministic polynomial string hash: fold of `acc*31 + codepoint`
+    * mod 1e9+7. Reproducible in any engine with a list fold.
+    */
+  def polyHash(c: Column): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
+
+  /** Word n-gram shingles (n=2): null-padded zip of the token array with
+    * its own tail, nulls filtered.
+    */
+  def bigramShingles(toks: Column): Column =
+    filter(
+      zip_with(toks,
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+
+  /** Document fingerprint: md5 over the sorted distinct token set — the
+    * classic key-collapsing fingerprint (same token multiset order-free).
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** Stopword sets used by the language-ID heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*))).cast("long")
+
+  /** n-gram/stopword language-ID heuristic: score = distinct stopword hits
+    * per language, argmax with fixed precedence order, `und` (undetermined)
+    * when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangStopwords.map { case (lang, ws) => lang -> stopwordHits(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: blend of length band, mean token length band
+    * and alpha ratio. Deterministic double arithmetic (identical fold in
+    * the oracle).
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val toks = tokens(c)
+    val nToks = size(toks).cast("double")
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks).otherwise(lit(0.0))
+    val lengthScore = least(nChars / lit(200.0), lit(1.0))
+    val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 8, lit(1.0)).otherwise(lit(0.5))
+    val densityScore = when(nToks > 0, least(nToks / lit(40.0), lit(1.0))).otherwise(lit(0.0))
+    (lengthScore * lit(0.4) + tokLenScore * lit(0.3) + densityScore * lit(0.3))
+  }
+}

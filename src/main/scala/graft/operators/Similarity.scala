@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — queries are broadcast, similarity
+  * is a codegen'd higher-order fold per row, top-k is one shuffle on the
+  * query id (`row_number` window). Scale path: sign-bucket (random
+  * hyperplane flavored) LSH — each vector lands in a small bucket keyed
+  * by the sign pattern of leading dimensions; probing joins only bucket
+  * peers, trading recall for a corpus-size-independent candidate set.
+  */
+object Similarity {
+
+  /** Cosine similarity as a deterministic left fold in index order (the
+    * DuckDB oracle folds identically, so doubles match bit-for-bit).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(products: Column): Column =
+      aggregate(products, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself), ties broken by id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /** Sign-pattern bucket key over the first `bits` dimensions: the cheap,
+    * deterministic stand-in for random-hyperplane LSH (dimensions of a
+    * learned embedding are already mixed). Vectors in the same bucket are
+    * near-duplicate candidates.
+    */
+  def signBucket(vec: Column, bits: Int = 16): Column =
+    (1 to bits).map { i =>
+      when(element_at(vec, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: probe only the query's sign bucket. One shuffle
+    * on the bucket key regardless of corpus size.
+    */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, bits: Int = 16): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    val scored = c.join(q, "__bucket")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
+  }
+}
