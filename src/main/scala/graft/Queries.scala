@@ -69,6 +69,7 @@ object Queries {
     buildCollections()
     buildAnalytics2()
     QueriesPipeline.registerAll((n, o) => q => register(n, o)(q))
+    QueriesRelational.registerAll((n, o) => q => register(n, o)(q))
 
     // ---------------- §2.2 filters ----------------
 
