@@ -15,7 +15,9 @@ object Bench {
     "parts_by_type_revenue", "order_priority_counts", "sessionize",
     "sum_window", "by_sum", "percentiles", "coalesce_window",
     "ddt", "ewma", "throttle", "moving_event_window",
-    "dedup_minhash_lsh", "dedup_simhash", "text_quality", "ann_topk")
+    "dedup_minhash_lsh", "dedup_minhash_lsh_xx", "dedup_simhash",
+    "text_quality", "ann_topk", "ann_bucketed_topk",
+    "embedding_near_dup_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,15 +31,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += name; false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // failed queries report negative time so they can't masquerade as
+      // fast successes in the emitted JSON
+      name -> (if (ok) secs else -secs)
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,6 +71,16 @@ object Queries {
     QueriesPipeline.registerAll((n, o) => q => register(n, o)(q))
     QueriesRelational.registerAll((n, o) => q => register(n, o)(q))
 
+    // production-hash MinHash-LSH (xxhash64, not cross-engine reproducible
+    // → rows-only gate): the throughput path a real pipeline would run
+    registerRowsOnly("dedup_minhash_lsh_xx") { (s, dir) =>
+      graft.operators.Dedup.lshCandidates(
+        graft.sources.Tables.documents(s, dir), "text", "doc_id",
+        k = 8, rowsPerBand = 2,
+        hashFn = c => pmod(xxhash64(c), lit(1000000007L)))
+        .orderBy("id1", "id2")
+    }
+
     // ---------------- §2.2 filters ----------------
 
     register("where",
@@ -135,6 +145,12 @@ object Queries {
       ev(s, dir).transform(Stateless.increment).select(col("eventId"), col("metric")).orderBy("eventId")
     }
 
+    register("decrement",
+      s"""$EventsView
+         |SELECT eventId, metric - 1 AS metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.decrement).select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
     register("scale",
       s"""$EventsView
          |SELECT eventId, metric * 2.5 AS metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
@@ -148,12 +164,19 @@ object Queries {
         .select(col("eventId"), col("name"), col("state")).orderBy("eventId")
     }
 
+    // the input column is null for a data-dependent subset of rows, so the
+    // oracle genuinely exercises both the fill and the keep branch
     register("default",
       s"""$EventsView
-         |SELECT eventId, COALESCE(NULL, 'none') AS description2 FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
-      ev(s, dir).withColumn("description2", lit(null).cast("string"))
-        .transform(Stateless.default("description2", "none"))
-        .select(col("eventId"), col("description2")).orderBy("eventId")
+         |SELECT eventId,
+         |       COALESCE(CASE WHEN metric > 100 THEN NULL ELSE service END,
+         |                'none') AS maybe
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .withColumn("maybe",
+          when(col("metric") > 100, lit(null).cast("string")).otherwise(col("service")))
+        .transform(Stateless.default("maybe", "none"))
+        .select(col("eventId"), col("maybe")).orderBy("eventId")
     }
 
     register("sformat",
@@ -217,7 +240,7 @@ object Queries {
     register("fixed_time_window",
       s"""$EventsView
          |SELECT $winSql AS window_start, count(*) AS n,
-         |       max(eventId) AS last_id
+         |       last(eventId ORDER BY time, eventId) AS last_id
          |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
       ev(s, dir).transform(Windows.fixedTimeWindow(3600))
         .select(col("window_start"), size(col("events")).cast("long").as("n"),
@@ -403,8 +426,9 @@ object Queries {
 
     register("fixed_event_window",
       s"""$EventsView
-         |SELECT host, window_id, count(*) AS n, max(eventId) AS last_id FROM (
-         |  SELECT host, eventId,
+         |SELECT host, window_id, count(*) AS n,
+         |       last(eventId ORDER BY time, eventId) AS last_id FROM (
+         |  SELECT host, eventId, time,
          |         (row_number() OVER (PARTITION BY host ORDER BY time, eventId) - 1) // 10 AS window_id
          |  FROM ev)
          |GROUP BY host, window_id HAVING count(*) = 10
@@ -499,11 +523,19 @@ object Queries {
   // ---------------- remaining §2.3 transforms + §2.4 ----------------
   private def buildTransforms2(): Unit = {
 
+    // a second, data-dependent attribute is injected before the dissoc: the
+    // oracle then checks the dropped key is gone AND the sibling survived —
+    // a map_filter that wiped the whole map would mismatch on `extra`.
     register("sdissoc",
       s"""$EventsView
-         |SELECT eventId, CAST(NULL AS VARCHAR) AS k FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
-      ev(s, dir).transform(Stateless.sdissoc(Seq("description", "attributes.k")))
-        .select(col("eventId"), col("attributes")("k").as("k"))
+         |SELECT eventId, CAST(NULL AS VARCHAR) AS k, service AS extra
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .withColumn("attributes",
+          map_concat(col("attributes"), map(lit("extra"), col("service"))))
+        .transform(Stateless.sdissoc(Seq("description", "attributes.k")))
+        .select(col("eventId"), col("attributes")("k").as("k"),
+          col("attributes")("extra").as("extra"))
         .orderBy("eventId")
     }
 
@@ -863,11 +895,20 @@ object Queries {
         .select(col("match_0")("eventId").as("error_id"), col("match_1")("eventId").as("hot_id"))
     }
 
+    // the oracle pins the EMITTED order (per-window position under
+    // (metric, eventId)), not just the row set — a broken sort would fail
     register("ssort",
       s"""$EventsView
-         |SELECT eventId, metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
-      ev(s, dir).transform(Windows.ssort(3600, "metric"))
-        .select(col("eventId"), col("metric")).orderBy("eventId")
+         |SELECT window_start, pos, eventId, metric FROM (
+         |  SELECT (time // 3600000000000) * 3600000000000 AS window_start,
+         |         eventId, metric,
+         |         row_number() OVER (PARTITION BY (time // 3600000000000)
+         |                            ORDER BY metric, eventId) - 1 AS pos
+         |  FROM ev) ORDER BY window_start, pos""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Windows.ssort(3600, "metric", emitPos = true))
+        .select(col("window_start"), col("pos").cast("long").as("pos"),
+          col("eventId"), col("metric"))
+        .orderBy("window_start", "pos")
     }
   }
 }

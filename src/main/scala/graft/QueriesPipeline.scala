@@ -33,6 +33,21 @@ object QueriesPipeline {
        |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin.replace("\n", " ")
 
+  /** DuckDB mirror of [[Text.md5Hash64]]: first 15 md5 hex chars folded to
+    * an integer (hex digit value via ascii arithmetic — slow here is fine,
+    * the oracle's speed is irrelevant).
+    */
+  private def sqlMd5Hash64(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(substr(md5($s), 1, 15), ''),
+       |    c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+       |                   ELSE ascii(c) - 48 END AS BIGINT))),
+       |  (a, x) -> a * 16 + x)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Text.md5HashMod]]. */
+  private def sqlMd5HashMod(s: String): String =
+    s"(${sqlMd5Hash64(s)} % 1000000007)"
+
   /** DuckDB bigram shingles from a token-list expression (mirrors
     * [[Text.bigramShingles]]).
     */
@@ -169,7 +184,7 @@ object QueriesPipeline {
            |, sh AS (
            |  SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM docs),
            |hh AS (
-           |  SELECT doc_id, list_transform(shingles, s -> ${sqlPolyHash("s")}) AS hh FROM sh),
+           |  SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
            |sigs AS (
            |  SELECT doc_id,
            |         $mins
@@ -217,7 +232,7 @@ object QueriesPipeline {
       register("dedup_simhash",
         s"""$DocsView
            |, hh AS (
-           |  SELECT doc_id, list_transform(toks, t -> ${sqlPolyHash("t")}) AS hh FROM docs)
+           |  SELECT doc_id, list_transform(toks, t -> ${sqlMd5Hash64("t")}) AS hh FROM docs)
            |SELECT doc_id,
            |       $votes AS simhash
            |FROM hh ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -237,6 +252,24 @@ object QueriesPipeline {
          |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", 0.8)
         .orderBy("id1", "id2")
+    }
+
+    // the 100 TB-safe variant: pairs only within sign buckets — the gated
+    // plan contains no all-pairs join
+    locally {
+      val bucketTerms = (1 to 16).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+      register("embedding_near_dup_bucketed",
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings)
+           |SELECT l.vec_id AS id1, r.vec_id AS id2,
+           |       ${sqlCosine("l.embedding", "r.embedding")} AS cosine
+           |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+           |WHERE ${sqlCosine("l.embedding", "r.embedding")} > 0.7
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        Dedup.embeddingNearDupBucketed(emb(s, dir), "vec_id", "embedding", 0.7)
+          .orderBy("id1", "id2")
+      }
     }
 
     register("ann_topk",

@@ -63,7 +63,10 @@ object Condition {
     case Lt(f, v)       => f.column < lit(v)
     case Lte(f, v)      => f.column <= lit(v)
     case Eq(f, v)       => f.column === lit(v)
-    case NotEq(f, v)    => !(f.column === lit(v))
+    // null-safe: the reference's not= (Clojure `not=`, condition.clj:22)
+    // returns true when the field is nil and the literal isn't — plain
+    // !(=== ) would yield NULL and silently drop those events.
+    case NotEq(f, v)    => !(f.column <=> lit(v))
     case Pos(f)         => f.column > lit(0)
     case Neg(f)         => f.column < lit(0)
     case Zero(f)        => f.column === lit(0)
@@ -77,11 +80,10 @@ object Condition {
     case Or(cs)         => cs.map(compile).reduceLeft(_ || _)
   }
 
-  private def anchored(p: String): String = {
-    val pre = if (p.startsWith("^")) "" else "^"
-    val post = if (p.endsWith("$")) "" else "$"
-    pre + p + post
-  }
+  // Full-string semantics like the reference's `re-matches`
+  // (condition.clj:19). The non-capturing group is load-bearing:
+  // "^a|b$" would mean (^a)|(b$), not ^(a|b)$.
+  private def anchored(p: String): String = "^(?:" + p + ")$"
 
   /** Parse the serialized vector form used by the IR, mirroring the
     * reference's EDN shape (`condition.clj:30-48`):

@@ -21,13 +21,28 @@ object Text {
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
   /** Deterministic polynomial string hash: fold of `acc*31 + codepoint`
-    * mod 1e9+7. Reproducible in any engine with a list fold.
+    * mod 1e9+7. Reproducible in any engine with a list fold — but it
+    * materializes one single-char string per character; use [[md5Hash64]]
+    * on hot paths.
     */
   def polyHash(c: Column): Column =
     aggregate(
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
+
+  /** Fast deterministic 60-bit hash: the first 15 hex chars of md5,
+    * parsed as an integer. One codegen'd md5 call per string — no
+    * per-character arrays — and still engine-portable: any engine with
+    * md5 can fold the hex prefix to the identical integer.
+    */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[md5Hash64]] reduced mod 1e9+7 — drop-in for [[polyHash]] where the
+    * downstream does modular permutation arithmetic (MinHash).
+    */
+  def md5HashMod(c: Column): Column = md5Hash64(c) % lit(1000000007L)
 
   /** Word n-gram shingles (n=2): null-padded zip of the token array with
     * its own tail, nulls filtered.

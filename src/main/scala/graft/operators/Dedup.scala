@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *    signature (optionally on rotated halves for 1-bit tolerance);
   *  - n-gram Jaccard: exact verification on LSH candidates only.
   *
-  * Deterministic [[Text.polyHash]] keeps the DuckDB oracle bit-identical;
-  * swap `hashFn` for `xxhash64` when parity is not required.
+  * Deterministic [[Text.md5Hash64]]/[[Text.md5HashMod]] keeps the DuckDB
+  * oracle bit-identical at one codegen'd md5 per string; swap `hashFn` for
+  * `xxhash64` when cross-engine parity is not required at all.
   */
 object Dedup {
 
@@ -40,7 +41,7 @@ object Dedup {
     * shingle hashes; appended as `minhash` array column.
     */
   def minhashSignature(df: DataFrame, textCol: String, k: Int = 8,
-                       hashFn: Column => Column = Text.polyHash): DataFrame = {
+                       hashFn: Column => Column = Text.md5HashMod): DataFrame = {
     val p = 1000000007L
     val shingleHashes = transform(Text.bigramShingles(Text.tokens(col(textCol))), s => hashFn(s))
     val sig = array((0 until k).map { j =>
@@ -56,29 +57,51 @@ object Dedup {
     * shuffle is on the bucket key, so cost tracks bucket skew, not n².
     * Returns distinct (id1, id2) with id1 < id2.
     */
+  /** MinHash signatures via the distributed shape: explode shingles to
+    * rows, hash each shingle EXACTLY ONCE, then k cheap arithmetic `min`
+    * aggregates with map-side partial combine. The per-row array-fold
+    * variant ([[minhashSignature]]) re-evaluates the whole
+    * tokenize→shingle→hash lambda chain once per permutation — higher-order
+    * lambdas are not common-subexpression-eliminated. Shuffle volume here
+    * is only the (id, k mins) partials, and the explode never amplifies
+    * shuffled data (it sits between the scan and the partial aggregate).
+    */
+  def minhashSigTable(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 8,
+                      hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val p = 1000000007L
+    val hashed = df
+      .select(col(idCol).as("__id"),
+        explode(Text.bigramShingles(Text.tokens(col(textCol)))).as("__s"))
+      .withColumn("__h", hashFn(col("__s")))
+    val aggs = (0 until k).map { j =>
+      val a = 2L * j + 1
+      val b = 7919L * j + 13
+      min((lit(a) * col("__h") + lit(b)) % lit(p)).as(s"m$j")
+    }
+    // docs with <2 tokens have no shingles → dropped by the explode, which
+    // also keeps them out of a degenerate all-colliding bucket
+    hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+  }
+
   def lshCandidates(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, rowsPerBand: Int = 2,
-                    hashFn: Column => Column = Text.polyHash): DataFrame = {
+                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
     val bands = k / rowsPerBand
-    // Materialize the signature table: it is tiny (rows × k longs) while
-    // the hashing pipeline behind it is the expensive part — without the
-    // persist, Catalyst's projection collapsing would recompute every
-    // shingle hash once per permutation AND once per self-join side
-    // (measured 16× at sf0.1).
-    val withSig = minhashSignature(df, textCol, k, hashFn)
-      .select(col(idCol).as("__id"), col("minhash"))
-      // docs with <2 tokens have no shingles → null signature; without
-      // this guard they would all collide in one degenerate bucket
-      .filter(element_at(col("minhash"), 1).isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSig.select(
+    val banded = minhashSigTable(df, textCol, idCol, k, hashFn).select(
       col("__id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
-            element_at(col("minhash"), b * rowsPerBand + r + 1)): _*).as("sig"))
+            col(s"m${b * rowsPerBand + r}")): _*).as("sig"))
       }: _*)).as("bucket"))
       .select(col("__id"), col("bucket.band"), col("bucket.sig"))
+      // the banded bucket table is tiny (bands rows × ~20 bytes per doc)
+      // and feeds both sides of the self-join: materialize it once
+      // (eagerly) instead of running the hash pipeline twice; blocks are
+      // reclaimed by the ContextCleaner when the plan is unreferenced
+      // (persist() leaked them for the session lifetime).
+      .localCheckpoint(true)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -110,7 +133,7 @@ object Dedup {
     * the sum of ±1 votes from each token's bit b is positive.
     */
   def simhash(df: DataFrame, textCol: String,
-              hashFn: Column => Column = Text.polyHash): DataFrame = {
+              hashFn: Column => Column = Text.md5Hash64): DataFrame = {
     val hashes = transform(Text.tokens(col(textCol)), t => hashFn(t))
     val sig = (0 until 32).map { b =>
       val vote = aggregate(hashes, lit(0L),
@@ -120,15 +143,35 @@ object Dedup {
     df.withColumn("simhash", sig)
   }
 
-  /** Embedding near-duplicates: cosine similarity above a threshold.
-    * Brute-force within LSH-style sign buckets (see [[Similarity]]) —
-    * here exposed directly for corpora that fit a broadcast self-join.
+  /** Embedding near-duplicates, ALL-PAIRS — O(n²) self-join. This is the
+    * small-corpus escape hatch only (exhaustive recall on corpora that fit
+    * a broadcast); the scale path is [[embeddingNearDupBucketed]].
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     val l = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val r = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     l.join(r, col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") > threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Embedding near-duplicates at scale: both sides bucket on the
+    * sign-pattern key ([[Similarity.signBucket]]) and pairs are generated
+    * only within buckets — one shuffle on the bucket key, candidate count
+    * independent of corpus size (near-dups at cosine > ~0.7 almost always
+    * share the leading-dimension sign pattern). Trade: recall < 1 near the
+    * bucket boundary, like any LSH.
+    */
+  def embeddingNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, bits: Int = 16): DataFrame = {
+    val withB = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.signBucket(col(vecCol), bits).as("__bucket"))
+    val l = withB.select(col("__id").as("id1"), col("__v").as("v1"), col("__bucket"))
+    val r = withB.select(col("__id").as("id2"), col("__v").as("v2"), col("__bucket"))
+    l.join(r, "__bucket")
+      .filter(col("id1") < col("id2"))
       .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
       .filter(col("cosine") > threshold)
       .select(col("id1"), col("id2"), col("cosine"))

@@ -129,16 +129,22 @@ object Windows {
     * (`action.clj:2641-2691`). One shuffle; the sort happens inside each
     * window's array, not as a global sort.
     */
-  def ssort(durationSeconds: Long, field: String, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+  def ssort(durationSeconds: Long, field: String, keys: Seq[String] = Nil,
+            emitPos: Boolean = false)(df: DataFrame): DataFrame = {
     val cols = df.columns
     val sortKey = struct(col(field), col("eventId"))
-    withWindow(df, durationSeconds)
+    val sorted = withWindow(df, durationSeconds)
       .groupBy((col("window_start") +: keys.map(col)): _*)
       .agg(array_sort(
         collect_list(struct(sortKey.as("__k"), struct(cols.map(col): _*).as("__e"))),
         (a, b) => keyCompare(a.getField("__k"), b.getField("__k"))).as("sorted"))
-      .select(explode(col("sorted.__e")).as("event"))
-      .select(col("event.*"))
+    // emitPos surfaces the emission index so tests can assert the one thing
+    // ssort adds over its input: the per-window emitted order.
+    if (emitPos)
+      sorted.select(col("window_start"), posexplode(col("sorted.__e")).as(Seq("pos", "event")))
+        .select(col("window_start"), col("pos"), col("event.*"))
+    else
+      sorted.select(explode(col("sorted.__e")).as("event")).select(col("event.*"))
   }
 
   /** `coalesce` — every duration, emit the latest non-expired event per
