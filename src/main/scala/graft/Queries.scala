@@ -70,6 +70,7 @@ object Queries {
     buildAnalytics2()
     QueriesPipeline.registerAll((n, o) => q => register(n, o)(q))
     QueriesRelational.registerAll((n, o) => q => register(n, o)(q))
+    QueriesIr.registerAll((n, o) => q => register(n, o)(q))
 
     // production-hash MinHash-LSH (xxhash64, not cross-engine reproducible
     // → rows-only gate): the throughput path a real pipeline would run

@@ -1,0 +1,208 @@
+package graft
+
+import graft.ir.{Engine, EngineCtx, Node, StreamRegistry}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries exercising the IR interpreter (`graft.ir.Engine`):
+  * each pipeline here is DECLARED AS DATA (JSON IR), interpreted into a
+  * DataFrame plan, and must hash-match the same DuckDB oracles as the
+  * hand-written operator queries — proving the engine layer adds no
+  * semantic drift and no plan overhead (interpretation happens once per
+  * query; Catalyst sees the same plan it would from hand-written code).
+  */
+object QueriesIr {
+
+  private val Ev = Queries.EventsView
+  private val winSql = "(time // 3600000000000) * 3600000000000"
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private def tapOf(node: Node, df: DataFrame, tap: String = "out"): DataFrame =
+    Engine.run(node, df, EngineCtx(testMode = true)).taps(tap)
+
+  def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
+
+    // where + condition language through the IR
+    register("ir_where",
+      s"""$Ev
+         |SELECT eventId, host, service, metric FROM ev
+         |WHERE service = 'error' AND metric > 100
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"where",
+          | "params":[["and", ["=","service","error"], [">","metric",100]]],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      tapOf(node, ev(s, dir))
+        .select(col("eventId"), col("host"), col("service"), col("metric"))
+        .orderBy("eventId")
+    }
+
+    // by-subtree key injection (stream.clj:38-44): keys thread into the window
+    register("ir_by_rate",
+      s"""$Ev
+         |SELECT host, $winSql AS window_start,
+         |       CAST(count(*) AS DOUBLE) / 3600.0 AS metric
+         |FROM ev GROUP BY 1, 2 ORDER BY host, window_start""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"by","params":[["host"]],"children":[
+          |  {"action":"rate","params":[{"duration":3600}],
+          |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+      tapOf(node, ev(s, dir))
+        .select(col("host"), col("window_start"), col("metric"))
+        .orderBy("host", "window_start")
+    }
+
+    // split: one tap per branch, first-matching-condition routing
+    register("ir_split",
+      s"""$Ev
+         |SELECT eventId,
+         |       CASE WHEN metric > 150 THEN 0 WHEN metric > 50 THEN 1 ELSE 2 END AS branch
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"split",
+          | "params":[[">","metric",150], [">","metric",50]],
+          | "children":[
+          |   {"action":"tap","params":["b0"]},
+          |   {"action":"tap","params":["b1"]},
+          |   {"action":"tap","params":["b2"]}]}""".stripMargin)
+      val res = Engine.run(node, ev(s, dir), EngineCtx(testMode = true))
+      (0 to 2).map { i =>
+        res.taps(s"b$i").select(col("eventId"), lit(i).cast("int").as("branch"))
+      }.reduce(_ unionAll _).orderBy("eventId")
+    }
+
+    // the flagship pipeline (SURVEY §7.2) as IR
+    register("ir_alert_count",
+      s"""$Ev
+         |SELECT $winSql AS window_start, CAST(count(*) AS DOUBLE) AS metric,
+         |       'critical' AS state
+         |FROM ev WHERE metric > 100 GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"where","params":[[">","metric",100]],"children":[
+          |  {"action":"fixed-time-window","params":[{"duration":3600}],"children":[
+          |    {"action":"coll-count","children":[
+          |      {"action":"with","params":[{"state":"critical"}],"children":[
+          |        {"action":"tap","params":["out"]}]}]}]}]}""".stripMargin)
+      tapOf(node, ev(s, dir))
+        .select(col("window_start"), col("metric"), col("state"))
+        .orderBy("window_start")
+    }
+
+    // percentile alerting (the reference's dev/resources/tests/test1.edn
+    // scenario shape): window percentiles → threshold → critical
+    register("ir_percentile_alert",
+      s"""$Ev
+         |, w AS (
+         |  SELECT $winSql AS window_start, list_sort(list(metric)) AS sorted
+         |  FROM ev GROUP BY 1)
+         |SELECT window_start, q.quantile,
+         |       sorted[CAST(least(len(sorted) - 1,
+         |                         floor(len(sorted) * q.quantile)) AS INT) + 1] AS metric,
+         |       'critical' AS state
+         |FROM w, (SELECT unnest([0.5, 0.99]) AS quantile) q
+         |WHERE sorted[CAST(least(len(sorted) - 1,
+         |                        floor(len(sorted) * q.quantile)) AS INT) + 1] > 150
+         |ORDER BY window_start, quantile""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"percentiles","params":[{"duration":3600,"quantiles":[0.5,0.99]}],
+          | "children":[
+          |  {"action":"where","params":[[">","metric",150]],"children":[
+          |    {"action":"with","params":[{"state":"critical"}],"children":[
+          |      {"action":"tap","params":["out"]}]}]}]}""".stripMargin)
+      tapOf(node, ev(s, dir))
+        .select(col("window_start"), col("quantile"), col("metric"), col("state"))
+        .orderBy("window_start", "quantile")
+    }
+
+    // exception-stream: malformed from-json rows route to the error child
+    register("ir_exception_stream",
+      s"""$Ev
+         |SELECT eventId,
+         |       CASE WHEN metric > 150 THEN 'error' ELSE 'ok' END AS branch
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"from-json","params":["description"],"children":[
+          |  {"action":"exception-stream","params":["description"],"children":[
+          |    {"action":"tap","params":["ok"]},
+          |    {"action":"tap","params":["err"]}]}]}""".stripMargin)
+      val corrupted = ev(s, dir).withColumn("description",
+        when(col("metric") > 150, lit("not json")).otherwise(col("description")))
+      val res = Engine.run(node, corrupted, EngineCtx(testMode = true))
+      res.taps("ok").select(col("eventId"), lit("ok").as("branch"))
+        .unionAll(res.taps("err").select(col("eventId"), lit("error").as("branch")))
+        .orderBy("eventId")
+    }
+
+    // custom action plugin registry (stream.clj:29-34)
+    register("ir_custom",
+      s"""$Ev
+         |SELECT eventId, metric * 2.0 AS metric FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val ctx = EngineCtx(testMode = true, custom = Map(
+        "double-metric" -> (args => df =>
+          df.withColumn("metric",
+            col("metric") * args.headOption.map(_.asInstanceOf[Number].doubleValue()).getOrElse(2.0)))))
+      val node = Node.fromJson(
+        """{"action":"custom","params":["double-metric", 2.0],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      Engine.run(node, ev(s, dir), ctx).taps("out")
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    // reinject! across named streams in a registry (action.clj:1643-1678)
+    register("ir_reinject",
+      s"""$Ev
+         |SELECT eventId, metric + 1 AS metric FROM ev
+         |WHERE metric > 150 ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val reg = new StreamRegistry(EngineCtx(testMode = true))
+      reg.add("main", Node.fromJson(
+        """{"action":"where","params":[[">","metric",150]],
+          | "children":[{"action":"reinject!","params":["aux"]}]}""".stripMargin))
+      reg.add("aux", Node.fromJson(
+        """{"action":"increment",
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin))
+      reg.run("main", ev(s, dir)).taps("out")
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    // stateful per-key scan through the IR (ewma under a by fork)
+    register("ir_ewma",
+      s"""$Ev
+         |, ordered AS (
+         |  SELECT eventId, host, metric,
+         |         list(metric) OVER (PARTITION BY host ORDER BY time, eventId
+         |                            ROWS UNBOUNDED PRECEDING) AS prefix
+         |  FROM ev)
+         |SELECT eventId, list_reduce(list_prepend(0.0, prefix),
+         |                            (acc, x) -> 0.5 * acc + 0.5 * x) AS metric
+         |FROM ordered ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"by","params":[["host"]],"children":[
+          |  {"action":"ewma-timeless","params":[0.5],
+          |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+      tapOf(node, ev(s, dir))
+        .select(col("eventId"), col("metric")).orderBy("eventId")
+    }
+
+    // windowed latest-per-fields through the IR
+    register("ir_coalesce",
+      s"""$Ev
+         |, latest AS (
+         |  SELECT $winSql AS window_start, host, service, eventId, metric, time, state, ttl,
+         |         row_number() OVER (PARTITION BY $winSql, host, service
+         |                            ORDER BY time DESC, eventId DESC) AS rn,
+         |         max(time) OVER (PARTITION BY $winSql, host, service) AS clock
+         |  FROM ev)
+         |SELECT window_start, host, service, eventId, metric FROM latest
+         |WHERE rn = 1 AND NOT (state = 'expired' OR (clock - time) > CAST(ttl * 1000000000 AS BIGINT))
+         |ORDER BY window_start, host, service""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"coalesce","params":[{"duration":3600,"fields":["host","service"]}],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      tapOf(node, ev(s, dir))
+        .select(col("window_start"), col("host"), col("service"), col("eventId"), col("metric"))
+        .orderBy("window_start", "host", "service")
+    }
+  }
+}

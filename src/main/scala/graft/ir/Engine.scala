@@ -1,0 +1,328 @@
+package graft.ir
+
+import graft.conditions.Condition
+import graft.operators.{Analytics, Stateless, Windows}
+import graft.sinks.FileSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Engine context: test-mode gating and the user plugin registry.
+  *
+  * `testMode` mirrors the reference's `:test-mode?`
+  * (`/root/reference/src/clojure/mirabelle/action.clj:692-694, 1710-1751`):
+  * taps record, `io` subtrees and sinks are suppressed.
+  *
+  * `custom` mirrors the custom-action registry resolved at compile time
+  * (`stream.clj:29-34`): name → params → DataFrame transform.
+  */
+final case class EngineCtx(
+    testMode: Boolean = false,
+    custom: Map[String, Seq[Any] => DataFrame => DataFrame] = Map.empty,
+    /** reinject! is executed by re-running the target pipeline on the
+      * reinjected frame; this bounds pipeline-level cycles (the reference
+      * allows true cycles because it is push-per-event; a declarative plan
+      * cannot, so depth-capped unrolling is the batch analog —
+      * `action.clj:1643-1678`, SURVEY §7.4.2).
+      */
+    maxReinjectDepth: Int = 4)
+
+/** One file-sink request (reference `output/file.clj:10-50`): JSON lines,
+  * path templating ≈ partition columns.
+  */
+final case class SinkSpec(path: String, partitionFields: Seq[String],
+                          datePattern: Option[String])
+
+/** Everything a pipeline run produced: named tap captures (test mode),
+  * leaf outputs (frames with no further children), and sink writes that
+  * were executed (empty in test mode).
+  */
+final class StreamResult {
+  val taps: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap()
+  val outputs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer()
+  val sinks: mutable.ListBuffer[(SinkSpec, DataFrame)] = mutable.ListBuffer()
+  private[ir] val reinjects: mutable.ListBuffer[(String, DataFrame, Int)] = mutable.ListBuffer()
+
+  private[ir] def recordTap(name: String, df: DataFrame): Unit =
+    taps(name) = taps.get(name).map(_.unionAll(df)).getOrElse(df)
+}
+
+/** The IR interpreter: `Node => (DataFrame => DataFrame)` per action, plus
+  * the tree walk — the Spark analog of the reference's closure compiler
+  * (`stream.clj:23-57` + registry `action.clj:3037-3114`). Catalyst is the
+  * second compilation stage: the interpreter only *declares* the plan, so
+  * chained IR actions fuse, push down and codegen exactly like hand-written
+  * DataFrame code — interpretation cost is per-QUERY, never per-row.
+  *
+  * `by` is special-cased as in the reference (`stream.clj:38-44`): instead
+  * of re-compiling the subtree per fork, the grouping keys are threaded
+  * into every downstream windowed/stateful operator — Spark's partitioning
+  * replaces fork management.
+  */
+object Engine {
+
+  /** Run one pipeline over an input frame. */
+  def run(node: Node, input: DataFrame, ctx: EngineCtx = EngineCtx(),
+          registry: StreamRegistry = null): StreamResult = {
+    val res = new StreamResult
+    interp(node, input, Nil, ctx, res, registry, depth = 0)
+    drainReinjects(ctx, res, registry)
+    res
+  }
+
+  private def drainReinjects(ctx: EngineCtx, res: StreamResult, registry: StreamRegistry): Unit =
+    while (res.reinjects.nonEmpty) {
+      val (name, df, depth) = res.reinjects.remove(0)
+      if (depth > ctx.maxReinjectDepth)
+        throw new IllegalStateException(
+          s"reinject! exceeded maxReinjectDepth=${ctx.maxReinjectDepth} into stream '$name' (cycle?)")
+      val target = Option(registry).flatMap(_.get(name)).getOrElse(
+        throw new IllegalArgumentException(s"reinject! into unknown stream '$name'"))
+      interp(target, df, Nil, ctx, res, registry, depth)
+    }
+
+  // --------------------------------------------------------------------
+
+  private def interp(n: Node, df: DataFrame, keys: Seq[String], ctx: EngineCtx,
+                     res: StreamResult, registry: StreamRegistry, depth: Int): Unit = {
+    def recurse(out: DataFrame, newKeys: Seq[String] = keys): Unit =
+      if (n.children.isEmpty) res.outputs += out
+      else n.children.foreach(c => interp(c, out, newKeys, ctx, res, registry, depth))
+
+    n.action match {
+      case "sdo" => recurse(df) // tee: every action already fans to all children
+
+      case "by" => // per-key fork → grouping keys for the whole subtree
+        recurse(df, newKeys = pStrs(n.params.head))
+
+      case "split" => // first-matching-condition routing (action.clj:1109-1161)
+        val conds = n.params.map(Condition.parse)
+        require(n.children.size == conds.size || n.children.size == conds.size + 1,
+          s"split: ${conds.size} conditions need ${conds.size} children (+1 default), got ${n.children.size}")
+        n.children.zipWithIndex.foreach { case (c, i) =>
+          interp(c, Stateless.splitBranch(conds, i)(df), keys, ctx, res, registry, depth)
+        }
+
+      case "tap" => // test capture (action.clj:1724-1751)
+        if (ctx.testMode) res.recordTap(pStr(n.params.head), df)
+        recurse(df)
+
+      case "io" => // side-effect subtree, suppressed in test mode (action.clj:1710-1722)
+        if (!ctx.testMode) recurse(df)
+
+      case "exception-stream" =>
+        // Spark cannot try/catch per row inside a declarative plan
+        // (action.clj:1789-1827 wraps the subtree); the batch analog is the
+        // bad-record pattern: rows whose marker field came out NULL (e.g. a
+        // failed from-json parse) route to the error child with
+        // state="error", the rest to the first child.
+        require(n.children.size == 2, "exception-stream needs [ok, error] children")
+        val field = pStr(n.params.head)
+        interp(n.children.head, df.filter(col(field).isNotNull), keys, ctx, res, registry, depth)
+        interp(n.children(1),
+          df.filter(col(field).isNull).withColumn("state", lit("error")),
+          keys, ctx, res, registry, depth)
+
+      case "reinject!" => // queued, drained by run() with a depth cap
+        val target = n.params.headOption.map(pStr).getOrElse("default")
+        res.reinjects += ((target, df, depth + 1))
+
+      case "custom" => // user plugin (stream.clj:29-34)
+        val name = pStr(n.params.head)
+        val fn = ctx.custom.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown custom action '$name'"))
+        recurse(fn(n.params.tail)(df))
+
+      case "output-file" => // file sink (output/file.clj:10-50); io-gated
+        val m = pMap(n.params.head)
+        val spec = SinkSpec(
+          pStr(m("path")),
+          m.get("fields").map(pStrs).getOrElse(Nil),
+          m.get("date-pattern").map(pStr))
+        if (!ctx.testMode) {
+          FileSink.write(df, spec)
+          res.sinks += ((spec, df))
+        }
+        recurse(df)
+
+      case _ => recurse(applyOp(n.action, n.params, keys, ctx)(df))
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Per-action builders: every non-routing operator the library implements
+  // (the analog of action->fn, action.clj:3037-3114).
+  // --------------------------------------------------------------------
+
+  def applyOp(action: String, params: Seq[Any], keys: Seq[String],
+              ctx: EngineCtx): DataFrame => DataFrame = action match {
+    // §2.2 filters
+    case "where"       => Stateless.where(Condition.parse(params.head))
+    case "over"        => Stateless.over(pDouble(params.head))
+    case "under"       => Stateless.under(pDouble(params.head))
+    case "tagged-all"  => Stateless.taggedAll(pStrs(params.head))
+    case "expired"     => df => Stateless.expiredBatch(df)
+    case "not-expired" => Stateless.notExpiredBatch
+
+    // §2.3 transforms
+    case "increment"   => Stateless.increment
+    case "decrement"   => Stateless.decrement
+    case "scale"       => Stateless.scale(pDouble(params.head))
+    case "with"        => Stateless.withFields(pMap(params.head))
+    case "default"     => Stateless.default(pStr(params.head), params(1))
+    case "sdissoc"     => Stateless.sdissoc(pStrs(params.head))
+    case "keep-keys"   => Stateless.keepKeys(pStrs(params.head))
+    case "rename-keys" => Stateless.renameKeys(pMap(params.head).map { case (k, v) => k -> pStr(v) })
+    case "tag"         => Stateless.tag(pStrs(params.head))
+    case "untag"       => Stateless.untag(pStrs(params.head))
+    case "sformat"     => Stateless.sformat(pStr(params.head), pStr(params(1)), pStrs(params(2)))
+    case "to-string"   => Stateless.toStringField(pStr(params.head))
+    case "to-base64"   => Stateless.toBase64(pStr(params.head))
+    case "from-base64" => Stateless.fromBase64(pStr(params.head))
+    case "from-json"   => Stateless.fromJson(pStr(params.head))
+    case "extract"     => Stateless.extract(pStr(params.head))
+    case "iterate-on"  => Stateless.iterateOn(pStr(params.head), pStr(params(1)))
+    case "sflatten"    => Stateless.sflatten(params.headOption.map(pStr).getOrElse("events"))
+
+    // §2.5 windows (keys = enclosing `by` fork)
+    case "fixed-time-window" => Windows.fixedTimeWindow(durOf(params), keys)
+    case "sum"               => Windows.sumWindow(durOf(params), keys)
+    case "mean"              => Windows.meanWindow(durOf(params), keys)
+    case "rate"              => Windows.rateWindow(durOf(params), keys)
+    case "top"               => Windows.topWindow(durOf(params), keys)
+    case "bottom"            => Windows.bottomWindow(durOf(params), keys)
+    case "ratio" =>
+      val m = pMap(params.head)
+      Windows.ratioWindow(pLong(m("duration")),
+        Condition.parse(m("cond1")), Condition.parse(m("cond2")),
+        useMetric = m.get("metric").exists(_ == true), keys)
+    case "ssort" =>
+      val m = pMap(params.head)
+      Windows.ssort(pLong(m("duration")), pStr(m("field")), keys)
+    case "coalesce" =>
+      val m = pMap(params.head)
+      Windows.coalesceWindow(pLong(m("duration")), pStrs(m("fields")))
+    case "project"     => Windows.project(params.head.asInstanceOf[Seq[Any]].map(Condition.parse))
+    case "percentiles" =>
+      // full-event per-quantile output like the reference (action.clj:2845-2929):
+      // tumbling window payload + event-identity percentile pick
+      val m = pMap(params.head)
+      val qs = pDoubles(m("quantiles"))
+      df => Windows.collPercentiles(qs)(Windows.fixedTimeWindow(pLong(m("duration")), keys)(df))
+    case "coll-increase" => Windows.collIncrease(durOf(params), keys)
+
+    case "fixed-event-window"  => Analytics.fixedEventWindow(sizeOf(params), keys)
+    case "moving-event-window" => Analytics.movingEventWindow(sizeOf(params), keys)
+    case "moving-time-window"  => Analytics.movingTimeWindow(durOf(params), keys)
+    case "throttle" =>
+      val m = pMap(params.head)
+      df => Analytics.throttle(pLong(m("count")).toInt, pLong(m("duration")), keys)(df).toDF()
+    case "stable" =>
+      val m = pMap(params.head)
+      Analytics.stable(pLong(m("dt")), pStr(m("field")), keys)
+    case "changed" =>
+      val m = pMap(params.head)
+      Analytics.changed(pStr(m("field")), m("init"), keys)
+    case "above-dt" =>
+      val m = pMap(params.head)
+      Analytics.aboveDt(pDouble(m("threshold")), pLong(m("duration")), keys)
+    case "below-dt" =>
+      val m = pMap(params.head)
+      Analytics.belowDt(pDouble(m("threshold")), pLong(m("duration")), keys)
+    case "between-dt" =>
+      val m = pMap(params.head)
+      Analytics.betweenDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)
+    case "outside-dt" =>
+      val m = pMap(params.head)
+      Analytics.outsideDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)
+    case "cond-dt" =>
+      val m = pMap(params.head)
+      Analytics.condDt(Condition.parse(m("condition")), pLong(m("duration")), keys)
+    case "ddt"           => Analytics.ddt(keys)
+    case "ddt-pos"       => Analytics.ddtPos(keys)
+    case "ewma-timeless" => df => Analytics.ewmaTimeless(pDouble(params.head), keys)(df).toDF()
+    case "smax"          => Analytics.smax(keys)
+    case "smin"          => Analytics.smin(keys)
+
+    // §2.6 collection aggregates
+    case "coll-mean"     => Windows.collMean
+    case "coll-sum"      => Windows.collSum
+    case "coll-count"    => Windows.collCount
+    case "coll-rate"     => Windows.collRate
+    case "coll-quotient" => Windows.collQuotient
+    case "coll-max"      => Windows.collMax
+    case "coll-min"      => Windows.collMin
+    case "coll-top"      => Windows.collTop(pLong(params.head).toInt)
+    case "coll-bottom"   => Windows.collBottom(pLong(params.head).toInt)
+    case "coll-sort"     => Windows.collSort(pStr(params.head))
+    case "coll-where" =>
+      val c = params.head.asInstanceOf[Seq[Any]]
+      Windows.collWhere(pStr(c(1)), pStr(c.head), c(2))
+    case "coll-percentiles" => Windows.collPercentiles(pDoubles(params.head))
+
+    case other => throw new IllegalArgumentException(s"unknown action '$other'")
+  }
+
+  // ---------------- param coercion ----------------
+
+  private def pStr(p: Any): String = p.toString.stripPrefix(":")
+  private def pDouble(p: Any): Double = p.asInstanceOf[Number].doubleValue()
+  private def pLong(p: Any): Long = p.asInstanceOf[Number].longValue()
+  private def pStrs(p: Any): Seq[String] = p match {
+    case s: Seq[_] => s.map(x => pStr(x))
+    case single    => Seq(pStr(single))
+  }
+  private def pDoubles(p: Any): Seq[Double] =
+    p.asInstanceOf[Seq[Any]].map(pDouble)
+  private def pMap(p: Any): Map[String, Any] =
+    p.asInstanceOf[Map[String, Any]].map { case (k, v) => k.stripPrefix(":") -> v }
+  private def durOf(params: Seq[Any]): Long = pLong(pMap(params.head)("duration"))
+  private def sizeOf(params: Seq[Any]): Int = pLong(pMap(params.head)("size")).toInt
+}
+
+/** Named-pipeline registry — the analog of the reference's stream registry
+  * + `stream`/`streams` declarations (`action.clj:1829-1850`,
+  * `stream.clj:129-143` reload, `stream.clj:276-296` dynamic add/remove).
+  * Thread-safe; pipelines are plain [[Node]] data, so list/add/remove is a
+  * control-plane operation, not a recompile of the engine.
+  */
+final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
+  private val streams = new scala.collection.concurrent.TrieMap[String, Node]()
+
+  def add(name: String, pipeline: Node): Unit = streams.put(name, pipeline)
+  def remove(name: String): Unit = streams.remove(name)
+  def get(name: String): Option[Node] = streams.get(name)
+  def list: Seq[String] = streams.keySet.toSeq.sorted
+
+  /** Load `{"streams": [{"action":"stream","params":[{"name":...}],
+    * "children":[...]}]}` documents (one child pipeline per stream; several
+    * children are teed via an implicit `sdo`).
+    */
+  def addJson(json: String): Seq[String] =
+    Node.manyFromJson(json).map(addStreamNode)
+
+  def addStreamNode(n: Node): String = {
+    require(n.action == "stream", s"expected a 'stream' node, got '${n.action}'")
+    val name = n.params.headOption match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].get("name").map(_.toString.stripPrefix(":"))
+          .getOrElse(throw new IllegalArgumentException("stream node without a name"))
+      case Some(s) => s.toString.stripPrefix(":")
+      case None    => throw new IllegalArgumentException("stream node without params")
+    }
+    val pipeline = n.children match {
+      case Seq(single) => single
+      case many        => Node("sdo", Nil, many)
+    }
+    add(name, pipeline)
+    name
+  }
+
+  /** Run a registered pipeline over an input frame. */
+  def run(name: String, input: DataFrame): StreamResult = {
+    val node = get(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown stream '$name'"))
+    Engine.run(node, input, ctx, this)
+  }
+}

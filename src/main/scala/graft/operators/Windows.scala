@@ -276,6 +276,26 @@ object Windows {
         .otherwise(0)
     })
 
+  /** `coll-percentiles` — event-identity quantiles over the window payload
+    * (`action.clj:1528-1556`, `math.clj:109-138`): events sorted by metric,
+    * the event at `idx = min(n-1, floor(n*q))` is emitted once per
+    * quantile, with the quantile echoed in `attributes.quantile` (string,
+    * as the reference does) and as a `quantile` column.
+    */
+  def collPercentiles(quantiles: Seq[Double])(df: DataFrame): DataFrame = {
+    val carried = carriedCols(df)
+    val out = df.withColumn("__sorted", sortedByMetric(asc = true)).drop("events")
+      .withColumn("quantile", explode(array(quantiles.map(lit): _*)))
+      .withColumn("event",
+        expr("__sorted[cast(least(size(__sorted) - 1, floor(size(__sorted) * quantile)) as int)]"))
+      .select(carried ++ Seq(col("quantile"), col("event.*")): _*)
+    if (out.columns.contains("attributes"))
+      out.withColumn("attributes",
+        map_concat(coalesce(col("attributes"), map()),
+          map(lit("quantile"), col("quantile").cast(StringType))))
+    else out
+  }
+
   /** `coll-top` / `coll-bottom` — top/bottom N events by metric
     * (`action.clj:2007-2051`).
     */

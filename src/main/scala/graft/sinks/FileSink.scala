@@ -1,0 +1,38 @@
+package graft.sinks
+
+import graft.ir.SinkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** JSON-lines file sink — the Spark-native form of the reference's `file`
+  * output (`/root/reference/src/clojure/mirabelle/output/file.clj:10-50`):
+  * the reference templates one output path per event from field values
+  * and/or a date pattern; a distributed engine expresses the same layout as
+  * partition directories (`field=value/.../date=.../part-*.json`), which
+  * also makes the written data partition-prunable on re-read.
+  *
+  * Scale: `partitionBy` produces one writer per (task × partition-value);
+  * callers partition the frame by the template fields upstream when the
+  * value cardinality is high.
+  */
+object FileSink {
+
+  /** Partition column derived from the ns event time, mirroring the
+    * reference's date templating (`output/file.clj:18-27`).
+    */
+  private def dateCol(pattern: String) =
+    date_format(timestamp_micros(expr("time div 1000")), pattern)
+
+  def write(df: DataFrame, spec: SinkSpec): Unit = {
+    val (toWrite, partCols) = spec.datePattern match {
+      case Some(p) => (df.withColumn("date", dateCol(p)), spec.partitionFields :+ "date")
+      case None    => (df, spec.partitionFields)
+    }
+    val w = toWrite.write.mode("append")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).json(spec.path)
+  }
+
+  def write(df: DataFrame, path: String, partitionFields: Seq[String] = Nil,
+            datePattern: Option[String] = None): Unit =
+    write(df, SinkSpec(path, partitionFields, datePattern))
+}

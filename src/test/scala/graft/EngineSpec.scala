@@ -1,0 +1,167 @@
+package graft
+
+import graft.ir._
+import graft.sinks.FileSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-layer tests: IR parsing, interpretation, routing/fan-out
+  * semantics, test-mode gating, the tap/golden framework (reference
+  * `test.clj:41-82`) and the file sink round-trip.
+  */
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tapRows(res: StreamResult, tap: String): Seq[(Long, Double)] =
+    res.taps(tap).select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+
+  test("IR JSON parses to the node tree") {
+    val n = Node.fromJson(
+      """{"action":"where","params":[[">","metric",10]],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    assert(n.action == "where")
+    assert(n.params == Seq(Seq(">", "metric", 10L)))
+    assert(n.children.map(_.action) == Seq("tap"))
+  }
+
+  test("interpret: where → scale → tap matches hand-written plan") {
+    val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2), ev(300, 3 * S, id = 3))
+    val node = Node.fromJson(
+      """{"action":"where","params":[[">","metric",100]],"children":[
+        |  {"action":"scale","params":[2],
+        |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    assert(tapRows(res, "out") == Seq(1L -> 400.0, 3L -> 600.0))
+  }
+
+  test("by injects grouping keys into downstream windows (stream.clj:38-44)") {
+    val df = events(
+      ev(1, 10 * S, host = "a", id = 1), ev(2, 20 * S, host = "a", id = 2),
+      ev(5, 15 * S, host = "b", id = 3))
+    val node = Node.fromJson(
+      """{"action":"by","params":[["host"]],"children":[
+        |  {"action":"sum","params":[{"duration":60}],
+        |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    val rows = res.taps("out").select("host", "metric").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("a" -> 3.0, "b" -> 5.0))
+  }
+
+  test("split: first matching condition wins, last child is the default") {
+    val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2), ev(5, 3 * S, id = 3))
+    val node = Node.fromJson(
+      """{"action":"split","params":[[">","metric",150],[">","metric",50]],
+        | "children":[
+        |   {"action":"tap","params":["hot"]},
+        |   {"action":"tap","params":["warm"]},
+        |   {"action":"tap","params":["cold"]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    assert(tapRows(res, "hot").map(_._1) == Seq(1L))
+    assert(tapRows(res, "warm").map(_._1) == Seq(2L))
+    assert(tapRows(res, "cold").map(_._1) == Seq(3L))
+  }
+
+  test("sdo tees to all children; leaves land in outputs") {
+    val df = events(ev(1, 1 * S, id = 1))
+    val node = Node.fromJson(
+      """{"action":"sdo","children":[
+        |  {"action":"increment"},
+        |  {"action":"decrement"}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    assert(res.outputs.size == 2)
+    assert(res.outputs.map(_.select("metric").collect().head.getDouble(0)).sorted == Seq(0.0, 2.0))
+  }
+
+  test("io subtree is suppressed in test mode, active otherwise (action.clj:1710-1722)") {
+    val df = events(ev(1, 1 * S, id = 1))
+    val node = Node.fromJson(
+      """{"action":"io","children":[{"action":"tap","params":["side"]}]}""")
+    assert(Engine.run(node, df, EngineCtx(testMode = true)).taps.isEmpty)
+    assert(Engine.run(node, df, EngineCtx(testMode = false)).outputs.nonEmpty)
+  }
+
+  test("exception-stream routes null-marker rows to the error child") {
+    val df = events(ev(1, 1 * S, id = 1), ev(2, 2 * S, id = 2))
+      .withColumn("description",
+        when(col("eventId") === 2, lit("not json")).otherwise(lit("""{"k":"v"}""")))
+    val node = Node.fromJson(
+      """{"action":"from-json","params":["description"],"children":[
+        |  {"action":"exception-stream","params":["description"],"children":[
+        |    {"action":"tap","params":["ok"]},
+        |    {"action":"tap","params":["err"]}]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    assert(tapRows(res, "ok").map(_._1) == Seq(1L))
+    assert(tapRows(res, "err").map(_._1) == Seq(2L))
+    assert(res.taps("err").select("state").collect().head.getString(0) == "error")
+  }
+
+  test("custom action registry (stream.clj:29-34)") {
+    val ctx = EngineCtx(testMode = true, custom = Map(
+      "add-n" -> (args => df =>
+        df.withColumn("metric", col("metric") + args.head.asInstanceOf[Number].doubleValue()))))
+    val node = Node.fromJson(
+      """{"action":"custom","params":["add-n",5],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val res = Engine.run(node, events(ev(1, 1 * S, id = 1)), ctx)
+    assert(tapRows(res, "out") == Seq(1L -> 6.0))
+    intercept[IllegalArgumentException] {
+      Engine.run(Node.fromJson("""{"action":"custom","params":["nope"]}"""),
+        events(ev(1, 1 * S)), ctx)
+    }
+  }
+
+  test("reinject! pushes through the named stream; cycles hit the depth cap") {
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    reg.add("main", Node.fromJson(
+      """{"action":"where","params":[[">","metric",10]],
+        | "children":[{"action":"reinject!","params":["aux"]}]}""".stripMargin))
+    reg.add("aux", Node.fromJson(
+      """{"action":"increment","children":[{"action":"tap","params":["out"]}]}"""))
+    val res = reg.run("main", events(ev(20, 1 * S, id = 1), ev(5, 2 * S, id = 2)))
+    assert(tapRows(res, "out") == Seq(1L -> 21.0))
+
+    val cyc = new StreamRegistry(EngineCtx(testMode = true))
+    cyc.add("loop", Node.fromJson(
+      """{"action":"increment","children":[{"action":"reinject!","params":["loop"]}]}"""))
+    intercept[IllegalStateException] { cyc.run("loop", events(ev(1, 1 * S))) }
+  }
+
+  test("stream registry: streams document load, list, run, remove") {
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    val names = reg.addJson(
+      """{"streams":[
+        |  {"action":"stream","params":[{"name":"alpha"}],
+        |   "children":[{"action":"increment","children":[{"action":"tap","params":["out"]}]}]},
+        |  {"action":"stream","params":[{"name":"beta"}],
+        |   "children":[{"action":"decrement","children":[{"action":"tap","params":["out"]}]}]}
+        |]}""".stripMargin)
+    assert(names.sorted == Seq("alpha", "beta"))
+    assert(reg.list == Seq("alpha", "beta"))
+    assert(reg.run("alpha", events(ev(1, 1 * S, id = 1))).taps("out")
+      .select("metric").collect().head.getDouble(0) == 2.0)
+    reg.remove("beta")
+    assert(reg.list == Seq("alpha"))
+  }
+
+  test("file sink round-trip: pipeline → JSON-lines → re-read equals memory output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
+    val df = events(ev(200, 1 * S, host = "a", id = 1), ev(300, 2 * S, host = "b", id = 2))
+    val node = Node.fromJson(
+      s"""{"action":"increment","children":[
+         |  {"action":"output-file",
+         |   "params":[{"path":"$dir","fields":["host"],"date-pattern":"yyyy-MM-dd"}]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = false))
+    assert(res.sinks.size == 1)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == Map(1L -> 201.0, 2L -> 301.0))
+    // field templating became partition columns (partition-prunable on re-read)
+    assert(back.select("host").distinct().collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // test mode suppresses the write
+    val res2 = Engine.run(node, df, EngineCtx(testMode = true))
+    assert(res2.sinks.isEmpty)
+  }
+}
