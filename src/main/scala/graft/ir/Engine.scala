@@ -3,6 +3,7 @@ package graft.ir
 import graft.conditions.Condition
 import graft.operators.{Analytics, Stateless, Windows}
 import graft.sinks.FileSink
+import graft.streaming.Streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -185,13 +186,28 @@ object Engine {
     case "iterate-on"  => Stateless.iterateOn(pStr(params.head), pStr(params(1)))
     case "sflatten"    => Stateless.sflatten(params.headOption.map(pStr).getOrElse("events"))
 
-    // §2.5 windows (keys = enclosing `by` fork)
-    case "fixed-time-window" => Windows.fixedTimeWindow(durOf(params), keys)
-    case "sum"               => Windows.sumWindow(durOf(params), keys)
-    case "mean"              => Windows.meanWindow(durOf(params), keys)
-    case "rate"              => Windows.rateWindow(durOf(params), keys)
-    case "top"               => Windows.topWindow(durOf(params), keys)
-    case "bottom"            => Windows.bottomWindow(durOf(params), keys)
+    // §2.5 windows (keys = enclosing `by` fork). On a streaming frame the
+    // same IR node compiles to the watermarked Structured Streaming twin;
+    // the optional "delay" param is the reference's allowed lateness
+    // (action.clj:2419-2432) and becomes the watermark delay.
+    case "fixed-time-window" => df =>
+      if (df.isStreaming) Streaming.fixedTimeWindow(durOf(params), delayOf(params), keys)(df)
+      else Windows.fixedTimeWindow(durOf(params), keys)(df)
+    case "sum" => df =>
+      if (df.isStreaming) Streaming.sumWindow(durOf(params), delayOf(params), keys)(df)
+      else Windows.sumWindow(durOf(params), keys)(df)
+    case "mean" => df =>
+      if (df.isStreaming) Streaming.meanWindow(durOf(params), delayOf(params), keys)(df)
+      else Windows.meanWindow(durOf(params), keys)(df)
+    case "rate" => df =>
+      if (df.isStreaming) Streaming.rateWindow(durOf(params), delayOf(params), keys)(df)
+      else Windows.rateWindow(durOf(params), keys)(df)
+    case "top" => df =>
+      if (df.isStreaming) Streaming.topWindow(durOf(params), delayOf(params), keys)(df)
+      else Windows.topWindow(durOf(params), keys)(df)
+    case "bottom" => df =>
+      if (df.isStreaming) Streaming.bottomWindow(durOf(params), delayOf(params), keys)(df)
+      else Windows.bottomWindow(durOf(params), keys)(df)
     case "ratio" =>
       val m = pMap(params.head)
       Windows.ratioWindow(pLong(m("duration")),
@@ -212,18 +228,25 @@ object Engine {
       df => Windows.collPercentiles(qs)(Windows.fixedTimeWindow(pLong(m("duration")), keys)(df))
     case "coll-increase" => Windows.collIncrease(durOf(params), keys)
 
-    case "fixed-event-window"  => Analytics.fixedEventWindow(sizeOf(params), keys)
+    case "fixed-event-window" => df =>
+      // streaming output carries (key, windowId, events) — see Streaming
+      if (df.isStreaming) Streaming.fixedEventWindow(sizeOf(params), keys)(df).toDF()
+      else Analytics.fixedEventWindow(sizeOf(params), keys)(df)
     case "moving-event-window" => Analytics.movingEventWindow(sizeOf(params), keys)
     case "moving-time-window"  => Analytics.movingTimeWindow(durOf(params), keys)
     case "throttle" =>
       val m = pMap(params.head)
-      df => Analytics.throttle(pLong(m("count")).toInt, pLong(m("duration")), keys)(df).toDF()
+      df =>
+        if (df.isStreaming) Streaming.throttle(pLong(m("count")).toInt, pLong(m("duration")), keys)(df).toDF()
+        else Analytics.throttle(pLong(m("count")).toInt, pLong(m("duration")), keys)(df).toDF()
     case "stable" =>
       val m = pMap(params.head)
       Analytics.stable(pLong(m("dt")), pStr(m("field")), keys)
     case "changed" =>
       val m = pMap(params.head)
-      Analytics.changed(pStr(m("field")), m("init"), keys)
+      df =>
+        if (df.isStreaming) Streaming.changed(pStr(m("field")), pStr(m("init")), keys)(df).toDF()
+        else Analytics.changed(pStr(m("field")), m("init"), keys)(df)
     case "above-dt" =>
       val m = pMap(params.head)
       Analytics.aboveDt(pDouble(m("threshold")), pLong(m("duration")), keys)
@@ -239,11 +262,15 @@ object Engine {
     case "cond-dt" =>
       val m = pMap(params.head)
       Analytics.condDt(Condition.parse(m("condition")), pLong(m("duration")), keys)
-    case "ddt"           => Analytics.ddt(keys)
-    case "ddt-pos"       => Analytics.ddtPos(keys)
-    case "ewma-timeless" => df => Analytics.ewmaTimeless(pDouble(params.head), keys)(df).toDF()
-    case "smax"          => Analytics.smax(keys)
-    case "smin"          => Analytics.smin(keys)
+    case "ddt"     => Analytics.ddt(keys)
+    case "ddt-pos" => Analytics.ddtPos(keys)
+    case "ewma-timeless" => df =>
+      if (df.isStreaming) Streaming.ewmaTimeless(pDouble(params.head), keys)(df).toDF()
+      else Analytics.ewmaTimeless(pDouble(params.head), keys)(df).toDF()
+    case "smax" => df =>
+      if (df.isStreaming) Streaming.smax(keys)(df).toDF() else Analytics.smax(keys)(df)
+    case "smin" => df =>
+      if (df.isStreaming) Streaming.smin(keys)(df).toDF() else Analytics.smin(keys)(df)
 
     // §2.6 collection aggregates
     case "coll-mean"     => Windows.collMean
@@ -279,6 +306,8 @@ object Engine {
     p.asInstanceOf[Map[String, Any]].map { case (k, v) => k.stripPrefix(":") -> v }
   private def durOf(params: Seq[Any]): Long = pLong(pMap(params.head)("duration"))
   private def sizeOf(params: Seq[Any]): Int = pLong(pMap(params.head)("size")).toInt
+  private def delayOf(params: Seq[Any]): Long =
+    params.headOption.map(pMap).flatMap(_.get("delay")).map(pLong).getOrElse(0L)
 }
 
 /** Named-pipeline registry — the analog of the reference's stream registry

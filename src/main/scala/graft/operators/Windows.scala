@@ -50,7 +50,7 @@ object Windows {
   /** Collect a window payload as an array of event structs, ordered by
     * (time, eventId) regardless of column order.
     */
-  private[operators] def collectOrdered(cols: Seq[String]): Column =
+  private[graft] def collectOrdered(cols: Seq[String]): Column =
     transform(
       array_sort(
         collect_list(struct(
