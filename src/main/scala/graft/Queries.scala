@@ -71,6 +71,7 @@ object Queries {
     QueriesPipeline.registerAll((n, o) => q => register(n, o)(q))
     QueriesRelational.registerAll((n, o) => q => register(n, o)(q))
     QueriesIr.registerAll((n, o) => q => register(n, o)(q))
+    QueriesSources.registerAll((n, o) => q => register(n, o)(q))
 
     // production-hash MinHash-LSH (xxhash64, not cross-engine reproducible
     // → rows-only gate): the throughput path a real pipeline would run

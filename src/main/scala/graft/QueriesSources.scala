@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.{Decode, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries for the §2.7 source decode mappings: the events
+  * table is packed into the exact nested wire shapes (Prometheus
+  * remote-write / OTLP trace export) and decoded back through
+  * [[graft.sources.Decode]]; the DuckDB oracle computes the expected flat
+  * events directly — any drift in the label→attribute mapping, ms→ns
+  * conversion or enum decode mismatches.
+  */
+object QueriesSources {
+
+  def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
+
+    register("prom_rw_decode",
+      """SELECT 'm_' || event_type AS name, CAST(user_id AS VARCHAR) AS host,
+        |       value AS metric,
+        |       (epoch_ns(ts) // 1000000) * 1000000 AS time
+        |FROM events ORDER BY name, host, time, metric""".stripMargin) { (s, dir) =>
+      val raw = Tables.eventsRaw(s, dir)
+      val series = raw
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(collect_list(struct(
+          col("value").as("value"),
+          expr("ts div 1000000").as("timestamp"))).as("samples"))
+        .select(col("user_id"),
+          struct(
+            array(
+              struct(lit("__name__").as("name"),
+                concat(lit("m_"), col("event_type")).as("value")),
+              struct(lit("host").as("name"),
+                col("user_id").cast("string").as("value"))).as("labels"),
+            col("samples")).as("series"))
+      val requests = series.groupBy("user_id")
+        .agg(collect_list(col("series")).as("timeseries"))
+      Decode.prometheusWrite(requests)
+        .select(col("name"), element_at(col("attributes"), "host").as("host"),
+          col("metric"), col("time"))
+        .orderBy("name", "host", "time", "metric")
+    }
+
+    register("otlp_decode",
+      """SELECT 't' || CAST(user_id AS VARCHAR) AS trace_id,
+        |       's' || CAST(event_id AS VARCHAR) AS span_id,
+        |       event_type AS name,
+        |       CASE event_id % 8 WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal'
+        |            WHEN 2 THEN 'server' WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+        |            WHEN 5 THEN 'consumer' ELSE 'unrecognized' END AS kind,
+        |       CASE event_id % 3 WHEN 2 THEN 'error' WHEN 1 THEN 'ok'
+        |            ELSE 'unset' END AS state,
+        |       event_id % 3 AS status,
+        |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+        |       (epoch_ns(ts) // 1000) * 1000 AS start_time,
+        |       (epoch_ns(ts) // 1000) * 1000 + CAST(floor(value * 1000) AS BIGINT) AS time,
+        |       CAST(floor(value * 1000) AS BIGINT) AS metric
+        |FROM events ORDER BY trace_id, span_id""".stripMargin) { (s, dir) =>
+      val raw = Tables.eventsRaw(s, dir)
+      val spans = raw.select(
+        struct(
+          concat(lit("t"), col("user_id").cast("string")).as("traceId"),
+          concat(lit("s"), col("event_id").cast("string")).as("spanId"),
+          lit("").as("parentSpanId"),
+          col("event_type").as("name"),
+          pmod(col("event_id"), lit(8)).cast("long").as("kind"),
+          expr("(ts div 1000) * 1000").as("startTimeUnixNano"),
+          (expr("(ts div 1000) * 1000") +
+            floor(col("value") * 1000).cast("long")).as("endTimeUnixNano"),
+          struct(pmod(col("event_id"), lit(3)).cast("long").as("code"),
+            lit("msg").as("message")).as("status"),
+          array(struct(lit("k").as("key"), col("props").as("value"))).as("attributes")
+        ).as("span"),
+        pmod(col("user_id"), lit(5)).as("svc"))
+      val requests = spans.groupBy("svc")
+        .agg(collect_list(col("span")).as("spans"))
+        .select(array(struct(
+          struct(array(struct(lit("service.name").as("key"),
+            concat(lit("svc-"), col("svc").cast("string")).as("value"))).as("attributes")).as("resource"),
+          array(struct(col("spans"))).as("scopeSpans"))).as("resourceSpans"))
+      Decode.otlpSpans(requests)
+        .select(col("trace_id"), col("span_id"), col("name"), col("kind"),
+          col("state"), col("status"), col("service"), col("start_time"),
+          col("time"), col("metric"))
+        .orderBy("trace_id", "span_id")
+    }
+  }
+}

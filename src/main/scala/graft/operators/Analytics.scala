@@ -20,7 +20,21 @@ import org.apache.spark.sql.types._
   */
 object Analytics {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val warnedKeyless = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Keyless mode reproduces the reference's single-stream semantics but
+    * collapses the whole input into ONE partition — a 100×-scale footgun.
+    * It stays supported for parity/small data, but never silently: one
+    * loud warning per operator per JVM.
+    */
+  private def warnKeyless(op: String, keys: Seq[String]): Unit =
+    if (keys.isEmpty && warnedKeyless.add(op))
+      log.warn(s"graft: keyless '$op' collapses to a SINGLE partition — " +
+        "pass grouping keys (the `by` fields) for any data that doesn't fit one executor")
+
   private def orderedWindow(keys: Seq[String]): WindowSpec = {
+    warnKeyless("analytic-window", keys)
     val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
     w.orderBy(col("time"), col("eventId"))
   }
@@ -73,6 +87,7 @@ object Analytics {
     * (`action.clj:2596-2639`). Range frame over the ns-long time axis.
     */
   def movingTimeWindow(seconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    warnKeyless("moving-time-window", keys)
     val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
     val w = base.orderBy(col("time")).rangeBetween(-(seconds * Event.NsPerSecond - 1), 0)
     df.withColumn("events", collect_list(struct(df.columns.map(col): _*)).over(w))
@@ -155,6 +170,7 @@ object Analytics {
     */
   def perKeyScan[S](df: DataFrame, keys: Seq[String])(
       init: () => S)(step: (S, Event) => (S, Iterator[Event])): Dataset[Event] = {
+    warnKeyless("per-key-scan", keys)
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(

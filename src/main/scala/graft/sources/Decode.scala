@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pure event-decode mappings for the ingestion formats (SURVEY §2.7) —
+  * the testable core of the reference's sources, without the wire/netty
+  * layer (no network in this library; pair with `from_protobuf`/Kafka or
+  * JSON sources at the edge).
+  *
+  * All pure Column algebra: decode pipelines fuse into the scan and
+  * explode stages, no shuffles.
+  */
+object Decode {
+
+  /** Prometheus remote-write → events
+    * (`/root/reference/src/clojure/mirabelle/prometheus.clj:11-29`):
+    * one event per sample; `__name__` label becomes `name`, the remaining
+    * labels become `attributes`, prometheus ms timestamps become ns.
+    *
+    * Input schema (the protobuf WriteRequest shape after `from_protobuf`):
+    * `timeseries: array<struct<labels: array<struct<name, value>>,
+    * samples: array<struct<value: double, timestamp: long /*ms*/>>>>`.
+    */
+  def prometheusWrite(df: DataFrame): DataFrame =
+    df.select(explode(col("timeseries")).as("series"))
+      .select(
+        map_from_entries(col("series.labels")).as("__labels"),
+        explode(col("series.samples")).as("sample"))
+      .select(
+        element_at(col("__labels"), "__name__").as("name"),
+        map_filter(col("__labels"), (k, _) => k =!= "__name__").as("attributes"),
+        col("sample.value").as("metric"),
+        (col("sample.timestamp") * lit(1000000L)).as("time"))
+
+  /** fluentbit JSON logs → events (`handler.clj:89-95`): `date` (seconds,
+    * possibly fractional) becomes ns `time`; the log line maps onto
+    * `description`.
+    */
+  def fluentbit(df: DataFrame, dateCol: String = "date", logCol: String = "log"): DataFrame =
+    df.withColumn("time", (col(dateCol) * lit(1e9)).cast("long"))
+      .withColumnRenamed(logCol, "description")
+      .drop(dateCol)
+
+  private def kindName(kind: Column): Column =
+    try_element_at(
+      array(Seq("unspecified", "internal", "server", "client", "producer", "consumer")
+        .map(lit): _*),
+      // 1-based; out-of-range yields NULL → coalesce to "unrecognized"
+      when(kind >= 0 && kind <= 5, kind.cast("int") + 1).otherwise(lit(100)))
+
+  /** OTLP trace export → span events
+    * (`/root/reference/src/clojure/mirabelle/otel/traces.clj:72-135`):
+    * span duration becomes `metric`, end time becomes `time`, the status
+    * code becomes `state` (error/ok/unset), the resource's `service.name`
+    * becomes `service`, kind int becomes its lowercase name.
+    *
+    * Input schema (ExportTraceServiceRequest shape):
+    * `resourceSpans: array<struct<
+    *    resource: struct<attributes: array<struct<key, value>>>,
+    *    scopeSpans: array<struct<spans: array<struct<
+    *      traceId, spanId, parentSpanId, name, kind: long,
+    *      startTimeUnixNano, endTimeUnixNano,
+    *      status: struct<code: long, message>,
+    *      attributes: array<struct<key, value>>>>>>>>`.
+    */
+  def otlpSpans(df: DataFrame): DataFrame =
+    df.select(explode(col("resourceSpans")).as("rs"))
+      .select(
+        map_from_entries(col("rs.resource.attributes")).as("__res"),
+        explode(col("rs.scopeSpans")).as("ss"))
+      .select(col("__res"), explode(col("ss.spans")).as("span"))
+      .select(
+        col("span.traceId").as("trace_id"),
+        col("span.spanId").as("span_id"),
+        col("span.parentSpanId").as("parent_span_id"),
+        col("span.name").as("name"),
+        coalesce(kindName(col("span.kind")), lit("unrecognized")).as("kind"),
+        when(col("span.status.code") === 2, "error")
+          .when(col("span.status.code") === 1, "ok")
+          .otherwise("unset").as("state"),
+        col("span.status.code").as("status"),
+        col("span.status.message").as("description"),
+        element_at(col("__res"), "service.name").as("service"),
+        col("span.startTimeUnixNano").as("start_time"),
+        col("span.endTimeUnixNano").as("end_time"),
+        col("span.endTimeUnixNano").as("time"),
+        (col("span.endTimeUnixNano") - col("span.startTimeUnixNano")).as("metric"),
+        map_from_entries(col("span.attributes")).as("attributes"))
+}

@@ -14,6 +14,13 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Keyless operator fixtures are exercised deliberately here; the
+    // engine's own once-per-op warning stays, but Spark's per-plan
+    // WindowExec "No Partition Defined" spam would drown the test log.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.classic.ExpressionColumnNode", org.apache.logging.log4j.Level.ERROR)
     s
   }
 
