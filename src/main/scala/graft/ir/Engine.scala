@@ -43,10 +43,23 @@ final class StreamResult {
   val taps: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap()
   val outputs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer()
   val sinks: mutable.ListBuffer[(SinkSpec, DataFrame)] = mutable.ListBuffer()
+  /** `publish!` channels (`action.clj:1983-2005`, `pubsub.clj:5-30`): the
+    * in-proc pubsub surface; [[subscribe]] is the websocket subscriber's
+    * server-side condition filter (`websocket.clj:47-78`).
+    */
+  val channels: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap()
   private[ir] val reinjects: mutable.ListBuffer[(String, DataFrame, Int)] = mutable.ListBuffer()
+
+  def subscribe(channel: String, condition: Condition): DataFrame =
+    channels.getOrElse(channel,
+        throw new IllegalArgumentException(s"unknown channel '$channel'"))
+      .filter(condition.column)
 
   private[ir] def recordTap(name: String, df: DataFrame): Unit =
     taps(name) = taps.get(name).map(_.unionAll(df)).getOrElse(df)
+
+  private[ir] def recordChannel(name: String, df: DataFrame): Unit =
+    channels(name) = channels.get(name).map(_.unionAll(df)).getOrElse(df)
 }
 
 /** The IR interpreter: `Node => (DataFrame => DataFrame)` per action, plus
@@ -107,6 +120,10 @@ object Engine {
 
       case "tap" => // test capture (action.clj:1724-1751)
         if (ctx.testMode) res.recordTap(pStr(n.params.head), df)
+        recurse(df)
+
+      case "publish!" => // in-proc pubsub channel (action.clj:1983-2005)
+        res.recordChannel(pStr(n.params.head), df)
         recurse(df)
 
       case "io" => // side-effect subtree, suppressed in test mode (action.clj:1710-1722)
@@ -232,8 +249,14 @@ object Engine {
       // streaming output carries (key, windowId, events) — see Streaming
       if (df.isStreaming) Streaming.fixedEventWindow(sizeOf(params), keys)(df).toDF()
       else Analytics.fixedEventWindow(sizeOf(params), keys)(df)
-    case "moving-event-window" => Analytics.movingEventWindow(sizeOf(params), keys)
-    case "moving-time-window"  => Analytics.movingTimeWindow(durOf(params), keys)
+    case "moving-event-window" => df =>
+      if (df.isStreaming)
+        Streaming.movingEventWindow(sizeOf(params), keys)(df).toDF().select(col("event.*"), col("events"))
+      else Analytics.movingEventWindow(sizeOf(params), keys)(df)
+    case "moving-time-window" => df =>
+      if (df.isStreaming)
+        Streaming.movingTimeWindow(durOf(params), keys)(df).toDF().select(col("event.*"), col("events"))
+      else Analytics.movingTimeWindow(durOf(params), keys)(df)
     case "throttle" =>
       val m = pMap(params.head)
       df =>

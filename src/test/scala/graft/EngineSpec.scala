@@ -145,6 +145,21 @@ class EngineSpec extends AnyFunSuite {
     assert(reg.list == Seq("alpha"))
   }
 
+  test("publish! channels + subscriber condition filter (pubsub.clj:5-30)") {
+    val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2))
+    val node = Node.fromJson(
+      """{"action":"increment","children":[{"action":"publish!","params":["my-channel"]}]}""")
+    val res = Engine.run(node, df, EngineCtx(testMode = false))
+    assert(res.channels.keySet == Set("my-channel"))
+    // subscriber attaches a compiled condition, exactly the websocket path
+    val sub = res.subscribe("my-channel",
+      graft.conditions.Condition.parse(Seq(">", "metric", 100)))
+    assert(sub.select("eventId").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      res.subscribe("nope", graft.conditions.Condition.AlwaysTrue)
+    }
+  }
+
   test("file sink round-trip: pipeline → JSON-lines → re-read equals memory output") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
     val df = events(ev(200, 1 * S, host = "a", id = 1), ev(300, 2 * S, host = "b", id = 2))

@@ -158,6 +158,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(proj(streamed).nonEmpty)
   }
 
+  test("streaming moving windows == batch twins (tie-free fixture)") {
+    val fixture = Seq(ev(1, 10 * S, id = 1), ev(2, 20 * S, id = 2),
+      ev(3, 25 * S, id = 3), ev(4, 200 * S, id = 4))
+    def ids(df: DataFrame) = df
+      .select(col("eventId"), transform(col("events"), _.getField("eventId")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    val mew = runStream(df => Streaming.movingEventWindow(2, Seq("host"))(df)
+      .toDF().select(col("event.*"), col("events")), Seq(fixture.take(2), fixture.drop(2)))
+    assert(ids(mew) == ids(Analytics.movingEventWindow(2, Seq("host"))(events(fixture: _*))))
+
+    val mtw = runStream(df => Streaming.movingTimeWindow(20, Seq("host"))(df)
+      .toDF().select(col("event.*"), col("events")), Seq(fixture.take(2), fixture.drop(2)))
+    assert(ids(mtw) == ids(Analytics.movingTimeWindow(20, Seq("host"))(events(fixture: _*))))
+  }
+
   test("too-late events are dropped by the watermark (action.clj:2419-2426)") {
     // event at 10s arrives after the watermark has passed its window end
     val late = Seq(ev(42, 10 * S, id = 50))
