@@ -227,22 +227,35 @@ object Engine {
       else Windows.bottomWindow(durOf(params), keys)(df)
     case "ratio" =>
       val m = pMap(params.head)
-      Windows.ratioWindow(pLong(m("duration")),
-        Condition.parse(m("cond1")), Condition.parse(m("cond2")),
-        useMetric = m.get("metric").exists(_ == true), keys)
+      val (c1, c2) = (Condition.parse(m("cond1")), Condition.parse(m("cond2")))
+      val useMetric = m.get("metric").exists(_ == true)
+      df =>
+        if (df.isStreaming)
+          Streaming.ratioWindow(pLong(m("duration")), delayOf(params), c1, c2, useMetric, keys)(df)
+        else Windows.ratioWindow(pLong(m("duration")), c1, c2, useMetric, keys)(df)
     case "ssort" =>
       val m = pMap(params.head)
-      Windows.ssort(pLong(m("duration")), pStr(m("field")), keys)
+      df =>
+        if (df.isStreaming) Streaming.ssort(pLong(m("duration")), delayOf(params), pStr(m("field")), keys)(df)
+        else Windows.ssort(pLong(m("duration")), pStr(m("field")), keys)(df)
     case "coalesce" =>
       val m = pMap(params.head)
-      Windows.coalesceWindow(pLong(m("duration")), pStrs(m("fields")))
+      df =>
+        if (df.isStreaming) Streaming.coalesceWindow(pLong(m("duration")), delayOf(params), pStrs(m("fields")))(df)
+        else Windows.coalesceWindow(pLong(m("duration")), pStrs(m("fields")))(df)
     case "project"     => Windows.project(params.head.asInstanceOf[Seq[Any]].map(Condition.parse))
     case "percentiles" =>
       // full-event per-quantile output like the reference (action.clj:2845-2929):
-      // tumbling window payload + event-identity percentile pick
+      // tumbling window payload + event-identity percentile pick; the
+      // payload window is the streaming one on a streaming frame and
+      // collPercentiles is a pure post-agg projection either way
       val m = pMap(params.head)
       val qs = pDoubles(m("quantiles"))
-      df => Windows.collPercentiles(qs)(Windows.fixedTimeWindow(pLong(m("duration")), keys)(df))
+      df =>
+        val windowed =
+          if (df.isStreaming) Streaming.fixedTimeWindow(pLong(m("duration")), delayOf(params), keys)(df)
+          else Windows.fixedTimeWindow(pLong(m("duration")), keys)(df)
+        Windows.collPercentiles(qs)(windowed)
     case "coll-increase" => Windows.collIncrease(durOf(params), keys)
 
     case "fixed-event-window" => df =>
@@ -264,7 +277,9 @@ object Engine {
         else Analytics.throttle(pLong(m("count")).toInt, pLong(m("duration")), keys)(df).toDF()
     case "stable" =>
       val m = pMap(params.head)
-      Analytics.stable(pLong(m("dt")), pStr(m("field")), keys)
+      df =>
+        if (df.isStreaming) Streaming.stable(pLong(m("dt")), pStr(m("field")), keys)(df).toDF()
+        else Analytics.stable(pLong(m("dt")), pStr(m("field")), keys)(df)
     case "changed" =>
       val m = pMap(params.head)
       df =>
@@ -272,21 +287,34 @@ object Engine {
         else Analytics.changed(pStr(m("field")), m("init"), keys)(df)
     case "above-dt" =>
       val m = pMap(params.head)
-      Analytics.aboveDt(pDouble(m("threshold")), pLong(m("duration")), keys)
+      df =>
+        if (df.isStreaming) Streaming.aboveDt(pDouble(m("threshold")), pLong(m("duration")), keys)(df).toDF()
+        else Analytics.aboveDt(pDouble(m("threshold")), pLong(m("duration")), keys)(df)
     case "below-dt" =>
       val m = pMap(params.head)
-      Analytics.belowDt(pDouble(m("threshold")), pLong(m("duration")), keys)
+      df =>
+        if (df.isStreaming) Streaming.belowDt(pDouble(m("threshold")), pLong(m("duration")), keys)(df).toDF()
+        else Analytics.belowDt(pDouble(m("threshold")), pLong(m("duration")), keys)(df)
     case "between-dt" =>
       val m = pMap(params.head)
-      Analytics.betweenDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)
+      df =>
+        if (df.isStreaming)
+          Streaming.betweenDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)(df).toDF()
+        else Analytics.betweenDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)(df)
     case "outside-dt" =>
       val m = pMap(params.head)
-      Analytics.outsideDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)
+      df =>
+        if (df.isStreaming)
+          Streaming.outsideDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)(df).toDF()
+        else Analytics.outsideDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)(df)
     case "cond-dt" =>
       val m = pMap(params.head)
       Analytics.condDt(Condition.parse(m("condition")), pLong(m("duration")), keys)
-    case "ddt"     => Analytics.ddt(keys)
-    case "ddt-pos" => Analytics.ddtPos(keys)
+    case "ddt" => df =>
+      if (df.isStreaming) Streaming.ddt(keys)(df).toDF() else Analytics.ddt(keys)(df)
+    case "ddt-pos" => df =>
+      if (df.isStreaming) Streaming.ddt(keys, removeNeg = true)(df).toDF()
+      else Analytics.ddtPos(keys)(df)
     case "ewma-timeless" => df =>
       if (df.isStreaming) Streaming.ewmaTimeless(pDouble(params.head), keys)(df).toDF()
       else Analytics.ewmaTimeless(pDouble(params.head), keys)(df).toDF()

@@ -174,6 +174,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids(mtw) == ids(Analytics.movingTimeWindow(20, Seq("host"))(events(fixture: _*))))
   }
 
+  test("streaming ratio/coalesce/ssort == batch twins after watermark flush") {
+    import graft.conditions.Condition._
+    val fx = Seq(
+      ev(200, 10 * S, host = "a", state = "critical", id = 1),
+      ev(10, 20 * S, host = "a", state = "ok", id = 2),
+      ev(80, 30 * S, host = "b", state = "ok", id = 3),
+      ev(300, 70 * S, host = "a", state = "critical", id = 4))
+    val flushes = Seq(flush1, flush2)
+
+    val ratioOut = runStream(
+      Streaming.ratioWindow(60, 10, Eq(Field("state"), "critical"), AlwaysTrue),
+      fx +: flushes)
+    def projR(df: DataFrame) = df.select("window_start", "metric")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(projR(noFlush(ratioOut)) ==
+      projR(graft.operators.Windows.ratioWindow(60, Eq(Field("state"), "critical"), AlwaysTrue)(events(fx: _*))))
+
+    val coalOut = runStream(Streaming.coalesceWindow(60, 10, Seq("host")), fx +: flushes)
+    def projC(df: DataFrame) = df.select("window_start", "host", "eventId")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(projC(noFlush(coalOut)) ==
+      projC(graft.operators.Windows.coalesceWindow(60, Seq("host"))(events(fx: _*))))
+
+    val ssortOut = runStream(Streaming.ssort(60, 10, "metric"), fx +: flushes)
+    def projS(df: DataFrame) = df.filter(col("time") < 90000L * S)
+      .select("eventId").collect().map(_.getLong(0)).toSet
+    assert(projS(ssortOut) ==
+      graft.operators.Windows.ssort(60, "metric")(events(fx: _*))
+        .select("eventId").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("streaming ddt / above-dt / stable == batch twins") {
+    val fx = Seq(
+      ev(10, 10 * S, id = 1), ev(30, 20 * S, id = 2), ev(20, 30 * S, id = 3),
+      ev(60, 40 * S, id = 4), ev(70, 50 * S, id = 5))
+    val ddtOut = runStream(df => Streaming.ddt(Seq("host"))(df).toDF(),
+      Seq(fx.take(2), fx.drop(2)))
+    def m(df: DataFrame) = df.select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(ddtOut) == m(Analytics.ddt(Seq("host"))(events(fx: _*)).toDF()))
+
+    // above-dt: metric > 25 holds from id=4 on; dt=15s → passes past 40+15
+    val fx2 = Seq(ev(10, 10 * S, id = 1), ev(30, 20 * S, id = 2), ev(40, 30 * S, id = 3),
+      ev(20, 40 * S, id = 4), ev(50, 50 * S, id = 5), ev(60, 80 * S, id = 6))
+    val aboveOut = runStream(df => Streaming.aboveDt(25, 15, Seq("host"))(df).toDF(),
+      Seq(fx2.take(3), fx2.drop(3)))
+    assert(aboveOut.select("eventId").collect().map(_.getLong(0)).toSet ==
+      Analytics.aboveDt(25, 15, Seq("host"))(events(fx2: _*))
+        .select("eventId").collect().map(_.getLong(0)).toSet)
+
+    val fx3 = Seq(
+      ev(1, 10 * S, state = "ok", id = 1), ev(1, 20 * S, state = "ok", id = 2),
+      ev(1, 40 * S, state = "ok", id = 3), ev(1, 50 * S, state = "crit", id = 4),
+      ev(1, 55 * S, state = "crit", id = 5))
+    val stableOut = runStream(df => Streaming.stable(15, "state", Seq("host"))(df).toDF(),
+      Seq(fx3.take(2), fx3.drop(2)))
+    assert(stableOut.select("eventId").collect().map(_.getLong(0)).toSet ==
+      Analytics.stable(15, "state", Seq("host"))(events(fx3: _*))
+        .select("eventId").collect().map(_.getLong(0)).toSet)
+  }
+
   test("too-late events are dropped by the watermark (action.clj:2419-2426)") {
     // event at 10s arrives after the watermark has passed its window end
     val late = Seq(ev(42, 10 * S, id = 50))
