@@ -1,0 +1,126 @@
+package graft
+
+import graft.model.Event
+import graft.operators.{Analytics, Stateless, Windows}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants over random event sequences (SURVEY §5: a
+  * layer the reference lacks). Each property is a structural law an
+  * operator must satisfy for EVERY input, not a point fixture. ScalaCheck
+  * generators are driven with fixed seeds so failures reproduce exactly.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def forAll[T](gen: Gen[T], cases: Int = 8)(f: T => Unit): Unit =
+    (1 to cases).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default.withSize(40), Seed(i.toLong)))
+    }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val genEvent: Gen[Event] = for {
+    m <- Gen.choose(-100.0, 300.0)
+    t <- Gen.choose(0L, 600L)
+    h <- Gen.oneOf("a", "b", "c")
+    st <- Gen.oneOf("ok", "warning", "critical")
+  } yield ev(m, t * S, host = h, state = st)
+
+  private val genEvents: Gen[List[Event]] =
+    Gen.listOf(genEvent).map(_.zipWithIndex.map { case (e, i) => e.copy(eventId = i.toLong) })
+
+  test("fixed-time-window partitions the input: every event lands in exactly its own window") {
+    forAll(genEvents) { evs =>
+      whenever(evs.nonEmpty) {
+        val rows = Windows.fixedTimeWindow(60)(events(evs: _*))
+          .select(col("window_start"), explode(col("events")).as("e"))
+          .select(col("window_start"), col("e.eventId"), col("e.time"))
+          .collect()
+        assert(rows.length == evs.size)                       // no loss, no duplication
+        rows.foreach { r =>
+          val (ws, t) = (r.getLong(0), r.getLong(2))
+          assert(ws == (t / (60 * S)) * (60 * S))             // correct window
+        }
+      }
+    }
+  }
+
+  test("split branches partition the input (every event on exactly one branch)") {
+    forAll(genEvents) { evs =>
+      whenever(evs.nonEmpty) {
+        val conds = Seq(
+          graft.conditions.Condition.Gt(graft.conditions.Condition.Field("metric"), 150),
+          graft.conditions.Condition.Gt(graft.conditions.Condition.Field("metric"), 0))
+        val df = events(evs: _*)
+        val sizes = (0 to 2).map(i => Stateless.splitBranch(conds, i)(df).count()).sum
+        assert(sizes == evs.size)
+      }
+    }
+  }
+
+  test("throttle equals the sequential reference fold (model-based)") {
+    forAll(genEvents) { evs =>
+      whenever(evs.nonEmpty) {
+        val out = Analytics.throttle(3, 120, Seq("host"))(events(evs: _*))
+          .toDF().select("eventId").collect().map(_.getLong(0)).toSet
+        // the reference's fold (action.clj:1163-1217), modeled directly
+        val expected = evs.groupBy(_.host).flatMap { case (_, es) =>
+          var start = Long.MinValue; var n = 0
+          es.sortBy(e => (e.time, e.eventId)).flatMap { e =>
+            if (start == Long.MinValue || e.time >= start + 120 * S) {
+              start = e.time; n = 1; Some(e.eventId)
+            } else if (n >= 3) None
+            else { n += 1; Some(e.eventId) }
+          }
+        }.toSet
+        assert(out == expected)
+      }
+    }
+  }
+
+  test("ewma output stays within [min, max] of the inputs seen so far (incl. seed 0)") {
+    forAll(genEvents) { evs =>
+      whenever(evs.nonEmpty) {
+        val out = Analytics.ewmaTimeless(0.5, Seq("host"))(events(evs: _*))
+          .toDF().select("metric").collect().map(_.getDouble(0))
+        val lo = math.min(0.0, evs.flatMap(_.metric).min)
+        val hi = math.max(0.0, evs.flatMap(_.metric).max)
+        out.foreach(m => assert(m >= lo - 1e-9 && m <= hi + 1e-9))
+      }
+    }
+  }
+
+  test("smax is monotone non-decreasing per key in (time, eventId) order") {
+    forAll(genEvents) { evs =>
+      whenever(evs.nonEmpty) {
+        val out = Analytics.smax(Seq("host"))(events(evs: _*))
+          .select("host", "time", "eventId", "metric").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        out.groupBy(_._1).foreach { case (_, rows) =>
+          val ms = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+          ms.zip(ms.drop(1)).foreach { case (a, b) => assert(b >= a) }
+        }
+      }
+    }
+  }
+
+  test("percentiles: every quantile value is an input value, and q=1.0 is the max") {
+    forAll(genEvents) { evs =>
+      whenever(evs.nonEmpty) {
+        val inputs = evs.flatMap(_.metric).toSet
+        val rows = Windows.percentiles(600, Seq(0.0, 0.5, 1.0))(events(evs: _*))
+          .select("window_start", "quantile", "metric").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        rows.foreach { case (_, _, m) => assert(inputs.contains(m)) }
+        val maxPerWindow = evs.groupBy(e => (e.time / (600 * S)) * (600 * S))
+          .view.mapValues(_.flatMap(_.metric).max).toMap
+        rows.filter(_._2 == 1.0).foreach { case (ws, _, m) =>
+          assert(m == maxPerWindow(ws))
+        }
+      }
+    }
+  }
+}
