@@ -185,6 +185,47 @@ object QueriesIr {
         .select(col("eventId"), col("metric")).orderBy("eventId")
     }
 
+    // training-pipeline ops as declared IR over the documents table
+    register("ir_text_quality",
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> len(t) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+        |       (CASE WHEN len(toks) > 0
+        |             AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+        |                   (a, x) -> a + x) AS DOUBLE) / len(toks) BETWEEN 3 AND 8
+        |             THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |       (CASE WHEN len(toks) > 0
+        |             THEN least(CAST(len(toks) AS DOUBLE) / 40.0, 1.0)
+        |             ELSE 0.0 END) * 0.3 AS quality
+        |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"text-quality","params":["text","quality"],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      tapOf(node, Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality")).orderBy("doc_id")
+    }
+
+    register("ir_dedup_exact",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val node = Node.fromJson(
+        """{"action":"dedup-exact","params":["text","doc_id"],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      tapOf(node, corpus).select("doc_id").orderBy("doc_id")
+    }
+
     // windowed latest-per-fields through the IR
     register("ir_coalesce",
       s"""$Ev

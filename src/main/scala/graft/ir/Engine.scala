@@ -339,6 +339,28 @@ object Engine {
       Windows.collWhere(pStr(c(1)), pStr(c.head), c(2))
     case "coll-percentiles" => Windows.collPercentiles(pDoubles(params.head))
 
+    // training-data pipeline ops (first-class alongside the reference
+    // surface): single-input text analysis and dedup as declarable actions
+    case "text-tokens" =>
+      df => df.withColumn(pStr(params(1)), graft.functions.Text.tokenCount(col(pStr(params.head))))
+    case "text-quality" =>
+      df => df.withColumn(pStr(params(1)), graft.functions.Text.qualityScore(col(pStr(params.head))))
+    case "text-langid" =>
+      df => df.withColumn(pStr(params(1)), graft.functions.Text.langId(col(pStr(params.head))))
+    case "text-fingerprint" =>
+      df => df.withColumn(pStr(params(1)), graft.functions.Text.fingerprint(col(pStr(params.head))))
+    case "dedup-exact" =>
+      df => graft.operators.Dedup.exact(df, pStr(params.head), pStr(params(1)))
+    case "dedup-fingerprint" =>
+      df => graft.operators.Dedup.byFingerprint(df, pStr(params.head), pStr(params(1)))
+    case "dedup-simhash" =>
+      df => graft.operators.Dedup.simhash(df, pStr(params.head))
+    case "dedup-minhash-lsh" =>
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
+        k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }
 
