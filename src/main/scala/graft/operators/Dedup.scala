@@ -152,7 +152,7 @@ object Dedup {
     val l = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val r = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     l.join(r, col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineF(col("v1"), col("v2")))
       .filter(col("cosine") > threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
@@ -172,7 +172,7 @@ object Dedup {
     val r = withB.select(col("__id").as("id2"), col("__v").as("v2"), col("__bucket"))
     l.join(r, "__bucket")
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineF(col("v1"), col("v2")))
       .filter(col("cosine") > threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }

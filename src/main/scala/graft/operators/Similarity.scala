@@ -37,7 +37,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("query_vec"), col("nn_vec")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -66,7 +66,7 @@ object Similarity {
       signBucket(col(vecCol), bits).as("__bucket"))
     val scored = c.join(q, "__bucket")
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("query_vec"), col("nn_vec")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w))
