@@ -16,7 +16,7 @@ object Bench {
     "sum_window", "by_sum", "percentiles", "coalesce_window",
     "ddt", "ewma", "throttle", "moving_event_window",
     "dedup_minhash_lsh", "dedup_minhash_lsh_xx", "dedup_simhash",
-    "text_quality", "ann_topk", "ann_bucketed_topk",
+    "text_quality", "ann_topk", "ann_bucketed_topk", "ann_ivf_topk",
     "embedding_near_dup_bucketed")
 
   def main(args: Array[String]): Unit = {

@@ -311,6 +311,43 @@ object QueriesPipeline {
       }
     }
 
+    // IVF cell-probe ANN: the oracle replays the same deterministic index
+    // — seed centroids, arg-max cell assignment, top-nprobe probing —
+    // so cell contents and candidate sets match exactly
+    locally {
+      val (nCells, nProbe, topK) = (16, 4, 3)
+      register("ann_ivf_topk",
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+           |  ORDER BY vec_id LIMIT $nCells),
+           |assign AS (
+           |  SELECT nn_id, nn_vec, cell FROM (
+           |    SELECT e.vec_id AS nn_id, e.embedding AS nn_vec, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, query_vec, cell FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cell,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${sqlCosine("q.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 50) WHERE rn <= $nProbe),
+           |scored AS (
+           |  SELECT p.query_id, a.nn_id,
+           |         ${sqlCosine("p.query_vec", "a.nn_vec")} AS cosine
+           |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.nn_id != p.query_id)
+           |SELECT query_id, rank, nn_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY cosine DESC, nn_id ASC) AS rank
+           |  FROM scored) WHERE rank <= $topK
+           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+          topK, nCells, nProbe)
+          .orderBy("query_id", "rank")
+      }
+    }
+
     // ---------------- multimodal plumbing ----------------
 
     register("media_decode",

@@ -55,6 +55,63 @@ object Similarity {
       when(element_at(vec, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN top-k — the classic cell-probe index as one
+    * Spark plan:
+    *
+    *  1. *train*: centroids are the `nCells` lowest-id corpus vectors —
+    *     deterministic stand-in for k-means (centroid training is
+    *     pluggable; the index structure, not the training, is what this
+    *     operator provides). Centroids are model-sized and collected once
+    *     to the driver — the same data movement as any `broadcast()`; the
+    *     corpus itself is never collected.
+    *  2. *assign*: each corpus vector gets `nCells` codegen'd cosines
+    *     against centroid literals and takes the arg-max cell via a
+    *     struct-max — pure map-side projection, NO shuffle and no row
+    *     amplification (a crossJoin+window argmax would shuffle
+    *     corpus×nCells rows).
+    *  3. *probe*: each query explodes its top-`nProbe` cells; candidates
+    *     are fetched by a single equi-join on the cell id — the only
+    *     shuffle of corpus data, and candidate count tracks cell sizes,
+    *     not corpus size.
+    *
+    * Ties everywhere break toward the lower cell / id, matching the
+    * DuckDB oracle.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Array[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    // array of (cosine-to-centroid, -cell) structs; struct ordering gives
+    // "best cosine, ties to lowest cell" via max / descending sort
+    def cellScores(vec: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(
+        graft.functions.VectorExpressions.cosineF(vec, typedLit(cv)).as("cc"),
+        lit(-cid).as("negCell"))
+    }: _*)
+
+    val inverted = corpus.select(
+      col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      (-array_max(cellScores(col(vecCol)))("negCell")).as("cell"))
+
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("query_vec"), (-col("p.negCell")).as("cell"))
+
+    val scored = inverted.join(probes, "cell")
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
+  }
+
   /** Bucketed ANN top-k: probe only the query's sign bucket. One shuffle
     * on the bucket key regardless of corpus size.
     */
