@@ -1,7 +1,7 @@
 package graft
 
-import graft.sources.{Decode, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.{Decode, RiemannCodec, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-gated queries for the §2.7 source decode mappings: the events
@@ -84,6 +84,92 @@ object QueriesSources {
           col("state"), col("status"), col("service"), col("start_time"),
           col("time"), col("metric"))
         .orderBy("trace_id", "span_id")
+    }
+
+    // TCP Riemann protocol (§2.7 row 1): canonical events → protobuf Msg
+    // payloads with 4-byte frame headers (one simulated TCP byte stream
+    // per host, 50 events per Msg) → framing split + wire-format decode →
+    // flat events. The oracle computes the expected events directly from
+    // parquet, so a drift anywhere in the codec (varint, zigzag, fixed64,
+    // field numbers, µs/ns conversion, host→attributes fold) mismatches.
+    // Wire-format byte-level parity is additionally pinned by golden byte
+    // fixtures in RiemannCodecSpec.
+    register("riemann_decode",
+      """SELECT event_id AS eid,
+        |       (epoch_ns(ts) // 1000) * 1000 AS time,
+        |       CAST(user_id AS VARCHAR) AS host,
+        |       event_type AS service,
+        |       CASE WHEN value > 150 THEN 'critical'
+        |            WHEN value > 100 THEN 'warning' ELSE 'ok' END AS state,
+        |       value AS metric,
+        |       120.0 AS ttl,
+        |       props AS description,
+        |       event_type || ',u' || CAST(user_id % 10 AS VARCHAR) AS tags_str
+        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+        col("eventId"), col("time"), col("host"), col("service"),
+        col("state"), col("metric"), col("ttl"), col("description"), col("tags"))
+      val streams = ev
+        .groupByKey(_.getAs[String]("host"))
+        .mapGroups { (host: String, it: Iterator[Row]) =>
+          val evs = it.toSeq.sortBy(_.getAs[Long]("eventId")).map { r =>
+            RiemannCodec.RiemannEvent(
+              time = Some(r.getAs[Long]("time")),
+              state = Some(r.getAs[String]("state")),
+              service = Some(r.getAs[String]("service")),
+              description = Some(r.getAs[String]("description")),
+              tags = r.getSeq[String](r.fieldIndex("tags")).toList,
+              ttl = Some(r.getAs[Double]("ttl").toFloat),
+              metric = Some(r.getAs[Double]("metric")),
+              attributes = Map("host" -> host,
+                "eid" -> r.getAs[Long]("eventId").toString))
+          }
+          val stream = evs.grouped(50)
+            .map(g => RiemannCodec.frame(RiemannCodec.encodeMsg(g, ok = Some(true))))
+            .foldLeft(Array.emptyByteArray)(_ ++ _)
+          (host, stream)
+        }(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+        .toDF("host", "stream")
+      RiemannCodec.decodeStreams(streams)
+        .select(
+          element_at(col("attributes"), "eid").cast("long").as("eid"),
+          col("time"),
+          element_at(col("attributes"), "host").as("host"),
+          col("service"), col("state"), col("metric"),
+          col("ttl").cast("double").as("ttl"),
+          col("description"),
+          array_join(col("tags"), ",").as("tags_str"))
+        .orderBy("eid")
+    }
+
+    // HTTP push API (§2.7): events serialized as the PUT body JSON
+    // ({"events":[...]}, handler.clj:51-58) and decoded back.
+    register("http_push_decode",
+      """SELECT event_id AS eid,
+        |       (epoch_ns(ts) // 1000) * 1000 AS time,
+        |       CAST(user_id AS VARCHAR) AS host,
+        |       event_type AS service,
+        |       CASE WHEN value > 150 THEN 'critical'
+        |            WHEN value > 100 THEN 'warning' ELSE 'ok' END AS state,
+        |       value AS metric,
+        |       120.0 AS ttl,
+        |       event_type || ',u' || CAST(user_id % 10 AS VARCHAR) AS tags_str
+        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      val bodies = Tables.events(s, dir)
+        .groupBy(col("host").as("h"))
+        .agg(to_json(struct(collect_list(struct(
+          col("time"), col("state"), col("service"), col("host"),
+          col("tags"), col("ttl"), col("metric"),
+          map(lit("eid"), col("eventId").cast("string")).as("attributes")))
+          .as("events"))).as("body"))
+      Decode.httpEvents(bodies)
+        .select(
+          element_at(col("attributes"), "eid").cast("long").as("eid"),
+          col("time"), col("host"), col("service"), col("state"),
+          col("metric"), col("ttl"),
+          array_join(col("tags"), ",").as("tags_str"))
+        .orderBy("eid")
     }
   }
 }

@@ -33,6 +33,26 @@ object Decode {
         col("sample.value").as("metric"),
         (col("sample.timestamp") * lit(1000000L)).as("time"))
 
+  /** HTTP push API body → events
+    * (`/root/reference/src/clojure/mirabelle/handler.clj:51-58`
+    * `PUT /api/v1/stream/:name` with `{"events": [...]}`): each element is
+    * an event map pushed as-is — `time` is already ns (`time/default-time`
+    * only fills in a missing time with the wall clock; a deterministic
+    * library leaves absent times null instead).
+    *
+    * `from_json` + explode: fuses into the scan, no shuffle.
+    */
+  def httpEvents(df: DataFrame, bodyCol: String = "body"): DataFrame = {
+    val eventType =
+      "struct<time:bigint,state:string,service:string,host:string," +
+        "description:string,tags:array<string>,ttl:double,metric:double," +
+        "attributes:map<string,string>>"
+    df.select(from_json(col(bodyCol), s"struct<events:array<$eventType>>",
+        Map.empty[String, String]).as("__body"))
+      .select(explode(col("__body.events")).as("e"))
+      .select(col("e.*"))
+  }
+
   /** fluentbit JSON logs → events (`handler.clj:89-95`): `date` (seconds,
     * possibly fractional) becomes ns `time`; the log line maps onto
     * `description`.
