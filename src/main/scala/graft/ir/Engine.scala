@@ -21,6 +21,14 @@ import scala.collection.mutable
 final case class EngineCtx(
     testMode: Boolean = false,
     custom: Map[String, Seq[Any] => DataFrame => DataFrame] = Map.empty,
+    /** Named outputs for `output!` (reference config-file outputs wired in
+      * `stream.clj:69-115`; `output!*` resolves by name or fails,
+      * `action.clj:690-719`): name → side-effecting writer. The library
+      * ships `file` ([[graft.sinks.FileSink]]) and payload encoders for
+      * elasticsearch/pagerduty/prometheus ([[graft.sinks.Encode]]); users
+      * register transport wrappers here.
+      */
+    outputs: Map[String, DataFrame => Unit] = Map.empty,
     /** reinject! is executed by re-running the target pipeline on the
       * reinjected frame; this bounds pipeline-level cycles (the reference
       * allows true cycles because it is push-per-event; a declarative plan
@@ -48,6 +56,8 @@ final class StreamResult {
     * server-side condition filter (`websocket.clj:47-78`).
     */
   val channels: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap()
+  /** `output!` sends that were executed (empty in test mode). */
+  val outputSends: mutable.ListBuffer[(String, DataFrame)] = mutable.ListBuffer()
   private[ir] val reinjects: mutable.ListBuffer[(String, DataFrame, Int)] = mutable.ListBuffer()
 
   def subscribe(channel: String, condition: Condition): DataFrame =
@@ -76,11 +86,14 @@ final class StreamResult {
   */
 object Engine {
 
-  /** Run one pipeline over an input frame. */
+  /** Run one pipeline over an input frame. `include` nodes (config-layer
+    * snippet reuse, `action.clj:2249-2277`) are expanded before
+    * interpretation.
+    */
   def run(node: Node, input: DataFrame, ctx: EngineCtx = EngineCtx(),
           registry: StreamRegistry = null): StreamResult = {
     val res = new StreamResult
-    interp(node, input, Nil, ctx, res, registry, depth = 0)
+    interp(Node.expandIncludes(node), input, Nil, ctx, res, registry, depth = 0)
     drainReinjects(ctx, res, registry)
     res
   }
@@ -106,6 +119,12 @@ object Engine {
 
     n.action match {
       case "sdo" => recurse(df) // tee: every action already fans to all children
+
+      case "async-queue!" => // hand subtree to a thread pool (action.clj:1680-1708)
+        // Spark already schedules the whole DAG across executors, so the
+        // reference's explicit thread-pool handoff has no work to do here;
+        // the subtree simply continues (params = the queue name, ignored).
+        recurse(df)
 
       case "by" => // per-key fork → grouping keys for the whole subtree
         recurse(df, newKeys = pStrs(n.params.head))
@@ -151,6 +170,17 @@ object Engine {
         val fn = ctx.custom.getOrElse(name,
           throw new IllegalArgumentException(s"unknown custom action '$name'"))
         recurse(fn(n.params.tail)(df))
+
+      case "output!" => // forward to a configured named output (action.clj:690-719)
+        val name = pStr(n.params.head)
+        if (ctx.testMode) () // "Outputs are automatically discarded in test mode"
+        else {
+          val out = ctx.outputs.getOrElse(name,
+            throw new IllegalArgumentException(s"Output $name not found"))
+          out(df)
+          res.outputSends += ((name, df))
+        }
+        recurse(df)
 
       case "output-file" => // file sink (output/file.clj:10-50); io-gated
         val m = pMap(n.params.head)

@@ -54,6 +54,69 @@ object Node {
     case JObject(fs) => fs.map { case (k, x) => k -> anyOf(x) }.toMap
   }
 
+  /** Config-layer `include` (reference `action.clj:2249-2277`): an
+    * `{"action":"include","params":[path, {options}]}` node loads another
+    * IR JSON file and splices it in place, after substituting template
+    * markers — the JSON analog of the reference's aero templating:
+    *
+    *  - `{"var": "name"}` anywhere in params → `options.variables("name")`
+    *    (reference `#mirabelle/var`);
+    *  - `{"profile": {"dev": x, "prod": y, "default": z}}` in params →
+    *    the value for the active profile (explicit `options.profile`, else
+    *    the `PROFILE` environment variable, mirroring `get-env-profile`),
+    *    falling back to `"default"`.
+    *
+    * The include node's own children are grafted onto every leaf of the
+    * included tree, so a shared snippet composes downstream like any
+    * ordinary action ("use the same configuration snippet from multiple
+    * parts of the same stream").
+    */
+  def expandIncludes(node: Node,
+      load: String => String = p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8),
+      env: Map[String, String] = sys.env): Node = node match {
+    case Node("include", params, children) =>
+      val path = params.headOption match {
+        case Some(s: String) => s
+        case other => throw new IllegalArgumentException(s"include needs a path, got $other")
+      }
+      val opts = params.lift(1) match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _                  => Map.empty[String, Any]
+      }
+      val profile = opts.get("profile").map(_.toString).orElse(env.get("PROFILE"))
+      val vars = opts.get("variables") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _                  => Map.empty[String, Any]
+      }
+      def subst(v: Any): Any = v match {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          (mm.get("var"), mm.get("profile")) match {
+            case (Some(name: String), _) if mm.size == 1 =>
+              vars.getOrElse(name,
+                throw new IllegalArgumentException(s"include: undefined variable '$name'"))
+            case (_, Some(choices: Map[_, _])) if mm.size == 1 =>
+              val cs = choices.asInstanceOf[Map[String, Any]]
+              profile.flatMap(cs.get).orElse(cs.get("default")).getOrElse(
+                throw new IllegalArgumentException(
+                  s"include: no value for profile ${profile.getOrElse("<unset>")} and no default"))
+            case _ => mm.map { case (k, x) => k -> subst(x) }
+          }
+        case xs: Seq[_] => xs.map(subst)
+        case other      => other
+      }
+      def walk(n: Node): Node =
+        Node(n.action, n.params.map(subst), n.children.map(walk))
+      def graft(n: Node): Node =
+        if (n.children.isEmpty) n.copy(children = children.map(expandIncludes(_, load, env)))
+        else n.copy(children = n.children.map(graft))
+      val included = walk(expandIncludes(fromJson(load(path)), load, env))
+      if (children.isEmpty) included else graft(included)
+    case Node(a, p, cs) => Node(a, p, cs.map(expandIncludes(_, load, env)))
+  }
+
   def fromJValue(v: JValue): Node = v match {
     case o: JObject =>
       val action = o \ "action" match {

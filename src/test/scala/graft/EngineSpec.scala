@@ -179,4 +179,72 @@ class EngineSpec extends AnyFunSuite {
     val res2 = Engine.run(node, df, EngineCtx(testMode = true))
     assert(res2.sinks.isEmpty)
   }
+
+  test("output!: routes to a configured named output; discarded in test mode; unknown name fails") {
+    val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2))
+    val captured = scala.collection.mutable.ListBuffer[Long]()
+    val ctx = EngineCtx(testMode = false, outputs = Map(
+      "es" -> (d => captured ++= d.select("eventId").collect().map(_.getLong(0)))))
+    val node = Node.fromJson(
+      """{"action":"where","params":[[">","metric",100]],
+        | "children":[{"action":"output!","params":["es"]}]}""".stripMargin)
+    val res = Engine.run(node, df, ctx)
+    assert(captured.toSeq == Seq(1L))
+    assert(res.outputSends.map(_._1).toSeq == Seq("es"))
+    // test mode: output silently discarded (action.clj:692-694)
+    captured.clear()
+    assert(Engine.run(node, df, ctx.copy(testMode = true)).outputSends.isEmpty)
+    assert(captured.isEmpty)
+    // unknown output name → "Output %s not found" (action.clj:698-699)
+    intercept[IllegalArgumentException] {
+      Engine.run(Node.fromJson("""{"action":"output!","params":["nope"]}"""), df, ctx)
+    }
+  }
+
+  test("include: templated snippet with variables + profile (action.clj:2249-2277)") {
+    // shared snippet: threshold filter whose cutoff is a variable and
+    // whose scale factor depends on the active profile
+    val snippet =
+      """{"action":"where","params":[[">","metric",{"var":"cutoff"}]],"children":[
+        |  {"action":"scale","params":[{"profile":{"dev":1,"default":10}}]}]}""".stripMargin
+    val node = Node.fromJson(
+      """{"action":"include",
+        | "params":["/snippets/alert.json",{"variables":{"cutoff":100}}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val expanded = Node.expandIncludes(node,
+      load = p => { assert(p == "/snippets/alert.json"); snippet },
+      env = Map.empty)
+    // include splice: where → scale, tap grafted onto the snippet's leaf
+    assert(expanded.action == "where")
+    assert(expanded.params == Seq(Seq(">", "metric", 100L)))
+    assert(expanded.children.map(_.action) == Seq("scale"))
+    assert(expanded.children.head.params == Seq(10L)) // no profile → default
+    assert(expanded.children.head.children.map(_.action) == Seq("tap"))
+    // explicit profile wins
+    val dev = Node.expandIncludes(Node.fromJson(
+      """{"action":"include",
+        | "params":["p",{"profile":"dev","variables":{"cutoff":5}}]}""".stripMargin),
+      load = _ => snippet, env = Map.empty)
+    assert(dev.children.head.params == Seq(1L))
+    // PROFILE env var is the fallback (get-env-profile)
+    val prod = Node.expandIncludes(Node.fromJson(
+      """{"action":"include","params":["p",{"variables":{"cutoff":5}}]}"""),
+      load = _ => snippet, env = Map("PROFILE" -> "dev"))
+    assert(prod.children.head.params == Seq(1L))
+    // undefined variable is an error, not a silent null
+    intercept[IllegalArgumentException] {
+      Node.expandIncludes(Node.fromJson(
+        """{"action":"include","params":["p"]}"""), load = _ => snippet, env = Map.empty)
+    }
+  }
+
+  test("async-queue! is a scheduling no-op: subtree continues (action.clj:1680-1708)") {
+    val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2))
+    val node = Node.fromJson(
+      """{"action":"async-queue!","params":["slow-io"],"children":[
+        |  {"action":"where","params":[[">","metric",100]],
+        |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    assert(tapRows(res, "out") == Seq(1L -> 200.0))
+  }
 }
