@@ -112,15 +112,41 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
   }
 
-  /** Bucketed ANN top-k: probe only the query's sign bucket. One shuffle
-    * on the bucket key regardless of corpus size.
+  /** Multi-probe bucket set for a query vector: its own sign bucket plus
+    * the buckets reached by flipping each of the `extraProbes`
+    * least-confident bits — the dimensions with the smallest |value|,
+    * i.e. the points closest to their separating hyperplane, exactly the
+    * flips most likely to recover a near neighbor that landed one bucket
+    * over (standard multi-probe LSH: Lv et al., VLDB'07).
+    */
+  def probeBuckets(vec: Column, bits: Int, extraProbes: Int): Column = {
+    val base = signBucket(vec, bits)
+    if (extraProbes <= 0) array(base)
+    else {
+      val confidence = array((1 to bits).map { i =>
+        struct(abs(element_at(vec, i)).as("a"), lit(1L << (i - 1)).as("mask"))
+      }: _*)
+      val flips = transform(
+        slice(array_sort(confidence), 1, extraProbes),
+        s => base.bitwiseXOR(s("mask")))
+      array_union(array(base), flips)
+    }
+  }
+
+  /** Bucketed ANN top-k: probe the query's sign bucket, plus
+    * `extraProbes` least-confident-bit-flip buckets (multi-probe; 0 =
+    * single-probe). One shuffle on the bucket key regardless of corpus
+    * size; each extra probe adds one candidate bucket per query, not a
+    * corpus scan. A corpus vector lives in exactly one bucket and probe
+    * buckets are distinct, so no candidate pair is scored twice.
     */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                   vecCol: String, k: Int, bits: Int = 16): DataFrame = {
+                   vecCol: String, k: Int, bits: Int = 16,
+                   extraProbes: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
       signBucket(col(vecCol), bits).as("__bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      signBucket(col(vecCol), bits).as("__bucket"))
+      explode(probeBuckets(col(vecCol), bits, extraProbes)).as("__bucket"))
     val scored = c.join(q, "__bucket")
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("cosine", graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))
