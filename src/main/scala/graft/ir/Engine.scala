@@ -29,6 +29,12 @@ final case class EngineCtx(
       * register transport wrappers here.
       */
     outputs: Map[String, DataFrame => Unit] = Map.empty,
+    /** Pluggable window-aggregation pairs for `aggr-custom` (the
+      * reference's user-extensible `keyword->aggr-fn` registry,
+      * `action.clj:2285-2374`): name → args → aggregation Column. See
+      * [[graft.functions.Aggregators]] for the typed-Aggregator route.
+      */
+    aggregators: Map[String, Seq[Any] => org.apache.spark.sql.Column] = Map.empty,
     /** reinject! is executed by re-running the target pipeline on the
       * reinjected frame; this bounds pipeline-level cycles (the reference
       * allows true cycles because it is push-per-event; a declarative plan
@@ -255,6 +261,22 @@ object Engine {
     case "bottom" => df =>
       if (df.isStreaming) Streaming.bottomWindow(durOf(params), delayOf(params), keys)(df)
       else Windows.bottomWindow(durOf(params), keys)(df)
+    case "aggr-custom" => df =>
+      // pluggable aggregation pair (keyword->aggr-fn registry,
+      // action.clj:2285-2374): params = {duration, name, args?, delay?}
+      val m = pMap(params.head)
+      val name = pStr(m("name"))
+      val aggOf = ctx.aggregators.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown aggregator '$name'"))
+      val argsOf = m.get("args") match {
+        case Some(xs: Seq[_]) => xs.toSeq
+        case Some(x)          => Seq(x)
+        case None             => Nil
+      }
+      if (df.isStreaming)
+        Streaming.customWindow(durOf(params), delayOf(params), aggOf(argsOf), keys)(df)
+      else Windows.customWindow(durOf(params), aggOf(argsOf), keys)(df)
+
     case "ratio" =>
       val m = pMap(params.head)
       val (c1, c2) = (Condition.parse(m("cond1")), Condition.parse(m("cond2")))

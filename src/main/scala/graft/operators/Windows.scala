@@ -85,6 +85,18 @@ object Windows {
   def rateWindow(durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
     aggWindow(df, durationSeconds, keys, count(lit(1)).cast(DoubleType) / lit(durationSeconds.toDouble))
 
+  /** Pluggable aggregation-pair surface (SURVEY §2.9): the reference's
+    * window aggregations are user-extensible accumulate/finalize pairs
+    * (`keyword->aggr-fn`, `action.clj:2285-2374`); the Spark twin is "any
+    * aggregation `Column`" — built-ins, `udaf()`-wrapped typed
+    * [[org.apache.spark.sql.expressions.Aggregator]]s
+    * (see [[graft.functions.Aggregators]]), whatever composes. The
+    * aggregate lands on `metric` of the window's latest event, like every
+    * built-in window op.
+    */
+  def customWindow(durationSeconds: Long, metricAgg: Column, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    aggWindow(df, durationSeconds, keys, metricAgg)
+
   private def aggWindow(df: DataFrame, durationSeconds: Long, keys: Seq[String], metricAgg: Column): DataFrame = {
     val all = struct(df.columns.map(col): _*)
     grouped(withWindow(df, durationSeconds), durationSeconds, keys)
@@ -121,8 +133,11 @@ object Windows {
     def side(c: Condition): Column =
       if (useMetric) sum(when(c.column, col("metric")).otherwise(lit(0.0)))
       else sum(when(c.column, lit(1.0)).otherwise(lit(0.0)))
+    // try_divide: a window where nothing matches cond2 yields a NULL
+    // ratio instead of aborting the job under ANSI mode (and NULL is
+    // DuckDB's x/0 result, so the oracle pins it)
     grouped(withWindow(df, durationSeconds), durationSeconds, keys)
-      .agg((side(c1) / side(c2)).as("metric"))
+      .agg(try_divide(side(c1), side(c2)).as("metric"))
   }
 
   /** `ssort` — buffer per window, emit events sorted by a field
@@ -236,11 +251,16 @@ object Windows {
   }
 
   /** `coll-quotient` — first metric divided by the rest sequentially
-    * (`math.clj:16-26`).
+    * (`math.clj:16-26`). The reference throws on a zero divisor —
+    * viable when one event's exception kills one event, not when it
+    * kills a 100 TB job — so the distributed semantics here is
+    * `try_divide`: a zero divisor turns that window's quotient into
+    * NULL (and NULL then absorbs the rest of the fold), which is also
+    * exactly DuckDB's x/0 behavior, so the oracle pins it.
     */
   def collQuotient(df: DataFrame): DataFrame = {
     val ms = transform(col("events"), _.getField("metric"))
-    collAgg(df, aggregate(slice(ms, 2, 1000000), element_at(ms, 1), (acc, x) => acc / x))
+    collAgg(df, aggregate(slice(ms, 2, 1000000), element_at(ms, 1), (acc, x) => try_divide(acc, x)))
   }
 
   /** `coll-max` / `coll-min` — the extreme event itself (`math.clj:39-78`). */

@@ -75,6 +75,14 @@ object Streaming {
   def bottomWindow(durationSeconds: Long, delaySeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
     extremum(df, durationSeconds, delaySeconds, keys, isTop = false)
 
+  /** Pluggable aggregation pair over a stream — see
+    * [[graft.operators.Windows.customWindow]]; any aggregation `Column`
+    * (built-in or `udaf()`-wrapped Aggregator) works under a watermark.
+    */
+  def customWindow(durationSeconds: Long, delaySeconds: Long, metricAgg: org.apache.spark.sql.Column,
+                   keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    aggWindow(df, durationSeconds, delaySeconds, keys, metricAgg)
+
   private def aggWindow(df: DataFrame, durationSeconds: Long, delaySeconds: Long,
                         keys: Seq[String], metricAgg: org.apache.spark.sql.Column): DataFrame = {
     val all = struct(df.columns.map(col): _*)
@@ -102,7 +110,7 @@ object Streaming {
       if (useMetric) sum(when(c.column, col("metric")).otherwise(lit(0.0)))
       else sum(when(c.column, lit(1.0)).otherwise(lit(0.0)))
     grouped(df, durationSeconds, delaySeconds, keys)
-      .agg((side(c1) / side(c2)).as("metric"))
+      .agg(try_divide(side(c1), side(c2)).as("metric")) // NULL, not abort, on zero (see Windows.ratioWindow)
       .select(windowStartNs +: keys.map(col) :+ col("metric"): _*)
   }
 
@@ -177,7 +185,7 @@ object Streaming {
       case "name"    => e.name.getOrElse("")
       case "state"   => e.state.getOrElse("")
       case other     => e.attributes.getOrElse(other, "")
-    }.mkString(" ")
+    }.mkString("\u0000")
 
   private def ordered(events: Iterator[Event]): Seq[Event] =
     events.toSeq.sortBy(e => (e.time, e.eventId))

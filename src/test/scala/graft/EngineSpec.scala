@@ -201,6 +201,25 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("aggr-custom: pluggable aggregation pair via typed Aggregator (action.clj:2285-2374)") {
+    val df = events(ev(10, 10 * S, id = 1), ev(20, 20 * S, id = 2), ev(60, 70 * S, id = 3))
+    val ctx = EngineCtx(testMode = true, aggregators = Map(
+      // unit weight → plain mean; the pair is accumulate (Σwx, Σw) / finalize quotient
+      "wmean" -> (_ => graft.functions.Aggregators.weightedMean(col("metric"), lit(1.0)))))
+    val node = Node.fromJson(
+      """{"action":"aggr-custom","params":[{"duration":60,"name":"wmean"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val res = Engine.run(node, df, ctx)
+    // window [0,60): mean(10,20)=15 lands on the latest event (id 2);
+    // window [60,120): 60 on id 3 — same emit shape as the built-in mean
+    assert(tapRows(res, "out") == Seq(2L -> 15.0, 3L -> 60.0))
+    // unknown aggregator name is an error
+    intercept[IllegalArgumentException] {
+      Engine.run(Node.fromJson(
+        """{"action":"aggr-custom","params":[{"duration":60,"name":"nope"}]}"""), df, ctx)
+    }
+  }
+
   test("include: templated snippet with variables + profile (action.clj:2249-2277)") {
     // shared snippet: threshold filter whose cutoff is a variable and
     // whose scale factor depends on the active profile
