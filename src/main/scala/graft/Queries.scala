@@ -766,13 +766,21 @@ object Queries {
         .orderBy("window_start", "pos")
     }
 
+    // compound condition with a nested attributes path — exercises the
+    // full condition language inside the payload filter lambda
     register("coll_where",
       s"""$EventsView
          |SELECT $winSql AS window_start,
-         |       count(*) FILTER (WHERE metric > 100) AS n
+         |       count(*) FILTER (WHERE metric > 100
+         |                          AND (state = 'critical'
+         |                               OR regexp_full_match(json_extract_string(description, '$$.k'), '1.*'))) AS n
          |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
       ev(s, dir).transform(Windows.fixedTimeWindow(3600))
-        .transform(Windows.collWhere("metric", ">", 100))
+        .transform(Windows.collWhere(Condition.And.of(
+          Condition.Gt(Condition.Field("metric"), 100),
+          Condition.Or.of(
+            Condition.Eq(Condition.Field("state"), "critical"),
+            Condition.Regex(Condition.Field("attributes.k"), "1.*")))))
         .select(col("window_start"), size(col("events")).cast("long").as("n"))
         .orderBy("window_start")
     }

@@ -57,27 +57,34 @@ object Condition {
   object And { def of(cs: Condition*): And = And(cs) }
   object Or { def of(cs: Condition*): Or = Or(cs) }
 
-  def compile(c: Condition): Column = c match {
-    case Gt(f, v)       => f.column > lit(v)
-    case Gte(f, v)      => f.column >= lit(v)
-    case Lt(f, v)       => f.column < lit(v)
-    case Lte(f, v)      => f.column <= lit(v)
-    case Eq(f, v)       => f.column === lit(v)
+  def compile(c: Condition): Column = compileWith(c, _.column)
+
+  /** Compile against a custom field resolver, so the same condition
+    * vocabulary evaluates in non-top-level scopes — e.g. against struct
+    * elements inside an array `filter` lambda (`coll-where` runs the full
+    * language over a window payload, `action.clj:115-137`).
+    */
+  def compileWith(c: Condition, resolve: Field => Column): Column = c match {
+    case Gt(f, v)       => resolve(f) > lit(v)
+    case Gte(f, v)      => resolve(f) >= lit(v)
+    case Lt(f, v)       => resolve(f) < lit(v)
+    case Lte(f, v)      => resolve(f) <= lit(v)
+    case Eq(f, v)       => resolve(f) === lit(v)
     // null-safe: the reference's not= (Clojure `not=`, condition.clj:22)
     // returns true when the field is nil and the literal isn't — plain
     // !(=== ) would yield NULL and silently drop those events.
-    case NotEq(f, v)    => !(f.column <=> lit(v))
-    case Pos(f)         => f.column > lit(0)
-    case Neg(f)         => f.column < lit(0)
-    case Zero(f)        => f.column === lit(0)
-    case IsNil(f)       => f.column.isNull
-    case NotNil(f)      => f.column.isNotNull
-    case Contains(f, v) => array_contains(f.column, v)
-    case Absent(f, v)   => !coalesce(array_contains(f.column, v), lit(false))
-    case Regex(f, p)    => f.column.rlike(anchored(p))
+    case NotEq(f, v)    => !(resolve(f) <=> lit(v))
+    case Pos(f)         => resolve(f) > lit(0)
+    case Neg(f)         => resolve(f) < lit(0)
+    case Zero(f)        => resolve(f) === lit(0)
+    case IsNil(f)       => resolve(f).isNull
+    case NotNil(f)      => resolve(f).isNotNull
+    case Contains(f, v) => array_contains(resolve(f), v)
+    case Absent(f, v)   => !coalesce(array_contains(resolve(f), v), lit(false))
+    case Regex(f, p)    => resolve(f).rlike(anchored(p))
     case AlwaysTrue     => lit(true)
-    case And(cs)        => cs.map(compile).reduceLeft(_ && _)
-    case Or(cs)         => cs.map(compile).reduceLeft(_ || _)
+    case And(cs)        => cs.map(compileWith(_, resolve)).reduceLeft(_ && _)
+    case Or(cs)         => cs.map(compileWith(_, resolve)).reduceLeft(_ || _)
   }
 
   // Full-string semantics like the reference's `re-matches`

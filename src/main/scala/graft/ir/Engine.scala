@@ -386,9 +386,7 @@ object Engine {
     case "coll-top"      => Windows.collTop(pLong(params.head).toInt)
     case "coll-bottom"   => Windows.collBottom(pLong(params.head).toInt)
     case "coll-sort"     => Windows.collSort(pStr(params.head))
-    case "coll-where" =>
-      val c = params.head.asInstanceOf[Seq[Any]]
-      Windows.collWhere(pStr(c(1)), pStr(c.head), c(2))
+    case "coll-where" => Windows.collWhere(Condition.parse(params.head))
     case "coll-percentiles" => Windows.collPercentiles(pDoubles(params.head))
 
     // training-data pipeline ops (first-class alongside the reference

@@ -333,23 +333,19 @@ object Windows {
         .when(a.getField("eventId") > b.getField("eventId"), 1)
         .otherwise(0)))
 
-  /** `coll-where` — filter inside the payload (`action.clj:115-137`);
-    * restricted to top-level scalar fields of the payload struct.
+  /** `coll-where` — filter inside the payload (`action.clj:115-137`)
+    * with the full condition language (and/or nesting, nested paths like
+    * `attributes.x`, regex, contains), compiled against the payload's
+    * struct elements instead of top-level columns.
     */
-  def collWhere(field: String, op: String, value: Any)(df: DataFrame): DataFrame = {
-    df.withColumn("events", filter(col("events"), e => {
-      val f = e.getField(field)
-      op match {
-        case ">"  => f > lit(value)
-        case ">=" => f >= lit(value)
-        case "<"  => f < lit(value)
-        case "<=" => f <= lit(value)
-        case "="  => f === lit(value)
-        case "not=" => !(f === lit(value))
-        case other => throw new IllegalArgumentException(s"coll-where op: $other")
-      }
-    }))
-  }
+  def collWhere(condition: Condition)(df: DataFrame): DataFrame =
+    df.withColumn("events", filter(col("events"), e =>
+      Condition.compileWith(condition, f =>
+        f.path.tail.foldLeft(e.getField(f.path.head))((c, k) => c.getItem(k)))))
+
+  /** Single-comparison convenience form of [[collWhere]]. */
+  def collWhere(field: String, op: String, value: Any)(df: DataFrame): DataFrame =
+    collWhere(Condition.parse(Seq(op, field, value)))(df)
 
   /** Shared shape for scalar coll-aggregates: metric := agg(payload),
     * other fields from the latest event in the payload.
