@@ -246,4 +246,27 @@ class StreamingSpec extends AnyFunSuite {
       .select("metric").collect().map(_.getDouble(0)).toSeq
     assert(w0 == Seq(3.0))
   }
+
+  test("riemann wire decode runs on a stream: framed Msg bytes → event rows") {
+    import graft.sources.RiemannCodec
+    import graft.sources.RiemannCodec.RiemannEvent
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val evs = (1 to 10).map(i => RiemannEvent(Some(i * 1000000L), Some("ok"),
+      Some(s"svc$i"), None, Nil, None, Some(i.toDouble), Map("host" -> "h1")))
+    val ms = MemoryStream[Array[Byte]]
+    val q = RiemannCodec.decodeStreams(ms.toDF().withColumnRenamed("value", "stream"))
+      .writeStream.format("memory").queryName("riemann_stream").outputMode("append").start()
+    // two micro-batches of TCP-framed bytes, like two socket reads
+    evs.grouped(5).foreach { g =>
+      ms.addData(RiemannCodec.frame(RiemannCodec.encodeMsg(g)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val out = s.table("riemann_stream")
+    assert(out.count() == 10)
+    assert(out.agg(sum("metric")).head.getDouble(0) == 55.0)
+  }
 }
