@@ -64,6 +64,11 @@ final class StreamResult {
   val channels: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap()
   /** `output!` sends that were executed (empty in test mode). */
   val outputSends: mutable.ListBuffer[(String, DataFrame)] = mutable.ListBuffer()
+  /** Live query handles for sinks attached to streaming frames; the
+    * caller owns their lifecycle (await/stop).
+    */
+  val streamingQueries: mutable.ListBuffer[org.apache.spark.sql.streaming.StreamingQuery] =
+    mutable.ListBuffer()
   private[ir] val reinjects: mutable.ListBuffer[(String, DataFrame, Int)] = mutable.ListBuffer()
 
   def subscribe(channel: String, condition: Condition): DataFrame =
@@ -195,7 +200,8 @@ object Engine {
           m.get("fields").map(pStrs).getOrElse(Nil),
           m.get("date-pattern").map(pStr))
         if (!ctx.testMode) {
-          FileSink.write(df, spec)
+          if (df.isStreaming) res.streamingQueries += FileSink.writeStream(df, spec)
+          else FileSink.write(df, spec)
           res.sinks += ((spec, df))
         }
         recurse(df)

@@ -35,4 +35,21 @@ object FileSink {
   def write(df: DataFrame, path: String, partitionFields: Seq[String] = Nil,
             datePattern: Option[String] = None): Unit =
     write(df, SinkSpec(path, partitionFields, datePattern))
+
+  /** Streaming twin: the same partitioned JSON-lines layout via
+    * `writeStream` (exactly-once per micro-batch through the checkpoint
+    * under `<path>/_checkpoints`). Returns the query handle; callers own
+    * its lifecycle.
+    */
+  def writeStream(df: DataFrame, spec: SinkSpec): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (toWrite, partCols) = spec.datePattern match {
+      case Some(p) => (df.withColumn("date", dateCol(p)), spec.partitionFields :+ "date")
+      case None    => (df, spec.partitionFields)
+    }
+    val w = toWrite.writeStream.format("json")
+      .option("path", spec.path)
+      .option("checkpointLocation", spec.path + "/_checkpoints")
+      .outputMode("append")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).start()
+  }
 }

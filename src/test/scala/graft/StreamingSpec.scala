@@ -247,6 +247,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(w0 == Seq(3.0))
   }
 
+  test("IR pipeline on a stream ends in the streaming file sink (writeStream twin)") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssink").toString + "/out"
+    val ms = MemoryStream[Event]
+    val node = Node.fromJson(
+      s"""{"action":"where","params":[[">","metric",100]],"children":[
+         |  {"action":"output-file","params":[{"path":"$dir","fields":["host"]}]}]}""".stripMargin)
+    val res = Engine.run(node, ms.toDF(), EngineCtx(testMode = false))
+    assert(res.streamingQueries.size == 1)
+    val q = res.streamingQueries.head
+    ms.addData(Seq(ev(200, 1 * S, host = "a", id = 1), ev(80, 2 * S, host = "b", id = 2)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(300, 3 * S, host = "b", id = 3)))
+    q.processAllAvailable()
+    q.stop()
+    val back = s.read.json(dir)
+    assert(back.select("eventId").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // field templating became partition directories on the streaming path too
+    assert(back.select("host").distinct().collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
   test("riemann wire decode runs on a stream: framed Msg bytes → event rows") {
     import graft.sources.RiemannCodec
     import graft.sources.RiemannCodec.RiemannEvent
