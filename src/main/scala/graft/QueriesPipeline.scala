@@ -377,5 +377,54 @@ object QueriesPipeline {
         Multimodal.synthesize(docs(s, dir), "doc_id", "text", "source"), 32)
         .orderBy("media_id", "frame_no")
     }
+
+    // resize stub: every step-th byte, n_out = min(n, 16*16); the oracle
+    // recomputes the selected-byte sum from the raw utf8 text, so a drift
+    // in stride/bounds arithmetic or byte handling mismatches
+    // (the fixture text is pure ASCII — asserted in MultimodalSpec — so
+    // char positions equal byte positions and ascii(substr(..)) reads the
+    // byte the Scala kernel reads; media_decode's oracle relies on the
+    // same property)
+    register("media_resize",
+      s"""SELECT doc_id AS media_id,
+         |       CAST(least(length(text), 256) AS BIGINT) AS n_bytes,
+         |       CAST(list_sum(list_transform(
+         |              range(least(length(text), 256)),
+         |              i -> ascii(substr(text,
+         |                     CAST(i AS INT) * (length(text)
+         |                        // least(length(text), 256)) + 1, 1))))
+         |            AS BIGINT) AS byte_sum
+         |FROM documents WHERE length(text) > 0
+         |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Multimodal.resize(
+        Multimodal.synthesize(docs(s, dir), "doc_id", "text", "source"), 16, 16)
+        .filter(col("n_bytes") > 0)
+        .select(col("media_id"), col("n_bytes"), col("payload"))
+        .as[(Long, Long, Array[Byte])]
+        .map { case (id, n, b) =>
+          (id, n, b.map(java.lang.Byte.toUnsignedInt(_).toLong).sum)
+        }
+        .toDF("media_id", "n_bytes", "byte_sum")
+        .orderBy("media_id")
+    }
+
+    // feature-extract stub: dim whole-valued floats, feature j = unsigned
+    // byte at (j*31) mod n — exploded so float/double compare exactly
+    register("media_features",
+      s"""SELECT doc_id AS media_id, f.j,
+         |       CASE WHEN length(text) = 0 THEN 0.0
+         |            ELSE CAST(ascii(substr(text,
+         |                   (CAST(f.j AS INT) * 31) % length(text) + 1, 1))
+         |                 AS DOUBLE) END AS feature
+         |FROM documents, (SELECT unnest(range(0, 8)) AS j) f
+         |ORDER BY media_id, j""".stripMargin) { (s, dir) =>
+      Multimodal.featureExtract(
+        Multimodal.synthesize(docs(s, dir), "doc_id", "text", "source"), 8)
+        .select(col("media_id"), posexplode(col("features")).as(Seq("j", "feature")))
+        .select(col("media_id"), col("j").cast("long").as("j"),
+          col("feature").cast("double").as("feature"))
+        .orderBy("media_id", "j")
+    }
   }
 }

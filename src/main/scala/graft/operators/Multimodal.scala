@@ -77,6 +77,74 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize kernel: "scale" the payload to at most `w*h` bytes by
+    * taking every `step`-th byte (`step = n / n_out`) — a deterministic
+    * stand-in for an image resampler with the real contract (bytes in,
+    * smaller bytes + new dims out). Selected positions `i*step` for
+    * `i < n_out` stay in range because `(n_out-1) * (n / n_out) < n`.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = if (bytes == null) 0 else bytes.length
+    if (n == 0) Array.emptyByteArray
+    else {
+      val nOut = math.min(n, w * h)
+      val step = n / nOut
+      Array.tabulate(nOut)(i => bytes(i * step))
+    }
+  }
+
+  /** Resize over the binary column: same iterator-to-iterator
+    * `mapPartitions` shape as [[decode]]; emits the resized payload and
+    * its target dims so downstream stages see a normal media frame.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType),
+      StructField("payload", BinaryType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload", "media_type")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = resizeStub(r.getAs[Array[Byte]]("payload"), w, h)
+          Row(r.getLong(0), r.getString(2), out, out.length.toLong, w, h)
+        }
+      }(enc)
+  }
+
+  /** STUB feature-extract kernel: `dim` whole-valued floats, feature j =
+    * unsigned byte at position `(j*31) mod n` — integer-valued so the
+    * DuckDB oracle compares exactly across float/double. A real
+    * implementation hands bytes to a vision/audio encoder; the contract
+    * (bytes in, fixed-dim `Array[Float]` out) is what the plan depends on.
+    */
+  def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val n = if (bytes == null) 0 else bytes.length
+    Array.tabulate(dim)(j =>
+      if (n == 0) 0.0f
+      else java.lang.Byte.toUnsignedInt(bytes((j * 31) % n)).toFloat)
+  }
+
+  /** Feature extraction over the binary column → embedding rows
+    * compatible with the ANN/similarity operators (`Array[Float]`
+    * `features` column).
+    */
+  def featureExtract(media: DataFrame, dim: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), featureStub(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+        }
+      }(enc)
+  }
+
   /** Frame-sample: take every `stride`-th byte offset of the payload as a
     * "frame" (stub for video frame extraction); one row per sampled frame.
     */
