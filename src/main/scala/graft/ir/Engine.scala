@@ -416,6 +416,22 @@ object Engine {
       df => graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
         k = m.get("k").map(pLong(_).toInt).getOrElse(8),
         rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+    case "dedup-embedding" =>
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.embeddingNearDupBucketed(df, pStr(m("id")), pStr(m("vec")),
+        threshold = pDouble(m("threshold")),
+        bits = m.get("bits").map(pLong(_).toInt).getOrElse(16))
+
+    // multimodal plumbing as declarable stages (media frame in, media/
+    // feature frame out)
+    case "media-decode" => df => graft.operators.Multimodal.decode(df)
+    case "media-resize" =>
+      val m = pMap(params.head)
+      df => graft.operators.Multimodal.resize(df, pLong(m("width")).toInt, pLong(m("height")).toInt)
+    case "media-features" =>
+      df => graft.operators.Multimodal.featureExtract(df, pLong(pMap(params.head)("dim")).toInt)
+    case "media-frame-sample" =>
+      df => graft.operators.Multimodal.frameSample(df, pLong(pMap(params.head)("stride")).toInt)
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }

@@ -38,6 +38,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("media ops are declarable as an IR pipeline (decode-free media stage chain)") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.synthesize(docs, "doc_id", "text", "source")
+    val node = Node.fromJson(
+      """{"action":"media-resize","params":[{"width":8,"height":8}],"children":[
+        |  {"action":"media-features","params":[{"dim":4}],"children":[
+        |    {"action":"tap","params":["feats"]}]}]}""".stripMargin)
+    val out = Engine.run(node, media, EngineCtx(testMode = true)).taps("feats")
+    assert(out.columns.toSeq == Seq("media_id", "features"))
+    assert(out.count() == docs.count())
+    // features come from the RESIZED payload: dim 4, byte at (j*31) mod n_out
+    val row = out.orderBy("media_id").head
+    assert(row.getSeq[Float](1).length == 4)
+  }
+
   test("featureExtract output feeds the similarity operators (Array[Float] contract)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.synthesize(docs, "doc_id", "text", "source")
