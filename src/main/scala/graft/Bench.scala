@@ -17,7 +17,9 @@ object Bench {
     "ddt", "ewma", "throttle", "moving_event_window",
     "dedup_minhash_lsh", "dedup_minhash_lsh_xx", "dedup_simhash",
     "text_quality", "ann_topk", "ann_bucketed_topk", "ann_ivf_topk",
-    "embedding_near_dup_bucketed")
+    "embedding_near_dup_bucketed",
+    // source-decode and media-kernel throughput
+    "riemann_decode", "media_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

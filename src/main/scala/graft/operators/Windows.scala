@@ -179,7 +179,10 @@ object Windows {
 
   /** `project` — latest event matching each of N conditions
     * (`action.clj:1377-1463`): one pass, N conditional max_by aggregates —
-    * no self-join, no extra shuffle.
+    * no self-join, no extra shuffle. On a streaming frame this same plan
+    * is the continuously-updated "current state" view: run the sink in
+    * update/complete mode (append mode has nothing to emit for an
+    * unwindowed aggregate, and Spark rejects it with a clear error).
     */
   def project(conditions: Seq[Condition])(df: DataFrame): DataFrame = {
     val all = struct(df.columns.map(col): _*)
