@@ -463,11 +463,30 @@ object Engine {
   */
 final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
   private val streams = new scala.collection.concurrent.TrieMap[String, Node]()
+  private val defaultFlags = new scala.collection.concurrent.TrieMap[String, Boolean]()
 
-  def add(name: String, pipeline: Node): Unit = streams.put(name, pipeline)
-  def remove(name: String): Unit = streams.remove(name)
+  def add(name: String, pipeline: Node, default: Boolean = false): Unit = {
+    streams.put(name, pipeline)
+    defaultFlags.put(name, default)
+  }
+  def remove(name: String): Unit = { streams.remove(name); defaultFlags.remove(name) }
   def get(name: String): Option[Node] = streams.get(name)
   def list: Seq[String] = streams.keySet.toSeq.sorted
+
+  /** Streams flagged `default: true` — the ones that receive events not
+    * addressed to a specific stream (reference `stream.clj:260-268`).
+    */
+  def defaults: Seq[String] = defaultFlags.collect { case (n, true) => n }.toSeq.sorted
+
+  /** The reference's `push!` routing (`stream.clj:260-275`): input
+    * addressed to `"default"` runs through every default-flagged stream;
+    * a named stream runs alone, and an unknown name is an error
+    * ("Stream %s not found").
+    */
+  def push(input: DataFrame, stream: String = "default"): Map[String, StreamResult] =
+    if (stream == "default") defaults.map(n => n -> run(n, input)).toMap
+    else if (streams.contains(stream)) Map(stream -> run(stream, input))
+    else throw new IllegalArgumentException(s"Stream $stream not found")
 
   /** Load `{"streams": [{"action":"stream","params":[{"name":...}],
     * "children":[...]}]}` documents (one child pipeline per stream; several
@@ -478,18 +497,20 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
 
   def addStreamNode(n: Node): String = {
     require(n.action == "stream", s"expected a 'stream' node, got '${n.action}'")
-    val name = n.params.headOption match {
+    val (name, default) = n.params.headOption match {
       case Some(m: Map[_, _]) =>
-        m.asInstanceOf[Map[String, Any]].get("name").map(_.toString.stripPrefix(":"))
-          .getOrElse(throw new IllegalArgumentException("stream node without a name"))
-      case Some(s) => s.toString.stripPrefix(":")
+        val mm = m.asInstanceOf[Map[String, Any]]
+        (mm.get("name").map(_.toString.stripPrefix(":"))
+          .getOrElse(throw new IllegalArgumentException("stream node without a name")),
+          mm.get("default").contains(true))
+      case Some(s) => (s.toString.stripPrefix(":"), false)
       case None    => throw new IllegalArgumentException("stream node without params")
     }
     val pipeline = n.children match {
       case Seq(single) => single
       case many        => Node("sdo", Nil, many)
     }
-    add(name, pipeline)
+    add(name, pipeline, default)
     name
   }
 

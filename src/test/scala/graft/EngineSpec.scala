@@ -180,6 +180,32 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.sinks.isEmpty)
   }
 
+  test("default-stream push routing, on the reference's shipped example config") {
+    // port of /root/reference/dev/resources/streams/stream.clj: a default
+    // stream `bar` = sdo → where service="bar" → publish! my-channel
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    reg.addJson(
+      """{"streams":[{"action":"stream","params":[{"name":"bar","default":true}],
+        | "children":[
+        |  {"action":"sdo","children":[
+        |    {"action":"where","params":[["=","service","bar"]],
+        |     "children":[{"action":"publish!","params":["my-channel"]}]}]}]},
+        | {"action":"stream","params":[{"name":"other"}],
+        |  "children":[{"action":"tap","params":["t"]}]}]}""".stripMargin)
+    assert(reg.list == Seq("bar", "other"))
+    assert(reg.defaults == Seq("bar")) // only bar is default-flagged
+    val df = events(
+      ev(1, 1 * S, service = "bar", id = 1), ev(2, 2 * S, service = "foo", id = 2))
+    // push! to :default routes only through default streams (stream.clj:260-268)
+    val results = reg.push(df)
+    assert(results.keySet == Set("bar"))
+    val chan = results("bar").channels("my-channel")
+    assert(chan.select("eventId").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // named push runs exactly that stream; unknown name errors like push!
+    assert(reg.push(df, "other")("other").taps("t").count() == 2)
+    intercept[IllegalArgumentException](reg.push(df, "nope"))
+  }
+
   test("output!: routes to a configured named output; discarded in test mode; unknown name fails") {
     val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2))
     val captured = scala.collection.mutable.ListBuffer[Long]()
