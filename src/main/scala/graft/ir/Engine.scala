@@ -109,6 +109,74 @@ object Engine {
     res
   }
 
+  /** Static pipeline validation — the analog of the reference's per-action
+    * spec checks at config load (`mspec/valid-action?`, used by every
+    * builder). Walks the tree building each node's transform against an
+    * empty frame with the given schema: Catalyst's eager analysis
+    * surfaces unknown actions, malformed params, unknown fields and type
+    * errors per node, WITHOUT executing anything. Returns every problem
+    * found, each prefixed with its node path; empty = valid.
+    */
+  def validate(node: Node,
+               spark: org.apache.spark.sql.SparkSession,
+               ctx: EngineCtx = EngineCtx(),
+               schema: org.apache.spark.sql.types.StructType = graft.model.Event.schema): Seq[String] = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val errors = Seq.newBuilder[String]
+    def fail(at: String, e: Throwable): Unit =
+      errors += s"$at: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}"
+    def walk(n: Node, path: String, df: DataFrame, keys: Seq[String]): Unit = {
+      val at = s"$path/${n.action}"
+      def recurse(out: DataFrame, ks: Seq[String] = keys): Unit =
+        n.children.foreach(walk(_, at, out, ks))
+      n.action match {
+        case "sdo" | "async-queue!" | "io" => recurse(df)
+        case "by" =>
+          try { val ks = pStrs(n.params.head); ks.foreach(df(_)); recurse(df, ks) }
+          catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "split" =>
+          try {
+            val conds = n.params.map(Condition.parse)
+            if (n.children.size != conds.size + 1)
+              errors += s"$at: ${conds.size} conditions need ${conds.size + 1} children, got ${n.children.size}"
+            conds.foreach(c => df.filter(c.column))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
+        case "tap" | "publish!" | "reinject!" =>
+          if (n.params.headOption.forall(pStr(_).isEmpty)) errors += s"$at: needs a name"
+          recurse(df)
+        case "exception-stream" =>
+          if (n.children.size != 2) errors += s"$at: needs [ok, error] children"
+          try df(pStr(n.params.head)) catch { case e: Throwable => fail(at, e) }
+          recurse(df)
+        case "custom" =>
+          val name = n.params.headOption.map(pStr).getOrElse("")
+          if (!ctx.custom.contains(name)) errors += s"$at: unknown custom action '$name'"
+          recurse(df) // plugin output schema is the plugin's contract
+        case "output!" =>
+          val name = n.params.headOption.map(pStr).getOrElse("")
+          if (!ctx.outputs.contains(name)) errors += s"$at: Output $name not found"
+          recurse(df)
+        case "output-file" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path"))
+            m.get("fields").map(pStrs).getOrElse(Nil).foreach(df(_))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
+        case "stream" => recurse(df) // declaration wrapper
+        case _ =>
+          val out =
+            try applyOp(n.action, n.params, keys, ctx)(df)
+            catch { case e: Throwable => fail(at, e); df }
+          recurse(out)
+      }
+    }
+    walk(Node.expandIncludes(node), "", empty, Nil)
+    errors.result()
+  }
+
   private def drainReinjects(ctx: EngineCtx, res: StreamResult, registry: StreamRegistry): Unit =
     while (res.reinjects.nonEmpty) {
       val (name, df, depth) = res.reinjects.remove(0)

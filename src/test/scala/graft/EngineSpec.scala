@@ -180,6 +180,31 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.sinks.isEmpty)
   }
 
+  test("validate: collects every problem with node paths, without executing") {
+    val valid = Node.fromJson(
+      """{"action":"where","params":[[">","metric",100]],"children":[
+        |  {"action":"by","params":[["host"]],"children":[
+        |    {"action":"fixed-time-window","params":[{"duration":60}],"children":[
+        |      {"action":"coll-count","children":[{"action":"tap","params":["out"]}]}]}]}]}""".stripMargin)
+    assert(Engine.validate(valid, spark) == Nil)
+    val broken = Node.fromJson(
+      """{"action":"sdo","children":[
+        |  {"action":"frobnicate"},
+        |  {"action":"where","params":[[">","no_such_field",1]]},
+        |  {"action":"split","params":[[">","metric",1]],
+        |   "children":[{"action":"tap","params":["a"]}]},
+        |  {"action":"custom","params":["nope"]},
+        |  {"action":"fixed-time-window","params":[{}]}]}""".stripMargin)
+    val errs = Engine.validate(broken, spark)
+    assert(errs.size == 5, errs.mkString("; "))
+    assert(errs.exists(e => e.contains("/frobnicate") && e.contains("unknown action")))
+    assert(errs.exists(e => e.contains("/where") && e.contains("no_such_field")))
+    assert(errs.exists(e => e.contains("/split") && e.contains("children")))
+    assert(errs.exists(e => e.contains("/custom") && e.contains("nope")))
+    assert(errs.exists(_.contains("/fixed-time-window")))
+    // nothing was executed: validation is static analysis only
+  }
+
   test("default-stream push routing, on the reference's shipped example config") {
     // port of /root/reference/dev/resources/streams/stream.clj: a default
     // stream `bar` = sdo → where service="bar" → publish! my-channel
