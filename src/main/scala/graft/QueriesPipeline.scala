@@ -248,16 +248,21 @@ object QueriesPipeline {
          |SELECT l.vec_id AS id1, r.vec_id AS id2,
          |       ${sqlCosine("l.embedding", "r.embedding")} AS cosine
          |FROM e l JOIN e r ON l.vec_id < r.vec_id
-         |WHERE ${sqlCosine("l.embedding", "r.embedding")} > 0.8
+         |WHERE ${sqlCosine("l.embedding", "r.embedding")} > 0.4
          |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", 0.8)
+      // threshold sits inside the fixture's cosine distribution (max pair
+      // ≈ 0.51 at sf0.01) so the gate compares real rows, not an empty set
+      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding", 0.4)
         .orderBy("id1", "id2")
     }
 
     // the 100 TB-safe variant: pairs only within sign buckets — the gated
     // plan contains no all-pairs join
     locally {
-      val bucketTerms = (1 to 16).map(i =>
+      // 4 bits at this corpus density → real bucket collisions, so the
+      // gate compares populated candidate sets (16 bits left every vector
+      // alone in its bucket and the gate passed vacuously on 0 rows)
+      val bucketTerms = (1 to 4).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
       register("embedding_near_dup_bucketed",
         s"""WITH e AS (
@@ -265,9 +270,9 @@ object QueriesPipeline {
            |SELECT l.vec_id AS id1, r.vec_id AS id2,
            |       ${sqlCosine("l.embedding", "r.embedding")} AS cosine
            |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-           |WHERE ${sqlCosine("l.embedding", "r.embedding")} > 0.7
+           |WHERE ${sqlCosine("l.embedding", "r.embedding")} > 0.3
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-        Dedup.embeddingNearDupBucketed(emb(s, dir), "vec_id", "embedding", 0.7)
+        Dedup.embeddingNearDupBucketed(emb(s, dir), "vec_id", "embedding", 0.3, bits = 4)
           .orderBy("id1", "id2")
       }
     }
@@ -290,23 +295,38 @@ object QueriesPipeline {
     }
 
     locally {
-      val bucketTerms = (1 to 16).map(i =>
+      // 4-bit buckets + 2 multi-probe bit flips (the least-confident
+      // dimensions): populated buckets AND the probe-explode path under
+      // oracle compare — the DuckDB side replays the same flip selection
+      val bits = 4
+      val bucketTerms = (1 to bits).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+      val confTerms = (1 to bits).map(i =>
+        s"{'a': abs(embedding[$i]), 'm': CAST(${1L << (i - 1)} AS BIGINT)}").mkString(", ")
       register("ann_bucketed_topk",
         s"""WITH e AS (
            |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings),
-           |q AS (SELECT * FROM e WHERE vec_id < 50),
+           |q AS (
+           |  SELECT vec_id, embedding, bucket,
+           |         list_transform(list_slice(list_sort([$confTerms]), 1, 2),
+           |                        x -> x.m) AS flips
+           |  FROM e WHERE vec_id < 50),
+           |probes AS (
+           |  SELECT vec_id, embedding, bucket FROM q
+           |  UNION ALL
+           |  SELECT q.vec_id, q.embedding, xor(q.bucket, t.f) FROM q, unnest(q.flips) AS t(f)),
            |scored AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-           |         ${sqlCosine("q.embedding", "c.embedding")} AS cosine
-           |  FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+           |  SELECT p.vec_id AS query_id, c.vec_id AS nn_id,
+           |         ${sqlCosine("p.embedding", "c.embedding")} AS cosine
+           |  FROM probes p JOIN e c ON c.bucket = p.bucket AND c.vec_id != p.vec_id)
            |SELECT query_id, rank, nn_id, cosine FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |                               ORDER BY cosine DESC, nn_id ASC) AS rank
            |  FROM scored) WHERE rank <= 3
            |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
         val e = emb(s, dir)
-        Similarity.bucketedTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 3)
+        Similarity.bucketedTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", 3,
+          bits = bits, extraProbes = 2)
           .orderBy("query_id", "rank")
       }
     }
