@@ -110,12 +110,12 @@ object QueriesRelational {
     register("order_priority_counts",
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= to_timestamp(lit("1994-01-01 00:00:00")) &&
-          col("o_orderdate") < to_timestamp(lit("1995-01-01 00:00:00")))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
