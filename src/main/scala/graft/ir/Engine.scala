@@ -135,6 +135,12 @@ object Engine {
         case "by" =>
           try { val ks = pStrs(n.params.head); ks.foreach(df(_)); recurse(df, ks) }
           catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "salt" =>
+          try {
+            val m = n.params.headOption.map(pMap).getOrElse(Map.empty)
+            m.get("fields").map(pStrs).getOrElse(Nil).foreach(df(_))
+            recurse(df.withColumn("__salt", lit(0)), keys :+ "__salt")
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "split" =>
           try {
             val conds = n.params.map(Condition.parse)
@@ -207,6 +213,20 @@ object Engine {
 
       case "by" => // per-key fork → grouping keys for the whole subtree
         recurse(df, newKeys = pStrs(n.params.head))
+
+      case "salt" => // skew relief: widen downstream grouping with a salt key
+        // {"buckets": N, "fields": [...]}: adds a deterministic __salt
+        // column (hash of fields mod N — or of the whole row when no
+        // fields are given) and appends it to the subtree's grouping keys,
+        // splitting one hot key into N partitions. Aggregations over a
+        // salted subtree are per (key, salt) — re-aggregate downstream
+        // when a single per-key result is needed (standard two-phase agg).
+        val m = n.params.headOption.map(pMap).getOrElse(Map.empty)
+        val buckets = m.get("buckets").map(pLong).getOrElse(16L)
+        val fields = m.get("fields").map(pStrs).getOrElse(Nil)
+        val basis = if (fields.nonEmpty) fields.map(col) else df.columns.toSeq.map(col)
+        val salted = df.withColumn("__salt", pmod(hash(basis: _*), lit(buckets.toInt)))
+        recurse(salted, newKeys = keys :+ "__salt")
 
       case "split" => // first-matching-condition routing (action.clj:1109-1161)
         val conds = n.params.map(Condition.parse)

@@ -180,6 +180,26 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.sinks.isEmpty)
   }
 
+  test("salt widens downstream grouping; re-aggregating recovers the unsalted result") {
+    // one hot host: 40 events on "hot", 2 on "cold"
+    val evs = (1 to 40).map(i => ev(1, i * S, host = "hot", id = i.toLong)) ++
+      Seq(ev(5, 1 * S, host = "cold", id = 100), ev(7, 2 * S, host = "cold", id = 101))
+    val node = Node.fromJson(
+      """{"action":"by","params":[["host"]],"children":[
+        |  {"action":"salt","params":[{"buckets":4,"fields":["eventId"]}],"children":[
+        |    {"action":"sum","params":[{"duration":3600}],
+        |     "children":[{"action":"tap","params":["out"]}]}]}]}""".stripMargin)
+    val res = Engine.run(node, events(evs: _*), EngineCtx(testMode = true))
+    val partials = res.taps("out").select("host", "metric").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    // salted: several partials per hot host, none covering all 40 events
+    assert(partials.count(_._1 == "hot") > 1)
+    // two-phase: re-aggregating partials recovers the exact per-key sums
+    val totals = partials.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(totals == Map("hot" -> 40.0, "cold" -> 12.0))
+    assert(Engine.validate(node, spark) == Nil)
+  }
+
   test("validate: collects every problem with node paths, without executing") {
     val valid = Node.fromJson(
       """{"action":"where","params":[[">","metric",100]],"children":[
