@@ -78,19 +78,33 @@ object Similarity {
     * DuckDB oracle.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[(Long, Seq[Float])] = corpus
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
+    var cents: Array[(Long, Seq[Float])] = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol)).limit(nCells)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
 
-    // array of (cosine-to-centroid, -cell) structs; struct ordering gives
-    // "best cosine, ties to lowest cell" via max / descending sort
-    def cellScores(vec: Column): Column = array(cents.map { case (cid, cv) =>
-      struct(
-        graft.functions.VectorExpressions.cosineF(vec, typedLit(cv)).as("cc"),
-        lit(-cid).as("negCell"))
-    }: _*)
+    // Optional Lloyd iterations — the distributed k-means step: assign
+    // every vector to its nearest centroid (map-side argmax over centroid
+    // literals, as below), then element-wise mean per cell via
+    // posexplode + groupBy(cell, dim) — one shuffle of nCells×dim partial
+    // sums per iteration, never the vectors themselves. Only the
+    // model-sized (cell, mean) table is collected. Empty cells keep their
+    // previous centroid.
+    for (_ <- 1 to trainIters) {
+      val assignScores: Column => Column = cellScoresOf(cents)(_)
+      val means = corpus
+        .select((-array_max(assignScores(col(vecCol)))("negCell")).as("cell"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), s => s("m").cast("float")).as("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+
+    def cellScores(vec: Column): Column = cellScoresOf(cents)(vec)
 
     val inverted = corpus.select(
       col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
@@ -132,6 +146,17 @@ object Similarity {
       array_union(array(base), flips)
     }
   }
+
+  /** Array of (cosine-to-centroid, -cell) structs for a vector column;
+    * struct ordering gives "best cosine, ties to lowest cell" via
+    * max / descending sort.
+    */
+  private def cellScoresOf(cents: Array[(Long, Seq[Float])])(vec: Column): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(
+        graft.functions.VectorExpressions.cosineF(vec, typedLit(cv)).as("cc"),
+        lit(-cid).as("negCell"))
+    }: _*)
 
   /** Bucketed ANN top-k: probe the query's sign bucket, plus
     * `extraProbes` least-confident-bit-flip buckets (multi-probe; 0 =

@@ -64,4 +64,15 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(p8 > 0.5, "regression floor (measured 0.758)")
   }
 
+  test("IVF centroid training (Lloyd step) is pluggable and sane") {
+    val seeded = recall(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
+      nCells = 16, nProbe = 4, trainIters = 0))
+    val trained = recall(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
+      nCells = 16, nProbe = 4, trainIters = 1))
+    info(f"IVF recall@$K nProbe=4: seed centroids $seeded%.3f, after 1 Lloyd iter $trained%.3f")
+    // measured: one Lloyd iteration lifts recall 0.510 → 0.594 here; pin
+    // no-regression with a small band (k-means isn't monotone in recall)
+    assert(trained > seeded - 0.05, "training must not degrade the index")
+    assert(trained > 0.4, "regression floor (measured 0.594)")
+  }
 }
