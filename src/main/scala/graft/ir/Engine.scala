@@ -608,4 +608,34 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
       throw new IllegalArgumentException(s"unknown stream '$name'"))
     Engine.run(node, input, ctx, this)
   }
+
+  /** Persist every registered stream as `<dir>/<name>.json` — the analog
+    * of the reference's `add-stream` `:persist` flag, which writes the
+    * stream config into the streams directory so dynamically-added
+    * streams survive a restart (`stream.clj:276-296`).
+    */
+  def saveTo(dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    streams.foreach { case (name, node) =>
+      val doc = Node("stream",
+        Seq(Map("name" -> name, "default" -> defaultFlags.getOrElse(name, false))),
+        Seq(node))
+      java.nio.file.Files.writeString(d.resolve(s"$name.json"), Node.toJson(doc))
+    }
+  }
+
+  /** Load every `*.json` stream document from a directory (boot-time
+    * reload, `stream.clj:129-143`). Returns the loaded stream names.
+    */
+  def loadFrom(dir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+        .flatMap(p => addJson(java.nio.file.Files.readString(p)))
+    }
+  }
 }

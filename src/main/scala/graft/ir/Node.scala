@@ -28,6 +28,33 @@ object Node {
   /** Parse one IR node from JSON. */
   def fromJson(json: String): Node = fromJValue(JsonMethods.parse(json))
 
+  /** Serialize a node back to JSON — the inverse of [[fromJson]] over the
+    * param vocabulary (strings, longs, doubles, booleans, null, seqs,
+    * string-keyed maps), so pipelines persist as the same documents they
+    * load from.
+    */
+  def toJson(node: Node): String = {
+    def jAny(v: Any): JValue = v match {
+      case null          => JNull
+      case s: String     => JString(s)
+      case b: Boolean    => JBool(b)
+      case i: Int        => JLong(i.toLong)
+      case l: Long       => JLong(l)
+      case d: Double     => JDouble(d)
+      case f: Float      => JDouble(f.toDouble)
+      case n: BigInt     => JLong(n.toLong)
+      case xs: Seq[_]    => JArray(xs.map(jAny).toList)
+      case m: Map[_, _]  => JObject(m.toList.map { case (k, x) => k.toString -> jAny(x) })
+      case other => throw new IllegalArgumentException(
+        s"unserializable param ${other.getClass.getName}")
+    }
+    def jNode(n: Node): JObject = JObject(
+      List("action" -> JString(n.action)) ++
+        (if (n.params.nonEmpty) List("params" -> JArray(n.params.map(jAny).toList)) else Nil) ++
+        (if (n.children.nonEmpty) List("children" -> JArray(n.children.map(jNode).toList)) else Nil))
+    JsonMethods.compact(JsonMethods.render(jNode(node)))
+  }
+
   /** Parse a JSON document containing several top-level nodes
     * (`{"streams": [...]}` or a bare array).
     */

@@ -180,6 +180,28 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.sinks.isEmpty)
   }
 
+  test("registry persistence: save/load round-trips streams, defaults, and behavior") {
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    reg.addJson(
+      """{"streams":[
+        | {"action":"stream","params":[{"name":"alerts","default":true}],
+        |  "children":[{"action":"where","params":[[">","metric",100]],
+        |               "children":[{"action":"tap","params":["out"]}]}]},
+        | {"action":"stream","params":[{"name":"audit"}],
+        |  "children":[{"action":"tap","params":["all"]}]}]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-streams").toString
+    reg.saveTo(dir)
+    val reg2 = new StreamRegistry(EngineCtx(testMode = true))
+    assert(reg2.loadFrom(dir).sorted == Seq("alerts", "audit"))
+    assert(reg2.list == reg.list && reg2.defaults == reg.defaults)
+    val df = events(ev(200, 1 * S, id = 1), ev(50, 2 * S, id = 2))
+    assert(reg2.push(df)("alerts").taps("out").select("eventId")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // Node JSON round-trip holds for the persisted document shape
+    val n = reg.get("alerts").get
+    assert(Node.fromJson(Node.toJson(n)) == n)
+  }
+
   test("salt widens downstream grouping; re-aggregating recovers the unsalted result") {
     // one hot host: 40 events on "hot", 2 on "cold"
     val evs = (1 to 40).map(i => ev(1, i * S, host = "hot", id = i.toLong)) ++
