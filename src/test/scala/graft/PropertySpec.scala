@@ -124,6 +124,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("IR node JSON round-trip: fromJson(toJson(n)) == n for random trees") {
+    import graft.ir.Node
+    val genParam: Gen[Any] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8): Any),
+      Gen.choose(-1000L, 1000L).map(x => x: Any),
+      Gen.choose(-10.0, 10.0).map(x => x: Any),
+      Gen.oneOf(true, false).map(x => x: Any),
+      Gen.listOfN(3, Gen.alphaNumStr.map(_.take(4))).map(x => x: Any),
+      Gen.mapOfN(2, Gen.zip(Gen.identifier.map(_.take(5)), Gen.choose(0L, 99L)))
+        .map(m => m.asInstanceOf[Map[String, Any]]: Any))
+    def genNode(depth: Int): Gen[Node] = for {
+      action <- Gen.oneOf("where", "scale", "tap", "by", "custom-thing")
+      params <- Gen.listOf(genParam).map(_.take(3))
+      children <- if (depth <= 0) Gen.const(Nil)
+                  else Gen.listOf(Gen.lzy(genNode(depth - 1))).map(_.take(3))
+    } yield Node(action, params, children)
+    forAll(genNode(3), cases = 20) { n =>
+      assert(Node.fromJson(Node.toJson(n)) == n)
+    }
+  }
+
   test("riemann codec: encode→frame→split→decode is the identity (µs time grain)") {
     import graft.sources.RiemannCodec
     import graft.sources.RiemannCodec.RiemannEvent

@@ -272,6 +272,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("host").distinct().collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("aggr-custom (udaf-wrapped Aggregator) runs under a watermark") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ctx = EngineCtx(testMode = true, aggregators = Map(
+      "wmean" -> (_ => graft.functions.Aggregators.weightedMean(col("metric"), lit(1.0)))))
+    val node = Node.fromJson(
+      """{"action":"aggr-custom","params":[{"duration":60,"delay":10,"name":"wmean"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val ms = MemoryStream[Event]
+    val res = Engine.run(node, ms.toDF(), ctx)
+    val q = res.taps("out").writeStream
+      .format("memory").queryName("aggr_custom_stream").outputMode("append").start()
+    ms.addData(Seq(ev(10, 10 * S, id = 1), ev(20, 50 * S, id = 2)))
+    q.processAllAvailable()
+    ms.addData(flush1); q.processAllAvailable()
+    ms.addData(flush2); q.processAllAvailable()
+    q.stop()
+    val out = s.table("aggr_custom_stream").filter(col("window_start") === 0L)
+      .select("metric").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(15.0)) // mean(10, 20) via the custom pair, on the flushed window
+  }
+
   test("riemann wire decode runs on a stream: framed Msg bytes → event rows") {
     import graft.sources.RiemannCodec
     import graft.sources.RiemannCodec.RiemannEvent
