@@ -152,6 +152,7 @@ object Engine {
         case "tap" | "publish!" | "reinject!" =>
           if (n.params.headOption.forall(pStr(_).isEmpty)) errors += s"$at: needs a name"
           recurse(df)
+        case "test-action" => recurse(df)
         case "exception-stream" =>
           if (n.children.size != 2) errors += s"$at: needs [ok, error] children"
           try df(pStr(n.params.head)) catch { case e: Throwable => fail(at, e) }
@@ -236,8 +237,10 @@ object Engine {
           interp(c, Stateless.splitBranch(conds, i)(df), keys, ctx, res, registry, depth)
         }
 
-      case "tap" => // test capture (action.clj:1724-1751)
-        if (ctx.testMode) res.recordTap(pStr(n.params.head), df)
+      case "tap" | "test-action" => // test capture (action.clj:1724-1751;
+        // test-action is the reference's internal recording child,
+        // action.clj:391-402 — same semantics under a named tap)
+        if (ctx.testMode) res.recordTap(n.params.headOption.map(pStr).getOrElse("test"), df)
         recurse(df)
 
       case "publish!" => // in-proc pubsub channel (action.clj:1983-2005)
@@ -332,6 +335,7 @@ object Engine {
     case "extract"     => Stateless.extract(pStr(params.head))
     case "iterate-on"  => Stateless.iterateOn(pStr(params.head), pStr(params(1)))
     case "sflatten"    => Stateless.sflatten(params.headOption.map(pStr).getOrElse("events"))
+    case "debug" | "info" | "error" => Stateless.logEvents(action)
 
     // §2.5 windows (keys = enclosing `by` fork). On a streaming frame the
     // same IR node compiles to the watermarked Structured Streaming twin;

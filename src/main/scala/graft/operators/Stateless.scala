@@ -163,4 +163,37 @@ object Stateless {
     */
   def sflatten(listCol: String)(df: DataFrame): DataFrame =
     df.select(explode(col(listCol)).as("event")).select(col("event.*"))
+
+  /** `debug` / `info` / `error` — log each event as JSON at the given
+    * level and pass it through (`action.clj:176-236` `log-action`). Logs
+    * land per executor under the `graft.stream` logger. When the level is
+    * disabled the input plan is returned UNCHANGED, so a `(debug)` left
+    * in a production pipeline costs nothing — the reference pays the
+    * level check per event instead.
+    */
+  def logEvents(level: String)(df: DataFrame): DataFrame = {
+    val logger = org.apache.logging.log4j.LogManager.getLogger("graft.stream")
+    val enabled = level match {
+      case "debug" => logger.isDebugEnabled
+      case "info"  => logger.isInfoEnabled
+      case _       => logger.isErrorEnabled
+    }
+    if (!enabled) df
+    else {
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(df.schema)
+      val lvl = level
+      df.mapPartitions { rows =>
+        val log = org.apache.logging.log4j.LogManager.getLogger("graft.stream")
+        rows.map { r =>
+          val line = try r.json catch { case _: Throwable => r.toString }
+          lvl match {
+            case "debug" => log.debug(line)
+            case "info"  => log.info(line)
+            case _       => log.error(line)
+          }
+          r
+        }
+      }(enc)
+    }
+  }
 }

@@ -180,6 +180,22 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.sinks.isEmpty)
   }
 
+  test("debug/info/error log actions pass events through; disabled level leaves the plan unchanged") {
+    val df = events(ev(1, 1 * S, id = 1), ev(2, 2 * S, id = 2))
+    // logger default level is WARN in tests → debug disabled → identity plan
+    val viaDebug = graft.operators.Stateless.logEvents("debug")(df)
+    assert(viaDebug.queryExecution.logical eq df.queryExecution.logical)
+    // error level is enabled: events still pass through unchanged
+    val node = Node.fromJson(
+      """{"action":"error","children":[{"action":"tap","params":["out"]}]}""")
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    assert(tapRows(res, "out") == Seq(1L -> 1.0, 2L -> 2.0))
+    // test-action records like a tap (action.clj:391-402)
+    val res2 = Engine.run(Node.fromJson(
+      """{"action":"test-action","params":["buf"]}"""), df, EngineCtx(testMode = true))
+    assert(res2.taps("buf").count() == 2)
+  }
+
   test("registry persistence: save/load round-trips streams, defaults, and behavior") {
     val reg = new StreamRegistry(EngineCtx(testMode = true))
     reg.addJson(
