@@ -241,6 +241,31 @@ object QueriesPipeline {
       }
     }
 
+    // SimHash near-dup pairing via the half-signature pigeonhole: the
+    // oracle recomputes signatures from raw text and verifies the exact
+    // hamming distance of every emitted pair (all-pairs is fine for the
+    // ORACLE at sf scale; the gated Spark plan joins only banded buckets)
+    locally {
+      val votes = (0 until 32).map { b =>
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(hh, h -> ((h >> $b) % 2) * 2 - 1)), (a, x) -> a + x) > 0
+           |  THEN ${1L << b} ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" +\n       ")
+      register("dedup_simhash_near",
+        s"""$DocsView
+           |, hh AS (
+           |  SELECT doc_id, list_transform(toks, t -> ${sqlMd5Hash64("t")}) AS hh FROM docs)
+           |, sig AS (SELECT doc_id, $votes AS simhash FROM hh)
+           |SELECT l.doc_id AS id1, r.doc_id AS id2,
+           |       bit_count(xor(l.simhash, r.simhash)) AS hamming
+           |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+           |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", maxHamming = 3)
+          .orderBy("id1", "id2")
+      }
+    }
+
     // ---------------- similarity / ANN ----------------
 
     register("embedding_near_dup",

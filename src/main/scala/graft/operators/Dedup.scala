@@ -143,6 +143,42 @@ object Dedup {
     df.withColumn("simhash", sig)
   }
 
+  /** SimHash near-duplicate pairs at hamming distance ≤ `maxHamming`,
+    * via the half-signature pigeonhole (Charikar/Manku et al.): split the
+    * 32-bit signature into `maxHamming + 1` bands — any pair within the
+    * distance budget must agree EXACTLY on at least one band, so
+    * candidates come from equi-joins on (band index, band bits), one
+    * shuffle, never all-pairs. Candidates are then verified with an exact
+    * `bit_count(xor)` — codegen'd integer ops, no row blowup beyond the
+    * banded buckets.
+    */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 1,
+                     hashFn: Column => Column = Text.md5Hash64): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 32 / bands
+    val sigs = simhash(df.select(col(idCol).as("__id"), col(textCol)), textCol, hashFn)
+      .select(col("__id"), col("simhash"))
+    val banded = sigs.select(
+      col("__id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          // band b = bits [b*width, (b+1)*width); last band absorbs the remainder
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit(if (b == bands - 1) -1L >>> (64 - (32 - b * width)) else (1L << width) - 1))
+            .as("bits"))
+      }: _*)).as("bk"))
+      .select(col("__id"), col("simhash"), col("bk.band"), col("bk.bits"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+      .distinct() // a pair agreeing on several bands appears once
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding near-duplicates, ALL-PAIRS — O(n²) self-join. This is the
     * small-corpus escape hatch only (exhaustive recall on corpora that fit
     * a broadcast); the scale path is [[embeddingNearDupBucketed]].
