@@ -124,8 +124,11 @@ object Engine {
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     val errors = Seq.newBuilder[String]
-    def fail(at: String, e: Throwable): Unit =
-      errors += s"$at: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}"
+    def fail(at: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse("").linesIterator
+        .nextOption().filter(_.nonEmpty).getOrElse(e.getClass.getSimpleName)
+      errors += s"$at: $msg"
+    }
     def walk(n: Node, path: String, df: DataFrame, keys: Seq[String]): Unit = {
       val at = s"$path/${n.action}"
       def recurse(out: DataFrame, ks: Seq[String] = keys): Unit =
@@ -144,15 +147,18 @@ object Engine {
         case "split" =>
           try {
             val conds = n.params.map(Condition.parse)
-            if (n.children.size != conds.size + 1)
-              errors += s"$at: ${conds.size} conditions need ${conds.size + 1} children, got ${n.children.size}"
+            // interp accepts N children (no default branch) or N+1
+            if (n.children.size != conds.size && n.children.size != conds.size + 1)
+              errors += s"$at: ${conds.size} conditions need ${conds.size} or ${conds.size + 1} children, got ${n.children.size}"
             conds.foreach(c => df.filter(c.column))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
-        case "tap" | "publish!" | "reinject!" =>
+        case "publish!" => // a channel genuinely needs a name at runtime
           if (n.params.headOption.forall(pStr(_).isEmpty)) errors += s"$at: needs a name"
           recurse(df)
-        case "test-action" => recurse(df)
+        // tap defaults to "test" and reinject! to "default" at runtime —
+        // nameless forms are valid
+        case "tap" | "reinject!" | "test-action" => recurse(df)
         case "exception-stream" =>
           if (n.children.size != 2) errors += s"$at: needs [ok, error] children"
           try df(pStr(n.params.head)) catch { case e: Throwable => fail(at, e) }
@@ -160,7 +166,9 @@ object Engine {
         case "custom" =>
           val name = n.params.headOption.map(pStr).getOrElse("")
           if (!ctx.custom.contains(name)) errors += s"$at: unknown custom action '$name'"
-          recurse(df) // plugin output schema is the plugin's contract
+          // a plugin may change the schema arbitrarily, so its subtree
+          // cannot be statically checked against the input schema —
+          // validating it would false-positive on every added column
         case "output!" =>
           val name = n.params.headOption.map(pStr).getOrElse("")
           if (!ctx.outputs.contains(name)) errors += s"$at: Output $name not found"
@@ -190,9 +198,20 @@ object Engine {
       if (depth > ctx.maxReinjectDepth)
         throw new IllegalStateException(
           s"reinject! exceeded maxReinjectDepth=${ctx.maxReinjectDepth} into stream '$name' (cycle?)")
-      val target = Option(registry).flatMap(_.get(name)).getOrElse(
-        throw new IllegalArgumentException(s"reinject! into unknown stream '$name'"))
-      interp(target, df, Nil, ctx, res, registry, depth)
+      // "default" routes like push!: a literally-named stream wins, else
+      // every default-flagged stream (stream.clj:260-268, reinject!'s
+      // no-target form sends back to the default streams)
+      val targets: Seq[Node] = Option(registry) match {
+        case Some(reg) =>
+          reg.get(name).map(Seq(_)).getOrElse {
+            val defaults = if (name == "default") reg.defaults.flatMap(reg.get) else Nil
+            if (defaults.nonEmpty) defaults
+            else throw new IllegalArgumentException(s"reinject! into unknown stream '$name'")
+          }
+        case None =>
+          throw new IllegalArgumentException(s"reinject! into unknown stream '$name'")
+      }
+      targets.foreach(t => interp(t, df, Nil, ctx, res, registry, depth))
     }
 
   // --------------------------------------------------------------------
@@ -637,9 +656,11 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     if (!java.nio.file.Files.isDirectory(d)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(d).iterator().asScala
-        .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
-        .flatMap(p => addJson(java.nio.file.Files.readString(p)))
+      val listing = java.nio.file.Files.list(d)
+      val paths =
+        try listing.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+        finally listing.close()
+      paths.flatMap(p => addJson(java.nio.file.Files.readString(p)))
     }
   }
 }

@@ -175,8 +175,10 @@ object Dedup {
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
-      .distinct() // a pair agreeing on several bands appears once
+      // filter BEFORE distinct: the dedup shuffle then carries only
+      // within-budget pairs, not every band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair agreeing on several bands appears once
   }
 
   /** Embedding near-duplicates, ALL-PAIRS — O(n²) self-join. This is the

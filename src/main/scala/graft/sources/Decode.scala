@@ -49,7 +49,12 @@ object Decode {
         "attributes:map<string,string>>"
     df.select(from_json(col(bodyCol), s"struct<events:array<$eventType>>",
         Map.empty[String, String]).as("__body"))
-      .select(explode(col("__body.events")).as("e"))
+      // a malformed body parses to NULL; explode_outer keeps one all-null
+      // marker row for it instead of silently dropping the payload, so
+      // the bad-record pattern (exception-stream on any event field)
+      // still sees it — the reference handler rejects such bodies at the
+      // HTTP layer
+      .select(explode_outer(col("__body.events")).as("e"))
       .select(col("e.*"))
   }
 

@@ -60,10 +60,19 @@ object RiemannCodec {
   // ---- wire-format primitives (protobuf encoding spec) ----
 
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    // every read is bounds-checked against the enclosing message's END,
+    // not the buffer: a corrupt nested length field must fail as a parse
+    // error, never silently read a sibling's bytes (this parses untrusted
+    // network input)
+    private def need(n: Int): Unit =
+      if (n < 0 || pos > end - n)
+        throw new IllegalArgumentException(
+          s"truncated or corrupt message: need $n bytes at offset $pos (end $end)")
     def hasRemaining: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var out = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos); pos += 1
         out |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return out
@@ -72,29 +81,33 @@ object RiemannCodec {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed32(): Int = {
+      need(4)
       val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
         ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
       pos += 4; v
     }
     def fixed64(): Long = {
+      need(8)
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def bytes(): (Int, Int) = { // (offset, length) view — no copy
-      val len = varint().toInt
+      val len = varint()
+      if (len < 0 || len > Int.MaxValue) throw new IllegalArgumentException(s"bad length $len")
+      need(len.toInt)
       val off = pos
-      pos += len
-      (off, len)
+      pos += len.toInt
+      (off, len.toInt)
     }
     def string(): String = {
       val (off, len) = bytes(); new String(buf, off, len, UTF_8)
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => need(8); pos += 8
       case 2 => val (_, _) = bytes()
-      case 5 => pos += 4
+      case 5 => need(4); pos += 4
       case t => throw new IllegalArgumentException(s"unsupported wire type $t")
     }
   }
@@ -179,7 +192,10 @@ object RiemannCodec {
     while (p + 4 <= stream.length) {
       val len = ((stream(p) & 0xff) << 24) | ((stream(p + 1) & 0xff) << 16) |
         ((stream(p + 2) & 0xff) << 8) | (stream(p + 3) & 0xff)
-      require(p + 4 + len <= stream.length, s"truncated frame at offset $p (len $len)")
+      // len is a signed read — reject negative/overflowing headers before
+      // the addition below can wrap around
+      require(len >= 0 && len <= stream.length - p - 4,
+        s"truncated frame at offset $p (len $len)")
       out += java.util.Arrays.copyOfRange(stream, p + 4, p + 4 + len)
       p += 4 + len
     }

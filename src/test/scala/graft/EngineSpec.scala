@@ -180,6 +180,36 @@ class EngineSpec extends AnyFunSuite {
     assert(res2.sinks.isEmpty)
   }
 
+  test("reinject! without a target routes through the default streams, like push!") {
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    reg.addJson(
+      """{"streams":[{"action":"stream","params":[{"name":"sink","default":true}],
+        | "children":[{"action":"tap","params":["landed"]}]}]}""".stripMargin)
+    val df = events(ev(200, 1 * S, id = 1))
+    // a pipeline that reinjects everything with no named target
+    val res = Engine.run(Node.fromJson("""{"action":"reinject!"}"""), df,
+      EngineCtx(testMode = true), reg)
+    assert(res.taps("landed").count() == 1)
+    // with no default streams and no stream named "default": error
+    val bare = new StreamRegistry(EngineCtx(testMode = true))
+    intercept[IllegalArgumentException] {
+      Engine.run(Node.fromJson("""{"action":"reinject!"}"""), df,
+        EngineCtx(testMode = true), bare)
+    }
+  }
+
+  test("malformed HTTP push bodies become all-null marker rows (bad-record pattern)") {
+    val s = spark
+    import s.implicits._
+    val bodies = Seq(
+      """{"events":[{"time":1,"service":"a","metric":2.0}]}""",
+      "not json at all").toDF("body")
+    val out = graft.sources.Decode.httpEvents(bodies)
+    assert(out.count() == 2) // the bad body is a marker row, not a silent drop
+    assert(out.filter(col("service").isNull).count() == 1)
+    assert(out.filter(col("service") === "a").count() == 1)
+  }
+
   test("debug/info/error log actions pass events through; disabled level leaves the plan unchanged") {
     val df = events(ev(1, 1 * S, id = 1), ev(2, 2 * S, id = 2))
     // logger default level is WARN in tests → debug disabled → identity plan
@@ -245,12 +275,24 @@ class EngineSpec extends AnyFunSuite {
         |    {"action":"fixed-time-window","params":[{"duration":60}],"children":[
         |      {"action":"coll-count","children":[{"action":"tap","params":["out"]}]}]}]}]}""".stripMargin)
     assert(Engine.validate(valid, spark) == Nil)
+    // split with N conditions and N children (no default) is valid, like interp
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"split","params":[[">","metric",1]],
+        | "children":[{"action":"tap","params":["a"]}]}""".stripMargin), spark) == Nil)
+    // nameless tap/reinject! are valid (runtime defaults); a schema-changing
+    // custom plugin's subtree is not checked against the input schema
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"custom","params":["enrich"],
+        | "children":[{"action":"where","params":[[">","plugin_col",0]],
+        |              "children":[{"action":"tap"},{"action":"reinject!"}]}]}""".stripMargin),
+      spark, EngineCtx(custom = Map("enrich" -> (_ => df => df)))) == Nil)
     val broken = Node.fromJson(
       """{"action":"sdo","children":[
         |  {"action":"frobnicate"},
         |  {"action":"where","params":[[">","no_such_field",1]]},
         |  {"action":"split","params":[[">","metric",1]],
-        |   "children":[{"action":"tap","params":["a"]}]},
+        |   "children":[{"action":"tap","params":["a"]},{"action":"tap","params":["b"]},
+        |               {"action":"tap","params":["c"]}]},
         |  {"action":"custom","params":["nope"]},
         |  {"action":"fixed-time-window","params":[{}]}]}""".stripMargin)
     val errs = Engine.validate(broken, spark)

@@ -112,6 +112,22 @@ class RiemannCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RiemannCodec.frames(good ++ bytes(1, 2)))
   }
 
+  test("corrupt nested length fields fail as parse errors, never read sibling bytes") {
+    // event (field 6) whose declared length is 4, but whose inner string
+    // field claims 10 bytes — must throw, not absorb the next event
+    val corrupt = bytes(0x32, 0x04, 0x12, 0x0a, 'o', 'k')
+    val e1 = intercept[IllegalArgumentException](RiemannCodec.decodeMsg(corrupt))
+    assert(e1.getMessage.contains("truncated or corrupt"))
+    // varint truncated at the end of the payload: parse error, not
+    // ArrayIndexOutOfBoundsException
+    val e2 = intercept[IllegalArgumentException](RiemannCodec.decodeMsg(bytes(0x08, 0x80)))
+    assert(e2.getMessage.contains("truncated or corrupt"))
+    // frame header with the sign bit set: clean rejection
+    val e3 = intercept[IllegalArgumentException](
+      RiemannCodec.frames(bytes(0x80, 0x00, 0x00, 0x00, 0x01)))
+    assert(e3.getMessage.contains("truncated frame"))
+  }
+
   test("distributed decode: Dataset flatMap over binary streams") {
     val spark = TestSpark.spark
     import spark.implicits._
