@@ -18,8 +18,8 @@ object Bench {
     "dedup_minhash_lsh", "dedup_minhash_lsh_xx", "dedup_simhash",
     "text_quality", "ann_topk", "ann_bucketed_topk", "ann_ivf_topk",
     "embedding_near_dup_bucketed",
-    // source-decode and media-kernel throughput
-    "riemann_decode", "media_features")
+    // source-decode, media-kernel, and banded near-dup throughput
+    "riemann_decode", "media_features", "dedup_simhash_near")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

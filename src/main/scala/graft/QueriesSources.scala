@@ -143,6 +143,23 @@ object QueriesSources {
         .orderBy("eid")
     }
 
+    // fluentbit logs (§2.7): events shaped as fluentbit records ({date:
+    // seconds, log: line}, handler.clj:89-95) and decoded back. Dates are
+    // whole seconds so the s→ns conversion stays exact through doubles.
+    register("fluentbit_decode",
+      """SELECT event_id AS eid,
+        |       (epoch_ns(ts) // 1000000000) * 1000000000 AS time,
+        |       props AS description
+        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      val logs = Tables.eventsRaw(s, dir).select(
+        col("event_id").as("eid"),
+        expr("ts div 1000000000").cast("double").as("date"),
+        col("props").as("log"))
+      Decode.fluentbit(logs)
+        .select(col("eid"), col("time"), col("description"))
+        .orderBy("eid")
+    }
+
     // HTTP push API (§2.7): events serialized as the PUT body JSON
     // ({"events":[...]}, handler.clj:51-58) and decoded back.
     register("http_push_decode",

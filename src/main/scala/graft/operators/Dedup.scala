@@ -152,13 +152,39 @@ object Dedup {
     * `bit_count(xor)` — codegen'd integer ops, no row blowup beyond the
     * banded buckets.
     */
+  /** SimHash signatures via the distributed shape (the [[minhashSigTable]]
+    * pattern): explode tokens to rows, hash each token EXACTLY ONCE, then
+    * 32 per-bit ±1 vote sums with map-side partial combine. The per-row
+    * fold ([[simhash]]) re-evaluates the token-hash lambda once per bit —
+    * 32× the hashing — because higher-order lambdas are not
+    * common-subexpression-eliminated; it stays as the oracle-parity
+    * surface. Token-less docs keep signature 0, like the fold.
+    */
+  def simhashSigTable(df: DataFrame, textCol: String, idCol: String,
+                      hashFn: Column => Column = Text.md5Hash64): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("__id"), explode(Text.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", hashFn(col("__t")))
+    val votes = (0 until 32).map { b =>
+      sum(shiftright(col("__h"), b) % lit(2L) * lit(2L) - lit(1L)).as(s"__v$b")
+    }
+    val sig = (0 until 32).map { b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val voted = hashed.groupBy("__id").agg(votes.head, votes.tail: _*)
+      .select(col("__id"), sig.as("simhash"))
+    df.select(col(idCol).as("__id")).join(voted, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 1,
                      hashFn: Column => Column = Text.md5Hash64): DataFrame = {
     val bands = maxHamming + 1
     val width = 32 / bands
-    val sigs = simhash(df.select(col(idCol).as("__id"), col(textCol)), textCol, hashFn)
-      .select(col("__id"), col("simhash"))
+    // signatures feed both sides of the self-join: materialize the tiny
+    // (id, sig) table once instead of running the hash pipeline twice
+    val sigs = simhashSigTable(df, textCol, idCol, hashFn).localCheckpoint(true)
     val banded = sigs.select(
       col("__id"), col("simhash"),
       explode(array((0 until bands).map { b =>
