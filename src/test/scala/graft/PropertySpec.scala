@@ -124,6 +124,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("condition compile == compileWith(top-level resolver) for random conditions") {
+    import graft.conditions.Condition
+    import graft.conditions.Condition._
+    val genCond: Gen[Condition] = {
+      val strFields = Gen.oneOf("host", "state")
+      val leaf: Gen[Condition] = Gen.oneOf(
+        Gen.choose(-50, 250).map(v => Gt(Field("metric"), v)),
+        Gen.choose(-50, 250).map(v => Lte(Field("metric"), v)),
+        strFields.map(f => Eq(Field(f), "ok")), strFields.map(f => NotEq(Field(f), "a")),
+        strFields.map(f => IsNil(Field(f))), strFields.map(f => Regex(Field(f), "a|c.*")))
+      for (a <- leaf; b <- leaf; c <- leaf; pick <- Gen.choose(0, 2))
+        yield pick match {
+          case 0 => And.of(a, b)
+          case 1 => Or.of(a, And.of(b, c))
+          case _ => a
+        }
+    }
+    forAll(Gen.zip(genCond, genEvents), cases = 10) { case (cond, evs) =>
+      whenever(evs.nonEmpty) {
+        val df = events(evs: _*)
+        val direct = df.filter(cond.column).select("eventId").collect().map(_.getLong(0)).toSet
+        val resolved = df.filter(Condition.compileWith(cond, f =>
+          f.path.tail.foldLeft(col(f.path.head))((c, k) => c.getItem(k))))
+          .select("eventId").collect().map(_.getLong(0)).toSet
+        assert(direct == resolved)
+      }
+    }
+  }
+
   test("IR node JSON round-trip: fromJson(toJson(n)) == n for random trees") {
     import graft.ir.Node
     val genParam: Gen[Any] = Gen.oneOf(
