@@ -89,6 +89,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(m == Map(0.0 -> 1.0, 0.5 -> 3.0, 0.99 -> 5.0))
   }
 
+  test("percentilesApprox (the cluster-scale path) tracks the exact sketch within tolerance") {
+    // 200 events across two windows; at accuracy >= n the t-digest style
+    // sketch is exact on every quantile an input value can land on
+    val df = events((1 to 200).map(i => ev((i % 97).toDouble, i * S, id = i)): _*)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    def collect(out: org.apache.spark.sql.DataFrame, qCol: String): Map[(Long, Double), Double] =
+      out.select("window_start", qCol, "metric").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = collect(Windows.percentiles(100, qs)(df), "quantile")
+    val approxRows = Windows.percentilesApprox(100, qs, accuracy = 10000)(df)
+      .withColumn("quantile", expr(s"cast(array(${qs.mkString(",")})[qi] as double)"))
+    val approx = collect(approxRows, "quantile")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= 1.0, s"quantile $k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
   test("coll-count emits 0-style empty handling and coll ops fold in order") {
     val df = events(ev(4, 10 * S, id = 1), ev(2, 20 * S, id = 2), ev(6, 30 * S, id = 3))
     val w = Windows.fixedTimeWindow(60)(df)
