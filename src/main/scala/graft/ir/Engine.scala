@@ -582,6 +582,17 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
   }
   def remove(name: String): Unit = { streams.remove(name); defaultFlags.remove(name) }
   def get(name: String): Option[Node] = streams.get(name)
+
+  /** Export a stream's full document as JSON (the HTTP API's
+    * `get-stream`, which returns the stored config —
+    * `handler.clj:64-72`); round-trips through [[addJson]].
+    */
+  def getJson(name: String): Option[String] = streams.get(name).map { node =>
+    Node.toJson(Node("stream",
+      Seq(Map("name" -> name, "default" -> defaultFlags.getOrElse(name, false))),
+      Seq(node)))
+  }
+
   def list: Seq[String] = streams.keySet.toSeq.sorted
 
   /** Streams flagged `default: true` — the ones that receive events not

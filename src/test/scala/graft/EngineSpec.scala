@@ -246,6 +246,10 @@ class EngineSpec extends AnyFunSuite {
     // Node JSON round-trip holds for the persisted document shape
     val n = reg.get("alerts").get
     assert(Node.fromJson(Node.toJson(n)) == n)
+    // getJson (the HTTP get-stream analog) round-trips through addJson
+    val reg3 = new StreamRegistry(EngineCtx(testMode = true))
+    reg3.addJson(reg.getJson("alerts").get)
+    assert(reg3.get("alerts") == reg.get("alerts") && reg3.defaults == Seq("alerts"))
   }
 
   test("salt widens downstream grouping; re-aggregating recovers the unsalted result") {
