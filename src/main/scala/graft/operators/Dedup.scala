@@ -43,7 +43,11 @@ object Dedup {
   def minhashSignature(df: DataFrame, textCol: String, k: Int = 8,
                        hashFn: Column => Column = Text.md5HashMod): DataFrame = {
     val p = 1000000007L
-    val shingleHashes = transform(Text.bigramShingles(Text.tokens(col(textCol))), s => hashFn(s))
+    // reduce into [0, p) FIRST: a full-range 64-bit hash (xxhash64) would
+    // overflow a*h under ANSI mode; for already-reduced hashes this is a
+    // no-op, so the oracle-parity path is unchanged
+    val shingleHashes = transform(Text.bigramShingles(Text.tokens(col(textCol))),
+      s => pmod(hashFn(s), lit(p)))
     val sig = array((0 until k).map { j =>
       val a = 2L * j + 1
       val b = 7919L * j + 13
@@ -73,7 +77,9 @@ object Dedup {
     val hashed = df
       .select(col(idCol).as("__id"),
         explode(Text.bigramShingles(Text.tokens(col(textCol)))).as("__s"))
-      .withColumn("__h", hashFn(col("__s")))
+      // pmod into [0, p): makes any 64-bit hashFn safe under ANSI (a*h
+      // would overflow on full-range values); no-op for reduced hashes
+      .withColumn("__h", pmod(hashFn(col("__s")), lit(p)))
     val aggs = (0 until k).map { j =>
       val a = 2L * j + 1
       val b = 7919L * j + 13
@@ -137,7 +143,9 @@ object Dedup {
     val hashes = transform(Text.tokens(col(textCol)), t => hashFn(t))
     val sig = (0 until 32).map { b =>
       val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + ((shiftright(h, b) % lit(2L)) * lit(2L) - lit(1L)))
+        // bitwiseAND, not % 2: a negative (full-range) hash's bit must
+        // vote +1/-1, and (h>>b) % 2 is -1 for negative h
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("simhash", sig)
@@ -166,7 +174,7 @@ object Dedup {
       .select(col(idCol).as("__id"), explode(Text.tokens(col(textCol))).as("__t"))
       .withColumn("__h", hashFn(col("__t")))
     val votes = (0 until 32).map { b =>
-      sum(shiftright(col("__h"), b) % lit(2L) * lit(2L) - lit(1L)).as(s"__v$b")
+      sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"__v$b")
     }
     val sig = (0 until 32).map { b =>
       when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))
