@@ -548,11 +548,23 @@ object Queries {
         .orderBy("eventId")
     }
 
+    // all four move shapes: top→top, attributes.k→top (kval), top→nested
+    // (state→attributes.state). attr_k pins that the moved nested source
+    // key is actually removed from the map.
     register("rename_keys",
       s"""$EventsView
-         |SELECT eventId, host AS hostname, service AS check FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
-      ev(s, dir).transform(Stateless.renameKeys(Map("host" -> "hostname", "service" -> "check")))
-        .select(col("eventId"), col("hostname"), col("check"))
+         |SELECT eventId, host AS hostname,
+         |       json_extract_string(description, '$$.k') AS kval,
+         |       CAST(NULL AS VARCHAR) AS attr_k,
+         |       state AS attr_state
+         |FROM ev ORDER BY eventId""".stripMargin) { (s, dir) =>
+      ev(s, dir).transform(Stateless.renameKeys(Map(
+        "host" -> "hostname",
+        "attributes.k" -> "kval",
+        "state" -> "attributes.state")))
+        .select(col("eventId"), col("hostname"), col("kval"),
+          col("attributes")("k").as("attr_k"),
+          col("attributes")("state").as("attr_state"))
         .orderBy("eventId")
     }
 

@@ -412,6 +412,9 @@ object Engine {
       df =>
         if (df.isStreaming) Streaming.coalesceWindow(pLong(m("duration")), delayOf(params), pStrs(m("fields")))(df)
         else Windows.coalesceWindow(pLong(m("duration")), pStrs(m("fields")))(df)
+    // `project` is one plan for both runtimes: the unwindowed conditional
+    // max_by aggregate IS the streaming current-state view — run the sink
+    // in update/complete mode (StreamingSpec pins stream == batch).
     case "project"     => Windows.project(params.head.asInstanceOf[Seq[Any]].map(Condition.parse))
     case "percentiles" =>
       // full-event per-quantile output like the reference (action.clj:2845-2929):
@@ -478,7 +481,11 @@ object Engine {
         else Analytics.outsideDt(pDouble(m("low")), pDouble(m("high")), pLong(m("duration")), keys)(df)
     case "cond-dt" =>
       val m = pMap(params.head)
-      Analytics.condDt(Condition.parse(m("condition")), pLong(m("duration")), keys)
+      val cond = Condition.parse(m("condition"))
+      df =>
+        if (df.isStreaming)
+          Streaming.condDt(Condition.evaluator(cond), pLong(m("duration")), keys)(df).toDF()
+        else Analytics.condDt(cond, pLong(m("duration")), keys)(df)
     case "ddt" => df =>
       if (df.isStreaming) Streaming.ddt(keys)(df).toDF() else Analytics.ddt(keys)(df)
     case "ddt-pos" => df =>

@@ -5,6 +5,7 @@ import graft.model.Event
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
 /** Order-sensitive operators (SURVEY §2.5 "stateful" rows): batch
@@ -164,6 +165,104 @@ object Analytics {
   // mapGroupsWithState. O(n) state, spill-safe, no collect().
   // --------------------------------------------------------------------
 
+  /** Per-row verdict of a [[perKeyMetricScan]] step. */
+  sealed trait Emit
+  object Emit {
+    /** Drop the event. */
+    case object Drop extends Emit
+    /** Emit the event unchanged. */
+    case object Keep extends Emit
+    /** Emit the event with `metric` replaced. */
+    final case class SetMetric(m: Double) extends Emit
+  }
+
+  /** Sequential per-key fold whose step reads only `(time, metric)` and
+    * either passes, drops, or rewrites `metric` — the shape of the
+    * reference's throttle/ewma family (`action.clj:1163-1276`).
+    *
+    * Unlike [[perKeyScan]] this never decodes the row: after the shuffle
+    * + external sort it walks the Tungsten rows directly, reading the two
+    * fixed-width fields and the key columns lazily. The `tags` array and
+    * `attributes` map stay as undecoded bytes (unless a key names an
+    * attribute), so the per-row cost is two field reads instead of a full
+    * 11-column `Event` encoder round-trip.
+    */
+  def perKeyMetricScan[S](df: DataFrame, keys: Seq[String])(init: () => S)(
+      step: (S, Long, java.lang.Double) => (S, Emit)): DataFrame = {
+    warnKeyless("per-key-scan", keys)
+    val spark = df.sparkSession
+    val schema = df.schema
+    val sortCols = keys.map(col) ++ Seq(col("time"), col("eventId"))
+    val parted =
+      if (keys.isEmpty) df.repartition(1).sortWithinPartitions(sortCols: _*)
+      else df.repartition(keys.map(col): _*).sortWithinPartitions(sortCols: _*)
+    val timeOrd = schema.fieldIndex("time")
+    val metricOrd = schema.fieldIndex("metric")
+    val topLevel = schema.fieldNames.toSet
+    val attrOrd = if (topLevel("attributes")) schema.fieldIndex("attributes") else -1
+    // Per key: Left(top-level ordinal) or Right(attribute name), mirroring
+    // perKeyScan's keyOf. Attribute keys scan the map's key array in place.
+    val keyGetters: Array[Either[Int, org.apache.spark.unsafe.types.UTF8String]] =
+      keys.map { k =>
+        if (topLevel(k)) Left(schema.fieldIndex(k))
+        else Right(org.apache.spark.unsafe.types.UTF8String.fromString(k))
+      }.toArray
+
+    val rdd = Bridge.toInternalRows(parted).mapPartitions { it =>
+      val nk = keyGetters.length
+      var cur = new Array[String](nk)
+      var tmp = new Array[String](nk)
+      var started = false
+      var state: S = null.asInstanceOf[S]
+      it.flatMap { row =>
+        var changed = !started
+        var i = 0
+        while (i < nk) {
+          val v: String = keyGetters(i) match {
+            case Left(ord) =>
+              if (row.isNullAt(ord)) null else row.getUTF8String(ord).toString
+            case Right(name) =>
+              if (attrOrd < 0 || row.isNullAt(attrOrd)) null
+              else {
+                val m = row.getMap(attrOrd)
+                val ka = m.keyArray(); val va = m.valueArray()
+                var j = 0; var found: String = null
+                val n = ka.numElements()
+                while (j < n && found == null) {
+                  if (name == ka.getUTF8String(j))
+                    found = if (va.isNullAt(j)) null else va.getUTF8String(j).toString
+                  j += 1
+                }
+                found
+              }
+          }
+          tmp(i) = v
+          if (!changed && v != cur(i)) changed = true
+          i += 1
+        }
+        if (changed) {
+          val t = cur; cur = tmp; tmp = t
+          started = true
+          state = init()
+        }
+        val metric: java.lang.Double =
+          if (row.isNullAt(metricOrd)) null else row.getDouble(metricOrd)
+        val (s2, emit) = step(state, row.getLong(timeOrd), metric)
+        state = s2
+        emit match {
+          case Emit.Keep => Iterator.single(row)
+          case Emit.Drop => Iterator.empty
+          case Emit.SetMetric(v) =>
+            // The sorter reuses its row buffer; copy before mutating.
+            val r2 = row.copy()
+            r2.setDouble(metricOrd, v)
+            Iterator.single(r2)
+        }
+      }
+    }
+    Bridge.fromInternalRows(spark, rdd, schema)
+  }
+
   /** Repartition by `keys`, sort each partition by (keys, time, eventId),
     * then run a sequential stateful scan; `init` state is re-created at
     * every key change.
@@ -204,13 +303,12 @@ object Analytics {
   /** `ewma-timeless` — EWMA with ratio r, seeded at 0, one output per
     * input (`action.clj:1249-1276`): m' = (1-r)*m + r*x.
     */
-  def ewmaTimeless(r: Double, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] =
-    perKeyScan(df, keys)(() => Double.box(0.0)) { (m, e) =>
-      e.metric match {
-        case Some(x) =>
-          val m2 = (1 - r) * m.doubleValue() + r * x
-          (Double.box(m2), Iterator.single(e.copy(metric = Some(m2))))
-        case None => (m, Iterator.single(e))
+  def ewmaTimeless(r: Double, keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    perKeyMetricScan(df, keys)(() => Double.box(0.0)) { (m, _, x) =>
+      if (x == null) (m, Emit.Keep)
+      else {
+        val m2 = (1 - r) * m.doubleValue() + r * x.doubleValue()
+        (Double.box(m2), Emit.SetMetric(m2))
       }
     }
 
@@ -218,14 +316,14 @@ object Analytics {
     * at the first event's time and re-opens at the first event past
     * `start + duration` (`action.clj:1163-1217`).
     */
-  def throttle(count: Int, durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = {
+  def throttle(count: Int, durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     val durNs = durationSeconds * Event.NsPerSecond
     final case class St(var start: Long, var n: Int)
-    perKeyScan(df, keys)(() => St(Long.MinValue, 0)) { (s, e) =>
-      if (s.start == Long.MinValue || e.time >= s.start + durNs) {
-        s.start = e.time; s.n = 1; (s, Iterator.single(e))
-      } else if (s.n >= count) (s, Iterator.empty)
-      else { s.n += 1; (s, Iterator.single(e)) }
+    perKeyMetricScan(df, keys)(() => St(Long.MinValue, 0)) { (s, t, _) =>
+      if (s.start == Long.MinValue || t >= s.start + durNs) {
+        s.start = t; s.n = 1; (s, Emit.Keep)
+      } else if (s.n >= count) (s, Emit.Drop)
+      else { s.n += 1; (s, Emit.Keep) }
     }
   }
 }

@@ -111,9 +111,58 @@ object Stateless {
   def keepKeys(keys: Seq[String])(df: DataFrame): DataFrame =
     df.select(keys.map(col): _*)
 
-  /** `rename-keys` — rename fields (`action.clj:2140-2194`). */
+  /** `rename-keys` — move fields, nested↔top included (`action.clj:2140-2194`).
+    *
+    * Reference semantics, applied pair by pair: when the source value is
+    * present the pair removes the source key and assocs the value at the
+    * destination (overriding any existing value); events without the
+    * source value pass unchanged. `attributes.x` addresses the nested
+    * attributes map on either side, so all four move shapes work:
+    * top→top, top→`attributes.y`, `attributes.x`→top,
+    * `attributes.x`→`attributes.y`. In the columnar model "absent key" is
+    * a null value, so a fully-moved top-level source column is dropped.
+    */
   def renameKeys(renames: Map[String, String])(df: DataFrame): DataFrame =
-    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    renames.foldLeft(df) { case (d, (from, to)) => renameKey(d, from, to) }
+
+  private def renameKey(df: DataFrame, from: String, to: String): DataFrame = {
+    if (from == to) return df
+    val fromNested = from.startsWith("attributes.")
+    val toNested = to.startsWith("attributes.")
+    val src: Column =
+      if (fromNested) col("attributes").getItem(from.stripPrefix("attributes."))
+      else col(from)
+    val srcType: DataType =
+      if (fromNested) StringType else df.schema(from).dataType
+    // Stage the moved value first: the source read must not observe the
+    // attributes rewrite below.
+    val d0 = df.withColumn("__mv", src)
+    val moved = col("__mv").isNotNull
+    val d1 =
+      if (fromNested) {
+        val k = lit(from.stripPrefix("attributes."))
+        d0.withColumn("attributes",
+          when(moved, map_filter(col("attributes"), (key, _) => key =!= k))
+            .otherwise(col("attributes")))
+      } else d0 // top-level source dropped below, after the target assignment
+    val d2 =
+      if (toNested) {
+        val k = lit(to.stripPrefix("attributes."))
+        d1.withColumn("attributes",
+          when(moved,
+            map_concat(
+              map_filter(coalesce(col("attributes"), map()), (key, _) => key =!= k),
+              map(k, col("__mv").cast(StringType))))
+            .otherwise(col("attributes")))
+      } else {
+        val tgtType = if (d1.columns.contains(to)) d1.schema(to).dataType else srcType
+        val fallback =
+          if (d1.columns.contains(to)) col(to) else lit(null).cast(tgtType)
+        d1.withColumn(to, coalesce(col("__mv").cast(tgtType), fallback))
+      }
+    val d3 = if (!fromNested) d2.drop(from) else d2
+    d3.drop("__mv")
+  }
 
   /** `tag` — add tag(s), keeping the set distinct (`action.clj:939-970`). */
   def tag(ts: Seq[String])(df: DataFrame): DataFrame =

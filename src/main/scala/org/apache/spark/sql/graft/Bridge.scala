@@ -1,10 +1,13 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
-/** Column ↔ Catalyst `Expression` bridge.
+/** Column ↔ Catalyst `Expression` / DataFrame ↔ `InternalRow` bridge.
   *
   * Spark 4 moved the public `Column` API to column nodes and made the
   * classic converters `private[sql]`; extension libraries that ship native
@@ -16,4 +19,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Execute the frame's physical plan and hand back the raw Tungsten rows.
+    * Lets per-partition kernels read individual fixed-width fields lazily
+    * (`UnsafeRow` getters) without paying the full row encoder — variable
+    * width columns (arrays, maps) stay as undecoded bytes unless touched.
+    */
+  def toInternalRows(df: DataFrame): RDD[InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Rebuild a DataFrame from Tungsten rows produced by a kernel over
+    * [[toInternalRows]] output. The rows must already match `schema`.
+    */
+  def fromInternalRows(spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -38,6 +38,26 @@ class StreamingSpec extends AnyFunSuite {
     s.table(name)
   }
 
+  /** Like [[runStream]] but with a complete-mode sink — for the
+    * continuously-updated current-state plans (unwindowed aggregates like
+    * `project`) that have nothing to emit in append mode.
+    */
+  private def runStreamComplete(transform: DataFrame => DataFrame,
+                                batches: Seq[Seq[Event]]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    val ms = MemoryStream[Event]
+    val q = transform(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    s.table(name)
+  }
+
   /** Late fixture events that only exist to push the watermark far past
     * every window under test (two batches: the watermark is computed from
     * the PREVIOUS batch's max event time).
@@ -140,6 +160,38 @@ class StreamingSpec extends AnyFunSuite {
       .select("eventId", "metric").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(streamed == batch)
+  }
+
+  test("streaming generic cond-dt (IR dispatch) == batch twin") {
+    import graft.ir.{Engine, EngineCtx}
+    // metric > 5 must hold for > 2 s; a dip at t=5 breaks the run
+    val fixture = Seq(
+      ev(10, 1 * S, id = 1), ev(10, 2 * S, id = 2), ev(10, 4 * S, id = 3),
+      ev(1, 5 * S, id = 4), ev(10, 6 * S, id = 5), ev(10, 9 * S, id = 6))
+    val op = Engine.applyOp("cond-dt",
+      Seq(Map("condition" -> Seq(">", "metric", 5), "duration" -> 2)),
+      Seq("host"), EngineCtx())
+    val out = runStream(op, Seq(fixture.take(3), fixture.drop(3)))
+    val streamed = out.select("eventId").collect().map(_.getLong(0)).toSet
+    val batch = op(events(fixture: _*)).select("eventId").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming project (complete-mode current-state view) == batch twin") {
+    import graft.conditions.Condition
+    val fixture = Seq(
+      ev(180, 1 * S, state = "critical", id = 1), ev(5, 2 * S, state = "ok", id = 2),
+      ev(200, 3 * S, state = "critical", id = 3), ev(7, 4 * S, state = "ok", id = 4))
+    val conds = Seq(
+      Condition.Eq(Condition.Field("state"), "critical"),
+      Condition.Eq(Condition.Field("state"), "ok"))
+    def proj(df: DataFrame) = df
+      .select(col("match_0")("eventId"), col("match_1")("eventId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = runStreamComplete(Windows.project(conds),
+      Seq(fixture.take(2), fixture.drop(2)))
+    val batch = Windows.project(conds)(events(fixture: _*))
+    assert(proj(out) == proj(batch))
   }
 
   test("one IR pipeline, two runtimes: engine dispatches batch vs streaming") {
