@@ -188,7 +188,12 @@ object Engine {
           recurse(out)
       }
     }
-    walk(Node.expandIncludes(node), "", empty, Nil)
+    // include expansion itself can fail on config errors (missing file,
+    // undefined variable, include cycle) — report, don't throw
+    val expanded =
+      try Node.expandIncludes(node)
+      catch { case e: Throwable => fail("/include", e); null }
+    if (expanded != null) walk(expanded, "", empty, Nil)
     errors.result()
   }
 
@@ -584,6 +589,12 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
   private val defaultFlags = new scala.collection.concurrent.TrieMap[String, Boolean]()
 
   def add(name: String, pipeline: Node, default: Boolean = false): Unit = {
+    // names arrive from JSON documents (the HTTP add-stream analog) and
+    // become file names in saveTo — refuse anything that could escape the
+    // persistence directory or fail to round-trip through loadFrom
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
+      !name.contains("..") && name != "." ,
+      s"invalid stream name '$name': must be non-empty, no path separators or '..'")
     streams.put(name, pipeline)
     defaultFlags.put(name, default)
   }

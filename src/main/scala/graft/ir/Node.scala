@@ -68,7 +68,7 @@ object Node {
     case other => throw new IllegalArgumentException(s"not an IR document: $other")
   }
 
-  private[ir] def anyOf(v: JValue): Any = v match {
+  private[graft] def anyOf(v: JValue): Any = v match {
     case JString(s)  => s
     case JInt(i)     => i.toLong
     case JLong(l)    => l
@@ -102,12 +102,25 @@ object Node {
       load: String => String = p => new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8),
-      env: Map[String, String] = sys.env): Node = node match {
+      env: Map[String, String] = sys.env): Node =
+    expandIncludes(node, load, env, Vector.empty)
+
+  /** `seen` is the chain of include paths currently being expanded: a path
+    * recurring in its own chain is a cycle (direct or mutual) and fails
+    * with a clean error naming the loop instead of a StackOverflowError —
+    * `Engine.validate` surfaces it as a per-node config error.
+    */
+  private def expandIncludes(node: Node, load: String => String,
+      env: Map[String, String], seen: Vector[String]): Node = node match {
     case Node("include", params, children) =>
       val path = params.headOption match {
         case Some(s: String) => s
         case other => throw new IllegalArgumentException(s"include needs a path, got $other")
       }
+      val norm = java.nio.file.Paths.get(path).normalize().toString
+      if (seen.contains(norm))
+        throw new IllegalArgumentException(
+          s"include cycle: ${(seen :+ norm).mkString(" -> ")}")
       val opts = params.lift(1) match {
         case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
         case _                  => Map.empty[String, Any]
@@ -137,11 +150,13 @@ object Node {
       def walk(n: Node): Node =
         Node(n.action, n.params.map(subst), n.children.map(walk))
       def graft(n: Node): Node =
-        if (n.children.isEmpty) n.copy(children = children.map(expandIncludes(_, load, env)))
+        // the grafted children come from the INCLUDING document, so they
+        // expand under the current chain, not the included file's
+        if (n.children.isEmpty) n.copy(children = children.map(expandIncludes(_, load, env, seen)))
         else n.copy(children = n.children.map(graft))
-      val included = walk(expandIncludes(fromJson(load(path)), load, env))
+      val included = walk(expandIncludes(fromJson(load(path)), load, env, seen :+ norm))
       if (children.isEmpty) included else graft(included)
-    case Node(a, p, cs) => Node(a, p, cs.map(expandIncludes(_, load, env)))
+    case Node(a, p, cs) => Node(a, p, cs.map(expandIncludes(_, load, env, seen)))
   }
 
   def fromJValue(v: JValue): Node = v match {

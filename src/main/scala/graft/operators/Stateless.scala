@@ -215,10 +215,18 @@ object Stateless {
 
   /** `debug` / `info` / `error` — log each event as JSON at the given
     * level and pass it through (`action.clj:176-236` `log-action`). Logs
-    * land per executor under the `graft.stream` logger. When the level is
-    * disabled the input plan is returned UNCHANGED, so a `(debug)` left
-    * in a production pipeline costs nothing — the reference pays the
-    * level check per event instead.
+    * land per executor under the `graft.stream` logger.
+    *
+    * Level checks happen in two places, both documented behavior: a
+    * DRIVER-side, PLAN-CONSTRUCTION-time shortcut returns the input plan
+    * unchanged when the level is disabled — so a `(debug)` left in a
+    * production pipeline costs literally nothing, at the price that a
+    * long-lived registered stream built while the level was off never
+    * starts logging after a runtime log-level change (rebuild/re-add the
+    * stream to pick it up). When the plan shortcut does NOT fire, each
+    * executor re-checks its own logger per partition at runtime, so
+    * executors with stricter log4j configs than the driver skip the JSON
+    * rendering cost too.
     */
   def logEvents(level: String)(df: DataFrame): DataFrame = {
     val logger = org.apache.logging.log4j.LogManager.getLogger("graft.stream")
@@ -233,7 +241,13 @@ object Stateless {
       val lvl = level
       df.mapPartitions { rows =>
         val log = org.apache.logging.log4j.LogManager.getLogger("graft.stream")
-        rows.map { r =>
+        val on = lvl match {
+          case "debug" => log.isDebugEnabled
+          case "info"  => log.isInfoEnabled
+          case _       => log.isErrorEnabled
+        }
+        if (!on) rows
+        else rows.map { r =>
           val line = try r.json catch { case _: Throwable => r.toString }
           lvl match {
             case "debug" => log.debug(line)

@@ -37,8 +37,15 @@ object Tables {
 
   private def fanOut(df: DataFrame, path: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // .rdd forces physical planning (~0.4 s driver time) — probe once per file
-    val splits = splitCounts.getOrElseUpdate(path, df.rdd.getNumPartitions)
+    // cache key carries the session and the file's mtime: a regenerated
+    // file (different row-group count) or a new session (different split
+    // config) re-probes instead of reusing a stale split count
+    val mtime = scala.util.Try(
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    ).getOrElse(0L)
+    val key = s"${System.identityHashCode(df.sparkSession)}:$path@$mtime"
+    // .rdd forces physical planning (~0.4 s driver time) — probe once per key
+    val splits = splitCounts.getOrElseUpdate(key, df.rdd.getNumPartitions)
     if (splits < target) df.repartition(target) else df
   }
 

@@ -1,0 +1,105 @@
+package graft
+
+import graft.http.ControlPlane
+import graft.ir.{EngineCtx, StreamRegistry}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** Integration test for the HTTP control plane: drives the stream API
+  * routes end-to-end over a real socket, the analog of the reference's
+  * `test/mirabelle/integration_test.clj:19` add/push/get/remove cycle.
+  */
+class ControlPlaneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withServer(ctx: EngineCtx = EngineCtx(testMode = true))(
+      f: (ControlPlane, String) => Unit): Unit = {
+    val registry = new StreamRegistry(ctx)
+    val cp = new ControlPlane(registry, spark).start()
+    try f(cp, s"http://127.0.0.1:${cp.boundPort}")
+    finally cp.stop()
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def send(method: String, url: String, body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = (method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case m        => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }).build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def b64(s: String): String = Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+  private def unb64(s: String): String = new String(Base64.getDecoder.decode(s), UTF_8)
+
+  test("healthz / list / add / get / remove cycle over HTTP") {
+    withServer() { (_, base) =>
+      assert(send("GET", s"$base/healthz") == (200, """{"message":"ok"}"""))
+      assert(send("GET", s"$base/api/v1/stream") == (200, """{"streams":[]}"""))
+
+      val pipeline = """{"action":"where","params":[[">","metric",100]],"children":[{"action":"tap","params":["out"]}]}"""
+      val (addCode, _) = send("POST", s"$base/api/v1/stream/alerts",
+        s"""{"config":"${b64(pipeline)}","default":true}""")
+      assert(addCode == 200)
+      assert(send("GET", s"$base/api/v1/stream")._2 == """{"streams":["alerts"]}""")
+
+      // get-stream round-trips the stored config through base64
+      val (getCode, getBody) = send("GET", s"$base/api/v1/stream/alerts")
+      assert(getCode == 200)
+      val cfg = getBody.replaceAll(""".*"config":"([^"]+)".*""", "$1")
+      val doc = unb64(cfg)
+      assert(doc.contains(""""action":"stream""""))
+      assert(doc.contains(""""name":"alerts""""))
+      assert(doc.contains(""""default":true"""))
+      assert(doc.contains(""""where""""))
+
+      assert(send("DELETE", s"$base/api/v1/stream/alerts")._1 == 200)
+      assert(send("GET", s"$base/api/v1/stream")._2 == """{"streams":[]}""")
+      assert(send("GET", s"$base/api/v1/stream/alerts")._1 == 404)
+    }
+  }
+
+  test("PUT pushes events through the named stream (push-event)") {
+    // real (non-test) ctx: the file sink must actually fire on push
+    withServer(EngineCtx()) { (_, base) =>
+      // pipeline writing matching events to a file sink via output-file
+      val outDir = java.nio.file.Files.createTempDirectory("cp_push").toString
+      val pipeline =
+        s"""{"action":"where","params":[[">","metric",100]],
+           | "children":[{"action":"output-file","params":[{"path":"$outDir/out"}]}]}""".stripMargin
+      assert(send("POST", s"$base/api/v1/stream/push-test",
+        s"""{"config":"${b64(pipeline)}"}""")._1 == 200)
+
+      val events =
+        """{"events":[
+          |  {"host":"a","metric":150.0,"time":1000000000,"eventId":1},
+          |  {"host":"b","metric":50.0,"time":2000000000,"eventId":2},
+          |  {"host":"c","metric":300.0,"time":3000000000,"eventId":3}]}""".stripMargin
+      assert(send("PUT", s"$base/api/v1/stream/push-test", events) == (200, """{"message":"ok"}"""))
+
+      val written = spark.read.json(s"$outDir/out")
+      assert(written.select("eventId").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    }
+  }
+
+  test("error shapes: bad config is 400, unknown stream push is 400+, unknown route 404") {
+    withServer() { (_, base) =>
+      assert(send("POST", s"$base/api/v1/stream/x", """{"nope":1}""")._1 == 400)
+      val (pushCode, _) = send("PUT", s"$base/api/v1/stream/ghost",
+        """{"events":[{"metric":1.0,"time":1}]}""")
+      assert(pushCode >= 400) // reference: "Stream %s not found"
+      assert(send("GET", s"$base/api/v1/nothing")._1 == 404)
+      // path-traversal stream names are refused by the registry guard
+      assert(send("POST", s"$base/api/v1/stream/..%2Fescape",
+        s"""{"config":"${b64("""{"action":"sdo"}""")}"}""")._1 >= 400)
+    }
+  }
+}

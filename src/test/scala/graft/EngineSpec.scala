@@ -412,6 +412,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("include: a cyclic include chain fails with a clean error naming the cycle") {
+    // a.json includes b.json includes a.json — mutual cycle
+    val docs = Map(
+      "a.json" -> """{"action":"include","params":["b.json"]}""",
+      "b.json" -> """{"action":"include","params":["a.json"]}""")
+    val e = intercept[IllegalArgumentException] {
+      Node.expandIncludes(
+        Node.fromJson("""{"action":"include","params":["a.json"]}"""),
+        load = docs(_), env = Map.empty)
+    }
+    assert(e.getMessage.contains("include cycle"))
+    assert(e.getMessage.contains("a.json") && e.getMessage.contains("b.json"))
+    // direct self-include too
+    intercept[IllegalArgumentException] {
+      Node.expandIncludes(
+        Node.fromJson("""{"action":"include","params":["a.json"]}"""),
+        load = _ => """{"action":"include","params":["a.json"]}""", env = Map.empty)
+    }
+    // validate reports it as a config error instead of crashing
+    val errs = Engine.validate(
+      Node.fromJson("""{"action":"include","params":["a.json"]}"""), spark)
+    // the default file loader can't find a.json → surfaced, not thrown
+    assert(errs.exists(_.startsWith("/include")))
+  }
+
+  test("stream names with path separators or '..' are rejected (persistence safety)") {
+    val reg = new StreamRegistry()
+    val pipe = Node.fromJson("""{"action":"where","params":[["pos?","metric"]]}""")
+    intercept[IllegalArgumentException](reg.add("../escape", pipe))
+    intercept[IllegalArgumentException](reg.add("a/b", pipe))
+    intercept[IllegalArgumentException](reg.add("", pipe))
+    reg.add("ok-name", pipe)
+    assert(reg.list == Seq("ok-name"))
+  }
+
   test("async-queue! is a scheduling no-op: subtree continues (action.clj:1680-1708)") {
     val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2))
     val node = Node.fromJson(
