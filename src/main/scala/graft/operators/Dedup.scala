@@ -237,15 +237,24 @@ object Dedup {
     * bucket boundary, like any LSH.
     */
   def embeddingNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, bits: Int = 16): DataFrame = {
-    val withB = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+                               threshold: Double, bits: Int = 16,
+                               extraProbes: Int = 0): DataFrame = {
+    // multi-probe (like Similarity.bucketedTopK): one side additionally
+    // visits the buckets reached by flipping its least-confident sign
+    // bits, recovering pairs that straddle a bucket boundary — each probe
+    // adds one bucket key per row, not a corpus scan. AnnRecallSpec
+    // measures the recall lift on planted near-duplicates.
+    val l = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      explode(Similarity.probeBuckets(col(vecCol), bits, extraProbes)).as("__bucket"))
+    val r = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
       Similarity.signBucket(col(vecCol), bits).as("__bucket"))
-    val l = withB.select(col("__id").as("id1"), col("__v").as("v1"), col("__bucket"))
-    val r = withB.select(col("__id").as("id2"), col("__v").as("v2"), col("__bucket"))
-    l.join(r, "__bucket")
+    val pairs = l.join(r, "__bucket")
       .filter(col("id1") < col("id2"))
       .withColumn("cosine", graft.functions.VectorExpressions.cosineF(col("v1"), col("v2")))
       .filter(col("cosine") > threshold)
       .select(col("id1"), col("id2"), col("cosine"))
+    // a straddling pair can be reached from both ends' probes — dedupe
+    // only when probing can actually produce duplicates
+    if (extraProbes > 0) pairs.distinct() else pairs
   }
 }

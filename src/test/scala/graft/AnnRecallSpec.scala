@@ -64,6 +64,50 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(p8 > 0.5, "regression floor (measured 0.758)")
   }
 
+  test("bucketed near-dup pair recall vs the all-pairs oracle (the LSH trade, measured)") {
+    import graft.operators.Dedup
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // The dedup claim behind embeddingNearDupBucketed (Dedup.scala): vectors
+    // at cosine ≈ 1 share the leading-dimension sign pattern almost surely.
+    // The fixture has no natural high-cosine pairs (random vectors cluster
+    // near cosine 0), so PLANT them: a deterministic additive perturbation
+    // of every corpus vector (copy id = vec_id + 10000) keeps cosine > 0.95
+    // but can flip the sign of near-zero coordinates — exactly the boundary
+    // the LSH trades away.
+    val perturbed = corpus.select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.08 * sin(vec_id * 64 + i) as float))")
+        .as("embedding"))
+    val planted = corpus.select("vec_id", "embedding").union(perturbed)
+    val exact = pairs(Dedup.embeddingNearDup(planted, "vec_id", "embedding", 0.9))
+      .filter { case (a, b) => b == a + 10000 } // the planted twin pairs
+    def recallAt(probes: Int): Double = {
+      val b = pairs(Dedup.embeddingNearDupBucketed(
+        planted, "vec_id", "embedding", 0.9, bits = 4, extraProbes = probes))
+      exact.count(b.contains).toDouble / exact.size
+    }
+    val Seq(r0, r1, r2) = Seq(0, 1, 2).map(recallAt)
+    info(f"planted-pair recall at cosine>0.9, bits=4: probes 0 → $r0%.3f, 1 → $r1%.3f, 2 → $r2%.3f")
+    assert(exact.size > 400, "perturbation must keep nearly all twins above the threshold")
+    assert(r0 > 0.35, "regression floor: a broken bucket key collapses this to ~0")
+    assert(r0 <= r1 && r1 <= r2, "extra probes can only widen the candidate set")
+    assert(r2 > r0 + 0.15, "probing the least-confident bit flips must recover boundary pairs")
+
+    // And the documented cost at a LOW threshold: cosine-0.3 "near" pairs
+    // rarely share sign patterns, so recall there is poor — pinned as the
+    // boundary of the device, not a defect (use the all-pairs escape hatch
+    // or more probes when low-threshold completeness matters).
+    val exactLow = pairs(Dedup.embeddingNearDup(corpus, "vec_id", "embedding", 0.3))
+    val bucketedLow = pairs(
+      Dedup.embeddingNearDupBucketed(corpus, "vec_id", "embedding", 0.3, bits = 4))
+    assert(bucketedLow.subsetOf(exactLow), "bucketing may drop pairs, never invent them")
+    val recallLow = bucketedLow.size.toDouble / exactLow.size
+    info(f"pair recall at cosine>0.3, bits=4: $recallLow%.3f (${bucketedLow.size}/${exactLow.size})")
+    assert(recallLow > 0.08, "sanity floor (measured 0.136)")
+  }
+
   test("IVF centroid training (Lloyd step) is pluggable and sane") {
     val seeded = recall(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
       nCells = 16, nProbe = 4, trainIters = 0))
