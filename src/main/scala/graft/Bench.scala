@@ -34,10 +34,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
     val errors = scala.collection.mutable.ListBuffer[String]()
-    def pass(): Seq[(String, Double)] = headline.filter(qs.contains).map { name =>
+    def pass(dir: String = sfDir): Seq[(String, Double)] = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       val ok =
-        try { qs(name)(spark, sfDir).count(); true }
+        try { qs(name)(spark, dir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           if (!errors.contains(name)) errors += name; false
@@ -60,14 +60,45 @@ object Bench {
     // pass is noise-dominated; the min is the reproducible number.
     val cold = pass()
     val (warm1, warm2) = (pass(), pass())
-    // min is also how a failure in either pass keeps its negative marker
-    val results = warm1.zip(warm2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // steady state = min over SUCCESSFUL passes: a query that failed in
+    // pass 1 but succeeded in pass 2 reports its pass-2 time (and keeps
+    // its `errors` entry for transparency); only a query that failed in
+    // BOTH passes keeps the negative marker
+    val results = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
+      n -> ((a >= 0, b >= 0) match {
+        case (true, true)   => math.min(a, b)
+        case (true, false)  => a
+        case (false, true)  => b
+        case (false, false) => math.min(a, b)
+      })
+    }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val coldTotal = cold.filter(_._2 >= 0).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"cold_total":$coldTotal%.3f,"cold_queries":${json(cold)},"errors":$errJson,"sf":"$sfDir"}""")
+
+    // Second scale point (SPARK_GRAFT_SF_DIR2, default sf0.01; disable
+    // with an empty value): one warm pass per query at the second SF, and
+    // a per-query time RATIO main/second. With ~10× the data between the
+    // standard dirs, a healthy linear operator shows a ratio well under
+    // 10 (fixed overhead amortizes); a ratio far ABOVE the data ratio
+    // flags superlinear behavior — catching scale regressions by shape,
+    // not by absolute seconds on whatever machine ran the bench.
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    val scaleJson =
+      if (sfDir2.isEmpty || sfDir2 == sfDir || !new java.io.File(sfDir2).isDirectory) ""
+      else {
+        pass(sfDir2) // warm the second SF's query shapes/scans
+        val small = pass(sfDir2).zip(pass(sfDir2)).map { case ((n, a), (_, b)) =>
+          n -> (if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b))
+        }
+        val ratio = results.zip(small).collect {
+          case ((n, big), (_, s)) if big >= 0 && s > 0 => n -> big / s
+        }
+        f""","scale_ratio":{"sf2":"$sfDir2","queries2":${json(small)},"ratio":${json(ratio)}}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(results)},"cold_total":$coldTotal%.3f,"cold_queries":${json(cold)},"errors":$errJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }
