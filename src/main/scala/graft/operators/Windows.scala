@@ -201,6 +201,22 @@ object Windows {
   def percentiles(durationSeconds: Long, quantiles: Seq[Double], keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     val qArr = array(quantiles.map(lit): _*)
     grouped(withWindow(df, durationSeconds), durationSeconds, keys)
+      .agg(graft.functions.PercentileSketch
+        .exactPercentiles(col("metric").cast("double"), quantiles).as("__ms"))
+      .select(col("*"), posexplode(col("__ms")).as(Seq("__qi", "metric")))
+      .withColumn("quantile", element_at(qArr, col("__qi") + 1))
+      .drop("__ms", "__qi")
+  }
+
+  /** The naive percentile plan — `collect_list` the window payload, sort,
+    * index. Kept as the reference semantics twin for the property test;
+    * [[percentiles]] computes the same values through the mergeable
+    * value-counts sketch ([[graft.functions.ExactPercentiles]]) without
+    * ever materializing a window's payload in one buffer.
+    */
+  private[graft] def percentilesNaive(durationSeconds: Long, quantiles: Seq[Double], keys: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val qArr = array(quantiles.map(lit): _*)
+    grouped(withWindow(df, durationSeconds), durationSeconds, keys)
       .agg(array_sort(collect_list(col("metric"))).as("sorted"))
       .withColumn("quantile", explode(qArr))
       .withColumn("metric",

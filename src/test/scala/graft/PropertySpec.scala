@@ -124,6 +124,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("percentile sketch == naive collect-sort plan == the exact index formula") {
+    // duplicate-heavy metrics: the value-counts sketch's compression case
+    val genDupEvents: Gen[List[Event]] = Gen.listOf(for {
+      m <- Gen.oneOf(1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 8.0, 13.0)
+      t <- Gen.choose(0L, 600L)
+    } yield ev(m, t * S)).map(_.zipWithIndex.map { case (e, i) => e.copy(eventId = i.toLong) })
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start", "quantile", "metric").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    forAll(genDupEvents) { evs =>
+      whenever(evs.nonEmpty) {
+        val sketch = rowsOf(Windows.percentiles(600, qs)(events(evs: _*)))
+        val naive = rowsOf(Windows.percentilesNaive(600, qs)(events(evs: _*)))
+        assert(sketch == naive)
+        // and both equal the reference formula computed directly
+        val expected = evs.groupBy(e => (e.time / (600 * S)) * (600 * S)).flatMap {
+          case (ws, ws_evs) =>
+            val sorted = ws_evs.flatMap(_.metric).sorted
+            qs.map { q =>
+              val idx = math.min(sorted.size - 1, math.floor(sorted.size * q).toInt)
+              (ws, q, sorted(idx))
+            }
+        }.toSet
+        assert(sketch == expected)
+      }
+    }
+  }
+
   test("condition compile == compileWith(top-level resolver) for random conditions") {
     import graft.conditions.Condition
     import graft.conditions.Condition._
