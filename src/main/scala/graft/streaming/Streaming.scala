@@ -130,19 +130,22 @@ object Streaming {
   }
 
   /** `percentiles` over a stream (`action.clj:2845-2929`): exact per-window
-    * quantiles (sorted collect), one row per quantile. For unbounded
-    * cardinality windows prefer `percentile_approx` (constant-state
-    * sketch) — same plan shape.
+    * quantiles, one row per quantile — the same mergeable value-counts
+    * aggregate as the batch twin ([[graft.functions.ExactPercentiles]]),
+    * so open-window state is a distinct-value map, not the window's full
+    * payload. For unbounded distinct cardinality prefer
+    * `percentile_approx` (constant-state sketch) — same plan shape.
     */
   def percentiles(durationSeconds: Long, delaySeconds: Long, quantiles: Seq[Double],
                   keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
     grouped(df, durationSeconds, delaySeconds, keys)
-      .agg(array_sort(collect_list(col("metric"))).as("sorted"))
-      .select(windowStartNs +: keys.map(col) :+ col("sorted"): _*)
-      .withColumn("quantile", explode(array(quantiles.map(lit): _*)))
-      .withColumn("metric",
-        expr("sorted[cast(least(size(sorted) - 1, floor(size(sorted) * quantile)) as int)]"))
-      .drop("sorted")
+      .agg(graft.functions.PercentileSketch
+        .exactPercentiles(col("metric").cast("double"), quantiles).as("__ms"))
+      .select(windowStartNs +: keys.map(col) :+ col("__ms"): _*)
+      .select(col("*"), posexplode(col("__ms")).as(Seq("__qi", "metric")))
+      .withColumn("quantile",
+        element_at(array(quantiles.map(lit): _*), col("__qi") + 1))
+      .drop("__ms", "__qi")
 
   /** `ssort` over a stream (`action.clj:2641-2691`): the window payload
     * re-emitted as individual events in (field, eventId) order once the
