@@ -202,6 +202,49 @@ object QueriesPipeline {
           .orderBy("id1", "id2")
       }
 
+      // connected components over the LSH pairs: the oracle computes the
+      // same min-reachable-id labels via transitive closure (recursive
+      // CTE — fine at oracle scale; Spark side is iterative label
+      // propagation, one edge shuffle per round)
+      val closure =
+        s"""pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (
+           |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+           |  FROM reach GROUP BY a)""".stripMargin
+
+      register("dedup_clusters",
+        s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$closure
+           |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val pairs = Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.clusterPairs(pairs)
+          .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
+      }
+
+      register("dedup_cluster_canonical",
+        s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$closure
+           |SELECT d.doc_id FROM docs d
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM labels l
+           |  WHERE l.doc_id = d.doc_id AND l.cluster <> l.doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.dedupByClusters(d, pairs, "doc_id")
+          .select("doc_id").orderBy("doc_id")
+      }
+
       register("dedup_ngram_jaccard",
         s"""$lshPrefix,
            |pairs AS (

@@ -215,6 +215,63 @@ object Dedup {
       .distinct() // a pair agreeing on several bands appears once
   }
 
+  /** Connected components over a near-dup pair list: every id that appears
+    * in a pair is labeled with the MINIMUM id reachable through pairs (its
+    * cluster's canonical member) — the step that turns pair output from
+    * any dedup device (MinHash-LSH, SimHash, embedding buckets) into a
+    * keep/drop decision when duplicates chain (A~B, B~C ⇒ {A,B,C} even if
+    * A~C was never emitted).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; fixpoint
+    * when a round changes nothing. Rounds = cluster diameter, and
+    * near-dup clusters are dense (LSH emits most in-cluster pairs), so
+    * 2–4 rounds in practice; `maxIters` caps pathological chains. Each
+    * round is one shuffle of the EDGE list (pairs, both directions — tiny
+    * next to the corpus); `localCheckpoint` truncates lineage so plans
+    * don't grow with iteration count. The driver only orchestrates and
+    * checks an `isEmpty` fixpoint probe per round — no edge data ever
+    * leaves the executors.
+    *
+    * Output: one row per distinct id in `pairs`, columns (`id`, `cluster`).
+    */
+  def clusterPairs(pairs: DataFrame, id1Col: String = "id1", id2Col: String = "id2",
+                   maxIters: Int = 20): DataFrame = {
+    val half = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
+    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neigh = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id")).agg(min(col("cluster")).as("__nl"))
+      val next = labels.as("l")
+        .join(neigh.as("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster"), coalesce(col("__nl"), col("l.cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
+        .filter(col("x.cluster") =!= col("y.cluster")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** The deduplicated corpus: drop every row whose id is a NON-canonical
+    * member of a near-dup cluster (its cluster label is a smaller id);
+    * rows in no pair survive untouched. One anti-join against the
+    * (tiny) loser set.
+    */
+  def dedupByClusters(df: DataFrame, pairs: DataFrame, idCol: String,
+                      id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
+    val losers = clusterPairs(pairs, id1Col, id2Col)
+      .filter(col("cluster") =!= col("id")).select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Embedding near-duplicates, ALL-PAIRS — O(n²) self-join. This is the
     * small-corpus escape hatch only (exhaustive recall on corpora that fit
     * a broadcast); the scale path is [[embeddingNearDupBucketed]].

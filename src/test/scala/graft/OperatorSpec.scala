@@ -210,4 +210,27 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("match_0")("eventId"), col("match_1")("eventId")).collect().head
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
   }
+
+  test("clusterPairs follows duplicate chains; dedupByClusters keeps one doc per cluster") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // two chained clusters (1-2-3 via 1~2,2~3 — 1~3 never emitted — and
+    // 10-11) plus an isolated pair member 20~21; doc 30 is pair-free
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id1", "id2")
+    val clusters = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L, 30L))
+
+    // a long chain (diameter 6) still converges to one component
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chained = Dedup.clusterPairs(chain).collect().map(_.getLong(1)).toSet
+    assert(chained == Set(1L))
+  }
 }
