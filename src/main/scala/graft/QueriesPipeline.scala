@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -125,6 +125,43 @@ object QueriesPipeline {
          |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
       docs(s, dir).select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
+    }
+
+    // ---------------- deterministic sampling / splitting ----------------
+
+    locally {
+      // DuckDB mirror of Sampling.hashBucket: md5Hash64("salt:" || id) % 1e6
+      // (the 15-hex-char hash is non-negative, so % == pmod)
+      def sqlBucket(salt: String) =
+        s"(${sqlMd5Hash64(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+
+      register("sample_hash",
+        s"""SELECT doc_id FROM documents
+           |WHERE ${sqlBucket("sample")} < 200000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Sampling.hashSample(docs(s, dir), "doc_id", 0.2)
+          .select("doc_id").orderBy("doc_id")
+      }
+
+      register("sample_stratified",
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${sqlBucket("sample")} <
+           |  CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 700000 ELSE 1000000 END
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id",
+          Map("en" -> 0.3, "de" -> 0.7))
+          .select("doc_id", "lang").orderBy("doc_id")
+      }
+
+      register("split_by_hash",
+        s"""SELECT doc_id,
+           |       CASE WHEN ${sqlBucket("split")} < 800000 THEN 'train'
+           |            WHEN ${sqlBucket("split")} < 900000 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Sampling.splitByHash(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "split").orderBy("doc_id")
+      }
     }
 
     // ---------------- dedup ----------------

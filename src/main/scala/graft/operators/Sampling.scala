@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines.
+  *
+  * Everything here is a pure map-side predicate/projection over a hash of
+  * the row's ID — no shuffle, no RNG state, fuses into the scan — because
+  * at 100 TB the properties that matter are:
+  *
+  *  - *reproducible*: the same (id, salt) always lands in the same
+  *    sample/split, across runs, partitionings, cluster sizes, and even
+  *    engines ([[Text.md5Hash64]] has a DuckDB mirror, so the oracle
+  *    gates these exactly);
+  *  - *stable under corpus growth*: adding documents never moves an
+  *    existing document between splits (per-row decision, unlike
+  *    `ORDER BY rand() LIMIT n` or exact-count reservoirs which reshuffle
+  *    everyone when n changes);
+  *  - *join-free lineage*: train/val membership can be recomputed from
+  *    the id alone — no membership table to store or join at scale.
+  *
+  * `df.sample()`/`TABLESAMPLE` give none of these (seeded per-partition
+  * RNG moves with the partitioning).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform hash bucket in [0, 1e6) for (salt, id) — the shared device:
+    * change `salt` to draw an independent sample.
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(Text.md5Hash64(concat_ws(":", lit(salt), id.cast("string"))), lit(Buckets))
+
+  /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, exactly
+    * the rows whose hash bucket falls below the threshold.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String = "sample"): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < lit((fraction * Buckets).toLong))
+
+  /** Per-stratum deterministic sampling rates (e.g. downsample common
+    * languages, keep all rare ones): `fractions` maps stratum value →
+    * keep fraction; strata not listed keep `defaultFraction`. The rate
+    * lookup compiles to a literal CASE chain — map-side, no join.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double = 1.0,
+                       salt: String = "sample"): DataFrame = {
+    val threshold = fractions.foldLeft(lit((defaultFraction * Buckets).toLong)) {
+      case (acc, (k, f)) => when(col(strataCol) === lit(k), lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < threshold)
+  }
+
+  /** Deterministic train/validation/test split: appends a `split` column
+    * naming the slice whose cumulative weight range contains the row's
+    * hash bucket. Weights are normalized; every row gets exactly one
+    * label, and a document keeps its label as the corpus grows.
+    */
+  def splitByHash(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val b = hashBucket(col(idCol), salt)
+    // last slice takes everything remaining, so rounding never drops a row
+    val expr = weights.init.zip(cum.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), hi), acc) => when(b < lit((hi * Buckets).toLong), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}
