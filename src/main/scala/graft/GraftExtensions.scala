@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{CosineSimilarity, ExactPercentiles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+
+/** `SparkSessionExtensions` entry point: makes the library's native
+  * Catalyst expressions available as SQL functions, so `spark.sql` users
+  * (and any SQL-speaking tool on the session) reach the codegen'd kernels
+  * without the Scala API:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or at build time:
+  * SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * // or on a live session:
+  * GraftExtensions.register(spark)
+  *
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * spark.sql("SELECT exact_percentiles(metric, array(0.5, 0.99)) FROM t GROUP BY w")
+  * }}}
+  *
+  *  - `cosine_similarity(array<float>, array<float>)` — the fused one-pass
+  *    whole-stage-codegen kernel ([[graft.functions.CosineSimilarity]]).
+  *  - `exact_percentiles(double, array<double>)` — exact quantiles by the
+  *    reference's index formula through the mergeable value-counts
+  *    aggregate ([[graft.functions.ExactPercentiles]]); the quantile array
+  *    must be foldable (a literal).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The injectFunction triples — shared by the build-time extension and
+    * the live-session [[register]].
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, null, "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_similarity(vec1, vec2) takes two arguments")
+        CosineSimilarity(children.head, children(1))
+      }),
+    (FunctionIdentifier("exact_percentiles"),
+      new ExpressionInfo(classOf[ExactPercentiles].getCanonicalName, null, "exact_percentiles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "exact_percentiles(value, array(q1, q2, ...)) takes two arguments")
+        val qs = children(1) match {
+          case q if q.foldable =>
+            val arr = q.eval() match {
+              case a: ArrayData => a
+              case other => throw new IllegalArgumentException(
+                s"exact_percentiles quantiles must be an array literal, got $other")
+            }
+            // SQL numeric literals arrive as Decimal — accept any numeric
+            // element type
+            val et = q.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+            arr.toObjectArray(et).toSeq.map {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float => f.toDouble
+              case i: java.lang.Integer => i.toDouble
+              case l: java.lang.Long => l.toDouble
+              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+              case other => throw new IllegalArgumentException(
+                s"exact_percentiles quantile is not numeric: $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            "exact_percentiles quantiles must be foldable (a literal array)")
+        }
+        // value side arrives as whatever SQL type the column has — the
+        // aggregate reads doubles
+        ExactPercentiles(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.DoubleType), qs)
+      }))
+
+  /** Register the same functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach(Bridge.registerFunction(spark, _))
+}

@@ -34,4 +34,15 @@ object Bridge {
   def fromInternalRows(spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Register a SQL function builder on a LIVE session (the runtime twin
+    * of `SparkSessionExtensions.injectFunction`, which only applies at
+    * session build time). Same triple shape as injectFunction.
+    */
+  def registerFunction(spark: SparkSession,
+      fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+           org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+           Seq[Expression] => Expression)): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(fn._1, fn._2, fn._3)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface test: the session extensions expose the native kernels as
+  * SQL functions, so `spark.sql` text reaches the same codegen'd
+  * expressions as the Scala API.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  GraftExtensions.register(spark)
+
+  test("cosine_similarity from SQL == the Column kernel") {
+    val r = spark.sql(
+      """SELECT cosine_similarity(
+        |  array(cast(1.0 as float), cast(2.0 as float), cast(3.0 as float)),
+        |  array(cast(3.0 as float), cast(2.0 as float), cast(1.0 as float))) AS c
+        |""".stripMargin).collect().head.getDouble(0)
+    val expected = (3.0 + 4.0 + 3.0) / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(r - expected) < 1e-12)
+    // parity with the Scala API on real data
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
+    emb.createOrReplaceTempView("emb_ext")
+    val sqlSum = spark.sql(
+      """SELECT sum(cosine_similarity(a.embedding, b.embedding)) AS s
+        |FROM emb_ext a JOIN emb_ext b ON a.vec_id < b.vec_id""".stripMargin)
+      .collect().head.getDouble(0)
+    val apiSum = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .agg(sum(graft.functions.VectorExpressions.cosineF(
+        col("a.embedding"), col("b.embedding"))).as("s"))
+      .collect().head.getDouble(0)
+    assert(sqlSum == apiSum)
+  }
+
+  test("exact_percentiles from SQL == the operator's index formula") {
+    val r = spark.sql(
+      """SELECT exact_percentiles(v, array(0.0, 0.5, 1.0)) AS qs
+        |FROM (VALUES (1.0), (2.0), (2.0), (9.0)) AS t(v)""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    // n=4: idx(0.0)=0 -> 1.0, idx(0.5)=2 -> 2.0, idx(1.0)=min(3,4)=3 -> 9.0
+    assert(r == Seq(1.0, 2.0, 9.0))
+  }
+
+  test("non-literal quantiles are rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT exact_percentiles(v, array(v)) FROM (VALUES (1.0)) AS t(v)""")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"))
+  }
+}
