@@ -3,6 +3,7 @@ package graft.http
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.ir.{Node, StreamRegistry}
 import graft.model.Event
+import graft.sources.WireCodecs
 import org.apache.spark.sql.SparkSession
 
 import java.net.InetSocketAddress
@@ -19,7 +20,19 @@ import java.util.Base64
   *                                                            (add-stream)
   *  - `DELETE /api/v1/stream/:name`  → remove                 (remove-stream)
   *  - `PUT    /api/v1/stream/:name`  ← `{"events":[{...}]}`   (push-event)
+  *  - `POST   /api/v1/fluentbit/:name`               ← JSON log array
+  *  - `POST   /api/v1/prometheus/remote-write/:name` ← snappy+protobuf
+  *                                                     `WriteRequest`
+  *  - `POST   /api/v1/opentelemetry/v1/traces/:name` ← protobuf
+  *                                                     `ExportTraceServiceRequest`
+  *  - `GET    /metrics`              → Prometheus text scrape
   *  - `GET    /healthz` | `/health`  → `{"message":"ok"}`
+  *
+  * The three ingestion routes decode on the driver (one HTTP body is one
+  * request-sized payload, exactly like the reference handler) through the
+  * hand-rolled wire codecs ([[graft.sources.WireCodecs]]) and push typed
+  * events; their field mappings mirror the gated Column decodes
+  * ([[graft.sources.Decode]]), which remain the bulk/scan path.
   *
   * The config transport is base64 like the reference's (`b64/from-base64`
   * on add, `b64/to-base64` on get, `handler.clj:45-72`), wrapping the IR's
@@ -37,6 +50,8 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var eventSeq = 0L
+  private val pushesTotal = new java.util.concurrent.atomic.AtomicLong()
+  private val eventsTotal = new java.util.concurrent.atomic.AtomicLong()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -88,6 +103,90 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
           }
           pushEvents(name, events)
           respond(ex, 200, """{"message":"ok"}""")
+        case ("POST", List("api", "v1", "fluentbit", name)) =>
+          // reference handler.clj:89-95: each log's `date` (seconds,
+          // possibly fractional) becomes the event time; `log` is the line
+          val logs = Node.anyOf(org.json4s.jackson.JsonMethods.parse(readBody(ex))) match {
+            case xs: Seq[_] => xs.map(_.asInstanceOf[Map[String, Any]])
+            case other => throw new IllegalArgumentException(s"expected a JSON array, got $other")
+          }
+          val std = Set("host", "service", "name", "state", "metric", "time",
+            "ttl", "description", "tags", "attributes", "eventId", "date", "log")
+          pushEvents(name, logs.map { m =>
+            val date = m.get("date").collect {
+              case d: Double => d
+              case l: Long   => l.toDouble
+              case i: Int    => i.toDouble
+            }
+            // non-standard log fields survive as attributes (the reference
+            // keeps them as free map keys; Event is fixed-schema)
+            val extra = m.collect {
+              case (k, v) if !std(k) && v != null => k -> v.toString
+            }
+            val attrs = m.get("attributes").collect {
+              case mm: Map[_, _] => mm.map { case (k, v) => k.toString -> v.toString }
+            }.getOrElse(Map.empty) ++ extra
+            toEvent(m - "date" - "log" +
+              ("time" -> date.map(d => (d * 1e9).toLong).getOrElse(
+                System.currentTimeMillis() * 1000000L)) +
+              ("attributes" -> attrs) ++
+              m.get("log").map("description" -> _))
+          })
+          respond(ex, 200, """{"message":"ok"}""")
+        case ("POST", List("api", "v1", "prometheus", "remote-write", name)) =>
+          val raw = ex.getRequestBody.readAllBytes()
+          val req = WireCodecs.decodePromWriteRequest(
+            org.xerial.snappy.Snappy.uncompress(raw))
+          // prometheus.clj:11-29: per sample, name from __name__, other
+          // labels → attributes, ms timestamp → ns
+          pushEvents(name, req.timeseries.flatMap { s =>
+            val labels = s.labels.map(l => l.name -> l.value).toMap
+            s.samples.map { sm =>
+              eventSeq += 1
+              Event(host = None, service = None,
+                name = labels.get("__name__"), state = None,
+                metric = Some(sm.value), time = sm.timestamp * 1000000L,
+                ttl = None, description = None, tags = Nil,
+                attributes = labels - "__name__", eventId = eventSeq)
+            }
+          })
+          respond(ex, 200, """{"message":"ok"}""")
+        case ("POST", List("api", "v1", "opentelemetry", "v1", "traces", name)) =>
+          val req = WireCodecs.decodeOtlpTraceRequest(ex.getRequestBody.readAllBytes())
+          // mirror Decode.otlpSpans' span→event mapping; ids/kind land in
+          // attributes (Event is fixed-schema where the reference is free-map)
+          val kinds = Vector("unspecified", "internal", "server", "client", "producer", "consumer")
+          pushEvents(name, req.resourceSpans.flatMap { rs =>
+            val res = rs.resource.attributes.map(kv => kv.key -> kv.value).toMap
+            rs.scopeSpans.flatMap(_.spans.map { sp =>
+              eventSeq += 1
+              Event(host = None, service = res.get("service.name"),
+                name = Option(sp.name),
+                state = Some(sp.status.code match {
+                  case 2 => "error"; case 1 => "ok"; case _ => "unset"
+                }),
+                metric = Some((sp.endTimeUnixNano - sp.startTimeUnixNano).toDouble),
+                time = sp.endTimeUnixNano, ttl = None,
+                description = Option(sp.status.message), tags = Nil,
+                attributes = sp.attributes.map(kv => kv.key -> kv.value).toMap ++
+                  Map("trace_id" -> sp.traceId, "span_id" -> sp.spanId,
+                    "parent_span_id" -> sp.parentSpanId,
+                    "kind" -> kinds.lift(sp.kind.toInt).getOrElse("unrecognized"),
+                    "start_time" -> sp.startTimeUnixNano.toString),
+                eventId = eventSeq)
+            })
+          })
+          respond(ex, 200, """{"message":"ok"}""")
+        case ("GET", List("metrics")) =>
+          val text =
+            s"""# TYPE graft_http_pushes_total counter
+               |graft_http_pushes_total ${pushesTotal.get()}
+               |# TYPE graft_http_events_total counter
+               |graft_http_events_total ${eventsTotal.get()}
+               |# TYPE graft_streams gauge
+               |graft_streams ${registry.list.size}
+               |""".stripMargin
+          respondPlain(ex, 200, text)
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {
@@ -123,6 +222,8 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
   private def pushEvents(name: String, events: Seq[Event]): Unit = {
     val s = spark
     import s.implicits._
+    pushesTotal.incrementAndGet()
+    eventsTotal.addAndGet(events.size.toLong)
     registry.push(s.createDataset(events).toDF(), name)
   }
 
@@ -171,9 +272,15 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
-  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
-    val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit =
+    respondBytes(ex, status, body.getBytes(UTF_8), "application/json")
+
+  private def respondPlain(ex: HttpExchange, status: Int, body: String): Unit =
+    respondBytes(ex, status, body.getBytes(UTF_8), "text/plain")
+
+  private def respondBytes(ex: HttpExchange, status: Int, bytes: Array[Byte],
+                           contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

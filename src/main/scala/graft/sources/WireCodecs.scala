@@ -1,0 +1,357 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Hand-rolled wire codecs for the two remaining HTTP ingestion protocols
+  * of the reference's handler (`handler.clj:77-106, 117-135`):
+  *
+  *  - Prometheus remote-write: snappy-framed protobuf `WriteRequest`
+  *    (public proto spec `prometheus/prompb/remote.proto`, `types.proto`:
+  *    `WriteRequest.timeseries=1`; `TimeSeries.labels=1, samples=2`;
+  *    `Label.name=1, value=2`; `Sample.value=1 (double), timestamp=2`).
+  *  - OTLP traces: protobuf `ExportTraceServiceRequest` (public proto spec
+  *    `opentelemetry/proto/trace/v1/trace.proto`: `resource_spans=1`;
+  *    `ResourceSpans.resource=1, scope_spans=2`; `Resource.attributes=1`;
+  *    `ScopeSpans.spans=2`; `Span.trace_id=1, span_id=2,
+  *    parent_span_id=4, name=5, kind=6, start=7, end=8, attributes=9,
+  *    status=15`; `Status.message=2, code=3`; `KeyValue.key=1, value=2`;
+  *    `AnyValue.string=1, bool=2, int=3, double=4`).
+  *
+  * Like [[RiemannCodec]], this parses the public wire format directly (no
+  * generated protobuf classes): varint/fixed64/length-delimited fields,
+  * unknown fields skipped, so schema additions in either protocol don't
+  * break decode. The decoded case classes mirror the input schemas of the
+  * gated Column mappings ([[Decode.prometheusWrite]], [[Decode.otlpSpans]])
+  * so the same decode plans serve files, streams, and the HTTP routes.
+  */
+object WireCodecs {
+
+  // ---- prometheus remote-write --------------------------------------
+
+  final case class PromLabel(name: String, value: String)
+  final case class PromSample(value: Double, timestamp: Long)
+  final case class PromSeries(labels: Seq[PromLabel], samples: Seq[PromSample])
+  final case class PromWriteRequest(timeseries: Seq[PromSeries])
+
+  def decodePromWriteRequest(bytes: Array[Byte]): PromWriteRequest = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val series = Seq.newBuilder[PromSeries]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val (off, len) = r.bytes()
+        series += decodeSeries(bytes, off, len)
+      } else r.skip((tag & 7).toInt)
+    }
+    PromWriteRequest(series.result())
+  }
+
+  private def decodeSeries(buf: Array[Byte], off: Int, len: Int): PromSeries = {
+    val r = new Reader(buf, off, off + len)
+    val labels = Seq.newBuilder[PromLabel]
+    val samples = Seq.newBuilder[PromSample]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          var name = ""; var value = ""
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            ((t >> 3).toInt, (t & 7).toInt) match {
+              case (1, 2) => name = rr.string()
+              case (2, 2) => value = rr.string()
+              case (_, w) => rr.skip(w)
+            }
+          }
+          labels += PromLabel(name, value)
+        case (2, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          var v = 0.0; var ts = 0L
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            ((t >> 3).toInt, (t & 7).toInt) match {
+              case (1, 1) => v = java.lang.Double.longBitsToDouble(rr.fixed64())
+              case (2, 0) => ts = rr.varint()
+              case (_, w) => rr.skip(w)
+            }
+          }
+          samples += PromSample(v, ts)
+        case (_, w) => r.skip(w)
+      }
+    }
+    PromSeries(labels.result(), samples.result())
+  }
+
+  /** Encode (for tests and the prometheus sink payload path): the exact
+    * inverse of [[decodePromWriteRequest]].
+    */
+  def encodePromWriteRequest(req: PromWriteRequest): Array[Byte] = {
+    val w = new Writer
+    req.timeseries.foreach { s =>
+      val sw = new Writer
+      s.labels.foreach { l =>
+        val lw = new Writer
+        lw.str(1, l.name); lw.str(2, l.value)
+        sw.msg(1, lw)
+      }
+      s.samples.foreach { sm =>
+        val mw = new Writer
+        mw.fixed64(1, java.lang.Double.doubleToLongBits(sm.value))
+        mw.varintField(2, sm.timestamp)
+        sw.msg(2, mw)
+      }
+      w.msg(1, sw)
+    }
+    w.result()
+  }
+
+  // ---- OTLP traces ---------------------------------------------------
+
+  final case class OtlpKV(key: String, value: String)
+  final case class OtlpStatus(code: Long, message: String)
+  final case class OtlpSpan(traceId: String, spanId: String, parentSpanId: String,
+                            name: String, kind: Long,
+                            startTimeUnixNano: Long, endTimeUnixNano: Long,
+                            status: OtlpStatus, attributes: Seq[OtlpKV])
+  final case class OtlpScopeSpans(spans: Seq[OtlpSpan])
+  final case class OtlpResource(attributes: Seq[OtlpKV])
+  final case class OtlpResourceSpans(resource: OtlpResource, scopeSpans: Seq[OtlpScopeSpans])
+  final case class OtlpTraceRequest(resourceSpans: Seq[OtlpResourceSpans])
+
+  def decodeOtlpTraceRequest(bytes: Array[Byte]): OtlpTraceRequest = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val rs = Seq.newBuilder[OtlpResourceSpans]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val (off, len) = r.bytes()
+        rs += decodeResourceSpans(bytes, off, len)
+      } else r.skip((tag & 7).toInt)
+    }
+    OtlpTraceRequest(rs.result())
+  }
+
+  private def decodeResourceSpans(buf: Array[Byte], off: Int, len: Int): OtlpResourceSpans = {
+    val r = new Reader(buf, off, off + len)
+    var resource = OtlpResource(Nil)
+    val scopes = Seq.newBuilder[OtlpScopeSpans]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val attrs = Seq.newBuilder[OtlpKV]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 1 && (t & 7) == 2) {
+              val (ko, kl) = rr.bytes()
+              attrs += decodeKeyValue(buf, ko, kl)
+            } else rr.skip((t & 7).toInt)
+          }
+          resource = OtlpResource(attrs.result())
+        case (2, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val spans = Seq.newBuilder[OtlpSpan]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 2 && (t & 7) == 2) {
+              val (so, sl) = rr.bytes()
+              spans += decodeSpan(buf, so, sl)
+            } else rr.skip((t & 7).toInt)
+          }
+          scopes += OtlpScopeSpans(spans.result())
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpResourceSpans(resource, scopes.result())
+  }
+
+  private def decodeKeyValue(buf: Array[Byte], off: Int, len: Int): OtlpKV = {
+    val r = new Reader(buf, off, off + len)
+    var key = ""; var value = ""
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (1, 2) => key = r.string()
+        case (2, 2) => // AnyValue
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          while (rr.hasRemaining) {
+            val vt = rr.varint()
+            ((vt >> 3).toInt, (vt & 7).toInt) match {
+              case (1, 2) => value = rr.string()
+              case (2, 0) => value = (rr.varint() != 0).toString
+              case (3, 0) => value = rr.varint().toString
+              case (4, 1) => value = java.lang.Double.longBitsToDouble(rr.fixed64()).toString
+              case (_, w) => rr.skip(w)
+            }
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpKV(key, value)
+  }
+
+  private def decodeSpan(buf: Array[Byte], off: Int, len: Int): OtlpSpan = {
+    val r = new Reader(buf, off, off + len)
+    var traceId = ""; var spanId = ""; var parentSpanId = ""
+    var name = ""; var kind = 0L; var start = 0L; var end = 0L
+    var status = OtlpStatus(0, null)
+    val attrs = Seq.newBuilder[OtlpKV]
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (1, 2) => traceId = hex(r.bytesCopy())
+        case (2, 2) => spanId = hex(r.bytesCopy())
+        case (4, 2) => parentSpanId = hex(r.bytesCopy())
+        case (5, 2) => name = r.string()
+        case (6, 0) => kind = r.varint()
+        case (7, 1) => start = r.fixed64()
+        case (8, 1) => end = r.fixed64()
+        case (9, 2) =>
+          val (o, l) = r.bytes()
+          attrs += decodeKeyValue(buf, o, l)
+        case (15, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          var msg: String = null; var code = 0L
+          while (rr.hasRemaining) {
+            val st = rr.varint()
+            ((st >> 3).toInt, (st & 7).toInt) match {
+              case (2, 2) => msg = rr.string()
+              case (3, 0) => code = rr.varint()
+              case (_, w) => rr.skip(w)
+            }
+          }
+          status = OtlpStatus(code, msg)
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpSpan(traceId, spanId, parentSpanId, name, kind, start, end, status, attrs.result())
+  }
+
+  /** Encode (tests): inverse of [[decodeOtlpTraceRequest]] for the fields
+    * this library reads.
+    */
+  def encodeOtlpTraceRequest(req: OtlpTraceRequest): Array[Byte] = {
+    def kv(w: Writer, field: Int, k: OtlpKV): Unit = {
+      val kw = new Writer
+      kw.str(1, k.key)
+      val vw = new Writer
+      vw.str(1, k.value)
+      kw.msg(2, vw)
+      w.msg(field, kw)
+    }
+    val w = new Writer
+    req.resourceSpans.foreach { rs =>
+      val rw = new Writer
+      val resw = new Writer
+      rs.resource.attributes.foreach(kv(resw, 1, _))
+      rw.msg(1, resw)
+      rs.scopeSpans.foreach { ss =>
+        val ssw = new Writer
+        ss.spans.foreach { sp =>
+          val sw = new Writer
+          sw.bytesField(1, unhex(sp.traceId))
+          sw.bytesField(2, unhex(sp.spanId))
+          if (sp.parentSpanId.nonEmpty) sw.bytesField(4, unhex(sp.parentSpanId))
+          sw.str(5, sp.name)
+          sw.varintField(6, sp.kind)
+          sw.fixed64(7, sp.startTimeUnixNano)
+          sw.fixed64(8, sp.endTimeUnixNano)
+          sp.attributes.foreach(kv(sw, 9, _))
+          val stw = new Writer
+          if (sp.status.message != null) stw.str(2, sp.status.message)
+          stw.varintField(3, sp.status.code)
+          sw.msg(15, stw)
+          ssw.msg(2, sw)
+        }
+        rw.msg(2, ssw)
+      }
+      w.msg(1, rw)
+    }
+    w.result()
+  }
+
+  // ---- shared minimal proto plumbing ---------------------------------
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private final class Reader(buf: Array[Byte], var pos: Int, end: Int) {
+    private def need(n: Int): Unit =
+      if (pos + n > end) throw new IllegalArgumentException(
+        s"truncated protobuf: need $n bytes at $pos, end $end")
+    def hasRemaining: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var out = 0L
+      var more = true
+      while (more) {
+        need(1)
+        val b = buf(pos); pos += 1
+        out |= (b & 0x7fL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+        if (shift > 70) throw new IllegalArgumentException("varint too long")
+      }
+      out
+    }
+    def fixed64(): Long = {
+      need(8)
+      var out = 0L
+      var i = 0
+      while (i < 8) { out |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      out
+    }
+    def bytes(): (Int, Int) = {
+      val len = varint().toInt
+      need(len)
+      val off = pos; pos += len
+      (off, len)
+    }
+    def bytesCopy(): Array[Byte] = {
+      val (o, l) = bytes()
+      java.util.Arrays.copyOfRange(buf, o, o + l)
+    }
+    def string(): String = {
+      val (o, l) = bytes()
+      new String(buf, o, l, UTF_8)
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint(); ()
+      case 1 => need(8); pos += 8
+      case 2 => bytes(); ()
+      case 5 => need(4); pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  private final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    private def vint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    private def tag(field: Int, wireType: Int): Unit = vint((field.toLong << 3) | wireType)
+    def varintField(field: Int, v: Long): Unit = { tag(field, 0); vint(v) }
+    def fixed64(field: Int, v: Long): Unit = {
+      tag(field, 1)
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def str(field: Int, s: String): Unit = bytesField(field, s.getBytes(UTF_8))
+    def bytesField(field: Int, b: Array[Byte]): Unit = {
+      tag(field, 2); vint(b.length.toLong); out.write(b)
+    }
+    def msg(field: Int, w: Writer): Unit = bytesField(field, w.result())
+    def result(): Array[Byte] = out.toByteArray
+  }
+}

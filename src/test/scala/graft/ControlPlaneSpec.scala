@@ -90,6 +90,85 @@ class ControlPlaneSpec extends AnyFunSuite {
     }
   }
 
+  private def sendBytes(url: String, body: Array[Byte]): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .method("POST", HttpRequest.BodyPublishers.ofByteArray(body)).build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def addFileSinkStream(base: String, name: String): String = {
+    val outDir = java.nio.file.Files.createTempDirectory(s"cp_$name").toString
+    val pipeline =
+      s"""{"action":"sdo","params":[],
+         | "children":[{"action":"output-file","params":[{"path":"$outDir/out"}]}]}""".stripMargin
+    assert(send("POST", s"$base/api/v1/stream/$name",
+      s"""{"config":"${b64(pipeline)}"}""")._1 == 200)
+    outDir
+  }
+
+  test("prometheus remote-write route: snappy+protobuf body lands as events") {
+    import graft.sources.WireCodecs
+    import graft.sources.WireCodecs._
+    withServer(EngineCtx()) { (_, base) =>
+      val outDir = addFileSinkStream(base, "prw")
+      val body = org.xerial.snappy.Snappy.compress(
+        WireCodecs.encodePromWriteRequest(PromWriteRequest(Seq(PromSeries(
+          Seq(PromLabel("__name__", "cpu_seconds"), PromLabel("job", "api")),
+          Seq(PromSample(0.75, 1700000000000L)))))))
+      assert(sendBytes(s"$base/api/v1/prometheus/remote-write/prw", body)._1 == 200)
+      val written = spark.read.json(s"$outDir/out")
+      val r = written.selectExpr("name", "metric", "time", "attributes.job").collect().head
+      assert(r.getString(0) == "cpu_seconds" && r.getDouble(1) == 0.75)
+      assert(r.getLong(2) == 1700000000000L * 1000000L && r.getString(3) == "api")
+    }
+  }
+
+  test("OTLP traces route: protobuf spans land as events") {
+    import graft.sources.WireCodecs
+    import graft.sources.WireCodecs._
+    withServer(EngineCtx()) { (_, base) =>
+      val outDir = addFileSinkStream(base, "otlp")
+      val body = WireCodecs.encodeOtlpTraceRequest(OtlpTraceRequest(Seq(OtlpResourceSpans(
+        OtlpResource(Seq(OtlpKV("service.name", "checkout"))),
+        Seq(OtlpScopeSpans(Seq(OtlpSpan(
+          "0102030405060708090a0b0c0d0e0f10", "0102030405060708", "",
+          "GET /cart", 2, 1700000000000000000L, 1700000000123000000L,
+          OtlpStatus(2, "boom"), Seq(OtlpKV("http.status_code", "500"))))))))))
+      assert(sendBytes(s"$base/api/v1/opentelemetry/v1/traces/otlp", body)._1 == 200)
+      val r = spark.read.json(s"$outDir/out")
+        .selectExpr("service", "name", "state", "metric", "description",
+          "attributes.trace_id", "attributes.kind").collect().head
+      assert(r.getString(0) == "checkout" && r.getString(1) == "GET /cart")
+      assert(r.getString(2) == "error" && r.getDouble(3) == 123000000.0)
+      assert(r.getString(4) == "boom")
+      assert(r.getString(5) == "0102030405060708090a0b0c0d0e0f10")
+      assert(r.getString(6) == "server")
+    }
+  }
+
+  test("fluentbit route: JSON logs land as events; extras become attributes") {
+    withServer(EngineCtx()) { (_, base) =>
+      val outDir = addFileSinkStream(base, "flb")
+      val body =
+        """[{"date":1700000000.5,"log":"oom-killed","host":"web-1","pod":"p-42"}]"""
+      assert(sendBytes(s"$base/api/v1/fluentbit/flb", body.getBytes(UTF_8))._1 == 200)
+      val r = spark.read.json(s"$outDir/out")
+        .selectExpr("time", "description", "host", "attributes.pod").collect().head
+      assert(r.getLong(0) == 1700000000500000000L)
+      assert(r.getString(1) == "oom-killed" && r.getString(2) == "web-1")
+      assert(r.getString(3) == "p-42")
+    }
+  }
+
+  test("metrics route: Prometheus text scrape with push counters") {
+    withServer() { (_, base) =>
+      val (code, text) = send("GET", s"$base/metrics")
+      assert(code == 200)
+      assert(text.contains("graft_http_pushes_total") && text.contains("graft_streams"))
+    }
+  }
+
   test("error shapes: bad config is 400, unknown stream push is 400+, unknown route 404") {
     withServer() { (_, base) =>
       assert(send("POST", s"$base/api/v1/stream/x", """{"nope":1}""")._1 == 400)
