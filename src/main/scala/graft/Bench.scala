@@ -19,7 +19,9 @@ object Bench {
     "text_quality", "ann_topk", "ann_bucketed_topk", "ann_ivf_topk",
     "embedding_near_dup_bucketed",
     // source-decode, media-kernel, and banded near-dup throughput
-    "riemann_decode", "media_features", "dedup_simhash_near")
+    "riemann_decode", "prom_wire_decode", "media_features", "dedup_simhash_near",
+    // iterative connected-components clustering
+    "dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

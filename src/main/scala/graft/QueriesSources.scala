@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{Decode, RiemannCodec, Tables}
+import graft.sources.{Decode, RiemannCodec, Tables, WireCodecs}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -140,6 +140,47 @@ object QueriesSources {
           col("ttl").cast("double").as("ttl"),
           col("description"),
           array_join(col("tags"), ",").as("tags_str"))
+        .orderBy("eid")
+    }
+
+    // Prometheus remote-write WIRE decode (§2.7): canonical events →
+    // protobuf WriteRequest payloads (one per host, one TimeSeries per
+    // event) → distributed varint-level decode → one row per sample. The
+    // oracle recomputes the expected rows from parquet directly, so any
+    // drift in the codec (field numbers, fixed64 doubles, ms→ns) or the
+    // label→attribute fold mismatches. Byte-level parity is additionally
+    // pinned by WireCodecsSpec round-trips.
+    register("prom_wire_decode",
+      """SELECT event_id AS eid,
+        |       event_type AS name,
+        |       CAST(user_id AS VARCHAR) AS host,
+        |       value AS metric,
+        |       (epoch_ns(ts) // 1000000) * 1000000 AS time
+        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("eventId"), col("time"), col("host"), col("service"), col("metric"))
+      val payloads = ev
+        .groupByKey(_.getAs[String]("host"))
+        .mapGroups { (host: String, it: Iterator[Row]) =>
+          val series = it.toSeq.sortBy(_.getAs[Long]("eventId")).map { r =>
+            WireCodecs.PromSeries(
+              labels = Seq(
+                WireCodecs.PromLabel("__name__", r.getAs[String]("service")),
+                WireCodecs.PromLabel("host", host),
+                WireCodecs.PromLabel("eid", r.getAs[Long]("eventId").toString)),
+              samples = Seq(WireCodecs.PromSample(
+                r.getAs[Double]("metric"), r.getAs[Long]("time") / 1000000L)))
+          }
+          WireCodecs.encodePromWriteRequest(WireCodecs.PromWriteRequest(series))
+        }(Encoders.BINARY)
+        .toDF("payload")
+      WireCodecs.decodePromFrames(payloads)
+        .select(
+          element_at(col("attributes"), "eid").cast("long").as("eid"),
+          col("name"),
+          element_at(col("attributes"), "host").as("host"),
+          col("metric"), col("time"))
         .orderBy("eid")
     }
 

@@ -108,6 +108,31 @@ object WireCodecs {
     w.result()
   }
 
+  /** One decoded remote-write sample (the wire twin of
+    * [[Decode.prometheusWrite]]'s output row).
+    */
+  final case class PromDecoded(name: String, attributes: Map[String, String],
+                               metric: Double, time: Long)
+
+  /** Distributed wire decode: a binary column of `WriteRequest` payloads
+    * (one per ingest batch/scrape) → one row per sample. Byte parsing
+    * parallelizes per input split like [[RiemannCodec.decodeStreams]] —
+    * no shuffle, no driver involvement; this is the bulk path the HTTP
+    * route's driver-side decode mirrors.
+    */
+  def decodePromFrames(df: org.apache.spark.sql.DataFrame,
+                       bytesCol: String = "payload"): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(bytesCol)).as[Array[Byte]].flatMap { bytes =>
+      decodePromWriteRequest(bytes).timeseries.flatMap { s =>
+        val labels = s.labels.map(l => l.name -> l.value).toMap
+        s.samples.map(sm => PromDecoded(labels.getOrElse("__name__", null),
+          labels - "__name__", sm.value, sm.timestamp * 1000000L))
+      }
+    }.toDF()
+  }
+
   // ---- OTLP traces ---------------------------------------------------
 
   final case class OtlpKV(key: String, value: String)
