@@ -143,6 +143,61 @@ object QueriesSources {
         .orderBy("eid")
     }
 
+    // OTLP WIRE decode (§2.7): spans → protobuf ExportTraceServiceRequest
+    // payloads (one per service group) → distributed wire decode → the
+    // SAME gated Column mapping (Decode.otlpSpans) as otlp_decode. Ids are
+    // %016x hex (the wire carries id BYTES; the struct path carries
+    // strings, so that gate uses plain strings — both mappings share the
+    // downstream plan).
+    register("otlp_wire_decode",
+      """SELECT printf('%016x', user_id) AS trace_id,
+        |       printf('%016x', event_id) AS span_id,
+        |       event_type AS name,
+        |       CASE event_id % 8 WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal'
+        |            WHEN 2 THEN 'server' WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+        |            WHEN 5 THEN 'consumer' ELSE 'unrecognized' END AS kind,
+        |       CASE event_id % 3 WHEN 2 THEN 'error' WHEN 1 THEN 'ok'
+        |            ELSE 'unset' END AS state,
+        |       event_id % 3 AS status,
+        |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+        |       (epoch_ns(ts) // 1000) * 1000 AS start_time,
+        |       (epoch_ns(ts) // 1000) * 1000 + CAST(floor(value * 1000) AS BIGINT) AS time,
+        |       CAST(floor(value * 1000) AS BIGINT) AS metric
+        |FROM events ORDER BY trace_id, span_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.eventsRaw(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("(ts div 1000) * 1000").as("start_ns"),
+          floor(col("value") * 1000).cast("long").as("dur"),
+          col("props"))
+        .groupByKey(r => r.getAs[Long]("user_id") % 5)
+        .mapGroups { (svc: Long, it: Iterator[Row]) =>
+          val spans = it.toSeq.sortBy(_.getAs[Long]("event_id")).map { r =>
+            val eid = r.getAs[Long]("event_id")
+            WireCodecs.OtlpSpan(
+              traceId = f"${r.getAs[Long]("user_id")}%016x",
+              spanId = f"$eid%016x",
+              parentSpanId = "",
+              name = r.getAs[String]("event_type"),
+              kind = eid % 8,
+              startTimeUnixNano = r.getAs[Long]("start_ns"),
+              endTimeUnixNano = r.getAs[Long]("start_ns") + r.getAs[Long]("dur"),
+              status = WireCodecs.OtlpStatus(eid % 3, "msg"),
+              attributes = Seq(WireCodecs.OtlpKV("k", r.getAs[String]("props"))))
+          }
+          WireCodecs.encodeOtlpTraceRequest(WireCodecs.OtlpTraceRequest(Seq(
+            WireCodecs.OtlpResourceSpans(
+              WireCodecs.OtlpResource(Seq(WireCodecs.OtlpKV("service.name", s"svc-$svc"))),
+              Seq(WireCodecs.OtlpScopeSpans(spans))))))
+        }(Encoders.BINARY)
+        .toDF("payload")
+      Decode.otlpSpans(WireCodecs.decodeOtlpFrames(payloads))
+        .select(col("trace_id"), col("span_id"), col("name"), col("kind"),
+          col("state"), col("status"), col("service"), col("start_time"),
+          col("time"), col("metric"))
+        .orderBy("trace_id", "span_id")
+    }
+
     // Prometheus remote-write WIRE decode (§2.7): canonical events →
     // protobuf WriteRequest payloads (one per host, one TimeSeries per
     // event) → distributed varint-level decode → one row per sample. The

@@ -260,6 +260,20 @@ object WireCodecs {
     OtlpSpan(traceId, spanId, parentSpanId, name, kind, start, end, status, attrs.result())
   }
 
+  /** Distributed OTLP wire decode: a binary column of
+    * `ExportTraceServiceRequest` payloads → the struct shape
+    * [[Decode.otlpSpans]] consumes — so the gated Column mapping runs
+    * unchanged downstream of wire bytes. Per-split flatMap, no shuffle.
+    */
+  def decodeOtlpFrames(df: org.apache.spark.sql.DataFrame,
+                       bytesCol: String = "payload"): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(bytesCol)).as[Array[Byte]]
+      .map(bytes => decodeOtlpTraceRequest(bytes))
+      .toDF()
+  }
+
   /** Encode (tests): inverse of [[decodeOtlpTraceRequest]] for the fields
     * this library reads.
     */
