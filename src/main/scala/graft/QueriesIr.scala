@@ -210,6 +210,39 @@ object QueriesIr {
         .select(col("doc_id"), col("quality")).orderBy("doc_id")
     }
 
+    // deterministic split + per-stratum sampling chained as declared IR:
+    // split the corpus, then keep only the train slice via where, then
+    // stratified-downsample it — the config-file shape of a real
+    // training-data job
+    register("ir_sample_split",
+      s"""SELECT doc_id, lang, 'train' AS split FROM documents
+         |WHERE (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(string_split(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+         |           c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+         |                          ELSE ascii(c) - 48 END AS BIGINT))),
+         |         (a, x) -> a * 16 + x) % 1000000) < 800000
+         |  AND (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(string_split(substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+         |           c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+         |                          ELSE ascii(c) - 48 END AS BIGINT))),
+         |         (a, x) -> a * 16 + x) % 1000000) <
+         |      CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"split-by-hash",
+          | "params":[{"id":"doc_id","weights":[
+          |   {"name":"train","weight":0.8},
+          |   {"name":"val","weight":0.1},
+          |   {"name":"test","weight":0.1}]}],
+          | "children":[
+          |  {"action":"where","params":[["=","split","train"]],"children":[
+          |    {"action":"sample-stratified",
+          |     "params":[{"strata":"lang","id":"doc_id","fractions":{"en":0.5}}],
+          |     "children":[{"action":"tap","params":["out"]}]}]}]}""".stripMargin)
+      tapOf(node, Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("split")).orderBy("doc_id")
+    }
+
     register("ir_dedup_exact",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

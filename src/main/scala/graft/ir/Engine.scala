@@ -543,7 +543,30 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.embeddingNearDupBucketed(df, pStr(m("id")), pStr(m("vec")),
         threshold = pDouble(m("threshold")),
-        bits = m.get("bits").map(pLong(_).toInt).getOrElse(16))
+        bits = m.get("bits").map(pLong(_).toInt).getOrElse(16),
+        extraProbes = m.get("probes").map(pLong(_).toInt).getOrElse(0))
+    // pair list (id1, id2) → (id, cluster) labels via connected components
+    case "dedup-cluster" =>
+      df => graft.operators.Dedup.clusterPairs(df)
+    // deterministic sampling / splitting (Sampling.scala)
+    case "sample-hash" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sampling.hashSample(df, pStr(m("id")), pDouble(m("fraction")),
+        salt = m.get("salt").map(pStr).getOrElse("sample"))
+    case "sample-stratified" =>
+      val m = pMap(params.head)
+      val fractions = pMap(m("fractions")).map { case (k, v) => k -> pDouble(v) }
+      df => graft.operators.Sampling.stratifiedSample(df, pStr(m("strata")), pStr(m("id")),
+        fractions, defaultFraction = m.get("default").map(pDouble).getOrElse(1.0),
+        salt = m.get("salt").map(pStr).getOrElse("sample"))
+    case "split-by-hash" =>
+      val m = pMap(params.head)
+      val weights = m("weights").asInstanceOf[Seq[Any]].map { w =>
+        val wm = pMap(w)
+        (pStr(wm("name")), pDouble(wm("weight")))
+      }
+      df => graft.operators.Sampling.splitByHash(df, pStr(m("id")), weights,
+        salt = m.get("salt").map(pStr).getOrElse("split"))
 
     // multimodal plumbing as declarable stages (media frame in, media/
     // feature frame out)

@@ -437,6 +437,18 @@ class EngineSpec extends AnyFunSuite {
     assert(errs.exists(_.startsWith("/include")))
   }
 
+  test("dedup-cluster IR action labels pair chains with the min reachable id") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val node = Node.fromJson(
+      """{"action":"dedup-cluster","params":[],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val out = Engine.run(node, pairs, EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("stream names with path separators or '..' are rejected (persistence safety)") {
     val reg = new StreamRegistry()
     val pipe = Node.fromJson("""{"action":"where","params":[["pos?","metric"]]}""")
