@@ -236,28 +236,73 @@ object Dedup {
     * Output: one row per distinct id in `pairs`, columns (`id`, `cluster`).
     */
   def clusterPairs(pairs: DataFrame, id1Col: String = "id1", id2Col: String = "id2",
-                   maxIters: Int = 20): DataFrame = {
+                   maxIters: Int = 20, onePartitionThreshold: Long = 10000000L): DataFrame = {
     val half = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
     val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster")).localCheckpoint(true)
-    var it = 0
+
+    // Adaptive small-graph path: a pair list far below cluster scale (the
+    // common case — LSH pair output is tiny next to the corpus) pays more
+    // in per-round job scheduling than in compute. When the edge list
+    // fits one task comfortably AND ids are integral, run a single-task
+    // union-find (union-by-min + path compression — exact, one pass, an
+    // EXECUTOR-side kernel, not a driver collect). Billion-edge graphs
+    // and non-integral ids take the iterative path below.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      edges.schema.fields.forall(_.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    }
+    if (integralIds && edges.count() <= onePartitionThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return edges.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            // union by MIN id: the root of every component stays its
+            // minimum member, matching the iterative path's labels
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          parent.keysIterator.map(id => (id, find(id)))
+        }
+        .toDF("id", "cluster")
+    }
+    // round 1 needs no label join: labels start as the identity, so the
+    // propagated label is simply min(self, min neighbor id)
+    var labels = edges.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("cluster"))
+      .select(col("a").as("id"), col("cluster"))
+      .localCheckpoint(true)
+    var it = 1
     var converged = false
     while (!converged && it < maxIters) {
       val neigh = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min(col("cluster")).as("__nl"))
-      val next = labels.as("l")
+      // carry old and new labels in ONE checkpointed frame: the fixpoint
+      // probe and the next round's labels reuse it without a second join
+      val joined = labels.as("l")
         .join(neigh.as("n"), col("l.id") === col("n.id"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.cluster").as("__old"),
           least(col("l.cluster"), coalesce(col("__nl"), col("l.cluster"))).as("cluster"))
         .localCheckpoint(true)
-      converged = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
-        .filter(col("x.cluster") =!= col("y.cluster")).isEmpty
-      labels = next
+      converged = joined.filter(col("cluster") =!= col("__old")).isEmpty
+      labels = joined.select("id", "cluster")
       it += 1
     }
-    labels
+    labels.select("id", "cluster")
   }
 
   /** The deduplicated corpus: drop every row whose id is a NON-canonical

@@ -232,5 +232,14 @@ class OperatorSpec extends AnyFunSuite {
     val chain = (1L to 6L).map(i => (i, i + 1)).toDF("id1", "id2")
     val chained = Dedup.clusterPairs(chain).collect().map(_.getLong(1)).toSet
     assert(chained == Set(1L))
+
+    // the distributed iterative path (threshold 0 forces it past the
+    // single-task union-find) must label identically
+    def labelsOf(threshold: Long) =
+      Dedup.clusterPairs(pairs, onePartitionThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(0L) == labelsOf(Long.MaxValue))
+    assert(Dedup.clusterPairs(chain, onePartitionThreshold = 0L)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 }
