@@ -161,6 +161,21 @@ class ControlPlaneSpec extends AnyFunSuite {
     }
   }
 
+  test("Serve.boot loads a streams dir and serves it over HTTP") {
+    val dir = java.nio.file.Files.createTempDirectory("serve_streams")
+    java.nio.file.Files.writeString(dir.resolve("alerts.json"),
+      """{"action":"stream","params":[{"name":"alerts","default":true}],
+        | "children":[{"action":"where","params":[[">","metric",100]],
+        |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+    val (registry, cp) = Serve.boot(spark, dir.toString, 0,
+      EngineCtx(testMode = true))
+    try {
+      assert(registry.list == Seq("alerts"))
+      val (code, body) = send("GET", s"http://127.0.0.1:${cp.boundPort}/api/v1/stream")
+      assert(code == 200 && body == """{"streams":["alerts"]}""")
+    } finally cp.stop()
+  }
+
   test("metrics route: Prometheus text scrape with push counters") {
     withServer() { (_, base) =>
       val (code, text) = send("GET", s"$base/metrics")
