@@ -49,7 +49,7 @@ import java.util.Base64
 final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  @volatile private var eventSeq = 0L
+  private val eventSeq = new java.util.concurrent.atomic.AtomicLong()
   private val pushesTotal = new java.util.concurrent.atomic.AtomicLong()
   private val eventsTotal = new java.util.concurrent.atomic.AtomicLong()
 
@@ -57,12 +57,20 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
 
   def start(): ControlPlane = {
     server.createContext("/", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null) // control plane: serial is fine
+    // small pool: a slow data-plane push must not block health checks;
+    // registry ops are TrieMap-safe and the event counter is atomic
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
+  }
 
   // ------------------------------------------------------------------
 
@@ -142,12 +150,12 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
           pushEvents(name, req.timeseries.flatMap { s =>
             val labels = s.labels.map(l => l.name -> l.value).toMap
             s.samples.map { sm =>
-              eventSeq += 1
               Event(host = None, service = None,
                 name = labels.get("__name__"), state = None,
                 metric = Some(sm.value), time = sm.timestamp * 1000000L,
                 ttl = None, description = None, tags = Nil,
-                attributes = labels - "__name__", eventId = eventSeq)
+                attributes = labels - "__name__",
+                eventId = eventSeq.incrementAndGet())
             }
           })
           respond(ex, 200, """{"message":"ok"}""")
@@ -159,7 +167,6 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
           pushEvents(name, req.resourceSpans.flatMap { rs =>
             val res = rs.resource.attributes.map(kv => kv.key -> kv.value).toMap
             rs.scopeSpans.flatMap(_.spans.map { sp =>
-              eventSeq += 1
               Event(host = None, service = res.get("service.name"),
                 name = Option(sp.name),
                 state = Some(sp.status.code match {
@@ -173,7 +180,7 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
                     "parent_span_id" -> sp.parentSpanId,
                     "kind" -> kinds.lift(sp.kind.toInt).getOrElse("unrecognized"),
                     "start_time" -> sp.startTimeUnixNano.toString),
-                eventId = eventSeq)
+                eventId = eventSeq.incrementAndGet())
             })
           })
           respond(ex, 200, """{"message":"ok"}""")
@@ -243,7 +250,7 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
       case d: Double => d.toLong
     }
     val id = lng("eventId").getOrElse {
-      eventSeq += 1; eventSeq
+      eventSeq.incrementAndGet()
     }
     Event(
       host = str("host"), service = str("service"), name = str("name"),
