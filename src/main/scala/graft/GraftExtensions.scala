@@ -37,10 +37,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** One-argument Column-composition functions exposed to SQL: the
+    * builder re-expresses the composed Column over the SQL argument.
+    */
+  private def columnFn(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[graft.functions.Text.type].getCanonicalName, null, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name(text) takes one argument")
+        Bridge.toCatalyst(f(Bridge.column(children.head)))
+      })
+
   /** The injectFunction triples — shared by the build-time extension and
     * the live-session [[register]].
     */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    columnFn("text_quality", graft.functions.Text.qualityScore),
+    columnFn("text_langid", graft.functions.Text.langId),
+    columnFn("text_tokens", graft.functions.Text.tokenCount),
+    columnFn("text_fingerprint", graft.functions.Text.fingerprint),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, null, "cosine_similarity"),
       (children: Seq[Expression]) => {

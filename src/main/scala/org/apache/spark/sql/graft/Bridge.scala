@@ -20,6 +20,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Fully convert a `Column` tree to a Catalyst `Expression` tree.
+    * [[expression]] wraps the column NODE lazily — fine inside Dataset
+    * analysis, but a `FunctionRegistry` builder must hand the analyzer a
+    * real expression or the wrapper survives to codegen as Unevaluable.
+    */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Execute the frame's physical plan and hand back the raw Tungsten rows.
     * Lets per-partition kernels read individual fixed-width fields lazily
     * (`UnsafeRow` getters) without paying the full row encoder — variable

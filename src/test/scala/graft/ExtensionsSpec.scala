@@ -43,6 +43,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == Seq(1.0, 2.0, 9.0))
   }
 
+  test("text functions from SQL == the Column API on the documents fixture") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_ext")
+    val sql = spark.sql(
+      """SELECT doc_id, text_quality(text) q, text_langid(text) l,
+        |       text_tokens(text) t, text_fingerprint(text) f
+        |FROM docs_ext ORDER BY doc_id""".stripMargin).collect()
+    val api = docs.select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text")),
+        graft.functions.Text.langId(col("text")),
+        graft.functions.Text.tokenCount(col("text")),
+        graft.functions.Text.fingerprint(col("text")))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
   test("non-literal quantiles are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql(

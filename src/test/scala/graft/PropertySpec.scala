@@ -153,6 +153,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hash sampling/splitting is per-row deterministic and stable under corpus growth") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    forAll(Gen.choose(1L, 1000000L), cases = 4) { seed =>
+      val small = (seed to seed + 300L).toDF("id")
+      val grown = (seed to seed + 900L).toDF("id")
+      // membership of an existing row never changes when the corpus grows
+      val sSmall = ids(Sampling.hashSample(small, "id", 0.3))
+      val sGrown = ids(Sampling.hashSample(grown, "id", 0.3))
+      assert(sGrown.filter(_ <= seed + 300L) == sSmall)
+      // split labels: every row exactly one label, stable under growth
+      def splits(df: org.apache.spark.sql.DataFrame) =
+        Sampling.splitByHash(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val spSmall = splits(small)
+      val spGrown = splits(grown)
+      assert(spSmall.keySet.forall(k => spGrown(k) == spSmall(k)))
+      assert(spGrown.values.toSet.subsetOf(Set("train", "val", "test")))
+      // fractions land in a loose band (hash uniformity sanity)
+      val trainFrac = spGrown.values.count(_ == "train").toDouble / spGrown.size
+      assert(trainFrac > 0.7 && trainFrac < 0.9)
+    }
+  }
+
   test("condition compile == compileWith(top-level resolver) for random conditions") {
     import graft.conditions.Condition
     import graft.conditions.Condition._
