@@ -145,5 +145,33 @@ object QueriesRelational {
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("host")
     }
+
+    // one row PER SESSION (session_window semantics: end = last + gap);
+    // the streaming twin is Spark's native session window, StreamingSpec
+    // pins stream == batch
+    register("sessionize_rows",
+      s"""${Queries.EventsView}
+         |, gaps AS (
+         |  SELECT host, (time // 1000) * 1000 AS t, eventId,
+         |         CASE WHEN (time // 1000) * 1000
+         |                   - lag((time // 1000) * 1000)
+         |                     OVER (PARTITION BY host ORDER BY time, eventId)
+         |                   > 1800000000000 OR
+         |              lag(time) OVER (PARTITION BY host ORDER BY time, eventId) IS NULL
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM ev),
+         |sess AS (
+         |  SELECT host, t,
+         |         sum(new_session) OVER (PARTITION BY host ORDER BY t, eventId
+         |                                ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM gaps)
+         |SELECT host, min(t) AS session_start,
+         |       max(t) + 1800000000000 AS session_end,
+         |       count(*) AS n_events
+         |FROM sess GROUP BY host, sid
+         |ORDER BY host, session_start""".stripMargin) { (s, dir) =>
+      graft.operators.Analytics.sessionize(1800, Seq("host"))(Tables.events(s, dir))
+        .orderBy("host", "session_start")
+    }
   }
 }

@@ -491,6 +491,12 @@ object Engine {
         if (df.isStreaming)
           Streaming.condDt(Condition.evaluator(cond), pLong(m("duration")), keys)(df).toDF()
         else Analytics.condDt(cond, pLong(m("duration")), keys)(df)
+    case "sessionize" =>
+      val m = pMap(params.head)
+      df =>
+        if (df.isStreaming)
+          Streaming.sessionize(pLong(m("gap")), delayOf(params), keys)(df)
+        else Analytics.sessionize(pLong(m("gap")), keys)(df)
     case "ddt" => df =>
       if (df.isStreaming) Streaming.ddt(keys)(df).toDF() else Analytics.ddt(keys)(df)
     case "ddt-pos" => df =>

@@ -129,6 +129,22 @@ object Streaming {
       .drop("__clock")
   }
 
+  /** Sessionize over a stream: Spark's NATIVE session window — state per
+    * open (key, session) only, merged on overlap, emitted once the
+    * watermark passes `last event + gap`. Emits (keys, session_start,
+    * session_end, n_events) in µs-aligned ns, row-identical to the batch
+    * twin ([[graft.operators.Analytics.sessionize]]).
+    */
+  def sessionize(gapSeconds: Long, delaySeconds: Long,
+                 keys: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    withTs(df).withWatermark("__ts", s"$delaySeconds seconds")
+      .groupBy(keys.map(col) :+ session_window(col("__ts"), s"$gapSeconds seconds").as("__w"): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keys.map(col) ++ Seq(
+        (unix_micros(col("__w.start")) * 1000).as("session_start"),
+        (unix_micros(col("__w.end")) * 1000).as("session_end"),
+        col("n_events")): _*)
+
   /** `percentiles` over a stream (`action.clj:2845-2929`): exact per-window
     * quantiles, one row per quantile — the same mergeable value-counts
     * aggregate as the batch twin ([[graft.functions.ExactPercentiles]]),

@@ -162,6 +162,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sessionize (native session window) == batch twin") {
+    import graft.operators.Analytics
+    // host a: events at 1s,2s then a 100s gap then 200s → two sessions;
+    // host b: one session
+    val fixture = Seq(
+      ev(1, 1 * S, host = "a", id = 1), ev(1, 2 * S, host = "a", id = 2),
+      ev(1, 200 * S, host = "a", id = 3),
+      ev(1, 5 * S, host = "b", id = 4), ev(1, 20 * S, host = "b", id = 5))
+    def rows(df: DataFrame) = df
+      .select("host", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(runStream(
+      df => Streaming.sessionize(30, 5, Seq("host"))(df)
+        .filter(col("session_start") < 90000L * S), // drop the flush events' session
+      Seq(fixture, flush1, flush2)))
+    val batch = rows(Analytics.sessionize(30, Seq("host"))(events(fixture: _*)))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming generic cond-dt (IR dispatch) == batch twin") {
     import graft.ir.{Engine, EngineCtx}
     // metric > 5 must hold for > 2 s; a dip at t=5 breaks the run
