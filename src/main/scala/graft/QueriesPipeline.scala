@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -161,6 +161,62 @@ object QueriesPipeline {
         Sampling.splitByHash(docs(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select("doc_id", "split").orderBy("doc_id")
+      }
+    }
+
+    // ---------------- benchmark decontamination ----------------
+
+    locally {
+      // train/bench sides reuse the split_by_hash buckets: train = the
+      // 80% slice, benchmark = the 10% test slice — decontaminating the
+      // training split against the held-out split, the real-world shape.
+      def sqlBucket = s"(${sqlMd5Hash64(s"'split:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      val minHits = 40L
+      val reportSql =
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, $sqlBucket AS b, unnest(list_distinct(${sqlShingles("toks")})) AS shingle
+           |  FROM docs),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE b >= 900000)
+           |SELECT doc_id, count(*) AS hits
+           |FROM sh JOIN bench USING (shingle) WHERE b < 800000
+           |GROUP BY doc_id HAVING count(*) >= $minHits ORDER BY doc_id""".stripMargin
+
+      def trainBench(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+        val d = docs(s, dir)
+        val bucket = Sampling.hashBucket(col("doc_id"), "split")
+        (d.filter(bucket < 800000), d.filter(bucket >= 900000))
+      }
+
+      register("decontam_report", reportSql) { (s, dir) =>
+        val (train, bench) = trainBench(s, dir)
+        Decontam.contaminationReport(train, bench, "doc_id", "text", minHits)
+          .orderBy("doc_id")
+      }
+
+      // The Bloom scale path must return IDENTICAL rows — same oracle.
+      register("decontam_bloom", reportSql) { (s, dir) =>
+        val (train, bench) = trainBench(s, dir)
+        Decontam.contaminationBloom(train, bench, "doc_id", "text", minHits,
+          expectedItems = 100000L, fpp = 0.01)
+          .orderBy("doc_id")
+      }
+
+      register("decontam_clean",
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, $sqlBucket AS b, unnest(list_distinct(${sqlShingles("toks")})) AS shingle
+           |  FROM docs),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE b >= 900000),
+           |flagged AS (
+           |  SELECT doc_id FROM sh JOIN bench USING (shingle) WHERE b < 800000
+           |  GROUP BY doc_id HAVING count(*) >= $minHits)
+           |SELECT doc_id FROM documents
+           |WHERE $sqlBucket < 800000 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val (train, bench) = trainBench(s, dir)
+        Decontam.decontaminate(train, bench, "doc_id", "text", minHits)
+          .select("doc_id").orderBy("doc_id")
       }
     }
 

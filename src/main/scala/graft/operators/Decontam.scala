@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: remove training documents that overlap an
+  * evaluation/benchmark set (shared word-shingles), the standard hygiene
+  * step before LLM pretraining.
+  *
+  * Shape of the problem at 100 TB: the *training* side is huge, the
+  * *benchmark* side is tiny (eval suites are MBs). So every design choice
+  * here keeps the big side to ONE pass with map-side work only:
+  *
+  *  - the benchmark shingle set is deduped and **broadcast** — the join
+  *    never shuffles the training side;
+  *  - per-document shingles are `array_distinct`'d *before* explode, so
+  *    hit counting is a plain `count(*)` with map-side partial
+  *    aggregation on `doc_id` (rows after the broadcast join are only the
+  *    matches — a ~0.x% trickle, not the corpus);
+  *  - the scale path ([[contaminationBloom]]) additionally prefilters
+  *    exploded training shingles through a driver-built Bloom filter
+  *    before the exact join, so the join probe side shrinks by the Bloom
+  *    rejection rate. False positives are then removed by the *same*
+  *    exact broadcast join — the two paths return identical rows (gated
+  *    against the same DuckDB oracle).
+  *
+  * A document counts as contaminated when it shares at least `minHits`
+  * **distinct** shingles with the benchmark set (any benchmark doc —
+  * overlap is a property of the text, not of a pairing).
+  */
+object Decontam {
+
+  /** Distinct (id, shingle) pairs for a corpus — bigram word shingles by
+    * default, deduped per document before explode.
+    */
+  def shinglePairs(df: DataFrame, idCol: String, textCol: String,
+                   shingles: Column => Column = c => Text.bigramShingles(Text.tokens(c))): DataFrame =
+    df.select(col(idCol), explode(array_distinct(shingles(col(textCol)))).as("shingle"))
+
+  /** Contamination report: (idCol, hits) for every training document
+    * sharing ≥ `minHits` distinct shingles with the benchmark set.
+    * Benchmark shingles are deduped and broadcast; the training side is
+    * never shuffled before the (tiny, post-join) hit count.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, minHits: Long = 3): DataFrame = {
+    val benchSh = shinglePairs(bench, idCol, textCol).select("shingle").distinct()
+    shinglePairs(train, idCol, textCol)
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** Scale path: identical result to [[contaminationReport]], with a
+    * Bloom-filter prefilter in front of the exact join.
+    *
+    * The Bloom filter is built driver-side over the (small) benchmark
+    * shingle set — `expectedItems` at `fpp` costs ~1.2 bytes/item at 1%,
+    * so even a 100M-shingle benchmark corpus is a ~120 MB broadcast,
+    * and a realistic eval suite is KBs. The prefilter rejects
+    * (1 − fpp) of non-overlapping training shingles *before* the join,
+    * shrinking the probe side by ~99%; Bloom false positives are killed
+    * by the exact join that follows, so correctness never depends on fpp.
+    *
+    * The `mightContain` check is a deserialized predicate (not codegen) —
+    * acceptable exactly because it sits on a 2-column projection and
+    * replaces join work, not scan work.
+    */
+  def contaminationBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, minHits: Long = 3,
+                         expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val benchSh = shinglePairs(bench, idCol, textCol).select("shingle").distinct()
+    val bloom = benchSh.stat.bloomFilter("shingle", expectedItems, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    shinglePairs(train, idCol, textCol)
+      .filter(mightContain(col("shingle")))
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** The cleaned corpus: training documents NOT flagged by
+    * [[contaminationReport]] — a broadcast-able anti-join when the
+    * flagged set is small (it is: contamination rates are ~1%).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, minHits: Long = 3): DataFrame = {
+    val flagged = contaminationReport(train, bench, idCol, textCol, minHits)
+      .select(col(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Decontam
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Benchmark-decontamination semantics: planted overlap is flagged, the
+  * Bloom scale path is row-identical to the exact path, and the cleaned
+  * corpus is exactly train-minus-flagged.
+  */
+class DecontamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def corpus() = {
+    val s = spark
+    import s.implicits._
+    // bench doc 100 is a verbatim copy of train doc 1 (contaminated);
+    // train doc 2 shares a 3-shingle phrase; doc 3 is clean.
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "we observe the quick brown fox jumps far away from town today"),
+      (3L, "completely unrelated text about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    (train, bench)
+  }
+
+  test("planted contamination flagged at the right hit counts") {
+    val (train, bench) = corpus()
+    val report = Decontam.contaminationReport(train, bench, "doc_id", "text", minHits = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.contains(1L))
+    assert(report(1L) == 12L) // 13 tokens -> 12 distinct bigram shingles, all shared
+    assert(report.contains(2L)) // "the quick", "quick brown", "brown fox", "fox jumps"
+    assert(report(2L) == 4L)
+    assert(!report.contains(3L))
+    // raising minHits drops the partial overlap but keeps the copy
+    val strict = Decontam.contaminationReport(train, bench, "doc_id", "text", minHits = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+  }
+
+  test("bloom prefilter path returns identical rows to the exact path") {
+    val (train, bench) = corpus()
+    val exact = Decontam.contaminationReport(train, bench, "doc_id", "text", minHits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Decontam.contaminationBloom(train, bench, "doc_id", "text", minHits = 3,
+      expectedItems = 1000L, fpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == exact)
+  }
+
+  test("decontaminate = train minus flagged") {
+    val (train, bench) = corpus()
+    val clean = Decontam.decontaminate(train, bench, "doc_id", "text", minHits = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L))
+    // empty benchmark -> nothing flagged, corpus unchanged
+    val none = Decontam.decontaminate(train, bench.limit(0), "doc_id", "text", minHits = 3)
+    assert(none.count() == 3)
+  }
+}
