@@ -46,7 +46,8 @@ import java.util.Base64
   * bulk ingestion should arrive through the real sources (files, Kafka,
   * the decode flatMaps), not per-request HTTP bodies.
   */
-final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: Int = 0) {
+final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: Int = 0,
+                         maxBodyBytes: Int = ControlPlane.DefaultMaxBodyBytes) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val eventSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -134,17 +135,22 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
             val attrs = m.get("attributes").collect {
               case mm: Map[_, _] => mm.map { case (k, v) => k.toString -> v.toString }
             }.getOrElse(Map.empty) ++ extra
+            // split whole seconds from the fraction before scaling: at
+            // current epoch magnitudes a double's ulp is ~256 ns, so
+            // (d * 1e9).toLong would silently round sub-microsecond
+            // fractions; scaling only the fraction keeps error ≤ 1 ns
             toEvent(m - "date" - "log" +
-              ("time" -> date.map(d => (d * 1e9).toLong).getOrElse(
-                System.currentTimeMillis() * 1000000L)) +
+              ("time" -> date.map { d =>
+                val secs = math.floor(d).toLong
+                secs * 1000000000L + math.round((d - secs) * 1e9)
+              }.getOrElse(System.currentTimeMillis() * 1000000L)) +
               ("attributes" -> attrs) ++
               m.get("log").map("description" -> _))
           })
           respond(ex, 200, """{"message":"ok"}""")
         case ("POST", List("api", "v1", "prometheus", "remote-write", name)) =>
-          val raw = ex.getRequestBody.readAllBytes()
-          val req = WireCodecs.decodePromWriteRequest(
-            org.xerial.snappy.Snappy.uncompress(raw))
+          val raw = readBodyBytes(ex)
+          val req = WireCodecs.decodePromWriteRequest(uncompressBounded(raw))
           // prometheus.clj:11-29: per sample, name from __name__, other
           // labels → attributes, ms timestamp → ns
           pushEvents(name, req.timeseries.flatMap { s =>
@@ -160,7 +166,7 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
           })
           respond(ex, 200, """{"message":"ok"}""")
         case ("POST", List("api", "v1", "opentelemetry", "v1", "traces", name)) =>
-          val req = WireCodecs.decodeOtlpTraceRequest(ex.getRequestBody.readAllBytes())
+          val req = WireCodecs.decodeOtlpTraceRequest(readBodyBytes(ex))
           // mirror Decode.otlpSpans' span→event mapping; ids/kind land in
           // attributes (Event is fixed-schema where the reference is free-map)
           val kinds = Vector("unspecified", "internal", "server", "client", "producer", "consumer")
@@ -197,6 +203,8 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {
+      case e: ControlPlane.PayloadTooLarge =>
+        respond(ex, 413, s"""{"error":${jstr(e.getMessage)}}""")
       case e: IllegalArgumentException =>
         respond(ex, 400, s"""{"error":${jstr(Option(e.getMessage).getOrElse("bad request"))}}""")
       case e: Throwable =>
@@ -276,8 +284,44 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
 
+  /** Bounded body read: streams at most `maxBodyBytes`+1 and rejects with
+    * 413 instead of buffering an unbounded payload on the driver. The
+    * Content-Length header (when present) short-circuits before any read.
+    */
+  private def readBodyBytes(ex: HttpExchange): Array[Byte] = {
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (declared.exists(_ > maxBodyBytes))
+      throw new ControlPlane.PayloadTooLarge(
+        s"request body ${declared.get} bytes exceeds limit $maxBodyBytes")
+    val in = ex.getRequestBody
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size() + n > maxBodyBytes)
+        throw new ControlPlane.PayloadTooLarge(
+          s"request body exceeds limit $maxBodyBytes bytes")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Snappy payloads additionally declare their uncompressed size in the
+    * frame header; check it BEFORE uncompressing so a decompression bomb
+    * is rejected without allocating its output.
+    */
+  private def uncompressBounded(raw: Array[Byte]): Array[Byte] = {
+    val uncompressed = org.xerial.snappy.Snappy.uncompressedLength(raw)
+    if (uncompressed > maxBodyBytes * 4L)
+      throw new ControlPlane.PayloadTooLarge(
+        s"uncompressed payload $uncompressed bytes exceeds limit ${maxBodyBytes * 4L}")
+    org.xerial.snappy.Snappy.uncompress(raw)
+  }
+
   private def readBody(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    new String(readBodyBytes(ex), UTF_8)
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit =
     respondBytes(ex, status, body.getBytes(UTF_8), "application/json")
@@ -292,4 +336,15 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
+}
+
+object ControlPlane {
+  /** Cap on a single request body (compressed bytes for snappy routes;
+    * uncompressed payloads get 4× this). Control-plane documents are KBs
+    * and even bulk remote-write frames are single-digit MBs, so 32 MiB is
+    * generous without letting one request exhaust driver memory.
+    */
+  val DefaultMaxBodyBytes: Int = 32 * 1024 * 1024
+
+  private[http] final class PayloadTooLarge(msg: String) extends RuntimeException(msg)
 }

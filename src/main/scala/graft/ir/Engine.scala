@@ -348,7 +348,8 @@ object Engine {
     case "default"     => Stateless.default(pStr(params.head), params(1))
     case "sdissoc"     => Stateless.sdissoc(pStrs(params.head))
     case "keep-keys"   => Stateless.keepKeys(pStrs(params.head))
-    case "rename-keys" => Stateless.renameKeys(pMap(params.head).map { case (k, v) => k -> pStr(v) })
+    // toSeq of the ListMap-backed param map: pairs apply in DOCUMENT order
+    case "rename-keys" => Stateless.renameKeys(pMap(params.head).toSeq.map { case (k, v) => k -> pStr(v) })
     case "tag"         => Stateless.tag(pStrs(params.head))
     case "untag"       => Stateless.untag(pStrs(params.head))
     case "sformat"     => Stateless.sformat(pStr(params.head), pStr(params(1)), pStrs(params(2)))

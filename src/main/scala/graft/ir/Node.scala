@@ -78,7 +78,11 @@ object Node {
     case JNull | JNothing => null
     case JArray(xs)  => xs.map(anyOf)
     case JSet(xs)    => xs.toSeq.map(anyOf)
-    case JObject(fs) => fs.map { case (k, x) => k -> anyOf(x) }.toMap
+    // ListMap: JSON object params keep DOCUMENT order through the IR, so
+    // order-sensitive actions (rename-keys applies its pairs one by one,
+    // like the reference) see the pairs the way the user wrote them
+    case JObject(fs) =>
+      scala.collection.immutable.ListMap(fs.map { case (k, x) => k -> anyOf(x) }: _*)
   }
 
   /** Config-layer `include` (reference `action.clj:2249-2277`): an

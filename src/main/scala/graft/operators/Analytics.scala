@@ -225,10 +225,19 @@ object Analytics {
     val attrOrd = if (topLevel("attributes")) schema.fieldIndex("attributes") else -1
     // Per key: Left(top-level ordinal) or Right(attribute name), mirroring
     // perKeyScan's keyOf. Attribute keys scan the map's key array in place.
+    // Only string-typed top-level columns may be read via getUTF8String —
+    // a numeric ordinal would read garbage bytes from the UnsafeRow, so
+    // reject it at plan construction instead.
     val keyGetters: Array[Either[Int, org.apache.spark.unsafe.types.UTF8String]] =
       keys.map { k =>
-        if (topLevel(k)) Left(schema.fieldIndex(k))
-        else Right(org.apache.spark.unsafe.types.UTF8String.fromString(k))
+        if (topLevel(k)) {
+          val f = schema(k)
+          if (f.dataType != org.apache.spark.sql.types.StringType)
+            throw new IllegalArgumentException(
+              s"per-key-scan key '$k' is a top-level ${f.dataType.simpleString} column; " +
+                "only string columns (or attribute-map keys) can be grouping keys")
+          Left(schema.fieldIndex(k))
+        } else Right(org.apache.spark.unsafe.types.UTF8String.fromString(k))
       }.toArray
 
     val rdd = Bridge.toInternalRows(parted).mapPartitions { it =>

@@ -302,6 +302,14 @@ object Dedup {
       labels = joined.select("id", "cluster")
       it += 1
     }
+    // exiting via the iteration cap means labels are still moving —
+    // downstream keep/drop decisions would silently split real clusters.
+    // Fail loudly: the caller can raise maxIters (rounds = component
+    // diameter, so a hit here means a >maxIters-long duplicate chain).
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge after $maxIters rounds — a connected " +
+          s"component has diameter > $maxIters; raise maxIters")
     labels.select("id", "cluster")
   }
 

@@ -122,12 +122,24 @@ object Stateless {
     * `attributes.x`→`attributes.y`. In the columnar model "absent key" is
     * a null value, so a fully-moved top-level source column is dropped.
     */
-  def renameKeys(renames: Map[String, String])(df: DataFrame): DataFrame =
+  def renameKeys(renames: Seq[(String, String)])(df: DataFrame): DataFrame =
     renames.foldLeft(df) { case (d, (from, to)) => renameKey(d, from, to) }
+
+  /** Map overload for NON-interacting renames only: a plain Map has no
+    * defined order past 4 entries, and interacting pairs (chains like
+    * host→hostname, hostname→x) must apply in document order — use the
+    * Seq form for those (the IR path does, via the order-preserving
+    * ListMap from [[graft.ir.Node.anyOf]]).
+    */
+  def renameKeys(renames: Map[String, String])(df: DataFrame): DataFrame =
+    renameKeys(renames.toSeq)(df)
 
   private def renameKey(df: DataFrame, from: String, to: String): DataFrame = {
     if (from == to) return df
     val fromNested = from.startsWith("attributes.")
+    // reference semantics: a pair whose source key is absent passes events
+    // unchanged — columnar "absent for every event" = the column not existing
+    if (!fromNested && !df.columns.contains(from)) return df
     val toNested = to.startsWith("attributes.")
     val src: Column =
       if (fromNested) col("attributes").getItem(from.stripPrefix("attributes."))

@@ -16,10 +16,11 @@ import java.util.Base64
 class ControlPlaneSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def withServer(ctx: EngineCtx = EngineCtx(testMode = true))(
+  private def withServer(ctx: EngineCtx = EngineCtx(testMode = true),
+                         maxBodyBytes: Int = ControlPlane.DefaultMaxBodyBytes)(
       f: (ControlPlane, String) => Unit): Unit = {
     val registry = new StreamRegistry(ctx)
-    val cp = new ControlPlane(registry, spark).start()
+    val cp = new ControlPlane(registry, spark, maxBodyBytes = maxBodyBytes).start()
     try f(cp, s"http://127.0.0.1:${cp.boundPort}")
     finally cp.stop()
   }
@@ -158,6 +159,37 @@ class ControlPlaneSpec extends AnyFunSuite {
       assert(r.getLong(0) == 1700000000500000000L)
       assert(r.getString(1) == "oom-killed" && r.getString(2) == "web-1")
       assert(r.getString(3) == "p-42")
+    }
+  }
+
+  test("fluentbit route keeps sub-microsecond date fractions (ns-exact split)") {
+    withServer(EngineCtx()) { (_, base) =>
+      val outDir = addFileSinkStream(base, "flbns")
+      // 0.25 s is exactly representable; (1700000000.25 * 1e9).toLong would
+      // land on a multiple-of-256 neighbor (~250 ns ulp at this magnitude),
+      // while the seconds/fraction split is ns-exact
+      val body = """[{"date":1700000000.25,"log":"x","host":"h"}]"""
+      assert(sendBytes(s"$base/api/v1/fluentbit/flbns", body.getBytes(UTF_8))._1 == 200)
+      val t = spark.read.json(s"$outDir/out").select("time").collect().head.getLong(0)
+      assert(t == 1700000000250000000L)
+    }
+  }
+
+  test("oversized bodies are rejected with 413, not buffered") {
+    withServer(maxBodyBytes = 1024 * 1024) { (_, base) =>
+      // declared Content-Length over the cap: refused before reading
+      val big = "x" * (2 * 1024 * 1024)
+      val (code, resp) = send("PUT", s"$base/api/v1/stream/any", big)
+      assert(code == 413 && resp.contains("exceeds limit"))
+      // snappy decompression bomb: wire bytes fit the cap (zeros compress
+      // ~21:1 → ~380 KB), but the declared uncompressed size (8 MB) blows
+      // the 4× budget — rejected by the header check, before allocation
+      val bomb = org.xerial.snappy.Snappy.compress(new Array[Byte](8 * 1024 * 1024))
+      assert(bomb.length <= 1024 * 1024)
+      val (bc, bresp) = sendBytes(s"$base/api/v1/prometheus/remote-write/any", bomb)
+      assert(bc == 413 && bresp.contains("exceeds limit"))
+      // a small body still goes through to normal request handling
+      assert(send("POST", s"$base/api/v1/stream/x", """{"nope":1}""")._1 == 400)
     }
   }
 

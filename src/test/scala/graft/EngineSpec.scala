@@ -35,6 +35,20 @@ class EngineSpec extends AnyFunSuite {
     assert(tapRows(res, "out") == Seq(1L -> 400.0, 3L -> 600.0))
   }
 
+  test("rename-keys IR pairs apply in JSON document order, past 4 entries") {
+    // 5 interacting pairs: a plain Map would shuffle them (HashMap beyond
+    // 4 entries); the ListMap-backed param map must preserve the chain
+    val df = events(ev(1, 1 * S, id = 1, host = "web-1"))
+    val node = Node.fromJson(
+      """{"action":"rename-keys","params":[
+        |  {"host":"h1","h1":"h2","h2":"h3","h3":"h4","h4":"h5"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    val out = res.taps("out")
+    assert(out.select("h5").collect().head.getString(0) == "web-1")
+    assert(!out.columns.contains("host") && !out.columns.contains("h1"))
+  }
+
   test("by injects grouping keys into downstream windows (stream.clj:38-44)") {
     val df = events(
       ev(1, 10 * S, host = "a", id = 1), ev(2, 20 * S, host = "a", id = 2),

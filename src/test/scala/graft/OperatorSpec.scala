@@ -242,4 +242,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.clusterPairs(chain, onePartitionThreshold = 0L)
       .collect().map(_.getLong(1)).toSet == Set(1L))
   }
+
+  test("clusterPairs fails loudly when the iteration cap cuts convergence short") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // a diameter-9 chain cannot converge in 3 rounds of min-propagation;
+    // silent unconverged labels would split the cluster downstream
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterPairs(chain, maxIters = 3, onePartitionThreshold = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // same graph with headroom converges to the single component
+    assert(Dedup.clusterPairs(chain, maxIters = 20, onePartitionThreshold = 0L)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  test("renameKeys applies interacting pairs in SEQUENCE order (action.clj:2140-2194)") {
+    val df = events(ev(1, 1 * S, id = 1, host = "web-1"))
+    // chain: host→hostname, then hostname (now holding host's value)→h2.
+    // Order matters: reversed pairs leave the value at hostname instead.
+    val chained = Stateless.renameKeys(Seq(
+      "host" -> "hostname", "hostname" -> "h2", "h2" -> "h3",
+      "h3" -> "h4", "h4" -> "h5"))(df)
+    val r = chained.select("h5").collect().head
+    assert(r.getString(0) == "web-1")
+    assert(!chained.columns.contains("host") && !chained.columns.contains("hostname"))
+    val reversed = Stateless.renameKeys(Seq("hostname" -> "h2", "host" -> "hostname"))(df)
+    assert(reversed.select("hostname").collect().head.getString(0) == "web-1")
+    assert(!reversed.columns.contains("h2")) // no hostname existed when that pair ran
+  }
+
+  test("perKeyMetricScan rejects non-string top-level key columns at plan time") {
+    val df = events(ev(1, 1 * S, id = 1))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.perKeyMetricScan(df, Seq("metric"))(() => ())((s, _, _) => (s, Analytics.Emit.Keep))
+    }
+    assert(e.getMessage.contains("metric"))
+  }
 }
