@@ -83,6 +83,30 @@ object Queries {
         .orderBy("id1", "id2")
     }
 
+    // as-of join (union-merge formulation, one shuffle — see
+    // [[operators.Joins.asof]]): each click/view event gets the latest
+    // error the same host saw at-or-before it. The oracle is the
+    // independent per-row top-1 LATERAL formulation.
+    register("asof_join",
+      s"""$EventsView
+         |, clicks AS (SELECT * FROM ev WHERE service IN ('click', 'view')),
+         |errors AS (SELECT * FROM ev WHERE service = 'error')
+         |SELECT l.eventId, l.host, l.time, l.metric,
+         |       r.metric AS asof_metric, r.time AS asof_time
+         |FROM clicks l LEFT JOIN LATERAL (
+         |  SELECT e.metric, e.time FROM errors e
+         |  WHERE e.host = l.host AND e.time <= l.time
+         |  ORDER BY e.time DESC, e.eventId DESC LIMIT 1) r ON TRUE
+         |ORDER BY eventId""".stripMargin) { (s, dir) =>
+      val events = ev(s, dir)
+      val left = events.filter(col("service").isin("click", "view"))
+      val right = events.filter(col("service") === "error")
+      graft.operators.Joins.asof(left, right, Seq("host"), "time", Seq("metric"), "eventId")
+        .select(col("eventId"), col("host"), col("time"), col("metric"),
+          col("asof_metric"), col("asof_time"))
+        .orderBy("eventId")
+    }
+
     // ---------------- §2.2 filters ----------------
 
     register("where",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Text
+import graft.functions.{Pii, Quality, Text}
 import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -54,6 +54,17 @@ object QueriesPipeline {
   private def sqlShingles(toks: String): String =
     s"""list_filter(list_transform(list_zip($toks, $toks[2:]),
        |  z -> z[1] || ' ' || z[2]), x -> x IS NOT NULL)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB word n-grams (mirrors [[Quality.ngrams]]): null-padded zip of
+    * shifted slices, nulls propagate through `||` and are filtered.
+    */
+  private def sqlNgrams(toks: String, n: Int): String =
+    if (n == 1) toks
+    else {
+      val slices = (1 until n).map(i => s"$toks[${i + 1}:]").mkString(", ")
+      val grams = (1 to n).map(i => s"z[$i]").mkString(" || ' ' || ")
+      s"list_filter(list_transform(list_zip($toks, $slices), z -> $grams), x -> x IS NOT NULL)"
+    }
 
   /** DuckDB cosine similarity between two float-list expressions (mirrors
     * [[Similarity.cosine]]'s index-order fold).
@@ -125,6 +136,190 @@ object QueriesPipeline {
          |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
       docs(s, dir).select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
+    }
+
+    // ---------------- repetition / quality-filter rules ----------------
+
+    // shared CTEs: per-doc per-n-gram counts -> best / duplicate / total
+    // gram chars. The Spark side computes the same statistics as a
+    // single-pass sorted-run fold (no explode, no shuffle); the oracle is
+    // the independent relational formulation.
+    locally {
+      val gramStats =
+        s"""g2 AS (SELECT doc_id, unnest(${sqlNgrams("toks", 2)}) AS g FROM docs),
+           |g3 AS (SELECT doc_id, unnest(${sqlNgrams("toks", 3)}) AS g FROM docs),
+           |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+           |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+           |s2 AS (SELECT doc_id, max(c * len(g)) AS bc, sum(c * len(g)) AS tc
+           |       FROM c2 GROUP BY doc_id),
+           |s3 AS (SELECT doc_id, max(c * len(g)) AS bc,
+           |              coalesce(sum(CASE WHEN c > 1 THEN c * len(g) END), 0) AS dc,
+           |              sum(c * len(g)) AS tc
+           |       FROM c3 GROUP BY doc_id)""".stripMargin
+
+      register("text_repetition",
+        s"""$DocsView,
+           |$gramStats
+           |SELECT d.doc_id,
+           |  CASE WHEN len(toks) > 0
+           |       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           |       ELSE 0.0 END AS distinct_ratio,
+           |  CASE WHEN s2.tc > 0 THEN CAST(s2.bc AS DOUBLE) / CAST(s2.tc AS DOUBLE)
+           |       ELSE 0.0 END AS top2_frac,
+           |  CASE WHEN s3.tc > 0 THEN CAST(s3.bc AS DOUBLE) / CAST(s3.tc AS DOUBLE)
+           |       ELSE 0.0 END AS top3_frac,
+           |  CASE WHEN s3.tc > 0 THEN CAST(s3.dc AS DOUBLE) / CAST(s3.tc AS DOUBLE)
+           |       ELSE 0.0 END AS dup3_frac
+           |FROM docs d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val toks = Text.tokens(col("text"))
+        docs(s, dir).select(
+          col("doc_id"),
+          Quality.distinctTokenRatio(toks).as("distinct_ratio"),
+          Quality.topNgramCharFraction(toks, 2).as("top2_frac"),
+          Quality.topNgramCharFraction(toks, 3).as("top3_frac"),
+          Quality.dupNgramCharFraction(toks, 3).as("dup3_frac"))
+          .orderBy("doc_id")
+      }
+
+      locally {
+        val en = Text.LangStopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+        val meanLen =
+          """CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |  list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+            |  (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)""".stripMargin.replace("\n", " ")
+        register("gopher_filter",
+          s"""$DocsView,
+             |$gramStats,
+             |sig AS (
+             |  SELECT d.doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CASE WHEN len(toks) > 0 THEN $meanLen ELSE 0.0 END AS mean_word_len,
+             |    CASE WHEN len(toks) > 0
+             |         THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+             |              / CAST(len(toks) AS DOUBLE)
+             |         ELSE 0.0 END AS alpha_frac,
+             |    CAST(len(list_filter($en, w -> list_contains(toks, w))) AS BIGINT) AS stop_hits,
+             |    CASE WHEN s2.tc > 0 THEN CAST(s2.bc AS DOUBLE) / CAST(s2.tc AS DOUBLE)
+             |         ELSE 0.0 END AS top2_frac,
+             |    CASE WHEN s3.tc > 0 THEN CAST(s3.dc AS DOUBLE) / CAST(s3.tc AS DOUBLE)
+             |         ELSE 0.0 END AS dup3_frac
+             |  FROM docs d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id))
+             |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+             |       top2_frac, dup3_frac,
+             |       CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+             |                  AND mean_word_len BETWEEN 3.0 AND 10.0
+             |                  AND alpha_frac >= 0.8
+             |                  AND stop_hits >= 2
+             |                  AND top2_frac <= 0.20
+             |                  AND dup3_frac <= 0.60
+             |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          docs(s, dir)
+            .select(col("doc_id"), Quality.gopherSignals(col("text")).as("g"))
+            .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+              col("g.alpha_frac"), col("g.stop_hits"), col("g.top2_frac"),
+              col("g.dup3_frac"), col("g.keep"))
+            .orderBy("doc_id")
+        }
+      }
+    }
+
+    // ---------------- PII scrubbing / URL analysis ----------------
+
+    // The fixture corpus is PII-free word salad, so both engines append
+    // the SAME deterministic id-derived PII spans (emails on doc_id%3=0,
+    // IPv4s on %4=0, phone numbers on %5=0) before scrubbing — the gate
+    // then compares real found/redacted spans, not a vacuous all-zeros.
+    locally {
+      val piiSql =
+        """text ||
+          |CASE WHEN doc_id % 3 = 0
+          |     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+          |          || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ELSE '' END ||
+          |CASE WHEN doc_id % 4 = 0
+          |     THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+          |          || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+          |CASE WHEN doc_id % 5 = 0
+          |     THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+          |          || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END""".stripMargin.replace("\n", " ")
+
+      def piiCol = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@mail"),
+            pmod(col("doc_id"), lit(5)).cast("string"), lit(".example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"), lit(".0."),
+            pmod(col("doc_id"), lit(250)).cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call 555-"), (lit(100) + pmod(col("doc_id"), lit(900))).cast("string"),
+            lit("-"), (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string"))).otherwise(lit("")))
+
+      register("pii_redact",
+        s"""WITH pii AS (SELECT doc_id, $piiSql AS s FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(s, '${Pii.EmailPattern}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(s, '${Pii.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+           |  CAST(len(regexp_extract_all(s, '${Pii.PhonePattern}')) AS BIGINT) AS n_phones,
+           |  regexp_replace(regexp_replace(regexp_replace(s,
+           |    '${Pii.EmailPattern}', '<EMAIL>', 'g'),
+           |    '${Pii.Ipv4Pattern}', '<IP>', 'g'),
+           |    '${Pii.PhonePattern}', '<PHONE>', 'g') AS redacted
+           |FROM pii ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        docs(s, dir).select(col("doc_id"), piiCol.as("s"))
+          .select(col("doc_id"),
+            Pii.emailCount(col("s")).as("n_emails"),
+            Pii.ipCount(col("s")).as("n_ips"),
+            Pii.phoneCount(col("s")).as("n_phones"),
+            Pii.redact(col("s")).as("redacted"))
+          .orderBy("doc_id")
+      }
+
+      val urlSql =
+        """text || ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+          | || CAST(doc_id % 23 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+          |CASE WHEN doc_id % 2 = 0
+          |     THEN ' and http://site' || CAST(doc_id % 23 AS VARCHAR) || '.example.org/q'
+          |     ELSE '' END""".stripMargin.replace("\n", " ")
+
+      def urlCol = concat(col("text"),
+        lit(" see https://cdn"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".site"),
+        pmod(col("doc_id"), lit(23)).cast("string"), lit(".example.org/p/"),
+        col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" and http://site"), pmod(col("doc_id"), lit(23)).cast("string"),
+            lit(".example.org/q"))).otherwise(lit("")))
+
+      register("url_hosts",
+        s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents)
+           |SELECT doc_id,
+           |       array_to_string(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1), ',') AS hosts
+           |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        docs(s, dir).select(col("doc_id"), urlCol.as("s"))
+          .select(col("doc_id"), array_join(Pii.urlHosts(col("s")), ",").as("hosts"))
+          .orderBy("doc_id")
+      }
+
+      register("url_domain_stats",
+        s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents),
+           |h AS (SELECT doc_id, unnest(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1)) AS host
+           |      FROM u),
+           |d AS (SELECT doc_id,
+           |             array_to_string(string_split(host, '.')[greatest(len(string_split(host, '.')) - 2, 1):], '.') AS domain
+           |      FROM h)
+           |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+           |FROM d
+           |WHERE domain NOT IN ('site1.example.org', 'site7.example.org')
+           |GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+        val blocked = Seq("site1.example.org", "site7.example.org")
+        docs(s, dir).select(col("doc_id"), urlCol.as("s"))
+          .select(col("doc_id"), explode(Pii.urlHosts(col("s"))).as("host"))
+          .select(col("doc_id"), Pii.registrableDomain(col("host"), 3).as("domain"))
+          .filter(!col("domain").isInCollection(blocked))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("domain")
+      }
     }
 
     // ---------------- deterministic sampling / splitting ----------------
@@ -525,6 +720,53 @@ object QueriesPipeline {
         val e = emb(s, dir)
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
           topK, nCells, nProbe)
+          .orderBy("query_id", "rank")
+      }
+    }
+
+    // product-quantization ANN: the oracle replays the identical
+    // deterministic index — seed-vector codebooks, arg-min L2 code
+    // assignment (lexicographic struct sort = Spark's struct arg-min),
+    // and the fixed-subspace-order ADC sum — so codes, LUTs and scores
+    // match bit-for-bit
+    locally {
+      val (m, sub, codes, topK) = (4, 16, 16, 3)
+      def l2(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+          "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, x) -> acc + x)"
+      val cbCols = (0 until m).map(mi =>
+        s"list(embedding[${mi * sub + 1}:${(mi + 1) * sub}] ORDER BY vec_id) AS cb$mi").mkString(", ")
+      val codeCols = (0 until m).map(mi =>
+        s"CAST(list_sort(list_transform(range($codes), j -> {'d': ${l2(s"e.embedding[${mi * sub + 1}:${(mi + 1) * sub}]", s"cb.cb$mi[CAST(j AS INT) + 1]")}, 'j': j}))[1].j AS BIGINT) AS c$mi").mkString(",\n           |       ")
+      val lutCols = (0 until m).map(mi =>
+        s"list_transform(range($codes), j -> ${dot(s"q.embedding[${mi * sub + 1}:${(mi + 1) * sub}]", s"cb.cb$mi[CAST(j AS INT) + 1]")}) AS lut$mi").mkString(",\n           |       ")
+      val score = (0 until m).map(mi => s"q.lut$mi[CAST(e.c$mi AS INT) + 1]").mkString(" + ")
+      register("ann_pq_topk",
+        s"""WITH cb AS (
+           |  SELECT $cbCols
+           |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $codes)),
+           |enc AS (
+           |  SELECT e.vec_id AS nn_id,
+           |       $codeCols
+           |  FROM embeddings e CROSS JOIN cb),
+           |q AS (
+           |  SELECT q.vec_id AS query_id,
+           |       $lutCols
+           |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 50),
+           |scored AS (
+           |  SELECT q.query_id, e.nn_id, $score AS score
+           |  FROM enc e CROSS JOIN q WHERE e.nn_id != q.query_id)
+           |SELECT query_id, rank, nn_id, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY score DESC, nn_id ASC) AS rank
+           |  FROM scored) WHERE rank <= $topK
+           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+          topK, m = m, codes = codes)
           .orderBy("query_id", "rank")
       }
     }

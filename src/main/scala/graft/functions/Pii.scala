@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection/redaction and URL analysis for training-data scrubbing.
+  *
+  * Every pattern below is written in the common subset of Java regex
+  * (Spark) and RE2 (DuckDB, the correctness oracle): character classes,
+  * bounded repetition and `\b` word boundaries only — no backreferences,
+  * no lookaround — so the two engines match the identical spans and the
+  * redacted output hash-matches byte for byte.
+  *
+  * Scale design: pure `regexp_replace`/`regexp_extract_all` column
+  * algebra — codegen'd, fuses into the scan, zero shuffles for the
+  * per-document pass; only the domain-stats aggregate shuffles (once, on
+  * the domain key).
+  */
+object Pii {
+
+  /** The shared patterns (kept in one place so the oracle SQL builders in
+    * the query suite cite the same strings).
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val UrlHostPattern = "https?://([a-z0-9.-]+)"
+
+  def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(EmailPattern), lit(0))).cast("long")
+  def ipCount(c: Column): Column = size(regexp_extract_all(c, lit(Ipv4Pattern), lit(0))).cast("long")
+  def phoneCount(c: Column): Column = size(regexp_extract_all(c, lit(PhonePattern), lit(0))).cast("long")
+
+  /** Replace emails, IPv4s and phone numbers with typed placeholder
+    * tokens. Order matters and is pinned: emails first (an email's host
+    * part could otherwise be clipped by the IP rule), then IPs, then
+    * phones — the oracle applies the same order.
+    */
+  def redact(c: Column): Column = {
+    val e = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Pattern, "<IP>")
+    regexp_replace(i, PhonePattern, "<PHONE>")
+  }
+
+  /** All URL hosts mentioned in a text column, in occurrence order. */
+  def urlHosts(c: Column): Column =
+    regexp_extract_all(c, lit(UrlHostPattern), lit(1))
+
+  /** Registrable domain of a host: the last `levels` dot-labels (default
+    * 2, e.g. `a.b.example.org` → `example.org`). Label-count aware —
+    * shorter hosts pass through whole.
+    */
+  def registrableDomain(host: Column, levels: Int = 2): Column = {
+    val labels = split(host, "\\.")
+    concat_ws(".", slice(labels, greatest(size(labels) - (levels - 1), lit(1)), lit(levels)))
+  }
+}

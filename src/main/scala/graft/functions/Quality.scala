@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document-quality and repetition signals (Rae et al. 2021,
+  * "Scaling Language Models: ... Gopher", appendix A1.1; also the C4 and
+  * RefinedWeb filtering rules) as pure `Column` algebra.
+  *
+  * Scale design: every metric here is a SINGLE-PASS fold over the
+  * document's own token array — no explode, no groupBy, no shuffle, no
+  * UDF. A 100 TB corpus pays exactly one scan; the per-document state is
+  * a constant-size struct accumulator inside whole-stage codegen. The
+  * DuckDB oracle computes the same statistics relationally (unnest +
+  * GROUP BY) — two independent formulations that must agree exactly
+  * (integer counts; fractions are single divisions of exact longs, so
+  * the doubles are bit-identical across engines).
+  */
+object Quality {
+
+  /** Space-joined word n-grams from a token array. Null-padded zip of
+    * shifted slices (generalizes [[Text.bigramShingles]]): position i
+    * yields `toks[i] .. toks[i+n-1]`, positions past `size-n` null out
+    * through concat and are filtered.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"ngrams: n must be >= 1, got $n")
+    if (n == 1) toks
+    else
+      filter(
+        transform(toks, (_, i) =>
+          when(i <= size(toks) - n,
+            concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
+        g => g.isNotNull)
+  }
+
+  /** Fraction of distinct tokens: `|set(toks)| / |toks|` (1.0 = no
+    * repetition). 0.0 on empty documents.
+    */
+  def distinctTokenRatio(toks: Column): Column =
+    when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Total characters across an n-gram array (the denominators below). */
+  private def gramChars(gs: Column): Column =
+    aggregate(gs, lit(0L), (a, g) => a + length(g))
+
+  /** Character fraction of the single most frequent n-gram:
+    * `max_g count(g)*len(g) / sum_g len(g)` — Gopher's "fraction of
+    * characters in the most common n-gram" rule (thresholds 0.20 / 0.18 /
+    * 0.16 for n = 2 / 3 / 4).
+    *
+    * One pass over the SORTED gram array with a (prev, run, best) struct
+    * accumulator: equal grams are adjacent after `array_sort`, so the
+    * running count per gram is a run length and the max of
+    * `run * len(gram)` is exact.
+    */
+  def topNgramCharFraction(toks: Column, n: Int): Column = {
+    val gs = array_sort(ngrams(toks, n))
+    val best = aggregate(
+      gs,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run * length(g)).as("best"))
+      },
+      acc => acc.getField("best"))
+    val total = gramChars(gs)
+    when(total > 0, best.cast("double") / total.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Character fraction of n-grams that occur more than once:
+    * `sum_{g: count(g)>1} count(g)*len(g) / sum_g len(g)` — Gopher's
+    * "fraction of characters in duplicate n-grams" rule (n = 5..10).
+    *
+    * Same sorted-run fold: when a run reaches 2 the first occurrence is
+    * retro-credited (`+2*len`), every further repeat adds `len`.
+    */
+  def dupNgramCharFraction(toks: Column, n: Int): Column = {
+    val gs = array_sort(ngrams(toks, n))
+    val dup = aggregate(
+      gs,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        val add = when(run === 2, lit(2L) * length(g))
+          .when(run > 2, length(g).cast("long"))
+          .otherwise(lit(0L))
+        struct(g.as("prev"), run.as("run"), (acc.getField("dup") + add).as("dup"))
+      },
+      acc => acc.getField("dup"))
+    val total = gramChars(gs)
+    when(total > 0, dup.cast("double") / total.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters (0.0 on empty documents). */
+  def meanWordLength(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens containing at least one alphabetic character
+    * (tokens are lowercased alnum runs, so `[a-z]` suffices).
+    */
+  def alphaWordFraction(toks: Column): Column =
+    when(size(toks) > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double")
+        / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Count of distinct English stopwords present (Gopher's "has at least
+    * 2 stop words" rule; shares [[Text.LangStopwords]]'s `en` set).
+    */
+  def stopwordCount(toks: Column): Column = {
+    val en = Text.LangStopwords.toMap.apply("en")
+    size(array_intersect(toks, array(en.map(lit): _*))).cast("long")
+  }
+
+  /** Gopher rule bundle over a raw text column: the individual signals
+    * plus a `keep` verdict, as a struct. Word-count bounds are scaled to
+    * the fixture corpus (the published 50..100k assumes web pages); every
+    * threshold is a parameter so production corpora set their own.
+    */
+  def gopherSignals(
+      text: Column,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2,
+      maxTop2Frac: Double = 0.20,
+      maxDup3Frac: Double = 0.60): Column = {
+    val toks = Text.tokens(text)
+    val nWords = size(toks).cast("long")
+    val meanLen = meanWordLength(toks)
+    val alphaFrac = alphaWordFraction(toks)
+    val stops = stopwordCount(toks)
+    val top2 = topNgramCharFraction(toks, 2)
+    val dup3 = dupNgramCharFraction(toks, 3)
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      alphaFrac >= minAlphaFrac &&
+      stops >= minStopwords &&
+      top2 <= maxTop2Frac &&
+      dup3 <= maxDup3Frac
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      stops.as("stop_hits"),
+      top2.as("top2_frac"),
+      dup3.as("dup3_frac"),
+      keep.cast("long").as("keep"))
+  }
+}

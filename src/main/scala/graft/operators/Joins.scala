@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins Spark's built-in operators don't express directly.
+  *
+  * The flagship is the as-of join: for each left row, attach the single
+  * most recent right row with `right.time <= left.time` in the same key
+  * group (the quotes-to-trades join; here: "the last error state a user
+  * saw before this event").
+  *
+  * Scale design — the union-merge formulation, not a range join:
+  * a naive `l JOIN r ON l.key = r.key AND r.t <= l.t` explodes to
+  * O(|l|·|r|) per key before the top-1 filter; a broadcast-range AQE plan
+  * still materializes every qualifying pair. Instead both sides are
+  * UNIONed into one frame ordered by (key, time, side, order), and a
+  * running `last(value, ignoreNulls)` window carries the latest right
+  * payload forward into each left row:
+  *
+  *   - exactly ONE shuffle (on the key) + one sort — the same cost as a
+  *     single window aggregate, independent of match fan-out;
+  *   - no pair materialization: memory is O(window frame) = O(1) rows
+  *     per step with the running frame;
+  *   - at 100 TB both inputs stream through ExternalSort; skewed keys
+  *     behave like any windowed op (AQE-visible, saltable upstream).
+  */
+object Joins {
+
+  /** As-of join `left ⟕asof right`.
+    *
+    * @param keys       equi-join key columns (present on both sides)
+    * @param timeCol    event-time column (present on both sides; any
+    *                   orderable type — the fixtures use ns longs)
+    * @param valueCols  right-side payload columns to attach
+    * @param rightOrder tie-break among right rows with equal time (e.g.
+    *                   an event id); the LAST row in `(time, rightOrder)`
+    *                   order wins, and right rows at exactly the left
+    *                   row's time DO match (`<=` semantics)
+    * @param prefix     name prefix for the attached columns (also applied
+    *                   to the right time, exported as `<prefix><timeCol>`)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      rightOrder: String,
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asof: at least one key column")
+    val leftStruct = struct(left.columns.map(col): _*)
+    val rightTypes = right.schema
+    val payload = valueCols :+ timeCol // carried right columns (time last)
+
+    val common = keys.map(col) :+ col(timeCol).as("__t")
+    val lu = left.select(
+      (Seq(leftStruct.as("__l"), lit(1).as("__side"), lit(null).cast("long").as("__ord")) ++
+        common ++
+        payload.map(c => lit(null).cast(rightTypes(c).dataType).as(s"__rv_$c"))): _*)
+    val ru = right.select(
+      (Seq(lit(null).cast(lu.schema("__l").dataType).as("__l"), lit(0).as("__side"),
+        col(rightOrder).cast("long").as("__ord")) ++
+        common ++
+        payload.map(c => col(c).as(s"__rv_$c"))): _*)
+
+    // right sorts before left at equal time (<= semantics); among right
+    // rows the (time, rightOrder)-max is the frame's last non-null
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lu.unionByName(ru)
+      .select(col("__l") +: col("__side") +:
+        payload.map(c => last(col(s"__rv_$c"), ignoreNulls = true).over(w)
+          .as(s"$prefix$c")): _*)
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: payload.map(c => col(s"$prefix$c")): _*)
+  }
+}

@@ -158,6 +158,74 @@ object Similarity {
         lit(-cid).as("negCell"))
     }: _*)
 
+  /** Product-quantization (PQ) ANN top-k — the compressed-scan scale path
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI'11):
+    *
+    *  1. *train*: the codebook is the `codes` lowest-id corpus vectors,
+    *     split into `m` subspaces — the same deterministic stand-in for
+    *     k-means as [[ivfTopK]] (training is pluggable; the index
+    *     structure is the operator). Model-sized, collected once.
+    *  2. *encode*: each corpus vector is reduced to `m` small codes via
+    *     an arg-min L2 struct-fold against codebook literals — map-side
+    *     projection, no shuffle. At 100 TB this is the point: a 64-dim
+    *     float vector (256 B) becomes `m` bytes (64× compression at
+    *     m=4/256 codes), so the scored scan reads codes, not vectors.
+    *  3. *score* (ADC): each query precomputes one `codes`-entry
+    *     dot-product lookup table per subspace; a candidate's approximate
+    *     inner product is `m` table lookups summed in fixed subspace
+    *     order. Queries (tables included) broadcast; the corpus side
+    *     never re-reads the raw vectors.
+    *
+    * Returns (query_id, rank, nn_id, score) with ties to the lower id —
+    * PQ scores are quantized, so ties are common and the pinned order
+    * matters. Recall floor vs brute force is measured in AnnRecallSpec.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, codes: Int = 16): DataFrame = {
+    val seeds: Array[Seq[Float]] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(codes)
+      .collect().map(_.getSeq[Float](1))
+    require(seeds.length == codes, s"pqTopK: corpus smaller than $codes codebook seeds")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // codebook(mi)(j) = subspace-mi slice of seed j
+    val cb: Array[Array[Seq[Float]]] =
+      Array.tabulate(m, codes)((mi, j) => seeds(j).slice(mi * sub, (mi + 1) * sub))
+
+    def subvec(vec: Column, mi: Int): Column = slice(vec, mi * sub + 1, sub)
+    def fold(products: Column): Column = aggregate(products, lit(0.0), (acc, x) => acc + x)
+    def l2(a: Column, cv: Seq[Float]): Column =
+      fold(zip_with(a, typedLit(cv), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }))
+    def dot(a: Column, cv: Seq[Float]): Column =
+      fold(zip_with(a, typedLit(cv), (x, y) => x.cast("double") * y.cast("double")))
+
+    // arg-min L2 code per subspace: struct ordering = (dist, then code)
+    def codeOf(vec: Column, mi: Int): Column =
+      array_min(array((0 until codes).map(j =>
+        struct(l2(subvec(vec, mi), cb(mi)(j)).as("d"), lit(j.toLong).as("j"))): _*))("j")
+
+    val enc = corpus.select(col(idCol).as("nn_id") +:
+      (0 until m).map(mi => codeOf(col(vecCol), mi).as(s"__c$mi")): _*)
+    val q = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map(mi => array((0 until codes).map(j =>
+        dot(subvec(col(vecCol), mi), cb(mi)(j))): _*).as(s"__lut$mi")): _*)
+
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", (0 until m).map(mi =>
+        element_at(col(s"__lut$mi"), col(s"__c$mi").cast("int") + 1)).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("score"))
+  }
+
   /** Bucketed ANN top-k: probe the query's sign bucket, plus
     * `extraProbes` least-confident-bit-flip buckets (multi-probe; 0 =
     * single-probe). One shuffle on the bucket key regardless of corpus
