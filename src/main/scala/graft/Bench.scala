@@ -21,7 +21,10 @@ object Bench {
     // source-decode, media-kernel, and banded near-dup throughput
     "riemann_decode", "prom_wire_decode", "media_features", "dedup_simhash_near",
     // iterative connected-components clustering
-    "dedup_clusters")
+    "dedup_clusters",
+    // curation: quality rules, PII scrub, line dedup, packing, as-of join
+    "gopher_filter", "pii_redact", "line_dedup", "pack_nextfit", "asof_join",
+    "ann_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

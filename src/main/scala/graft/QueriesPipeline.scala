@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Pii, Quality, Text}
-import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Curation, Decontam, Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -356,6 +356,151 @@ object QueriesPipeline {
         Sampling.splitByHash(docs(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select("doc_id", "split").orderBy("doc_id")
+      }
+    }
+
+    // ---------------- corpus curation (line dedup / budgets / packing) ----------------
+
+    locally {
+      // corpus-global duplicate-line removal (C4 §2.2 rule); "lines" are
+      // fixed-7-token chunks (the fixture corpus has no newlines — same
+      // plan shape, exact oracle)
+      val k = 7
+      register("line_dedup",
+        s"""$DocsView,
+           |ls AS (
+           |  SELECT doc_id,
+           |         list_transform(range(CAST(ceil(CAST(len(toks) AS DOUBLE) / $k) AS BIGINT)),
+           |           i -> {'pos': i,
+           |                 'line': array_to_string(toks[CAST(i AS INT) * $k + 1 : CAST(i AS INT) * $k + $k], ' ')}) AS lines
+           |  FROM docs WHERE len(toks) > 0),
+           |l AS (SELECT doc_id, unnest(lines) AS u FROM ls),
+           |r AS (SELECT doc_id, u.pos AS pos, u.line AS line,
+           |             row_number() OVER (PARTITION BY md5(u.line) ORDER BY doc_id, u.pos) AS rn
+           |      FROM l),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS n_lines,
+           |         count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           |         coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos), '') AS text_clean
+           |  FROM r GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+           |       coalesce(a.n_kept, 0) AS n_kept,
+           |       coalesce(a.text_clean, '') AS text_clean
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Curation.lineDedup(docs(s, dir), "doc_id", "text", k).orderBy("doc_id")
+      }
+
+      // quality-ranked per-domain selection under a token budget
+      val budget = 600L
+      register("token_budget_select",
+        s"""$DocsView,
+           |q AS (
+           |  SELECT doc_id, source,
+           |         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+           |         (CASE WHEN len(toks) > 0
+           |               AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |                     list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+           |                     (a, x) -> a + x) AS DOUBLE) / len(toks) BETWEEN 3 AND 8
+           |               THEN 1.0 ELSE 0.5 END) * 0.3 +
+           |         (CASE WHEN len(toks) > 0
+           |               THEN least(CAST(len(toks) AS DOUBLE) / 40.0, 1.0)
+           |               ELSE 0.0 END) * 0.3 AS quality,
+           |         CAST(len(toks) AS BIGINT) AS n_tokens
+           |  FROM docs),
+           |c AS (
+           |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+           |    ORDER BY quality DESC, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |  FROM q)
+           |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens <= $budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val base = docs(s, dir).select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        Curation.tokenBudgetSelect(base, "source", "quality", "n_tokens", "doc_id", budget)
+          .select("doc_id", "source", "n_tokens", "cum_tokens")
+          .orderBy("doc_id")
+      }
+
+      // deterministic downsampling toward target domain shares: over-
+      // represented sources are hash-sampled down, rates computed from
+      // the corpus' own counts (never upsamples)
+      locally {
+        val boosted = Seq("src0", "src1", "src2")
+        val (hi, lo) = (0.15, 0.02)
+        val inList = boosted.map(s => s"'$s'").mkString(", ")
+        def sqlBucket = s"(${sqlMd5Hash64("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+        register("domain_mix",
+          s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |t AS (SELECT source, n, (SELECT sum(n) FROM c) AS total FROM c),
+             |r AS (SELECT source,
+             |        CASE WHEN source IN ($inList) THEN $hi ELSE $lo END
+             |          * CAST(total AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+             |      FROM t)
+             |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+             |WHERE $sqlBucket < CAST(floor(least(rate, 1.0) * 1000000) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          Curation.domainMix(docs(s, dir), "source", "doc_id",
+            boosted.map(_ -> hi).toMap, lo)
+            .select("doc_id", "source").orderBy("doc_id")
+        }
+      }
+
+      // GPT-style concat-and-chop packing spans (per-source streams)
+      val seqLen = 128L
+      register("pack_concat",
+        s"""$DocsView,
+           |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs),
+           |c AS (
+           |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+           |  FROM q)
+           |SELECT doc_id, source, n_tokens, tok_start,
+           |       tok_start // $seqLen AS seq_first,
+           |       (tok_start + greatest(n_tokens, 1) - 1) // $seqLen AS seq_last,
+           |       (tok_start + greatest(n_tokens, 1) - 1) // $seqLen
+           |         - tok_start // $seqLen + 1 AS n_seqs
+           |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val base = docs(s, dir).select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        Curation.packConcat(base, "source", "doc_id", "n_tokens", seqLen)
+          .select("doc_id", "source", "n_tokens", "tok_start",
+            "seq_first", "seq_last", "n_seqs")
+          .orderBy("doc_id")
+      }
+
+      // next-fit bin packing (documents never split across bins): the
+      // oracle replays the sequential fold as a recursive CTE walking each
+      // source's rows in rank order
+      val binBudget = 200L
+      register("pack_nextfit",
+        s"""WITH RECURSIVE docs AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                              t -> len(t) > 0)) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |d AS (
+           |  SELECT doc_id, source, n_tokens,
+           |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           |  FROM docs),
+           |p AS (
+           |  SELECT doc_id, source, n_tokens, rn,
+           |         CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+           |         CASE WHEN p.bin_fill + d.n_tokens <= $binBudget THEN p.bin ELSE p.bin + 1 END,
+           |         CASE WHEN p.bin_fill + d.n_tokens <= $binBudget
+           |              THEN p.bin_fill + d.n_tokens ELSE d.n_tokens END
+           |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+           |SELECT doc_id, source, n_tokens, bin, bin_fill FROM p
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val base = docs(s, dir).select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        Curation.packNextFit(base, "source", "doc_id", "n_tokens", binBudget)
+          .select("doc_id", "source", "n_tokens", "bin", "bin_fill")
+          .orderBy("doc_id")
       }
     }
 

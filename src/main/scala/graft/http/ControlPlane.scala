@@ -204,6 +204,12 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
       }
     } catch {
       case e: ControlPlane.PayloadTooLarge =>
+        // drain (stream-discard, bounded) whatever the client is still
+        // sending before responding: answering 413 mid-upload makes the
+        // built-in server reset the connection and the client never sees
+        // the status. Memory stays O(buffer); a client pushing past the
+        // drain cap gets the abrupt close it deserves.
+        drainQuietly(ex, 64L * 1024 * 1024)
         respond(ex, 413, s"""{"error":${jstr(e.getMessage)}}""")
       case e: IllegalArgumentException =>
         respond(ex, 400, s"""{"error":${jstr(Option(e.getMessage).getOrElse("bad request"))}}""")
@@ -319,6 +325,15 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
         s"uncompressed payload $uncompressed bytes exceeds limit ${maxBodyBytes * 4L}")
     org.xerial.snappy.Snappy.uncompress(raw)
   }
+
+  private def drainQuietly(ex: HttpExchange, cap: Long): Unit =
+    try {
+      val in = ex.getRequestBody
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0 && total <= cap) { total += n; n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
 
   private def readBody(ex: HttpExchange): String =
     new String(readBodyBytes(ex), UTF_8)

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and tokenization: duplicate-line removal, quality-ranked
+  * token-budget selection, domain mixing toward target shares, and
+  * sequence packing.
+  *
+  * Scale design per operator (the 100 TB question, answered up front):
+  *
+  *  - [[lineDedup]]: two shuffles total — one on the line hash (the
+  *    global duplicate-line window), one on the doc id (reassembly).
+  *    That is the known, irreducible cost of corpus-global line dedup
+  *    (C4 §2.2, RefinedWeb §3.3 run exactly this shape); both are plain
+  *    hash-partitioned exchanges, skew-safe under AQE because line
+  *    hashes are near-uniform.
+  *  - [[tokenBudgetSelect]]: one shuffle on the group key, then a
+  *    window cumsum — identical cost to any per-group ranking.
+  *  - [[domainMix]]: one map-side aggregate for group counts (rows =
+  *    #domains, broadcast back), then a map-side filter — the corpus
+  *    itself is never shuffled.
+  *  - [[packConcat]] / [[packNextFit]]: one shuffle on the pack-group
+  *    key. Packing is inherently sequential *within* a stream, so the
+  *    group key IS the parallelism unit (exactly how multi-worker
+  *    tokenizer-packer jobs shard); a corpus-global pack order would be
+  *    a single-partition sort and is deliberately not offered.
+  */
+object Curation {
+
+  /** Split a document's tokens into synthetic "lines" of `k` tokens
+    * (space-joined). Real corpora would split on newlines; the fixture
+    * corpus has none, and fixed-k chunking keeps the oracle exact while
+    * exercising the identical plan shape.
+    */
+  def tokenLines(text: Column, k: Int): Column = {
+    require(k >= 1, s"tokenLines: k must be >= 1, got $k")
+    val toks = Text.tokens(text)
+    val n = size(toks)
+    val nLines = ceil(n.cast("double") / k).cast("int")
+    when(n > 0,
+      transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(toks, i * k + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-global duplicate-line removal (the C4 / RefinedWeb rule):
+    * every line keeps only its FIRST occurrence across the whole corpus
+    * — first = lowest (id, line position) — and each document is
+    * reassembled from its surviving lines.
+    *
+    * Output: (idCol, n_lines, n_kept, text_clean), one row per input
+    * document (documents whose every line was seen earlier come back
+    * with n_kept = 0 and an empty text_clean; filtering those is the
+    * caller's policy decision).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String, lineTokens: Int): DataFrame = {
+    val lines = df.select(col(idCol), posexplode_outer(tokenLines(col(textCol), lineTokens)).as(Seq("pos", "line")))
+    val w = Window.partitionBy(md5(col("line"))).orderBy(col(idCol), col("pos"))
+    lines
+      .withColumn("__rn", when(col("line").isNull, lit(1)).otherwise(row_number().over(w)))
+      .groupBy(col(idCol))
+      .agg(
+        count(col("line")).as("n_lines"),
+        count(when(col("__rn") === 1, col("line"))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__rn") === 1, struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text_clean"))
+  }
+
+  /** Quality-ranked selection under a per-group token budget: within each
+    * `groupCol`, rank rows by (`scoreCol` DESC, `idCol` ASC) and keep rows
+    * while the cumulative `tokensCol` (inclusive) stays within `budget` —
+    * "take the best documents from each domain until its token quota is
+    * full", the standard corpus-composition step.
+    *
+    * Output: input columns + `cum_tokens` (the inclusive running total).
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, scoreCol: String,
+                        tokensCol: String, idCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic downsampling toward target domain shares: a domain
+    * whose corpus share exceeds `targetShare(domain)` is hash-sampled at
+    * `rate = targetShare * total / count(domain)`; under-represented
+    * domains keep everything (rate capped at 1 — this operator never
+    * upsamples; duplication is a separate, explicit step).
+    *
+    * The per-domain counts aggregate to #domains rows, come back as a
+    * broadcast join, and the corpus passes through a map-side filter —
+    * no full-data shuffle at any scale.
+    */
+  def domainMix(df: DataFrame, domainCol: String, idCol: String,
+                targetShare: Map[String, Double], defaultShare: Double,
+                salt: String = "mix"): DataFrame = {
+    val share = targetShare.foldLeft(lit(defaultShare)) {
+      case (acc, (k, v)) => when(col(domainCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__total", sum(col("__n")).over(Window.partitionBy()))
+      .select(col(domainCol), (share * col("__total") / col("__n")).as("__rate"))
+    df.join(broadcast(counts), Seq(domainCol))
+      .filter(Sampling.hashBucket(col(idCol), salt) <
+        floor(least(col("__rate"), lit(1.0)) * 1000000L).cast("long"))
+      .drop("__rate")
+  }
+
+  /** GPT-style concat-and-chop packing: within each `groupCol` stream (in
+    * `idCol` order) documents are conceptually concatenated and cut into
+    * fixed `seqLen`-token training sequences; each document reports the
+    * half-open token span it occupies and the sequence ids it touches.
+    *
+    * Output: input columns + `tok_start` (exclusive-cumsum offset),
+    * `seq_first`, `seq_last`, `n_seqs`. Pure window algebra — documents
+    * straddle sequence boundaries by design (that is what makes this
+    * packing lossless and fragmentation-free).
+    */
+  def packConcat(df: DataFrame, groupCol: String, idCol: String,
+                 tokensCol: String, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"packConcat: seqLen must be >= 1, got $seqLen")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    df.withColumn("tok_start", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("seq_first", floor(col("tok_start") / seqLen))
+      .withColumn("seq_last",
+        floor((col("tok_start") + greatest(col(tokensCol), lit(1L)) - 1) / seqLen))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
+  /** Next-fit bin packing: within each `groupCol` stream (in `idCol`
+    * order) a document goes into the current bin if it fits under
+    * `budget`, else opens the next bin — documents are never split
+    * (instruction-tuning-style packing, where crossing a document
+    * boundary inside a sequence is not allowed). A document larger than
+    * the budget occupies a bin alone.
+    *
+    * Inherently a sequential fold per group, so it runs as the
+    * secondary-sort pattern: repartition on the group key, sort
+    * partitions by (group, id), fold each partition with state reset at
+    * group boundaries — one shuffle, no group ever materialized in
+    * memory, identical shape to `Analytics.perKeyScan`.
+    *
+    * Output: (groupCol, idCol, tokensCol, bin, bin_fill) — `bin` is the
+    * 0-based bin index within the group, `bin_fill` the bin's running
+    * token count after this document.
+    */
+  def packNextFit(df: DataFrame, groupCol: String, idCol: String,
+                  tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"packNextFit: budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    val shuffleP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val in = df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+      col(tokensCol).cast("long"))
+      .repartition(shuffleP, col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+    val outSchema = StructType(Seq(
+      StructField(groupCol, StringType), StructField(idCol, LongType),
+      StructField(tokensCol, LongType), StructField("bin", LongType),
+      StructField("bin_fill", LongType)))
+    val out = in.queryExecution.toRdd.mapPartitions { rows =>
+      var key: String = null
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        val g = r.getUTF8String(0).toString
+        val id = r.getLong(1)
+        val n = r.getLong(2)
+        if (g != key) { key = g; bin = 0L; fill = 0L }
+        if (fill == 0L || fill + n <= budget) fill += n
+        else { bin += 1L; fill = n }
+        Row(g, id, n, bin, fill)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation semantics: corpus-global line dedup keeps exactly the
+  * first occurrence, token budgets cut at the boundary, domain mixing
+  * never upsamples, and both packing disciplines respect their
+  * invariants.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docsDf(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("lineDedup keeps the first occurrence of each line, reassembles in position order") {
+    // 2-token lines; "a b" appears in doc 1 (pos 0) and doc 2 (pos 0 and 1);
+    // doc 3 is entirely a repeat of earlier lines
+    val df = docsDf(
+      (1L, "a b c d", "s"),
+      (2L, "a b a b e f", "s"),
+      (3L, "c d", "s"))
+    val out = Curation.lineDedup(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),   // both lines first occurrences
+      (2L, 3L, 1L, "e f"),       // "a b" twice: both seen (doc1 pos0 wins)
+      (3L, 1L, 0L, "")))         // fully duplicate doc survives with no text
+  }
+
+  test("lineDedup first-occurrence tie-break is (doc_id, pos), ragged tail line kept") {
+    val df = docsDf(
+      (10L, "x y z", "s"),  // lines: "x y", "z" (ragged)
+      (11L, "z x y", "s"))  // lines: "z x", "y" — all distinct from doc 10's
+    val out = Curation.lineDedup(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq(
+      (10L, "x y z"), (11L, "z x y")))
+  }
+
+  test("tokenBudgetSelect keeps best-quality docs until the inclusive budget") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // (id, group, quality, tokens): ranked by quality desc -> 4,3,2,1
+      (1L, "g", 0.1, 50L), (2L, "g", 0.5, 40L), (3L, "g", 0.7, 30L), (4L, "g", 0.9, 20L),
+      (9L, "h", 0.2, 100L))
+      .toDF("doc_id", "grp", "quality", "n_tokens")
+    val out = Curation.tokenBudgetSelect(df, "grp", "quality", "n_tokens", "doc_id", 90L)
+      .select("doc_id", "cum_tokens").orderBy("doc_id").collect()
+    // g: 4 (cum 20), 3 (cum 50), 2 (cum 90) kept; 1 (cum 140) cut.
+    // h: 9 (cum 100) exceeds 90 -> cut.
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 90L), (3L, 50L), (4L, 20L)))
+  }
+
+  test("tokenBudgetSelect breaks quality ties by id ascending") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g", 0.5, 60L), (2L, "g", 0.5, 60L))
+      .toDF("doc_id", "grp", "quality", "n_tokens")
+    val kept = Curation.tokenBudgetSelect(df, "grp", "quality", "n_tokens", "doc_id", 60L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("domainMix downsamples over-represented domains, keeps under-represented whole") {
+    val s = spark
+    import s.implicits._
+    // 80 docs in "big", 20 in "small"; target 50/50 -> big rate 0.625, small rate 1 (capped 2.5)
+    val df = (0L until 80L).map((_, "big")).++((100L until 120L).map((_, "small")))
+      .toDF("doc_id", "source")
+    val out = Curation.domainMix(df, "source", "doc_id", Map("big" -> 0.5, "small" -> 0.5), 0.0)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") == 20L) // rate capped at 1.0: nothing dropped
+    assert(counts("big") < 80L && counts("big") > 30L) // ~50 expected, hash-deterministic
+    // determinism: same input -> identical selection
+    val again = Curation.domainMix(df, "source", "doc_id", Map("big" -> 0.5, "small" -> 0.5), 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packConcat spans: contiguous offsets per group, boundary-straddling docs span bins") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g", 100L), (2L, "g", 50L), (3L, "g", 200L), (4L, "h", 5L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Curation.packConcat(df, "grp", "doc_id", "n_tokens", 128L)
+      .select("doc_id", "tok_start", "seq_first", "seq_last", "n_seqs")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),     // tokens 0..99 in seq 0
+      (2L, 100L, 0L, 1L, 2L),   // tokens 100..149 straddle seqs 0-1
+      (3L, 150L, 1L, 2L, 2L),   // tokens 150..349 in seqs 1-2
+      (4L, 0L, 0L, 0L, 1L)))    // independent "h" stream
+  }
+
+  test("packNextFit: bins never exceed budget (unless single oversized doc), order preserved") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "g", 80L), (2L, "g", 80L), (3L, "g", 50L), (4L, "g", 300L), (5L, "g", 10L),
+      (6L, "h", 100L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Curation.packNextFit(df, "grp", "doc_id", "n_tokens", 200L)
+      .orderBy("grp", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("g", 1L, 0L, 80L),   // bin 0: 80
+      ("g", 2L, 0L, 160L),  // bin 0: 160
+      ("g", 3L, 1L, 50L),   // 160+50 > 200 -> bin 1
+      ("g", 4L, 2L, 300L),  // oversized doc alone in bin 2
+      ("g", 5L, 3L, 10L),   // bin 2 over budget -> bin 3
+      ("h", 6L, 0L, 100L)))
+  }
+
+  test("packNextFit resets state across group boundaries within a partition") {
+    val s = spark
+    import s.implicits._
+    // force both groups into one shuffle partition to exercise the key-change reset
+    val df = Seq((1L, "a", 150L), (2L, "a", 100L), (3L, "b", 150L), (4L, "b", 100L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Curation.packNextFit(df.coalesce(1), "grp", "doc_id", "n_tokens", 200L)
+      .orderBy("grp", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 1L, 0L), ("a", 2L, 1L), ("b", 3L, 0L), ("b", 4L, 1L)))
+  }
+}

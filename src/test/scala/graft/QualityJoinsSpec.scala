@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.{Pii, Quality, Text}
+import graft.operators.{Joins, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the curation-adjacent operators: Gopher repetition
+  * signals, PII redaction, the as-of join's union-merge formulation, and
+  * the product-quantization ANN index.
+  */
+class QualityJoinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq(Tuple1(text)).toDF("text")
+  }
+
+  private def d(c: org.apache.spark.sql.Column, text: String): Double =
+    one(text).select(c.cast("double")).collect().head.getDouble(0)
+
+  test("ngrams: n-token windows, short docs yield empty") {
+    val got = one("a b c d").select(Quality.ngrams(Text.tokens(col("text")), 3))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    assert(one("a b").select(Quality.ngrams(Text.tokens(col("text")), 3))
+      .collect().head.getSeq[String](0).isEmpty)
+  }
+
+  test("topNgramCharFraction: all-same doc saturates at 1.0, empty doc 0.0") {
+    assert(d(Quality.topNgramCharFraction(Text.tokens(col("text")), 2), "x x x x x") == 1.0)
+    assert(d(Quality.topNgramCharFraction(Text.tokens(col("text")), 2), "") == 0.0)
+    // "a b" occurs twice (4 chars), "b a" twice (4), "b c"/"c b" once each:
+    // grams of "a b a b c b a b": ab,ba,ab,bc,cb,ba,ab -> ab*3=9 chars of 21
+    assert(d(Quality.topNgramCharFraction(Text.tokens(col("text")), 2), "a b a b c b a b")
+      == 9.0 / 21.0)
+  }
+
+  test("dupNgramCharFraction: counts all chars of grams occurring more than once") {
+    // bigrams of "a b a b c": ab,ba,ab,bc -> ab twice (6 chars) of 12 total
+    assert(d(Quality.dupNgramCharFraction(Text.tokens(col("text")), 2), "a b a b c")
+      == 6.0 / 12.0)
+    assert(d(Quality.dupNgramCharFraction(Text.tokens(col("text")), 2), "a b c d") == 0.0)
+  }
+
+  test("gopherSignals keep verdict: repetitive and tiny docs rejected") {
+    def keep(text: String): Long =
+      one(text).select(Quality.gopherSignals(col("text")).getField("keep"))
+        .collect().head.getLong(0)
+    assert(keep("too short") == 0L)
+    // 25 words, all the same -> top2_frac 1.0 -> rejected
+    assert(keep(Seq.fill(25)("the").mkString(" ")) == 0L)
+    // a normal sentence stretched past minWords with varied vocabulary
+    val ok = "the small query engine reads and filters many wide tables " +
+      "while this test checks that normal documents with varied words pass " +
+      "all of the quality rules just fine today"
+    assert(keep(ok) == 1L)
+  }
+
+  test("PII redact: emails before IPs before phones, counts match spans") {
+    val text = "mail bob@x.example.com or 10.1.2.3 or 555-123-4567 ok"
+    val out = one(text).select(
+      Pii.emailCount(col("text")), Pii.ipCount(col("text")),
+      Pii.phoneCount(col("text")), Pii.redact(col("text"))).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((1L, 1L, 1L)))
+    assert(out.getString(3) == "mail <EMAIL> or <IP> or <PHONE> ok")
+    // an email whose host contains digits-and-dots must NOT be clipped by the IP rule
+    val tricky = one("a@10.1.2.3mail.com x").select(Pii.redact(col("text")))
+      .collect().head.getString(0)
+    assert(tricky == "<EMAIL> x")
+  }
+
+  test("registrableDomain keeps short hosts whole") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("a.b.example.org", "example.org", "localhost")
+      .toDF("h").select(Pii.registrableDomain(col("h"), 2))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.org", "example.org", "localhost"))
+  }
+
+  test("asof join: latest right row at or before left time, per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("h1", 10L, "l1"), ("h1", 20L, "l2"), ("h2", 5L, "l3"))
+      .toDF("host", "time", "tag")
+    val right = Seq(("h1", 10L, 1.0, 100L), ("h1", 15L, 2.0, 101L), ("h2", 9L, 9.0, 102L))
+      .toDF("host", "time", "metric", "eventId")
+    val out = Joins.asof(left, right, Seq("host"), "time", Seq("metric"), "eventId")
+      .orderBy("host", "time").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("h1", 10L, Some(1.0)),  // right at exactly t=10 matches (<= semantics)
+      ("h1", 20L, Some(2.0)),  // latest of {10, 15}
+      ("h2", 5L, None)))       // right row at t=9 is in the future -> null
+  }
+
+  test("asof join: equal-time right rows tie-break on rightOrder, last wins") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("h", 10L)).toDF("host", "time")
+    val right = Seq(("h", 10L, 1.0, 100L), ("h", 10L, 2.0, 101L))
+      .toDF("host", "time", "metric", "eventId")
+    val got = Joins.asof(left, right, Seq("host"), "time", Seq("metric"), "eventId")
+      .collect().head.getDouble(2)
+    assert(got == 2.0)
+  }
+
+  test("pqTopK: deterministic, self excluded, perfect recall on clustered fixture") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters far apart: PQ codes must keep neighbors within-cluster
+    def v(base: Float, j: Int): Seq[Float] =
+      (0 until 16).map(i => base + (if (i == j % 16) 0.01f else 0f))
+    val rows = (0 until 16).map(i => (i.toLong, v(if (i < 8) 1f else -1f, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, df.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 3, m = 4, codes = 16)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length == 3)
+      assert(!rs.exists(_.getLong(2) == q)) // self excluded
+      assert(rs.forall(_.getLong(2) < 8))   // same cluster as the queries
+    }
+    // determinism across runs
+    val again = Similarity.pqTopK(df, df.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 3, m = 4, codes = 16).collect().map(_.toSeq).toSet
+    assert(again == out.collect().map(_.toSeq).toSet)
+  }
+}
