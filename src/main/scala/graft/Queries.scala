@@ -279,9 +279,14 @@ object Queries {
          |SELECT $winSql AS window_start,
          |       CAST(sum(CAST(metric AS DECIMAL(38,6))) AS DOUBLE) AS metric
          |FROM ev GROUP BY 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
-      ev(s, dir).withColumn("metric", col("metric").cast("decimal(38,6)"))
-        .transform(Windows.sumWindow(3600))
-        .select(col("window_start"), col("metric").cast("double").as("metric"))
+      // decimal exists only for cross-engine sum determinism; confine it
+      // to the aggregate expression (same aggWindow path as sumWindow) —
+      // a decimal inside the max_by payload struct bloats the generated
+      // code ~5x (measured 20s vs 5s cold compile at local[32])
+      ev(s, dir)
+        .transform(Windows.customWindow(3600,
+          sum(col("metric").cast("decimal(38,6)")).cast("double")))
+        .select(col("window_start"), col("metric"))
         .orderBy("window_start")
     }
 

@@ -243,6 +243,48 @@ object QueriesIr {
         .select(col("doc_id"), col("lang"), col("split")).orderBy("doc_id")
     }
 
+    // the curation chain as declared IR: hashed classifier score →
+    // token count → per-domain token-budget selection — the config-file
+    // shape of a corpus-composition job
+    register("ir_token_budget",
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, text,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                     t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(toks) > 0
+         |         THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(toks, t ->
+         |                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                    list_transform(string_split(substr(md5('qw:' || t), 1, 15), ''),
+         |                      c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+         |                                     ELSE ascii(c) - 48 END AS BIGINT))),
+         |                    (a, x) -> a * 16 + x) % 2001 - 1000)),
+         |                (a, x) -> a + x) AS DOUBLE) / (CAST(len(toks) AS DOUBLE) * 1000.0)
+         |         ELSE 0.0 END AS score,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM docs),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY score DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, source, score, cum_tokens FROM c
+         |WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"classifier-score","params":["text","score"],
+          | "children":[{"action":"text-tokens","params":["text","n_tokens"],
+          |   "children":[{"action":"token-budget",
+          |     "params":[{"group":"source","score":"score","tokens":"n_tokens",
+          |                "id":"doc_id","budget":600}],
+          |     "children":[{"action":"tap","params":["out"]}]}]}]}""".stripMargin)
+      tapOf(node, Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("score"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }
+
     register("ir_dedup_exact",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

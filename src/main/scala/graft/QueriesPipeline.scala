@@ -504,6 +504,57 @@ object QueriesPipeline {
       }
     }
 
+    // hashed linear quality-classifier score (fastText-style filtering
+    // plumbing; deterministic pseudo-weights, see Quality.classifierScore)
+    locally {
+      val thr = 0.02
+      val wSum = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(toks, t -> ${sqlMd5Hash64("'qw:' || t")} % 2001 - 1000)),
+        |  (a, x) -> a + x)""".stripMargin.replace("\n", " ")
+      register("classifier_score",
+        s"""$DocsView
+           |SELECT doc_id,
+           |  CASE WHEN len(toks) > 0
+           |       THEN CAST($wSum AS DOUBLE) / (CAST(len(toks) AS DOUBLE) * 1000.0)
+           |       ELSE 0.0 END AS score,
+           |  CAST(CASE WHEN len(toks) > 0
+           |            AND CAST($wSum AS DOUBLE) / (CAST(len(toks) AS DOUBLE) * 1000.0) >= $thr
+           |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val score = Quality.classifierScore(col("text"))
+        docs(s, dir).select(col("doc_id"), score.as("score"),
+          (score >= thr).cast("long").as("keep"))
+          .orderBy("doc_id")
+      }
+    }
+
+    // SemDeDup: cluster-then-prune semantic dedup; the oracle replays the
+    // deterministic cell assignment (same rule as the gated IVF index)
+    // and the within-cell lower-id-neighbor drop
+    locally {
+      val (nCells, thr) = (16, 0.35)
+      register("semantic_dedup",
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+           |  ORDER BY vec_id LIMIT $nCells),
+           |assign AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= $thr)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+           |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding", nCells, thr)
+          .select("vec_id").orderBy("vec_id")
+      }
+    }
+
     // ---------------- benchmark decontamination ----------------
 
     locally {

@@ -119,6 +119,27 @@ object Quality {
     size(array_intersect(toks, array(en.map(lit): _*))).cast("long")
   }
 
+  /** Hashed linear quality-classifier score — the Spark-side plumbing of
+    * fastText-style classifier filtering (CCNet; GPT-3's LR filter): each
+    * token hashes to a deterministic pseudo-weight in [-1000, 1000], the
+    * score is the mean weight scaled to [-1, 1]. The WEIGHTS are an
+    * honest stand-in (a trained model would ship its table and look up
+    * exactly like this — one hash + one arithmetic fold per token, no
+    * shuffle); the plumbing, determinism, and thresholding behavior are
+    * real. Thresholding this mean is monotone-equivalent to thresholding
+    * a sigmoid of it, so no transcendental function has to match across
+    * engines. Integer numerator → the double division is bit-exact in
+    * any IEEE engine.
+    */
+  def classifierScore(text: Column, salt: String = "qw"): Column = {
+    val toks = Text.tokens(text)
+    val num = aggregate(toks, lit(0L), (a, t) =>
+      a + (pmod(Text.md5Hash64(concat_ws(":", lit(salt), t)), lit(2001L)) - 1000L))
+    when(size(toks) > 0,
+      num.cast("double") / (size(toks).cast("double") * 1000.0))
+      .otherwise(lit(0.0))
+  }
+
   /** Gopher rule bundle over a raw text column: the individual signals
     * plus a `keep` verdict, as a struct. Word-count bounds are scaled to
     * the fixture corpus (the published 50..100k assumes web pages); every

@@ -575,6 +575,45 @@ object Engine {
       df => graft.operators.Sampling.splitByHash(df, pStr(m("id")), weights,
         salt = m.get("salt").map(pStr).getOrElse("split"))
 
+    // corpus curation (Curation.scala) and quality scoring as declarable
+    // stages over document frames
+    case "line-dedup" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.lineDedup(df, pStr(m("id")), pStr(m("text")),
+        m.get("line-tokens").map(pLong(_).toInt).getOrElse(7))
+    case "token-budget" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.tokenBudgetSelect(df, pStr(m("group")), pStr(m("score")),
+        pStr(m("tokens")), pStr(m("id")), pLong(m("budget")))
+    case "domain-mix" =>
+      val m = pMap(params.head)
+      val shares = pMap(m("shares")).map { case (k, v) => k -> pDouble(v) }
+      df => graft.operators.Curation.domainMix(df, pStr(m("domain")), pStr(m("id")), shares,
+        defaultShare = m.get("default").map(pDouble).getOrElse(0.0),
+        salt = m.get("salt").map(pStr).getOrElse("mix"))
+    case "pack-concat" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.packConcat(df, pStr(m("group")), pStr(m("id")),
+        pStr(m("tokens")), pLong(m("seq-len")))
+    case "pack-nextfit" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.packNextFit(df, pStr(m("group")), pStr(m("id")),
+        pStr(m("tokens")), pLong(m("budget")))
+    case "classifier-score" =>
+      df => df.withColumn(pStr(params(1)),
+        graft.functions.Quality.classifierScore(col(pStr(params.head))))
+    case "gopher-signals" =>
+      df => df.withColumn(pStr(params(1)),
+        graft.functions.Quality.gopherSignals(col(pStr(params.head))))
+    case "pii-redact" =>
+      df => df.withColumn(pStr(params(1)),
+        graft.functions.Pii.redact(col(pStr(params.head))))
+    case "semantic-dedup" =>
+      val m = pMap(params.head)
+      df => graft.operators.Similarity.semanticDedup(df, pStr(m("id")), pStr(m("vec")),
+        nCells = m.get("cells").map(pLong(_).toInt).getOrElse(16),
+        threshold = m.get("threshold").map(pDouble).getOrElse(0.35))
+
     // multimodal plumbing as declarable stages (media frame in, media/
     // feature frame out)
     case "media-decode" => df => graft.operators.Multimodal.decode(df)

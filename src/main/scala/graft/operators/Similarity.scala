@@ -151,6 +151,41 @@ object Similarity {
     * struct ordering gives "best cosine, ties to lowest cell" via
     * max / descending sort.
     */
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then prune near-duplicate pairs WITHIN each cluster only —
+    * the quadratic pair step is confined to one cell, never the corpus.
+    *
+    * Deterministic variant for oracle parity: centroids are the `nCells`
+    * lowest-id vectors (same stand-in as [[ivfTopK]]'s seeding; pass the
+    * result of a real k-means when you have one), assignment is argmax
+    * cosine (ties → lowest cell id), and within a cell every vector with
+    * a LOWER-id neighbor at `cosine >= threshold` is dropped — keeping
+    * the lowest id per duplicate chain, like the exact-dedup rule.
+    *
+    * Scale: one shuffle on the cell id; pair generation is per-cell (the
+    * SemDeDup contract — cells are k-means-balanced at scale). Returns
+    * the surviving rows of `df`.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, threshold: Double = 0.35): DataFrame = {
+    val cents: Array[(Long, Seq[Float])] = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // no vectors, no duplicates — also keeps plan-construction total on
+    // the empty frame the IR validator probes with
+    if (cents.isEmpty) return df
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      (-array_max(cellScoresOf(cents)(col(vecCol)))("negCell")).as("__cell"))
+    val a = assigned.select(col("__cell"), col("__id").as("__ida"), col("__vec").as("__veca"))
+    val dropped = assigned.join(a, Seq("__cell"))
+      .filter(col("__ida") < col("__id"))
+      .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
+      .select(col("__id")).distinct()
+    df.join(dropped, col(idCol) === col("__id"), "left_anti")
+  }
+
   private def cellScoresOf(cents: Array[(Long, Seq[Float])])(vec: Column): Column =
     array(cents.map { case (cid, cv) =>
       struct(

@@ -108,6 +108,31 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(got == 2.0)
   }
 
+  test("classifierScore: deterministic, bounded to [-1, 1], empty doc scores 0") {
+    val scores = Seq("the quick brown fox", "the quick brown fox", "spark catalyst", "")
+      .map(t => d(Quality.classifierScore(col("text")), t))
+    assert(scores(0) == scores(1))             // deterministic
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+    assert(scores(3) == 0.0)
+    assert(scores(0) != scores(2))             // different text, different score
+  }
+
+  test("semanticDedup drops within-cluster near-dups, keeps lowest id, spares far pairs") {
+    val s = spark
+    import s.implicits._
+    // ids 0..3 are 4 distinct far-apart directions (the centroid seeds);
+    // 10/11 near id 0's direction (dups of 0), 12 near id 1's
+    def unit(i: Int): Seq[Float] = (0 until 8).map(j => if (j == i) 1f else 0f)
+    def jitter(i: Int, eps: Float): Seq[Float] =
+      (0 until 8).map(j => if (j == i) 1f else if (j == (i + 4)) eps else 0f)
+    val df = (Seq((0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)),
+      (10L, jitter(0, 0.05f)), (11L, jitter(0, 0.1f)), (12L, jitter(1, 0.05f))))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", nCells = 4, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L)) // 10,11 collapse into 0; 12 into 1
+  }
+
   test("pqTopK: deterministic, self excluded, perfect recall on clustered fixture") {
     val s = spark
     import s.implicits._
