@@ -24,7 +24,7 @@ object Bench {
     "dedup_clusters",
     // curation: quality rules, PII scrub, line dedup, packing, as-of join
     "gopher_filter", "pii_redact", "line_dedup", "pack_nextfit", "asof_join",
-    "ann_pq_topk")
+    "ann_pq_topk", "semantic_dedup", "classifier_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
