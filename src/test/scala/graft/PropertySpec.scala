@@ -137,8 +137,10 @@ class PropertySpec extends AnyFunSuite {
     forAll(genDupEvents) { evs =>
       whenever(evs.nonEmpty) {
         val sketch = rowsOf(Windows.percentiles(600, qs)(events(evs: _*)))
+        val relational = rowsOf(Windows.percentilesRelational(600, qs)(events(evs: _*)))
         val naive = rowsOf(Windows.percentilesNaive(600, qs)(events(evs: _*)))
         assert(sketch == naive)
+        assert(relational == naive)
         // and both equal the reference formula computed directly
         val expected = evs.groupBy(e => (e.time / (600 * S)) * (600 * S)).flatMap {
           case (ws, ws_evs) =>
