@@ -156,6 +156,8 @@ object Curation {
   def packNextFit(df: DataFrame, groupCol: String, idCol: String,
                   tokensCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"packNextFit: budget must be >= 1, got $budget")
+    require(Set(groupCol, idCol, tokensCol).size == 3,
+      s"packNextFit: group/id/tokens columns must be distinct, got ($groupCol, $idCol, $tokensCol)")
     val spark = df.sparkSession
     val shuffleP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val in = df.select(col(groupCol).cast("string"), col(idCol).cast("long"),

@@ -463,6 +463,33 @@ class EngineSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("curation IR actions dispatch on document frames (line-dedup, domain-mix, pack-nextfit)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "big", 1L), (2L, "a b e f", "big", 2L), (3L, "g h i j", "small", 3L))
+      .toDF("doc_id", "text", "source", "n_toks")
+    def tap(json: String) =
+      Engine.run(Node.fromJson(json), docs, EngineCtx(testMode = true)).taps("out")
+
+    val ld = tap("""{"action":"line-dedup","params":[{"id":"doc_id","text":"text","line-tokens":2}],
+                   | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(3))
+    assert(ld.toSeq == Seq(1L -> "a b c d", 2L -> "e f", 3L -> "g h i j"))
+
+    val dm = tap("""{"action":"domain-mix",
+                   | "params":[{"domain":"source","id":"doc_id","shares":{"big":0.5,"small":0.5}}],
+                   | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    // small (1 of 3 docs, target half) keeps everything; output is a subset
+    assert(dm.filter(col("source") === "small").count() == 1L)
+
+    val pk = tap("""{"action":"pack-nextfit",
+                   | "params":[{"group":"source","id":"doc_id","tokens":"n_toks","budget":2}],
+                   | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .orderBy("doc_id").collect().map(_.getLong(3))
+    assert(pk.toSeq == Seq(0L, 1L, 0L)) // big: 1 fits, 1+2>2 opens bin 1; small resets
+  }
+
   test("stream names with path separators or '..' are rejected (persistence safety)") {
     val reg = new StreamRegistry()
     val pipe = Node.fromJson("""{"action":"where","params":[["pos?","metric"]]}""")
