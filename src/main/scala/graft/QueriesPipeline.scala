@@ -91,6 +91,14 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    register("text_bpe_tokens",
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${Text.BpePretokenPattern}')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), Text.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }
+
     register("text_fingerprint",
       s"""$DocsView
          |SELECT doc_id,

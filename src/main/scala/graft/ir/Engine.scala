@@ -529,6 +529,8 @@ object Engine {
     // surface): single-input text analysis and dedup as declarable actions
     case "text-tokens" =>
       df => df.withColumn(pStr(params(1)), graft.functions.Text.tokenCount(col(pStr(params.head))))
+    case "text-bpe-tokens" =>
+      df => df.withColumn(pStr(params(1)), graft.functions.Text.bpeTokenCount(col(pStr(params.head))))
     case "text-quality" =>
       df => df.withColumn(pStr(params(1)), graft.functions.Text.qualityScore(col(pStr(params.head))))
     case "text-langid" =>

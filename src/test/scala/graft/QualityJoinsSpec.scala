@@ -59,6 +59,17 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(keep(ok) == 1L)
   }
 
+  test("bpeTokenCount: letter/digit/punct runs with leading-space folding") {
+    def n(t: String): Long =
+      one(t).select(Text.bpeTokenCount(col("text"))).collect().head.getLong(0)
+    // "Hello world" -> ["Hello", " world"]; digits and punctuation split off
+    assert(n("Hello world") == 2L)
+    assert(n("abc123") == 2L)            // ["abc", "123"]
+    assert(n("a, b!") == 4L)             // ["a", ",", " b", "!"]
+    assert(n("") == 0L)
+    assert(n("  x") == 2L)               // ["  ", "x"]: the space run is one pre-token
+  }
+
   test("PII redact: emails before IPs before phones, counts match spans") {
     val text = "mail bob@x.example.com or 10.1.2.3 or 555-123-4567 ok"
     val out = one(text).select(
