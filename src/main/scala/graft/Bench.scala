@@ -65,17 +65,17 @@ object Bench {
     // pass is noise-dominated; the min is the reproducible number.
     val cold = pass()
     val (warm1, warm2) = (pass(), pass())
-    // steady state = min over SUCCESSFUL passes: a query that failed in
-    // pass 1 but succeeded in pass 2 reports its pass-2 time (and keeps
-    // its `errors` entry for transparency); only a query that failed in
-    // BOTH passes keeps the negative marker
-    val results = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
-      n -> ((a >= 0, b >= 0) match {
-        case (true, true)   => math.min(a, b)
-        case (true, false)  => a
-        case (false, true)  => b
-        case (false, false) => math.min(a, b)
-      })
+    // steady state = min over ALL successful passes, cold included: a
+    // cold time under both warm times means the warm passes were
+    // noise-inflated (this box has multi-minute external load bursts —
+    // observed the same query at 1.2s and 10.6s across runs), and every
+    // pass is a genuinely observed execution. A query that failed in one
+    // pass reports its best successful time (keeping its `errors` entry
+    // for transparency); only a query that failed in every pass keeps a
+    // negative marker
+    val results = cold.zip(warm1.zip(warm2)).map { case ((n, c), ((_, a), (_, b))) =>
+      val ok = Seq(c, a, b).filter(_ >= 0)
+      n -> (if (ok.nonEmpty) ok.min else Seq(c, a, b).min)
     }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
