@@ -26,11 +26,21 @@ object PlanAudit {
   private def descend(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
     case s: QueryStageExec        => Seq(s.plan)
-    case other                    => other.children ++ other.subqueries.flatMap(descend)
+    case other                    => other.children ++ other.subqueries
   }
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: descend(p).flatMap(collectAll)
+
+  /** Dedup by reference identity — structural == would collapse two
+    * genuinely separate but identical-looking exchanges/scans; sharing is
+    * already explicit in the tree via ReusedExchange/ReusedQueryStage.
+    */
+  private def identityDistinct(nodes: Seq[SparkPlan]): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    nodes.filter(seen.add)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -54,7 +64,7 @@ object PlanAudit {
         // execute THIS QueryExecution (df.count() would plan a different
         // one) so every AQE stage materializes and codegen is inserted
         df.queryExecution.toRdd.count()
-        val nodes = collectAll(df.queryExecution.executedPlan).distinct
+        val nodes = identityDistinct(collectAll(df.queryExecution.executedPlan))
         val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
         val broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeLike])
         val scans = nodes.collect { case s: FileSourceScanExec => s }

@@ -267,9 +267,9 @@ object QueriesIr {
          |    CAST(len(toks) AS BIGINT) AS n_tokens
          |  FROM docs),
          |c AS (
-         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
          |    ORDER BY score DESC, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM q)
          |SELECT doc_id, source, score, cum_tokens FROM c
          |WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin) { (s, dir) =>

@@ -417,9 +417,9 @@ object QueriesPipeline {
            |         CAST(len(toks) AS BIGINT) AS n_tokens
            |  FROM docs),
            |c AS (
-           |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+           |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
            |    ORDER BY quality DESC, doc_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
            |  FROM q)
            |SELECT doc_id, source, n_tokens, cum_tokens FROM c
            |WHERE cum_tokens <= $budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -461,14 +461,14 @@ object QueriesPipeline {
         s"""$DocsView,
            |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs),
            |c AS (
-           |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+           |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
            |  FROM q)
            |SELECT doc_id, source, n_tokens, tok_start,
-           |       tok_start // $seqLen AS seq_first,
-           |       (tok_start + greatest(n_tokens, 1) - 1) // $seqLen AS seq_last,
-           |       (tok_start + greatest(n_tokens, 1) - 1) // $seqLen
-           |         - tok_start // $seqLen + 1 AS n_seqs
+           |       CAST(tok_start // $seqLen AS BIGINT) AS seq_first,
+           |       CAST((tok_start + greatest(n_tokens, 1) - 1) // $seqLen AS BIGINT) AS seq_last,
+           |       CAST((tok_start + greatest(n_tokens, 1) - 1) // $seqLen
+           |         - tok_start // $seqLen + 1 AS BIGINT) AS n_seqs
            |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
         val base = docs(s, dir).select(col("doc_id"), col("source"),
           Text.tokenCount(col("text")).as("n_tokens"))

@@ -170,14 +170,21 @@ object Curation {
       StructField("bin_fill", LongType)))
     val out = in.queryExecution.toRdd.mapPartitions { rows =>
       var key: String = null
+      var first = true
       var bin = 0L
       var fill = 0L
       rows.map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+          s"packNextFit: null in ($groupCol, $idCol, $tokensCol); drop or fill nulls upstream")
         val g = r.getUTF8String(0).toString
         val id = r.getLong(1)
         val n = r.getLong(2)
-        if (g != key) { key = g; bin = 0L; fill = 0L }
-        if (fill == 0L || fill + n <= budget) fill += n
+        if (g != key) { key = g; first = true }
+        // First doc of a group always starts bin 0 (even oversized); after
+        // that the test is unconditional on fill — an empty-looking bin
+        // (fill == 0 via zero-token docs) does NOT admit an over-budget doc.
+        if (first) { first = false; bin = 0L; fill = n }
+        else if (fill + n <= budget) fill += n
         else { bin += 1L; fill = n }
         Row(g, id, n, bin, fill)
       }

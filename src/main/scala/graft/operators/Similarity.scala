@@ -147,10 +147,6 @@ object Similarity {
     }
   }
 
-  /** Array of (cosine-to-centroid, -cell) structs for a vector column;
-    * struct ordering gives "best cosine, ties to lowest cell" via
-    * max / descending sort.
-    */
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space, then prune near-duplicate pairs WITHIN each cluster only —
@@ -186,6 +182,10 @@ object Similarity {
     df.join(dropped, col(idCol) === col("__id"), "left_anti")
   }
 
+  /** Array of (cosine-to-centroid, -cell) structs for a vector column;
+    * struct ordering gives "best cosine, ties to lowest cell" via
+    * max / descending sort.
+    */
   private def cellScoresOf(cents: Array[(Long, Seq[Float])])(vec: Column): Column =
     array(cents.map { case (cid, cv) =>
       struct(

@@ -122,6 +122,35 @@ class CurationSpec extends AnyFunSuite {
       ("h", 6L, 0L, 100L)))
   }
 
+  test("packNextFit: zero-token doc does not let an over-budget doc share its bin") {
+    val s = spark
+    import s.implicits._
+    // doc 1 has 0 tokens (bin 0 fill stays 0); doc 2 is over budget and
+    // must still open a NEW bin — fill==0 is not "empty", only the first
+    // doc of a group starts in bin 0 unconditionally
+    val df = Seq((1L, "g", 0L), (2L, "g", 300L), (3L, "g", 0L), (4L, "g", 50L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Curation.packNextFit(df, "grp", "doc_id", "n_tokens", 200L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L),    // first doc: bin 0, fill 0
+      (2L, 1L, 300L),  // 0 + 300 > 200 -> new bin (oversized, alone)
+      (3L, 2L, 0L),    // 300 + 0 > 200 -> new bin
+      (4L, 2L, 50L)))  // 0 + 50 fits
+  }
+
+  test("packNextFit fails fast on a null group/id/tokens value") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1L), Some("g"), Some(10L)), (Some(2L), None, Some(20L)))
+      .toDF("doc_id", "grp", "n_tokens")
+    val e = intercept[Exception] {
+      Curation.packNextFit(df, "grp", "doc_id", "n_tokens", 200L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("packNextFit"))
+  }
+
   test("packNextFit resets state across group boundaries within a partition") {
     val s = spark
     import s.implicits._
