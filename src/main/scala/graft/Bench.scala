@@ -26,7 +26,19 @@ object Bench {
     "gopher_filter", "pii_redact", "line_dedup", "pack_nextfit", "asof_join",
     "ann_pq_topk", "semantic_dedup", "classifier_score")
 
+  /** 1-min system load average — recorded at process start (ambient: the
+    * box has documented multi-minute noisy-neighbor bursts that inflate
+    * runs 2-10×) and at each pass boundary. During a pass our own
+    * executors drive the load, so only the ambient value is a clean
+    * pollution signal; per-pass values are emitted for transparency and
+    * the steady-state stays "min over all passes" (inflation only ever
+    * makes times larger, so the min is already the least-polluted pass).
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val ambientLoad = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -35,11 +47,25 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The default generated-class cache (100 entries) thrashes across
+      // 35 queries × 9 passes: every pass re-Janinos evicted classes,
+      // churning the JVM code cache and queueing C2 recompiles — measured
+      // as 3-18× inflation on mid-list queries (semantic_dedup 172s cold
+      // in-bench vs 9.4s in a fresh JVM; sum_window 5.7s steady in-bench
+      // vs 1.4s standalone). Static conf, must be set before the session.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
     val errors = scala.collection.mutable.ListBuffer[String]()
-    def pass(dir: String = sfDir): Seq[(String, Double)] = headline.filter(qs.contains).map { name =>
+    val passLoads = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    def pass(dir: String = sfDir): Seq[(String, Double)] = {
+      val l0 = loadAvg()
+      val r = passBody(dir)
+      passLoads += ((l0, loadAvg()))
+      r
+    }
+    def passBody(dir: String): Seq[(String, Double)] = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, dir).count(); true }
@@ -116,9 +142,10 @@ object Bench {
     // it carries per-query steady-state times plus summary scalars only
     // (round-3 lesson: inlining the per-query scale_ratio blocks pushed the
     // line past the capture window and the round lost its bench numbers).
-    println(f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail}""")
+    val loadsJson = passLoads.map { case (a, b) => f"[$a%.1f,$b%.1f]" }.mkString("[", ",", "]")
+    println(f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail,"pass_loads":$loadsJson}""")
     def totalLine(queriesJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson,"cold_total":$coldTotal%.3f,"errors":$errJson,"sf":"$sfDir"$scaleSummary}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson,"cold_total":$coldTotal%.3f,"errors":$errJson,"sf":"$sfDir"$scaleSummary,"load_ambient":$ambientLoad%.1f,"load_max":${passLoads.map(l => l._1 max l._2).max}%.1f}"""
     val line = totalLine(json(results))
     // degrade rather than die if the headline list ever grows past budget:
     // a totals-only line still parses, per-query detail stays on the line above

@@ -431,6 +431,55 @@ object QueriesPipeline {
           .orderBy("doc_id")
       }
 
+      // approx token-budget: per-group score histogram -> threshold bucket
+      // -> map-side filter (the few-huge-domains scale path; the oracle
+      // replays the identical deterministic bucketing)
+      locally {
+        // 64 buckets / budget 1000 keeps 48 of 500 fixture docs: coarse
+        // enough to exercise the straddling-bucket drop, fine enough that
+        // the kept set is non-trivial
+        val nb = 64
+        val approxBudget = 1000L
+        register("token_budget_approx",
+          s"""$DocsView,
+             |q AS (
+             |  SELECT doc_id, source,
+             |         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+             |         (CASE WHEN len(toks) > 0
+             |               AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |                     list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+             |                     (a, x) -> a + x) AS DOUBLE) / len(toks) BETWEEN 3 AND 8
+             |               THEN 1.0 ELSE 0.5 END) * 0.3 +
+             |         (CASE WHEN len(toks) > 0
+             |               THEN least(CAST(len(toks) AS DOUBLE) / 40.0, 1.0)
+             |               ELSE 0.0 END) * 0.3 AS quality,
+             |         CAST(len(toks) AS BIGINT) AS n_tokens
+             |  FROM docs),
+             |st AS (SELECT source, min(quality) AS smin, max(quality) AS smax
+             |       FROM q GROUP BY source),
+             |b AS (
+             |  SELECT q.*, CASE WHEN st.smax = st.smin THEN CAST(${nb - 1} AS BIGINT)
+             |    ELSE least(CAST(floor((q.quality - st.smin) / (st.smax - st.smin) * $nb) AS BIGINT),
+             |               CAST(${nb - 1} AS BIGINT)) END AS bucket
+             |  FROM q JOIN st USING (source)),
+             |s AS (SELECT source, bucket, sum(n_tokens) AS btok FROM b GROUP BY source, bucket),
+             |c AS (
+             |  SELECT *, CAST(sum(btok) OVER (PARTITION BY source ORDER BY bucket DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM s),
+             |t AS (SELECT source, min(bucket) AS thr FROM c WHERE cum <= $approxBudget GROUP BY source)
+             |SELECT b.doc_id, b.source, b.n_tokens, b.bucket
+             |FROM b JOIN t USING (source) WHERE b.bucket >= t.thr
+             |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          val base = docs(s, dir).select(col("doc_id"), col("source"),
+            Text.qualityScore(col("text")).as("quality"),
+            Text.tokenCount(col("text")).as("n_tokens"))
+          Curation.tokenBudgetApprox(base, "source", "quality", "n_tokens", approxBudget, nb)
+            .select("doc_id", "source", "n_tokens", "bucket")
+            .orderBy("doc_id")
+        }
+      }
+
       // deterministic downsampling toward target domain shares: over-
       // represented sources are hash-sampled down, rates computed from
       // the corpus' own counts (never upsamples)

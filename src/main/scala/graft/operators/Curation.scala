@@ -79,6 +79,12 @@ object Curation {
     * full", the standard corpus-composition step.
     *
     * Output: input columns + `cum_tokens` (the inclusive running total).
+    *
+    * Parallelism caveat: the window cumsum serializes each group into one
+    * task — the group key is the parallelism unit. Fine for the usual
+    * 100s-1000s of domains; for a corpus dominated by a FEW huge domains
+    * use [[tokenBudgetApprox]], whose per-group work is a histogram
+    * aggregate (map-side combinable) followed by a map-side filter.
     */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, scoreCol: String,
                         tokensCol: String, idCol: String, budget: Long): DataFrame = {
@@ -87,6 +93,51 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Approximate token-budget selection for few-huge-domain corpora: the
+    * scale path of [[tokenBudgetSelect]], trading boundary exactness for
+    * full map-side parallelism (no per-group serial cumsum anywhere).
+    *
+    *  1. per-group score min/max (tiny aggregate, broadcast back);
+    *  2. each row maps to one of `buckets` equal-width score buckets;
+    *  3. token sums per (group, bucket) — map-side combinable, at most
+    *     #groups × `buckets` rows ever shuffled;
+    *  4. walking buckets from the top score down, the kept set is the
+    *     largest prefix whose token total stays within `budget` (the
+    *     straddling bucket is dropped whole — conservative under-fill);
+    *  5. thresholds broadcast back; the corpus passes a map-side filter.
+    *
+    * Deterministic for a given `buckets`, so it oracle-checks exactly; the
+    * approximation error is bounded by one bucket's token mass. Output:
+    * input columns + `bucket` (the row's score bucket).
+    */
+  def tokenBudgetApprox(df: DataFrame, groupCol: String, scoreCol: String,
+                        tokensCol: String, budget: Long, buckets: Int = 1000): DataFrame = {
+    require(buckets >= 1, s"tokenBudgetApprox: buckets must be >= 1, got $buckets")
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(col(scoreCol)).as("__smin"), max(col(scoreCol)).as("__smax"))
+    val bucketed = df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("bucket",
+        when(col("__smax") === col("__smin"), lit(buckets - 1).cast("long"))
+          .otherwise(least(
+            floor((col(scoreCol) - col("__smin")) / (col("__smax") - col("__smin")) * buckets),
+            lit(buckets - 1).cast("long"))))
+      .drop("__smin", "__smax")
+    // per-(group, bucket) token mass: bounded cardinality, map-side combined
+    val sums = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col(tokensCol)).as("__btok"))
+    // cumulative from the TOP bucket down; the window runs over at most
+    // #groups × buckets rows, so per-group serialization is irrelevant here
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = sums
+      .withColumn("__cum", sum(col("__btok")).over(wDesc))
+      .filter(col("__cum") <= budget)
+      .groupBy(col(groupCol)).agg(min(col("bucket")).as("__thr"))
+    bucketed.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col("bucket") >= col("__thr"))
+      .drop("__thr")
   }
 
   /** Deterministic downsampling toward target domain shares: a domain
@@ -123,6 +174,12 @@ object Curation {
     * `seq_first`, `seq_last`, `n_seqs`. Pure window algebra — documents
     * straddle sequence boundaries by design (that is what makes this
     * packing lossless and fragmentation-free).
+    *
+    * Parallelism caveat: the window cumsum serializes each group into one
+    * task — the group key IS the declared parallelism unit (how
+    * multi-worker packer jobs shard). For a corpus dominated by a few
+    * huge streams, pre-split the stream key (salt by a hash range) — the
+    * per-shard offsets are then independent by construction.
     */
   def packConcat(df: DataFrame, groupCol: String, idCol: String,
                  tokensCol: String, seqLen: Long): DataFrame = {

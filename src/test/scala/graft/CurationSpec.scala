@@ -70,6 +70,29 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Seq(1L))
   }
 
+  test("tokenBudgetApprox keeps top score-buckets within budget, drops the straddling bucket whole") {
+    val s = spark
+    import s.implicits._
+    // g: smin=0, smax=1, 4 buckets -> widths 0.25. Bucket sums: b3=110
+    // (docs 1,2), b2=80 (doc 3), b1=100 (doc 4), b0=10 (doc 5). Cum from
+    // top: 110, 190, 290 -> budget 200 keeps buckets {3,2} = docs 1,2,3.
+    // h: single doc (degenerate smin==smax -> top bucket) over budget ->
+    // no bucket fits, whole group dropped.
+    val df = Seq(
+      (1L, "g", 1.0, 50L), (2L, "g", 0.9, 60L), (3L, "g", 0.6, 80L),
+      (4L, "g", 0.3, 100L), (5L, "g", 0.0, 10L),
+      (9L, "h", 0.5, 500L))
+      .toDF("doc_id", "grp", "score", "n_tokens")
+    val out = Curation.tokenBudgetApprox(df, "grp", "score", "n_tokens", 200L, 4)
+      .select("doc_id", "bucket").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 2L)))
+    // invariant: per-group kept token mass never exceeds the budget
+    val kept = Curation.tokenBudgetApprox(df, "grp", "score", "n_tokens", 200L, 4)
+      .groupBy("grp").agg(sum("n_tokens").as("tok")).collect()
+    assert(kept.forall(_.getLong(1) <= 200L))
+  }
+
   test("domainMix downsamples over-represented domains, keeps under-represented whole") {
     val s = spark
     import s.implicits._
