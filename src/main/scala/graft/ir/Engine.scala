@@ -706,6 +706,14 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
   def addJson(json: String): Seq[String] =
     Node.manyFromJson(json).map(addStreamNode)
 
+  /** Load a reference-shaped EDN stream file (the format `read-edn-dirs`
+    * consumes, `stream.clj:154-166`): a top-level map of
+    * `{:name {:actions {...} :default bool}}` entries — the migration
+    * path for existing reference stream configs. See [[Edn]].
+    */
+  def addEdn(text: String): Seq[String] =
+    Edn.streamDocs(text).map(addStreamNode)
+
   def addStreamNode(n: Node): String = {
     require(n.action == "stream", s"expected a 'stream' node, got '${n.action}'")
     val (name, default) = n.params.headOption match {
@@ -748,8 +756,10 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     }
   }
 
-  /** Load every `*.json` stream document from a directory (boot-time
-    * reload, `stream.clj:129-143`). Returns the loaded stream names.
+  /** Load every `*.json` and `*.edn` stream document from a directory
+    * (boot-time reload, `stream.clj:129-143`; the reference's directories
+    * hold EDN — accepting both lets a migrating user point this at their
+    * existing streams directory unchanged). Returns the loaded names.
     */
   def loadFrom(dir: String): Seq[String] = {
     val d = java.nio.file.Paths.get(dir)
@@ -758,9 +768,14 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
       import scala.jdk.CollectionConverters._
       val listing = java.nio.file.Files.list(d)
       val paths =
-        try listing.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+        try listing.iterator().asScala
+          .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".edn"))
+          .toSeq.sortBy(_.toString)
         finally listing.close()
-      paths.flatMap(p => addJson(java.nio.file.Files.readString(p)))
+      paths.flatMap { p =>
+        val text = java.nio.file.Files.readString(p)
+        if (p.toString.endsWith(".edn")) addEdn(text) else addJson(text)
+      }
     }
   }
 }

@@ -159,6 +159,88 @@ class EngineSpec extends AnyFunSuite {
     assert(reg.list == Seq("alpha"))
   }
 
+  test("EDN reader: the reference vocabulary parses to the JSON-IR value space") {
+    // shapes from the reference's own stream fixtures
+    // (test/resources/streams/streams.edn, dev/resources/config.edn)
+    assert(Edn.parse("[:> :metric 200]") == Seq(">", "metric", 200L))
+    assert(Edn.parse("{:size 200}") == Map("size" -> 200L))
+    assert(Edn.parse("""{:a 1.5 :b "s" :c true :d nil :e [1 2] :f #{:x}}""") ==
+      Map("a" -> 1.5, "b" -> "s", "c" -> true, "d" -> null,
+        "e" -> Seq(1L, 2L), "f" -> Seq("x")))
+    // comments, commas-as-whitespace, #_ discard, char literals
+    assert(Edn.parse("[1, #_2 3 ; trailing\n \\a \\newline]") ==
+      Seq(1L, 3L, "a", "\n"))
+    // document order survives past 4 map entries (rename-keys contract)
+    assert(Edn.parse("{:h :h1, :h1 :h2, :h2 :h3, :h3 :h4, :h4 :h5}").asInstanceOf[Map[String, Any]]
+      .keys.toSeq == Seq("h", "h1", "h2", "h3", "h4"))
+    // aero-style tags map to expandIncludes' substitution markers
+    assert(Edn.parse("#mirabelle/var threshold") == Map("var" -> "threshold"))
+    assert(Edn.parse("#profile {:dev 1 :default 2}") ==
+      Map("profile" -> Map("dev" -> 1L, "default" -> 2L)))
+  }
+
+  test("EDN stream file runs identically to its JSON-IR twin") {
+    // the reference's successful-test fixture shape
+    // (test/resources/test/successful/streams/streams.edn)
+    val edn =
+      """{:foo
+        | {:default true
+        |  :actions {:action :where
+        |            :params [[:and [:> :metric 10] [:< :metric 20]]]
+        |            :children [{:action :tap :params [:out]}]}}
+        | :bar
+        | {:default true
+        |  :actions {:action :where
+        |            :params [[:> :metric 100]]
+        |            :children [{:action :tap :params [:out]}]}}}""".stripMargin
+    val json =
+      """{"streams":[
+        | {"action":"stream","params":[{"name":"foo","default":true}],
+        |  "children":[{"action":"where","params":[["and",[">","metric",10],["<","metric",20]]],
+        |               "children":[{"action":"tap","params":["out"]}]}]},
+        | {"action":"stream","params":[{"name":"bar","default":true}],
+        |  "children":[{"action":"where","params":[[">","metric",100]],
+        |               "children":[{"action":"tap","params":["out"]}]}]}]}""".stripMargin
+    val regEdn = new StreamRegistry(EngineCtx(testMode = true))
+    val regJson = new StreamRegistry(EngineCtx(testMode = true))
+    assert(regEdn.addEdn(edn) == Seq("foo", "bar"))
+    regJson.addJson(json)
+    // the parsed trees are EQUAL, not merely equivalent
+    assert(regEdn.get("foo") == regJson.get("foo"))
+    assert(regEdn.get("bar") == regJson.get("bar"))
+    assert(regEdn.defaults == regJson.defaults)
+    val df = events(ev(15, 1 * S, id = 1), ev(50, 2 * S, id = 2), ev(200, 3 * S, id = 3))
+    val (outEdn, outJson) = (regEdn.push(df), regJson.push(df))
+    for (s <- Seq("foo", "bar"))
+      assert(tapRows(outEdn(s), "out") == tapRows(outJson(s), "out"))
+    assert(tapRows(outEdn("foo"), "out").map(_._1) == Seq(1L))
+    assert(tapRows(outEdn("bar"), "out").map(_._1) == Seq(3L))
+  }
+
+  test("EDN in the streams directory: loadFrom reads reference-style .edn files; #profile resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edn").toString
+    // verbatim reference fixture shape (test/resources/streams/streams.edn)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/streams.edn"),
+      """{:bar {:actions {:action :above-dt, :params [[:> :metric 200] 200], :children []}},
+        | :baz {:actions {:action :fixed-event-window, :params [{:size 200}], :children []}}}""".stripMargin)
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    assert(reg.loadFrom(dir).sorted == Seq("bar", "baz"))
+    assert(reg.get("bar").get.action == "above-dt")
+    assert(reg.get("bar").get.params == Seq(Seq(">", "metric", 200L), 200L))
+    assert(reg.get("baz").get.params == Seq(Map("size" -> 200L)))
+    // #profile with no PROFILE env resolves to :default at load time
+    val docs = Edn.streamDocs(
+      """{:p {:actions {:action :where
+        |               :params [[:> :metric #profile {:prod 100 :default 10}]]
+        |               :children []}}}""".stripMargin, env = Map.empty)
+    assert(docs.head.children.head.params == Seq(Seq(">", "metric", 10L)))
+    val prod = Edn.streamDocs(
+      """{:p {:actions {:action :where
+        |               :params [[:> :metric #profile {:prod 100 :default 10}]]
+        |               :children []}}}""".stripMargin, env = Map("PROFILE" -> "prod"))
+    assert(prod.head.children.head.params == Seq(Seq(">", "metric", 100L)))
+  }
+
   test("publish! channels + subscriber condition filter (pubsub.clj:5-30)") {
     val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2))
     val node = Node.fromJson(
