@@ -47,7 +47,8 @@ import java.util.Base64
   * the decode flatMaps), not per-request HTTP bodies.
   */
 final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: Int = 0,
-                         maxBodyBytes: Int = ControlPlane.DefaultMaxBodyBytes) {
+                         maxBodyBytes: Int = ControlPlane.DefaultMaxBodyBytes,
+                         websockets: Option[WebSocketHub] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val eventSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -245,7 +246,10 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
     import s.implicits._
     pushesTotal.incrementAndGet()
     eventsTotal.addAndGet(events.size.toLong)
-    registry.push(s.createDataset(events).toDF(), name)
+    val results = registry.push(s.createDataset(events).toDF(), name)
+    // pubsub fan-out: channels the pushed streams published to reach any
+    // attached websocket subscribers (reference websocket.clj:47-119)
+    websockets.foreach(h => results.values.foreach(h.publish))
   }
 
   /** JSON event → typed [[Event]]; absent `time` gets the wall clock like
