@@ -249,12 +249,35 @@ object RiemannCodec {
     w.result()
   }
 
-  /** Encode events as one `Msg` payload (no length prefix). */
-  def encodeMsg(events: Seq[RiemannEvent], ok: Option[Boolean] = None): Array[Byte] = {
+  /** Encode events as one `Msg` payload (no length prefix). `ok`/`error`
+    * are the ACK fields the TCP server answers frames with
+    * (`transport.clj:149-159`).
+    */
+  def encodeMsg(events: Seq[RiemannEvent], ok: Option[Boolean] = None,
+                error: Option[String] = None): Array[Byte] = {
     val w = new Writer()
     ok.foreach { b => w.tag(2, 0); w.varint(if (b) 1 else 0) }
+    error.foreach(e => w.str(3, e))
     events.foreach(e => w.nested(6, encodeEvent(e)))
     w.result()
+  }
+
+  /** Decode a `Msg`'s ACK fields (ok, error) — the client side of the
+    * sync-ack exchange.
+    */
+  def decodeAck(payload: Array[Byte]): (Option[Boolean], Option[String]) = {
+    val r = new Reader(payload, 0, payload.length)
+    var ok: Option[Boolean] = None
+    var error: Option[String] = None
+    while (r.hasRemaining) {
+      val tag = r.varint().toInt
+      (tag >>> 3, tag & 7) match {
+        case (2, 0)  => ok = Some(r.varint() != 0L)
+        case (3, 2)  => error = Some(r.string())
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    (ok, error)
   }
 
   /** Prefix a payload with the 4-byte big-endian frame header. */

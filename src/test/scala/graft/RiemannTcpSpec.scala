@@ -1,0 +1,79 @@
+package graft
+
+import graft.http.RiemannTcpServer
+import graft.ir.{EngineCtx, Node, StreamRegistry}
+import graft.sources.RiemannCodec
+import graft.sources.RiemannCodec.RiemannEvent
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.DataInputStream
+import java.net.Socket
+
+/** Riemann TCP transport: int32-framed protobuf Msg in, sync Msg{ok}
+  * ACK out after stream apply — driven over a real socket with the
+  * codec's own encoder as the client.
+  */
+class RiemannTcpSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rev(metric: Double, timeNs: Long, host: String): RiemannEvent =
+    RiemannEvent(time = Some(timeNs), state = Some("ok"), service = Some("svc"),
+      description = None, tags = Seq("t1"), ttl = Some(60f),
+      metric = Some(metric), attributes = Map("host" -> host))
+
+  private def sendFrame(sock: Socket, payload: Array[Byte]): (Option[Boolean], Option[String]) = {
+    sock.getOutputStream.write(RiemannCodec.frame(payload))
+    sock.getOutputStream.flush()
+    val in = new DataInputStream(sock.getInputStream)
+    val len = in.readInt()
+    val ack = new Array[Byte](len)
+    in.readFully(ack)
+    RiemannCodec.decodeAck(ack)
+  }
+
+  test("framed Msg pushes through default streams; ACK arrives after apply; errors keep the connection") {
+    val outDir = java.nio.file.Files.createTempDirectory("riemann_tcp").toString
+    val reg = new StreamRegistry(EngineCtx(testMode = false))
+    reg.add("sink", Node.fromJson(
+      s"""{"action":"where","params":[[">","metric",100]],
+         | "children":[{"action":"output-file","params":[{"path":"$outDir/out"}]}]}""".stripMargin),
+      default = true)
+    val srv = new RiemannTcpServer(reg, spark).start()
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      // batch 1: one passing, one filtered event
+      val (ok1, err1) = sendFrame(sock,
+        RiemannCodec.encodeMsg(Seq(rev(200.0, 1 * S, "a"), rev(50.0, 2 * S, "b"))))
+      assert(ok1.contains(true) && err1.isEmpty)
+      // the ACK is sync-after-apply: the sink rows exist NOW
+      val back = spark.read.json(s"$outDir/out")
+      assert(back.count() == 1)
+      val row = back.select("host", "service", "metric").collect().head
+      assert(row.getString(0) == "a" && row.getString(1) == "svc" && row.getDouble(2) == 200.0)
+
+      // a corrupt frame is an ok=false ACK with an error, not a hangup
+      val (ok2, err2) = sendFrame(sock, Array[Byte](0x32, 0x7F, 0x01)) // truncated nested length
+      assert(ok2.contains(false) && err2.exists(_.nonEmpty))
+
+      // the same connection still accepts valid frames afterwards
+      val (ok3, _) = sendFrame(sock, RiemannCodec.encodeMsg(Seq(rev(300.0, 3 * S, "c"))))
+      assert(ok3.contains(true))
+      assert(spark.read.json(s"$outDir/out").count() == 2)
+      sock.close()
+    } finally srv.stop()
+  }
+
+  test("oversized frame headers close the connection instead of allocating") {
+    val reg = new StreamRegistry(EngineCtx(testMode = false))
+    val srv = new RiemannTcpServer(reg, spark, maxFrameBytes = 1024).start()
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val out = sock.getOutputStream
+      out.write(Array[Byte](0x7F, -1, -1, -1)) // ~2 GiB declared length
+      out.flush()
+      // server closes without an ACK
+      assert(sock.getInputStream.read() == -1)
+      sock.close()
+    } finally srv.stop()
+  }
+}
