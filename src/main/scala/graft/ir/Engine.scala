@@ -587,6 +587,11 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.tokenBudgetSelect(df, pStr(m("group")), pStr(m("score")),
         pStr(m("tokens")), pStr(m("id")), pLong(m("budget")))
+    case "token-budget-approx" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.tokenBudgetApprox(df, pStr(m("group")), pStr(m("score")),
+        pStr(m("tokens")), pLong(m("budget")),
+        buckets = m.get("buckets").map(pLong(_).toInt).getOrElse(1000))
     case "domain-mix" =>
       val m = pMap(params.head)
       val shares = pMap(m("shares")).map { case (k, v) => k -> pDouble(v) }

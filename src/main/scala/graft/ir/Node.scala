@@ -158,7 +158,11 @@ object Node {
         // expand under the current chain, not the included file's
         if (n.children.isEmpty) n.copy(children = children.map(expandIncludes(_, load, env, seen)))
         else n.copy(children = n.children.map(graft))
-      val included = walk(expandIncludes(fromJson(load(path)), load, env, seen :+ norm))
+      // a .edn include is a reference-style snippet (an action node in
+      // EDN); anything else is the IR's own JSON
+      val doc = if (norm.endsWith(".edn")) Edn.nodeOf(Edn.parse(load(path)))
+                else fromJson(load(path))
+      val included = walk(expandIncludes(doc, load, env, seen :+ norm))
       if (children.isEmpty) included else graft(included)
     case Node(a, p, cs) => Node(a, p, cs.map(expandIncludes(_, load, env, seen)))
   }

@@ -508,6 +508,22 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("include: a .edn snippet (reference-style, with aero tags) splices like its JSON twin") {
+    val ednSnippet =
+      """{:action :where :params [[:> :metric #mirabelle/var cutoff]] :children [
+        |  {:action :scale :params [#profile {:dev 1 :default 10}]}]}""".stripMargin
+    val expanded = Node.expandIncludes(Node.fromJson(
+      """{"action":"include",
+        | "params":["/snippets/alert.edn",{"variables":{"cutoff":100}}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      load = p => { assert(p == "/snippets/alert.edn"); ednSnippet },
+      env = Map.empty)
+    assert(expanded.action == "where")
+    assert(expanded.params == Seq(Seq(">", "metric", 100L)))
+    assert(expanded.children.head.params == Seq(10L)) // no profile → default
+    assert(expanded.children.head.children.map(_.action) == Seq("tap"))
+  }
+
   test("include: a cyclic include chain fails with a clean error naming the cycle") {
     // a.json includes b.json includes a.json — mutual cycle
     val docs = Map(
@@ -570,6 +586,16 @@ class EngineSpec extends AnyFunSuite {
                    | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
       .orderBy("doc_id").collect().map(_.getLong(3))
     assert(pk.toSeq == Seq(0L, 1L, 0L)) // big: 1 fits, 1+2>2 opens bin 1; small resets
+
+    // approx token-budget: with 2 buckets, big's top score-bucket (doc 2,
+    // 2 tokens) fits budget 2, doc 1's lower bucket would overflow it;
+    // small's lone 3-token doc exceeds the budget -> whole group dropped
+    val tb = tap("""{"action":"token-budget-approx",
+                   | "params":[{"group":"source","score":"n_toks","tokens":"n_toks",
+                   |            "budget":2,"buckets":2}],
+                   | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(tb.toSeq == Seq(2L))
   }
 
   test("stream names with path separators or '..' are rejected (persistence safety)") {
