@@ -28,7 +28,8 @@ import java.net.{InetSocketAddress, ServerSocket, Socket}
   */
 final class RiemannTcpServer(registry: StreamRegistry, spark: SparkSession,
                              port: Int = 0,
-                             maxFrameBytes: Int = RiemannTcpServer.DefaultMaxFrameBytes) {
+                             maxFrameBytes: Int = RiemannTcpServer.DefaultMaxFrameBytes,
+                             websockets: Option[WebSocketHub] = None) {
 
   private val server = new ServerSocket()
   private val eventSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -81,7 +82,13 @@ final class RiemannTcpServer(registry: StreamRegistry, spark: SparkSession,
             pushDefault(events)
             ack(ok = true) // sync ack AFTER stream apply: the Riemann delivery model
           } catch {
-            case e: IllegalArgumentException => ack(ok = false, error = Option(e.getMessage))
+            // ANY decode or stream-apply failure (bad wire bytes, a sink
+            // erroring at runtime, ...) must still answer the frame —
+            // clients in the sync-ack delivery model block on the reply.
+            // The only exceptions that escape are socket-level (the ack
+            // itself failing), handled by the outer connection catch.
+            case scala.util.control.NonFatal(e) =>
+              ack(ok = false, error = Option(e.getMessage).orElse(Some(e.getClass.getName)))
           }
         }
       }
@@ -111,7 +118,10 @@ final class RiemannTcpServer(registry: StreamRegistry, spark: SparkSession,
   private def pushDefault(events: Seq[Event]): Unit = {
     val s = spark
     import s.implicits._
-    registry.push(s.createDataset(events).toDF(), "default")
+    val results = registry.push(s.createDataset(events).toDF(), "default")
+    // same fan-out as the HTTP push route: publish! channels reach
+    // attached websocket subscribers regardless of the ingest transport
+    websockets.foreach(h => results.values.foreach(h.publish))
   }
 }
 

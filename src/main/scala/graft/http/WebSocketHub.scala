@@ -36,9 +36,33 @@ import scala.jdk.CollectionConverters._
   */
 final class WebSocketHub(port: Int = 0) {
 
+  /** One subscriber. Outbound frames go through a bounded queue drained
+    * by a per-connection writer thread, so a subscriber that stops
+    * reading (TCP window full) can never block the publisher — the
+    * publish path is called synchronously from the control plane's push
+    * handler. A full queue means a slow consumer: the subscriber is
+    * dropped, matching the reference's drop-on-backpressure transport
+    * behavior rather than stalling ingest.
+    */
   private final class Sub(val channel: String, val condition: Condition,
-                          val socket: Socket, val out: OutputStream) {
-    val lock = new Object
+                          val socket: Socket, out: OutputStream) {
+    private val queue = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]](1024)
+    @volatile private var closed = false
+    private val writer = new Thread(() => {
+      try {
+        var frame = queue.take()
+        while (frame.length > 0) { out.write(frame); out.flush(); frame = queue.take() }
+      } catch { case _: java.io.IOException => }
+      finally dropSub(this)
+    }, "graft-ws-writer")
+    writer.setDaemon(true)
+    writer.start()
+
+    /** Enqueue one wire frame; false = closed or queue full (slow consumer). */
+    def offer(frame: Array[Byte]): Boolean = !closed && queue.offer(frame)
+
+    /** Idempotent: wakes the writer with an empty poison frame. */
+    def close(): Unit = { closed = true; queue.clear(); queue.offer(Array.emptyByteArray) }
   }
 
   private val server = new ServerSocket()
@@ -60,7 +84,7 @@ final class WebSocketHub(port: Int = 0) {
   def stop(): Unit = {
     running = false
     try server.close() catch { case _: java.io.IOException => }
-    subs.asScala.foreach(s => try s.socket.close() catch { case _: java.io.IOException => })
+    subs.asScala.foreach(dropSub) // CoW list: safe to remove while iterating
     subs.clear()
   }
 
@@ -68,20 +92,33 @@ final class WebSocketHub(port: Int = 0) {
     * subscribers: for each subscriber on a channel this result published
     * to, the events passing its condition are sent as JSON text frames
     * (one frame per event, in the channel frame's deterministic
-    * (time, eventId) order).
+    * (time, eventId) order). Subscribers sharing a (channel, condition)
+    * pair share one Spark job (conditions are case classes, so identical
+    * queries group structurally); a condition that fails analysis (e.g.
+    * referencing a field the frame lacks) is deterministic poison — those
+    * subscribers are dropped — while any other per-group failure is
+    * logged and skipped so one bad group can never abort fan-out or
+    * bubble into the synchronous push handler.
     */
   def publish(result: StreamResult): Unit = {
     val channels = result.channels.keySet
-    subs.asScala.filter(s => channels.contains(s.channel)).foreach { sub =>
-      try {
-        val rows = result.subscribe(sub.channel, sub.condition)
-          .orderBy("time", "eventId")
-          .toJSON.collect()
-        sub.lock.synchronized { rows.foreach(j => sendText(sub.out, j)) }
-      } catch {
-        case _: java.io.IOException => dropSub(sub)
+    subs.asScala.filter(s => channels.contains(s.channel))
+      .groupBy(s => (s.channel, s.condition)).foreach { case ((channel, cond), group) =>
+        try {
+          val rows = result.subscribe(channel, cond)
+            .orderBy("time", "eventId")
+            .toJSON.collect()
+          val frames = rows.map(j => frameBytes(0x1, j.getBytes(UTF_8)))
+          group.foreach(sub => if (!frames.forall(sub.offer)) dropSub(sub))
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            System.err.println(s"[ws] dropping ${group.size} subscriber(s) on '$channel': " +
+              s"condition failed analysis: ${e.getMessage}")
+            group.foreach(dropSub)
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[ws] publish to '$channel' failed: ${e.getMessage}")
+        }
       }
-    }
   }
 
   def publishAll(results: Iterable[StreamResult]): Unit = results.foreach(publish)
@@ -162,9 +199,16 @@ final class WebSocketHub(port: Int = 0) {
   private def readRequest(in: InputStream): (String, Map[String, String], Map[String, String]) = {
     val lines = scala.collection.mutable.ListBuffer[String]()
     val sb = new StringBuilder
+    var total = 0
     var prev = -1
     var c = in.read()
     while (c >= 0) {
+      total += 1
+      // handshake cap, matching the bounded-body rule on every other
+      // ingest edge (a client that never sends CRLF-CRLF must not grow
+      // the heap)
+      if (total > WebSocketHub.MaxHandshakeBytes)
+        throw new java.io.IOException(s"ws handshake exceeds ${WebSocketHub.MaxHandshakeBytes} bytes")
       if (prev == '\r' && c == '\n') {
         val line = sb.toString.stripSuffix("\r")
         if (line.isEmpty) { c = -1 } // end of headers
@@ -204,51 +248,57 @@ final class WebSocketHub(port: Int = 0) {
         case None => open = false
         case Some((opcode, payload)) => opcode match {
           case 0x8 => // close: echo and finish
-            sub.lock.synchronized { writeFrame(sub.out, 0x8, payload) }
+            sub.offer(frameBytes(0x8, payload))
             open = false
           case 0x9 => // ping → pong, same payload
-            sub.lock.synchronized { writeFrame(sub.out, 0xA, payload) }
+            sub.offer(frameBytes(0xA, payload))
           case _ => // pong / text / binary / continuation: ignored
         }
       }
     }
   }
 
-  /** One client frame (masked per RFC 6455 §5.3); None on EOF. */
+  /** One client frame (masked per RFC 6455 §5.3); None on EOF, including
+    * EOF that lands mid-header (extended length / mask bytes).
+    */
   private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
-    def byte(): Int = in.read()
-    val b0 = byte(); if (b0 < 0) return None
-    val b1 = byte(); if (b1 < 0) return None
-    val opcode = b0 & 0x0F
-    val masked = (b1 & 0x80) != 0
-    var len: Long = b1 & 0x7F
-    if (len == 126) len = (byte().toLong << 8) | byte().toLong
-    else if (len == 127) {
-      len = 0
-      var i = 0
-      while (i < 8) { len = (len << 8) | byte().toLong; i += 1 }
+    def byte(): Int = {
+      val v = in.read()
+      if (v < 0) throw new java.io.EOFException("ws: EOF mid-frame")
+      v
     }
-    if (len > (1L << 20)) throw new java.io.IOException(s"ws frame too large: $len")
-    val mask = if (masked) Array.fill(4)(byte().toByte) else Array.emptyByteArray
-    val payload = new Array[Byte](len.toInt)
-    var off = 0
-    while (off < payload.length) {
-      val n = in.read(payload, off, payload.length - off)
-      if (n < 0) return None
-      off += n
-    }
-    if (masked) {
-      var i = 0
-      while (i < payload.length) { payload(i) = (payload(i) ^ mask(i & 3)).toByte; i += 1 }
-    }
-    Some((opcode, payload))
+    try {
+      val b0 = in.read(); if (b0 < 0) return None
+      val b1 = byte()
+      val opcode = b0 & 0x0F
+      val masked = (b1 & 0x80) != 0
+      var len: Long = b1 & 0x7F
+      if (len == 126) len = (byte().toLong << 8) | byte().toLong
+      else if (len == 127) {
+        len = 0
+        var i = 0
+        while (i < 8) { len = (len << 8) | byte().toLong; i += 1 }
+      }
+      if (len > (1L << 20)) throw new java.io.IOException(s"ws frame too large: $len")
+      val mask = if (masked) Array.fill(4)(byte().toByte) else Array.emptyByteArray
+      val payload = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < payload.length) {
+        val n = in.read(payload, off, payload.length - off)
+        if (n < 0) return None
+        off += n
+      }
+      if (masked) {
+        var i = 0
+        while (i < payload.length) { payload(i) = (payload(i) ^ mask(i & 3)).toByte; i += 1 }
+      }
+      Some((opcode, payload))
+    } catch { case _: java.io.EOFException => None }
   }
 
-  private def sendText(out: OutputStream, text: String): Unit =
-    writeFrame(out, 0x1, text.getBytes(UTF_8))
-
-  /** Server frames are unmasked (RFC 6455 §5.1). */
-  private def writeFrame(out: OutputStream, opcode: Int, payload: Array[Byte]): Unit = {
+  /** One server frame as wire bytes (unmasked, RFC 6455 §5.1). */
+  private def frameBytes(opcode: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 10)
     out.write(0x80 | opcode)
     val n = payload.length
     if (n < 126) out.write(n)
@@ -258,12 +308,18 @@ final class WebSocketHub(port: Int = 0) {
       var i = 7
       while (i >= 0) { out.write(((n.toLong >> (8 * i)) & 0xFF).toInt); i -= 1 }
     }
-    out.write(payload)
-    out.flush()
+    out.write(payload, 0, n)
+    out.toByteArray
   }
 
   private def dropSub(sub: Sub): Unit = {
     subs.remove(sub)
+    sub.close()
     try sub.socket.close() catch { case _: java.io.IOException => }
   }
+}
+
+object WebSocketHub {
+  /** Upper bound on the HTTP upgrade request (request line + headers). */
+  val MaxHandshakeBytes: Int = 16 * 1024
 }

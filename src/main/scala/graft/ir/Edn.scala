@@ -110,9 +110,11 @@ object Edn {
       mm.get("profile") match {
         case Some(choices: Map[_, _]) if mm.size == 1 =>
           val cs = choices.asInstanceOf[Map[String, Any]]
-          env.get("PROFILE").flatMap(cs.get).orElse(cs.get("default")).getOrElse(
+          val chosen = env.get("PROFILE").flatMap(cs.get).orElse(cs.get("default")).getOrElse(
             throw new IllegalArgumentException(
               s"#profile: no value for ${env.getOrElse("PROFILE", "<unset>")} and no default"))
+          // the selected branch may itself contain #profile markers
+          resolveProfiles(chosen, env)
         case _ => mm.map { case (k, x) => k -> resolveProfiles(x, env) }
       }
     case xs: Seq[_] => xs.map(resolveProfiles(_, env))

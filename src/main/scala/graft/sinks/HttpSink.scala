@@ -45,8 +45,11 @@ object HttpSink {
   private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 
-  /** POST one body; 2xx = success. Retries IOExceptions and non-2xx with
-    * exponential backoff, then throws — task failure is the backpressure.
+  /** POST one body; 2xx = success. Retries IOExceptions, 5xx, 408 and 429
+    * with exponential backoff; any other 4xx is a permanently-invalid
+    * request that resending cannot fix, so it fails immediately (no point
+    * multiplying doomed sends through task retries). Exhausted retries
+    * throw — task failure is the backpressure.
     */
   def post(cfg: Http, body: Array[Byte], contentType: String): Unit = {
     val b = HttpRequest.newBuilder(URI.create(cfg.url))
@@ -60,17 +63,20 @@ object HttpSink {
     val req = b.POST(HttpRequest.BodyPublishers.ofByteArray(body)).build()
     var attempt = 0
     var lastErr: String = ""
-    while (attempt <= cfg.maxRetries) {
+    var retryable = true
+    while (retryable && attempt <= cfg.maxRetries) {
       if (attempt > 0) Thread.sleep(cfg.backoffMs << (attempt - 1))
       try {
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() / 100 == 2) return
-        lastErr = s"HTTP ${resp.statusCode()}: ${resp.body().take(200)}"
+        val code = resp.statusCode()
+        if (code / 100 == 2) return
+        lastErr = s"HTTP $code: ${resp.body().take(200)}"
+        if (code / 100 == 4 && code != 408 && code != 429) retryable = false
       } catch { case e: java.io.IOException => lastErr = e.toString }
       attempt += 1
     }
     throw new java.io.IOException(
-      s"POST ${cfg.url} failed after ${cfg.maxRetries + 1} attempts: $lastErr")
+      s"POST ${cfg.url} failed after $attempt attempt(s): $lastErr")
   }
 
   /** Elasticsearch `_bulk` (`output/elasticsearch.clj:173-176`): ndjson

@@ -239,6 +239,12 @@ class EngineSpec extends AnyFunSuite {
         |               :params [[:> :metric #profile {:prod 100 :default 10}]]
         |               :children []}}}""".stripMargin, env = Map("PROFILE" -> "prod"))
     assert(prod.head.children.head.params == Seq(Seq(">", "metric", 100L)))
+    // nested #profile: the selected branch is itself profile-resolved
+    val nested = Edn.streamDocs(
+      """{:p {:actions {:action :where
+        |               :params [[:> :metric #profile {:default #profile {:prod 5 :default 60}}]]
+        |               :children []}}}""".stripMargin, env = Map.empty)
+    assert(nested.head.children.head.params == Seq(Seq(">", "metric", 60L)))
   }
 
   test("publish! channels + subscriber condition filter (pubsub.clj:5-30)") {

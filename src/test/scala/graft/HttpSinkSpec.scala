@@ -22,8 +22,8 @@ class HttpSinkSpec extends AnyFunSuite {
   final case class Received(path: String, contentType: String,
                             encoding: String, auth: String, body: Array[Byte])
 
-  /** Start a recorder server; `failFirst` many requests get a 500. */
-  private def withServer(failFirst: Int = 0)(run: (String, CopyOnWriteArrayList[Received]) => Unit): Unit = {
+  /** Start a recorder server; `failFirst` many requests get `failCode`. */
+  private def withServer(failFirst: Int = 0, failCode: Int = 500)(run: (String, CopyOnWriteArrayList[Received]) => Unit): Unit = {
     val received = new CopyOnWriteArrayList[Received]()
     val failures = new java.util.concurrent.atomic.AtomicInteger(failFirst)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 16)
@@ -33,7 +33,7 @@ class HttpSinkSpec extends AnyFunSuite {
         val h = x.getRequestHeaders
         def first(k: String) = Option(h.getFirst(k)).getOrElse("")
         if (failures.getAndDecrement() > 0) {
-          x.sendResponseHeaders(500, -1)
+          x.sendResponseHeaders(failCode, -1)
         } else {
           received.add(Received(x.getRequestURI.getPath, first("Content-type"),
             first("Content-encoding"), first("Authorization"), body))
@@ -116,6 +116,18 @@ class HttpSinkSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("failed after") ||
         Option(e.getCause).exists(_.getMessage.contains("failed after")))
+    }
+  }
+
+  test("a non-retryable 4xx fails on the first attempt instead of resending a doomed body") {
+    withServer(failFirst = 10, failCode = 400) { (base, _) =>
+      val e = intercept[org.apache.spark.SparkException] {
+        HttpSink.elasticsearch(Http(s"$base/_bulk", maxRetries = 3, backoffMs = 1),
+          "i")(events(ev(1.0, 0L)))
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("HTTP 400"))
+      assert(msg.contains("after 1 attempt")) // not maxRetries+1
     }
   }
 

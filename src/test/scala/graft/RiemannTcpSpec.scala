@@ -63,6 +63,23 @@ class RiemannTcpSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("a stream that fails at APPLY time answers ok=false — the sync-ack client is never left hanging") {
+    val reg = new StreamRegistry(EngineCtx(testMode = false))
+    // compiles to col("bogus") > 1: resolution fails when the push applies
+    reg.add("bad", Node.fromJson(
+      """{"action":"where","params":[[">","bogus",1]],"children":[]}"""), default = true)
+    val srv = new RiemannTcpServer(reg, spark).start()
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val (ok, err) = sendFrame(sock, RiemannCodec.encodeMsg(Seq(rev(1.0, 1 * S, "a"))))
+      assert(ok.contains(false) && err.exists(_.nonEmpty))
+      // the connection survives the apply failure too
+      val (ok2, _) = sendFrame(sock, RiemannCodec.encodeMsg(Seq(rev(2.0, 2 * S, "b"))))
+      assert(ok2.contains(false))
+      sock.close()
+    } finally srv.stop()
+  }
+
   test("oversized frame headers close the connection instead of allocating") {
     val reg = new StreamRegistry(EngineCtx(testMode = false))
     val srv = new RiemannTcpServer(reg, spark, maxFrameBytes = 1024).start()

@@ -131,6 +131,39 @@ class WebSocketSpec extends AnyFunSuite {
     } finally hub.stop()
   }
 
+  test("a condition failing analysis drops only its subscribers; healthy ones still receive; publish never throws") {
+    val hub = new WebSocketHub().start()
+    try {
+      // parses fine ([:> :bogus 1] is valid vocabulary) but col("bogus")
+      // cannot resolve against the event frame — deterministic poison
+      val poisoned = new WsClient(hub.boundPort, "my-channel", Some("[:> :bogus 1]"))
+      val healthy = new WsClient(hub.boundPort, "my-channel")
+      awaitSubs(hub, 2)
+      val df = events(ev(200, 1 * S, id = 1))
+      val node = Node.fromJson("""{"action":"publish!","params":["my-channel"]}""")
+      val res = graft.ir.Engine.run(node, df, EngineCtx(testMode = false))
+      hub.publish(res) // must not throw into the (synchronous) push path
+      val (op, json) = healthy.readFrame()
+      assert(op == 0x1 && json.contains("\"eventId\":1"))
+      awaitSubs(hub, 1) // poisoned subscriber was dropped, healthy remains
+      poisoned.close(); healthy.close()
+    } finally hub.stop()
+  }
+
+  test("EOF mid-frame-header unregisters the subscriber cleanly") {
+    val hub = new WebSocketHub().start()
+    try {
+      val c = new WsClient(hub.boundPort, "ch")
+      awaitSubs(hub, 1)
+      // first two bytes of a frame declaring a 16-bit extended length,
+      // then a hard disconnect: the reader must treat it as EOF
+      c.out.write(Array[Byte](0x81.toByte, 0xFE.toByte))
+      c.out.flush()
+      c.close()
+      awaitSubs(hub, 0)
+    } finally hub.stop()
+  }
+
   test("an invalid base64 query is a 400 before any upgrade") {
     val hub = new WebSocketHub().start()
     try {
