@@ -48,12 +48,19 @@ final class WebSocketHub(port: Int = 0) {
                           val socket: Socket, out: OutputStream) {
     private val queue = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]](1024)
     @volatile private var closed = false
+    // The writer owns the socket's end of life: it drains every frame
+    // queued before close() (RFC 6455 close-handshake echoes included),
+    // then — and only then — closes the socket and unregisters. Closing
+    // anywhere else races the drain and drops the close echo on the floor.
     private val writer = new Thread(() => {
       try {
         var frame = queue.take()
         while (frame.length > 0) { out.write(frame); out.flush(); frame = queue.take() }
       } catch { case _: java.io.IOException => }
-      finally dropSub(this)
+      finally {
+        subs.remove(Sub.this)
+        try socket.close() catch { case _: java.io.IOException => }
+      }
     }, "graft-ws-writer")
     writer.setDaemon(true)
     writer.start()
@@ -61,8 +68,29 @@ final class WebSocketHub(port: Int = 0) {
     /** Enqueue one wire frame; false = closed or queue full (slow consumer). */
     def offer(frame: Array[Byte]): Boolean = !closed && queue.offer(frame)
 
-    /** Idempotent: wakes the writer with an empty poison frame. */
-    def close(): Unit = { closed = true; queue.clear(); queue.offer(Array.emptyByteArray) }
+    def isClosed: Boolean = closed
+
+    /** Graceful close: stop accepting new frames and poison the queue
+      * WITHOUT clearing it, so the writer drains what is already queued
+      * (the close-handshake echo in particular) before closing the
+      * socket. Falls back to [[abort]] if the queue is too full to take
+      * the poison (slow consumer). Idempotent.
+      */
+    def close(): Unit = {
+      closed = true
+      if (!queue.offer(Array.emptyByteArray)) abort()
+    }
+
+    /** Hard drop (slow consumer / poisoned condition / hub shutdown):
+      * discard queued frames and close the socket immediately — the
+      * socket close also unblocks a writer stuck on a full TCP window.
+      */
+    def abort(): Unit = {
+      closed = true
+      queue.clear()
+      queue.offer(Array.emptyByteArray)
+      try socket.close() catch { case _: java.io.IOException => }
+    }
   }
 
   private val server = new ServerSocket()
@@ -109,7 +137,9 @@ final class WebSocketHub(port: Int = 0) {
             .orderBy("time", "eventId")
             .toJSON.collect()
           val frames = rows.map(j => frameBytes(0x1, j.getBytes(UTF_8)))
-          group.foreach(sub => if (!frames.forall(sub.offer)) dropSub(sub))
+          // a false offer on an already-closing sub is the graceful path
+          // doing its job, not a slow consumer — don't abort the drain
+          group.foreach(sub => if (!frames.forall(sub.offer) && !sub.isClosed) dropSub(sub))
         } catch {
           case e: org.apache.spark.sql.AnalysisException =>
             System.err.println(s"[ws] dropping ${group.size} subscriber(s) on '$channel': " +
@@ -178,8 +208,13 @@ final class WebSocketHub(port: Int = 0) {
           out.flush()
         } catch { case _: java.io.IOException => }
     } finally {
-      subs.asScala.find(_.socket eq sock).foreach(dropSub)
-      try sock.close() catch { case _: java.io.IOException => }
+      // graceful: the writer drains queued frames (close echo included),
+      // closes the socket itself and unregisters; only a connection that
+      // never reached upgrade is closed here directly
+      subs.asScala.find(_.socket eq sock) match {
+        case Some(sub) => sub.close()
+        case None      => try sock.close() catch { case _: java.io.IOException => }
+      }
     }
   }
 
@@ -314,8 +349,7 @@ final class WebSocketHub(port: Int = 0) {
 
   private def dropSub(sub: Sub): Unit = {
     subs.remove(sub)
-    sub.close()
-    try sub.socket.close() catch { case _: java.io.IOException => }
+    sub.abort()
   }
 }
 
