@@ -185,6 +185,11 @@ object Streaming {
   // Stateful ops: flatMapGroupsWithState keyed by the `by` fork fields.
   // --------------------------------------------------------------------
 
+  /** Default idle-key TTL — the reference's `(or fork-ttl 3600)`
+    * (`action.clj:1592-1596`).
+    */
+  val DefaultForkTtlSeconds: Long = 3600
+
   /** Emitted by [[fixedEventWindow]]: one complete count-window per key. */
   final case class EventWindow(key: String, windowId: Long, events: Seq[Event])
 
@@ -195,6 +200,63 @@ object Streaming {
       col("host"), col("service"), col("name"), col("state"),
       col("metric"), col("time"), col("ttl"), col("description"),
       col("tags"), col("attributes"), col("eventId")).as[Event]
+  }
+
+  /** Shared harness for the sequential per-key ops: orders each
+    * micro-batch's events, applies `fold`, and — the streaming twin of the
+    * reference's fork-TTL GC (`action.clj:1559-1596`: forks idle past
+    * `:fork-ttl` on the event clock are cleared) — registers an
+    * event-time timeout per key so the state store drops keys idle past
+    * the TTL instead of accumulating state forever over high-cardinality
+    * key spaces.
+    *
+    * Mechanics: the input gets a watermark with delay = TTL; each batch
+    * re-arms the key's timeout at its last event time, so the timeout
+    * fires once the stream's event clock is TTL past the key's last
+    * event — the reference's `(- current-time fork-ttl) > fork.time` test
+    * with the watermark as `current-time`. Because the watermark also
+    * bounds lateness, an event arriving more than TTL behind the stream
+    * maximum is dropped; the reference would process it against a freshly
+    * recreated fork (its old fork being GC'd) — a documented edge delta,
+    * same steady-state behavior. `forkTtl = None` restores unbounded
+    * state (and is the path batch execution takes regardless, where the
+    * fold runs once per key and state never outlives the job).
+    */
+  private def statefulFlat[S, O](df: DataFrame, keys: Seq[String], forkTtl: Option[Long])(
+      fold: (String, Seq[Event], Option[S]) => (Seq[O], Option[S]))(
+      implicit stateEnc: org.apache.spark.sql.Encoder[S],
+      outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ttlOpt = forkTtl.filter(_ => df.isStreaming)
+    val (src, timeoutConf) = ttlOpt match {
+      case Some(ttl) =>
+        (typed(withTs(df).withWatermark("__ts", s"$ttl seconds")),
+          GroupStateTimeout.EventTimeTimeout)
+      case None => (typed(df), GroupStateTimeout.NoTimeout)
+    }
+    src.groupByKey(keyFn(keys))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (key: String, events: Iterator[Event], state: GroupState[S]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val es = ordered(events)
+            val (out, next) = fold(key, es, state.getOption)
+            next match {
+              case Some(s) => state.update(s)
+              case None    => if (state.exists) state.remove()
+            }
+            if (next.isDefined && es.nonEmpty) ttlOpt.foreach { _ =>
+              // fires once the watermark (= stream max - TTL) passes this
+              // key's last event; must stay strictly above the current
+              // watermark or Spark rejects the timestamp
+              val lastMs = es.iterator.map(_.time).max / 1000000L
+              state.setTimeoutTimestamp(
+                math.max(lastMs + 1, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
   }
 
   private def keyFn(keys: Seq[String])(e: Event): String =
@@ -213,25 +275,23 @@ object Streaming {
     * buffer of the current partial window in state; every N-th event
     * flushes a complete window.
     */
-  def fixedEventWindow(n: Int, keys: Seq[String] = Nil)(df: DataFrame): Dataset[EventWindow] = {
+  def fixedEventWindow(n: Int, keys: Seq[String] = Nil,
+                       forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[EventWindow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, events: Iterator[Event], state: GroupState[(Long, Seq[Event])]) =>
-          var (nextId, buf) = state.getOption.getOrElse((0L, Seq.empty[Event]))
-          val out = scala.collection.mutable.ListBuffer[EventWindow]()
-          ordered(events).foreach { e =>
-            buf = buf :+ e
-            if (buf.size == n) {
-              out += EventWindow(key, nextId, buf)
-              nextId += 1
-              buf = Seq.empty
-            }
-          }
-          state.update((nextId, buf))
-          out.iterator
+    statefulFlat[(Long, Seq[Event]), EventWindow](df, keys, forkTtl) { (key, events, st) =>
+      var (nextId, buf) = st.getOrElse((0L, Seq.empty[Event]))
+      val out = scala.collection.mutable.ListBuffer[EventWindow]()
+      events.foreach { e =>
+        buf = buf :+ e
+        if (buf.size == n) {
+          out += EventWindow(key, nextId, buf)
+          nextId += 1
+          buf = Seq.empty
+        }
       }
+      (out.toSeq, Some((nextId, buf)))
+    }
   }
 
   /** Emitted by the moving windows: the triggering event plus its window
@@ -243,20 +303,18 @@ object Streaming {
   /** `moving-event-window` over a stream (`action.clj:1220-1246`): last-N
     * events per key held in state; every input emits its window.
     */
-  def movingEventWindow(n: Int, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Enriched] = {
+  def movingEventWindow(n: Int, keys: Seq[String] = Nil,
+                        forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Enriched] = {
     val spark = df.sparkSession
     import spark.implicits._
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[Seq[Event]]) =>
-          var buf = state.getOption.getOrElse(Seq.empty[Event])
-          val out = ordered(events).map { e =>
-            buf = (buf :+ e).takeRight(n)
-            Enriched(e, buf)
-          }
-          state.update(buf)
-          out.iterator
+    statefulFlat[Seq[Event], Enriched](df, keys, forkTtl) { (_, events, st) =>
+      var buf = st.getOrElse(Seq.empty[Event])
+      val out = events.map { e =>
+        buf = (buf :+ e).takeRight(n)
+        Enriched(e, buf)
       }
+      (out, Some(buf))
+    }
   }
 
   /** `moving-time-window` over a stream (`action.clj:2596-2639`): events of
@@ -267,22 +325,20 @@ object Streaming {
     * same-timestamp events that sort AFTER the current one; this sequential
     * path (like the reference) only sees events already processed.
     */
-  def movingTimeWindow(seconds: Long, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Enriched] = {
+  def movingTimeWindow(seconds: Long, keys: Seq[String] = Nil,
+                       forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Enriched] = {
     val spark = df.sparkSession
     import spark.implicits._
     val spanNs = seconds * Event.NsPerSecond
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[Seq[Event]]) =>
-          var buf = state.getOption.getOrElse(Seq.empty[Event])
-          val out = ordered(events).map { e =>
-            // batch twin frame: [t - N + 1ns, t] (rangeBetween -(N-1), 0)
-            buf = (buf :+ e).filter(x => x.time > e.time - spanNs)
-            Enriched(e, buf)
-          }
-          state.update(buf)
-          out.iterator
+    statefulFlat[Seq[Event], Enriched](df, keys, forkTtl) { (_, events, st) =>
+      var buf = st.getOrElse(Seq.empty[Event])
+      val out = events.map { e =>
+        // batch twin frame: [t - N + 1ns, t] (rangeBetween -(N-1), 0)
+        buf = (buf :+ e).filter(x => x.time > e.time - spanNs)
+        Enriched(e, buf)
       }
+      (out, Some(buf))
+    }
   }
 
   /** `throttle` over a stream (`action.clj:1163-1217`): at most `count`
@@ -290,51 +346,48 @@ object Streaming {
     * re-opens at the first event past `start + duration` — same fold as
     * `Analytics.throttle`.
     */
-  def throttle(count: Int, durationSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = {
+  def throttle(count: Int, durationSeconds: Long, keys: Seq[String] = Nil,
+               forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
     val durNs = durationSeconds * Event.NsPerSecond
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[(Long, Int)]) =>
-          var (start, n) = state.getOption.getOrElse((Long.MinValue, 0))
-          val out = ordered(events).filter { e =>
-            if (start == Long.MinValue || e.time >= start + durNs) {
-              start = e.time; n = 1; true
-            } else if (n >= count) false
-            else { n += 1; true }
-          }
-          state.update((start, n))
-          out.iterator
+    statefulFlat[(Long, Int), Event](df, keys, forkTtl) { (_, events, st) =>
+      var (start, n) = st.getOrElse((Long.MinValue, 0))
+      val out = events.filter { e =>
+        if (start == Long.MinValue || e.time >= start + durNs) {
+          start = e.time; n = 1; true
+        } else if (n >= count) false
+        else { n += 1; true }
       }
+      (out, Some((start, n)))
+    }
   }
 
   /** `ewma-timeless` over a stream (`action.clj:1249-1276`):
     * m' = (1-r)*m + r*x, seeded at 0, one output per input.
     */
-  def ewmaTimeless(r: Double, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = {
+  def ewmaTimeless(r: Double, keys: Seq[String] = Nil,
+                   forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[Double]) =>
-          var m = state.getOption.getOrElse(0.0)
-          val out = ordered(events).map { e =>
-            e.metric match {
-              case Some(x) => m = (1 - r) * m + r * x; e.copy(metric = Some(m))
-              case None    => e
-            }
-          }
-          state.update(m)
-          out.iterator
+    statefulFlat[Double, Event](df, keys, forkTtl) { (_, events, st) =>
+      var m = st.getOrElse(0.0)
+      val out = events.map { e =>
+        e.metric match {
+          case Some(x) => m = (1 - r) * m + r * x; e.copy(metric = Some(m))
+          case None    => e
+        }
       }
+      (out, Some(m))
+    }
   }
 
   /** `changed` over a stream (`action.clj:1329-1375`): pass only on field
     * transition vs the previous event; `init` seeds the comparison. The
     * comparison field is selected at plan time like the batch twin.
     */
-  def changed(field: String, init: String, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = {
+  def changed(field: String, init: String, keys: Seq[String] = Nil,
+              forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
     val get: Event => String = field match {
@@ -344,50 +397,45 @@ object Streaming {
       case "state"   => _.state.orNull
       case other     => _.attributes.get(other).orNull
     }
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        // state tuple carries an "initialized" flag so a legitimately-null
-        // previous value is distinguishable from absent state
-        (_: String, events: Iterator[Event], state: GroupState[(Boolean, String)]) =>
-          var prev = state.getOption match {
-            case Some((_, v)) => v
-            case None         => init
-          }
-          val out = ordered(events).filter { e =>
-            val v = get(e)
-            val pass = v != prev
-            prev = v
-            pass
-          }
-          state.update((true, prev))
-          out.iterator
+    statefulFlat[(Boolean, String), Event](df, keys, forkTtl) { (_, events, st) =>
+      // state tuple carries an "initialized" flag so a legitimately-null
+      // previous value is distinguishable from absent state
+      var prev = st match {
+        case Some((_, v)) => v
+        case None         => init
       }
+      val out = events.filter { e =>
+        val v = get(e)
+        val pass = v != prev
+        prev = v
+        pass
+      }
+      (out, Some((true, prev)))
+    }
   }
 
   /** `ddt` / `ddt-pos` over a stream (`action.clj:1042-1083`):
     * d(metric)/d(time) vs the previous event per key; zero-dt pairs skip,
     * the first event emits nothing, `-pos` drops negative derivatives.
     */
-  def ddt(keys: Seq[String] = Nil, removeNeg: Boolean = false)(df: DataFrame): Dataset[Event] = {
+  def ddt(keys: Seq[String] = Nil, removeNeg: Boolean = false,
+          forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[(Long, Double)]) =>
-          var prev = state.getOption
-          val out = ordered(events).flatMap { e =>
-            val r = (prev, e.metric) match {
-              case (Some((pt, pm)), Some(m)) if e.time != pt =>
-                val d = (m - pm) / (e.time - pt)
-                if (removeNeg && d < 0) None else Some(e.copy(metric = Some(d)))
-              case _ => None
-            }
-            e.metric.foreach(m => prev = Some((e.time, m)))
-            r
-          }
-          prev.foreach(state.update)
-          out.iterator
+    statefulFlat[(Long, Double), Event](df, keys, forkTtl) { (_, events, st) =>
+      var prev = st
+      val out = events.flatMap { e =>
+        val r = (prev, e.metric) match {
+          case (Some((pt, pm)), Some(m)) if e.time != pt =>
+            val d = (m - pm) / (e.time - pt)
+            if (removeNeg && d < 0) None else Some(e.copy(metric = Some(d)))
+          case _ => None
+        }
+        e.metric.foreach(m => prev = Some((e.time, m)))
+        r
       }
+      (out, prev)
+    }
   }
 
   /** `above-dt`/`below-dt`/`between-dt`/`outside-dt`/`cond-dt` over a
@@ -395,23 +443,21 @@ object Streaming {
     * for more than `dt` seconds, then matching events pass until it
     * breaks. State = the start of the current holding run.
     */
-  def condDt(pred: Event => Boolean, dtSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = {
+  def condDt(pred: Event => Boolean, dtSeconds: Long, keys: Seq[String] = Nil,
+             forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
     val dtNs = dtSeconds * Event.NsPerSecond
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[(Boolean, Long)]) =>
-          var run = state.getOption.filter(_._1).map(_._2)
-          val out = ordered(events).filter { e =>
-            if (pred(e)) {
-              if (run.isEmpty) run = Some(e.time)
-              e.time > run.get + dtNs
-            } else { run = None; false }
-          }
-          state.update((run.isDefined, run.getOrElse(0L)))
-          out.iterator
+    statefulFlat[(Boolean, Long), Event](df, keys, forkTtl) { (_, events, st) =>
+      var run = st.filter(_._1).map(_._2)
+      val out = events.filter { e =>
+        if (pred(e)) {
+          if (run.isEmpty) run = Some(e.time)
+          e.time > run.get + dtNs
+        } else { run = None; false }
       }
+      (out, Some((run.isDefined, run.getOrElse(0L))))
+    }
   }
 
   def aboveDt(threshold: Double, dtSeconds: Long, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] =
