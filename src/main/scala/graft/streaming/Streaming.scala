@@ -193,13 +193,20 @@ object Streaming {
   /** Emitted by [[fixedEventWindow]]: one complete count-window per key. */
   final case class EventWindow(key: String, windowId: Long, events: Seq[Event])
 
-  private def typed(df: DataFrame): Dataset[Event] = {
+  /** Project to the Event schema. `extra` columns ride along un-dropped —
+    * `as[Event]` binds fields by name and tolerates surplus columns — so
+    * the TTL path can carry the watermark-tagged `__ts` attribute into
+    * `flatMapGroupsWithState`'s child output (Spark's analyzer requires a
+    * watermarked attribute there for `EventTimeTimeout`).
+    */
+  private def typed(df: DataFrame,
+                    extra: Seq[org.apache.spark.sql.Column] = Nil): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(
+    df.select(Seq(
       col("host"), col("service"), col("name"), col("state"),
       col("metric"), col("time"), col("ttl"), col("description"),
-      col("tags"), col("attributes"), col("eventId")).as[Event]
+      col("tags"), col("attributes"), col("eventId")) ++ extra: _*).as[Event]
   }
 
   /** Shared harness for the sequential per-key ops: orders each
@@ -221,6 +228,12 @@ object Streaming {
     * same steady-state behavior. `forkTtl = None` restores unbounded
     * state (and is the path batch execution takes regardless, where the
     * fold runs once per key and state never outlives the job).
+    *
+    * CHECKPOINT COMPATIBILITY: switching between `forkTtl = Some(_)` and
+    * `None` changes the streaming plan shape (watermark node +
+    * `EventTimeTimeout` vs `NoTimeout`), so existing checkpoints written
+    * under the other setting will not restart — use a fresh checkpoint
+    * location when changing TTL mode.
     */
   private def statefulFlat[S, O](df: DataFrame, keys: Seq[String], forkTtl: Option[Long])(
       fold: (String, Seq[Event], Option[S]) => (Seq[O], Option[S]))(
@@ -231,7 +244,10 @@ object Streaming {
     val ttlOpt = forkTtl.filter(_ => df.isStreaming)
     val (src, timeoutConf) = ttlOpt match {
       case Some(ttl) =>
-        (typed(withTs(df).withWatermark("__ts", s"$ttl seconds")),
+        // __ts must survive the projection: it is the only attribute
+        // carrying the watermark metadata, and EventTimeTimeout requires
+        // one in the child output (see typed()'s scaladoc)
+        (typed(withTs(df).withWatermark("__ts", s"$ttl seconds"), Seq(col("__ts"))),
           GroupStateTimeout.EventTimeTimeout)
       case None => (typed(df), GroupStateTimeout.NoTimeout)
     }
@@ -474,7 +490,8 @@ object Streaming {
     * whole buffer flushes and subsequent run events pass through; runs
     * that die early emit nothing.
     */
-  def stable(dtSeconds: Long, field: String, keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = {
+  def stable(dtSeconds: Long, field: String, keys: Seq[String] = Nil,
+             forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
     val dtNs = dtSeconds * Event.NsPerSecond
@@ -486,52 +503,51 @@ object Streaming {
       case other     => _.attributes.get(other).orNull
     }
     final case class St(value: String, start: Long, buffer: Seq[Event], flushed: Boolean)
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[(String, Long, Seq[Event], Boolean)]) =>
-          var st = state.getOption.map((St.apply _).tupled)
-          val out = scala.collection.mutable.ListBuffer[Event]()
-          ordered(events).foreach { e =>
-            val v = get(e)
-            st match {
-              case Some(s) if s.value == v =>
-                if (s.flushed) out += e
-                else if (e.time > s.start + dtNs) {
-                  out ++= s.buffer :+ e
-                  st = Some(s.copy(buffer = Seq.empty, flushed = true))
-                } else st = Some(s.copy(buffer = s.buffer :+ e))
-              case _ =>
-                st = Some(St(v, e.time, Seq(e), flushed = false))
-            }
-          }
-          st.foreach(s => state.update((s.value, s.start, s.buffer, s.flushed)))
-          out.iterator
+    statefulFlat[(String, Long, Seq[Event], Boolean), Event](df, keys, forkTtl) { (_, events, stRaw) =>
+      var st = stRaw.map((St.apply _).tupled)
+      val out = scala.collection.mutable.ListBuffer[Event]()
+      events.foreach { e =>
+        val v = get(e)
+        st match {
+          case Some(s) if s.value == v =>
+            if (s.flushed) out += e
+            else if (e.time > s.start + dtNs) {
+              out ++= s.buffer :+ e
+              st = Some(s.copy(buffer = Seq.empty, flushed = true))
+            } else st = Some(s.copy(buffer = s.buffer :+ e))
+          case _ =>
+            st = Some(St(v, e.time, Seq(e), flushed = false))
+        }
       }
+      (out.toSeq, st.map(s => (s.value, s.start, s.buffer, s.flushed)))
+    }
   }
 
   /** `smax` / `smin` over a stream (`action.clj:2742-2795`): running
     * extremum metric, re-emitted per input.
     */
-  def smax(keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = runningExtremum(df, keys, isMax = true)
-  def smin(keys: Seq[String] = Nil)(df: DataFrame): Dataset[Event] = runningExtremum(df, keys, isMax = false)
+  def smax(keys: Seq[String] = Nil,
+           forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] =
+    runningExtremum(df, keys, isMax = true, forkTtl)
+  def smin(keys: Seq[String] = Nil,
+           forkTtl: Option[Long] = Some(DefaultForkTtlSeconds))(df: DataFrame): Dataset[Event] =
+    runningExtremum(df, keys, isMax = false, forkTtl)
 
-  private def runningExtremum(df: DataFrame, keys: Seq[String], isMax: Boolean): Dataset[Event] = {
+  private def runningExtremum(df: DataFrame, keys: Seq[String], isMax: Boolean,
+                              forkTtl: Option[Long]): Dataset[Event] = {
     val spark = df.sparkSession
     import spark.implicits._
-    typed(df).groupByKey(keyFn(keys))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, events: Iterator[Event], state: GroupState[Double]) =>
-          var cur = state.getOption
-          val out = ordered(events).map { e =>
-            e.metric match {
-              case Some(x) =>
-                cur = Some(cur.fold(x)(c => if (isMax) math.max(c, x) else math.min(c, x)))
-                e.copy(metric = cur)
-              case None => e
-            }
-          }
-          cur.foreach(state.update)
-          out.iterator
+    statefulFlat[Double, Event](df, keys, forkTtl) { (_, events, st) =>
+      var cur = st
+      val out = events.map { e =>
+        e.metric match {
+          case Some(x) =>
+            cur = Some(cur.fold(x)(c => if (isMax) math.max(c, x) else math.min(c, x)))
+            e.copy(metric = cur)
+          case None => e
+        }
       }
+      (out, cur)
+    }
   }
 }

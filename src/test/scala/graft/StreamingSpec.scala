@@ -368,6 +368,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq(15.0)) // mean(10, 20) via the custom pair, on the flushed window
   }
 
+  /** Run a stateful streaming transform and record the state store's
+    * `numRowsTotal` after each micro-batch (taken from the most recent
+    * progress event that carries state-operator metrics).
+    */
+  private def stateRowCounts(transform: DataFrame => DataFrame,
+                             batches: Seq[Seq[Event]]): Seq[Long] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val ms = MemoryStream[Event]
+    val q = transform(ms.toDF()).writeStream
+      .format("memory").queryName(s"stream_out_$ctr").outputMode("append").start()
+    val counts = batches.map { b =>
+      ms.addData(b); q.processAllAvailable()
+      q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .headOption.getOrElse(0L)
+    }
+    q.stop()
+    counts
+  }
+
+  test("fork-TTL evicts idle keys: numRowsTotal stops growing (action.clj:1559-1596)") {
+    // 3 batches × 5 disjoint keys each, 100 s of event time apart; TTL 10 s
+    // means by the time batch N+2's watermark (prev batch max - 10 s) is
+    // computed, batch N's keys are idle > TTL and their timeouts fire.
+    def batch(prefix: String, t0: Long) =
+      (1 to 5).map(i => ev(i, (t0 + i) * S, host = s"$prefix$i", id = t0 + i))
+    val batches = Seq(batch("a", 0), batch("b", 100), batch("c", 200), batch("d", 300))
+
+    // with TTL: idle keys are evicted, so total state stays bounded
+    def probe(op: DataFrame => DataFrame) = stateRowCounts(op, batches)
+    for (op <- Seq[DataFrame => DataFrame](
+      df => Streaming.ewmaTimeless(0.5, Seq("host"), forkTtl = Some(10))(df).toDF(),
+      df => Streaming.smax(Seq("host"), forkTtl = Some(10))(df).toDF(),
+      df => Streaming.stable(5, "state", Seq("host"), forkTtl = Some(10))(df).toDF())) {
+      val rows = probe(op)
+      assert(rows.head == 5, s"first batch should hold its 5 keys, got $rows")
+      // once eviction kicks in, state stops growing: never all 20 keys live
+      assert(rows.last < 20, s"TTL should evict idle keys, got $rows")
+      assert(rows.last <= rows(1), s"state must stop growing after eviction starts, got $rows")
+    }
+
+    // control: forkTtl = None accumulates every key ever seen
+    val unbounded = probe(df => Streaming.ewmaTimeless(0.5, Seq("host"), forkTtl = None)(df).toDF())
+    assert(unbounded == Seq(5L, 10L, 15L, 20L), s"NoTimeout must accumulate, got $unbounded")
+  }
+
   test("riemann wire decode runs on a stream: framed Msg bytes → event rows") {
     import graft.sources.RiemannCodec
     import graft.sources.RiemannCodec.RiemannEvent
