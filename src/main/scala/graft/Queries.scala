@@ -73,8 +73,30 @@ object Queries {
     QueriesIr.registerAll((n, o) => q => register(n, o)(q))
     QueriesSources.registerAll((n, o) => q => register(n, o)(q))
 
-    // production-hash MinHash-LSH (xxhash64, not cross-engine reproducible
-    // → rows-only gate): the throughput path a real pipeline would run
+    // production-hash MinHash-LSH: the throughput path a real pipeline
+    // would run (xxhash64 is Spark-codegen-native; md5 costs a full
+    // digest per shingle).
+    //
+    // WHY ROWS-ONLY (no DuckDB oracle) — checked, not assumed:
+    //  * A value-level oracle must replay the EXACT hash: LSH candidate
+    //    pairs are a function of the hash values, and the md5-path pair
+    //    set is empirically NOT a substitute — at sf0.01 md5 yields 1460
+    //    pairs, xxhash64 yields 1548, neither a subset of the other
+    //    (2026-08, this fixture). So cross-gating xx output against the
+    //    md5 SQL can never hash-match.
+    //  * DuckDB (1.x) has no xxhash64 function, and its integer
+    //    arithmetic raises on overflow rather than wrapping, so the
+    //    XXH64 rounds (64×64-bit wrapping multiplies + rotations) cannot
+    //    be emulated in oracle SQL without a 32-bit-limb bignum macro —
+    //    the `token_budget_approx` replay-the-exact-computation precedent
+    //    does not transfer.
+    //  * The ALGORITHM is still fully oracle-gated: `dedup_minhash_lsh`
+    //    runs the identical code path (minhashSigTable → banding →
+    //    bucket self-join) with md5HashMod, differing only in the
+    //    injected hash column. The xx twin adds the hash-invariance
+    //    property test in OperatorSpec: exact-duplicate docs (identical
+    //    shingle sets) must pair under BOTH hashes — the deterministic
+    //    subset any correct MinHash produces regardless of hash choice.
     registerRowsOnly("dedup_minhash_lsh_xx") { (s, dir) =>
       graft.operators.Dedup.lshCandidates(
         graft.sources.Tables.documents(s, dir), "text", "doc_id",

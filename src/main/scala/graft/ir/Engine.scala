@@ -719,7 +719,8 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
   def addEdn(text: String): Seq[String] =
     Edn.streamDocs(text).map(addStreamNode)
 
-  def addStreamNode(n: Node): String = {
+  /** (name, default-flag, pipeline) of a `stream` document node. */
+  private def parseStreamNode(n: Node): (String, Boolean, Node) = {
     require(n.action == "stream", s"expected a 'stream' node, got '${n.action}'")
     val (name, default) = n.params.headOption match {
       case Some(m: Map[_, _]) =>
@@ -734,6 +735,11 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
       case Seq(single) => single
       case many        => Node("sdo", Nil, many)
     }
+    (name, default, pipeline)
+  }
+
+  def addStreamNode(n: Node): String = {
+    val (name, default, pipeline) = parseStreamNode(n)
     add(name, pipeline, default)
     name
   }
@@ -766,7 +772,27 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     * hold EDN — accepting both lets a migrating user point this at their
     * existing streams directory unchanged). Returns the loaded names.
     */
-  def loadFrom(dir: String): Seq[String] = {
+  def loadFrom(dir: String): Seq[String] =
+    parseDir(dir).map { n =>
+      val name = addStreamNode(n)
+      dirDocs.put(name, n)
+      name
+    }
+
+  /** The last directory-loaded stream documents, by name — the analog of
+    * the reference's `streams-configurations`, which `reload` diffs the
+    * re-read directory against. Streams added dynamically (addJson /
+    * add-stream without persist) are absent here, so a reload never
+    * touches them — exactly the reference's merge semantics
+    * (`stream.clj:227-259`: to-remove is computed from the OLD directory
+    * config, not from the compiled set).
+    */
+  private val dirDocs = new scala.collection.concurrent.TrieMap[String, Node]()
+
+  /** Parse every `*.json` / `*.edn` stream document in `dir` without
+    * touching the registry.
+    */
+  private def parseDir(dir: String): Seq[Node] = {
     val d = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(d)) Nil
     else {
@@ -779,8 +805,47 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
         finally listing.close()
       paths.flatMap { p =>
         val text = java.nio.file.Files.readString(p)
-        if (p.toString.endsWith(".edn")) addEdn(text) else addJson(text)
+        if (p.toString.endsWith(".edn")) Edn.streamDocs(text)
+        else Node.manyFromJson(text)
       }
     }
+  }
+
+  /** Outcome of a [[reloadFrom]] diff (reference `new-config`,
+    * `stream.clj:129-143`: to-add / to-reload / to-remove, plus the
+    * unchanged set this implementation leaves untouched).
+    */
+  final case class ReloadResult(added: Seq[String], reloaded: Seq[String],
+                                removed: Seq[String], unchanged: Seq[String])
+
+  /** Diff-based hot reload — the SIGHUP / API-triggered `reload`
+    * (`stream.clj:227-259`, `core.clj:136-143`): re-read the streams
+    * directory and apply only the delta. Streams whose document is
+    * byte-identical (structural `Node` equality — documents are plain
+    * data) are NOT re-registered, so their registered pipeline keeps its
+    * node identity (and anything keyed off it — running queries, caches —
+    * is undisturbed); removed files unregister their streams; new or
+    * changed documents (re)register. Dynamically-added streams that never
+    * came from the directory are never removed by a reload.
+    */
+  def reloadFrom(dir: String): ReloadResult = synchronized {
+    val parsed = parseDir(dir).map(n => parseStreamNode(n)._1 -> n)
+    val newDocs = scala.collection.immutable.ListMap(parsed: _*)
+    val old = dirDocs.snapshot()
+    val removed = (old.keySet -- newDocs.keySet).toSeq.sorted
+    removed.foreach { n => remove(n); dirDocs.remove(n) }
+    val added = scala.collection.mutable.ListBuffer[String]()
+    val reloaded = scala.collection.mutable.ListBuffer[String]()
+    val unchanged = scala.collection.mutable.ListBuffer[String]()
+    newDocs.foreach { case (name, doc) =>
+      old.get(name) match {
+        case Some(prev) if prev == doc => unchanged += name
+        case prev =>
+          addStreamNode(doc)
+          dirDocs.put(name, doc)
+          if (prev.isEmpty) added += name else reloaded += name
+      }
+    }
+    ReloadResult(added.toSeq, reloaded.toSeq, removed, unchanged.toSeq)
   }
 }

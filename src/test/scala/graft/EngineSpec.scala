@@ -354,6 +354,47 @@ class EngineSpec extends AnyFunSuite {
     assert(reg3.get("alerts") == reg.get("alerts") && reg3.defaults == Seq("alerts"))
   }
 
+  test("diff-based hot reload: only changed files touch the registry (stream.clj:227-259)") {
+    def streamJson(name: String, threshold: Int, default: Boolean = false) =
+      s"""{"streams":[{"action":"stream","params":[{"name":"$name","default":$default}],
+         |  "children":[{"action":"where","params":[[">","metric",$threshold]],
+         |               "children":[{"action":"tap","params":["out"]}]}]}]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-reload")
+    def write(file: String, text: String) =
+      java.nio.file.Files.writeString(dir.resolve(file), text)
+    write("a.json", streamJson("a", 100))
+    write("b.json", streamJson("b", 10))
+    write("c.json", streamJson("c", 1))
+
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    assert(reg.loadFrom(dir.toString).sorted == Seq("a", "b", "c"))
+    // a dynamically-added stream never came from the directory: reloads
+    // must leave it alone (reference: to-remove diffs the OLD dir config)
+    reg.addJson(streamJson("dyn", 5))
+    val aBefore = reg.get("a").get
+    val bBefore = reg.get("b").get
+
+    // change b, delete c, add d; a and dyn untouched
+    write("b.json", streamJson("b", 300))
+    java.nio.file.Files.delete(dir.resolve("c.json"))
+    write("d.json", streamJson("d", 7))
+    val r = reg.reloadFrom(dir.toString)
+    assert(r.added == Seq("d") && r.reloaded == Seq("b") &&
+      r.removed == Seq("c") && r.unchanged == Seq("a"))
+    assert(reg.list == Seq("a", "b", "d", "dyn"))
+    // unchanged stream keeps its registered node IDENTITY, not just equality
+    assert(reg.get("a").get eq aBefore)
+    // changed stream was re-registered with the new document
+    assert(!(reg.get("b").get eq bBefore))
+    val df = events(ev(500, 1 * S, id = 1), ev(50, 2 * S, id = 2))
+    assert(reg.push(df, "b")("b").taps("out").select("eventId")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L)) // new threshold 300 live (old 10 passed both)
+
+    // idempotence: a second reload with no file changes is all-unchanged
+    val r2 = reg.reloadFrom(dir.toString)
+    assert(r2 == reg.ReloadResult(Nil, Nil, Nil, Seq("a", "b", "d")))
+  }
+
   test("salt widens downstream grouping; re-aggregating recovers the unsalted result") {
     // one hot host: 40 events on "hot", 2 on "cold"
     val evs = (1 to 40).map(i => ev(1, i * S, host = "hot", id = i.toLong)) ++

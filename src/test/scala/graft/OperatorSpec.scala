@@ -243,6 +243,35 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("LSH hash-invariance: exact-duplicate docs pair under md5 AND xxhash64") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    val s = spark
+    import s.implicits._
+    // docs 1/2 and 3/4 are exact duplicates (identical shingle sets →
+    // identical minhash signature under ANY hash fn → same bucket in
+    // every band); 5 is unrelated. This is the deterministic subset of
+    // the candidate set that does not depend on hash choice — the
+    // property backing dedup_minhash_lsh_xx's rows-only gate (see the
+    // registration note in Queries.scala).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "pack my box with five dozen liquor jugs right now"),
+      (4L, "pack my box with five dozen liquor jugs right now"),
+      (5L, "completely different text about spark streaming windows here")
+    ).toDF("doc_id", "text")
+    def pairs(hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.lshCandidates(docs, "text", "doc_id", k = 8, rowsPerBand = 2, hashFn = hashFn)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = pairs(graft.functions.Text.md5HashMod)
+    val xxPairs = pairs(c => pmod(xxhash64(c), lit(1000000007L)))
+    for (ps <- Seq(md5Pairs, xxPairs)) {
+      assert(Set((1L, 2L), (3L, 4L)).subsetOf(ps), s"exact dups must pair, got $ps")
+      assert(!ps.exists(p => p._1 == 5L || p._2 == 5L), s"doc 5 must stay pair-free, got $ps")
+    }
+  }
+
   test("clusterPairs fails loudly when the iteration cap cuts convergence short") {
     import graft.operators.Dedup
     val s = spark
