@@ -29,9 +29,18 @@ import java.net.{InetSocketAddress, ServerSocket, Socket}
 final class RiemannTcpServer(registry: StreamRegistry, spark: SparkSession,
                              port: Int = 0,
                              maxFrameBytes: Int = RiemannTcpServer.DefaultMaxFrameBytes,
-                             websockets: Option[WebSocketHub] = None) {
+                             websockets: Option[WebSocketHub] = None,
+                             tls: Option[Tls.Config] = None) {
 
-  private val server = new ServerSocket()
+  // TLS when key/cert/cacert are configured, with client certs REQUIRED —
+  // mutual TLS exactly like the reference (`tcp.clj:110-117,176-182`)
+  private val server: ServerSocket = tls match {
+    case Some(cfg) =>
+      val s = Tls.sslContext(cfg).getServerSocketFactory.createServerSocket()
+      s.asInstanceOf[javax.net.ssl.SSLServerSocket].setNeedClientAuth(true)
+      s
+    case None => new ServerSocket()
+  }
   private val eventSeq = new java.util.concurrent.atomic.AtomicLong()
   @volatile private var running = false
 

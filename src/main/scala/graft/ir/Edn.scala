@@ -34,6 +34,26 @@ import scala.collection.immutable.ListMap
   */
 object Edn {
 
+  /** The reference's aero `#secret` tag (`config.clj:45-47`, which wraps
+    * the value in a mask): the value never appears in `toString` — so
+    * logged configs, error messages, and persisted documents stay
+    * redacted — and is recovered explicitly via [[Secret.reveal]].
+    * Equality is by the underlying value so config diffing (hot reload)
+    * still detects changed secrets without printing them.
+    */
+  final class Secret(private val value: Any) {
+    def reveal: Any = value
+    override def toString: String = "#secret[REDACTED]"
+    override def equals(o: Any): Boolean = o match {
+      case s: Secret => s.value == value
+      case _         => false
+    }
+    override def hashCode: Int = 31 * value.##
+  }
+  object Secret {
+    def apply(value: Any): Secret = new Secret(value)
+  }
+
   /** Parse a single EDN form. */
   def parse(text: String): Any = {
     val p = new Parser(text)
@@ -117,8 +137,9 @@ object Edn {
           resolveProfiles(chosen, env)
         case _ => mm.map { case (k, x) => k -> resolveProfiles(x, env) }
       }
-    case xs: Seq[_] => xs.map(resolveProfiles(_, env))
-    case other      => other
+    case xs: Seq[_]  => xs.map(resolveProfiles(_, env))
+    case sec: Secret => Secret(resolveProfiles(sec.reveal, env)) // #secret #profile {...}
+    case other       => other
   }
 
   // ---------------------------------------------------------------- parser
@@ -277,6 +298,7 @@ object Edn {
         tag match {
           case "mirabelle/var" => ListMap("var" -> String.valueOf(value))
           case "profile"       => ListMap("profile" -> value)
+          case "secret"        => Secret(value)
           case other           => ListMap(other -> value)
         }
       }

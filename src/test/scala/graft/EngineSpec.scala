@@ -177,6 +177,20 @@ class EngineSpec extends AnyFunSuite {
     assert(Edn.parse("#mirabelle/var threshold") == Map("var" -> "threshold"))
     assert(Edn.parse("#profile {:dev 1 :default 2}") ==
       Map("profile" -> Map("dev" -> 1L, "default" -> 2L)))
+    // #secret masks the value everywhere it could leak but stays
+    // recoverable and diffable (config.clj:45-47)
+    val sec = Edn.parse("""{:password #secret "hunter2"}""")
+      .asInstanceOf[Map[String, Any]]("password").asInstanceOf[Edn.Secret]
+    assert(sec.reveal == "hunter2")
+    assert(!sec.toString.contains("hunter2") && !s"$sec".contains("hunter2"))
+    assert(sec == Edn.Secret("hunter2") && sec != Edn.Secret("other"))
+    // #secret #profile {...}: the inner profile resolves, still masked
+    val doc = Edn.streamDocs(
+      """{:s {:actions {:action :where
+        |               :params [#secret #profile {:default "k1" :prod "k2"}]
+        |               :children []}}}""".stripMargin, env = Map.empty)
+    val p = doc.head.children.head.params.head.asInstanceOf[Edn.Secret]
+    assert(p.reveal == "k1" && !p.toString.contains("k1"))
   }
 
   test("EDN stream file runs identically to its JSON-IR twin") {

@@ -80,6 +80,60 @@ class RiemannTcpSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("TLS round-trip: mutual-TLS client delivers frames; plaintext client is rejected") {
+    // throwaway PKI generated per-run (CA + server/client certs signed by
+    // it) — mirrors the reference's key/cert/cacert config triple
+    // (tcp.clj:150-153,176-182) and its needClientAuth (tcp.clj:110-117)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    def sh(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).directory(dir.toFile)
+        .redirectErrorStream(true).start()
+      val log = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"${cmd.mkString(" ")} failed:\n$log")
+    }
+    sh("openssl", "genpkey", "-algorithm", "RSA", "-pkeyopt", "rsa_keygen_bits:2048", "-out", "ca.key")
+    sh("openssl", "req", "-x509", "-new", "-key", "ca.key", "-subj", "/CN=graft-test-ca",
+      "-days", "2", "-out", "ca.pem")
+    for (side <- Seq("server", "client")) {
+      sh("openssl", "genpkey", "-algorithm", "RSA", "-pkeyopt", "rsa_keygen_bits:2048",
+        "-out", s"$side.key")
+      sh("openssl", "req", "-new", "-key", s"$side.key", "-subj", s"/CN=graft-$side",
+        "-out", s"$side.csr")
+      sh("openssl", "x509", "-req", "-in", s"$side.csr", "-CA", "ca.pem", "-CAkey", "ca.key",
+        "-CAcreateserial", "-days", "2", "-out", s"$side.pem")
+    }
+    def cfg(side: String) = graft.http.Tls.Config(
+      key = dir.resolve(s"$side.key").toString,
+      cert = dir.resolve(s"$side.pem").toString,
+      cacert = dir.resolve("ca.pem").toString)
+
+    val outDir = java.nio.file.Files.createTempDirectory("riemann_tls_out").toString
+    val reg = new StreamRegistry(EngineCtx(testMode = false))
+    reg.add("sink", Node.fromJson(
+      s"""{"action":"output-file","params":[{"path":"$outDir/out"}]}"""), default = true)
+    val srv = new RiemannTcpServer(reg, spark, tls = Some(cfg("server"))).start()
+    try {
+      val sock = graft.http.Tls.sslContext(cfg("client")).getSocketFactory
+        .createSocket("127.0.0.1", srv.boundPort)
+      val (ok, err) = sendFrame(sock.asInstanceOf[Socket],
+        RiemannCodec.encodeMsg(Seq(rev(42.0, 1 * S, "tls-host"))))
+      assert(ok.contains(true) && err.isEmpty)
+      val back = spark.read.json(s"$outDir/out")
+      assert(back.select("host", "metric").collect().map(r =>
+        (r.getString(0), r.getDouble(1))).toSeq == Seq(("tls-host", 42.0)))
+      sock.close()
+
+      // a plaintext client cannot deliver: the handshake fails, the
+      // server answers at most a TLS alert (never a framed Riemann ACK),
+      // and the event is not applied
+      val plain = new Socket("127.0.0.1", srv.boundPort)
+      try intercept[java.io.IOException] {
+        sendFrame(plain, RiemannCodec.encodeMsg(Seq(rev(1.0, 2 * S, "plain"))))
+      } finally plain.close()
+      assert(spark.read.json(s"$outDir/out").count() == 1)
+    } finally srv.stop()
+  }
+
   test("oversized frame headers close the connection instead of allocating") {
     val reg = new StreamRegistry(EngineCtx(testMode = false))
     val srv = new RiemannTcpServer(reg, spark, maxFrameBytes = 1024).start()
