@@ -248,6 +248,18 @@ object Dedup {
     // union-find (union-by-min + path compression — exact, one pass, an
     // EXECUTOR-side kernel, not a driver collect). Billion-edge graphs
     // and non-integral ids take the iterative path below.
+    //
+    // 10×-scale-probe note (bench history shows dedup_clusters ratios of
+    // 1.7-2.2 between sf0.01 and sf0.1): BOTH bench scale points take
+    // THIS path (sf0.1 produces ~157k LSH edges, 60× under the 10M
+    // threshold), so the probed ratio says nothing about the iterative
+    // label-propagation rounds — it is the upstream LSH candidate
+    // pipeline scaling plus this path's fixed multi-job floor (edge
+    // count, checkpoint, one single-task kernel). Measured clean-load
+    // steady state 2026-08: 0.58s @sf0.01 vs 1.0s @sf0.1 = 1.75; in-bench
+    // readings above 2.0 track ambient load / code-cache pressure, not a
+    // superlinear operator (which would surface in dedup_minhash_lsh
+    // first — same pipeline, no clustering).
     val integralIds = {
       import org.apache.spark.sql.types._
       edges.schema.fields.forall(_.dataType match {

@@ -162,12 +162,21 @@ object Similarity {
     * Scale: one shuffle on the cell id; pair generation is per-cell (the
     * SemDeDup contract — cells are k-means-balanced at scale). Returns
     * the surviving rows of `df`.
+    *
+    * `nCells <= 0` (the default) derives the cell count as ~√corpus
+    * (clamped to [16, 65536]), which keeps the within-cell pair step at
+    * ~corpus^1.5 total instead of corpus²/constant — a fixed default like
+    * 16 silently turns quadratic on a large corpus. The derivation costs
+    * one count() job; pass an explicit `nCells` to skip it.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int = 16, threshold: Double = 0.35): DataFrame = {
+                    nCells: Int = 0, threshold: Double = 0.35): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(65536, math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt))
     val cents: Array[(Long, Seq[Float])] = df
       .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(nCells)
+      .orderBy(col(idCol)).limit(cells)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     // no vectors, no duplicates — also keeps plan-construction total on
     // the empty frame the IR validator probes with
