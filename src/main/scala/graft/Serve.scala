@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * (`core.clj:118-143`: read config dirs → compile streams → start HTTP):
   * load persisted stream documents from a config directory into a
   * [[StreamRegistry]], start the [[ControlPlane]], and serve until
-  * terminated. Add/remove over HTTP is the hot-reload surface (the
-  * reference's SIGHUP re-read is its restart-free analog);
+  * terminated. Hot reload has both of the reference's surfaces:
+  * add/remove over HTTP, and SIGHUP re-reading the streams directory
+  * diff-wise (`core.clj:136-143` → [[StreamRegistry.reloadFrom]]);
   * `SPARK_GRAFT_PERSIST=true` writes registry changes back on shutdown.
   *
   * Environment:
@@ -34,6 +35,29 @@ object Serve {
     (registry, new ControlPlane(registry, spark, port).start())
   }
 
+  /** SIGHUP → diff-reload of the streams directory, exactly the
+    * reference's handler (`core.clj:136-143`: log, reload, never let a
+    * reload failure kill the process). Returns false where the platform
+    * or JVM flags don't expose signal handling (reload stays available
+    * over HTTP).
+    */
+  def installReloadHandler(registry: StreamRegistry, streamsDir: String): Boolean =
+    try {
+      sun.misc.Signal.handle(new sun.misc.Signal("HUP"), (_: sun.misc.Signal) =>
+        try {
+          val r = registry.reloadFrom(streamsDir)
+          System.err.println(s"[serve] SIGHUP reload: added=${r.added.mkString(",")} " +
+            s"reloaded=${r.reloaded.mkString(",")} removed=${r.removed.mkString(",")} " +
+            s"unchanged=${r.unchanged.size}")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[serve] reload failed: ${e.getMessage}")
+        })
+      true
+    } catch {
+      case _: Throwable => false
+    }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -46,6 +70,7 @@ object Serve {
     val dir = sys.env.getOrElse("SPARK_GRAFT_STREAMS_DIR", "streams")
     val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "5558").toInt
     val (registry, cp) = boot(spark, dir, port)
+    installReloadHandler(registry, dir)
     System.err.println(s"[serve] listening on 127.0.0.1:${cp.boundPort}")
     val done = new java.util.concurrent.CountDownLatch(1)
     sys.addShutdownHook {

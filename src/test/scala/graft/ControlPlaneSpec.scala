@@ -208,6 +208,27 @@ class ControlPlaneSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("SIGHUP triggers a diff-reload of the streams directory (core.clj:136-143)") {
+    val dir = java.nio.file.Files.createTempDirectory("serve_hup")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"action":"stream","params":[{"name":"a"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val registry = new graft.ir.StreamRegistry(EngineCtx(testMode = true))
+    registry.loadFrom(dir.toString)
+    assert(registry.list == Seq("a"))
+    assume(Serve.installReloadHandler(registry, dir.toString),
+      "platform without sun.misc.Signal support")
+    // add a file, then poke the process: the handler must pick it up
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"action":"stream","params":[{"name":"b"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
+    val deadline = System.nanoTime + 5000000000L
+    while (registry.list != Seq("a", "b") && System.nanoTime < deadline)
+      Thread.sleep(20)
+    assert(registry.list == Seq("a", "b"))
+  }
+
   test("metrics route: Prometheus text scrape with push counters") {
     withServer() { (_, base) =>
       val (code, text) = send("GET", s"$base/metrics")
