@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
   * distributed (the condition filter is a Spark plan; only matching rows
   * are collected for the send).
   */
-final class WebSocketHub(port: Int = 0) {
+final class WebSocketHub(port: Int = 0,
+                         drainGraceMs: Long = WebSocketHub.DefaultDrainGraceMs) {
 
   /** One subscriber. Outbound frames go through a bounded queue drained
     * by a per-connection writer thread, so a subscriber that stops
@@ -74,11 +75,19 @@ final class WebSocketHub(port: Int = 0) {
       * WITHOUT clearing it, so the writer drains what is already queued
       * (the close-handshake echo in particular) before closing the
       * socket. Falls back to [[abort]] if the queue is too full to take
-      * the poison (slow consumer). Idempotent.
+      * the poison (slow consumer). The drain gets a bounded grace
+      * period: a subscriber that initiated close but stopped reading
+      * would otherwise leave the writer blocked in `write` on a full TCP
+      * window forever (socket + thread leak until hub stop), so a timer
+      * escalates to [[abort]] if the writer hasn't finished by then.
+      * Idempotent.
       */
     def close(): Unit = {
       closed = true
       if (!queue.offer(Array.emptyByteArray)) abort()
+      else closeTimer.schedule(new java.util.TimerTask {
+        def run(): Unit = if (writer.isAlive) abort()
+      }, drainGraceMs)
     }
 
     /** Hard drop (slow consumer / poisoned condition / hub shutdown):
@@ -95,6 +104,7 @@ final class WebSocketHub(port: Int = 0) {
 
   private val server = new ServerSocket()
   private val subs = new java.util.concurrent.CopyOnWriteArrayList[Sub]()
+  private val closeTimer = new java.util.Timer("graft-ws-close", true)
   @volatile private var running = false
 
   def boundPort: Int = server.getLocalPort
@@ -112,6 +122,7 @@ final class WebSocketHub(port: Int = 0) {
   def stop(): Unit = {
     running = false
     try server.close() catch { case _: java.io.IOException => }
+    closeTimer.cancel()
     subs.asScala.foreach(dropSub) // CoW list: safe to remove while iterating
     subs.clear()
   }
@@ -356,4 +367,9 @@ final class WebSocketHub(port: Int = 0) {
 object WebSocketHub {
   /** Upper bound on the HTTP upgrade request (request line + headers). */
   val MaxHandshakeBytes: Int = 16 * 1024
+
+  /** How long a graceful close may spend draining queued frames before
+    * the subscriber is force-dropped (see `Sub.close`).
+    */
+  val DefaultDrainGraceMs: Long = 5000L
 }

@@ -179,6 +179,42 @@ class WebSocketSpec extends AnyFunSuite {
     } finally hub.stop()
   }
 
+  test("graceful close escalates to abort when the drain stalls on a non-reading subscriber") {
+    // short grace so the test is fast; big frames + a tiny client receive
+    // window wedge the writer in write() mid-drain
+    val hub = new WebSocketHub(drainGraceMs = 300).start()
+    try {
+      val sock = new Socket()
+      sock.setReceiveBufferSize(4096) // advertise a tiny window (pre-connect)
+      sock.connect(new java.net.InetSocketAddress("127.0.0.1", hub.boundPort))
+      val out = sock.getOutputStream
+      out.write(("GET /channel/big HTTP/1.1\r\nHost: localhost\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\nSec-WebSocket-Version: 13\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      val head = new StringBuilder
+      while (!head.endsWith("\r\n\r\n")) { val c = sock.getInputStream.read(); require(c >= 0); head += c.toChar }
+      awaitSubs(hub, 1)
+
+      // queue ~32 MB of frames the client will never read
+      val big = "x" * (4 * 1024 * 1024)
+      val df = events((1 to 8).map(i =>
+        ev(1, i * S, id = i).copy(description = Some(big))): _*)
+      val res = graft.ir.Engine.run(
+        Node.fromJson("""{"action":"publish!","params":["big"]}"""),
+        df, EngineCtx(testMode = false))
+      hub.publish(res)
+
+      // client initiates close but never reads: the drain cannot finish
+      out.write(Array[Byte](0x88.toByte, 0x80.toByte, 0x1, 0x2, 0x3, 0x4)) // masked close
+      out.flush()
+      // without the grace deadline this would leak the subscriber until
+      // hub.stop(); with it, the writer is force-dropped
+      awaitSubs(hub, 0)
+      sock.close()
+    } finally hub.stop()
+  }
+
   test("control-plane push fans out to websocket subscribers end to end") {
     val reg = new StreamRegistry(EngineCtx(testMode = false))
     reg.add("pub", Node.fromJson(
