@@ -418,6 +418,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(unbounded == Seq(5L, 10L, 15L, 20L), s"NoTimeout must accumulate, got $unbounded")
   }
 
+  test("stateful op state survives a query restart from checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ck = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ck-out").toString + "/out"
+    val ms = MemoryStream[Event]
+    def start() = Streaming.ewmaTimeless(0.5, Seq("host"))(ms.toDF()).toDF()
+      .writeStream.format("json").option("path", outDir)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val fixture = Seq(ev(10, 1 * S, id = 1), ev(20, 2 * S, id = 2),
+      ev(2, 3 * S, id = 3), ev(8, 4 * S, id = 4))
+    val q1 = start()
+    ms.addData(fixture.take(2)); q1.processAllAvailable(); q1.stop()
+    // cold restart of the QUERY (same checkpoint): per-key ewma state must
+    // resume, not reseed at 0 — ids 3/4 depend on the means of ids 1/2
+    val q2 = start()
+    ms.addData(fixture.drop(2)); q2.processAllAvailable(); q2.stop()
+    val streamed = s.read.json(outDir).select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Analytics.ewmaTimeless(0.5, Seq("host"))(events(fixture: _*))
+      .toDF().select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("riemann wire decode runs on a stream: framed Msg bytes → event rows") {
     import graft.sources.RiemannCodec
     import graft.sources.RiemannCodec.RiemannEvent
