@@ -807,6 +807,32 @@ object QueriesPipeline {
       }
     }
 
+    // exact-substring dedup signal (Lee et al. 2022): per-doc duplicated
+    // n-gram window stats; the oracle replays the identical window
+    // hashing and corpus-wide count
+    locally {
+      val n = 8
+      register("dup_ngram_stats",
+        s"""$DocsView,
+           |w AS (
+           |  SELECT doc_id, unnest(list_transform(${sqlNgrams("toks", n)},
+           |                        g -> ${sqlMd5HashMod("g")})) AS h
+           |  FROM docs),
+           |c AS (SELECT h, count(*) AS cnt FROM w GROUP BY h),
+           |s AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           |         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+           |  FROM w JOIN c USING (h) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       coalesce(s.n_windows, 0) AS n_windows,
+           |       coalesce(s.dup_windows, 0) AS dup_windows,
+           |       CAST(s.dup_windows AS DOUBLE) / s.n_windows AS dup_frac
+           |FROM docs d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Dedup.duplicateNgramStats(docs(s, dir), "text", "doc_id", n)
+          .orderBy("doc_id")
+      }
+    }
+
     locally {
       val votes = (0 until 32).map { b =>
         s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),

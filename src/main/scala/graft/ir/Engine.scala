@@ -583,6 +583,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.lineDedup(df, pStr(m("id")), pStr(m("text")),
         m.get("line-tokens").map(pLong(_).toInt).getOrElse(7))
+    case "dup-ngram-stats" =>
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.duplicateNgramStats(df, pStr(m("text")), pStr(m("id")),
+        m.get("n").map(pLong(_).toInt).getOrElse(50)) // RefinedWeb's 50-token rule
     case "token-budget" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.tokenBudgetSelect(df, pStr(m("group")), pStr(m("score")),
@@ -618,7 +622,7 @@ object Engine {
     case "semantic-dedup" =>
       val m = pMap(params.head)
       df => graft.operators.Similarity.semanticDedup(df, pStr(m("id")), pStr(m("vec")),
-        nCells = m.get("cells").map(pLong(_).toInt).getOrElse(16),
+        nCells = m.get("cells").map(pLong(_).toInt).getOrElse(0), // 0 = derive ~sqrt(corpus)
         threshold = m.get("threshold").map(pDouble).getOrElse(0.35))
 
     // multimodal plumbing as declarable stages (media frame in, media/

@@ -56,6 +56,58 @@ object Dedup {
     df.withColumn("minhash", sig)
   }
 
+  /** Duplicated n-gram window statistics — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"; RefinedWeb's 50-token rule): hash every
+    * length-`n` token window, count occurrences corpus-wide, and report
+    * per document how many of its windows occur more than once anywhere
+    * (including elsewhere in the same document — a repeated span's
+    * second occurrence is removable text by the substring-dedup rule).
+    *
+    * Output: `(doc_id, n_windows, dup_windows, dup_frac)`, one row per
+    * input document; `dup_frac` is NULL for documents shorter than `n`
+    * tokens. Downstream policy — drop documents above a threshold, or
+    * locate the spans for surgical cuts — composes as a filter/join.
+    *
+    * Scale: the exploded window table is one row per token position,
+    * which is the known minimum working set of substring dedup (suffix
+    * arrays reach the same n·|corpus| bound) — and it is exploded and
+    * hashed exactly ONCE (a count-then-join-back formulation plans the
+    * explode twice: the partial aggregate under one branch defeats
+    * exchange reuse). Only 64-bit window hashes are ever shuffled, never
+    * window strings: (1) groupBy (doc, hash) with map-side combine —
+    * within-doc repeats collapse here, so later shuffles carry distinct
+    * (doc, hash) pairs, not raw windows; (2) a sum-over-hash window
+    * gives each pair its corpus-wide occurrence total (skew degrades to
+    * external sort, never a collected list); (3) per-doc re-aggregation.
+    * No crossJoin, no driver materialization.
+    */
+  def duplicateNgramStats(df: DataFrame, textCol: String, idCol: String,
+                          n: Int,
+                          hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    val toks = Text.tokens(col(textCol))
+    // one hash per window start; empty array (not a descending sequence)
+    // for docs shorter than n tokens
+    val winHashes = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => hashFn(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array())
+    val docWin = df.select(col(idCol).as("__id"), explode(winHashes).as("__h"))
+      .groupBy("__id", "__h").agg(count(lit(1)).as("__k"))
+    val withTotal = docWin.withColumn("__c",
+      sum(col("__k")).over(Window.partitionBy(col("__h"))))
+    val stats = withTotal.groupBy("__id").agg(
+      sum(col("__k")).as("n_windows"),
+      sum(when(col("__c") > 1, col("__k")).otherwise(0L)).as("dup_windows"))
+    val ids = df.select(col(idCol))
+    ids.join(stats, ids(idCol) === stats("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
+  }
+
   /** LSH candidate pairs: bucket on (band index, band slice of the
     * signature); pairs emerge from a self-join *within buckets* — the only
     * shuffle is on the bucket key, so cost tracks bucket skew, not n².

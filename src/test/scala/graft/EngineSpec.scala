@@ -636,6 +636,12 @@ class EngineSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(3))
     assert(ld.toSeq == Seq(1L -> "a b c d", 2L -> "e f", 3L -> "g h i j"))
 
+    // exact-substring signal: docs 1/2 share the bigram "a b"
+    val dn = tap("""{"action":"dup-ngram-stats","params":[{"id":"doc_id","text":"text","n":2}],
+                   | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dn.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 0L)))
+
     val dm = tap("""{"action":"domain-mix",
                    | "params":[{"domain":"source","id":"doc_id","shares":{"big":0.5,"small":0.5}}],
                    | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)

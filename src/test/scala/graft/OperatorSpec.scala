@@ -243,6 +243,34 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("duplicateNgramStats marks corpus-wide repeated windows (exact-substring signal)") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // doc 1 and doc 2 share an exact 4-token span; doc 3 is clean; doc 4
+    // repeats a span within itself; doc 5 is shorter than the window
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one two three"),
+      (2L, "prefix words alpha beta gamma delta suffix"),
+      (3L, "completely fresh text with no repeats at all"),
+      (4L, "spam spam spam spam spam spam spam"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateNgramStats(docs, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // doc 1: 5 windows, 1 shared ("alpha beta gamma delta")
+    assert(out(1L) == ((5L, 1L, Some(0.2))))
+    // doc 2: 4 windows, the shared one duplicated
+    assert(out(2L) == ((4L, 1L, Some(0.25))))
+    // doc 3: 5 windows, none duplicated
+    assert(out(3L) == ((5L, 0L, Some(0.0))))
+    // doc 4: all 4 windows are the same 4-gram -> all duplicated
+    assert(out(4L) == ((4L, 4L, Some(1.0))))
+    // doc 5: no window of length 4; frac is NULL, not 0/0
+    assert(out(5L) == ((0L, 0L, None)))
+  }
+
   test("LSH hash-invariance: exact-duplicate docs pair under md5 AND xxhash64") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
