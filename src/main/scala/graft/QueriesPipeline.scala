@@ -833,6 +833,34 @@ object QueriesPipeline {
       }
     }
 
+    // the destructive half: drop every token covered by a duplicated
+    // window and rebuild the text; oracle replays coverage per token
+    // index (a token i survives iff no duplicated window starts in
+    // [i-n+1, i])
+    locally {
+      val n = 8
+      register("dup_ngram_cut",
+        s"""$DocsView,
+           |g AS (
+           |  SELECT doc_id, toks,
+           |         list_transform(${sqlNgrams("toks", n)},
+           |                        x -> ${sqlMd5HashMod("x")}) AS gh
+           |  FROM docs),
+           |c AS (SELECT h, count(*) AS cnt FROM (SELECT unnest(gh) AS h FROM g) GROUP BY h),
+           |d AS (SELECT coalesce(list(h), []) AS dups FROM c WHERE cnt > 1)
+           |SELECT doc_id,
+           |       CASE WHEN toks IS NULL THEN NULL
+           |            ELSE coalesce( -- array_to_string([]) is NULL, want ''
+           |       array_to_string(list_filter(toks, (t, i) ->
+           |         len(list_filter(range(greatest(1, i - ${n - 1}),
+           |                               least(i, len(toks) - ${n - 1}) + 1),
+           |             s -> list_contains(d.dups, gh[s]))) = 0), ' '), '') END AS text
+           |FROM g, d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Dedup.cutDuplicateNgrams(docs(s, dir), "text", "doc_id", n)
+          .orderBy("doc_id")
+      }
+    }
+
     locally {
       val votes = (0 until 32).map { b =>
         s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -587,6 +587,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.duplicateNgramStats(df, pStr(m("text")), pStr(m("id")),
         m.get("n").map(pLong(_).toInt).getOrElse(50)) // RefinedWeb's 50-token rule
+    case "dup-ngram-cut" =>
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.cutDuplicateNgrams(df, pStr(m("text")), pStr(m("id")),
+        m.get("n").map(pLong(_).toInt).getOrElse(50))
     case "token-budget" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.tokenBudgetSelect(df, pStr(m("group")), pStr(m("score")),

@@ -108,6 +108,53 @@ object Dedup {
         (col("dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
   }
 
+  /** Exact-substring CUT — the destructive half of Lee et al. 2022: drop
+    * every token covered by a duplicated length-`n` window (a window
+    * whose hash occurs more than once corpus-wide, self-repeats
+    * included) and rebuild the text from the surviving tokens.
+    *
+    * The FIRST corpus occurrence is cut too (the paper's ExactSubstr
+    * variant keeps one copy; cutting all is the conservative
+    * contamination-removal rule and keeps the plan one-pass — keeping
+    * exactly one copy requires a global occurrence ordering, a second
+    * corpus-wide shuffle). Rebuilt text is tokens joined by single
+    * spaces: tokenization is lossy by design, like the reference's other
+    * token-level transforms.
+    *
+    * Output: `(idCol, textCol)` with the cut text (empty string if
+    * everything was covered); docs shorter than `n` tokens pass through
+    * re-joined. Scale shape: the same single-explode window pipeline as
+    * [[duplicateNgramStats]], then ONE join of per-doc duplicated window
+    * START LISTS (tiny next to the corpus — only duplicated starts
+    * travel) back to the docs; coverage is per-row array algebra.
+    */
+  def cutDuplicateNgrams(df: DataFrame, textCol: String, idCol: String,
+                         n: Int,
+                         hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    val toks = Text.tokens(col(textCol))
+    val winHashes = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => hashFn(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array())
+    // (doc, window start pos, hash); pos is 1-based
+    val wins = df.select(col(idCol).as("__id"),
+        posexplode(winHashes).as(Seq("__p0", "__h")))
+      .select(col("__id"), (col("__p0") + 1).as("__p"), col("__h"))
+    val withTotal = wins.withColumn("__c",
+      sum(lit(1L)).over(Window.partitionBy(col("__h"))))
+    val dupStarts = withTotal.filter(col("__c") > 1)
+      .groupBy("__id").agg(collect_list(col("__p")).as("__starts"))
+    val ids = df.select(col(idCol), toks.as("__toks"))
+    ids.join(dupStarts, ids(idCol) === dupStarts("__id"), "left")
+      .select(col(idCol),
+        // NULL text stays NULL (concat_ws would swallow it to "")
+        when(col("__toks").isNull, lit(null)).otherwise(
+          concat_ws(" ", filter(col("__toks"), (_, i) =>
+            !exists(coalesce(col("__starts"), array()),
+              s => i + 1 >= s && i + 1 < s + n)))).as(textCol))
+  }
+
   /** LSH candidate pairs: bucket on (band index, band slice of the
     * signature); pairs emerge from a self-join *within buckets* — the only
     * shuffle is on the bucket key, so cost tracks bucket skew, not n².

@@ -271,6 +271,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0L, None)))
   }
 
+  test("cutDuplicateNgrams removes covered tokens, keeps the rest in order") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "one two three four tail only here"),       // shares 4-gram with doc 2
+      (2L, "head words one two three four"),
+      (3L, "untouched text stays exactly as tokenized"),
+      (4L, "ab cd")                                    // shorter than n: pass-through
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateNgrams(docs, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the shared span "one two three four" is cut from BOTH docs
+    assert(out(1L) == "tail only here")
+    assert(out(2L) == "head words")
+    assert(out(3L) == "untouched text stays exactly as tokenized")
+    assert(out(4L) == "ab cd")
+  }
+
   test("LSH hash-invariance: exact-duplicate docs pair under md5 AND xxhash64") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
