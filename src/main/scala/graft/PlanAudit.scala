@@ -58,7 +58,10 @@ object PlanAudit {
     println("| query | shuffles | broadcasts | scans | pushed filters | read schema | codegen spans |")
     println("|---|---|---|---|---|---|---|")
     val qs = SparkEntry.queries
-    Bench.headline.filter(qs.contains).foreach { name =>
+    // arg 2 (comma-separated) appends non-headline queries to the audit
+    val names = Bench.headline ++
+      args.drop(1).headOption.toSeq.flatMap(_.split(',')).filterNot(Bench.headline.contains)
+    names.filter(qs.contains).foreach { name =>
       try {
         val df = qs(name)(spark, sfDir)
         // execute THIS QueryExecution (df.count() would plan a different
