@@ -256,4 +256,35 @@ class PropertySpec extends AnyFunSuite {
       assert(decoded == expected)
     }
   }
+
+  test("substring-dedup laws: stats bound each other; clean docs survive the cut verbatim") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("data", "spark", "batch", "row", "key", "fast", "agg", "join")
+    val genDoc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val genCorpus = Gen.listOf(genDoc).map(_.take(12).zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    forAll(genCorpus, cases = 6) { corpus =>
+      whenever(corpus.nonEmpty) {
+        val df = corpus.toDF("doc_id", "text")
+        val n = 3
+        val stats = Dedup.duplicateNgramStats(df, "text", "doc_id", n)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val cut = Dedup.cutDuplicateNgrams(df, "text", "doc_id", n)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        corpus.foreach { case (id, text) =>
+          val (nw, dw) = stats(id)
+          assert(dw <= nw, s"doc $id: dup_windows $dw > n_windows $nw")
+          val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          assert(nw == math.max(toks.length - n + 1, 0))
+          // a doc with zero duplicated windows passes the cut verbatim
+          // (modulo tokenization re-join); a fully-duplicated doc empties
+          if (dw == 0) assert(cut(id) == toks.mkString(" "))
+          if (nw > 0 && dw == nw) assert(cut(id) == "")
+          // the cut never grows the document
+          assert(cut(id).length <= toks.mkString(" ").length)
+        }
+      }
+    }
+  }
 }
