@@ -85,9 +85,14 @@ final class WebSocketHub(port: Int = 0,
     def close(): Unit = {
       closed = true
       if (!queue.offer(Array.emptyByteArray)) abort()
-      else closeTimer.schedule(new java.util.TimerTask {
+      else try closeTimer.schedule(new java.util.TimerTask {
         def run(): Unit = if (writer.isAlive) abort()
       }, drainGraceMs)
+      catch {
+        // hub stop() cancelled the timer concurrently: no grace period
+        // left to arbitrate, drop hard (stop() aborts every sub anyway)
+        case _: IllegalStateException => abort()
+      }
     }
 
     /** Hard drop (slow consumer / poisoned condition / hub shutdown):

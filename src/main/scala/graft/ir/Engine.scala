@@ -345,7 +345,7 @@ object Engine {
     case "decrement"   => Stateless.decrement
     case "scale"       => Stateless.scale(pDouble(params.head))
     case "with"        => Stateless.withFields(pMap(params.head))
-    case "default"     => Stateless.default(pStr(params.head), params(1))
+    case "default"     => Stateless.default(pStr(params.head), unmask(params(1)))
     case "sdissoc"     => Stateless.sdissoc(pStrs(params.head))
     case "keep-keys"   => Stateless.keepKeys(pStrs(params.head))
     // toSeq of the ListMap-backed param map: pairs apply in DOCUMENT order
@@ -645,9 +645,19 @@ object Engine {
 
   // ---------------- param coercion ----------------
 
-  private def pStr(p: Any): String = p.toString.stripPrefix(":")
-  private def pDouble(p: Any): Double = p.asInstanceOf[Number].doubleValue()
-  private def pLong(p: Any): Long = p.asInstanceOf[Number].longValue()
+  /** The engine's param coercers are the USE sites of config values, so
+    * `#secret`-masked params unmask exactly here — the twin of the
+    * reference's `cloak/unmask` calls inside its output components
+    * (`elasticsearch.clj:96-118`, `pagerduty.clj:60`). Everywhere else
+    * (logs, toString, getJson, saveTo) the mask stays on.
+    */
+  private def unmask(p: Any): Any = p match {
+    case s: Edn.Secret => s.reveal
+    case other         => other
+  }
+  private def pStr(p: Any): String = unmask(p).toString.stripPrefix(":")
+  private def pDouble(p: Any): Double = unmask(p).asInstanceOf[Number].doubleValue()
+  private def pLong(p: Any): Long = unmask(p).asInstanceOf[Number].longValue()
   private def pStrs(p: Any): Seq[String] = p match {
     case s: Seq[_] => s.map(x => pStr(x))
     case single    => Seq(pStr(single))
@@ -655,7 +665,7 @@ object Engine {
   private def pDoubles(p: Any): Seq[Double] =
     p.asInstanceOf[Seq[Any]].map(pDouble)
   private def pMap(p: Any): Map[String, Any] =
-    p.asInstanceOf[Map[String, Any]].map { case (k, v) => k.stripPrefix(":") -> v }
+    p.asInstanceOf[Map[String, Any]].map { case (k, v) => k.stripPrefix(":") -> unmask(v) }
   private def durOf(params: Seq[Any]): Long = pLong(pMap(params.head)("duration"))
   private def sizeOf(params: Seq[Any]): Int = pLong(pMap(params.head)("size")).toInt
   private def delayOf(params: Seq[Any]): Long =
@@ -682,7 +692,15 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     streams.put(name, pipeline)
     defaultFlags.put(name, default)
   }
-  def remove(name: String): Unit = { streams.remove(name); defaultFlags.remove(name) }
+  /** Unregister a stream. Also forgets any directory-load record for the
+    * name, so a later [[reloadFrom]] treats a still-present file as a
+    * fresh ADD (directory = source of truth, the reference's reload
+    * contract) instead of inconsistently resurrecting the stream only
+    * when the file's bytes happened to change.
+    */
+  def remove(name: String): Unit = {
+    streams.remove(name); defaultFlags.remove(name); dirDocs.remove(name)
+  }
   def get(name: String): Option[Node] = streams.get(name)
 
   /** Export a stream's full document as JSON (the HTTP API's

@@ -45,6 +45,11 @@ object Node {
       case n: BigInt     => JLong(n.toLong)
       case xs: Seq[_]    => JArray(xs.map(jAny).toList)
       case m: Map[_, _]  => JObject(m.toList.map { case (k, x) => k.toString -> jAny(x) })
+      // masked config values serialize as their MASK: get-stream responses
+      // and saveTo persistence never leak the secret (and never crash a
+      // whole saveTo pass); the lossiness is the masking contract — the
+      // secret's source of truth is the original EDN file
+      case s: Edn.Secret => JString(s.toString)
       case other => throw new IllegalArgumentException(
         s"unserializable param ${other.getClass.getName}")
     }

@@ -82,17 +82,24 @@ object Dedup {
     * external sort, never a collected list); (3) per-doc re-aggregation.
     * No crossJoin, no driver materialization.
     */
+  /** One hash per length-`n` window start of a token array; empty array
+    * (not a descending sequence) for docs shorter than `n` tokens. The
+    * SINGLE definition both [[duplicateNgramStats]] and
+    * [[cutDuplicateNgrams]] (and their shared DuckDB oracle replay)
+    * hash-agree on.
+    */
+  private def windowHashes(toks: Column, n: Int, hashFn: Column => Column): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => hashFn(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array())
+
   def duplicateNgramStats(df: DataFrame, textCol: String, idCol: String,
                           n: Int,
                           hashFn: Column => Column = Text.md5HashMod): DataFrame = {
     require(n >= 1, s"window length must be >= 1, got $n")
     val toks = Text.tokens(col(textCol))
-    // one hash per window start; empty array (not a descending sequence)
-    // for docs shorter than n tokens
-    val winHashes = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - n + 1),
-        i => hashFn(concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array())
+    val winHashes = windowHashes(toks, n, hashFn)
     val docWin = df.select(col(idCol).as("__id"), explode(winHashes).as("__h"))
       .groupBy("__id", "__h").agg(count(lit(1)).as("__k"))
     val withTotal = docWin.withColumn("__c",
@@ -133,26 +140,41 @@ object Dedup {
                          hashFn: Column => Column = Text.md5HashMod): DataFrame = {
     require(n >= 1, s"window length must be >= 1, got $n")
     val toks = Text.tokens(col(textCol))
-    val winHashes = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - n + 1),
-        i => hashFn(concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array())
     // (doc, window start pos, hash); pos is 1-based
     val wins = df.select(col(idCol).as("__id"),
-        posexplode(winHashes).as(Seq("__p0", "__h")))
+        posexplode(windowHashes(toks, n, hashFn)).as(Seq("__p0", "__h")))
       .select(col("__id"), (col("__p0") + 1).as("__p"), col("__h"))
     val withTotal = wins.withColumn("__c",
       sum(lit(1L)).over(Window.partitionBy(col("__h"))))
     val dupStarts = withTotal.filter(col("__c") > 1)
-      .groupBy("__id").agg(collect_list(col("__p")).as("__starts"))
+      .groupBy("__id").agg(sort_array(collect_list(col("__p"))).as("__starts"))
+    // Merge sorted starts into disjoint covered intervals [lo, hi] first:
+    // each merged interval spans >= n tokens, so a doc has at most
+    // len/n of them — the per-token coverage test below is O(len/n) per
+    // token instead of O(#duplicated starts), which on a pathological
+    // all-duplicated long doc is the difference between O(len^2/n) and
+    // O(len^2) single-row work. Starts are sorted, so an interval merges
+    // iff the next start is <= current hi + 1.
+    val intervals = aggregate(
+      coalesce(col("__starts"), array()),
+      array().cast("array<struct<lo:int,hi:int>>"),
+      (acc, s) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && s <= last.getField("hi") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("lo").as("lo"), (s + n - 1).cast("int").as("hi")))))
+          .otherwise(concat(acc,
+            array(struct(s.cast("int").as("lo"), (s + n - 1).cast("int").as("hi")))))
+      })
     val ids = df.select(col(idCol), toks.as("__toks"))
     ids.join(dupStarts, ids(idCol) === dupStarts("__id"), "left")
+      .withColumn("__iv", intervals)
       .select(col(idCol),
         // NULL text stays NULL (concat_ws would swallow it to "")
         when(col("__toks").isNull, lit(null)).otherwise(
           concat_ws(" ", filter(col("__toks"), (_, i) =>
-            !exists(coalesce(col("__starts"), array()),
-              s => i + 1 >= s && i + 1 < s + n)))).as(textCol))
+            !exists(col("__iv"),
+              iv => i + 1 >= iv.getField("lo") && i + 1 <= iv.getField("hi"))))).as(textCol))
   }
 
   /** LSH candidate pairs: bucket on (band index, band slice of the

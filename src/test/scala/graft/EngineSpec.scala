@@ -193,6 +193,30 @@ class EngineSpec extends AnyFunSuite {
     assert(p.reveal == "k1" && !p.toString.contains("k1"))
   }
 
+  test("#secret params unmask at engine use sites; persistence keeps the mask") {
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    // a secret consumed by a real action via the param coercers
+    reg.addEdn(
+      """{:s {:actions {:action :with
+        |               :params [{:token #secret "hunter2"}]
+        |               :children [{:action :tap :params [:out]}]}}}""".stripMargin)
+    val res = reg.run("s", events(ev(1, 1 * S, id = 1)))
+    assert(res.taps("out").select("token").collect().head.getString(0) == "hunter2")
+    // getJson (HTTP get-stream) serves the MASK, never the value — and
+    // does not crash on the Secret param
+    val json = reg.getJson("s").get
+    assert(!json.contains("hunter2") && json.contains("REDACTED"))
+    // saveTo survives a secret-bearing stream and persists the others too
+    reg.addJson("""{"streams":[{"action":"stream","params":[{"name":"plain"}],
+                  | "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-secret").toString
+    reg.saveTo(dir)
+    val reloaded = new StreamRegistry(EngineCtx(testMode = true))
+    assert(reloaded.loadFrom(dir).sorted == Seq("plain", "s"))
+    assert(!java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/s.json")).contains("hunter2"))
+  }
+
   test("EDN stream file runs identically to its JSON-IR twin") {
     // the reference's successful-test fixture shape
     // (test/resources/test/successful/streams/streams.edn)
@@ -407,6 +431,15 @@ class EngineSpec extends AnyFunSuite {
     // idempotence: a second reload with no file changes is all-unchanged
     val r2 = reg.reloadFrom(dir.toString)
     assert(r2 == reg.ReloadResult(Nil, Nil, Nil, Seq("a", "b", "d")))
+
+    // a stream removed via the API whose file still exists is re-ADDED by
+    // the next reload (the directory is the source of truth for dir
+    // streams — remove() forgets the dir record, so this is consistent
+    // whether or not the file's bytes changed)
+    reg.remove("a")
+    val r3 = reg.reloadFrom(dir.toString)
+    assert(r3.added == Seq("a") && r3.unchanged == Seq("b", "d"))
+    assert(reg.get("a").isDefined)
   }
 
   test("salt widens downstream grouping; re-aggregating recovers the unsalted result") {

@@ -84,6 +84,10 @@ class RiemannTcpSpec extends AnyFunSuite {
     // throwaway PKI generated per-run (CA + server/client certs signed by
     // it) — mirrors the reference's key/cert/cacert config triple
     // (tcp.clj:150-153,176-182) and its needClientAuth (tcp.clj:110-117)
+    assume(
+      try { new ProcessBuilder("openssl", "version").start().waitFor() == 0 }
+      catch { case _: java.io.IOException => false },
+      "openssl not on PATH")
     val dir = java.nio.file.Files.createTempDirectory("graft-tls")
     def sh(cmd: String*): Unit = {
       val p = new ProcessBuilder(cmd: _*).directory(dir.toFile)
