@@ -129,6 +129,39 @@ object Queries {
         .orderBy("eventId")
     }
 
+    // interval (range) join, bucketized equi-join formulation — see
+    // [[operators.Joins.rangeJoin]]: each click lands in every 120 s
+    // incident window an error on the same host opened. The oracle is
+    // the direct inequality join (fine at oracle scale; the Spark plan
+    // must never be that shape).
+    locally {
+      val spanNs = 120L * 1000000000L
+      register("range_join",
+        s"""$EventsView
+           |, clicks AS (SELECT * FROM ev WHERE service = 'click'),
+           |windows AS (SELECT eventId AS win_id, host, time AS win_start,
+           |                   time + $spanNs AS win_end, metric AS win_metric
+           |            FROM ev WHERE service = 'error')
+           |SELECT l.eventId, l.host, l.time,
+           |       w.win_id, w.win_start, w.win_end, w.win_metric
+           |FROM clicks l JOIN windows w
+           |  ON l.host = w.host AND w.win_start <= l.time AND l.time <= w.win_end
+           |ORDER BY l.eventId, w.win_id""".stripMargin) { (s, dir) =>
+        val events = ev(s, dir)
+        val left = events.filter(col("service") === "click")
+        val right = events.filter(col("service") === "error")
+          .select(col("eventId").as("win_id"), col("host"),
+            col("time").as("win_start"), (col("time") + spanNs).as("win_end"),
+            col("metric").as("win_metric"))
+        graft.operators.Joins.rangeJoin(left, right, "time", "win_start", "win_end",
+          valueCols = Seq("win_id", "win_metric"), keys = Seq("host"),
+          bucketWidth = spanNs, prefix = "")
+          .select(col("eventId"), col("host"), col("time"),
+            col("win_id"), col("win_start"), col("win_end"), col("win_metric"))
+          .orderBy("eventId", "win_id")
+      }
+    }
+
     // ---------------- §2.2 filters ----------------
 
     register("where",

@@ -78,4 +78,56 @@ object Joins {
       .filter(col("__side") === 1)
       .select(col("__l.*") +: payload.map(c => col(s"$prefix$c")): _*)
   }
+
+  /** Interval (range) join: every (left event, right interval) pair with
+    * `l.key = r.key AND r.start <= l.ts <= r.end` — "which incident
+    * windows contain this event", one output row per containing interval.
+    *
+    * Scale design — bucketized equi-join, NOT an inequality join: Spark
+    * plans a bare `ON start <= ts AND ts <= end` as broadcast-nested-loop
+    * (or cartesian) — O(|l|·|r|) pair evaluation. Here both sides map
+    * onto fixed-width time buckets: an interval explodes to one row per
+    * bucket it overlaps (⌈span/width⌉+1 rows), an event lands in exactly
+    * one bucket, and the join is a plain shuffled equi-join on
+    * (keys, bucket) plus the exact range filter. Shuffle volume is
+    * |l| + Σ span/width — pick `bucketWidth` near the typical interval
+    * span so typical intervals explode to ~2 rows. Bucket indexes use
+    * floor division built from integer ops only (`(x - pmod(x,w)) div w`
+    * — ns longs never pass through doubles, and negative times bucket
+    * correctly).
+    *
+    * @param valueCols right-side payload columns attached as
+    *                  `<prefix><name>`; `rightStart`/`rightEnd` are
+    *                  always attached the same way
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightStart: String,
+      rightEnd: String,
+      valueCols: Seq[String],
+      keys: Seq[String] = Nil,
+      bucketWidth: Long = 60L * 1000000000L,
+      prefix: String = "r_"): DataFrame = {
+    require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
+    // floor division from integer ops only: x - pmod(x, w) is the largest
+    // multiple of w <= x, and `div` on the named column stays integral
+    def withBucket(df: DataFrame, src: Column, out: String): DataFrame =
+      df.withColumn("__t0", src - pmod(src, lit(bucketWidth)))
+        .withColumn(out, expr(s"__t0 div $bucketWidth"))
+        .drop("__t0")
+    val lb = withBucket(left, col(leftTs), "__b")
+    val payload = (valueCols :+ rightStart :+ rightEnd).distinct
+    val rPruned = right.select(
+      keys.map(col) ++ Seq(col(rightStart).as("__s"), col(rightEnd).as("__e")) ++
+        payload.map(c => col(c).as(s"$prefix$c")): _*)
+      .filter(col("__s") <= col("__e"))
+    val rb = withBucket(withBucket(rPruned, col("__s"), "__bs"), col("__e"), "__be")
+      .withColumn("__b", explode(sequence(col("__bs"), col("__be"))))
+      .drop("__bs", "__be")
+    lb.join(rb, (keys :+ "__b").toSeq)
+      .filter(col("__s") <= col(leftTs) && col(leftTs) <= col("__e"))
+      .drop("__b", "__s", "__e")
+  }
 }

@@ -119,6 +119,29 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(got == 2.0)
   }
 
+  test("range join: events land in every containing interval; boundaries inclusive") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("h1", 10L, "a"), ("h1", 25L, "b"), ("h1", 31L, "c"), ("h2", 12L, "d"))
+      .toDF("host", "time", "tag")
+    val right = Seq(
+      ("h1", 10L, 30L, 1L),   // contains a (t=10, at start) and b (25); not c (31 > end)
+      ("h1", 20L, 99L, 2L),   // contains b and c
+      ("h2", 0L, 12L, 3L),    // contains d (t=12, at end)
+      ("h2", 50L, 60L, 4L))   // contains nothing
+      .toDF("host", "start", "end", "win_id")
+    // bucketWidth far smaller than spans: multi-bucket explosion exercised
+    val out = Joins.rangeJoin(left, right, "time", "start", "end",
+      valueCols = Seq("win_id"), keys = Seq("host"), bucketWidth = 7L)
+      .select("tag", "r_win_id").collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(out == Set("a" -> 1L, "b" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 3L))
+    // no duplicate pairs despite intervals spanning many buckets
+    val dup = Joins.rangeJoin(left, right, "time", "start", "end",
+      valueCols = Seq("win_id"), keys = Seq("host"), bucketWidth = 7L)
+      .groupBy("tag", "r_win_id").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
   test("classifierScore: deterministic, bounded to [-1, 1], empty doc scores 0") {
     val scores = Seq("the quick brown fox", "the quick brown fox", "spark catalyst", "")
       .map(t => d(Quality.classifierScore(col("text")), t))
