@@ -833,6 +833,24 @@ object QueriesPipeline {
       }
     }
 
+    // per-group document cap (C4/RefinedWeb anti-spam: at most k docs
+    // per source), highest n_chars first, id tie-break
+    locally {
+      val k = 20
+      register("cap_per_group",
+        s"""$DocsView
+           |SELECT doc_id, source, n_chars FROM (
+           |  SELECT doc_id, source, n_chars,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+           |  FROM docs) t WHERE rn <= $k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Curation.capPerGroup(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", k)
+          .orderBy("doc_id")
+      }
+    }
+
     // the destructive half: drop every token covered by a duplicated
     // window and rebuild the text; oracle replays coverage per token
     // index (a token i survives iff no duplicated window starts in

@@ -591,6 +591,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.cutDuplicateNgrams(df, pStr(m("text")), pStr(m("id")),
         m.get("n").map(pLong(_).toInt).getOrElse(50))
+    case "cap-per-group" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.capPerGroup(df, pStr(m("group")), pStr(m("order")),
+        pStr(m("id")), pLong(m("k")).toInt)
     case "token-budget" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.tokenBudgetSelect(df, pStr(m("group")), pStr(m("score")),

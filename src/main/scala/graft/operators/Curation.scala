@@ -165,6 +165,26 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Per-group document cap — the C4/RefinedWeb anti-spam rule ("at most
+    * k documents per host/URL-prefix"): keep the `k` best rows per group
+    * by `(orderCol DESC, idCol ASC)` — highest score wins, ties broken
+    * deterministically by id so reruns and engines agree.
+    *
+    * One shuffle on the group key; the rank is a plain window
+    * `row_number`, so skewed groups stream through ExternalSort (no
+    * per-group materialization). For a cap by ARRIVAL rather than
+    * quality, pass the id column as `orderCol` negated upstream.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                  idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"capPerGroup: k must be >= 1, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** GPT-style concat-and-chop packing: within each `groupCol` stream (in
     * `idCol` order) documents are conceptually concatenated and cut into
     * fixed `seqLen`-token training sequences; each document reports the

@@ -185,4 +185,18 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(out.toSeq == Seq(("a", 1L, 0L), ("a", 2L, 1L), ("b", 3L, 0L), ("b", 4L, 1L)))
   }
+
+  test("capPerGroup keeps the k best per group, score desc with id tie-break") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "big", 5.0), (2L, "big", 9.0), (3L, "big", 9.0), (4L, "big", 1.0),
+      (5L, "small", 2.0)
+    ).toDF("doc_id", "source", "score")
+    val kept = Curation.capPerGroup(docs, "source", "score", "doc_id", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // big: the two 9.0s win, tie broken to lower ids (2 then 3); small: under cap
+    assert(kept == Set(2L, 3L, 5L))
+  }
 }
