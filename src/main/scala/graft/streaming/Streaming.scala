@@ -181,6 +181,39 @@ object Streaming {
       .select(col("event.*"))
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.operators.Joins.rangeJoin]] for the "events × incident
+    * windows" shape: right events open `[time, time + span]` windows;
+    * every left event within a window (same `keys`) joins it.
+    *
+    * Built on Spark's native watermarked stream-stream inner join: both
+    * sides carry an event-time watermark and the join condition is a
+    * time-RANGE over the two event-time columns, so Spark derives the
+    * state retention bound itself (a right row is droppable once the
+    * left watermark passes `right.time + span`; a left row once the
+    * right watermark passes `left.time`) — bounded state with no manual
+    * TTL, the same state-cleanup contract as the TTL'd stateful ops.
+    *
+    * Output: left columns + `<prefix>` right payload columns +
+    * `<prefix>time` (the window's opening time). Append mode; rows emit
+    * as soon as both sides have arrived.
+    */
+  def rangeJoinEvents(spanSeconds: Long, delaySeconds: Long,
+                      valueCols: Seq[String], keys: Seq[String],
+                      prefix: String = "win_")(left: DataFrame, right: DataFrame): DataFrame = {
+    require(keys.nonEmpty, "rangeJoinEvents: at least one key column")
+    val l = withTs(left).withWatermark("__ts", s"$delaySeconds seconds")
+    val payload = (valueCols :+ "time").distinct
+    val r = withTs(right).withWatermark("__ts", s"$delaySeconds seconds")
+      .select(keys.map(col) ++ Seq(col("__ts").as("__rts")) ++
+        payload.map(c => col(c).as(s"$prefix$c")): _*)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      l("__ts") >= r("__rts") &&
+      l("__ts") <= r("__rts") + expr(s"INTERVAL $spanSeconds seconds")
+    val joined = l.join(r, cond, "inner").drop(l("__ts")).drop(r("__rts"))
+    keys.foldLeft(joined)((d, k) => d.drop(r(k)))
+  }
+
   // --------------------------------------------------------------------
   // Stateful ops: flatMapGroupsWithState keyed by the `by` fork fields.
   // --------------------------------------------------------------------

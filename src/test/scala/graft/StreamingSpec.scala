@@ -418,6 +418,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(unbounded == Seq(5L, 10L, 15L, 20L), s"NoTimeout must accumulate, got $unbounded")
   }
 
+  test("stream-stream interval join: events land in open incident windows (bounded state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = Streaming.rangeJoinEvents(
+      spanSeconds = 60, delaySeconds = 10,
+      valueCols = Seq("eventId"), keys = Seq("host"))(clicks.toDF(), errors.toDF())
+      .select(col("eventId"), col("win_eventId"))
+    val q = joined.writeStream.format("memory")
+      .queryName(s"stream_out_$ctr").outputMode("append").start()
+    // error on host a opens [100s, 160s]; one on b opens [500s, 560s]
+    errors.addData(Seq(ev(1, 100 * S, host = "a", id = 900), ev(1, 500 * S, host = "b", id = 901)))
+    q.processAllAvailable()
+    // clicks: in-window (a@130), boundary (a@160), outside (a@200), wrong key (b@130)
+    clicks.addData(Seq(
+      ev(1, 130 * S, host = "a", id = 1), ev(1, 160 * S, host = "a", id = 2),
+      ev(1, 200 * S, host = "a", id = 3), ev(1, 130 * S, host = "b", id = 4)))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table(s"stream_out_$ctr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(out == Set(1L -> 900L, 2L -> 900L))
+  }
+
   test("stateful op state survives a query restart from checkpoint") {
     val s = spark
     import s.implicits._
