@@ -330,7 +330,26 @@ object Engine {
   // (the analog of action->fn, action.clj:3037-3114).
   // --------------------------------------------------------------------
 
-  def applyOp(action: String, params: Seq[Any], keys: Seq[String],
+  def applyOp(action: String, rawParams: Seq[Any], keys: Seq[String],
+              ctx: EngineCtx): DataFrame => DataFrame = {
+    // plan construction is THE use site of every param (the twin of the
+    // reference's cloak/unmask inside its output components), so masked
+    // values reveal here — recursively, covering conditions, nested
+    // seqs, and map values alike. Node trees themselves (logs, getJson,
+    // saveTo) keep the mask.
+    val params = rawParams.map(deepUnmask)
+    applyOpUnmasked(action, params, keys, ctx)
+  }
+
+  private def deepUnmask(p: Any): Any = p match {
+    case s: Edn.Secret => deepUnmask(s.reveal)
+    case xs: Seq[_]    => xs.map(deepUnmask)
+    case m: Map[_, _]  => m.asInstanceOf[Map[Any, Any]]
+      .map { case (k, v) => k -> deepUnmask(v) } // ListMap.map keeps order
+    case other         => other
+  }
+
+  private def applyOpUnmasked(action: String, params: Seq[Any], keys: Seq[String],
               ctx: EngineCtx): DataFrame => DataFrame = action match {
     // §2.2 filters
     case "where"       => Stateless.where(Condition.parse(params.head))
@@ -345,7 +364,7 @@ object Engine {
     case "decrement"   => Stateless.decrement
     case "scale"       => Stateless.scale(pDouble(params.head))
     case "with"        => Stateless.withFields(pMap(params.head))
-    case "default"     => Stateless.default(pStr(params.head), unmask(params(1)))
+    case "default"     => Stateless.default(pStr(params.head), params(1))
     case "sdissoc"     => Stateless.sdissoc(pStrs(params.head))
     case "keep-keys"   => Stateless.keepKeys(pStrs(params.head))
     // toSeq of the ListMap-backed param map: pairs apply in DOCUMENT order
@@ -649,19 +668,11 @@ object Engine {
 
   // ---------------- param coercion ----------------
 
-  /** The engine's param coercers are the USE sites of config values, so
-    * `#secret`-masked params unmask exactly here — the twin of the
-    * reference's `cloak/unmask` calls inside its output components
-    * (`elasticsearch.clj:96-118`, `pagerduty.clj:60`). Everywhere else
-    * (logs, toString, getJson, saveTo) the mask stays on.
-    */
-  private def unmask(p: Any): Any = p match {
-    case s: Edn.Secret => s.reveal
-    case other         => other
-  }
-  private def pStr(p: Any): String = unmask(p).toString.stripPrefix(":")
-  private def pDouble(p: Any): Double = unmask(p).asInstanceOf[Number].doubleValue()
-  private def pLong(p: Any): Long = unmask(p).asInstanceOf[Number].longValue()
+  // NOTE: params reaching the coercers have already been deep-unmasked
+  // by applyOp (the single #secret reveal funnel).
+  private def pStr(p: Any): String = p.toString.stripPrefix(":")
+  private def pDouble(p: Any): Double = p.asInstanceOf[Number].doubleValue()
+  private def pLong(p: Any): Long = p.asInstanceOf[Number].longValue()
   private def pStrs(p: Any): Seq[String] = p match {
     case s: Seq[_] => s.map(x => pStr(x))
     case single    => Seq(pStr(single))
@@ -669,7 +680,7 @@ object Engine {
   private def pDoubles(p: Any): Seq[Double] =
     p.asInstanceOf[Seq[Any]].map(pDouble)
   private def pMap(p: Any): Map[String, Any] =
-    p.asInstanceOf[Map[String, Any]].map { case (k, v) => k.stripPrefix(":") -> unmask(v) }
+    p.asInstanceOf[Map[String, Any]].map { case (k, v) => k.stripPrefix(":") -> v }
   private def durOf(params: Seq[Any]): Long = pLong(pMap(params.head)("duration"))
   private def sizeOf(params: Seq[Any]): Int = pLong(pMap(params.head)("size")).toInt
   private def delayOf(params: Seq[Any]): Long =
@@ -790,11 +801,29 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
     streams.foreach { case (name, node) =>
+      // a #secret value serializes as its MASK (Node.toJson) — the
+      // persisted copy cannot round-trip the secret. Warn loudly so the
+      // operator keeps the EDN source of truth instead of silently
+      // rebooting the stream with the literal mask string as the value.
+      if (hasSecret(node))
+        System.err.println(s"[registry] stream '$name' contains #secret values: " +
+          "persisted copy is REDACTED and will not run correctly if reloaded — " +
+          "keep the original EDN file as the source of truth")
       val doc = Node("stream",
         Seq(Map("name" -> name, "default" -> defaultFlags.getOrElse(name, false))),
         Seq(node))
       java.nio.file.Files.writeString(d.resolve(s"$name.json"), Node.toJson(doc))
     }
+  }
+
+  private def hasSecret(n: Node): Boolean = {
+    def in(p: Any): Boolean = p match {
+      case _: Edn.Secret => true
+      case xs: Seq[_]    => xs.exists(in)
+      case m: Map[_, _]  => m.asInstanceOf[Map[Any, Any]].exists { case (_, v) => in(v) }
+      case _             => false
+    }
+    n.params.exists(in) || n.children.exists(hasSecret)
   }
 
   /** Load every `*.json` and `*.edn` stream document from a directory
@@ -863,7 +892,7 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     val newDocs = scala.collection.immutable.ListMap(parsed: _*)
     val old = dirDocs.snapshot()
     val removed = (old.keySet -- newDocs.keySet).toSeq.sorted
-    removed.foreach { n => remove(n); dirDocs.remove(n) }
+    removed.foreach(remove) // remove() also forgets the dir record
     val added = scala.collection.mutable.ListBuffer[String]()
     val reloaded = scala.collection.mutable.ListBuffer[String]()
     val unchanged = scala.collection.mutable.ListBuffer[String]()

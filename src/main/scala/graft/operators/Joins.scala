@@ -109,8 +109,10 @@ object Joins {
       valueCols: Seq[String],
       keys: Seq[String] = Nil,
       bucketWidth: Long = 60L * 1000000000L,
-      prefix: String = "r_"): DataFrame = {
+      prefix: String = "r_",
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "rangeJoin: maxBucketsPerInterval must be positive")
     // floor division from integer ops only: x - pmod(x, w) is the largest
     // multiple of w <= x, and `div` on the named column stays integral
     def withBucket(df: DataFrame, src: Column, out: String): DataFrame =
@@ -123,8 +125,17 @@ object Joins {
       keys.map(col) ++ Seq(col(rightStart).as("__s"), col(rightEnd).as("__e")) ++
         payload.map(c => col(c).as(s"$prefix$c")): _*)
       .filter(col("__s") <= col("__e"))
+    // one wide/corrupt interval (an open-ended sentinel end, a garbage
+    // timestamp) would otherwise build a sequence() of billions of
+    // buckets and kill the whole job with an opaque error — fail loudly,
+    // per offending row, with the knob to turn
     val rb = withBucket(withBucket(rPruned, col("__s"), "__bs"), col("__e"), "__be")
-      .withColumn("__b", explode(sequence(col("__bs"), col("__be"))))
+      .withColumn("__b", explode(
+        when(col("__be") - col("__bs") < lit(maxBucketsPerInterval),
+          sequence(col("__bs"), col("__be")))
+          .otherwise(raise_error(concat(
+            lit("rangeJoin: interval spans "), col("__be") - col("__bs") + 1,
+            lit(s" buckets (cap $maxBucketsPerInterval) — raise bucketWidth/maxBucketsPerInterval or clean the interval"))))))
       .drop("__bs", "__be")
     lb.join(rb, (keys :+ "__b").toSeq)
       .filter(col("__s") <= col(leftTs) && col(leftTs) <= col("__e"))

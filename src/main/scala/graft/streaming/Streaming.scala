@@ -202,6 +202,8 @@ object Streaming {
                       valueCols: Seq[String], keys: Seq[String],
                       prefix: String = "win_")(left: DataFrame, right: DataFrame): DataFrame = {
     require(keys.nonEmpty, "rangeJoinEvents: at least one key column")
+    require(spanSeconds >= 0, s"rangeJoinEvents: negative span ($spanSeconds s) can never match")
+    require(delaySeconds >= 0, s"rangeJoinEvents: negative watermark delay ($delaySeconds s)")
     val l = withTs(left).withWatermark("__ts", s"$delaySeconds seconds")
     val payload = (valueCols :+ "time").distinct
     val r = withTs(right).withWatermark("__ts", s"$delaySeconds seconds")

@@ -202,6 +202,16 @@ class EngineSpec extends AnyFunSuite {
         |               :children [{:action :tap :params [:out]}]}}}""".stripMargin)
     val res = reg.run("s", events(ev(1, 1 * S, id = 1)))
     assert(res.taps("out").select("token").collect().head.getString(0) == "hunter2")
+    // secrets unmask ANYWHERE in the params tree, including inside a
+    // condition vector (deep unmask at the applyOp funnel)
+    val reg2 = new StreamRegistry(EngineCtx(testMode = true))
+    reg2.addEdn(
+      """{:c {:actions {:action :where
+        |               :params [[:= :host #secret "h-secret"]]
+        |               :children [{:action :tap :params [:out]}]}}}""".stripMargin)
+    val res2 = reg2.run("c", events(
+      ev(1, 1 * S, host = "h-secret", id = 1), ev(1, 2 * S, host = "other", id = 2)))
+    assert(res2.taps("out").select("eventId").collect().map(_.getLong(0)).toSeq == Seq(1L))
     // getJson (HTTP get-stream) serves the MASK, never the value — and
     // does not crash on the Secret param
     val json = reg.getJson("s").get

@@ -140,6 +140,17 @@ class QualityJoinsSpec extends AnyFunSuite {
       valueCols = Seq("win_id"), keys = Seq("host"), bucketWidth = 7L)
       .groupBy("tag", "r_win_id").count().filter(col("count") > 1).count()
     assert(dup == 0)
+
+    // a corrupt open-ended interval fails loudly per-row instead of
+    // building a billions-long bucket sequence
+    val corrupt = Seq(("h1", 0L, Long.MaxValue, 9L)).toDF("host", "start", "end", "win_id")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(left, corrupt, "time", "start", "end",
+        valueCols = Seq("win_id"), keys = Seq("host"), bucketWidth = 7L).count()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("rangeJoin: interval spans"), msgs.take(300))
   }
 
   test("classifierScore: deterministic, bounded to [-1, 1], empty doc scores 0") {
