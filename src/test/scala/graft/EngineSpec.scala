@@ -452,6 +452,28 @@ class EngineSpec extends AnyFunSuite {
     assert(reg.get("a").isDefined)
   }
 
+  test("graphviz export: clusters per stream, default edges, dashed reinject cross-edges, masked secrets") {
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    reg.addJson(
+      """{"streams":[
+        | {"action":"stream","params":[{"name":"main","default":true}],
+        |  "children":[{"action":"where","params":[[">","metric",10]],
+        |   "children":[{"action":"reinject!","params":["aux"]}]}]},
+        | {"action":"stream","params":[{"name":"aux"}],
+        |  "children":[{"action":"increment"}]}]}""".stripMargin)
+    reg.addEdn("""{:sec {:actions {:action :with :params [{:token #secret "hunter2"}] :children []}}}""")
+    val dot = Graphviz.dot(reg)
+    assert(dot.startsWith("digraph {"))
+    assert(dot.contains("""default -> "main entrypoint";"""))
+    assert(dot.contains("subgraph cluster_main") && dot.contains("subgraph cluster_aux"))
+    assert(dot.contains("""-> "aux entrypoint" [style=dashed];"""))
+    assert(dot.contains("<B>where</B>") && dot.contains("<B>reinject!</B>"))
+    // deterministic: two renders are byte-identical
+    assert(dot == Graphviz.dot(reg))
+    // the #secret param prints as its mask, never the value
+    assert(!dot.contains("hunter2") && dot.contains("REDACTED"))
+  }
+
   test("salt widens downstream grouping; re-aggregating recovers the unsalted result") {
     // one hot host: 40 events on "hot", 2 on "cold"
     val evs = (1 to 40).map(i => ev(1, i * S, host = "hot", id = i.toLong)) ++
