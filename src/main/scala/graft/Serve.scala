@@ -1,38 +1,72 @@
 package graft
 
-import graft.http.ControlPlane
+import graft.http.{ControlPlane, RiemannTcpServer, Tls, WebSocketHub}
 import graft.ir.{EngineCtx, StreamRegistry}
 import org.apache.spark.sql.SparkSession
 
 /** Server entry point — the analog of the reference's boot sequence
-  * (`core.clj:118-143`: read config dirs → compile streams → start HTTP):
-  * load persisted stream documents from a config directory into a
-  * [[StreamRegistry]], start the [[ControlPlane]], and serve until
-  * terminated. Hot reload has both of the reference's surfaces:
-  * add/remove over HTTP, and SIGHUP re-reading the streams directory
-  * diff-wise (`core.clj:136-143` → [[StreamRegistry.reloadFrom]]);
-  * `SPARK_GRAFT_PERSIST=true` writes registry changes back on shutdown.
+  * (`core.clj:118-143`: read config dirs → compile streams → start the
+  * TCP, HTTP, and websocket transports): load persisted stream documents
+  * from a config directory into a [[StreamRegistry]], start the
+  * [[ControlPlane]] (plus, when ports are configured, the Riemann TCP
+  * server and the WebSocket hub, all sharing one registry and pubsub
+  * fan-out), and serve until terminated. Hot reload has both of the
+  * reference's surfaces: add/remove over HTTP, and SIGHUP re-reading the
+  * streams directory diff-wise (`core.clj:136-143` →
+  * [[StreamRegistry.reloadFrom]]); `SPARK_GRAFT_PERSIST=true` writes
+  * registry changes back on shutdown.
   *
   * Environment:
-  *  - `SPARK_GRAFT_STREAMS_DIR` — directory of stream JSON documents
+  *  - `SPARK_GRAFT_STREAMS_DIR` — directory of stream JSON/EDN documents
   *    (default `./streams`, missing dir = start empty)
   *  - `SPARK_GRAFT_HTTP_PORT`   — listen port (default 5558, 0 = ephemeral)
+  *  - `SPARK_GRAFT_TCP_PORT`    — Riemann TCP port (unset = transport off,
+  *    0 = ephemeral); `SPARK_GRAFT_TLS_KEY`/`_CERT`/`_CACERT` (PEM paths,
+  *    all three = mutual TLS on the TCP transport, `tcp.clj:150-153`)
+  *  - `SPARK_GRAFT_WS_PORT`     — websocket pubsub port (unset = off)
   *  - `SPARK_GRAFT_CPUS`        — local core count (default 4)
-  *  - `SPARK_GRAFT_PERSIST`    — save registry back to the streams dir on
+  *  - `SPARK_GRAFT_PERSIST`     — save registry back to the streams dir on
   *    shutdown (default false)
   */
 object Serve {
 
-  /** Build the registry from a config dir and start the control plane —
+  /** Everything one boot started; [[stop]] tears it down in reverse. */
+  final case class Booted(registry: StreamRegistry, controlPlane: ControlPlane,
+                          tcp: Option[RiemannTcpServer], websockets: Option[WebSocketHub]) {
+    def stop(): Unit = {
+      tcp.foreach(_.stop())
+      controlPlane.stop()
+      websockets.foreach(_.stop())
+    }
+  }
+
+  /** Build the registry from a config dir and start the transports —
     * separated from [[main]] so tests can boot and stop it in-process.
+    * `tcpPort`/`wsPort` `None` leaves that transport off (the reference
+    * always binds TCP; here each transport is opt-in).
     */
-  def boot(spark: SparkSession, streamsDir: String, port: Int,
-           ctx: EngineCtx = EngineCtx()): (StreamRegistry, ControlPlane) = {
+  def bootAll(spark: SparkSession, streamsDir: String, port: Int,
+              ctx: EngineCtx = EngineCtx(),
+              tcpPort: Option[Int] = None, wsPort: Option[Int] = None,
+              tls: Option[Tls.Config] = None): Booted = {
     val registry = new StreamRegistry(ctx)
     val loaded = registry.loadFrom(streamsDir)
     if (loaded.nonEmpty)
       System.err.println(s"[serve] loaded streams: ${loaded.mkString(", ")}")
-    (registry, new ControlPlane(registry, spark, port).start())
+    val hub = wsPort.map(p => new WebSocketHub(p).start())
+    val cp = new ControlPlane(registry, spark, port, websockets = hub).start()
+    val tcp = tcpPort.map(p =>
+      new RiemannTcpServer(registry, spark, p, websockets = hub, tls = tls).start())
+    Booted(registry, cp, tcp, hub)
+  }
+
+  /** Control-plane-only boot (the original surface; kept for callers and
+    * tests that don't need the TCP/websocket transports).
+    */
+  def boot(spark: SparkSession, streamsDir: String, port: Int,
+           ctx: EngineCtx = EngineCtx()): (StreamRegistry, ControlPlane) = {
+    val b = bootAll(spark, streamsDir, port, ctx)
+    (b.registry, b.controlPlane)
   }
 
   /** SIGHUP → diff-reload of the streams directory, exactly the
@@ -69,13 +103,23 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_STREAMS_DIR", "streams")
     val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "5558").toInt
-    val (registry, cp) = boot(spark, dir, port)
-    installReloadHandler(registry, dir)
-    System.err.println(s"[serve] listening on 127.0.0.1:${cp.boundPort}")
+    val tls = (sys.env.get("SPARK_GRAFT_TLS_KEY"), sys.env.get("SPARK_GRAFT_TLS_CERT"),
+      sys.env.get("SPARK_GRAFT_TLS_CACERT")) match {
+      case (Some(k), Some(c), Some(ca)) => Some(Tls.Config(k, c, ca))
+      case _ => None
+    }
+    val b = bootAll(spark, dir, port,
+      tcpPort = sys.env.get("SPARK_GRAFT_TCP_PORT").map(_.toInt),
+      wsPort = sys.env.get("SPARK_GRAFT_WS_PORT").map(_.toInt),
+      tls = tls)
+    installReloadHandler(b.registry, dir)
+    System.err.println(s"[serve] http on 127.0.0.1:${b.controlPlane.boundPort}" +
+      b.tcp.map(t => s", riemann-tcp on ${t.boundPort}" + (if (tls.isDefined) " (mTLS)" else "")).getOrElse("") +
+      b.websockets.map(h => s", websocket on ${h.boundPort}").getOrElse(""))
     val done = new java.util.concurrent.CountDownLatch(1)
     sys.addShutdownHook {
-      if (sys.env.get("SPARK_GRAFT_PERSIST").contains("true")) registry.saveTo(dir)
-      cp.stop()
+      if (sys.env.get("SPARK_GRAFT_PERSIST").contains("true")) b.registry.saveTo(dir)
+      b.stop()
       done.countDown()
     }
     done.await()

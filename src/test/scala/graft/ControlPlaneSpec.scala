@@ -208,6 +208,55 @@ class ControlPlaneSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("bootAll wires TCP ingest through streams to websocket fan-out end to end") {
+    import graft.sources.RiemannCodec
+    val dir = java.nio.file.Files.createTempDirectory("serve_full")
+    java.nio.file.Files.writeString(dir.resolve("alerts.json"),
+      """{"action":"stream","params":[{"name":"alerts","default":true}],
+        | "children":[{"action":"where","params":[[">","metric",100]],
+        |   "children":[{"action":"publish!","params":["firehose"]}]}]}""".stripMargin)
+    val b = Serve.bootAll(spark, dir.toString, 0, EngineCtx(testMode = false),
+      tcpPort = Some(0), wsPort = Some(0))
+    try {
+      // websocket subscriber on the published channel
+      val ws = new java.net.Socket("127.0.0.1", b.websockets.get.boundPort)
+      val out = ws.getOutputStream
+      out.write(("GET /channel/firehose HTTP/1.1\r\nHost: localhost\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\nSec-WebSocket-Version: 13\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      val head = new StringBuilder
+      while (!head.endsWith("\r\n\r\n")) { val c = ws.getInputStream.read(); assert(c >= 0); head += c.toChar }
+      val deadline = System.nanoTime + 5000000000L
+      while (b.websockets.get.subscriberCount != 1 && System.nanoTime < deadline) Thread.sleep(10)
+
+      // riemann frame over TCP: one passing, one filtered event
+      val tcp = new java.net.Socket("127.0.0.1", b.tcp.get.boundPort)
+      tcp.getOutputStream.write(RiemannCodec.frame(RiemannCodec.encodeMsg(Seq(
+        RiemannCodec.RiemannEvent(Some(1000000000L), Some("ok"), Some("svc"), None,
+          Nil, None, Some(500.0), Map("host" -> "h1")),
+        RiemannCodec.RiemannEvent(Some(2000000000L), Some("ok"), Some("svc"), None,
+          Nil, None, Some(5.0), Map("host" -> "h2"))))))
+      tcp.getOutputStream.flush()
+      val ack = new java.io.DataInputStream(tcp.getInputStream)
+      val buf = new Array[Byte](ack.readInt()); ack.readFully(buf)
+      assert(RiemannCodec.decodeAck(buf)._1.contains(true))
+
+      // the passing event arrives as a websocket JSON frame
+      val in = ws.getInputStream
+      val b0 = in.read(); val b1 = in.read()
+      assert((b0 & 0x0F) == 0x1)
+      var len = b1 & 0x7F
+      if (len == 126) len = (in.read() << 8) | in.read()
+      val payload = new Array[Byte](len)
+      var off = 0
+      while (off < len) { val n = in.read(payload, off, len - off); assert(n >= 0); off += n }
+      val json = new String(payload, UTF_8)
+      assert(json.contains("\"metric\":500.0") && json.contains("\"host\":\"h1\""))
+      tcp.close(); ws.close()
+    } finally b.stop()
+  }
+
   test("SIGHUP triggers a diff-reload of the streams directory (core.clj:136-143)") {
     val dir = java.nio.file.Files.createTempDirectory("serve_hup")
     java.nio.file.Files.writeString(dir.resolve("a.json"),
