@@ -53,11 +53,22 @@ object Serve {
     val loaded = registry.loadFrom(streamsDir)
     if (loaded.nonEmpty)
       System.err.println(s"[serve] loaded streams: ${loaded.mkString(", ")}")
-    val hub = wsPort.map(p => new WebSocketHub(p).start())
-    val cp = new ControlPlane(registry, spark, port, websockets = hub).start()
-    val tcp = tcpPort.map(p =>
-      new RiemannTcpServer(registry, spark, p, websockets = hub, tls = tls).start())
-    Booted(registry, cp, tcp, hub)
+    // a later transport failing to start (busy port, bad TLS PEM) must
+    // not leak the sockets/threads of the ones already started
+    var hub: Option[WebSocketHub] = None
+    var cp: ControlPlane = null
+    try {
+      hub = wsPort.map(p => new WebSocketHub(p).start())
+      cp = new ControlPlane(registry, spark, port, websockets = hub).start()
+      val tcp = tcpPort.map(p =>
+        new RiemannTcpServer(registry, spark, p, websockets = hub, tls = tls).start())
+      Booted(registry, cp, tcp, hub)
+    } catch {
+      case e: Throwable =>
+        if (cp != null) try cp.stop() catch { case _: Throwable => }
+        hub.foreach(h => try h.stop() catch { case _: Throwable => })
+        throw e
+    }
   }
 
   /** Control-plane-only boot (the original surface; kept for callers and
@@ -103,9 +114,16 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_STREAMS_DIR", "streams")
     val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "5558").toInt
-    val tls = (sys.env.get("SPARK_GRAFT_TLS_KEY"), sys.env.get("SPARK_GRAFT_TLS_CERT"),
-      sys.env.get("SPARK_GRAFT_TLS_CACERT")) match {
-      case (Some(k), Some(c), Some(ca)) => Some(Tls.Config(k, c, ca))
+    val tlsVars = Seq("SPARK_GRAFT_TLS_KEY", "SPARK_GRAFT_TLS_CERT", "SPARK_GRAFT_TLS_CACERT")
+      .map(v => v -> sys.env.get(v))
+    val tls = tlsVars.map(_._2) match {
+      case Seq(Some(k), Some(c), Some(ca)) => Some(Tls.Config(k, c, ca))
+      case vals if vals.exists(_.isDefined) =>
+        // a partial triple (typo'd var, missing file) must NEVER silently
+        // fall back to a plaintext transport the operator believes is mTLS
+        throw new IllegalArgumentException(
+          "partial TLS config: set all of " + tlsVars.map(_._1).mkString(", ") +
+            " or none (missing: " + tlsVars.collect { case (v, None) => v }.mkString(", ") + ")")
       case _ => None
     }
     val b = bootAll(spark, dir, port,

@@ -221,8 +221,14 @@ object Engine {
 
   // --------------------------------------------------------------------
 
-  private def interp(n: Node, df: DataFrame, keys: Seq[String], ctx: EngineCtx,
+  private def interp(rawNode: Node, df: DataFrame, keys: Seq[String], ctx: EngineCtx,
                      res: StreamResult, registry: StreamRegistry, depth: Int): Unit = {
+    // #secret params reveal at interpretation time for the routing ops
+    // handled RIGHT HERE (output-file paths, publish!/output! names,
+    // custom args, ...) — applyOp deep-unmasks again for the operator
+    // params it receives, which is idempotent. The Node TREE stays
+    // masked everywhere it is stored or rendered.
+    val n = rawNode.copy(params = rawNode.params.map(deepUnmask))
     def recurse(out: DataFrame, newKeys: Seq[String] = keys): Unit =
       if (n.children.isEmpty) res.outputs += out
       else n.children.foreach(c => interp(c, out, newKeys, ctx, res, registry, depth))

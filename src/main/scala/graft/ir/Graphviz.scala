@@ -21,10 +21,12 @@ object Graphviz {
   def dot(streams: Seq[(String, Node, Boolean)]): String = {
     val sb = new StringBuilder("digraph {\nnode[shape=box];\n")
     val cross = new StringBuilder
-    streams.foreach { case (name, node, default) =>
-      if (default) sb.append(s"""default -> "$name entrypoint";\n""")
-      sb.append(s"""subgraph cluster_${sanitize(name)} {\nlabel =<<B>Stream ${escape(name)}</B>>;\nlabeljust="l";\n""")
-      walk(name, node, s""""$name entrypoint"""", s"${sanitize(name)}_0", sb, cross)
+    streams.zipWithIndex.foreach { case ((name, node, default), idx) =>
+      if (default) sb.append(s"default -> ${entry(name)};\n")
+      // the positional index keeps cluster/node ids unique even when two
+      // stream names sanitize to the same identifier ("a-b" vs "a.b")
+      sb.append(s"""subgraph cluster_${idx}_${sanitize(name)} {\nlabel =<<B>Stream ${escape(name)}</B>>;\nlabeljust="l";\n""")
+      walk(node, entry(name), s"s${idx}_0", sb, cross)
       sb.append("}\n")
     }
     sb.append(cross)
@@ -32,18 +34,26 @@ object Graphviz {
     sb.toString
   }
 
-  private def walk(stream: String, n: Node, parent: String, id: String,
+  /** Quoted entrypoint node id for a stream name (quote-escaped). */
+  private def entry(stream: String): String =
+    "\"" + stream.replace("\\", "\\\\").replace("\"", "\\\"") + " entrypoint\""
+
+  private def walk(n: Node, parent: String, id: String,
                    sb: StringBuilder, cross: StringBuilder): Unit = {
     val params = if (n.params.isEmpty) ""
       else "<BR/>" + escape(n.params.map(String.valueOf).mkString(" "))
     sb.append(s"$id [label=<<B>${escape(n.action)}</B>$params>];\n")
     sb.append(s"$parent -> $id;\n")
     if (n.action == "reinject!") {
-      val target = n.params.headOption.map(String.valueOf).getOrElse(stream)
-      cross.append(s"""$id -> "$target entrypoint" [style=dashed];\n""")
+      // mirror the ENGINE's routing: named param (":"-normalized like
+      // pStr) targets that stream; no param reinjects through the
+      // default streams (Engine.interp's reinject! case)
+      val target = n.params.headOption
+        .map(String.valueOf(_).stripPrefix(":")).getOrElse("default")
+      cross.append(s"$id -> ${entry(target)} [style=dashed];\n")
     }
     n.children.zipWithIndex.foreach { case (c, i) =>
-      walk(stream, c, id, s"${id}_$i", sb, cross)
+      walk(c, id, s"${id}_$i", sb, cross)
     }
   }
 

@@ -129,12 +129,19 @@ object Joins {
     // timestamp) would otherwise build a sequence() of billions of
     // buckets and kill the whole job with an opaque error — fail loudly,
     // per offending row, with the knob to turn
+    // the magnitude test runs in DOUBLE: a Long.MinValue..Long.MaxValue
+    // garbage interval would overflow a long subtraction to a small
+    // number and sneak past the guard (precision loss near the cap
+    // boundary is irrelevant for a sanity threshold)
+    val span = col("__be").cast("double") - col("__bs").cast("double")
     val rb = withBucket(withBucket(rPruned, col("__s"), "__bs"), col("__e"), "__be")
       .withColumn("__b", explode(
-        when(col("__be") - col("__bs") < lit(maxBucketsPerInterval),
+        when(span < lit(maxBucketsPerInterval.toDouble),
           sequence(col("__bs"), col("__be")))
           .otherwise(raise_error(concat(
-            lit("rangeJoin: interval spans "), col("__be") - col("__bs") + 1,
+            // string, not long: an ANSI cast of a huge double would throw
+            // its own error inside the error message
+            lit("rangeJoin: interval spans ~"), (span + 1).cast("string"),
             lit(s" buckets (cap $maxBucketsPerInterval) — raise bucketWidth/maxBucketsPerInterval or clean the interval"))))))
       .drop("__bs", "__be")
     lb.join(rb, (keys :+ "__b").toSeq)

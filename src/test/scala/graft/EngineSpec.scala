@@ -212,6 +212,11 @@ class EngineSpec extends AnyFunSuite {
     val res2 = reg2.run("c", events(
       ev(1, 1 * S, host = "h-secret", id = 1), ev(1, 2 * S, host = "other", id = 2)))
     assert(res2.taps("out").select("eventId").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // ...and for routing ops interp handles directly (publish! channel
+    // names), not only applyOp-dispatched operator params
+    val reg3 = new StreamRegistry(EngineCtx(testMode = true))
+    reg3.addEdn("""{:p {:actions {:action :publish! :params [#secret "chan"] :children []}}}""")
+    assert(reg3.run("p", events(ev(1, 1 * S, id = 1))).channels.keySet == Set("chan"))
     // getJson (HTTP get-stream) serves the MASK, never the value — and
     // does not crash on the Secret param
     val json = reg.getJson("s").get
@@ -465,13 +470,21 @@ class EngineSpec extends AnyFunSuite {
     val dot = Graphviz.dot(reg)
     assert(dot.startsWith("digraph {"))
     assert(dot.contains("""default -> "main entrypoint";"""))
-    assert(dot.contains("subgraph cluster_main") && dot.contains("subgraph cluster_aux"))
+    assert(dot.contains("_main {") && dot.contains("_aux {"))
     assert(dot.contains("""-> "aux entrypoint" [style=dashed];"""))
     assert(dot.contains("<B>where</B>") && dot.contains("<B>reinject!</B>"))
     // deterministic: two renders are byte-identical
     assert(dot == Graphviz.dot(reg))
     // the #secret param prints as its mask, never the value
     assert(!dot.contains("hunter2") && dot.contains("REDACTED"))
+
+    // a nameless reinject! mirrors the ENGINE's routing (default streams),
+    // not a self-loop; name collisions after sanitizing stay distinct
+    val dot2 = Graphviz.dot(Seq(
+      ("a-b", Node.fromJson("""{"action":"reinject!"}"""), false),
+      ("a.b", Node.fromJson("""{"action":"increment"}"""), false)))
+    assert(dot2.contains("""-> "default entrypoint" [style=dashed];"""))
+    assert(dot2.contains("cluster_0_a_b") && dot2.contains("cluster_1_a_b"))
   }
 
   test("salt widens downstream grouping; re-aggregating recovers the unsalted result") {

@@ -142,8 +142,10 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(dup == 0)
 
     // a corrupt open-ended interval fails loudly per-row instead of
-    // building a billions-long bucket sequence
-    val corrupt = Seq(("h1", 0L, Long.MaxValue, 9L)).toDF("host", "start", "end", "win_id")
+    // building a billions-long bucket sequence — including the full
+    // MinValue..MaxValue garbage range whose long span would overflow
+    val corrupt = Seq(("h1", 0L, Long.MaxValue, 9L),
+      ("h1", Long.MinValue + 10, Long.MaxValue - 10, 10L)).toDF("host", "start", "end", "win_id")
     val e = intercept[Exception] {
       Joins.rangeJoin(left, corrupt, "time", "start", "end",
         valueCols = Seq("win_id"), keys = Seq("host"), bucketWidth = 7L).count()
