@@ -297,7 +297,14 @@ object Engine {
         val target = n.params.headOption.map(pStr).getOrElse("default")
         res.reinjects += ((target, df, depth + 1))
 
-      case "custom" => // user plugin (stream.clj:29-34)
+      case "custom" if ctx.custom.contains("custom") =>
+        // a registered action literally NAMED "custom" wins over the
+        // indirection — the reference's merge order puts custom-actions
+        // over builtins (stream.clj:29-34), and its own test fixtures
+        // register :custom as an action name
+        recurse(ctx.custom("custom")(n.params)(df))
+
+      case "custom" => // user plugin indirection: params = [name, args...]
         val name = pStr(n.params.head)
         val fn = ctx.custom.getOrElse(name,
           throw new IllegalArgumentException(s"unknown custom action '$name'"))
@@ -344,7 +351,14 @@ object Engine {
     // seqs, and map values alike. Node trees themselves (logs, getJson,
     // saveTo) keep the mask.
     val params = rawParams.map(deepUnmask)
-    applyOpUnmasked(action, params, keys, ctx)
+    // custom actions dispatch BY NAME and OVERRIDE builtins — the
+    // reference's `(merge action->fn custom-actions)` lookup order
+    // (`stream.clj:29-34`); the explicit `custom` indirection stays for
+    // callers that prefer not to shadow.
+    ctx.custom.get(action) match {
+      case Some(fn) => fn(params)
+      case None     => applyOpUnmasked(action, params, keys, ctx)
+    }
   }
 
   private def deepUnmask(p: Any): Any = p match {

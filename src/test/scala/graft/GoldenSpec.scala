@@ -72,6 +72,48 @@ class GoldenSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  /** Port of `/root/reference/test/resources/test/failed/` — the
+    * reference's failure-path corpus, streams loaded VERBATIM from its
+    * own EDN (two files, like its two-file streams directory; `:custom`
+    * resolves by NAME from the custom registry and overrides builtins,
+    * `stream.clj:29-34`). Each case pushes through every default stream
+    * with taps merged; t1/t3 must pass and t2 must mismatch exactly as
+    * the corpus intends (expected 100, actual 101).
+    */
+  test("golden: failed/tests/test1.edn — framework reports exactly the planted t2 mismatch") {
+    import graft.conditions.Condition
+    import org.apache.spark.sql.functions.col
+    val reg = new StreamRegistry(EngineCtx(testMode = true, custom = Map(
+      // the reference test registers :custom as a where-like builder
+      "custom" -> (args => df => df.filter(Condition.parse(args.head).column)))))
+    reg.addEdn(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/test/resources/test/failed/streams/streams.edn")))
+    reg.addEdn(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/test/resources/test/failed/streams/streams2.edn")))
+    assert(reg.defaults.sorted == Seq("bar", "baz", "foo"))
+
+    def tapMetrics(input: Seq[Map[String, Any]]): Map[String, Seq[Double]] = {
+      val df = graft.ir.TapTestKit.eventsDf(TestSpark.spark, input)
+      reg.push(df).values.toSeq
+        .flatMap(_.taps.toSeq)
+        .groupBy(_._1)
+        .map { case (tap, dfs) =>
+          tap -> dfs.flatMap(_._2.select(col("metric")).collect().map(_.getDouble(0)))
+        }
+        .filter(_._2.nonEmpty) // a tap no event reached captures nothing
+    }
+    // t1: 13 passes only foo's 10<m<20 custom condition
+    assert(tapMetrics(Seq(Map("metric" -> 13, "time" -> 1e9))) ==
+      Map("foo" -> Seq(13.0)))
+    // t2: 101 reaches tap foo via bar's where — the corpus expects 100,
+    // so the framework must report a mismatch, not a pass
+    val t2 = tapMetrics(Seq(Map("metric" -> 101, "time" -> 1e9)))
+    assert(t2 == Map("foo" -> Seq(101.0)) && t2("foo") != Seq(100.0))
+    // t3: 101 + service "aa" lands on foo (via bar) and baz
+    assert(tapMetrics(Seq(Map("metric" -> 101, "service" -> "aa", "time" -> 1e9))) ==
+      Map("foo" -> Seq(101.0), "baz" -> Seq(101.0)))
+  }
+
   test("tap framework reports a diff on mismatch (test.clj:9-18 shape)") {
     val pipeline = Node.fromJson(
       """{"action":"increment","children":[{"action":"tap","params":["out"]}]}""")
