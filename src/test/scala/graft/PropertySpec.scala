@@ -257,6 +257,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin == brute-force inequality join for random intervals, keys, widths") {
+    import graft.operators.Joins
+    val s = spark
+    import s.implicits._
+    val genLeft = Gen.listOf(for {
+      h <- Gen.oneOf("a", "b"); t <- Gen.choose(-50L, 150L)
+    } yield (h, t)).map(_.take(15).zipWithIndex.map { case ((h, t), i) => (h, t, i.toLong) })
+    val genRight = Gen.listOf(for {
+      h <- Gen.oneOf("a", "b"); st <- Gen.choose(-60L, 140L); len <- Gen.choose(0L, 40L)
+    } yield (h, st, st + len)).map(_.take(10).zipWithIndex.map { case ((h, st, en), i) => (h, st, en, i.toLong) })
+    forAll(Gen.zip(genLeft, genRight, Gen.oneOf(1L, 3L, 7L, 64L)), cases = 8) {
+      case (ls, rs, width) =>
+        whenever(ls.nonEmpty && rs.nonEmpty) {
+          val left = ls.toDF("host", "time", "lid")
+          val right = rs.toDF("host", "start", "end", "rid")
+          val got = Joins.rangeJoin(left, right, "time", "start", "end",
+            valueCols = Seq("rid"), keys = Seq("host"), bucketWidth = width)
+            .select("lid", "r_rid").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+          val want = (for {
+            (lh, lt, lid) <- ls
+            (rh, st, en, rid) <- rs
+            if lh == rh && st <= lt && lt <= en
+          } yield lid -> rid).toSet
+          assert(got == want, s"width=$width left=$ls right=$rs")
+        }
+    }
+  }
+
   test("substring-dedup laws: stats bound each other; clean docs survive the cut verbatim") {
     import graft.operators.Dedup
     val s = spark
