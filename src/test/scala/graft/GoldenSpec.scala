@@ -114,6 +114,25 @@ class GoldenSpec extends AnyFunSuite {
       Map("foo" -> Seq(101.0), "baz" -> Seq(101.0)))
   }
 
+  /** Port of `/root/reference/dev/resources/streams/stream.clj` loaded
+    * VERBATIM: exercises `:description` metadata maps (ignored), list-form
+    * `:children`, keyword channel params, and publish! routing.
+    */
+  test("golden: dev/resources/streams/stream.clj — publish! routing from the verbatim file") {
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    assert(reg.addEdn(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/dev/resources/streams/stream.clj"))) == Seq("bar"))
+    assert(reg.defaults == Seq("bar"))
+    val df = graft.ir.TapTestKit.eventsDf(TestSpark.spark, Seq(
+      Map("service" -> "bar", "metric" -> 1, "time" -> 1e9),
+      Map("service" -> "other", "metric" -> 2, "time" -> 2e9)))
+    val res = reg.push(df)("bar")
+    assert(res.channels.keySet == Set("my-channel"))
+    val got = res.channels("my-channel").select(
+      org.apache.spark.sql.functions.col("service")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("bar"))
+  }
+
   test("tap framework reports a diff on mismatch (test.clj:9-18 shape)") {
     val pipeline = Node.fromJson(
       """{"action":"increment","children":[{"action":"tap","params":["out"]}]}""")
