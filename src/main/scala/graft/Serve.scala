@@ -87,10 +87,13 @@ object Serve {
     * over HTTP).
     */
   def installReloadHandler(registry: StreamRegistry, streamsDir: String): Boolean =
+    installReloadHandler(registry, Seq(streamsDir))
+
+  def installReloadHandler(registry: StreamRegistry, streamsDirs: Seq[String]): Boolean =
     try {
       sun.misc.Signal.handle(new sun.misc.Signal("HUP"), (_: sun.misc.Signal) =>
         try {
-          val r = registry.reloadFrom(streamsDir)
+          val r = registry.reloadFrom(streamsDirs)
           System.err.println(s"[serve] SIGHUP reload: added=${r.added.mkString(",")} " +
             s"reloaded=${r.reloaded.mkString(",")} removed=${r.removed.mkString(",")} " +
             s"unchanged=${r.unchanged.size}")
@@ -112,11 +115,18 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_STREAMS_DIR", "streams")
-    val port = sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "5558").toInt
+    // SPARK_GRAFT_CONFIG points at a reference-shaped main config.edn
+    // (graft.ir.Config) and supplies ports/TLS/stream dirs/outputs;
+    // the SPARK_GRAFT_* variables are the env-only alternative.
+    val conf = sys.env.get("SPARK_GRAFT_CONFIG").map(graft.ir.Config.load)
+    conf.foreach(_.warnings.foreach(w => System.err.println(s"[serve] config: $w")))
+    val dirs = conf.map(_.streamDirs).filter(_.nonEmpty)
+      .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_STREAMS_DIR", "streams")))
+    val port = conf.flatMap(_.httpPort)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_HTTP_PORT", "5558").toInt)
     val tlsVars = Seq("SPARK_GRAFT_TLS_KEY", "SPARK_GRAFT_TLS_CERT", "SPARK_GRAFT_TLS_CACERT")
       .map(v => v -> sys.env.get(v))
-    val tls = tlsVars.map(_._2) match {
+    val envTls = tlsVars.map(_._2) match {
       case Seq(Some(k), Some(c), Some(ca)) => Some(Tls.Config(k, c, ca))
       case vals if vals.exists(_.isDefined) =>
         // a partial triple (typo'd var, missing file) must NEVER silently
@@ -126,17 +136,22 @@ object Serve {
             " or none (missing: " + tlsVars.collect { case (v, None) => v }.mkString(", ") + ")")
       case _ => None
     }
-    val b = bootAll(spark, dir, port,
-      tcpPort = sys.env.get("SPARK_GRAFT_TCP_PORT").map(_.toInt),
+    val ctx = EngineCtx(outputs = conf.map(_.outputs).getOrElse(Map.empty))
+    val b = bootAll(spark, dirs.head, port, ctx,
+      tcpPort = conf.flatMap(_.tcpPort).orElse(sys.env.get("SPARK_GRAFT_TCP_PORT").map(_.toInt)),
       wsPort = sys.env.get("SPARK_GRAFT_WS_PORT").map(_.toInt),
-      tls = tls)
-    installReloadHandler(b.registry, dir)
+      tls = conf.flatMap(_.tls).orElse(envTls))
+    dirs.tail.foreach { d =>
+      val extra = b.registry.loadFrom(d)
+      if (extra.nonEmpty) System.err.println(s"[serve] loaded streams: ${extra.mkString(", ")}")
+    }
+    installReloadHandler(b.registry, dirs)
     System.err.println(s"[serve] http on 127.0.0.1:${b.controlPlane.boundPort}" +
-      b.tcp.map(t => s", riemann-tcp on ${t.boundPort}" + (if (tls.isDefined) " (mTLS)" else "")).getOrElse("") +
+      b.tcp.map(t => s", riemann-tcp on ${t.boundPort}" + (if (conf.flatMap(_.tls).orElse(envTls).isDefined) " (mTLS)" else "")).getOrElse("") +
       b.websockets.map(h => s", websocket on ${h.boundPort}").getOrElse(""))
     val done = new java.util.concurrent.CountDownLatch(1)
     sys.addShutdownHook {
-      if (sys.env.get("SPARK_GRAFT_PERSIST").contains("true")) b.registry.saveTo(dir)
+      if (sys.env.get("SPARK_GRAFT_PERSIST").contains("true")) b.registry.saveTo(dirs.head)
       b.stop()
       done.countDown()
     }

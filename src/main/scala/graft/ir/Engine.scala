@@ -907,8 +907,15 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     * changed documents (re)register. Dynamically-added streams that never
     * came from the directory are never removed by a reload.
     */
-  def reloadFrom(dir: String): ReloadResult = synchronized {
-    val parsed = parseDir(dir).map(n => parseStreamNode(n)._1 -> n)
+  def reloadFrom(dir: String): ReloadResult = reloadFrom(Seq(dir))
+
+  /** Multi-directory reload: the reference's `streams-directories` is a
+    * LIST (`read-edn-dirs` merges them); diffing against the merged
+    * listing means a reload never mistakes another directory's streams
+    * for removed ones.
+    */
+  def reloadFrom(dirs: Seq[String]): ReloadResult = synchronized {
+    val parsed = dirs.flatMap(parseDir).map(n => parseStreamNode(n)._1 -> n)
     val newDocs = scala.collection.immutable.ListMap(parsed: _*)
     val old = dirDocs.snapshot()
     val removed = (old.keySet -- newDocs.keySet).toSeq.sorted

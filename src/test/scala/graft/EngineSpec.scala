@@ -455,6 +455,49 @@ class EngineSpec extends AnyFunSuite {
     val r3 = reg.reloadFrom(dir.toString)
     assert(r3.added == Seq("a") && r3.unchanged == Seq("b", "d"))
     assert(reg.get("a").isDefined)
+
+    // multi-directory reload diffs the MERGED listing (the reference's
+    // streams-directories is a list): the second directory's streams are
+    // never mistaken for removed
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-reload2")
+    java.nio.file.Files.writeString(dir2.resolve("e.json"), streamJson("e", 1))
+    reg.loadFrom(dir2.toString)
+    val r4 = reg.reloadFrom(Seq(dir.toString, dir2.toString))
+    assert(r4.removed.isEmpty && r4.unchanged.sorted == Seq("a", "b", "d", "e"))
+    // ...while a single-dir reload of dir alone would consider e's file gone
+    val r5 = reg.reloadFrom(dir.toString)
+    assert(r5.removed == Seq("e"))
+  }
+
+  test("main config.edn loads verbatim: ports, dirs, file outputs, fail-soft warnings") {
+    // the reference's own dev config, unchanged
+    val c = Config.load("/root/reference/dev/resources/config.edn")
+    assert(c.httpPort.contains(5558) && c.tcpPort.contains(5555) && c.tls.isEmpty)
+    assert(c.streamDirs == Seq("dev/resources/streams") && c.testDirs == Seq("dev/resources/tests"))
+    // file output wired; prometheus/custom warn instead of silently dropping
+    assert(c.outputs.keySet == Set("write-file"))
+    assert(c.warnings.exists(_.contains("prometheus")) &&
+      c.warnings.exists(_.contains("foo-custom")) &&
+      c.warnings.exists(_.contains(":actions")))
+
+    // the wired file output actually writes through output!
+    val outDir = java.nio.file.Files.createTempDirectory("cfg_out").toString + "/o"
+    val loaded = Config.parse(
+      s"""{:outputs {:write-file {:type :file :config {:path "$outDir"}}}}""")
+    val reg = new StreamRegistry(EngineCtx(testMode = false, outputs = loaded.outputs))
+    reg.add("s", Node.fromJson(
+      """{"action":"output!","params":["write-file"]}"""), default = true)
+    reg.push(events(ev(7, 1 * S, id = 1)))
+    assert(spark.read.json(outDir).select("eventId").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // a partial TLS triple in :tcp fails loudly, never silent plaintext
+    intercept[IllegalArgumentException] {
+      Config.parse("""{:tcp {:port 1 :key "k.pem" :cert "c.pem"}}""")
+    }
+    // TLS triple parses (secrets allowed for the key path)
+    val t = Config.parse(
+      """{:tcp {:port 1 :key #secret "k.pem" :cert "c.pem" :cacert "ca.pem"}}""")
+    assert(t.tls.contains(graft.http.Tls.Config("k.pem", "c.pem", "ca.pem")))
   }
 
   test("graphviz export: clusters per stream, default edges, dashed reinject cross-edges, masked secrets") {
