@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
   *  - `SPARK_GRAFT_WS_PORT`     — websocket pubsub port (unset = off)
   *  - `SPARK_GRAFT_CPUS`        — local core count (default 4)
   *  - `SPARK_GRAFT_PERSIST`     — save registry back to the streams dir on
-  *    shutdown (default false)
+  *    shutdown (default false). Only dynamically-added streams and the
+  *    head dir's own streams are written; streams loaded from tail
+  *    config dirs keep their own files as the source of truth
+  *    ([[graft.ir.StreamRegistry.saveTo]]), so a multi-dir boot never
+  *    duplicates a stream document across directories.
   */
 object Serve {
 

@@ -717,7 +717,7 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
   private val streams = new scala.collection.concurrent.TrieMap[String, Node]()
   private val defaultFlags = new scala.collection.concurrent.TrieMap[String, Boolean]()
 
-  def add(name: String, pipeline: Node, default: Boolean = false): Unit = {
+  def add(name: String, pipeline: Node, default: Boolean = false): Unit = synchronized {
     // names arrive from JSON documents (the HTTP add-stream analog) and
     // become file names in saveTo — refuse anything that could escape the
     // persistence directory or fail to round-trip through loadFrom
@@ -732,9 +732,15 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     * fresh ADD (directory = source of truth, the reference's reload
     * contract) instead of inconsistently resurrecting the stream only
     * when the file's bytes happened to change.
+    *
+    * Mutations share [[reloadFrom]]'s monitor: a SIGHUP reload racing a
+    * concurrent HTTP remove/add can no longer interleave between the
+    * reload's dirDocs snapshot and its re-registration (which could
+    * resurrect a just-removed stream or drop a just-added dir record).
     */
-  def remove(name: String): Unit = {
-    streams.remove(name); defaultFlags.remove(name); dirDocs.remove(name)
+  def remove(name: String): Unit = synchronized {
+    streams.remove(name); defaultFlags.remove(name)
+    dirDocs.remove(name); dirOrigin.remove(name)
   }
   def get(name: String): Option[Node] = streams.get(name)
 
@@ -816,24 +822,38 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     * of the reference's `add-stream` `:persist` flag, which writes the
     * stream config into the streams directory so dynamically-added
     * streams survive a restart (`stream.clj:276-296`).
+    *
+    * Streams loaded from a DIFFERENT directory are skipped: with a
+    * multi-directory config, persisting a tail-dir stream into the head
+    * dir would make the next boot load the same name from two places,
+    * and a later reload diff would attribute it to whichever parsed
+    * last. Dir-loaded streams already have a file; only dynamic ones
+    * (and this dir's own, possibly HTTP-updated, streams) are written.
     */
-  def saveTo(dir: String): Unit = {
+  def saveTo(dir: String): Unit = synchronized {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
     streams.foreach { case (name, node) =>
-      // a #secret value serializes as its MASK (Node.toJson) — the
-      // persisted copy cannot round-trip the secret. Warn loudly so the
-      // operator keeps the EDN source of truth instead of silently
-      // rebooting the stream with the literal mask string as the value.
-      if (hasSecret(node))
-        System.err.println(s"[registry] stream '$name' contains #secret values: " +
-          "persisted copy is REDACTED and will not run correctly if reloaded — " +
-          "keep the original EDN file as the source of truth")
-      val doc = Node("stream",
-        Seq(Map("name" -> name, "default" -> defaultFlags.getOrElse(name, false))),
-        Seq(node))
-      java.nio.file.Files.writeString(d.resolve(s"$name.json"), Node.toJson(doc))
+      if (dirOrigin.get(name).exists(_ != normPath(dir))) {
+        System.err.println(s"[registry] stream '$name' came from " +
+          s"'${dirOrigin(name)}' — not persisted into '$dir' (its own file is the source of truth)")
+      } else persistOne(d, name, node)
     }
+  }
+
+  private def persistOne(d: java.nio.file.Path, name: String, node: Node): Unit = {
+    // a #secret value serializes as its MASK (Node.toJson) — the
+    // persisted copy cannot round-trip the secret. Warn loudly so the
+    // operator keeps the EDN source of truth instead of silently
+    // rebooting the stream with the literal mask string as the value.
+    if (hasSecret(node))
+      System.err.println(s"[registry] stream '$name' contains #secret values: " +
+        "persisted copy is REDACTED and will not run correctly if reloaded — " +
+        "keep the original EDN file as the source of truth")
+    val doc = Node("stream",
+      Seq(Map("name" -> name, "default" -> defaultFlags.getOrElse(name, false))),
+      Seq(node))
+    java.nio.file.Files.writeString(d.resolve(s"$name.json"), Node.toJson(doc))
   }
 
   private def hasSecret(n: Node): Boolean = {
@@ -851,12 +871,14 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     * hold EDN — accepting both lets a migrating user point this at their
     * existing streams directory unchanged). Returns the loaded names.
     */
-  def loadFrom(dir: String): Seq[String] =
+  def loadFrom(dir: String): Seq[String] = synchronized {
     parseDir(dir).map { n =>
       val name = addStreamNode(n)
       dirDocs.put(name, n)
+      dirOrigin.put(name, normPath(dir))
       name
     }
+  }
 
   /** The last directory-loaded stream documents, by name — the analog of
     * the reference's `streams-configurations`, which `reload` diffs the
@@ -867,6 +889,15 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     * config, not from the compiled set).
     */
   private val dirDocs = new scala.collection.concurrent.TrieMap[String, Node]()
+
+  /** Which directory (normalized absolute path) each dir-loaded stream
+    * came from — lets [[saveTo]] refuse to clone a tail-dir stream into
+    * another directory's persistence file.
+    */
+  private val dirOrigin = new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def normPath(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
 
   /** Parse every `*.json` / `*.edn` stream document in `dir` without
     * touching the registry.
@@ -915,7 +946,7 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     * for removed ones.
     */
   def reloadFrom(dirs: Seq[String]): ReloadResult = synchronized {
-    val parsed = dirs.flatMap(parseDir).map(n => parseStreamNode(n)._1 -> n)
+    val parsed = dirs.flatMap(d => parseDir(d).map(n => parseStreamNode(n)._1 -> (n, d)))
     val newDocs = scala.collection.immutable.ListMap(parsed: _*)
     val old = dirDocs.snapshot()
     val removed = (old.keySet -- newDocs.keySet).toSeq.sorted
@@ -923,7 +954,8 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     val added = scala.collection.mutable.ListBuffer[String]()
     val reloaded = scala.collection.mutable.ListBuffer[String]()
     val unchanged = scala.collection.mutable.ListBuffer[String]()
-    newDocs.foreach { case (name, doc) =>
+    newDocs.foreach { case (name, (doc, dir)) =>
+      dirOrigin.put(name, normPath(dir)) // a file may have moved dirs
       old.get(name) match {
         case Some(prev) if prev == doc => unchanged += name
         case prev =>

@@ -46,11 +46,14 @@ object Graphviz {
     sb.append(s"$parent -> $id;\n")
     if (n.action == "reinject!") {
       // mirror the ENGINE's routing: named param (":"-normalized like
-      // pStr) targets that stream; no param reinjects through the
-      // default streams (Engine.interp's reinject! case)
-      val target = n.params.headOption
-        .map(String.valueOf(_).stripPrefix(":")).getOrElse("default")
-      cross.append(s"$id -> ${entry(target)} [style=dashed];\n")
+      // pStr) targets that stream's entrypoint; no param fans out through
+      // every default-flagged stream (Engine.interp's reinject! case), so
+      // the edge points at the shared `default` node those streams hang
+      // off — not at a dangling '"default" entrypoint' nobody declared
+      n.params.headOption.map(String.valueOf(_).stripPrefix(":")) match {
+        case Some(t) => cross.append(s"$id -> ${entry(t)} [style=dashed];\n")
+        case None    => cross.append(s"$id -> default [style=dashed];\n")
+      }
     }
     n.children.zipWithIndex.foreach { case (c, i) =>
       walk(c, id, s"${id}_$i", sb, cross)

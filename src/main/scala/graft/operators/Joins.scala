@@ -114,9 +114,18 @@ object Joins {
     require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
     require(maxBucketsPerInterval > 0, "rangeJoin: maxBucketsPerInterval must be positive")
     // floor division from integer ops only: x - pmod(x, w) is the largest
-    // multiple of w <= x, and `div` on the named column stays integral
+    // multiple of w <= x, and `div` on the named column stays integral.
+    // That subtraction underflows for timestamps within bucketWidth of
+    // Long.MinValue — under ANSI mode a garbage value would throw an
+    // opaque ARITHMETIC_OVERFLOW before any later guard runs, so compute
+    // it with try_subtract and raise the named diagnostic on NULL
     def withBucket(df: DataFrame, src: Column, out: String): DataFrame =
-      df.withColumn("__t0", src - pmod(src, lit(bucketWidth)))
+      df.withColumn("__t0",
+          when(src.isNotNull && try_subtract(src, pmod(src, lit(bucketWidth))).isNull,
+            raise_error(concat(lit("rangeJoin: timestamp "), src.cast("string"),
+              lit(" overflows bucket arithmetic — clean the value or raise bucketWidth")))
+              .cast("long"))
+            .otherwise(try_subtract(src, pmod(src, lit(bucketWidth)))))
         .withColumn(out, expr(s"__t0 div $bucketWidth"))
         .drop("__t0")
     val lb = withBucket(left, col(leftTs), "__b")

@@ -469,9 +469,37 @@ class EngineSpec extends AnyFunSuite {
     assert(r5.removed == Seq("e"))
   }
 
+  test("saveTo skips streams loaded from another directory (multi-dir persist)") {
+    def streamJson(name: String) =
+      s"""{"streams":[{"action":"stream","params":[{"name":"$name"}],
+         |  "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin
+    val head = java.nio.file.Files.createTempDirectory("graft-phead")
+    val tail = java.nio.file.Files.createTempDirectory("graft-ptail")
+    java.nio.file.Files.writeString(head.resolve("a.json"), streamJson("a"))
+    java.nio.file.Files.writeString(tail.resolve("b.json"), streamJson("b"))
+    val reg = new StreamRegistry(EngineCtx(testMode = true))
+    reg.loadFrom(head.toString)
+    reg.loadFrom(tail.toString)
+    reg.addJson(streamJson("dyn"))
+    reg.saveTo(head.toString)
+    // the head dir's own stream and the dynamic one persist; the tail
+    // dir's stream must NOT be cloned into head (the next boot would load
+    // the same name from two directories and reload diffs would attribute
+    // it to whichever parsed last)
+    assert(java.nio.file.Files.exists(head.resolve("a.json")))
+    assert(java.nio.file.Files.exists(head.resolve("dyn.json")))
+    assert(!java.nio.file.Files.exists(head.resolve("b.json")))
+    // and b is still persisted when saving to its OWN directory
+    reg.saveTo(tail.toString)
+    assert(java.nio.file.Files.exists(tail.resolve("b.json")) &&
+      !java.nio.file.Files.exists(tail.resolve("a.json")))
+  }
+
   test("main config.edn loads verbatim: ports, dirs, file outputs, fail-soft warnings") {
     // the reference's own dev config, unchanged
-    val c = Config.load("/root/reference/dev/resources/config.edn")
+    assume(RefFixtures.available("dev/resources/config.edn"),
+      s"reference checkout not found under ${RefFixtures.root}")
+    val c = Config.load(RefFixtures.path("dev/resources/config.edn").toString)
     assert(c.httpPort.contains(5558) && c.tcpPort.contains(5555) && c.tls.isEmpty)
     assert(c.streamDirs == Seq("dev/resources/streams") && c.testDirs == Seq("dev/resources/tests"))
     // file output wired; prometheus/custom warn instead of silently dropping
@@ -526,7 +554,10 @@ class EngineSpec extends AnyFunSuite {
     val dot2 = Graphviz.dot(Seq(
       ("a-b", Node.fromJson("""{"action":"reinject!"}"""), false),
       ("a.b", Node.fromJson("""{"action":"increment"}"""), false)))
-    assert(dot2.contains("""-> "default entrypoint" [style=dashed];"""))
+    // ...meaning the shared `default` fan-out node (the one default
+    // streams hang off), not a dangling '"default" entrypoint' node
+    assert(dot2.contains("""-> default [style=dashed];"""))
+    assert(!dot2.contains(""""default entrypoint""""))
     assert(dot2.contains("cluster_0_a_b") && dot2.contains("cluster_1_a_b"))
   }
 

@@ -83,13 +83,14 @@ class GoldenSpec extends AnyFunSuite {
   test("golden: failed/tests/test1.edn — framework reports exactly the planted t2 mismatch") {
     import graft.conditions.Condition
     import org.apache.spark.sql.functions.col
+    assume(RefFixtures.available("test/resources/test/failed/streams/streams.edn",
+      "test/resources/test/failed/streams/streams2.edn"),
+      s"reference checkout not found under ${RefFixtures.root}")
     val reg = new StreamRegistry(EngineCtx(testMode = true, custom = Map(
       // the reference test registers :custom as a where-like builder
       "custom" -> (args => df => df.filter(Condition.parse(args.head).column)))))
-    reg.addEdn(java.nio.file.Files.readString(java.nio.file.Paths.get(
-      "/root/reference/test/resources/test/failed/streams/streams.edn")))
-    reg.addEdn(java.nio.file.Files.readString(java.nio.file.Paths.get(
-      "/root/reference/test/resources/test/failed/streams/streams2.edn")))
+    reg.addEdn(RefFixtures.read("test/resources/test/failed/streams/streams.edn"))
+    reg.addEdn(RefFixtures.read("test/resources/test/failed/streams/streams2.edn"))
     assert(reg.defaults.sorted == Seq("bar", "baz", "foo"))
 
     def tapMetrics(input: Seq[Map[String, Any]]): Map[String, Seq[Double]] = {
@@ -119,9 +120,10 @@ class GoldenSpec extends AnyFunSuite {
     * `:children`, keyword channel params, and publish! routing.
     */
   test("golden: dev/resources/streams/stream.clj — publish! routing from the verbatim file") {
+    assume(RefFixtures.available("dev/resources/streams/stream.clj"),
+      s"reference checkout not found under ${RefFixtures.root}")
     val reg = new StreamRegistry(EngineCtx(testMode = true))
-    assert(reg.addEdn(java.nio.file.Files.readString(java.nio.file.Paths.get(
-      "/root/reference/dev/resources/streams/stream.clj"))) == Seq("bar"))
+    assert(reg.addEdn(RefFixtures.read("dev/resources/streams/stream.clj")) == Seq("bar"))
     assert(reg.defaults == Seq("bar"))
     val df = graft.ir.TapTestKit.eventsDf(TestSpark.spark, Seq(
       Map("service" -> "bar", "metric" -> 1, "time" -> 1e9),

@@ -153,6 +153,21 @@ class QualityJoinsSpec extends AnyFunSuite {
     val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(msgs.contains("rangeJoin: interval spans"), msgs.take(300))
+
+    // a timestamp within bucketWidth of Long.MinValue would underflow the
+    // long bucket floor — the named diagnostic must win over ANSI's
+    // opaque ARITHMETIC_OVERFLOW (a tiny span dodges the span guard)
+    // (with w=7 the largest multiple of 7 <= MinValue+k is MinValue+1 for
+    // k >= 1, so only MinValue itself underflows the floor)
+    val nearMin = Seq(("h1", Long.MinValue, Long.MinValue + 5, 11L))
+      .toDF("host", "start", "end", "win_id")
+    val e2 = intercept[Exception] {
+      Joins.rangeJoin(left, nearMin, "time", "start", "end",
+        valueCols = Seq("win_id"), keys = Seq("host"), bucketWidth = 7L).count()
+    }
+    val msgs2 = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs2.contains("overflows bucket arithmetic"), msgs2.take(300))
   }
 
   test("classifierScore: deterministic, bounded to [-1, 1], empty doc scores 0") {
