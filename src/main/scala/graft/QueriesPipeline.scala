@@ -922,6 +922,52 @@ object QueriesPipeline {
       }
     }
 
+    // token-window chunking with overlap (RAG/long-context prep): the
+    // oracle replays the identical start-offset arithmetic and list
+    // slicing per document
+    locally {
+      val (chunkSize, overlap) = (12, 4)
+      val stride = chunkSize - overlap
+      register("chunk_tokens",
+        s"""$DocsView,
+           |c AS (SELECT doc_id, toks, len(toks) AS n FROM docs WHERE len(toks) > 0),
+           |s AS (SELECT doc_id, toks, n,
+           |        greatest(1, CAST(ceil(CAST(n - $overlap AS DOUBLE) / $stride) AS BIGINT)) AS nchunks
+           |      FROM c)
+           |SELECT doc_id, i AS chunk_id,
+           |       array_to_string(toks[i*$stride+1 : i*$stride+$chunkSize], ' ') AS text,
+           |       least($chunkSize, n - i*$stride) AS n_tokens
+           |FROM s, unnest(range(0, s.nchunks)) AS t(i)
+           |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+        Curation.chunkTokens(docs(s, dir), "doc_id", "text", chunkSize, overlap)
+          .orderBy("doc_id", "chunk_id")
+      }
+    }
+
+    // per-doc top-k tf-idf terms; rational smoothed idf (N+1)/(df+1) is
+    // log-free on BOTH sides, so scores are bit-identical doubles
+    locally {
+      val k = 5
+      register("tfidf_topk",
+        s"""$DocsView,
+           |t AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |nd AS (SELECT count(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT doc_id, term, tf, df,
+           |         tf * (CAST(n + 1 AS DOUBLE) / (df + 1)) AS score
+           |  FROM tf JOIN dfq USING (term), nd)
+           |SELECT doc_id, rank, term, tf, df, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |                               ORDER BY score DESC, term ASC) AS rank
+           |  FROM scored) WHERE rank <= $k
+           |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+        Curation.tfidfTopK(docs(s, dir), "doc_id", "text", k)
+          .orderBy("doc_id", "rank")
+      }
+    }
+
     // ---------------- similarity / ANN ----------------
 
     register("embedding_near_dup",
@@ -1092,6 +1138,76 @@ object QueriesPipeline {
         val e = emb(s, dir)
         Similarity.pqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
           topK, m = m, codes = codes)
+          .orderBy("query_id", "rank")
+      }
+    }
+
+    // SQ8 quantization + quantized-scan ANN: the oracle replays the
+    // identical per-vector quantization (floor(x/scale + 0.5) — NOT
+    // round(), whose half-way rule differs across engines), integer dot,
+    // top-rerank candidate cut and exact-cosine re-rank, so codes,
+    // approximate scores and final ranks match bit-for-bit
+    locally {
+      val (topK, rerank) = (3, 10)
+      val quantCtes =
+        """e0 AS (
+          |  SELECT vec_id, embedding,
+          |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+          |  FROM embeddings),
+          |e AS (
+          |  SELECT vec_id, embedding,
+          |         CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+          |  FROM e0),
+          |qv AS (
+          |  SELECT vec_id, embedding, scale,
+          |         list_transform(embedding, x ->
+          |           greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+          |             CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))) AS q
+          |  FROM e)""".stripMargin
+
+      register("embedding_quantize",
+        s"""WITH $quantCtes
+           |SELECT vec_id, scale,
+           |       list_reduce(list_prepend(CAST(0 AS BIGINT), q), (acc, x) -> acc + x) AS q_sum,
+           |       list_min(q) AS q_min, list_max(q) AS q_max,
+           |       CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+           |FROM qv ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        emb(s, dir)
+          .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("__z"))
+          .select(col("vec_id"), col("__z.scale").as("scale"),
+            aggregate(col("__z.q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            array_min(col("__z.q")).as("q_min"),
+            array_max(col("__z.q")).as("q_max"),
+            size(filter(col("__z.q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+          .orderBy("vec_id")
+      }
+
+      val intdot =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(list_zip(q.q, c.q), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+      register("ann_sq8_topk",
+        s"""WITH $quantCtes,
+           |approx AS (
+           |  SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.vec_id AS nn_id,
+           |         CAST($intdot AS DOUBLE) * q.scale * c.scale AS ascore
+           |  FROM qv q JOIN qv c ON c.vec_id != q.vec_id WHERE q.vec_id < 50),
+           |cand AS (
+           |  SELECT query_id, query_vec, nn_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |                                 ORDER BY ascore DESC, nn_id ASC) AS arank
+           |    FROM approx) WHERE arank <= $rerank),
+           |rer AS (
+           |  SELECT cand.query_id, cand.nn_id,
+           |         ${sqlCosine("cand.query_vec", "e.embedding")} AS cosine
+           |  FROM cand JOIN embeddings e ON e.vec_id = cand.nn_id)
+           |SELECT query_id, rank, nn_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY cosine DESC, nn_id ASC) AS rank
+           |  FROM rer) WHERE rank <= $topK
+           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        Similarity.sq8TopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+          topK, rerank)
           .orderBy("query_id", "rank")
       }
     }

@@ -630,6 +630,14 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.cutDuplicateNgrams(df, pStr(m("text")), pStr(m("id")),
         m.get("n").map(pLong(_).toInt).getOrElse(50))
+    case "chunk-tokens" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.chunkTokens(df, pStr(m("id")), pStr(m("text")),
+        pLong(m("size")).toInt, m.get("overlap").map(pLong(_).toInt).getOrElse(0))
+    case "tfidf-topk" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.tfidfTopK(df, pStr(m("id")), pStr(m("text")),
+        pLong(m("k")).toInt)
     case "cap-per-group" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.capPerGroup(df, pStr(m("group")), pStr(m("order")),

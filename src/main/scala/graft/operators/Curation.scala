@@ -213,6 +213,75 @@ object Curation {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
   }
 
+  /** Token-window chunking with overlap — the RAG/long-context
+    * preprocessing step: each document's token stream is cut into chunks
+    * of `chunkSize` tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = chunkSize - overlap). Every token appears in at least one
+    * chunk; the last chunk may be short. Documents with zero tokens emit
+    * no rows (filtering/keeping empties is the caller's policy).
+    *
+    * Output: (idCol, chunk_id, text, n_tokens) — chunk_id is 0-based in
+    * token order.
+    *
+    * Pure map-side projection: tokenize → posexplode over the start
+    * offsets → slice. NO shuffle at any scale; chunking pipelines into
+    * the scan and the row amplification (~n/stride per doc) streams
+    * through the same task.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkTokens: chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunkTokens: overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    // last chunk must contribute >= 1 new token: starts are 0, stride, …,
+    // (nChunks-1)*stride with nChunks = max(1, ceil((n - overlap)/stride))
+    val nChunks = greatest(lit(1L),
+      ceil((col("__n") - overlap).cast("double") / stride).cast("long"))
+    df.withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L), (nChunks - 1) * stride, lit(stride.toLong)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), (col("__start") + 1).cast("int"), lit(chunkSize)))
+          .as("text"),
+        least(lit(chunkSize.toLong), col("__n") - col("__start")).as("n_tokens"))
+  }
+
+  /** Per-document top-`k` salient terms by tf-idf — the cheap keyword /
+    * topic signal a curation pipeline uses for clustering, mixing and
+    * contamination triage.
+    *
+    * Scoring: `tf * (N+1)/(df+1)` — RATIONAL smoothed idf, deliberately
+    * log-free: `ln` is not correctly-rounded on every libm, so a logged
+    * idf can differ in the last ulp across engines and break exact
+    * reproducibility of distributed runs; the rational form is the same
+    * monotone-in-df ranking with bit-exact doubles everywhere. Ties break
+    * by term ASC.
+    *
+    * Cost: one shuffle on (doc, term) for tf, one map-side-combined
+    * aggregate on term for df (vocabulary-sized, far smaller than the
+    * corpus), a shuffle join tf⋈df on term, and the per-doc top-k window.
+    * The corpus text itself is never shuffled — only (doc, term, tf)
+    * triples.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"tfidfTopK: k must be >= 1, got $k")
+    val nDocs = df.count() // model-sized scalar (same class as broadcast centroids)
+    val tf = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf") * (lit((nDocs + 1).toDouble) / (col("df") + 1)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Next-fit bin packing: within each `groupCol` stream (in `idCol`
     * order) a document goes into the current bin if it fits under
     * `budget`, else opens the next bin — documents are never split

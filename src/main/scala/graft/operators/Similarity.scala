@@ -277,6 +277,76 @@ object Similarity {
     * corpus scan. A corpus vector lives in exactly one bucket and probe
     * buckets are distinct, so no candidate pair is scored twice.
     */
+  /** Per-vector symmetric int8 scalar quantization (SQ8): `scale =
+    * max|x| / 127`, `q_i = floor(x_i/scale + 0.5)` clamped to ±127.
+    * Returns a struct `(scale: double, q: array<long>)`.
+    *
+    * Round-half-up is written as `floor(x + 0.5)` ON PURPOSE: `round()`
+    * half-way semantics differ across engines (HALF_UP vs half-away vs
+    * banker's), while `floor` is IEEE-exact everywhere, so quantized
+    * codes are bit-identical on Spark and the DuckDB oracle. A zero
+    * vector gets scale 1.0 (all-zero codes) instead of a 0/0 NaN.
+    *
+    * At 100 TB this is the embedding STORAGE scale path: 64-dim float32
+    * (256 B) becomes 64 int8 codes + one float scale (~68 B, 4x), and —
+    * unlike PQ — decode is a single multiply, so quantized vectors still
+    * support exact-ish dot products without a codebook broadcast.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxabs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(maxabs === 0d, lit(1.0)).otherwise(maxabs / 127d)
+    val q = transform(vec, x => greatest(lit(-127L), least(lit(127L),
+      floor(x.cast("double") / scale + 0.5).cast("long"))))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** SQ8 ANN top-k: quantized-scan + exact re-rank — the production
+    * two-pass pattern (Douze et al., "The Faiss library", 2024, §SQ):
+    *
+    *  1. *scan*: the corpus is read as int8 codes ONLY (no raw vectors) —
+    *     the approximate score is an integer dot product (exact in int64:
+    *     127 * 127 * dim << 2^63) times the two scales. Queries broadcast
+    *     with their codes; map-side, no shuffle of corpus data.
+    *  2. *select*: top-`rerank` candidates per query by approximate
+    *     score (ties to the lower id) — one window shuffle over
+    *     nQueries x corpus candidate ROWS of (ids, score), not vectors.
+    *  3. *re-rank*: only the ~nQueries x rerank survivors join back to
+    *     the raw vectors (broadcast — candidate set is query-sized) for
+    *     exact fp32 cosine; final top-`k` by exact score.
+    *
+    * At 100 TB the first pass reads 4x fewer bytes than a float scan and
+    * the expensive cosine runs on a vanishing fraction of the corpus.
+    * Recall floor vs brute force is measured in AnnRecallSpec.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, rerank: Int = 10): DataFrame = {
+    require(rerank >= k, s"sq8TopK: rerank $rerank must be >= k $k")
+    val cq = corpus.select(col(idCol).as("nn_id"),
+      quantizeInt8(col(vecCol)).as("__cq"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      quantizeInt8(col(vecCol)).as("__qq"))
+    val approx = cq.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("__adot", aggregate(
+        zip_with(col("__qq.q"), col("__cq.q"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("__ascore",
+        col("__adot").cast("double") * col("__qq.scale") * col("__cq.scale"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ascore").desc, col("nn_id").asc)
+    val cand = approx.withColumn("__arank", row_number().over(wA))
+      .filter(col("__arank") <= rerank)
+      .select(col("query_id"), col("query_vec"), col("nn_id"))
+    val rer = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .join(broadcast(cand), "nn_id")
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    rer.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
+  }
+
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, bits: Int = 16,
                    extraProbes: Int = 0): DataFrame = {

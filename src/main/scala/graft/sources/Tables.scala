@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Loaders for the driver-generated parquet fixtures (`TESTDATA.md`) and
   * the canonical event view the operator suite runs on.
   *
-  * The `events` table carries a parquet `TIMESTAMP(NANOS)` column, which
-  * Spark only reads as a nanosecond `LongType` (legacy conf below) — that
-  * is exactly the reference's time representation
-  * (`src/clojure/mirabelle/time.clj:3-6`), so the engine keeps event time
-  * as ns-longs end to end and derives µs `TimestampType` only at the
-  * streaming boundary.
+  * The `events` table's `ts` column has shipped as both parquet
+  * `TIMESTAMP(NANOS)` (read as a nanosecond `LongType` under the legacy
+  * conf below) and `TIMESTAMP(MICROS)` (read as a Spark timestamp) across
+  * fixture generations. Either way [[eventsRaw]] canonicalizes it to an
+  * epoch-NANOSECOND long — that is exactly the reference's time
+  * representation (`src/clojure/mirabelle/time.clj:3-6`), so the engine
+  * keeps event time as ns-longs end to end and derives µs `TimestampType`
+  * only at the streaming boundary. The DuckDB oracle's `epoch_ns(ts)`
+  * agrees with both physical types.
   */
 object Tables {
 
@@ -64,7 +67,23 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "embeddings")
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = fact(spark, sfDir, "events")
+  /** Raw events with `ts` canonicalized to an epoch-ns long regardless of
+    * the fixture's physical parquet type (see the object Scaladoc). The
+    * µs→ns widening is exact integer arithmetic (`unix_micros * 1000` —
+    * ns-longs exceed 2^53, so no double ever touches them) and session
+    * time zone is pinned UTC by every entrypoint, matching DuckDB's
+    * UTC-naive `epoch_ns`.
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = fact(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
+  }
 
   /** Canonical event view over the driver's `events` table, mapping its
     * columns onto the reference event model (SURVEY §1.1):

@@ -123,6 +123,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recallLow > 0.08, "sanity floor (measured 0.136)")
   }
 
+  test("SQ8 quantized scan + exact re-rank: near-exact recall, monotone in rerank") {
+    val rK = recall(Similarity.sq8TopK(corpus, queries, "vec_id", "embedding", K,
+      rerank = K))
+    val r3K = recall(Similarity.sq8TopK(corpus, queries, "vec_id", "embedding", K,
+      rerank = 3 * K))
+    info(f"SQ8 recall@$K: rerank=$K $rK%.3f, rerank=${3 * K} $r3K%.3f")
+    // int8 keeps ~7 bits/coordinate — the approximate ranking is already
+    // near-exact, and a 3x re-rank margin recovers boundary swaps
+    assert(r3K >= rK, "a wider re-rank pool can only improve recall")
+    assert(rK > 0.9, "regression floor: int8 scan alone should be near-exact")
+    assert(r3K > 0.97, "regression floor: re-rank margin recovers boundary swaps")
+  }
+
   test("IVF centroid training (Lloyd step) is pluggable and sane") {
     val seeded = recall(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
       nCells = 16, nProbe = 4, trainIters = 0))

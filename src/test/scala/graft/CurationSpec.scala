@@ -186,6 +186,72 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 1L, 0L), ("a", 2L, 1L), ("b", 3L, 0L), ("b", 4L, 1L)))
   }
 
+  test("chunkTokens covers every token, overlaps consecutive chunks, short tail allowed") {
+    // 10 tokens, chunkSize 4, overlap 1 (stride 3): starts 0,3,6 ->
+    // [t0..t3] [t3..t6] [t6..t9] — full coverage, 1 shared token per seam
+    val df = docsDf((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "s"))
+    val out = Curation.chunkTokens(df, "doc_id", "text", 4, 1)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, "t0 t1 t2 t3", 4L),
+      (1L, "t3 t4 t5 t6", 4L),
+      (2L, "t6 t7 t8 t9", 4L)))
+  }
+
+  test("chunkTokens: short doc is one chunk, empty doc emits nothing, ragged tail is short") {
+    val df = docsDf(
+      (1L, "only two", "s"),          // n=2 <= chunkSize -> single chunk
+      (2L, "., !!", "s"),             // no alphanumeric tokens -> no rows
+      (3L, "a b c d e", "s"))         // n=5, size 4, overlap 2 (stride 2):
+                                      // starts 0,2 -> [a b c d] [c d e]
+    val out = Curation.chunkTokens(df, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "only two", 2L),
+      (3L, 0L, "a b c d", 4L),
+      (3L, 1L, "c d e", 3L)))
+  }
+
+  test("chunkTokens: overlap 0 partitions the stream exactly; bad args fail fast") {
+    val df = docsDf((1L, "a b c d e", "s"))
+    val out = Curation.chunkTokens(df, "doc_id", "text", 2, 0)
+      .orderBy("chunk_id").collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a b", 2L), ("c d", 2L), ("e", 1L)))
+    intercept[IllegalArgumentException](Curation.chunkTokens(df, "doc_id", "text", 4, 4))
+    intercept[IllegalArgumentException](Curation.chunkTokens(df, "doc_id", "text", 0, 0))
+  }
+
+  test("tfidfTopK ranks by tf * (N+1)/(df+1), ties break by term ascending") {
+    val df = docsDf(
+      (1L, "a a b", "s"),    // tf a=2 b=1
+      (2L, "a c", "s"),      // tf a=1 c=1 — equal scores, tie on term
+      (3L, "b b b c", "s"))  // tf b=3 c=1
+    // N=3; df: a=2, b=2, c=2 -> idf = 4/3 everywhere
+    val out = Curation.tfidfTopK(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", 2L, 2 * 4.0 / 3),
+      (1L, 2L, "b", 1L, 4.0 / 3),
+      (2L, 1L, "a", 1L, 4.0 / 3),   // tie vs "c": term asc wins
+      (2L, 2L, "c", 1L, 4.0 / 3),
+      (3L, 1L, "b", 3L, 3 * 4.0 / 3),
+      (3L, 2L, "c", 1L, 4.0 / 3)))
+  }
+
+  test("tfidfTopK: rarer term outranks commoner term at equal tf; k caps output") {
+    val df = docsDf(
+      (1L, "common rare", "s"),
+      (2L, "common other", "s"),
+      (3L, "common thing", "s"))
+    // df: common=3, rare/other/thing=1 -> rare idf 4/2=2 > common 4/4=1
+    val top1 = Curation.tfidfTopK(df, "doc_id", "text", 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(top1.toSeq == Seq((1L, "rare"), (2L, "other"), (3L, "thing")))
+  }
+
   test("capPerGroup keeps the k best per group, score desc with id tie-break") {
     import graft.operators.Curation
     val s = spark

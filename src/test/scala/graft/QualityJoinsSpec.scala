@@ -195,6 +195,47 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 2L, 3L)) // 10,11 collapse into 0; 12 into 1
   }
 
+  test("quantizeInt8: extremes hit ±127, zero vector is scale-1 all-zeros, codes bounded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1f, -2f, 0.5f, 2f)),   // maxabs 2 -> scale 2/127; ±2 -> ±127
+      (2L, Seq(0f, 0f, 0f, 0f)),      // zero vector: scale 1.0, codes 0
+      (3L, Seq(-0.25f, 0.25f, 0f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale"), col("z.q")).orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Long](2)
+    assert(out(0).getDouble(1) == 2.0 / 127)
+    assert(q1(1) == -127L && q1(3) == 127L) // extremes saturate exactly
+    assert(out(1).getDouble(1) == 1.0 && out(1).getSeq[Long](2).forall(_ == 0L))
+    assert(out.forall(_.getSeq[Long](2).forall(c => c >= -127 && c <= 127)))
+    // reconstruction error bounded by scale/2 per coordinate
+    val v = Seq(1f, -2f, 0.5f, 2f)
+    val scale = 2.0 / 127
+    q1.zip(v).foreach { case (c, x) => assert(math.abs(c * scale - x) <= scale / 2 + 1e-12) }
+  }
+
+  test("sq8TopK: exact re-rank returns true neighbors on a clustered fixture; rerank >= k enforced") {
+    val s = spark
+    import s.implicits._
+    def v(base: Float, j: Int): Seq[Float] =
+      (0 until 16).map(i => base + (if (i == j % 16) 0.01f else 0f))
+    val rows = (0 until 16).map(i => (i.toLong, v(if (i < 8) 1f else -1f, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.sq8TopK(df, df.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 3, rerank = 6)
+    val brute = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 2), "vec_id",
+      "embedding", 3)
+    // quantized scan + exact re-rank must agree with brute force here:
+    // within-cluster candidates survive the int8 cut easily
+    assert(out.orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      == brute.orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(df, df, "vec_id", "embedding", k = 5, rerank = 3)
+    }
+  }
+
   test("pqTopK: deterministic, self excluded, perfect recall on clustered fixture") {
     val s = spark
     import s.implicits._
