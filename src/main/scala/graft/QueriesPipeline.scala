@@ -968,6 +968,82 @@ object QueriesPipeline {
       }
     }
 
+    // BM25 top-k retrieval (inverted-index probe): queries are the first
+    // 5 tokens of docs 0..7; the oracle replays the identical rational
+    // idf, saturation arithmetic (same literal doubles, same shape) and
+    // decimal-stable cross-term sum, so scores match bit-for-bit
+    locally {
+      val (k, k1, b) = (5, 1.2, 0.75)
+      register("bm25_topk",
+        s"""$DocsView,
+           |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+           |dt AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM
+           |         (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+           |       GROUP BY doc_id, dl, term),
+           |q AS (SELECT doc_id AS query_id, toks[1:5] AS qtoks FROM docs WHERE doc_id < 8),
+           |qt AS (SELECT DISTINCT query_id, t.term FROM q, unnest(qtoks) AS t(term)),
+           |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt
+           |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+           |co AS (SELECT qt.query_id, dt.doc_id,
+           |         ((st.n - df + 0.5) / (df + 0.5)) * (tf * CAST(${k1 + 1} AS DOUBLE)) /
+           |           (tf + $k1 * (${1 - b} + $b * (dl / st.avgdl))) AS c
+           |       FROM dt JOIN dfq USING (term) JOIN qt USING (term), st),
+           |sc AS (SELECT query_id, doc_id,
+           |         CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+           |       FROM co GROUP BY query_id, doc_id)
+           |SELECT query_id, rank, doc_id, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY score DESC, doc_id ASC) AS rank
+           |  FROM sc) WHERE rank <= $k
+           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val queries = d.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("qtext"))
+        graft.operators.Retrieval.bm25TopK(d, queries, "doc_id", "text",
+          "qid", "qtext", k, k1, b)
+          .orderBy("query_id", "rank")
+      }
+    }
+
+    // sparse tf-idf all-pairs cosine (postings self-join, df-capped):
+    // the oracle replays the identical subspace weights, decimal-stable
+    // norms/dots and the same threshold comparison on exact doubles
+    locally {
+      val (threshold, maxDf) = (0.5, 50L)
+      register("tfidf_cosine_pairs",
+        s"""$DocsView,
+           |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+           |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+           |         (SELECT doc_id, unnest(toks) AS term FROM d)
+           |       GROUP BY doc_id, term),
+           |nd AS (SELECT count(*) AS n FROM documents),
+           |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+           |kept AS (SELECT doc_id, dt.term, df,
+           |           tf * (CAST(n + 1 AS DOUBLE) / (df + 1)) AS w
+           |         FROM dt JOIN dfreq USING (term), nd WHERE df <= $maxDf),
+           |norms AS (SELECT doc_id,
+           |            sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)) AS norm
+           |          FROM kept GROUP BY doc_id),
+           |dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |           CAST(sum(CAST(a.w * b.w AS DECIMAL(38,6))) AS DOUBLE) AS dot
+           |         FROM kept a JOIN kept b
+           |           ON a.term = b.term AND a.doc_id < b.doc_id
+           |         WHERE a.df >= 2 AND b.df >= 2
+           |         GROUP BY id1, id2)
+           |SELECT id1, id2, dot / (n1.norm * n2.norm) AS cosine
+           |FROM dots JOIN norms n1 ON n1.doc_id = id1
+           |          JOIN norms n2 ON n2.doc_id = id2
+           |WHERE dot / (n1.norm * n2.norm) >= $threshold
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        graft.operators.Retrieval.tfidfCosinePairs(docs(s, dir), "doc_id", "text",
+          threshold, maxDf)
+          .orderBy("id1", "id2")
+      }
+    }
+
     // ---------------- similarity / ANN ----------------
 
     register("embedding_near_dup",

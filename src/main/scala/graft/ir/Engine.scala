@@ -638,6 +638,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.tfidfTopK(df, pStr(m("id")), pStr(m("text")),
         pLong(m("k")).toInt)
+    case "tfidf-cosine-pairs" =>
+      val m = pMap(params.head)
+      df => graft.operators.Retrieval.tfidfCosinePairs(df, pStr(m("id")), pStr(m("text")),
+        pDouble(m("threshold")), pLong(m("max-df")))
     case "cap-per-group" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.capPerGroup(df, pStr(m("group")), pStr(m("order")),

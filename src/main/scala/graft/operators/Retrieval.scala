@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval / similarity over the term-postings
+  * representation — the inverted-index complement to the dense-embedding
+  * family in [[Similarity]]. A curation pipeline uses these for
+  * benchmark-contamination triage (retrieve train docs lexically close to
+  * eval items), quality-neighborhood mining, and cheap near-dup discovery
+  * where no embeddings exist.
+  *
+  * Numeric discipline (shared with [[Curation.tfidfTopK]]): idf terms are
+  * RATIONAL, log-free — `ln` is not correctly rounded on every libm, so a
+  * logged idf can differ in the last ulp across engines; the rational
+  * forms keep every score bit-identical between Spark and the DuckDB
+  * oracle. Cross-term score sums go through DECIMAL(38,6) so they are
+  * order-independent (double addition is not associative); all other
+  * arithmetic is IEEE-exact double ops replicated in the same shape on
+  * both sides.
+  *
+  * Scale design (the 100 TB question):
+  *
+  *  - [[bm25TopK]]: the corpus is exploded to (doc, term, tf) postings
+  *    with map-side partial aggregation — ONE corpus-sized shuffle, the
+  *    inverted-index build every sparse engine pays. Everything after is
+  *    query-bounded: document frequencies are computed only for query
+  *    terms (the postings are semi-join-filtered through the broadcast
+  *    query-term set first), the scoring join broadcasts the tiny
+  *    (query, term, df) table against the postings map-side, and the
+  *    (query, doc) partial-score aggregate combines map-side before its
+  *    shuffle. No all-pairs anything; cost is O(postings matching query
+  *    terms), exactly an inverted-index probe.
+  *  - [[tfidfCosinePairs]]: all-pairs similarity is quadratic per
+  *    posting list, so the df cap is load-bearing: a term kept for
+  *    pairing generates at most maxDf² candidate rows, which bounds both
+  *    the join skew (hottest reducer key) and total work — the classic
+  *    stop-term cut (Broder-era shingling and every production
+  *    near-dup pipeline drop ubiquitous features for the same reason).
+  *    Norms are computed over the full kept subspace (df ≤ maxDf,
+  *    including unpairable df=1 terms) so the score is a true cosine in
+  *    that subspace.
+  */
+object Retrieval {
+
+  /** Decimal-stable double sum: order-independent across partitions and
+    * engines, then one double cast both sides replicate.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** (doc, dl, term, tf) postings with per-doc length, via explode +
+    * map-side-combined aggregate — the inverted-index build.
+    */
+  private def postings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-`k` retrieval (Robertson-Spärck Jones; the Okapi form with
+    * the query-tf saturation term omitted, i.e. distinct query terms):
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
+    *
+    * with the log-free rational idf `(N - df + 0.5)/(df + 0.5)` (same
+    * monotone-in-df ranking as the logged Okapi idf; see object doc for
+    * why no `ln`). Query terms absent from the corpus contribute nothing
+    * and drop out. Ties break by doc id ascending.
+    *
+    * `queries` is any (qIdCol, qTextCol) frame; it is assumed
+    * query-sized (broadcast). Output: (query_id, rank, doc_id, score).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+               qIdCol: String, qTextCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25TopK: need k1 >= 0, b in [0,1]; got $k1, $b")
+    val dt = postings(docs, idCol, textCol)
+    // corpus stats: two scalars (model-sized, same class as broadcast
+    // centroids). N counts ALL docs, empty ones included; dl sums exactly
+    // the postings' token mass.
+    val row = docs.select(count(lit(1)).as("n"),
+      coalesce(sum(Text.tokenCount(col(textCol))), lit(0L)).as("tot")).head()
+    val (n, tot) = (row.getLong(0), row.getLong(1))
+    val avgdl = tot.toDouble / n
+    val qt = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(Text.tokens(col(qTextCol)))).as("term"))
+      .distinct()
+    // df only for query terms: postings semi-join the broadcast term set
+    // BEFORE the per-term count, so the df aggregate's shuffle carries
+    // only query-term hits, not the vocabulary
+    val dfq = dt.join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qtd = qt.join(dfq, Seq("term")) // (term, query_id, df): query-sized
+    val contrib = dt.join(broadcast(qtd), "term")
+      .withColumn("__c",
+        ((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / lit(avgdl)))))
+    val sc = contrib.groupBy(col("query_id"), col(idCol).as("doc_id"))
+      .agg(dsum(col("__c")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** All-pairs document cosine similarity over sparse tf-idf vectors,
+    * thresholded — postings-join formulation (no dense vectors, no
+    * cartesian): for each term kept by the df cap, documents sharing it
+    * pair up (`id1 < id2`), per-pair dot products accumulate
+    * decimal-stable, and cosines divide by subspace norms.
+    *
+    * Weights: `w(d,t) = tf · (N+1)/(df+1)` (rational smoothed idf,
+    * matching [[Curation.tfidfTopK]]). The similarity is a TRUE cosine in
+    * the df ≤ `maxDf` term subspace: norms include every kept term
+    * (df=1 terms can never pair but do scale the denominator), and
+    * dropping df > maxDf terms is the stop-term cut that bounds skew —
+    * see object doc. Output: (id1, id2, cosine) for cosine ≥ threshold.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxDf: Long): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"tfidfCosinePairs: threshold must be in [0,1], got $threshold")
+    require(maxDf >= 2, s"tfidfCosinePairs: maxDf must be >= 2, got $maxDf")
+    val nDocs = df.count()
+    val dt = postings(df, idCol, textCol)
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = dt.join(dfreq.filter(col("df") <= maxDf), "term")
+      .withColumn("w", col("tf") * (lit((nDocs + 1).toDouble) / (col("df") + 1)))
+      .select(col(idCol), col("term"), col("df"), col("w"))
+    val norms = kept.groupBy(col(idCol))
+      .agg(sqrt(dsum(col("w") * col("w"))).as("norm"))
+    // df=1 terms cannot match a partner; excluding them from the join is
+    // a pure-optimization prefilter (values unchanged)
+    val pairable = kept.filter(col("df") >= 2)
+    val dots = pairable.as("a")
+      .join(pairable.as("b"), col("a.term") === col("b.term") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .agg(dsum(col("a.w") * col("b.w")).as("__dot"))
+    dots
+      .join(norms.select(col(idCol).as("id1"), col("norm").as("__n1")), "id1")
+      .join(norms.select(col(idCol).as("id2"), col("norm").as("__n2")), "id2")
+      .withColumn("cosine", col("__dot") / (col("__n1") * col("__n2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

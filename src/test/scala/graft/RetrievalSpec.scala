@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sparse retrieval semantics: BM25 scores match the closed-form formula
+  * on a hand-computed fixture (rational idf, saturation, length
+  * normalization), tf-idf cosine pairs are a true cosine in the df-capped
+  * subspace, and the df cap actually drops ubiquitous terms.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docsDf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25TopK matches the hand-computed formula; rarer term dominates; dl normalizes") {
+    // corpus: N=4, total tokens 2+2+2+6=12, avgdl=3.0
+    val docs = docsDf(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry durian"),
+      (4L, "apple apple apple apple apple apple"))
+    val queries = docsDf((100L, "apple banana")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+
+    // hand computation, k1=1.2 b=0.75, idf(t)=(N-df+0.5)/(df+0.5):
+    //   idf(apple)=(4-3+0.5)/3.5=3/7; idf(banana)=(4-1+0.5)/1.5=7/3
+    def part(tf: Long, dl: Long, idf: Double): BigDecimal =
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = (part(1, 2, 3.0 / 7) + part(1, 2, 7.0 / 3)).toDouble // apple + banana
+    val d2 = part(1, 2, 3.0 / 7).toDouble
+    val d4 = part(6, 6, 3.0 / 7).toDouble
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L)) // doc 3 shares no term: absent
+    assert(out(0)._2 == d1 && out(2)._2 == d2)
+    assert(out(1)._2 == d4)
+    // saturation sanity: 6x the tf in a 3x-longer doc beats tf=1 but
+    // cannot approach the (k1+1) ceiling times idf unscathed
+    assert(d4 > d2 && d4 < 2.2 * 3.0 / 7)
+  }
+
+  test("bm25TopK: k caps per query, ties break by doc_id, absent query terms drop out") {
+    val docs = docsDf((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "z"))
+    val queries = docsDf((7L, "x qzqzqz")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // docs 1,2,3 identical scores -> doc_id ascending; k=2 cuts doc 3
+    assert(out.toSeq.sorted == Seq((1L, 1L), (2L, 2L)))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext", k = 0))
+  }
+
+  test("tfidfCosinePairs: identical docs hit cosine ~1, disjoint docs absent, threshold cuts") {
+    val df = docsDf(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),   // exact dup of 1
+      (3L, "alpha beta delta"),   // partial overlap
+      (4L, "epsilon zeta eta"))   // disjoint
+    val out = Retrieval.tfidfCosinePairs(df, "doc_id", "text", threshold = 0.0, maxDf = 50)
+      .orderBy("id1", "id2").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L))) // no self, no disjoint, id1<id2
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-6)
+    assert(out((1L, 3L)) > 0 && out((1L, 3L)) < 1)
+    assert(out((1L, 3L)) == out((2L, 3L))) // symmetric weights -> equal cosines
+    val cut = Retrieval.tfidfCosinePairs(df, "doc_id", "text",
+      threshold = 0.9, maxDf = 50).collect()
+    assert(cut.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("tfidfCosinePairs: the df cap drops ubiquitous terms from the subspace") {
+    // "common" is in all 4 docs; with maxDf=3 it leaves the subspace, so
+    // docs sharing ONLY it never pair and the 1~2 cosine is computed from
+    // the remaining terms alone (here: identical remainder -> ~1)
+    val df = docsDf(
+      (1L, "common rare1"),
+      (2L, "common rare1"),
+      (3L, "common rare2"),
+      (4L, "common rare3"))
+    val capped = Retrieval.tfidfCosinePairs(df, "doc_id", "text",
+      threshold = 0.0, maxDf = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(math.abs(capped((1L, 2L)) - 1.0) < 1e-6)
+    // without the cap, every doc pairs with every other through "common"
+    val uncapped = Retrieval.tfidfCosinePairs(df, "doc_id", "text",
+      threshold = 0.0, maxDf = 50).collect()
+    assert(uncapped.length == 6)
+  }
+}
