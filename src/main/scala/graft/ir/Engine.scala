@@ -578,6 +578,21 @@ object Engine {
       df => df.withColumn(pStr(params(1)), graft.functions.Text.fingerprint(col(pStr(params.head))))
     case "dedup-exact" =>
       df => graft.operators.Dedup.exact(df, pStr(params.head), pStr(params(1)))
+    case "dedup-within-watermark" =>
+      // first arrival per key tuple wins. Streaming: horizon-bounded
+      // state via dropDuplicatesWithinWatermark; batch (which sees all
+      // data at once): deterministic first by (time, eventId)
+      val m = pMap(params.head)
+      val keys = pStrs(m("keys"))
+      val delay = m.get("delay").map(pLong).getOrElse(3600L)
+      df =>
+        if (df.isStreaming) graft.streaming.Streaming.dedupWithinWatermark(keys, delay)(df)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*).orderBy(col("time"), col("eventId"))
+          df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
     case "dedup-fingerprint" =>
       df => graft.operators.Dedup.byFingerprint(df, pStr(params.head), pStr(params(1)))
     case "dedup-simhash" =>

@@ -216,6 +216,30 @@ object Streaming {
     keys.foldLeft(joined)((d, k) => d.drop(r(k)))
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * fingerprint/exact dedup family ([[graft.operators.Dedup]]): an event
+    * whose `keyCols` tuple was already seen within the watermark horizon
+    * is dropped; the FIRST arrival wins and is emitted unchanged.
+    *
+    * Built on `dropDuplicatesWithinWatermark`, so per-key state is
+    * evicted once the watermark passes the key's first-seen event time
+    * plus `delaySeconds` — state is bounded by (key arrival rate ×
+    * horizon), NOT corpus lifetime. That bound is the documented
+    * batch/stream delta: a duplicate arriving after the horizon is
+    * emitted again (batch dedup, which sees all data, would drop it). At
+    * ingest scale this is the only viable contract — unbounded seen-key
+    * state for an infinite stream cannot fit any store — and matches the
+    * horizon the reference's own index GC applies to expired events
+    * (`index.clj`, expire loop).
+    */
+  def dedupWithinWatermark(keyCols: Seq[String], delaySeconds: Long)(df: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWatermark: at least one key column")
+    require(delaySeconds >= 0, s"dedupWithinWatermark: negative horizon ($delaySeconds s)")
+    withTs(df).withWatermark("__ts", s"$delaySeconds seconds")
+      .dropDuplicatesWithinWatermark(keyCols)
+      .drop("__ts")
+  }
+
   // --------------------------------------------------------------------
   // Stateful ops: flatMapGroupsWithState keyed by the `by` fork fields.
   // --------------------------------------------------------------------

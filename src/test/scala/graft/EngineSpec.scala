@@ -63,6 +63,21 @@ class EngineSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 3.0, "b" -> 5.0))
   }
 
+  test("dedup-within-watermark on a batch frame: deterministic first by (time, eventId)") {
+    // same host twice (later time loses), distinct host kept; the
+    // streaming branch of the same action is covered in StreamingSpec
+    val df = events(
+      ev(1, 2 * S, host = "a", id = 2), ev(9, 1 * S, host = "a", id = 1),
+      ev(3, 5 * S, host = "b", id = 5))
+    val node = Node.fromJson(
+      """{"action":"dedup-within-watermark","params":[{"keys":["host"],"delay":60}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val res = Engine.run(node, df, EngineCtx(testMode = true))
+    val out = res.taps("out").orderBy("eventId").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("eventId")))
+    assert(out.toSeq == Seq(("a", 1L), ("b", 5L)))
+  }
+
   test("split: first matching condition wins, last child is the default") {
     val df = events(ev(200, 1 * S, id = 1), ev(80, 2 * S, id = 2), ev(5, 3 * S, id = 3))
     val node = Node.fromJson(

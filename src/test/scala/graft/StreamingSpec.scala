@@ -418,6 +418,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(unbounded == Seq(5L, 10L, 15L, 20L), s"NoTimeout must accumulate, got $unbounded")
   }
 
+  test("dedup-within-watermark: first arrival wins, horizon expiry re-admits, state bounded") {
+    val dup = ev(1, 10 * S, host = "a", id = 1)
+    val out = runStream(
+      df => Streaming.dedupWithinWatermark(Seq("host"), delaySeconds = 50)(df),
+      Seq(
+        // in-batch duplicate of "a" (identical row) collapses to one
+        Seq(dup, dup, ev(2, 20 * S, host = "b", id = 2)),
+        // "a" again within the horizon: dropped; new key "c": emitted
+        Seq(ev(9, 30 * S, host = "a", id = 3), ev(3, 60 * S, host = "c", id = 4)),
+        // watermark pushed to 150 s: a/b/c first-seen+50s all pass -> evicted
+        Seq(ev(0, 200 * S, host = "z", id = 9)),
+        // duplicate of "a" AFTER its horizon: state gone, re-emitted --
+        // the documented batch/stream delta
+        Seq(ev(9, 190 * S, host = "a", id = 10))))
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("eventId")))
+    assert(out.count(_._1 == "a") == 2, s"horizon-expired dup must re-emit, got ${out.toSeq}")
+    assert(out.map(_._2).toSet == Set(1L, 2L, 4L, 9L, 10L),
+      s"in-horizon dup (id 3) must be dropped, got ${out.toSeq}")
+
+    // state is horizon-bounded: disjoint keys, 100 s apart, 10 s horizon --
+    // each batch's keys are long expired by the next, so totals never
+    // approach the 20 distinct keys seen
+    def batch(prefix: String, t0: Long) =
+      (1 to 5).map(i => ev(i, (t0 + i) * S, host = s"$prefix$i", id = t0 + i))
+    val rows = stateRowCounts(
+      df => Streaming.dedupWithinWatermark(Seq("host"), delaySeconds = 10)(df),
+      Seq(batch("a", 0), batch("b", 100), batch("c", 200), batch("d", 300)))
+    assert(rows.head == 5, s"first batch holds its 5 keys, got $rows")
+    assert(rows.last < 20, s"horizon must evict idle keys, got $rows")
+    assert(rows.last <= rows(1), s"state must stop growing once eviction starts, got $rows")
+  }
+
   test("stream-stream interval join: events land in open incident windows (bounded state)") {
     val s = spark
     import s.implicits._
