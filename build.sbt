@@ -32,10 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Bench/Verify JVMs hold thousands of generated classes (35 queries ×
+  // Bench/Verify JVMs hold thousands of generated classes (39 queries ×
   // 9 passes); the 240 MB default forces code-cache flushing -> C2
   // recompile storms measured as multi-second random query spikes.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 512m was sized for 35 headline queries; widened with the set.
+  "-XX:ReservedCodeCacheSize=1g",
   // generated aggregate/projection methods routinely exceed HotSpot's
   // 8 KB bytecode JIT cutoff; interpreting them is a 5-20× hot-path tax
   "-XX:-DontCompileHugeMethods",

@@ -24,7 +24,9 @@ object Bench {
     "dedup_clusters",
     // curation: quality rules, PII scrub, line dedup, packing, as-of join
     "gopher_filter", "pii_redact", "line_dedup", "pack_nextfit", "asof_join",
-    "ann_pq_topk", "semantic_dedup", "classifier_score")
+    "ann_pq_topk", "semantic_dedup", "classifier_score",
+    // quantized-scan ANN, sparse lexical retrieval, RAG chunking
+    "ann_sq8_topk", "bm25_topk", "tfidf_cosine_pairs", "chunk_tokens")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate
