@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Pii, Quality, Text}
-import graft.operators.{Curation, Decontam, Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Curation, Decontam, Dedup, Importance, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1365,6 +1365,134 @@ object QueriesPipeline {
         .select(col("media_id"), col("j").cast("long").as("j"),
           col("feature").cast("double").as("feature"))
         .orderBy("media_id", "j")
+    }
+
+    // ---------------- cross-corpus near-dup ----------------
+
+    // "dedup the new crawl against the existing training set": split the
+    // fixture corpus in half by hash, report LSH band collisions ACROSS
+    // the halves only — the oracle replays the identical signature/band
+    // pipeline with a corpus marker and restricts the join to l×r.
+    locally {
+      val k = 8
+      val p = 1000000007L
+      val mins = (0 until k).map { j =>
+        val a = 2L * j + 1
+        val b = 7919L * j + 13
+        s"list_min(list_transform(hh, h -> ($a * h + $b) % $p)) AS m$j"
+      }.mkString(",\n         ")
+      val bandSelects = (0 until 4).map { bnd =>
+        s"SELECT doc_id, cb, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val sqlXBucket = s"(${sqlMd5Hash64("'xcorp:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      register("dedup_cross_corpus",
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, $sqlXBucket AS cb, ${sqlShingles("toks")} AS shingles FROM docs),
+           |hh AS (
+           |  SELECT doc_id, cb, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+           |sigs AS (
+           |  SELECT doc_id, cb,
+           |         $mins
+           |  FROM hh),
+           |buckets AS (
+           |  $bandSelects)
+           |SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+           |FROM buckets l JOIN buckets r
+           |  ON l.band = r.band AND l.sig = r.sig
+           |WHERE l.cb < 500000 AND r.cb >= 500000
+           |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val bucket = Sampling.hashBucket(col("doc_id"), "xcorp")
+        Dedup.crossCorpusCandidates(
+          d.filter(bucket < 500000), d.filter(bucket >= 500000),
+          "text", "doc_id", k = k, rowsPerBand = 2)
+          .orderBy("left_id", "right_id")
+      }
+    }
+
+    // ---------------- DSIR importance scoring ----------------
+
+    // hashed-bigram importance model: target = the 10% high-"quality"
+    // hash slice, raw = the rest; the oracle refits both multinomials,
+    // recomputes every per-bucket double ratio with the identical
+    // num/den association, and replays the ascending-value summation
+    // order, so even the double ratio_sum hash-matches.
+    locally {
+      val buckets = 1024
+      val sqlQBucket = s"(${sqlMd5Hash64("'dsir:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      register("dsir_ratio_sum",
+        s"""$DocsView
+           |, d AS (
+           |  SELECT doc_id, $sqlQBucket AS qb, ${sqlShingles("toks")} AS grams FROM docs),
+           |g AS (SELECT doc_id, qb, unnest(grams) AS s FROM d),
+           |gb AS (SELECT doc_id, qb, (${sqlMd5HashMod("s")}) % $buckets AS bucket FROM g),
+           |ct AS (SELECT bucket, count(*) AS ct FROM gb WHERE qb >= 900000 GROUP BY bucket),
+           |cr AS (SELECT bucket, count(*) AS cr FROM gb WHERE qb < 900000 GROUP BY bucket),
+           |tot AS (SELECT (SELECT COALESCE(sum(ct), 0) FROM ct) + $buckets AS tt,
+           |               (SELECT COALESCE(sum(cr), 0) FROM cr) + $buckets AS tr),
+           |ratios AS (
+           |  SELECT COALESCE(ct.bucket, cr.bucket) AS bucket,
+           |         (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(tr AS DOUBLE))
+           |           / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) * CAST(tt AS DOUBLE)) AS ratio
+           |  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket CROSS JOIN tot),
+           |perdoc AS (
+           |  SELECT gb.doc_id,
+           |         COALESCE(ratio, (SELECT CAST(tr AS DOUBLE) / CAST(tt AS DOUBLE) FROM tot)) AS ratio
+           |  FROM gb LEFT JOIN ratios USING (bucket) WHERE gb.qb < 900000),
+           |scored AS (
+           |  SELECT doc_id, count(*) AS n_grams,
+           |         list_reduce(list_prepend(0.0, list_sort(list(ratio))), (a, x) -> a + x) AS ratio_sum
+           |  FROM perdoc GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+           |       COALESCE(ratio_sum, 0.0) AS ratio_sum
+           |FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
+           |WHERE d.qb < 900000 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val bucket = Sampling.hashBucket(col("doc_id"), "dsir")
+        Importance.ratioSum(
+          d.filter(bucket < 900000), d.filter(bucket >= 900000),
+          "doc_id", "text", buckets)
+          .orderBy("doc_id")
+      }
+    }
+
+    // ---------------- training-order materialization ----------------
+
+    register("corpus_shuffle",
+      s"""SELECT row_number() OVER (
+         |         ORDER BY ${sqlMd5Hash64("'epoch0:' || CAST(doc_id AS VARCHAR)")}, doc_id) - 1
+         |         AS position,
+         |       doc_id
+         |FROM documents ORDER BY position""".stripMargin) { (s, dir) =>
+      Curation.shuffleOrder(docs(s, dir), "doc_id", "epoch0")
+        .select("position", "doc_id").orderBy("position")
+    }
+
+    locally {
+      // cycling weights over the fixture's 20 sources — all exactly
+      // representable doubles, so the vtime division is bit-identical
+      val weights: Map[String, Double] =
+        (0 until 20).map(i => s"src$i" -> Seq(1.0, 2.0, 0.5)(i % 3)).toMap
+      val caseW = (0 until 20).map(i =>
+        s"WHEN source = 'src$i' THEN CAST(${Seq("1.0", "2.0", "0.5")(i % 3)} AS DOUBLE)")
+        .mkString(" ")
+      register("interleave_sources",
+        s"""WITH ranked AS (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY ${sqlMd5Hash64("'interleave:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+           |           AS source_rank
+           |  FROM documents)
+           |SELECT row_number() OVER (
+           |         ORDER BY CAST(source_rank AS DOUBLE) / (CASE $caseW END),
+           |                  source, source_rank) - 1 AS position,
+           |       doc_id, source, CAST(source_rank AS BIGINT) AS source_rank
+           |FROM ranked ORDER BY position""".stripMargin) { (s, dir) =>
+        Curation.interleaveSources(docs(s, dir), "source", "doc_id", weights)
+          .select("position", "doc_id", "source", "source_rank")
+          .orderBy("position")
+      }
     }
   }
 }

@@ -684,6 +684,15 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.packNextFit(df, pStr(m("group")), pStr(m("id")),
         pStr(m("tokens")), pLong(m("budget")))
+    case "shuffle-order" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.shuffleOrder(df, pStr(m("id")),
+        m.get("seed").map(pStr).getOrElse("epoch0"))
+    case "interleave-sources" =>
+      val m = pMap(params.head)
+      val weights = pMap(m("weights")).map { case (k, v) => k -> pDouble(v) }
+      df => graft.operators.Curation.interleaveSources(df, pStr(m("source")),
+        pStr(m("id")), weights, m.get("seed").map(pStr).getOrElse("interleave"))
     case "classifier-score" =>
       df => df.withColumn(pStr(params(1)),
         graft.functions.Quality.classifierScore(col(pStr(params.head))))

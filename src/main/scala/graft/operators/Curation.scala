@@ -337,4 +337,82 @@ object Curation {
     }
     spark.createDataFrame(out, outSchema)
   }
+
+  /** Global 0-based `position` for an already-declared total order: sort
+    * by `order` (a range exchange — Spark's scalable distributed sort),
+    * then number rows with the partition-offset pattern (`zipWithIndex`:
+    * one tiny count-per-partition job, then a map). This is the ONLY
+    * sane way to materialize a corpus-wide ordinal at 100 TB — a global
+    * `row_number()` window would collapse to a single partition.
+    *
+    * The caller's `order` columns must be a total order (tie-broken),
+    * or positions within ties are partition-dependent.
+    */
+  private def withGlobalPosition(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = StructType(StructField("position", LongType) +: sorted.schema.fields)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+      schema)
+  }
+
+  /** Deterministic corpus shuffle — the training-order materialization
+    * step: every epoch-0 data loader wants the corpus in a fixed,
+    * reproducible, well-mixed order. Orders rows by a seeded 60-bit
+    * hash of the id (ties by id) and assigns a global 0-based
+    * `position`. Changing `seed` gives an independent permutation;
+    * re-running the job gives byte-identical output (no `rand()`).
+    *
+    * Scale: one range-exchange sort on the hash + the two
+    * `zipWithIndex` passes. Hash keys are uniform by construction, so
+    * the sort's range partitions are balanced regardless of id skew.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val key = Text.md5Hash64(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    withGlobalPosition(df.withColumn("__shuffle_key", key),
+      Seq(col("__shuffle_key"), col(idCol)))
+      .drop("__shuffle_key")
+  }
+
+  /** Proportional source interleaving: emit documents so that a prefix
+    * of the output contains sources in proportion to `weights` — the
+    * "mixture schedule" a multi-source training run consumes (a source
+    * with weight 2.0 appears twice as densely as one with 1.0).
+    *
+    * Classic rate-scheduling: document #r (1-based, in seeded-shuffle
+    * order within its source) of source `s` is emitted at virtual time
+    * `r / weight(s)`; the output is all documents sorted by that time
+    * (ties broken by source then rank — deterministic). Sources absent
+    * from `weights` fail fast rather than silently defaulting.
+    *
+    * Scale: the per-source rank is a *partitioned* window (scales with
+    * source count × docs), the virtual-time sort is the same range
+    * exchange as [[shuffleOrder]]; weights are a when-chain literal —
+    * model-sized, no join.
+    */
+  def interleaveSources(df: DataFrame, sourceCol: String, idCol: String,
+                        weights: Map[String, Double],
+                        seed: String = "interleave"): DataFrame = {
+    require(weights.nonEmpty, "interleaveSources: weights must be non-empty")
+    require(weights.values.forall(_ > 0),
+      s"interleaveSources: weights must be positive, got $weights")
+    // unknown source → raise_error inside the projection: fails the job
+    // fast without a separate validation pass over the corpus
+    val weightCol = weights.foldLeft(
+      raise_error(concat(lit("interleaveSources: no weight for source '"),
+        col(sourceCol), lit("'"))).cast("double")) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val hash = Text.md5Hash64(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val rank = row_number().over(
+      Window.partitionBy(col(sourceCol)).orderBy(hash, col(idCol)))
+    val keyed = df
+      .withColumn("source_rank", rank.cast("long"))
+      .withColumn("vtime", col("source_rank").cast("double") / weightCol)
+    withGlobalPosition(keyed,
+      Seq(col("vtime"), col(sourceCol), col("source_rank")))
+  }
 }

@@ -211,11 +211,15 @@ object Dedup {
     hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
   }
 
-  def lshCandidates(df: DataFrame, textCol: String, idCol: String,
-                    k: Int = 8, rowsPerBand: Int = 2,
-                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+  /** Banded LSH bucket table for a corpus: one `(__id, band, sig)` row
+    * per band per document — the shared front half of [[lshCandidates]]
+    * (self-join) and [[crossCorpusCandidates]] (two-corpus join).
+    */
+  private def bandedBuckets(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, rowsPerBand: Int,
+                            hashFn: Column => Column): DataFrame = {
     val bands = k / rowsPerBand
-    val banded = minhashSigTable(df, textCol, idCol, k, hashFn).select(
+    minhashSigTable(df, textCol, idCol, k, hashFn).select(
       col("__id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -223,6 +227,12 @@ object Dedup {
             col(s"m${b * rowsPerBand + r}")): _*).as("sig"))
       }: _*)).as("bucket"))
       .select(col("__id"), col("bucket.band"), col("bucket.sig"))
+  }
+
+  def lshCandidates(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, rowsPerBand: Int = 2,
+                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val banded = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
       // the banded bucket table is tiny (bands rows × ~20 bytes per doc)
       // and feeds both sides of the self-join: materialize it once
       // (eagerly) instead of running the hash pipeline twice; blocks are
@@ -234,6 +244,34 @@ object Dedup {
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
       col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
+  }
+
+  /** Cross-corpus MinHash-LSH near-dup candidates: documents of `left`
+    * (e.g. a fresh crawl) that collide with documents of `right` (e.g.
+    * the existing training set) in at least one LSH band — the fuzzy
+    * twin of benchmark decontamination, and the standard "dedup the new
+    * crawl against what we already have" pass before ingestion.
+    *
+    * Same signature/banding parameters as [[lshCandidates]], so a pair
+    * reported here would also be reported by the self-join variant run
+    * on the union — this is the two-sided restriction of that relation
+    * (left×right only, no within-corpus pairs).
+    *
+    * Scale: both sides shuffle ONCE on `(band, sig)` — the same
+    * irreducible exchange as the self-join; candidate volume tracks
+    * bucket collision sizes, never |left|×|right|. Neither corpus is
+    * assumed small (no broadcast): at 100 TB both sides are fact-sized.
+    * Output: distinct `(left_id, right_id)`.
+    */
+  def crossCorpusCandidates(left: DataFrame, right: DataFrame,
+                            textCol: String, idCol: String,
+                            k: Int = 8, rowsPerBand: Int = 2,
+                            hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val l = bandedBuckets(left, textCol, idCol, k, rowsPerBand, hashFn).as("l")
+    val r = bandedBuckets(right, textCol, idCol, k, rowsPerBand, hashFn).as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.__id").as("left_id"), col("r.__id").as("right_id"))
       .distinct()
   }
 

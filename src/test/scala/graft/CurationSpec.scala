@@ -265,4 +265,52 @@ class CurationSpec extends AnyFunSuite {
     // big: the two 9.0s win, tie broken to lower ids (2 then 3); small: under cap
     assert(kept == Set(2L, 3L, 5L))
   }
+
+  test("shuffleOrder: dense deterministic permutation; independent across seeds") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, s"text $i", "s")).toDF("doc_id", "text", "source")
+    def order(seed: String): Seq[(Long, Long)] =
+      Curation.shuffleOrder(docs, "doc_id", seed)
+        .select("position", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val e0 = order("epoch0")
+    // dense 0..n-1 positions, every doc exactly once
+    assert(e0.map(_._1) == (0L until 200L))
+    assert(e0.map(_._2).toSet == (0L until 200L).toSet)
+    // replay is byte-identical; a different seed is a different permutation
+    assert(order("epoch0") == e0)
+    assert(order("epoch1").map(_._2) != e0.map(_._2))
+    // and it actually shuffles (not the identity order)
+    assert(e0.map(_._2) != (0L until 200L).toSeq)
+  }
+
+  test("interleaveSources: prefix composition tracks weights; unknown source fails") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    // 120 docs of A at weight 2.0, 120 of B at weight 1.0 → any prefix
+    // should hold roughly two A per B (rate scheduling, exact after each
+    // 3-step cycle)
+    val docs = ((0L until 120L).map(i => (i, "a")) ++ (200L until 320L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val out = Curation.interleaveSources(docs, "source", "doc_id",
+      Map("a" -> 2.0, "b" -> 1.0))
+      .select("position", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).map(_._2)
+    assert(out.length == 240)
+    // after every full cycle of 3 the composition is exactly 2:1
+    val prefix90 = out.take(90)
+    assert(prefix90.count(_ == "a") == 60 && prefix90.count(_ == "b") == 30)
+    // source A exhausts at position ~180; the tail is pure B
+    assert(out.drop(200).forall(_ == "b"))
+    val err = intercept[Exception] {
+      Curation.interleaveSources(docs, "source", "doc_id", Map("a" -> 2.0))
+        .collect()
+    }
+    val messages = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("no weight for source"))
+  }
 }

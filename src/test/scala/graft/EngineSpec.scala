@@ -830,6 +830,20 @@ class EngineSpec extends AnyFunSuite {
                    | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
     assert(tb.toSeq == Seq(2L))
+
+    // training-order materialization: a dense deterministic permutation…
+    val so = tap("""{"action":"shuffle-order","params":[{"id":"doc_id","seed":"e0"}],
+                   | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .select("position", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(so.map(_._1).toSet == Set(0L, 1L, 2L) && so.map(_._2).toSet == Set(1L, 2L, 3L))
+
+    // …and proportional interleave with per-source ranks
+    val il = tap("""{"action":"interleave-sources",
+                   | "params":[{"source":"source","id":"doc_id",
+                   |            "weights":{"big":2.0,"small":1.0}}],
+                   | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .select("position", "source_rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(il.map(_._1).toSet == Set(0L, 1L, 2L))
   }
 
   test("stream names with path separators or '..' are rejected (persistence safety)") {

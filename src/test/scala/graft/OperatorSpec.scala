@@ -319,6 +319,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("crossCorpusCandidates: cross pairs only, consistent with the union self-join") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // left 1/2 are near-identical to right 11/12; left 3 and right 13 are
+    // unrelated; left 1 and left 2 duplicate EACH OTHER too — that pair
+    // must NOT appear (within-corpus)
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark streaming windows here")
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "the quick brown fox jumps over the lazy dog tonight"),
+      (13L, "pack my box with five dozen liquor jugs right now")
+    ).toDF("doc_id", "text")
+    val cross = Dedup.crossCorpusCandidates(left, right, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == Set((1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L)))
+    // two-sided restriction of the self-join on the union: every cross
+    // pair must also be a self-join pair (same signatures, same bands)
+    val unionPairs = Dedup.lshCandidates(left.unionAll(right), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.forall { case (l, r) => unionPairs.contains((l, r)) || unionPairs.contains((r, l)) })
+  }
+
   test("clusterPairs fails loudly when the iteration cap cuts convergence short") {
     import graft.operators.Dedup
     val s = spark
