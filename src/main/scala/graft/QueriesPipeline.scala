@@ -1288,6 +1288,75 @@ object QueriesPipeline {
       }
     }
 
+    // IVF-PQ: the composed billion-scale index. The oracle replays the
+    // full deterministic pipeline — coarse centroids, argmax-cosine cell
+    // assignment, residual subtraction, residual codebook (lowest ids
+    // AFTER the centroid seeds), arg-min-L2 codes, per-query centroid
+    // dot + ADC LUT sum in fixed subspace order — so cells, codes and
+    // quantized scores all match bit-for-bit.
+    locally {
+      val (nCells, nProbe, m, sub, codes, topK) = (16, 4, 4, 16, 16, 3)
+      def l2(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+          "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (acc, x) -> acc + x)"
+      val rcbCols = (0 until m).map(mi =>
+        s"list(res[${mi * sub + 1}:${(mi + 1) * sub}] ORDER BY nn_id) AS cb$mi").mkString(", ")
+      val codeCols = (0 until m).map(mi =>
+        s"CAST(list_sort(list_transform(range($codes), j -> {'d': ${l2(s"r.res[${mi * sub + 1}:${(mi + 1) * sub}]", s"cb.cb$mi[CAST(j AS INT) + 1]")}, 'j': j}))[1].j AS BIGINT) AS c$mi").mkString(",\n         |       ")
+      val lutCols = (0 until m).map(mi =>
+        s"list_transform(range($codes), j -> ${dot(s"p.query_vec[${mi * sub + 1}:${(mi + 1) * sub}]", s"cb.cb$mi[CAST(j AS INT) + 1]")}) AS lut$mi").mkString(",\n         |       ")
+      val adc = (0 until m).map(mi => s"q.lut$mi[CAST(e.c$mi AS INT) + 1]").mkString(" + ")
+      register("ann_ivfpq_topk",
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+           |  ORDER BY vec_id LIMIT $nCells),
+           |assign AS (
+           |  SELECT nn_id, nn_vec, cell FROM (
+           |    SELECT e.vec_id AS nn_id, e.embedding AS nn_vec, c.cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+           |resid AS (
+           |  SELECT a.nn_id, a.cell,
+           |         list_transform(list_zip(a.nn_vec, c.cvec),
+           |           z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS res
+           |  FROM assign a JOIN cent c USING (cell)),
+           |rseed AS (
+           |  SELECT nn_id, res FROM resid
+           |  WHERE nn_id > (SELECT max(cell) FROM cent) ORDER BY nn_id LIMIT $codes),
+           |rcb AS (SELECT $rcbCols FROM rseed),
+           |enc AS (
+           |  SELECT r.nn_id, r.cell,
+           |       $codeCols
+           |  FROM resid r CROSS JOIN rcb cb),
+           |probes AS (
+           |  SELECT query_id, query_vec, cell FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cell,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${sqlCosine("q.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 50) WHERE rn <= $nProbe),
+           |pq AS (
+           |  SELECT p.query_id, p.cell, ${dot("p.query_vec", "c.cvec")} AS cdot,
+           |       $lutCols
+           |  FROM probes p JOIN cent c USING (cell) CROSS JOIN rcb cb),
+           |scored AS (
+           |  SELECT q.query_id, e.nn_id, q.cdot + $adc AS score
+           |  FROM enc e JOIN pq q ON e.cell = q.cell AND e.nn_id != q.query_id)
+           |SELECT query_id, rank, nn_id, score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY score DESC, nn_id ASC) AS rank
+           |  FROM scored) WHERE rank <= $topK
+           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+          topK, nCells, nProbe, m, codes)
+          .orderBy("query_id", "rank")
+      }
+    }
+
     // ---------------- multimodal plumbing ----------------
 
     register("media_decode",

@@ -347,6 +347,110 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** IVF-PQ ANN top-k — the composed billion-scale index (Jégou et al.
+    * TPAMI'11 §V; what FAISS's `IVFx,PQy` runs at 100 TB): an inverted
+    * file restricts candidates to the probed cells, and each candidate
+    * is scored from `m` product-quantization codes of its RESIDUAL
+    * (vector − cell centroid), never the raw vector.
+    *
+    *  1. *coarse train*: centroids = the `nCells` lowest-id corpus
+    *     vectors (deterministic k-means stand-in, as [[ivfTopK]]) —
+    *     model-sized, collected once.
+    *  2. *assign + residual*: map-side argmax-cosine cell per vector,
+    *     then ONE broadcast join to the nCells-row centroid table for
+    *     the residual subtraction — no corpus shuffle.
+    *  3. *residual codebook*: the `codes` lowest-id residuals AFTER the
+    *     centroid seeds (the seeds' own residuals are ~0 and would make
+    *     a degenerate codebook) — model-sized, collected once; encode =
+    *     per-subspace arg-min L2 against codebook literals, map-side.
+    *  4. *probe + ADC*: each query explodes its top-`nProbe` cells,
+    *     carrying `dot(q, centroid)` plus one `codes`-entry
+    *     dot-product LUT per subspace; candidates are fetched by the
+    *     single equi-join on the cell id (the only corpus-data shuffle,
+    *     and it carries `m` codes per row, not vectors) and scored as
+    *     `dot(q, c) + Σ LUT_mi[code_mi]` ≈ `dot(q, x)`.
+    *
+    * Ties break to the lower cell / id everywhere (quantized scores
+    * collide often). Returns (query_id, rank, nn_id, score); recall
+    * floor vs brute force is measured in AnnRecallSpec.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, codes: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.length == nCells, s"ivfPqTopK: corpus smaller than $nCells cells")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val maxCentId = cents.map(_._1).max
+    def cellScores(vec: Column): Column = cellScoresOf(cents)(vec)
+    val centDf = cents.toSeq.toDF("cell", "cvec")
+
+    def foldSum(products: Column): Column =
+      aggregate(products, lit(0.0), (acc, x) => acc + x)
+    val assigned = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+        (-array_max(cellScores(col(vecCol)))("negCell")).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .withColumn("__res", zip_with(col("nn_vec"), col("cvec"),
+        (x, y) => x.cast("double") - y.cast("double")))
+      .select(col("nn_id"), col("cell"), col("__res"))
+
+    // residual codebook seeds: `codes` lowest ids strictly after the
+    // centroid seeds; one model-sized collect
+    val rseeds: Array[Seq[Double]] = assigned
+      .filter(col("nn_id") > maxCentId)
+      .orderBy(col("nn_id")).limit(codes)
+      .select(col("__res")).collect().map(_.getSeq[Double](0))
+    require(rseeds.length == codes, s"ivfPqTopK: corpus smaller than ${nCells + codes} vectors")
+    val rcb: Array[Array[Seq[Double]]] =
+      Array.tabulate(m, codes)((mi, j) => rseeds(j).slice(mi * sub, (mi + 1) * sub))
+
+    def subvec(vec: Column, mi: Int): Column = slice(vec, mi * sub + 1, sub)
+    def l2(a: Column, cv: Seq[Double]): Column =
+      foldSum(zip_with(a, typedLit(cv), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }))
+    def dot(a: Column, cv: Seq[Double]): Column =
+      foldSum(zip_with(a, typedLit(cv), (x, y) => x.cast("double") * y.cast("double")))
+    def codeOf(res: Column, mi: Int): Column =
+      array_min(array((0 until codes).map(j =>
+        struct(l2(subvec(res, mi), rcb(mi)(j)).as("d"), lit(j.toLong).as("j"))): _*))("j")
+
+    val enc = assigned.select(col("nn_id") +: col("cell") +:
+      (0 until m).map(mi => codeOf(col("__res"), mi).as(s"__c$mi")): _*)
+
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("__qv"), (-col("p.negCell")).as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("query_id") +: col("cell") +:
+        foldSum(zip_with(col("__qv"), col("cvec"),
+          (x, y) => x.cast("double") * y.cast("double"))).as("__cdot") +:
+        (0 until m).map(mi => array((0 until codes).map(j =>
+          dot(subvec(col("__qv"), mi), rcb(mi)(j))): _*).as(s"__lut$mi")): _*)
+
+    val scored = enc.join(broadcast(probes), "cell")
+      .filter(col("nn_id") =!= col("query_id"))
+      // fold ADC terms left-to-right STARTING from the centroid dot —
+      // the canonical association any SQL replay (`cdot + l0 + l1 + …`)
+      // uses; grouping the LUT terms first drifts the double by 1 ulp
+      .withColumn("score", (0 until m).map(mi =>
+        element_at(col(s"__lut$mi"), col(s"__c$mi").cast("int") + 1))
+        .foldLeft(col("__cdot"))(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("score"))
+  }
+
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, bits: Int = 16,
                    extraProbes: Int = 0): DataFrame = {

@@ -136,6 +136,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r3K > 0.97, "regression floor: re-rank margin recovers boundary swaps")
   }
 
+  test("IVF-PQ: composed index recall tracks its IVF candidate ceiling") {
+    // IVF-PQ can never beat IVF at the same nProbe (same candidate set,
+    // quantized scoring); what it buys is scanning m bytes per candidate
+    // instead of the vector. Pin: a real signal well above random, within
+    // a quantization-loss margin of the IVF ceiling, monotone in nProbe.
+    val ivf4 = recall(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
+      nCells = 16, nProbe = 4))
+    val pq4 = recall(Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", K,
+      nCells = 16, nProbe = 4, m = 4, codes = 16))
+    val pq8 = recall(Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", K,
+      nCells = 16, nProbe = 8, m = 4, codes = 16))
+    info(f"IVF-PQ recall@$K: nProbe=4 $pq4%.3f (IVF ceiling $ivf4%.3f), nProbe=8 $pq8%.3f")
+    assert(pq4 <= ivf4 + 0.02, "quantized scoring cannot beat exact scoring of the same candidates")
+    assert(pq8 >= pq4 - 0.05, "more probed cells must not collapse recall")
+    assert(pq4 > 0.05, "regression floor: must be a real signal above the ~0.02 random baseline")
+  }
+
   test("IVF centroid training (Lloyd step) is pluggable and sane") {
     val seeded = recall(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
       nCells = 16, nProbe = 4, trainIters = 0))
