@@ -1480,6 +1480,46 @@ object QueriesPipeline {
       }
     }
 
+    // batch twin of the STREAMING near-dup (Streaming.nearDupWithinWatermark
+    // on a batch frame, event time = doc_id seconds): per LSH bucket the
+    // lowest-(ts, id) document owns it; every other member pairs against
+    // the owner, once per shared band.
+    locally {
+      val k = 8
+      val p = 1000000007L
+      val mins = (0 until k).map { j =>
+        val a = 2L * j + 1
+        val b = 7919L * j + 13
+        s"list_min(list_transform(hh, h -> ($a * h + $b) % $p)) AS m$j"
+      }.mkString(",\n         ")
+      val bandSelects = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      register("near_dup_stream_twin",
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM docs),
+           |hh AS (
+           |  SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $mins
+           |  FROM hh),
+           |buckets AS (
+           |  $bandSelects),
+           |owners AS (
+           |  SELECT band, sig, min(doc_id) AS owner FROM buckets GROUP BY band, sig)
+           |SELECT b.doc_id, o.owner AS dup_of, CAST(b.band AS BIGINT) AS band
+           |FROM buckets b JOIN owners o ON b.band = o.band AND b.sig = o.sig
+           |WHERE b.doc_id != o.owner
+           |ORDER BY doc_id, dup_of, band""".stripMargin) { (s, dir) =>
+        graft.streaming.Streaming.nearDupWithinWatermark(
+          "doc_id", "text", "__time", horizonSeconds = 3600, k = k, rowsPerBand = 2)(
+          docs(s, dir).withColumn("__time", timestamp_seconds(col("doc_id"))))
+          .toDF().orderBy("doc_id", "dup_of", "band")
+      }
+    }
+
     // ---------------- DSIR importance scoring ----------------
 
     // hashed-bigram importance model: target = the 10% high-"quality"

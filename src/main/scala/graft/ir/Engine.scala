@@ -593,6 +593,15 @@ object Engine {
           df.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
         }
+    case "near-dup-within-watermark" =>
+      // MinHash-LSH near-dup against the earliest bucket owner within the
+      // horizon; same fold on batch frames (owner = global (ts, id) min)
+      val m = pMap(params.head)
+      df => graft.streaming.Streaming.nearDupWithinWatermark(
+        pStr(m("id")), pStr(m("text")), pStr(m("time")),
+        m.get("horizon").map(pLong).getOrElse(3600L),
+        m.get("k").map(pLong(_).toInt).getOrElse(8),
+        m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))(df).toDF()
     case "dedup-fingerprint" =>
       df => graft.operators.Dedup.byFingerprint(df, pStr(params.head), pStr(params(1)))
     case "dedup-simhash" =>

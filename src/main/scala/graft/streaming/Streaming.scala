@@ -240,6 +240,93 @@ object Streaming {
       .drop("__ts")
   }
 
+  /** One near-dup candidate: `doc_id` collides with the earlier
+    * bucket-owner `dup_of` in LSH band `band`. A document pairs once per
+    * shared band — `distinct` on (doc_id, dup_of) downstream for unique
+    * pairs.
+    */
+  final case class NearDupMatch(doc_id: Long, dup_of: Long, band: Long)
+
+  /** Streaming MinHash-LSH near-dup — "dedup the crawl as it arrives":
+    * every incoming document is banded exactly like the batch
+    * [[graft.operators.Dedup.lshCandidates]] (same signature arithmetic,
+    * same band/row split), and flagged against the EARLIEST document
+    * that claimed each band bucket within the watermark horizon.
+    *
+    * Semantics per bucket: the first document (by event time, then id)
+    * becomes the bucket owner; every later document sharing the bucket
+    * emits a [[NearDupMatch]] against that owner. State per bucket is
+    * one (owner, lastSeen) pair, evicted once the stream's event clock
+    * passes `horizonSeconds` beyond the bucket's last activity — so
+    * state is bounded by (bucket arrival rate × horizon), not corpus
+    * lifetime, and a near-dup arriving after the horizon re-opens the
+    * bucket silently (the documented batch/stream delta, as
+    * [[dedupWithinWatermark]]).
+    *
+    * On a BATCH frame the identical fold runs with no watermark/timeout
+    * (one group per bucket over all data): owner = global (ts, id)
+    * minimum — a deterministic twin the `near_dup_stream_twin` oracle
+    * gate replays in SQL, and the equality `stream == batch` is pinned
+    * in StreamingSpec.
+    *
+    * Documents with fewer than 2 tokens have no shingles and are
+    * dropped, exactly like the batch explode.
+    *
+    * Scale: banding is map-side (k minhashes per doc, `bands` rows
+    * exploded); the ONLY shuffle is the groupBy on the bucket key —
+    * the same single exchange as the batch self-join, with uniform
+    * hash-valued keys.
+    */
+  def nearDupWithinWatermark(idCol: String, textCol: String, tsCol: String,
+                             horizonSeconds: Long, k: Int = 8,
+                             rowsPerBand: Int = 2)(df: DataFrame): Dataset[NearDupMatch] = {
+    require(k % rowsPerBand == 0, s"nearDupWithinWatermark: k=$k not divisible by rowsPerBand=$rowsPerBand")
+    require(horizonSeconds >= 0, s"nearDupWithinWatermark: negative horizon ($horizonSeconds s)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val streaming = df.isStreaming
+    val base0 = df.select(col(idCol).cast("long").as("__doc"),
+      col(tsCol).cast("timestamp").as("__ts"), col(textCol).as("__text"))
+    val base = if (streaming) base0.withWatermark("__ts", s"$horizonSeconds seconds") else base0
+    val bands = k / rowsPerBand
+    val banded = graft.operators.Dedup.minhashSignature(base, "__text", k)
+      .filter(size(graft.functions.Text.tokens(col("__text"))) >= 2)
+      .select(col("__doc"), col("__ts"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b.toLong).as("band"),
+            concat_ws(":", (0 until rowsPerBand).map(r =>
+              element_at(col("minhash"), b * rowsPerBand + r + 1)): _*).as("sig"))
+        }: _*)).as("bk"))
+      .select(col("__doc"), col("__ts"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    banded.groupByKey((r: (Long, java.sql.Timestamp, Long, String)) => r._3 + ":" + r._4)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var owner = state.getOption.map(_._1)
+            val out = scala.collection.mutable.ListBuffer[NearDupMatch]()
+            rs.foreach { case (doc, _, band, _) =>
+              owner match {
+                case None            => owner = Some(doc)
+                case Some(o) if doc != o => out += NearDupMatch(doc, o, band)
+                case _               =>
+              }
+            }
+            val lastMs = rs.iterator.map(_._2.getTime).max
+            state.update((owner.get, lastMs))
+            if (streaming)
+              state.setTimeoutTimestamp(
+                math.max(lastMs + 1, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   // --------------------------------------------------------------------
   // Stateful ops: flatMapGroupsWithState keyed by the `by` fork fields.
   // --------------------------------------------------------------------

@@ -527,4 +527,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == 10)
     assert(out.agg(sum("metric")).head.getDouble(0) == 55.0)
   }
+
+  // (doc_id, text, seconds) → streaming doc frame with a __time column
+  private def runDocStream(horizon: Long,
+                           batches: Seq[Seq[(Long, String, Long)]]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    val ms = MemoryStream[(Long, String, Long)]
+    val in = ms.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val q = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", horizon)(in)
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    s.table(name)
+  }
+
+  private val FoxText = "the quick brown fox jumps over the lazy dog tonight"
+  private val JugText = "pack my box with five dozen liquor jugs right now"
+
+  test("streaming near-dup == batch twin; later arrivals pair against the earliest owner") {
+    val s = spark
+    import s.implicits._
+    val batches = Seq(
+      Seq((1L, FoxText, 10L), (2L, FoxText, 20L)),
+      Seq((3L, FoxText, 30L), (4L, JugText, 40L)))
+    val streamed = runDocStream(horizon = 100, batches)
+      .select("doc_id", "dup_of", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchDf = batches.flatten.toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val batch = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", 100)(batchDf)
+      .collect().map(m => (m.doc_id, m.dup_of, m.band)).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // exact duplicates collide in EVERY band; owner is doc 1 everywhere
+    assert(streamed.map { case (d, o, _) => (d, o) } == Set((2L, 1L), (3L, 1L)))
+    assert(streamed.size == 8, s"one match per shared band (4 bands x 2 dups), got $streamed")
+  }
+
+  test("streaming near-dup: horizon expiry re-opens the bucket; state bounded") {
+    val out = runDocStream(horizon = 100, Seq(
+      Seq((1L, FoxText, 10L), (2L, FoxText, 20L)),
+      Seq((9L, JugText, 400L)),   // watermark → 300, fox buckets idle since 20 expire
+      Seq((5L, FoxText, 500L)),   // state gone: doc 5 silently re-owns the buckets
+      Seq((6L, FoxText, 510L))))  // pairs against the NEW owner, not doc 1
+      .select("doc_id", "dup_of").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (6L, 5L)),
+      s"post-horizon arrival must re-own, not match the evicted owner: $out")
+
+    // disjoint texts per batch, horizon far smaller than the batch gap:
+    // each batch's 8 buckets (2 docs x 4 bands) are expired by the next,
+    // so state never accumulates across batches
+    def mk(prefix: String, t0: Long): Seq[(Long, String, Long)] = Seq(
+      (t0, s"$prefix alpha beta gamma delta epsilon zeta eta theta", t0),
+      (t0 + 1, s"$prefix one two three four five six seven eight", t0 + 1))
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val ms = MemoryStream[(Long, String, Long)]
+    val in = ms.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val q = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", 10)(in)
+      .toDF().writeStream.format("memory").queryName(s"stream_out_$ctr")
+      .outputMode("append").start()
+    val counts = Seq(mk("a", 100), mk("b", 1100), mk("c", 2100), mk("d", 3100)).map { b =>
+      ms.addData(b); q.processAllAvailable()
+      q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .headOption.getOrElse(0L)
+    }
+    q.stop()
+    assert(counts.head == 8, s"first batch holds its 8 buckets, got $counts")
+    assert(counts.last < 32, s"horizon must evict idle buckets, got $counts")
+    assert(counts.last <= counts(1), s"state must stop growing once eviction starts, got $counts")
+  }
 }
