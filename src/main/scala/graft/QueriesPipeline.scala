@@ -1566,6 +1566,26 @@ object QueriesPipeline {
       }
     }
 
+    // corpus report card: exact per-source counts + the token-length
+    // distribution through the mergeable value-counts aggregate; the
+    // oracle replays the reference index formula on the sorted lengths
+    register("corpus_profile",
+      s"""$DocsView
+         |, t AS (SELECT source, lang, len(toks) AS tok FROM docs),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
+         |         count(DISTINCT lang) AS n_langs,
+         |         list_sort(list(CAST(tok AS DOUBLE))) AS sorted
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_langs, q.quantile,
+         |       sorted[CAST(least(len(sorted) - 1,
+         |                         floor(len(sorted) * q.quantile)) AS INT) + 1] AS tokens_q
+         |FROM g, (SELECT unnest([0.5, 0.9, 0.99]) AS quantile) q
+         |ORDER BY source, quantile""".stripMargin) { (s, dir) =>
+      Curation.corpusProfile(docs(s, dir), "source", "text", "lang")
+        .orderBy("source", "quantile")
+    }
+
     // ---------------- training-order materialization ----------------
 
     register("corpus_shuffle",

@@ -338,6 +338,41 @@ object Curation {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Per-group corpus report card — the profiling pass every curation
+    * run starts and ends with: document count, total tokens, distinct
+    * languages, and the FULL token-length distribution (one row per
+    * requested quantile, exact via the mergeable value-counts aggregate
+    * [[graft.functions.ExactPercentiles]] — the buffer holds one entry
+    * per distinct length, not per document).
+    *
+    * One shuffle on the group key, all aggregates map-side-partial.
+    * `approxDistinct = true` swaps the language count for HLL++
+    * (`approx_count_distinct`) — constant memory per group for
+    * high-cardinality profile columns (hosts, URLs); the exact default
+    * stays oracle-gated.
+    */
+  def corpusProfile(df: DataFrame, groupCol: String, textCol: String,
+                    langCol: String, quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                    approxDistinct: Boolean = false): DataFrame = {
+    require(quantiles.nonEmpty, "corpusProfile: at least one quantile")
+    val qArr = array(quantiles.map(lit): _*)
+    val distinctLangs =
+      if (approxDistinct) approx_count_distinct(col("__lang"))
+      else countDistinct(col("__lang"))
+    df.select(col(groupCol), Text.tokenCount(col(textCol)).as("__tok"),
+      col(langCol).as("__lang"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        distinctLangs.cast("long").as("n_langs"),
+        graft.functions.PercentileSketch
+          .exactPercentiles(col("__tok").cast("double"), quantiles).as("__qs"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_langs"),
+        posexplode(col("__qs")).as(Seq("__qi", "tokens_q")))
+      .withColumn("quantile", element_at(qArr, col("__qi") + 1))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("quantile"), col("tokens_q"))
+  }
+
   /** Global 0-based `position` for an already-declared total order: sort
     * by `order` (a range exchange — Spark's scalable distributed sort),
     * then number rows with the partition-offset pattern (`zipWithIndex`:

@@ -266,6 +266,27 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 5L))
   }
 
+  test("corpusProfile: exact counts and quantiles; HLL path tracks the exact distinct count") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    // source A: 1/3/5-token docs in en+fr; source B: one 2-token de doc
+    val docs = Seq(
+      (1L, "a", "en", "A"), (2L, "b c d", "fr", "A"), (3L, "e f g h i", "en", "A"),
+      (4L, "x y", "de", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.corpusProfile(docs, "source", "text", "lang", Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    // A: 3 docs, 9 tokens, 2 langs; p50 index = min(2, floor(3*0.5)) = 1 → sorted(1,3,5)[1] = 3
+    assert(out == Set(("A", 3L, 9L, 2L, 0.5, 3.0), ("B", 1L, 2L, 1L, 0.5, 2.0)))
+    val approx = Curation.corpusProfile(docs, "source", "text", "lang", Seq(0.5),
+      approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(approx("A") - 2L) <= 1 && approx("B") >= 1,
+      s"HLL estimate must track exact counts at tiny cardinality, got $approx")
+  }
+
   test("shuffleOrder: dense deterministic permutation; independent across seeds") {
     import graft.operators.Curation
     val s = spark
