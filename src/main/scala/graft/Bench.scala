@@ -26,7 +26,12 @@ object Bench {
     "gopher_filter", "pii_redact", "line_dedup", "pack_nextfit", "asof_join",
     "ann_pq_topk", "semantic_dedup", "classifier_score",
     // quantized-scan ANN, sparse lexical retrieval, RAG chunking
-    "ann_sq8_topk", "bm25_topk", "tfidf_cosine_pairs", "chunk_tokens")
+    "ann_sq8_topk", "bm25_topk", "tfidf_cosine_pairs", "chunk_tokens",
+    // composed IVF-PQ index, cross-corpus/streaming-twin LSH, DSIR
+    // scoring, training-order materialization, corpus profiling
+    "ann_ivfpq_topk", "dedup_cross_corpus", "near_dup_stream_twin",
+    "dsir_ratio_sum", "corpus_shuffle", "interleave_sources",
+    "corpus_profile")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -1288,6 +1288,29 @@ object QueriesPipeline {
       }
     }
 
+    // k-means cluster assignment as a first-class op (seed centroids —
+    // the deterministic iters=0 model; trained centroids are float-cast
+    // averages whose partial-sum order is engine-dependent, so the
+    // TRAINING step is spec-bounded in AnnRecallSpec, not hash-gated)
+    locally {
+      val kc = 8
+      register("kmeans_assign",
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+           |  ORDER BY vec_id LIMIT $kc)
+           |SELECT vec_id, cell, cosine FROM (
+           |  SELECT e.vec_id, c.cell, ${sqlCosine("e.embedding", "c.cvec")} AS cosine,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        Similarity.kmeansAssign(e, "vec_id", "embedding",
+          Similarity.kmeansCentroids(e, "vec_id", "embedding", kc, iters = 0))
+          .orderBy("vec_id")
+      }
+    }
+
     // IVF-PQ: the composed billion-scale index. The oracle replays the
     // full deterministic pipeline — coarse centroids, argmax-cosine cell
     // assignment, residual subtraction, residual codebook (lowest ids

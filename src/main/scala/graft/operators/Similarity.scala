@@ -77,22 +77,28 @@ object Similarity {
     * Ties everywhere break toward the lower cell / id, matching the
     * DuckDB oracle.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              trainIters: Int = 0): DataFrame = {
+  /** Distributed k-means (Lloyd's, cosine assignment) over an embedding
+    * column — the centroid trainer behind [[ivfTopK]]'s `trainIters` and
+    * a first-class clustering op on its own. Seeds are the `k` lowest-id
+    * vectors (deterministic; swap in your own by calling with the result
+    * of a previous run's centroids as a DataFrame and re-seeding).
+    *
+    * Per iteration: assignment is a map-side argmax over centroid
+    * LITERALS (no join, no row amplification); the update is one shuffle
+    * of `k × dim` per-cell partial sums (posexplode + map-side-combined
+    * avg) — the vectors themselves never shuffle, and only the
+    * model-sized (cell, mean) table reaches the driver. Empty cells keep
+    * their previous centroid. Returns the trained centroids.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Array[(Long, Seq[Float])] = {
+    require(k >= 1 && iters >= 0, s"kmeansCentroids: bad k=$k / iters=$iters")
     var cents: Array[(Long, Seq[Float])] = corpus
       .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(nCells)
+      .orderBy(col(idCol)).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-
-    // Optional Lloyd iterations — the distributed k-means step: assign
-    // every vector to its nearest centroid (map-side argmax over centroid
-    // literals, as below), then element-wise mean per cell via
-    // posexplode + groupBy(cell, dim) — one shuffle of nCells×dim partial
-    // sums per iteration, never the vectors themselves. Only the
-    // model-sized (cell, mean) table is collected. Empty cells keep their
-    // previous centroid.
-    for (_ <- 1 to trainIters) {
+    require(cents.length == k, s"kmeansCentroids: corpus smaller than $k seeds")
+    for (_ <- 1 to iters) {
       val assignScores: Column => Column = cellScoresOf(cents)(_)
       val means = corpus
         .select((-array_max(assignScores(col(vecCol)))("negCell")).as("cell"),
@@ -103,6 +109,22 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
       cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
     }
+    cents
+  }
+
+  /** Cluster assignment for trained centroids: `(idCol, cell, cosine)` —
+    * map-side argmax over centroid literals, ties to the lower cell.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[(Long, Seq[Float])]): DataFrame = {
+    val best = array_max(cellScoresOf(cents)(col(vecCol)))
+    df.select(col(idCol), (-best("negCell")).as("cell"), best("cc").as("cosine"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, trainIters)
 
     def cellScores(vec: Column): Column = cellScoresOf(cents)(vec)
 

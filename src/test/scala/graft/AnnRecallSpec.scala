@@ -153,6 +153,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pq4 > 0.05, "regression floor: must be a real signal above the ~0.02 random baseline")
   }
 
+  test("kmeans: a Lloyd iteration lifts the mean assigned cosine materially") {
+    def meanCos(iters: Int): Double = {
+      val c = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 16, iters)
+      Similarity.kmeansAssign(corpus, "vec_id", "embedding", c)
+        .agg(avg(col("cosine"))).head().getDouble(0)
+    }
+    val (m0, m1) = (meanCos(0), meanCos(1))
+    info(f"mean assigned cosine: seeds $m0%.3f, after 1 Lloyd iter $m1%.3f")
+    // arbitrary low-id seeds → per-cell means: on this fixture the
+    // objective jumps (measured well above +0.05); pin a real lift
+    assert(m1 > m0 + 0.02, s"training must tighten clusters: $m0 -> $m1")
+  }
+
   test("IVF centroid training (Lloyd step) is pluggable and sane") {
     val seeded = recall(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
       nCells = 16, nProbe = 4, trainIters = 0))
