@@ -53,10 +53,14 @@ object Importance {
     */
   def ratioTable(raw: DataFrame, target: DataFrame, textCol: String,
                  buckets: Int): (DataFrame, Double) = {
+    // each corpus is scanned exactly ONCE: the model-sized (≤ buckets
+    // rows) count tables are materialized eagerly, so neither the
+    // totals pass below nor the ratio join re-runs the corpus aggregate
+    // (blocks free with the plan, as Dedup.lshCandidates)
     val ct = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("cnt", "ct")
+      .withColumnRenamed("cnt", "ct").localCheckpoint(true)
     val cr = bucketCounts(raw, textCol, buckets)
-      .withColumnRenamed("cnt", "cr")
+      .withColumnRenamed("cnt", "cr").localCheckpoint(true)
     def total(c: DataFrame, cnt: String): Long =
       c.agg(coalesce(sum(col(cnt)), lit(0L))).head().getLong(0)
     val tt = total(ct, "ct") + buckets
@@ -136,14 +140,19 @@ object Importance {
                fraction: Double, seed: String = "dsir"): DataFrame = {
     require(fraction > 0 && fraction <= 1,
       s"Importance.resample: fraction must be in (0, 1], got $fraction")
-    // uniform in (0,1) from the seeded 60-bit hash; +1/+2 keeps u off
-    // the {0,1} endpoints where the double-Gumbel transform diverges
-    val u = (Text.md5Hash64(concat(lit(seed), lit(":"), col(idCol).cast("string")))
-      .cast("double") + 1.0) / lit(math.pow(2.0, 60) + 2.0)
+    // uniform from the seeded 60-bit hash, CLAMPED into
+    // [1e-12, 1 - 1e-12]: the hash's resolution (2^-60) is finer than a
+    // double's ulp near 1.0, so pure offset arithmetic would still
+    // round to exactly 1.0 for hashes near the top of the range and
+    // make log(-log(u)) NULL — the clamp is the only robust endpoint
+    // guard at this precision
+    val raw = Text.md5Hash64(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+      .cast("double") / lit(math.pow(2.0, 60))
+    val u = least(lit(1.0 - 1e-12), greatest(lit(1e-12), raw))
     val keyed = scored.withColumn("__gkey", col(logWCol) - log(-log(u)))
-    val cutoff = keyed.agg(
-      percentile_approx(col("__gkey"), lit(1.0 - fraction), lit(10000)))
-      .head().getDouble(0)
-    keyed.filter(col("__gkey") >= cutoff).drop("__gkey")
+    val cutoffRow = keyed.agg(
+      percentile_approx(col("__gkey"), lit(1.0 - fraction), lit(10000))).head()
+    if (cutoffRow.isNullAt(0)) keyed.drop("__gkey").limit(0) // empty input
+    else keyed.filter(col("__gkey") >= cutoffRow.getDouble(0)).drop("__gkey")
   }
 }

@@ -68,10 +68,17 @@ object Retrieval {
     *
     *   score(q,d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
     *
-    * with the log-free rational idf `(N - df + 0.5)/(df + 0.5)` (same
-    * monotone-in-df ranking as the logged Okapi idf; see object doc for
-    * why no `ln`). Query terms absent from the corpus contribute nothing
-    * and drop out. Ties break by doc id ascending.
+    * with the log-free rational idf `(N - df + 0.5)/(df + 0.5)` (see
+    * object doc for why no `ln`). The deviation from Okapi, precisely:
+    * the rational idf is positive and monotone-decreasing in df, like
+    * Lucene's positivity-clamped `ln(1 + ·)` and UNLIKE raw Okapi,
+    * which goes negative for df > N/2 — single-term rankings match the
+    * clamped form exactly (idf is a constant factor per term) but not
+    * raw Okapi in that negative regime; multi-term rankings weight
+    * common terms more than any `ln` form and so can reorder against
+    * both. Exact cross-engine reproducibility is bought at that cost.
+    * Query terms absent from the corpus contribute nothing and drop
+    * out. Ties break by doc id ascending.
     *
     * `queries` is any (qIdCol, qTextCol) frame; it is assumed
     * query-sized (broadcast). Output: (query_id, rank, doc_id, score).
@@ -133,9 +140,18 @@ object Retrieval {
     val nDocs = df.count()
     val dt = postings(df, idCol, textCol)
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    // the weighted postings table feeds THREE consumers (norms + both
+    // self-join sides): materialize it once, eagerly, instead of running
+    // the tokenize/explode/df pipeline three times (same device as
+    // Dedup.lshCandidates; blocks free with the plan). Unlike the banded
+    // LSH table this one is postings-sized (doc×term), so the trade is
+    // MEMORY_AND_DISK block storage for a 3x corpus-pipeline recompute —
+    // the right side of that trade at every scale where the pipeline
+    // (explode + two joins) dominates a columnar re-read
     val kept = dt.join(dfreq.filter(col("df") <= maxDf), "term")
       .withColumn("w", col("tf") * (lit((nDocs + 1).toDouble) / (col("df") + 1)))
       .select(col(idCol), col("term"), col("df"), col("w"))
+      .localCheckpoint(true)
     val norms = kept.groupBy(col(idCol))
       .agg(sqrt(dsum(col("w") * col("w"))).as("norm"))
     // df=1 terms cannot match a partner; excluding them from the join is

@@ -93,11 +93,17 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): Array[(Long, Seq[Float])] = {
     require(k >= 1 && iters >= 0, s"kmeansCentroids: bad k=$k / iters=$iters")
+    // seeds are the k lowest DISTINCT ids: duplicate-id rows (replayed
+    // ingests, file-copied corpora) would otherwise collapse the seed
+    // set to a handful of distinct centroids and degenerate every cell
     var cents: Array[(Long, Seq[Float])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("__kid"), col(vecCol).as("__kv"))
+      .dropDuplicates("__kid")
+      .orderBy(col("__kid")).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    require(cents.length == k, s"kmeansCentroids: corpus smaller than $k seeds")
+    // a corpus smaller than k yields fewer centroids (every vector its
+    // own cell) rather than failing — small/dev corpora stay usable
+    require(cents.nonEmpty, "kmeansCentroids: empty corpus")
     for (_ <- 1 to iters) {
       val assignScores: Column => Column = cellScoresOf(cents)(_)
       val means = corpus
@@ -196,9 +202,12 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.min(65536, math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt))
+    // distinct ids, as kmeansCentroids: duplicate-id rows must not
+    // collapse the cell structure (degenerate cells = quadratic pairs)
     val cents: Array[(Long, Seq[Float])] = df
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(cells)
+      .select(col(idCol).cast("long").as("__sid"), col(vecCol).as("__sv"))
+      .dropDuplicates("__sid")
+      .orderBy(col("__sid")).limit(cells)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     // no vectors, no duplicates — also keeps plan-construction total on
     // the empty frame the IR validator probes with
@@ -249,11 +258,14 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 4, codes: Int = 16): DataFrame = {
+    // codes lowest DISTINCT ids — duplicate-id rows would collapse the
+    // codebook to a handful of distinct entries (see kmeansCentroids)
     val seeds: Array[Seq[Float]] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(codes)
+      .select(col(idCol).cast("long").as("__pid"), col(vecCol).as("__pv"))
+      .dropDuplicates("__pid")
+      .orderBy(col("__pid")).limit(codes)
       .collect().map(_.getSeq[Float](1))
-    require(seeds.length == codes, s"pqTopK: corpus smaller than $codes codebook seeds")
+    require(seeds.length == codes, s"pqTopK: corpus smaller than $codes distinct-id codebook seeds")
     val dim = seeds.head.length
     require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -401,11 +413,9 @@ object Similarity {
                 m: Int = 4, codes: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Seq[Float])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(nCells)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    require(cents.length == nCells, s"ivfPqTopK: corpus smaller than $nCells cells")
+    val cents: Array[(Long, Seq[Float])] =
+      kmeansCentroids(corpus, idCol, vecCol, nCells, iters = 0)
+    require(cents.length == nCells, s"ivfPqTopK: corpus smaller than $nCells distinct-id cells")
     val dim = cents.head._2.length
     require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -423,10 +433,12 @@ object Similarity {
         (x, y) => x.cast("double") - y.cast("double")))
       .select(col("nn_id"), col("cell"), col("__res"))
 
-    // residual codebook seeds: `codes` lowest ids strictly after the
-    // centroid seeds; one model-sized collect
+    // residual codebook seeds: `codes` lowest DISTINCT ids strictly
+    // after the centroid seeds (duplicate-id rows would collapse the
+    // codebook, as in kmeansCentroids); one model-sized collect
     val rseeds: Array[Seq[Double]] = assigned
       .filter(col("nn_id") > maxCentId)
+      .dropDuplicates("nn_id")
       .orderBy(col("nn_id")).limit(codes)
       .select(col("__res")).collect().map(_.getSeq[Double](0))
     require(rseeds.length == codes, s"ivfPqTopK: corpus smaller than ${nCells + codes} vectors")

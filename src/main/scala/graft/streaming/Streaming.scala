@@ -297,27 +297,35 @@ object Streaming {
             concat_ws(":", (0 until rowsPerBand).map(r =>
               element_at(col("minhash"), b * rowsPerBand + r + 1)): _*).as("sig"))
         }: _*)).as("bk"))
-      .select(col("__doc"), col("__ts"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .as[(Long, java.sql.Timestamp, Long, String)]
+      // carry event time ALSO as µs-precision long: Timestamp.getTime is
+      // ms-truncated, which would both mis-order sub-ms arrivals for the
+      // owner tie-break and feed a truncated clock to the timeout
+      .select(col("__doc"), col("__ts"), unix_micros(col("__ts")).as("us"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
-    banded.groupByKey((r: (Long, java.sql.Timestamp, Long, String)) => r._3 + ":" + r._4)
+    banded.groupByKey((r: (Long, java.sql.Timestamp, Long, Long, String)) => r._4 + ":" + r._5)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
-        (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+        (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
          state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rs = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            val rs = rows.toSeq.sortBy(r => (r._3, r._1))
             var owner = state.getOption.map(_._1)
             val out = scala.collection.mutable.ListBuffer[NearDupMatch]()
-            rs.foreach { case (doc, _, band, _) =>
+            rs.foreach { case (doc, _, _, band, _) =>
               owner match {
                 case None            => owner = Some(doc)
                 case Some(o) if doc != o => out += NearDupMatch(doc, o, band)
                 case _               =>
               }
             }
-            val lastMs = rs.iterator.map(_._2.getTime).max
+            // lastSeen keeps its MAX across batches: an out-of-order (older
+            // but in-horizon) arrival must not pull the eviction deadline
+            // backward and shorten the advertised horizon
+            val lastMs = math.max(rs.iterator.map(_._3).max / 1000L,
+              state.getOption.map(_._2).getOrElse(Long.MinValue))
             state.update((owner.get, lastMs))
             if (streaming)
               state.setTimeoutTimestamp(

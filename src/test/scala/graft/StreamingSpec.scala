@@ -569,6 +569,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 8, s"one match per shared band (4 bands x 2 dups), got $streamed")
   }
 
+  test("streaming near-dup: out-of-order arrival must not shorten the owner's horizon") {
+    // owner at t=1000; an older-but-in-horizon arrival at t=950 must not
+    // pull the bucket's eviction deadline back to 950+horizon — after the
+    // watermark reaches 990 (past 950+h'... under a lastSeen-overwrite bug
+    // with the idle batches below) the bucket must still know owner 1, so
+    // the t=1005 arrival pairs against it instead of silently re-owning
+    val out = runDocStream(horizon = 100, Seq(
+      Seq((1L, FoxText, 1000L)),
+      Seq((2L, FoxText, 950L)),    // match (2,1); lastSeen must STAY 1000
+      Seq((9L, JugText, 1090L)),   // pushes watermark toward 990
+      Seq((10L, "totally unrelated filler text to advance the clock only", 1091L)),
+      Seq((5L, FoxText, 1005L))))  // in-horizon of lastSeen=1000 → must match
+      .select("doc_id", "dup_of").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (5L, 1L)),
+      s"owner must survive until lastSeen+horizon, got $out")
+  }
+
   test("streaming near-dup: horizon expiry re-opens the bucket; state bounded") {
     val out = runDocStream(horizon = 100, Seq(
       Seq((1L, FoxText, 10L), (2L, FoxText, 20L)),
