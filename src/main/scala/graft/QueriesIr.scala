@@ -320,5 +320,29 @@ object QueriesIr {
         .select(col("window_start"), col("host"), col("service"), col("eventId"), col("metric"))
         .orderBy("window_start", "host", "service")
     }
+
+    // training-order materialization declared as data — same oracle as
+    // the direct corpus_shuffle gate, so the IR dispatch path itself is
+    // hash-gated
+    locally {
+      def md5h(s: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split(substr(md5($s), 1, 15), ''),
+           |    c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+           |                   ELSE ascii(c) - 48 END AS BIGINT))),
+           |  (a, x) -> a * 16 + x)""".stripMargin.replace("\n", " ")
+      register("ir_shuffle_order",
+        s"""SELECT row_number() OVER (
+           |         ORDER BY ${md5h("'epoch0:' || CAST(doc_id AS VARCHAR)")}, doc_id) - 1
+           |         AS position,
+           |       doc_id
+           |FROM documents ORDER BY position""".stripMargin) { (s, dir) =>
+        val node = Node.fromJson(
+          """{"action":"shuffle-order","params":[{"id":"doc_id","seed":"epoch0"}],
+            | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+        tapOf(node, Tables.documents(s, dir))
+          .select("position", "doc_id").orderBy("position")
+      }
+    }
   }
 }

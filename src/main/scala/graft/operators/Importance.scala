@@ -109,6 +109,14 @@ object Importance {
     * feed a threshold, not a hash gate), so the corpus pays one
     * map-side explode + broadcast join + one shuffle of per-doc
     * partials.
+    *
+    * This is ALSO a trained multinomial Naive Bayes quality classifier:
+    * call it with `target` = a positive corpus (e.g. curated reference
+    * text) and `raw` = the candidate pool, and `log_w` is exactly the
+    * NB log-likelihood ratio over hashed bigram features — the
+    * CCNet/GPT-3-style "looks like quality text" filter, trained by two
+    * counting passes instead of gradient steps. Threshold or
+    * [[resample]] downstream.
     */
   def logScore(raw: DataFrame, target: DataFrame, idCol: String,
                textCol: String, buckets: Int): DataFrame = {
