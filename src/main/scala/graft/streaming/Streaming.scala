@@ -240,6 +240,41 @@ object Streaming {
       .drop("__ts")
   }
 
+  /** Streaming corpus profile — the live twin of
+    * [[graft.operators.Curation.corpusProfile]]: per event-time window
+    * and group, document count, total tokens, approximate distinct
+    * languages (HLL++ — exact `countDistinct` is not available under a
+    * streaming aggregate, and the profile column may be unbounded
+    * anyway), and exact token-length quantiles through the mergeable
+    * value-counts aggregate. Emits each closed window once the
+    * watermark passes (append mode), one row per quantile.
+    *
+    * This is ingest-quality monitoring: the same report card the batch
+    * pass computes corpus-wide, continuously over the arriving stream,
+    * with state bounded by open windows × groups.
+    */
+  def corpusProfileWindow(durationSeconds: Long, delaySeconds: Long,
+                          groupCol: String, textCol: String, langCol: String,
+                          tsCol: String, quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+                         (df: DataFrame): DataFrame = {
+    require(quantiles.nonEmpty, "corpusProfileWindow: at least one quantile")
+    val qArr = array(quantiles.map(lit): _*)
+    df.withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", s"$delaySeconds seconds")
+      .groupBy(window(col("__ts"), s"$durationSeconds seconds"), col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.Text.tokenCount(col(textCol))).as("n_tokens"),
+        approx_count_distinct(col(langCol)).cast("long").as("n_langs"),
+        graft.functions.PercentileSketch.exactPercentiles(
+          graft.functions.Text.tokenCount(col(textCol)).cast("double"), quantiles).as("__qs"))
+      .select(col("window"), col(groupCol), col("n_docs"), col("n_tokens"), col("n_langs"),
+        posexplode(col("__qs")).as(Seq("__qi", "tokens_q")))
+      .withColumn("quantile", element_at(qArr, col("__qi") + 1))
+      .select((unix_micros(col("window.start")) * 1000).as("window_start"),
+        col(groupCol), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("quantile"), col("tokens_q"))
+  }
+
   /** One near-dup candidate: `doc_id` collides with the earlier
     * bucket-owner `dup_of` in LSH band `band`. A document pairs once per
     * shared band — `distinct` on (doc_id, dup_of) downstream for unique

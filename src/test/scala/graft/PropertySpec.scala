@@ -315,4 +315,56 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("shuffleOrder: dense permutation for every seed; within-source order law for interleave") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    forAll(Gen.zip(Gen.choose(1, 99), Gen.alphaNumStr.map("s" + _)), cases = 4) { case (n, seed) =>
+      val docs = (0L until n.toLong).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+        .toDF("doc_id", "source")
+      val out = Curation.shuffleOrder(docs, "doc_id", seed)
+        .select("position", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // positions are exactly 0..n-1 and ids a permutation — for ANY seed
+      assert(out.map(_._1).sorted.toSeq == (0L until n.toLong))
+      assert(out.map(_._2).sorted.toSeq == (0L until n.toLong))
+
+      val il = Curation.interleaveSources(docs, "source", "doc_id",
+        Map("even" -> 2.0, "odd" -> 1.0), seed)
+        .select("position", "source", "source_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(il.map(_._1).sorted.toSeq == (0L until n.toLong))
+      // law: within each source, output order preserves the source_rank
+      // order (interleaving merges streams, never reorders within one)
+      for (src <- Seq("even", "odd")) {
+        val ranks = il.sortBy(_._1).collect { case (_, `src`, r) => r }
+        assert(ranks.toSeq == ranks.sorted.toSeq, s"$src ranks out of order: ${ranks.toSeq}")
+      }
+    }
+  }
+
+  test("crossCorpusCandidates ⊆ union self-join pairs for random corpora") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val genDoc = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    } yield ws.mkString(" ")
+    forAll(Gen.listOfN(14, genDoc), cases = 3) { texts =>
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (l, r) = all.partition(_._1 % 2 == 0)
+      val left = l.toDF("doc_id", "text")
+      val right = r.toDF("doc_id", "text")
+      val cross = Dedup.crossCorpusCandidates(left, right, "text", "doc_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val self = Dedup.lshCandidates(all.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(cross.forall { case (a, b) => self.contains((a min b, a max b)) },
+        s"cross pair not in union self-join: ${cross -- self.flatMap(p => Set(p, p.swap))}")
+      assert(cross.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 },
+        "cross pairs must span the two corpora")
+    }
+  }
 }

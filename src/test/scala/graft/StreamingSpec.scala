@@ -569,6 +569,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 8, s"one match per shared band (4 bands x 2 dups), got $streamed")
   }
 
+  test("streaming corpus profile == batch twin per closed window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    // (doc_id, text, lang, source, secs): two 60s windows for source A,
+    // one for B; a far-future flush doc closes them all
+    val rows = Seq(
+      (1L, "a b c", "en", "A", 10L), (2L, "d e", "fr", "A", 20L),
+      (3L, "f g h i", "en", "A", 70L), (4L, "x", "de", "B", 15L))
+    val flush = Seq((9L, "zz", "en", "Z", 100000L))
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    def profile(df: DataFrame): DataFrame =
+      Streaming.corpusProfileWindow(60, 10, "source", "text", "lang", "__time", Seq(0.5))(
+        df.withColumn("__time", timestamp_seconds(col("secs"))))
+    val q = profile(ms.toDF().toDF("doc_id", "text", "lang", "source", "secs"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    Seq(rows, flush).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    def canon(df: DataFrame) = df
+      .filter(col("source") =!= "Z")
+      .select("window_start", "source", "n_docs", "n_tokens", "n_langs", "quantile", "tokens_q")
+      .collect().map(_.toSeq).toSet
+    val streamed = canon(s.table(name))
+    val batch = canon(profile((rows ++ flush).toDF("doc_id", "text", "lang", "source", "secs")))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // spot-check: window 0 source A = 2 docs, 5 tokens, 2 langs; p50 by
+    // the reference index formula = sorted(2,3)[min(1, floor(2*0.5))] = 3
+    assert(streamed.exists(r => r(1) == "A" && r(2) == 2L && r(3) == 5L && r(4) == 2L && r(6) == 3.0))
+  }
+
   test("streaming near-dup: out-of-order arrival must not shorten the owner's horizon") {
     // owner at t=1000; an older-but-in-horizon arrival at t=950 must not
     // pull the bucket's eviction deadline back to 950+horizon — after the
