@@ -76,10 +76,69 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Integer dot product over two `array<long>` columns (the SQ8 code
+  * scan's inner loop): one fused unboxed pass, exact in int64
+  * (|x|,|y| ≤ 127 ⇒ no overflow at any real dimension), codegen'd.
+  * Value-identical to `aggregate(zip_with(x, y, _*_), 0L, _+_)` on
+  * equal-length arrays; null array or element → null.
+  */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $dot += $x.getLong($i) * $y.getLong($i);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $dot; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** `array<float>` cosine similarity as a codegen'd native kernel. */
   def cosineF(a: Column, b: Column): Column = {
     val B = org.apache.spark.sql.graft.Bridge
     B.column(CosineSimilarity(B.expression(a), B.expression(b)))
+  }
+
+  /** Exact int64 dot product of two `array<long>` code vectors.
+    * Measured 6× over the composed `aggregate(zip_with(·,·,_*_))` form
+    * on the sq8 10M-pair scan (6.6 s → 1.1 s at ×10 local[32]). A
+    * sibling fused-L2 expression for the PQ encode loop was measured
+    * SLOWER than the composed form there and deliberately not kept.
+    */
+  def dotL(a: Column, b: Column): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(ArrayDotLong(B.expression(a), B.expression(b)))
   }
 }

@@ -66,4 +66,28 @@ class VectorExprSpec extends AnyFunSuite {
     }
     assert(java.lang.Double.doubleToLongBits(viaCodegen) == java.lang.Double.doubleToLongBits(viaEval))
   }
+
+  test("ArrayDotLong == composed zip_with/aggregate fold; null poisoning") {
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 200L).map { i =>
+      (i, Seq.fill(64)((rng.nextInt(255) - 127).toLong),
+        Seq.fill(64)((rng.nextInt(255) - 127).toLong))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("native", VectorExpressions.dotL(col("a"), col("b")))
+      .withColumn("hof", aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    val n = Seq((1L, Seq(1L, 2L), null.asInstanceOf[Seq[Long]])).toDF("id", "a", "b")
+      .select(VectorExpressions.dotL(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+    // interpreted eval agrees with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val mk = (s: Seq[Long]) => Literal.create(ArrayData.toArrayData(s.toArray),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    val ev = graft.functions.ArrayDotLong(mk(Seq(3L, -4L, 5L)), mk(Seq(2L, 10L, -1L)))
+      .eval(null).asInstanceOf[Long]
+    assert(ev == 3L * 2 - 4 * 10 - 5)
+  }
 }
