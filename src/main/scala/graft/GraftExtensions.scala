@@ -63,6 +63,12 @@ object GraftExtensions {
         require(children.length == 2, "cosine_similarity(vec1, vec2) takes two arguments")
         CosineSimilarity(children.head, children(1))
       }),
+    (FunctionIdentifier("array_dot_long"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotLong].getCanonicalName, null, "array_dot_long"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "array_dot_long(codes1, codes2) takes two arguments")
+        graft.functions.ArrayDotLong(children.head, children(1))
+      }),
     (FunctionIdentifier("exact_percentiles"),
       new ExpressionInfo(classOf[ExactPercentiles].getCanonicalName, null, "exact_percentiles"),
       (children: Seq[Expression]) => {

@@ -88,7 +88,11 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bm25TopK: need k1 >= 0, b in [0,1]; got $k1, $b")
-    val dt = postings(docs, idCol, textCol)
+    // postings feed both the query-term df count and the scoring join:
+    // materialize once instead of running the tokenize/explode/aggregate
+    // pipeline twice (same trade as tfidfCosinePairs — postings-sized
+    // MEMORY_AND_DISK blocks for a 2x corpus-pipeline recompute)
+    val dt = postings(docs, idCol, textCol).localCheckpoint(true)
     // corpus stats: two scalars (model-sized, same class as broadcast
     // centroids). N counts ALL docs, empty ones included; dl sums exactly
     // the postings' token mass.

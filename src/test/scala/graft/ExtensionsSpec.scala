@@ -68,4 +68,11 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"))
   }
+
+  test("array_dot_long from SQL == the fused kernel") {
+    val r = spark.sql(
+      """SELECT array_dot_long(array(3L, -4L, 5L), array(2L, 10L, -1L)) AS d""")
+      .collect().head.getLong(0)
+    assert(r == 3L * 2 - 4 * 10 - 5)
+  }
 }
