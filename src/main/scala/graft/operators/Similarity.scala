@@ -118,6 +118,25 @@ object Similarity {
     cents
   }
 
+  /** Persist trained centroids as a parquet table `(cell, cvec)` — the
+    * model artifact a 100 TB pipeline trains ONCE (k-means over a
+    * sample) and reuses across every assignment/probe job; retraining
+    * per job would re-scan the corpus for a model-sized result.
+    */
+  def saveCentroids(cents: Array[(Long, Seq[Float])], path: String,
+                    spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids written by [[saveCentroids]], in cell order. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[(Long, Seq[Float])] =
+    spark.read.parquet(path).select(col("cell").cast("long"), col("cvec"))
+      .orderBy(col("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
   /** Cluster assignment for trained centroids: `(idCol, cell, cosine)` —
     * map-side argmax over centroid literals, ties to the lower cell.
     */

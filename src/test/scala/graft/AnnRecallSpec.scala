@@ -153,6 +153,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pq4 > 0.05, "regression floor: must be a real signal above the ~0.02 random baseline")
   }
 
+  test("centroid save/load round-trip: identical assignment from the loaded model") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cents").toString + "/model"
+    val trained = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 16, 1)
+    Similarity.saveCentroids(trained, dir, spark)
+    val loaded = Similarity.loadCentroids(spark, dir)
+    assert(loaded.toSeq == trained.toSeq)
+    val a = Similarity.kmeansAssign(corpus, "vec_id", "embedding", trained)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.kmeansAssign(corpus, "vec_id", "embedding", loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("kmeans: a Lloyd iteration lifts the mean assigned cosine materially") {
     def meanCos(iters: Int): Double = {
       val c = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 16, iters)
