@@ -300,13 +300,18 @@ object Windows {
   // entirely inside a row (no extra shuffle).
   // --------------------------------------------------------------------
 
-  /** `coll-mean` (`action.clj:264-284`): mean of metrics; payload = latest event. */
+  /** `coll-mean` (`action.clj:264-284`): mean of metrics; payload = latest
+    * event. A null metric counts as 0 but still divides (`math.clj:5-14`
+    * folds `(:metric %2 0)` over ALL events).
+    */
   def collMean(df: DataFrame): DataFrame = collAgg(df,
-    aggregate(col("events"), lit(0.0), (acc, e) => acc + e.getField("metric")) / size(col("events")))
+    aggregate(col("events"), lit(0.0),
+      (acc, e) => acc + coalesce(e.getField("metric"), lit(0.0))) / size(col("events")))
 
-  /** `coll-sum` (`action.clj:324-343`). */
+  /** `coll-sum` (`action.clj:324-343`); null metric = 0 (`math.clj:64-71`). */
   def collSum(df: DataFrame): DataFrame = collAgg(df,
-    aggregate(col("events"), lit(0.0), (acc, e) => acc + e.getField("metric")))
+    aggregate(col("events"), lit(0.0),
+      (acc, e) => acc + coalesce(e.getField("metric"), lit(0.0))))
 
   /** `coll-count` (`action.clj:1465-1487`). */
   def collCount(df: DataFrame): DataFrame = collAgg(df, size(col("events")).cast(DoubleType))
@@ -350,10 +355,19 @@ object Windows {
     df.columns.filterNot(c => c == "events" || c == "event" || eventFields(c)).map(col).toSeq
   }
 
+  /** Null-metric events are not candidates for metric-ordered picks —
+    * the reference's `extremum`/`sorted-sample` skip them explicitly
+    * (`math.clj:38-56,107-119`; pinned by its own `math_test.clj`).
+    */
+  private def withoutNullMetric: Column =
+    filter(col("events"), e => e.getField("metric").isNotNull)
+
   private def collPick(df: DataFrame, asc: Boolean): DataFrame = {
     val sorted = sortedByMetric(asc)
     val carried = carriedCols(df)
-    df.withColumn("event", element_at(sorted, 1)).drop("events")
+    df.withColumn("events", withoutNullMetric)
+      .filter(size(col("events")) > 0) // all-null payload → no event (math.clj extremum → nil)
+      .withColumn("event", element_at(sorted, 1)).drop("events")
       .select(carried :+ col("event.*"): _*)
   }
 
@@ -375,7 +389,9 @@ object Windows {
     */
   def collPercentiles(quantiles: Seq[Double])(df: DataFrame): DataFrame = {
     val carried = carriedCols(df)
-    val out = df.withColumn("__sorted", sortedByMetric(asc = true)).drop("events")
+    val out = df.withColumn("events", withoutNullMetric)
+      .filter(size(col("events")) > 0) // sorted-sample of no samples → '()
+      .withColumn("__sorted", sortedByMetric(asc = true)).drop("events")
       .withColumn("quantile", explode(array(quantiles.map(lit): _*)))
       .withColumn("event",
         expr("__sorted[cast(least(size(__sorted) - 1, floor(size(__sorted) * quantile)) as int)]"))
