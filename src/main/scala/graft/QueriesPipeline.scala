@@ -650,6 +650,28 @@ object QueriesPipeline {
           .orderBy("doc_id")
       }
 
+      // the map-side streaming-safe flag must agree with the join-based
+      // report on every doc, including the zero-hit majority
+      register("decontam_flag",
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, $sqlBucket AS b, unnest(list_distinct(${sqlShingles("toks")})) AS shingle
+           |  FROM docs),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE b >= 900000),
+           |hits AS (
+           |  SELECT doc_id, count(*) AS h
+           |  FROM sh JOIN bench USING (shingle) WHERE b < 800000
+           |  GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(h, 0) AS bench_hits,
+           |       COALESCE(h, 0) >= $minHits AS contaminated
+           |FROM documents d LEFT JOIN hits USING (doc_id)
+           |WHERE (${sqlMd5Hash64(s"'split:' || CAST(d.doc_id AS VARCHAR)")} % 1000000) < 800000
+           |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+        val (train, bench) = trainBench(s, dir)
+        Decontam.flagContaminated(train, bench, "doc_id", "text", minHits)
+          .select("doc_id", "bench_hits", "contaminated").orderBy("doc_id")
+      }
+
       register("decontam_clean",
         s"""$DocsView
            |, sh AS (

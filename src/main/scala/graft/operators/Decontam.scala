@@ -84,6 +84,35 @@ object Decontam {
       .filter(col("hits") >= minHits)
   }
 
+  /** Per-document contamination flag, map-side only — the STREAMING-safe
+    * decontamination shape: the benchmark's distinct shingle set is
+    * collected once (eval suites are MBs) and broadcast as a Set; each
+    * document counts its own distinct shingles against it inside one
+    * projection. No join, no aggregation across documents, so it runs
+    * identically on a batch frame and inside any streaming plan (pinned
+    * stream==batch in StreamingSpec) — exact membership, not Bloom, so
+    * `hits` matches [[contaminationReport]] row for row.
+    *
+    * Output: input columns + `bench_hits` + `contaminated`
+    * (hits ≥ minHits). At 100 TB this is the ingest-hygiene filter:
+    * the corpus pays one map pass; only the model-sized benchmark set
+    * moves.
+    */
+  def flagContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, minHits: Long = 3,
+                       shingles: Column => Column = c => Text.bigramShingles(Text.tokens(c))): DataFrame = {
+    val spark = docs.sparkSession
+    val benchSet: Set[String] = shinglePairs(bench, idCol, textCol)
+      .select("shingle").distinct()
+      .collect().map(_.getString(0)).toSet
+    val benchBc = spark.sparkContext.broadcast(benchSet)
+    val hitsU = udf((ss: Seq[String]) =>
+      if (ss == null) 0L else ss.count(benchBc.value.contains).toLong)
+    docs
+      .withColumn("bench_hits", hitsU(array_distinct(shingles(col(textCol)))))
+      .withColumn("contaminated", col("bench_hits") >= minHits)
+  }
+
   /** The cleaned corpus: training documents NOT flagged by
     * [[contaminationReport]] — a broadcast-able anti-join when the
     * flagged set is small (it is: contamination rates are ~1%).

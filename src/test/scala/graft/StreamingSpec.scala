@@ -569,6 +569,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 8, s"one match per shared band (4 bands x 2 dups), got $streamed")
   }
 
+  test("decontam flag is streaming-safe: map-side only, stream == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    val bench = Seq((100L, "the forbidden eval question about spark windows")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the forbidden eval question about spark windows verbatim copy here"),
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "a partial mention of the forbidden eval topic"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.operators.Decontam.flagContaminated(
+      ms.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", minHits = 3)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(docs); q.processAllAvailable(); q.stop()
+    def canon(df: DataFrame) = df.select("doc_id", "bench_hits", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamed = canon(s.table(name))
+    val batch = canon(graft.operators.Decontam.flagContaminated(
+      docs.toDF("doc_id", "text"), bench, "doc_id", "text", minHits = 3))
+    assert(streamed == batch)
+    // doc 1 shares >= 3 bigrams with the benchmark; doc 2 shares none
+    assert(streamed.exists(r => r._1 == 1L && r._3))
+    assert(streamed.exists(r => r._1 == 2L && r._2 == 0L && !r._3))
+  }
+
   test("streaming corpus profile == batch twin per closed window") {
     val s = spark
     import s.implicits._
