@@ -650,6 +650,23 @@ object QueriesPipeline {
           .orderBy("doc_id")
       }
 
+      // leak attribution: per (train, bench) pair with enough shared
+      // distinct shingles — bench ids ride the same broadcast join
+      register("decontam_pairs",
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, $sqlBucket AS b, unnest(list_distinct(${sqlShingles("toks")})) AS shingle
+           |  FROM docs)
+           |SELECT t.doc_id, bn.doc_id AS bench_id, count(*) AS shared
+           |FROM sh t JOIN sh bn USING (shingle)
+           |WHERE t.b < 800000 AND bn.b >= 900000
+           |GROUP BY t.doc_id, bn.doc_id HAVING count(*) >= $minHits
+           |ORDER BY t.doc_id, bench_id""".stripMargin) { (s, dir) =>
+        val (train, bench) = trainBench(s, dir)
+        Decontam.contaminationPairs(train, bench, "doc_id", "text", minHits)
+          .orderBy("doc_id", "bench_id")
+      }
+
       // the map-side streaming-safe flag must agree with the join-based
       // report on every doc, including the zero-hit majority
       register("decontam_flag",

@@ -84,6 +84,29 @@ object Decontam {
       .filter(col("hits") >= minHits)
   }
 
+  /** Contamination ATTRIBUTION: which benchmark document leaked into
+    * which training document — `(idCol, bench_id, shared)` for every
+    * train×bench pair sharing ≥ `minHits` distinct shingles. The
+    * any-benchmark [[contaminationReport]] answers "is this doc dirty";
+    * this answers the audit question "dirty WITH WHAT", the shape eval
+    * owners need to trace a leak.
+    *
+    * Scale: same broadcast as the report — the benchmark side is tiny,
+    * so the join never shuffles the training side; pair volume is the
+    * contamination trickle × benchmark fan-out, aggregated
+    * map-side-partial on (train, bench).
+    */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, minHits: Long = 3): DataFrame = {
+    val benchSh = shinglePairs(bench, idCol, textCol)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    shinglePairs(train, idCol, textCol)
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minHits)
+  }
+
   /** Per-document contamination flag, map-side only — the STREAMING-safe
     * decontamination shape: the benchmark's distinct shingle set is
     * collected once (eval suites are MBs) and broadcast as a Set; each

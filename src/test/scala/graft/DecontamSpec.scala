@@ -60,4 +60,16 @@ class DecontamSpec extends AnyFunSuite {
     val none = Decontam.decontaminate(train, bench.limit(0), "doc_id", "text", minHits = 3)
     assert(none.count() == 3)
   }
+
+  test("attribution pairs name the leaking benchmark doc with the shared count") {
+    val (train, bench) = corpus()
+    val pairs = Decontam.contaminationPairs(train, bench, "doc_id", "text", minHits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 100L) -> 12L, (2L, 100L) -> 4L))
+    // flag path agrees with the report on hits for every doc
+    val flags = Decontam.flagContaminated(train, bench, "doc_id", "text", minHits = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bench_hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(flags == Map(1L -> ((12L, true)), 2L -> ((4L, true)), 3L -> ((0L, false))))
+  }
 }
