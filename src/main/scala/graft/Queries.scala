@@ -372,8 +372,10 @@ object Queries {
       s"""$EventsView
          |SELECT window_start, eventId, metric FROM (
          |  SELECT $winSql AS window_start, eventId, metric,
+         |         -- reference :min fold keeps the NEW event on ties →
+         |         -- latest tied event wins (as :max)
          |         row_number() OVER (PARTITION BY $winSql
-         |                            ORDER BY metric ASC, time ASC, eventId ASC) AS rn
+         |                            ORDER BY metric ASC, time DESC, eventId DESC) AS rn
          |  FROM ev) WHERE rn = 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
       ev(s, dir).transform(Windows.bottomWindow(3600))
         .select(col("window_start"), col("eventId"), col("metric"))
@@ -811,8 +813,10 @@ object Queries {
       s"""$EventsView
          |SELECT window_start, eventId, metric FROM (
          |  SELECT $winSql AS window_start, eventId, metric,
+         |         -- reference extremum (<=) reduce: the LATEST metric-tied
+         |         -- event wins, same as coll-max's (>=)
          |         row_number() OVER (PARTITION BY $winSql
-         |                            ORDER BY metric ASC, eventId ASC) AS rn
+         |                            ORDER BY metric ASC, eventId DESC) AS rn
          |  FROM ev) WHERE rn = 1 ORDER BY window_start""".stripMargin) { (s, dir) =>
       ev(s, dir).transform(Windows.fixedTimeWindow(3600))
         .transform(Windows.collMin)
@@ -824,8 +828,10 @@ object Queries {
       s"""$EventsView
          |SELECT window_start, eventId, metric FROM (
          |  SELECT $winSql AS window_start, eventId, metric,
+         |         -- stable sort-by (extremum-n): metric-tied events keep
+         |         -- arrival order, so the EARLIER tie makes the cut
          |         row_number() OVER (PARTITION BY $winSql
-         |                            ORDER BY metric DESC, eventId DESC) AS rn
+         |                            ORDER BY metric DESC, eventId ASC) AS rn
          |  FROM ev) WHERE rn <= 2 ORDER BY window_start, eventId""".stripMargin) { (s, dir) =>
       ev(s, dir).transform(Windows.fixedTimeWindow(3600))
         .transform(Windows.collTop(2))

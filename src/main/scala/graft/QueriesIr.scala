@@ -325,12 +325,9 @@ object QueriesIr {
     // the direct corpus_shuffle gate, so the IR dispatch path itself is
     // hash-gated
     locally {
-      def md5h(s: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  list_transform(string_split(substr(md5($s), 1, 15), ''),
-           |    c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
-           |                   ELSE ascii(c) - 48 END AS BIGINT))),
-           |  (a, x) -> a * 16 + x)""".stripMargin.replace("\n", " ")
+      // the ONE md5-fold oracle mirror (QueriesPipeline) — a second copy
+      // here could silently de-sync the IR oracle from the operator ones
+      def md5h(s: String) = QueriesPipeline.sqlMd5Hash64(s)
       register("ir_shuffle_order",
         s"""SELECT row_number() OVER (
            |         ORDER BY ${md5h("'epoch0:' || CAST(doc_id AS VARCHAR)")}, doc_id) - 1

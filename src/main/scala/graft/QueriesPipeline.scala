@@ -37,7 +37,7 @@ object QueriesPipeline {
     * an integer (hex digit value via ascii arithmetic — slow here is fine,
     * the oracle's speed is irrelevant).
     */
-  private def sqlMd5Hash64(s: String): String =
+  private[graft] def sqlMd5Hash64(s: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split(substr(md5($s), 1, 15), ''),
        |    c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87

@@ -79,8 +79,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Integer dot product over two `array<long>` columns (the SQ8 code
   * scan's inner loop): one fused unboxed pass, exact in int64
   * (|x|,|y| ≤ 127 ⇒ no overflow at any real dimension), codegen'd.
-  * Value-identical to `aggregate(zip_with(x, y, _*_), 0L, _+_)` on
-  * equal-length arrays; null array or element → null.
+  * Value-identical to `aggregate(zip_with(x, y, _*_), 0L, _+_)`
+  * INCLUDING on ragged inputs: a length mismatch yields null (the
+  * composed form's zip_with pads with null and the fold poisons) — a
+  * silent prefix dot for corrupt/mixed-dimension codes would be a
+  * wrong similarity, not an error. Null array or element → null.
   */
 case class ArrayDotLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -93,7 +96,8 @@ case class ArrayDotLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0L
     var i = 0
     while (i < n) {
@@ -110,9 +114,10 @@ case class ArrayDotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |long $dot = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += $x.getLong($i) * $y.getLong($i);
          |}

@@ -125,7 +125,9 @@ object Decontam {
                        textCol: String, minHits: Long = 3,
                        shingles: Column => Column = c => Text.bigramShingles(Text.tokens(c))): DataFrame = {
     val spark = docs.sparkSession
-    val benchSet: Set[String] = shinglePairs(bench, idCol, textCol)
+    // the SAME shingle function on both sides — a custom `shingles` that
+    // only reached the docs side would zero every hit silently
+    val benchSet: Set[String] = shinglePairs(bench, idCol, textCol, shingles)
       .select("shingle").distinct()
       .collect().map(_.getString(0)).toSet
     val benchBc = spark.sparkContext.broadcast(benchSet)

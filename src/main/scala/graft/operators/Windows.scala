@@ -118,8 +118,13 @@ object Windows {
 
   private def extremumWindow(df: DataFrame, durationSeconds: Long, keys: Seq[String], isTop: Boolean): DataFrame = {
     val all = struct(df.columns.map(col): _*)
-    val ord = struct(col("metric"), col("time"), col("eventId"))
-    val pick = if (isTop) max_by(all, ord) else min_by(all, ord)
+    // the reference's :max/:min folds keep the NEW event on a metric tie
+    // (`action.clj:2286-2311` — strict > / < against the state), so the
+    // LATEST tied event wins for top AND bottom; min_by therefore
+    // negates the arrival component of the ordering
+    val pick =
+      if (isTop) max_by(all, struct(col("metric"), col("time"), col("eventId")))
+      else min_by(all, struct(col("metric"), -col("time"), -col("eventId")))
     grouped(withWindow(df, durationSeconds), durationSeconds, keys)
       .agg(pick.as("base"))
       .select(col("window_start"), col("base.*"))
@@ -320,7 +325,10 @@ object Windows {
     * interval is zero (`math.clj:80-106`).
     */
   def collRate(df: DataFrame): DataFrame = {
-    val sumM = aggregate(col("events"), lit(0.0), (acc, e) => acc + e.getField("metric"))
+    // nil metric folds as 0, as coll-sum (the reference's rate would NPE
+    // on a nil metric — undefined there; 0 keeps the family consistent)
+    val sumM = aggregate(col("events"), lit(0.0),
+      (acc, e) => acc + coalesce(e.getField("metric"), lit(0.0)))
     val span = (array_max(transform(col("events"), _.getField("time"))) -
       array_min(transform(col("events"), _.getField("time")))).cast(DoubleType) / lit(1e9)
     collAgg(df, when(span === 0.0, sumM).otherwise(sumM / span))
@@ -363,7 +371,18 @@ object Windows {
     filter(col("events"), e => e.getField("metric").isNotNull)
 
   private def collPick(df: DataFrame, asc: Boolean): DataFrame = {
-    val sorted = sortedByMetric(asc)
+    // reference `extremum` reduces with >= / <= over arrival order
+    // (`math.clj:38-56`): among metric-TIED events the LATEST wins, for
+    // max AND min — so the pick's tie-break is eventId DESC in both
+    // directions (unlike the stable sorts below)
+    val sorted = array_sort(col("events"), (a, b) => {
+      val (x, y) = if (asc) (a, b) else (b, a)
+      when(x.getField("metric") < y.getField("metric"), -1)
+        .when(x.getField("metric") > y.getField("metric"), 1)
+        .when(a.getField("eventId") > b.getField("eventId"), -1)
+        .when(a.getField("eventId") < b.getField("eventId"), 1)
+        .otherwise(0)
+    })
     val carried = carriedCols(df)
     df.withColumn("events", withoutNullMetric)
       .filter(size(col("events")) > 0) // all-null payload → no event (math.clj extremum → nil)
@@ -371,13 +390,17 @@ object Windows {
       .select(carried :+ col("event.*"): _*)
   }
 
+  /** Metric order with STABLE ties (arrival = eventId ascending, in both
+    * directions) — the reference's `sort-by`/`sorted-sample` are stable
+    * Clojure sorts, so metric-tied events keep arrival order.
+    */
   private def sortedByMetric(asc: Boolean): Column =
     array_sort(col("events"), (a, b) => {
       val (x, y) = if (asc) (a, b) else (b, a)
       when(x.getField("metric") < y.getField("metric"), -1)
         .when(x.getField("metric") > y.getField("metric"), 1)
-        .when(x.getField("eventId") < y.getField("eventId"), -1)
-        .when(x.getField("eventId") > y.getField("eventId"), 1)
+        .when(a.getField("eventId") < b.getField("eventId"), -1)
+        .when(a.getField("eventId") > b.getField("eventId"), 1)
         .otherwise(0)
     })
 
@@ -407,9 +430,11 @@ object Windows {
     * (`action.clj:2007-2051`).
     */
   def collTop(n: Int)(df: DataFrame): DataFrame =
-    df.withColumn("events", slice(sortedByMetric(asc = false), 1, n))
+    df.withColumn("events", withoutNullMetric)
+      .withColumn("events", slice(sortedByMetric(asc = false), 1, n))
   def collBottom(n: Int)(df: DataFrame): DataFrame =
-    df.withColumn("events", slice(sortedByMetric(asc = true), 1, n))
+    df.withColumn("events", withoutNullMetric)
+      .withColumn("events", slice(sortedByMetric(asc = true), 1, n))
 
   /** `coll-sort` — sort the payload by a field (`action.clj:368-389`). */
   def collSort(field: String)(df: DataFrame): DataFrame =

@@ -95,8 +95,11 @@ object Streaming {
   private def extremum(df: DataFrame, durationSeconds: Long, delaySeconds: Long,
                        keys: Seq[String], isTop: Boolean): DataFrame = {
     val all = struct(df.columns.map(col): _*)
-    val ord = struct(col("metric"), col("time"), col("eventId"))
-    val pick = if (isTop) max_by(all, ord) else min_by(all, ord)
+    // latest tied event wins for top AND bottom (reference :max/:min
+    // folds — see Windows.extremumWindow)
+    val pick =
+      if (isTop) max_by(all, struct(col("metric"), col("time"), col("eventId")))
+      else min_by(all, struct(col("metric"), -col("time"), -col("eventId")))
     grouped(df, durationSeconds, delaySeconds, keys)
       .agg(pick.as("base"))
       .select(windowStartNs, col("base.*"))
@@ -260,13 +263,17 @@ object Streaming {
     require(quantiles.nonEmpty, "corpusProfileWindow: at least one quantile")
     val qArr = array(quantiles.map(lit): _*)
     df.withColumn("__ts", col(tsCol).cast("timestamp"))
+      // tokenize ONCE per document — aggregate inputs are not
+      // CSE-deduplicated across aggs, and tokenization dominates the
+      // per-row cost of this monitor
+      .withColumn("__tok", graft.functions.Text.tokenCount(col(textCol)))
       .withWatermark("__ts", s"$delaySeconds seconds")
       .groupBy(window(col("__ts"), s"$durationSeconds seconds"), col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
-        sum(graft.functions.Text.tokenCount(col(textCol))).as("n_tokens"),
+        sum(col("__tok")).as("n_tokens"),
         approx_count_distinct(col(langCol)).cast("long").as("n_langs"),
         graft.functions.PercentileSketch.exactPercentiles(
-          graft.functions.Text.tokenCount(col(textCol)).cast("double"), quantiles).as("__qs"))
+          col("__tok").cast("double"), quantiles).as("__qs"))
       .select(col("window"), col(groupCol), col("n_docs"), col("n_tokens"), col("n_langs"),
         posexplode(col("__qs")).as(Seq("__qi", "tokens_q")))
       .withColumn("quantile", element_at(qArr, col("__qi") + 1))

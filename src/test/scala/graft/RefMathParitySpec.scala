@@ -68,6 +68,27 @@ class RefMathParitySpec extends AnyFunSuite {
       Map(0.0 -> 1.0, 0.5 -> 1.0, 1.0 -> 6.0))
   }
 
+  test("metric ties: extremum reduce keeps the LATEST; stable sorts keep arrival order") {
+    // extremum folds with >= / <= over arrival order (math.clj:38-56):
+    // the later of two tied events replaces the state — for max AND min
+    val tied = payload(Some(5.0), Some(5.0), Some(1.0), Some(1.0))
+    assert(one(Windows.collMax(tied), "eventId") == Some(2L), "max tie → later event")
+    assert(one(Windows.collMin(tied), "eventId") == Some(4L), "min tie → later event")
+    // extremum-n / sorted-sample are STABLE Clojure sorts: tied events
+    // keep arrival order, so the cut keeps the EARLIER tie
+    val topIds = Windows.collTop(1)(tied).select(col("events")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getAs[Long]("eventId"))
+    assert(topIds == Seq(1L), s"top cut keeps the earlier tied event, got $topIds")
+    val botIds = Windows.collBottom(1)(tied).select(col("events")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getAs[Long]("eventId"))
+    assert(botIds == Seq(3L), s"bottom cut keeps the earlier tied event, got $botIds")
+    // null-metric events cannot occupy a top/bottom slot
+    val withNull = payload(Some(5.0), None, Some(3.0))
+    val top2 = Windows.collTop(2)(withNull).select(col("events")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getAs[Long]("eventId"))
+    assert(top2 == Seq(1L, 3L), s"null metric must not displace a real event, got $top2")
+  }
+
   test("coll-top/bottom == extremum-n fixtures (order and cut)") {
     def tops(df: DataFrame, n: Int, top: Boolean): Seq[Double] = {
       val out = if (top) Windows.collTop(n)(df) else Windows.collBottom(n)(df)
