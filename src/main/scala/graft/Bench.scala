@@ -31,7 +31,11 @@ object Bench {
     // scoring, training-order materialization, corpus profiling
     "ann_ivfpq_topk", "dedup_cross_corpus", "near_dup_stream_twin",
     "dsir_ratio_sum", "corpus_shuffle", "interleave_sources",
-    "corpus_profile")
+    "corpus_profile",
+    // round 8: normalization, boilerplate cut, blocklist filter, JL
+    // projection (fused kernel), distributed GD classifier training
+    "text_normalize", "boilerplate_lines", "url_blocklist_filter",
+    "embedding_project", "classifier_train", "vocab_topk", "frequent_ngrams")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

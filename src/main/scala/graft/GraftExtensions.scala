@@ -69,6 +69,27 @@ object GraftExtensions {
         require(children.length == 2, "array_dot_long(codes1, codes2) takes two arguments")
         graft.functions.ArrayDotLong(children.head, children(1))
       }),
+    columnFn("text_normalize", c => graft.functions.Text.normalize(c)),
+    (FunctionIdentifier("signed_project"),
+      new ExpressionInfo(classOf[graft.functions.SignedProject].getCanonicalName, null, "signed_project"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "signed_project(vec, dim_in, dim_out, seed) takes four arguments")
+        val Seq(dInE, dOutE, seedE) = children.tail
+        require(dInE.foldable && dOutE.foldable && seedE.foldable,
+          "signed_project dims and seed must be literals")
+        def asInt(e: Expression): Int = e.eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.toInt
+          case d: org.apache.spark.sql.types.Decimal => d.toInt
+          case other => throw new IllegalArgumentException(s"not an integer literal: $other")
+        }
+        val (dIn, dOut) = (asInt(dInE), asInt(dOutE))
+        val seed = seedE.eval().toString
+        val signs = graft.operators.Similarity.projectionSigns(dOut, dIn, seed)
+        graft.functions.SignedProject(children.head,
+          signs.flatMap(_.map(s => if (s > 0) 1.toByte else 0.toByte)), dOut)
+      }),
     (FunctionIdentifier("exact_percentiles"),
       new ExpressionInfo(classOf[ExactPercentiles].getCanonicalName, null, "exact_percentiles"),
       (children: Seq[Expression]) => {

@@ -1685,5 +1685,235 @@ object QueriesPipeline {
           .orderBy("position")
       }
     }
+
+    // ---------------- round-8 additions ----------------
+
+    // text normalization over a deterministically-messed column (the
+    // fixture corpus is already clean, so control chars / space runs /
+    // case are injected per doc_id before cleaning — same discipline as
+    // the pii/url gates)
+    locally {
+      val messSql =
+        """chr(9) || ' ' || text ||
+          |CASE WHEN doc_id % 3 = 0 THEN ' FOO' || chr(10) || 'Bar' ELSE '' END ||
+          |CASE WHEN doc_id % 4 = 0 THEN '  Double  Spaced ' ELSE '' END ||
+          |chr(127) || ' end' || chr(9)""".stripMargin.replace("\n", " ")
+      def messCol = concat(lit("\t "), col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" FOO\nBar")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("  Double  Spaced ")).otherwise(lit("")),
+        lit("\u007f end\t"))
+
+      register("text_normalize",
+        s"""WITH m AS (SELECT doc_id, $messSql AS s FROM documents)
+           |SELECT doc_id,
+           |       lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+           |         '${Text.ControlCharPattern}', ' ', 'g'),
+           |         ' {2,}', ' ', 'g'),
+           |         '^ ', ''), ' $$', '')) AS normalized
+           |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+          Text.normalize(messCol, lowercase = true).as("normalized"))
+          .orderBy("doc_id")
+      }
+    }
+
+    // corpus-global boilerplate-line removal (lines in >= 2 distinct docs
+    // dropped everywhere; same synthetic 7-token lines as line_dedup)
+    locally {
+      val k = 7
+      val minDocs = 2
+      register("boilerplate_lines",
+        s"""$DocsView,
+           |ls AS (
+           |  SELECT doc_id,
+           |         list_transform(range(CAST(ceil(CAST(len(toks) AS DOUBLE) / $k) AS BIGINT)),
+           |           i -> {'pos': i,
+           |                 'line': array_to_string(toks[CAST(i AS INT) * $k + 1 : CAST(i AS INT) * $k + $k], ' ')}) AS lines
+           |  FROM docs WHERE len(toks) > 0),
+           |l AS (SELECT doc_id, unnest(lines) AS u FROM ls),
+           |f AS (SELECT md5(u.line) AS h, count(DISTINCT doc_id) AS df
+           |      FROM l GROUP BY md5(u.line)),
+           |r AS (SELECT doc_id, u.pos AS pos, u.line AS line, f.df AS df
+           |      FROM l JOIN f ON md5(u.line) = f.h),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS n_lines,
+           |         count(CASE WHEN df < $minDocs THEN 1 END) AS n_kept,
+           |         coalesce(string_agg(CASE WHEN df < $minDocs THEN line END, ' ' ORDER BY pos), '') AS text_clean
+           |  FROM r GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+           |       coalesce(a.n_kept, 0) AS n_kept,
+           |       coalesce(a.text_clean, '') AS text_clean
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Curation.boilerplateRemove(docs(s, dir), "doc_id", "text", k, minDocs)
+          .orderBy("doc_id")
+      }
+    }
+
+    // opt-out / spam-domain document filter over the synthetic URL
+    // augmentation (same urls as url_hosts/url_domain_stats)
+    locally {
+      val urlSql =
+        """text || ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+          | || CAST(doc_id % 23 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+          |CASE WHEN doc_id % 2 = 0
+          |     THEN ' and http://site' || CAST(doc_id % 23 AS VARCHAR) || '.example.org/q'
+          |     ELSE '' END""".stripMargin.replace("\n", " ")
+      def urlCol = concat(col("text"),
+        lit(" see https://cdn"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".site"),
+        pmod(col("doc_id"), lit(23)).cast("string"), lit(".example.org/p/"),
+        col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" and http://site"), pmod(col("doc_id"), lit(23)).cast("string"),
+            lit(".example.org/q"))).otherwise(lit("")))
+      val blocked = Seq("site1.example.org", "site7.example.org", "spam.example.net")
+      val blockedSql = blocked.map(d => s"'$d'").mkString(", ")
+
+      register("url_blocklist_filter",
+        s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents),
+           |h AS (SELECT doc_id, unnest(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1)) AS host
+           |      FROM u),
+           |bad AS (SELECT DISTINCT doc_id FROM h
+           |        WHERE array_to_string(
+           |                string_split(host, '.')[greatest(len(string_split(host, '.')) - 2, 1):],
+           |                '.') IN ($blockedSql))
+           |SELECT doc_id, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val spark = s
+        import spark.implicits._
+        val blocklist = blocked.toDF("domain")
+        Curation.domainBlocklistFilter(
+          docs(s, dir).select(col("doc_id"), urlCol.as("__s"), col("n_chars")),
+          "doc_id", "__s", blocklist, "domain", levels = 3)
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id")
+      }
+    }
+
+    // JL random projection: 64 -> 16 dims through the deterministic
+    // md5-parity sign matrix; the oracle rebuilds the identical matrix
+    locally {
+      val (dIn, dOut) = (64, 16)
+      register("embedding_project",
+        s"""WITH m AS (
+           |  SELECT j.j AS j, i.i AS i,
+           |         CASE WHEN (${sqlMd5Hash64("'rp:' || CAST(j.j AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)")}) % 2 = 0
+           |              THEN 1.0 ELSE -1.0 END AS sgn
+           |  FROM (SELECT unnest(range($dOut)) AS j) j, (SELECT unnest(range($dIn)) AS i) i),
+           |x AS (SELECT vec_id, i.i AS i, CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS x
+           |      FROM embeddings, (SELECT unnest(range($dIn)) AS i) i),
+           |p AS (SELECT vec_id, m.j AS j,
+           |             list_reduce(list_prepend(0.0, list(x.x * m.sgn ORDER BY x.i)),
+           |                         (a, b) -> a + b) / sqrt(CAST($dOut AS DOUBLE)) AS value
+           |      FROM x JOIN m ON x.i = m.i GROUP BY vec_id, m.j)
+           |SELECT vec_id, CAST(j AS INT) AS dim, value FROM p
+           |ORDER BY vec_id, dim""".stripMargin) { (s, dir) =>
+        Similarity.randomProject(emb(s, dir), "embedding", "projected", dIn, dOut, "rp")
+          .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "value")))
+          .orderBy("vec_id", "dim")
+      }
+    }
+
+    // vocabulary induction + heavy-hitter n-gram mining
+    register("vocab_topk",
+      s"""$DocsView,
+         |t AS (SELECT unnest(toks) AS token FROM docs),
+         |c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+         |SELECT token, n FROM c WHERE n >= 2
+         |ORDER BY n DESC, token LIMIT 200""".stripMargin) { (s, dir) =>
+      Curation.vocabTopK(docs(s, dir), "text", k = 200, minCount = 2L)
+    }
+
+    register("frequent_ngrams",
+      s"""$DocsView,
+         |g AS (SELECT doc_id, unnest(${sqlNgrams("toks", 3)}) AS gram FROM docs),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+         |SELECT gram, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_total
+         |FROM c GROUP BY gram HAVING count(*) >= 3
+         |ORDER BY gram""".stripMargin) { (s, dir) =>
+      Curation.frequentNgrams(docs(s, dir), "doc_id", "text", n = 3, minDocs = 3)
+        .orderBy("gram")
+    }
+
+    // distributed classifier training: 3 full-batch GD iterations on
+    // (embedding, label<5), bit-reproduced by the oracle's unrolled CTEs
+    locally {
+      val (dim, epochs, lr, n) = (64, 3, 0.5, "(SELECT CAST(n AS DOUBLE) FROM nn)")
+      val d1 = dim + 1
+      val iters = (1 to epochs).map { t =>
+        val prev = if (t == 1) "w0" else s"w${t - 1}"
+        s"""z$t AS (
+           |  SELECT b.vec_id, b.x, b.y,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(list_zip(b.x, (SELECT w FROM $prev)), p -> p[1] * p[2])),
+           |           (a, c) -> a + c) AS z
+           |  FROM base b),
+           |p$t AS (SELECT vec_id, x, y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM z$t),
+           |c$t AS (SELECT vec_id, d.d AS dim, x[CAST(d.d AS INT) + 1] * (p - y) AS c
+           |        FROM p$t, (SELECT unnest(range($d1)) AS d) d),
+           |g$t AS (SELECT dim,
+           |               list_reduce(list_prepend(0.0, list(c ORDER BY vec_id)), (a, b) -> a + b)
+           |                 / $n AS g
+           |        FROM c$t GROUP BY dim),
+           |w$t AS (SELECT list(wv - $lr * g ORDER BY dim) AS w
+           |        FROM (SELECT dim, g,
+           |                     (SELECT w FROM $prev)[CAST(dim AS INT) + 1] AS wv
+           |              FROM g$t))""".stripMargin
+      }.mkString(",\n")
+      register("classifier_train",
+        s"""WITH base AS (
+           |  SELECT vec_id,
+           |         list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), 1.0) AS x,
+           |         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+           |  FROM embeddings),
+           |nn AS (SELECT count(*) AS n FROM base),
+           |w0 AS (SELECT list_transform(range($d1), d -> 0.0) AS w),
+           |$iters
+           |SELECT CAST(d.d AS INT) AS dim,
+           |       (SELECT w FROM w$epochs)[CAST(d.d AS INT) + 1] AS weight
+           |FROM (SELECT unnest(range($d1)) AS d) d
+           |ORDER BY dim""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir).withColumn("y", (col("label") < 5).cast("int"))
+        graft.operators.Training.trainLogisticExact(e, "vec_id", "embedding", "y",
+          dim, epochs, lr)
+          .orderBy("dim")
+      }
+
+      // evaluation of the same trained model: confusion counts are
+      // INTEGER, so the gate is robust even where a float hash gate
+      // would wobble (the 0.5 threshold compare is exact on the
+      // bit-reproduced scores)
+      register("classifier_eval",
+        s"""WITH base AS (
+           |  SELECT vec_id,
+           |         list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), 1.0) AS x,
+           |         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+           |  FROM embeddings),
+           |nn AS (SELECT count(*) AS n FROM base),
+           |w0 AS (SELECT list_transform(range($d1), d -> 0.0) AS w),
+           |$iters,
+           |zf AS (
+           |  SELECT b.vec_id, b.y,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(list_zip(b.x, (SELECT w FROM w$epochs)), p -> p[1] * p[2])),
+           |           (a, c) -> a + c) AS z
+           |  FROM base b),
+           |sc AS (SELECT vec_id, y = 1.0 AS yy,
+           |              0.5 * (1.0 + z / (1.0 + abs(z))) >= 0.5 AS pred
+           |       FROM zf)
+           |SELECT count(CASE WHEN yy AND pred THEN 1 END) AS tp,
+           |       count(CASE WHEN NOT yy AND pred THEN 1 END) AS fp,
+           |       count(CASE WHEN NOT yy AND NOT pred THEN 1 END) AS tn,
+           |       count(CASE WHEN yy AND NOT pred THEN 1 END) AS fn,
+           |       CAST(count(CASE WHEN yy = pred THEN 1 END) AS DOUBLE)
+           |         / CAST(count(*) AS DOUBLE) AS accuracy
+           |FROM sc""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir).withColumn("y", (col("label") < 5).cast("int"))
+        val model = graft.operators.Training.trainLogisticExact(
+          e, "vec_id", "embedding", "y", dim, epochs, lr)
+        graft.operators.Training.evaluateLogistic(e, "embedding", "y", model)
+      }
+    }
   }
 }

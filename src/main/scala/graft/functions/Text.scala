@@ -100,6 +100,25 @@ object Text {
     }
   }
 
+  /** Control characters (C0 + DEL) — the cleanup targets of
+    * [[normalize]]. Written as explicit hex ranges (no `\p{Cntrl}`,
+    * which RE2 — the DuckDB oracle's engine — spells differently).
+    */
+  val ControlCharPattern = "[\\x00-\\x1f\\x7f]"
+
+  /** Text normalization — the standard pre-tokenization cleanup pass
+    * (C4/CCNet shape): control chars (tabs/newlines included) become
+    * spaces, space runs collapse to one, ends are trimmed, and
+    * optionally the text is lowercased. Pure `regexp_replace` chain —
+    * codegen'd, fuses into the scan, zero shuffles at any scale.
+    */
+  def normalize(c: Column, lowercase: Boolean = false): Column = {
+    val noCtrl = regexp_replace(c, ControlCharPattern, " ")
+    val collapsed = regexp_replace(noCtrl, " {2,}", " ")
+    val trimmed = regexp_replace(regexp_replace(collapsed, "^ ", ""), " $", "")
+    if (lowercase) lower(trimmed) else trimmed
+  }
+
   /** Quality score in [0,1]: blend of length band, mean token length band
     * and alpha ratio. Deterministic double arithmetic (identical fold in
     * the oracle).

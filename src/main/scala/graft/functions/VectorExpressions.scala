@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -129,6 +129,83 @@ case class ArrayDotLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused ±1 random projection kernel (Achlioptas JL): maps an
+  * `array<float>` of at least `dIn` elements to `array<double>` of
+  * `dOut`, `out[j] = (Σ_i ±x_i) / sqrt(dOut)` with the sign matrix a
+  * row-major constant (`1` = +, `0` = −) shipped once per task as a
+  * reference object — NOT as literal expression nodes: the composed
+  * column-algebra form unrolls dOut×dIn add terms, overflows the 64 KB
+  * codegen method limit and drops the whole stage to interpreted eval.
+  * Fold semantics per output dim: index order, double precision,
+  * starting from 0.0 — bit-identical to the DuckDB oracle's
+  * `list_reduce(list_prepend(0.0, …))`. Null array, null element, or an
+  * input shorter than `dIn` yields null.
+  */
+case class SignedProject(child: Expression, signs: Array[Byte], dOut: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val dIn = signs.length / dOut
+  require(dOut >= 1 && dIn * dOut == signs.length,
+    s"SignedProject: signs length ${signs.length} not divisible by dOut $dOut")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < dIn) return null
+    val out = new Array[Double](dOut)
+    val inv = math.sqrt(dOut.toDouble)
+    var j = 0
+    while (j < dOut) {
+      var acc = 0.0
+      var i = 0
+      while (i < dIn) {
+        if (x.isNullAt(i)) return null
+        val xi = x.getFloat(i).toDouble
+        acc += (if (signs(j * dIn + i) != 0) xi else -xi)
+        i += 1
+      }
+      out(j) = acc / inv
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "byte[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val xi = ctx.freshName("xi")
+      val inv = ctx.freshName("inv")
+      s"""
+         |if ($x.numElements() < $dIn) { ${ev.isNull} = true; } else {
+         |  double[] $out = new double[$dOut];
+         |  double $inv = java.lang.Math.sqrt((double) $dOut);
+         |  for (int $j = 0; !${ev.isNull} && $j < $dOut; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dIn; $i++) {
+         |      if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      double $xi = (double) $x.getFloat($i);
+         |      $acc += ($signsRef[$j * $dIn + $i] != 0) ? $xi : -$xi;
+         |    }
+         |    $out[$j] = $acc / $inv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** `array<float>` cosine similarity as a codegen'd native kernel. */
   def cosineF(a: Column, b: Column): Column = {
@@ -145,5 +222,15 @@ object VectorExpressions {
   def dotL(a: Column, b: Column): Column = {
     val B = org.apache.spark.sql.graft.Bridge
     B.column(ArrayDotLong(B.expression(a), B.expression(b)))
+  }
+
+  /** Fused ±1 JL projection of an `array<float>` column. `signs` is the
+    * row-major dOut×dIn sign matrix as ±1.0 doubles (the driver-side
+    * [[graft.operators.Similarity.projectionSigns]] output).
+    */
+  def signedProject(vec: Column, signs: Array[Array[Double]]): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    val flat = signs.flatMap(_.map(s => if (s > 0) 1.toByte else 0.toByte))
+    B.column(SignedProject(B.expression(vec), flat, signs.length))
   }
 }

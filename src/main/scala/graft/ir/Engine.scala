@@ -711,6 +711,51 @@ object Engine {
     case "pii-redact" =>
       df => df.withColumn(pStr(params(1)),
         graft.functions.Pii.redact(col(pStr(params.head))))
+    case "normalize" =>
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.functions.Text.normalize(col(pStr(m("field"))),
+          lowercase = m.get("lowercase").exists(_ == true)))
+    case "boilerplate-remove" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.boilerplateRemove(df, pStr(m("id")), pStr(m("text")),
+        m.get("line-tokens").map(pLong(_).toInt).getOrElse(7),
+        m.get("min-docs").map(pLong(_).toInt).getOrElse(2))
+    case "domain-blocklist" =>
+      val m = pMap(params.head)
+      val domains = m("domains").asInstanceOf[Seq[Any]].map(pStr)
+      df => {
+        val spark = df.sparkSession
+        import spark.implicits._
+        graft.operators.Curation.domainBlocklistFilter(df, pStr(m("id")), pStr(m("text")),
+          domains.toDF("domain"), "domain",
+          levels = m.get("levels").map(pLong(_).toInt).getOrElse(3))
+      }
+    case "random-project" =>
+      val m = pMap(params.head)
+      df => graft.operators.Similarity.randomProject(df, pStr(m("vec")), pStr(m("out")),
+        pLong(m("dim-in")).toInt, pLong(m("dim-out")).toInt,
+        m.get("seed").map(pStr).getOrElse("rp"))
+    case "vocab-topk" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.vocabTopK(df, pStr(m("text")),
+        pLong(m("k")).toInt, m.get("min-count").map(pLong).getOrElse(1L))
+    case "frequent-ngrams" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.frequentNgrams(df, pStr(m("id")), pStr(m("text")),
+        m.get("n").map(pLong(_).toInt).getOrElse(3),
+        m.get("min-docs").map(pLong(_).toInt).getOrElse(2))
+    case "train-logistic" =>
+      val m = pMap(params.head)
+      df => graft.operators.Training.trainLogistic(df, pStr(m("id")), pStr(m("vec")),
+        pStr(m("label")), pLong(m("dim")).toInt,
+        m.get("epochs").map(pLong(_).toInt).getOrElse(3),
+        m.get("lr").map(pDouble).getOrElse(0.5))
+    case "score-logistic" =>
+      val m = pMap(params.head)
+      df => graft.operators.Training.scoreLogistic(df, pStr(m("vec")),
+        graft.operators.Training.loadModel(df.sparkSession, pStr(m("model-path"))),
+        pStr(m("out")))
     case "semantic-dedup" =>
       val m = pMap(params.head)
       df => graft.operators.Similarity.semanticDedup(df, pStr(m("id")), pStr(m("vec")),

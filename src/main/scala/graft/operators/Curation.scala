@@ -72,6 +72,110 @@ object Curation {
           s => s.getField("line"))).as("text_clean"))
   }
 
+  /** Corpus-global boilerplate-line removal: a line occurring in at
+    * least `minDocs` DISTINCT documents (nav bars, cookie banners,
+    * license footers) is dropped from EVERY document — the complement
+    * of [[lineDedup]]'s first-wins rule, and the standard second half
+    * of the C4/RefinedWeb line-level cleanup.
+    *
+    * Output: (idCol, n_lines, n_kept, text_clean), one row per input
+    * document.
+    *
+    * Scale shape: identical to [[lineDedup]] — one shuffle on the line
+    * hash (distinct-doc counting via dense_rank + max over the SAME
+    * window partitioning, so the two window passes share one exchange
+    * and one sort), one shuffle on the doc id to reassemble. The
+    * boilerplate threshold never materializes a per-line document set
+    * (no `collect_set`): `dense_rank` over ids makes the count, so a
+    * line sitting in millions of documents costs its row count, not a
+    * set copy per row.
+    */
+  def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
+                        lineTokens: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"boilerplateRemove: minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+      posexplode_outer(tokenLines(col(textCol), lineTokens)).as(Seq("pos", "line")))
+    val wOrd = Window.partitionBy(md5(col("line"))).orderBy(col(idCol))
+    val wAll = Window.partitionBy(md5(col("line")))
+    lines
+      // distinct docs touching this line = max dense_rank over ids
+      .withColumn("__dr", when(col("line").isNull, lit(1)).otherwise(dense_rank().over(wOrd)))
+      .withColumn("__df", when(col("line").isNull, lit(0)).otherwise(max(col("__dr")).over(wAll)))
+      .groupBy(col(idCol))
+      .agg(
+        count(col("line")).as("n_lines"),
+        count(when(col("__df") < minDocs, col("line"))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__df") < minDocs, struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text_clean"))
+  }
+
+  /** Drop documents that link to a blocked domain — the opt-out /
+    * spam-domain filter every web-corpus pipeline applies. A document
+    * is removed iff any URL host in its text resolves (via
+    * [[graft.functions.Pii.registrableDomain]], last `levels` labels)
+    * to a domain present in `blocklist`.
+    *
+    * Scale shape: host extraction is map-side regex algebra; the
+    * blocklist side of the join is `broadcast()` (a blocklist is
+    * model-sized — even 1M domains is tens of MB); the contaminated-id
+    * set that comes back is usually tiny, so AQE turns the final
+    * `left_anti` into a broadcast join too. The corpus itself never
+    * shuffles.
+    */
+  def domainBlocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                            blocklist: DataFrame, domainCol: String = "domain",
+                            levels: Int = 3): DataFrame = {
+    val hosts = df.select(col(idCol),
+      explode(graft.functions.Pii.urlHosts(col(textCol))).as("__host"))
+      .select(col(idCol),
+        graft.functions.Pii.registrableDomain(col("__host"), levels).as("__dom"))
+    val hits = hosts
+      .join(broadcast(blocklist.select(col(domainCol).as("__dom"))), Seq("__dom"))
+      .select(col(idCol)).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus vocabulary induction: the `k` most frequent tokens (with
+    * counts), ties broken by token ascending — the "count words, keep
+    * the top of the Zipf curve" first step of any tokenizer build.
+    * Tokens under `minCount` never rank.
+    *
+    * One map-side-combined aggregate over the exploded token stream
+    * (partial counts combine before the single shuffle); the ranked
+    * output is vocabulary-sized, so the final sort/limit is trivial.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int, minCount: Long = 1L): DataFrame = {
+    require(k >= 1, s"vocabTopK: k must be >= 1, got $k")
+    df.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Corpus-wide heavy-hitter n-gram mining: every word `n`-gram
+    * occurring in at least `minDocs` DISTINCT documents, with its
+    * document frequency and total count — the boilerplate /
+    * memorization-risk detector (the inputs a pipeline feeds to
+    * [[boilerplateRemove]]-style cuts or contamination review).
+    *
+    * One exchange on the gram (map-side combined per-doc counts), and
+    * the `minDocs` filter prunes to heavy hitters before any output
+    * materializes.
+    */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Int): DataFrame = {
+    require(n >= 1, s"frequentNgrams: n must be >= 1, got $n")
+    require(minDocs >= 1, s"frequentNgrams: minDocs must be >= 1, got $minDocs")
+    df.select(col(idCol),
+      explode(graft.functions.Quality.ngrams(Text.tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_total"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Quality-ranked selection under a per-group token budget: within each
     * `groupCol`, rank rows by (`scoreCol` DESC, `idCol` ASC) and keep rows
     * while the cumulative `tokensCol` (inclusive) stays within `budget` —

@@ -357,6 +357,47 @@ object Similarity {
     struct(scale.as("scale"), q.as("q"))
   }
 
+  /** Deterministic sign matrix for [[randomProject]]: entry (j, i) is
+    * ±1 from the parity of the 60-bit md5 integer of `"seed:j:i"` —
+    * the Achlioptas (2001) database-friendly JL construction with
+    * ±1 entries, derivable by ANY engine with md5 (the DuckDB oracle
+    * rebuilds the identical matrix in SQL). Model-sized: dOut × dIn
+    * signs, computed driver-side once.
+    */
+  def projectionSigns(dOut: Int, dIn: Int, seed: String): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      val hex = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Sparse random projection (Johnson–Lindenstrauss) of an embedding
+    * column to `dOut` dims: `out_j = (Σ_i sign(j,i) · x_i) / sqrt(dOut)`
+    * with the deterministic ±1 matrix of [[projectionSigns]].
+    *
+    * The 100 TB rationale: JL projection is the embedding-pipeline
+    * volume knob — 64→16 dims cuts every downstream ANN scan, k-means
+    * pass and near-dup join 4×, with distance distortion bounded by the
+    * lemma. Zero shuffles: the sign matrix rides into codegen as
+    * literals (model-sized), each output dim is one fused index-order
+    * fold over the input array, so the projection fuses into whatever
+    * scan feeds it.
+    *
+    * Determinism: index-order folds of exact double ops (±x additions,
+    * one final division) — any engine reproduces bit-for-bit.
+    */
+  def randomProject(df: DataFrame, vecCol: String, outCol: String,
+                    dIn: Int, dOut: Int, seed: String = "rp"): DataFrame = {
+    require(dOut >= 1 && dIn >= 1, s"randomProject: dims must be >= 1, got $dIn -> $dOut")
+    val signs = projectionSigns(dOut, dIn, seed)
+    // fused codegen kernel — the composed column-algebra form unrolls
+    // dOut×dIn add terms and overflows the 64 KB codegen method limit
+    df.withColumn(outCol,
+      graft.functions.VectorExpressions.signedProject(col(vecCol), signs))
+  }
+
   /** SQ8 ANN top-k: quantized-scan + exact re-rank — the production
     * two-pass pattern (Douze et al., "The Faiss library", 2024, §SQ):
     *

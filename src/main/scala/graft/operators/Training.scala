@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier TRAINING over embedding features —
+  * full-batch gradient descent on a binary linear classifier, the
+  * "train a fastText/linear quality filter on the corpus itself" step
+  * every large-scale data pipeline runs before filtering
+  * ([[graft.functions.Quality.classifierScore]] is the inference twin
+  * for a pre-trained hashed text model; [[Importance.logScore]] is the
+  * counting-trained NB variant).
+  *
+  * Scale design (the 100 TB question):
+  *  - each iteration is ONE distributed pass: the weight vector (model-
+  *    sized, d+1 doubles) ships to executors as a literal/broadcast; the
+  *    per-row margin, prediction and per-dimension gradient contribution
+  *    are pure codegen'd column algebra; the gradient reduction is a
+  *    map-side-combined per-dimension aggregate (d+1 rows ever shuffled,
+  *    n never moves).
+  *  - iteration count is a small fixed constant (the caller's epochs);
+  *    weights come back to the driver between passes — a model-sized
+  *    `.collect()`, the same discipline as k-means centroids
+  *    ([[Similarity.kmeansCentroids]]).
+  *
+  * Determinism discipline (same split as [[Importance]]):
+  *  - [[trainLogisticExact]] is the oracle-exact path: the per-dimension
+  *    gradient folds contributions in ascending id order via
+  *    `array_sort(collect_list(struct(id, contrib)))` — double addition
+  *    is re-ordered by nothing, so any engine reproduces the weights
+  *    bit-for-bit. The activation is the algebraic sigmoid
+  *    `0.5 * (1 + z / (1 + |z|))` (only +,*,/,|·| — engines agree
+  *    exactly; `exp` is libm-dependent and would break cross-engine
+  *    hash parity).
+  *  - [[trainLogistic]] is the production path: identical update rule,
+  *    but the gradient is a plain partial-aggregated `sum()` (addition
+  *    order free) — full map-side combine, no per-dimension collect.
+  */
+object Training {
+
+  /** Algebraic sigmoid in (0,1): `0.5 * (1 + z / (1 + |z|))`. Exactly
+    * reproducible across engines (no transcendentals).
+    */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+
+  /** Margin `w · [x, 1]` for a weight vector `w` of length d+1 (last
+    * entry = bias) against a d-dim feature array column — index-order
+    * fold, so every engine sums in the same order.
+    */
+  private def margin(vec: Column, w: Array[Double]): Column = {
+    val feats = w.indices.init.map(i => element_at(vec, i + 1).cast("double") * lit(w(i)))
+    (feats :+ lit(w.last)).reduceLeft(_ + _)
+  }
+
+  private def gradientExact(df: DataFrame, idCol: String, vecCol: String,
+                            yCol: Column, w: Array[Double], n: Long): Array[Double] = {
+    val err = (fastSigmoid(margin(col(vecCol), w)) - yCol).as("__e")
+    val contrib = df.select(col(idCol).as("__id"), err,
+      concat(transform(col(vecCol), x => x.cast("double")), array(lit(1.0))).as("__x"))
+      .select(col("__id"), posexplode(transform(col("__x"), x => x * col("__e"))).as(Seq("__d", "__c")))
+    // ascending-id fold per dimension: deterministic double addition
+    contrib.groupBy(col("__d"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__id"), col("__c")))),
+        lit(0.0), (acc, s) => acc + s.getField("__c")).as("__g"))
+      .collect()
+      .foldLeft(Array.fill(w.length)(0.0)) { (g, r) =>
+        g(r.getInt(0)) = r.getDouble(1) / n; g
+      }
+  }
+
+  private def gradientFast(df: DataFrame, vecCol: String, yCol: Column,
+                           w: Array[Double], n: Long): Array[Double] = {
+    val err = (fastSigmoid(margin(col(vecCol), w)) - yCol).as("__e")
+    val sums = df.select(err, col(vecCol))
+      .select(posexplode(concat(
+        transform(col(vecCol), x => x.cast("double") * col("__e")),
+        array(col("__e")))).as(Seq("__d", "__c")))
+      .groupBy(col("__d")).agg(sum(col("__c")).as("__g"))
+      .collect()
+    sums.foldLeft(Array.fill(w.length)(0.0)) { (g, r) =>
+      g(r.getInt(0)) = r.getDouble(1) / n; g
+    }
+  }
+
+  private def trainImpl(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                        dim: Int, epochs: Int, lr: Double, exact: Boolean): Array[Double] = {
+    require(dim >= 1, s"Training: dim must be >= 1, got $dim")
+    require(epochs >= 1, s"Training: epochs must be >= 1, got $epochs")
+    val y = col(labelCol).cast("double")
+    val n = df.count()
+    require(n > 0, "Training: empty training frame")
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 1 to epochs) {
+      val g = if (exact) gradientExact(df, idCol, vecCol, y, w, n)
+              else gradientFast(df, vecCol, y, w, n)
+      w = w.zip(g).map { case (wi, gi) => wi - lr * gi }
+    }
+    w
+  }
+
+  /** Oracle-exact trainer — returns the weight frame `(dim, weight)`
+    * with `dim` in `[0, d]` (index d = bias). Bit-reproducible in any
+    * engine (sorted gradient folds, algebraic sigmoid).
+    */
+  def trainLogisticExact(df: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, dim: Int, epochs: Int,
+                         lr: Double): DataFrame = {
+    val w = trainImpl(df, idCol, vecCol, labelCol, dim, epochs, lr, exact = true)
+    val spark = df.sparkSession
+    import spark.implicits._
+    w.zipWithIndex.map { case (wi, i) => (i, wi) }.toSeq.toDF("dim", "weight")
+  }
+
+  /** Production trainer — identical update rule, gradient by plain
+    * partial-aggregated sums (order-free, fully map-side-combined).
+    */
+  def trainLogistic(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, dim: Int, epochs: Int,
+                    lr: Double): DataFrame = {
+    val w = trainImpl(df, idCol, vecCol, labelCol, dim, epochs, lr, exact = false)
+    val spark = df.sparkSession
+    import spark.implicits._
+    w.zipWithIndex.map { case (wi, i) => (i, wi) }.toSeq.toDF("dim", "weight")
+  }
+
+  /** Persist a trained model frame `(dim, weight)` as a parquet
+    * artifact — same discipline as [[Similarity.saveCentroids]]: a
+    * 100 TB pipeline trains ONCE (often on a sample) and reuses the
+    * model-sized artifact across every scoring job.
+    */
+  def saveModel(model: DataFrame, path: String): Unit =
+    model.select(col("dim").cast("int"), col("weight").cast("double"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a model written by [[saveModel]], in dim order. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("dim"), col("weight")).orderBy("dim")
+
+  /** Confusion counts + accuracy of a trained model against labels:
+    * one map-side score pass and a 4-row aggregate — `(tp, fp, tn, fn,
+    * accuracy)`, threshold 0.5. Counts are integers, so the result is
+    * engine-exact even though scores are floats.
+    */
+  def evaluateLogistic(df: DataFrame, vecCol: String, labelCol: String,
+                       model: DataFrame): DataFrame = {
+    val scored = scoreLogistic(df, vecCol, model, "__p")
+      .select((col(labelCol).cast("int") === 1).as("__y"), (col("__p") >= 0.5).as("__pred"))
+    scored.agg(
+      count(when(col("__y") && col("__pred"), 1)).as("tp"),
+      count(when(!col("__y") && col("__pred"), 1)).as("fp"),
+      count(when(!col("__y") && !col("__pred"), 1)).as("tn"),
+      count(when(col("__y") && !col("__pred"), 1)).as("fn"))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"))
+  }
+
+  /** Map-side scoring with a trained weight row-frame `(dim, weight)`:
+    * adds `scoreCol` = fastSigmoid(w · [x, 1]). The model collects to
+    * the driver (model-sized) and scoring is pure column algebra.
+    */
+  def scoreLogistic(df: DataFrame, vecCol: String, model: DataFrame,
+                    scoreCol: String): DataFrame = {
+    val w = model.select(col("dim"), col("weight")).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    require(w.nonEmpty, "Training.scoreLogistic: empty model")
+    df.withColumn(scoreCol, fastSigmoid(margin(col(vecCol), w)))
+  }
+}

@@ -334,4 +334,68 @@ class CurationSpec extends AnyFunSuite {
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(messages.contains("no weight for source"))
   }
+
+  test("boilerplateRemove drops lines in >= minDocs distinct docs from EVERY doc") {
+    // 2-token lines; "a b" is in docs 1, 2 and 3 (boilerplate at
+    // minDocs=2); "c d" only in doc 1; repeating a line WITHIN one doc
+    // ("e f" twice in doc 2) does not make it boilerplate
+    val df = docsDf(
+      (1L, "a b c d", "s"),
+      (2L, "a b e f e f", "s"),
+      (3L, "a b", "s"))
+    val out = Curation.boilerplateRemove(df, "doc_id", "text", 2, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, "c d"),     // "a b" cut even from its first occurrence
+      (2L, 3L, 2L, "e f e f"), // within-doc repeat survives
+      (3L, 1L, 0L, "")))       // all-boilerplate doc comes back empty
+  }
+
+  test("boilerplateRemove: empty doc yields (0, 0, ''); minDocs=3 spares a 2-doc line") {
+    val df = docsDf((1L, "", "s"), (2L, "x y", "s"), (3L, "x y", "s"))
+    val out = Curation.boilerplateRemove(df, "doc_id", "text", 2, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq((1L, 0L, 0L, ""), (2L, 1L, 1L, "x y"), (3L, 1L, 1L, "x y")))
+  }
+
+  test("vocabTopK ranks by count desc with token tie-break; minCount prunes") {
+    val df = docsDf(
+      (1L, "b b b a a c", "s"),
+      (2L, "a d", "s"))
+    val out = Curation.vocabTopK(df, "text", k = 3, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // counts: a=3, b=3, c=1, d=1 → minCount 2 keeps a,b; tie a before b
+    assert(out == Seq("a" -> 3L, "b" -> 3L))
+    val top1 = Curation.vocabTopK(df, "text", k = 1, minCount = 1L)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("a"))
+  }
+
+  test("frequentNgrams: doc frequency is distinct docs, total counts within-doc repeats") {
+    val df = docsDf(
+      (1L, "x y z x y z", "s"),  // "x y z" twice (plus wrap grams)
+      (2L, "x y z", "s"),
+      (3L, "x y z", "s"),
+      (4L, "q r s", "s"))
+    val out = Curation.frequentNgrams(df, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("x y z", 3L, 4L))) // 3 docs, 4 total occurrences
+  }
+
+  test("domainBlocklistFilter drops docs hitting a blocked registrable domain, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "clean see https://ok.example.org/x"),
+      (2L, "bad see https://cdn.spam.example.net/y"),      // subdomain → spam.example.net
+      (3L, "no urls at all"),
+      (4L, "mixed https://ok.example.org/a and http://spam.example.net/b"))
+      .toDF("doc_id", "text")
+    val blocklist = Seq("spam.example.net").toDF("domain")
+    val kept = Curation.domainBlocklistFilter(df, "doc_id", "text", blocklist, "domain", levels = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
 }

@@ -777,6 +777,41 @@ class EngineSpec extends AnyFunSuite {
     assert(errs.exists(_.startsWith("/include")))
   }
 
+  test("round-8 IR actions dispatch (normalize, boilerplate-remove, domain-blocklist, random-project)") {
+    val s = spark
+    import s.implicits._
+    def tap(df: org.apache.spark.sql.DataFrame, json: String) =
+      Engine.run(Node.fromJson(json), df, EngineCtx(testMode = true)).taps("out")
+
+    val docs = Seq(
+      (1L, "A\tB  c see https://x.spam.example.net/p"),
+      (2L, "clean text here")).toDF("doc_id", "text")
+    val nm = tap(docs, """{"action":"normalize","params":[{"field":"text","out":"clean","lowercase":true}],
+                        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .orderBy("doc_id").collect().map(_.getString(2))
+    assert(nm.head == "a b c see https://x.spam.example.net/p")
+
+    val bl = tap(docs, """{"action":"domain-blocklist",
+                        | "params":[{"id":"doc_id","text":"text","domains":["spam.example.net"]}],
+                        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(bl.toSeq == Seq(2L))
+
+    val bp = tap(
+      Seq((1L, "a b c d"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text"),
+      """{"action":"boilerplate-remove","params":[{"id":"doc_id","text":"text","line-tokens":2}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(bp.toSeq == Seq(1L -> "c d", 2L -> "", 3L -> ""))
+
+    val vecs = Seq((1L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val rp = tap(vecs, """{"action":"random-project",
+                        | "params":[{"vec":"embedding","out":"p","dim-in":8,"dim-out":4,"seed":"t"}],
+                        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .collect().head.getSeq[Double](2)
+    assert(rp.length == 4)
+  }
+
   test("dedup-cluster IR action labels pair chains with the min reachable id") {
     val s = spark
     import s.implicits._

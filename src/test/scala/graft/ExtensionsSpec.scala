@@ -75,4 +75,27 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(r == 3L * 2 - 4 * 10 - 5)
   }
+
+  test("text_normalize and signed_project from SQL == the Column/operator API") {
+    import org.apache.spark.sql.functions._
+    val n = spark.sql("""SELECT text_normalize('a\tb  C ') AS s""")
+      .collect().head.getString(0)
+    assert(n == "a b C")
+
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    df.createOrReplaceTempView("emb_ext")
+    val sql = spark.sql(
+      "SELECT signed_project(embedding, 8, 4, 'rp') AS p FROM emb_ext")
+      .collect().head.getSeq[Double](0)
+    val api = graft.operators.Similarity.randomProject(df, "embedding", "p", 8, 4, "rp")
+      .select("p").collect().head.getSeq[Double](0)
+    assert(sql == api && sql.length == 4)
+
+    val e = intercept[Exception] {
+      spark.sql("SELECT signed_project(embedding, vec_id, 4, 'rp') FROM emb_ext").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
 }

@@ -258,4 +258,18 @@ class QualityJoinsSpec extends AnyFunSuite {
       k = 3, m = 4, codes = 16).collect().map(_.toSeq).toSet
     assert(again == out.collect().map(_.toSeq).toSet)
   }
+
+  private def norm(text: String, lc: Boolean = false): String =
+    one(text).select(Text.normalize(col("text"), lowercase = lc)).collect().head.getString(0)
+
+  test("normalize: control chars -> space, runs collapse, ends trim, optional lowercase") {
+    assert(norm("a\tb") == "a b")
+    assert(norm("a\n\nb") == "a b")            // two ctrl chars -> two spaces -> one
+    assert(norm("  a   b  ") == "a b")
+    assert(norm("\t  A  B \n") == "A B") // case preserved by default
+    assert(norm("\t  A  B \n", lc = true) == "a b")
+    assert(norm("") == "")
+    assert(norm(" \t\n ") == "")               // whitespace-only collapses to empty
+    assert(norm("already clean") == "already clean")
+  }
 }

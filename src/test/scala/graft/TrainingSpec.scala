@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Training
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed classifier training: the full-batch GD loop must learn a
+  * separable problem, the oracle-exact and production gradients must
+  * agree to float-reduction tolerance, and the exact path must be
+  * bit-deterministic across runs (it feeds a hash gate).
+  */
+class TrainingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // linearly separable toy set: y = 1 iff x0 > 0, 40 points on ±1 with
+  // a little deterministic jitter in the other dims
+  private def toy(dim: Int = 4, n: Int = 40) = {
+    val rng = new scala.util.Random(11)
+    (0 until n).map { i =>
+      val y = i % 2
+      val x0 = if (y == 1) 1.0f else -1.0f
+      val rest = Seq.fill(dim - 1)(rng.nextFloat() * 0.2f - 0.1f)
+      (i.toLong, x0 +: rest, y)
+    }.toDF("id", "vec", "y")
+  }
+
+  private def accuracy(scored: Seq[(Int, Double)]): Double =
+    scored.count { case (y, p) => (p >= 0.5) == (y == 1) }.toDouble / scored.size
+
+  test("trainLogistic learns a separable problem (accuracy 1.0, weight on the signal dim)") {
+    val df = toy()
+    val model = Training.trainLogistic(df, "id", "vec", "y", dim = 4, epochs = 10, lr = 1.0)
+    val w = model.orderBy("dim").collect().map(_.getDouble(1))
+    assert(w(0) > 0.3, s"signal weight should dominate, got ${w.toSeq}")
+    assert(math.abs(w(1)) < w(0) && math.abs(w(2)) < w(0) && math.abs(w(3)) < w(0))
+    val scored = Training.scoreLogistic(df, "vec", model, "p")
+      .select("y", "p").collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(accuracy(scored) == 1.0)
+  }
+
+  test("training loss decreases epoch over epoch") {
+    val df = toy()
+    def loss(epochs: Int): Double = {
+      val m = Training.trainLogistic(df, "id", "vec", "y", dim = 4, epochs = epochs, lr = 1.0)
+      Training.scoreLogistic(df, "vec", m, "p")
+        .select(avg(-(col("y") * log(col("p")) + (lit(1) - col("y")) * log(lit(1.0) - col("p")))))
+        .collect().head.getDouble(0)
+    }
+    val losses = Seq(1, 3, 6, 10).map(loss)
+    assert(losses == losses.sorted.reverse, s"losses should be non-increasing: $losses")
+  }
+
+  test("exact and production trainers agree to reduction tolerance") {
+    val df = toy()
+    val we = Training.trainLogisticExact(df, "id", "vec", "y", 4, 5, 1.0)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    val wf = Training.trainLogistic(df, "id", "vec", "y", 4, 5, 1.0)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    we.zip(wf).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"exact $a vs fast $b")
+    }
+  }
+
+  test("exact trainer is bit-deterministic across runs") {
+    val df = toy(dim = 6, n = 60)
+    def run() = Training.trainLogisticExact(df, "id", "vec", "y", 6, 3, 0.5)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    assert(run() == run())
+  }
+
+  test("saveModel/loadModel round-trips bit-exactly; evaluateLogistic counts the confusion") {
+    val df = toy()
+    val model = Training.trainLogistic(df, "id", "vec", "y", 4, 10, 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    Training.saveModel(model, s"$dir/m")
+    val loaded = Training.loadModel(spark, s"$dir/m")
+    assert(loaded.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      model.orderBy("dim").collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq)
+    val ev = Training.evaluateLogistic(df, "vec", "y", loaded).collect().head
+    val (tp, fp, tn, fn) = (ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3))
+    assert(tp + fp + tn + fn == 40)
+    assert(ev.getDouble(4) == (tp + tn).toDouble / 40)
+    assert(ev.getDouble(4) == 1.0) // separable problem, 10 epochs
+  }
+
+  test("scoreLogistic output stays in (0, 1) and is monotone in the margin") {
+    val df = toy()
+    val model = Training.trainLogistic(df, "id", "vec", "y", 4, 5, 1.0)
+    val ps = Training.scoreLogistic(df, "vec", model, "p")
+      .select("p").collect().map(_.getDouble(0))
+    assert(ps.forall(p => p > 0.0 && p < 1.0))
+  }
+}

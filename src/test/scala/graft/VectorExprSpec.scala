@@ -90,4 +90,51 @@ class VectorExprSpec extends AnyFunSuite {
       .eval(null).asInstanceOf[Long]
     assert(ev == 3L * 2 - 4 * 10 - 5)
   }
+
+  test("SignedProject == composed index-order fold, bit for bit; short/null inputs -> null") {
+    val rng = new scala.util.Random(23)
+    val (dIn, dOut) = (16, 4)
+    val signs = Similarity.projectionSigns(dOut, dIn, "spec")
+    val rows = (1L to 100L).map(i => (i, Seq.fill(dIn)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+      .withColumn("native", VectorExpressions.signedProject(col("v"), signs))
+    // composed reference: per out-dim fold from 0.0 in index order
+    val composed = signs.map { row =>
+      row.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (s, i)) =>
+        val x = element_at(col("v"), i + 1).cast("double")
+        acc + (if (s > 0) x else -x)
+      } / lit(math.sqrt(dOut.toDouble))
+    }
+    val diff = df.withColumn("ref", array(composed.toIndexedSeq: _*))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0)
+    // signs are ±1 and deterministic for a seed
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(Similarity.projectionSigns(dOut, dIn, "spec").flatten.toSeq == signs.flatten.toSeq)
+    assert(Similarity.projectionSigns(dOut, dIn, "other").flatten.toSeq != signs.flatten.toSeq)
+    // input shorter than dIn → null
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+      .select(VectorExpressions.signedProject(col("v"), signs)).collect()
+    assert(short.head.isNullAt(0))
+  }
+
+  test("randomProject preserves pairwise squared distances in expectation (JL lemma)") {
+    // the ±1/sqrt(d') construction satisfies E[||P(x-y)||²] = ||x-y||²
+    // with per-pair relative std ~ sqrt(2/d') ≈ 0.35 at d'=16 — so the
+    // MEAN ratio over many pairs is tight while single pairs wobble
+    val rng = new scala.util.Random(5)
+    val rows = (1L to 60L).map(i => (i, Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+    val proj = Similarity.randomProject(df, "v", "p", 64, 16, "jl")
+      .select("id", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Double](2))).sortBy(_._1)
+    def d2(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (i <- proj.indices; j <- i + 1 until proj.length if rng.nextDouble() < 0.1)
+      yield d2(proj(i)._3, proj(j)._3) / d2(proj(i)._2.map(_.toDouble), proj(j)._2.map(_.toDouble))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean distance ratio $mean over ${ratios.size} pairs")
+    // individual pairs stay within the lemma's coarse band
+    assert(ratios.count(r => r > 0.3 && r < 2.0) >= ratios.size * 9 / 10,
+      s"too many outlier pairs: ${ratios.count(r => r <= 0.3 || r >= 2.0)} of ${ratios.size}")
+  }
 }
