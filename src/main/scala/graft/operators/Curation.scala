@@ -95,8 +95,13 @@ object Curation {
     require(minDocs >= 2, s"boilerplateRemove: minDocs must be >= 2, got $minDocs")
     val lines = df.select(col(idCol),
       posexplode_outer(tokenLines(col(textCol), lineTokens)).as(Seq("pos", "line")))
-    val wOrd = Window.partitionBy(md5(col("line"))).orderBy(col(idCol))
-    val wAll = Window.partitionBy(md5(col("line")))
+      // the hash must be ONE materialized attribute: partitioning two
+      // windows by separate md5(line) projections re-plans a second
+      // exchange + sort (measured 5 exchanges instead of 3 in the audit)
+      .withColumn("__h", md5(col("line")))
+    // same partitioning AND ordering → both windows share one exchange+sort
+    val wOrd = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     lines
       // distinct docs touching this line = max dense_rank over ids
       .withColumn("__dr", when(col("line").isNull, lit(1)).otherwise(dense_rank().over(wOrd)))
