@@ -159,8 +159,10 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson,"cold_total":$coldTotal%.3f,"errors":$errJson,"sf":"$sfDir"$scaleSummary,"load_ambient":$ambientLoad%.1f,"load_max":${passLoads.map(l => l._1 max l._2).max}%.1f}"""
     val line = totalLine(json(results))
     // degrade rather than die if the headline list ever grows past budget:
-    // a totals-only line still parses, per-query detail stays on the line above
-    println(if (line.length <= 1600) line else totalLine("{}"))
+    // a totals-only line still parses, per-query detail stays on the line
+    // above. Budget: the driver captures ~2000 trailing chars and the sbt
+    // epilogue takes ~100, so 1800 is the safe ceiling (53 queries ≈ 1550).
+    println(if (line.length <= 1800) line else totalLine("{}"))
     spark.stop()
   }
 }

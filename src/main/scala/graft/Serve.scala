@@ -110,6 +110,102 @@ object Serve {
       case _: Throwable => false
     }
 
+  // ---------------- CLI commands (reference `core.clj:116-128`) ----------------
+
+  /** `compile <src-dir> <dst-dir>` — the analog of the reference's
+    * `compile` command (`config/compile-config!`: `.clj` stream DSL →
+    * EDN): parse every JSON/EDN stream document in `src`, statically
+    * validate each pipeline, and write one canonical `<name>.json` per
+    * stream into `dst`. Returns the compiled names; throws on an invalid
+    * document.
+    */
+  def compileStreams(spark: SparkSession, src: String, dst: String,
+                     ctx: EngineCtx = EngineCtx()): Seq[String] = {
+    val docs = StreamRegistry.parseDirDocs(src)
+    require(docs.nonEmpty, s"compile: no stream documents under '$src'")
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(d)
+    docs.map { doc =>
+      val (name, default, pipeline) = StreamRegistry.streamMeta(doc)
+      val errs = graft.ir.Engine.validate(pipeline, spark, ctx)
+      require(errs.isEmpty, s"compile: stream '$name' invalid:\n  ${errs.mkString("\n  ")}")
+      val out = graft.ir.Node("stream",
+        Seq(Map("name" -> name, "default" -> default)), Seq(pipeline))
+      java.nio.file.Files.writeString(d.resolve(s"$name.json"), graft.ir.Node.toJson(out))
+      name
+    }
+  }
+
+  /** `test` — the analog of the reference's `test` command
+    * (`test.clj:41-82`): load the streams dirs into a test-mode registry,
+    * run every fixture document in the test dirs (JSON or EDN, the
+    * reference's own shape incl. `tap-results`), and return the failures.
+    */
+  def runTests(spark: SparkSession, streamDirs: Seq[String],
+               testDirs: Seq[String],
+               ctx: EngineCtx = EngineCtx()): Seq[graft.ir.TapTestKit.TapFailure] = {
+    val registry = new StreamRegistry(ctx.copy(testMode = true))
+    streamDirs.foreach(registry.loadFrom)
+    testDirs.flatMap { dir =>
+      val d = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(d)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(d)
+        val paths =
+          try listing.iterator().asScala
+            .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".edn"))
+            .toSeq.sortBy(_.toString)
+          finally listing.close()
+        paths.flatMap { p =>
+          val text = java.nio.file.Files.readString(p)
+          val parsed =
+            if (p.toString.endsWith(".edn")) graft.ir.Edn.parse(text)
+            else graft.ir.Node.anyOf(org.json4s.jackson.JsonMethods.parse(text))
+          try graft.ir.TapTestKit.runFixtureDoc(spark, parsed, registry,
+            ctx.copy(testMode = true))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              Seq(graft.ir.TapTestKit.TapFailure(p.getFileName.toString, "-",
+                s"exception during test: ${e.getMessage}"))
+          }
+        }
+      }
+    }
+  }
+
+  private def cliMain(spark: SparkSession, args: Array[String],
+                      streamDirs: Seq[String], testDirs: Seq[String]): Int =
+    args(0) match {
+      case "graphviz" =>
+        require(args.length >= 2, "usage: graphviz <destination.dot>")
+        val registry = new StreamRegistry(EngineCtx(testMode = true))
+        streamDirs.foreach(registry.loadFrom)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(args(1)), graft.ir.Graphviz.dot(registry))
+        System.err.println(s"[serve] graphviz written to ${args(1)}")
+        0
+      case "compile" =>
+        require(args.length >= 3, "usage: compile <src-dir> <dst-dir>")
+        val names = compileStreams(spark, args(1), args(2))
+        System.err.println(s"[serve] compiled: ${names.mkString(", ")}")
+        0
+      case "test" | "compile-test" | "compile_test" =>
+        if (args(0) != "test" && args.length >= 3) compileStreams(spark, args(1), args(2))
+        val failures = runTests(spark, streamDirs, testDirs)
+        // the reference's human summary (test.clj:20-39)
+        if (failures.isEmpty) { println("All tests successful"); 0 }
+        else {
+          println(s"${failures.size} errors\n")
+          println(failures.mkString("\n\n----\n\n"))
+          1
+        }
+      case other =>
+        System.err.println(s"unknown command '$other' " +
+          "(expected: graphviz | compile | test | compile-test)")
+        2
+    }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -119,6 +215,18 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.nonEmpty) {
+      // command mode, reference `core.clj:116-128`: resolve dirs the same
+      // way the server boot does, run the command, exit
+      val cliConf = sys.env.get("SPARK_GRAFT_CONFIG").map(graft.ir.Config.load)
+      val cliStreamDirs = cliConf.map(_.streamDirs).filter(_.nonEmpty)
+        .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_STREAMS_DIR", "streams")))
+      val cliTestDirs = cliConf.map(_.testDirs).filter(_.nonEmpty)
+        .getOrElse(sys.env.get("SPARK_GRAFT_TESTS_DIR").toSeq)
+      val rc = cliMain(spark, args, cliStreamDirs, cliTestDirs)
+      spark.stop()
+      sys.exit(rc)
+    }
     // SPARK_GRAFT_CONFIG points at a reference-shaped main config.edn
     // (graft.ir.Config) and supplies ports/TLS/stream dirs/outputs;
     // the SPARK_GRAFT_* variables are the env-only alternative.

@@ -992,24 +992,7 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
   /** Parse every `*.json` / `*.edn` stream document in `dir` without
     * touching the registry.
     */
-  private def parseDir(dir: String): Seq[Node] = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(d)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      val listing = java.nio.file.Files.list(d)
-      val paths =
-        try listing.iterator().asScala
-          .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".edn"))
-          .toSeq.sortBy(_.toString)
-        finally listing.close()
-      paths.flatMap { p =>
-        val text = java.nio.file.Files.readString(p)
-        if (p.toString.endsWith(".edn")) Edn.streamDocs(text)
-        else Node.manyFromJson(text)
-      }
-    }
-  }
+  private def parseDir(dir: String): Seq[Node] = StreamRegistry.parseDirDocs(dir)
 
   /** Outcome of a [[reloadFrom]] diff (reference `new-config`,
     * `stream.clj:129-143`: to-add / to-reload / to-remove, plus the
@@ -1055,5 +1038,53 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
       }
     }
     ReloadResult(added.toSeq, reloaded.toSeq, removed, unchanged.toSeq)
+  }
+}
+
+object StreamRegistry {
+
+  /** Parse every `*.json` / `*.edn` stream document in `dir` (the
+    * reference's `read-edn-dirs` unit) without a registry — shared by
+    * boot/reload loading and the CLI `compile`/`graphviz` commands.
+    */
+  def parseDirDocs(dir: String): Seq[Node] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(d)
+      val paths =
+        try listing.iterator().asScala
+          .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".edn"))
+          .toSeq.sortBy(_.toString)
+        finally listing.close()
+      paths.flatMap { p =>
+        val text = java.nio.file.Files.readString(p)
+        if (p.toString.endsWith(".edn")) Edn.streamDocs(text)
+        else Node.manyFromJson(text)
+      }
+    }
+  }
+
+  /** (name, default-flag, pipeline) of a `stream` document node — the
+    * public twin of the registry's internal parse, for tools that need
+    * the name without registering (CLI `compile`).
+    */
+  def streamMeta(n: Node): (String, Boolean, Node) = {
+    require(n.action == "stream", s"expected a 'stream' node, got '${n.action}'")
+    val (name, default) = n.params.headOption match {
+      case Some(m: Map[_, _]) =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        (mm.get("name").map(_.toString.stripPrefix(":"))
+          .getOrElse(throw new IllegalArgumentException("stream node without a name")),
+          mm.get("default").contains(true))
+      case Some(s) => (s.toString.stripPrefix(":"), false)
+      case None    => throw new IllegalArgumentException("stream node without params")
+    }
+    val pipeline = n.children match {
+      case Seq(single) => single
+      case many        => Node("sdo", Nil, many)
+    }
+    (name, default, pipeline)
   }
 }

@@ -68,21 +68,7 @@ object TapTestKit {
       res.taps.get(tapName) match {
         case None =>
           Seq(TapFailure(testName, tapName, "tap not reached by the pipeline"))
-        case Some(df) =>
-          val ordered =
-            if (df.columns.contains("time") && df.columns.contains("eventId"))
-              df.orderBy("time", "eventId")
-            else df
-          val actual = ordered.collect().toSeq.map(rowToMap)
-          if (actual.size != expected.size)
-            Seq(TapFailure(testName, tapName,
-              s"expected ${expected.size} events, got ${actual.size}: $actual"))
-          else expected.zip(actual).zipWithIndex.flatMap { case ((exp, act), i) =>
-            diffKeys(exp, act).map { k =>
-              TapFailure(testName, tapName,
-                s"event #$i field '$k': expected ${exp(k)}, got ${act.get(k)}")
-            }
-          }
+        case Some(df) => compareTap(testName, tapName, df, expected)
       }
     }
   }
@@ -94,24 +80,95 @@ object TapTestKit {
                  registry: StreamRegistry,
                  ctx: EngineCtx = EngineCtx()): Seq[TapFailure] = {
     import org.json4s.jackson.JsonMethods
-    val doc = Node.anyOf(JsonMethods.parse(fixtureJson)).asInstanceOf[Map[String, Any]]
+    runFixtureDoc(spark, Node.anyOf(JsonMethods.parse(fixtureJson)), registry, ctx)
+  }
+
+  /** Strip EDN keyword prefixes from map keys recursively, so a fixture
+    * parsed by [[Edn.parse]] and one parsed from JSON address the same
+    * `"tests"`/`"input"`/`"taps"` keys.
+    */
+  private def normKeys(any: Any): Any = any match {
+    case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]]
+      .map { case (k, v) => k.toString.stripPrefix(":") -> normKeys(v) }
+    case xs: Seq[_] => xs.map(normKeys)
+    case other => other
+  }
+
+  /** Format/agnostic fixture entry (the CLI `test` command's core):
+    * takes the ALREADY-PARSED document — JSON (`Node.anyOf`) or EDN
+    * (`Edn.parse`) — and mirrors the reference runner's dispatch
+    * (`test.clj:41-82`): a case with `target` runs that stream; a case
+    * without one pushes through the registry's DEFAULT streams (the
+    * reference's `(or target :default)`), comparing each expected tap
+    * against the union of captures. `tap-results` is accepted as the
+    * reference's alias for `taps`. The no-target path uses the
+    * registry's own ctx, so build the registry with `testMode = true`.
+    */
+  def runFixtureDoc(spark: SparkSession, parsed: Any,
+                    registry: StreamRegistry,
+                    ctx: EngineCtx = EngineCtx()): Seq[TapFailure] = {
+    val doc = normKeys(parsed).asInstanceOf[Map[String, Any]]
     val tests = doc.getOrElse("tests", doc).asInstanceOf[Map[String, Any]]
-    tests.toSeq.flatMap { case (name, caseAny) =>
+    tests.toSeq.sortBy(_._1).flatMap { case (name, caseAny) =>
       val c = caseAny.asInstanceOf[Map[String, Any]]
-      val target = c.get("target").map(_.toString)
-        .orElse(registry.list.headOption)
-        .getOrElse(throw new IllegalArgumentException(s"test $name: no target stream"))
-      registry.get(target) match {
-        case None => Seq(TapFailure(name, "-", s"unknown target stream '$target'"))
-        case Some(pipeline) =>
-          runCase(spark, name, pipeline,
-            c.getOrElse("input", Seq.empty).asInstanceOf[Seq[Any]]
-              .map(_.asInstanceOf[Map[String, Any]]),
-            c.getOrElse("taps", Map.empty).asInstanceOf[Map[String, Any]]
-              .map { case (k, v) =>
-                k -> v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
-              },
-            ctx)
+      val input = c.getOrElse("input", Seq.empty).asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+      val taps = c.get("taps").orElse(c.get("tap-results"))
+        .getOrElse(Map.empty).asInstanceOf[Map[String, Any]]
+        .map { case (k, v) =>
+          k -> v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+        }
+      c.get("target").map(_.toString) match {
+        case Some(target) =>
+          registry.get(target) match {
+            case None => Seq(TapFailure(name, "-", s"unknown target stream '$target'"))
+            case Some(pipeline) => runCase(spark, name, pipeline, input, taps, ctx)
+          }
+        case None if registry.defaults.nonEmpty =>
+          runCaseViaDefaults(spark, name, registry, input, taps)
+        case None =>
+          registry.list.headOption match {
+            case None => Seq(TapFailure(name, "-", "no target stream and empty registry"))
+            case Some(only) => runCase(spark, name, registry.get(only).get, input, taps, ctx)
+          }
+      }
+    }
+  }
+
+  /** No-target case: push through the default streams and compare each
+    * expected tap against the UNION of captures across them.
+    */
+  private def runCaseViaDefaults(spark: SparkSession, testName: String,
+                                 registry: StreamRegistry,
+                                 input: Seq[Map[String, Any]],
+                                 taps: Map[String, Seq[Map[String, Any]]]): Seq[TapFailure] = {
+    val results = registry.push(eventsDf(spark, input))
+    val captured: Map[String, Seq[DataFrame]] = results.values.toSeq
+      .flatMap(_.taps.toSeq).groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    taps.toSeq.flatMap { case (tapName, expected) =>
+      captured.get(tapName) match {
+        case None => Seq(TapFailure(testName, tapName, "tap not reached by any default stream"))
+        case Some(dfs) =>
+          val merged = dfs.reduce(_ unionByName _)
+          compareTap(testName, tapName, merged, expected)
+      }
+    }
+  }
+
+  private def compareTap(testName: String, tapName: String, df: DataFrame,
+                         expected: Seq[Map[String, Any]]): Seq[TapFailure] = {
+    val ordered =
+      if (df.columns.contains("time") && df.columns.contains("eventId"))
+        df.orderBy("time", "eventId")
+      else df
+    val actual = ordered.collect().toSeq.map(rowToMap)
+    if (actual.size != expected.size)
+      Seq(TapFailure(testName, tapName,
+        s"expected ${expected.size} events, got ${actual.size}: $actual"))
+    else expected.zip(actual).zipWithIndex.flatMap { case ((exp, act), i) =>
+      diffKeys(exp, act).map { k =>
+        TapFailure(testName, tapName,
+          s"event #$i field '$k': expected ${exp(k)}, got ${act.get(k)}")
       }
     }
   }

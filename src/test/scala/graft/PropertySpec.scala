@@ -367,4 +367,38 @@ class PropertySpec extends AnyFunSuite {
         "cross pairs must span the two corpora")
     }
   }
+
+  test("boilerplate laws: high minDocs is the identity; distributed == sequential doc-frequency model") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    val genDoc = for {
+      n <- Gen.choose(2, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    } yield ws.mkString(" ")
+    forAll(Gen.listOfN(10, genDoc), cases = 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val k = 2
+      // law 1: with minDocs above the corpus size nothing is boilerplate —
+      // every doc reassembles to its own token-line join
+      val spared = Curation.boilerplateRemove(df, "doc_id", "text", k, texts.size + 1)
+        .orderBy("doc_id").collect()
+      val expected = texts.map(t => t.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      assert(spared.map(_.getString(3)).toSeq == expected)
+      assert(spared.forall(r => r.getLong(1) == r.getLong(2)))
+      // law 2: the distributed result equals the sequential model — each
+      // doc keeps exactly its lines whose DISTINCT-doc frequency < 2
+      def linesOf(t: String): Seq[String] =
+        t.split("\\s+").filter(_.nonEmpty).grouped(k).map(_.mkString(" ")).toSeq
+      val docLines = texts.zipWithIndex.map { case (t, i) => i.toLong -> linesOf(t) }
+      val docFreq = docLines.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val model = docLines.map { case (id, ls) =>
+        id -> ls.filter(l => docFreq(l) < 2).mkString(" ")
+      }.toMap
+      val boiler = Curation.boilerplateRemove(df, "doc_id", "text", k, 2)
+        .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(boiler == model, s"distributed $boiler != model $model")
+    }
+  }
 }
