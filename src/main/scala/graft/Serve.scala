@@ -129,6 +129,11 @@ object Serve {
       val (name, default, pipeline) = StreamRegistry.streamMeta(doc)
       val errs = graft.ir.Engine.validate(pipeline, spark, ctx)
       require(errs.isEmpty, s"compile: stream '$name' invalid:\n  ${errs.mkString("\n  ")}")
+      // same contract as StreamRegistry persistence: a #secret serializes
+      // as its MASK — the compiled copy cannot round-trip the secret
+      if (StreamRegistry.hasSecret(pipeline))
+        System.err.println(s"[serve] compile: stream '$name' contains #secret values — " +
+          "the compiled copy is REDACTED; keep the EDN source as the source of truth")
       val out = graft.ir.Node("stream",
         Seq(Map("name" -> name, "default" -> default)), Seq(pipeline))
       java.nio.file.Files.writeString(d.resolve(s"$name.json"), graft.ir.Node.toJson(out))
@@ -147,39 +152,32 @@ object Serve {
     val registry = new StreamRegistry(ctx.copy(testMode = true))
     streamDirs.foreach(registry.loadFrom)
     testDirs.flatMap { dir =>
-      val d = java.nio.file.Paths.get(dir)
-      if (!java.nio.file.Files.isDirectory(d)) Nil
-      else {
-        import scala.jdk.CollectionConverters._
-        val listing = java.nio.file.Files.list(d)
-        val paths =
-          try listing.iterator().asScala
-            .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".edn"))
-            .toSeq.sortBy(_.toString)
-          finally listing.close()
-        paths.flatMap { p =>
+      StreamRegistry.listDocFiles(dir).flatMap { p =>
+        // the read/parse sits INSIDE the try: one malformed fixture file
+        // is a per-file failure in the summary, not a dead test command
+        try {
           val text = java.nio.file.Files.readString(p)
           val parsed =
             if (p.toString.endsWith(".edn")) graft.ir.Edn.parse(text)
             else graft.ir.Node.anyOf(org.json4s.jackson.JsonMethods.parse(text))
-          try graft.ir.TapTestKit.runFixtureDoc(spark, parsed, registry,
+          graft.ir.TapTestKit.runFixtureDoc(spark, parsed, registry,
             ctx.copy(testMode = true))
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              Seq(graft.ir.TapTestKit.TapFailure(p.getFileName.toString, "-",
-                s"exception during test: ${e.getMessage}"))
-          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(graft.ir.TapTestKit.TapFailure(p.getFileName.toString, "-",
+              s"exception during test: ${e.getMessage}"))
         }
       }
     }
   }
 
   private def cliMain(spark: SparkSession, args: Array[String],
-                      streamDirs: Seq[String], testDirs: Seq[String]): Int =
+                      streamDirs: Seq[String], testDirs: Seq[String],
+                      ctx: EngineCtx): Int =
     args(0) match {
       case "graphviz" =>
         require(args.length >= 2, "usage: graphviz <destination.dot>")
-        val registry = new StreamRegistry(EngineCtx(testMode = true))
+        val registry = new StreamRegistry(ctx.copy(testMode = true))
         streamDirs.foreach(registry.loadFrom)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(args(1)), graft.ir.Graphviz.dot(registry))
@@ -187,12 +185,12 @@ object Serve {
         0
       case "compile" =>
         require(args.length >= 3, "usage: compile <src-dir> <dst-dir>")
-        val names = compileStreams(spark, args(1), args(2))
+        val names = compileStreams(spark, args(1), args(2), ctx)
         System.err.println(s"[serve] compiled: ${names.mkString(", ")}")
         0
       case "test" | "compile-test" | "compile_test" =>
-        if (args(0) != "test" && args.length >= 3) compileStreams(spark, args(1), args(2))
-        val failures = runTests(spark, streamDirs, testDirs)
+        if (args(0) != "test" && args.length >= 3) compileStreams(spark, args(1), args(2), ctx)
+        val failures = runTests(spark, streamDirs, testDirs, ctx)
         // the reference's human summary (test.clj:20-39)
         if (failures.isEmpty) { println("All tests successful"); 0 }
         else {
@@ -223,7 +221,10 @@ object Serve {
         .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_STREAMS_DIR", "streams")))
       val cliTestDirs = cliConf.map(_.testDirs).filter(_.nonEmpty)
         .getOrElse(sys.env.get("SPARK_GRAFT_TESTS_DIR").toSeq)
-      val rc = cliMain(spark, args, cliStreamDirs, cliTestDirs)
+      // the CLI validates with the SAME outputs the server would boot
+      // with — a stream ending in a configured output! must compile
+      val cliCtx = EngineCtx(outputs = cliConf.map(_.outputs).getOrElse(Map.empty))
+      val rc = cliMain(spark, args, cliStreamDirs, cliTestDirs, cliCtx)
       spark.stop()
       sys.exit(rc)
     }

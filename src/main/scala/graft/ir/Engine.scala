@@ -181,6 +181,16 @@ object Engine {
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
         case "stream" => recurse(df) // declaration wrapper
+        case "score-logistic" =>
+          // the model ARTIFACT is a runtime input, not a config error:
+          // compile/validate must stay total when the path does not exist
+          // yet (a train step earlier in the job may produce it) — check
+          // the params and the vec column, skip the parquet read
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("vec"))); pStr(m("model-path"))
+            recurse(df.withColumn(pStr(m("out")), lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case _ =>
           val out =
             try applyOp(n.action, n.params, keys, ctx)(df)
@@ -753,8 +763,8 @@ object Engine {
         m.get("lr").map(pDouble).getOrElse(0.5))
     case "score-logistic" =>
       val m = pMap(params.head)
-      df => graft.operators.Training.scoreLogistic(df, pStr(m("vec")),
-        graft.operators.Training.loadModel(df.sparkSession, pStr(m("model-path"))),
+      df => graft.operators.Training.scoreWithWeights(df, pStr(m("vec")),
+        graft.operators.Training.loadWeightsCached(df.sparkSession, pStr(m("model-path"))),
         pStr(m("out")))
     case "semantic-dedup" =>
       val m = pMap(params.head)
@@ -877,23 +887,8 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     Edn.streamDocs(text).map(addStreamNode)
 
   /** (name, default-flag, pipeline) of a `stream` document node. */
-  private def parseStreamNode(n: Node): (String, Boolean, Node) = {
-    require(n.action == "stream", s"expected a 'stream' node, got '${n.action}'")
-    val (name, default) = n.params.headOption match {
-      case Some(m: Map[_, _]) =>
-        val mm = m.asInstanceOf[Map[String, Any]]
-        (mm.get("name").map(_.toString.stripPrefix(":"))
-          .getOrElse(throw new IllegalArgumentException("stream node without a name")),
-          mm.get("default").contains(true))
-      case Some(s) => (s.toString.stripPrefix(":"), false)
-      case None    => throw new IllegalArgumentException("stream node without params")
-    }
-    val pipeline = n.children match {
-      case Seq(single) => single
-      case many        => Node("sdo", Nil, many)
-    }
-    (name, default, pipeline)
-  }
+  private def parseStreamNode(n: Node): (String, Boolean, Node) =
+    StreamRegistry.streamMeta(n)
 
   def addStreamNode(n: Node): String = {
     val (name, default, pipeline) = parseStreamNode(n)
@@ -946,15 +941,7 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
     java.nio.file.Files.writeString(d.resolve(s"$name.json"), Node.toJson(doc))
   }
 
-  private def hasSecret(n: Node): Boolean = {
-    def in(p: Any): Boolean = p match {
-      case _: Edn.Secret => true
-      case xs: Seq[_]    => xs.exists(in)
-      case m: Map[_, _]  => m.asInstanceOf[Map[Any, Any]].exists { case (_, v) => in(v) }
-      case _             => false
-    }
-    n.params.exists(in) || n.children.exists(hasSecret)
-  }
+  private def hasSecret(n: Node): Boolean = StreamRegistry.hasSecret(n)
 
   /** Load every `*.json` and `*.edn` stream document from a directory
     * (boot-time reload, `stream.clj:129-143`; the reference's directories
@@ -1043,27 +1030,46 @@ final class StreamRegistry(ctx: EngineCtx = EngineCtx()) {
 
 object StreamRegistry {
 
-  /** Parse every `*.json` / `*.edn` stream document in `dir` (the
-    * reference's `read-edn-dirs` unit) without a registry — shared by
-    * boot/reload loading and the CLI `compile`/`graphviz` commands.
+  /** The `*.json` / `*.edn` document files in `dir`, sorted — the one
+    * directory-listing rule every config reader shares (boot/reload
+    * loading, the CLI `compile`/`test`/`graphviz` commands).
     */
-  def parseDirDocs(dir: String): Seq[Node] = {
+  def listDocFiles(dir: String): Seq[java.nio.file.Path] = {
     val d = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(d)) Nil
     else {
       import scala.jdk.CollectionConverters._
       val listing = java.nio.file.Files.list(d)
-      val paths =
-        try listing.iterator().asScala
-          .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".edn"))
-          .toSeq.sortBy(_.toString)
-        finally listing.close()
-      paths.flatMap { p =>
-        val text = java.nio.file.Files.readString(p)
-        if (p.toString.endsWith(".edn")) Edn.streamDocs(text)
-        else Node.manyFromJson(text)
-      }
+      try listing.iterator().asScala
+        .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".edn"))
+        .toSeq.sortBy(_.toString)
+      finally listing.close()
     }
+  }
+
+  /** Parse every `*.json` / `*.edn` stream document in `dir` (the
+    * reference's `read-edn-dirs` unit) without a registry — shared by
+    * boot/reload loading and the CLI `compile`/`graphviz` commands.
+    */
+  def parseDirDocs(dir: String): Seq[Node] =
+    listDocFiles(dir).flatMap { p =>
+      val text = java.nio.file.Files.readString(p)
+      if (p.toString.endsWith(".edn")) Edn.streamDocs(text)
+      else Node.manyFromJson(text)
+    }
+
+  /** Whether any param in the tree is a masked `#secret` value — writers
+    * ([[StreamRegistry.saveTo]]'s persistOne, the CLI `compile`) must
+    * warn that the serialized copy is redacted.
+    */
+  def hasSecret(n: Node): Boolean = {
+    def in(p: Any): Boolean = p match {
+      case _: Edn.Secret => true
+      case xs: Seq[_]    => xs.exists(in)
+      case m: Map[_, _]  => m.asInstanceOf[Map[Any, Any]].exists { case (_, v) => in(v) }
+      case _             => false
+    }
+    n.params.exists(in) || n.children.exists(hasSecret)
   }
 
   /** (name, default-flag, pipeline) of a `stream` document node — the

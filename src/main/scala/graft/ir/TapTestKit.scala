@@ -98,11 +98,11 @@ object TapTestKit {
     * takes the ALREADY-PARSED document — JSON (`Node.anyOf`) or EDN
     * (`Edn.parse`) — and mirrors the reference runner's dispatch
     * (`test.clj:41-82`): a case with `target` runs that stream; a case
-    * without one pushes through the registry's DEFAULT streams (the
+    * without one runs through the registry's DEFAULT streams (the
     * reference's `(or target :default)`), comparing each expected tap
     * against the union of captures. `tap-results` is accepted as the
-    * reference's alias for `taps`. The no-target path uses the
-    * registry's own ctx, so build the registry with `testMode = true`.
+    * reference's alias for `taps`. Both paths force `testMode` on the
+    * given ctx — a fixture can never fire live sinks.
     */
   def runFixtureDoc(spark: SparkSession, parsed: Any,
                     registry: StreamRegistry,
@@ -125,7 +125,7 @@ object TapTestKit {
             case Some(pipeline) => runCase(spark, name, pipeline, input, taps, ctx)
           }
         case None if registry.defaults.nonEmpty =>
-          runCaseViaDefaults(spark, name, registry, input, taps)
+          runCaseViaDefaults(spark, name, registry, input, taps, ctx)
         case None =>
           registry.list.headOption match {
             case None => Seq(TapFailure(name, "-", "no target stream and empty registry"))
@@ -135,21 +135,30 @@ object TapTestKit {
     }
   }
 
-  /** No-target case: push through the default streams and compare each
-    * expected tap against the UNION of captures across them.
+  /** No-target case: run every DEFAULT stream's pipeline (in test mode —
+    * the caller's ctx is honored, with `testMode` forced exactly like
+    * [[runCase]], so sinks never fire from a test regardless of how the
+    * registry itself was built) and compare each expected tap against
+    * the UNION of captures across them.
     */
   private def runCaseViaDefaults(spark: SparkSession, testName: String,
                                  registry: StreamRegistry,
                                  input: Seq[Map[String, Any]],
-                                 taps: Map[String, Seq[Map[String, Any]]]): Seq[TapFailure] = {
-    val results = registry.push(eventsDf(spark, input))
-    val captured: Map[String, Seq[DataFrame]] = results.values.toSeq
+                                 taps: Map[String, Seq[Map[String, Any]]],
+                                 ctx: EngineCtx): Seq[TapFailure] = {
+    val df = eventsDf(spark, input)
+    val results = registry.defaults.flatMap(registry.get).map(p =>
+      Engine.run(p, df, ctx.copy(testMode = true), registry))
+    val captured: Map[String, Seq[DataFrame]] = results
       .flatMap(_.taps.toSeq).groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
     taps.toSeq.flatMap { case (tapName, expected) =>
       captured.get(tapName) match {
         case None => Seq(TapFailure(testName, tapName, "tap not reached by any default stream"))
         case Some(dfs) =>
-          val merged = dfs.reduce(_ unionByName _)
+          // allowMissingColumns: two streams tapping the same name after
+          // different projections must still diff field-by-field, not
+          // die in an AnalysisException
+          val merged = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
           compareTap(testName, tapName, merged, expected)
       }
     }

@@ -66,9 +66,19 @@ object Training {
         lit(0.0), (acc, s) => acc + s.getField("__c")).as("__g"))
       .collect()
       .foldLeft(Array.fill(w.length)(0.0)) { (g, r) =>
+        checkDim(r.getInt(0), w.length)
         g(r.getInt(0)) = r.getDouble(1) / n; g
       }
   }
+
+  /** A contribution index past d+1 means some row's vector is LONGER than
+    * the declared dim — fail with the cause, not an ArrayIndexOutOfBounds
+    * from the weight update. (A SHORTER vector already fails inside the
+    * per-row margin: `element_at` past the end raises under ANSI.)
+    */
+  private def checkDim(idx: Int, dims: Int): Unit =
+    require(idx < dims,
+      s"Training: vector longer than the declared dim ${dims - 1} (saw feature index $idx)")
 
   private def gradientFast(df: DataFrame, vecCol: String, yCol: Column,
                            w: Array[Double], n: Long): Array[Double] = {
@@ -80,6 +90,7 @@ object Training {
       .groupBy(col("__d")).agg(sum(col("__c")).as("__g"))
       .collect()
     sums.foldLeft(Array.fill(w.length)(0.0)) { (g, r) =>
+      checkDim(r.getInt(0), w.length)
       g(r.getInt(0)) = r.getDouble(1) / n; g
     }
   }
@@ -90,7 +101,17 @@ object Training {
     require(epochs >= 1, s"Training: epochs must be >= 1, got $epochs")
     val y = col(labelCol).cast("double")
     val n = df.count()
-    require(n > 0, "Training: empty training frame")
+    // empty frame → the zero model, NOT an error: the IR validator probes
+    // every action against an empty frame (the codebase-wide totality
+    // invariant, see [[Similarity.semanticDedup]]'s same note), and zero
+    // GD steps over zero rows is the honest answer there
+    if (n == 0) return Array.fill(dim + 1)(0.0)
+    // fail fast on null labels/vectors: the fast path's sum() would
+    // silently DROP them while n still counts them (a damped gradient,
+    // wrong with no error), and the exact path's fold would NPE
+    val bad = df.filter(col(labelCol).isNull || col(vecCol).isNull).limit(1).count()
+    require(bad == 0,
+      s"Training: null $labelCol/$vecCol values in the training frame — filter them first")
     var w = Array.fill(dim + 1)(0.0)
     for (_ <- 1 to epochs) {
       val g = if (exact) gradientExact(df, idCol, vecCol, y, w, n)
@@ -137,6 +158,29 @@ object Training {
   /** Load a model written by [[saveModel]], in dim order. */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("dim"), col("weight")).orderBy("dim")
+
+  private val weightCache = new scala.collection.concurrent.TrieMap[String, Array[Double]]()
+
+  /** [[loadModel]] collected to a weight array, cached by path — the IR
+    * `score-logistic` dispatch rebuilds its transform on every run
+    * (streaming: every push), and re-reading + re-collecting a
+    * model-sized artifact per microbatch is pure waste. The artifact is
+    * treated as IMMUTABLE once written (the same contract as a saved
+    * centroid table); write a new path for a new model.
+    */
+  def loadWeightsCached(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] =
+    weightCache.getOrElseUpdate(path, {
+      val w = loadModel(spark, path).collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+      require(w.nonEmpty, s"Training: empty model at '$path'")
+      w
+    })
+
+  /** Map-side scoring from a pre-collected weight array. */
+  def scoreWithWeights(df: DataFrame, vecCol: String, w: Array[Double],
+                       scoreCol: String): DataFrame = {
+    require(w.nonEmpty, "Training.scoreWithWeights: empty weights")
+    df.withColumn(scoreCol, fastSigmoid(margin(col(vecCol), w)))
+  }
 
   /** Confusion counts + accuracy of a trained model against labels:
     * one map-side score pass and a 4-row aggregate — `(tp, fp, tn, fn,

@@ -54,6 +54,36 @@ class ServeCliSpec extends AnyFunSuite {
       f.message.contains("expected 99")))
   }
 
+  test("fixtures force testMode on any registry; malformed fixture is a per-file failure") {
+    val sd = streamsDir()
+    val td = tmpDir("cli-tests2")
+    write(td, "good.edn",
+      """{:ok {:input [{:metric 13 :time 1}]
+        |      :taps {:big [{:metric 13}]}}}""".stripMargin)
+    write(td, "broken.edn", "{:unterminated")
+    // registry built WITHOUT testMode: the runner must still record taps
+    // (and never fire sinks) because runFixtureDoc forces test mode
+    val failures = Serve.runTests(spark, Seq(sd), Seq(td), graft.ir.EngineCtx())
+    assert(failures.size == 1 && failures.head.test == "broken.edn" &&
+      failures.head.message.contains("exception during test"),
+      failures.mkString("\n"))
+  }
+
+  test("compile stays total on training actions: empty-frame probe + missing model artifact") {
+    val sd = tmpDir("cli-train")
+    write(sd, "train.json",
+      """{"action":"stream","params":[{"name":"train"}],
+        | "children":[{"action":"train-logistic",
+        |   "params":[{"id":"eventId","vec":"tags","label":"metric","dim":2}]}]}""".stripMargin)
+    write(sd, "score.json",
+      """{"action":"stream","params":[{"name":"score"}],
+        | "children":[{"action":"score-logistic",
+        |   "params":[{"vec":"tags","model-path":"/nonexistent/model","out":"q"}],
+        |   "children":[{"action":"tap","params":["scored"]}]}]}""".stripMargin)
+    val names = Serve.compileStreams(spark, sd, tmpDir("cli-train-out"))
+    assert(names.sorted == Seq("score", "train"))
+  }
+
   test("compileStreams: EDN+JSON in, validated canonical JSON out, round-trips through loadFrom") {
     val sd = streamsDir()
     val dst = tmpDir("cli-compiled")

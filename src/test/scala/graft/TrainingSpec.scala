@@ -84,6 +84,17 @@ class TrainingSpec extends AnyFunSuite {
     assert(ev.getDouble(4) == 1.0) // separable problem, 10 epochs
   }
 
+  test("a vector longer than the declared dim fails with the cause, not an index error") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f), 1), (2L, Seq(1.0f, 2.0f, 3.0f), 0))
+      .toDF("id", "vec", "y")
+    val e = intercept[Exception] {
+      Training.trainLogistic(df, "id", "vec", "y", dim = 2, epochs = 1, lr = 0.5)
+    }
+    assert(e.getMessage.contains("longer than the declared dim"))
+  }
+
   test("scoreLogistic output stays in (0, 1) and is monotone in the margin") {
     val df = toy()
     val model = Training.trainLogistic(df, "id", "vec", "y", 4, 5, 1.0)
