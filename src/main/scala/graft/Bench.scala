@@ -35,7 +35,8 @@ object Bench {
     // round 8: normalization, boilerplate cut, blocklist filter, JL
     // projection (fused kernel), distributed GD classifier training
     "text_normalize", "boilerplate_lines", "url_blocklist_filter",
-    "embedding_project", "classifier_train", "vocab_topk", "frequent_ngrams")
+    "embedding_project", "classifier_train", "vocab_topk", "frequent_ngrams",
+    "text_strip_html", "upsample_epochs", "decontam_overlap")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate
@@ -51,6 +52,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val ambientLoad = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev knob: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the headline list
+    // (A/B runs isolating one query family); unset = full list
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val active = headline.filter(n => only.forall(_.contains(n)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +81,7 @@ object Bench {
       passLoads += ((l0, loadAvg()))
       r
     }
-    def passBody(dir: String): Seq[(String, Double)] = headline.filter(qs.contains).map { name =>
+    def passBody(dir: String): Seq[(String, Double)] = active.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, dir).count(); true }

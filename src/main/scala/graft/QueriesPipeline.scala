@@ -1836,6 +1836,99 @@ object QueriesPipeline {
         .orderBy("gram")
     }
 
+    // HTML strip over synthetic markup (tags + entities injected per
+    // doc_id; the fixture text itself is markup-free)
+    locally {
+      val htmlSql =
+        """'<div class="d' || CAST(doc_id AS VARCHAR) || '">' || text ||
+          |CASE WHEN doc_id % 3 = 0 THEN ' &amp;lt;kept&amp;gt; &quot;q&quot; &#39;s&#39;' ELSE '' END ||
+          |CASE WHEN doc_id % 4 = 0 THEN '<br/><script>x < 1 &amp; y</script>' ELSE '' END ||
+          |'</div>'""".stripMargin.replace("\n", " ")
+      def htmlCol = concat(
+        lit("<div class=\"d"), col("doc_id").cast("string"), lit("\">"), col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" &amp;lt;kept&amp;gt; &quot;q&quot; &#39;s&#39;")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<br/><script>x < 1 &amp; y</script>")).otherwise(lit("")),
+        lit("</div>"))
+      // SQL literal spellings: '' is an escaped single quote (one char),
+      // a double quote needs no escape inside a single-quoted literal
+      val sqlUnescape = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&amp;" -> "&")
+        .foldLeft("regexp_replace(s, '<[^>]*>', ' ', 'g')") {
+          case (acc, (e, v)) => s"replace($acc, '$e', '$v')"
+        }
+      register("text_strip_html",
+        s"""WITH h AS (SELECT doc_id, $htmlSql AS s FROM documents)
+           |SELECT doc_id,
+           |       regexp_replace(regexp_replace(regexp_replace(regexp_replace($sqlUnescape,
+           |         '${Text.ControlCharPattern}', ' ', 'g'),
+           |         ' {2,}', ' ', 'g'),
+           |         '^ ', ''), ' $$', '') AS stripped
+           |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        docs(s, dir).select(col("doc_id"), Text.stripHtml(htmlCol).as("stripped"))
+          .orderBy("doc_id")
+      }
+    }
+
+    // weighted duplication: floor(w) copies + hash-chosen fractional epoch
+    locally {
+      val weights: Map[String, Double] =
+        (0 until 20).map(i => s"src$i" -> Seq(2.5, 1.0, 0.25)(i % 3)).toMap
+      val caseW = (0 until 20).map(i =>
+        s"WHEN source = 'src$i' THEN CAST(${Seq("2.5", "1.0", "0.25")(i % 3)} AS DOUBLE)")
+        .mkString(" ")
+      val bucket = s"(${sqlMd5Hash64("'epochs:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      register("upsample_epochs",
+        s"""WITH w AS (
+           |  SELECT doc_id, source, CASE $caseW ELSE 1.0 END AS w FROM documents),
+           |c AS (
+           |  SELECT doc_id, source,
+           |         CAST(floor(w) AS BIGINT) +
+           |         CASE WHEN $bucket < CAST(floor((w - floor(w)) * 1000000) AS BIGINT)
+           |              THEN 1 ELSE 0 END AS copies
+           |  FROM w)
+           |SELECT doc_id, source, unnest(range(copies)) AS copy
+           |FROM c ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+        Curation.upsampleByWeight(docs(s, dir).select("doc_id", "source"),
+          "source", "doc_id", weights)
+          .orderBy("doc_id", "copy")
+      }
+    }
+
+    // graded contamination: per-train-doc fraction of shingles in the
+    // held-out split's shingle set (same split as the decontam gates)
+    locally {
+      val sqlB = s"(${sqlMd5Hash64("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      val sqlBd = s"(${sqlMd5Hash64("'split:' || CAST(d.doc_id AS VARCHAR)")} % 1000000)"
+      register("decontam_overlap",
+        s"""$DocsView
+           |, sh AS (
+           |  SELECT doc_id, $sqlB AS b, unnest(list_distinct(${sqlShingles("toks")})) AS shingle
+           |  FROM docs),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE b >= 900000),
+           |cnt AS (
+           |  SELECT sh.doc_id, count(*) AS n_shingles,
+           |         count(bench.shingle) AS n_overlap
+           |  FROM sh LEFT JOIN bench USING (shingle) WHERE b < 800000
+           |  GROUP BY sh.doc_id)
+           |SELECT d.doc_id,
+           |       coalesce(n_shingles, 0) AS n_shingles,
+           |       coalesce(n_overlap, 0) AS n_overlap,
+           |       CASE WHEN coalesce(n_shingles, 0) > 0
+           |            THEN CAST(coalesce(n_overlap, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+           |            ELSE 0.0 END AS overlap_frac
+           |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+           |WHERE $sqlBd < 800000
+           |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val bucket = Sampling.hashBucket(col("doc_id"), "split")
+        Decontam.overlapFraction(
+          d.filter(bucket < 800000), d.filter(bucket >= 900000), "doc_id", "text")
+          .orderBy("doc_id")
+      }
+    }
+
     // distributed classifier training: 3 full-batch GD iterations on
     // (embedding, label<5), bit-reproduced by the oracle's unrolled CTEs
     locally {

@@ -119,6 +119,23 @@ object Text {
     if (lowercase) lower(trimmed) else trimmed
   }
 
+  /** HTML-ish markup strip — the web-corpus text-extraction cleanup:
+    * tags (`<...>`) become spaces, the five predefined entities unescape
+    * (`&amp;` LAST, the single-pass convention — `&amp;lt;` yields the
+    * literal `&lt;`, never a second round of unescaping), then
+    * [[normalize]] collapses the leftover whitespace. A real boilerplate
+    * extractor (trafilatura-class DOM scoring) is out of regex reach; this
+    * is the standard cheap pass that precedes or replaces it at scale.
+    * Pure codegen'd column algebra, zero shuffles.
+    */
+  def stripHtml(c: Column, lowercase: Boolean = false): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    normalize(unescaped, lowercase)
+  }
+
   /** Quality score in [0,1]: blend of length band, mean token length band
     * and alpha ratio. Deterministic double arithmetic (identical fold in
     * the oracle).

@@ -191,6 +191,15 @@ object Engine {
             df(pStr(m("vec"))); pStr(m("model-path"))
             recurse(df.withColumn(pStr(m("out")), lit(0.0)))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "decontam-overlap" =>
+          // same artifact rule: the benchmark parquet is a runtime input
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("text"))); pStr(m("bench-path"))
+            recurse(df.select(col(pStr(m("id"))))
+              .withColumn("n_shingles", lit(0L)).withColumn("n_overlap", lit(0L))
+              .withColumn("overlap_frac", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case _ =>
           val out =
             try applyOp(n.action, n.params, keys, ctx)(df)
@@ -746,6 +755,23 @@ object Engine {
       df => graft.operators.Similarity.randomProject(df, pStr(m("vec")), pStr(m("out")),
         pLong(m("dim-in")).toInt, pLong(m("dim-out")).toInt,
         m.get("seed").map(pStr).getOrElse("rp"))
+    case "strip-html" =>
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.functions.Text.stripHtml(col(pStr(m("field"))),
+          lowercase = m.get("lowercase").exists(_ == true)))
+    case "upsample" =>
+      val m = pMap(params.head)
+      val shares = pMap(m("weights")).map { case (k, v) => k -> pDouble(v) }
+      df => graft.operators.Curation.upsampleByWeight(df, pStr(m("domain")), pStr(m("id")),
+        shares, defaultWeight = m.get("default").map(pDouble).getOrElse(1.0),
+        salt = m.get("salt").map(pStr).getOrElse("epochs"))
+    case "decontam-overlap" =>
+      val m = pMap(params.head)
+      df => {
+        val bench = df.sparkSession.read.parquet(pStr(m("bench-path")))
+        graft.operators.Decontam.overlapFraction(df, bench, pStr(m("id")), pStr(m("text")))
+      }
     case "vocab-topk" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.vocabTopK(df, pStr(m("text")),

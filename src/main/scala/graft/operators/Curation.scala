@@ -274,6 +274,39 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Deterministic weighted duplication — the "epochs per domain" half of
+    * mixture building that [[domainMix]] deliberately does not do: each
+    * row is emitted `floor(w)` times plus one more for the hash-chosen
+    * `frac(w)` of ids (so a domain at weight 2.4 trains ~2.4 epochs).
+    * Weights under 1 downsample (weight 0 drops the domain). Output:
+    * input columns + `copy` (0-based duplicate index — downstream
+    * shuffles should include it in the id, e.g.
+    * `concat(id, '#', copy)` before [[shuffleOrder]]).
+    *
+    * Map-side only: the weight lookup is a literal CASE, the fractional
+    * keep is the same salted hash as [[graft.operators.Sampling]], the
+    * explode multiplies rows in place — the corpus never shuffles.
+    */
+  def upsampleByWeight(df: DataFrame, domainCol: String, idCol: String,
+                       weights: Map[String, Double], defaultWeight: Double = 1.0,
+                       salt: String = "epochs"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "upsampleByWeight: weights must be >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(domainCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val whole = floor(w).cast("long")
+    // floor() in BOTH engines — a bare cast truncates here and rounds in
+    // the oracle (the cross-engine pitfall quantizeInt8 documents)
+    val extra = when(
+      Sampling.hashBucket(col(idCol), salt) < floor((w - floor(w)) * Sampling.Buckets).cast("long"),
+      1L).otherwise(0L)
+    val copies = whole + extra
+    df.withColumn("copy",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Per-group document cap — the C4/RefinedWeb anti-spam rule ("at most
     * k documents per host/URL-prefix"): keep the `k` best rows per group
     * by `(orderCol DESC, idCol ASC)` — highest score wins, ties broken

@@ -53,6 +53,34 @@ object Decontam {
       .filter(col("hits") >= minHits)
   }
 
+  /** Per-document overlap FRACTION against the benchmark set — the
+    * graded signal behind [[contaminationReport]]'s binary threshold
+    * (reporting "14% of this doc's shingles appear in the eval suite"
+    * instead of contaminated-or-not, the usual triage input). Output:
+    * `(idCol, n_shingles, n_overlap, overlap_frac)` for EVERY training
+    * document (no-shingle docs report 0 / 0 / 0.0).
+    *
+    * Same 100 TB shape as the report: benchmark shingles dedup +
+    * broadcast, per-doc distinct before explode, the training corpus is
+    * shuffled once on the id for the per-doc count.
+    */
+  def overlapFraction(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val benchSh = shinglePairs(bench, idCol, textCol).select("shingle").distinct()
+    val counts = shinglePairs(train, idCol, textCol)
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_overlap"))
+    train.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)).as("overlap_frac"))
+  }
+
   /** Scale path: identical result to [[contaminationReport]], with a
     * Bloom-filter prefilter in front of the exact join.
     *

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val Buckets = 1000000L
+  private[operators] val Buckets = 1000000L
 
   /** Uniform hash bucket in [0, 1e6) for (salt, id) — the shared device:
     * change `salt` to draw an independent sample.

@@ -360,6 +360,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((1L, 0L, 0L, ""), (2L, 1L, 1L, "x y"), (3L, 1L, 1L, "x y")))
   }
 
+  test("upsampleByWeight: integer weights copy exactly, zero drops, fractions keep a hash-stable subset") {
+    val s = spark
+    import s.implicits._
+    val df = ((0L until 40L).map(i => (i, "triple")) ++
+      (100L until 140L).map(i => (i, "dropped")) ++
+      (200L until 400L).map(i => (i, "half")))
+      .toDF("doc_id", "source")
+    val out = Curation.upsampleByWeight(df, "source", "doc_id",
+      Map("triple" -> 3.0, "dropped" -> 0.0, "half" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("triple") == 120)                 // every doc exactly 3x
+    assert(!bySrc.contains("dropped"))             // weight 0 removes the domain
+    assert(bySrc("half") > 60 && bySrc("half") < 140) // ~half kept once
+    // copies are a dense 0..k-1 index per doc
+    val copies = out.filter(_._2 == "triple").groupBy(_._1).values
+    assert(copies.forall(_.map(_._3).sorted.toSeq == Seq(0L, 1L, 2L)))
+    // deterministic across runs
+    val again = Curation.upsampleByWeight(df, "source", "doc_id",
+      Map("triple" -> 3.0, "dropped" -> 0.0, "half" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("vocabTopK ranks by count desc with token tie-break; minCount prunes") {
     val df = docsDf(
       (1L, "b b b a a c", "s"),

@@ -72,4 +72,27 @@ class DecontamSpec extends AnyFunSuite {
         (r.getAs[Long]("bench_hits"), r.getAs[Boolean]("contaminated"))).toMap
     assert(flags == Map(1L -> ((12L, true)), 2L -> ((4L, true)), 3L -> ((0L, false))))
   }
+
+  test("overlapFraction grades every doc: verbatim copy 1.0, partial share, clean 0.0") {
+    val (train, bench) = corpus()
+    val out = Decontam.overlapFraction(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: all 12 distinct shingles shared (verbatim copy)
+    assert(out(1L) == ((12L, 12L, 1.0)))
+    // doc 2: 11 distinct shingles, 4 shared with the bench phrase
+    assert(out(2L) == ((11L, 4L, 4.0 / 11.0)))
+    // doc 3: clean, still reported
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    // empty doc reports (0, 0, 0.0) instead of vanishing
+    val s = spark
+    import s.implicits._
+    val withEmpty = train.union(Seq((9L, "")).toDF("doc_id", "text"))
+    val e = Decontam.overlapFraction(withEmpty, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e(9L) == 0L)
+    // graded signal is consistent with the binary report's hit counts
+    val hits = Decontam.contaminationReport(train, bench, "doc_id", "text", minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 12L, 2L -> 4L))
+  }
 }

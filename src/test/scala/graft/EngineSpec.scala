@@ -810,6 +810,25 @@ class EngineSpec extends AnyFunSuite {
                         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
       .collect().head.getSeq[Double](2)
     assert(rp.length == 4)
+
+    val sh = tap(docs, """{"action":"strip-html","params":[{"field":"text","out":"c"}],
+                        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .orderBy("doc_id").collect().map(_.getString(2))
+    assert(sh(1) == "clean text here")
+
+    val up = tap(docs, """{"action":"upsample",
+                        | "params":[{"domain":"text","id":"doc_id","weights":{},"default":2.0}],
+                        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    assert(up.count() == 4) // 2 docs x 2 copies
+
+    val benchPath = java.nio.file.Files.createTempDirectory("ir-bench").toString + "/b"
+    Seq((100L, "clean text here")).toDF("doc_id", "text")
+      .write.parquet(benchPath)
+    val ov = tap(docs, s"""{"action":"decontam-overlap",
+                         | "params":[{"id":"doc_id","text":"text","bench-path":"$benchPath"}],
+                         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ov(2L) == 1.0 && ov(1L) < 1.0) // doc 2 is the verbatim bench copy
   }
 
   test("dedup-cluster IR action labels pair chains with the min reachable id") {

@@ -262,6 +262,18 @@ class QualityJoinsSpec extends AnyFunSuite {
   private def norm(text: String, lc: Boolean = false): String =
     one(text).select(Text.normalize(col("text"), lowercase = lc)).collect().head.getString(0)
 
+  test("stripHtml: tags to spaces, entities unescape single-pass, whitespace normalized") {
+    def sh(text: String): String =
+      one(text).select(Text.stripHtml(col("text"))).collect().head.getString(0)
+    assert(sh("<p>a</p><p>b</p>") == "a b")
+    assert(sh("""<a href="x">link</a> text""") == "link text")
+    assert(sh("&lt;b&gt; &quot;q&quot; &#39;s&#39; a &amp; b") == "<b> \"q\" 's' a & b")
+    // single-pass: &amp;lt; is the LITERAL string "&lt;", not a tag-like "<"
+    assert(sh("&amp;lt;kept&amp;gt;") == "&lt;kept&gt;")
+    assert(sh("<br/><script>x</script>") == "x")
+    assert(sh("") == "")
+  }
+
   test("normalize: control chars -> space, runs collapse, ends trim, optional lowercase") {
     assert(norm("a\tb") == "a b")
     assert(norm("a\n\nb") == "a b")            // two ctrl chars -> two spaces -> one
