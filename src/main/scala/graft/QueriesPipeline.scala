@@ -1929,6 +1929,25 @@ object QueriesPipeline {
       }
     }
 
+    // L2 normalization (ANN prep: cosine becomes plain dot downstream)
+    register("embedding_l2norm",
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |           (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |u AS (SELECT vec_id, nrm, i.i AS i, CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS x
+         |      FROM n, (SELECT unnest(range(64)) AS i) i)
+         |SELECT vec_id, CAST(i AS INT) AS dim,
+         |       CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS value
+         |FROM u ORDER BY vec_id, dim""".stripMargin) { (s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"), Similarity.l2Normalize(col("embedding")).as("__u"))
+        .select(col("vec_id"), posexplode(col("__u")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")
+    }
+
     // distributed classifier training: 3 full-batch GD iterations on
     // (embedding, label<5), bit-reproduced by the oracle's unrolled CTEs
     locally {
@@ -2006,6 +2025,50 @@ object QueriesPipeline {
         val model = graft.operators.Training.trainLogisticExact(
           e, "vec_id", "embedding", "y", dim, epochs, lr)
         graft.operators.Training.evaluateLogistic(e, "embedding", "y", model)
+      }
+
+      // reliability curve of the same model: decile bins over the
+      // bit-reproduced scores; counts are exact, mean score is the
+      // ascending-id sorted fold (the float-sum discipline)
+      register("classifier_calibration",
+        s"""WITH base AS (
+           |  SELECT vec_id,
+           |         list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), 1.0) AS x,
+           |         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+           |  FROM embeddings),
+           |nn AS (SELECT count(*) AS n FROM base),
+           |w0 AS (SELECT list_transform(range($d1), d -> 0.0) AS w),
+           |$iters,
+           |zf AS (
+           |  SELECT b.vec_id, b.y,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(list_zip(b.x, (SELECT w FROM w$epochs)), p -> p[1] * p[2])),
+           |           (a, c) -> a + c) AS z
+           |  FROM base b),
+           |sc AS (SELECT vec_id, y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM zf),
+           |bn AS (SELECT vec_id, y, p,
+           |              CAST(least(9, floor(p * 10)) AS INT) AS bin FROM sc)
+           |SELECT bin, count(*) AS n,
+           |       count(CASE WHEN y = 1.0 THEN 1 END) AS n_pos,
+           |       CAST(count(CASE WHEN y = 1.0 THEN 1 END) AS DOUBLE)
+           |         / CAST(count(*) AS DOUBLE) AS frac_pos,
+           |       list_reduce(list_prepend(0.0, list(p ORDER BY vec_id)), (a, b) -> a + b)
+           |         / CAST(count(*) AS DOUBLE) AS mean_p
+           |FROM bn GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir).withColumn("y", (col("label") < 5).cast("int"))
+        val model = graft.operators.Training.trainLogisticExact(
+          e, "vec_id", "embedding", "y", dim, epochs, lr)
+        graft.operators.Training.scoreLogistic(e, "embedding", model, "p")
+          .withColumn("bin", least(lit(9), floor(col("p") * 10)).cast("int"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("y") === 1, 1)).as("n_pos"),
+            (count(when(col("y") === 1, 1)).cast("double") /
+              count(lit(1)).cast("double")).as("frac_pos"),
+            (aggregate(array_sort(collect_list(struct(col("vec_id"), col("p")))),
+              lit(0.0), (acc, s2) => acc + s2.getField("p")) /
+              count(lit(1)).cast("double")).as("mean_p"))
+          .orderBy("bin")
       }
     }
   }

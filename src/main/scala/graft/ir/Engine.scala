@@ -755,6 +755,10 @@ object Engine {
       df => graft.operators.Similarity.randomProject(df, pStr(m("vec")), pStr(m("out")),
         pLong(m("dim-in")).toInt, pLong(m("dim-out")).toInt,
         m.get("seed").map(pStr).getOrElse("rp"))
+    case "l2-normalize" =>
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.operators.Similarity.l2Normalize(col(pStr(m("vec")))))
     case "strip-html" =>
       val m = pMap(params.head)
       df => df.withColumn(pStr(m("out")),

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** L2 normalization to unit length (double precision) — the standard
+    * ANN prep step that turns every downstream cosine into a plain dot.
+    * Index-order norm fold + one division per element: bit-reproducible
+    * in any engine; the zero vector passes through unchanged (a 0/0 NaN
+    * vector would silently poison every similarity it touches).
+    */
+  def l2Normalize(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm > 0, transform(vec, x => x.cast("double") / norm))
+      .otherwise(transform(vec, x => x.cast("double")))
+  }
+
   /** Cosine similarity as a deterministic left fold in index order (the
     * DuckDB oracle folds identically, so doubles match bit-for-bit).
     */

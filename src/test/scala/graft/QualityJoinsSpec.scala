@@ -262,6 +262,31 @@ class QualityJoinsSpec extends AnyFunSuite {
   private def norm(text: String, lc: Boolean = false): String =
     one(text).select(Text.normalize(col("text"), lowercase = lc)).collect().head.getString(0)
 
+  test("l2Normalize: unit norm, cosine == dot afterwards, zero vector passes through") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rng = new scala.util.Random(3)
+    val df = (1L to 50L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+      .withColumn("u", Similarity.l2Normalize(col("v")))
+    val norms = df.select(aggregate(col("u"), lit(0.0), (a, x) => a + x * x))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-12))
+    // cosine(v1, v2) == dot(u1, u2) to fp tolerance
+    val rows = df.select("v", "u").collect()
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      dot(ad, bd) / math.sqrt(dot(ad, ad) * dot(bd, bd))
+    }
+    val (r1, r2) = (rows(0), rows(1))
+    assert(math.abs(cos(r1.getSeq[Float](0), r2.getSeq[Float](0)) -
+      dot(r1.getSeq[Double](1), r2.getSeq[Double](1))) < 1e-12)
+    val z = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "v")
+      .select(Similarity.l2Normalize(col("v"))).collect().head.getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0))
+  }
+
   test("stripHtml: tags to spaces, entities unescape single-pass, whitespace normalized") {
     def sh(text: String): String =
       one(text).select(Text.stripHtml(col("text"))).collect().head.getString(0)

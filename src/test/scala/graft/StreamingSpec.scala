@@ -597,6 +597,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r._1 == 2L && r._2 == 0L && !r._3))
   }
 
+  test("stateless text cleanup (normalize + strip-html via IR) is streaming-safe: stream == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    val docs = Seq(
+      (1L, "<p>Hello&amp;World</p>\tspaced   out "),
+      (2L, "plain text"))
+    val node = graft.ir.Node.fromJson(
+      """{"action":"strip-html","params":[{"field":"text","out":"clean","lowercase":true}]}""")
+    def pipe(df: DataFrame): DataFrame =
+      graft.ir.Engine.run(node, df, graft.ir.EngineCtx(testMode = true)).outputs.head
+    val ms = MemoryStream[(Long, String)]
+    val q = pipe(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(docs); q.processAllAvailable(); q.stop()
+    def canon(df: DataFrame) =
+      df.select("doc_id", "clean").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = canon(s.table(name))
+    assert(streamed == canon(pipe(docs.toDF("doc_id", "text"))))
+    assert(streamed.contains(1L -> "hello&world spaced out"))
+  }
+
   test("streaming corpus profile == batch twin per closed window") {
     val s = spark
     import s.implicits._
