@@ -1929,6 +1929,58 @@ object QueriesPipeline {
       }
     }
 
+    // curriculum order: quality-staged easy-to-hard with intra-stage
+    // seeded shuffle (stage from the corpus-wide n_chars band)
+    locally {
+      val stages = 4
+      register("curriculum_order",
+        s"""WITH st AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+           |staged AS (
+           |  SELECT doc_id, n_chars,
+           |         CASE WHEN hi = lo THEN 0
+           |              ELSE least(CAST(floor(CAST(hi - n_chars AS DOUBLE)
+           |                          / CAST(hi - lo AS DOUBLE) * $stages) AS BIGINT),
+           |                         $stages - 1) END AS stage,
+           |         ${sqlMd5Hash64("'curriculum:' || CAST(doc_id AS VARCHAR)")} AS ck
+           |  FROM documents CROSS JOIN st)
+           |SELECT row_number() OVER (ORDER BY stage, ck, doc_id) - 1 AS position,
+           |       doc_id, stage
+           |FROM staged ORDER BY position""".stripMargin) { (s, dir) =>
+        Curation.curriculumOrder(docs(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", stages)
+          .select("position", "doc_id", "stage")
+          .orderBy("position")
+      }
+    }
+
+    // corpus drift: token-distribution delta between the two hash halves
+    locally {
+      val b = s"(${sqlMd5Hash64("'drift:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      register("vocab_drift",
+        s"""$DocsView
+           |, side AS (SELECT doc_id, $b AS b, toks FROM docs),
+           |ta AS (SELECT unnest(toks) AS token FROM side WHERE b < 500000),
+           |tb AS (SELECT unnest(toks) AS token FROM side WHERE b >= 500000),
+           |ca AS (SELECT token, count(*) AS cnt_a FROM ta GROUP BY token),
+           |cb AS (SELECT token, count(*) AS cnt_b FROM tb GROUP BY token),
+           |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+           |             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+           |      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+           |tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS v FROM j)
+           |SELECT token, cnt_a, cnt_b,
+           |       CAST(cnt_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p_a,
+           |       CAST(cnt_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS p_b,
+           |       abs(CAST(cnt_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)
+           |           - CAST(cnt_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)) AS delta
+           |FROM j CROSS JOIN tot
+           |ORDER BY token""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val bucket = Sampling.hashBucket(col("doc_id"), "drift")
+        Curation.vocabDrift(d.filter(bucket < 500000), d.filter(bucket >= 500000), "text")
+          .orderBy("token")
+      }
+    }
+
     // L2 normalization (ANN prep: cosine becomes plain dot downstream)
     register("embedding_l2norm",
       s"""WITH n AS (

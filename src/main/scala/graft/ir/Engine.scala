@@ -200,6 +200,21 @@ object Engine {
               .withColumn("n_shingles", lit(0L)).withColumn("n_overlap", lit(0L))
               .withColumn("overlap_frac", lit(0.0)))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "vocab-drift" =>
+          // artifact rule: the comparison corpus is a runtime input
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pStr(m("other-path"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("cnt_a", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("cnt_b", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("p_a", org.apache.spark.sql.types.DoubleType),
+                org.apache.spark.sql.types.StructField("p_b", org.apache.spark.sql.types.DoubleType),
+                org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.DoubleType)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case _ =>
           val out =
             try applyOp(n.action, n.params, keys, ctx)(df)
@@ -716,6 +731,17 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.shuffleOrder(df, pStr(m("id")),
         m.get("seed").map(pStr).getOrElse("epoch0"))
+    case "curriculum-order" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.curriculumOrder(df, pStr(m("id")), pStr(m("score")),
+        m.get("stages").map(pLong(_).toInt).getOrElse(4),
+        m.get("seed").map(pStr).getOrElse("curriculum"))
+    case "vocab-drift" =>
+      val m = pMap(params.head)
+      df => {
+        val other = df.sparkSession.read.parquet(pStr(m("other-path")))
+        graft.operators.Curation.vocabDrift(df, other, pStr(m("text")))
+      }
     case "interleave-sources" =>
       val m = pMap(params.head)
       val weights = pMap(m("weights")).map { case (k, v) => k -> pDouble(v) }

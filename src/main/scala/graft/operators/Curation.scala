@@ -181,6 +181,38 @@ object Curation {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Corpus drift report — which tokens changed distribution between two
+    * corpora (crawl N vs crawl N+1, or corpus vs reference): Laplace-
+    * smoothed unigram probabilities over the UNION vocabulary, one row
+    * per token with both counts, both probabilities and the absolute
+    * probability delta (the token's total-variation contribution; halve
+    * the sum for TV distance). Deliberately log-free — |Δp| ranks drift
+    * the same way a KL contribution does for small shifts, and stays
+    * libm-free (`ln` rounding differs across engines, breaking
+    * replayability — the [[graft.operators.Training]] sigmoid rule).
+    *
+    * Scale: one map-side-combined count aggregate per corpus, a
+    * vocabulary-sized full-outer join, and a 3-scalar collect for the
+    * totals — corpus text is read once per side.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(Text.tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(out))
+    val joined = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val Array(totals) = joined
+      .agg(coalesce(sum(col("cnt_a")), lit(0L)), coalesce(sum(col("cnt_b")), lit(0L)),
+        count(lit(1))).collect()
+    val (na, nb, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val pA = (col("cnt_a") + 1).cast("double") / lit((na + v).toDouble)
+    val pB = (col("cnt_b") + 1).cast("double") / lit((nb + v).toDouble)
+    joined.select(col("token"), col("cnt_a"), col("cnt_b"),
+      pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("delta"))
+  }
+
   /** Quality-ranked selection under a per-group token budget: within each
     * `groupCol`, rank rows by (`scoreCol` DESC, `idCol` ASC) and keep rows
     * while the cumulative `tokensCol` (inclusive) stays within `budget` —
@@ -551,6 +583,37 @@ object Curation {
     withGlobalPosition(df.withColumn("__shuffle_key", key),
       Seq(col("__shuffle_key"), col(idCol)))
       .drop("__shuffle_key")
+  }
+
+  /** Curriculum ordering — easy-to-hard training order with intra-stage
+    * mixing: rows are bucketed into `stages` equal-width bands of
+    * `scoreCol` (stage 0 = HIGHEST scores first, the "start clean"
+    * convention), shuffled deterministically within each stage by the
+    * seeded hash, and assigned a global `position`. The inverse
+    * direction is just a negated score upstream.
+    *
+    * Output: input columns + `stage` + `position`.
+    *
+    * Scale: the score min/max is one tiny aggregate; stage assignment
+    * and the shuffle key are map-side; the order materializes through
+    * the same single range-exchange sort as [[shuffleOrder]].
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      stages: Int, seed: String = "curriculum"): DataFrame = {
+    require(stages >= 1, s"curriculumOrder: stages must be >= 1, got $stages")
+    val stats = df.agg(min(col(scoreCol)).as("__lo"), max(col(scoreCol)).as("__hi"))
+    val staged = df.crossJoin(broadcast(stats))
+      .withColumn("stage",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__hi") - col(scoreCol)) / (col("__hi") - col("__lo")) * stages),
+            lit(stages - 1).cast("long"))))
+      .drop("__lo", "__hi")
+    val key = Text.md5Hash64(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    withGlobalPosition(staged.withColumn("__ck", key),
+      Seq(col("stage"), col("__ck"), col(idCol)))
+      .drop("__ck")
   }
 
   /** Proportional source interleaving: emit documents so that a prefix

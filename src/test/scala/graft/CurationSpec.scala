@@ -384,6 +384,51 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSet == out.toSet)
   }
 
+  test("curriculumOrder: stages partition the order, high scores first, dense positions") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val out = Curation.curriculumOrder(df, "doc_id", "score", stages = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1) // by position
+    assert(out.map(_._1).toSeq == (0L until 100L)) // dense 0..n-1
+    // stage sequence is non-decreasing along the position order
+    val stages = out.map(_._4)
+    assert(stages.zip(stages.tail).forall { case (a, b) => a <= b })
+    // stage 0 holds the TOP quarter of scores (75..99), stage 3 the bottom
+    assert(out.filter(_._4 == 0L).forall(_._3 >= 75.0))
+    assert(out.filter(_._4 == 3L).forall(_._3 <= 25.0))
+    // within a stage the order is the seeded shuffle, not score order
+    val s0 = out.filter(_._4 == 0L).map(_._3).toSeq
+    assert(s0 != s0.sorted && s0 != s0.sorted.reverse)
+    // constant score degenerates to one stage
+    val const = Curation.curriculumOrder(
+      (0L until 10L).map((_, 1.0)).toDF("doc_id", "score"), "doc_id", "score", 4)
+      .select("stage").collect().map(_.getLong(0))
+    assert(const.forall(_ == 0L))
+  }
+
+  test("vocabDrift: union vocab, Laplace smoothing, delta flags one-sided tokens") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")   // A: x=3, y=1, z=1
+    val b = Seq((3L, "x y y w")).toDF("doc_id", "text")              // B: x=1, y=2, w=1
+    val out = Curation.vocabDrift(a, b, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // union vocab {x,y,z,w}: V=4, NA=5, NB=4
+    assert(out.keySet == Set("x", "y", "z", "w"))
+    assert(out("x") == ((3L, 1L, 4.0 / 9.0, 2.0 / 8.0)))
+    assert(out("z") == ((1L, 0L, 2.0 / 9.0, 1.0 / 8.0))) // absent in B, smoothed
+    assert(out("w") == ((0L, 1L, 1.0 / 9.0, 2.0 / 8.0)))
+    // smoothed probabilities each sum to 1 over the union vocab
+    val sums = Curation.vocabDrift(a, b, "text")
+      .agg(org.apache.spark.sql.functions.sum("p_a"),
+        org.apache.spark.sql.functions.sum("p_b")).collect().head
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-12 &&
+      math.abs(sums.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("vocabTopK ranks by count desc with token tie-break; minCount prunes") {
     val df = docsDf(
       (1L, "b b b a a c", "s"),
