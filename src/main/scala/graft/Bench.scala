@@ -54,8 +54,16 @@ object Bench {
     val ambientLoad = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // dev knob: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the headline list
-    // (A/B runs isolating one query family); unset = full list
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // (A/B runs isolating one query family); unset = full list. Tokens
+    // are trimmed and unknown names fail fast — a typo must not emit a
+    // healthy-looking zero-query total
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- headline.toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in headline: ${unknown.mkString(", ")}")
+      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
+    }
     val active = headline.filter(n => only.forall(_.contains(n)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

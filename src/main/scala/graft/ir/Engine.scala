@@ -192,13 +192,16 @@ object Engine {
             recurse(df.withColumn(pStr(m("out")), lit(0.0)))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "decontam-overlap" =>
-          // same artifact rule: the benchmark parquet is a runtime input
+          // same artifact rule: the benchmark parquet is a runtime input.
+          // Output columns come from the operator's own schema constant —
+          // never hand-duplicated here.
           try {
             val m = pMap(n.params.head)
             df(pStr(m("id"))); df(pStr(m("text"))); pStr(m("bench-path"))
-            recurse(df.select(col(pStr(m("id"))))
-              .withColumn("n_shingles", lit(0L)).withColumn("n_overlap", lit(0L))
-              .withColumn("overlap_frac", lit(0.0)))
+            recurse(graft.operators.Decontam.OverlapSchema.foldLeft(
+              df.select(col(pStr(m("id"))))) { case (acc, (name, dt)) =>
+              acc.withColumn(name, lit(null).cast(dt))
+            })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "vocab-drift" =>
           // artifact rule: the comparison corpus is a runtime input
@@ -207,13 +210,19 @@ object Engine {
             df(pStr(m("text"))); pStr(m("other-path"))
             recurse(df.sparkSession.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.types.StructField("cnt_a", org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("cnt_b", org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("p_a", org.apache.spark.sql.types.DoubleType),
-                org.apache.spark.sql.types.StructField("p_b", org.apache.spark.sql.types.DoubleType),
-                org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.DoubleType)))))
+              graft.operators.Curation.VocabDriftSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "train-logistic" =>
+          // empty-frame totality lives HERE, not in the trainer: probe
+          // the params/columns, emit the model schema without running a
+          // count over the empty frame (an empty PRODUCTION training
+          // frame must stay a loud runtime error)
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("vec"))); df(pStr(m("label"))); pLong(m("dim"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.Training.ModelSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
         case _ =>
           val out =

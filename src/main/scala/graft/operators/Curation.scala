@@ -32,6 +32,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Curation {
 
+  /** Output schema of [[vocabDrift]] — the IR validator's `vocab-drift`
+    * stub builds its empty probe from this (one source of truth).
+    */
+  val VocabDriftSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt_a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt_b", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_a", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p_b", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.DoubleType)))
+
   /** Split a document's tokens into synthetic "lines" of `k` tokens
     * (space-joined). Real corpora would split on newlines; the fixture
     * corpus has none, and fixed-k chunking keeps the oracle exact while
@@ -203,6 +215,10 @@ object Curation {
       .select(col("token"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      // vocabulary-sized — persisted so the totals pass below and the
+      // caller's consumption share ONE tokenize+count+join execution
+      // (without this the corpus scans run twice)
+      .persist()
     val Array(totals) = joined
       .agg(coalesce(sum(col("cnt_a")), lit(0L)), coalesce(sum(col("cnt_b")), lit(0L)),
         count(lit(1))).collect()

@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
+  /** Output schema of [[overlapFraction]] minus the id column — the IR
+    * validator's `decontam-overlap` stub derives its probe from this,
+    * so validation can never drift from the operator.
+    */
+  val OverlapSchema: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+    "n_shingles" -> org.apache.spark.sql.types.LongType,
+    "n_overlap" -> org.apache.spark.sql.types.LongType,
+    "overlap_frac" -> org.apache.spark.sql.types.DoubleType)
+
   /** Distinct (id, shingle) pairs for a corpus — bigram word shingles by
     * default, deduped per document before explode.
     */

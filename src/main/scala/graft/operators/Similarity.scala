@@ -22,12 +22,15 @@ object Similarity {
     * in any engine; the zero vector passes through unchanged (a 0/0 NaN
     * vector would silently poison every similarity it touches).
     */
-  def l2Normalize(vec: Column): Column = {
-    val norm = sqrt(aggregate(vec, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(norm > 0, transform(vec, x => x.cast("double") / norm))
-      .otherwise(transform(vec, x => x.cast("double")))
-  }
+  def l2Normalize(vec: Column): Column =
+    // the norm fold runs ONCE via aggregate's finish lambda — inlining
+    // it into the per-element transform would re-run the whole O(d) fold
+    // for every element (Catalyst does not hoist loop-invariant
+    // subexpressions out of higher-order-function lambdas)
+    aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"),
+      acc => when(acc > 0, transform(vec, x => x.cast("double") / sqrt(acc)))
+        .otherwise(transform(vec, x => x.cast("double"))))
 
   /** Cosine similarity as a deterministic left fold in index order (the
     * DuckDB oracle folds identically, so doubles match bit-for-bit).

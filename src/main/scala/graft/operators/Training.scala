@@ -38,6 +38,14 @@ import org.apache.spark.sql.functions._
   */
 object Training {
 
+  /** Output schema of the trainers — the single source of truth the IR
+    * validator's `train-logistic` stub builds its empty probe from.
+    */
+  val ModelSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("weight", org.apache.spark.sql.types.DoubleType)))
+
   /** Algebraic sigmoid in (0,1): `0.5 * (1 + z / (1 + |z|))`. Exactly
     * reproducible across engines (no transcendentals).
     */
@@ -100,18 +108,21 @@ object Training {
     require(dim >= 1, s"Training: dim must be >= 1, got $dim")
     require(epochs >= 1, s"Training: epochs must be >= 1, got $epochs")
     val y = col(labelCol).cast("double")
-    val n = df.count()
-    // empty frame → the zero model, NOT an error: the IR validator probes
-    // every action against an empty frame (the codebase-wide totality
-    // invariant, see [[Similarity.semanticDedup]]'s same note), and zero
-    // GD steps over zero rows is the honest answer there
-    if (n == 0) return Array.fill(dim + 1)(0.0)
-    // fail fast on null labels/vectors: the fast path's sum() would
-    // silently DROP them while n still counts them (a damped gradient,
-    // wrong with no error), and the exact path's fold would NPE
-    val bad = df.filter(col(labelCol).isNull || col(vecCol).isNull).limit(1).count()
-    require(bad == 0,
+    // ONE stats pass: row count, null labels/vectors, null ELEMENTS
+    // inside vectors — all of which would silently damp the fast path's
+    // sum()-gradient while n still counts them, or NPE the exact fold.
+    // (Empty-frame totality for the IR validator lives in
+    // Engine.validate's train-logistic stub, not here: an empty
+    // PRODUCTION training frame is a loud error, not a zero model.)
+    val Array(st) = df.agg(
+      count(lit(1)), count(col(labelCol)), count(col(vecCol)),
+      count(when(exists(col(vecCol), x => x.isNull), 1))).collect()
+    val n = st.getLong(0)
+    require(n > 0, "Training: empty training frame")
+    require(st.getLong(1) == n && st.getLong(2) == n,
       s"Training: null $labelCol/$vecCol values in the training frame — filter them first")
+    require(st.getLong(3) == 0,
+      s"Training: null elements inside $vecCol arrays — repair or drop those rows first")
     var w = Array.fill(dim + 1)(0.0)
     for (_ <- 1 to epochs) {
       val g = if (exact) gradientExact(df, idCol, vecCol, y, w, n)
@@ -159,21 +170,45 @@ object Training {
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("dim"), col("weight")).orderBy("dim")
 
-  private val weightCache = new scala.collection.concurrent.TrieMap[String, Array[Double]]()
+  private val weightCache =
+    new scala.collection.concurrent.TrieMap[String, (String, Array[Double])]()
+
+  /** File-listing fingerprint of a local model directory: (name, mtime,
+    * size) of every entry. Non-local paths (s3://…) fingerprint as the
+    * path itself — remote artifacts are treated as immutable.
+    */
+  private def artifactFingerprint(path: String): String = {
+    val p = try java.nio.file.Paths.get(path) catch { case _: Exception => null }
+    if (p == null || !java.nio.file.Files.isDirectory(p)) path
+    else {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(p)
+      try listing.iterator().asScala
+        .map(f => s"${f.getFileName}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}:${java.nio.file.Files.size(f)}")
+        .toSeq.sorted.mkString("|")
+      finally listing.close()
+    }
+  }
 
   /** [[loadModel]] collected to a weight array, cached by path — the IR
     * `score-logistic` dispatch rebuilds its transform on every run
     * (streaming: every push), and re-reading + re-collecting a
-    * model-sized artifact per microbatch is pure waste. The artifact is
-    * treated as IMMUTABLE once written (the same contract as a saved
-    * centroid table); write a new path for a new model.
+    * model-sized artifact per microbatch is pure waste. Staleness: the
+    * cache revalidates against a file-listing fingerprint (one cheap
+    * stat pass), so an in-place `saveModel` rewrite IS picked up on the
+    * next scoring run; remote paths are assumed immutable.
     */
-  def loadWeightsCached(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] =
-    weightCache.getOrElseUpdate(path, {
-      val w = loadModel(spark, path).collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-      require(w.nonEmpty, s"Training: empty model at '$path'")
-      w
-    })
+  def loadWeightsCached(spark: org.apache.spark.sql.SparkSession, path: String): Array[Double] = {
+    val fp = artifactFingerprint(path)
+    weightCache.get(path) match {
+      case Some((cachedFp, w)) if cachedFp == fp => w
+      case _ =>
+        val w = loadModel(spark, path).collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+        require(w.nonEmpty, s"Training: empty model at '$path'")
+        weightCache.put(path, (fp, w))
+        w
+    }
+  }
 
   /** Map-side scoring from a pre-collected weight array. */
   def scoreWithWeights(df: DataFrame, vecCol: String, w: Array[Double],

@@ -84,6 +84,38 @@ class TrainingSpec extends AnyFunSuite {
     assert(ev.getDouble(4) == 1.0) // separable problem, 10 epochs
   }
 
+  test("empty frame, null labels, and null vector ELEMENTS all fail loudly") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("id", "vec", "y")
+    assert(intercept[Exception] {
+      Training.trainLogistic(empty, "id", "vec", "y", 2, 1, 0.5)
+    }.getMessage.contains("empty training frame"))
+    val nullLabel = Seq((1L, Seq(1.0f, 2.0f), Some(1)), (2L, Seq(1.0f, 2.0f), None))
+      .toDF("id", "vec", "y")
+    assert(intercept[Exception] {
+      Training.trainLogistic(nullLabel, "id", "vec", "y", 2, 1, 0.5)
+    }.getMessage.contains("null y"))
+    val nullElem = Seq((1L, Seq(Some(1.0f), None), 1), (2L, Seq(Some(1.0f), Some(2.0f)), 0))
+      .toDF("id", "vec", "y")
+    assert(intercept[Exception] {
+      Training.trainLogistic(nullElem, "id", "vec", "y", 2, 1, 0.5)
+    }.getMessage.contains("null elements"))
+  }
+
+  test("loadWeightsCached picks up an in-place saveModel rewrite (fingerprint revalidation)") {
+    val df = toy()
+    val dir = java.nio.file.Files.createTempDirectory("graft-model2").toString + "/m"
+    val m1 = Training.trainLogistic(df, "id", "vec", "y", 4, 2, 1.0)
+    Training.saveModel(m1, dir)
+    val w1 = Training.loadWeightsCached(spark, dir).toSeq
+    val m2 = Training.trainLogistic(df, "id", "vec", "y", 4, 10, 1.0)
+    Training.saveModel(m2, dir) // overwrite in place
+    val w2 = Training.loadWeightsCached(spark, dir).toSeq
+    assert(w1 != w2, "cache served stale weights after an in-place rewrite")
+    assert(w2 == m2.orderBy("dim").collect().map(_.getDouble(1)).toSeq)
+  }
+
   test("a vector longer than the declared dim fails with the cause, not an index error") {
     val s = spark
     import s.implicits._
