@@ -180,6 +180,13 @@ object Engine {
             m.get("fields").map(pStrs).getOrElse(Nil).foreach(df(_))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "output-bucketed" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("table")); pLong(m("buckets"))
+            pStrs(m("keys")).foreach(df(_))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "stream" => recurse(df) // declaration wrapper
         case "score-logistic" =>
           // the model ARTIFACT is a runtime input, not a config error:
@@ -375,6 +382,13 @@ object Engine {
           else FileSink.write(df, spec)
           res.sinks += ((spec, df))
         }
+        recurse(df)
+
+      case "output-bucketed" => // bucketed managed-table sink; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode)
+          FileSink.writeBucketed(df, pStr(m("table")),
+            pLong(m("buckets")).toInt, pStrs(m("keys")))
         recurse(df)
 
       case _ => recurse(applyOp(n.action, n.params, keys, ctx)(df))

@@ -36,6 +36,31 @@ object FileSink {
             datePattern: Option[String] = None): Unit =
     write(df, SinkSpec(path, partitionFields, datePattern))
 
+  /** Bucketed parquet materialization — the 100 TB join-locality lever:
+    * a corpus written with `bucketBy(n, keys)` is hash-pre-partitioned
+    * ON DISK, so every later equi-join or aggregation on those keys
+    * reads co-located buckets and SKIPS its shuffle entirely (Catalyst
+    * sees the bucket spec as a satisfied `HashPartitioning`). Worth it
+    * for any table joined repeatedly on a stable key — dedup-pair
+    * joins, model-score joins, epoch-over-epoch diffs.
+    *
+    * Bucketed writes go through the session catalog (`saveAsTable` —
+    * plain `.parquet(path)` cannot record a bucket spec), so the frame
+    * lands as managed table `table` under the warehouse dir; read it
+    * back with `spark.table(table)`. Both join sides must share bucket
+    * count and keys for the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit = {
+    require(buckets >= 1, s"writeBucketed: buckets must be >= 1, got $buckets")
+    require(keys.nonEmpty, "writeBucketed: at least one bucket key")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Streaming twin: the same partitioned JSON-lines layout via
     * `writeStream` (exactly-once per micro-batch through the checkpoint
     * under `<path>/_checkpoints`). Returns the query handle; callers own

@@ -262,6 +262,33 @@ class QualityJoinsSpec extends AnyFunSuite {
   private def norm(text: String, lc: Boolean = false): String =
     one(text).select(Text.normalize(col("text"), lowercase = lc)).collect().head.getString(0)
 
+  test("bucketed materialization: equi-join on the bucket key runs with ZERO shuffles") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val a = (0L until 200L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val b = (0L until 200L).map(i => (i, i * 2.0)).toDF("doc_id", "score")
+    graft.sinks.FileSink.writeBucketed(a, "bk_a", buckets = 4, keys = Seq("doc_id"))
+    graft.sinks.FileSink.writeBucketed(b, "bk_b", buckets = 4, keys = Seq("doc_id"))
+    val joined = s.table("bk_a").join(s.table("bk_b"), "doc_id")
+    val rows = joined.collect()
+    assert(rows.length == 200)
+    // the bucket spec satisfies the join's HashPartitioning requirement:
+    // the executed plan must contain no shuffle exchange at all
+    val plan = joined.queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      self + p.children.map(shuffles).sum
+    }
+    assert(shuffles(plan) == 0, s"expected exchange-free bucketed join:\n$plan")
+    // values match the plain (shuffled) join
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      a.join(b, "doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+    s.sql("DROP TABLE IF EXISTS bk_a"); s.sql("DROP TABLE IF EXISTS bk_b")
+  }
+
   test("l2Normalize: unit norm, cosine == dot afterwards, zero vector passes through") {
     val s = TestSpark.spark
     import s.implicits._
