@@ -70,6 +70,8 @@ object GraftExtensions {
         graft.functions.ArrayDotLong(children.head, children(1))
       }),
     columnFn("text_normalize", c => graft.functions.Text.normalize(c)),
+    columnFn("text_strip_html", c => graft.functions.Text.stripHtml(c)),
+    columnFn("l2_normalize", graft.operators.Similarity.l2Normalize),
     (FunctionIdentifier("signed_project"),
       new ExpressionInfo(classOf[graft.functions.SignedProject].getCanonicalName, null, "signed_project"),
       (children: Seq[Expression]) => {

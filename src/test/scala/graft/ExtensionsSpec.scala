@@ -81,6 +81,11 @@ class ExtensionsSpec extends AnyFunSuite {
     val n = spark.sql("""SELECT text_normalize('a\tb  C ') AS s""")
       .collect().head.getString(0)
     assert(n == "a b C")
+    assert(spark.sql("""SELECT text_strip_html('<p>x &amp; y</p>') AS s""")
+      .collect().head.getString(0) == "x & y")
+    val u = spark.sql("""SELECT l2_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS u""")
+      .collect().head.getSeq[Double](0)
+    assert(u == Seq(0.6, 0.8))
 
     val s = spark
     import s.implicits._
