@@ -37,7 +37,7 @@ object Bench {
     "text_normalize", "boilerplate_lines", "url_blocklist_filter",
     "embedding_project", "classifier_train", "vocab_topk", "frequent_ngrams",
     "text_strip_html", "upsample_epochs", "decontam_overlap",
-    "embedding_l2norm", "curriculum_order", "vocab_drift")
+    "embedding_l2norm", "curriculum_order", "vocab_drift", "ngram_diversity")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -1981,6 +1981,19 @@ object QueriesPipeline {
       }
     }
 
+    // per-source n-gram diversity (template-heavy source detector)
+    register("ngram_diversity",
+      s"""$DocsView,
+         |g AS (SELECT source, unnest(${sqlNgrams("toks", 2)}) AS gram FROM docs),
+         |c AS (SELECT source, gram, count(*) AS c FROM g GROUP BY source, gram)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_grams,
+         |       count(*) AS n_distinct,
+         |       CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS diversity
+         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Curation.ngramDiversity(docs(s, dir), "source", "text", n = 2)
+        .orderBy("source")
+    }
+
     // L2 normalization (ANN prep: cosine becomes plain dot downstream)
     register("embedding_l2norm",
       s"""WITH n AS (

@@ -765,6 +765,10 @@ object Engine {
         val other = df.sparkSession.read.parquet(pStr(m("other-path")))
         graft.operators.Curation.vocabDrift(df, other, pStr(m("text")))
       }
+    case "ngram-diversity" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.ngramDiversity(df, pStr(m("group")), pStr(m("text")),
+        m.get("n").map(pLong(_).toInt).getOrElse(2))
     case "interleave-sources" =>
       val m = pMap(params.head)
       val weights = pMap(m("weights")).map { case (k, v) => k -> pDouble(v) }

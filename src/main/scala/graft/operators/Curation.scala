@@ -193,6 +193,26 @@ object Curation {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Per-group n-gram diversity — the corpus-health dial next to
+    * [[corpusProfile]]: for each group, total n-gram occurrences,
+    * distinct n-grams, and their ratio (low = template/boilerplate-
+    * heavy source, the memorization-risk smell). One exchange on
+    * (group, gram) for the distinct count (map-side combined), then a
+    * group-sized rollup.
+    */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"ngramDiversity: n must be >= 1, got $n")
+    df.select(col(groupCol),
+      explode(graft.functions.Quality.ngrams(Text.tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col(groupCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Corpus drift report — which tokens changed distribution between two
     * corpora (crawl N vs crawl N+1, or corpus vs reference): Laplace-
     * smoothed unigram probabilities over the UNION vocabulary, one row

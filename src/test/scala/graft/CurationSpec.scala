@@ -408,6 +408,17 @@ class CurationSpec extends AnyFunSuite {
     assert(const.forall(_ == 0L))
   }
 
+  test("ngramDiversity: repeated templates score low, varied text scores 1.0") {
+    val df = docsDf(
+      (1L, "a b a b a b", "tmpl"),   // bigrams: ab, ba, ab, ba, ab → 5 total, 2 distinct
+      (2L, "c d e f", "var"),        // cd, de, ef → 3 total, 3 distinct
+      (3L, "a b", "tmpl"))           // ab → tmpl totals 6/2
+    val out = Curation.ngramDiversity(df, "source", "text", 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("tmpl") == ((6L, 2L, 2.0 / 6.0)))
+    assert(out("var") == ((3L, 3L, 1.0)))
+  }
+
   test("vocabDrift: union vocab, Laplace smoothing, delta flags one-sided tokens") {
     val s = spark
     import s.implicits._
