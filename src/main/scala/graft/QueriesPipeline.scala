@@ -1635,7 +1635,7 @@ object QueriesPipeline {
       s"""$DocsView
          |, t AS (SELECT source, lang, len(toks) AS tok FROM docs),
          |g AS (
-         |  SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
+         |  SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
          |         count(DISTINCT lang) AS n_langs,
          |         list_sort(list(CAST(tok AS DOUBLE))) AS sorted
          |  FROM t GROUP BY source)

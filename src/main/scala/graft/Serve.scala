@@ -93,6 +93,14 @@ object Serve {
   def installReloadHandler(registry: StreamRegistry, streamsDir: String): Boolean =
     installReloadHandler(registry, Seq(streamsDir))
 
+  /** Completed SIGHUP handler invocations (success or failure). Exposed so
+    * tests (and operators reading /metrics-style introspection) can await
+    * handler COMPLETION instead of polling registry state on a wall-clock
+    * deadline — under box load the signal thread can be scheduled late, and
+    * a fixed poll window turns a deterministic handler into a flaky gate.
+    */
+  val reloadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def installReloadHandler(registry: StreamRegistry, streamsDirs: Seq[String]): Boolean =
     try {
       sun.misc.Signal.handle(new sun.misc.Signal("HUP"), (_: sun.misc.Signal) =>
@@ -104,7 +112,7 @@ object Serve {
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[serve] reload failed: ${e.getMessage}")
-        })
+        } finally reloadCount.incrementAndGet())
       true
     } catch {
       case _: Throwable => false
@@ -189,7 +197,12 @@ object Serve {
         System.err.println(s"[serve] compiled: ${names.mkString(", ")}")
         0
       case "test" | "compile-test" | "compile_test" =>
-        if (args(0) != "test" && args.length >= 3) compileStreams(spark, args(1), args(2), ctx)
+        if (args(0) != "test") {
+          // the reference's compile! path requires both dirs — a forgotten
+          // dir must fail loudly, not silently degrade to test-only
+          require(args.length >= 3, "usage: compile-test <src-dir> <dst-dir>")
+          compileStreams(spark, args(1), args(2), ctx)
+        }
         val failures = runTests(spark, streamDirs, testDirs, ctx)
         // the reference's human summary (test.clj:20-39)
         if (failures.isEmpty) { println("All tests successful"); 0 }

@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   * Semantics are bit-identical to the composed version on equal-length
   * arrays: each accumulator folds left-to-right in index order in double
   * precision, so the DuckDB oracle's identical fold hash-matches. A null
-  * array or any null element yields null (matching `zip_with`/`aggregate`
-  * null poisoning).
+  * array, any null element, OR a length mismatch yields null — the same
+  * rule as [[ArrayDotLong]] and the composed form (`zip_with` pads the
+  * short side with null and the fold poisons): a silent prefix cosine on
+  * a corrupt/mixed-dimension embedding would be a plausible-but-wrong
+  * similarity flowing into dedup/ANN decisions, not an error.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -35,7 +38,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -58,9 +62,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = (double) $x.getFloat($i);
          |  double $yi = (double) $y.getFloat($i);

@@ -224,8 +224,9 @@ object Curation {
     * replayability — the [[graft.operators.Training]] sigmoid rule).
     *
     * Scale: one map-side-combined count aggregate per corpus, a
-    * vocabulary-sized full-outer join, and a 3-scalar collect for the
-    * totals — corpus text is read once per side.
+    * vocabulary-sized full-outer join, and a broadcast one-row totals
+    * frame riding the same plan (ReuseExchange dedupes the count
+    * shuffles) — corpus text is read once per side, nothing persisted.
     */
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def counts(df: DataFrame, out: String) =
@@ -235,18 +236,20 @@ object Curation {
       .select(col("token"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-      // vocabulary-sized — persisted so the totals pass below and the
-      // caller's consumption share ONE tokenize+count+join execution
-      // (without this the corpus scans run twice)
-      .persist()
-    val Array(totals) = joined
-      .agg(coalesce(sum(col("cnt_a")), lit(0L)), coalesce(sum(col("cnt_b")), lit(0L)),
-        count(lit(1))).collect()
-    val (na, nb, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
-    val pA = (col("cnt_a") + 1).cast("double") / lit((na + v).toDouble)
-    val pB = (col("cnt_b") + 1).cast("double") / lit((nb + v).toDouble)
-    joined.select(col("token"), col("cnt_a"), col("cnt_b"),
-      pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("delta"))
+    // totals ride the SAME plan as a broadcast one-row frame instead of a
+    // persist()+collect(): the tokenize+count exchanges are identical
+    // subtrees, so ReuseExchange replays their shuffle output for the
+    // totals side — each corpus is still scanned once, and nothing stays
+    // cached in a long-lived session (the old persist had no release path)
+    val totals = joined.agg(
+      coalesce(sum(col("cnt_a")), lit(0L)).as("tot_a"),
+      coalesce(sum(col("cnt_b")), lit(0L)).as("tot_b"),
+      count(lit(1)).as("vocab"))
+    val pA = (col("cnt_a") + 1).cast("double") / (col("tot_a") + col("vocab")).cast("double")
+    val pB = (col("cnt_b") + 1).cast("double") / (col("tot_b") + col("vocab")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("delta"))
   }
 
   /** Quality-ranked selection under a per-group token budget: within each

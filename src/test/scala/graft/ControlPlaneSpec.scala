@@ -271,10 +271,15 @@ class ControlPlaneSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(dir.resolve("b.json"),
       """{"action":"stream","params":[{"name":"b"}],
         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    // wait on handler COMPLETION (observable counter), not on a fixed
+    // wall-clock window: under box load the signal thread may run late,
+    // and a short poll deadline reds a deterministic handler (r8 flake)
+    val before = Serve.reloadCount.get()
     sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
-    val deadline = System.nanoTime + 5000000000L
-    while (registry.list != Seq("a", "b") && System.nanoTime < deadline)
+    val deadline = System.nanoTime + 30000000000L
+    while (Serve.reloadCount.get() == before && System.nanoTime < deadline)
       Thread.sleep(20)
+    assert(Serve.reloadCount.get() > before, "SIGHUP handler never completed within 30s")
     assert(registry.list == Seq("a", "b"))
   }
 

@@ -53,6 +53,31 @@ class VectorExprSpec extends AnyFunSuite {
     assert(withNullElem.select("c").collect().head.isNullAt(0))
   }
 
+  test("ragged inputs yield null, matching the composed zip_with form") {
+    // a silent prefix cosine on mixed-dimension embeddings would be a
+    // plausible-but-wrong similarity feeding dedup/ANN decisions — the
+    // native kernel must null out exactly like zip_with's null padding
+    val df = Seq(
+      (1L, Seq(1f, 2f, 3f), Seq(1f, 2f)),      // ragged → null
+      (2L, Seq(1f, 2f), Seq(1f, 2f, 3f)),      // ragged the other way → null
+      (3L, Seq(1f, 2f), Seq(3f, 4f))           // equal length → value
+    ).toDF("id", "a", "b")
+      .withColumn("native", VectorExpressions.cosineF(col("a"), col("b")))
+      .withColumn("hof", Similarity.cosine(col("a"), col("b")))
+    val got = df.orderBy("id").select("native", "hof").collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    assert(!got(2).isNullAt(0) &&
+      java.lang.Double.doubleToLongBits(got(2).getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(got(2).getDouble(1)))
+    // interpreted eval path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val mk = (s: Seq[Float]) => Literal.create(ArrayData.toArrayData(s.toArray),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    assert(graft.functions.CosineSimilarity(mk(Seq(1f, 2f, 3f)), mk(Seq(1f, 2f))).eval(null) == null)
+  }
+
   test("interpreted eval path matches codegen path") {
     val df = vecs(Seq((1L, Seq(0.5f, -0.25f, 3f), Seq(1f, 2f, -0.5f))))
     val viaCodegen = df.select(VectorExpressions.cosineF(col("a"), col("b"))).collect().head.getDouble(0)
