@@ -168,7 +168,10 @@ object Bench {
     // (round-3 lesson: inlining the per-query scale_ratio blocks pushed the
     // line past the capture window and the round lost its bench numbers).
     val loadsJson = passLoads.map { case (a, b) => f"[$a%.1f,$b%.1f]" }.mkString("[", ",", "]")
-    println(f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail,"pass_loads":$loadsJson}""")
+    // fixture fingerprints make driver-side testdata regeneration
+    // self-announcing (identical block ⇒ cross-round numbers comparable)
+    val fixtures = graft.sources.Fixtures.json(spark, sfDir)
+    println(f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail,"pass_loads":$loadsJson,"fixtures":$fixtures}""")
     def totalLine(queriesJson: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson,"cold_total":$coldTotal%.3f,"errors":$errJson,"sf":"$sfDir"$scaleSummary,"load_ambient":$ambientLoad%.1f,"load_max":${passLoads.map(l => l._1 max l._2).max}%.1f}"""
     val line = totalLine(json(results))

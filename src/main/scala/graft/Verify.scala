@@ -46,6 +46,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fixture fingerprints: which exact testdata generation this
+    // correctness artifact was produced against (see sources.Fixtures)
+    Files.writeString(Paths.get(s"$outDir/fixtures.json"),
+      graft.sources.Fixtures.json(spark, sfDir))
     spark.stop()
   }
 }

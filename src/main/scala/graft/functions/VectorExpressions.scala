@@ -211,6 +211,91 @@ case class SignedProject(child: Expression, signs: Array[Byte], dOut: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused logistic margin `w · [x, 1]` — weight vector of length d+1 (last
+  * entry = bias) against the first d elements of an `array<float>` or
+  * `array<double>` column, with the weights shipped once per task as a
+  * reference object. The composed column-algebra form unrolls d+1 chained
+  * `element_at` multiply-adds per row; past a few hundred dims that
+  * overflows the 64 KB Janino method limit and silently drops the whole
+  * stage to interpreted eval — the exact pitfall [[SignedProject]] exists
+  * to avoid, and `scoreWithWeights` is exposed to arbitrary dims via the
+  * score-logistic IR action.
+  *
+  * Fold semantics: index order, double precision, starting from 0.0 (the
+  * DuckDB oracle's `list_reduce(list_prepend(0.0, …))` convention), bias
+  * added last. Value-identical to the old unrolled `reduceLeft` in every
+  * downstream use: the two can differ only in the SIGN of a zero margin,
+  * and the margin feeds only the algebraic sigmoid, where
+  * `±0.0 → exactly 0.5`.
+  *
+  * A vector SHORTER than d fails loudly with the cause (the unrolled
+  * form's ANSI `element_at` also raised, less legibly); extra elements
+  * beyond d are ignored, matching the unrolled form. Null array or null
+  * element within the first d → null.
+  */
+case class MarginDot(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+
+  private val d = weights.length - 1
+  require(d >= 0, "MarginDot: weights must at least carry a bias entry")
+
+  // TypeCollection is private[sql], so the float-or-double union is
+  // checked by hand instead of via ExpectsInputTypes
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"MarginDot needs array<float> or array<double>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() < d)
+      throw new IllegalArgumentException(
+        s"MarginDot: vector has ${x.numElements()} elements, model dim is $d")
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      if (x.isNullAt(i)) return null
+      acc += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) * weights(i)
+      i += 1
+    }
+    acc + weights(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getter = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      s"""
+         |if ($x.numElements() < $d) {
+         |  throw new IllegalArgumentException(
+         |    "MarginDot: vector has " + $x.numElements() + " elements, model dim is $d");
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += $getter * $wRef[$i];
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc + $wRef[$d]; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** `array<float>` cosine similarity as a codegen'd native kernel. */
   def cosineF(a: Column, b: Column): Column = {
@@ -237,5 +322,14 @@ object VectorExpressions {
     val B = org.apache.spark.sql.graft.Bridge
     val flat = signs.flatMap(_.map(s => if (s > 0) 1.toByte else 0.toByte))
     B.column(SignedProject(B.expression(vec), flat, signs.length))
+  }
+
+  /** Fused logistic margin `w · [x, 1]` over an `array<float|double>`
+    * column — `w` length d+1, last entry the bias. Janino-safe at any
+    * model dimension (see [[MarginDot]]).
+    */
+  def marginDot(vec: Column, w: Array[Double]): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(MarginDot(B.expression(vec), w))
   }
 }

@@ -238,7 +238,7 @@ object Dedup {
       // (eagerly) instead of running the hash pipeline twice; blocks are
       // reclaimed by the ContextCleaner when the plan is unreferenced
       // (persist() leaked them for the session lifetime).
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -351,7 +351,7 @@ object Dedup {
     val width = 32 / bands
     // signatures feed both sides of the self-join: materialize the tiny
     // (id, sig) table once instead of running the hash pipeline twice
-    val sigs = simhashSigTable(df, textCol, idCol, hashFn).localCheckpoint(true)
+    val sigs = simhashSigTable(df, textCol, idCol, hashFn).transform(Materialize.apply)
     val banded = sigs.select(
       col("__id"), col("simhash"),
       explode(array((0 until bands).map { b =>
@@ -398,7 +398,7 @@ object Dedup {
                    maxIters: Int = 20, onePartitionThreshold: Long = 10000000L): DataFrame = {
     val half = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
     val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Materialize.apply)
 
     // Adaptive small-graph path: a pair list far below cluster scale (the
     // common case — LSH pair output is tiny next to the corpus) pays more
@@ -456,7 +456,7 @@ object Dedup {
     var labels = edges.groupBy(col("a"))
       .agg(least(min(col("b")), col("a")).as("cluster"))
       .select(col("a").as("id"), col("cluster"))
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
     var it = 1
     var converged = false
     while (!converged && it < maxIters) {
@@ -468,7 +468,7 @@ object Dedup {
         .join(neigh.as("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").as("id"), col("l.cluster").as("__old"),
           least(col("l.cluster"), coalesce(col("__nl"), col("l.cluster"))).as("cluster"))
-        .localCheckpoint(true)
+        .transform(Materialize.apply)
       converged = joined.filter(col("cluster") =!= col("__old")).isEmpty
       labels = joined.select("id", "cluster")
       it += 1

@@ -58,9 +58,9 @@ object Importance {
     // totals pass below nor the ratio join re-runs the corpus aggregate
     // (blocks free with the plan, as Dedup.lshCandidates)
     val ct = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("cnt", "ct").localCheckpoint(true)
+      .withColumnRenamed("cnt", "ct").transform(Materialize.apply)
     val cr = bucketCounts(raw, textCol, buckets)
-      .withColumnRenamed("cnt", "cr").localCheckpoint(true)
+      .withColumnRenamed("cnt", "cr").transform(Materialize.apply)
     def total(c: DataFrame, cnt: String): Long =
       c.agg(coalesce(sum(col(cnt)), lit(0L))).head().getLong(0)
     val tt = total(ct, "ct") + buckets

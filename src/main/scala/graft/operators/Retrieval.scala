@@ -51,6 +51,25 @@ object Retrieval {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(38,6)")).cast("double")
 
+  /** Oracle-exact rational idf `(N - df + 0.5)/(df + 0.5)`: log-free, so
+    * bit-reproducible across engines (libm `ln` rounding differs), positive
+    * and monotone-decreasing in df like Lucene's clamped form. The default
+    * for [[bm25TopK]].
+    */
+  def rationalIdf(n: Long): Column => Column =
+    df => (lit(n.toDouble) - df + lit(0.5)) / (df + lit(0.5))
+
+  /** Lucene-style production idf `ln(1 + (N - df + 0.5)/(df + 0.5))` — the
+    * positivity-clamped log form mainstream engines ship. Use when ranking
+    * parity with Lucene/Elasticsearch matters more than cross-engine hash
+    * reproducibility: the `ln` compresses the idf range, so common terms
+    * carry relatively MORE weight than under the rational form and
+    * multi-term rankings can reorder (single-term rankings always agree —
+    * idf is a per-term constant factor).
+    */
+  def luceneIdf(n: Long): Column => Column =
+    df => log(lit(1.0) + (lit(n.toDouble) - df + lit(0.5)) / (df + lit(0.5)))
+
   /** (doc, dl, term, tf) postings with per-doc length, via explode +
     * map-side-combined aggregate — the inverted-index build.
     */
@@ -80,19 +99,25 @@ object Retrieval {
     * Query terms absent from the corpus contribute nothing and drop
     * out. Ties break by doc id ascending.
     *
+    * The `idf` parameter swaps the form: [[rationalIdf]] (default,
+    * oracle-exact) or [[luceneIdf]] (the production clamped-`ln`, for
+    * ranking parity with Lucene/Elasticsearch at the cost of libm
+    * cross-engine reproducibility).
+    *
     * `queries` is any (qIdCol, qTextCol) frame; it is assumed
     * query-sized (broadcast). Output: (query_id, rank, doc_id, score).
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
                qIdCol: String, qTextCol: String, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               idf: Long => Column => Column = rationalIdf): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bm25TopK: need k1 >= 0, b in [0,1]; got $k1, $b")
     // postings feed both the query-term df count and the scoring join:
     // materialize once instead of running the tokenize/explode/aggregate
     // pipeline twice (same trade as tfidfCosinePairs — postings-sized
     // MEMORY_AND_DISK blocks for a 2x corpus-pipeline recompute)
-    val dt = postings(docs, idCol, textCol).localCheckpoint(true)
+    val dt = postings(docs, idCol, textCol).transform(Materialize.apply)
     // corpus stats: two scalars (model-sized, same class as broadcast
     // centroids). N counts ALL docs, empty ones included; dl sums exactly
     // the postings' token mass.
@@ -111,7 +136,7 @@ object Retrieval {
     val qtd = qt.join(dfq, Seq("term")) // (term, query_id, df): query-sized
     val contrib = dt.join(broadcast(qtd), "term")
       .withColumn("__c",
-        ((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        idf(n)(col("df")) *
           (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / lit(avgdl)))))
     val sc = contrib.groupBy(col("query_id"), col(idCol).as("doc_id"))
@@ -155,7 +180,7 @@ object Retrieval {
     val kept = dt.join(dfreq.filter(col("df") <= maxDf), "term")
       .withColumn("w", col("tf") * (lit((nDocs + 1).toDouble) / (col("df") + 1)))
       .select(col(idCol), col("term"), col("df"), col("w"))
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
     val norms = kept.groupBy(col(idCol))
       .agg(sqrt(dsum(col("w") * col("w"))).as("norm"))
     // df=1 terms cannot match a partner; excluding them from the join is

@@ -54,12 +54,14 @@ object Training {
 
   /** Margin `w · [x, 1]` for a weight vector `w` of length d+1 (last
     * entry = bias) against a d-dim feature array column — index-order
-    * fold, so every engine sums in the same order.
+    * fold in double precision, so every engine sums in the same order.
+    * Computed by the fused [[graft.functions.MarginDot]] kernel: an
+    * unrolled `element_at` chain overflows the 64 KB Janino method limit
+    * past a few hundred dims and silently drops the stage to interpreted
+    * eval.
     */
-  private def margin(vec: Column, w: Array[Double]): Column = {
-    val feats = w.indices.init.map(i => element_at(vec, i + 1).cast("double") * lit(w(i)))
-    (feats :+ lit(w.last)).reduceLeft(_ + _)
-  }
+  private def margin(vec: Column, w: Array[Double]): Column =
+    graft.functions.VectorExpressions.marginDot(vec, w)
 
   private def gradientExact(df: DataFrame, idCol: String, vecCol: String,
                             yCol: Column, w: Array[Double], n: Long): Array[Double] = {
@@ -82,7 +84,7 @@ object Training {
   /** A contribution index past d+1 means some row's vector is LONGER than
     * the declared dim — fail with the cause, not an ArrayIndexOutOfBounds
     * from the weight update. (A SHORTER vector already fails inside the
-    * per-row margin: `element_at` past the end raises under ANSI.)
+    * per-row margin: [[graft.functions.MarginDot]] raises with the dim.)
     */
   private def checkDim(idx: Int, dims: Int): Unit =
     require(idx < dims,

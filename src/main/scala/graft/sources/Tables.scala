@@ -117,3 +117,44 @@ object Tables {
 
   private val Event120Ttl: Double = graft.model.Event.DefaultTtlSeconds
 }
+
+/** Fixture fingerprints — per table `(path, mtime, rows, schema-hash)` —
+  * stamped into Bench's detail JSON line and Verify's `fixtures.json`.
+  *
+  * Why: the driver regenerates `/root/testdata` between rounds; when that
+  * happens mid-cycle, every cross-round per-query time comparison silently
+  * becomes apples-to-oranges (a whole perf investigation was burned proving
+  * a "regression" was really a fixture change). With the fingerprint block
+  * in each artifact, fixture churn is self-announcing: identical blocks ⇒
+  * comparable numbers, differing blocks ⇒ compare shapes, not seconds.
+  *
+  * Cost: one metadata-level `count()` per table (parquet row-group stats,
+  * no column IO) plus a footer schema read — negligible next to one bench
+  * pass, and paid once per invocation.
+  */
+object Fixtures {
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** JSON object `{table: {path, mtime, rows, schema}}` for every fixture
+    * present in `sfDir`; missing tables are omitted rather than failing the
+    * artifact (a bench must still emit numbers on a partial dir).
+    */
+  def json(spark: SparkSession, sfDir: String): String = {
+    val entries = tableNames.flatMap { name =>
+      val path = s"$sfDir/$name.parquet"
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else scala.util.Try {
+        val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        val df = Tables.table(spark, sfDir, name)
+        val rows = df.count()
+        val schemaHash = java.security.MessageDigest.getInstance("MD5")
+          .digest(df.schema.json.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        s""""$name":{"path":"$path","mtime":$mtime,"rows":$rows,"schema":"$schemaHash"}"""
+      }.toOption
+    }
+    entries.mkString("{", ",", "}")
+  }
+}

@@ -57,6 +57,35 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext", k = 0))
   }
 
+  test("luceneIdf reorders a multi-term ranking against the rational default") {
+    // N=4, df(apple)=3, df(banana)=1, avgdl=(8+30+2+2)/4=10.5:
+    //   idf ratio banana/apple — rational 5.44, clamped-ln 3.38.
+    // d1 is apple-heavy (tf=8, dl=8 → tf-part 1.9587), d2 holds the rare
+    // banana once in a long doc (dl=30 → tf-part 0.56827); the parts'
+    // ratio 3.45 sits BETWEEN the two idf ratios, so the rational form
+    // ranks d2 first (rare term amplified) and the ln form ranks d1
+    // first (common terms relatively heavier under compression).
+    val docs = docsDf(
+      (1L, Seq.fill(8)("apple").mkString(" ")),
+      (2L, ("banana " + Seq.fill(29)("pad").mkString(" ")).trim),
+      (3L, "apple cat"),
+      (4L, "apple dog"))
+    val queries = docsDf((9L, "apple banana")).toDF("qid", "qtext")
+    def ranking(idf: Long => (org.apache.spark.sql.Column => org.apache.spark.sql.Column)) =
+      Retrieval.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+        k = 4, idf = idf).orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(ranking(Retrieval.rationalIdf) == Seq(2L, 1L, 3L, 4L))
+    assert(ranking(Retrieval.luceneIdf) == Seq(1L, 2L, 3L, 4L))
+    // exact closed form for the lucene top doc: idf_ln(apple) * tf-part(d1)
+    val got = Retrieval.bm25TopK(docs, queries, "doc_id", "text", "qid", "qtext",
+      k = 1, idf = Retrieval.luceneIdf).collect().head.getDouble(3)
+    val part = 8 * 2.2 / (8 + 1.2 * (0.25 + 0.75 * 8 / 10.5))
+    // the decimal-stable sum rounds at 6 dp (same device as the first test)
+    val want = BigDecimal(math.log(1.0 + (4 - 3 + 0.5) / 3.5) * part)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == want, s"got $got want $want")
+  }
+
   test("tfidfCosinePairs: identical docs hit cosine ~1, disjoint docs absent, threshold cuts") {
     val df = docsDf(
       (1L, "alpha beta gamma"),

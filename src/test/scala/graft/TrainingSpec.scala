@@ -127,6 +127,50 @@ class TrainingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("longer than the declared dim"))
   }
 
+  test("fused MarginDot == unrolled element_at chain, bit for bit; short vector fails with dim") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val w = Array.fill(9)(rng.nextDouble() * 2 - 1) // d=8 + bias
+    val rows = (1L to 100L).map(i => (i, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+    val unrolled = (w.indices.init.map(i =>
+      element_at(col("vec"), i + 1).cast("double") * lit(w(i))) :+ lit(w.last))
+      .reduceLeft(_ + _)
+    val both = rows.toDF("id", "vec")
+      .withColumn("fused", graft.functions.VectorExpressions.marginDot(col("vec"), w))
+      .withColumn("ref", unrolled)
+      .select("fused", "ref").collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // array<double> input works too (the IR score-logistic path):
+    // 0.5*2 + (-0.5)*4 + bias 1 = 0.0
+    val d = Seq((1L, Seq(0.5, -0.5))).toDF("id", "vec")
+      .select(graft.functions.VectorExpressions.marginDot(col("vec"), Array(2.0, 4.0, 1.0)))
+      .collect().head.getDouble(0)
+    assert(d == 0.0)
+  }
+
+  test("scoring survives a model dimension far past the Janino unroll limit") {
+    val s = spark
+    import s.implicits._
+    val dim = 1500 // the unrolled chain at this dim overflows 64 KB codegen
+    val rng = new scala.util.Random(47)
+    val w = Array.fill(dim + 1)(rng.nextDouble() * 0.01)
+    val df = Seq((1L, Seq.fill(dim)(rng.nextFloat())), (2L, Seq.fill(dim)(rng.nextFloat())))
+      .toDF("id", "vec")
+    val scored = Training.scoreWithWeights(df, "vec", w, "p").select("p").collect()
+    assert(scored.length == 2 && scored.forall(r => r.getDouble(0) > 0 && r.getDouble(0) < 1))
+    // a short vector names the model dim in the failure
+    val bad = Seq((3L, Seq.fill(dim - 1)(0.1f))).toDF("id", "vec")
+    val e = intercept[Exception](Training.scoreWithWeights(bad, "vec", w, "p").collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains(s"model dim is $dim")))))
+  }
+
   test("scoreLogistic output stays in (0, 1) and is monotone in the margin") {
     val df = toy()
     val model = Training.trainLogistic(df, "id", "vec", "y", 4, 5, 1.0)
