@@ -865,6 +865,10 @@ object Engine {
       df => graft.operators.Multimodal.featureExtract(df, pLong(pMap(params.head)("dim")).toInt)
     case "media-frame-sample" =>
       df => graft.operators.Multimodal.frameSample(df, pLong(pMap(params.head)("stride")).toInt)
+    case "media-image-features" =>
+      df => graft.operators.Multimodal.imageFeatureExtract(df, pLong(pMap(params.head)("grid")).toInt)
+    case "media-dhash" =>
+      df => graft.operators.Multimodal.imageDHash(df)
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }

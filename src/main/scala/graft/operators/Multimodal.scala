@@ -7,16 +7,181 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with a typed metadata struct.
   *
-  * The container has no media codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB — but everything Spark-side is real
-  * and tested: the schema, the binary column handling, the
-  * `mapPartitions` batch shape (state per partition, iterator-to-iterator
-  * so 100 TB of media streams through without materializing a partition),
-  * and the partition sizing story (media rows are wide, so plans should
-  * `repartitionByRange` on the id to keep task inputs near
-  * `spark.sql.files.maxPartitionBytes`).
+  * The IMAGE kernels are real, using only the JDK: dimensions are parsed
+  * straight from container headers ([[imageDims]]: PNG IHDR, GIF screen
+  * descriptor, JPEG SOFn scan, BMP info header — O(header), no pixel
+  * decode), and resize/features decode pixels through `javax.imageio` +
+  * `java.awt.image` (headless-safe: BufferedImage needs no display).
+  * Payloads that are NOT decodable images (audio/video containers, or the
+  * synthetic fixtures) fall back to the clearly-marked deterministic
+  * STUBs, so the pipeline is total over mixed corpora — a real audio/video
+  * codec binding would slot into the same fallback chain.
+  *
+  * Everything Spark-side is real and tested either way: the schema, the
+  * binary column handling, the `mapPartitions` batch shape (state per
+  * partition, iterator-to-iterator so 100 TB of media streams through
+  * without materializing a partition), and the partition sizing story
+  * (media rows are wide, so plans should `repartitionByRange` on the id to
+  * keep task inputs near `spark.sql.files.maxPartitionBytes`).
   */
 object Multimodal {
+
+  // ------------------------------------------------------------------
+  // Real image kernels (JDK-only)
+  // ------------------------------------------------------------------
+
+  private def beU16(b: Array[Byte], i: Int): Int =
+    (java.lang.Byte.toUnsignedInt(b(i)) << 8) | java.lang.Byte.toUnsignedInt(b(i + 1))
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (java.lang.Byte.toUnsignedInt(b(i + 1)) << 8) | java.lang.Byte.toUnsignedInt(b(i))
+  private def beI32(b: Array[Byte], i: Int): Int =
+    (java.lang.Byte.toUnsignedInt(b(i)) << 24) | (java.lang.Byte.toUnsignedInt(b(i + 1)) << 16) |
+      (java.lang.Byte.toUnsignedInt(b(i + 2)) << 8) | java.lang.Byte.toUnsignedInt(b(i + 3))
+  private def leI32(b: Array[Byte], i: Int): Int =
+    (java.lang.Byte.toUnsignedInt(b(i + 3)) << 24) | (java.lang.Byte.toUnsignedInt(b(i + 2)) << 16) |
+      (java.lang.Byte.toUnsignedInt(b(i + 1)) << 8) | java.lang.Byte.toUnsignedInt(b(i))
+
+  /** REAL image dimension parse, straight from the container bytes — no
+    * pixel decode, no external codec:
+    *
+    *  - PNG: 8-byte signature, then IHDR width/height as BE i32 at 16/20.
+    *  - GIF (87a/89a): logical screen w/h as LE u16 at 6/8.
+    *  - BMP: `BM`, BITMAPINFOHEADER width/height as LE i32 at 18/22
+    *    (|height| — a negative height means top-down row order).
+    *  - JPEG: marker scan from SOI to the first SOFn frame header
+    *    (C0-CF minus C4/C8/CC), height/width as BE u16 at +5/+7;
+    *    standalone markers (TEM, RST0-7) carry no length field.
+    *
+    * Returns None for unrecognized or truncated payloads — the caller's
+    * cue to fall back (stub, or a real audio/video probe).
+    */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val b = bytes
+    val n = if (b == null) 0 else b.length
+    if (n >= 24 &&
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A)
+      Some((beI32(b, 16), beI32(b, 20)))
+    else if (n >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((leU16(b, 6), leU16(b, 8)))
+    else if (n >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some((leI32(b, 18), math.abs(leI32(b, 22))))
+    else if (n >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 3 < n) {
+        if ((b(i) & 0xFF) != 0xFF) return None // desynced: not a marker
+        var m = b(i + 1) & 0xFF
+        while (m == 0xFF && i + 2 < n) { i += 1; m = b(i + 1) & 0xFF } // fill bytes
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone
+        else {
+          if (i + 3 >= n) return None
+          val len = beU16(b, i + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof) {
+            if (i + 8 >= n) return None
+            return Some((beU16(b, i + 7), beU16(b, i + 5)))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** REAL image resize: `javax.imageio` decode → `Graphics2D` bilinear
+    * resample to exactly w×h → PNG re-encode. Headless-safe (BufferedImage
+    * rasters never touch a display). None when the payload is not a
+    * decodable image — the stub-fallback cue.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+
+  /** Full pixel decode via ImageIO; None for non-images. The in-memory
+    * stream avoids ImageIO's default disk-backed cache (a per-row temp
+    * file would be an IO disaster inside a hot mapPartitions loop).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else try {
+      // no explicit close: ImageIO.read(ImageInputStream) closes the
+      // stream itself per contract, and a second close throws
+      // "IOException: closed" (and the backing stream is heap-only anyway)
+      Option(javax.imageio.ImageIO.read(
+        javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image features: `g × g` grid of mean luminance (ITU-R BT.601
+    * luma, bilinear-resampled), the classic perceptual-feature base — a
+    * g=8 grid is the input of aHash/pHash-family near-dup. Output length
+    * g², row-major, each value in [0, 255]. None for non-images.
+    */
+  def lumaGrid(bytes: Array[Byte], g: Int): Option[Array[Float]] =
+    resizeToRaster(bytes, g, g).map { img =>
+      val out = new Array[Float](g * g)
+      var y = 0
+      while (y < g) {
+        var x = 0
+        while (x < g) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val gg = (rgb >> 8) & 0xFF; val bb = rgb & 0xFF
+          out(y * g + x) = (0.299f * r + 0.587f * gg + 0.114f * bb)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** REAL perceptual hash (dHash): 9×8 luma grid, bit (y,x) set when
+    * `luma(x,y) < luma(x+1,y)` — 64 bits of horizontal gradient signs.
+    * Near-duplicate images differ in a few bits (hamming ≤ ~10), so the
+    * output plugs directly into the SimHash banded near-dup machinery
+    * (pigeonhole bands over a 64-bit signature). None for non-images.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    resizeToRaster(bytes, 9, 8).map { img =>
+      def luma(x: Int, y: Int): Float = {
+        val rgb = img.getRGB(x, y)
+        0.299f * ((rgb >> 16) & 0xFF) + 0.587f * ((rgb >> 8) & 0xFF) + 0.114f * (rgb & 0xFF)
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x, y) < luma(x + 1, y)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  private def resizeToRaster(bytes: Array[Byte], w: Int, h: Int): Option[java.awt.image.BufferedImage] =
+    decodeImage(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -62,8 +227,11 @@ object Multimodal {
   }
 
   /** Decode / feature-extract over the binary column: iterator-to-iterator
-    * `mapPartitions` (the Scala analog of a vectorized batch UDF) — per-row
-    * codec state could be hoisted per partition here.
+    * `mapPartitions` (the Scala analog of a vectorized batch UDF).
+    * Recognized image containers get REAL dimensions from [[imageDims]]
+    * (header parse only — no pixel decode in this pass) with
+    * `duration_ms = 0` (still image); everything else falls back to the
+    * deterministic stub, keeping the pass total over mixed corpora.
     */
   def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -71,7 +239,11 @@ object Multimodal {
     media.select("media_id", "payload", "media_type", "meta.n_bytes")
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, d) = decodeStub(r.getAs[Array[Byte]]("payload"))
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val (w, h, d) = imageDims(bytes) match {
+            case Some((iw, ih)) => (iw, ih, 0L)
+            case None => decodeStub(bytes)
+          }
           Row(r.getLong(0), r.getString(2), r.getLong(3), w, h, d)
         }
       }(enc)
@@ -96,6 +268,8 @@ object Multimodal {
   /** Resize over the binary column: same iterator-to-iterator
     * `mapPartitions` shape as [[decode]]; emits the resized payload and
     * its target dims so downstream stages see a normal media frame.
+    * Decodable images take the REAL `ImageIO` + bilinear path
+    * ([[resizeImage]] — output is a w×h PNG); everything else the stub.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val schema = StructType(Seq(
@@ -109,7 +283,12 @@ object Multimodal {
     media.select("media_id", "payload", "media_type")
       .mapPartitions { rows =>
         rows.map { r =>
-          val out = resizeStub(r.getAs[Array[Byte]]("payload"), w, h)
+          val bytes = r.getAs[Array[Byte]]("payload")
+          // O(header) magic-byte gate before the pixel decode: probing
+          // every non-image payload through ImageIO would waste a reader
+          // lookup + stream per row on mixed corpora
+          val out = (if (imageDims(bytes).isDefined) resizeImage(bytes, w, h) else None)
+            .getOrElse(resizeStub(bytes, w, h))
           Row(r.getLong(0), r.getString(2), out, out.length.toLong, w, h)
         }
       }(enc)
@@ -141,6 +320,53 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0), featureStub(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Image feature extraction with the REAL kernel where possible: a
+    * `grid × grid` mean-luminance vector ([[lumaGrid]]) for decodable
+    * images — the aHash/pHash-family perceptual feature — and the
+    * deterministic stub for everything else, so the pass stays total on a
+    * mixed corpus. Output dim is grid², `Array[Float]`, ANN-compatible.
+    * The O(header) [[imageDims]] gate runs before any pixel decode.
+    */
+  def imageFeatureExtract(media: DataFrame, grid: Int): DataFrame = {
+    val dim = grid * grid
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("is_image", BooleanType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val real = if (imageDims(bytes).isDefined) lumaGrid(bytes, grid) else None
+          Row(r.getLong(0), real.isDefined,
+            real.getOrElse(featureStub(bytes, dim)).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Perceptual hashes for the decodable images of a media frame:
+    * `(media_id, dhash)` with the REAL 64-bit [[dHash]] — non-images are
+    * dropped (a gradient-sign hash of arbitrary bytes would poison the
+    * near-dup buckets with meaningless collisions). The output signature
+    * column plugs into the same pigeonhole-banded hamming join the
+    * SimHash near-dup path uses.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          (if (imageDims(bytes).isDefined) dHash(bytes) else None)
+            .map(h => Row(r.getLong(0), h))
         }
       }(enc)
   }

@@ -30,6 +30,126 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.featureStub(Array.emptyByteArray, 3).toSeq == Seq(0.0f, 0.0f, 0.0f))
   }
 
+  // ---- real-image kernels: fixtures generated in-test via ImageIO ----
+
+  /** A w×h RGB image with a deterministic two-tone gradient, encoded in
+    * `fmt` ("png" | "gif" | "jpg" | "bmp").
+    */
+  private def makeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) 30 else 220 // left dark, right bright
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no JDK writer for $fmt")
+    baos.toByteArray
+  }
+
+  test("imageDims parses real PNG/GIF/JPEG/BMP headers; garbage and truncation → None") {
+    for (fmt <- Seq("png", "gif", "jpg", "bmp")) {
+      val bytes = makeImage(37, 23, fmt)
+      assert(Multimodal.imageDims(bytes).contains((37, 23)), s"fmt=$fmt")
+      // truncating the header kills the parse, not the process
+      assert(Multimodal.imageDims(bytes.take(8)).isEmpty || fmt == "gif" || fmt == "bmp")
+    }
+    assert(Multimodal.imageDims("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.imageDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.imageDims(null).isEmpty)
+  }
+
+  test("decode() reports real dimensions for image payloads, stub elsewhere") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (1L, makeImage(64, 48, "png"), "image", "t"),
+      (2L, "not an image at all".getBytes("UTF-8"), "audio", "t"))
+      .toDF("media_id", "payload", "media_type", "src")
+      .select(col("media_id"), col("payload"), col("media_type"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("src").as("source")).as("meta"))
+    val out = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(out(0).getInt(3) == 64 && out(0).getInt(4) == 48 && out(0).getLong(5) == 0L)
+    val (sw, sh, sd) = Multimodal.decodeStub("not an image at all".getBytes("UTF-8"))
+    assert(out(1).getInt(3) == sw && out(1).getInt(4) == sh && out(1).getLong(5) == sd)
+  }
+
+  test("resize() really resamples image payloads: output is a decodable w×h PNG") {
+    val s = spark
+    import s.implicits._
+    val media = Seq((1L, makeImage(64, 48, "jpg"), "image"),
+      (2L, "plain text".getBytes("UTF-8"), "audio"))
+      .toDF("media_id", "payload", "media_type")
+    val out = Multimodal.resize(media, 16, 12).orderBy("media_id").collect()
+    val resized = out(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.imageDims(resized).contains((16, 12))) // real PNG out
+    val img = Multimodal.decodeImage(resized).get
+    // the two-tone gradient survives the bilinear resample: left darker
+    def lum(x: Int) = (0 until 12).map(y => img.getRGB(x, y) & 0xFF).sum / 12.0
+    assert(lum(1) < 100 && lum(14) > 150, s"left ${lum(1)} right ${lum(14)}")
+    // non-image fell back to the stub
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq ==
+      Multimodal.resizeStub("plain text".getBytes("UTF-8"), 16, 12).toSeq)
+  }
+
+  test("lumaGrid + dHash: real perceptual features; near-dups close, distinct images far") {
+    val base = makeImage(64, 48, "png")
+    val grid = Multimodal.lumaGrid(base, 8).get
+    assert(grid.length == 64 && grid.forall(v => v >= 0 && v <= 255))
+    // left-dark / right-bright survives into the luma grid
+    assert(grid(0) < 100 && grid(7) > 150)
+    val h1 = Multimodal.dHash(base).get
+    // near-duplicate: same gradient re-encoded lossily (jpg) — tiny hamming
+    val h2 = Multimodal.dHash(makeImage(64, 48, "jpg")).get
+    // a very different image: inverted gradient
+    val inv = {
+      val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = if (x < 32) 220 else 30
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val h3 = Multimodal.dHash(inv).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) <= 6, s"near-dup hamming ${ham(h1, h2)}")
+    // mirrored two-tone flips exactly 2 gradient bits per row → 16
+    assert(ham(h1, h3) >= 16, s"distinct hamming ${ham(h1, h3)}")
+    assert(Multimodal.dHash("some text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageFeatureExtract and imageDHash frames: real for images, total on mixed corpora") {
+    val s = spark
+    import s.implicits._
+    val media = Seq((1L, makeImage(40, 40, "png")), (2L, "audio bytes here".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val feats = Multimodal.imageFeatureExtract(media, 8).orderBy("media_id").collect()
+    assert(feats(0).getBoolean(1) && feats(1).getBoolean(1) == false)
+    assert(feats.forall(_.getSeq[Float](2).length == 64))
+    val hashes = Multimodal.imageDHash(media).collect()
+    assert(hashes.length == 1 && hashes.head.getLong(0) == 1L) // non-image dropped
+  }
+
+  test("media-image-features and media-dhash are declarable as IR actions") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val media = Seq((1L, makeImage(32, 32, "png")), (2L, "audio".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val feats = Engine.run(
+      Node.fromJson("""{"action":"media-image-features","params":[{"grid":4}],
+        |"children":[{"action":"tap","params":["f"]}]}""".stripMargin),
+      media, EngineCtx(testMode = true)).taps("f")
+    assert(feats.count() == 2 && feats.columns.contains("is_image"))
+    val hashes = Engine.run(
+      Node.fromJson("""{"action":"media-dhash","params":[],
+        |"children":[{"action":"tap","params":["h"]}]}""".stripMargin),
+      media, EngineCtx(testMode = true)).taps("h")
+    assert(hashes.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("documents fixture is pure ASCII (byte positions == char positions, oracle precondition)") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
