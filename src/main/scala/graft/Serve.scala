@@ -272,12 +272,22 @@ object Serve {
       if (extra.nonEmpty) System.err.println(s"[serve] loaded streams: ${extra.mkString(", ")}")
     }
     installReloadHandler(b.registry, dirs)
+    // config-declared Structured Streaming queries: boot each with its
+    // checkpoint so a server restart resumes state and source offsets
+    val streamingQueries = conf.map(_.streaming).getOrElse(Nil).map { q =>
+      val sq = graft.streaming.StreamServe.start(spark, q)
+      System.err.println(s"[serve] streaming query '${q.name}' started (${sq.id})")
+      sq
+    }
     System.err.println(s"[serve] http on 127.0.0.1:${b.controlPlane.boundPort}" +
       b.tcp.map(t => s", riemann-tcp on ${t.boundPort}" + (if (conf.flatMap(_.tls).orElse(envTls).isDefined) " (mTLS)" else "")).getOrElse("") +
       b.websockets.map(h => s", websocket on ${h.boundPort}").getOrElse(""))
     val done = new java.util.concurrent.CountDownLatch(1)
     sys.addShutdownHook {
       if (sys.env.get("SPARK_GRAFT_PERSIST").contains("true")) b.registry.saveTo(dirs.head)
+      // stop() commits the current micro-batch's offsets to the
+      // checkpoint; the next boot resumes from there
+      streamingQueries.foreach(q => scala.util.Try(q.stop()))
       b.stop()
       done.countDown()
     }

@@ -30,7 +30,8 @@ object Config {
       streamDirs: Seq[String],
       testDirs: Seq[String],
       outputs: Map[String, DataFrame => Unit],
-      warnings: Seq[String])
+      warnings: Seq[String],
+      streaming: Seq[graft.streaming.StreamServe.QuerySpec] = Nil)
 
   def load(path: String): Loaded =
     parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
@@ -101,6 +102,12 @@ object Config {
         warnings += s"output '$name': expected a config map, got $other"
     }
 
+    // :streaming {:queries [...]} — config-declared long-running
+    // Structured Streaming queries (graft extension; the reference's
+    // always-on daemon role, re-expressed as checkpointed streams)
+    val (streamingSpecs, streamingWarnings) = graft.streaming.StreamServe.parse(root)
+    streamingWarnings.foreach(warnings += _)
+
     Loaded(
       httpPort = port(section("http")),
       tcpPort = port(tcp),
@@ -108,6 +115,7 @@ object Config {
       streamDirs = dirs(stream),
       testDirs = dirs(section("test")),
       outputs = outputs.result(),
-      warnings = warnings.result())
+      warnings = warnings.result(),
+      streaming = streamingSpecs)
   }
 }

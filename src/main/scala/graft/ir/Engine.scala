@@ -869,6 +869,9 @@ object Engine {
       df => graft.operators.Multimodal.imageFeatureExtract(df, pLong(pMap(params.head)("grid")).toInt)
     case "media-dhash" =>
       df => graft.operators.Multimodal.imageDHash(df)
+    case "media-near-dup" =>
+      df => graft.operators.Multimodal.imageNearDup(df,
+        pLong(pMap(params.head)("max-hamming")).toInt)
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }

@@ -347,27 +347,48 @@ object Dedup {
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 1,
                      hashFn: Column => Column = Text.md5Hash64): DataFrame = {
-    val bands = maxHamming + 1
-    val width = 32 / bands
     // signatures feed both sides of the self-join: materialize the tiny
     // (id, sig) table once instead of running the hash pipeline twice
     val sigs = simhashSigTable(df, textCol, idCol, hashFn).transform(Materialize.apply)
-    val banded = sigs.select(
-      col("__id"), col("simhash"),
+    hammingNearDup(sigs, "__id", "simhash", sigBits = 32, maxHamming = maxHamming)
+  }
+
+  /** Pigeonhole-banded hamming near-dup over ANY ≤64-bit signature column
+    * (Charikar/Manku et al.): split the signature into `maxHamming + 1`
+    * bands — a pair within the distance budget must agree EXACTLY on at
+    * least one band, so candidates come from equi-joins on (band index,
+    * band bits), one shuffle, never all-pairs; candidates verify with an
+    * exact `bit_count(xor)`. The shared engine behind the text SimHash
+    * path (32-bit token signatures) and the image dHash path (64-bit
+    * perceptual hashes, [[graft.operators.Multimodal.imageNearDup]]).
+    *
+    * Output: (id1, id2, hamming) with id1 < id2, hamming ≤ `maxHamming`.
+    */
+  def hammingNearDup(sigs: DataFrame, idCol: String, sigCol: String,
+                     sigBits: Int, maxHamming: Int): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64,
+      s"hammingNearDup: sigBits must be in [1,64], got $sigBits")
+    require(maxHamming >= 0 && maxHamming + 1 <= sigBits,
+      s"hammingNearDup: need 0 <= maxHamming < sigBits, got $maxHamming vs $sigBits bits")
+    val bands = maxHamming + 1
+    val width = sigBits / bands
+    val s = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val banded = s.select(
+      col("__id"), col("__sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           // band b = bits [b*width, (b+1)*width); last band absorbs the remainder
-          shiftright(col("simhash"), b * width)
-            .bitwiseAND(lit(if (b == bands - 1) -1L >>> (64 - (32 - b * width)) else (1L << width) - 1))
+          shiftright(col("__sig"), b * width)
+            .bitwiseAND(lit(if (b == bands - 1) -1L >>> (64 - (sigBits - b * width)) else (1L << width) - 1))
             .as("bits"))
       }: _*)).as("bk"))
-      .select(col("__id"), col("simhash"), col("bk.band"), col("bk.bits"))
+      .select(col("__id"), col("__sig"), col("bk.band"), col("bk.bits"))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).cast("long").as("hamming"))
       // filter BEFORE distinct: the dedup shuffle then carries only
       // within-budget pairs, not every band collision
       .filter(col("hamming") <= maxHamming)

@@ -371,6 +371,20 @@ object Multimodal {
       }(enc)
   }
 
+  /** Image near-duplicate pairs: REAL [[dHash]] perceptual signatures fed
+    * through the same pigeonhole-banded hamming join as the text SimHash
+    * path ([[Dedup.hammingNearDup]], 64-bit here) — candidates from
+    * (band, bits) equi-joins, one shuffle, never all-pairs; exact
+    * `bit_count(xor)` verification. Non-image payloads never enter the
+    * index. Re-encoes/recompressions of the same picture land within a
+    * few bits; `maxHamming` ≈ 6-10 is the usual near-dup budget.
+    *
+    * Output: (id1, id2, hamming), id1 < id2.
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.hammingNearDup(imageDHash(media), "media_id", "dhash",
+      sigBits = 64, maxHamming = maxHamming)
+
   /** Frame-sample: take every `stride`-th byte offset of the payload as a
     * "frame" (stub for video frame extraction); one row per sampled frame.
     */

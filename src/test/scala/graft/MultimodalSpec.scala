@@ -150,6 +150,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("imageNearDup: re-encoded image pairs up, distinct image does not, non-images ignored") {
+    val s = spark
+    import s.implicits._
+    val inv = {
+      val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = if (x < 32) 220 else 30
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      (1L, makeImage(64, 48, "png")), // base
+      (2L, makeImage(64, 48, "jpg")), // lossy re-encode of the same picture
+      (3L, inv),                      // mirrored two-tone: far away
+      (4L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("documents fixture is pure ASCII (byte positions == char positions, oracle precondition)") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")

@@ -1,0 +1,95 @@
+package graft
+
+import graft.model.Event
+import graft.operators.Analytics
+import graft.streaming.StreamServe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The config-declared long-running streaming path: a `:streaming` section
+  * in the main config.edn must parse into query specs, boot a
+  * file-source → TTL'd-stateful-op → checkpointed-file-sink query, and —
+  * the whole point — RESUME per-key state and source offsets across a
+  * server restart instead of reseeding.
+  */
+class StreamServeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val S = Event.NsPerSecond
+
+  private def ev(metric: Double, timeNs: Long, host: String, id: Long): Event =
+    Event(Some(host), Some("svc"), None, Some("ok"), Some(metric), timeNs,
+      Some(120.0), None, Nil, Map.empty, id)
+
+  test("config.edn :streaming section parses into query specs; malformed entries warn") {
+    val conf = graft.ir.Config.parse(
+      """{:streaming {:queries [{:name "ewma-hosts"
+        |                        :source {:type "file" :path "in/" :format "json"}
+        |                        :op {:action "ewma" :r 0.5 :keys ["host"]}
+        |                        :sink {:path "out/" :checkpoint "ck/"}}
+        |                       {:source {:type "rate"}}]}}""".stripMargin)
+    assert(conf.streaming.map(_.name) == Seq("ewma-hosts"))
+    assert(conf.streaming.head.op("action") == "ewma")
+    assert(conf.warnings.exists(_.contains("streaming query #1")))
+  }
+
+  test("boot from config: file source -> ewma -> checkpointed sink; restart resumes state") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream_serve")
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    val conf = graft.ir.Config.parse(
+      s"""{:streaming {:queries [{:name "ewma-hosts"
+         |                        :source {:type "file" :path "$inDir" :format "json"}
+         |                        :op {:action "ewma" :r 0.5 :keys ["host"]}
+         |                        :sink {:path "$outDir" :checkpoint "$ckDir"
+         |                               :format "json"}}]}}""".stripMargin)
+    assert(conf.streaming.size == 1)
+
+    // ewma chains state across events per host: ids 3/4 are only correct
+    // if the restart resumed the means left by ids 1/2
+    val fixture = Seq(ev(10, 1 * S, "a", 1), ev(20, 2 * S, "a", 2),
+      ev(2, 3 * S, "a", 3), ev(8, 4 * S, "a", 4))
+
+    def land(events: Seq[Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").json(inDir)
+
+    land(fixture.take(2))
+    val q1 = StreamServe.start(s, conf.streaming.head)
+    q1.processAllAvailable(); q1.stop()
+
+    land(fixture.drop(2))
+    val q2 = StreamServe.start(s, conf.streaming.head) // same checkpoint
+    q2.processAllAvailable(); q2.stop()
+
+    val streamed = s.read.schema(Event.schema).json(outDir)
+      .select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Analytics.ewmaTimeless(0.5, Seq("host"))(events(fixture: _*))
+      .toDF().select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch) // ids 1-4 all present, state carried over
+    assert(streamed.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("rate source maps onto the canonical event schema") {
+    val df = StreamServe.source(spark,
+      Map("type" -> "rate", "rows-per-second" -> (2: Integer), "hosts" -> (2: Integer)))
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Event.schema.fieldNames.toSeq)
+  }
+
+  test("unsupported op / source / missing sink keys fail loudly at boot, not at runtime") {
+    val e1 = intercept[IllegalArgumentException](
+      StreamServe.transform(Map("action" -> "nope")))
+    assert(e1.getMessage.contains("not supported"))
+    val e2 = intercept[IllegalArgumentException](
+      StreamServe.source(spark, Map("type" -> "kafka")))
+    assert(e2.getMessage.contains("file|rate"))
+    val e3 = intercept[IllegalArgumentException](
+      StreamServe.start(spark, StreamServe.QuerySpec("x",
+        Map("type" -> "rate"), Map("action" -> "ewma"), Map("path" -> "p"))))
+    assert(e3.getMessage.contains("checkpoint"))
+  }
+}
