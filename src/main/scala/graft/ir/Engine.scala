@@ -872,6 +872,10 @@ object Engine {
     case "media-near-dup" =>
       df => graft.operators.Multimodal.imageNearDup(df,
         pLong(pMap(params.head)("max-hamming")).toInt)
+    case "media-audio-decode" =>
+      df => graft.operators.Multimodal.audioDecode(df)
+    case "media-audio-features" =>
+      df => graft.operators.Multimodal.audioFeatureExtract(df, pLong(pMap(params.head)("dim")).toInt)
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }

@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * descriptor, JPEG SOFn scan, BMP info header — O(header), no pixel
   * decode), and resize/features decode pixels through `javax.imageio` +
   * `java.awt.image` (headless-safe: BufferedImage needs no display).
-  * Payloads that are NOT decodable images (audio/video containers, or the
-  * synthetic fixtures) fall back to the clearly-marked deterministic
-  * STUBs, so the pipeline is total over mixed corpora — a real audio/video
-  * codec binding would slot into the same fallback chain.
+  * The AUDIO kernels are real for the dominant uncompressed container:
+  * [[wavInfo]] walks the RIFF chunks (channels/rate/bits/duration),
+  * [[pcmSamples]] decodes 8/16-bit PCM to normalized mono floats, and
+  * [[audioRmsGrid]]/[[audioZcr]] compute loudness-envelope features and
+  * zero-crossing rate from them. Payloads that are neither decodable
+  * images nor PCM WAV (video containers, compressed audio, the synthetic
+  * fixtures) fall back to the clearly-marked deterministic STUBs, so the
+  * pipeline is total over mixed corpora — an mp3/H.264 codec binding
+  * would slot into the same fallback chain.
   *
   * Everything Spark-side is real and tested either way: the schema, the
   * binary column handling, the `mapPartitions` batch shape (state per
@@ -241,8 +246,11 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
           val (w, h, d) = imageDims(bytes) match {
-            case Some((iw, ih)) => (iw, ih, 0L)
-            case None => decodeStub(bytes)
+            case Some((iw, ih)) => (iw, ih, 0L) // still image: no duration
+            case None => wavInfo(bytes) match {
+              case Some(wi) => (0, 0, wi.durationMs) // audio: real duration
+              case None     => decodeStub(bytes)
+            }
           }
           Row(r.getLong(0), r.getString(2), r.getLong(3), w, h, d)
         }
@@ -367,6 +375,175 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("payload")
           (if (imageDims(bytes).isDefined) dHash(bytes) else None)
             .map(h => Row(r.getLong(0), h))
+        }
+      }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // Real audio kernels (JDK-only): WAV/RIFF container + PCM math
+  // ------------------------------------------------------------------
+
+  /** Parsed WAV header facts (`fmt ` chunk + data size). */
+  final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                           dataBytes: Long, durationMs: Long)
+
+  /** REAL audio decode for the dominant uncompressed container: walk the
+    * RIFF chunk list, read the `fmt ` chunk (PCM layout) and the `data`
+    * chunk size, and derive duration as `dataBytes * 1000 / byteRate` —
+    * O(header), no sample decode. None for non-WAV/truncated payloads
+    * (the stub-fallback cue; compressed formats need a codec binding).
+    */
+  def wavInfo(bytes: Array[Byte]): Option[WavInfo] = {
+    val b = bytes
+    val n = if (b == null) 0 else b.length
+    if (n < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+    var dataBytes = -1L
+    while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = leI32(b, i + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && i + 8 + 16 <= n) {
+        val audioFormat = leU16(b, i + 8)
+        if (audioFormat != 1) return None // PCM only; compressed WAV needs a codec
+        fmt = Some((leU16(b, i + 10), leI32(b, i + 12), leU16(b, i + 22),
+          leI32(b, i + 16).toLong & 0xFFFFFFFFL))
+      } else if (id == "data") {
+        // size may honestly exceed what we hold if the payload was cut;
+        // clamp to the bytes actually present
+        dataBytes = math.min(size, (n - i - 8).toLong)
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits, byteRate) <- fmt if dataBytes >= 0 && byteRate > 0)
+      yield WavInfo(ch, rate, bits, dataBytes, dataBytes * 1000L / byteRate)
+  }
+
+  /** Decode 8/16-bit PCM WAV samples to normalized mono floats in [-1, 1]
+    * (channels averaged). None for non-PCM-WAV payloads.
+    */
+  def pcmSamples(bytes: Array[Byte]): Option[Array[Float]] =
+    wavInfo(bytes).flatMap { info =>
+      if (info.bitsPerSample != 8 && info.bitsPerSample != 16) None
+      else {
+        // find the data chunk offset again (wavInfo only kept its size)
+        var i = 12
+        var off = -1
+        while (i + 8 <= bytes.length && off < 0) {
+          val id = new String(bytes, i, 4, "US-ASCII")
+          val size = leI32(bytes, i + 4).toLong & 0xFFFFFFFFL
+          if (id == "data") off = i + 8
+          else i += 8 + size.toInt + (size.toInt & 1)
+        }
+        if (off < 0) None
+        else {
+          val bytesPerSample = info.bitsPerSample / 8
+          val frames = (info.dataBytes / (bytesPerSample * info.channels)).toInt
+          val out = new Array[Float](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < info.channels) {
+              val p = off + (f * info.channels + c) * bytesPerSample
+              acc += (if (bytesPerSample == 1)
+                (java.lang.Byte.toUnsignedInt(bytes(p)) - 128) / 128.0f // 8-bit is unsigned
+              else // 16-bit signed little-endian
+                ((bytes(p) & 0xFF) | (bytes(p + 1) << 8)).toShort / 32768.0f)
+              c += 1
+            }
+            out(f) = acc / info.channels
+            f += 1
+          }
+          Some(out)
+        }
+      }
+    }
+
+  /** REAL audio features: `dim` equal windows of RMS energy over the
+    * normalized mono samples — the audio analog of [[lumaGrid]] (a coarse
+    * loudness envelope; silence detection, energy-based near-dup, ANN).
+    * Values in [0, 1]. None for non-PCM-WAV payloads.
+    */
+  def audioRmsGrid(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    pcmSamples(bytes).map { s =>
+      val out = new Array[Float](dim)
+      if (s.nonEmpty) {
+        var w = 0
+        while (w < dim) {
+          val from = (s.length.toLong * w / dim).toInt
+          val to = math.max((s.length.toLong * (w + 1) / dim).toInt, from + 1)
+          var acc = 0.0
+          var i = from
+          while (i < math.min(to, s.length)) { acc += s(i) * s(i); i += 1 }
+          val cnt = math.max(math.min(to, s.length) - from, 1)
+          out(w) = math.sqrt(acc / cnt).toFloat
+          w += 1
+        }
+      }
+      out
+    }
+
+  /** Zero-crossing rate over the mono samples — crude but real
+    * pitch/noisiness signal (sine ≈ 2f/rate, silence = 0, noise high).
+    */
+  def audioZcr(bytes: Array[Byte]): Option[Float] =
+    pcmSamples(bytes).map { s =>
+      if (s.length < 2) 0.0f
+      else {
+        var z = 0
+        var i = 1
+        while (i < s.length) {
+          if ((s(i - 1) >= 0) != (s(i) >= 0)) z += 1
+          i += 1
+        }
+        z.toFloat / (s.length - 1)
+      }
+    }
+
+  /** Audio facts frame: REAL header numbers for PCM WAV payloads,
+    * `is_audio = false` + zeros elsewhere (total on mixed corpora, same
+    * contract as [[imageFeatureExtract]]).
+    */
+  def audioDecode(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("is_audio", BooleanType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("bits_per_sample", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          wavInfo(r.getAs[Array[Byte]]("payload")) match {
+            case Some(w) => Row(r.getLong(0), true, w.channels, w.sampleRate,
+              w.bitsPerSample, w.durationMs)
+            case None => Row(r.getLong(0), false, 0, 0, 0, 0L)
+          }
+        }
+      }(enc)
+  }
+
+  /** Audio feature extraction: REAL RMS-envelope grid for PCM WAV
+    * payloads, deterministic stub for everything else — `dim` floats,
+    * ANN-compatible, `is_audio` flags which kernel ran.
+    */
+  def audioFeatureExtract(media: DataFrame, dim: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("is_audio", BooleanType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val real = audioRmsGrid(bytes, dim)
+          Row(r.getLong(0), real.isDefined,
+            real.getOrElse(featureStub(bytes, dim)).toSeq)
         }
       }(enc)
   }

@@ -174,6 +174,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  // ---- real-audio kernels: WAV fixtures built byte-by-byte in-test ----
+
+  /** Mono 16-bit PCM WAV: first half a `freq` Hz sine at ~0.92 amplitude,
+    * second half silence.
+    */
+  private def makeWav(seconds: Double = 0.5, rate: Int = 8000, freq: Double = 440): Array[Byte] = {
+    val frames = (seconds * rate).toInt
+    val samples = Array.tabulate(frames) { i =>
+      if (i < frames / 2) (math.sin(2 * math.Pi * freq * i / rate) * 30000).toShort
+      else 0.toShort
+    }
+    val dataBytes = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataBytes); bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataBytes)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("wavInfo parses a real RIFF/PCM header; compressed/garbage/truncated → None") {
+    val wav = makeWav(0.5, 8000)
+    val info = Multimodal.wavInfo(wav).get
+    assert(info.channels == 1 && info.sampleRate == 8000 && info.bitsPerSample == 16)
+    assert(info.dataBytes == 8000L && info.durationMs == 500L)
+    assert(Multimodal.wavInfo("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.wavInfo(wav.take(20)).isEmpty)
+    // non-PCM format code (e.g. 85 = mp3-in-wav) refuses rather than lies
+    val mp3ish = wav.clone(); mp3ish(20) = 85
+    assert(Multimodal.wavInfo(mp3ish).isEmpty)
+  }
+
+  test("pcmSamples / audioRmsGrid / audioZcr compute real signal numbers") {
+    val wav = makeWav(0.5, 8000, freq = 440)
+    val s = Multimodal.pcmSamples(wav).get
+    assert(s.length == 4000)
+    assert(math.abs(s.take(2000).map(v => math.abs(v)).max - 30000 / 32768.0) < 0.01)
+    assert(s.drop(2000).forall(_ == 0.0f))
+    val rms = Multimodal.audioRmsGrid(wav, 4).get
+    // sine RMS = amplitude/sqrt(2) ≈ 0.647 in the loud half, 0 in silence
+    assert(rms(0) > 0.6 && rms(1) > 0.6 && rms(2) < 0.001 && rms(3) < 0.001,
+      rms.mkString(","))
+    // ZCR of a 440 Hz sine at 8 kHz ≈ 2*440/8000 = 0.11 over the loud
+    // half → ≈ 0.055 overall (silence contributes no crossings)
+    val zcr = Multimodal.audioZcr(wav).get
+    assert(zcr > 0.04 && zcr < 0.07, s"zcr $zcr")
+  }
+
+  test("decode() reports real WAV duration; audioDecode/audioFeatureExtract total on mixed corpora") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (1L, makeWav(0.5, 8000), "audio", "t"),
+      (2L, makeImage(32, 16, "png"), "image", "t"),
+      (3L, "neither".getBytes("UTF-8"), "video", "t"))
+      .toDF("media_id", "payload", "media_type", "src")
+      .select(col("media_id"), col("payload"), col("media_type"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("src").as("source")).as("meta"))
+    val dec = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(dec(0).getInt(3) == 0 && dec(0).getInt(4) == 0 && dec(0).getLong(5) == 500L)
+    assert(dec(1).getInt(3) == 32 && dec(1).getInt(4) == 16)
+    val au = Multimodal.audioDecode(media).orderBy("media_id").collect()
+    assert(au(0).getBoolean(1) && au(0).getInt(2) == 1 && au(0).getInt(3) == 8000 &&
+      au(0).getLong(5) == 500L)
+    assert(!au(1).getBoolean(1) && !au(2).getBoolean(1))
+    val feats = Multimodal.audioFeatureExtract(media, 8).orderBy("media_id").collect()
+    assert(feats(0).getBoolean(1) && !feats(1).getBoolean(1))
+    assert(feats.forall(_.getSeq[Float](2).length == 8))
+  }
+
   test("documents fixture is pure ASCII (byte positions == char positions, oracle precondition)") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
