@@ -37,7 +37,9 @@ object Bench {
     "text_normalize", "boilerplate_lines", "url_blocklist_filter",
     "embedding_project", "classifier_train", "vocab_topk", "frequent_ngrams",
     "text_strip_html", "upsample_epochs", "decontam_overlap",
-    "embedding_l2norm", "curriculum_order", "vocab_drift", "ngram_diversity")
+    "embedding_l2norm", "curriculum_order", "vocab_drift", "ngram_diversity",
+    // round 9: BPE pair-count primitive (tokenizer-induction inner loop)
+    "bpe_pair_counts")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

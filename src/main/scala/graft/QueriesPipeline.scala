@@ -1825,6 +1825,31 @@ object QueriesPipeline {
       Curation.vocabTopK(docs(s, dir), "text", k = 200, minCount = 2L)
     }
 
+    // BPE adjacent-pair counts — the oracle-gated primitive of the
+    // distributed tokenizer trainer (the iterative merge loop itself is
+    // not SQL-expressible: the left-to-right merge scan is stateful
+    // within a word, so the loop is spec-gated in TokenizerSpec against
+    // an independent reference implementation)
+    register("bpe_pair_counts",
+      s"""$DocsView,
+         |words AS (SELECT tok AS word, count(*) AS cnt
+         |          FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY 1),
+         |wpos AS (SELECT word, cnt, unnest(range(1, len(word))) AS i
+         |         FROM words WHERE len(word) >= 2),
+         |pairs AS (SELECT substr(word, CAST(i AS INT), 1) AS l_sym,
+         |                 substr(word, CAST(i AS INT) + 1, 1) AS r_sym,
+         |                 CAST(sum(cnt) AS BIGINT) AS cnt
+         |          FROM wpos GROUP BY 1, 2)
+         |SELECT l_sym, r_sym, cnt FROM pairs
+         |ORDER BY cnt DESC, l_sym, r_sym LIMIT 200""".stripMargin) { (s, dir) =>
+      graft.operators.Tokenizer.pairCounts(
+        graft.operators.Tokenizer.symbolize(
+          graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")))
+        .select(col("left").as("l_sym"), col("right").as("r_sym"), col("cnt"))
+        .orderBy(col("cnt").desc, col("l_sym").asc, col("r_sym").asc)
+        .limit(200)
+    }
+
     register("frequent_ngrams",
       s"""$DocsView,
          |g AS (SELECT doc_id, unnest(${sqlNgrams("toks", 3)}) AS gram FROM docs),

@@ -231,6 +231,24 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Training.ModelSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "bpe-train" =>
+          // artifact rule: training runs iterative jobs; validate probes
+          // the params/columns and emits the model schema only
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pLong(m("merges"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.Tokenizer.MergesSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "bpe-encode" =>
+          // the merge table is a runtime artifact (a bpe-train step
+          // earlier in the job may produce it): skip the parquet read
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pStr(m("model-path"))
+            recurse(df.withColumn(pStr(m("out")), array().cast("array<string>")))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case _ =>
           val out =
             try applyOp(n.action, n.params, keys, ctx)(df)
@@ -874,6 +892,23 @@ object Engine {
         pLong(pMap(params.head)("max-hamming")).toInt)
     case "media-audio-decode" =>
       df => graft.operators.Multimodal.audioDecode(df)
+
+    // distributed BPE tokenizer induction
+    case "bpe-pair-counts" =>
+      val m = pMap(params.head)
+      df => graft.operators.Tokenizer.pairCounts(
+        graft.operators.Tokenizer.symbolize(
+          graft.operators.Tokenizer.wordCounts(df, pStr(m("text")))))
+    case "bpe-train" =>
+      val m = pMap(params.head)
+      df => graft.operators.Tokenizer.trainBpe(df, pStr(m("text")),
+        pLong(m("merges")).toInt,
+        m.get("min-pair").map(pLong).getOrElse(2L))
+    case "bpe-encode" =>
+      val m = pMap(params.head)
+      df => graft.operators.Tokenizer.encode(df, pStr(m("text")),
+        graft.operators.Tokenizer.loadMerges(df.sparkSession, pStr(m("model-path"))),
+        pStr(m("out")))
     case "media-audio-features" =>
       df => graft.operators.Multimodal.audioFeatureExtract(df, pLong(pMap(params.head)("dim")).toInt)
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Central policy for eagerly materializing multi-consumer intermediates
   * (postings tables, signature tables, bucket-count models) so their
@@ -33,15 +33,20 @@ object Materialize {
   val ConfKey = "spark.graft.materialize"
 
   /** Eagerly materialize `df` under the session's configured policy. */
-  def apply(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ConfKey, "local") match {
-      case "local" => df.localCheckpoint(true)
+  def apply(df: DataFrame): DataFrame = dataset(df)
+
+  /** Typed variant — same policy, keeps the Dataset's encoder (used by the
+    * iterative loops: BPE training, label propagation).
+    */
+  def dataset[T](ds: Dataset[T]): Dataset[T] =
+    ds.sparkSession.conf.get(ConfKey, "local") match {
+      case "local" => ds.localCheckpoint(true)
       case "reliable" =>
-        val sc = df.sparkSession.sparkContext
+        val sc = ds.sparkSession.sparkContext
         require(sc.getCheckpointDir.isDefined,
           s"$ConfKey=reliable needs sparkContext.setCheckpointDir(<hdfs/s3 path>) " +
             "— reliable checkpoints are written there to survive executor loss")
-        df.checkpoint(true)
+        ds.checkpoint(true)
       case other =>
         throw new IllegalArgumentException(
           s"$ConfKey must be 'local' or 'reliable', got '$other'")
