@@ -328,6 +328,67 @@ object QueriesPipeline {
           .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
           .orderBy("domain")
       }
+
+      // URL canonicalization for URL-level dedup: fragment cut, host
+      // lowercasing, default-port strip, tracking-param drop + sorted
+      // survivors — messy variants synthesized per doc_id, rule-for-rule
+      // replayed by the oracle (DuckDB backrefs are \1, Spark's $1)
+      val messySql =
+        """CASE WHEN doc_id % 11 = 0 THEN 'not a url at all'
+          |     WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+          |       || '.COM:80/Path/' || CAST(doc_id AS VARCHAR)
+          |       || '?utm_source=x&b=2&a=1&gclid=z'
+          |       || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END
+          |     ELSE 'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR)
+          |       || '.ORG:443/Path/' || CAST(doc_id AS VARCHAR)
+          |       || '?b=2&a=1&fbclid=q'
+          |       || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END END""".stripMargin
+          .replace("\n", " ")
+      def messyCol =
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("not a url at all"))
+          .when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".COM:80/Path/"), col("doc_id").cast("string"),
+              lit("?utm_source=x&b=2&a=1&gclid=z"),
+              when(pmod(col("doc_id"), lit(3)) === 0, lit("#frag")).otherwise(lit(""))))
+          .otherwise(
+            concat(lit("HTTPS://Example"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".ORG:443/Path/"), col("doc_id").cast("string"),
+              lit("?b=2&a=1&fbclid=q"),
+              when(pmod(col("doc_id"), lit(3)) === 0, lit("#frag")).otherwise(lit(""))))
+
+      register("url_canonicalize",
+        s"""WITH u AS (SELECT doc_id, $messySql AS s FROM documents),
+           |c AS (SELECT doc_id, s, regexp_replace(s, '#.*$$', '') AS nofrag FROM u),
+           |d AS (SELECT doc_id, s, nofrag,
+           |        regexp_extract(nofrag, '^([a-zA-Z]+://[^/?]+)', 1) AS prefix FROM c),
+           |e AS (SELECT doc_id, s, lower(prefix) AS lowered,
+           |        substr(nofrag, len(prefix) + 1) AS rest,
+           |        regexp_replace(regexp_replace(lower(prefix),
+           |          '^(http://[^:/?]+):80$$', '\\1'),
+           |          '^(https://[^:/?]+):443$$', '\\1') AS noport
+           |      FROM d),
+           |f AS (SELECT doc_id, s, lowered, noport,
+           |        CASE WHEN strpos(rest, '?') > 0
+           |             THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END AS path,
+           |        CASE WHEN strpos(rest, '?') > 0
+           |             THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS query
+           |      FROM e),
+           |g AS (SELECT doc_id, s, lowered, noport, path,
+           |        list_sort(list_filter(string_split(query, '&'),
+           |          p -> len(p) > 0 AND NOT regexp_matches(p, '${Pii.TrackingParamPattern}'))) AS kept
+           |      FROM f)
+           |SELECT doc_id,
+           |       CASE WHEN lowered LIKE 'http://%' OR lowered LIKE 'https://%'
+           |            THEN noport || path ||
+           |                 CASE WHEN len(kept) > 0
+           |                      THEN '?' || array_to_string(kept, '&') ELSE '' END
+           |            ELSE s END AS canonical_url
+           |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        docs(s, dir).select(col("doc_id"), messyCol.as("s"))
+          .select(col("doc_id"), Pii.canonicalizeUrl(col("s")).as("canonical_url"))
+          .orderBy("doc_id")
+      }
     }
 
     // ---------------- deterministic sampling / splitting ----------------

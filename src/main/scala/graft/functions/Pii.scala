@@ -45,6 +45,46 @@ object Pii {
   def urlHosts(c: Column): Column =
     regexp_extract_all(c, lit(UrlHostPattern), lit(1))
 
+  /** Tracking query parameters dropped by [[canonicalizeUrl]] — the
+    * analytics/click-id params that make the same page look like millions
+    * of distinct URLs (the standard pre-dedup normalization cut).
+    */
+  val TrackingParamPattern = "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref)="
+
+  /** Canonicalize a single-URL column for URL-level dedup:
+    *
+    *  1. drop the `#fragment`,
+    *  2. lowercase scheme + host (path/query case is significant and
+    *     kept),
+    *  3. strip default ports (`http://…:80`, `https://…:443`),
+    *  4. drop tracking params ([[TrackingParamPattern]]) and SORT the
+    *     survivors — `?b=2&a=1` and `?a=1&b=2` are the same resource,
+    *  5. drop the bare `?` when nothing survives.
+    *
+    * Non-URL strings (no `http(s)://` prefix) pass through unchanged, so
+    * the pass is total on dirty crawl metadata. Pure column algebra
+    * (regex + array ops, codegen'd, zero shuffle) in the Java/RE2 common
+    * subset — the DuckDB oracle replays every rule.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([a-zA-Z]+://[^/?]+)", 1)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val lowered = lower(prefix)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^:/?]+):80$", "$1"),
+      "^(https://[^:/?]+):443$", "$1")
+    val qPos = instr(rest, "?")
+    val path = when(qPos > 0, rest.substr(lit(1), qPos - 1)).otherwise(rest)
+    val query = when(qPos > 0, rest.substr(qPos + 1, length(rest))).otherwise(lit(""))
+    val kept = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern)))
+    val canonical = concat(noPort, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+    when(lowered.startsWith("http://") || lowered.startsWith("https://"), canonical)
+      .otherwise(u)
+  }
+
   /** Registrable domain of a host: the last `levels` dot-labels (default
     * 2, e.g. `a.b.example.org` → `example.org`). Label-count aware —
     * shorter hosts pass through whole.

@@ -893,6 +893,11 @@ object Engine {
     case "media-audio-decode" =>
       df => graft.operators.Multimodal.audioDecode(df)
 
+    case "url-canonicalize" =>
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.functions.Pii.canonicalizeUrl(col(pStr(m("field")))))
+
     // distributed BPE tokenizer induction
     case "bpe-pair-counts" =>
       val m = pMap(params.head)

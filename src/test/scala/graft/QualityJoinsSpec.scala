@@ -83,6 +83,19 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(tricky == "<EMAIL> x")
   }
 
+  test("canonicalizeUrl: fragment/port/tracking cut, host lowered, params sorted, non-URLs pass") {
+    def canon(s: String): String =
+      one(s).select(Pii.canonicalizeUrl(col("text"))).collect().head.getString(0)
+    assert(canon("HTTPS://Example.ORG:443/Path/9?b=2&a=1&utm_source=x#frag") ==
+      "https://example.org/Path/9?a=1&b=2")
+    assert(canon("HTTP://WWW.Site.COM:80/x?gclid=z&fbclid=q") == "http://www.site.com/x")
+    // non-default port survives; path case survives; ? with nothing left drops
+    assert(canon("http://h.io:8080/A?utm_campaign=c") == "http://h.io:8080/A")
+    assert(canon("not a url at all") == "not a url at all")
+    // sorted params make the two orderings dedup-equal
+    assert(canon("https://h.io/p?z=1&a=2") == canon("https://h.io/p?a=2&z=1"))
+  }
+
   test("registrableDomain keeps short hosts whole") {
     val s = spark
     import s.implicits._
