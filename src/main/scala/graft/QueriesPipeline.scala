@@ -1197,6 +1197,27 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }
 
+    // hard-negative mining: nearest OTHER-label neighbors per anchor
+    // (labels synthesized as vec_id % 4 on both sides)
+    register("hard_negatives",
+      s"""WITH e AS (SELECT vec_id, embedding, CAST(vec_id % 4 AS BIGINT) AS label
+         |           FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id, c.label AS label,
+         |         ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+         |  FROM q JOIN e c ON c.vec_id != q.vec_id AND c.label != q.label)
+         |SELECT query_id, rank, nn_id, label, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, nn_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).withColumn("label", pmod(col("vec_id"), lit(4)).cast("long"))
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", 5)
+        .orderBy("query_id", "rank")
+    }
+
     locally {
       // 4-bit buckets + 2 multi-probe bit flips (the least-confident
       // dimensions): populated buckets AND the probe-explode path under

@@ -231,6 +231,16 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Training.ModelSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "hard-negatives" =>
+          // artifact rule: the anchor batch is a runtime input
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("vec"))); df(pStr(m("label")))
+            pStr(m("anchors-path")); pLong(m("k"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.Similarity.HardNegSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "bpe-train" =>
           // artifact rule: training runs iterative jobs; validate probes
           // the params/columns and emits the model schema only
@@ -892,6 +902,14 @@ object Engine {
         pLong(pMap(params.head)("max-hamming")).toInt)
     case "media-audio-decode" =>
       df => graft.operators.Multimodal.audioDecode(df)
+
+    case "hard-negatives" =>
+      // anchors arrive as a persisted artifact (the usual mining setup:
+      // the anchor batch is produced by an earlier sampling step)
+      val m = pMap(params.head)
+      df => graft.operators.Similarity.hardNegatives(df,
+        df.sparkSession.read.parquet(pStr(m("anchors-path"))),
+        pStr(m("id")), pStr(m("vec")), pStr(m("label")), pLong(m("k")).toInt)
 
     case "url-canonicalize" =>
       val m = pMap(params.head)

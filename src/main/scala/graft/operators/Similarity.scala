@@ -61,6 +61,50 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** Output schema of [[hardNegatives]] — source of truth for the IR
+    * validator's artifact-total stub.
+    */
+  val HardNegSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("nn_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType)))
+
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` most-cosine-similar corpus rows carrying a DIFFERENT label — the
+    * negatives near the decision boundary (random in-batch negatives are
+    * mostly easy; the hard ones carry the gradient signal — the DPR /
+    * sentence-encoder mining step).
+    *
+    * Scale shape = [[bruteForceTopK]]: anchors broadcast (anchor sets are
+    * batch-sized), corpus side map-scanned with the fused cosine kernel,
+    * per-anchor top-k window over candidate rows only. For web-scale
+    * corpora swap the corpus side for a bucketed/IVF candidate set first
+    * (the composed ANN operators) — the label filter and window are
+    * unchanged. Ties break by nn_id ascending.
+    *
+    * Output: (query_id, rank, nn_id, label, cosine).
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      col(labelCol).as("label"))
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      col(labelCol).as("query_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id") && col("label") =!= col("query_label"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("label"), col("cosine"))
+  }
+
   /** Sign-pattern bucket key over the first `bits` dimensions: the cheap,
     * deterministic stand-in for random-hyperplane LSH (dimensions of a
     * learned embedding are already mixed). Vectors in the same bucket are

@@ -192,6 +192,22 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(scores(0) != scores(2))             // different text, different score
   }
 
+  test("hardNegatives: self and same-label excluded, cosine-ranked, k caps") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 0L),   // anchor
+      (2L, Seq(1.0f, 0.0f), 0L),   // identical but SAME label → excluded
+      (3L, Seq(0.9f, 0.1f), 1L),   // closest other-label
+      (4L, Seq(0.0f, 1.0f), 1L),   // orthogonal
+      (5L, Seq(0.5f, 0.5f), 2L))   // cos ≈ 0.707
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.hardNegatives(
+      rows, rows.filter(col("vec_id") === 1), "vec_id", "embedding", "label", 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L), (2L, 5L))) // id 2 never appears; id 4 cut by k
+  }
+
   test("semanticDedup drops within-cluster near-dups, keeps lowest id, spares far pairs") {
     val s = spark
     import s.implicits._
