@@ -38,8 +38,9 @@ object Bench {
     "embedding_project", "classifier_train", "vocab_topk", "frequent_ngrams",
     "text_strip_html", "upsample_epochs", "decontam_overlap",
     "embedding_l2norm", "curriculum_order", "vocab_drift", "ngram_diversity",
-    // round 9: BPE pair-count primitive (tokenizer-induction inner loop)
-    "bpe_pair_counts")
+    // round 9: BPE pair-count primitive (tokenizer-induction inner loop),
+    // n-gram LM perplexity scoring + CCNet bucketing, hard negatives
+    "bpe_pair_counts", "ngram_lm_score", "ppl_bucket_counts", "hard_negatives")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -1907,6 +1907,84 @@ object QueriesPipeline {
       Curation.vocabTopK(docs(s, dir), "text", k = 200, minCount = 2L)
     }
 
+    // ---------------- n-gram LM perplexity filtering (CCNet) ----------------
+    // Shared CTE chain: bigram add-α(0.5) model trained on the corpus
+    // itself, per-doc token-order logprob fold. ln/exp outputs compare at
+    // DECIMAL(38,6): Spark codegen uses StrictMath (bit-reproducible on
+    // every JVM — the right call for a distributed engine), DuckDB uses
+    // libm, and the two differ by 1 ULP on ~0.1% of inputs (measured).
+    val ngramScoreCtes =
+      s"""$DocsView,
+         |pt AS (SELECT doc_id, source, list_concat(list_concat(['<s>'], toks), ['</s>']) AS p FROM docs),
+         |v AS (SELECT count(DISTINCT t) + 1 AS vs
+         |      FROM (SELECT unnest(toks) AS t FROM docs)),
+         |gr AS (SELECT doc_id, source, i, p[CAST(i AS INT) - 1] AS ctx, p[CAST(i AS INT)] AS word
+         |       FROM (SELECT doc_id, source, p, unnest(range(2, len(p) + 1)) AS i FROM pt)),
+         |cnt AS (SELECT ctx, word, count(*) AS c FROM gr GROUP BY 1, 2),
+         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         |lnp AS (SELECT gr.doc_id, gr.source, gr.i,
+         |               ln((CAST(COALESCE(cnt.c, 0) AS DOUBLE) + 0.5)
+         |                  / (CAST(COALESCE(ctot.t, 0) AS DOUBLE) + 0.5 * CAST(vs AS DOUBLE))) AS lnp
+         |        FROM gr LEFT JOIN cnt ON gr.ctx = cnt.ctx AND gr.word = cnt.word
+         |                LEFT JOIN ctot ON gr.ctx = ctot.ctx CROSS JOIN v),
+         |sc AS (SELECT doc_id, any_value(source) AS source, count(*) AS n_scored,
+         |              list_reduce(list_prepend(0.0, list(lnp ORDER BY i)),
+         |                          (a, x) -> a + x) AS lp
+         |       FROM lnp GROUP BY doc_id)""".stripMargin
+
+    def ngramModel(s: SparkSession, dir: String): graft.operators.NgramLm.Model = {
+      val d = docs(s, dir)
+      graft.operators.NgramLm.Model(
+        graft.operators.NgramLm.trainCounts(d, "text", 2), 2, 0.5,
+        graft.operators.NgramLm.vocabSize(d, "text"))
+    }
+
+    register("ngram_lm_counts",
+      s"""$DocsView,
+         |pt AS (SELECT doc_id, list_concat(list_concat(['<s>'], toks), ['</s>']) AS p FROM docs),
+         |gr AS (SELECT p[CAST(i AS INT) - 1] AS ctx, p[CAST(i AS INT)] AS word
+         |       FROM (SELECT p, unnest(range(2, len(p) + 1)) AS i FROM pt))
+         |SELECT ctx, word, count(*) AS cnt FROM gr GROUP BY 1, 2
+         |ORDER BY cnt DESC, ctx, word LIMIT 100""".stripMargin) { (s, dir) =>
+      graft.operators.NgramLm.trainCounts(docs(s, dir), "text", 2)
+        .orderBy(col("cnt").desc, col("ctx").asc, col("word").asc)
+        .limit(100)
+    }
+
+    register("ngram_lm_score",
+      s"""$ngramScoreCtes
+         |SELECT doc_id, n_scored,
+         |       CAST(lp AS DECIMAL(38,6)) AS logprob,
+         |       CAST(-lp / n_scored AS DECIMAL(38,6)) AS cross_entropy,
+         |       CAST(exp(-lp / n_scored) AS DECIMAL(38,6)) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.NgramLm.score(docs(s, dir), "text", "doc_id", ngramModel(s, dir))
+        .select(col("doc_id"), col("n_scored"),
+          col("logprob").cast("decimal(38,6)").as("logprob"),
+          col("cross_entropy").cast("decimal(38,6)").as("cross_entropy"),
+          col("ppl").cast("decimal(38,6)").as("ppl"))
+        .orderBy("doc_id")
+    }
+
+    register("ppl_bucket_counts",
+      s"""$ngramScoreCtes,
+         |ranked AS (SELECT source,
+         |                  row_number() OVER (ORDER BY exp(-lp / n_scored) ASC, doc_id ASC) - 1 AS rnk
+         |           FROM sc),
+         |tot AS (SELECT count(*) AS n FROM ranked)
+         |SELECT source,
+         |       CASE least(CAST(floor(CAST(rnk * 3 AS DOUBLE) / n) AS BIGINT), 2)
+         |         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+         |       count(*) AS n_docs
+         |FROM ranked CROSS JOIN tot GROUP BY 1, 2
+         |ORDER BY source, ppl_bucket""".stripMargin) { (s, dir) =>
+      val scored = graft.operators.NgramLm.score(
+        docs(s, dir), "text", "doc_id", ngramModel(s, dir))
+      graft.operators.NgramLm.pplBucket(scored, "doc_id", "ppl")
+        .groupBy("source", "ppl_bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "ppl_bucket")
+    }
+
     // BPE adjacent-pair counts — the oracle-gated primitive of the
     // distributed tokenizer trainer (the iterative merge loop itself is
     // not SQL-expressible: the left-to-right merge scan is stateful

@@ -241,6 +241,27 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Similarity.HardNegSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "ngram-train" =>
+          // artifact rule: writes the model to disk as a side effect;
+          // validate probes params/columns and emits the counts schema
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pLong(m("n")); pDouble(m("alpha")); pStr(m("path"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.NgramLm.CountsSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "ngram-score" =>
+          // the LM model is a runtime artifact (an ngram-train step
+          // earlier in the job may produce it): skip the parquet read
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); df(pStr(m("id"))); pStr(m("model-path"))
+            recurse(df.withColumn("n_scored", lit(0L))
+              .withColumn("logprob", lit(0.0))
+              .withColumn("cross_entropy", lit(0.0))
+              .withColumn("ppl", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "bpe-train" =>
           // artifact rule: training runs iterative jobs; validate probes
           // the params/columns and emits the model schema only
@@ -922,6 +943,21 @@ object Engine {
       df => graft.operators.Tokenizer.pairCounts(
         graft.operators.Tokenizer.symbolize(
           graft.operators.Tokenizer.wordCounts(df, pStr(m("text")))))
+    case "ngram-train" =>
+      val m = pMap(params.head)
+      df => {
+        graft.operators.NgramLm.train(df, pStr(m("text")),
+          pLong(m("n")).toInt, pDouble(m("alpha")), pStr(m("path")))
+        graft.operators.NgramLm.loadModel(df.sparkSession, pStr(m("path"))).counts
+      }
+    case "ngram-score" =>
+      val m = pMap(params.head)
+      df => graft.operators.NgramLm.score(df, pStr(m("text")), pStr(m("id")),
+        graft.operators.NgramLm.loadModel(df.sparkSession, pStr(m("model-path"))))
+    case "ppl-bucket" =>
+      val m = pMap(params.head)
+      df => graft.operators.NgramLm.pplBucket(df, pStr(m("id")), pStr(m("ppl")),
+        m.get("buckets").map(pStrs).getOrElse(Seq("head", "middle", "tail")))
     case "bpe-train" =>
       val m = pMap(params.head)
       df => graft.operators.Tokenizer.trainBpe(df, pStr(m("text")),

@@ -596,10 +596,17 @@ object Curation {
     * The caller's `order` columns must be a total order (tie-broken),
     * or positions within ties are partition-dependent.
     */
-  private def withGlobalPosition(df: DataFrame, order: Seq[Column]): DataFrame = {
+  private def withGlobalPosition(df: DataFrame, order: Seq[Column]): DataFrame =
+    withGlobalPositionAs(df, order, "position")
+
+  /** [[withGlobalPosition]] with a caller-chosen ordinal column name —
+    * shared with the other global-order consumers ([[NgramLm.pplBucket]]).
+    */
+  private[operators] def withGlobalPositionAs(df: DataFrame, order: Seq[Column],
+                                              posCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(order: _*)
-    val schema = StructType(StructField("position", LongType) +: sorted.schema.fields)
+    val schema = StructType(StructField(posCol, LongType) +: sorted.schema.fields)
     spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
       schema)

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language-model training and perplexity scoring —
+  * the CCNet-style quality filter (Wenzek et al. 2020: score every
+  * document with an n-gram LM, bucket the corpus into head/middle/tail
+  * by perplexity, train on the head). The same primitive powers
+  * KenLM-based filtering in most public web-corpus pipelines.
+  *
+  * Model: order-`n` LM with add-α (Lidstone) smoothing over an explicit
+  * vocabulary:
+  *
+  * {{{  p(w | ctx) = (c(ctx, w) + α) / (c(ctx) + α·V)  }}}
+  *
+  * where `ctx` is the space-joined previous `n-1` tokens, documents are
+  * padded with `n-1` BOS markers and one EOS, and `V` counts distinct
+  * corpus tokens plus EOS (so the unseen-context distribution is the
+  * uniform `1/V`). Add-α is the transparent, exactly-reproducible member
+  * of the smoothing family — a production filter may prefer Kneser-Ney,
+  * but the pipeline shape (and the bucketing that consumes the scores)
+  * is identical.
+  *
+  * Scale shape — why this runs at 100 TB:
+  *  - '''train''' touches the corpus with ONE explode + ONE `groupBy`
+  *    (map-side combined integer counts); the result is model-sized
+  *    (distinct n-grams, Zipf-bounded far below corpus bytes). Context
+  *    totals derive from the n-gram table, not another corpus pass.
+  *  - '''score''' is one explode + two equi-joins against the model
+  *    (on `(ctx, word)` for the n-gram count, on `ctx` for the context
+  *    total) + one per-document aggregation. Spark broadcasts the model
+  *    when it fits (the bench path); at web scale both joins are plain
+  *    shuffle hash joins on uniform keys — never all-pairs.
+  *  - '''bucket''' avoids a single-partition global window: cutoff is by
+  *    global rank from a range-exchange sort + `zipWithIndex` (the
+  *    [[Curation.shuffleOrder]] pattern).
+  *
+  * Determinism: counts are integer sums; per-token `ln p` uses Spark's
+  * builtin `log` (codegen = `StrictMath.log` — bit-reproducible on EVERY
+  * JVM and platform, the right property for a distributed engine);
+  * per-document sums fold in token order via the sorted-fold convention.
+  * Cross-ENGINE (DuckDB libm) the transcendentals differ by 1 ULP on
+  * ~0.1% of inputs (measured), so oracle comparison happens at
+  * `DECIMAL(38,6)` like the repo's other double-sum gates.
+  */
+object NgramLm {
+
+  val Bos = "<s>"
+  val Eos = "</s>"
+
+  /** Output schema of [[trainCounts]] — source of truth for the IR
+    * validator's `ngram-train` stub.
+    */
+  val CountsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ctx", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Padded token array for an order-`n` model: `n-1` BOS + tokens + EOS. */
+  private def padded(text: Column, n: Int): Column = {
+    val toks = Text.tokens(text)
+    if (n <= 1) concat(toks, array(lit(Eos)))
+    else concat(array(Seq.fill(n - 1)(lit(Bos)): _*), toks, array(lit(Eos)))
+  }
+
+  /** One row per scoring position: `(pos, ctx, word)` — `pos` is the
+    * 1-based index of `word` in the padded array, `ctx` the space-joined
+    * `n-1` tokens before it ('' for unigrams).
+    */
+  private def positions(toksCol: Column, n: Int): Column =
+    transform(sequence(lit(n), size(toksCol)), i =>
+      struct(i.as("pos"),
+        array_join(slice(toksCol, i - lit(n - 1), lit(n - 1)), " ").as("ctx"),
+        element_at(toksCol, i).as("word")))
+
+  /** N-gram count table `(ctx, word, cnt)` — the model's bulk. One
+    * corpus explode, one map-side-combined count.
+    */
+  def trainCounts(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"NgramLm: order must be >= 1, got $n")
+    docs.select(explode(positions(padded(col(textCol), n), n)).as("g"))
+      .groupBy(col("g.ctx").as("ctx"), col("g.word").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Context totals `(ctx, ctx_cnt)` derived from the count table —
+    * model-sized input, no second corpus pass.
+    */
+  def contextTotals(counts: DataFrame): DataFrame =
+    counts.groupBy("ctx").agg(sum("cnt").as("ctx_cnt"))
+
+  /** Vocabulary size V = distinct corpus tokens + EOS (BOS never appears
+    * in word position, so it is deliberately NOT counted).
+    */
+  def vocabSize(docs: DataFrame, textCol: String): Long =
+    docs.select(explode(Text.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0) + 1L
+
+  /** Full training run → persisted model directory (`ngrams.parquet` +
+    * single-row `meta.parquet` with n/alpha/vocab_size). The artifact is
+    * what production pipelines reuse: train once on a reference corpus
+    * (CCNet: Wikipedia), score everything else against it.
+    */
+  def train(docs: DataFrame, textCol: String, n: Int, alpha: Double,
+            path: String): Unit = {
+    require(alpha > 0, s"NgramLm: alpha must be > 0, got $alpha")
+    val counts = trainCounts(docs, textCol, n)
+    counts.write.mode("overwrite").parquet(s"$path/ngrams.parquet")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, alpha, vocabSize(docs, textCol)))
+      .toDF("n", "alpha", "vocab_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  final case class Model(counts: DataFrame, n: Int, alpha: Double, vocabSize: Long)
+
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val meta = spark.read.parquet(s"$path/meta.parquet").head
+    Model(spark.read.parquet(s"$path/ngrams.parquet"),
+      meta.getAs[Int]("n"), meta.getAs[Double]("alpha"),
+      meta.getAs[Long]("vocab_size"))
+  }
+
+  /** Score every document: output = input columns +
+    * `n_scored` (tokens + EOS), `logprob` (Σ ln p, token order),
+    * `cross_entropy` (−logprob / n_scored) and `ppl` (e^cross_entropy).
+    * Lower ppl = more like the training corpus.
+    */
+  def score(docs: DataFrame, textCol: String, idCol: String,
+            model: Model): DataFrame = {
+    val counts = model.counts
+    val ctxTot = contextTotals(counts)
+    val n = model.n
+    val exploded = docs
+      .select(col(idCol).as("__id"),
+        explode(positions(padded(col(textCol), n), n)).as("g"))
+      .select(col("__id"), col("g.pos").as("pos"),
+        col("g.ctx").as("ctx"), col("g.word").as("word"))
+    val joined = exploded
+      .join(counts.withColumnRenamed("cnt", "__cnt"), Seq("ctx", "word"), "left")
+      .join(ctxTot.withColumnRenamed("ctx_cnt", "__ctx_cnt"), Seq("ctx"), "left")
+      .withColumn("__lnp", log(
+        (coalesce(col("__cnt"), lit(0L)).cast("double") + lit(model.alpha)) /
+          (coalesce(col("__ctx_cnt"), lit(0L)).cast("double") +
+            lit(model.alpha) * lit(model.vocabSize.toDouble))))
+    // token-order fold: bitwise-reproducible double sum on any engine
+    val perDoc = joined.groupBy("__id")
+      .agg(count(lit(1)).as("n_scored"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("__lnp")))),
+          lit(0.0), (acc, x) => acc + x.getField("__lnp")).as("logprob"))
+      .withColumn("cross_entropy", -col("logprob") / col("n_scored").cast("double"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+    docs.join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "inner")
+  }
+
+  /** CCNet head/middle/tail bucketing: rank documents by perplexity
+    * ascending (ties by id) and cut the ranking into `buckets.length`
+    * equal spans — bucket 0 ("head") = the most-fluent third. Global
+    * rank comes from a range-exchange sort + `zipWithIndex`, never a
+    * single-partition window.
+    *
+    * Output: input columns + `ppl_rank` (0-based) + `ppl_bucket`.
+    */
+  def pplBucket(scored: DataFrame, idCol: String, pplCol: String,
+                buckets: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(buckets.nonEmpty, "NgramLm.pplBucket: need at least one bucket")
+    val total = scored.count()
+    val ranked = Curation.withGlobalPositionAs(
+      scored, Seq(col(pplCol).asc, col(idCol).asc), "ppl_rank")
+    val k = buckets.length
+    // bucket b gets ranks [b*total/k, (b+1)*total/k) — integer math,
+    // byte-identical to the oracle's rank arithmetic
+    val bucketIdx = when(lit(total) === 0, lit(0))
+      .otherwise(least(floor(col("ppl_rank") * k / lit(total)), lit(k - 1)))
+    val names = map(buckets.zipWithIndex.flatMap {
+      case (name, i) => Seq(lit(i.toLong), lit(name))
+    }: _*)
+    ranked.withColumn("ppl_bucket", element_at(names, bucketIdx.cast("long")))
+  }
+}

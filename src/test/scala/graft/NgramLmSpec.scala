@@ -1,0 +1,171 @@
+package graft
+
+import graft.operators.NgramLm
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** N-gram LM training + perplexity scoring laws, checked against an
+  * independent in-memory reference implementation (same tokenization,
+  * same add-α smoothing, computed with plain Scala collections).
+  */
+class NgramLmSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import NgramLm.{Bos, Eos}
+
+  // ---- independent reference implementation ----
+  private def refToks(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def refPadded(text: String, n: Int): Seq[String] =
+    Seq.fill(math.max(n - 1, 0))(Bos) ++ refToks(text) :+ Eos
+
+  private def refCounts(corpus: Seq[String], n: Int): Map[(String, String), Long] =
+    corpus.flatMap { t =>
+      val p = refPadded(t, n)
+      (n - 1 until p.length).map(i => (p.slice(i - n + 1, i).mkString(" "), p(i)))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  private def refScore(corpus: Seq[String], text: String, n: Int,
+                       alpha: Double): (Long, Double) = {
+    val counts = refCounts(corpus, n)
+    val ctxTot = counts.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val v = corpus.flatMap(refToks).distinct.size + 1L
+    val p = refPadded(text, n)
+    val lnps = (n - 1 until p.length).map { i =>
+      val ctx = p.slice(i - n + 1, i).mkString(" ")
+      val c = counts.getOrElse((ctx, p(i)), 0L)
+      val t = ctxTot.getOrElse(ctx, 0L)
+      StrictMath.log((c.toDouble + alpha) / (t.toDouble + alpha * v))
+    }
+    (lnps.size.toLong, lnps.foldLeft(0.0)(_ + _))
+  }
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat", "a"),
+    (2L, "the dog sat on the log", "a"),
+    (3L, "cats and dogs and cats", "b"),
+    (4L, "entirely novel vocabulary here", "b"),
+    (5L, "the cat sat", "c"))
+
+  private def docsDf = {
+    val s = spark; import s.implicits._
+    corpus.toDF("doc_id", "text", "source")
+  }
+
+  test("trainCounts: bigram counts match hand computation incl BOS/EOS") {
+    val got = NgramLm.trainCounts(docsDf, "text", 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == refCounts(corpus.map(_._2), 2))
+    assert(got((Bos, "the")) == 3L)      // docs 1, 2, 5 start with "the"
+    assert(got(("the", "cat")) == 2L)
+    assert(got(("sat", Eos)) == 1L)      // doc 5 ends at "sat"
+  }
+
+  test("vocabSize: distinct tokens + EOS, BOS not counted") {
+    val v = NgramLm.vocabSize(docsDf, "text")
+    assert(v == corpus.flatMap(c => refToks(c._2)).distinct.size + 1L)
+  }
+
+  test("score == in-memory reference for n = 1, 2, 3 (bit-exact doubles)") {
+    for (n <- Seq(1, 2, 3)) {
+      val counts = NgramLm.trainCounts(docsDf, "text", n)
+      val model = NgramLm.Model(counts, n, 0.5, NgramLm.vocabSize(docsDf, "text"))
+      val got = NgramLm.score(docsDf, "text", "doc_id", model)
+        .select("doc_id", "n_scored", "logprob", "cross_entropy", "ppl")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))).toMap
+      for ((id, text, _) <- corpus) {
+        val (nS, lp) = refScore(corpus.map(_._2), text, n, 0.5)
+        val (gN, gLp, gCe, gPpl) = got(id)
+        assert(gN == nS, s"n_scored n=$n doc=$id")
+        assert(gLp == lp, s"logprob n=$n doc=$id")   // exact, not approx
+        assert(gCe == -lp / nS && gPpl == StrictMath.exp(-lp / nS))
+      }
+    }
+  }
+
+  test("unseen-context tokens score the uniform 1/V floor") {
+    // train WITHOUT doc 4, score doc 4: every bigram has unseen context
+    // except the BOS-start, so p = alpha / (alpha*V) = 1/V for those
+    val s = spark; import s.implicits._
+    val trainDocs = corpus.filter(_._1 != 4L).toDF("doc_id", "text", "source")
+    val counts = NgramLm.trainCounts(trainDocs, "text", 2)
+    val v = NgramLm.vocabSize(trainDocs, "text")
+    val model = NgramLm.Model(counts, 2, 0.5, v)
+    val lp = NgramLm.score(corpus.filter(_._1 == 4L).toDF("doc_id", "text", "source"),
+        "text", "doc_id", model)
+      .select("logprob").head.getDouble(0)
+    // tokens 2..5 (novel ctx): ln(1/V) each; token 1 has ctx BOS (seen)
+    val bosTot = refCounts(corpus.filter(_._1 != 4L).map(_._2), 2)
+      .collect { case ((Bos, _), c) => c }.sum
+    val expected = StrictMath.log(0.5 / (bosTot + 0.5 * v)) + 4 * StrictMath.log(1.0 / v)
+    assert(lp == expected)
+  }
+
+  test("model save/load round-trip preserves scores exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm").toString
+    NgramLm.train(docsDf, "text", 2, 0.5, dir)
+    val m = NgramLm.loadModel(spark, dir)
+    assert(m.n == 2 && m.alpha == 0.5 &&
+      m.vocabSize == NgramLm.vocabSize(docsDf, "text"))
+    val before = NgramLm.score(docsDf, "text", "doc_id",
+        NgramLm.Model(NgramLm.trainCounts(docsDf, "text", 2), 2, 0.5, m.vocabSize))
+      .select("doc_id", "logprob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = NgramLm.score(docsDf, "text", "doc_id", m)
+      .select("doc_id", "logprob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(before == after)
+  }
+
+  test("IR actions: ngram-train persists + emits counts, ngram-score loads the artifact, ppl-bucket buckets; validate artifact-total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val dir = java.nio.file.Files.createTempDirectory("ngram_ir").toString + "/m"
+    val trained = Engine.run(
+      Node.fromJson(s"""{"action":"ngram-train","params":[{"text":"text","n":2,"alpha":0.5,"path":"$dir"}],
+        |"children":[{"action":"tap","params":["m"]}]}""".stripMargin),
+      docsDf, EngineCtx(testMode = true)).taps("m")
+    assert(trained.columns.toSeq == Seq("ctx", "word", "cnt"))
+    assert(trained.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      == refCounts(corpus.map(_._2), 2))
+    val bucketed = Engine.run(
+      Node.fromJson(s"""{"action":"ngram-score","params":[{"text":"text","id":"doc_id","model-path":"$dir"}],
+        |"children":[{"action":"ppl-bucket","params":[{"id":"doc_id","ppl":"ppl"}],
+        |             "children":[{"action":"tap","params":["b"]}]}]}""".stripMargin),
+      docsDf, EngineCtx(testMode = true)).taps("b")
+    val byId = bucketed.select("doc_id", "logprob", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    for ((id, text, _) <- corpus)
+      assert(byId(id)._1 == refScore(corpus.map(_._2), text, 2, 0.5)._2)
+    assert(byId.values.map(_._2).toSet == Set("head", "middle", "tail"))
+    // buckets follow the reference ranking: rank r of 5 → floor(r*3/5)
+    val refRank = corpus.map { case (id, text, _) =>
+      val (nS, lp) = refScore(corpus.map(_._2), text, 2, 0.5)
+      id -> StrictMath.exp(-lp / nS)
+    }.sortBy { case (id, ppl) => (ppl, id) }.map(_._1).zipWithIndex.toMap
+    for ((id, _, _) <- corpus) {
+      val expect = Seq("head", "middle", "tail")(refRank(id) * 3 / corpus.size)
+      assert(byId(id)._2 == expect, s"doc $id rank ${refRank(id)}")
+    }
+    // validate/compile stays total when the model artifact does not exist
+    val v = Engine.validate(
+      Node.fromJson("""{"action":"ngram-score","params":[{"text":"text","id":"doc_id","model-path":"/nope/m"}],
+        |"children":[{"action":"tap","params":["s"]}]}""".stripMargin),
+      spark, EngineCtx(testMode = true), docsDf.schema)
+    assert(v.isEmpty, v.mkString("; "))
+  }
+
+  test("pplBucket: rank thirds with floor arithmetic and id tie-break") {
+    val s = spark; import s.implicits._
+    // 7 rows → bucket sizes 3/2/2 under floor(rank*3/7); ties on ppl
+    // broken by id ascending
+    val scored = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 3.0),
+      (5L, 4.0), (6L, 5.0), (7L, 6.0)).toDF("doc_id", "ppl")
+    val got = NgramLm.pplBucket(scored, "doc_id", "ppl")
+      .select("doc_id", "ppl_rank", "ppl_bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.map(_._3).toSeq ==
+      Seq("head", "head", "head", "middle", "middle", "tail", "tail"))
+  }
+}
