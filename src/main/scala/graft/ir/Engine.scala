@@ -923,6 +923,11 @@ object Engine {
         pLong(pMap(params.head)("max-hamming")).toInt)
     case "media-audio-decode" =>
       df => graft.operators.Multimodal.audioDecode(df)
+    case "media-video-decode" =>
+      df => graft.operators.Multimodal.videoDecode(df)
+    case "media-frame-times" =>
+      df => graft.operators.Multimodal.videoFrameTimes(df,
+        pDouble(pMap(params.head)("fps")))
 
     case "hard-negatives" =>
       // anchors arrive as a persisted artifact (the usual mining setup:

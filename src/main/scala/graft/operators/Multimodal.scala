@@ -249,7 +249,10 @@ object Multimodal {
             case Some((iw, ih)) => (iw, ih, 0L) // still image: no duration
             case None => wavInfo(bytes) match {
               case Some(wi) => (0, 0, wi.durationMs) // audio: real duration
-              case None     => decodeStub(bytes)
+              case None => mp4Info(bytes) match {
+                case Some(mi) => (mi.width, mi.height, mi.durationMs) // video: real facts
+                case None     => decodeStub(bytes)
+              }
             }
           }
           Row(r.getLong(0), r.getString(2), r.getLong(3), w, h, d)
@@ -561,6 +564,157 @@ object Multimodal {
   def imageNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame =
     Dedup.hammingNearDup(imageDHash(media), "media_id", "dhash",
       sigBits = 64, maxHamming = maxHamming)
+
+  // ------------------------------------------------------------------
+  // REAL video kernel: ISO BMFF (MP4/MOV) box walk — O(moov), no codec.
+  // ------------------------------------------------------------------
+
+  private def beU32(b: Array[Byte], i: Int): Long = beI32(b, i) & 0xFFFFFFFFL
+  private def beI64(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Real MP4 facts, parsed from the container's box structure:
+    * `ftyp` major brand, `mvhd` timescale/duration (both version 0 and 1
+    * layouts), presentation width/height from the first video `tkhd`
+    * (16.16 fixed point), per-handler track counts from `hdlr`, and the
+    * total sample (frame) count from the `stts` tables.
+    */
+  final case class Mp4Info(brand: String, timescale: Long, durationMs: Long,
+                           width: Int, height: Int, videoTracks: Int,
+                           audioTracks: Int, nSamples: Long)
+
+  /** ISO BMFF box walk: `[size u32][type 4cc]`, `size == 1` → 64-bit
+    * largesize at +8, `size == 0` → extends to end. Containers
+    * (`moov trak mdia minf stbl`) recurse; leaves read fixed layouts with
+    * hard bounds checks. Strict on identity (payload must LEAD with
+    * `ftyp` and contain `moov`+`mvhd`) so random bytes never parse;
+    * tolerant inside (unknown boxes skipped, truncated leaves ignored) —
+    * mirrors [[wavInfo]]'s refuse-don't-guess contract. Returns None on
+    * anything else — the caller's stub-fallback cue.
+    */
+  def mp4Info(bytes: Array[Byte]): Option[Mp4Info] = {
+    val b = bytes
+    val n = if (b == null) 0 else b.length
+    if (n < 16 || fourcc(b, 4) != "ftyp") return None
+    val brand = fourcc(b, 8)
+
+    var timescale = 0L; var duration = -1L
+    var width = 0; var height = 0
+    var videoTracks = 0; var audioTracks = 0; var nSamples = 0L
+    var sawMvhd = false
+
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(from: Long, to: Long): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = beU32(b, i.toInt)
+        val typ = fourcc(b, i.toInt + 4)
+        var header = 8L
+        val size: Long =
+          if (size0 == 1L) {
+            if (i + 16 > to) return
+            header = 16L; beI64(b, i.toInt + 8)
+          } else if (size0 == 0L) to - i
+          else size0
+        if (size < header || i + size > to) return // malformed: stop this level
+        val p = (i + header).toInt // payload start
+        val pLen = (size - header).toInt
+        typ match {
+          case t if containers(t) => walk(i + header, i + size)
+          case "mvhd" if pLen >= 20 =>
+            sawMvhd = true
+            val v = b(p) & 0xFF
+            if (v == 1 && pLen >= 32) {
+              timescale = beU32(b, p + 20); duration = beI64(b, p + 24)
+            } else {
+              timescale = beU32(b, p + 12); duration = beU32(b, p + 16)
+            }
+          case "tkhd" =>
+            val v = b(p) & 0xFF
+            val (wo, ho) = if (v == 1) (88, 92) else (76, 80)
+            if (pLen >= ho + 4) {
+              val w = (beU32(b, p + wo) >> 16).toInt // 16.16 fixed
+              val h = (beU32(b, p + ho) >> 16).toInt
+              if (width == 0 && w > 0 && h > 0) { width = w; height = h }
+            }
+          case "hdlr" if pLen >= 12 =>
+            fourcc(b, p + 8) match {
+              case "vide" => videoTracks += 1
+              case "soun" => audioTracks += 1
+              case _      => ()
+            }
+          case "stts" if pLen >= 8 =>
+            val entries = beU32(b, p + 4)
+            var e = 0L
+            while (e < entries && 8 + e * 8 + 8 <= pLen) {
+              nSamples += beU32(b, p + 8 + (e * 8).toInt); e += 1
+            }
+          case _ => ()
+        }
+        i += size
+      }
+    }
+    walk(0L, n.toLong)
+    if (!sawMvhd || timescale <= 0) None
+    else Some(Mp4Info(brand, timescale, duration * 1000L / timescale,
+      width, height, videoTracks, audioTracks, nSamples))
+  }
+
+  /** Video facts frame: REAL container numbers for MP4/MOV payloads,
+    * `is_video = false` zero-rows for everything else (same shape as
+    * [[audioDecode]]). Map-side `mapPartitions`, one pass.
+    */
+  def videoDecode(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("is_video", BooleanType, nullable = false),
+      StructField("brand", StringType),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("video_tracks", IntegerType, nullable = false),
+      StructField("audio_tracks", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          mp4Info(r.getAs[Array[Byte]]("payload")) match {
+            case Some(m) => Row(r.getLong(0), true, m.brand, m.width, m.height,
+              m.durationMs, m.videoTracks, m.audioTracks, m.nSamples)
+            case None => Row(r.getLong(0), false, null, 0, 0, 0L, 0, 0, 0L)
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL frame-time sampling for parseable MP4s: `fps` uniform sample
+    * timestamps across the container's true duration — one row per
+    * sampled frame `(media_id, frame_no, t_ms)`. Payloads that are not
+    * MP4 produce no rows (the byte-stride [[frameSample]] is the total
+    * fallback). Map-side: parse + explode, no shuffle.
+    */
+  def videoFrameTimes(media: DataFrame, fps: Double): DataFrame = {
+    require(fps > 0, s"videoFrameTimes: fps must be > 0, got $fps")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("t_ms", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val stepMs = math.max(1L, math.round(1000.0 / fps))
+    media.select("media_id", "payload")
+      .flatMap { r =>
+        mp4Info(r.getAs[Array[Byte]]("payload")) match {
+          case Some(m) if m.durationMs > 0 =>
+            (0L until m.durationMs by stepMs).zipWithIndex.map {
+              case (t, i) => Row(r.getLong(0), i.toLong, t)
+            }
+          case _ => Nil
+        }
+      }(enc)
+  }
 
   /** Frame-sample: take every `stride`-th byte offset of the payload as a
     * "frame" (stub for video frame extraction); one row per sampled frame.

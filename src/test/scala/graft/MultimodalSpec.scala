@@ -280,4 +280,80 @@ class MultimodalSpec extends AnyFunSuite {
       feats, feats.limit(3), "vec_id", "embedding", 2)
     assert(knn.count() == 6) // 3 queries × top-2
   }
+
+  // ---- real MP4 fixtures: boxes built byte-by-byte ----
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length); bb.put(typ.getBytes("US-ASCII")); bb.put(body)
+    bb.array()
+  }
+  private def be32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def fix1616(v: Int): Array[Byte] = be32(v.toLong << 16)
+
+  /** Minimal valid MP4: ftyp(isom) + moov(mvhd + video trak(tkhd, hdlr
+    * vide, stts) + audio trak(hdlr soun)). timescale 600, duration 3000
+    * units = 5 s; 150 frames of 20 units.
+    */
+  private def makeMp4(v1: Boolean = false): Array[Byte] = {
+    val mvhd =
+      if (v1) box("mvhd", Array[Byte](1, 0, 0, 0), new Array[Byte](16),
+        be32(600), Array.fill[Byte](4)(0), be32(3000))
+      else box("mvhd", new Array[Byte](12), be32(600), be32(3000))
+    val tkhd = box("tkhd", new Array[Byte](76), fix1616(640), fix1616(360))
+    val hdlrV = box("hdlr", new Array[Byte](8), "vide".getBytes("US-ASCII"))
+    val hdlrA = box("hdlr", new Array[Byte](8), "soun".getBytes("US-ASCII"))
+    val stts = box("stts", new Array[Byte](4), be32(1), be32(150), be32(20))
+    val trakV = box("trak", tkhd,
+      box("mdia", hdlrV, box("minf", box("stbl", stts))))
+    val trakA = box("trak", box("mdia", hdlrA))
+    box("ftyp", "isom".getBytes("US-ASCII"), be32(512)) ++
+      box("moov", mvhd, trakV, trakA)
+  }
+
+  test("mp4Info parses real ISO BMFF boxes (v0+v1 mvhd); garbage/truncation/no-moov → None") {
+    for (v1 <- Seq(false, true)) {
+      val m = Multimodal.mp4Info(makeMp4(v1)).get
+      assert(m.brand == "isom" && m.timescale == 600L && m.durationMs == 5000L)
+      assert(m.width == 640 && m.height == 360)
+      assert(m.videoTracks == 1 && m.audioTracks == 1 && m.nSamples == 150L)
+    }
+    assert(Multimodal.mp4Info("not a video at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4Info(makeMp4().take(40)).isEmpty)          // moov cut off
+    assert(Multimodal.mp4Info(box("ftyp", "isom".getBytes("US-ASCII"))).isEmpty) // no moov
+    assert(Multimodal.mp4Info(null).isEmpty)
+  }
+
+  test("videoDecode / decode() / videoFrameTimes: real MP4 numbers, total on mixed corpora") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      (1L, makeMp4(), "video", "t"),
+      (2L, makeWav(0.5, 8000), "audio", "t"),
+      (3L, "neither".getBytes("UTF-8"), "video", "t"))
+      .toDF("media_id", "payload", "media_type", "src")
+      .select(col("media_id"), col("payload"), col("media_type"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          col("src").as("source")).as("meta"))
+    val vd = Multimodal.videoDecode(media).orderBy("media_id").collect()
+    assert(vd(0).getBoolean(1) && vd(0).getString(2) == "isom" &&
+      vd(0).getInt(3) == 640 && vd(0).getInt(4) == 360 &&
+      vd(0).getLong(5) == 5000L && vd(0).getLong(8) == 150L)
+    assert(!vd(1).getBoolean(1) && !vd(2).getBoolean(1))
+    // decode() routes MP4s through the real parser
+    val dec = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(dec(0).getInt(3) == 640 && dec(0).getInt(4) == 360 && dec(0).getLong(5) == 5000L)
+    // 2 fps over 5 s → 10 frames at 0,500,...,4500 ms; non-MP4s emit none
+    val ft = Multimodal.videoFrameTimes(media, 2.0).orderBy("media_id", "frame_no").collect()
+    assert(ft.length == 10 && ft.forall(_.getLong(0) == 1L))
+    assert(ft.map(_.getLong(2)).toSeq == (0L until 5000L by 500L).toSeq)
+    // IR declarability
+    import graft.ir.{Engine, EngineCtx, Node}
+    val irOut = Engine.run(Node.fromJson(
+      """{"action":"media-video-decode","params":[],"children":[
+        |  {"action":"tap","params":["v"]}]}""".stripMargin),
+      media, EngineCtx(testMode = true)).taps("v")
+    assert(irOut.filter(col("is_video")).count() == 1)
+  }
 }
