@@ -1985,6 +1985,32 @@ object QueriesPipeline {
         .orderBy("source", "ppl_bucket")
     }
 
+    // count-min sketch: the fixed-memory frequency estimator. The oracle
+    // rebuilds the IDENTICAL d×w matrix cell-by-cell from the md5 bucket
+    // convention and takes the same min-of-cells estimate — integer-exact,
+    // collisions and all (w=256 forces real collisions at sf0.01).
+    locally {
+      val (d, w) = (4, 256)
+      def sqlBucket(j: String, tok: String) =
+        s"(${sqlMd5Hash64(s"'cms:' || CAST($j AS VARCHAR) || ':' || $tok")} % $w)"
+      register("cms_token_counts",
+        s"""$DocsView,
+           |inst AS (SELECT unnest(toks) AS tok FROM docs),
+           |js AS (SELECT unnest(range(0, $d)) AS j),
+           |cells AS (SELECT j, ${sqlBucket("j", "tok")} AS b, count(*) AS c
+           |          FROM inst CROSS JOIN js GROUP BY 1, 2),
+           |toks AS (SELECT DISTINCT tok FROM inst),
+           |est AS (SELECT tok AS token, CAST(min(c) AS BIGINT) AS est
+           |        FROM toks CROSS JOIN js
+           |        JOIN cells ON cells.j = js.j
+           |                  AND cells.b = ${sqlBucket("js.j", "tok")}
+           |        GROUP BY tok)
+           |SELECT token, est FROM est
+           |ORDER BY est DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+        graft.operators.Sketches.cmsTokenCounts(docs(s, dir), "text", d, w, "cms", 100)
+      }
+    }
+
     // BPE adjacent-pair counts — the oracle-gated primitive of the
     // distributed tokenizer trainer (the iterative merge loop itself is
     // not SQL-expressible: the left-to-right merge scan is stateful

@@ -963,6 +963,11 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.NgramLm.pplBucket(df, pStr(m("id")), pStr(m("ppl")),
         m.get("buckets").map(pStrs).getOrElse(Seq("head", "middle", "tail")))
+    case "cms-topk" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sketches.cmsTokenCounts(df, pStr(m("text")),
+        pLong(m("depth")).toInt, pLong(m("width")).toInt,
+        m.get("seed").map(pStr).getOrElse("cms"), pLong(m("k")).toInt)
     case "bpe-train" =>
       val m = pMap(params.head)
       df => graft.operators.Tokenizer.trainBpe(df, pStr(m("text")),
