@@ -1985,6 +1985,39 @@ object QueriesPipeline {
         .orderBy("source", "ppl_bucket")
     }
 
+    // temperature-scaled source mixing (T=2): rates from IEEE sqrt
+    // (correctly-rounded by the standard — bit-identical cross-engine,
+    // unlike pow), normalizer folded in source-name order, then the
+    // upsample_epochs floor + hash-fraction copy rule
+    locally {
+      val bucket = s"(${sqlMd5Hash64("'tmix:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      register("temperature_mix",
+        s"""WITH stats AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+           |tw AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS total,
+           |         list_reduce(list_prepend(0.0,
+           |           list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+           |           (a, x) -> a + x) AS z
+           |  FROM stats),
+           |rates AS (
+           |  SELECT source,
+           |         CAST(total AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / z / CAST(n AS DOUBLE) AS w
+           |  FROM stats CROSS JOIN tw),
+           |c AS (
+           |  SELECT doc_id, d.source,
+           |         CAST(floor(w) AS BIGINT) +
+           |         CASE WHEN $bucket < CAST(floor((w - floor(w)) * 1000000) AS BIGINT)
+           |              THEN 1 ELSE 0 END AS copies
+           |  FROM documents d JOIN rates ON d.source = rates.source)
+           |SELECT doc_id, source, unnest(range(copies)) AS copy
+           |FROM c ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+        Curation.temperatureMix(docs(s, dir).select("doc_id", "source"),
+          "source", "doc_id")
+          .orderBy("doc_id", "copy")
+      }
+    }
+
     // count-min sketch: the fixed-memory frequency estimator. The oracle
     // rebuilds the IDENTICAL d×w matrix cell-by-cell from the md5 bucket
     // convention and takes the same min-of-cells estimate — integer-exact,

@@ -963,6 +963,11 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.NgramLm.pplBucket(df, pStr(m("id")), pStr(m("ppl")),
         m.get("buckets").map(pStrs).getOrElse(Seq("head", "middle", "tail")))
+    case "temperature-mix" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.temperatureMix(df, pStr(m("source")),
+        pStr(m("id")), m.get("temperature").map(pDouble).getOrElse(2.0),
+        m.get("salt").map(pStr).getOrElse("tmix"))
     case "cms-topk" =>
       val m = pMap(params.head)
       df => graft.operators.Sketches.cmsTokenCounts(df, pStr(m("text")),

@@ -378,6 +378,45 @@ object Curation {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * rebalancing step (XLM / mT5 style): sampling mass per source is
+    * `n_s^(1/T)` renormalized, so `T = 1` keeps natural proportions and
+    * larger `T` flattens the mixture toward uniform (low-resource
+    * sources upsampled WITH replacement, high-resource downsampled).
+    * Total output size ≈ the input corpus size.
+    *
+    * Per-source rates are computed driver-side from one tiny
+    * `groupBy(source).count` (model-sized), then applied map-side by
+    * [[upsampleByWeight]]'s deterministic floor + hash-fraction rule —
+    * NO second corpus shuffle; sources absent from the stats (impossible
+    * by construction) would drop via `defaultWeight = 0`.
+    *
+    * Determinism across engines: for `T = 2` the root is IEEE `sqrt`
+    * (CORRECTLY-ROUNDED by the standard — bit-identical on every engine,
+    * unlike `pow`), the normalizer folds in source-name order, and every
+    * other step is exact double arithmetic — so the oracle reproduces the
+    * rates bit-for-bit (`temperature_mix` gate). Other temperatures use
+    * `StrictMath.pow` (JVM-reproducible; spec-gated).
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     temperature: Double = 2.0, salt: String = "tmix"): DataFrame = {
+    require(temperature > 0, s"temperatureMix: temperature must be > 0, got $temperature")
+    val root: Double => Double =
+      if (temperature == 2.0) math.sqrt
+      else x => StrictMath.pow(x, 1.0 / temperature)
+    val stats = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    // empty input → zero copies of nothing, keeping validate-on-empty total
+    if (stats.isEmpty)
+      return upsampleByWeight(df, sourceCol, idCol, Map.empty, 0.0, salt)
+    val z = stats.foldLeft(0.0) { case (a, (_, n)) => a + root(n.toDouble) }
+    val total = stats.map(_._2).sum
+    val rates = stats.map { case (s, n) =>
+      s -> total.toDouble * root(n.toDouble) / z / n.toDouble
+    }.toMap
+    upsampleByWeight(df, sourceCol, idCol, rates, defaultWeight = 0.0, salt)
+  }
+
   /** Per-group document cap — the C4/RefinedWeb anti-spam rule ("at most
     * k documents per host/URL-prefix"): keep the `k` best rows per group
     * by `(orderCol DESC, idCol ASC)` — highest score wins, ties broken

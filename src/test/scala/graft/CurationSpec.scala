@@ -478,4 +478,34 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L))
   }
+
+  test("temperatureMix: T=1 is the identity mixture; T=2 matches the exact sqrt-rate rule; total roughly preserved") {
+    val s = spark; import s.implicits._
+    // 40 big-source docs, 8 mid, 2 small
+    val rows = (1L to 40L).map((_, "big")) ++ (41L to 48L).map((_, "mid")) ++
+      Seq((49L, "small"), (50L, "small"))
+    val df = rows.toDF("doc_id", "source")
+    // T=1: every rate is exactly 1.0 (integer-exact double algebra) → identity
+    val t1 = Curation.temperatureMix(df, "source", "doc_id", temperature = 1.0)
+    assert(t1.count() == 50 && t1.select("copy").distinct().count() == 1)
+    // T=2: replicate the documented rule exactly (sqrt rates + hash rule)
+    val t2 = Curation.temperatureMix(df, "source", "doc_id")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ns = Map("big" -> 40L, "mid" -> 8L, "small" -> 2L)
+    val z = Seq("big", "mid", "small").foldLeft(0.0)((a, k) => a + math.sqrt(ns(k).toDouble))
+    val expected = rows.groupBy(_._2).map { case (src, docs) =>
+      val w = 50.0 * math.sqrt(ns(src).toDouble) / z / ns(src).toDouble
+      src -> docs.map { case (id, _) =>
+        val bucket = graft.functions.CountMin.md5Hash64(s"tmix:$id") % 1000000L
+        math.floor(w).toLong + (if (bucket < math.floor((w - math.floor(w)) * 1000000L)) 1L else 0L)
+      }.sum
+    }
+    assert(t2 == expected)
+    // flattening: small source upsampled above its natural share, big below
+    assert(t2("small") > 2L && t2("big") < 40L)
+    // deterministic across runs
+    val again = Curation.temperatureMix(df, "source", "doc_id")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == t2)
+  }
 }
