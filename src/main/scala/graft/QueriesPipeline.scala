@@ -1897,6 +1897,34 @@ object QueriesPipeline {
       }
     }
 
+    // PCA input moments: the one-pass mergeable Gram aggregate vs the
+    // oracle's direct covariance formula. DECIMAL(38,9) comparison —
+    // partial-sum order differs across engines by ~1e-13 relative, far
+    // below the rounding; the eigensolve/whitening downstream is driver-
+    // side deterministic math (PcaSpec).
+    locally {
+      val d = 64
+      register("pca_covariance",
+        s"""WITH dims AS (SELECT unnest(range($d)) AS i),
+           |x AS (SELECT vec_id, i.i AS i,
+           |             CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS v
+           |      FROM embeddings, dims i),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+           |mu AS (SELECT i, sum(v) AS s FROM x GROUP BY i),
+           |g AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS g
+           |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+           |      GROUP BY 1, 2)
+           |SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+           |       CAST(g.g / n.n - (mi.s / n.n) * (mj.s / n.n) AS DECIMAL(38,9)) AS cov
+           |FROM g CROSS JOIN n
+           |JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
+           |ORDER BY i, j""".stripMargin) { (s, dir) =>
+        graft.operators.Pca.covarianceEntries(emb(s, dir), "embedding", d)
+          .select(col("i"), col("j"), col("cov").cast("decimal(38,9)").as("cov"))
+          .orderBy("i", "j")
+      }
+    }
+
     // vocabulary induction + heavy-hitter n-gram mining
     register("vocab_topk",
       s"""$DocsView,

@@ -241,6 +241,31 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Similarity.HardNegSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "pca-train" =>
+          // artifact rule: probe params/columns, emit the components
+          // schema without running the corpus pass
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("vec"))); pLong(m("dim")); pLong(m("k")); pStr(m("path"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("component",
+                  org.apache.spark.sql.types.IntegerType, nullable = false),
+                org.apache.spark.sql.types.StructField("eig_val",
+                  org.apache.spark.sql.types.DoubleType, nullable = false),
+                org.apache.spark.sql.types.StructField("row",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.DoubleType))))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "pca-whiten" | "pca-project" =>
+          // the PCA model is a runtime artifact: skip the parquet read
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("vec"))); pStr(m("model-path"))
+            recurse(df.withColumn(pStr(m("out")),
+              array().cast("array<double>")))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "ngram-train" =>
           // artifact rule: writes the model to disk as a side effect;
           // validate probes params/columns and emits the counts schema
@@ -948,6 +973,27 @@ object Engine {
       df => graft.operators.Tokenizer.pairCounts(
         graft.operators.Tokenizer.symbolize(
           graft.operators.Tokenizer.wordCounts(df, pStr(m("text")))))
+    case "pca-train" =>
+      val m = pMap(params.head)
+      df => {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val model = graft.operators.Pca.fit(df, pStr(m("vec")),
+          pLong(m("dim")).toInt, pLong(m("k")).toInt)
+        graft.operators.Pca.saveModel(spark, model, pStr(m("path")))
+        model.components.zipWithIndex.map { case (row, r) =>
+          (r, model.eigVals(r), row.toSeq)
+        }.toSeq.toDF("component", "eig_val", "row")
+      }
+    case "pca-whiten" =>
+      val m = pMap(params.head)
+      df => graft.operators.Pca.whiten(df, pStr(m("vec")), pStr(m("out")),
+        graft.operators.Pca.loadModel(df.sparkSession, pStr(m("model-path"))),
+        m.get("eps").map(pDouble).getOrElse(1e-9))
+    case "pca-project" =>
+      val m = pMap(params.head)
+      df => graft.operators.Pca.project(df, pStr(m("vec")), pStr(m("out")),
+        graft.operators.Pca.loadModel(df.sparkSession, pStr(m("model-path"))))
     case "ngram-train" =>
       val m = pMap(params.head)
       df => {
