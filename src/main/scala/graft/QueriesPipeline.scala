@@ -2097,6 +2097,27 @@ object QueriesPipeline {
         .limit(200)
     }
 
+    // unigram-LM tokenizer candidate substrings — the oracle-gated
+    // primitive of the SentencePiece-style trainer (the hard-EM loop's
+    // Viterbi scan is stateful within a word, spec-gated like BPE's
+    // merge loop)
+    register("unigram_candidates",
+      s"""$DocsView,
+         |words AS (SELECT tok AS word, count(*) AS cnt
+         |          FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY 1),
+         |wpos AS (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM words),
+         |pieces AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, cnt
+         |           FROM (SELECT word, cnt, i,
+         |                        unnest(range(1, least(CAST(len(word) AS BIGINT) - i + 2, 9))) AS l
+         |                 FROM wpos))
+         |SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM pieces GROUP BY 1
+         |ORDER BY freq DESC, piece LIMIT 200""".stripMargin) { (s, dir) =>
+      graft.operators.UnigramTokenizer.candidates(
+        graft.operators.Tokenizer.wordCounts(docs(s, dir), "text"), 8)
+        .orderBy(col("freq").desc, col("piece").asc)
+        .limit(200)
+    }
+
     register("frequent_ngrams",
       s"""$DocsView,
          |g AS (SELECT doc_id, unnest(${sqlNgrams("toks", 3)}) AS gram FROM docs),

@@ -297,6 +297,27 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Tokenizer.MergesSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "unigram-train" =>
+          // artifact rule: iterative EM jobs; validate probes params and
+          // emits the model schema only
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pLong(m("vocab"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("piece",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("logp",
+                  org.apache.spark.sql.types.DoubleType, nullable = false)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "unigram-encode" =>
+          // the piece table is a runtime artifact: skip the parquet read
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pStr(m("model-path"))
+            recurse(df.withColumn(pStr(m("out")), array().cast("array<string>")))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "bpe-encode" =>
           // the merge table is a runtime artifact (a bpe-train step
           // earlier in the job may produce it): skip the parquet read
@@ -1029,6 +1050,17 @@ object Engine {
       df => graft.operators.Tokenizer.encode(df, pStr(m("text")),
         graft.operators.Tokenizer.loadMerges(df.sparkSession, pStr(m("model-path"))),
         pStr(m("out")))
+    case "unigram-train" =>
+      val m = pMap(params.head)
+      df => graft.operators.UnigramTokenizer.trainDistributed(df, pStr(m("text")),
+        pLong(m("vocab")).toInt,
+        m.get("max-piece").map(pLong(_).toInt).getOrElse(8),
+        m.get("iters").map(pLong(_).toInt).getOrElse(3))
+    case "unigram-encode" =>
+      val m = pMap(params.head)
+      df => graft.operators.UnigramTokenizer.encode(df, pStr(m("text")),
+        graft.operators.UnigramTokenizer.loadModel(df.sparkSession, pStr(m("model-path"))),
+        pStr(m("out")), m.get("max-piece").map(pLong(_).toInt).getOrElse(8))
     case "media-audio-features" =>
       df => graft.operators.Multimodal.audioFeatureExtract(df, pLong(pMap(params.head)("dim")).toInt)
 

@@ -173,7 +173,7 @@ object Tokenizer {
   /** The same lowercase-alnum split [[Text.tokens]] performs, on the
     * driver/executor side for the encoder.
     */
-  private def tokenizeWords(text: String): Seq[String] =
+  private[graft] def tokenizeWords(text: String): Seq[String] =
     text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
 
   /** Rank-priority BPE encode of one word. */

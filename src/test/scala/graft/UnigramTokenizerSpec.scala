@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Tokenizer, UnigramTokenizer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnigramTokenizerSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Independent Viterbi reference: plain recursion with memo, explicit
+    * "longest piece wins ties" rule, structured differently from the
+    * operator's iterative DP.
+    */
+  private def refSegment(word: String, logp: Map[String, Double],
+                         maxLen: Int, unk: Double = -1e9): Seq[String] = {
+    val memo = scala.collection.mutable.HashMap[Int, (Double, Seq[String])]()
+    def go(pos: Int): (Double, Seq[String]) =
+      if (pos == word.length) (0.0, Nil)
+      else memo.getOrElseUpdate(pos, {
+        // candidate pieces longest-first; strictly-better score replaces
+        val opts = (math.min(maxLen, word.length - pos) to 1 by -1).flatMap { l =>
+          val piece = word.substring(pos, pos + l)
+          val lp = logp.get(piece).orElse(if (l == 1) Some(unk) else None)
+          lp.map { v => val (rest, seq) = go(pos + l); (v + rest, piece +: seq) }
+        }
+        opts.maxBy(_._1) // maxBy keeps the FIRST max = longest piece
+      })
+    go(0)._2
+  }
+
+  private val corpus = Seq(
+    (1L, "internationalization international nation nation nation"),
+    (2L, "nation nationalism international internal"),
+    (3L, "intern intern intern nation inter"))
+
+  private def docsDf = {
+    val s = spark; import s.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  test("segmentWord: hand-checked lattice, longer-piece tie-break, unk fallback, concat law") {
+    val lp = Map("ab" -> math.log(0.4), "a" -> math.log(0.2), "b" -> math.log(0.2),
+      "c" -> math.log(0.2))
+    // "ab" as one piece beats a+b (log .4 > log .04)
+    assert(UnigramTokenizer.segmentWord("ab", lp, 8) == Seq("ab"))
+    assert(UnigramTokenizer.segmentWord("abc", lp, 8) == Seq("ab", "c"))
+    // tie: p(xy) == p(x)p(y) → prefer the longer piece
+    val tie = Map("xy" -> math.log(0.04), "x" -> math.log(0.2), "y" -> math.log(0.2))
+    assert(UnigramTokenizer.segmentWord("xy", tie, 8) == Seq("xy"))
+    // unknown chars never crash; concat always reconstructs the word
+    val seg = UnigramTokenizer.segmentWord("azqb", lp, 8)
+    assert(seg.mkString == "azqb")
+    assert(UnigramTokenizer.segmentWord("", lp, 8).isEmpty)
+  }
+
+  test("segmentWord == independent recursive reference on a word battery") {
+    val lp = Map("intern" -> -2.0, "ation" -> -2.2, "al" -> -3.0, "nation" -> -2.1,
+      "i" -> -5.0, "n" -> -5.0, "t" -> -5.0, "e" -> -5.0, "r" -> -5.0,
+      "a" -> -5.0, "o" -> -5.0, "l" -> -5.0, "s" -> -5.0, "m" -> -5.0,
+      "z" -> -5.0, "is" -> -4.0)
+    for (w <- Seq("internationalization", "nationalism", "international",
+      "nation", "intern", "internal", "zzz", "a"))
+      assert(UnigramTokenizer.segmentWord(w, lp, 8) == refSegment(w, lp, 8), w)
+  }
+
+  test("candidates: frequency-weighted substring counts match hand computation") {
+    val s = spark; import s.implicits._
+    val words = Seq(("aba", 2L), ("ab", 3L)).toDF("word", "cnt")
+    val got = UnigramTokenizer.candidates(words, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "aba"×2: a,b,a,ab,ba ; "ab"×3: a,b,ab
+    assert(got == Map("a" -> 7L, "b" -> 5L, "ab" -> 5L, "ba" -> 2L))
+  }
+
+  test("train == trainDistributed (identical models), frequent words become single pieces") {
+    val local = UnigramTokenizer.train(docsDf, "text", maxVocab = 40, maxPieceLen = 8, iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val dist = UnigramTokenizer.trainDistributed(docsDf, "text", maxVocab = 40, maxPieceLen = 8, iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(local == dist)
+    val model = local.toMap
+    // "nation" occurs 5 times and fits maxPieceLen → must be a learned piece
+    assert(model.contains("nation"))
+    // re-running is byte-identical
+    val again = UnigramTokenizer.train(docsDf, "text", 40, 8, 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(again == local)
+  }
+
+  test("encode: model round-trip via parquet, concat law over documents, null-total") {
+    val s = spark; import s.implicits._
+    val modelDf = UnigramTokenizer.train(docsDf, "text", 40, 8, 3)
+    val dir = java.nio.file.Files.createTempDirectory("unigram").toString + "/m"
+    UnigramTokenizer.saveModel(modelDf, dir)
+    val model = UnigramTokenizer.loadModel(spark, dir)
+    val withNull = docsDf.union(Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val enc = UnigramTokenizer.encode(withNull, "text", model, "pieces")
+      .orderBy("doc_id").collect()
+    for (r <- enc.dropRight(1)) {
+      val joined = r.getSeq[String](2).mkString
+      val expected = Tokenizer.tokenizeWords(r.getString(1)).mkString
+      assert(joined == expected)
+    }
+    assert(enc.last.getSeq[String](2).isEmpty) // null text → empty pieces
+  }
+
+  test("IR: unigram-train emits the model, unigram-encode loads the artifact, validate total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val trained = Engine.run(Node.fromJson(
+      """{"action":"unigram-train","params":[{"text":"text","vocab":40,"iters":2}],
+        |"children":[{"action":"tap","params":["m"]}]}""".stripMargin),
+      docsDf, EngineCtx(testMode = true)).taps("m")
+    assert(trained.columns.toSeq == Seq("piece", "logp"))
+    assert(trained.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_ir").toString + "/m"
+    UnigramTokenizer.saveModel(trained, dir)
+    val enc = Engine.run(Node.fromJson(
+      s"""{"action":"unigram-encode","params":[{"text":"text","model-path":"$dir","out":"pieces"}],
+        |"children":[{"action":"tap","params":["e"]}]}""".stripMargin),
+      docsDf, EngineCtx(testMode = true)).taps("e")
+    assert(enc.select("pieces").head.getSeq[String](0).nonEmpty)
+    val v = Engine.validate(Node.fromJson(
+      """{"action":"unigram-encode","params":[{"text":"text","model-path":"/nope","out":"p"}],
+        |"children":[{"action":"tap","params":["e"]}]}""".stripMargin),
+      spark, EngineCtx(testMode = true), docsDf.schema)
+    assert(v.isEmpty, v.mkString("; "))
+  }
+}
