@@ -1962,8 +1962,12 @@ object QueriesPipeline {
 
     def ngramModel(s: SparkSession, dir: String): graft.operators.NgramLm.Model = {
       val d = docs(s, dir)
+      // materialize the count table once: score() consumes it twice (the
+      // (ctx,word) join and the derived context totals) — without this
+      // the in-query trainer re-aggregates the exploded corpus per use
       graft.operators.NgramLm.Model(
-        graft.operators.NgramLm.trainCounts(d, "text", 2), 2, 0.5,
+        graft.operators.Materialize(
+          graft.operators.NgramLm.trainCounts(d, "text", 2)), 2, 0.5,
         graft.operators.NgramLm.vocabSize(d, "text"))
     }
 
