@@ -622,6 +622,47 @@ object QueriesPipeline {
       }
     }
 
+    // length-bucketed batch assembly (fairseq/HF --max-tokens batching):
+    // ascending-length greedy chunking under a PADDED token budget,
+    // replayed by the oracle as a per-bucket recursive scan
+    locally {
+      val maxTok = 256L
+      register("length_batches",
+        s"""WITH RECURSIVE docs AS (
+           |  SELECT doc_id,
+           |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                              t -> len(t) > 0)) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |bk AS (
+           |  SELECT doc_id, n_tokens,
+           |         CAST(CASE WHEN n_tokens <= 32 THEN 0 WHEN n_tokens <= 64 THEN 1
+           |                   WHEN n_tokens <= 96 THEN 2 ELSE 3 END AS BIGINT) AS bucket
+           |  FROM docs),
+           |d AS (
+           |  SELECT doc_id, n_tokens, bucket,
+           |         row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+           |  FROM bk),
+           |p AS (
+           |  SELECT doc_id, n_tokens, bucket, rn,
+           |         CAST(0 AS BIGINT) AS batch, CAST(1 AS BIGINT) AS batch_rows
+           |  FROM d WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.doc_id, d.n_tokens, d.bucket, d.rn,
+           |         CASE WHEN d.n_tokens * (p.batch_rows + 1) <= $maxTok
+           |              THEN p.batch ELSE p.batch + 1 END,
+           |         CASE WHEN d.n_tokens * (p.batch_rows + 1) <= $maxTok
+           |              THEN p.batch_rows + 1 ELSE CAST(1 AS BIGINT) END
+           |  FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+           |SELECT doc_id, n_tokens, bucket, batch, batch_rows FROM p
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val base = docs(s, dir).select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        Curation.lengthBucketBatches(base, "doc_id", "n_tokens",
+          Seq(32L, 64L, 96L), maxTok)
+          .orderBy("doc_id")
+      }
+    }
+
     // hashed linear quality-classifier score (fastText-style filtering
     // plumbing; deterministic pseudo-weights, see Quality.classifierScore)
     locally {

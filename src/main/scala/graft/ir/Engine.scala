@@ -1030,6 +1030,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.NgramLm.pplBucket(df, pStr(m("id")), pStr(m("ppl")),
         m.get("buckets").map(pStrs).getOrElse(Seq("head", "middle", "tail")))
+    case "length-batches" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.lengthBucketBatches(df, pStr(m("id")),
+        pStr(m("tokens")), pDoubles(m("edges")).map(_.toLong), pLong(m("max-tokens")))
     case "temperature-mix" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.temperatureMix(df, pStr(m("source")),

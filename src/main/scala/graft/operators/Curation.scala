@@ -590,6 +590,62 @@ object Curation {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Length-bucketed batch assembly — the min-padding batching step a
+    * training data loader wants (fairseq/HF `--max-tokens` batching):
+    * documents are banded into length buckets (`edges` = inclusive upper
+    * bounds, plus an overflow band), sorted ASCENDING by length within
+    * each bucket, and greedily chunked into batches under a PADDED token
+    * budget: adding a document of length `n` to a batch of `c` rows
+    * costs `n × (c+1)` (ascending order makes the incoming length the
+    * batch's max), so a batch breaks when that exceeds `maxTokens`.
+    * Oversized documents (alone over budget) isolate into their own
+    * batch rather than being dropped silently.
+    *
+    * Output: input columns + `bucket` + `batch` (0-based within bucket)
+    * + `batch_rows` (running row count). Deterministic: ties in length
+    * break by id.
+    *
+    * Scale: ONE exchange (repartition by bucket) + a per-partition sort
+    * + a linear scan — [[packNextFit]]'s shape. Buckets are the
+    * parallelism unit; pick edges so each band holds many batches.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+                          edges: Seq[Long], maxTokens: Long): DataFrame = {
+    require(maxTokens >= 1, s"lengthBucketBatches: maxTokens must be >= 1, got $maxTokens")
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      s"lengthBucketBatches: edges must be non-empty, sorted, distinct; got $edges")
+    val spark = df.sparkSession
+    val shuffleP = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bucket = edges.zipWithIndex.foldRight(lit(edges.length)) {
+      case ((edge, i), acc) => when(col(tokensCol) <= edge, lit(i)).otherwise(acc)
+    }
+    val in = df.select(col(idCol).cast("long"), col(tokensCol).cast("long"),
+      bucket.cast("long").as("bucket"))
+      .repartition(shuffleP, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(tokensCol), col(idCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField(tokensCol, LongType),
+      StructField("bucket", LongType), StructField("batch", LongType),
+      StructField("batch_rows", LongType)))
+    val out = in.queryExecution.toRdd.mapPartitions { rows =>
+      var key = -1L
+      var batch = 0L
+      var cnt = 0L
+      rows.map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"lengthBucketBatches: null in ($idCol, $tokensCol); drop or fill nulls upstream")
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val b = r.getLong(2)
+        if (b != key) { key = b; batch = 0L; cnt = 1L }
+        else if (n * (cnt + 1) <= maxTokens) cnt += 1
+        else { batch += 1L; cnt = 1L }
+        Row(id, n, b, batch, cnt)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Per-group corpus report card — the profiling pass every curation
     * run starts and ends with: document count, total tokens, distinct
     * languages, and the FULL token-length distribution (one row per
