@@ -1259,6 +1259,45 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }
 
+    // composed web-scale miner: the same hard-negative semantics over a
+    // multi-probe sign-bucket candidate set — the oracle replays the
+    // identical bucket key, flip selection and label filter
+    locally {
+      val bits = 4
+      val bucketTerms = (1 to bits).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+      val confTerms = (1 to bits).map(i =>
+        s"{'a': abs(embedding[$i]), 'm': CAST(${1L << (i - 1)} AS BIGINT)}").mkString(", ")
+      register("hard_negatives_bucketed",
+        s"""WITH e AS (SELECT vec_id, embedding, CAST(vec_id % 4 AS BIGINT) AS label,
+           |                  $bucketTerms AS bucket
+           |           FROM embeddings),
+           |q AS (SELECT vec_id, embedding, label, bucket,
+           |             list_transform(list_slice(list_sort([$confTerms]), 1, 2),
+           |                            x -> x.m) AS flips
+           |      FROM e WHERE vec_id < 8),
+           |probes AS (
+           |  SELECT vec_id, embedding, label, bucket FROM q
+           |  UNION ALL
+           |  SELECT q.vec_id, q.embedding, q.label, xor(q.bucket, t.f)
+           |  FROM q, unnest(q.flips) AS t(f)),
+           |scored AS (
+           |  SELECT p.vec_id AS query_id, c.vec_id AS nn_id, c.label AS label,
+           |         ${sqlCosine("p.embedding", "c.embedding")} AS cosine
+           |  FROM probes p JOIN e c ON c.bucket = p.bucket
+           |   AND c.vec_id != p.vec_id AND c.label != p.label)
+           |SELECT query_id, rank, nn_id, label, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |                               ORDER BY cosine DESC, nn_id ASC) AS rank
+           |  FROM scored) WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir).withColumn("label", pmod(col("vec_id"), lit(4)).cast("long"))
+        Similarity.hardNegativesBucketed(e, e.filter(col("vec_id") < 8),
+            "vec_id", "embedding", "label", 5, bits = bits, extraProbes = 2)
+          .orderBy("query_id", "rank")
+      }
+    }
+
     locally {
       // 4-bit buckets + 2 multi-probe bit flips (the least-confident
       // dimensions): populated buckets AND the probe-explode path under
@@ -1956,12 +1995,13 @@ object QueriesPipeline {
            |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
            |      GROUP BY 1, 2)
            |SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
-           |       CAST(g.g / n.n - (mi.s / n.n) * (mj.s / n.n) AS DECIMAL(38,9)) AS cov
+           |       CAST(CAST(g.g / n.n - (mi.s / n.n) * (mj.s / n.n) AS DECIMAL(38,9)) AS DOUBLE) AS cov
            |FROM g CROSS JOIN n
            |JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j
            |ORDER BY i, j""".stripMargin) { (s, dir) =>
         graft.operators.Pca.covarianceEntries(emb(s, dir), "embedding", d)
-          .select(col("i"), col("j"), col("cov").cast("decimal(38,9)").as("cov"))
+          .select(col("i"), col("j"),
+            col("cov").cast("decimal(38,9)").cast("double").as("cov"))
           .orderBy("i", "j")
       }
     }
@@ -2027,15 +2067,15 @@ object QueriesPipeline {
     register("ngram_lm_score",
       s"""$ngramScoreCtes
          |SELECT doc_id, n_scored,
-         |       CAST(lp AS DECIMAL(38,6)) AS logprob,
-         |       CAST(-lp / n_scored AS DECIMAL(38,6)) AS cross_entropy,
-         |       CAST(exp(-lp / n_scored) AS DECIMAL(38,6)) AS ppl
+         |       CAST(CAST(lp AS DECIMAL(38,6)) AS DOUBLE) AS logprob,
+         |       CAST(CAST(-lp / n_scored AS DECIMAL(38,6)) AS DOUBLE) AS cross_entropy,
+         |       CAST(CAST(exp(-lp / n_scored) AS DECIMAL(38,6)) AS DOUBLE) AS ppl
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.NgramLm.score(docs(s, dir), "text", "doc_id", ngramModel(s, dir))
         .select(col("doc_id"), col("n_scored"),
-          col("logprob").cast("decimal(38,6)").as("logprob"),
-          col("cross_entropy").cast("decimal(38,6)").as("cross_entropy"),
-          col("ppl").cast("decimal(38,6)").as("ppl"))
+          col("logprob").cast("decimal(38,6)").cast("double").as("logprob"),
+          col("cross_entropy").cast("decimal(38,6)").cast("double").as("cross_entropy"),
+          col("ppl").cast("decimal(38,6)").cast("double").as("ppl"))
         .orderBy("doc_id")
     }
 

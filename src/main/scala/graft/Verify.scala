@@ -24,8 +24,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Convention guard: a raw DecimalType in a gate's FINAL schema is
+        // a cross-engine hash trap — Spark parquet keeps Decimal objects
+        // while DuckDB's fetchdf() decays DECIMAL to float64, so the
+        // driver's representation-keyed hash mismatches even when every
+        // value is identical (burned corpus_profile r7, ngram_lm_score +
+        // pca_covariance r9). Round through DECIMAL(38,x) for order
+        // independence, then CAST(... AS DOUBLE) on BOTH sides.
+        val decCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        if (decCols.nonEmpty)
+          System.err.println(s"[verify] WARNING: $name emits raw DecimalType " +
+            s"column(s) ${decCols.mkString(",")} — wrap in .cast(\"double\") " +
+            "on both sides (see Queries.dsum) or the driver hash will mismatch")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -91,12 +91,26 @@ object CountMin {
 
   /** JVM twin of [[Text.md5Hash64]]: first 15 md5 hex chars as a 60-bit
     * integer — bit-identical to the Column/DuckDB folds.
+    *
+    * Hot path: CountMinAgg.update calls this `depth` times per input row,
+    * so the digest is thread-local (no per-call allocation) and the
+    * 60-bit value is the big-endian first 8 digest bytes shifted right a
+    * nibble — arithmetically identical to parsing the first 15 hex chars,
+    * without building a hex string.
     */
+  private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Hash64(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
   }
 
   /** Row-`j` bucket of item `s`: `md5Hash64("seed:j:" + s) mod width`

@@ -401,25 +401,31 @@ object Multimodal {
     val n = if (b == null) 0 else b.length
     if (n < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var i = 12
+    // the walk stays in Long arithmetic: chunk size is an UNSIGNED 32-bit
+    // field, so a crafted/corrupted size >= 2^31 truncated to Int would
+    // step zero or backwards — an infinite loop inside an executor task
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
     var dataBytes = -1L
     while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = leI32(b, i + 4).toLong & 0xFFFFFFFFL
+      val id = new String(b, i.toInt, 4, "US-ASCII")
+      val size = leI32(b, i.toInt + 4).toLong & 0xFFFFFFFFL
       if (id == "fmt " && i + 8 + 16 <= n) {
-        val audioFormat = leU16(b, i + 8)
+        val audioFormat = leU16(b, i.toInt + 8)
         if (audioFormat != 1) return None // PCM only; compressed WAV needs a codec
-        fmt = Some((leU16(b, i + 10), leI32(b, i + 12), leU16(b, i + 22),
-          leI32(b, i + 16).toLong & 0xFFFFFFFFL))
+        fmt = Some((leU16(b, i.toInt + 10), leI32(b, i.toInt + 12), leU16(b, i.toInt + 22),
+          leI32(b, i.toInt + 16).toLong & 0xFFFFFFFFL))
       } else if (id == "data") {
         // size may honestly exceed what we hold if the payload was cut;
         // clamp to the bytes actually present
-        dataBytes = math.min(size, (n - i - 8).toLong)
+        dataBytes = math.min(size, n - i - 8)
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned; bogus sizes exit the loop
     }
-    for ((ch, rate, bits, byteRate) <- fmt if dataBytes >= 0 && byteRate > 0)
+    for ((ch, rate, bits, byteRate) <- fmt
+         // a malformed fmt chunk can declare 0 channels → div-by-zero in
+         // pcmSamples; reject it here so every consumer stays total
+         if ch >= 1 && dataBytes >= 0 && byteRate > 0)
       yield WavInfo(ch, rate, bits, dataBytes, dataBytes * 1000L / byteRate)
   }
 
@@ -430,14 +436,16 @@ object Multimodal {
     wavInfo(bytes).flatMap { info =>
       if (info.bitsPerSample != 8 && info.bitsPerSample != 16) None
       else {
-        // find the data chunk offset again (wavInfo only kept its size)
-        var i = 12
+        // find the data chunk offset again (wavInfo only kept its size);
+        // same Long-arithmetic walk as wavInfo — unsigned sizes never
+        // truncate to a zero/negative Int step
+        var i = 12L
         var off = -1
         while (i + 8 <= bytes.length && off < 0) {
-          val id = new String(bytes, i, 4, "US-ASCII")
-          val size = leI32(bytes, i + 4).toLong & 0xFFFFFFFFL
-          if (id == "data") off = i + 8
-          else i += 8 + size.toInt + (size.toInt & 1)
+          val id = new String(bytes, i.toInt, 4, "US-ASCII")
+          val size = leI32(bytes, i.toInt + 4).toLong & 0xFFFFFFFFL
+          if (id == "data") off = i.toInt + 8
+          else i += 8L + size + (size & 1L)
         }
         if (off < 0) None
         else {
@@ -658,8 +666,17 @@ object Multimodal {
     }
     walk(0L, n.toLong)
     if (!sawMvhd || timescale <= 0) None
-    else Some(Mp4Info(brand, timescale, duration * 1000L / timescale,
-      width, height, videoTracks, audioTracks, nSamples))
+    else {
+      // ISO 14496-12: an all-ones duration (0xFFFFFFFF v0 / -1 v1) is the
+      // spec's "unknown" sentinel — surfacing it as a real duration would
+      // make downstream frame sampling explode into billions of rows.
+      // Any negative beI64 read is equally bogus; both map to 0 = unknown.
+      val durMs =
+        if (duration < 0 || duration == 0xFFFFFFFFL) 0L
+        else duration * 1000L / timescale
+      Some(Mp4Info(brand, timescale, durMs,
+        width, height, videoTracks, audioTracks, nSamples))
+    }
   }
 
   /** Video facts frame: REAL container numbers for MP4/MOV payloads,
@@ -696,8 +713,11 @@ object Multimodal {
     * MP4 produce no rows (the byte-stride [[frameSample]] is the total
     * fallback). Map-side: parse + explode, no shuffle.
     */
-  def videoFrameTimes(media: DataFrame, fps: Double): DataFrame = {
+  def videoFrameTimes(media: DataFrame, fps: Double,
+                      maxFramesPerVideo: Long = 1000000L): DataFrame = {
     require(fps > 0, s"videoFrameTimes: fps must be > 0, got $fps")
+    require(maxFramesPerVideo > 0,
+      s"videoFrameTimes: maxFramesPerVideo must be > 0, got $maxFramesPerVideo")
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_no", LongType, nullable = false),
@@ -708,10 +728,16 @@ object Multimodal {
       .flatMap { r =>
         mp4Info(r.getAs[Array[Byte]]("payload")) match {
           case Some(m) if m.durationMs > 0 =>
-            (0L until m.durationMs by stepMs).zipWithIndex.map {
-              case (t, i) => Row(r.getLong(0), i.toLong, t)
-            }
-          case _ => Nil
+            // lazy Iterator (never a strict per-row collection) AND a hard
+            // frame cap: a bogus mvhd duration/timescale must not be able
+            // to manufacture hundreds of millions of Rows from one payload
+            val id = r.getLong(0)
+            val nFrames = math.min(
+              (m.durationMs + stepMs - 1) / stepMs,
+              math.min(maxFramesPerVideo, Int.MaxValue.toLong))
+            Iterator.range(0, nFrames.toInt)
+              .map(i => Row(id, i.toLong, i * stepMs))
+          case _ => Iterator.empty
         }
       }(enc)
   }

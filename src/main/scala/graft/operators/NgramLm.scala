@@ -169,9 +169,15 @@ object NgramLm {
   def pplBucket(scored: DataFrame, idCol: String, pplCol: String,
                 buckets: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
     require(buckets.nonEmpty, "NgramLm.pplBucket: need at least one bucket")
-    val total = scored.count()
+    // The scoring pipeline behind `scored` (corpus explode + two model
+    // joins + per-doc fold) is consumed THREE times here: the count()
+    // action plus zipWithIndex's two passes (partition sizing + output).
+    // Materialize once — at 100 TB a triple corpus-scoring pass is the
+    // dominant cost of the whole bucketing.
+    val s = Materialize(scored)
+    val total = s.count()
     val ranked = Curation.withGlobalPositionAs(
-      scored, Seq(col(pplCol).asc, col(idCol).asc), "ppl_rank")
+      s, Seq(col(pplCol).asc, col(idCol).asc), "ppl_rank")
     val k = buckets.length
     // bucket b gets ranks [b*total/k, (b+1)*total/k) — integer math,
     // byte-identical to the oracle's rank arithmetic

@@ -81,9 +81,9 @@ object Similarity {
     * Scale shape = [[bruteForceTopK]]: anchors broadcast (anchor sets are
     * batch-sized), corpus side map-scanned with the fused cosine kernel,
     * per-anchor top-k window over candidate rows only. For web-scale
-    * corpora swap the corpus side for a bucketed/IVF candidate set first
-    * (the composed ANN operators) — the label filter and window are
-    * unchanged. Ties break by nn_id ascending.
+    * corpora use [[hardNegativesBucketed]] — the same mining over a
+    * multi-probe sign-bucket candidate set instead of the full scan.
+    * Ties break by nn_id ascending.
     *
     * Output: (query_id, rank, nn_id, label, cosine).
     */
@@ -95,6 +95,44 @@ object Similarity {
     val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       col(labelCol).as("query_label"))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id") && col("label") =!= col("query_label"))
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("label"), col("cosine"))
+  }
+
+  /** Web-scale hard-negative mining: [[hardNegatives]] with the corpus
+    * side swapped for a sign-bucket (multi-probe LSH) candidate set — the
+    * composed variant the brute miner's scaladoc promises. Per anchor,
+    * only corpus rows sharing one of its probed buckets are scored, so
+    * candidate count tracks bucket occupancy, not corpus size; the label
+    * filter and per-anchor top-k window are identical to the exact miner.
+    *
+    * Plan shape: anchors (batch-sized) explode to ≤ 1+extraProbes probe
+    * rows and BROADCAST; the corpus is map-scanned once through the
+    * broadcast hash join keyed on the bucket — no corpus shuffle before
+    * the candidate-only top-k window. Recall < exact by construction
+    * (a hard negative whose leading-sign pattern differs in a confident
+    * dimension is missed); raise `extraProbes` to trade compute back for
+    * recall — QualityJoinsSpec pins the recall floor on a fixture.
+    *
+    * Output: (query_id, rank, nn_id, label, cosine) — same as
+    * [[hardNegatives]].
+    */
+  def hardNegativesBucketed(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                            vecCol: String, labelCol: String, k: Int,
+                            bits: Int = 16, extraProbes: Int = 0): DataFrame = {
+    require(k >= 1, s"hardNegativesBucketed: k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      col(labelCol).as("label"), signBucket(col(vecCol), bits).as("__bucket"))
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      col(labelCol).as("query_label"),
+      explode(probeBuckets(col(vecCol), bits, extraProbes)).as("__bucket"))
+    val scored = c.join(broadcast(q), "__bucket")
       .filter(col("nn_id") =!= col("query_id") && col("label") =!= col("query_label"))
       .withColumn("cosine",
         graft.functions.VectorExpressions.cosineF(col("query_vec"), col("nn_vec")))

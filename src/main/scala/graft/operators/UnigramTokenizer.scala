@@ -52,14 +52,19 @@ object UnigramTokenizer {
 
   /** Top-`maxVocab` candidates by `(freq DESC, piece ASC)`, single
     * characters always retained regardless of rank.
+    *
+    * Driver traffic is MODEL-sized, not candidate-table-sized: the top-k
+    * runs as a distributed TakeOrdered (`orderBy.limit`) and the
+    * always-kept single characters are an alphabet-sized filter — the
+    * full candidate table (|distinct words| × ~len × maxPieceLen rows,
+    * billions at web scale) never reaches the driver.
     */
   def seedVocab(words: DataFrame, maxPieceLen: Int, maxVocab: Int): Array[(String, Long)] = {
-    val cand = candidates(words, maxPieceLen).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val sorted = cand.sortBy { case (p, f) => (-f, p) }
-    val chars = cand.filter(_._1.length == 1)
-    val top = sorted.take(maxVocab)
-    (top ++ chars.filterNot(c => top.exists(_._1 == c._1)))
+    val cand = candidates(words, maxPieceLen)
+    cand.orderBy(col("freq").desc, col("piece").asc).limit(maxVocab)
+      .union(cand.filter(length(col("piece")) === 1))
+      .distinct() // (piece, freq) rows are identical when a char is in both
+      .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (p, f) => (-f, p) }
   }
 

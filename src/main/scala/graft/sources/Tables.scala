@@ -140,6 +140,17 @@ object Fixtures {
     * present in `sfDir`; missing tables are omitted rather than failing the
     * artifact (a bench must still emit numbers on a partial dir).
     */
+  /** Minimal JSON string escape — `path` is caller-supplied and a quote /
+    * backslash / control char in a directory name must not produce an
+    * unparseable fixtures.json.
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def json(spark: SparkSession, sfDir: String): String = {
     val entries = tableNames.flatMap { name =>
       val path = s"$sfDir/$name.parquet"
@@ -152,7 +163,7 @@ object Fixtures {
         val schemaHash = java.security.MessageDigest.getInstance("MD5")
           .digest(df.schema.json.getBytes("UTF-8"))
           .take(4).map("%02x".format(_)).mkString
-        s""""$name":{"path":"$path","mtime":$mtime,"rows":$rows,"schema":"$schemaHash"}"""
+        s""""$name":{"path":${jstr(path)},"mtime":$mtime,"rows":$rows,"schema":"$schemaHash"}"""
       }.toOption
     }
     entries.mkString("{", ",", "}")

@@ -208,6 +208,34 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L), (2L, 5L))) // id 2 never appears; id 4 cut by k
   }
 
+  test("hardNegativesBucketed: recall floor vs exact miner, label/self exclusion, probe lift") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 80L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = rows.filter(col("vec_id") < 6)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.hardNegatives(
+      rows, anchors, "vec_id", "embedding", "label", 5))
+    val b0 = Similarity.hardNegativesBucketed(
+      rows, anchors, "vec_id", "embedding", "label", 5, bits = 4, extraProbes = 0)
+    val b2 = Similarity.hardNegativesBucketed(
+      rows, anchors, "vec_id", "embedding", "label", 5, bits = 4, extraProbes = 2)
+    // every mined pair respects the contract: different label, not self
+    val full = b2.collect()
+    assert(full.forall(r => r.getLong(0) % 3 != r.getLong(3)))
+    assert(full.forall(r => r.getLong(0) != r.getLong(2)))
+    // recall: multi-probe must clear half the exact set on this fixture
+    // and must never fall below the zero-probe variant
+    val r0 = pairs(b0).intersect(exact).size.toDouble / exact.size
+    val r2 = pairs(b2).intersect(exact).size.toDouble / exact.size
+    assert(r2 >= 0.5, s"recall with 2 probes = $r2")
+    assert(r2 >= r0, s"probes lowered recall: $r0 -> $r2")
+  }
+
   test("semanticDedup drops within-cluster near-dups, keeps lowest id, spares far pairs") {
     val s = spark
     import s.implicits._

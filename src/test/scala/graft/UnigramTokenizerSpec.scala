@@ -73,6 +73,24 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     assert(got == Map("a" -> 7L, "b" -> 5L, "ab" -> 5L, "ba" -> 2L))
   }
 
+  test("seedVocab: distributed TakeOrdered seed == full-collect reference path") {
+    val s = spark; import s.implicits._
+    val words = Seq(("nation", 5L), ("intern", 4L), ("ab", 3L), ("zq", 1L))
+      .toDF("word", "cnt")
+    for (maxVocab <- Seq(3, 10, 100)) {
+      // the pre-r10 algorithm: collect the ENTIRE candidate table, sort
+      // locally, take top-k, append missing single chars
+      val cand = UnigramTokenizer.candidates(words, 4).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val top = cand.sortBy { case (p, f) => (-f, p) }.take(maxVocab)
+      val chars = cand.filter(_._1.length == 1)
+      val expected = (top ++ chars.filterNot(c => top.exists(_._1 == c._1)))
+        .sortBy { case (p, f) => (-f, p) }
+      val got = UnigramTokenizer.seedVocab(words, 4, maxVocab)
+      assert(got.toSeq == expected.toSeq, s"maxVocab=$maxVocab")
+    }
+  }
+
   test("train == trainDistributed (identical models), frequent words become single pieces") {
     val local = UnigramTokenizer.train(docsDf, "text", maxVocab = 40, maxPieceLen = 8, iters = 3)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
