@@ -341,5 +341,37 @@ object QueriesIr {
           .select("position", "doc_id").orderBy("position")
       }
     }
+
+    // tokenizer chain as declared IR: unigram-train → saved model artifact
+    // → unigram-encode → per-doc piece count. Trained at max-piece 1 (a
+    // character model) so the piece count is EXACTLY the summed token
+    // lengths — the one unigram output an independent engine can replay
+    // without the Viterbi scan (the general segmentation is spec-gated in
+    // UnigramTokenizerSpec; this gate pins the train→save→load→encode
+    // plumbing end-to-end under the oracle).
+    register("ir_unigram_encode",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                     t -> len(t) > 0) AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+         |            (a, x) -> a + x) AS BIGINT) AS n_pieces
+         |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val modelPath = java.nio.file.Files.createTempDirectory("ir_unigram").toString + "/m"
+      val trained = tapOf(Node.fromJson(
+        """{"action":"unigram-train","params":[{"text":"text","vocab":64,"max-piece":1,"iters":2}],
+          | "children":[{"action":"tap","params":["m"]}]}""".stripMargin), d, "m")
+      graft.operators.UnigramTokenizer.saveModel(trained, modelPath)
+      val node = Node.fromJson(
+        s"""{"action":"unigram-encode","params":[{"text":"text","model-path":"$modelPath","out":"pieces"}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      tapOf(node, d)
+        .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    }
   }
 }

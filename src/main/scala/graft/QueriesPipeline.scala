@@ -2157,6 +2157,24 @@ object QueriesPipeline {
       }
     }
 
+    // Misra-Gries heavy hitters: fixed-memory candidate sketch + exact
+    // recount of <= k candidates. Deterministic despite the sketch's
+    // order-dependent margin: the output is exactly the tokens whose
+    // TRUE count clears n/(k+1) (MG completeness guarantees they are all
+    // candidates), so the oracle is the plain exact threshold query.
+    locally {
+      val k = 30
+      register("heavy_hitters",
+        s"""$DocsView,
+           |t AS (SELECT unnest(toks) AS token FROM docs),
+           |n AS (SELECT count(*) AS n FROM t)
+           |SELECT token, count(*) AS cnt FROM t CROSS JOIN n
+           |GROUP BY token, n.n HAVING count(*) * ${k + 1} > n.n
+           |ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+        graft.operators.Sketches.heavyHitters(docs(s, dir), "text", k)
+      }
+    }
+
     // BPE adjacent-pair counts — the oracle-gated primitive of the
     // distributed tokenizer trainer (the iterative merge loop itself is
     // not SQL-expressible: the left-to-right merge scan is stateful

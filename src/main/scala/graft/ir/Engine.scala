@@ -1044,6 +1044,10 @@ object Engine {
       df => graft.operators.Sketches.cmsTokenCounts(df, pStr(m("text")),
         pLong(m("depth")).toInt, pLong(m("width")).toInt,
         m.get("seed").map(pStr).getOrElse("cms"), pLong(m("k")).toInt)
+    case "heavy-hitters" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sketches.heavyHitters(df, pStr(m("text")),
+        pLong(m("k")).toInt)
     case "bpe-train" =>
       val m = pMap(params.head)
       df => graft.operators.Tokenizer.trainBpe(df, pStr(m("text")),

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.{CountMin, Text}
-import org.apache.spark.sql.DataFrame
+import graft.functions.{CountMin, MisraGries, Text}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based corpus statistics: the fixed-memory answers for
@@ -29,7 +29,9 @@ object Sketches {
     * instances); the counting itself is the fixed-memory sketch, so the
     * aggregation state never depends on cardinality. Estimates are
     * deterministic (md5 buckets) and overestimate-only: `est >= true
-    * count`, within `2·n/width` with prob `1 − 2^−depth`.
+    * count`, within `2·n/width` with prob `1 − 2^−depth`. When even the
+    * vocabulary exchange is too expensive, [[heavyHitters]] answers the
+    * top-k question with NO cardinality-dependent stage at all.
     */
   def cmsTokenCounts(docs: DataFrame, textCol: String, depth: Int, width: Int,
                      seed: String, k: Int): DataFrame = {
@@ -38,5 +40,40 @@ object Sketches {
       .withColumn("est", CountMin.estimate(col("token"), matrix, depth, width, seed))
       .orderBy(col("est").desc, col("token").asc)
       .limit(k)
+  }
+
+  /** TRUE cardinality-independent heavy hitters — the answer to the note
+    * on [[cmsTokenCounts]], whose candidate set still pays one
+    * distinct-vocabulary exchange. Two bounded passes, no vocabulary
+    * shuffle anywhere:
+    *
+    *  1. ONE corpus pass through the mergeable Misra-Gries summary
+    *     ([[graft.functions.MisraGriesAgg]], `kCounters` counters of
+    *     fixed memory) plus the stream length `n` in the same aggregate —
+    *     the result row is model-sized (<= k items). MG completeness
+    *     guarantees the candidates contain EVERY token with
+    *     `count > n/(k+1)`, under any partitioning.
+    *  2. exact recount of the candidates only: a broadcast-able `isin`
+    *     filter then a groupBy whose key space is <= k — bounded, so the
+    *     "unbounded shuffle key space" cost CMS/MG exist to avoid never
+    *     comes back.
+    *
+    * Output — tokens with `count * (k+1) > n` (exact integer comparison,
+    * engine-identical) with their EXACT counts — is deterministic even
+    * though the MG summary's sub-threshold margin is order-dependent:
+    * order only affects which NON-heavy candidates get recounted, and
+    * those fail the threshold either way.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, kCounters: Int): DataFrame = {
+    val toks = docs.select(explode(Text.tokens(col(textCol))).as("token"))
+    val row = toks.agg(
+      MisraGries.misraGries(col("token"), kCounters).as("mg"),
+      count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    val cand = row.getSeq[Row](0).map(_.getString(0))
+    toks.filter(col("token").isin(cand: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(kCounters + 1L) > lit(n))
+      .orderBy(col("cnt").desc, col("token").asc)
   }
 }
