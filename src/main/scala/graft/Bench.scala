@@ -41,7 +41,9 @@ object Bench {
     // round 9: BPE pair-count primitive (tokenizer-induction inner loop),
     // n-gram LM perplexity scoring + CCNet bucketing, hard negatives
     "bpe_pair_counts", "ngram_lm_score", "ppl_bucket_counts", "hard_negatives",
-    "cms_token_counts", "temperature_mix", "pca_covariance", "unigram_candidates")
+    "cms_token_counts", "temperature_mix", "pca_covariance", "unigram_candidates",
+    // round 10: fixed-memory heavy hitters, bucketed hard-negative miner
+    "heavy_hitters", "hard_negatives_bucketed")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

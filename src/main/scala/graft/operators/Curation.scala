@@ -224,32 +224,41 @@ object Curation {
     * replayability — the [[graft.operators.Training]] sigmoid rule).
     *
     * Scale: one map-side-combined count aggregate per corpus, a
-    * vocabulary-sized full-outer join, and a broadcast one-row totals
-    * frame riding the same plan (ReuseExchange dedupes the count
-    * shuffles) — corpus text is read once per side, nothing persisted.
+    * vocabulary-sized full-outer join materialized ONCE
+    * ([[Materialize]]), then a 3-scalar totals read off the materialized
+    * frame — corpus text is read once per side.
+    *
+    * History note (the r8→r9 bench-regression post-mortem): r8 used a
+    * never-released `persist()`, which ALSO leaked across bench passes —
+    * CacheManager keys on the canonicalized plan, so passes 2-3 of the
+    * bench silently read pass 1's cache and the recorded 0.319s measured
+    * a warm cache, not the query. r9 dropped the persist and had a
+    * one-row totals frame "ride the same plan", betting on ReuseExchange
+    * to dedupe the count shuffles; the audit shows it does NOT reliably
+    * dedupe across the full-outer-join + aggregate boundary (plan
+    * ballooned 1 exchange / 2 scans → 6 / 12). Explicit eager
+    * materialization of the multi-consumer intermediate is the policy
+    * everywhere else in this codebase (NgramLm, Retrieval, Dedup) — same
+    * here: honest per-pass cost, single tokenize+count+join at any scale.
     */
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def counts(df: DataFrame, out: String) =
       df.select(explode(Text.tokens(col(textCol))).as("token"))
         .groupBy("token").agg(count(lit(1)).as(out))
-    val joined = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
-        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-    // totals ride the SAME plan as a broadcast one-row frame instead of a
-    // persist()+collect(): the tokenize+count exchanges are identical
-    // subtrees, so ReuseExchange replays their shuffle output for the
-    // totals side — each corpus is still scanned once, and nothing stays
-    // cached in a long-lived session (the old persist had no release path)
-    val totals = joined.agg(
-      coalesce(sum(col("cnt_a")), lit(0L)).as("tot_a"),
-      coalesce(sum(col("cnt_b")), lit(0L)).as("tot_b"),
-      count(lit(1)).as("vocab"))
-    val pA = (col("cnt_a") + 1).cast("double") / (col("tot_a") + col("vocab")).cast("double")
-    val pB = (col("cnt_b") + 1).cast("double") / (col("tot_b") + col("vocab")).cast("double")
-    joined.crossJoin(broadcast(totals))
-      .select(col("token"), col("cnt_a"), col("cnt_b"),
-        pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("delta"))
+    val joined = Materialize(
+      counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b")))
+    // totals are 3 scalars over the materialized (vocabulary-sized) frame
+    val Array(totals) = joined
+      .agg(coalesce(sum(col("cnt_a")), lit(0L)), coalesce(sum(col("cnt_b")), lit(0L)),
+        count(lit(1))).collect()
+    val (na, nb, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val pA = (col("cnt_a") + 1).cast("double") / lit((na + v).toDouble)
+    val pB = (col("cnt_b") + 1).cast("double") / lit((nb + v).toDouble)
+    joined.select(col("token"), col("cnt_a"), col("cnt_b"),
+      pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("delta"))
   }
 
   /** Quality-ranked selection under a per-group token budget: within each
