@@ -1060,10 +1060,21 @@ object Engine {
         pStr(m("out")))
     case "unigram-train" =>
       val m = pMap(params.head)
-      df => graft.operators.UnigramTokenizer.trainDistributed(df, pStr(m("text")),
-        pLong(m("vocab")).toInt,
-        m.get("max-piece").map(pLong(_).toInt).getOrElse(8),
-        m.get("iters").map(pLong(_).toInt).getOrElse(3))
+      val mode = m.get("mode").map(pStr).getOrElse("hard")
+      mode match {
+        case "hard" =>
+          df => graft.operators.UnigramTokenizer.trainDistributed(df, pStr(m("text")),
+            pLong(m("vocab")).toInt,
+            m.get("max-piece").map(pLong(_).toInt).getOrElse(8),
+            m.get("iters").map(pLong(_).toInt).getOrElse(3))
+        case "soft" =>
+          df => graft.operators.UnigramTokenizer.trainSoftDistributed(df, pStr(m("text")),
+            pLong(m("vocab")).toInt,
+            m.get("max-piece").map(pLong(_).toInt).getOrElse(8),
+            m.get("iters").map(pLong(_).toInt).getOrElse(2))
+        case other => throw new IllegalArgumentException(
+          s"unigram-train: mode must be 'hard' or 'soft', got '$other'")
+      }
     case "unigram-encode" =>
       val m = pMap(params.head)
       df => graft.operators.UnigramTokenizer.encode(df, pStr(m("text")),

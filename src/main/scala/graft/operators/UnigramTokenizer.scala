@@ -115,6 +115,13 @@ object UnigramTokenizer {
     * table → vocab-sized count → model-sized collect → renormalize).
     * Pieces that win zero Viterbi mass are pruned each round (single
     * chars kept at a floor). Returns the final `(piece, logp)` table.
+    *
+    * Hard-EM is the fast deterministic simplification; its vocabulary
+    * can differ from SentencePiece's because only the single best
+    * segmentation earns counts. [[trainSoft]]/[[trainSoftDistributed]]
+    * implement Kudo's full algorithm (posterior-weighted expected counts
+    * + likelihood-loss pruning) when SentencePiece-faithful vocabularies
+    * matter.
     */
   def train(docs: DataFrame, textCol: String, maxVocab: Int,
             maxPieceLen: Int = 8, iters: Int = 3): DataFrame = {
@@ -243,6 +250,280 @@ object UnigramTokenizer {
   }
 
   /** Model persistence (piece table is the model). */
+  // ------------------------------------------------------------------
+  // Soft-EM (Kudo 2018, the full SentencePiece algorithm): posterior-
+  // weighted expected piece counts from a forward-backward pass over the
+  // per-word segmentation lattice, plus likelihood-loss vocabulary
+  // pruning. Hard-EM above keeps only the Viterbi path's counts; soft-EM
+  // credits EVERY segmentation in proportion to its posterior — the
+  // vocabulary it learns matches SentencePiece's semantics.
+  // ------------------------------------------------------------------
+
+  /** Viterbi (max-path) log-probability of segmenting `word` under
+    * `logp` — the scoring half of [[segmentWord]], used by the pruner to
+    * ask "how much likelihood do we lose if this piece must be spelled
+    * out with the remaining pieces?".
+    */
+  private[operators] def viterbiScore(word: String, logp: collection.Map[String, Double],
+                                      maxPieceLen: Int, unkLogp: Double = -1e9): Double = {
+    val n = word.length
+    if (n == 0) return 0.0
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val piece = word.substring(j, i)
+        val lp =
+          if (logp.contains(piece)) logp(piece)
+          else if (i - j == 1) unkLogp
+          else Double.NegativeInfinity
+        if (lp != Double.NegativeInfinity && best(j) + lp > best(i)) best(i) = best(j) + lp
+        j += 1
+      }
+      i += 1
+    }
+    best(n)
+  }
+
+  /** log(e^a + e^b) without overflow — fixed evaluation order so both
+    * trainer twins accumulate identically.
+    */
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a >= b) a + StrictMath.log1p(StrictMath.exp(b - a))
+    else b + StrictMath.log1p(StrictMath.exp(a - b))
+
+  /** Forward-backward over one word's segmentation lattice: returns the
+    * expected count of every piece occurrence (posterior-weighted over
+    * ALL segmentations) and the word's log-likelihood `log Z`. Log-space
+    * throughout, so 100-char agglutinations don't underflow. Unknown
+    * single chars participate at `unkLogp` (total coverage, mirroring
+    * [[segmentWord]]).
+    */
+  def softCounts(word: String, logp: collection.Map[String, Double],
+                 maxPieceLen: Int, unkLogp: Double = -1e9): (collection.Map[String, Double], Double) = {
+    val n = word.length
+    val out = scala.collection.mutable.HashMap[String, Double]()
+    if (n == 0) return (out, 0.0)
+    def lpOf(j: Int, i: Int): Double = {
+      val piece = word.substring(j, i)
+      if (logp.contains(piece)) logp(piece)
+      else if (i - j == 1) unkLogp
+      else Double.NegativeInfinity
+    }
+    val la = Array.fill(n + 1)(Double.NegativeInfinity); la(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val v = lpOf(j, i)
+        if (v != Double.NegativeInfinity && la(j) != Double.NegativeInfinity)
+          la(i) = logAdd(la(i), la(j) + v)
+        j += 1
+      }
+      i += 1
+    }
+    val lb = Array.fill(n + 1)(Double.NegativeInfinity); lb(n) = 0.0
+    var j2 = n - 1
+    while (j2 >= 0) {
+      var i2 = j2 + 1
+      val lim = math.min(n, j2 + maxPieceLen)
+      while (i2 <= lim) {
+        val v = lpOf(j2, i2)
+        if (v != Double.NegativeInfinity && lb(i2) != Double.NegativeInfinity)
+          lb(j2) = logAdd(lb(j2), v + lb(i2))
+        i2 += 1
+      }
+      j2 -= 1
+    }
+    val z = la(n)
+    if (z != Double.NegativeInfinity) {
+      var ii = 1
+      while (ii <= n) {
+        var jj = math.max(0, ii - maxPieceLen)
+        while (jj < ii) {
+          val v = lpOf(jj, ii)
+          if (v != Double.NegativeInfinity &&
+            la(jj) != Double.NegativeInfinity && lb(ii) != Double.NegativeInfinity) {
+            val piece = word.substring(jj, ii)
+            out.update(piece, out.getOrElse(piece, 0.0) +
+              StrictMath.exp(la(jj) + v + lb(ii) - z))
+          }
+          jj += 1
+        }
+        ii += 1
+      }
+    }
+    (out, z)
+  }
+
+  /** Two-char word-prefix bucket for the deterministic two-level count
+    * fold (see [[trainSoftDistributed]]).
+    */
+  private def softBucket(w: String): String = w.substring(0, math.min(2, w.length))
+
+  /** Renormalize expected counts to log-probs, totalling in sorted piece
+    * order (Map iteration order is construction-dependent; a fixed fold
+    * order keeps the two trainer twins bit-identical).
+    */
+  private def normalizeDouble(vocab: Map[String, Double]): Map[String, Double] = {
+    val total = vocab.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+    vocab.map { case (p, c) => p -> StrictMath.log(c / total) }
+  }
+
+  /** The shared soft-EM outer loop: `emIters` expected-count rounds, then
+    * likelihood-loss pruning to `ceil(|V| * shrink)` (never below
+    * `maxVocab`, never pruning single chars), repeated until the
+    * vocabulary fits. `estep` abstracts WHERE the expected counts are
+    * computed (driver loop vs Spark job); everything else is identical
+    * driver math, which is what makes local == distributed exact.
+    *
+    * Pruning follows Kudo: a piece's loss is its expected frequency times
+    * (its own log-prob minus the Viterbi score of spelling it with the
+    * OTHER pieces) — how much corpus log-likelihood disappears if it must
+    * be composed rather than emitted.
+    */
+  private def softEmLoop(seed: Seq[(String, Double)], maxVocab: Int, maxPieceLen: Int,
+                         emIters: Int, shrink: Double,
+                         estep: Map[String, Double] => Map[String, Double]): Seq[(String, Double)] = {
+    require(shrink > 0.0 && shrink < 1.0, s"unigram soft-EM: shrink in (0,1), got $shrink")
+    var vocabFreq: Map[String, Double] = seed.toMap
+    var logp: Map[String, Double] = normalizeDouble(vocabFreq)
+    def emRounds(): Unit = {
+      var e = 0
+      while (e < emIters) {
+        val counts = estep(logp)
+        vocabFreq = vocabFreq.flatMap { case (p, _) =>
+          val c = counts.getOrElse(p, 0.0)
+          if (c > 0.0) Some(p -> c)
+          // soft-EM gives every present char mass, so the floor only
+          // catches true underflow; keep coverage regardless
+          else if (p.length == 1) Some(p -> 1e-12)
+          else None
+        }
+        logp = normalizeDouble(vocabFreq)
+        e += 1
+      }
+    }
+    emRounds()
+    var prevSize = Int.MaxValue
+    while (logp.size > maxVocab && logp.size < prevSize) {
+      prevSize = logp.size
+      val target = math.max(maxVocab, math.min(logp.size - 1,
+        math.ceil(logp.size * shrink).toInt))
+      val losses = logp.toSeq.map { case (p, lp) =>
+        if (p.length == 1) (p, Double.PositiveInfinity) // coverage: never pruned
+        else {
+          val alt = viterbiScore(p, logp - p, maxPieceLen)
+          (p, vocabFreq(p) * (lp - alt))
+        }
+      }
+      val keep = losses.sortBy { case (p, l) => (-l, p) }.take(target).map(_._1).toSet
+      vocabFreq = vocabFreq.filter { case (p, _) => keep(p) }
+      logp = normalizeDouble(vocabFreq)
+      emRounds()
+    }
+    logp.toSeq.sortBy { case (p, lp) => (-lp, p) }
+  }
+
+  /** Soft-EM unigram training, local driver loop — the convenience twin
+    * of [[trainSoftDistributed]] (IDENTICAL models, spec-pinned). Seeds
+    * `seedFactor * maxVocab` candidates so pruning has something to do,
+    * exactly like SentencePiece's seed-then-shrink schedule.
+    */
+  def trainSoft(docs: DataFrame, textCol: String, maxVocab: Int,
+                maxPieceLen: Int = 8, emIters: Int = 2, shrink: Double = 0.75,
+                seedFactor: Int = 4): DataFrame = {
+    require(maxVocab >= 1 && emIters >= 1,
+      s"unigram soft-EM: need maxVocab/emIters >= 1, got $maxVocab/$emIters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordRows = Tokenizer.wordCounts(docs, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seed = localSeed(wordRows, maxPieceLen, seedFactor * maxVocab)
+    val model = softEmLoop(seed, maxVocab, maxPieceLen, emIters, shrink,
+      logp => localEstep(wordRows, logp, maxPieceLen))
+    model.toDF("piece", "logp")
+  }
+
+  /** Distributed soft-EM: the word table stays a DataFrame; each E-step
+    * is one Spark job — map-side forward-backward with broadcast
+    * log-probs, then a TWO-LEVEL deterministic sum of the per-word
+    * expected counts: (piece, 2-char word prefix) partials fold in
+    * sorted word order, then each piece folds its bucket partials in
+    * bucket order. Sorted folds make the double sums bit-identical to
+    * the local twin under ANY partitioning; the bucket level bounds the
+    * collect_list buffers (a single-char piece would otherwise collect
+    * one entry per distinct word in one aggregation state). Driver
+    * traffic stays model-sized: seed, per-round counts, final model.
+    */
+  def trainSoftDistributed(docs: DataFrame, textCol: String, maxVocab: Int,
+                           maxPieceLen: Int = 8, emIters: Int = 2, shrink: Double = 0.75,
+                           seedFactor: Int = 4): DataFrame = {
+    require(maxVocab >= 1 && emIters >= 1,
+      s"unigram soft-EM: need maxVocab/emIters >= 1, got $maxVocab/$emIters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = Materialize(Tokenizer.wordCounts(docs, textCol))
+    val seed = seedVocab(words, maxPieceLen, seedFactor * maxVocab)
+      .map { case (p, f) => (p, f.toDouble) }.toSeq
+    val estep: Map[String, Double] => Map[String, Double] = { logp =>
+      val bc = spark.sparkContext.broadcast(logp)
+      val contrib = words.as[(String, Long)].flatMap { case (w, c) =>
+        softCounts(w, bc.value, maxPieceLen)._1.iterator
+          .map { case (p, e) => (p, softBucket(w), w, e * c) }
+      }.toDF("piece", "bkt", "word", "v")
+      val sortedFold = (pair: org.apache.spark.sql.Column) =>
+        aggregate(array_sort(pair), lit(0.0), (a, x) => a + x.getField("v"))
+      val perBucket = contrib.groupBy("piece", "bkt")
+        .agg(sortedFold(collect_list(struct(col("word"), col("v")))).as("v"))
+      perBucket.groupBy("piece")
+        .agg(sortedFold(collect_list(struct(col("bkt"), col("v")))).as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    softEmLoop(seed, maxVocab, maxPieceLen, emIters, shrink, estep)
+      .toDF("piece", "logp")
+  }
+
+  /** Local seed: substring freqs (same math as [[seedVocab]], driver
+    * arrays) → top-k plus single chars, as doubles.
+    */
+  private def localSeed(wordRows: Array[(String, Long)], maxPieceLen: Int,
+                        maxSeed: Int): Seq[(String, Double)] = {
+    val freq = scala.collection.mutable.HashMap[String, Long]()
+    for ((w, c) <- wordRows; i <- 0 until w.length;
+         j <- (i + 1) to math.min(w.length, i + maxPieceLen))
+      freq.update(w.substring(i, j), freq.getOrElse(w.substring(i, j), 0L) + c)
+    val sorted = freq.toArray.sortBy { case (p, f) => (-f, p) }
+    val top = sorted.take(maxSeed)
+    (top ++ sorted.filter(_._1.length == 1).filterNot(c => top.exists(_._1 == c._1)))
+      .sortBy { case (p, f) => (-f, p) }
+      .map { case (p, f) => (p, f.toDouble) }.toSeq
+  }
+
+  /** Local E-step mirroring the distributed two-level fold EXACTLY:
+    * contributions grouped by (piece, bucket), folded in sorted word
+    * order, then bucket partials folded in bucket order — the same
+    * additions in the same sequence as the Spark sorted-fold plan.
+    */
+  private def localEstep(wordRows: Array[(String, Long)],
+                         logp: Map[String, Double], maxPieceLen: Int): Map[String, Double] = {
+    val contrib = scala.collection.mutable.ArrayBuffer[(String, String, String, Double)]()
+    for ((w, c) <- wordRows; (p, e) <- softCounts(w, logp, maxPieceLen)._1)
+      contrib += ((p, softBucket(w), w, e * c))
+    contrib.groupBy { case (p, b, _, _) => (p, b) }
+      .map { case ((p, b), rows) =>
+        (p, b, rows.sortBy(_._3).foldLeft(0.0)(_ + _._4))
+      }
+      .groupBy(_._1)
+      .map { case (p, buckets) =>
+        p -> buckets.toSeq.sortBy(_._2).foldLeft(0.0)(_ + _._3)
+      }
+  }
+
   def saveModel(model: DataFrame, path: String): Unit =
     model.coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -106,6 +106,85 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     assert(again == local)
   }
 
+  test("softCounts: hand-checked two-path lattice posteriors and word likelihood") {
+    // word "ab", vocab {a, b, ab}: two segmentations — [ab] and [a, b]
+    val (pa, pb, pab) = (0.2, 0.3, 0.5)
+    val lp = Map("a" -> math.log(pa), "b" -> math.log(pb), "ab" -> math.log(pab))
+    val (counts, z) = UnigramTokenizer.softCounts("ab", lp, 8)
+    val zTrue = pab + pa * pb
+    assert(math.abs(math.exp(z) - zTrue) < 1e-12)
+    assert(math.abs(counts("ab") - pab / zTrue) < 1e-12)
+    assert(math.abs(counts("a") - pa * pb / zTrue) < 1e-12)
+    assert(math.abs(counts("b") - pa * pb / zTrue) < 1e-12)
+    // expected counts credit BOTH paths — hard-EM would give ab=1, a=b=0
+    assert(counts("a") > 0 && counts("ab") > 0)
+    // unknown chars: still total, z uses the unk floor
+    val (cUnk, zUnk) = UnigramTokenizer.softCounts("zq", Map("z" -> -1.0), 8)
+    assert(cUnk("z") > 0 && cUnk("q") > 0 && zUnk < -100)
+  }
+
+  test("soft-EM: corpus likelihood is non-decreasing over EM rounds") {
+    val s = spark; import s.implicits._
+    val words = graft.operators.Tokenizer.wordCounts(docsDf, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def corpusLL(model: Map[String, Double]): Double =
+      words.sortBy(_._1).map { case (w, c) =>
+        c * UnigramTokenizer.softCounts(w, model, 8)._2
+      }.sum
+    val lls = (1 to 4).map { iters =>
+      val m = UnigramTokenizer.trainSoft(docsDf, "text", maxVocab = 60,
+        maxPieceLen = 8, emIters = iters, seedFactor = 1)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      corpusLL(m)
+    }
+    for (Seq(a, b) <- lls.sliding(2))
+      assert(b >= a - 1e-9, s"likelihood decreased: $a -> $b over $lls")
+  }
+
+  test("trainSoft == trainSoftDistributed bit-identical under any partitioning") {
+    val local = UnigramTokenizer.trainSoft(docsDf, "text", maxVocab = 30,
+      maxPieceLen = 8, emIters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    for (parts <- Seq(1, 7)) {
+      val dist = UnigramTokenizer.trainSoftDistributed(docsDf.repartition(parts),
+        "text", maxVocab = 30, maxPieceLen = 8, emIters = 2)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(dist == local, s"parts=$parts")
+    }
+    val model = local.toMap
+    assert(model.size <= 30)
+    // coverage: every corpus character survives pruning
+    for (ch <- "internationalizm".distinct)
+      assert(model.contains(ch.toString), s"char $ch pruned")
+    // the dominant word is a piece, as in hard-EM
+    assert(model.contains("nation"))
+  }
+
+  test("soft-EM pruning: shrinks to maxVocab, drops lowest-likelihood-loss pieces first") {
+    val s = spark; import s.implicits._
+    val big = UnigramTokenizer.trainSoft(docsDf, "text", maxVocab = 100,
+      maxPieceLen = 8, emIters = 2, seedFactor = 4)
+      .collect().map(_.getString(0)).toSet
+    val small = UnigramTokenizer.trainSoft(docsDf, "text", maxVocab = 20,
+      maxPieceLen = 8, emIters = 2, seedFactor = 4)
+      .collect().map(_.getString(0)).toSet
+    assert(small.size <= 20 && big.size <= 100 && small.size < big.size)
+    // chars are never pruned even under the tight budget
+    assert("nation".forall(c => small.contains(c.toString)))
+  }
+
+  test("IR: unigram-train mode=soft trains the SentencePiece-faithful model") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val trained = Engine.run(Node.fromJson(
+      """{"action":"unigram-train","params":[{"text":"text","vocab":30,"mode":"soft","iters":2}],
+        |"children":[{"action":"tap","params":["m"]}]}""".stripMargin),
+      docsDf, EngineCtx(testMode = true)).taps("m")
+    val direct = UnigramTokenizer.trainSoftDistributed(docsDf, "text", 30,
+      maxPieceLen = 8, emIters = 2)
+    assert(trained.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      direct.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+  }
+
   test("encode: model round-trip via parquet, concat law over documents, null-total") {
     val s = spark; import s.implicits._
     val modelDf = UnigramTokenizer.train(docsDf, "text", 40, 8, 3)
