@@ -42,8 +42,9 @@ object Bench {
     // n-gram LM perplexity scoring + CCNet bucketing, hard negatives
     "bpe_pair_counts", "ngram_lm_score", "ppl_bucket_counts", "hard_negatives",
     "cms_token_counts", "temperature_mix", "pca_covariance", "unigram_candidates",
-    // round 10: fixed-memory heavy hitters, bucketed hard-negative miner
-    "heavy_hitters", "hard_negatives_bucketed")
+    // round 10: fixed-memory heavy hitters, bucketed hard-negative miner,
+    // HLL distinct sketch
+    "heavy_hitters", "hard_negatives_bucketed", "hll_registers")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -2175,6 +2175,35 @@ object QueriesPipeline {
       }
     }
 
+    // HyperLogLog register table: the oracle replays the identical
+    // integer idx/rank arithmetic from the same md5-derived 60-bit
+    // hashes (register = top b bits, rank = 1 + leading zeros of the
+    // remaining w bits, via a max-set-bit join). Registers are exactly
+    // deterministic (merge = element-wise max), so this is a full
+    // hash-compare gate; the cardinality ESTIMATE on top is driver math
+    // spec-pinned in HllSpec (its ln/harmonic floats don't belong in a
+    // byte-compare).
+    locally {
+      val b = 8
+      val w = 60 - b // 52-bit suffix
+      register("hll_registers",
+        s"""$DocsView,
+           |t AS (SELECT DISTINCT unnest(toks) AS token FROM docs),
+           |h AS (SELECT token, ${sqlMd5Hash64("'hll:' || token")} AS h FROM t),
+           |r AS (SELECT CAST(h >> $w AS BIGINT) AS register,
+           |             h & ((CAST(1 AS BIGINT) << $w) - 1) AS rem FROM h),
+           |bits AS (SELECT register, rem,
+           |                max(CASE WHEN (rem >> CAST(j AS INT)) & 1 = 1 THEN j END) AS hb
+           |         FROM r, (SELECT unnest(range($w)) AS j) GROUP BY register, rem),
+           |rk AS (SELECT register,
+           |              CASE WHEN hb IS NULL THEN ${w + 1} ELSE $w - hb END AS rank
+           |       FROM bits)
+           |SELECT register, CAST(max(rank) AS BIGINT) AS max_rank
+           |FROM rk GROUP BY register ORDER BY register""".stripMargin) { (s, dir) =>
+        graft.operators.Sketches.hllRegisters(docs(s, dir), "text", b, "hll")
+      }
+    }
+
     // BPE adjacent-pair counts — the oracle-gated primitive of the
     // distributed tokenizer trainer (the iterative merge loop itself is
     // not SQL-expressible: the left-to-right merge scan is stateful

@@ -1048,6 +1048,14 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Sketches.heavyHitters(df, pStr(m("text")),
         pLong(m("k")).toInt)
+    case "hll-registers" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sketches.hllRegisters(df, pStr(m("text")),
+        pLong(m("b")).toInt, m.get("seed").map(pStr).getOrElse("hll"))
+    case "hll-distinct" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sketches.hllDistinct(df, pStr(m("text")),
+        pLong(m("b")).toInt, m.get("seed").map(pStr).getOrElse("hll"))
     case "bpe-train" =>
       val m = pMap(params.head)
       df => graft.operators.Tokenizer.trainBpe(df, pStr(m("text")),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{CountMin, MisraGries, Text}
+import graft.functions.{CountMin, Hll, MisraGries, Text}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -75,5 +75,38 @@ object Sketches {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(kCounters + 1L) > lit(n))
       .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  /** HyperLogLog register table over the token stream: ONE corpus pass
+    * through the fixed-`2^b`-byte [[graft.functions.HllAgg]], then the
+    * nonzero registers as rows — the sketch the distinct-vocabulary
+    * question reads at 100 TB instead of a `countDistinct` dedup
+    * exchange. Registers are exactly deterministic under any
+    * partitioning (merge is element-wise max), so the oracle replays the
+    * identical idx/rank integer arithmetic from the same md5 hashes.
+    */
+  def hllRegisters(docs: DataFrame, textCol: String, b: Int, seed: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .agg(Hll.hll(col("__tok"), b, seed).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("register", "max_rank")))
+      .filter(col("max_rank") > 0)
+      .select(col("register").cast("long").as("register"),
+        col("max_rank").cast("long").as("max_rank"))
+      .orderBy("register")
+
+  /** Distinct-token estimate: the FFGM07 bias-corrected harmonic mean
+    * over the register table (model-sized collect, driver math). One row
+    * `(m, n_zero, est)`; relative error ~ `1.04/sqrt(2^b)`
+    * (spec-pinned).
+    */
+  def hllDistinct(docs: DataFrame, textCol: String, b: Int, seed: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val regs = docs.select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .agg(Hll.hll(col("__tok"), b, seed))
+      .head.getSeq[Int](0).toArray
+    val zeros = regs.count(_ == 0)
+    Seq((regs.length.toLong, zeros.toLong, Hll.estimate(regs, b)))
+      .toDF("m", "n_zero", "est")
   }
 }
