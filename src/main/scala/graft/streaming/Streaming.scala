@@ -282,6 +282,54 @@ object Streaming {
         col("quantile"), col("tokens_q"))
   }
 
+  /** Streaming vocabulary monitor — the live twin of the batch sketch
+    * family ([[graft.operators.Sketches]]): per closed event-time window,
+    * token count, HyperLogLog distinct-token estimate and the Misra-Gries
+    * top tokens, all through the same mergeable fixed-memory aggregates
+    * the batch path uses. State per open window is `2^b` bytes + `k`
+    * counters — ingest-rate independent, vocabulary independent.
+    *
+    * The HLL estimate (FFGM07 bias-corrected harmonic mean with
+    * linear-counting small range) is computed as Column algebra over the
+    * register array with the SAME arithmetic as
+    * [[graft.functions.Hll.estimate]] — StreamingSpec pins stream ==
+    * batch == driver-math equality exactly. The Misra-Gries list is the
+    * summary's items (heaviest first): approximate by design — the
+    * monitor answer, not the exact recount
+    * ([[graft.operators.Sketches.heavyHitters]] is the batch exact path).
+    */
+  def vocabSketchWindow(durationSeconds: Long, delaySeconds: Long,
+                        textCol: String, tsCol: String, b: Int = 12,
+                        seed: String = "hll", k: Int = 32)(df: DataFrame): DataFrame = {
+    val m = 1 << b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val toks = df.withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", s"$delaySeconds seconds")
+      .select(col("__ts"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("__tok"))
+    val agged = toks
+      .groupBy(window(col("__ts"), s"$durationSeconds seconds"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.Hll.hll(col("__tok"), b, seed).as("__regs"),
+        graft.functions.MisraGries.misraGries(col("__tok"), k).as("__hh"))
+    val denom = aggregate(
+      transform(col("__regs"), r => pow(lit(2.0), -r.cast("double"))),
+      lit(0.0), (a, x) => a + x)
+    val zeros = size(filter(col("__regs"), _ === 0))
+    val raw = lit(alpha * m.toDouble * m.toDouble) / denom
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(raw)
+    agged.select(
+      (unix_micros(col("window.start")) * 1000).as("window_start"),
+      col("n_tokens"), est.as("vocab_est"),
+      transform(col("__hh"), h => h.getField("item")).as("top_tokens"))
+  }
+
   /** One near-dup candidate: `doc_id` collides with the earlier
     * bucket-owner `dup_of` in LSH band `band`. A document pairs once per
     * shared band — `distinct` on (doc_id, dup_of) downstream for unique

@@ -655,6 +655,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r(1) == "A" && r(2) == 2L && r(3) == 5L && r(4) == 2L && r(6) == 3.0))
   }
 
+  test("streaming vocab sketch == batch twin == driver-math HLL estimate, per closed window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    // one 60s window with a skewed token stream; a far-future doc closes it
+    val rows = Seq(
+      (1L, "alpha alpha alpha beta gamma", 10L),
+      (2L, "alpha beta delta delta", 20L),
+      (3L, "alpha epsilon", 30L))
+    val flush = Seq((9L, "zz", 100000L))
+    val ms = MemoryStream[(Long, String, Long)]
+    def sk(df: DataFrame): DataFrame =
+      Streaming.vocabSketchWindow(60, 10, "text", "__time", b = 8, k = 2)(
+        df.withColumn("__time", timestamp_seconds(col("secs"))))
+    val q = sk(ms.toDF().toDF("doc_id", "text", "secs"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    Seq(rows.take(2), rows.drop(2), flush).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    def canon(df: DataFrame) = df.filter(col("window_start") === 0L)
+      .select("window_start", "n_tokens", "vocab_est", "top_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getSeq[String](3))).toSeq
+    val streamed = canon(s.table(name))
+    val batch = canon(sk((rows ++ flush).toDF("doc_id", "text", "secs")))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val (_, nTok, est, top) = streamed.head
+    assert(nTok == 11L)
+    // the column-algebra estimate must equal the batch driver math exactly
+    val exact = graft.operators.Sketches.hllDistinct(
+      rows.toDF("doc_id", "text", "secs"), "text", 8, "hll").head.getDouble(2)
+    assert(est == exact, s"column est $est != driver est $exact")
+    // 6 distinct tokens in the window, linear-counting regime: near-exact
+    assert(math.abs(est - 6.0) < 1.5, s"est $est")
+    // MG with k=2: alpha (5 of 11 > n/(k+1)=3.67) must lead the summary
+    assert(top.head == "alpha", s"top tokens $top")
+  }
+
   test("streaming near-dup: out-of-order arrival must not shorten the owner's horizon") {
     // owner at t=1000; an older-but-in-horizon arrival at t=950 must not
     // pull the bucket's eviction deadline back to 950+horizon — after the
