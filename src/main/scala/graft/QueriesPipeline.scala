@@ -426,6 +426,19 @@ object QueriesPipeline {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select("doc_id", "split").orderBy("doc_id")
       }
+
+      register("sample_exact_k",
+        s"""WITH r AS (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY ${sqlBucket("sample")}, doc_id) AS sample_rank
+           |  FROM documents)
+           |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+           |FROM r WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin) { (s, dir) =>
+        Sampling.sampleExactK(docs(s, dir), "source", "doc_id", 7)
+          .select("doc_id", "source", "sample_rank")
+          .orderBy("source", "sample_rank")
+      }
     }
 
     // ---------------- corpus curation (line dedup / budgets / packing) ----------------

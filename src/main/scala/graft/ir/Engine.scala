@@ -791,6 +791,10 @@ object Engine {
       }
       df => graft.operators.Sampling.splitByHash(df, pStr(m("id")), weights,
         salt = m.get("salt").map(pStr).getOrElse("split"))
+    case "sample-exact-k" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sampling.sampleExactK(df, pStr(m("group")), pStr(m("id")),
+        pLong(m("k")).toInt, salt = m.get("salt").map(pStr).getOrElse("sample"))
 
     // corpus curation (Curation.scala) and quality scoring as declarable
     // stages over document frames

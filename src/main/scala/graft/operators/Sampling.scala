@@ -73,4 +73,30 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic EXACTLY-k-per-group sample — "pick k random documents
+    * from every source for the eval set": rank rows within each group by
+    * their (salted hash, id) and keep rank <= k. Hash-fraction sampling
+    * ([[hashSample]]) keeps a PROPORTION (count varies with group size);
+    * this keeps a COUNT, the shape eval/holdout construction needs, and
+    * the choice is stable as unrelated rows come and go only when a
+    * row's own (hash, id) rank moves — same salt, same ids → same
+    * sample on every engine.
+    *
+    * Output: input columns + `sample_rank` (1-based).
+    *
+    * Scale: one exchange on the group key; the per-group rank is a
+    * window sort, parallel ACROSS groups — the group key is the
+    * parallelism unit (fine for sources/domains/languages; for k from a
+    * SINGLE giant group prefer `orderBy(hash).limit(k)`, a distributed
+    * TakeOrdered with no single-task sort).
+    */
+  def sampleExactK(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                   salt: String = "sample"): DataFrame = {
+    require(k >= 1, s"sampleExactK: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

@@ -182,6 +182,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sampleExactK: exactly k per group, deterministic, stable ranks under reruns") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "grp")
+    def run() = Sampling.sampleExactK(df, "grp", "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+    val first = run()
+    assert(first == run()) // deterministic
+    // exactly k per group, ranks 1..k
+    for (g <- Seq("a", "b", "c")) {
+      val rows = first.filter(_._1 == g)
+      assert(rows.size == 5, s"group $g")
+      assert(rows.map(_._3) == (1L to 5L).toSet, s"group $g ranks")
+    }
+    // tiny group: k caps at group size
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(Sampling.sampleExactK(tiny, "grp", "id", 5).count() == 2)
+    // membership of chosen ids is a pure function of (salt, id) ORDER:
+    // a different salt draws a different sample
+    val other = Sampling.sampleExactK(df, "grp", "id", 5, salt = "other")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+    assert(other != first)
+  }
+
   test("condition compile == compileWith(top-level resolver) for random conditions") {
     import graft.conditions.Condition
     import graft.conditions.Condition._
