@@ -361,7 +361,8 @@ object QueriesIr {
          |            (a, x) -> a + x) AS BIGINT) AS n_pieces
          |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir)
-      val modelPath = java.nio.file.Files.createTempDirectory("ir_unigram").toString + "/m"
+      val tmp = java.nio.file.Files.createTempDirectory("ir_unigram")
+      val modelPath = s"$tmp/m"
       val trained = tapOf(Node.fromJson(
         """{"action":"unigram-train","params":[{"text":"text","vocab":64,"max-piece":1,"iters":2}],
           | "children":[{"action":"tap","params":["m"]}]}""".stripMargin), d, "m")
@@ -369,9 +370,16 @@ object QueriesIr {
       val node = Node.fromJson(
         s"""{"action":"unigram-encode","params":[{"text":"text","model-path":"$modelPath","out":"pieces"}],
            | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
-      tapOf(node, d)
+      val out = tapOf(node, d) // loadModel collects the pieces eagerly here
         .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"))
         .orderBy("doc_id")
+      // the returned plan holds the model as a broadcast map, not the
+      // files — delete the artifact now instead of littering /tmp across
+      // repeated verify/bench passes
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
     }
   }
 }

@@ -33,8 +33,15 @@ object Verify {
         // value is identical (burned corpus_profile r7, ngram_lm_score +
         // pca_covariance r9). Round through DECIMAL(38,x) for order
         // independence, then CAST(... AS DOUBLE) on BOTH sides.
+        def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: org.apache.spark.sql.types.DecimalType => true
+          case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => hasDecimal(a.elementType)
+          case m: org.apache.spark.sql.types.MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+          case _ => false
+        }
         val decCols = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+          case f if hasDecimal(f.dataType) => f.name
         }
         if (decCols.nonEmpty)
           System.err.println(s"[verify] WARNING: $name emits raw DecimalType " +

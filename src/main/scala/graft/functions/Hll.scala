@@ -100,15 +100,26 @@ object Hll {
     * counting small-range correction. Deterministic: the harmonic
     * denominator sums exact dyadic rationals in register order.
     */
+  /** FFGM07 bias constant for `m` registers — the ONE definition both
+    * the driver-math estimate and the streaming Column-algebra twin
+    * read (they are spec-pinned to exact equality).
+    */
+  def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Linear-counting cutoff multiplier (raw estimate <= LinearCutoff * m
+    * with empty registers → switch to linear counting).
+    */
+  val LinearCutoff: Double = 2.5
+
   def estimate(registers: Array[Int], b: Int): Double = {
     val m = 1 << b
     require(registers.length == m, s"hll estimate: ${registers.length} registers != 2^$b")
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
+    val alpha = Hll.alpha(m)
     var denom = 0.0
     var zeros = 0
     var i = 0
@@ -118,7 +129,7 @@ object Hll {
       i += 1
     }
     val raw = alpha * m.toDouble * m.toDouble / denom
-    if (raw <= 2.5 * m && zeros > 0) m * StrictMath.log(m.toDouble / zeros)
+    if (raw <= LinearCutoff * m && zeros > 0) m * StrictMath.log(m.toDouble / zeros)
     else raw
   }
 }

@@ -303,6 +303,9 @@ object Engine {
           try {
             val m = pMap(n.params.head)
             df(pStr(m("text"))); pLong(m("vocab"))
+            val mode = m.get("mode").map(pStr).getOrElse("hard")
+            require(mode == "hard" || mode == "soft",
+              s"unigram-train: mode must be 'hard' or 'soft', got '$mode'")
             recurse(df.sparkSession.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               org.apache.spark.sql.types.StructType(Seq(
@@ -325,6 +328,45 @@ object Engine {
             val m = pMap(n.params.head)
             df(pStr(m("text"))); pStr(m("model-path"))
             recurse(df.withColumn(pStr(m("out")), array().cast("array<string>")))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "cms-topk" | "heavy-hitters" | "hll-distinct" =>
+          // eager sketch actions (driver-side collect/head inside the
+          // operator): validate probes params and emits the schema only —
+          // static validation must never launch Spark jobs
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text")))
+            n.action match {
+              case "cms-topk" =>
+                pLong(m("depth")); pLong(m("width")); pLong(m("k"))
+                recurse(df.sparkSession.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("token",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("est",
+                      org.apache.spark.sql.types.LongType, nullable = false)))))
+              case "heavy-hitters" =>
+                pLong(m("k"))
+                recurse(df.sparkSession.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("token",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("cnt",
+                      org.apache.spark.sql.types.LongType, nullable = false)))))
+              case _ =>
+                pLong(m("b"))
+                recurse(df.sparkSession.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("m",
+                      org.apache.spark.sql.types.LongType, nullable = false),
+                    org.apache.spark.sql.types.StructField("n_zero",
+                      org.apache.spark.sql.types.LongType, nullable = false),
+                    org.apache.spark.sql.types.StructField("est",
+                      org.apache.spark.sql.types.DoubleType, nullable = false)))))
+            }
           } catch { case e: Throwable => fail(at, e); recurse(df) }
         case _ =>
           val out =

@@ -60,7 +60,10 @@ object UnigramTokenizer {
     * billions at web scale) never reaches the driver.
     */
   def seedVocab(words: DataFrame, maxPieceLen: Int, maxVocab: Int): Array[(String, Long)] = {
-    val cand = candidates(words, maxPieceLen)
+    // two consumers (top-k branch + single-char branch) — materialize the
+    // substring explode + count once (ReuseExchange is not reliable for
+    // twin subtrees; see Curation.vocabDrift's post-mortem)
+    val cand = Materialize(candidates(words, maxPieceLen))
     cand.orderBy(col("freq").desc, col("piece").asc).limit(maxVocab)
       .union(cand.filter(length(col("piece")) === 1))
       .distinct() // (piece, freq) rows are identical when a char is in both

@@ -302,12 +302,7 @@ object Streaming {
                         textCol: String, tsCol: String, b: Int = 12,
                         seed: String = "hll", k: Int = 32)(df: DataFrame): DataFrame = {
     val m = 1 << b
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
+    val alpha = graft.functions.Hll.alpha(m)
     val toks = df.withColumn("__ts", col(tsCol).cast("timestamp"))
       .withWatermark("__ts", s"$delaySeconds seconds")
       .select(col("__ts"),
@@ -322,10 +317,10 @@ object Streaming {
       lit(0.0), (a, x) => a + x)
     val zeros = size(filter(col("__regs"), _ === 0))
     val raw = lit(alpha * m.toDouble * m.toDouble) / denom
-    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+    val est = when(raw <= lit(graft.functions.Hll.LinearCutoff * m) && zeros > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double"))).otherwise(raw)
     agged.select(
-      (unix_micros(col("window.start")) * 1000).as("window_start"),
+      windowStartNs,
       col("n_tokens"), est.as("vocab_est"),
       transform(col("__hh"), h => h.getField("item")).as("top_tokens"))
   }

@@ -183,6 +183,12 @@ class UnigramTokenizerSpec extends AnyFunSuite {
       maxPieceLen = 8, emIters = 2)
     assert(trained.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       direct.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    // static validation catches a typoed mode BEFORE any job runs
+    val bad = Engine.validate(Node.fromJson(
+      """{"action":"unigram-train","params":[{"text":"text","vocab":30,"mode":"sotf"}],
+        |"children":[{"action":"tap","params":["m"]}]}""".stripMargin),
+      spark, EngineCtx(testMode = true), docsDf.schema)
+    assert(bad.exists(_.contains("mode")), bad.mkString("; "))
   }
 
   test("encode: model round-trip via parquet, concat law over documents, null-total") {
