@@ -231,7 +231,7 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Training.ModelSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
-        case "hard-negatives" =>
+        case "hard-negatives" | "hard-negatives-bucketed" =>
           // artifact rule: the anchor batch is a runtime input
           try {
             val m = pMap(n.params.head)
@@ -1028,6 +1028,15 @@ object Engine {
       df => graft.operators.Similarity.hardNegatives(df,
         df.sparkSession.read.parquet(pStr(m("anchors-path"))),
         pStr(m("id")), pStr(m("vec")), pStr(m("label")), pLong(m("k")).toInt)
+    case "hard-negatives-bucketed" =>
+      // the web-scale composed miner: same artifact rule, sign-bucket
+      // candidate set instead of the full corpus scan
+      val m = pMap(params.head)
+      df => graft.operators.Similarity.hardNegativesBucketed(df,
+        df.sparkSession.read.parquet(pStr(m("anchors-path"))),
+        pStr(m("id")), pStr(m("vec")), pStr(m("label")), pLong(m("k")).toInt,
+        bits = m.get("bits").map(pLong(_).toInt).getOrElse(16),
+        extraProbes = m.get("probes").map(pLong(_).toInt).getOrElse(0))
 
     case "url-canonicalize" =>
       val m = pMap(params.head)

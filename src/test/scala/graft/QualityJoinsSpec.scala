@@ -236,6 +236,41 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(r2 >= r0, s"probes lowered recall: $r0 -> $r2")
   }
 
+  test("IR hard-negatives + hard-negatives-bucketed: anchors artifact, validate total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("hn_anchors").toString + "/a"
+    rows.filter(col("vec_id") < 3).write.parquet(dir)
+    def run(action: String, extra: String = "") =
+      Engine.run(Node.fromJson(
+        s"""{"action":"$action","params":[{"id":"vec_id","vec":"embedding","label":"label",
+           |"anchors-path":"$dir","k":3$extra}],
+           |"children":[{"action":"tap","params":["t"]}]}""".stripMargin),
+        rows, EngineCtx(testMode = true)).taps("t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = run("hard-negatives")
+    assert(exact.nonEmpty)
+    val bucketed = run("hard-negatives-bucketed", ""","bits":4,"probes":2""")
+    // mined pairs respect the contract (recall floor vs exact is pinned
+    // in the operator-level test above; here the IR plumbing is on trial)
+    assert(bucketed.nonEmpty)
+    assert(bucketed.forall { case (q, _, nn) => q % 2 != nn % 2 }) // other label only
+    assert(bucketed.forall { case (q, _, nn) => q != nn })
+    // validate is total for both actions without reading the artifact
+    for (a <- Seq("hard-negatives", "hard-negatives-bucketed")) {
+      val v = Engine.validate(Node.fromJson(
+        s"""{"action":"$a","params":[{"id":"vec_id","vec":"embedding","label":"label",
+           |"anchors-path":"/nope","k":3}],
+           |"children":[{"action":"tap","params":["t"]}]}""".stripMargin),
+        spark, EngineCtx(testMode = true), rows.schema)
+      assert(v.isEmpty, s"$a: ${v.mkString("; ")}")
+    }
+  }
+
   test("semanticDedup drops within-cluster near-dups, keeps lowest id, spares far pairs") {
     val s = spark
     import s.implicits._
