@@ -124,7 +124,48 @@ object GraftExtensions {
         ExactPercentiles(
           org.apache.spark.sql.catalyst.expressions.Cast(
             children.head, org.apache.spark.sql.types.DoubleType), qs)
+      }),
+    // the fixed-memory sketch family as SQL aggregates (the analyzer
+    // wraps a bare AggregateFunction in AggregateExpression itself)
+    (FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getCanonicalName, null, "count_min"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "count_min(item, depth, width, seed) takes four arguments")
+        graft.functions.CountMinAgg(children.head,
+          litInt(children(1), "count_min depth"), litInt(children(2), "count_min width"),
+          litStr(children(3), "count_min seed"))
+      }),
+    (FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getCanonicalName, null, "misra_gries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "misra_gries(item, k) takes two arguments")
+        graft.functions.MisraGriesAgg(children.head, litInt(children(1), "misra_gries k"))
+      }),
+    (FunctionIdentifier("hyperloglog"),
+      new ExpressionInfo(classOf[graft.functions.HllAgg].getCanonicalName, null, "hyperloglog"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "hyperloglog(item, b, seed) takes three arguments")
+        graft.functions.HllAgg(children.head,
+          litInt(children(1), "hyperloglog b"), litStr(children(2), "hyperloglog seed"))
       }))
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.toInt
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case other => throw new IllegalArgumentException(s"$what is not an integer: $other")
+    }
+  }
+
+  private def litStr(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a string literal")
+    val v = e.eval()
+    require(v != null, s"$what must not be null")
+    v.toString
+  }
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

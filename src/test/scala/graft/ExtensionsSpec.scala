@@ -60,6 +60,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("sketch aggregates from SQL == the Column/operator API") {
+    val sql = spark.sql(
+      """SELECT count_min(t, 2, 64, 'm') AS cm, misra_gries(t, 2) AS mg,
+        |       hyperloglog(t, 8, 'hll') AS hl
+        |FROM (VALUES ('a'), ('a'), ('a'), ('b'), ('c')) AS v(t)""".stripMargin)
+      .collect().head
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val df = Seq("a", "a", "a", "b", "c").toDF("t")
+    val api = df.agg(
+      graft.functions.CountMin.countMin(col("t"), 2, 64, "m").as("cm"),
+      graft.functions.MisraGries.misraGries(col("t"), 2).as("mg"),
+      graft.functions.Hll.hll(col("t"), 8, "hll").as("hl")).collect().head
+    assert(sql.getSeq[Long](0) == api.getSeq[Long](0))
+    assert(sql.getSeq[org.apache.spark.sql.Row](1) == api.getSeq[org.apache.spark.sql.Row](1))
+    assert(sql.getSeq[Int](2) == api.getSeq[Int](2))
+    // 'a' (3 of 5 > n/(k+1)=1.67) must be tracked by the MG summary
+    assert(sql.getSeq[org.apache.spark.sql.Row](1).exists(r => r.getString(0) == "a"))
+  }
+
   test("non-literal quantiles are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql(
