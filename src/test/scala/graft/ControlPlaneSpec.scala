@@ -273,13 +273,21 @@ class ControlPlaneSpec extends AnyFunSuite {
         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
     // wait on handler COMPLETION (observable counter), not on a fixed
     // wall-clock window: under box load the signal thread may run late,
-    // and a short poll deadline reds a deterministic handler (r8 flake)
+    // and a short poll deadline reds a deterministic handler (r8 flake).
+    // Re-raise periodically: under full-suite contention a single raise
+    // has been observed to go undispatched for >30s (r10 flake) — HUP
+    // deliveries coalesce, so extra raises are harmless.
     val before = Serve.reloadCount.get()
-    sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
-    val deadline = System.nanoTime + 30000000000L
-    while (Serve.reloadCount.get() == before && System.nanoTime < deadline)
+    val deadline = System.nanoTime + 120000000000L
+    var lastRaise = 0L
+    while (Serve.reloadCount.get() == before && System.nanoTime < deadline) {
+      if (System.nanoTime - lastRaise > 5000000000L) {
+        sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
+        lastRaise = System.nanoTime
+      }
       Thread.sleep(20)
-    assert(Serve.reloadCount.get() > before, "SIGHUP handler never completed within 30s")
+    }
+    assert(Serve.reloadCount.get() > before, "SIGHUP handler never completed within 120s")
     assert(registry.list == Seq("a", "b"))
   }
 
