@@ -148,6 +148,17 @@ object GraftExtensions {
         require(children.length == 3, "hyperloglog(item, b, seed) takes three arguments")
         graft.functions.HllAgg(children.head,
           litInt(children(1), "hyperloglog b"), litStr(children(2), "hyperloglog seed"))
+      }),
+    (FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[graft.functions.BottomKAgg].getCanonicalName, null, "bottom_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "bottom_k(hash, value, k) takes three arguments")
+        graft.functions.BottomKAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.DoubleType),
+          litInt(children(2), "bottom_k k"))
       }))
 
   private def litInt(e: Expression, what: String): Int = {

@@ -381,5 +381,40 @@ object QueriesIr {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out
     }
+
+    // wordpiece train -> save -> load -> greedy encode, as an IR chain.
+    // At merges=0 the model is the pure character vocabulary, whose
+    // greedy segmentation is one piece per character (first bare, rest
+    // ##-marked) — so per-doc piece counts equal summed word lengths,
+    // the same oracle-replayable invariant ir_unigram_encode pins.
+    register("ir_wordpiece_encode",
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                     t -> len(t) > 0) AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+         |            (a, x) -> a + x) AS BIGINT) AS n_pieces
+         |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("ir_wordpiece")
+      val modelPath = s"$tmp/v"
+      val vocab = tapOf(Node.fromJson(
+        """{"action":"wordpiece-train","params":[{"text":"text","merges":0}],
+          | "children":[{"action":"tap","params":["m"]}]}""".stripMargin), d, "m")
+      graft.operators.WordPiece.saveVocab(vocab, modelPath)
+      val node = Node.fromJson(
+        s"""{"action":"wordpiece-encode","params":[{"text":"text","model-path":"$modelPath","out":"pieces"}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      val out = tapOf(node, d) // loadVocab collects the pieces eagerly here
+        .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }
   }
 }

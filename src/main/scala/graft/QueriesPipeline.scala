@@ -2217,6 +2217,55 @@ object QueriesPipeline {
       }
     }
 
+    // KMV / bottom-k sketch: the kept set is exactly the k smallest
+    // salted hashes — order/partition invariant — so the oracle replays
+    // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.
+    locally {
+      val k = 256
+      register("kmv_row_sample",
+        s"""WITH h AS (SELECT DISTINCT
+           |    ${sqlMd5Hash64("'kmv' || '|' || CAST(doc_id AS VARCHAR)")} AS hash,
+           |    CAST(n_chars AS DOUBLE) AS value
+           |  FROM documents)
+           |SELECT hash, value FROM h ORDER BY hash, value LIMIT $k""".stripMargin) {
+        (s, dir) =>
+          graft.operators.Sketches.kmvRowSample(docs(s, dir), "doc_id", "n_chars", k, "kmv")
+      }
+
+      register("kmv_quantiles",
+        s"""WITH h AS (SELECT DISTINCT
+           |    ${sqlMd5Hash64("'kmv' || '|' || CAST(doc_id AS VARCHAR)")} AS hash,
+           |    CAST(n_chars AS DOUBLE) AS value
+           |  FROM documents),
+           |s AS (SELECT hash, value FROM h ORDER BY hash, value LIMIT $k),
+           |sv AS (SELECT value,
+           |              row_number() OVER (ORDER BY value) - 1 AS rn,
+           |              count(*) OVER () AS m
+           |       FROM s),
+           |qv AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS q)
+           |SELECT qv.q AS q, sv.value AS value
+           |FROM qv JOIN sv ON sv.rn = CAST(floor((sv.m - 1) * qv.q) AS BIGINT)
+           |ORDER BY q""".stripMargin) { (s, dir) =>
+        graft.operators.Sketches.kmvQuantiles(docs(s, dir), "doc_id", "n_chars", k,
+          "kmv", Seq(0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+      }
+
+      register("kmv_distinct",
+        s"""$DocsView,
+           |t AS (SELECT DISTINCT unnest(toks) AS token FROM docs),
+           |h AS (SELECT DISTINCT ${sqlMd5Hash64("'kmv' || '|' || token")} AS h FROM t),
+           |s AS (SELECT h FROM h ORDER BY h LIMIT $k),
+           |agg AS (SELECT count(*) AS k_kept, max(h) AS h_k FROM s)
+           |SELECT CAST(k_kept AS BIGINT) AS k_kept,
+           |       CAST(h_k AS BIGINT) AS h_k,
+           |       CASE WHEN k_kept < $k THEN CAST(k_kept AS DOUBLE)
+           |            ELSE CAST(${k - 1} AS DOUBLE) * pow(2, 60) / CAST(h_k AS DOUBLE)
+           |       END AS est
+           |FROM agg""".stripMargin) { (s, dir) =>
+        graft.operators.Sketches.kmvDistinct(docs(s, dir), "text", k, "kmv")
+      }
+    }
+
     // BPE adjacent-pair counts — the oracle-gated primitive of the
     // distributed tokenizer trainer (the iterative merge loop itself is
     // not SQL-expressible: the left-to-right merge scan is stateful
@@ -2239,6 +2288,41 @@ object QueriesPipeline {
           graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")))
         .select(col("left").as("l_sym"), col("right").as("r_sym"), col("cnt"))
         .orderBy(col("cnt").desc, col("l_sym").asc, col("r_sym").asc)
+        .limit(200)
+    }
+
+    // WordPiece scored pairs — the oracle-gated primitive of the
+    // likelihood-argmax trainer (the merge loop is spec-gated like BPE's;
+    // score = cnt/(lcnt*rcnt) is two IEEE double ops in the same order on
+    // both engines, so the double column hash-matches bit-for-bit)
+    register("wordpiece_pair_scores",
+      s"""$DocsView,
+         |words AS (SELECT tok AS word, count(*) AS cnt
+         |          FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY 1),
+         |upos AS (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS j FROM words),
+         |units AS (SELECT CASE WHEN j = 1 THEN substr(word, 1, 1)
+         |                      ELSE '##' || substr(word, CAST(j AS INT), 1) END AS sym,
+         |                 CAST(sum(cnt) AS BIGINT) AS cnt
+         |          FROM upos GROUP BY 1),
+         |wpos AS (SELECT word, cnt, unnest(range(1, len(word))) AS i
+         |         FROM words WHERE len(word) >= 2),
+         |pairs AS (SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+         |                      ELSE '##' || substr(word, CAST(i AS INT), 1) END AS l_sym,
+         |                 '##' || substr(word, CAST(i AS INT) + 1, 1) AS r_sym,
+         |                 CAST(sum(cnt) AS BIGINT) AS cnt
+         |          FROM wpos GROUP BY 1, 2)
+         |SELECT p.l_sym, p.r_sym, p.cnt,
+         |       CAST(p.cnt AS DOUBLE) /
+         |         (CAST(ul.cnt AS DOUBLE) * CAST(ur.cnt AS DOUBLE)) AS score
+         |FROM pairs p
+         |JOIN units ul ON ul.sym = p.l_sym
+         |JOIN units ur ON ur.sym = p.r_sym
+         |ORDER BY score DESC, p.cnt DESC, l_sym, r_sym LIMIT 200""".stripMargin) { (s, dir) =>
+      graft.operators.WordPiece.pairScores(
+        graft.operators.WordPiece.symbolize(
+          graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")))
+        .orderBy(col("score").desc, col("cnt").desc,
+          col("l_sym").asc, col("r_sym").asc)
         .limit(200)
     }
 

@@ -321,6 +321,23 @@ object Engine {
             df(pStr(m("text"))); pStr(m("model-path"))
             recurse(df.withColumn(pStr(m("out")), array().cast("array<string>")))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "wordpiece-train" =>
+          // artifact rule: training runs iterative jobs; validate probes
+          // the params/columns and emits the vocab schema only
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pLong(m("merges"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.WordPiece.VocabSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "wordpiece-encode" =>
+          // the vocab table is a runtime artifact: skip the parquet read
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pStr(m("model-path"))
+            recurse(df.withColumn(pStr(m("out")), array().cast("array<string>")))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "bpe-encode" =>
           // the merge table is a runtime artifact (a bpe-train step
           // earlier in the job may produce it): skip the parquet read
@@ -363,6 +380,35 @@ object Engine {
                     org.apache.spark.sql.types.StructField("m",
                       org.apache.spark.sql.types.LongType, nullable = false),
                     org.apache.spark.sql.types.StructField("n_zero",
+                      org.apache.spark.sql.types.LongType, nullable = false),
+                    org.apache.spark.sql.types.StructField("est",
+                      org.apache.spark.sql.types.DoubleType, nullable = false)))))
+            }
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "kmv-quantiles" | "kmv-distinct" =>
+          // eager KMV faces (driver-side collect inside the operator):
+          // validate probes params and emits the schema only
+          try {
+            val m = pMap(n.params.head)
+            pLong(m("k"))
+            n.action match {
+              case "kmv-quantiles" =>
+                df(pStr(m("id"))); df(pStr(m("value"))); pDoubles(m("qs"))
+                recurse(df.sparkSession.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("q",
+                      org.apache.spark.sql.types.DoubleType, nullable = false),
+                    org.apache.spark.sql.types.StructField("value",
+                      org.apache.spark.sql.types.DoubleType, nullable = false)))))
+              case _ =>
+                df(pStr(m("text")))
+                recurse(df.sparkSession.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("k_kept",
+                      org.apache.spark.sql.types.LongType, nullable = false),
+                    org.apache.spark.sql.types.StructField("h_k",
                       org.apache.spark.sql.types.LongType, nullable = false),
                     org.apache.spark.sql.types.StructField("est",
                       org.apache.spark.sql.types.DoubleType, nullable = false)))))
@@ -1103,6 +1149,20 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Sketches.heavyHitters(df, pStr(m("text")),
         pLong(m("k")).toInt)
+    case "kmv-sample" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sketches.kmvRowSample(df, pStr(m("id")),
+        pStr(m("value")), pLong(m("k")).toInt,
+        m.get("seed").map(pStr).getOrElse("kmv"))
+    case "kmv-quantiles" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sketches.kmvQuantiles(df, pStr(m("id")),
+        pStr(m("value")), pLong(m("k")).toInt,
+        m.get("seed").map(pStr).getOrElse("kmv"), pDoubles(m("qs")))
+    case "kmv-distinct" =>
+      val m = pMap(params.head)
+      df => graft.operators.Sketches.kmvDistinct(df, pStr(m("text")),
+        pLong(m("k")).toInt, m.get("seed").map(pStr).getOrElse("kmv"))
     case "hll-registers" =>
       val m = pMap(params.head)
       df => graft.operators.Sketches.hllRegisters(df, pStr(m("text")),
@@ -1143,6 +1203,19 @@ object Engine {
       df => graft.operators.UnigramTokenizer.encode(df, pStr(m("text")),
         graft.operators.UnigramTokenizer.loadModel(df.sparkSession, pStr(m("model-path"))),
         pStr(m("out")), m.get("max-piece").map(pLong(_).toInt).getOrElse(8))
+    case "wordpiece-train" =>
+      val m = pMap(params.head)
+      df => {
+        val merges = graft.operators.WordPiece.trainWordPiece(df, pStr(m("text")),
+          pLong(m("merges")).toInt,
+          m.get("min-pair").map(pLong).getOrElse(2L))
+        graft.operators.WordPiece.vocabFrame(df, pStr(m("text")), merges)
+      }
+    case "wordpiece-encode" =>
+      val m = pMap(params.head)
+      df => graft.operators.WordPiece.encode(df, pStr(m("text")),
+        graft.operators.WordPiece.loadVocab(df.sparkSession, pStr(m("model-path"))),
+        pStr(m("out")), m.get("unk").map(pStr).getOrElse("[UNK]"))
     case "media-audio-features" =>
       df => graft.operators.Multimodal.audioFeatureExtract(df, pLong(pMap(params.head)("dim")).toInt)
 

@@ -109,4 +109,67 @@ object Sketches {
     Seq((regs.length.toLong, zeros.toLong, Hll.estimate(regs, b)))
       .toDF("m", "n_zero", "est")
   }
+
+  // ---------------- KMV / bottom-k ----------------
+
+  /** Uniform fixed-size row sample via the bottom-k sketch
+    * ([[graft.functions.BottomKAgg]]): the k rows whose salted id hashes
+    * are smallest, with `valueCol` as the carried payload. ONE corpus
+    * pass, map-side partial heaps of k pairs, NO shuffle — the
+    * fixed-memory alternative to a `repartition`-heavy sample at 100 TB,
+    * and exactly deterministic under any partitioning (the kept set
+    * depends only on which ids exist). `idCol` must be unique (identical
+    * (hash, value) pairs collapse).
+    */
+  def kmvRowSample(docs: DataFrame, idCol: String, valueCol: String,
+                   k: Int, seed: String): DataFrame =
+    docs.agg(graft.functions.BottomK.bottomK(
+        Text.md5Hash64(concat_ws("|", lit(seed), col(idCol).cast("string"))),
+        col(valueCol).cast("double"), k).as("s"))
+      .select(explode(col("s")).as("p"))
+      .select(col("p.hash").as("hash"), col("p.value").as("value"))
+
+  /** Empirical quantiles of [[kmvRowSample]]'s uniform sample — the
+    * one-pass fixed-memory quantile estimate (error O(1/sqrt(k)) on the
+    * rank, spec-pinned). The sample is model-sized, so the quantile
+    * selection is driver math: sort the m (<= k) sampled values, take
+    * index `floor((m-1) * q)` — integer-exact and engine-identical for
+    * the caller's q list. Output: (q, value) per requested quantile.
+    */
+  def kmvQuantiles(docs: DataFrame, idCol: String, valueCol: String,
+                   k: Int, seed: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"kmvQuantiles: quantiles must be in [0, 1], got $qs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sample = kmvRowSample(docs, idCol, valueCol, k, seed)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    val m = sample.length
+    require(m > 0, "kmvQuantiles: empty input")
+    qs.map { q => (q, sample(math.floor((m - 1) * q).toInt)) }
+      .toDF("q", "value")
+  }
+
+  /** KMV distinct-token estimate (Beyer et al. 2007): bottom-k over the
+    * VALUE hashes (payload 0 — identical tokens collapse in the set
+    * buffer), `est = (k-1) * 2^60 / h_k` with `h_k` the k-th smallest
+    * 60-bit hash; exact (`est = size`) below k distinct. The HLL twin
+    * ([[hllDistinct]]) is smaller (2^b bytes vs 16k); KMV's trade is an
+    * oracle-exact estimate AND a reusable distinct-value sample from the
+    * same pass. One row: (k_kept, h_k, est).
+    */
+  def kmvDistinct(docs: DataFrame, textCol: String, k: Int, seed: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = docs.select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .agg(graft.functions.BottomK.bottomK(
+        Text.md5Hash64(concat_ws("|", lit(seed), col("__tok"))),
+        lit(0.0), k).as("s"))
+      .head.getSeq[Row](0).map(_.getLong(0))
+    val est =
+      if (kept.length < k) kept.length.toDouble
+      else (k - 1).toDouble * math.pow(2.0, 60.0) / kept.last.toDouble
+    Seq((kept.length.toLong, if (kept.isEmpty) 0L else kept.last, est))
+      .toDF("k_kept", "h_k", "est")
+  }
 }

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece tokenizer training (Schuster & Nakajima 2012;
+  * the BERT-family subword inducer) and the matching greedy encoder —
+  * the third tokenizer family next to BPE ([[Tokenizer]]) and
+  * unigram-LM ([[UnigramTokenizer]]).
+  *
+  * WordPiece differs from BPE in exactly one place: the merge argmax
+  * maximizes the training-corpus LIKELIHOOD gain, not the raw pair
+  * count — `score(a,b) = count(ab) / (count(a) * count(b))`, the
+  * pointwise-mutual-information-style ratio every published WordPiece
+  * description uses. Symbols carry the `##` continuation marker from the
+  * start (word-initial `h`, word-internal `##e`), so the learned vocab
+  * is directly the greedy encoder's vocab.
+  *
+  * Scale shape — identical to BPE's (the reason both train fine at
+  * 100 TB): ONE corpus-sized shuffle (tokenize → word `groupBy` count),
+  * then every merge round runs on the vocabulary-sized word table: one
+  * adjacent-pair aggregate + one symbol-frequency aggregate (both
+  * map-side combined), two broadcast joins of those model-sized tables,
+  * a 1-row `TakeOrdered` argmax to the driver, and a map-only merge
+  * pass. Lineage is truncated per round via [[Materialize]].
+  *
+  * Determinism: counts are integer sums; the score is computed as
+  * `cnt / (lcnt * rcnt)` in IEEE doubles — the same two operations in
+  * the same order on every engine — and the argmax tie-breaks by
+  * (score DESC, pair count DESC, left ASC, right ASC).
+  *
+  * The scored-pair primitive is oracle-gated (`wordpiece_pair_scores`
+  * — DuckDB replays the marked symbolization with `substr` and `||`);
+  * the iterative loop is spec-gated against an independent in-memory
+  * reference, exactly like BPE's merge loop (the left-to-right
+  * non-overlapping merge scan is stateful within a word and not
+  * SQL-expressible).
+  *
+  * Reference scope note: the reference engine (mirabelle) has no
+  * tokenizer surface; this is part of the training-data-pipeline
+  * extension.
+  */
+object WordPiece {
+
+  /** Continuation marker for word-internal pieces. */
+  val Marker = "##"
+
+  /** One symbolized vocabulary entry: the word as its current marked
+    * symbol sequence, with its corpus frequency.
+    */
+  final case class WpWord(syms: Seq[String], cnt: Long)
+
+  /** Output schema of the IR `wordpiece-train` action: the learned
+    * vocabulary (base units rank -1, merge outputs at their merge rank).
+    * Single source of truth for the validator's schema stub.
+    */
+  val VocabSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  /** One learned merge, in application order. */
+  final case class WpMerge(rank: Int, left: String, right: String,
+                           score: Double, pair_count: Long)
+
+  /** Word table → marked symbolized typed table: first character bare,
+    * every later character prefixed with `##`.
+    */
+  def symbolize(words: DataFrame): Dataset[WpWord] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.select(col("word").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, c) =>
+        WpWord(w.zipWithIndex.map { case (ch, i) =>
+          if (i == 0) ch.toString else Marker + ch }, c)
+      }
+  }
+
+  /** Symbol frequencies over the marked word table (vocab-sized input,
+    * map-side combine). Output: (sym, cnt).
+    */
+  def unitCounts(words: Dataset[WpWord]): DataFrame =
+    words.toDF()
+      .select(col("cnt"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum(col("cnt")).as("cnt"))
+
+  /** Adjacent-pair likelihood scores: pair counts joined to both unit
+    * counts, `score = cnt / (lcnt * rcnt)` in IEEE doubles. Both join
+    * sides are model-sized → broadcast. Output:
+    * (l_sym, r_sym, cnt, score).
+    */
+  def pairScores(words: Dataset[WpWord]): DataFrame = {
+    val df = words.toDF()
+    val n = size(col("syms"))
+    val pairs = df.filter(n >= 2)
+      .select(col("cnt"),
+        explode(arrays_zip(
+          slice(col("syms"), lit(1), n - 1).as("l"),
+          slice(col("syms"), lit(2), n - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("l_sym"), col("p.r").as("r_sym"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val units = unitCounts(words)
+    pairs
+      .join(broadcast(units.select(col("sym"), col("cnt").as("lcnt"))),
+        col("l_sym") === col("sym")).drop("sym")
+      .join(broadcast(units.select(col("sym"), col("cnt").as("rcnt"))),
+        col("r_sym") === col("sym")).drop("sym")
+      .select(col("l_sym"), col("r_sym"), col("cnt"),
+        (col("cnt").cast("double") /
+          (col("lcnt").cast("double") * col("rcnt").cast("double"))).as("score"))
+  }
+
+  /** The merged symbol of a (left, right) pair: the continuation marker
+    * of the RIGHT side is absorbed (`h` + `##e` → `he`; `##l` + `##l` →
+    * `##ll`), so markedness-by-position is preserved.
+    */
+  def mergedSym(left: String, right: String): String =
+    left + right.stripPrefix(Marker)
+
+  /** Left-to-right non-overlapping merge of (a, b) in one marked symbol
+    * sequence — same scan rule as BPE's [[Tokenizer.mergePair]], but the
+    * merged symbol strips the right marker.
+    */
+  def mergeMarked(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val arr = syms.toIndexedSeq
+    val ab = mergedSym(a, b)
+    var i = 0
+    while (i < arr.length) {
+      if (i + 1 < arr.length && arr(i) == a && arr(i + 1) == b) {
+        out += ab; i += 2
+      } else { out += arr(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Train `numMerges` WordPiece merges over the corpus. Stops early when
+    * no pair reaches `minPairCount`. Returns the merge table
+    * (rank, left, right, score, pair_count).
+    *
+    * `numMerges = 0` is allowed and returns the empty table — the
+    * resulting model is the pure character vocabulary (the IR encode
+    * chain gate trains exactly this degenerate model, whose greedy
+    * segmentation is oracle-replayable: one piece per character).
+    */
+  def trainWordPiece(docs: DataFrame, textCol: String, numMerges: Int,
+                     minPairCount: Long = 2L): DataFrame = {
+    require(numMerges >= 0, s"trainWordPiece: numMerges must be >= 0, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = Materialize.dataset(
+      symbolize(Tokenizer.wordCounts(docs, textCol)))
+    val merges = Seq.newBuilder[WpMerge]
+    var rank = 0
+    var done = numMerges == 0
+    while (rank < numMerges && !done) {
+      // floor FIRST, then score argmax: a cnt=1 pair of two rare units
+      // scores near 1.0 and would hijack a stop-on-argmax rule — the
+      // frequency floor is part of the argmax domain, not a stop check.
+      // TakeOrdered argmax: no full sort, 1 row to the driver.
+      val best = pairScores(words)
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(col("score").desc, col("cnt").desc,
+          col("l_sym").asc, col("r_sym").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r) = (best.head.getString(0), best.head.getString(1))
+        val (c, s) = (best.head.getLong(2), best.head.getDouble(3))
+        merges += WpMerge(rank, l, r, s, c)
+        words = Materialize.dataset(
+          words.map(w => WpWord(mergeMarked(w.syms, l, r), w.cnt)))
+        rank += 1
+      }
+    }
+    spark.createDataFrame(merges.result())
+      .select(col("rank"), col("left"), col("right"), col("score"), col("pair_count"))
+  }
+
+  /** The learned vocabulary as a frame: every base unit of the corpus
+    * (rank -1) plus each merge's output symbol at its merge rank. This is
+    * the persisted model the greedy encoder loads.
+    */
+  def vocabFrame(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val units = unitCounts(symbolize(Tokenizer.wordCounts(docs, textCol)))
+      .select(col("sym").as("piece"), lit(-1).as("rank"))
+    val merged = merges
+      .select(concat(col("left"),
+        regexp_replace(col("right"), "^##", "")).as("piece"),
+        col("rank").cast("int").as("rank"))
+    units.unionByName(merged)
+  }
+
+  /** Model persistence: the vocab table IS the model. */
+  def saveVocab(vocab: DataFrame, path: String): Unit =
+    vocab.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted vocab as the encoder's piece set. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
+    spark.read.parquet(path).select("piece").collect()
+      .map(_.getString(0)).toSet
+
+  /** Greedy longest-match-first WordPiece segmentation of one word (the
+    * published BERT `WordpieceTokenizer` rule): at each position take the
+    * LONGEST vocab piece (word-internal candidates carry the `##`
+    * prefix); if no piece matches, or the word exceeds `maxChars`, the
+    * WHOLE word becomes `unk`.
+    */
+  def encodeWord(word: String, vocab: Set[String],
+                 unk: String = "[UNK]", maxChars: Int = 100): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    if (n > maxChars) return Seq(unk)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    while (start < n) {
+      var end = n
+      var cur: String = null
+      while (cur == null && end > start) {
+        val cand =
+          if (start == 0) word.substring(start, end)
+          else Marker + word.substring(start, end)
+        if (vocab.contains(cand)) cur = cand else end -= 1
+      }
+      if (cur == null) return Seq(unk)
+      out += cur
+      start = end
+    }
+    out.result()
+  }
+
+  /** Encode text with a trained vocabulary — map-only over the corpus;
+    * the vocab ships as a broadcast-sized Scala set. Output: input
+    * columns + `outCol` array of subword tokens (null text → empty).
+    */
+  def encode(df: DataFrame, textCol: String, vocab: Set[String],
+             outCol: String, unk: String = "[UNK]"): DataFrame = {
+    val schema = df.schema.add(outCol,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val text = if (r.isNullAt(idx)) null else r.getString(idx)
+        val toks =
+          if (text == null) Seq.empty[String]
+          else Tokenizer.tokenizeWords(text).flatMap(encodeWord(_, vocab, unk))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(enc)
+  }
+}
