@@ -2144,6 +2144,56 @@ object QueriesPipeline {
       }
     }
 
+    // DoReMi-style domain reweighting: per-domain clipped excess loss
+    // (EXACT decimal sum, partition invariant), one exponentiated-
+    // gradient round from the flat prior (exp absorbed by the
+    // DECIMAL(38,6)->DOUBLE readout convention), then the upsample copy
+    // rule at rate total*weight/n
+    locally {
+      val lossSql = "CAST(CAST(n_chars AS DOUBLE) / 1000.0 - 0.05 AS DECIMAL(38,12))"
+      val statsSql =
+        s"""WITH s AS (SELECT CAST(source AS VARCHAR) AS domain, count(*) AS n,
+           |                  sum($lossSql) AS sl
+           |           FROM documents GROUP BY 1),
+           |e AS (SELECT domain, n, GREATEST(CAST(sl AS DOUBLE) / n, 0.0) AS excess FROM s),
+           |u AS (SELECT domain, n, excess, exp(1.0 * excess) AS uw FROM e),
+           |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(uw ORDER BY domain)), (a, x) -> a + x) AS z FROM u),
+           |w AS (SELECT domain, n, excess,
+           |             CAST(CAST(uw / z AS DECIMAL(38,6)) AS DOUBLE) AS weight
+           |      FROM u CROSS JOIN z)""".stripMargin
+      def lossCol = col("n_chars").cast("double") / lit(1000.0)
+
+      register("doremi_weights",
+        s"""$statsSql
+           |SELECT domain, CAST(n AS BIGINT) AS n, excess, weight
+           |FROM w ORDER BY domain""".stripMargin) { (s, dir) =>
+        graft.operators.Doremi.weights(docs(s, dir), "source",
+          lossCol, lit(0.05)).orderBy("domain")
+      }
+
+      val bucket = s"(${sqlMd5Hash64("'doremi:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      register("doremi_reweight",
+        s"""$statsSql,
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM w),
+           |rates AS (SELECT domain,
+           |                 CAST(total AS DOUBLE) * weight / CAST(n AS DOUBLE) AS r
+           |          FROM w CROSS JOIN tot),
+           |c AS (SELECT doc_id, d.source,
+           |             CAST(floor(r) AS BIGINT) +
+           |             CASE WHEN $bucket < CAST(floor((r - floor(r)) * 1000000) AS BIGINT)
+           |                  THEN 1 ELSE 0 END AS copies
+           |      FROM documents d JOIN rates ON CAST(d.source AS VARCHAR) = rates.domain)
+           |SELECT doc_id, source, unnest(range(copies)) AS copy
+           |FROM c ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+        graft.operators.Doremi.reweight(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          "source", "doc_id", lossCol, lit(0.05))
+          .select("doc_id", "source", "copy")
+          .orderBy("doc_id", "copy")
+      }
+    }
+
     // count-min sketch: the fixed-memory frequency estimator. The oracle
     // rebuilds the IDENTICAL d×w matrix cell-by-cell from the md5 bucket
     // convention and takes the same min-of-cells estimate — integer-exact,

@@ -385,6 +385,30 @@ object Engine {
                       org.apache.spark.sql.types.DoubleType, nullable = false)))))
             }
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "doremi-weights" | "doremi-reweight" =>
+          // eager (the MW loop collects the model-sized domain stats):
+          // validate probes params and emits the schema only
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("domain"))); df(pStr(m("loss"))); pDouble(m("ref"))
+            n.action match {
+              case "doremi-weights" =>
+                recurse(df.sparkSession.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("domain",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("n",
+                      org.apache.spark.sql.types.LongType, nullable = false),
+                    org.apache.spark.sql.types.StructField("excess",
+                      org.apache.spark.sql.types.DoubleType, nullable = false),
+                    org.apache.spark.sql.types.StructField("weight",
+                      org.apache.spark.sql.types.DoubleType)))))
+              case _ =>
+                df(pStr(m("id")))
+                recurse(df.withColumn("copy", lit(0L)))
+            }
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "kmv-quantiles" | "kmv-distinct" =>
           // eager KMV faces (driver-side collect inside the operator):
           // validate probes params and emits the schema only
@@ -1163,6 +1187,21 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Sketches.kmvDistinct(df, pStr(m("text")),
         pLong(m("k")).toInt, m.get("seed").map(pStr).getOrElse("kmv"))
+    case "doremi-weights" =>
+      val m = pMap(params.head)
+      df => graft.operators.Doremi.weights(df, pStr(m("domain")),
+        col(pStr(m("loss"))).cast("double"), lit(pDouble(m("ref"))),
+        m.get("eta").map(pDouble).getOrElse(1.0),
+        m.get("rounds").map(pLong(_).toInt).getOrElse(1),
+        m.get("smoothing").map(pDouble).getOrElse(0.0))
+    case "doremi-reweight" =>
+      val m = pMap(params.head)
+      df => graft.operators.Doremi.reweight(df, pStr(m("domain")),
+        pStr(m("id")), col(pStr(m("loss"))).cast("double"), lit(pDouble(m("ref"))),
+        m.get("eta").map(pDouble).getOrElse(1.0),
+        m.get("rounds").map(pLong(_).toInt).getOrElse(1),
+        m.get("smoothing").map(pDouble).getOrElse(0.0),
+        m.get("salt").map(pStr).getOrElse("doremi"))
     case "hll-registers" =>
       val m = pMap(params.head)
       df => graft.operators.Sketches.hllRegisters(df, pStr(m("text")),
