@@ -325,6 +325,42 @@ object Streaming {
       transform(col("__hh"), h => h.getField("item")).as("top_tokens"))
   }
 
+  /** Streaming metric-quantile monitor over the KMV bottom-k sample
+    * ([[graft.functions.BottomKAgg]]): per closed window, the row count
+    * and empirical quantile estimates of `valueCol` from the k-row
+    * uniform sample — fixed `k * 16` bytes of state per open window, so
+    * the monitor survives any stream rate.
+    *
+    * The quantile readout is Column algebra over the sample array using
+    * the SAME index formula as the batch face
+    * ([[graft.operators.Sketches.kmvQuantiles]]'s
+    * `floor((m-1) * q)` on the value-sorted sample), so stream == batch
+    * == driver math exactly (the spec pins the equality). Output:
+    * (window_start, n_rows, quantiles array<struct<q, value>>).
+    */
+  def metricSketchWindow(durationSeconds: Long, delaySeconds: Long,
+                         idCol: String, valueCol: String, tsCol: String,
+                         k: Int = 256, seed: String = "kmv",
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99))(df: DataFrame): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"metricSketchWindow: quantiles must be in [0, 1], got $qs")
+    val agged = df.withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", s"$delaySeconds seconds")
+      .groupBy(window(col("__ts"), s"$durationSeconds seconds"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.BottomK.bottomK(
+          graft.functions.Text.md5Hash64(
+            concat_ws("|", lit(seed), col(idCol).cast("string"))),
+          col(valueCol).cast("double"), k).as("__s"))
+    val vals = array_sort(transform(col("__s"), p => p.getField("value")))
+    val idx = (q: Double) =>
+      (floor((size(vals) - 1).cast("double") * lit(q)) + 1).cast("int")
+    val quants = array(qs.map { q =>
+      struct(lit(q).as("q"), element_at(vals, idx(q)).as("value"))
+    }: _*)
+    agged.select(windowStartNs, col("n_rows"), quants.as("quantiles"))
+  }
+
   /** One near-dup candidate: `doc_id` collides with the earlier
     * bucket-owner `dup_of` in LSH band `band`. A document pairs once per
     * shared band — `distinct` on (doc_id, dup_of) downstream for unique

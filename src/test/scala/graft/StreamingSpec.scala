@@ -694,6 +694,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(top.head == "alpha", s"top tokens $top")
   }
 
+  test("streaming metric quantiles == batch twin == kmvQuantiles driver math, per closed window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    // one 60s window of 50 rows with values 0..49; a far-future row closes it
+    val rows = (0 until 50).map(i => (i.toLong, (i * 13 % 50).toDouble, (i % 50).toLong))
+    val flush = Seq((999L, 0.0, 100000L))
+    val ms = MemoryStream[(Long, Double, Long)]
+    def sk(df: DataFrame): DataFrame =
+      Streaming.metricSketchWindow(60, 10, "id", "v", "__time", k = 16,
+        qs = Seq(0.0, 0.5, 1.0))(
+        df.withColumn("__time", timestamp_seconds(col("secs"))))
+    val q = sk(ms.toDF().toDF("id", "v", "secs"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    Seq(rows.take(20), rows.drop(20), flush).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    def canon(df: DataFrame) = df.filter(col("window_start") === 0L)
+      .select(col("n_rows"), expr("quantiles.q"), expr("quantiles.value"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2))).toSeq
+    val streamed = canon(s.table(name))
+    val batch = canon(sk(rows.toDF("id", "v", "secs")))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val (n, qsOut, vals) = streamed.head
+    assert(n == 50L && qsOut == Seq(0.0, 0.5, 1.0))
+    // the Column-algebra readout must equal the batch driver math exactly
+    val driver = graft.operators.Sketches.kmvQuantiles(
+      rows.toDF("id", "v", "secs"), "id", "v", 16, "kmv", Seq(0.0, 0.5, 1.0))
+      .orderBy("q").collect().map(_.getDouble(1)).toSeq
+    assert(vals == driver, s"column $vals != driver $driver")
+  }
+
   test("streaming near-dup: out-of-order arrival must not shorten the owner's horizon") {
     // owner at t=1000; an older-but-in-horizon arrival at t=950 must not
     // pull the bucket's eviction deadline back to 950+horizon — after the
