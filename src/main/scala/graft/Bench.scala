@@ -43,8 +43,10 @@ object Bench {
     "bpe_pair_counts", "ngram_lm_score", "ppl_bucket_counts", "hard_negatives",
     "cms_token_counts", "temperature_mix", "pca_covariance", "unigram_candidates",
     // round 10: fixed-memory heavy hitters, bucketed hard-negative miner,
-    // HLL distinct sketch
-    "heavy_hitters", "hard_negatives_bucketed", "hll_registers")
+    // HLL distinct sketch, WordPiece pair-score primitive, KMV bottom-k
+    // sampling, DoReMi mixture weights
+    "heavy_hitters", "hard_negatives_bucketed", "hll_registers",
+    "wordpiece_pair_scores", "kmv_row_sample", "doremi_weights")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -153,9 +153,21 @@ object StreamServe {
       case "fixed-time-window" =>
         df => Streaming.fixedTimeWindow(num(op, "seconds", 60).toLong,
           num(op, "delay-seconds", 60).toLong, keys(op))(df)
+      case "metric-quantiles" =>
+        // KMV quantile monitor over the event stream: k*16 bytes of state
+        // per open window regardless of rate (ns event time -> timestamp
+        // derived here; the monitor's cast is then a no-op)
+        df => Streaming.metricSketchWindow(num(op, "seconds", 60).toLong,
+          num(op, "delay-seconds", 60).toLong, "eventId", "metric", "__evt_ts",
+          k = num(op, "k", 256).toInt,
+          qs = op.get("qs") match {
+            case Some(s: Seq[_]) => s.map(x => x.asInstanceOf[Number].doubleValue())
+            case _               => Seq(0.5, 0.9, 0.99)
+          })(df.withColumn("__evt_ts",
+            timestamp_micros(expr("time div 1000"))))
       case other => throw new IllegalArgumentException(
         s"streaming op '$other' not supported (ewma|changed|throttle|dedup|" +
-          "sum-window|mean-window|rate-window|fixed-time-window)")
+          "sum-window|mean-window|rate-window|fixed-time-window|metric-quantiles)")
     }
   }
 

@@ -80,6 +80,37 @@ class StreamServeSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq == Event.schema.fieldNames.toSeq)
   }
 
+  test("metric-quantiles op: config-declared KMV monitor over the event stream") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream_serve_kmv")
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val conf = graft.ir.Config.parse(
+      s"""{:streaming {:queries [{:name "metric-q"
+         |                        :source {:type "file" :path "$inDir" :format "json"}
+         |                        :op {:action "metric-quantiles" :seconds 60
+         |                             :delay-seconds 10 :k 8 :qs [0.0 0.5 1.0]}
+         |                        :sink {:path "$outDir" :checkpoint "$ckDir"
+         |                               :format "json"}}]}}""".stripMargin)
+    // 10 events in one window; a far-future event closes it
+    val fixture = (1 to 10).map(i => ev(i.toDouble, i.toLong * S, "a", i.toLong)) :+
+      ev(0, 100000 * S, "z", 99L)
+    fixture.toDS().coalesce(1).write.mode("append").json(inDir)
+    val q = StreamServe.start(s, conf.streaming.head)
+    q.processAllAvailable(); q.stop()
+    val out = s.read.json(outDir)
+    val row = out.filter(org.apache.spark.sql.functions.col("window_start") === 0L)
+      .select("n_rows", "quantiles").collect()
+    assert(row.length == 1 && row.head.getLong(0) == 10L)
+    // k=8 < 10 rows: the KMV sample's min/max bound the estimates
+    val qs = row.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getDouble(r.fieldIndex("q")) -> r.getDouble(r.fieldIndex("value"))).toMap
+    assert(qs.keySet == Set(0.0, 0.5, 1.0))
+    assert(qs(0.0) <= qs(0.5) && qs(0.5) <= qs(1.0))
+    assert(qs(0.0) >= 1.0 && qs(1.0) <= 10.0)
+  }
+
   test("unsupported op / source / missing sink keys fail loudly at boot, not at runtime") {
     val e1 = intercept[IllegalArgumentException](
       StreamServe.transform(Map("action" -> "nope")))
