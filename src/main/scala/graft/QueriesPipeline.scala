@@ -2267,6 +2267,32 @@ object QueriesPipeline {
       }
     }
 
+    // WARC ingestion round trip: the query BUILDS a per-doc archive from
+    // the documents table (header + Content-Length + payload, the ISO
+    // 28500 shape), walks it back through the byte-level record parser,
+    // and must recover exactly what the oracle reads straight from the
+    // source table — URI, byte length, and the text itself
+    register("warc_roundtrip",
+      s"""SELECT doc_id,
+         |       'http://x/' || CAST(doc_id AS VARCHAR) AS target_uri,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+         |       text
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val header = concat(
+        lit("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: http://x/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "),
+        length(encode(col("text"), "UTF-8")).cast("string"),
+        lit("\r\n\r\n"))
+      val archive = concat(encode(header, "UTF-8"),
+        encode(col("text"), "UTF-8"), encode(lit("\r\n\r\n"), "UTF-8"))
+      graft.sources.Warc.records(
+          docs(s, dir).select(col("doc_id"), archive.as("bytes")), "bytes")
+        .select(col("doc_id"), col("target_uri"), col("content_length"),
+          decode(col("payload"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }
+
     // KMV / bottom-k sketch: the kept set is exactly the k smallest
     // salted hashes — order/partition invariant — so the oracle replays
     // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.

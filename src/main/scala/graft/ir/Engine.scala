@@ -961,6 +961,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.packNextFit(df, pStr(m("group")), pStr(m("id")),
         pStr(m("tokens")), pLong(m("budget")))
+    case "pack-bestfit" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.packBestFit(df, pStr(m("group")), pStr(m("id")),
+        pStr(m("tokens")), pLong(m("budget")))
     case "shuffle-order" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.shuffleOrder(df, pStr(m("id")),
@@ -1257,6 +1261,11 @@ object Engine {
         pStr(m("out")), m.get("unk").map(pStr).getOrElse("[UNK]"))
     case "media-audio-features" =>
       df => graft.operators.Multimodal.audioFeatureExtract(df, pLong(pMap(params.head)("dim")).toInt)
+    case "warc-records" =>
+      val m = pMap(params.head)
+      df => graft.sources.Warc.records(df, pStr(m("bin")))
+    case "warc-responses" =>
+      df => graft.sources.Warc.responses(df)
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }

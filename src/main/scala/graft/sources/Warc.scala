@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500 / WARC/1.x) ingestion — the entry point a web-crawl
+  * training pipeline actually starts from (Common-Crawl-style archives),
+  * re-expressed Spark-first: file-level parallel `binaryFile` scan, then
+  * a map-side byte-walk record parser (JDK-only, hand-rolled like the
+  * [[graft.operators.Multimodal]] container kernels — no library
+  * vendoring), exploding each archive into typed record rows the rest of
+  * the curation surface consumes.
+  *
+  * Format handled: concatenated records, each
+  * `WARC/1.x CRLF  header: value ...  CRLF CRLF  <Content-Length bytes>
+  * CRLF CRLF`; header names case-insensitive; the payload of `response`
+  * records may open with an HTTP/1.x status + headers block, which
+  * [[httpBody]] strips at the first blank line. Gzip archives (including
+  * the standard member-per-record form) are inflated up front —
+  * `GZIPInputStream` consumes ALL members of a multi-member stream.
+  *
+  * Robustness contract (a crawl is hostile input): a malformed record —
+  * bad magic, unparseable/absent Content-Length, a length past the
+  * buffer end — ends parsing of THAT archive at that point and keeps
+  * every record already parsed; it never throws into the task. Binary
+  * payloads that themselves contain `WARC/1.0` text are safe: record
+  * boundaries are walked by Content-Length, never by scanning for magic.
+  *
+  * Scale shape: one archive = one `binaryFile` row = one task — the
+  * standard WARC layout (thousands of ~1 GB files) parallelizes at the
+  * file level, and per-record work is map-side with zero shuffle.
+  * Per-task memory is one inflated archive; gzip'd WARC is not
+  * block-splittable (a property of the format, not this reader), so
+  * archive SIZE, not count, is the memory knob.
+  */
+object Warc {
+
+  /** One parsed record. `payload` is the raw Content-Length slice
+    * (HTTP headers included for response records — see [[httpBody]]).
+    */
+  final case class WarcRecord(
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte])
+
+  /** Output schema of [[records]]: the per-record fields appended to the
+    * caller's columns. Single source of truth for the IR validator.
+    */
+  val RecordSchema: StructType = StructType(Seq(
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType)))
+
+  private val Gzip = Array(0x1f.toByte, 0x8b.toByte)
+
+  /** Inflate a (possibly multi-member) gzip buffer; non-gzip input passes
+    * through. Corrupt gzip yields what inflated before the error —
+    * consistent with the tolerant-parse contract.
+    */
+  private[sources] def inflate(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || bytes(0) != Gzip(0) || bytes(1) != Gzip(1)) return bytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
+
+  /** Parse the records of one (already inflated) archive buffer. Strict
+    * on structure, total on input: the first malformed record stops the
+    * walk, returning everything before it.
+    */
+  def parseRecords(raw: Array[Byte]): Seq[WarcRecord] = {
+    val b = inflate(raw)
+    val out = Seq.newBuilder[WarcRecord]
+    var i = 0
+    var ok = true
+    while (ok && i < b.length) {
+      // skip inter-record CRLFs
+      while (i < b.length && (b(i) == '\r' || b(i) == '\n')) i += 1
+      if (i >= b.length) ok = false
+      else {
+        val headerEnd = indexOfBlankLine(b, i)
+        if (headerEnd < 0) ok = false
+        else {
+          val header = new String(b, i, headerEnd - i, java.nio.charset.StandardCharsets.UTF_8)
+          val lines = header.split("\r\n")
+          if (!lines.head.startsWith("WARC/")) ok = false
+          else {
+            val fields = lines.tail.flatMap { l =>
+              val c = l.indexOf(':')
+              if (c <= 0) None
+              else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+            }.toMap
+            fields.get("content-length").flatMap(s => s.toLongOption) match {
+              case Some(len) if len >= 0 && headerEnd + 4 + len <= b.length =>
+                val start = headerEnd + 4 // past CRLF CRLF
+                val payload = java.util.Arrays.copyOfRange(b, start, start + len.toInt)
+                out += WarcRecord(
+                  fields.getOrElse("warc-type", ""),
+                  // the spec wraps the URI in <> in some writers; strip
+                  fields.getOrElse("warc-target-uri", "")
+                    .stripPrefix("<").stripSuffix(">"),
+                  fields.getOrElse("warc-date", ""),
+                  fields.getOrElse("content-type", ""),
+                  len, payload)
+                i = start + len.toInt
+              case _ => ok = false // absent/bogus/truncating length
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** First index of CRLF CRLF at or after `from`; -1 if absent. */
+  private def indexOfBlankLine(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The HTTP body of a response payload: everything past the first blank
+    * line when the payload opens with an HTTP/1.x status line; the whole
+    * payload otherwise (resource/conversion records carry bare content).
+    */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    if (payload.length < 5 ||
+        !new String(payload, 0, 5, java.nio.charset.StandardCharsets.US_ASCII)
+          .startsWith("HTTP/")) return payload
+    val blank = indexOfBlankLine(payload, 0)
+    if (blank < 0) payload
+    else java.util.Arrays.copyOfRange(payload, blank + 4, payload.length)
+  }
+
+  /** Explode a frame of WARC archive buffers into record rows: the
+    * caller's columns plus [[RecordSchema]]'s fields. Map-side
+    * (iterator-to-iterator mapPartitions, no shuffle); a malformed
+    * archive contributes the records parsed before the fault.
+    */
+  def records(df: DataFrame, binCol: String): DataFrame = {
+    val schema = RecordSchema.fields.foldLeft(df.schema)(_ add _)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        if (bytes == null) Iterator.empty
+        else parseRecords(bytes).iterator.map { rec =>
+          Row.fromSeq(r.toSeq ++ Seq(rec.warc_type, rec.target_uri, rec.warc_date,
+            rec.content_type, rec.content_length, rec.payload))
+        }
+      }
+    }(enc)
+  }
+
+  /** Read a directory of `.warc` / `.warc.gz` archives into record rows
+    * (path + modificationTime kept for provenance). File-level
+    * parallelism; see the class note on archive size as the memory knob.
+    */
+  def readFiles(spark: SparkSession, path: String): DataFrame =
+    records(
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("modificationTime"), col("content")),
+      "content").drop("content")
+
+  /** Response records decoded to text documents: the bridge from a crawl
+    * to the curation surface — HTTP headers stripped, body decoded UTF-8
+    * (replacement chars on invalid sequences, total). Pure Column
+    * algebra (decode + locate + substr), no scalar UDF. Columns:
+    * (target_uri, warc_date, content_type, text).
+    */
+  def responses(recordFrame: DataFrame): DataFrame = {
+    val t = decode(col("payload"), "UTF-8")
+    val sep = locate("\r\n\r\n", t)
+    val body = when(t.startsWith("HTTP/") && sep > 0,
+      t.substr(sep + lit(4), lit(Int.MaxValue))).otherwise(t)
+    recordFrame.filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("warc_date"), col("content_type"),
+        body.as("text"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC ingestion kernels: byte-built archives (like MultimodalSpec's
+  * container fixtures) through the record walk, gzip inflation, HTTP
+  * body split, and the DataFrame faces. The build→parse round trip is
+  * oracle-gated (`warc_roundtrip`).
+  */
+class WarcSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def rec(tpe: String, uri: String, payload: Array[Byte],
+                  extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    val h = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $tpe\r\n")
+    if (uri.nonEmpty) h.append(s"WARC-Target-URI: $uri\r\n")
+    h.append("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+    extra.foreach { case (k, v) => h.append(s"$k: $v\r\n") }
+    h.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    h.toString.getBytes(UTF8) ++ payload ++ "\r\n\r\n".getBytes(UTF8)
+  }
+
+  private val httpPayload =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html>hello crawl</html>").getBytes(UTF8)
+
+  private def archive(): Array[Byte] =
+    rec("warcinfo", "", "software: test\r\n".getBytes(UTF8)) ++
+    rec("response", "http://example.com/a", httpPayload,
+      Seq("Content-Type" -> "application/http; msgtype=response")) ++
+    rec("request", "http://example.com/a", "GET /a HTTP/1.1\r\n".getBytes(UTF8))
+
+  test("parseRecords: fields, exact payloads, Content-Length boundaries") {
+    val rs = Warc.parseRecords(archive())
+    assert(rs.map(_.warc_type) == Seq("warcinfo", "response", "request"))
+    val resp = rs(1)
+    assert(resp.target_uri == "http://example.com/a")
+    assert(resp.warc_date == "2024-01-01T00:00:00Z")
+    assert(resp.content_length == httpPayload.length.toLong)
+    assert(resp.payload.sameElements(httpPayload))
+  }
+
+  test("binary payload containing 'WARC/1.0' text does not break boundaries") {
+    val tricky = "fake\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes(UTF8)
+    val rs = Warc.parseRecords(
+      rec("resource", "http://x/1", tricky) ++ rec("resource", "http://x/2", "b".getBytes(UTF8)))
+    assert(rs.map(_.target_uri) == Seq("http://x/1", "http://x/2"))
+    assert(rs.head.payload.sameElements(tricky))
+  }
+
+  test("malformed input is total: prefix kept, no throw") {
+    val good = rec("resource", "http://x/1", "abc".getBytes(UTF8))
+    // truncated second record (length past buffer)
+    val bad = "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 9999\r\n\r\nxx".getBytes(UTF8)
+    assert(Warc.parseRecords(good ++ bad).map(_.target_uri) == Seq("http://x/1"))
+    // bogus/absent length, bad magic, garbage, empty
+    assert(Warc.parseRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF8)).isEmpty)
+    assert(Warc.parseRecords("WARC/1.0\r\nContent-Length: nope\r\n\r\n".getBytes(UTF8)).isEmpty)
+    assert(Warc.parseRecords(Array.fill[Byte](64)(7)).isEmpty)
+    assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
+    // uri <> wrapping stripped
+    val wrapped = Warc.parseRecords(rec("response", "<http://w/1>", "x".getBytes(UTF8)))
+    assert(wrapped.head.target_uri == "http://w/1")
+  }
+
+  test("gzip: whole-archive and member-per-record forms parse identically") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val plain = Warc.parseRecords(archive()).map(r => (r.warc_type, r.content_length))
+    assert(Warc.parseRecords(gz(archive())).map(r => (r.warc_type, r.content_length)) == plain)
+    val perRecord =
+      gz(rec("warcinfo", "", "software: test\r\n".getBytes(UTF8))) ++
+      gz(rec("response", "http://example.com/a", httpPayload,
+        Seq("Content-Type" -> "application/http; msgtype=response"))) ++
+      gz(rec("request", "http://example.com/a", "GET /a HTTP/1.1\r\n".getBytes(UTF8)))
+    assert(Warc.parseRecords(perRecord).map(r => (r.warc_type, r.content_length)) == plain)
+  }
+
+  test("httpBody: strips status+headers, passes bare content through") {
+    assert(new String(Warc.httpBody(httpPayload), UTF8) == "<html>hello crawl</html>")
+    val bare = "just text".getBytes(UTF8)
+    assert(Warc.httpBody(bare).sameElements(bare))
+    val noBlank = "HTTP/1.1 200 OK\r\nContent-Type: text".getBytes(UTF8)
+    assert(Warc.httpBody(noBlank).sameElements(noBlank))
+  }
+
+  test("records + responses DataFrame faces: explode, filter, header strip") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, archive()), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("file_id", "bytes")
+    val recs = Warc.records(df, "bytes")
+    assert(recs.count() == 3L) // null archive row contributes nothing
+    assert(recs.columns.take(2).toSeq == Seq("file_id", "bytes"))
+    val resp = Warc.responses(recs).collect()
+    assert(resp.length == 1)
+    assert(resp.head.getAs[String]("text") == "<html>hello crawl</html>")
+    assert(resp.head.getAs[String]("target_uri") == "http://example.com/a")
+  }
+
+  test("warc-records / warc-responses are declarable IR actions") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, archive())).toDF("file_id", "bytes")
+    val out = Engine.run(Node.fromJson(
+      """{"action":"warc-records","params":[{"bin":"bytes"}],
+        | "children":[{"action":"warc-responses",
+        |              "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("text") == "<html>hello crawl</html>")
+  }
+
+  test("readFiles: directory of .warc + .warc.gz with provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_in")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.warc"), archive())
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(rec("resource", "http://x/gz", "zzz".getBytes(UTF8))); g.close()
+      java.nio.file.Files.write(dir.resolve("b.warc.gz"), bos.toByteArray)
+      val out = Warc.readFiles(spark, dir.toString)
+      assert(out.count() == 4L)
+      assert(out.filter(col("target_uri") === "http://x/gz").count() == 1L)
+      assert(out.columns.contains("path"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
