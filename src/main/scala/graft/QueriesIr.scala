@@ -382,6 +382,36 @@ object QueriesIr {
       out
     }
 
+    // WARC ingest as an IR chain: archives BUILT from the documents table
+    // (HTTP-response payloads), then warc-records -> warc-responses must
+    // recover uri/status/text — the oracle reads the expected values
+    // straight from the source table
+    register("ir_warc_responses",
+      s"""SELECT 'http://x/' || CAST(doc_id AS VARCHAR) AS target_uri,
+         |       CAST(200 AS INT) AS status,
+         |       CAST(len(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY target_uri""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val payload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"), col("text"))
+      val header = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "),
+        length(encode(payload, "UTF-8")).cast("string"),
+        lit("\r\n\r\n"))
+      val archive = concat(encode(header, "UTF-8"),
+        encode(payload, "UTF-8"), encode(lit("\r\n\r\n"), "UTF-8"))
+      val node = Node.fromJson(
+        """{"action":"warc-records","params":[{"bin":"bytes"}],
+          | "children":[{"action":"warc-responses",
+          |              "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+      tapOf(node, d.select(archive.as("bytes")))
+        .select(col("target_uri"), col("status"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("target_uri")
+    }
+
     // wordpiece train -> save -> load -> greedy encode, as an IR chain.
     // At merges=0 the model is the pure character vocabulary, whose
     // greedy segmentation is one piece per character (first bare, rest

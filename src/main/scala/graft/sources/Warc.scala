@@ -184,15 +184,20 @@ object Warc {
     * to the curation surface — HTTP headers stripped, body decoded UTF-8
     * (replacement chars on invalid sequences, total). Pure Column
     * algebra (decode + locate + substr), no scalar UDF. Columns:
-    * (target_uri, warc_date, content_type, text).
+    * (target_uri, warc_date, content_type, status, text) — `status` is
+    * the embedded HTTP status code, null for bare payloads.
     */
   def responses(recordFrame: DataFrame): DataFrame = {
     val t = decode(col("payload"), "UTF-8")
     val sep = locate("\r\n\r\n", t)
     val body = when(t.startsWith("HTTP/") && sep > 0,
       t.substr(sep + lit(4), lit(Int.MaxValue))).otherwise(t)
+    // HTTP status from the embedded status line (null for bare payloads)
+    // — the standard keep-200s curation filter needs it
+    val status = nullif(
+      regexp_extract(t, "^HTTP/[0-9.]+ ([0-9]{3})", 1), lit("")).cast("int")
     recordFrame.filter(col("warc_type") === "response")
       .select(col("target_uri"), col("warc_date"), col("content_type"),
-        body.as("text"))
+        status.as("status"), body.as("text"))
   }
 }

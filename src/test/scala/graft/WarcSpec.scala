@@ -105,6 +105,14 @@ class WarcSpec extends AnyFunSuite {
     assert(resp.length == 1)
     assert(resp.head.getAs[String]("text") == "<html>hello crawl</html>")
     assert(resp.head.getAs[String]("target_uri") == "http://example.com/a")
+    assert(resp.head.getAs[Int]("status") == 200)
+    // bare (resource-style) payload masquerading as a response: no HTTP
+    // status line -> null status, text passes through whole
+    val bare = Warc.responses(Warc.records(
+      Seq((9L, rec("response", "http://x/bare", "no headers here".getBytes(UTF8))))
+        .toDF("file_id", "bytes"), "bytes")).collect().head
+    assert(bare.isNullAt(bare.fieldIndex("status")))
+    assert(bare.getAs[String]("text") == "no headers here")
   }
 
   test("warc-records / warc-responses are declarable IR actions") {
