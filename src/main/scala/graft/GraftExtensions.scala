@@ -149,6 +149,15 @@ object GraftExtensions {
         graft.functions.HllAgg(children.head,
           litInt(children(1), "hyperloglog b"), litStr(children(2), "hyperloglog seed"))
       }),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getCanonicalName,
+        null, "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') takes two arguments")
+        graft.functions.UnicodeNormalize(children.head,
+          litStr(children(1), "unicode_normalize form"))
+      }),
     (FunctionIdentifier("bottom_k"),
       new ExpressionInfo(classOf[graft.functions.BottomKAgg].getCanonicalName, null, "bottom_k"),
       (children: Seq[Expression]) => {

@@ -2267,6 +2267,23 @@ object QueriesPipeline {
       }
     }
 
+    // Unicode NFC normalization: two independent implementations of
+    // UAX #15 (JDK Normalizer behind the codegen'd expression vs
+    // DuckDB's nfc_normalize) must agree byte-for-byte — the query
+    // appends decomposed sequences (e + U+0301, A + U+030A) so the gate
+    // exercises real composition, not an ASCII fixpoint
+    register("nfc_normalize",
+      s"""SELECT doc_id,
+         |       nfc_normalize(substr(text, 1, 40) || 'cafe' || chr(769)
+         |                     || ' A' || chr(778)) AS norm
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.UnicodeNormalize.nfc(
+          concat(substring(col("text"), 1, 40), lit("cafe\u0301 A\u030A")))
+          .as("norm"))
+        .orderBy("doc_id")
+    }
+
     // WARC ingestion round trip: the query BUILDS a per-doc archive from
     // the documents table (header + Content-Length + payload, the ISO
     // 28500 shape), walks it back through the byte-level record parser,

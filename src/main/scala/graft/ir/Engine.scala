@@ -1003,6 +1003,11 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.Text.normalize(col(pStr(m("field"))),
           lowercase = m.get("lowercase").exists(_ == true)))
+    case "unicode-normalize" =>
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.functions.UnicodeNormalize(col(pStr(m("field"))),
+          m.get("form").map(pStr).getOrElse("NFKC")))
     case "boilerplate-remove" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.boilerplateRemove(df, pStr(m("id")), pStr(m("text")),
