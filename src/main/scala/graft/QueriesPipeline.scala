@@ -959,6 +959,34 @@ object QueriesPipeline {
         Dedup.ngramJaccard(d, pairs, "text", "doc_id")
           .select("id1", "id2", "jaccard").orderBy("id1", "id2")
       }
+
+      // asymmetric containment over the same LSH pairs: the
+      // quote/wrapper signal Jaccard misses (a short doc quoted whole
+      // inside a long one)
+      register("dedup_ngram_containment",
+        s"""$lshPrefix,
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
+           |SELECT p.id1, p.id2,
+           |       CASE WHEN len(s1.ss) = 0 THEN 1.0
+           |            ELSE CAST(len(list_filter(s1.ss, x -> list_contains(s2.ss, x))) AS DOUBLE)
+           |                 / len(s1.ss) END AS containment_1in2,
+           |       CASE WHEN len(s2.ss) = 0 THEN 1.0
+           |            ELSE CAST(len(list_filter(s1.ss, x -> list_contains(s2.ss, x))) AS DOUBLE)
+           |                 / len(s2.ss) END AS containment_2in1
+           |FROM pairs p
+           |JOIN sets s1 ON s1.doc_id = p.id1
+           |JOIN sets s2 ON s2.doc_id = p.id2
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.ngramContainment(d, pairs, "text", "doc_id")
+          .select("id1", "id2", "containment_1in2", "containment_2in1")
+          .orderBy("id1", "id2")
+      }
     }
 
     // exact-substring dedup signal (Lee et al. 2022): per-doc duplicated

@@ -294,6 +294,31 @@ object Dedup {
       .drop("set1", "set2", "__inter")
   }
 
+  /** Exact n-gram CONTAINMENT for given pairs — the asymmetric companion
+    * of [[ngramJaccard]] for quote/wrapper detection: a short document
+    * quoted whole inside a long one has tiny Jaccard (the union is
+    * dominated by the long side) but containment ~1.0 on the short side.
+    * `containment_1in2 = |A∩B| / |A|`, `containment_2in1 = |A∩B| / |B|`
+    * (1.0 for an empty side — the empty set is contained in everything).
+    * Same join shape and cost as the Jaccard verifier.
+    */
+  def ngramContainment(df: DataFrame, pairs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+      array_distinct(Text.bigramShingles(Text.tokens(col(textCol)))).as("__set"))
+    pairs
+      .join(sets.withColumnRenamed("__id", "id1").withColumnRenamed("__set", "set1"), "id1")
+      .join(sets.withColumnRenamed("__id", "id2").withColumnRenamed("__set", "set2"), "id2")
+      .withColumn("__inter", size(array_intersect(col("set1"), col("set2"))).cast("double"))
+      .withColumn("containment_1in2",
+        when(size(col("set1")) === 0, lit(1.0))
+          .otherwise(col("__inter") / size(col("set1")).cast("double")))
+      .withColumn("containment_2in1",
+        when(size(col("set2")) === 0, lit(1.0))
+          .otherwise(col("__inter") / size(col("set2")).cast("double")))
+      .drop("set1", "set2", "__inter")
+  }
+
   /** 32-bit SimHash over token hashes: bit b of the signature is set when
     * the sum of ±1 votes from each token's bit b is positive.
     */

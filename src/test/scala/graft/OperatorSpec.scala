@@ -319,6 +319,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramContainment: asymmetric quote detection where Jaccard stays low") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // doc 1 is quoted WHOLE inside doc 2 (plus much more); Jaccard is
+    // diluted by the long side's union but containment_1in2 must be 1.0
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = short + " and then a very long continuation about completely " +
+      "different matters with many additional tokens diluting the union " +
+      "far beyond any symmetric similarity threshold whatsoever"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val row = Dedup.ngramContainment(docs, pairs, "text", "doc_id").collect().head
+    val (c12, c21) = (row.getAs[Double]("containment_1in2"), row.getAs[Double]("containment_2in1"))
+    assert(c12 == 1.0, s"short-in-long containment must be 1.0, got $c12")
+    assert(c21 < 0.5, s"long-in-short must be partial, got $c21")
+    val jac = Dedup.ngramJaccard(docs, pairs, "text", "doc_id")
+      .collect().head.getAs[Double]("jaccard")
+    assert(jac < 0.5, s"Jaccard must miss the quote (diluted union), got $jac")
+    assert(c21 == jac || math.abs(c21 - jac) < 1e-12) // inter/|B| == inter/union when A ⊆ B
+  }
+
   test("crossCorpusCandidates: cross pairs only, consistent with the union self-join") {
     import graft.operators.Dedup
     val s = spark

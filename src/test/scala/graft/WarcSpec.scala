@@ -129,6 +129,41 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[String]("text") == "<html>hello crawl</html>")
   }
 
+  test("end-to-end: declared IR chain from crawl bytes to a deduped corpus") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    def resp(uri: String, status: String, body: String) =
+      rec("response", uri,
+        (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n" + body).getBytes(UTF8))
+    // built from code points so composed-vs-decomposed is unambiguous
+    val composed = "caf" + new String(Character.toChars(0xE9)) + " menu today"
+    val decomposed = "cafe" + new String(Character.toChars(0x301)) + " menu today"
+    assert(composed != decomposed) // distinct bytes BEFORE normalization
+    val crawl =
+      resp("http://a/", "200 OK", composed) ++
+      resp("http://b/", "200 OK", decomposed) ++ // same text after NFC
+      resp("http://c/", "404 Not Found", "not found") ++
+      rec("request", "http://a/", "GET / HTTP/1.1\r\n".getBytes(UTF8)) ++
+      resp("http://d/", "200 OK", "something else entirely")
+    val df = Seq((1L, crawl)).toDF("file_id", "bytes")
+    val chain = Node.fromJson(
+      """{"action":"warc-records","params":[{"bin":"bytes"}],"children":[
+        | {"action":"warc-responses","children":[
+        |  {"action":"where","params":[["=","status",200]],"children":[
+        |   {"action":"unicode-normalize","params":[{"field":"text","out":"norm"}],"children":[
+        |    {"action":"dedup-exact","params":["norm","target_uri"],"children":[
+        |     {"action":"tap","params":["out"]}]}]}]}]}]}""".stripMargin)
+    val out = Engine.run(chain, df, EngineCtx(testMode = true)).taps("out")
+      .select("target_uri", "norm").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    // 404 and the request record are gone; a/b collapse to ONE row
+    // because NFC makes their texts byte-equal — the reason unicode
+    // normalization must run BEFORE exact dedup
+    assert(out.map(_._1).toSeq == Seq("http://a/", "http://d/"), out.toSeq.toString)
+    assert(out.head._2 == composed) // normalized to the composed form
+  }
+
   test("readFiles: directory of .warc + .warc.gz with provenance") {
     val dir = java.nio.file.Files.createTempDirectory("warc_in")
     try {
