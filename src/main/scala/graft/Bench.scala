@@ -46,7 +46,8 @@ object Bench {
     // HLL distinct sketch, WordPiece pair-score primitive, KMV bottom-k
     // sampling, DoReMi mixture weights
     "heavy_hitters", "hard_negatives_bucketed", "hll_registers",
-    "wordpiece_pair_scores", "kmv_row_sample", "doremi_weights")
+    "wordpiece_pair_scores", "kmv_row_sample", "doremi_weights",
+    "warc_roundtrip", "nfc_normalize", "host_pagerank")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -2295,6 +2295,56 @@ object QueriesPipeline {
       }
     }
 
+    // PageRank over the host -> event-type bipartite graph (the
+    // link-graph importance signal, fixed 3 power iterations). The
+    // oracle UNROLLS the iterations as chained CTEs; per-edge
+    // contributions round to DECIMAL(38,18) BEFORE the sum on BOTH
+    // sides, so every per-node sum is exact integer arithmetic and the
+    // remaining ops are identical IEEE expressions — deterministic
+    // distributed PageRank, replayable in SQL
+    locally {
+      val iters = 3
+      val iterCtes = (1 to iters).map { i =>
+        s"""d$i AS (SELECT coalesce(sum(CAST(r.rank AS DECIMAL(38,18))),
+           |                        CAST(0 AS DECIMAL(38,18))) AS dang
+           |         FROM r${i - 1} r
+           |         WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)),
+           |c$i AS (SELECT e.dst,
+           |               sum(CAST(r.rank / CAST(o.deg AS DOUBLE) AS DECIMAL(38,18))) AS c
+           |        FROM e JOIN r${i - 1} r ON r.node = e.src
+           |               JOIN outdeg o ON o.src = e.src
+           |        GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |               ((1.0 - 0.85) / CAST(nn.n AS DOUBLE)) + 0.85 *
+           |               (coalesce(CAST(c.c AS DOUBLE), 0.0) +
+           |                CAST(d.dang AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS rank
+           |        FROM nodes n LEFT JOIN c$i c ON c.dst = n.node
+           |        CROSS JOIN nn CROSS JOIN d$i d)""".stripMargin
+      }.mkString(",\n")
+      register("host_pagerank",
+        s"""WITH e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+           |                           event_type AS dst
+           |           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |r0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank
+           |       FROM nodes CROSS JOIN nn),
+           |$iterCtes
+           |SELECT node, CAST(CAST(rank AS DECIMAL(38,12)) AS DOUBLE) AS rank
+           |FROM r$iters ORDER BY node""".stripMargin) { (s, dir) =>
+        val ev = graft.sources.Tables.events(s, dir)
+        val edges = ev.select(col("host"), col("service"))
+          .filter(col("host").isNotNull && col("service").isNotNull)
+          .distinct()
+        graft.operators.LinkGraph.pageRank(edges, "host", "service",
+            iters = iters, damping = 0.85)
+          .select(col("node"),
+            col("rank").cast("decimal(38,12)").cast("double").as("rank"))
+          .orderBy("node")
+      }
+    }
+
     // Unicode NFC normalization: two independent implementations of
     // UAX #15 (JDK Normalizer behind the codegen'd expression vs
     // DuckDB's nfc_normalize) must agree byte-for-byte — the query

@@ -385,6 +385,20 @@ object Engine {
                       org.apache.spark.sql.types.DoubleType, nullable = false)))))
             }
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "pagerank" =>
+          // eager (the power iteration materializes + collects per
+          // round): validate probes params and emits the schema only
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("src"))); df(pStr(m("dst")))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("node",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("rank",
+                  org.apache.spark.sql.types.DoubleType, nullable = false)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "doremi-weights" | "doremi-reweight" =>
           // eager (the MW loop collects the model-sized domain stats):
           // validate probes params and emits the schema only
@@ -1196,6 +1210,11 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Sketches.kmvDistinct(df, pStr(m("text")),
         pLong(m("k")).toInt, m.get("seed").map(pStr).getOrElse("kmv"))
+    case "pagerank" =>
+      val m = pMap(params.head)
+      df => graft.operators.LinkGraph.pageRank(df, pStr(m("src")), pStr(m("dst")),
+        m.get("iters").map(pLong(_).toInt).getOrElse(10),
+        m.get("damping").map(pDouble).getOrElse(0.85))
     case "doremi-weights" =>
       val m = pMap(params.head)
       df => graft.operators.Doremi.weights(df, pStr(m("domain")),

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.LinkGraph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank laws on analytically-known graphs: mass conservation,
+  * symmetry, dangling redistribution, convergence toward the closed
+  * form, partitioning invariance (the decimal-exact contribution sums),
+  * and the IR action. A fixed-iteration run over the events bipartite
+  * graph is oracle-gated (`host_pagerank`).
+  */
+class LinkGraphSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def edges(rows: (String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame, iters: Int = 20) =
+    LinkGraph.pageRank(df, "src", "dst", iters = iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("3-cycle: symmetric graph -> uniform ranks; mass conserved") {
+    val r = ranks(edges(("a", "b"), ("b", "c"), ("c", "a")))
+    assert(r.size == 3)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, r.toString))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("star: the hub out-ranks the leaves; ordering stable") {
+    // leaves all point to the hub; hub dangles -> mass recycles uniformly
+    val r = ranks(edges(("l1", "hub"), ("l2", "hub"), ("l3", "hub")))
+    assert(r("hub") > r("l1") && r("l1") == r("l2") && r("l2") == r("l3"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("two-node reference recurrence: A -> B with B dangling") {
+    // A's only inflow is base + dangling share; B gets A's full rank
+    // plus both terms — the distributed run must match the scalar
+    // recurrence iterated locally
+    val d = 0.85
+    val r = ranks(edges(("A", "B")), iters = 60)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    var (ra, rb) = (0.5, 0.5)
+    for (_ <- 1 to 60) {
+      val dang = rb
+      val na = (1 - d) / 2 + d * (0.0 + dang / 2)
+      val nb = (1 - d) / 2 + d * (ra + dang / 2)
+      ra = na; rb = nb
+    }
+    assert(math.abs(r("A") - ra) < 1e-9 && math.abs(r("B") - rb) < 1e-9,
+      s"got $r want ($ra, $rb)")
+    assert(r("B") > r("A"))
+  }
+
+  test("deterministic under partitioning (decimal-exact contribution sums)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val big = (1 to 2000).map(_ =>
+      (s"n${rng.nextInt(80)}", s"n${rng.nextInt(80)}")).distinct.toDF("src", "dst")
+    val a = LinkGraph.pageRank(big, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = LinkGraph.pageRank(big.repartition(13), "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b) // bit-identical, not approximately equal
+    assert(math.abs(a.values.sum - 1.0) < 1e-9)
+  }
+
+  test("rankJoin: documents pick up their key's rank; unknown keys null") {
+    val s = spark
+    import s.implicits._
+    val r = LinkGraph.pageRank(edges(("a", "b")), "src", "dst", iters = 3)
+    val docs = Seq((1L, "a"), (2L, "zzz")).toDF("doc_id", "host")
+    val out = LinkGraph.rankJoin(docs, "host", r).orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(out(0).fieldIndex("rank")))
+    assert(out(1).isNullAt(out(1).fieldIndex("rank")))
+  }
+
+  test("pagerank is a declarable IR action with a job-free validate arm") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val df = edges(("a", "b"), ("b", "a"))
+    val out = Engine.run(Node.fromJson(
+      """{"action":"pagerank","params":[{"src":"src","dst":"dst","iters":4}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+    assert(out.columns.toSeq == Seq("node", "rank") && out.count() == 2L)
+    val v = Engine.validate(Node.fromJson(
+      """{"action":"pagerank","params":[{"src":"src","dst":"dst"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      spark, schema = df.schema)
+    assert(v.isEmpty, v.mkString("; "))
+  }
+}
