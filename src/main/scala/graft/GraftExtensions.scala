@@ -149,6 +149,15 @@ object GraftExtensions {
         graft.functions.HllAgg(children.head,
           litInt(children(1), "hyperloglog b"), litStr(children(2), "hyperloglog seed"))
       }),
+    (FunctionIdentifier("hashing_tf"),
+      new ExpressionInfo(classOf[graft.functions.HashingTfExpr].getCanonicalName,
+        null, "hashing_tf"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "hashing_tf(tokens, dim, seed) takes three arguments")
+        graft.functions.HashingTfExpr(children.head,
+          litInt(children(1), "hashing_tf dim"), litStr(children(2), "hashing_tf seed"))
+      }),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getCanonicalName,
         null, "unicode_normalize"),

@@ -2295,6 +2295,31 @@ object QueriesPipeline {
       }
     }
 
+    // Hashing-trick featurization: the fixed-dim bucket counts replay
+    // exactly from the md5 fold (vocabulary-free — no fitted state to
+    // disagree on)
+    locally {
+      val dim = 32
+      register("hashing_tf",
+        s"""$DocsView,
+           |t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+           |b AS (SELECT doc_id,
+           |             (${sqlMd5Hash64("'htf' || ':' || tok")} % $dim) AS idx,
+           |             count(*) AS cnt
+           |      FROM t GROUP BY 1, 2)
+           |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(cnt AS DOUBLE) AS cnt
+           |FROM b ORDER BY doc_id, idx""".stripMargin) { (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(graft.functions.HashingTfExpr(
+              graft.functions.Text.tokens(col("text")), dim, "htf"))
+              .as(Seq("idx", "cnt")))
+          .filter(col("cnt") > 0)
+          .select(col("doc_id"), col("idx"), col("cnt"))
+          .orderBy("doc_id", "idx")
+      }
+    }
+
     // PageRank over the host -> event-type bipartite graph (the
     // link-graph importance signal, fixed 3 power iterations). The
     // oracle UNROLLS the iterations as chained CTEs; per-edge

@@ -1022,6 +1022,12 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "hashing-tf" =>
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.functions.HashingTfExpr(
+          graft.functions.Text.tokens(col(pStr(m("field")))),
+          pLong(m("dim")).toInt, m.get("seed").map(pStr).getOrElse("htf")))
     case "boilerplate-remove" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.boilerplateRemove(df, pStr(m("id")), pStr(m("text")),
