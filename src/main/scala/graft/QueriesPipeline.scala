@@ -308,6 +308,24 @@ object QueriesPipeline {
           .orderBy("doc_id")
       }
 
+      // host-level link edges: document host -> every host its text
+      // mentions, the edge-mining step feeding LinkGraph.pageRank (same
+      // synthetic URL augmentation as url_hosts)
+      register("host_edges",
+        s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents),
+           |e AS (SELECT 'd' || CAST(doc_id % 50 AS VARCHAR) AS src,
+           |             unnest(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1)) AS dst
+           |      FROM u)
+           |SELECT src, dst, count(*) AS n_links
+           |FROM e GROUP BY src, dst ORDER BY src, dst""".stripMargin) { (s, dir) =>
+        graft.operators.LinkGraph.hostEdges(
+            docs(s, dir).select(
+              concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string")).as("host"),
+              urlCol.as("s")),
+            "host", "s")
+          .orderBy("src", "dst")
+      }
+
       register("url_domain_stats",
         s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents),
            |h AS (SELECT doc_id, unnest(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1)) AS host

@@ -80,6 +80,22 @@ object LinkGraph {
     ranks
   }
 
+  /** Host-level link edges mined from document text: every URL host
+    * mentioned in `textCol` ([[graft.functions.Pii.urlHosts]], the
+    * engine-portable extraction the URL-analysis gates already pin)
+    * becomes an edge from the document's own host (`srcHostCol` — the
+    * WARC `target_uri` host in a crawl pipeline). Output:
+    * (src, dst, n_links) with per-pair multiplicity; self-links kept
+    * (PageRank handles them; filter upstream if unwanted). Map-side
+    * extraction + one map-side-combined count — the edge mining adds no
+    * corpus shuffle beyond the pair aggregate.
+    */
+  def hostEdges(docs: DataFrame, srcHostCol: String, textCol: String): DataFrame =
+    docs.select(col(srcHostCol).cast("string").as("src"),
+        explode(graft.functions.Pii.urlHosts(col(textCol))).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_links"))
+
   /** Ranks joined back to a document frame by a key column — the "weight
     * documents by their host's rank" step. Documents whose key has no
     * rank (not in the graph) get null.

@@ -80,6 +80,28 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("rank")))
   }
 
+  test("hostEdges mines text links; crawl composition: uri host -> mentioned hosts -> ranks") {
+    val s = spark
+    import s.implicits._
+    // three docs on two hosts; everyone links to hub.example
+    val docs = Seq(
+      ("a.example", "read this https://hub.example/page and http://b.example/x"),
+      ("b.example", "see https://hub.example/other"),
+      ("hub.example", "no links here at all")).toDF("host", "text")
+    val edges = graft.operators.LinkGraph.hostEdges(docs, "host", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edges == Set(
+      ("a.example", "hub.example", 1L), ("a.example", "b.example", 1L),
+      ("b.example", "hub.example", 1L)))
+    val ranks = graft.operators.LinkGraph.pageRank(
+        graft.operators.LinkGraph.hostEdges(docs, "host", "text"), "src", "dst",
+        iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the most-linked host out-ranks everyone
+    assert(ranks("hub.example") > ranks("a.example")
+      && ranks("hub.example") > ranks("b.example"), ranks.toString)
+  }
+
   test("pagerank is a declarable IR action with a job-free validate arm") {
     import graft.ir.{Engine, EngineCtx, Node}
     val df = edges(("a", "b"), ("b", "a"))
