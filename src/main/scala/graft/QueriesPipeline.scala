@@ -2313,6 +2313,35 @@ object QueriesPipeline {
       }
     }
 
+    // robots.txt (RFC 9309) longest-match semantics: a literal rule set
+    // applied to per-doc paths — Allow beats Disallow exactly when its
+    // pattern is longer, which the oracle replays as ordered CASE
+    // prefix checks
+    register("robots_allowed",
+      s"""SELECT doc_id,
+         |       CASE WHEN starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/12') THEN true
+         |            WHEN starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/1') THEN false
+         |            WHEN starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/3') THEN false
+         |            ELSE true END AS robots_allowed
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val robots =
+        """User-agent: evilbot
+          |Disallow: /
+          |
+          |User-agent: *
+          |Disallow: /p/1
+          |Allow: /p/12
+          |Disallow: /p/3
+          |Crawl-delay: 2
+          |""".stripMargin
+      graft.sources.Robots.filterAllowed(
+          docs(s, dir).select(col("doc_id"),
+            concat(lit("http://h.example/p/"), col("doc_id").cast("string")).as("uri")),
+          "uri", Map("h.example" -> robots))
+        .select(col("doc_id"), col("robots_allowed"))
+        .orderBy("doc_id")
+    }
+
     // Hashing-trick featurization: the fixed-dim bucket counts replay
     // exactly from the md5 fold (vocabulary-free — no fitted state to
     // disagree on)

@@ -1294,6 +1294,11 @@ object Engine {
     case "warc-records" =>
       val m = pMap(params.head)
       df => graft.sources.Warc.records(df, pStr(m("bin")))
+    case "robots-filter" =>
+      val m = pMap(params.head)
+      val robots = pMap(m("robots")).map { case (h, v) => h -> pStr(v) }
+      df => graft.sources.Robots.filterAllowed(df, pStr(m("uri")), robots,
+        m.get("agent").map(pStr).getOrElse("*"))
     case "warc-responses" =>
       df => graft.sources.Warc.responses(df)
 

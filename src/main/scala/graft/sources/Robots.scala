@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** robots.txt (RFC 9309, the Robots Exclusion Protocol) — the crawl-
+  * politeness filter next to [[Warc]]: corpora built from crawls are
+  * expected to respect (or at least record) per-host exclusion rules,
+  * and a re-crawl pipeline needs the matcher to schedule fetches.
+  *
+  * Parser: line-oriented, tolerant (unknown directives and comments
+  * skipped, BOM stripped) — groups of `User-agent` lines followed by
+  * `Allow`/`Disallow` rules, with `Crawl-delay` kept as an extension.
+  * Matcher: RFC 9309 semantics — most-specific (longest-pattern) rule
+  * wins, `Allow` wins ties, `*` matches any octet sequence, `$` anchors
+  * the end, empty patterns ignored, no matching rule = allowed.
+  * Group selection: longest matching product token, falling back to
+  * `*`.
+  *
+  * Scale shape: rules are per-host and model-sized — the operator face
+  * ([[filterAllowed]]) ships parsed rule tables as a broadcast map and
+  * evaluates map-side; nothing shuffles.
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+                         crawlDelay: Option[Double])
+
+  /** Parse one robots.txt body into agent groups. */
+  def parse(text: String): Seq[Group] = {
+    val out = Seq.newBuilder[Group]
+    var agents = Seq.newBuilder[String]
+    var rules = Seq.newBuilder[Rule]
+    var delay: Option[Double] = None
+    var agentCount = 0
+    var ruleCount = 0
+    def flush(): Unit = {
+      if (agentCount > 0) out += Group(agents.result(), rules.result(), delay)
+      agents = Seq.newBuilder[String]; rules = Seq.newBuilder[Rule]
+      delay = None; agentCount = 0; ruleCount = 0
+    }
+    for (raw <- text.stripPrefix("\uFEFF").linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            // a user-agent line after rules starts a NEW group (RFC:
+            // consecutive agent lines share one group)
+            if (ruleCount > 0) flush()
+            agents += value.toLowerCase; agentCount += 1
+          case "allow" if agentCount > 0 =>
+            if (value.nonEmpty) { rules += Rule(allow = true, value); ruleCount += 1 }
+            else ruleCount += 1 // empty pattern: recorded, matches nothing
+          case "disallow" if agentCount > 0 =>
+            if (value.nonEmpty) { rules += Rule(allow = false, value); ruleCount += 1 }
+            else ruleCount += 1 // empty Disallow = allow all (no rule)
+          case "crawl-delay" if agentCount > 0 =>
+            delay = value.toDoubleOption.orElse(delay); ruleCount += 1
+          case _ => () // sitemap/unknown: skipped
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** The rule set for a product token: the group whose agent token is
+    * the LONGEST substring match of `agent` (case-insensitive), falling
+    * back to the `*` group, else no rules (allow all).
+    */
+  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
+    val a = agent.toLowerCase
+    val named = groups.flatMap(g => g.agents.filter(t => t != "*" && a.contains(t))
+      .map(t => (t.length, g))).sortBy(-_._1)
+    named.headOption.map(_._2.rules)
+      .orElse(groups.find(_.agents.contains("*")).map(_.rules))
+      .getOrElse(Nil)
+  }
+
+  /** RFC 9309 pattern match: `*` = any octet sequence, trailing `$`
+    * anchors the end; otherwise a prefix match.
+    */
+  def matches(pattern: String, path: String): Boolean = {
+    val (p, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    val parts = p.split("\\*", -1)
+    // greedy left-to-right segment scan: first segment must be a prefix,
+    // later segments found in order; anchored: last segment must end it
+    var pos = 0
+    var i = 0
+    while (i < parts.length) {
+      val seg = parts(i)
+      if (i == 0) {
+        if (!path.startsWith(seg)) return false
+        pos = seg.length
+      } else if (i == parts.length - 1 && anchored) {
+        return path.regionMatches(path.length - seg.length, seg, 0, seg.length) &&
+          path.length - seg.length >= pos
+      } else {
+        val at = path.indexOf(seg, pos)
+        if (at < 0) return false
+        pos = at + seg.length
+      }
+      i += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** Is `path` fetchable under `rules`? Most-specific (longest-pattern)
+    * match wins; `Allow` wins length ties; no match = allowed.
+    */
+  def isAllowed(path: String, rules: Seq[Rule]): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    for (r <- rules if matches(r.pattern, path)) {
+      val len = r.pattern.length
+      if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+        bestLen = len; bestAllow = r.allow
+      }
+    }
+    bestAllow
+  }
+
+  /** Filter a frame of URIs by per-host robots bodies (host →
+    * robots.txt text, model-sized — parsed once per task, shipped as a
+    * broadcast-sized map; hosts absent from the map allow everything).
+    * Appends `robots_allowed`; map-side, no shuffle.
+    */
+  def filterAllowed(docs: DataFrame, uriCol: String,
+                    robotsByHost: Map[String, String],
+                    agent: String = "*"): DataFrame = {
+    val schema = docs.schema.add("robots_allowed",
+      org.apache.spark.sql.types.BooleanType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = docs.schema.fieldIndex(uriCol)
+    docs.mapPartitions { rows =>
+      val rulesByHost = robotsByHost.map { case (h, txt) =>
+        h -> rulesFor(parse(txt), agent)
+      }
+      rows.map { r =>
+        val uri = if (r.isNullAt(idx)) null else r.getString(idx)
+        val allowed =
+          if (uri == null) true
+          else {
+            val u = try new java.net.URI(uri) catch { case _: Exception => null }
+            if (u == null || u.getHost == null) true
+            else rulesByHost.get(u.getHost.toLowerCase) match {
+              case None => true
+              case Some(rules) =>
+                val path = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+                isAllowed(path, rules)
+            }
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ allowed)
+      }
+    }(enc)
+  }
+}

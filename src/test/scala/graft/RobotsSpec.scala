@@ -1,0 +1,111 @@
+package graft
+
+import graft.sources.Robots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** robots.txt (RFC 9309) kernel laws: group parsing, agent selection,
+  * wildcard/anchor matching, longest-match precedence with Allow winning
+  * ties, totality on hostile input, and the broadcast filter face. The
+  * longest-match semantics are oracle-gated (`robots_allowed`).
+  */
+class RobotsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val Body =
+    """# comment line
+      |User-agent: googlebot
+      |User-agent: examplebot
+      |Disallow: /private
+      |Allow: /private/ok
+      |Crawl-delay: 1.5
+      |
+      |User-agent: *
+      |Disallow: /tmp
+      |Disallow: /*.pdf$
+      |Allow: /tmp/shared
+      |""".stripMargin
+
+  test("parse: groups, shared agent lines, crawl-delay, comments") {
+    val gs = Robots.parse(Body)
+    assert(gs.size == 2)
+    assert(gs.head.agents == Seq("googlebot", "examplebot"))
+    assert(gs.head.crawlDelay.contains(1.5))
+    assert(gs.head.rules == Seq(
+      Robots.Rule(false, "/private"), Robots.Rule(true, "/private/ok")))
+    assert(gs(1).agents == Seq("*"))
+    // a user-agent line AFTER rules starts a new group
+    val two = Robots.parse("User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n")
+    assert(two.size == 2 && two(1).agents == Seq("b"))
+  }
+
+  test("rulesFor: longest product-token match, * fallback, none -> allow all") {
+    val gs = Robots.parse(Body)
+    assert(Robots.rulesFor(gs, "Mozilla compatible GoogleBot/2.1").head.pattern == "/private")
+    assert(Robots.rulesFor(gs, "randombot").head.pattern == "/tmp")
+    assert(Robots.rulesFor(Robots.parse("Sitemap: /s.xml\n"), "any").isEmpty)
+  }
+
+  test("matches: prefix, * wildcard, $ anchor (RFC 9309 examples)") {
+    assert(Robots.matches("/", "/anything"))
+    assert(Robots.matches("/fish", "/fish.html") && Robots.matches("/fish", "/fishheads"))
+    assert(!Robots.matches("/fish", "/Fish"))
+    assert(Robots.matches("/*.php", "/index.php") && Robots.matches("/*.php", "/a/b.php?x=1"))
+    assert(!Robots.matches("/*.php", "/index.html"))
+    assert(Robots.matches("/*.php$", "/index.php") && !Robots.matches("/*.php$", "/index.php?x=1"))
+    assert(Robots.matches("/fish*.php", "/fishheads/catfish.php"))
+    assert(!Robots.matches("/fish*.php", "/catfish.php"))
+    assert(Robots.matches("/x$", "/x") && !Robots.matches("/x$", "/xy"))
+  }
+
+  test("isAllowed: longest match wins, Allow wins ties, no match allows") {
+    val rules = Seq(
+      Robots.Rule(false, "/p"), Robots.Rule(true, "/p/ok"),
+      Robots.Rule(false, "/p/okno"))
+    assert(!Robots.isAllowed("/p/x", rules))
+    assert(Robots.isAllowed("/p/ok/deep", rules))
+    assert(!Robots.isAllowed("/p/okno", rules)) // longer disallow beats /p/ok
+    assert(Robots.isAllowed("/other", rules))
+    // tie: same length allow + disallow -> allow
+    val tie = Seq(Robots.Rule(false, "/ab"), Robots.Rule(true, "/ab"))
+    assert(Robots.isAllowed("/abc", tie))
+  }
+
+  test("totality: garbage, empty values, rules before any agent") {
+    assert(Robots.parse("").isEmpty)
+    assert(Robots.parse("Disallow: /x\n").isEmpty) // no group -> dropped
+    assert(Robots.parse(":::\nnot a directive\nUser-agent: *\nDisallow:\n").size == 1)
+    // empty Disallow = no rule = allow everything
+    val g = Robots.parse("User-agent: *\nDisallow:\n")
+    assert(Robots.isAllowed("/anything", Robots.rulesFor(g, "x")))
+  }
+
+  test("filterAllowed: per-host broadcast rules, unknown hosts and bad URIs allowed") {
+    val s = spark
+    import s.implicits._
+    val robots = Map("h.example" -> "User-agent: *\nDisallow: /secret\n")
+    val df = Seq(
+      (1L, "http://h.example/secret/x"),
+      (2L, "http://h.example/public"),
+      (3L, "http://other.example/secret"),
+      (4L, "not a uri at all"),
+      (5L, null.asInstanceOf[String])).toDF("id", "uri")
+    val out = Robots.filterAllowed(df, "uri", robots)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+  }
+
+  test("robots-filter is a declarable IR action") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "http://h/x"), (2L, "http://h/ok")).toDF("id", "uri")
+    val out = Engine.run(Node.fromJson(
+      """{"action":"robots-filter",
+        | "params":[{"uri":"uri","robots":{"h":"User-agent: *\nDisallow: /x\n"}}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+    val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true))
+  }
+}
