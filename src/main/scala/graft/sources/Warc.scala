@@ -64,6 +64,13 @@ object Warc {
     * through. Corrupt gzip yields what inflated before the error —
     * consistent with the tolerant-parse contract.
     */
+  /** Decompression bomb guard: a crawl archive legitimately inflates a
+    * few × its compressed size; a hostile member claiming gigabytes from
+    * kilobytes must not OOM the executor. Inflation stops at the cap and
+    * the record walk processes the (truncated-total) prefix.
+    */
+  val MaxInflatedBytes: Long = 1L << 30
+
   private[sources] def inflate(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || bytes(0) != Gzip(0) || bytes(1) != Gzip(1)) return bytes
     val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
@@ -72,7 +79,7 @@ object Warc {
         new java.io.ByteArrayInputStream(bytes))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() <= MaxInflatedBytes) { out.write(buf, 0, n); n = in.read(buf) }
     } catch { case _: java.io.IOException => () }
     out.toByteArray
   }
@@ -104,7 +111,9 @@ object Warc {
               else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
             }.toMap
             fields.get("content-length").flatMap(s => s.toLongOption) match {
-              case Some(len) if len >= 0 && headerEnd + 4 + len <= b.length =>
+              // bounds stated as len <= remaining so a hostile
+              // Content-Length near 2^63 cannot overflow the addition
+              case Some(len) if len >= 0 && len <= b.length - headerEnd - 4L =>
                 val start = headerEnd + 4 // past CRLF CRLF
                 val payload = java.util.Arrays.copyOfRange(b, start, start + len.toInt)
                 out += WarcRecord(

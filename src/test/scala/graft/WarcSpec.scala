@@ -62,6 +62,10 @@ class WarcSpec extends AnyFunSuite {
     // bogus/absent length, bad magic, garbage, empty
     assert(Warc.parseRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF8)).isEmpty)
     assert(Warc.parseRecords("WARC/1.0\r\nContent-Length: nope\r\n\r\n".getBytes(UTF8)).isEmpty)
+    // hostile Content-Length near 2^63 must not overflow the bounds math
+    assert(Warc.parseRecords(
+      ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: " +
+        Long.MaxValue + "\r\n\r\nx").getBytes(UTF8)).isEmpty)
     assert(Warc.parseRecords(Array.fill[Byte](64)(7)).isEmpty)
     assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
     // uri <> wrapping stripped
