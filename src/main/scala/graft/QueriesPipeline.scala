@@ -2311,6 +2311,37 @@ object QueriesPipeline {
            |FROM rk GROUP BY register ORDER BY register""".stripMargin) { (s, dir) =>
         graft.operators.Sketches.hllRegisters(docs(s, dir), "text", b, "hll")
       }
+
+      // the same mergeable aggregate composed under a groupBy: one
+      // per-source sketch per group via the SQL face — the "distinct
+      // tokens per domain" question at 100 TB is #groups × 2^b bytes of
+      // state, still no vocabulary shuffle
+      register("grouped_hll",
+        s"""$DocsView,
+           |t AS (SELECT DISTINCT source, unnest(toks) AS token FROM docs),
+           |h AS (SELECT source, token, ${sqlMd5Hash64("'hll:' || token")} AS h FROM t),
+           |r AS (SELECT source, CAST(h >> $w AS BIGINT) AS register,
+           |             h & ((CAST(1 AS BIGINT) << $w) - 1) AS rem FROM h),
+           |bits AS (SELECT source, register, rem,
+           |                max(CASE WHEN (rem >> CAST(j AS INT)) & 1 = 1 THEN j END) AS hb
+           |         FROM r, (SELECT unnest(range($w)) AS j) GROUP BY source, register, rem),
+           |rk AS (SELECT source, register,
+           |              CASE WHEN hb IS NULL THEN ${w + 1} ELSE $w - hb END AS rank
+           |       FROM bits)
+           |SELECT source, register, CAST(max(rank) AS BIGINT) AS max_rank
+           |FROM rk GROUP BY source, register
+           |ORDER BY source, register""".stripMargin) { (s, dir) =>
+        GraftExtensions.register(s)
+        docs(s, dir)
+          .select(col("source"), explode(graft.functions.Text.tokens(col("text"))).as("__tok"))
+          .groupBy("source")
+          .agg(expr(s"hyperloglog(__tok, $b, 'hll')").as("regs"))
+          .select(col("source"), posexplode(col("regs")).as(Seq("register", "max_rank")))
+          .filter(col("max_rank") > 0)
+          .select(col("source"), col("register").cast("long").as("register"),
+            col("max_rank").cast("long").as("max_rank"))
+          .orderBy("source", "register")
+      }
     }
 
     // robots.txt (RFC 9309) longest-match semantics: a literal rule set
