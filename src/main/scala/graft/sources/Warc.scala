@@ -189,6 +189,26 @@ object Warc {
         .select(col("path"), col("modificationTime"), col("content")),
       "content").drop("content")
 
+  /** Streaming twin of [[readFiles]]: a landing directory of `.warc` /
+    * `.warc.gz` archives consumed as a Structured Streaming source —
+    * new archives are discovered per micro-batch (the standard
+    * crawl-landing pattern), exploded through the same record parser.
+    * Downstream, `responses` + a watermark on `warc_date` feed the
+    * streaming dedup family ("dedup the crawl as it arrives" — spec
+    * drives the composition).
+    */
+  def readStreamFiles(spark: SparkSession, path: String): DataFrame = {
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    records(
+      spark.readStream.format("binaryFile").schema(binarySchema).load(path)
+        .select(col("path"), col("modificationTime"), col("content")),
+      "content").drop("content")
+  }
+
   /** Response records decoded to text documents: the bridge from a crawl
     * to the curation surface — HTTP headers stripped, body decoded UTF-8
     * (replacement chars on invalid sequences, total). Pure Column

@@ -133,6 +133,47 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[String]("text") == "<html>hello crawl</html>")
   }
 
+  test("streaming crawl ingest: landed archives -> record stream -> watermarked dedup") {
+    val s = spark
+    import s.implicits._
+    val land = java.nio.file.Files.createTempDirectory("warc_land")
+    try {
+      def respAt(uri: String, date: String, body: String) = {
+        val payload = ("HTTP/1.1 200 OK\r\n\r\n" + body).getBytes(UTF8)
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          s"WARC-Date: $date\r\nContent-Length: ${payload.length}\r\n\r\n").getBytes(UTF8) ++
+          payload ++ "\r\n\r\n".getBytes(UTF8)
+      }
+      // batch 1: two docs, one duplicated text; batch 2: the same text
+      // AGAIN from another uri (in-horizon -> deduped) + a closer
+      java.nio.file.Files.write(land.resolve("b1.warc"),
+        respAt("http://a/", "2024-01-01T00:00:01Z", "same text") ++
+        respAt("http://b/", "2024-01-01T00:00:02Z", "other text"))
+      val stream = graft.sources.Warc.readStreamFiles(s, land.toString)
+      assert(stream.isStreaming)
+      val deduped = graft.sources.Warc.responses(stream)
+        .withColumn("__ts", to_timestamp(col("warc_date")))
+        .withWatermark("__ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("text")
+      val q = deduped.writeStream.format("memory").queryName("warc_stream")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      java.nio.file.Files.write(land.resolve("b2.warc"),
+        respAt("http://c/", "2024-01-01T00:00:03Z", "same text") ++
+        respAt("http://d/", "2024-01-01T00:00:04Z", "fresh text"))
+      q.processAllAvailable(); q.stop()
+      val kept = s.table("warc_stream").select("target_uri", "text").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // 'same text' from http://c/ arrived within the horizon -> dropped
+      assert(kept.map(_._2) == Set("same text", "other text", "fresh text"))
+      assert(!kept.exists(_._1 == "http://c/"), kept.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(land).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("end-to-end: declared IR chain from crawl bytes to a deduped corpus") {
     import graft.ir.{Engine, EngineCtx, Node}
     val s = spark
