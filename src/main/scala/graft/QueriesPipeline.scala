@@ -2491,6 +2491,106 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // SURT urlkey + CDXJ crawl index: the Spark side is Column algebra
+    // (Cdx.scala), the oracle is an INDEPENDENT DuckDB-native
+    // implementation of the same transform (list_reverse/list_sort/
+    // regexp natives) — two implementations of the published SURT
+    // rules that must agree byte-for-byte on messy synthesized URLs
+    locally {
+      // shared CTE chain: expects u(doc_id, raw), yields surt(doc_id, lo, urlkey)
+      val surtCtes =
+        s"""s1 AS (SELECT doc_id, regexp_replace(lower(raw), '#.*$$', '') AS lo FROM u),
+           |s2 AS (SELECT doc_id, lo,
+           |         regexp_extract(lo, '^https?://([^/?]+)', 1) AS auth,
+           |         regexp_replace(lo, '^https?://[^/?]+', '') AS rest FROM s1),
+           |s3 AS (SELECT *, CASE WHEN starts_with(lo, 'http://')
+           |                      THEN regexp_replace(auth, ':80$$', '')
+           |                      ELSE regexp_replace(auth, ':443$$', '') END AS hostport
+           |       FROM s2),
+           |s4 AS (SELECT *, regexp_replace(hostport, ':[0-9]+$$', '') AS host,
+           |                regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM s3),
+           |s5 AS (SELECT *,
+           |         array_to_string(list_reverse(string_split(
+           |           regexp_replace(host, '^www[0-9]*\\.', ''), '.')), ',') AS revhost,
+           |         CASE WHEN instr(rest, '?') > 0
+           |              THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS path0,
+           |         CASE WHEN instr(rest, '?') > 0
+           |              THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS qs FROM s4),
+           |surt AS (SELECT doc_id, lo,
+           |  CASE WHEN starts_with(lo, 'http://') OR starts_with(lo, 'https://') THEN
+           |    revhost || CASE WHEN len(port) > 0 THEN ':' || port ELSE '' END || ')' ||
+           |      CASE WHEN len(path0) = 0 THEN '/' ELSE path0 END ||
+           |      CASE WHEN len(list_filter(string_split(qs, '&'), x -> len(x) > 0)) > 0
+           |           THEN '?' || array_to_string(
+           |                  list_sort(list_filter(string_split(qs, '&'), x -> len(x) > 0)), '&')
+           |           ELSE '' END
+           |  ELSE NULL END AS urlkey FROM s5)""".stripMargin
+
+      // messy URL synthesis shared by both sides: case games, www strip,
+      // default + non-default ports, unsorted/empty query params,
+      // fragments, and a non-URL arm that must key to NULL
+      val rawSql =
+        """CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 23 AS VARCHAR)
+          |              || '.Example.ORG:80/P/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1#frag'
+          |  WHEN 1 THEN 'https://Sub.Example.org:443/a/' || CAST(doc_id AS VARCHAR)
+          |  WHEN 2 THEN 'http://www2.example.org:8080/x/' || CAST(doc_id AS VARCHAR)
+          |              || '?z=1&&y=2'
+          |  ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END""".stripMargin.replace("\n", " ")
+      def rawCol: org.apache.spark.sql.Column = {
+        val id = col("doc_id")
+        when(pmod(id, lit(4)) === 0,
+            concat(lit("HTTP://WWW.Site"), pmod(id, lit(23)).cast("string"),
+              lit(".Example.ORG:80/P/"), id.cast("string"), lit("?b=2&a=1#frag")))
+          .when(pmod(id, lit(4)) === 1,
+            concat(lit("https://Sub.Example.org:443/a/"), id.cast("string")))
+          .when(pmod(id, lit(4)) === 2,
+            concat(lit("http://www2.example.org:8080/x/"), id.cast("string"),
+              lit("?z=1&&y=2")))
+          .otherwise(concat(lit("not a url "), id.cast("string")))
+      }
+
+      register("surt_key",
+        s"""WITH u AS (SELECT doc_id, $rawSql AS raw FROM documents),
+           |$surtCtes
+           |SELECT doc_id, urlkey FROM surt ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), graft.sources.Cdx.surtKey(rawCol).as("urlkey"))
+          .orderBy("doc_id")
+      }
+
+      // the full index round trip: records-shaped frame -> index ->
+      // CDXJ lines -> parse (regex split + from_json) -> the oracle's
+      // directly-computed fields. Exercises the whole warc -> cdx ->
+      // query-the-index path including the JSON leg the oracle never
+      // touches.
+      register("cdx_roundtrip",
+        s"""WITH u AS (SELECT doc_id, $rawSql AS raw FROM documents
+           |           WHERE doc_id % 4 < 3),
+           |$surtCtes,
+           |d AS (SELECT doc_id, text,
+           |             '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS dt
+           |      FROM documents WHERE doc_id % 4 < 3)
+           |SELECT s.urlkey AS urlkey,
+           |       substr(regexp_replace(d.dt, '[^0-9]', '', 'g'), 1, 14) AS ts,
+           |       s.lo AS url, md5(d.text) AS digest,
+           |       CAST(octet_length(encode(d.text)) AS BIGINT) AS length
+           |FROM surt s JOIN d USING (doc_id) ORDER BY url""".stripMargin) { (s, dir) =>
+        val recs = docs(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) < 3)
+          .select(
+            lower(regexp_replace(rawCol, "#.*$", "")).as("target_uri"),
+            concat(lit("2024-01-01T00:00:"),
+              lpad(pmod(col("doc_id"), lit(60)).cast("string"), 2, "0"),
+              lit("Z")).as("warc_date"),
+            encode(col("text"), "UTF-8").as("payload"))
+        graft.sources.Cdx.parseCdxj(
+            graft.sources.Cdx.cdxjLines(graft.sources.Cdx.index(recs)))
+          .select(col("urlkey"), col("ts"), col("url"), col("digest"), col("length"))
+          .orderBy("url")
+      }
+    }
+
     // KMV / bottom-k sketch: the kept set is exactly the k smallest
     // salted hashes — order/partition invariant — so the oracle replays
     // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.

@@ -1301,6 +1301,20 @@ object Engine {
         m.get("agent").map(pStr).getOrElse("*"))
     case "warc-responses" =>
       df => graft.sources.Warc.responses(df)
+    case "surt-key" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("urlkey"),
+        graft.sources.Cdx.surtKey(col(pStr(m("url")))))
+    case "cdx-index" =>
+      val m = params.headOption.map(pMap).getOrElse(Map.empty)
+      df => graft.sources.Cdx.index(df,
+        m.get("uri").map(pStr).getOrElse("target_uri"),
+        m.get("date").map(pStr).getOrElse("warc_date"),
+        m.get("payload").map(pStr).getOrElse("payload"))
+    case "cdx-parse" =>
+      val m = params.headOption.map(pMap).getOrElse(Map.empty)
+      df => graft.sources.Cdx.parseCdxj(df,
+        m.get("line").map(pStr).getOrElse("line"))
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }

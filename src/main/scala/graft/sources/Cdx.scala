@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDX(J) crawl-index surface — the companion artifact every WARC-based
+  * corpus ships with (Common Crawl's `cc-index`, the Internet Archive's
+  * capture indexes): one line per capture,
+  *
+  * {{{ <urlkey> <timestamp14> {"url":…,"digest":…,"length":…} }}}
+  *
+  * sorted by SURT urlkey so that lookups and per-site scans are range
+  * reads. This module gives the three faces a pipeline needs:
+  *
+  *  - [[surtKey]] — the Sort-friendly URI Reordering Transform that
+  *    makes captures of one site lexicographically contiguous,
+  *  - [[index]] / [[cdxjLines]] — derive the index from parsed WARC
+  *    records (the `warc → cdx` build step),
+  *  - [[parseCdxj]] — read an existing CDXJ index back into columns
+  *    (the "query the index instead of the archives" fast path).
+  *
+  * Scale shape: every face is pure Column algebra (regex + array ops +
+  * `from_json`/`to_json`, whole-stage codegen, zero shuffle) — indexing
+  * 100 TB of WARC is a map-only pass, and the index itself is ~0.1% of
+  * archive bytes, which is what makes index-first crawl queries cheap.
+  * Deviation from Common Crawl noted on [[index]]: digests are md5 hex
+  * (the repo-wide digest convention), not sha1-base32.
+  */
+object Cdx {
+
+  /** SURT (Sort-friendly URI Reordering Transform) urlkey of an
+    * `http(s)` URL column:
+    *
+    *  1. lowercase the whole URL (Common Crawl's urlkey convention —
+    *     crawl paths are treated case-folded),
+    *  2. drop the `#fragment` and the scheme,
+    *  3. strip default ports (`:80` for http, `:443` for https; other
+    *     ports are kept, appended to the reversed host),
+    *  4. strip one leading `www`/`www<digits>` host label,
+    *  5. reverse the remaining host labels, comma-joined —
+    *     `sub.example.org` → `org,example,sub`,
+    *  6. close with `)`, then the path (bare authority → `/`), then the
+    *     query with its `&`-params sorted (and empty params dropped) so
+    *     `?b=2&a=1` and `?a=1&b=2` collide.
+    *
+    * `http://WWW.Sub.Example.ORG:80/A/B?b=2&a=1#f` →
+    * `org,example,sub)/a/b?a=1&b=2`. Non-`http(s)` strings → null (a
+    * crawl index only keys fetchable captures; callers filter).
+    */
+  def surtKey(u: Column): Column = {
+    val lo = regexp_replace(lower(u), "#.*$", "")
+    val auth = regexp_extract(lo, "^https?://([^/?]+)", 1)
+    val rest = regexp_replace(lo, "^https?://[^/?]+", "")
+    val hostport = when(lo.startsWith("http://"),
+        regexp_replace(auth, ":80$", ""))
+      .otherwise(regexp_replace(auth, ":443$", ""))
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val noWww = regexp_replace(host, "^www[0-9]*\\.", "")
+    val revHost = array_join(reverse(split(noWww, "\\.")), ",")
+    val qPos = instr(rest, "?")
+    val path0 = when(qPos > 0, rest.substr(lit(1), qPos - 1)).otherwise(rest)
+    val path = when(length(path0) === 0, lit("/")).otherwise(path0)
+    val query = when(qPos > 0, rest.substr(qPos + 1, length(rest))).otherwise(lit(""))
+    val kept = array_sort(filter(split(query, "&"), p => length(p) > 0))
+    val key = concat(revHost,
+      when(length(port) > 0, concat(lit(":"), port)).otherwise(lit("")),
+      lit(")"), path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+    when(lo.startsWith("http://") || lo.startsWith("https://"), key)
+      .otherwise(lit(null).cast(StringType))
+  }
+
+  /** 14-digit CDX timestamp (`yyyyMMddHHmmss`) from an ISO-8601-ish
+    * string column: digits kept in order, truncated to 14 — tolerant of
+    * the `Z`/offset/fraction variants WARC-Date appears with.
+    */
+  def ts14(date: Column): Column =
+    substring(regexp_replace(date, "[^0-9]", ""), 1, 14)
+
+  /** Build the index frame from parsed WARC records (the shape
+    * [[Warc.records]] emits): one row per record with a non-null target
+    * URI — `urlkey` (SURT), `ts` (14-digit), `url`, `digest` (md5 hex of
+    * the payload — repo digest convention; Common Crawl uses
+    * sha1-base32), `length` (payload bytes). Map-only; sorting by
+    * (urlkey, ts) is the caller's range-partitioned write.
+    */
+  def index(records: DataFrame, uriCol: String = "target_uri",
+            dateCol: String = "warc_date",
+            payloadCol: String = "payload"): DataFrame =
+    records
+      .filter(col(uriCol).isNotNull)
+      .select(
+        surtKey(col(uriCol)).as("urlkey"),
+        ts14(col(dateCol)).as("ts"),
+        col(uriCol).as("url"),
+        md5(col(payloadCol)).as("digest"),
+        length(col(payloadCol)).cast(LongType).as("length"))
+      .filter(col("urlkey").isNotNull)
+
+  /** Render an index frame ([[index]] schema) as CDXJ lines —
+    * `urlkey ts {json}` with the JSON carrying url/digest/length. */
+  def cdxjLines(idx: DataFrame): DataFrame =
+    idx.select(concat(
+      col("urlkey"), lit(" "), col("ts"), lit(" "),
+      to_json(struct(col("url"), col("digest"), col("length")))).as("line"))
+
+  private val CdxjJsonSchema = StructType(Seq(
+    StructField("url", StringType),
+    StructField("mime", StringType),
+    StructField("status", IntegerType),
+    StructField("digest", StringType),
+    StructField("length", LongType),
+    StructField("offset", LongType),
+    StructField("filename", StringType)))
+
+  /** Parse CDXJ lines back into columns: `urlkey, ts, url, mime,
+    * status, digest, length, offset, filename` (absent JSON fields
+    * null). Lines that don't match the `<key> <14 digits> {…}` shape
+    * are dropped — total on truncated/garbage index files.
+    */
+  def parseCdxj(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val pat = "^(\\S+) ([0-9]{14}) (\\{.*\\})$"
+    val c = col(lineCol)
+    lines
+      .select(
+        regexp_extract(c, pat, 1).as("urlkey"),
+        regexp_extract(c, pat, 2).as("ts"),
+        from_json(regexp_extract(c, pat, 3), CdxjJsonSchema).as("__j"))
+      .filter(length(col("urlkey")) > 0 && length(col("ts")) > 0)
+      .select(col("urlkey"), col("ts"), col("__j.url").as("url"),
+        col("__j.mime").as("mime"), col("__j.status").as("status"),
+        col("__j.digest").as("digest"), col("__j.length").as("length"),
+        col("__j.offset").as("offset"), col("__j.filename").as("filename"))
+  }
+}
