@@ -2591,6 +2591,66 @@ object QueriesPipeline {
       }
     }
 
+    // crawl-snapshot algebra: latest-capture collapse (max_by aggregate,
+    // one shuffle, deterministic (ts, digest) tie-break) and the
+    // two-snapshot diff (single full-outer join) — the incremental
+    // recrawl questions, both replayed verbatim by the oracle
+    locally {
+      register("crawl_latest",
+        s"""WITH caps AS (
+           |  SELECT doc_id, '20240101000000' AS ts, md5(text) AS digest FROM documents
+           |  UNION ALL
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 10 = 0 THEN '20240101000000'
+           |              ELSE '20240201000000' END AS ts,
+           |         md5(text || 'v2') AS digest
+           |  FROM documents),
+           |r AS (SELECT doc_id, ts, digest,
+           |             row_number() OVER (PARTITION BY doc_id
+           |                                ORDER BY ts DESC, digest DESC) AS rn
+           |      FROM caps)
+           |SELECT doc_id, ts, digest FROM r WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val caps = d.select(col("doc_id"), explode(array(
+            struct(lit("20240101000000").as("ts"),
+              md5(encode(col("text"), "UTF-8")).as("digest")),
+            struct(when(pmod(col("doc_id"), lit(10)) === 0, lit("20240101000000"))
+                .otherwise(lit("20240201000000")).as("ts"),
+              md5(encode(concat(col("text"), lit("v2")), "UTF-8")).as("digest"))))
+            .as("c"))
+          .select(col("doc_id"), col("c.ts").as("ts"), col("c.digest").as("digest"))
+        graft.operators.Snapshots.latest(caps, "doc_id", "ts")
+          .orderBy("doc_id")
+      }
+
+      register("crawl_diff",
+        s"""WITH o AS (SELECT doc_id, md5(text) AS old_digest
+           |           FROM documents WHERE doc_id % 3 <> 0),
+           |n AS (SELECT doc_id,
+           |             CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2')
+           |                  ELSE md5(text) END AS new_digest
+           |      FROM documents WHERE doc_id % 5 <> 0)
+           |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest,
+           |       CASE WHEN old_digest IS NULL THEN 'added'
+           |            WHEN new_digest IS NULL THEN 'removed'
+           |            WHEN old_digest <> new_digest THEN 'changed'
+           |            ELSE 'unchanged' END AS status
+           |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val old = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("digest"))
+        val newer = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+                md5(encode(concat(col("text"), lit("v2")), "UTF-8")))
+              .otherwise(md5(encode(col("text"), "UTF-8"))).as("digest"))
+        graft.operators.Snapshots.diff(old, newer, "doc_id", "digest")
+          .orderBy("doc_id")
+      }
+    }
+
     // KMV / bottom-k sketch: the kept set is exactly the k smallest
     // salted hashes — order/partition invariant — so the oracle replays
     // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.

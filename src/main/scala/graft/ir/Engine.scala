@@ -219,6 +219,17 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Curation.VocabDriftSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "snapshot-diff" =>
+          // artifact rule: the old snapshot parquet is a runtime input.
+          // Output = key + the operator's own schema constant.
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("key"))); df(pStr(m("digest"))); pStr(m("old-path"))
+            recurse(graft.operators.Snapshots.DiffSchema.foldLeft(
+              df.select(col(pStr(m("key"))))) { case (acc, (name, dt)) =>
+              acc.withColumn(name, lit(null).cast(dt))
+            })
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "train-logistic" =>
           // empty-frame totality lives HERE, not in the trainer: probe
           // the params/columns, emit the model schema without running a
@@ -1315,6 +1326,16 @@ object Engine {
       val m = params.headOption.map(pMap).getOrElse(Map.empty)
       df => graft.sources.Cdx.parseCdxj(df,
         m.get("line").map(pStr).getOrElse("line"))
+    case "snapshot-latest" =>
+      val m = pMap(params.head)
+      df => graft.operators.Snapshots.latest(df, pStr(m("key")), pStr(m("ts")),
+        m.get("digest").map(pStr).getOrElse("digest"))
+    case "snapshot-diff" =>
+      val m = pMap(params.head)
+      df => {
+        val old = df.sparkSession.read.parquet(pStr(m("old-path")))
+        graft.operators.Snapshots.diff(old, df, pStr(m("key")), pStr(m("digest")))
+      }
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")
   }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Crawl-snapshot algebra over capture indexes (the [[graft.sources.Cdx]]
+  * shape, but any `(key, ts, digest, …)` frame works): collapse a
+  * multi-capture index to its freshest capture per URL, and diff two
+  * snapshots into added / removed / changed / unchanged — the
+  * incremental-recrawl question ("what do I actually need to refetch /
+  * reprocess?") that turns a 100 TB full reprocess into a delta-sized
+  * one.
+  *
+  * Scale shape: [[latest]] is ONE shuffle on the key with a map-side
+  * partial (`max_by` is a declarative aggregate — no window, no sort of
+  * the whole index); [[diff]] is a single full-outer shuffle join on the
+  * key with both sides pruned to `(key, digest)` before the exchange.
+  * SURT urlkeys spread hot hosts across paths, so per-key skew is
+  * bounded by captures-per-URL, not pages-per-host.
+  */
+object Snapshots {
+
+  /** `(name, type)` pairs of the [[diff]] output appended to the key —
+    * the IR validate arm builds its frame from this constant. */
+  val DiffSchema: Seq[(String, DataType)] = Seq(
+    "old_digest" -> StringType,
+    "new_digest" -> StringType,
+    "status" -> StringType)
+
+  /** One row per key: the capture with the greatest `(ts, digest)` —
+    * the digest tie-break makes the pick deterministic when a URL is
+    * captured twice in the same second (re-crawl storms do this).
+    * Non-key columns survive (the winning row is kept whole).
+    */
+  def latest(captures: DataFrame, keyCol: String, tsCol: String,
+             digestCol: String = "digest"): DataFrame = {
+    val others = captures.columns.filter(_ != keyCol)
+    captures
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(others.map(col).toIndexedSeq: _*),
+        struct(col(tsCol), col(digestCol))).as("__best"))
+      .select(col(keyCol) +: others.map(c => col(s"__best.$c").as(c)).toIndexedSeq: _*)
+  }
+
+  /** Diff two snapshots (one row per key each — run [[latest]] first on
+    * raw capture logs): `key, old_digest, new_digest, status` with
+    * status ∈ `added` (key only in `newer`), `removed` (only in `old`),
+    * `changed` (both, digests differ), `unchanged`.
+    */
+  def diff(old: DataFrame, newer: DataFrame, keyCol: String,
+           digestCol: String): DataFrame = {
+    val o = old.select(col(keyCol), col(digestCol).as("old_digest"))
+    val n = newer.select(col(keyCol), col(digestCol).as("new_digest"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Snapshots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crawl-snapshot algebra: latest-capture collapse (deterministic
+  * tie-break, partition invariance) and the two-snapshot diff. Both are
+  * oracle-gated (`crawl_latest`, `crawl_diff`).
+  */
+class SnapshotsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("latest: freshest capture wins; (ts, digest) tie-break is deterministic") {
+    val s = spark
+    import s.implicits._
+    val caps = Seq(
+      ("k1", "20240101000000", "aaa", "old"),
+      ("k1", "20240201000000", "bbb", "new"),
+      ("k2", "20240101000000", "zzz", "tie-hi"),
+      ("k2", "20240101000000", "mmm", "tie-lo"),
+      ("k3", "20240301000000", "ccc", "only")
+    ).toDF("key", "ts", "digest", "note")
+    val out = Snapshots.latest(caps, "key", "ts")
+      .orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("note")))
+    assert(out.toSeq == Seq("k1" -> "new", "k2" -> "tie-hi", "k3" -> "only"))
+    // partition invariance: same winners whatever the layout
+    val shuffled = Snapshots.latest(caps.repartition(7, col("digest")), "key", "ts")
+      .orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("note")))
+    assert(shuffled.toSeq == out.toSeq)
+  }
+
+  test("diff: added / removed / changed / unchanged") {
+    val s = spark
+    import s.implicits._
+    val old = Seq(("a", "d1"), ("b", "d2"), ("c", "d3")).toDF("key", "digest")
+    val newer = Seq(("b", "d2"), ("c", "dX"), ("d", "d4")).toDF("key", "digest")
+    val out = Snapshots.diff(old, newer, "key", "digest")
+      .orderBy("key").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("status")))
+    assert(out.toSeq == Seq(
+      "a" -> "removed", "b" -> "unchanged", "c" -> "changed", "d" -> "added"))
+  }
+
+  test("snapshot-latest / snapshot-diff are declarable IR actions; validate is artifact-total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    try {
+      Seq(("a", "d1"), ("b", "d2")).toDF("key", "digest")
+        .write.mode("overwrite").parquet(s"$dir/old")
+      val newer = Seq(
+        ("a", "20240101000000", "d1"), ("a", "20240201000000", "dX"),
+        ("b", "20240101000000", "d2"), ("c", "20240101000000", "d3")
+      ).toDF("key", "ts", "digest")
+      val chain = Node.fromJson(
+        s"""{"action":"snapshot-latest","params":[{"key":"key","ts":"ts"}],"children":[
+           | {"action":"snapshot-diff","params":[{"old-path":"$dir/old","key":"key","digest":"digest"}],"children":[
+           |  {"action":"tap","params":["out"]}]}]}""".stripMargin)
+      val out = Engine.run(chain, newer, EngineCtx(testMode = true)).taps("out")
+        .orderBy("key").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("status")))
+      assert(out.toSeq == Seq("a" -> "changed", "b" -> "unchanged", "c" -> "added"))
+      // validate: the old-path artifact may not exist yet — still total,
+      // and the declared output schema comes from DiffSchema
+      val errs = Engine.validate(Node.fromJson(
+        s"""{"action":"snapshot-diff","params":[{"old-path":"$dir/nope","key":"key","digest":"digest"}],"children":[
+           | {"action":"keep-keys","params":[["key","status","old_digest","new_digest"]]}]}""".stripMargin),
+        s, EngineCtx(testMode = true), newer.schema)
+      assert(errs.isEmpty, errs.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
