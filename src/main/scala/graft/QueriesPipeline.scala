@@ -2373,6 +2373,38 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // politeness schedule: per-host fetch sequencing under robots
+    // Crawl-delay — the oracle replays the row_number window and the
+    // delay CASE; offsets are n × {2.0, 0.5, 1.0}, IEEE-exact
+    register("fetch_schedule",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/'
+         |           || CAST(doc_id AS VARCHAR) AS uri,
+         |         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host
+         |  FROM documents),
+         |r AS (SELECT doc_id, uri, host,
+         |             row_number() OVER (PARTITION BY host ORDER BY uri) AS fetch_seq
+         |      FROM u)
+         |SELECT doc_id, host, CAST(fetch_seq AS INT) AS fetch_seq,
+         |       CAST(fetch_seq - 1 AS DOUBLE) *
+         |         CASE host WHEN 'h0.example' THEN 2.0
+         |                   WHEN 'h1.example' THEN 0.5 ELSE 1.0 END AS fetch_offset_s
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val robots = Map(
+        "h0.example" -> "User-agent: *\nCrawl-delay: 2\n",
+        "h1.example" -> "User-agent: *\nCrawl-delay: 0.5\n",
+        // declared but delay-less: falls to the default
+        "h2.example" -> "User-agent: *\nDisallow: /tmp\n")
+      graft.sources.Robots.fetchSchedule(
+          docs(s, dir).select(col("doc_id"),
+            concat(lit("http://h"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".example/p/"), col("doc_id").cast("string")).as("uri")),
+          "uri", robots)
+        .select(col("doc_id"), col("host"), col("fetch_seq"), col("fetch_offset_s"))
+        .orderBy("doc_id")
+    }
+
     // Hashing-trick featurization: the fixed-dim bucket counts replay
     // exactly from the md5 fold (vocabulary-free — no fitted state to
     // disagree on)

@@ -1326,6 +1326,12 @@ object Engine {
       val m = params.headOption.map(pMap).getOrElse(Map.empty)
       df => graft.sources.Cdx.parseCdxj(df,
         m.get("line").map(pStr).getOrElse("line"))
+    case "fetch-schedule" =>
+      val m = pMap(params.head)
+      val robots = pMap(m("robots")).map { case (h, v) => h -> pStr(v) }
+      df => graft.sources.Robots.fetchSchedule(df, pStr(m("uri")), robots,
+        m.get("agent").map(pStr).getOrElse("*"),
+        m.get("default-delay").map(pDouble).getOrElse(1.0))
     case "snapshot-latest" =>
       val m = pMap(params.head)
       df => graft.operators.Snapshots.latest(df, pStr(m("key")), pStr(m("ts")),

@@ -71,14 +71,21 @@ object Robots {
     * the LONGEST substring match of `agent` (case-insensitive), falling
     * back to the `*` group, else no rules (allow all).
     */
-  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
+  def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] =
+    groupFor(groups, agent).map(_.rules).getOrElse(Nil)
+
+  /** The group matched for a product token — longest substring-matching
+    * agent token wins, `*` group is the fallback. */
+  def groupFor(groups: Seq[Group], agent: String): Option[Group] = {
     val a = agent.toLowerCase
     val named = groups.flatMap(g => g.agents.filter(t => t != "*" && a.contains(t))
       .map(t => (t.length, g))).sortBy(-_._1)
-    named.headOption.map(_._2.rules)
-      .orElse(groups.find(_.agents.contains("*")).map(_.rules))
-      .getOrElse(Nil)
+    named.headOption.map(_._2).orElse(groups.find(_.agents.contains("*")))
   }
+
+  /** The matched group's `Crawl-delay` (seconds), if declared. */
+  def delayFor(groups: Seq[Group], agent: String): Option[Double] =
+    groupFor(groups, agent).flatMap(_.crawlDelay)
 
   /** RFC 9309 pattern match: `*` = any octet sequence, trailing `$`
     * anchors the end; otherwise a prefix match.
@@ -157,5 +164,43 @@ object Robots {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ allowed)
       }
     }(enc)
+  }
+
+  /** Politeness schedule: sequence each host's fetches under its
+    * robots `Crawl-delay` — appends `host`, `fetch_seq` (1-based
+    * position within the host, ordered by URI for determinism) and
+    * `fetch_offset_s` = `(fetch_seq - 1) × delay`, the earliest polite
+    * fetch time relative to the host's crawl start. Hosts without a
+    * declared delay get `defaultDelay`.
+    *
+    * Scale shape: the host extraction is Column regex (codegen'd,
+    * map-side); delays are a model-sized broadcast join; the per-host
+    * `row_number` window shuffles on host — which IS the crawl-frontier
+    * partitioning (politeness is inherently per-host sequential), so
+    * the exchange is the one a fetcher fleet needs anyway. Skew is
+    * pages-per-host; a scheduler shards giant hosts by handing each
+    * executor a contiguous `fetch_seq` range.
+    */
+  def fetchSchedule(docs: DataFrame, uriCol: String,
+                    robotsByHost: Map[String, String],
+                    agent: String = "*",
+                    defaultDelay: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val delays = robotsByHost.toSeq.map { case (h, txt) =>
+      (h.toLowerCase, delayFor(parse(txt), agent).getOrElse(defaultDelay))
+    }.toDF("host", "__delay")
+    val hosted = docs.withColumn("host",
+      lower(regexp_extract(col(uriCol), "^[a-zA-Z]+://([^/:?#]+)", 1)))
+    val w = Window.partitionBy(col("host")).orderBy(col(uriCol))
+    hosted
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("fetch_seq", row_number().over(w))
+      .withColumn("fetch_offset_s",
+        (col("fetch_seq") - 1).cast("double") *
+          coalesce(col("__delay"), lit(defaultDelay)))
+      .drop("__delay")
   }
 }

@@ -108,4 +108,52 @@ class RobotsSpec extends AnyFunSuite {
     val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got == Map(1L -> false, 2L -> true))
   }
+
+  test("delayFor: matched group's Crawl-delay, agent-specific beats *") {
+    val groups = Robots.parse(
+      """User-agent: fastbot
+        |Crawl-delay: 0.1
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 5
+        |""".stripMargin)
+    assert(Robots.delayFor(groups, "FastBot/1.0") == Some(0.1))
+    assert(Robots.delayFor(groups, "otherbot") == Some(5.0))
+    assert(Robots.delayFor(Robots.parse("User-agent: *\nDisallow: /a\n"), "x").isEmpty)
+  }
+
+  test("fetchSchedule: per-host sequencing under Crawl-delay, default for the rest") {
+    val s = spark
+    import s.implicits._
+    val robots = Map("slow.example" -> "User-agent: *\nCrawl-delay: 2\n")
+    val df = Seq(
+      "http://slow.example/b", "http://slow.example/a", "http://slow.example/c",
+      "http://fast.example/p", "http://fast.example/q").toDF("uri")
+    val out = Robots.fetchSchedule(df, "uri", robots, defaultDelay = 0.5)
+      .select("uri", "host", "fetch_seq", "fetch_offset_s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("http://fast.example/p", "fast.example", 1, 0.0),
+      ("http://fast.example/q", "fast.example", 2, 0.5),
+      ("http://slow.example/a", "slow.example", 1, 0.0),
+      ("http://slow.example/b", "slow.example", 2, 2.0),
+      ("http://slow.example/c", "slow.example", 3, 4.0)))
+  }
+
+  test("fetch-schedule is a declarable IR action") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val df = Seq("http://h/1", "http://h/2").toDF("uri")
+    val out = Engine.run(Node.fromJson(
+      """{"action":"fetch-schedule",
+        | "params":[{"uri":"uri","robots":{"h":"User-agent: *\nCrawl-delay: 3\n"}}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+    val got = out.select("uri", "fetch_offset_s").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == Seq("http://h/1" -> 0.0, "http://h/2" -> 3.0))
+  }
 }
