@@ -2405,6 +2405,39 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // sitemap discovery: per-source <urlset> documents BUILT from the
+    // table, parsed back through from_xml + inline — the oracle reads
+    // the entry fields straight from the source rows, so the whole
+    // XML leg (which DuckDB never touches) must round-trip exactly
+    register("sitemap_urls",
+      s"""SELECT doc_id, source,
+         |       'http://s.example/p/' || CAST(doc_id AS VARCHAR) AS loc,
+         |       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'daily'
+         |            WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+         |       CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val entry = concat(
+        lit("<url><loc>http://s.example/p/"), id.cast("string"),
+        lit("</loc><lastmod>2024-01-"),
+        lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0"),
+        lit("</lastmod><changefreq>"),
+        when(pmod(id, lit(3)) === 0, "daily")
+          .when(pmod(id, lit(3)) === 1, "weekly").otherwise("monthly"),
+        lit("</changefreq><priority>0."), pmod(id, lit(10)).cast("string"),
+        lit("</priority></url>"))
+      val sitemaps = docs(s, dir).groupBy("source").agg(
+        concat(lit("<urlset>"), concat_ws("", sort_array(collect_list(entry))),
+          lit("</urlset>")).as("xml"))
+      graft.sources.Sitemap.parseUrlset(sitemaps, "xml")
+        .select(
+          regexp_extract(col("loc"), "/p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("source"), col("loc"), col("lastmod"), col("changefreq"),
+          col("priority"))
+        .orderBy("doc_id")
+    }
+
     // Hashing-trick featurization: the fixed-dim bucket counts replay
     // exactly from the md5 fold (vocabulary-free — no fitted state to
     // disagree on)

@@ -1326,6 +1326,12 @@ object Engine {
       val m = params.headOption.map(pMap).getOrElse(Map.empty)
       df => graft.sources.Cdx.parseCdxj(df,
         m.get("line").map(pStr).getOrElse("line"))
+    case "sitemap-urls" =>
+      val m = pMap(params.head)
+      df => graft.sources.Sitemap.parseUrlset(df, pStr(m("xml")))
+    case "sitemap-index" =>
+      val m = pMap(params.head)
+      df => graft.sources.Sitemap.parseIndex(df, pStr(m("xml")))
     case "fetch-schedule" =>
       val m = pMap(params.head)
       val robots = pMap(m("robots")).map { case (h, v) => h -> pStr(v) }
