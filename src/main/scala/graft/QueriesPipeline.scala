@@ -2541,14 +2541,12 @@ object QueriesPipeline {
          |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
          |       text
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val header = concat(
-        lit("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: http://x/"),
-        col("doc_id").cast("string"),
-        lit("\r\nContent-Length: "),
-        length(encode(col("text"), "UTF-8")).cast("string"),
-        lit("\r\n\r\n"))
-      val archive = concat(encode(header, "UTF-8"),
-        encode(col("text"), "UTF-8"), encode(lit("\r\n\r\n"), "UTF-8"))
+      // serialized by the library's own record writer — the gate now
+      // drives the recordBytes -> parser round trip, not a hand build
+      val archive = graft.sources.Warc.recordBytes(
+        concat(lit("http://x/"), col("doc_id").cast("string")),
+        lit("2024-01-01T00:00:00Z"),
+        encode(col("text"), "UTF-8"))
       graft.sources.Warc.records(
           docs(s, dir).select(col("doc_id"), archive.as("bytes")), "bytes")
         .select(col("doc_id"), col("target_uri"), col("content_length"),

@@ -187,6 +187,13 @@ object Engine {
             pStrs(m("keys")).foreach(df(_))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "output-warc" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path"))
+            df(pStr(m("uri"))); df(pStr(m("date"))); df(pStr(m("payload")))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "stream" => recurse(df) // declaration wrapper
         case "score-logistic" =>
           // the model ARTIFACT is a runtime input, not a config error:
@@ -621,6 +628,17 @@ object Engine {
         if (!ctx.testMode)
           FileSink.writeBucketed(df, pStr(m("table")),
             pLong(m("buckets")).toInt, pStrs(m("keys")))
+        recurse(df)
+
+      case "output-warc" => // WARC archive export; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode) {
+          val recs = df.withColumn("__rec", graft.sources.Warc.recordBytes(
+            col(pStr(m("uri"))), col(pStr(m("date"))),
+            col(pStr(m("payload")))))
+          graft.sources.Warc.writeArchives(recs, "__rec", pStr(m("path")),
+            m.get("gzip").forall(_.asInstanceOf[Boolean]))
+        }
         recurse(df)
 
       case _ => recurse(applyOp(n.action, n.params, keys, ctx)(df))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -207,6 +207,54 @@ object Warc {
       spark.readStream.format("binaryFile").schema(binarySchema).load(path)
         .select(col("path"), col("modificationTime"), col("content")),
       "content").drop("content")
+  }
+
+  /** One ISO 28500 record per row as raw bytes — the serialization
+    * inverse of the parser, pure Column algebra (header concat +
+    * `Content-Length` from the payload's byte length, CRLF framing).
+    * Feed to [[writeArchives]] to export a corpus as WARC shards.
+    */
+  def recordBytes(uri: Column, date: Column, payload: Column,
+                  warcType: String = "resource"): Column = {
+    val header = concat(
+      lit(s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Length: "), length(payload).cast("string"),
+      lit("\r\n\r\n"))
+    concat(encode(header, "UTF-8"), payload, encode(lit("\r\n\r\n"), "UTF-8"))
+  }
+
+  /** Export record bytes ([[recordBytes]]) as one archive per partition
+    * under `dir` (`part-NNNNN.warc[.gz]`) — the redistribution format a
+    * curated corpus ships in. Writes happen executor-side through the
+    * Hadoop FileSystem API (works on any configured scheme; the driver
+    * sees only the model-sized list of written paths, which is also the
+    * return value). Shard count/size is the caller's partitioning —
+    * `repartition(n)` upstream for even shards. Empty partitions write
+    * nothing. The gzip form is the whole-file member [[readFiles]]
+    * inflates back.
+    */
+  def writeArchives(df: DataFrame, recordCol: String, dir: String,
+                    gzip: Boolean = true): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val entries = df.sparkSession.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    df.select(col(recordCol)).rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        entries.foreach { case (k, v) => conf.set(k, v) }
+        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
+        val fs = path.getFileSystem(conf)
+        val raw = fs.create(path, true)
+        val out: java.io.OutputStream =
+          if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+        try rows.foreach(r => out.write(r.getAs[Array[Byte]](0)))
+        finally out.close()
+        Iterator(path.toString)
+      }
+    }.collect().toSeq.sorted
   }
 
   /** Response records decoded to text documents: the bridge from a crawl

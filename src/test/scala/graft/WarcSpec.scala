@@ -209,6 +209,81 @@ class WarcSpec extends AnyFunSuite {
     assert(out.head._2 == composed) // normalized to the composed form
   }
 
+  test("writeArchives: corpus -> .warc.gz shards -> readFiles round trip") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_out")
+    try {
+      val docsDf = Seq(
+        ("http://a/", "alpha doc"), ("http://b/", "beta doc"),
+        ("http://c/", "gamma doc")).toDF("uri", "text")
+        .repartition(2)
+      val recs = docsDf.withColumn("rec", graft.sources.Warc.recordBytes(
+        col("uri"), lit("2024-01-01T00:00:00Z"), encode(col("text"), "UTF-8")))
+      val written = graft.sources.Warc.writeArchives(recs, "rec", dir.toString)
+      assert(written.nonEmpty && written.forall(_.endsWith(".warc.gz")))
+      val back = graft.sources.Warc.readFiles(s, dir.toString)
+        .select("target_uri", "payload").collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), UTF8)))
+        .sortBy(_._1)
+      assert(back.toSeq == Seq(
+        "http://a/" -> "alpha doc", "http://b/" -> "beta doc",
+        "http://c/" -> "gamma doc"))
+      // uncompressed form too
+      val dir2 = java.nio.file.Files.createTempDirectory("warc_out2")
+      try {
+        val w2 = graft.sources.Warc.writeArchives(recs, "rec", dir2.toString,
+          gzip = false)
+        assert(w2.forall(_.endsWith(".warc")))
+        assert(graft.sources.Warc.readFiles(s, dir2.toString).count() == 3)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir2).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("output-warc: io-gated IR sink exporting archives") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_sink")
+    try {
+      val df = Seq(("http://x/1", "payload one")).toDF("uri", "text")
+        .withColumn("date", lit("2024-01-01T00:00:00Z"))
+        .withColumn("body", encode(col("text"), "UTF-8"))
+      val node = Node.fromJson(
+        s"""{"action":"output-warc",
+           | "params":[{"path":"$dir","uri":"uri","date":"date","payload":"body"}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      // test mode: suppressed, nothing written
+      Engine.run(node, df, EngineCtx(testMode = true))
+      assert(!java.nio.file.Files.list(dir).iterator().hasNext)
+      // live: archives appear and parse back
+      Engine.run(node, df, EngineCtx(testMode = false))
+      val back = graft.sources.Warc.readFiles(s, dir.toString)
+      assert(back.select("target_uri").collect().map(_.getString(0)).toSeq
+        == Seq("http://x/1"))
+      // validate is total and checks columns
+      val errs = Engine.validate(node, s, EngineCtx(testMode = true), df.schema)
+      assert(errs.isEmpty, errs.toString)
+      val bad = Engine.validate(Node.fromJson(
+        s"""{"action":"output-warc",
+           | "params":[{"path":"$dir","uri":"nope","date":"date","payload":"body"}]}""".stripMargin),
+        s, EngineCtx(testMode = true), df.schema)
+      assert(bad.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("readFiles: directory of .warc + .warc.gz with provenance") {
     val dir = java.nio.file.Files.createTempDirectory("warc_in")
     try {
