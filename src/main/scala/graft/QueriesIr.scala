@@ -446,5 +446,45 @@ object QueriesIr {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out
     }
+
+    // incremental recrawl as an IR chain: the old snapshot is a parquet
+    // ARTIFACT (the prior crawl's index), the new snapshot flows through
+    // snapshot-diff against it — same oracle as the operator-level
+    // crawl_diff gate. Materialized before the artifact is deleted.
+    register("ir_crawl_delta",
+      s"""WITH o AS (SELECT doc_id, md5(text) AS old_digest
+         |           FROM documents WHERE doc_id % 3 <> 0),
+         |n AS (SELECT doc_id,
+         |             CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2')
+         |                  ELSE md5(text) END AS new_digest
+         |      FROM documents WHERE doc_id % 5 <> 0)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest,
+         |       CASE WHEN old_digest IS NULL THEN 'added'
+         |            WHEN new_digest IS NULL THEN 'removed'
+         |            WHEN old_digest <> new_digest THEN 'changed'
+         |            ELSE 'unchanged' END AS status
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("ir_snap")
+      d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("digest"))
+        .write.mode("overwrite").parquet(s"$tmp/old")
+      val newer = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+              md5(encode(concat(col("text"), lit("v2")), "UTF-8")))
+            .otherwise(md5(encode(col("text"), "UTF-8"))).as("digest"))
+      val node = Node.fromJson(
+        s"""{"action":"snapshot-diff","params":[{"old-path":"$tmp/old","key":"doc_id","digest":"digest"}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      val out = graft.operators.Materialize(tapOf(node, newer)
+        .select(col("doc_id"), col("old_digest"), col("new_digest"), col("status"))
+        .orderBy("doc_id"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }
   }
 }
