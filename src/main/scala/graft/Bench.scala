@@ -47,7 +47,11 @@ object Bench {
     // sampling, DoReMi mixture weights
     "heavy_hitters", "hard_negatives_bucketed", "hll_registers",
     "wordpiece_pair_scores", "kmv_row_sample", "doremi_weights",
-    "warc_roundtrip", "nfc_normalize", "host_pagerank")
+    "warc_roundtrip", "nfc_normalize", "host_pagerank",
+    // round 10 crawl loop: SURT keying, CDX index round trip, snapshot
+    // collapse + diff, politeness schedule, sitemap XML explode
+    "surt_key", "cdx_roundtrip", "crawl_latest", "crawl_diff",
+    "fetch_schedule", "sitemap_urls")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

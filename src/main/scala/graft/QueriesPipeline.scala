@@ -2714,6 +2714,48 @@ object QueriesPipeline {
       }
     }
 
+    // discovery -> capture loop closure: sitemap lastmod vs latest
+    // capture ts. URLs here are pre-lowercased so the oracle can build
+    // the SURT key by plain concat (the transform itself is gated by
+    // surt_key); the join/staleness logic is what this gate pins
+    register("refetch_candidates",
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |         'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+         |           || CAST(doc_id AS VARCHAR) AS loc,
+         |         '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+         |         'example,h' || CAST(doc_id % 7 AS VARCHAR) || ')/p/'
+         |           || CAST(doc_id AS VARCHAR) AS urlkey
+         |  FROM documents),
+         |c AS (SELECT urlkey,
+         |             CASE WHEN doc_id % 2 = 0 THEN '20240115000000'
+         |                  ELSE '20240101000000' END AS ts
+         |      FROM e WHERE doc_id % 3 <> 0)
+         |SELECT e.doc_id, e.urlkey, e.loc, c.ts AS last_capture_ts,
+         |       CASE WHEN c.ts IS NULL THEN 'uncaptured'
+         |            WHEN rpad(regexp_replace(e.lastmod, '[^0-9]', '', 'g'), 14, '0') > c.ts
+         |            THEN 'stale' ELSE 'fresh' END AS reason
+         |FROM e LEFT JOIN c USING (urlkey)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val d = docs(s, dir)
+      val entries = d.select(id,
+        concat(lit("http://h"), pmod(id, lit(7)).cast("string"),
+          lit(".example/p/"), id.cast("string")).as("loc"),
+        concat(lit("2024-01-"),
+          lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0")).as("lastmod"))
+      val captures = d.filter(pmod(id, lit(3)) =!= 0).select(
+        concat(lit("example,h"), pmod(id, lit(7)).cast("string"),
+          lit(")/p/"), id.cast("string")).as("urlkey"),
+        when(pmod(id, lit(2)) === 0, lit("20240115000000"))
+          .otherwise(lit("20240101000000")).as("ts"))
+      graft.operators.Snapshots.refetchCandidates(
+          entries, "loc", "lastmod", captures)
+        .select(col("doc_id"), col("urlkey"), col("loc"),
+          col("last_capture_ts"), col("reason"))
+        .orderBy("doc_id")
+    }
+
     // KMV / bottom-k sketch: the kept set is exactly the k smallest
     // salted hashes — order/partition invariant — so the oracle replays
     // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.

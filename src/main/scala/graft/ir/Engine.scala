@@ -237,6 +237,16 @@ object Engine {
               acc.withColumn(name, lit(null).cast(dt))
             })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "refetch-candidates" =>
+          // artifact rule: the capture index parquet is a runtime input
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("loc"))); df(pStr(m("lastmod"))); pStr(m("captures-path"))
+            recurse(df
+              .withColumn("urlkey", lit(null).cast(org.apache.spark.sql.types.StringType))
+              .withColumn("last_capture_ts", lit(null).cast(org.apache.spark.sql.types.StringType))
+              .withColumn("reason", lit(null).cast(org.apache.spark.sql.types.StringType)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "train-logistic" =>
           // empty-frame totality lives HERE, not in the trainer: probe
           // the params/columns, emit the model schema without running a
@@ -1365,6 +1375,15 @@ object Engine {
       df => {
         val old = df.sparkSession.read.parquet(pStr(m("old-path")))
         graft.operators.Snapshots.diff(old, df, pStr(m("key")), pStr(m("digest")))
+      }
+    case "refetch-candidates" =>
+      val m = pMap(params.head)
+      df => {
+        val caps = df.sparkSession.read.parquet(pStr(m("captures-path")))
+        graft.operators.Snapshots.refetchCandidates(df, pStr(m("loc")),
+          pStr(m("lastmod")), caps,
+          m.get("key").map(pStr).getOrElse("urlkey"),
+          m.get("ts").map(pStr).getOrElse("ts"))
       }
 
     case other => throw new IllegalArgumentException(s"unknown action '$other'")

@@ -60,4 +60,34 @@ object Snapshots {
           .when(col("old_digest") =!= col("new_digest"), lit("changed"))
           .otherwise(lit("unchanged")))
   }
+
+  /** Close the discovery → capture loop: sitemap entries
+    * (`loc`, `lastmod` — the [[graft.sources.Sitemap]] shape) joined
+    * against latest captures (`urlkey`, 14-digit `ts` — the
+    * [[graft.sources.Cdx]] shape, after [[latest]]) into a refetch
+    * list. Appends `urlkey` (SURT of `loc`), `last_capture_ts` (null if
+    * never captured), and `reason` ∈ `uncaptured` | `stale` (lastmod
+    * newer than the capture, compared as zero-padded ts14 strings) |
+    * `fresh`.
+    *
+    * Scale shape: one left equi-join on the urlkey — the sitemap side
+    * is usually crawl-frontier-sized and AQE broadcasts it; otherwise
+    * both sides shuffle once on the same key [[latest]] just grouped
+    * by, so the exchange reuses that partitioning.
+    */
+  def refetchCandidates(entries: DataFrame, locCol: String, lastmodCol: String,
+                        captures: DataFrame, keyCol: String = "urlkey",
+                        tsCol: String = "ts"): DataFrame = {
+    val keyed = entries.withColumn("urlkey",
+      graft.sources.Cdx.surtKey(col(locCol)))
+    val caps = captures.select(col(keyCol).as("urlkey"),
+      col(tsCol).as("last_capture_ts"))
+    keyed.join(caps, Seq("urlkey"), "left")
+      .withColumn("__lm", rpad(regexp_replace(col(lastmodCol), "[^0-9]", ""), 14, "0"))
+      .withColumn("reason",
+        when(col("last_capture_ts").isNull, lit("uncaptured"))
+          .when(col("__lm") > col("last_capture_ts"), lit("stale"))
+          .otherwise(lit("fresh")))
+      .drop("__lm")
+  }
 }

@@ -44,6 +44,59 @@ class SnapshotsSpec extends AnyFunSuite {
       "a" -> "removed", "b" -> "unchanged", "c" -> "changed", "d" -> "added"))
   }
 
+  test("refetchCandidates: uncaptured / stale / fresh against latest captures") {
+    val s = spark
+    import s.implicits._
+    val entries = Seq(
+      ("http://e.com/new", "2024-01-10"),
+      ("http://e.com/changed", "2024-02-01"),
+      ("http://e.com/same", "2024-01-01"),
+      ("not a url", "2024-01-01")).toDF("loc", "lastmod")
+    val captures = Seq(
+      ("com,e)/changed", "20240115000000"),
+      ("com,e)/same", "20240102000000")).toDF("urlkey", "ts")
+    val out = Snapshots.refetchCandidates(entries, "loc", "lastmod", captures)
+      .select("loc", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("http://e.com/changed", "stale"),   // lastmod 20240201.. > capture
+      ("http://e.com/new", "uncaptured"),
+      ("http://e.com/same", "fresh"),      // lastmod 20240101.. <= capture
+      ("not a url", "uncaptured")))        // null urlkey never joins
+  }
+
+  test("refetch-candidates is a declarable IR action (captures artifact)") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("caps").toString
+    try {
+      Seq(("com,e)/a", "20240110000000")).toDF("urlkey", "ts")
+        .write.mode("overwrite").parquet(s"$dir/caps")
+      val entries = Seq(("http://e.com/a", "2024-02-01"),
+        ("http://e.com/b", "2024-01-01")).toDF("loc", "lastmod")
+      val out = Engine.run(Node.fromJson(
+          s"""{"action":"refetch-candidates",
+             | "params":[{"loc":"loc","lastmod":"lastmod","captures-path":"$dir/caps"}],
+             | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+        entries, EngineCtx(testMode = true)).taps("out")
+        .select("loc", "reason").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(out.toSeq == Seq(
+        ("http://e.com/a", "stale"), ("http://e.com/b", "uncaptured")))
+      val errs = Engine.validate(Node.fromJson(
+          s"""{"action":"refetch-candidates",
+             | "params":[{"loc":"loc","lastmod":"lastmod","captures-path":"$dir/absent"}],
+             | "children":[{"action":"keep-keys","params":[["loc","urlkey","reason"]]}]}""".stripMargin),
+        s, EngineCtx(testMode = true), entries.schema)
+      assert(errs.isEmpty, errs.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("snapshot-latest / snapshot-diff are declarable IR actions; validate is artifact-total") {
     import graft.ir.{Engine, EngineCtx, Node}
     val s = spark
