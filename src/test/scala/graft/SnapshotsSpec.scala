@@ -44,6 +44,37 @@ class SnapshotsSpec extends AnyFunSuite {
       "a" -> "removed", "b" -> "unchanged", "c" -> "changed", "d" -> "added"))
   }
 
+  test("diff over bucketed snapshot tables runs with ZERO shuffles") {
+    val s = spark
+    import s.implicits._
+    // epoch-over-epoch diffs are the repeated-join case bucketed
+    // materialization exists for: both snapshots land bucketed on the
+    // key, so the full-outer diff satisfies its HashPartitioning
+    // requirement straight from the bucket spec
+    val old = (0L until 200L).map(i => (i, s"d$i")).toDF("key", "digest")
+    val newer = (100L until 300L).map(i => (i, if (i % 7 == 0) s"x$i" else s"d$i"))
+      .toDF("key", "digest")
+    graft.sinks.FileSink.writeBucketed(old, "snap_old", buckets = 4, keys = Seq("key"))
+    graft.sinks.FileSink.writeBucketed(newer, "snap_new", buckets = 4, keys = Seq("key"))
+    val d = Snapshots.diff(s.table("snap_old"), s.table("snap_new"), "key", "digest")
+    val rows = d.collect()
+    assert(rows.length == 300)
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      self + p.children.map(shuffles).sum
+    }
+    assert(shuffles(d.queryExecution.executedPlan) == 0,
+      s"expected exchange-free bucketed diff:\n${d.queryExecution.executedPlan}")
+    // statuses match the plain (shuffled) diff
+    val plain = Snapshots.diff(old, newer, "key", "digest").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getString(3))).toSet == plain)
+    s.sql("DROP TABLE IF EXISTS snap_old"); s.sql("DROP TABLE IF EXISTS snap_new")
+  }
+
   test("refetchCandidates: uncaptured / stale / fresh against latest captures") {
     val s = spark
     import s.implicits._
