@@ -257,6 +257,33 @@ object Warc {
     }.collect().toSeq.sorted
   }
 
+  /** Common Crawl's WET shape from decoded responses (the [[responses]]
+    * frame): one `conversion` record per document carrying the
+    * extracted text as its payload — the artifact most text pipelines
+    * ingest instead of raw WARC. Column-only; pair with
+    * [[writeArchives]] for `.warc.wet.gz` shards.
+    */
+  def toWet(responseFrame: DataFrame): DataFrame =
+    responseFrame.select(recordBytes(col("target_uri"), col("warc_date"),
+      encode(col("text"), "UTF-8"), "conversion").as("record"))
+
+  /** Common Crawl's WAT shape from parsed records: one `metadata`
+    * record per capture whose payload is the envelope JSON
+    * (`url`, `date`, `content_type`, `length`). Column-only
+    * (`to_json`); pair with [[writeArchives]] for `.warc.wat.gz`
+    * shards.
+    */
+  def toWat(recordFrame: DataFrame): DataFrame =
+    recordFrame
+      // URI-less records (warcinfo) carry no capture to describe; the
+      // parser surfaces an absent header as an empty string
+      .filter(col("target_uri").isNotNull && length(col("target_uri")) > 0)
+      .select(recordBytes(col("target_uri"), col("warc_date"),
+        encode(to_json(struct(
+          col("target_uri").as("url"), col("warc_date").as("date"),
+          col("content_type"), col("content_length").as("length"))), "UTF-8"),
+        "metadata").as("record"))
+
   /** Response records decoded to text documents: the bridge from a crawl
     * to the curation surface — HTTP headers stripped, body decoded UTF-8
     * (replacement chars on invalid sequences, total). Pure Column

@@ -96,6 +96,38 @@ class CdxSpec extends AnyFunSuite {
     assert(Cdx.index(recs).count() == 0)
   }
 
+  test("index-as-you-crawl: streaming WARC landing dir -> live CDX index") {
+    val s = spark
+    import s.implicits._
+    val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+    val land = java.nio.file.Files.createTempDirectory("cdx_land")
+    try {
+      def res(uri: String, body: String) = {
+        val p = body.getBytes(UTF8)
+        (s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
+          s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${p.length}\r\n\r\n")
+          .getBytes(UTF8) ++ p ++ "\r\n\r\n".getBytes(UTF8)
+      }
+      java.nio.file.Files.write(land.resolve("b1.warc"),
+        res("http://a.example/x", "one") ++ res("http://b.example/y", "two"))
+      val idx = Cdx.index(Warc.readStreamFiles(s, land.toString))
+      assert(idx.isStreaming)
+      val q = idx.writeStream.format("memory").queryName("cdx_live")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      java.nio.file.Files.write(land.resolve("b2.warc"),
+        res("http://c.example/z", "three"))
+      q.processAllAvailable(); q.stop()
+      val keys = s.table("cdx_live").select("urlkey").collect()
+        .map(_.getString(0)).sorted
+      assert(keys.toSeq == Seq("example,a)/x", "example,b)/y", "example,c)/z"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(land).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("surt-key / cdx-index / cdx-parse are declarable IR actions") {
     import graft.ir.{Engine, EngineCtx, Node}
     import spark.implicits._

@@ -284,6 +284,28 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("toWet / toWat: conversion and metadata derivatives round-trip") {
+    val s = spark
+    import s.implicits._
+    val crawl = Seq((1L, archive())).toDF("file_id", "bytes")
+    val recs = Warc.records(crawl, "bytes")
+    // WET: conversion records whose payload is the extracted text
+    val wet = Warc.records(Warc.toWet(Warc.responses(recs)), "record")
+    val wrows = wet.collect()
+    assert(wrows.length == 1)
+    assert(wrows.head.getAs[String]("warc_type") == "conversion")
+    assert(wrows.head.getAs[String]("target_uri") == "http://example.com/a")
+    assert(new String(wrows.head.getAs[Array[Byte]]("payload"), UTF8)
+      == "<html>hello crawl</html>")
+    // WAT: metadata records whose payload is the envelope JSON
+    val wat = Warc.records(Warc.toWat(recs), "record")
+    val arows = wat.orderBy("target_uri").collect()
+    assert(arows.forall(_.getAs[String]("warc_type") == "metadata"))
+    val json = new String(arows.head.getAs[Array[Byte]]("payload"), UTF8)
+    assert(json.contains("\"url\":\"http://example.com/a\"")
+      && json.contains("\"length\":"), json)
+  }
+
   test("readFiles: directory of .warc + .warc.gz with provenance") {
     val dir = java.nio.file.Files.createTempDirectory("warc_in")
     try {
