@@ -2756,6 +2756,32 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // mirror-host detection: hosts h and h+10 serve identical md5
+    // digests by construction; the oracle replays the digest self-join
+    // (boilerplate cap included as a HAVING band)
+    register("mirror_hosts",
+      s"""WITH hd AS (SELECT DISTINCT
+         |    'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+         |    md5('d' || CAST(doc_id % 10 AS VARCHAR) || ':'
+         |        || CAST(doc_id % 7 AS VARCHAR)) AS digest
+         |  FROM documents),
+         |el AS (SELECT digest FROM hd GROUP BY digest
+         |       HAVING count(*) BETWEEN 2 AND 16),
+         |e AS (SELECT hd.host, hd.digest FROM hd JOIN el USING (digest)),
+         |p AS (SELECT a.host AS host1, b.host AS host2, count(*) AS shared
+         |      FROM e a JOIN e b ON a.digest = b.digest AND a.host < b.host
+         |      GROUP BY 1, 2)
+         |SELECT host1, host2, CAST(shared AS BIGINT) AS shared
+         |FROM p WHERE shared >= 3 ORDER BY host1, host2""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val caps = docs(s, dir).select(
+        concat(lit("h"), pmod(id, lit(20)).cast("string"), lit(".example")).as("host"),
+        md5(encode(concat(lit("d"), pmod(id, lit(10)).cast("string"), lit(":"),
+          pmod(id, lit(7)).cast("string")), "UTF-8")).as("digest"))
+      graft.operators.Snapshots.mirrorPairs(caps, "host", "digest", minShared = 3)
+        .orderBy("host1", "host2")
+    }
+
     // KMV / bottom-k sketch: the kept set is exactly the k smallest
     // salted hashes — order/partition invariant — so the oracle replays
     // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.

@@ -1376,6 +1376,12 @@ object Engine {
         val old = df.sparkSession.read.parquet(pStr(m("old-path")))
         graft.operators.Snapshots.diff(old, df, pStr(m("key")), pStr(m("digest")))
       }
+    case "mirror-pairs" =>
+      val m = pMap(params.head)
+      df => graft.operators.Snapshots.mirrorPairs(df, pStr(m("host")),
+        pStr(m("digest")),
+        m.get("min-shared").map(pLong).getOrElse(2L),
+        m.get("max-hosts").map(pLong(_).toInt).getOrElse(16))
     case "refetch-candidates" =>
       val m = pMap(params.head)
       df => {

@@ -75,6 +75,44 @@ object Snapshots {
     * both sides shuffle once on the same key [[latest]] just grouped
     * by, so the exchange reuses that partitioning.
     */
+  /** Mirror-host detection over a capture index: hosts serving many
+    * byte-identical payloads are mirrors of one site (the classic crawl
+    * pathology that multiplies a corpus without adding content).
+    * Emits `(host1, host2, shared)` pairs — `host1 < host2` — with
+    * `shared` = number of distinct digests both hosts serve, kept at
+    * `shared >= minShared`. Feed into [[Dedup.clusterPairs]] (string
+    * ids take its iterative path) to collapse mirror families, or join
+    * back to keep one host per family.
+    *
+    * Digests served by more than `maxHostsPerDigest` hosts are excluded
+    * BEFORE any host list materializes: a payload on thousands of hosts
+    * is shared boilerplate (an empty 404 page, a parked-domain
+    * template), not mirroring — and the exclusion is also what bounds
+    * the pair fanout (≤ K² rows per digest) and the per-digest state
+    * (the count-then-join keeps hot digests out of `collect_list`).
+    *
+    * Scale shape: one `(host, digest)` distinct, two digest-keyed
+    * aggregations (the second reuses the first's partitioning), one
+    * pair-count exchange — no corpus-sized window, no driver state.
+    */
+  def mirrorPairs(captures: DataFrame, hostCol: String, digestCol: String,
+                  minShared: Long = 2, maxHostsPerDigest: Int = 16): DataFrame = {
+    val hd = captures.select(col(hostCol).as("host"), col(digestCol).as("digest"))
+      .distinct()
+    val eligible = hd.groupBy("digest")
+      .agg(count(lit(1)).as("__nh"))
+      .filter(col("__nh") >= 2 && col("__nh") <= maxHostsPerDigest)
+      .select("digest")
+    val byDigest = hd.join(eligible, Seq("digest"))
+      .groupBy("digest").agg(sort_array(collect_list(col("host"))).as("__hosts"))
+    byDigest
+      .select(explode(col("__hosts")).as("host1"), col("__hosts"))
+      .select(col("host1"), explode(col("__hosts")).as("host2"))
+      .filter(col("host1") < col("host2"))
+      .groupBy("host1", "host2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def refetchCandidates(entries: DataFrame, locCol: String, lastmodCol: String,
                         captures: DataFrame, keyCol: String = "urlkey",
                         tsCol: String = "ts"): DataFrame = {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Snapshots
+import graft.operators.{Dedup, Snapshots}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -73,6 +73,47 @@ class SnapshotsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(3))).toSet
     assert(rows.map(r => (r.getLong(0), r.getString(3))).toSet == plain)
     s.sql("DROP TABLE IF EXISTS snap_old"); s.sql("DROP TABLE IF EXISTS snap_new")
+  }
+
+  test("mirrorPairs: shared-digest pairs, boilerplate cap, cluster composition") {
+    val s = spark
+    import s.implicits._
+    val mirrors = (1 to 5).flatMap(p =>
+      Seq(("a.com", s"d$p"), ("a-mirror.com", s"d$p")))   // 5 shared
+    val partial = Seq(("a.com", "d9"), ("b.com", "d9"))   // 1 shared — under minShared
+    val boiler = (1 to 20).map(i => (s"host$i.com", "empty404")) // hot digest
+    val chain = Seq(("a-mirror.com", "dX"), ("c.com", "dX"),
+      ("c.com", "dY"), ("c2.com", "dY"))                  // transitive family
+    val caps = (mirrors ++ partial ++ boiler ++ chain).toDF("host", "digest")
+    val pairs = Snapshots.mirrorPairs(caps, "host", "digest",
+      minShared = 2, maxHostsPerDigest = 3)
+    val got = pairs.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a-mirror.com", "a.com", 5L)))
+    // the empty404 digest on 20 hosts never produced a pair
+    assert(!got.exists(t => t._1.startsWith("host") || t._2.startsWith("host")))
+    // at minShared=1 the transitive chain appears and clusters collapse it
+    val loose = Snapshots.mirrorPairs(caps, "host", "digest",
+      minShared = 1, maxHostsPerDigest = 3)
+    val clustered = Dedup.clusterPairs(loose, "host1", "host2")
+    val byCluster = clustered.collect()
+      .map(r => (r.getString(0), r.get(1).toString))
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(byCluster.contains(Set("a.com", "a-mirror.com", "c.com", "c2.com", "b.com")))
+  }
+
+  test("mirror-pairs is a declarable IR action") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val caps = Seq(("m1.com", "d1"), ("m2.com", "d1"),
+      ("m1.com", "d2"), ("m2.com", "d2")).toDF("host", "digest")
+    val out = Engine.run(Node.fromJson(
+        """{"action":"mirror-pairs","params":[{"host":"host","digest":"digest"}],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      caps, EngineCtx(testMode = true)).taps("out").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("m1.com", "m2.com", 2L)))
   }
 
   test("refetchCandidates: uncaptured / stale / fresh against latest captures") {
