@@ -2782,6 +2782,47 @@ object QueriesPipeline {
         .orderBy("host1", "host2")
     }
 
+    // charset detection plumbing: header-param vs meta-tag vs nothing,
+    // through real serialized records — payloads stay ASCII so the
+    // decode itself is charset-invariant and both engines hash-match;
+    // non-ASCII decode semantics are spec-pinned (WarcSpec)
+    register("charset_detect",
+      s"""SELECT doc_id,
+         |       CASE CAST(doc_id % 5 AS INT)
+         |         WHEN 0 THEN 'iso-8859-1' WHEN 1 THEN 'utf-8'
+         |         WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'ascii'
+         |         ELSE NULL END AS charset,
+         |       CAST(200 AS INT) AS status,
+         |       CASE CAST(doc_id % 5 AS INT)
+         |         WHEN 1 THEN '<meta charset="UTF-8">' || text
+         |         WHEN 3 THEN '<meta http-equiv="Content-Type" content="text/html; charset=ascii">' || text
+         |         ELSE text END AS text
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val ctHeader = when(pmod(id, lit(5)) === 0, lit("text/html; charset=ISO-8859-1"))
+        .when(pmod(id, lit(5)) === 2, lit("text/plain; charset=Windows-1252"))
+        .otherwise(lit("text/html"))
+      val body = when(pmod(id, lit(5)) === 1,
+          concat(lit("<meta charset=\"UTF-8\">"), col("text")))
+        .when(pmod(id, lit(5)) === 3,
+          concat(lit("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ascii\">"),
+            col("text")))
+        .otherwise(col("text"))
+      val payload = encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "),
+        ctHeader, lit("\r\n\r\n"), body), "UTF-8")
+      val archive = graft.sources.Warc.recordBytes(
+        concat(lit("http://x/"), id.cast("string")),
+        lit("2024-01-01T00:00:00Z"), payload, warcType = "response")
+      graft.sources.Warc.responsesCharsetAware(
+          graft.sources.Warc.records(
+            docs(s, dir).select(archive.as("bytes")), "bytes"))
+        .select(
+          regexp_extract(col("target_uri"), "^http://x/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("charset"), col("status"), col("text"))
+        .orderBy("doc_id")
+    }
+
     // KMV / bottom-k sketch: the kept set is exactly the k smallest
     // salted hashes — order/partition invariant — so the oracle replays
     // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.

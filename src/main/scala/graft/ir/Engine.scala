@@ -1339,7 +1339,12 @@ object Engine {
       df => graft.sources.Robots.filterAllowed(df, pStr(m("uri")), robots,
         m.get("agent").map(pStr).getOrElse("*"))
     case "warc-responses" =>
-      df => graft.sources.Warc.responses(df)
+      val m = params.headOption.map(pMap).getOrElse(Map.empty)
+      if (m.get("charset-aware").exists(_.asInstanceOf[Boolean]))
+        df => graft.sources.Warc.responsesCharsetAware(df,
+          m.get("sniff").map(pLong(_).toInt).getOrElse(2048))
+      else
+        df => graft.sources.Warc.responses(df)
     case "surt-key" =>
       val m = pMap(params.head)
       df => df.withColumn(m.get("out").map(pStr).getOrElse("urlkey"),

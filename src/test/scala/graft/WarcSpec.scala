@@ -306,6 +306,39 @@ class WarcSpec extends AnyFunSuite {
       && json.contains("\"length\":"), json)
   }
 
+  test("responsesCharsetAware: header/meta charset drives the byte decode") {
+    val s = spark
+    import s.implicits._
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def respWith(uri: String, ct: String, body: Array[Byte]) = {
+      val head = (s"HTTP/1.1 200 OK\r\n$ct\r\n\r\n").getBytes(latin1)
+      rec("response", uri, head ++ body)
+    }
+    val archive =
+      // declared latin1: 0xE9 must decode to é, NOT a replacement char
+      respWith("http://a/", "Content-Type: text/html; charset=ISO-8859-1",
+        "café latin".getBytes(latin1)) ++
+      // no header charset, meta sniff: UTF-8 bytes decode as UTF-8
+      respWith("http://b/", "Content-Type: text/html",
+        ("<meta charset=\"utf-8\">café utf".getBytes(UTF8))) ++
+      // nothing declared: UTF-8 default; the lone 0xE9 is invalid UTF-8
+      // and must surface as the replacement char, not kill the task
+      respWith("http://c/", "Content-Type: text/plain",
+        "café bare".getBytes(latin1)) ++
+      // cp1252 label: approximated as latin1 (byte-bijective)
+      respWith("http://d/", "Content-Type: text/html; charset=windows-1252",
+        "ok cp1252".getBytes(latin1))
+    val out = Warc.responsesCharsetAware(
+        Warc.records(Seq(archive).toDF("bytes"), "bytes"))
+      .select("target_uri", "charset", "text").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out("http://a/") == ("iso-8859-1", "café latin"))
+    assert(out("http://b/") == ("utf-8", "<meta charset=\"utf-8\">café utf"))
+    assert(out("http://c/")._1 == null)
+    assert(out("http://c/")._2 == "caf� bare")
+    assert(out("http://d/") == ("windows-1252", "ok cp1252"))
+  }
+
   test("readFiles: directory of .warc + .warc.gz with provenance") {
     val dir = java.nio.file.Files.createTempDirectory("warc_in")
     try {
