@@ -2872,6 +2872,26 @@ object QueriesPipeline {
       }
     }
 
+    // GPT-2 byte-level pretokens: the same regex runs in Java and RE2,
+    // and over the (pure-ASCII) corpus the byte map reduces to the
+    // space->Ġ rule the oracle replays; full 256-byte semantics are
+    // spec-pinned against the published table's anchor points
+    locally {
+      val pat = graft.functions.ByteLevel.PretokenPattern.replace("'", "''")
+      register("bytelevel_pretokens",
+        s"""WITH t AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS rawtok
+           |           FROM documents),
+           |m AS (SELECT replace(rawtok, ' ', 'Ġ') AS tok FROM t)
+           |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM m
+           |GROUP BY tok ORDER BY n DESC, tok LIMIT 200""".stripMargin) { (s, dir) =>
+        docs(s, dir)
+          .select(explode(graft.functions.ByteLevel.pretokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc)
+          .limit(200)
+      }
+    }
+
     // BPE adjacent-pair counts — the oracle-gated primitive of the
     // distributed tokenizer trainer (the iterative merge loop itself is
     // not SQL-expressible: the left-to-right merge scan is stateful

@@ -1381,6 +1381,18 @@ object Engine {
         val old = df.sparkSession.read.parquet(pStr(m("old-path")))
         graft.operators.Snapshots.diff(old, df, pStr(m("key")), pStr(m("digest")))
       }
+    case "byte-level" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("byte_level"),
+        graft.functions.ByteLevel.toByteLevel(col(pStr(m("field")))))
+    case "byte-level-decode" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("text"),
+        graft.functions.ByteLevel.fromByteLevel(col(pStr(m("field")))))
+    case "byte-level-pretokens" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("pretokens"),
+        graft.functions.ByteLevel.pretokens(col(pStr(m("text")))))
     case "mirror-pairs" =>
       val m = pMap(params.head)
       df => graft.operators.Snapshots.mirrorPairs(df, pStr(m("host")),
