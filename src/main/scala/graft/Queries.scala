@@ -105,6 +105,21 @@ object Queries {
         .orderBy("id1", "id2")
     }
 
+    // compression-ratio quality signal: rows-only BY NECESSITY — DuckDB
+    // 1.0 ships no deflate/compress scalar, so the deflated length is
+    // not oracle-expressible in SQL (same impossibility class as the
+    // xxhash twin above). The SEMANTICS are spec-gated instead
+    // (CompressSpec: byte-exact vs a direct JDK Deflater reference,
+    // repetition monotonicity, codegen==interpreted); this entry pins
+    // the corpus-scale plumbing and row totality.
+    registerRowsOnly("compression_ratio") { (s, dir) =>
+      graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Compress.compressionRatio(col("text"))
+            .as("compression_ratio"))
+        .orderBy("doc_id")
+    }
+
     // as-of join (union-merge formulation, one shuffle — see
     // [[operators.Joins.asof]]): each click/view event gets the latest
     // error the same host saw at-or-before it. The oracle is the

@@ -1381,6 +1381,11 @@ object Engine {
         val old = df.sparkSession.read.parquet(pStr(m("old-path")))
         graft.operators.Snapshots.diff(old, df, pStr(m("key")), pStr(m("digest")))
       }
+    case "compression-ratio" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("compression_ratio"),
+        graft.functions.Compress.compressionRatio(col(pStr(m("text"))),
+          m.get("level").map(pLong(_).toInt).getOrElse(6)))
     case "byte-level" =>
       val m = pMap(params.head)
       df => df.withColumn(m.get("out").map(pStr).getOrElse("byte_level"),
