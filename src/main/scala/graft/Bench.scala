@@ -49,9 +49,12 @@ object Bench {
     "wordpiece_pair_scores", "kmv_row_sample", "doremi_weights",
     "warc_roundtrip", "nfc_normalize", "host_pagerank",
     // round 10 crawl loop: SURT keying, CDX index round trip, snapshot
-    // collapse + diff, politeness schedule, sitemap XML explode
+    // collapse + diff, politeness schedule, sitemap XML explode,
+    // refetch planning, mirror detection, charset-aware decode,
+    // byte-level pretokens, deflate quality signal
     "surt_key", "cdx_roundtrip", "crawl_latest", "crawl_diff",
-    "fetch_schedule", "sitemap_urls")
+    "fetch_schedule", "sitemap_urls", "refetch_candidates", "mirror_hosts",
+    "charset_detect", "bytelevel_pretokens", "compression_ratio")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

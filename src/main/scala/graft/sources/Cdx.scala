@@ -106,6 +106,28 @@ object Cdx {
       col("urlkey"), lit(" "), col("ts"), lit(" "),
       to_json(struct(col("url"), col("digest"), col("length")))).as("line"))
 
+  /** Persist an index the way CDX files are served: range-partitioned
+    * on `(urlkey, ts)` with each shard internally sorted. Per-site
+    * queries become contiguous reads — a urlkey prefix predicate both
+    * pushes into the parquet scan (`StringStartsWith` reaches
+    * `PushedFilters`) and prunes whole shards/row-groups via their
+    * min/max statistics, so "all captures of example.org" touches a few
+    * shards of a 100 TB index instead of scanning it.
+    */
+  def writeIndex(idx: DataFrame, path: String, shards: Int): Unit =
+    idx.repartitionByRange(shards, col("urlkey"), col("ts"))
+      .sortWithinPartitions("urlkey", "ts")
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a written index back; compose with [[siteSlice]]. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Captures under one SURT prefix (a site, a host, a path subtree) —
+    * the predicate shape [[writeIndex]]'s layout makes a range read. */
+  def siteSlice(index: DataFrame, surtPrefix: String): DataFrame =
+    index.filter(col("urlkey").startsWith(surtPrefix))
+
   private val CdxjJsonSchema = StructType(Seq(
     StructField("url", StringType),
     StructField("mime", StringType),

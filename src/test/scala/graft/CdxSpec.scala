@@ -128,6 +128,32 @@ class CdxSpec extends AnyFunSuite {
     }
   }
 
+  test("writeIndex layout: site-slice predicate pushes into the parquet scan") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdx_idx").toString
+    try {
+      val idx = (0L until 400L).map { i =>
+        (s"org,site${i % 8})/p/$i", f"202401${i % 28 + 1}%02d000000",
+          s"http://site${i % 8}.org/p/$i", s"dg$i", i)
+      }.toDF("urlkey", "ts", "url", "digest", "length")
+      Cdx.writeIndex(idx, s"$dir/idx", shards = 4)
+      val slice = Cdx.siteSlice(Cdx.readIndex(s, s"$dir/idx"), "org,site3)")
+      val rows = slice.collect()
+      assert(rows.length == 50 && rows.forall(_.getString(0).startsWith("org,site3)")))
+      // the prefix predicate reached the scan
+      val scans = slice.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+      assert(pushed.contains("StringStartsWith(urlkey,org,site3)"), pushed)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("surt-key / cdx-index / cdx-parse are declarable IR actions") {
     import graft.ir.{Engine, EngineCtx, Node}
     import spark.implicits._
