@@ -2438,6 +2438,34 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // robots harvesting from a crawl's own responses: keep 2xx
+    // /robots.txt captures, freshest per host — the oracle replays the
+    // filter + the row_number collapse
+    register("robots_harvest",
+      s"""WITH r AS (SELECT
+         |    'h' || CAST(doc_id % 9 AS VARCHAR) || '.example' AS host,
+         |    '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS dt,
+         |    'User-agent: *' || chr(10) || 'Disallow: /v' || CAST(doc_id AS VARCHAR) AS body
+         |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 3 <> 0),
+         |rk AS (SELECT host, body,
+         |              row_number() OVER (PARTITION BY host
+         |                                 ORDER BY dt DESC, body DESC) AS rn
+         |       FROM r)
+         |SELECT host, body FROM rk WHERE rn = 1 ORDER BY host""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val responses = docs(s, dir).select(
+        when(pmod(id, lit(4)) === 0,
+            concat(lit("http://H"), pmod(id, lit(9)).cast("string"),
+              lit(".example/robots.txt")))
+          .otherwise(concat(lit("http://h"), pmod(id, lit(9)).cast("string"),
+            lit(".example/page/"), id.cast("string"))).as("target_uri"),
+        concat(lit("2024-01-01T00:00:"),
+          lpad(pmod(id, lit(60)).cast("string"), 2, "0"), lit("Z")).as("warc_date"),
+        when(pmod(id, lit(3)) === 0, lit(404)).otherwise(lit(200)).as("status"),
+        concat(lit("User-agent: *\nDisallow: /v"), id.cast("string")).as("text"))
+      graft.sources.Robots.hostBodies(responses).orderBy("host")
+    }
+
     // Hashing-trick featurization: the fixed-dim bucket counts replay
     // exactly from the md5 fold (vocabulary-free — no fitted state to
     // disagree on)

@@ -1365,6 +1365,8 @@ object Engine {
     case "sitemap-index" =>
       val m = pMap(params.head)
       df => graft.sources.Sitemap.parseIndex(df, pStr(m("xml")))
+    case "robots-harvest" =>
+      df => graft.sources.Robots.hostBodies(df)
     case "fetch-schedule" =>
       val m = pMap(params.head)
       val robots = pMap(m("robots")).map { case (h, v) => h -> pStr(v) }

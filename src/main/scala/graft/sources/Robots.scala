@@ -166,6 +166,34 @@ object Robots {
     }(enc)
   }
 
+  /** Harvest per-host robots.txt bodies from a crawl's decoded
+    * responses (the [[Warc.responses]] shape): keeps `/robots.txt`
+    * captures with 2xx status, extracts the host, and picks the
+    * freshest capture per host ((warc_date, body) tie-break — same
+    * determinism rule as [[graft.operators.Snapshots.latest]]).
+    * Returns `(host, body)` — one shuffle on host, output is
+    * hosts-sized.
+    */
+  def hostBodies(responses: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Snapshots.latest(
+      responses
+        .filter(col("status").between(200, 299) &&
+          lower(col("target_uri")).rlike("^https?://[^/?#]+/robots\\.txt$"))
+        .select(
+          lower(regexp_extract(col("target_uri"), "^[a-zA-Z]+://([^/:?#]+)", 1))
+            .as("host"),
+          col("warc_date"), col("text").as("body")),
+      "host", "warc_date", digestCol = "body")
+      .select("host", "body")
+  }
+
+  /** Driver-side map for [[filterAllowed]] / [[fetchSchedule]] — the
+    * robots table is hosts-sized (model-sized by construction), which
+    * is why those faces broadcast it. */
+  def collectByHost(bodies: DataFrame): Map[String, String] =
+    bodies.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
   /** Politeness schedule: sequence each host's fetches under its
     * robots `Crawl-delay` — appends `host`, `fetch_seq` (1-based
     * position within the host, ordered by URI for determinism) and

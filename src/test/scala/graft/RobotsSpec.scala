@@ -109,6 +109,42 @@ class RobotsSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true))
   }
 
+  test("hostBodies: 2xx /robots.txt only, freshest per host; composes to a schedule") {
+    val s = spark
+    import s.implicits._
+    val responses = Seq(
+      ("http://A.example/robots.txt", "2024-01-01T00:00:00Z", 200, "User-agent: *\nCrawl-delay: 4\n"),
+      ("http://a.example/robots.txt", "2024-02-01T00:00:00Z", 200, "User-agent: *\nCrawl-delay: 2\n"),
+      ("http://a.example/robots.txt", "2024-03-01T00:00:00Z", 404, "gone"),
+      ("http://b.example/robots.txt", "2024-01-01T00:00:00Z", 200, "User-agent: *\nDisallow: /x\n"),
+      ("http://b.example/page", "2024-01-01T00:00:00Z", 200, "not robots"),
+      ("http://c.example/robots.txt.bak", "2024-01-01T00:00:00Z", 200, "wrong path")
+    ).toDF("target_uri", "warc_date", "status", "text")
+    val bodies = graft.sources.Robots.hostBodies(responses)
+    val m = graft.sources.Robots.collectByHost(bodies)
+    assert(m.keySet == Set("a.example", "b.example"))
+    assert(m("a.example").contains("Crawl-delay: 2")) // freshest 2xx capture
+    // harvested map drives the scheduler end to end
+    val sched = graft.sources.Robots.fetchSchedule(
+      Seq("http://a.example/1", "http://a.example/2").toDF("uri"), "uri", m)
+      .select("fetch_offset_s").collect().map(_.getDouble(0)).sorted
+    assert(sched.toSeq == Seq(0.0, 2.0))
+  }
+
+  test("robots-harvest is a declarable IR action") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val responses = Seq(
+      ("http://h.example/robots.txt", "2024-01-01T00:00:00Z", 200, "User-agent: *\n"))
+      .toDF("target_uri", "warc_date", "status", "text")
+    val out = Engine.run(Node.fromJson(
+        """{"action":"robots-harvest","children":[{"action":"tap","params":["out"]}]}"""),
+      responses, EngineCtx(testMode = true)).taps("out").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq("h.example" -> "User-agent: *\n"))
+  }
+
   test("delayFor: matched group's Crawl-delay, agent-specific beats *") {
     val groups = Robots.parse(
       """User-agent: fastbot
