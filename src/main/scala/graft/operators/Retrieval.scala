@@ -133,7 +133,9 @@ object Retrieval {
     // only query-term hits, not the vocabulary
     val dfq = dt.join(broadcast(qt.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val qtd = qt.join(dfq, Seq("term")) // (term, query_id, df): query-sized
+    // (term, query_id, df): BOTH sides query-sized — broadcast instead of
+    // letting a sort-merge plan two exchanges for model-sized frames
+    val qtd = qt.join(broadcast(dfq), Seq("term"))
     val contrib = dt.join(broadcast(qtd), "term")
       .withColumn("__c",
         idf(n)(col("df")) *
