@@ -653,6 +653,36 @@ object QueriesPipeline {
       }
     }
 
+    // concat-and-chop sequence boundaries: the per-sequence document-mask
+    // table (seq_id, doc, [begin, end) in-sequence span) — the oracle
+    // replays the exclusive cumsum and the touched-sequence unnest
+    locally {
+      val L = 128L
+      register("pack_boundaries",
+        s"""$DocsView,
+           |d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n
+           |      FROM docs WHERE len(toks) > 0),
+           |c AS (SELECT doc_id, source, n,
+           |             coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |               CAST(0 AS BIGINT)) AS s
+           |      FROM d),
+           |e AS (SELECT source, doc_id, n, s,
+           |             unnest(range(CAST(s // $L AS BIGINT),
+           |                          CAST((s + n - 1) // $L + 1 AS BIGINT))) AS q
+           |      FROM c)
+           |SELECT source, CAST(q AS BIGINT) AS seq_id, doc_id,
+           |       greatest(CAST(0 AS BIGINT), s - q * $L) AS begin_tok,
+           |       least($L, s + n - q * $L) AS end_tok
+           |FROM e ORDER BY source, seq_id, doc_id""".stripMargin) { (s, dir) =>
+        val base = docs(s, dir).select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        Curation.sequenceBoundaries(base, "source", "doc_id", "n_tokens", L)
+          .select("source", "seq_id", "doc_id", "begin_tok", "end_tok")
+          .orderBy("source", "seq_id", "doc_id")
+      }
+    }
+
     // length-bucketed batch assembly (fairseq/HF --max-tokens batching):
     // ascending-length greedy chunking under a PADDED token budget,
     // replayed by the oracle as a per-bucket recursive scan

@@ -1010,6 +1010,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.packConcat(df, pStr(m("group")), pStr(m("id")),
         pStr(m("tokens")), pLong(m("seq-len")))
+    case "pack-boundaries" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.sequenceBoundaries(df, pStr(m("group")),
+        pStr(m("id")), pStr(m("tokens")), pLong(m("seq-len")))
     case "pack-nextfit" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.packNextFit(df, pStr(m("group")), pStr(m("id")),

@@ -474,6 +474,32 @@ object Curation {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
   }
 
+  /** The sequence-side view of [[packConcat]] — the document-boundary
+    * table a trainer consumes to build per-sequence attention masks
+    * (block-diagonal "document masking"): one row per (sequence,
+    * document-fragment) with the half-open in-sequence token span the
+    * fragment occupies. `begin_tok`/`end_tok` are offsets inside the
+    * `seqLen`-token sequence; a document straddling sequences emits one
+    * row per sequence it touches. Zero-token documents occupy no span
+    * and emit nothing.
+    *
+    * Same scale shape as packConcat (one per-group window cumsum; the
+    * group key is the declared parallelism unit) plus a map-side
+    * explode of ≤ `n_seqs` rows per document.
+    */
+  def sequenceBoundaries(df: DataFrame, groupCol: String, idCol: String,
+                         tokensCol: String, seqLen: Long): DataFrame = {
+    val L = lit(seqLen)
+    packConcat(df, groupCol, idCol, tokensCol, seqLen)
+      .filter(col(tokensCol) > 0)
+      .select(col(groupCol), col(idCol), col("tok_start"),
+        col(tokensCol).cast("long").as("__n"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col(groupCol), col("seq_id"), col(idCol),
+        greatest(lit(0L), col("tok_start") - col("seq_id") * L).as("begin_tok"),
+        least(L, col("tok_start") + col("__n") - col("seq_id") * L).as("end_tok"))
+  }
+
   /** Token-window chunking with overlap — the RAG/long-context
     * preprocessing step: each document's token stream is cut into chunks
     * of `chunkSize` tokens, consecutive chunks sharing `overlap` tokens

@@ -126,6 +126,28 @@ class CurationSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0L, 1L)))    // independent "h" stream
   }
 
+  test("sequenceBoundaries: per-sequence document-mask spans tile each sequence exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g", 100L), (2L, "g", 50L), (3L, "g", 200L),
+      (4L, "g", 0L), (5L, "h", 5L)).toDF("doc_id", "grp", "n_tokens")
+    val out = Curation.sequenceBoundaries(df, "grp", "doc_id", "n_tokens", 128L)
+      .orderBy("grp", "seq_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("g", 0L, 1L, 0L, 100L),    // doc1 fills [0,100) of seq 0
+      ("g", 0L, 2L, 100L, 128L),  // doc2 straddles: tail of seq 0 ...
+      ("g", 1L, 2L, 0L, 22L),     // ... head of seq 1
+      ("g", 1L, 3L, 22L, 128L),   // doc3 spans seqs 1-2
+      ("g", 2L, 3L, 0L, 94L),
+      ("h", 0L, 5L, 0L, 5L)))     // zero-token doc 4 emits nothing
+    // tiling law: within every full sequence the spans are disjoint and
+    // sum to seqLen; the final partial sequence sums to total % seqLen
+    val spans = out.filter(_._1 == "g")
+    val bySeq = spans.groupBy(_._2).view.mapValues(_.map(t => t._5 - t._4).sum).toMap
+    assert(bySeq == Map(0L -> 128L, 1L -> 128L, 2L -> 94L)) // 350 tokens total
+  }
+
   test("packNextFit: bins never exceed budget (unless single oversized doc), order preserved") {
     val s = spark
     import s.implicits._
