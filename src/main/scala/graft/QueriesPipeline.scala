@@ -2496,6 +2496,35 @@ object QueriesPipeline {
       graft.sources.Robots.hostBodies(responses).orderBy("host")
     }
 
+    // rank-fusion ensemble: three decorrelated signals -> global ranks
+    // (range-exchange ordinals, no single-partition window) -> mean
+    // percent rank; the oracle replays ranks as row_number windows and
+    // the normalization in the identical IEEE shape
+    register("rank_fusion",
+      s"""$DocsView,
+         |d AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_toks,
+         |             (${sqlMd5Hash64("'rf:' || CAST(doc_id AS VARCHAR)")}) % 997 AS sig
+         |      FROM docs),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank_n_chars,
+         |        row_number() OVER (ORDER BY n_toks, doc_id) - 1 AS rank_n_toks,
+         |        row_number() OVER (ORDER BY sig, doc_id) - 1 AS rank_sig
+         |      FROM d),
+         |nn AS (SELECT count(*) AS n FROM d)
+         |SELECT doc_id, rank_n_chars, rank_n_toks, rank_sig,
+         |       CAST(rank_n_chars + rank_n_toks + rank_sig AS DOUBLE) / 3.0
+         |         / CAST(greatest(n - 1, 1) AS DOUBLE) AS fused_rank
+         |FROM r CROSS JOIN nn ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        Text.tokenCount(col("text")).as("n_toks"),
+        (Text.md5Hash64(concat(lit("rf:"), col("doc_id").cast("string"))) % 997)
+          .as("sig"))
+      Curation.rankFusion(base, "doc_id", Seq("n_chars", "n_toks", "sig"))
+        .select(col("doc_id"), col("rank_n_chars"), col("rank_n_toks"),
+          col("rank_sig"), col("fused_rank"))
+        .orderBy("doc_id")
+    }
+
     // Hashing-trick featurization: the fixed-dim bucket counts replay
     // exactly from the md5 fold (vocabulary-free — no fitted state to
     // disagree on)

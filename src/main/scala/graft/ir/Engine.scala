@@ -1010,6 +1010,10 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.packConcat(df, pStr(m("group")), pStr(m("id")),
         pStr(m("tokens")), pLong(m("seq-len")))
+    case "rank-fusion" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.rankFusion(df, pStr(m("id")),
+        pStrs(m("signals")), m.get("out").map(pStr).getOrElse("fused_rank"))
     case "pack-boundaries" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.sequenceBoundaries(df, pStr(m("group")),

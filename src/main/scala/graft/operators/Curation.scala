@@ -803,6 +803,34 @@ object Curation {
         col("quantile"), col("tokens_q"))
   }
 
+  /** Rank-fusion of multiple quality signals (the RefinedWeb-style
+    * ensemble cut): each signal column is replaced by its global 0-based
+    * rank (ascending, ties broken by `idCol` for determinism), and the
+    * fused score is the mean rank normalized to [0, 1] — scale-free, so
+    * no single signal's calibration or units can dominate the ensemble.
+    * Appends `rank_<signal>` per input and `out` (higher = better under
+    * every signal). Null signal values sort first (lowest rank).
+    *
+    * Scale shape: one range-exchange + zipWithIndex pass PER SIGNAL
+    * (the distributed-sort ordinal, no single-partition window) plus
+    * one count — k+1 corpus passes for k signals, each individually the
+    * shape [[shuffleOrder]]/[[curriculumOrder]] already pay. Rank
+    * arithmetic is integer-exact; the final mean divides in a fixed
+    * shape both engines replay bit-identically.
+    */
+  def rankFusion(df: DataFrame, idCol: String, signalCols: Seq[String],
+                 out: String = "fused_rank"): DataFrame = {
+    require(signalCols.nonEmpty, "rankFusion: need at least one signal column")
+    val n = df.count()
+    val denom = math.max(n - 1, 1L).toDouble
+    val ranked = signalCols.foldLeft(df) { case (acc, c) =>
+      withGlobalPositionAs(acc, Seq(col(c).asc, col(idCol).asc), s"rank_$c")
+    }
+    ranked.withColumn(out,
+      signalCols.map(c => col(s"rank_$c")).reduce(_ + _).cast("double")
+        / lit(signalCols.size.toDouble) / lit(denom))
+  }
+
   /** Global 0-based `position` for an already-declared total order: sort
     * by `order` (a range exchange — Spark's scalable distributed sort),
     * then number rows with the partition-offset pattern (`zipWithIndex`:

@@ -148,6 +148,47 @@ class CurationSpec extends AnyFunSuite {
     assert(bySeq == Map(0L -> 128L, 1L -> 128L, 2L -> 94L)) // 350 tokens total
   }
 
+  test("rankFusion: scale-free ensemble — monotone transforms leave ranks unchanged") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 10.0, 5.0), (2L, 20.0, 1.0), (3L, 30.0, 3.0), (4L, 40.0, 2.0)
+    ).toDF("id", "a", "b")
+    val out = Curation.rankFusion(df, "id", Seq("a", "b"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("rank_a")),
+        r.getLong(r.fieldIndex("rank_b")), r.getDouble(r.fieldIndex("fused_rank"))))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 3L, 0.5), (2L, 1L, 0L, 1.0 / 6),
+      (3L, 2L, 2L, 2.0 / 3), (4L, 3L, 1L, 2.0 / 3)))
+    // scale-free: any monotone transform of a signal changes nothing
+    val warped = df.select(col("id"), exp(col("a") / 7).as("a"),
+      (col("b") * col("b") * 1000).as("b"))
+    val again = Curation.rankFusion(warped, "id", Seq("a", "b"))
+      .orderBy("id").collect().map(r => r.getDouble(r.fieldIndex("fused_rank")))
+    assert(again.toSeq == out.map(_._4).toSeq)
+    // determinism under repartitioning (ties broken by id)
+    val tied = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("id", "a")
+    val t1 = Curation.rankFusion(tied, "id", Seq("a")).orderBy("id")
+      .collect().map(r => r.getLong(r.fieldIndex("rank_a")))
+    val t2 = Curation.rankFusion(tied.repartition(5), "id", Seq("a")).orderBy("id")
+      .collect().map(r => r.getLong(r.fieldIndex("rank_a")))
+    assert(t1.toSeq == Seq(0L, 1L, 2L) && t2.toSeq == t1.toSeq)
+  }
+
+  test("rank-fusion is a declarable IR action") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2.0, 9.0), (2L, 1.0, 8.0)).toDF("id", "a", "b")
+    val out = Engine.run(Node.fromJson(
+        """{"action":"rank-fusion","params":[{"id":"id","signals":["a","b"],"out":"f"}],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .orderBy("id").collect().map(r => r.getDouble(r.fieldIndex("f")))
+    assert(out.toSeq == Seq(1.0, 0.0))
+  }
+
   test("packNextFit: bins never exceed budget (unless single oversized doc), order preserved") {
     val s = spark
     import s.implicits._
