@@ -2168,6 +2168,57 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // interpolated Kneser-Ney bigram (CCNet's actual smoothing family):
+    // every count-derived quantity is integer-exact and the probability
+    // combines them in an IEEE shape both engines replay; ln/exp compare
+    // at DECIMAL(38,6) like the add-alpha gate. Trained on the corpus
+    // itself, so the unseen-context backoff arm is spec-covered
+    // (NgramLmSpec) rather than exercised here.
+    register("kneser_ney_score",
+      s"""$DocsView,
+         |pt AS (SELECT doc_id, list_concat(list_concat(['<s>'], toks), ['</s>']) AS p FROM docs),
+         |v AS (SELECT count(DISTINCT t) + 1 AS vs
+         |      FROM (SELECT unnest(toks) AS t FROM docs)),
+         |gr AS (SELECT doc_id, i, p[CAST(i AS INT) - 1] AS ctx, p[CAST(i AS INT)] AS word
+         |       FROM (SELECT doc_id, p, unnest(range(2, len(p) + 1)) AS i FROM pt)),
+         |cnt AS (SELECT ctx, word, count(*) AS c FROM gr GROUP BY 1, 2),
+         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS t,
+         |                CAST(count(*) AS BIGINT) AS n1 FROM cnt GROUP BY 1),
+         |cw AS (SELECT word, CAST(count(*) AS BIGINT) AS nw FROM cnt GROUP BY 1),
+         |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cnt),
+         |lnp AS (SELECT gr.doc_id, gr.i,
+         |  ln(CASE WHEN ctot.t IS NULL
+         |       THEN (CAST(COALESCE(cw.nw, 0) AS DOUBLE) + 1.0)
+         |            / CAST(bb.b + v.vs AS DOUBLE)
+         |       ELSE greatest(CAST(COALESCE(cnt.c, 0) AS DOUBLE) - 0.75, 0.0)
+         |              / CAST(ctot.t AS DOUBLE)
+         |            + 0.75 * CAST(ctot.n1 AS DOUBLE) / CAST(ctot.t AS DOUBLE)
+         |              * ((CAST(COALESCE(cw.nw, 0) AS DOUBLE) + 1.0)
+         |                 / CAST(bb.b + v.vs AS DOUBLE))
+         |     END) AS lnp
+         |  FROM gr LEFT JOIN cnt ON gr.ctx = cnt.ctx AND gr.word = cnt.word
+         |       LEFT JOIN ctot ON gr.ctx = ctot.ctx
+         |       LEFT JOIN cw ON gr.word = cw.word
+         |       CROSS JOIN bb CROSS JOIN v),
+         |sc AS (SELECT doc_id, count(*) AS n_scored,
+         |              list_reduce(list_prepend(0.0, list(lnp ORDER BY i)),
+         |                          (a, x) -> a + x) AS lp
+         |       FROM lnp GROUP BY doc_id)
+         |SELECT doc_id, n_scored,
+         |       CAST(CAST(lp AS DECIMAL(38,6)) AS DOUBLE) AS logprob,
+         |       CAST(CAST(-lp / n_scored AS DECIMAL(38,6)) AS DOUBLE) AS cross_entropy,
+         |       CAST(CAST(exp(-lp / n_scored) AS DECIMAL(38,6)) AS DOUBLE) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.NgramLm.scoreKneserNey(d, "text", "doc_id",
+          graft.operators.NgramLm.trainKneserNey(d, "text"))
+        .select(col("doc_id"), col("n_scored"),
+          col("logprob").cast("decimal(38,6)").cast("double").as("logprob"),
+          col("cross_entropy").cast("decimal(38,6)").cast("double").as("cross_entropy"),
+          col("ppl").cast("decimal(38,6)").cast("double").as("ppl"))
+        .orderBy("doc_id")
+    }
+
     register("ppl_bucket_counts",
       s"""$ngramScoreCtes,
          |ranked AS (SELECT source,

@@ -315,6 +315,26 @@ object Engine {
               .withColumn("cross_entropy", lit(0.0))
               .withColumn("ppl", lit(0.0)))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "kn-train" =>
+          // same artifact rule as ngram-train
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pStr(m("path"))
+            m.get("discount").foreach(pDouble)
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.NgramLm.CountsSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "kn-score" =>
+          // same artifact rule as ngram-score
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); df(pStr(m("id"))); pStr(m("model-path"))
+            recurse(df.withColumn("n_scored", lit(0L))
+              .withColumn("logprob", lit(0.0))
+              .withColumn("cross_entropy", lit(0.0))
+              .withColumn("ppl", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "bpe-train" =>
           // artifact rule: training runs iterative jobs; validate probes
           // the params/columns and emits the model schema only
@@ -1227,6 +1247,18 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.NgramLm.score(df, pStr(m("text")), pStr(m("id")),
         graft.operators.NgramLm.loadModel(df.sparkSession, pStr(m("model-path"))))
+    case "kn-train" =>
+      val m = pMap(params.head)
+      df => {
+        val model = graft.operators.NgramLm.trainKneserNey(df, pStr(m("text")),
+          m.get("discount").map(pDouble).getOrElse(0.75))
+        graft.operators.NgramLm.saveKneserNey(model, pStr(m("path")))
+        model.counts
+      }
+    case "kn-score" =>
+      val m = pMap(params.head)
+      df => graft.operators.NgramLm.scoreKneserNey(df, pStr(m("text")), pStr(m("id")),
+        graft.operators.NgramLm.loadKneserNey(df.sparkSession, pStr(m("model-path"))))
     case "ppl-bucket" =>
       val m = pMap(params.head)
       df => graft.operators.NgramLm.pplBucket(df, pStr(m("id")), pStr(m("ppl")),

@@ -147,7 +147,15 @@ object NgramLm {
         (coalesce(col("__cnt"), lit(0L)).cast("double") + lit(model.alpha)) /
           (coalesce(col("__ctx_cnt"), lit(0L)).cast("double") +
             lit(model.alpha) * lit(model.vocabSize.toDouble))))
-    // token-order fold: bitwise-reproducible double sum on any engine
+    foldPerDoc(docs, joined, idCol)
+  }
+
+  /** Shared scoring tail: token-order `ln p` fold (bitwise-reproducible
+    * double sum on any engine) + the ce/ppl derivations, joined back to
+    * the input rows. `joined` must carry `(__id, pos, __lnp)`.
+    */
+  private def foldPerDoc(docs: DataFrame, joined: DataFrame,
+                         idCol: String): DataFrame = {
     val perDoc = joined.groupBy("__id")
       .agg(count(lit(1)).as("n_scored"),
         aggregate(
@@ -156,6 +164,82 @@ object NgramLm {
       .withColumn("cross_entropy", -col("logprob") / col("n_scored").cast("double"))
       .withColumn("ppl", exp(col("cross_entropy")))
     docs.join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "inner")
+  }
+
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995 / the
+    * Chen-Goodman interpolated form — what CCNet's KenLM actually
+    * smooths with, vs the transparent add-α above):
+    *
+    * {{{ p(w|c) = max(cnt(c,w) − d, 0)/cnt(c) + d·N1+(c,·)/cnt(c) · Pcont(w) }}}
+    *
+    * with the continuation probability over distinct-predecessor counts,
+    * add-one smoothed so every word (and the unseen-word case) stays
+    * strictly positive — the deterministic totality variant, documented:
+    *
+    * {{{ Pcont(w) = (N1+(·,w) + 1) / (N1+(·,·) + V) }}}
+    *
+    * Unseen contexts back off entirely to `Pcont`. Everything derives
+    * from the ONE bigram count table ([[trainCounts]], one corpus pass):
+    * per-context totals/follower counts and per-word predecessor counts
+    * are model-sized aggregations of it, and `N1+(·,·)` is its row
+    * count. Scoring joins are the [[score]] shape plus one more
+    * model-sized join on `word`.
+    */
+  final case class KnModel(counts: DataFrame, discount: Double, vocabSize: Long)
+
+  def trainKneserNey(docs: DataFrame, textCol: String,
+                     discount: Double = 0.75): KnModel = {
+    require(discount > 0 && discount < 1,
+      s"NgramLm: KN discount must be in (0,1), got $discount")
+    KnModel(Materialize(trainCounts(docs, textCol, 2)), discount,
+      vocabSize(docs, textCol))
+  }
+
+  /** Persist / reload the KN artifact (same layout discipline as
+    * [[train]]). */
+  def saveKneserNey(model: KnModel, path: String): Unit = {
+    model.counts.write.mode("overwrite").parquet(s"$path/ngrams.parquet")
+    val spark = model.counts.sparkSession
+    import spark.implicits._
+    Seq((model.discount, model.vocabSize)).toDF("discount", "vocab_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  def loadKneserNey(spark: SparkSession, path: String): KnModel = {
+    val meta = spark.read.parquet(s"$path/meta.parquet").head
+    KnModel(spark.read.parquet(s"$path/ngrams.parquet"),
+      meta.getAs[Double]("discount"), meta.getAs[Long]("vocab_size"))
+  }
+
+  /** Score documents under an interpolated-KN bigram — same output
+    * columns as [[score]]. */
+  def scoreKneserNey(docs: DataFrame, textCol: String, idCol: String,
+                     model: KnModel): DataFrame = {
+    val bi = model.counts
+    val ctxAgg = bi.groupBy("ctx")
+      .agg(sum("cnt").as("__t"), count(lit(1)).as("__n1"))
+    val contAgg = bi.groupBy("word").agg(count(lit(1)).as("__nw"))
+    // N1+(·,·) + V: one scalar, computed once driver-side (model-sized
+    // action, same class as [[vocabSize]])
+    val contDenom = (bi.count() + model.vocabSize).toDouble
+    val d = lit(model.discount)
+    val exploded = docs
+      .select(col(idCol).as("__id"),
+        explode(positions(padded(col(textCol), 2), 2)).as("g"))
+      .select(col("__id"), col("g.pos").as("pos"),
+        col("g.ctx").as("ctx"), col("g.word").as("word"))
+    val joined = exploded
+      .join(bi.withColumnRenamed("cnt", "__c"), Seq("ctx", "word"), "left")
+      .join(ctxAgg, Seq("ctx"), "left")
+      .join(contAgg, Seq("word"), "left")
+    val pcont = (coalesce(col("__nw"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(contDenom)
+    val p = when(col("__t").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("__c"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__t").cast("double") +
+          d * col("__n1").cast("double") / col("__t").cast("double") * pcont)
+    foldPerDoc(docs, joined.withColumn("__lnp", log(p)), idCol)
   }
 
   /** CCNet head/middle/tail bucketing: rank documents by perplexity

@@ -154,6 +154,89 @@ class NgramLmSpec extends AnyFunSuite {
     assert(v.isEmpty, v.mkString("; "))
   }
 
+  // ---- interpolated Kneser-Ney reference (bigram) ----
+  private def refKnScore(corpus: Seq[String], text: String,
+                         d: Double): (Long, Double) = {
+    val counts = refCounts(corpus, 2)
+    val ctxTot = counts.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val ctxN1 = counts.groupBy(_._1._1).map { case (c, m) => c -> m.size.toLong }
+    val wordNw = counts.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val b = counts.size.toLong
+    val v = corpus.flatMap(refToks).distinct.size + 1L
+    val denom = (b + v).toDouble
+    val p = refPadded(text, 2)
+    val lnps = (1 until p.length).map { i =>
+      val (ctx, w) = (p(i - 1), p(i))
+      val pcont = (wordNw.getOrElse(w, 0L).toDouble + 1.0) / denom
+      val prob = ctxTot.get(ctx) match {
+        case None => pcont
+        case Some(t) =>
+          math.max(counts.getOrElse((ctx, w), 0L).toDouble - d, 0.0) / t.toDouble +
+            d * ctxN1(ctx).toDouble / t.toDouble * pcont
+      }
+      StrictMath.log(prob)
+    }
+    (lnps.size.toLong, lnps.foldLeft(0.0)(_ + _))
+  }
+
+  test("scoreKneserNey == in-memory KN reference; discounted mass is a distribution") {
+    val model = NgramLm.trainKneserNey(docsDf, "text", discount = 0.75)
+    val got = NgramLm.scoreKneserNey(docsDf, "text", "doc_id", model)
+      .select("doc_id", "n_scored", "logprob").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    corpus.foreach { case (id, text, _) =>
+      val (n, lp) = refKnScore(corpus.map(_._2), text, 0.75)
+      assert(got(id)._1 == n)
+      assert(got(id)._2 == lp, s"doc $id: ${got(id)._2} vs $lp")
+    }
+    // seen text scores strictly better than unrelated text under KN too
+    val s2 = spark; import s2.implicits._
+    val held = Seq((100L, "the cat sat on the mat"),
+      (101L, "zz qq completely unseen words")).toDF("doc_id", "text")
+    val ppl = NgramLm.scoreKneserNey(held, "text", "doc_id", model)
+      .select("doc_id", "ppl").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppl(100L) < ppl(101L))
+    // unseen-context arm: backs off to the smoothed continuation (and the
+    // reference agrees there as well)
+    val (_, lpUnseen) = refKnScore(corpus.map(_._2), "zz qq completely unseen words", 0.75)
+    val gotUnseen = NgramLm.scoreKneserNey(held, "text", "doc_id", model)
+      .filter(col("doc_id") === 101L).select("logprob").head.getDouble(0)
+    assert(gotUnseen == lpUnseen)
+  }
+
+  test("KN model save/load round-trip preserves scores exactly; IR kn-train/kn-score chain") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val tmp = java.nio.file.Files.createTempDirectory("kn").toString
+    try {
+      val model = NgramLm.trainKneserNey(docsDf, "text")
+      val direct = NgramLm.scoreKneserNey(docsDf, "text", "doc_id", model)
+        .select("doc_id", "logprob").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // IR chain: train -> save (side effect) then score via the artifact
+      Engine.run(Node.fromJson(
+          s"""{"action":"kn-train","params":[{"text":"text","path":"$tmp/m"}],
+             | "children":[{"action":"tap","params":["m"]}]}""".stripMargin),
+        docsDf, EngineCtx(testMode = true))
+      val out = Engine.run(Node.fromJson(
+          s"""{"action":"kn-score","params":[{"text":"text","id":"doc_id","model-path":"$tmp/m"}],
+             | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+        docsDf, EngineCtx(testMode = true)).taps("out")
+        .select("doc_id", "logprob").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out == direct)
+      // validate is artifact-total on a missing model path
+      val errs = Engine.validate(Node.fromJson(
+          s"""{"action":"kn-score","params":[{"text":"text","id":"doc_id","model-path":"$tmp/nope"}],
+             | "children":[{"action":"keep-keys","params":[["doc_id","ppl"]]}]}""".stripMargin),
+        spark, EngineCtx(testMode = true), docsDf.schema)
+      assert(errs.isEmpty, errs.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("pplBucket: rank thirds with floor arithmetic and id tie-break") {
     val s = spark; import s.implicits._
     // 7 rows → bucket sizes 3/2/2 under floor(rank*3/7); ties on ppl
