@@ -2219,6 +2219,51 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // stupid backoff (Brants 2007): unnormalized web-scale scoring —
+    // seen bigrams are a pure count ratio, the backoff arm (spec-covered;
+    // self-trained here) is beta times an add-one unigram
+    register("stupid_backoff_score",
+      s"""$DocsView,
+         |pt AS (SELECT doc_id, list_concat(list_concat(['<s>'], toks), ['</s>']) AS p FROM docs),
+         |v AS (SELECT count(DISTINCT t) + 1 AS vs
+         |      FROM (SELECT unnest(toks) AS t FROM docs)),
+         |gr AS (SELECT doc_id, i, p[CAST(i AS INT) - 1] AS ctx, p[CAST(i AS INT)] AS word
+         |       FROM (SELECT doc_id, p, unnest(range(2, len(p) + 1)) AS i FROM pt)),
+         |cnt AS (SELECT ctx, word, count(*) AS c FROM gr GROUP BY 1, 2),
+         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         |uni AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw FROM cnt GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |lnp AS (SELECT gr.doc_id, gr.i,
+         |  ln(CASE WHEN cnt.c IS NOT NULL
+         |       THEN CAST(cnt.c AS DOUBLE) / CAST(ctot.t AS DOUBLE)
+         |       ELSE 0.4 * ((CAST(COALESCE(uni.cw, 0) AS DOUBLE) + 1.0)
+         |                   / CAST(nn.n + v.vs AS DOUBLE))
+         |     END) AS lnp
+         |  FROM gr LEFT JOIN cnt ON gr.ctx = cnt.ctx AND gr.word = cnt.word
+         |       LEFT JOIN ctot ON gr.ctx = ctot.ctx
+         |       LEFT JOIN uni ON gr.word = uni.word
+         |       CROSS JOIN nn CROSS JOIN v),
+         |sc AS (SELECT doc_id, count(*) AS n_scored,
+         |              list_reduce(list_prepend(0.0, list(lnp ORDER BY i)),
+         |                          (a, x) -> a + x) AS lp
+         |       FROM lnp GROUP BY doc_id)
+         |SELECT doc_id, n_scored,
+         |       CAST(CAST(lp AS DECIMAL(38,6)) AS DOUBLE) AS logprob,
+         |       CAST(CAST(-lp / n_scored AS DECIMAL(38,6)) AS DOUBLE) AS cross_entropy,
+         |       CAST(CAST(exp(-lp / n_scored) AS DECIMAL(38,6)) AS DOUBLE) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.NgramLm.scoreStupidBackoff(d, "text", "doc_id",
+          graft.operators.Materialize(
+            graft.operators.NgramLm.trainCounts(d, "text", 2)),
+          graft.operators.NgramLm.vocabSize(d, "text"))
+        .select(col("doc_id"), col("n_scored"),
+          col("logprob").cast("decimal(38,6)").cast("double").as("logprob"),
+          col("cross_entropy").cast("decimal(38,6)").cast("double").as("cross_entropy"),
+          col("ppl").cast("decimal(38,6)").cast("double").as("ppl"))
+        .orderBy("doc_id")
+    }
+
     register("ppl_bucket_counts",
       s"""$ngramScoreCtes,
          |ranked AS (SELECT source,

@@ -325,7 +325,7 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.NgramLm.CountsSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
-        case "kn-score" =>
+        case "kn-score" | "sb-score" =>
           // same artifact rule as ngram-score
           try {
             val m = pMap(n.params.head)
@@ -1254,6 +1254,15 @@ object Engine {
           m.get("discount").map(pDouble).getOrElse(0.75))
         graft.operators.NgramLm.saveKneserNey(model, pStr(m("path")))
         model.counts
+      }
+    case "sb-score" =>
+      // reuses the ngram-train artifact (counts + vocab_size; order 2)
+      val m = pMap(params.head)
+      df => {
+        val lm = graft.operators.NgramLm.loadModel(df.sparkSession, pStr(m("model-path")))
+        require(lm.n == 2, s"sb-score: needs an order-2 model, got n=${lm.n}")
+        graft.operators.NgramLm.scoreStupidBackoff(df, pStr(m("text")), pStr(m("id")),
+          lm.counts, lm.vocabSize, m.get("beta").map(pDouble).getOrElse(0.4))
       }
     case "kn-score" =>
       val m = pMap(params.head)

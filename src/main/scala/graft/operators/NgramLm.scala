@@ -211,6 +211,47 @@ object NgramLm {
       meta.getAs[Double]("discount"), meta.getAs[Long]("vocab_size"))
   }
 
+  /** Stupid backoff (Brants et al. 2007 — the deliberately unnormalized
+    * score Google used at web scale because it needs NO discount
+    * statistics and parallelizes trivially):
+    *
+    * {{{ S(w|c) = cnt(c,w)/cnt(c) if seen, else β · S(w) }}}
+    *
+    * with `S(w) = (cnt(w)+1)/(N+V)` — the add-one unigram keeps unseen
+    * words finite (documented totality variant). Unseen contexts back
+    * off the same way. Output mirrors [[score]] (`ppl` is then the
+    * exp-mean of −ln S — a comparable filtering signal, not a true
+    * perplexity, per the paper). Every table derives from the SAME
+    * bigram count table: unigram counts are its per-word sums, `N` its
+    * total mass.
+    */
+  def scoreStupidBackoff(docs: DataFrame, textCol: String, idCol: String,
+                         counts: DataFrame, vocabSize: Long,
+                         beta: Double = 0.4): DataFrame = {
+    require(beta > 0 && beta <= 1,
+      s"NgramLm: stupid-backoff beta must be in (0,1], got $beta")
+    val bi = counts
+    val ctxTot = contextTotals(bi)
+    val uni = bi.groupBy("word").agg(sum("cnt").as("__cw"))
+    val nTotal = bi.agg(sum("cnt")).head.getLong(0)
+    val denom = (nTotal + vocabSize).toDouble
+    val exploded = docs
+      .select(col(idCol).as("__id"),
+        explode(positions(padded(col(textCol), 2), 2)).as("g"))
+      .select(col("__id"), col("g.pos").as("pos"),
+        col("g.ctx").as("ctx"), col("g.word").as("word"))
+    val joined = exploded
+      .join(bi.withColumnRenamed("cnt", "__c"), Seq("ctx", "word"), "left")
+      .join(ctxTot.withColumnRenamed("ctx_cnt", "__t"), Seq("ctx"), "left")
+      .join(uni, Seq("word"), "left")
+    val sw = lit(beta) *
+      ((coalesce(col("__cw"), lit(0L)).cast("double") + lit(1.0)) / lit(denom))
+    val s = when(col("__c").isNotNull,
+        col("__c").cast("double") / col("__t").cast("double"))
+      .otherwise(sw)
+    foldPerDoc(docs, joined.withColumn("__lnp", log(s)), idCol)
+  }
+
   /** Score documents under an interpolated-KN bigram — same output
     * columns as [[score]]. */
   def scoreKneserNey(docs: DataFrame, textCol: String, idCol: String,

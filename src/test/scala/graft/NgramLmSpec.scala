@@ -237,6 +237,56 @@ class NgramLmSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreStupidBackoff == in-memory reference; seen ratio / backoff arms") {
+    import graft.operators.{Materialize, NgramLm => L}
+    val counts = Materialize(L.trainCounts(docsDf, "text", 2))
+    val v = L.vocabSize(docsDf, "text")
+    // independent reference
+    val ref = refCounts(corpus.map(_._2), 2)
+    val ctxTot = ref.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val uni = ref.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val n = ref.values.sum
+    def refSb(text: String): Double = {
+      val p = refPadded(text, 2)
+      (1 until p.length).map { i =>
+        val (c, w) = (p(i - 1), p(i))
+        val s = ref.get((c, w)) match {
+          case Some(cw) => cw.toDouble / ctxTot(c).toDouble
+          case None => 0.4 * ((uni.getOrElse(w, 0L).toDouble + 1.0) / (n + v).toDouble)
+        }
+        StrictMath.log(s)
+      }.foldLeft(0.0)(_ + _)
+    }
+    val s2 = spark; import s2.implicits._
+    val held = corpus.map(t => (t._1, t._2)) :+
+      ((200L, "zz unseen bigram the cat"))
+    val got = L.scoreStupidBackoff(held.toDF("doc_id", "text"), "text", "doc_id",
+        counts, v)
+      .select("doc_id", "logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    held.foreach { case (id, text) =>
+      assert(got(id) == refSb(text), s"doc $id")
+    }
+  }
+
+  test("sb-score IR action reuses the ngram-train artifact") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val tmp = java.nio.file.Files.createTempDirectory("sb").toString
+    try {
+      NgramLm.train(docsDf, "text", 2, 0.5, s"$tmp/m")
+      val out = Engine.run(Node.fromJson(
+          s"""{"action":"sb-score","params":[{"text":"text","id":"doc_id","model-path":"$tmp/m"}],
+             | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+        docsDf, EngineCtx(testMode = true)).taps("out")
+      assert(out.count() == corpus.size)
+      assert(out.columns.contains("ppl"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("pplBucket: rank thirds with floor arithmetic and id tie-break") {
     val s = spark; import s.implicits._
     // 7 rows → bucket sizes 3/2/2 under floor(rank*3/7); ties on ppl
