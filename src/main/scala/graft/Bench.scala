@@ -55,8 +55,10 @@ object Bench {
     "surt_key", "cdx_roundtrip", "crawl_latest", "crawl_diff",
     "fetch_schedule", "sitemap_urls", "refetch_candidates", "mirror_hosts",
     "charset_detect", "bytelevel_pretokens", "compression_ratio",
-    // round 10: KN smoothing, mask-boundary table, rank-fusion ensemble
-    "kneser_ney_score", "pack_boundaries", "rank_fusion")
+    // round 10: KN + stupid-backoff smoothing, mask-boundary table,
+    // rank-fusion ensemble
+    "kneser_ney_score", "stupid_backoff_score", "pack_boundaries",
+    "rank_fusion")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -821,10 +821,15 @@ object Curation {
   def rankFusion(df: DataFrame, idCol: String, signalCols: Seq[String],
                  out: String = "fused_rank"): DataFrame = {
     require(signalCols.nonEmpty, "rankFusion: need at least one signal column")
-    val n = df.count()
+    // materialize the input AND each ranking pass: zipWithIndex runs two
+    // passes over its parent and the next signal's sort would otherwise
+    // re-run every earlier sort's lineage (plus the caller's upstream) —
+    // the O(k²)-recompute trap the pplBucket fix already documents
+    val m = Materialize(df)
+    val n = m.count()
     val denom = math.max(n - 1, 1L).toDouble
-    val ranked = signalCols.foldLeft(df) { case (acc, c) =>
-      withGlobalPositionAs(acc, Seq(col(c).asc, col(idCol).asc), s"rank_$c")
+    val ranked = signalCols.foldLeft(m) { case (acc, c) =>
+      Materialize(withGlobalPositionAs(acc, Seq(col(c).asc, col(idCol).asc), s"rank_$c"))
     }
     ranked.withColumn(out,
       signalCols.map(c => col(s"rank_$c")).reduce(_ + _).cast("double")
