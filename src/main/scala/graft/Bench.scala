@@ -58,7 +58,9 @@ object Bench {
     // round 10: KN + stupid-backoff smoothing, mask-boundary table,
     // rank-fusion ensemble
     "kneser_ney_score", "stupid_backoff_score", "pack_boundaries",
-    "rank_fusion")
+    "rank_fusion",
+    // round 10: Aho-Corasick dictionary filter (C4 bad-words rule)
+    "badwords_filter")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

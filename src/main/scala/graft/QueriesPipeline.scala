@@ -2042,6 +2042,31 @@ object QueriesPipeline {
       }
     }
 
+    // C4 bad-words rule: the Aho-Corasick dictionary kernel's hit counts
+    // vs per-pattern regexp counts (each pattern is a single
+    // non-self-overlapping phrase, where all-occurrences == the oracle's
+    // non-overlapping scan). The engine pays ONE O(text) pass for the
+    // whole dictionary; the oracle's k regexp scans are the plan it beats.
+    locally {
+      val pats = Seq("slow", "window dup", "scan merge")
+      val hitsSql = pats.map(p =>
+        s"len(regexp_extract_all(lower(text), '$p'))").mkString(" + ")
+      register("badwords_filter",
+        s"""WITH h AS (SELECT source, $hitsSql AS hits FROM documents)
+           |SELECT source,
+           |       count(*) FILTER (WHERE hits = 0) AS n_kept,
+           |       count(*) FILTER (WHERE hits > 0) AS n_dropped,
+           |       CAST(sum(hits) AS BIGINT) AS total_hits
+           |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+        Curation.badwordsSignal(docs(s, dir), "text", pats)
+          .groupBy("source").agg(
+            count(when(col("badword_hits") === 0L, true)).as("n_kept"),
+            count(when(col("badword_hits") > 0L, true)).as("n_dropped"),
+            sum("badword_hits").as("total_hits"))
+          .orderBy("source")
+      }
+    }
+
     // JL random projection: 64 -> 16 dims through the deterministic
     // md5-parity sign matrix; the oracle rebuilds the identical matrix
     locally {

@@ -1100,6 +1100,18 @@ object Engine {
       df => graft.operators.Curation.boilerplateRemove(df, pStr(m("id")), pStr(m("text")),
         m.get("line-tokens").map(pLong(_).toInt).getOrElse(7),
         m.get("min-docs").map(pLong(_).toInt).getOrElse(2))
+    case "badwords-filter" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.badwordsFilter(df, pStr(m("text")),
+        pStrs(m("patterns")),
+        caseInsensitive = m.get("case-insensitive").forall(_ == true),
+        maxHits = m.get("max-hits").map(pLong).getOrElse(0L))
+    case "badwords-signal" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.badwordsSignal(df, pStr(m("text")),
+        pStrs(m("patterns")),
+        caseInsensitive = m.get("case-insensitive").forall(_ == true),
+        out = m.get("out").map(pStr).getOrElse("badword_hits"))
     case "domain-blocklist" =>
       val m = pMap(params.head)
       val domains = m("domains").asInstanceOf[Seq[Any]].map(pStr)

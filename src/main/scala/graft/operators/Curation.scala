@@ -153,6 +153,44 @@ object Curation {
     df.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Bad-words hit count per document — the signal behind the C4 rule
+    * "remove any page containing a word on the blocklist" (Raffel et al.
+    * 2020; the published lists run to hundreds of entries per language).
+    *
+    * One Aho-Corasick pass per document matches the WHOLE dictionary
+    * simultaneously ([[graft.functions.MultiMatch]]) — O(text), not
+    * O(text × patterns) like the k-`LIKE` plan a SQL engine runs, and
+    * it stays inside whole-stage codegen. Map-side column algebra, zero
+    * shuffle; only the pattern strings ride the wire (the DFA builds
+    * lazily per executor). Counts include nested/overlapping pattern
+    * hits — see the kernel's count-semantics note.
+    */
+  def badwordsSignal(df: DataFrame, textCol: String, patterns: Seq[String],
+                     caseInsensitive: Boolean = true,
+                     out: String = "badword_hits"): DataFrame = {
+    require(patterns.nonEmpty, "badwordsSignal: empty pattern list")
+    val pats = if (caseInsensitive) patterns.map(_.toLowerCase) else patterns
+    val text = if (caseInsensitive) lower(col(textCol)) else col(textCol)
+    df.withColumn(out, graft.functions.MultiMatch.countOccurrences(text, pats))
+  }
+
+  /** The C4 bad-words page filter: keep documents with at most `maxHits`
+    * blocklist occurrences (0 = the published rule). Same single-pass
+    * scan as [[badwordsSignal]] with the cheaper early-exit containment
+    * kernel when `maxHits` is 0.
+    */
+  def badwordsFilter(df: DataFrame, textCol: String, patterns: Seq[String],
+                     caseInsensitive: Boolean = true,
+                     maxHits: Long = 0L): DataFrame = {
+    require(maxHits >= 0L, s"badwordsFilter: maxHits must be >= 0, got $maxHits")
+    val pats = if (caseInsensitive) patterns.map(_.toLowerCase) else patterns
+    val text = if (caseInsensitive) lower(col(textCol)) else col(textCol)
+    if (maxHits == 0L)
+      df.filter(!graft.functions.MultiMatch.containsAny(text, pats))
+    else
+      df.filter(graft.functions.MultiMatch.countOccurrences(text, pats) <= maxHits)
+  }
+
   /** Corpus vocabulary induction: the `k` most frequent tokens (with
     * counts), ties broken by token ascending — the "count words, keep
     * the top of the Zipf curve" first step of any tokenizer build.
