@@ -59,8 +59,9 @@ object Bench {
     // rank-fusion ensemble
     "kneser_ney_score", "stupid_backoff_score", "pack_boundaries",
     "rank_fusion",
-    // round 10: Aho-Corasick dictionary filter (C4 bad-words rule)
-    "badwords_filter")
+    // round 10: Aho-Corasick dictionary filter (C4 bad-words rule),
+    // keep-best cluster dedup
+    "badwords_filter", "dedup_cluster_keep_best")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

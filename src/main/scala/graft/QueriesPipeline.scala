@@ -988,6 +988,33 @@ object QueriesPipeline {
           .select("doc_id").orderBy("doc_id")
       }
 
+      // keep-best variant: among each cluster's members the LONGEST doc
+      // survives (tie -> lowest id), not the lowest id — "keep the
+      // highest-quality duplicate". Same closure; the oracle's
+      // max-then-min-id two-step is exactly the engine's
+      // max_by(id, (quality, -id)) argmax.
+      register("dedup_cluster_keep_best",
+        s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$closure,
+           |lq AS (SELECT l.doc_id, l.cluster, d.n_chars
+           |       FROM labels l JOIN docs d ON l.doc_id = d.doc_id),
+           |best AS (SELECT cluster, max(n_chars) AS mq FROM lq GROUP BY cluster),
+           |winners AS (SELECT lq.cluster, min(lq.doc_id) AS keeper
+           |            FROM lq JOIN best
+           |              ON lq.cluster = best.cluster AND lq.n_chars = best.mq
+           |            GROUP BY lq.cluster),
+           |losers AS (SELECT lq.doc_id FROM lq JOIN winners
+           |             ON lq.cluster = winners.cluster
+           |           WHERE lq.doc_id <> winners.keeper)
+           |SELECT d.doc_id FROM docs d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.dedupByClustersKeepBest(d, pairs, "doc_id", "n_chars")
+          .select("doc_id").orderBy("doc_id")
+      }
+
       register("dedup_ngram_jaccard",
         s"""$lshPrefix,
            |pairs AS (

@@ -542,6 +542,34 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Near-dup dedup keeping the BEST member of each cluster by a quality
+    * column (ties → lowest id) instead of [[dedupByClusters]]'s lowest
+    * id — the curation rule "among duplicates, keep the highest-quality
+    * copy" (longest, best quality score, freshest). A null quality loses
+    * to any non-null one.
+    *
+    * Same scale shape as the canonical variant: labels are bounded by
+    * 2·|pairs| (never corpus-sized), the winner argmax is one
+    * cluster-keyed aggregation of that pair-derived table, and the
+    * corpus pays a single anti-join against the loser set (broadcast
+    * when duplicates are rare — the common case AQE detects).
+    */
+  def dedupByClustersKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+                              qualityCol: String,
+                              id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
+    val labels = clusterPairs(pairs, id1Col, id2Col)
+    val q = df.select(col(idCol).as("id"), col(qualityCol).as("__q"))
+    // winner = max (quality, -id): max quality, tie broken to MIN id —
+    // ids are unique so the key is total and the argmax deterministic
+    val winners = labels.join(q, "id")
+      .groupBy("cluster")
+      .agg(max_by(col("id"), struct(col("__q"), negate(col("id")))).as("__winner"))
+    val losers = labels.join(winners, "cluster")
+      .filter(col("id") =!= col("__winner"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Embedding near-duplicates, ALL-PAIRS — O(n²) self-join. This is the
     * small-corpus escape hatch only (exhaustive recall on corpora that fit
     * a broadcast); the scale path is [[embeddingNearDupBucketed]].

@@ -243,6 +243,23 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("dedupByClustersKeepBest keeps the highest-quality member, ties to lowest id") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id1", "id2")
+    // cluster {1,2,3}: doc 2 is longest; {10,11}: tie -> keep 10;
+    // {20,21}: null quality loses to non-null -> keep 21; 30 pair-free
+    val docs = Seq(
+      (1L, Some(5L)), (2L, Some(9L)), (3L, Some(7L)),
+      (10L, Some(4L)), (11L, Some(4L)),
+      (20L, None), (21L, Some(1L)),
+      (30L, Some(2L))).toDF("doc_id", "quality")
+    val kept = Dedup.dedupByClustersKeepBest(docs, pairs, "doc_id", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 21L, 30L))
+  }
+
   test("duplicateNgramStats marks corpus-wide repeated windows (exact-substring signal)") {
     import graft.operators.Dedup
     val s = spark
