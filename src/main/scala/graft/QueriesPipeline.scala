@@ -3058,6 +3058,37 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // robots META directives: pages get synthesized exclusion tags in
+    // every quoting/attribute-order shape (bare attrs, flipped order,
+    // multiple tags unioned, a decoy name="description" that must NOT
+    // match); the oracle states the ground truth per doc_id class. The
+    // Spark side genuinely parses — Column regex algebra, map-only.
+    register("noindex_filter",
+      s"""SELECT doc_id,
+         |       CASE CAST(doc_id % 4 AS INT)
+         |         WHEN 0 THEN 'none'
+         |         WHEN 1 THEN 'follow,noarchive,noindex'
+         |         WHEN 2 THEN 'nofollow'
+         |         ELSE '' END AS directives,
+         |       CAST(doc_id % 4 AS INT) IN (0, 1) AS noindex
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val body = when(pmod(id, lit(4)) === 0,
+          concat(lit("<meta name=robots content=none>"), col("text")))
+        .when(pmod(id, lit(4)) === 1,
+          concat(lit("<meta name=\"robots\" content=\"noindex, follow\"><p>x</p>" +
+            "<meta name=\"ROBOTS\" content=\"NOARCHIVE\">"), col("text")))
+        .when(pmod(id, lit(4)) === 2,
+          concat(lit("<meta content='nofollow' name='robots'>"), col("text")))
+        .otherwise(
+          concat(lit("<meta name=\"description\" content=\"noindex\">"), col("text")))
+      docs(s, dir).select(id,
+          array_join(array_sort(graft.sources.Robots.metaRobotsDirectives(body)), ",")
+            .as("directives"),
+          graft.sources.Robots.isNoindex(body).as("noindex"))
+        .orderBy("doc_id")
+    }
+
     // KMV / bottom-k sketch: the kept set is exactly the k smallest
     // salted hashes — order/partition invariant — so the oracle replays
     // it verbatim with ORDER BY hash LIMIT k from the same md5 folds.

@@ -1428,6 +1428,15 @@ object Engine {
       df => graft.sources.Sitemap.parseIndex(df, pStr(m("xml")))
     case "robots-harvest" =>
       df => graft.sources.Robots.hostBodies(df)
+    case "noindex-filter" =>
+      val m = pMap(params.head)
+      df => graft.sources.Robots.noindexFilter(df, pStr(m("html")),
+        m.get("agent").map(pStr).getOrElse("robots"))
+    case "meta-robots" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("robots_directives"),
+        graft.sources.Robots.metaRobotsDirectives(col(pStr(m("html"))),
+          m.get("agent").map(pStr).getOrElse("robots")))
     case "fetch-schedule" =>
       val m = pMap(params.head)
       val robots = pMap(m("robots")).map { case (h, v) => h -> pStr(v) }

@@ -231,4 +231,57 @@ object Robots {
           coalesce(col("__delay"), lit(defaultDelay)))
       .drop("__delay")
   }
+
+  /** Page-level robots META directives — the in-document half of the
+    * exclusion protocol next to the host-level robots.txt rules: a
+    * `<meta name="robots" content="noindex, nofollow">` tag asks
+    * indexers to skip the page, and corpora built from crawls are
+    * expected to honor it the way an indexer would.
+    *
+    * Returns the distinct lowercased directive tokens from every
+    * matching meta tag (attribute order free, single/double/bare
+    * quoting, comma-separated values, multiple tags unioned). `agent`
+    * additionally matches that product token's tags next to the
+    * generic `robots` name. Pure Column regex algebra — map-side,
+    * codegen'd, no shuffle, total on arbitrary non-HTML text (no tags
+    * → empty array).
+    */
+  def metaRobotsDirectives(html: org.apache.spark.sql.Column,
+                           agent: String = "robots"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val nameAlt =
+      if (agent.equalsIgnoreCase("robots")) "robots"
+      else s"(?:robots|${java.util.regex.Pattern.quote(agent.toLowerCase)})"
+    // total on null html: no page, no tags, no directives
+    val tags = regexp_extract_all(coalesce(html, lit("")),
+      lit("(?i)<meta\\b[^>]*>"), lit(0))
+    val mine = filter(tags, t => t.rlike(s"(?i)\\bname\\s*=\\s*[\"']?$nameAlt\\b"))
+    val contents = transform(mine, t => {
+      val dq = regexp_extract(t, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1)
+      val sq = regexp_extract(t, "(?i)\\bcontent\\s*=\\s*'([^']*)'", 1)
+      val bare = regexp_extract(t, "(?i)\\bcontent\\s*=\\s*([^\\s>\"']+)", 1)
+      when(length(dq) > 0, dq).when(length(sq) > 0, sq).otherwise(bare)
+    })
+    val dirs = flatten(transform(contents, c => split(c, ",")))
+    array_distinct(filter(transform(dirs, d => lower(trim(d))), d => length(d) > 0))
+  }
+
+  /** Does the page ask not to be indexed? `noindex` or the `none`
+    * shorthand (≡ noindex,nofollow), from any matching robots meta tag.
+    */
+  def isNoindex(html: org.apache.spark.sql.Column,
+                agent: String = "robots"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val d = metaRobotsDirectives(html, agent)
+    array_contains(d, "noindex") || array_contains(d, "none")
+  }
+
+  /** Drop pages that declare `noindex`/`none` — the indexer-side rule a
+    * crawl-derived corpus inherits. Map-side filter, zero shuffle.
+    */
+  def noindexFilter(df: DataFrame, htmlCol: String,
+                    agent: String = "robots"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.filter(!isNoindex(col(htmlCol), agent))
+  }
 }

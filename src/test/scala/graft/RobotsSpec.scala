@@ -192,4 +192,58 @@ class RobotsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
     assert(got.toSeq == Seq("http://h/1" -> 0.0, "http://h/2" -> 3.0))
   }
+
+  test("metaRobotsDirectives: quoting shapes, attribute order, decoys, unions, agents") {
+    import graft.sources.Robots
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      (1L, """<meta name="robots" content="noindex, follow"><meta name="ROBOTS" content="NOARCHIVE">"""),
+      (2L, """<meta content='nofollow' name='robots'>"""),
+      (3L, """<meta name=robots content=none>"""),
+      (4L, """<meta name="description" content="noindex">decoy"""),
+      (5L, """no html at all"""),
+      (6L, """<meta name="mybot" content="noindex">"""),
+      (7L, """<meta name="robots" content="">"""))
+    val df = cases.toDF("id", "html")
+    def dirs(agent: String) = df.select(col("id"),
+        array_join(array_sort(Robots.metaRobotsDirectives(col("html"), agent)), ",").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val generic = dirs("robots")
+    assert(generic == Map(1L -> "follow,noarchive,noindex", 2L -> "nofollow",
+      3L -> "none", 4L -> "", 5L -> "", 6L -> "", 7L -> ""))
+    // the named agent also sees its own product-token tags
+    assert(dirs("MyBot")(6L) == "noindex")
+
+    val kept = Robots.noindexFilter(df, "html")
+      .select("id").collect().map(_.getLong(0)).sorted
+    // 1 (noindex) and 3 (none) drop; the description decoy survives
+    assert(kept.toSeq == Seq(2L, 4L, 5L, 6L, 7L))
+    assert(Robots.noindexFilter(df, "html", agent = "mybot")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 5L, 7L))
+
+    // null html is total (no tags -> kept)
+    val withNull = Seq((8L, null: String)).toDF("id", "html")
+    assert(Robots.noindexFilter(withNull, "html").count() == 1L)
+  }
+
+  test("noindex-filter and meta-robots are declarable IR actions") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """<meta name="robots" content="noindex">"""),
+      (2L, """fine""")).toDF("id", "html")
+    val kept = Engine.run(Node.fromJson(
+        """{"action":"noindex-filter","params":[{"html":"html"}],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L))
+    val dirs = Engine.run(Node.fromJson(
+        """{"action":"meta-robots","params":[{"html":"html","out":"d"}],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("d"))).toMap
+    assert(dirs(1L) == Seq("noindex") && dirs(2L).isEmpty)
+  }
 }
