@@ -60,8 +60,10 @@ object Bench {
     "kneser_ney_score", "stupid_backoff_score", "pack_boundaries",
     "rank_fusion",
     // round 10: Aho-Corasick dictionary filter (C4 bad-words rule),
-    // keep-best cluster dedup, robots META noindex parsing
-    "badwords_filter", "dedup_cluster_keep_best", "noindex_filter")
+    // keep-best cluster dedup, robots META noindex parsing, vocabulary
+    // OOV coverage, PSI drift buckets
+    "badwords_filter", "dedup_cluster_keep_best", "noindex_filter",
+    "oov_rate", "psi_report")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -2157,6 +2157,62 @@ object QueriesPipeline {
       Curation.vocabTopK(docs(s, dir), "text", k = 200, minCount = 2L)
     }
 
+    // vocabulary coverage: per-source token totals and OOV rate against
+    // the induced top-200 vocab — counts integer-exact, the rate is one
+    // IEEE division of two exact longs (cross-engine exact)
+    register("oov_rate",
+      s"""$DocsView,
+         |t AS (SELECT source, unnest(toks) AS token FROM docs),
+         |c AS (SELECT token, count(*) AS n
+         |      FROM (SELECT unnest(toks) AS token FROM docs) GROUP BY token),
+         |v AS (SELECT token FROM c WHERE n >= 2 ORDER BY n DESC, token LIMIT 200)
+         |SELECT source, count(*) AS n_tokens,
+         |       count(*) FILTER (WHERE t.token NOT IN (SELECT token FROM v)) AS n_oov,
+         |       CAST(count(*) FILTER (WHERE t.token NOT IN (SELECT token FROM v)) AS DOUBLE)
+         |         / count(*) AS oov_rate
+         |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = Curation.vocabTopK(d, "text", k = 200, minCount = 2L)
+        .select("token")
+      Curation.vocabCoverage(d, "source", "text", vocab).orderBy("source")
+    }
+
+    // PSI drift monitor: doc-length distribution of the even-id half vs
+    // the odd-id half — bucket counts integer-exact, the psi term
+    // compares at DECIMAL(38,6) (the repo's ln convention)
+    locally {
+      val edges = Seq(150.0, 250.0, 350.0, 450.0)
+      val bucketSql = edges.map(e =>
+        s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+      register("psi_report",
+        s"""WITH av AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+           |bv AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 1),
+           |spine AS (SELECT CAST(unnest(range(${edges.length + 1})) AS INT) AS bucket),
+           |ca AS (SELECT $bucketSql AS bucket, count(*) AS n FROM av GROUP BY 1),
+           |cb AS (SELECT $bucketSql AS bucket, count(*) AS n FROM bv GROUP BY 1),
+           |j AS (SELECT spine.bucket,
+           |             coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b
+           |      FROM spine LEFT JOIN ca ON ca.bucket = spine.bucket
+           |                 LEFT JOIN cb ON cb.bucket = spine.bucket),
+           |t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+           |             CAST(sum(n_b) AS DOUBLE) AS tb FROM j)
+           |SELECT j.bucket, j.n_a, j.n_b,
+           |       CAST(CAST(
+           |         (greatest(CASE WHEN ta > 0 THEN n_a / ta ELSE 0 END, 1e-6)
+           |          - greatest(CASE WHEN tb > 0 THEN n_b / tb ELSE 0 END, 1e-6))
+           |         * ln(greatest(CASE WHEN ta > 0 THEN n_a / ta ELSE 0 END, 1e-6)
+           |              / greatest(CASE WHEN tb > 0 THEN n_b / tb ELSE 0 END, 1e-6))
+           |         AS DECIMAL(38,6)) AS DOUBLE) AS psi
+           |FROM j, t ORDER BY bucket""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        Curation.psiReport(
+            d.filter(pmod(col("doc_id"), lit(2)) === 0),
+            d.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "n_chars", edges)
+          .orderBy("bucket")
+      }
+    }
+
     // ---------------- n-gram LM perplexity filtering (CCNet) ----------------
     // Shared CTE chain: bigram add-α(0.5) model trained on the corpus
     // itself, per-doc token-order logprob fold. ln/exp outputs compare at

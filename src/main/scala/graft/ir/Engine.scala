@@ -226,6 +226,32 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Curation.VocabDriftSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "psi-report" =>
+          // artifact rule: the comparison snapshot is a runtime input
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("value")))
+            pStr(m("other-path"))
+            require(m("edges").asInstanceOf[Seq[Any]].nonEmpty, "psi-report: empty edges")
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.Curation.PsiReportSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "vocab-coverage" =>
+          // artifact rule: the vocabulary table is a runtime input; the
+          // group column's type carries through from the input frame
+          try {
+            val m = pMap(n.params.head)
+            val g = df(pStr(m("group"))); df(pStr(m("text"))); pStr(m("vocab-path"))
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              df.schema(pStr(m("group"))),
+              org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_oov", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("oov_rate", org.apache.spark.sql.types.DoubleType)))
+            val _ = g
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "snapshot-diff" =>
           // artifact rule: the old snapshot parquet is a runtime input.
           // Output = key + the operator's own schema constant.
@@ -1060,6 +1086,21 @@ object Engine {
       df => {
         val other = df.sparkSession.read.parquet(pStr(m("other-path")))
         graft.operators.Curation.vocabDrift(df, other, pStr(m("text")))
+      }
+    case "psi-report" =>
+      val m = pMap(params.head)
+      val edges = m("edges").asInstanceOf[Seq[Any]].map(pDouble)
+      df => {
+        val other = df.sparkSession.read.parquet(pStr(m("other-path")))
+        graft.operators.Curation.psiReport(df, other, pStr(m("value")), edges,
+          eps = m.get("eps").map(pDouble).getOrElse(1e-6))
+      }
+    case "vocab-coverage" =>
+      val m = pMap(params.head)
+      df => {
+        val vocab = df.sparkSession.read.parquet(pStr(m("vocab-path")))
+        graft.operators.Curation.vocabCoverage(df, pStr(m("group")), pStr(m("text")),
+          vocab, tokenCol = m.get("token").map(pStr).getOrElse("token"))
       }
     case "ngram-diversity" =>
       val m = pMap(params.head)

@@ -44,6 +44,13 @@ object Curation {
       org.apache.spark.sql.types.StructField("p_b", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.DoubleType)))
 
+  val PsiReportSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_b", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("psi", org.apache.spark.sql.types.DoubleType)))
+
   /** Split a document's tokens into synthetic "lines" of `k` tokens
     * (space-joined). Real corpora would split on newlines; the fixture
     * corpus has none, and fixed-k chunking keeps the oracle exact while
@@ -207,6 +214,84 @@ object Curation {
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+  }
+
+  /** Tokenizer-vocabulary coverage report: per group, total tokens,
+    * OOV tokens (absent from `vocab`) and the OOV rate — the standard
+    * "what fraction of the corpus does my vocabulary miss, and where"
+    * eval run after any [[vocabTopK]]/BPE/unigram vocabulary build.
+    * `vocab` is a 1-column token frame (an induced top-k, a trained
+    * tokenizer's pieces, or a loaded artifact).
+    *
+    * One exploded-token aggregate (map-side combined); the vocabulary
+    * arrives as a broadcast membership flag, so the corpus pays one
+    * group-keyed exchange of partial counts and nothing vocabulary-
+    * sized ever shuffles. Groups whose docs produce zero tokens emit
+    * no row. The rate is one IEEE division of two exact longs —
+    * cross-engine exact.
+    */
+  def vocabCoverage(df: DataFrame, groupCol: String, textCol: String,
+                    vocab: DataFrame, tokenCol: String = "token"): DataFrame = {
+    val toks = df.select(col(groupCol).as("__g"),
+      explode(Text.tokens(col(textCol))).as("token"))
+    val v = broadcast(vocab.select(col(tokenCol).as("token")).distinct()
+      .withColumn("__in", lit(1)))
+    toks.join(v, Seq("token"), "left")
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, true)).as("n_oov"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  /** Population Stability Index between two corpus snapshots over a
+    * numeric column — the distribution-drift monitor next to the
+    * vocabulary-level [[vocabDrift]]: PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over
+    * fixed buckets, with the usual reading (<0.1 stable, 0.1–0.25
+    * drifting, >0.25 shifted). `edges` (ascending) cut k+1 buckets
+    * `(-inf,e₁) [e₁,e₂) … [e_k,inf)`; empty-bucket mass is floored at
+    * `eps` before the log (the standard ln(0) guard). Null values are
+    * ignored.
+    *
+    * Each side pays ONE map-side-combined bucket-count aggregate
+    * (bucket index is a codegen'd comparison sum, no UDF); everything
+    * after is column math on two (k+1)-row model-sized frames joined
+    * to a generated bucket spine, so every bucket reports even when
+    * both sides are empty there. `psi` is rounded through
+    * DECIMAL(38,6) — the repo's ln cross-engine convention.
+    */
+  def psiReport(a: DataFrame, b: DataFrame, valueCol: String,
+                edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty, "psiReport: need at least one bucket edge")
+    require(edges == edges.sorted && edges.distinct == edges,
+      s"psiReport: edges must be strictly ascending, got $edges")
+    require(eps > 0, s"psiReport: eps must be > 0, got $eps")
+    val nBuckets = edges.length + 1
+    def bucketOf(c: Column): Column =
+      edges.map(e => when(c >= lit(e), 1).otherwise(0)).reduce(_ + _)
+    def counts(df: DataFrame, out: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(bucketOf(col(valueCol)).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val spark = a.sparkSession
+    val spine = spark.range(nBuckets).select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(counts(a, "n_a"), Seq("bucket"), "left")
+      .join(counts(b, "n_b"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val withTotals = joined.crossJoin(broadcast(totals))
+    // an entirely-empty side floors to eps everywhere (0/0 would be NaN)
+    def share(n: String, t: String) = greatest(
+      when(col(t) > 0L, col(n).cast("double") / col(t).cast("double"))
+        .otherwise(lit(0.0)), lit(eps))
+    val p = share("n_a", "__ta")
+    val q = share("n_b", "__tb")
+    withTotals.select(col("bucket"), col("n_a"), col("n_b"),
+      ((p - q) * log(p / q)).cast("decimal(38,6)").cast("double").as("psi"))
   }
 
   /** Corpus-wide heavy-hitter n-gram mining: every word `n`-gram

@@ -191,6 +191,25 @@ object Dedup {
     * is only the (id, k mins) partials, and the explode never amplifies
     * shuffled data (it sits between the scan and the partial aggregate).
     */
+  /** Banding-theory planner (the MMDS ch.3 s-curve): for a `k`-hash
+    * MinHash signature, choose `(bands, rowsPerBand)` whose collision
+    * threshold `(1/b)^(1/r)` — the Jaccard similarity at which a pair's
+    * bucket-collision probability crosses ~1/2 — lands closest to the
+    * target. Ties prefer fewer rows per band (more bands = higher
+    * recall at the same threshold). Uses every full banding `b = k/r`;
+    * leftover hashes beyond `b·r` are simply unused, exactly as
+    * [[minhashSigTable]] treats them. Driver-side O(k) arithmetic.
+    */
+  def lshPlan(k: Int, targetJaccard: Double): (Int, Int, Double) = {
+    require(k >= 1, s"lshPlan: k must be >= 1, got $k")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"lshPlan: target must be in (0,1), got $targetJaccard")
+    (1 to k).flatMap { r =>
+      val b = k / r
+      if (b >= 1) Some((b, r, math.pow(1.0 / b, 1.0 / r))) else None
+    }.minBy { case (_, r, t) => (math.abs(t - targetJaccard), r) }
+  }
+
   def minhashSigTable(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 8,
                       hashFn: Column => Column = Text.md5HashMod): DataFrame = {

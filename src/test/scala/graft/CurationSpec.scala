@@ -642,4 +642,97 @@ class CurationSpec extends AnyFunSuite {
       .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == t2)
   }
+
+  test("vocabCoverage: per-group token totals, OOV counts, exact rate") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "red blue red"),
+      ("a", "green"),
+      ("b", "red red red purple")).toDF("src", "text")
+    val vocab = Seq("red", "blue").toDF("token")
+    val got = Curation.vocabCoverage(df, "src", "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // a: 4 tokens, 1 oov (green); b: 4 tokens, 1 oov (purple)
+    assert(got == Map("a" -> ((4L, 1L, 0.25)), "b" -> ((4L, 1L, 0.25))))
+  }
+
+  test("psiReport: identical sides give psi 0; a known shift computes the textbook sum; empty side floors") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val edges = Seq(15.0, 35.0)
+    val same = Curation.psiReport(a, a, "v", edges).collect()
+    assert(same.forall(_.getDouble(3) == 0.0))
+    assert(same.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+
+    // a: buckets (1, 2, 1)/4; b: (0+eps-floor, 2, 2)/4 — hand-checkable
+    val b = Seq(20.0, 30.0, 40.0, 50.0).toDF("v")
+    val got = Curation.psiReport(a, b, "v", edges).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def term(p: Double, q: Double) = BigDecimal((p - q) * math.log(p / q))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 0L, term(0.25, 1e-6))))
+    assert(got(1) == ((2L, 2L, 0.0)))
+    assert(got(2) == ((1L, 2L, term(0.25, 0.5))))
+
+    // an entirely empty side floors to eps everywhere (finite psi, no NaN)
+    val empty = Seq.empty[Double].toDF("v")
+    val floored = Curation.psiReport(a, empty, "v", edges).collect()
+    assert(floored.forall(r => !r.getDouble(3).isNaN))
+
+    intercept[IllegalArgumentException](Curation.psiReport(a, b, "v", Seq(2.0, 1.0)))
+    intercept[IllegalArgumentException](Curation.psiReport(a, b, "v", Seq.empty))
+  }
+
+  test("psi-report and vocab-coverage are declarable IR actions with artifact inputs; validate is artifact-total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("psi_ir").toString
+    Seq(20.0, 30.0, 40.0, 50.0).toDF("v").write.parquet(s"$tmp/other")
+    val a = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val psi = Engine.run(Node.fromJson(
+        s"""{"action":"psi-report","params":[{"value":"v","other-path":"$tmp/other","edges":[15.0,35.0]}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      a, EngineCtx(testMode = true)).taps("out").collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(psi.keySet == Set(0, 1, 2) && psi(1) == 0.0)
+
+    Seq("red", "blue").toDF("token").write.parquet(s"$tmp/vocab")
+    val docs = Seq(("a", "red blue green")).toDF("src", "text")
+    val cov = Engine.run(Node.fromJson(
+        s"""{"action":"vocab-coverage","params":[{"group":"src","text":"text","vocab-path":"$tmp/vocab"}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      docs, EngineCtx(testMode = true)).taps("out").collect().head
+    assert(cov.getLong(1) == 3L && cov.getLong(2) == 1L)
+
+    // validate stays total when the artifacts do not exist
+    for (json <- Seq(
+      """{"action":"psi-report","params":[{"value":"v","other-path":"/nope/x","edges":[1.0]}],
+        | "children":[{"action":"tap","params":["o"]}]}""".stripMargin,
+      """{"action":"vocab-coverage","params":[{"group":"src","text":"text","vocab-path":"/nope/v"}],
+        | "children":[{"action":"tap","params":["o"]}]}""".stripMargin)) {
+      val schema = if (json.contains("psi")) a.schema else docs.schema
+      val v = Engine.validate(Node.fromJson(json), s, EngineCtx(testMode = true), schema)
+      assert(v.isEmpty, v.mkString("; "))
+    }
+  }
+
+  test("lshPlan picks the banding whose s-curve threshold lands on target") {
+    import graft.operators.Dedup
+    // k=16: r=1..16, b=k/r; threshold (1/b)^(1/r)
+    val (b1, r1, t1) = Dedup.lshPlan(16, 0.5)
+    assert(b1 * r1 <= 16 && t1 == math.pow(1.0 / b1, 1.0 / r1))
+    assert(math.abs(t1 - 0.5) <= (1 to 16).map { r =>
+      math.abs(math.pow(1.0 / (16 / r), 1.0 / r) - 0.5)
+    }.min + 1e-12)
+    // a high target needs more rows per band than a low one
+    val lowT = Dedup.lshPlan(16, 0.1)._2
+    val highT = Dedup.lshPlan(16, 0.9)._2
+    assert(lowT <= highT)
+    intercept[IllegalArgumentException](Dedup.lshPlan(0, 0.5))
+    intercept[IllegalArgumentException](Dedup.lshPlan(16, 1.0))
+  }
 }
