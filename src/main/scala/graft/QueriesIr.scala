@@ -185,6 +185,23 @@ object QueriesIr {
         .select(col("eventId"), col("metric")).orderBy("eventId")
     }
 
+    // the crawl-corpus guard as ONE declared chain: bad-words dictionary
+    // filter then the page-level noindex rule (word-salad docs carry no
+    // meta tags, so the noindex stage must pass everything through —
+    // composition totality, not a tautology: a buggy null-handling
+    // noindex filter would drop every row here)
+    register("ir_badwords_guard",
+      """SELECT source, count(*) AS n_kept FROM documents
+        |WHERE NOT (lower(text) LIKE '%slow%' OR lower(text) LIKE '%scan merge%')
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val node = Node.fromJson(
+        """{"action":"badwords-filter","params":[{"text":"text","patterns":["slow","scan merge"]}],
+          | "children":[{"action":"noindex-filter","params":[{"html":"text"}],
+          |              "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+      tapOf(node, Tables.documents(s, dir))
+        .groupBy("source").agg(count(lit(1)).as("n_kept")).orderBy("source")
+    }
+
     // training-pipeline ops as declared IR over the documents table
     register("ir_text_quality",
       """WITH docs AS (
