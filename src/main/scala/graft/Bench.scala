@@ -63,7 +63,9 @@ object Bench {
     // keep-best cluster dedup, robots META noindex parsing, vocabulary
     // OOV coverage, PSI drift buckets
     "badwords_filter", "dedup_cluster_keep_best", "noindex_filter",
-    "oov_rate", "psi_report")
+    "oov_rate", "psi_report",
+    // round 10: multiset-weighted MinHash (repetition-sensitive near-dup)
+    "dedup_weighted_lsh", "dedup_weighted_jaccard")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -1062,6 +1062,68 @@ object QueriesPipeline {
           .select("id1", "id2", "containment_1in2", "containment_2in1")
           .orderBy("id1", "id2")
       }
+
+      // multiset (integer-weighted) MinHash: the occurrence-indexed
+      // expansion makes repetition count — same md5/affine convention,
+      // so the oracle replays signatures, banding and candidates exactly
+      val bandSelectsW = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM wsigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val weightedPrefix =
+        s"""$DocsView,
+           |wsh AS (SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM docs),
+           |wcnt AS (
+           |  SELECT doc_id, token, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(shingles) AS token FROM wsh) GROUP BY 1, 2),
+           |wexp AS (
+           |  SELECT doc_id,
+           |         token || '#' || CAST(unnest(range(1, c + 1)) AS VARCHAR) AS s
+           |  FROM wcnt),
+           |whh AS (SELECT doc_id, list(${sqlMd5HashMod("s")}) AS hh FROM wexp GROUP BY doc_id),
+           |wsigs AS (SELECT doc_id, $mins FROM whh),
+           |wbuckets AS (
+           |  $bandSelectsW),
+           |wpairs AS (
+           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM wbuckets l JOIN wbuckets r
+           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
+
+      register("dedup_weighted_lsh",
+        s"""$weightedPrefix
+           |SELECT id1, id2 FROM wpairs ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        Dedup.weightedLshCandidates(docs(s, dir), "text", "doc_id",
+            k = k, rowsPerBand = 2)
+          .orderBy("id1", "id2")
+      }
+
+      // exact multiset Jaccard verify over the weighted candidates:
+      // Σmin via the intersection join, Σmax by inclusion-exclusion
+      // (token totals = doc lengths) — every count integer-exact, the
+      // final ratio one IEEE division
+      register("dedup_weighted_jaccard",
+        s"""$weightedPrefix,
+           |lens AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM wsh),
+           |inter AS (
+           |  SELECT p.id1, p.id2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+           |  FROM wpairs p
+           |  JOIN wcnt a ON a.doc_id = p.id1
+           |  JOIN wcnt b ON b.doc_id = p.id2 AND a.token = b.token
+           |  GROUP BY 1, 2)
+           |SELECT p.id1, p.id2,
+           |       CASE WHEN l1.n + l2.n - coalesce(i.m, 0) = 0 THEN 1.0
+           |            ELSE CAST(coalesce(i.m, 0) AS DOUBLE)
+           |                 / (l1.n + l2.n - coalesce(i.m, 0)) END AS wjaccard
+           |FROM wpairs p
+           |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+           |JOIN lens l1 ON l1.doc_id = p.id1
+           |JOIN lens l2 ON l2.doc_id = p.id2
+           |ORDER BY p.id1, p.id2""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.weightedLshCandidates(d, "text", "doc_id",
+          k = k, rowsPerBand = 2)
+        Dedup.multisetJaccard(d, pairs, "text", "doc_id")
+          .select("id1", "id2", "wjaccard").orderBy("id1", "id2")
+      }
     }
 
     // exact-substring dedup signal (Lee et al. 2022): per-doc duplicated

@@ -236,9 +236,15 @@ object Dedup {
     */
   private def bandedBuckets(df: DataFrame, textCol: String, idCol: String,
                             k: Int, rowsPerBand: Int,
-                            hashFn: Column => Column): DataFrame = {
+                            hashFn: Column => Column): DataFrame =
+    bandRows(minhashSigTable(df, textCol, idCol, k, hashFn), k, rowsPerBand)
+
+  /** Band a `(__id, m0..m{k-1})` signature table into `(__id, band,
+    * sig)` rows — shared by the set and multiset signature variants.
+    */
+  private def bandRows(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
-    minhashSigTable(df, textCol, idCol, k, hashFn).select(
+    sigs.select(
       col("__id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -264,6 +270,98 @@ object Dedup {
       col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
       .distinct()
+  }
+
+  /** Multiset (integer-weighted) MinHash signature table: MinHash over
+    * OCCURRENCE-INDEXED bigram shingles (`shingle#1 … shingle#c`), the
+    * explicit-replication reduction (the integer-weight baseline Ioffe
+    * 2010's CWS generalizes): bucket-collision probability equals the
+    * multiset Jaccard `Σ min(c₁,c₂) / Σ max(c₁,c₂)`, so repetition
+    * counts — a page that repeats one boilerplate paragraph 50× near-
+    * dups other boilerplate-heavy pages even when their DISTINCT-shingle
+    * sets (the [[minhashSigTable]] relation) barely overlap. Same
+    * shingle unit as the set variant, so the two relations differ only
+    * in whether repeats matter.
+    *
+    * Scale: one `(doc, shingle)` count exchange (map-side combined —
+    * the occurrence expansion happens AFTER counting, so within-doc
+    * repeats never shuffle raw), then one per-doc min aggregate.
+    * Shingle-less docs drop out (no signature, never a candidate) like
+    * the set variant. Hashes follow the same md5/affine-permutation
+    * convention, so the DuckDB oracle replays signatures exactly.
+    */
+  def weightedSigTable(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 8,
+                       hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val p = 1000000007L
+    val hashed = df
+      .select(col(idCol).as("__id"),
+        explode(Text.bigramShingles(Text.tokens(col(textCol)))).as("__t"))
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__c"))
+      .select(col("__id"),
+        explode(transform(sequence(lit(1L), col("__c")),
+          i => concat(col("__t"), lit("#"), i.cast("string")))).as("__s"))
+      .withColumn("__h", pmod(hashFn(col("__s")), lit(p)))
+    val aggs = (0 until k).map { j =>
+      val a = 2L * j + 1
+      val b = 7919L * j + 13
+      min((lit(a) * col("__h") + lit(b)) % lit(p)).as(s"m$j")
+    }
+    hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded LSH candidates under the MULTISET relation — see
+    * [[weightedSigTable]]; same banding/self-join shape (and the same
+    * single-(band,sig)-exchange scale story) as [[lshCandidates]].
+    */
+  def weightedLshCandidates(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 8, rowsPerBand: Int = 2,
+                            hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val banded = bandRows(weightedSigTable(df, textCol, idCol, k, hashFn),
+        k, rowsPerBand)
+      .transform(Materialize.apply)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+      col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact multiset Jaccard `Σ min(c₁,c₂) / Σ max(c₁,c₂)` over bigram-
+    * shingle counts for given pairs — the verification stage behind
+    * [[weightedLshCandidates]], via inclusion-exclusion
+    * (`Σ max = n₁ + n₂ − Σ min`, shingle totals = per-doc shingle
+    * counts) so only the intersection ever joins. Pair-free of the
+    * corpus: the count table is built once; every join after it is
+    * candidate-bounded (pairs broadcast when small). Two shingle-less
+    * docs score 1.0 (identical) by the same convention as the
+    * set-containment verify.
+    */
+  def multisetJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val sh = Text.bigramShingles(Text.tokens(col(textCol)))
+    val cnt = df
+      .select(col(idCol).as("__id"), explode(sh).as("__t"))
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__c"))
+    val lens = df.select(col(idCol).as("__id"),
+      size(sh).cast("long").as("__n"))
+    val p = pairs.select(col("id1"), col("id2"))
+    val inter = p
+      .join(cnt.as("a"), col("a.__id") === col("id1"))
+      .join(cnt.as("b"), col("b.__id") === col("id2") && col("a.__t") === col("b.__t"))
+      .groupBy("id1", "id2")
+      .agg(sum(least(col("a.__c"), col("b.__c"))).as("__m"))
+    p.join(inter, Seq("id1", "id2"), "left")
+      .join(lens.as("l1"), col("l1.__id") === col("id1"))
+      .join(lens.as("l2"), col("l2.__id") === col("id2"))
+      .select(col("id1"), col("id2"),
+        when(col("l1.__n") + col("l2.__n") - coalesce(col("__m"), lit(0L)) === 0L,
+          lit(1.0))
+          .otherwise(coalesce(col("__m"), lit(0L)).cast("double") /
+            (col("l1.__n") + col("l2.__n") - coalesce(col("__m"), lit(0L)))
+              .cast("double"))
+          .as("wjaccard"))
   }
 
   /** Cross-corpus MinHash-LSH near-dup candidates: documents of `left`

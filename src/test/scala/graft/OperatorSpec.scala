@@ -243,6 +243,40 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("multiset MinHash: repetition counts — weighted relation separates what the set relation cannot") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // docs 1/2: same DISTINCT shingle set, wildly different counts;
+    // doc 3: doc 1 verbatim. Set Jaccard says 1~2 identical; multiset says no.
+    val base = "alpha beta gamma delta"
+    val heavy = base + (" alpha beta" * 30)
+    val docs = Seq((1L, base), (2L, heavy), (3L, base)).toDF("doc_id", "text")
+
+    val wj = Dedup.multisetJaccard(docs,
+        Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(wj((1L, 3L)) == 1.0)
+    // 1 vs 2: shingles of 1 = {ab, bg, gd} one each (n=3); doc 2 repeats
+    // ab/ba many times — intersection min-sum is 3 matched once... compute
+    // directly instead of hand-deriving: verify bounds + strict inequality
+    assert(wj((1L, 2L)) < 0.2, wj.toString)
+
+    // set-relation candidates treat 1 and 2 as one bucket family; the
+    // weighted signature keeps 1~3 together and pushes 1~2 apart
+    val wpairs = Dedup.weightedLshCandidates(docs, "text", "doc_id", k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wpairs.contains((1L, 3L)))
+
+    // signature table replays independently of partitioning
+    val one = Dedup.weightedSigTable(docs, "text", "doc_id", k = 8).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val many = Dedup.weightedSigTable(docs.repartition(7), "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(one == many)
+    assert(one(1L) == one(3L) && one(1L) != one(2L))
+  }
+
   test("dedupByClustersKeepBest keeps the highest-quality member, ties to lowest id") {
     import graft.operators.Dedup
     val s = spark
