@@ -64,8 +64,9 @@ object Bench {
     // OOV coverage, PSI drift buckets
     "badwords_filter", "dedup_cluster_keep_best", "noindex_filter",
     "oov_rate", "psi_report",
-    // round 10: multiset-weighted MinHash (repetition-sensitive near-dup)
-    "dedup_weighted_lsh", "dedup_weighted_jaccard")
+    // round 10: multiset-weighted MinHash (repetition-sensitive
+    // near-dup), token-distribution entropy
+    "dedup_weighted_lsh", "dedup_weighted_jaccard", "token_entropy")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -2219,6 +2219,30 @@ object QueriesPipeline {
       Curation.vocabTopK(docs(s, dir), "text", k = 200, minCount = 2L)
     }
 
+    // token-distribution Shannon entropy: the windowless repetition
+    // signal — Spark's sorted run-length fold vs the oracle's unnest +
+    // GROUP BY, ln sums at DECIMAL(38,6) (addition order differs)
+    register("token_entropy",
+      s"""$DocsView,
+         |c AS (SELECT doc_id, token, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(toks) AS token FROM docs) GROUP BY 1, 2),
+         |e AS (SELECT doc_id, sum(c * ln(CAST(c AS DOUBLE))) AS s,
+         |             CAST(sum(c) AS BIGINT) AS n
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(e.n, 0) AS n_tokens,
+         |       CAST(CAST(CASE WHEN e.n > 0
+         |                      THEN ln(CAST(e.n AS DOUBLE)) - e.s / e.n
+         |                      ELSE 0.0 END AS DECIMAL(38,6)) AS DOUBLE) AS entropy
+         |FROM docs d LEFT JOIN e ON e.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val toks = graft.functions.Text.tokens(col("text"))
+      docs(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          graft.functions.Quality.tokenEntropy(toks)
+            .cast("decimal(38,6)").cast("double").as("entropy"))
+        .orderBy("doc_id")
+    }
+
     // vocabulary coverage: per-source token totals and OOV rate against
     // the induced top-200 vocab — counts integer-exact, the rate is one
     // IEEE division of two exact longs (cross-engine exact)

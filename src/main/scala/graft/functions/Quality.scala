@@ -111,6 +111,41 @@ object Quality {
         / size(toks).cast("double"))
       .otherwise(lit(0.0))
 
+  /** Shannon entropy (nats) of the document's token distribution —
+    * `H = ln n − (1/n)·Σ c·ln c` over per-token counts `c`. The
+    * low-entropy tail is keyboard-mash / template spam (one token
+    * repeated: H = 0); the high tail is ordinary prose (all-distinct:
+    * H = ln n). A repetition signal that, unlike the fixed-n n-gram
+    * fractions, needs no window-size choice.
+    *
+    * Single pass like everything here: sort the doc's own token array,
+    * then ONE run-length fold accumulates `Σ c·ln c` (run boundaries
+    * close runs; the finish lambda closes the last) — O(n log n) per
+    * document inside codegen, no explode, no shuffle. Cross-engine the
+    * `ln` sum is 1-ulp sensitive, so gates compare at DECIMAL(38,6)
+    * (the repo's ln convention). Empty docs score 0.
+    */
+  def tokenEntropy(toks: Column): Column = {
+    def cLnC(run: Column): Column =
+      run.cast("double") * log(run.cast("double"))
+    val folded = aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0.0).as("acc")),
+      (a, t) => struct(
+        t.as("prev"),
+        when(t === a.getField("prev"), a.getField("run") + 1L)
+          .otherwise(lit(1L)).as("run"),
+        when(a.getField("prev").isNotNull && t =!= a.getField("prev"),
+          a.getField("acc") + cLnC(a.getField("run")))
+          .otherwise(a.getField("acc")).as("acc")),
+      a => a.getField("acc") +
+        when(a.getField("run") > 0L, cLnC(a.getField("run"))).otherwise(lit(0.0)))
+    when(size(toks) > 0,
+      log(size(toks).cast("double")) - folded / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Count of distinct English stopwords present (Gopher's "has at least
     * 2 stop words" rule; shares [[Text.LangStopwords]]'s `en` set).
     */

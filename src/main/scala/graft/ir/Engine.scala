@@ -935,6 +935,9 @@ object Engine {
       df => df.withColumn(pStr(params(1)), graft.functions.Text.bpeTokenCount(col(pStr(params.head))))
     case "text-quality" =>
       df => df.withColumn(pStr(params(1)), graft.functions.Text.qualityScore(col(pStr(params.head))))
+    case "text-entropy" =>
+      df => df.withColumn(pStr(params(1)),
+        graft.functions.Quality.tokenEntropy(graft.functions.Text.tokens(col(pStr(params.head)))))
     case "text-langid" =>
       df => df.withColumn(pStr(params(1)), graft.functions.Text.langId(col(pStr(params.head))))
     case "text-fingerprint" =>
@@ -972,6 +975,11 @@ object Engine {
     case "dedup-minhash-lsh" =>
       val m = pMap(params.head)
       df => graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
+        k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+    case "dedup-weighted-lsh" =>
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.weightedLshCandidates(df, pStr(m("text")), pStr(m("id")),
         k = m.get("k").map(pLong(_).toInt).getOrElse(8),
         rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
     case "dedup-embedding" =>

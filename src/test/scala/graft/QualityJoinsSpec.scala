@@ -428,4 +428,22 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(norm(" \t\n ") == "")               // whitespace-only collapses to empty
     assert(norm("already clean") == "already clean")
   }
+
+  test("tokenEntropy: 0 for constant docs, ln n for all-distinct, exact on mixed runs, 0 for empty") {
+    import graft.functions.{Quality, Text}
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      ("const", "same same same same"),
+      ("distinct", "alpha beta gamma delta"),
+      ("mixed", "a a b b"),
+      ("empty", "")).toDF("k", "text")
+      .select(col("k"), Quality.tokenEntropy(Text.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("const") == 0.0)
+    assert(got("distinct") == StrictMath.log(4.0))
+    // H = ln4 - (1/4)(2ln2 + 2ln2) = ln2
+    assert(math.abs(got("mixed") - StrictMath.log(2.0)) < 1e-15, got.toString)
+    assert(got("empty") == 0.0)
+  }
 }
