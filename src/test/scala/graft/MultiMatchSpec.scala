@@ -106,6 +106,26 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(sig == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 0L))
   }
 
+  test("badwordsFilter runs unchanged on a streaming frame (stateless map-side op)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val filtered = Curation.badwordsFilter(
+      ms.toDF().toDF("doc_id", "text"), "text", Seq("badword"))
+    assert(filtered.isStreaming)
+    val q = filtered.writeStream.format("memory").queryName("bw_stream_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "clean"), (2L, "a BADWORD here"), (3L, "also clean"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id FROM bw_stream_out").collect()
+        .map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("badwords-filter and badwords-signal are declarable IR actions") {
     import graft.ir.{Engine, EngineCtx, Node}
     val s = spark
