@@ -66,7 +66,8 @@ object Bench {
     "oov_rate", "psi_report",
     // round 10: multiset-weighted MinHash (repetition-sensitive
     // near-dup), token-distribution entropy
-    "dedup_weighted_lsh", "dedup_weighted_jaccard", "token_entropy")
+    "dedup_weighted_lsh", "dedup_weighted_jaccard", "token_entropy",
+    "kmv_overlap")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

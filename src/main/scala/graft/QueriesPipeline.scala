@@ -3280,6 +3280,52 @@ object QueriesPipeline {
       }
     }
 
+    // KMV set-operation estimates: vocabulary union / Jaccard /
+    // intersection of the even-id and odd-id halves from two bottom-k
+    // sketches. The oracle tests membership against the FULL hash sets —
+    // equivalent to the engine's sketch-membership test because every
+    // union-sample element is below both retention thresholds. k is set
+    // BELOW the corpus vocabulary so the estimator arm (not the exact
+    // fallback) is what the gate exercises; all arithmetic is the same
+    // fixed IEEE expression over exact integers on both engines.
+    locally {
+      val k = 16
+      val hashOf = sqlMd5Hash64("'kmvo' || '|' || token")
+      register("kmv_overlap",
+        s"""$DocsView,
+           |ta AS (SELECT DISTINCT $hashOf AS h
+           |       FROM (SELECT DISTINCT unnest(toks) AS token FROM docs
+           |             WHERE doc_id % 2 = 0)),
+           |tb AS (SELECT DISTINCT $hashOf AS h
+           |       FROM (SELECT DISTINCT unnest(toks) AS token FROM docs
+           |             WHERE doc_id % 2 = 1)),
+           |u AS (SELECT h FROM (SELECT h FROM ta UNION SELECT h FROM tb)
+           |      ORDER BY h LIMIT $k),
+           |agg AS (SELECT count(*) AS ku, max(h) AS hk,
+           |               count(*) FILTER (WHERE h IN (SELECT h FROM ta)
+           |                                  AND h IN (SELECT h FROM tb)) AS m
+           |        FROM u)
+           |SELECT CAST(ku AS BIGINT) AS k_union, CAST(hk AS BIGINT) AS h_k,
+           |       CASE WHEN ku < $k THEN CAST(ku AS DOUBLE)
+           |            ELSE CAST(${k - 1} AS DOUBLE) * pow(2, 60) / CAST(hk AS DOUBLE)
+           |       END AS d_union,
+           |       CAST(m AS BIGINT) AS n_both,
+           |       CAST(m AS DOUBLE)
+           |         / (CASE WHEN ku < $k THEN greatest(ku, 1) ELSE $k END) AS jaccard,
+           |       (CAST(m AS DOUBLE)
+           |         / (CASE WHEN ku < $k THEN greatest(ku, 1) ELSE $k END))
+           |       * (CASE WHEN ku < $k THEN CAST(ku AS DOUBLE)
+           |               ELSE CAST(${k - 1} AS DOUBLE) * pow(2, 60) / CAST(hk AS DOUBLE)
+           |          END) AS d_inter
+           |FROM agg""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        graft.operators.Sketches.kmvOverlap(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "text", k, "kmvo")
+      }
+    }
+
     // GPT-2 byte-level pretokens: the same regex runs in Java and RE2,
     // and over the (pure-ASCII) corpus the byte map reduces to the
     // space->Ġ rule the oracle replays; full 256-byte semantics are

@@ -237,6 +237,16 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Curation.PsiReportSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "kmv-overlap" =>
+          // artifact rule: the comparison corpus is a runtime input
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("text"))); pStr(m("other-path"))
+            require(pLong(m("k")) >= 2, "kmv-overlap: k must be >= 2")
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.Sketches.KmvOverlapSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "vocab-coverage" =>
           // artifact rule: the vocabulary table is a runtime input; the
           // group column's type carries through from the input frame
@@ -1102,6 +1112,13 @@ object Engine {
         val other = df.sparkSession.read.parquet(pStr(m("other-path")))
         graft.operators.Curation.psiReport(df, other, pStr(m("value")), edges,
           eps = m.get("eps").map(pDouble).getOrElse(1e-6))
+      }
+    case "kmv-overlap" =>
+      val m = pMap(params.head)
+      df => {
+        val other = df.sparkSession.read.parquet(pStr(m("other-path")))
+        graft.operators.Sketches.kmvOverlap(df, other, pStr(m("text")),
+          pLong(m("k")).toInt, m.get("seed").map(pStr).getOrElse("kmv"))
       }
     case "vocab-coverage" =>
       val m = pMap(params.head)

@@ -172,4 +172,59 @@ object Sketches {
     Seq((kept.length.toLong, if (kept.isEmpty) 0L else kept.last, est))
       .toDF("k_kept", "h_k", "est")
   }
+
+  /** KMV set-operation estimates between two corpora (Beyer et al.
+    * 2007 §4): distinct-vocabulary union size, Jaccard overlap, and
+    * intersection size of `a` and `b`'s token sets from two bottom-k
+    * sketches — "how much does the new crawl overlap what we already
+    * have" at cardinality level, the sketch-sized complement of the
+    * row-level decontam/cross-corpus passes.
+    *
+    * The union sketch is the bottom-k of the two kept sets (the KMV
+    * closure property: bottom-k of the union of bottom-ks IS the
+    * bottom-k of the union); every union element h satisfies
+    * `h ≤ min(τₐ, τᵦ)`, so sketch membership decides TRUE membership
+    * (no false negatives) and `ρ = |K∪ ∩ Kₐ ∩ Kᵦ| / k` is the standard
+    * unbiased Jaccard estimator; `D̂∩ = ρ·D̂∪`. Falls back to exact
+    * values when the union has fewer than k distinct hashes (both
+    * sides exhaustive).
+    *
+    * Each corpus pays ONE map-side-combined bottom-k aggregate
+    * (`k·16` bytes of state); everything else is driver math on ≤2k
+    * longs. Every arithmetic step is a fixed IEEE expression over
+    * exact integers, so the DuckDB oracle replays the estimates
+    * bit-exactly. One row: `(k_union, h_k, d_union, n_both, jaccard,
+    * d_inter)`.
+    */
+  val KmvOverlapSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("k_union", LongType), StructField("h_k", LongType),
+      StructField("d_union", DoubleType), StructField("n_both", LongType),
+      StructField("jaccard", DoubleType), StructField("d_inter", DoubleType)))
+  }
+
+  def kmvOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                 k: Int, seed: String): DataFrame = {
+    require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def sketch(df: DataFrame): Seq[Long] =
+      df.select(explode(Text.tokens(col(textCol))).as("__tok"))
+        .agg(graft.functions.BottomK.bottomK(
+          Text.md5Hash64(concat_ws("|", lit(seed), col("__tok"))),
+          lit(0.0), k).as("s"))
+        .head.getSeq[Row](0).map(_.getLong(0))
+    val (sa, sb) = (sketch(a).toSet, sketch(b).toSet)
+    val union = (sa ++ sb).toSeq.sorted.take(k)
+    val exact = union.length < k
+    val hk = if (union.isEmpty) 0L else union.last
+    val dU =
+      if (exact) union.length.toDouble
+      else (k - 1).toDouble * math.pow(2.0, 60.0) / hk.toDouble
+    val m = union.count(h => sa(h) && sb(h)).toLong
+    val denom = if (exact) math.max(union.length, 1) else k
+    val jaccard = m.toDouble / denom.toDouble
+    Seq((union.length.toLong, hk, dU, m, jaccard, jaccard * dU))
+      .toDF("k_union", "h_k", "d_union", "n_both", "jaccard", "d_inter")
+  }
 }

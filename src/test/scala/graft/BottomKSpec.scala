@@ -135,4 +135,60 @@ class BottomKSpec extends AnyFunSuite {
         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
     assert(dist.columns.toSeq == Seq("k_kept", "h_k", "est") && dist.count() == 1L)
   }
+
+  test("kmvOverlap: exact on small vocabularies, estimator within band above k, disjoint/identical extremes") {
+    import graft.operators.Sketches
+    val s = spark
+    import s.implicits._
+    def corpus(words: Seq[String]): org.apache.spark.sql.DataFrame =
+      words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+
+    // identical sides, both below k: exact path, jaccard 1, inter == union
+    val a = corpus(Seq("alpha beta", "gamma"))
+    val same = Sketches.kmvOverlap(a, a, "text", k = 16, "s").collect().head
+    assert(same.getLong(0) == 3L && same.getDouble(2) == 3.0)
+    assert(same.getDouble(4) == 1.0 && same.getDouble(5) == 3.0)
+
+    // disjoint sides: jaccard and intersection exactly 0
+    val b = corpus(Seq("delta epsilon", "zeta"))
+    val disj = Sketches.kmvOverlap(a, b, "text", k = 16, "s").collect().head
+    assert(disj.getLong(3) == 0L && disj.getDouble(4) == 0.0 && disj.getDouble(5) == 0.0)
+
+    // above k: estimator arm; 400-word vocab, half shared. Union = 600,
+    // jaccard = 200/600 — both within the O(1/sqrt(k)) band at k=64
+    val shared = (0 until 200).map(i => s"shared$i")
+    val bigA = corpus(shared ++ (0 until 200).map(i => s"lefty$i"))
+    val bigB = corpus(shared ++ (0 until 200).map(i => s"right$i"))
+    val est = Sketches.kmvOverlap(bigA, bigB, "text", k = 64, "s").collect().head
+    assert(est.getLong(0) == 64L)
+    assert(math.abs(est.getDouble(2) - 600.0) / 600.0 < 0.5, est.toString)
+    assert(math.abs(est.getDouble(4) - 1.0 / 3.0) < 0.25, est.toString)
+
+    // estimates are partition invariant (mergeable bottom-k underneath)
+    val est2 = Sketches.kmvOverlap(bigA.repartition(7), bigB.repartition(5),
+      "text", k = 64, "s").collect().head
+    assert(est.toSeq == est2.toSeq)
+  }
+
+  test("kmv-overlap is a declarable IR action (artifact rule); validate artifact-total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    import graft.operators.Sketches
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmvo_ir").toString
+    Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text")
+      .write.parquet(s"$tmp/other")
+    val out = Engine.run(Node.fromJson(
+        s"""{"action":"kmv-overlap","params":[{"text":"text","other-path":"$tmp/other","k":16,"seed":"s"}],
+           | "children":[{"action":"tap","params":["o"]}]}""".stripMargin),
+      Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text"),
+      EngineCtx(testMode = true)).taps("o").collect().head
+    assert(out.getDouble(4) == 1.0)
+    val v = Engine.validate(Node.fromJson(
+        """{"action":"kmv-overlap","params":[{"text":"text","other-path":"/nope/x","k":16}],
+          | "children":[{"action":"tap","params":["o"]}]}""".stripMargin),
+      s, EngineCtx(testMode = true),
+      Seq((1L, "t")).toDF("id", "text").schema)
+    assert(v.isEmpty, v.mkString("; "))
+  }
 }
