@@ -2284,10 +2284,10 @@ object QueriesPipeline {
            |             CAST(sum(n_b) AS DOUBLE) AS tb FROM j)
            |SELECT j.bucket, j.n_a, j.n_b,
            |       CAST(CAST(
-           |         (greatest(CASE WHEN ta > 0 THEN n_a / ta ELSE 0 END, 1e-6)
-           |          - greatest(CASE WHEN tb > 0 THEN n_b / tb ELSE 0 END, 1e-6))
-           |         * ln(greatest(CASE WHEN ta > 0 THEN n_a / ta ELSE 0 END, 1e-6)
-           |              / greatest(CASE WHEN tb > 0 THEN n_b / tb ELSE 0 END, 1e-6))
+           |         ((CASE WHEN ta > 0 AND n_a > 0 THEN n_a / ta ELSE 1e-6 END)
+           |          - (CASE WHEN tb > 0 AND n_b > 0 THEN n_b / tb ELSE 1e-6 END))
+           |         * ln((CASE WHEN ta > 0 AND n_a > 0 THEN n_a / ta ELSE 1e-6 END)
+           |              / (CASE WHEN tb > 0 AND n_b > 0 THEN n_b / tb ELSE 1e-6 END))
            |         AS DECIMAL(38,6)) AS DOUBLE) AS psi
            |FROM j, t ORDER BY bucket""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)

@@ -44,13 +44,21 @@ object MultiMatch {
     require(patterns.distinct.length == patterns.length,
       "AcAutomaton: duplicate patterns")
 
+    // fail fast on the driver — the cap check must not hide inside the
+    // lazy table build
+    require(patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .length.toLong).sum <= MaxPatternBytes,
+      s"AcAutomaton: > $MaxPatternBytes total pattern bytes (dense DFA cap)")
+
     // trie build over UTF-8 bytes, then BFS closure into a full DFA:
-    // goto(u,b) total, cnt(u) = patterns ending at u or any suffix of u
-    private val (gotoTab: Array[Int], cnt: Array[Long]) = {
+    // goto(u,b) total, cnt(u) = patterns ending at u or any suffix of u.
+    // @transient lazy: ONLY the pattern strings ride the wire (the table
+    // is nodes × 256 × 4 B — up to ~34 MB — and would otherwise be
+    // Java-serialized into every stage's task binary via the codegen
+    // reference array); each executor builds it once on first use.
+    @transient private lazy val tables: (Array[Int], Array[Long]) = {
       val pats = patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val total = pats.map(_.length.toLong).sum
-      require(total <= MaxPatternBytes,
-        s"AcAutomaton: $total pattern bytes > $MaxPatternBytes (dense DFA cap)")
       val maxNodes = total.toInt + 1
       val next = new Array[Int](maxNodes * 256)
       java.util.Arrays.fill(next, -1)
@@ -94,6 +102,7 @@ object MultiMatch {
 
     /** Occurrences of all patterns in `s` (overlaps included). */
     def countOccurrences(s: UTF8String): Long = {
+      val (gotoTab, cnt) = tables
       val n = s.numBytes()
       var u = 0
       var total = 0L
@@ -108,6 +117,7 @@ object MultiMatch {
 
     /** Does `s` contain any pattern? Early-exits on the first hit. */
     def containsAny(s: UTF8String): Boolean = {
+      val (gotoTab, cnt) = tables
       val n = s.numBytes()
       var u = 0
       var i = 0

@@ -284,10 +284,13 @@ object Curation {
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     val totals = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
     val withTotals = joined.crossJoin(broadcast(totals))
-    // an entirely-empty side floors to eps everywhere (0/0 would be NaN)
-    def share(n: String, t: String) = greatest(
-      when(col(t) > 0L, col(n).cast("double") / col(t).cast("double"))
-        .otherwise(lit(0.0)), lit(eps))
+    // ONLY zero mass floors to eps (empty bucket, or an entirely-empty
+    // side whose 0/0 would be NaN) — a tiny nonzero share stays itself,
+    // so a newly-appearing rare bucket is visible, never clipped to eps
+    def share(n: String, t: String) =
+      when(col(t) > 0L && col(n) > 0L,
+        col(n).cast("double") / col(t).cast("double"))
+        .otherwise(lit(eps))
     val p = share("n_a", "__ta")
     val q = share("n_b", "__tb")
     withTotals.select(col("bucket"), col("n_a"), col("n_b"),

@@ -177,20 +177,6 @@ object Dedup {
               iv => i + 1 >= iv.getField("lo") && i + 1 <= iv.getField("hi"))))).as(textCol))
   }
 
-  /** LSH candidate pairs: bucket on (band index, band slice of the
-    * signature); pairs emerge from a self-join *within buckets* — the only
-    * shuffle is on the bucket key, so cost tracks bucket skew, not n².
-    * Returns distinct (id1, id2) with id1 < id2.
-    */
-  /** MinHash signatures via the distributed shape: explode shingles to
-    * rows, hash each shingle EXACTLY ONCE, then k cheap arithmetic `min`
-    * aggregates with map-side partial combine. The per-row array-fold
-    * variant ([[minhashSignature]]) re-evaluates the whole
-    * tokenize→shingle→hash lambda chain once per permutation — higher-order
-    * lambdas are not common-subexpression-eliminated. Shuffle volume here
-    * is only the (id, k mins) partials, and the explode never amplifies
-    * shuffled data (it sits between the scan and the partial aggregate).
-    */
   /** Banding-theory planner (the MMDS ch.3 s-curve): for a `k`-hash
     * MinHash signature, choose `(bands, rowsPerBand)` whose collision
     * threshold `(1/b)^(1/r)` — the Jaccard similarity at which a pair's
@@ -210,6 +196,18 @@ object Dedup {
     }.minBy { case (_, r, t) => (math.abs(t - targetJaccard), r) }
   }
 
+  /** MinHash signatures via the distributed shape: explode shingles to
+    * rows, hash each shingle EXACTLY ONCE, then k cheap arithmetic `min`
+    * aggregates with map-side partial combine. The per-row array-fold
+    * variant ([[minhashSignature]]) re-evaluates the whole
+    * tokenize→shingle→hash lambda chain once per permutation — higher-order
+    * lambdas are not common-subexpression-eliminated. Shuffle volume here
+    * is only the (id, k mins) partials, and the explode never amplifies
+    * shuffled data (it sits between the scan and the partial aggregate).
+    * Used by [[lshCandidates]]: buckets on (band, band slice) and pairs
+    * emerge from a self-join within buckets, so cost tracks bucket skew,
+    * not n².
+    */
   def minhashSigTable(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 8,
                       hashFn: Column => Column = Text.md5HashMod): DataFrame = {

@@ -255,7 +255,15 @@ object Robots {
     // total on null html: no page, no tags, no directives
     val tags = regexp_extract_all(coalesce(html, lit("")),
       lit("(?i)<meta\\b[^>]*>"), lit(0))
-    val mine = filter(tags, t => t.rlike(s"(?i)\\bname\\s*=\\s*[\"']?$nameAlt\\b"))
+    // anchor the name test to ATTRIBUTE position: blank out the (quoted)
+    // content value first, so content="noindex, name=robots explained"
+    // (an SEO page QUOTING the directive) can never satisfy the name
+    // match — only a real name attribute survives the strip
+    val mine = filter(tags, t => {
+      val cleaned = regexp_replace(t,
+        "(?i)\\bcontent\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", "content=\"\"")
+      cleaned.rlike(s"(?i)\\bname\\s*=\\s*[\"']?$nameAlt\\b")
+    })
     val contents = transform(mine, t => {
       val dq = regexp_extract(t, "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1)
       val sq = regexp_extract(t, "(?i)\\bcontent\\s*=\\s*'([^']*)'", 1)

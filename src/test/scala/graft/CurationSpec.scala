@@ -682,6 +682,13 @@ class CurationSpec extends AnyFunSuite {
     val floored = Curation.psiReport(a, empty, "v", edges).collect()
     assert(floored.forall(r => !r.getDouble(3).isNaN))
 
+    // ONLY zero mass floors: a nonzero share below eps stays itself
+    // (with eps=0.3, bucket 0 has p=0.25 which the old symmetric clip
+    // would have flattened into the floor, reporting psi 0)
+    val tiny = Curation.psiReport(a, b, "v", edges, eps = 0.3).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(tiny(0) == term(0.25, 0.3) && tiny(0) != 0.0, tiny.toString)
+
     intercept[IllegalArgumentException](Curation.psiReport(a, b, "v", Seq(2.0, 1.0)))
     intercept[IllegalArgumentException](Curation.psiReport(a, b, "v", Seq.empty))
   }

@@ -106,6 +106,22 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(sig == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 0L))
   }
 
+  test("only pattern strings ride the wire: serialized automaton is tiny, tables rebuild") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ac = new MultiMatch.AcAutomaton(Array("badword", "forbidden phrase"))
+    assert(ac.countOccurrences(UTF8String.fromString("x badword")) == 1L) // force build
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ac); oos.close()
+    // dense goto table would be ~24 KB here; pattern strings are ~25 B
+    assert(bos.size() < 2000, s"serialized automaton is ${bos.size()} bytes")
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[MultiMatch.AcAutomaton]
+    assert(back.countOccurrences(
+      UTF8String.fromString("a badword and a forbidden phrase")) == 2L)
+  }
+
   test("badwordsFilter runs unchanged on a streaming frame (stateless map-side op)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

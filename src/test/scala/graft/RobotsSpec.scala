@@ -204,23 +204,28 @@ class RobotsSpec extends AnyFunSuite {
       (4L, """<meta name="description" content="noindex">decoy"""),
       (5L, """no html at all"""),
       (6L, """<meta name="mybot" content="noindex">"""),
-      (7L, """<meta name="robots" content="">"""))
+      (7L, """<meta name="robots" content="">"""),
+      // an SEO page QUOTING the directive inside a content VALUE — the
+      // name test is attribute-anchored, so none of these are robots tags
+      (9L, """<meta name="description" content="noindex, name=robots explained">"""),
+      (10L, """<meta name="description" content=name=robots>"""))
     val df = cases.toDF("id", "html")
     def dirs(agent: String) = df.select(col("id"),
         array_join(array_sort(Robots.metaRobotsDirectives(col("html"), agent)), ",").as("d"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val generic = dirs("robots")
     assert(generic == Map(1L -> "follow,noarchive,noindex", 2L -> "nofollow",
-      3L -> "none", 4L -> "", 5L -> "", 6L -> "", 7L -> ""))
+      3L -> "none", 4L -> "", 5L -> "", 6L -> "", 7L -> "", 9L -> "", 10L -> ""))
     // the named agent also sees its own product-token tags
     assert(dirs("MyBot")(6L) == "noindex")
 
     val kept = Robots.noindexFilter(df, "html")
       .select("id").collect().map(_.getLong(0)).sorted
-    // 1 (noindex) and 3 (none) drop; the description decoy survives
-    assert(kept.toSeq == Seq(2L, 4L, 5L, 6L, 7L))
+    // 1 (noindex) and 3 (none) drop; every decoy survives
+    assert(kept.toSeq == Seq(2L, 4L, 5L, 6L, 7L, 9L, 10L))
     assert(Robots.noindexFilter(df, "html", agent = "mybot")
-      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 5L, 7L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 4L, 5L, 7L, 9L, 10L))
 
     // null html is total (no tags -> kept)
     val withNull = Seq((8L, null: String)).toDF("id", "html")
