@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall measurement for the banded MinHash-LSH candidate generators
+  * against EXACT Jaccard ground truth — the dedup twin of AnnRecallSpec:
+  * the s-curve promises that pairs well above the banding threshold
+  * `(1/b)^(1/r)` are found with high probability; a silent regression
+  * (wrong band key, broken hash convention, dropped shingles) collapses
+  * that recall and must fail loudly. Ground truth comes from
+  * [[Dedup.ngramJaccard]] over ALL pairs of a controlled fixture whose
+  * similarity tiers are constructed, not sampled.
+  */
+class DedupRecallSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  /** A controlled near-dup corpus: 30 base docs of 40 distinct-ish
+    * tokens; each base doc gets a high-similarity twin (2 of 40 tokens
+    * perturbed → shingle Jaccard ≈ 0.85) and a medium twin (10 of 40
+    * perturbed). Unrelated docs share almost nothing (disjoint token
+    * universes per base).
+    */
+  private lazy val corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 30).flatMap { b =>
+      val toks = (0 until 40).map(i => s"w${b}x$i")
+      def doc(perturb: Int, tag: Int): (Long, String) = {
+        val t = toks.zipWithIndex.map { case (w, i) =>
+          if (i % (40 / math.max(perturb, 1)) == 0 && perturb > 0) s"p${tag}q$i" else w
+        }
+        (b.toLong * 10 + tag, t.mkString(" "))
+      }
+      Seq((b.toLong * 10, toks.mkString(" ")), doc(2, 1), doc(10, 2))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def allPairs: DataFrame = {
+    val ids = corpus.select(col("doc_id").as("id1"))
+    ids.crossJoin(corpus.select(col("doc_id").as("id2")))
+      .filter(col("id1") < col("id2"))
+  }
+
+  private lazy val truth: Map[(Long, Long), Double] =
+    Dedup.ngramJaccard(corpus, allPairs, "text", "doc_id")
+      .select("id1", "id2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  private def recallAbove(candidates: Set[(Long, Long)], tau: Double): Double = {
+    val want = truth.filter(_._2 >= tau).keySet
+    assert(want.nonEmpty, s"fixture has no pairs with J >= $tau")
+    want.intersect(candidates).size.toDouble / want.size
+  }
+
+  test("set-LSH recall: high above the banding threshold, s-curve ordering across tiers") {
+    val (bands, rows, tau) = Dedup.lshPlan(8, 0.5)
+    info(f"lshPlan(8, 0.5) -> bands=$bands rows=$rows threshold=$tau%.3f")
+    val cands = Dedup.lshCandidates(corpus, "text", "doc_id", k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rHigh = recallAbove(cands, 0.8)   // the ~0.85 twins
+    val rMid = recallAbove(cands, 0.35)   // includes the medium tier
+    info(f"recall J>=0.8: $rHigh%.3f; J>=0.35: $rMid%.3f; candidates=${cands.size}")
+    // k=8, r=2 → threshold ≈ 0.5: the 0.85 tier collides in some band
+    // with prob ≈ 1-(1-0.85²)⁴ ≈ 0.95 per pair; pin 10pts under
+    assert(rHigh >= 0.85, f"high-tier recall $rHigh%.3f")
+    assert(rHigh >= rMid, "recall must not increase as the tier drops below threshold")
+    // and the generator is not degenerate (returning all pairs would
+    // also pass recall): unrelated cross-base pairs stay out
+    val unrelated = cands.count { case (a, b) => a / 10 != b / 10 }
+    assert(unrelated <= cands.size / 10,
+      s"$unrelated of ${cands.size} candidates are cross-base noise")
+  }
+
+  test("weighted-LSH recall on the multiset relation mirrors the set variant on repeat-free docs") {
+    // on a repeat-free corpus every shingle count is 1, so the multiset
+    // relation degenerates to the set relation — same ground truth applies
+    val cands = Dedup.weightedLshCandidates(corpus, "text", "doc_id",
+        k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rHigh = recallAbove(cands, 0.8)
+    info(f"weighted recall J>=0.8: $rHigh%.3f; candidates=${cands.size}")
+    assert(rHigh >= 0.85, f"high-tier recall $rHigh%.3f")
+  }
+}
