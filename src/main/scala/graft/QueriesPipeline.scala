@@ -2219,6 +2219,28 @@ object QueriesPipeline {
       Curation.vocabTopK(docs(s, dir), "text", k = 200, minCount = 2L)
     }
 
+    // Zipf power-law fit: driver's sequential least squares vs the
+    // oracle's regr_slope/regr_intercept — same ranked vocabulary,
+    // ln terms associate differently, compare at DECIMAL(38,6)
+    register("zipf_fit",
+      s"""$DocsView,
+         |c AS (SELECT token, count(*) AS n
+         |      FROM (SELECT unnest(toks) AS token FROM docs) GROUP BY token),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c),
+         |f AS (SELECT count(*) AS v,
+         |             regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS slope,
+         |             regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS intercept
+         |      FROM r)
+         |SELECT CAST(v AS BIGINT) AS v_size,
+         |       CAST(CAST(slope AS DECIMAL(38,6)) AS DOUBLE) AS slope,
+         |       CAST(CAST(intercept AS DECIMAL(38,6)) AS DOUBLE) AS intercept
+         |FROM f""".stripMargin) { (s, dir) =>
+      Curation.zipfFit(docs(s, dir), "text")
+        .select(col("v_size"),
+          col("slope").cast("decimal(38,6)").cast("double").as("slope"),
+          col("intercept").cast("decimal(38,6)").cast("double").as("intercept"))
+    }
+
     // token-distribution Shannon entropy: the windowless repetition
     // signal — Spark's sorted run-length fold vs the oracle's unnest +
     // GROUP BY, ln sums at DECIMAL(38,6) (addition order differs)

@@ -1127,6 +1127,10 @@ object Engine {
         graft.operators.Curation.vocabCoverage(df, pStr(m("group")), pStr(m("text")),
           vocab, tokenCol = m.get("token").map(pStr).getOrElse("token"))
       }
+    case "zipf-fit" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.zipfFit(df, pStr(m("text")),
+        m.get("min-count").map(pLong).getOrElse(1L))
     case "ngram-diversity" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.ngramDiversity(df, pStr(m("group")), pStr(m("text")),

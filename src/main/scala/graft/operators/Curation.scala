@@ -216,6 +216,50 @@ object Curation {
       .limit(k)
   }
 
+  /** Zipf power-law fit of the corpus vocabulary: the least-squares
+    * slope of `ln(freq)` on `ln(rank)` over the full ranked vocabulary
+    * (rank by count desc, token asc tie-break — the [[vocabTopK]]
+    * order). Natural-language corpora fit slope ≈ −1 (Zipf's law);
+    * templated or machine-generated corpora flatten (slope → 0) or
+    * step — a one-number vocabulary-health diagnostic corpus reports
+    * publish routinely.
+    *
+    * One map-side-combined vocabulary aggregate; the ranked table is
+    * model-sized by definition, so the regression is a deterministic
+    * sequential driver fold (the repo's model-sized-collect rule).
+    * Returns one row `(v_size, slope, intercept)`; slope/intercept are
+    * null when fewer than 2 vocabulary entries exist (also what makes
+    * IR validation on an empty frame total). Gates compare at
+    * DECIMAL(38,6) — ln sums associate differently across engines.
+    */
+  def zipfFit(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token"))
+      .collect().map(_.getLong(1))
+    val v = counts.length
+    if (v < 2) {
+      Seq((v.toLong, Option.empty[Double], Option.empty[Double]))
+        .toDF("v_size", "slope", "intercept")
+    } else {
+      var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+      var i = 0
+      while (i < v) {
+        val x = StrictMath.log((i + 1).toDouble)
+        val y = StrictMath.log(counts(i).toDouble)
+        sx += x; sy += y; sxy += x * y; sxx += x * x
+        i += 1
+      }
+      val slope = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / v
+      Seq((v.toLong, Some(slope), Some(intercept)))
+        .toDF("v_size", "slope", "intercept")
+    }
+  }
+
   /** Tokenizer-vocabulary coverage report: per group, total tokens,
     * OOV tokens (absent from `vocab`) and the OOV rate — the standard
     * "what fraction of the corpus does my vocabulary miss, and where"

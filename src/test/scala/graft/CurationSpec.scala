@@ -727,6 +727,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit: exact slope on a constructed power law; degenerate vocab yields nulls") {
+    val s = spark
+    import s.implicits._
+    // counts 8,4,2,1 at ranks 1..4: y = ln c, x = ln rank. Not a perfect
+    // line (ln 3 breaks it) — compare against an independent in-test
+    // least squares over the same points
+    val df = Seq(
+      "a a a a a a a a b b b b c c d",
+      "").toDF("text")
+    val got = Curation.zipfFit(df, "text").collect().head
+    assert(got.getLong(0) == 4L)
+    val xs = (1 to 4).map(i => StrictMath.log(i.toDouble))
+    val ys = Seq(8L, 4L, 2L, 1L).map(c => StrictMath.log(c.toDouble))
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(got.getDouble(1) - slope) < 1e-12, got.toString)
+    assert(slope < -0.9 && slope > -1.8) // zipf-ish, sanity on the fixture
+    // fewer than 2 vocab entries: size reported, fit is null
+    val deg = Curation.zipfFit(Seq("solo solo solo").toDF("text"), "text").collect().head
+    assert(deg.getLong(0) == 1L && deg.isNullAt(1) && deg.isNullAt(2))
+  }
+
   test("lshPlan picks the banding whose s-curve threshold lands on target") {
     import graft.operators.Dedup
     // k=16: r=1..16, b=k/r; threshold (1/b)^(1/r)
