@@ -2131,6 +2131,19 @@ object QueriesPipeline {
       }
     }
 
+    // dictionary redaction: span-union masking vs chained replace — the
+    // two agree whenever matches are disjoint, which these patterns
+    // guarantee on any text (no shared characters, no self-overlap)
+    register("badwords_redact",
+      s"""SELECT doc_id,
+         |       replace(replace(text, 'slow', '[X]'), 'batch stream', '[X]')
+         |         AS text_redacted
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.badwordsRedact(docs(s, dir), "text",
+          Seq("slow", "batch stream"), mask = "[X]", caseInsensitive = false)
+        .select("doc_id", "text_redacted").orderBy("doc_id")
+    }
+
     // C4 bad-words rule: the Aho-Corasick dictionary kernel's hit counts
     // vs per-pattern regexp counts (each pattern is a single
     // non-self-overlapping phrase, where all-occurrences == the oracle's

@@ -56,13 +56,14 @@ object MultiMatch {
     // is nodes × 256 × 4 B — up to ~34 MB — and would otherwise be
     // Java-serialized into every stage's task binary via the codegen
     // reference array); each executor builds it once on first use.
-    @transient private lazy val tables: (Array[Int], Array[Long]) = {
+    @transient private lazy val tables: (Array[Int], Array[Long], Array[Int]) = {
       val pats = patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val total = pats.map(_.length.toLong).sum
       val maxNodes = total.toInt + 1
       val next = new Array[Int](maxNodes * 256)
       java.util.Arrays.fill(next, -1)
       val ends = new Array[Long](maxNodes)
+      val endLen = new Array[Int](maxNodes) // longest pattern ending here
       var nNodes = 1
       pats.foreach { p =>
         var u = 0
@@ -74,6 +75,7 @@ object MultiMatch {
           i += 1
         }
         ends(u) += 1L
+        if (p.length > endLen(u)) endLen(u) = p.length
       }
       // BFS: missing root edges -> root; child fail via parent's DFA row,
       // then close each child's row over its fail row
@@ -89,6 +91,7 @@ object MultiMatch {
       while (!queue.isEmpty) {
         val u = queue.poll().intValue()
         ends(u) += ends(fail(u)) // suffix-accumulated counts, BFS order
+        if (endLen(fail(u)) > endLen(u)) endLen(u) = endLen(fail(u))
         var c = 0
         while (c < 256) {
           val v = next(u * 256 + c)
@@ -97,12 +100,14 @@ object MultiMatch {
           c += 1
         }
       }
-      (java.util.Arrays.copyOf(next, nNodes * 256), java.util.Arrays.copyOf(ends, nNodes))
+      (java.util.Arrays.copyOf(next, nNodes * 256),
+        java.util.Arrays.copyOf(ends, nNodes),
+        java.util.Arrays.copyOf(endLen, nNodes))
     }
 
     /** Occurrences of all patterns in `s` (overlaps included). */
     def countOccurrences(s: UTF8String): Long = {
-      val (gotoTab, cnt) = tables
+      val (gotoTab, cnt, _) = tables
       val n = s.numBytes()
       var u = 0
       var total = 0L
@@ -117,7 +122,7 @@ object MultiMatch {
 
     /** Does `s` contain any pattern? Early-exits on the first hit. */
     def containsAny(s: UTF8String): Boolean = {
-      val (gotoTab, cnt) = tables
+      val (gotoTab, cnt, _) = tables
       val n = s.numBytes()
       var u = 0
       var i = 0
@@ -127,6 +132,67 @@ object MultiMatch {
         i += 1
       }
       false
+    }
+
+    /** Replace every matched span with `mask`: the union of all match
+      * intervals is computed (per end position the LONGEST pattern
+      * ending there covers every shorter one), overlapping intervals
+      * merge into ONE mask, disjoint matches — including adjacent
+      * ones — mask separately (identical to per-occurrence `replace`
+      * whenever matches don't overlap). `asciiFold` folds A-Z to a-z
+      * for MATCHING only (byte-length preserving, so span positions
+      * index the original); callers pass pre-lowercased patterns with
+      * it. Match boundaries are whole valid-UTF-8 patterns, so the
+      * output is valid UTF-8.
+      */
+    def redact(s: UTF8String, mask: Array[Byte], asciiFold: Boolean): UTF8String = {
+      val (gotoTab, _, endLen) = tables
+      val n = s.numBytes()
+      var u = 0
+      var i = 0
+      var starts = new Array[Int](4)
+      var endsAt = new Array[Int](4)
+      var nSpans = 0
+      while (i < n) {
+        var b = s.getByte(i) & 0xff
+        if (asciiFold && b >= 'A' && b <= 'Z') b += 32
+        u = gotoTab(u * 256 + b)
+        val len = endLen(u)
+        if (len > 0) {
+          if (nSpans == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, nSpans * 2)
+            endsAt = java.util.Arrays.copyOf(endsAt, nSpans * 2)
+          }
+          starts(nSpans) = i - len + 1
+          endsAt(nSpans) = i
+          nSpans += 1
+        }
+        i += 1
+      }
+      if (nSpans == 0) return s
+      // merge overlapping spans; raw spans arrive in end order but a
+      // long late match can reach back over earlier flushed ones, so
+      // merge on the start-sorted view
+      val idx = (0 until nSpans).sortBy(starts(_))
+      val ms = new Array[Int](nSpans)
+      val me = new Array[Int](nSpans)
+      var m = -1
+      idx.foreach { j =>
+        if (m >= 0 && starts(j) <= me(m)) { if (endsAt(j) > me(m)) me(m) = endsAt(j) }
+        else { m += 1; ms(m) = starts(j); me(m) = endsAt(j) }
+      }
+      val bytes = s.getBytes
+      val out = new java.io.ByteArrayOutputStream(n)
+      var pos = 0
+      var j = 0
+      while (j <= m) {
+        out.write(bytes, pos, ms(j) - pos)
+        out.write(mask, 0, mask.length)
+        pos = me(j) + 1
+        j += 1
+      }
+      out.write(bytes, pos, n - pos)
+      UTF8String.fromBytes(out.toByteArray)
     }
   }
 
@@ -141,6 +207,15 @@ object MultiMatch {
   /** True iff the string column contains ANY of the patterns. */
   def containsAny(c: Column, patterns: Seq[String]): Column =
     B.column(AcContains(B.expression(c), patterns.distinct))
+
+  /** Every matched span replaced by `mask` (overlaps merge into one
+    * mask; see [[AcAutomaton.redact]]). With `asciiFold` the match is
+    * A-Z-insensitive while the unmatched text keeps its original case —
+    * pass lowercased patterns.
+    */
+  def redact(c: Column, patterns: Seq[String], mask: String,
+             asciiFold: Boolean = false): Column =
+    B.column(AcRedact(B.expression(c), patterns.distinct, mask, asciiFold))
 }
 
 /** Shared shape of the two automaton expressions: string in, automaton
@@ -164,6 +239,23 @@ case class AcCount(child: Expression, patterns: Seq[String]) extends AcExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = acRef(ctx)
     defineCodeGen(ctx, ev, c => s"$ref.countOccurrences($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dictionary-span redaction — see [[MultiMatch.redact]]. */
+case class AcRedact(child: Expression, patterns: Seq[String], mask: String,
+                    asciiFold: Boolean) extends AcExpression {
+  override def dataType: DataType = StringType
+  @transient private lazy val maskBytes =
+    mask.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  override def nullSafeEval(input: Any): Any =
+    ac.redact(input.asInstanceOf[UTF8String], maskBytes, asciiFold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = acRef(ctx)
+    val maskRef = ctx.addReferenceObj("mask", maskBytes, "byte[]")
+    defineCodeGen(ctx, ev, c => s"$ref.redact($c, $maskRef, $asciiFold)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

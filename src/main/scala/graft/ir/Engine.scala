@@ -1176,6 +1176,13 @@ object Engine {
         pStrs(m("patterns")),
         caseInsensitive = m.get("case-insensitive").forall(_ == true),
         maxHits = m.get("max-hits").map(pLong).getOrElse(0L))
+    case "badwords-redact" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.badwordsRedact(df, pStr(m("text")),
+        pStrs(m("patterns")),
+        mask = m.get("mask").map(pStr).getOrElse("[REDACTED]"),
+        caseInsensitive = m.get("case-insensitive").forall(_ == true),
+        out = m.get("out").map(pStr).getOrElse("text_redacted"))
     case "badwords-signal" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.badwordsSignal(df, pStr(m("text")),

@@ -216,6 +216,25 @@ object Curation {
       .limit(k)
   }
 
+  /** Dictionary redaction: replace every blocklist hit with `mask` —
+    * the surgical alternative to [[badwordsFilter]]'s drop-the-page
+    * rule (and the dictionary twin of the PII scrubber): keep the
+    * document, remove the phrases. Same single Aho-Corasick pass;
+    * overlapping hits merge into one mask, disjoint hits mask
+    * separately. Case-insensitive mode folds A-Z for matching while
+    * the surviving text keeps its original case (non-ASCII case is not
+    * folded — documented trade for a byte-exact single pass).
+    */
+  def badwordsRedact(df: DataFrame, textCol: String, patterns: Seq[String],
+                     mask: String = "[REDACTED]",
+                     caseInsensitive: Boolean = true,
+                     out: String = "text_redacted"): DataFrame = {
+    require(patterns.nonEmpty, "badwordsRedact: empty pattern list")
+    val pats = if (caseInsensitive) patterns.map(_.toLowerCase) else patterns
+    df.withColumn(out, graft.functions.MultiMatch.redact(
+      col(textCol), pats, mask, asciiFold = caseInsensitive))
+  }
+
   /** Zipf power-law fit of the corpus vocabulary: the least-squares
     * slope of `ln(freq)` on `ln(rank)` over the full ranked vocabulary
     * (rank by count desc, token asc tie-break — the [[vocabTopK]]

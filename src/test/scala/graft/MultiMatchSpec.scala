@@ -106,6 +106,46 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(sig == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 0L))
   }
 
+  test("redact: span union, overlap merge, adjacency separate, case fold, back-reaching long match") {
+    val s = spark
+    import s.implicits._
+    def run(text: String, pats: Seq[String], fold: Boolean = false): String = {
+      val p = if (fold) pats.map(_.toLowerCase) else pats
+      Seq(text).toDF("t")
+        .select(MultiMatch.redact(col("t"), p, "[X]", asciiFold = fold).as("r"))
+        .head().getString(0)
+    }
+    assert(run("a badword here", Seq("badword")) == "a [X] here")
+    // nested patterns: the longest ending at a position covers the short
+    assert(run("slow", Seq("low", "slow")) == "[X]")
+    // overlapping matches merge into ONE mask
+    assert(run("xabababy", Seq("abab")) == "x[X]y")
+    // adjacent but disjoint matches mask separately (== chained replace)
+    assert(run("abab", Seq("ab")) == "[X][X]")
+    // a long match reaching back over an earlier flushed short one
+    assert(run("abcdefghij", Seq("bc", "ef", "abcdefghij")) == "[X]")
+    // ascii fold matches case-blind, untouched text keeps its case
+    assert(run("KEEP Badword CASE", Seq("badword"), fold = true) == "KEEP [X] CASE")
+    // multi-byte text around the span survives intact
+    assert(run("naïve badword café", Seq("badword")) == "naïve [X] café")
+    // no match returns the input unchanged; null in, null out
+    assert(run("clean", Seq("badword")) == "clean")
+    val nullOut = Seq(Option.empty[String]).toDF("t")
+      .select(MultiMatch.redact(col("t"), Seq("x"), "[X]").as("r")).head()
+    assert(nullOut.isNullAt(0))
+    // interpreted path agrees
+    val off = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run("xabababy", Seq("abab")) == "x[X]y")
+    finally s.conf.set("spark.sql.codegen.wholeStage", off)
+    // operator face: redacted column appended, original case preserved
+    val red = Curation.badwordsRedact(
+        Seq((1L, "a BADWORD and a forbidden phrase")).toDF("doc_id", "text"),
+        "text", Seq("badword", "forbidden phrase"))
+      .select("text_redacted").head().getString(0)
+    assert(red == "a [REDACTED] and a [REDACTED]")
+  }
+
   test("only pattern strings ride the wire: serialized automaton is tiny, tables rebuild") {
     import org.apache.spark.unsafe.types.UTF8String
     val ac = new MultiMatch.AcAutomaton(Array("badword", "forbidden phrase"))
