@@ -2545,6 +2545,52 @@ object QueriesPipeline {
       }
     }
 
+    // UniMax budget allocation: the waterfilling loop replayed as a
+    // recursive CTE over sources in ascending (n, source) order — every
+    // step a fixed IEEE expression, so rates match the driver fold
+    // bit-exactly; then the same upsample copy rule
+    locally {
+      val (budget, epochs) = (600, 4.0)
+      val bucket = s"(${sqlMd5Hash64("'unimax:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      register("unimax_mix",
+        s"""WITH RECURSIVE stats AS (
+           |  SELECT CAST(source AS VARCHAR) AS source, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1),
+           |ord AS (SELECT source, n,
+           |               CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i
+           |        FROM stats),
+           |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ord),
+           |alloc(i, source, n, a, rem) AS (
+           |  SELECT o.i, o.source, o.n,
+           |         least($epochs * CAST(o.n AS DOUBLE),
+           |               CAST($budget AS DOUBLE) / CAST(kk.k AS DOUBLE)),
+           |         CAST($budget AS DOUBLE)
+           |           - least($epochs * CAST(o.n AS DOUBLE),
+           |                   CAST($budget AS DOUBLE) / CAST(kk.k AS DOUBLE))
+           |  FROM ord o CROSS JOIN kk WHERE o.i = 1
+           |  UNION ALL
+           |  SELECT o.i, o.source, o.n,
+           |         least($epochs * CAST(o.n AS DOUBLE),
+           |               al.rem / CAST(kk.k - al.i AS DOUBLE)),
+           |         al.rem - least($epochs * CAST(o.n AS DOUBLE),
+           |                        al.rem / CAST(kk.k - al.i AS DOUBLE))
+           |  FROM alloc al JOIN ord o ON o.i = al.i + 1 CROSS JOIN kk),
+           |rates AS (SELECT source, a / CAST(n AS DOUBLE) AS w FROM alloc),
+           |c AS (
+           |  SELECT doc_id, d.source,
+           |         CAST(floor(w) AS BIGINT) +
+           |         CASE WHEN $bucket < CAST(floor((w - floor(w)) * 1000000) AS BIGINT)
+           |              THEN 1 ELSE 0 END AS copies
+           |  FROM documents d JOIN rates ON d.source = rates.source)
+           |SELECT doc_id, source, unnest(range(copies)) AS copy
+           |FROM c ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+        Curation.unimaxMix(docs(s, dir).select("doc_id", "source"),
+            "source", "doc_id", totalBudget = budget, maxEpochs = epochs,
+            salt = "unimax")
+          .orderBy("doc_id", "copy")
+      }
+    }
+
     // DoReMi-style domain reweighting: per-domain clipped excess loss
     // (EXACT decimal sum, partition invariant), one exponentiated-
     // gradient round from the flat prior (exp absorbed by the

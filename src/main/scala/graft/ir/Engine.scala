@@ -1370,6 +1370,12 @@ object Engine {
       df => graft.operators.Curation.temperatureMix(df, pStr(m("source")),
         pStr(m("id")), m.get("temperature").map(pDouble).getOrElse(2.0),
         m.get("salt").map(pStr).getOrElse("tmix"))
+    case "unimax-mix" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.unimaxMix(df, pStr(m("source")),
+        pStr(m("id")), pLong(m("budget")),
+        m.get("max-epochs").map(pDouble).getOrElse(4.0),
+        m.get("salt").map(pStr).getOrElse("unimax"))
     case "cms-topk" =>
       val m = pMap(params.head)
       df => graft.operators.Sketches.cmsTokenCounts(df, pStr(m("text")),

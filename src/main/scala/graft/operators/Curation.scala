@@ -615,6 +615,41 @@ object Curation {
     upsampleByWeight(df, sourceCol, idCol, rates, defaultWeight = 0.0, salt)
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling"): distribute a total example
+    * budget across sources as UNIFORMLY as possible subject to a
+    * per-source epoch cap — the fairness-first alternative to
+    * [[temperatureMix]]'s power law. Waterfilling over sources in
+    * ascending (n, source) order: each source takes
+    * `min(maxEpochs·n, remaining/sourcesLeft)`; whatever a small
+    * source cannot absorb flows to the larger ones.
+    *
+    * Same shape as the temperature mixer: one tiny stats aggregate,
+    * a deterministic driver fold over the model-sized source list
+    * (every step a fixed IEEE expression, so the oracle's recursive
+    * CTE replays it bit-exactly), then the map-side
+    * [[upsampleByWeight]] copy rule — integer epochs copy exactly,
+    * the fractional remainder keeps a hash-stable subset.
+    */
+  def unimaxMix(df: DataFrame, sourceCol: String, idCol: String,
+                totalBudget: Long, maxEpochs: Double = 4.0,
+                salt: String = "unimax"): DataFrame = {
+    require(totalBudget >= 0L, s"unimaxMix: negative budget $totalBudget")
+    require(maxEpochs > 0, s"unimaxMix: maxEpochs must be > 0, got $maxEpochs")
+    val stats = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }
+    val k = stats.length
+    var rem = totalBudget.toDouble
+    val rates = stats.zipWithIndex.map { case ((s, n), i) =>
+      val b = rem / (k - i).toDouble
+      val a = math.min(maxEpochs * n.toDouble, b)
+      rem -= a
+      s -> a / n.toDouble
+    }.toMap
+    upsampleByWeight(df, sourceCol, idCol, rates, defaultWeight = 0.0, salt)
+  }
+
   /** Per-group document cap — the C4/RefinedWeb anti-spam rule ("at most
     * k documents per host/URL-prefix"): keep the `k` best rows per group
     * by `(orderCol DESC, idCol ASC)` — highest score wins, ties broken

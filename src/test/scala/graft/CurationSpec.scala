@@ -727,6 +727,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("unimaxMix: waterfilling saturates small sources at the cap, spillover flows up, budget respected") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 2L).map(i => (i, "small")) ++ (3L to 12L).map(i => (i, "big")))
+      .toDF("doc_id", "source")
+    // budget 20, cap 3 epochs: small (n=2) saturates at 6, big takes the
+    // spillover 14 of its 30-capacity -> rate 1.4
+    val out = Curation.unimaxMix(df, "source", "doc_id", totalBudget = 20L,
+      maxEpochs = 3.0)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 6L) // integer epochs copy exactly
+    // big: floor(1.4)=1 copy each + ~40% hash fraction; expected 14±hash
+    assert(bySrc("big") >= 11L && bySrc("big") <= 17L, bySrc.toString)
+    // a budget beyond total capacity caps every source at maxEpochs
+    val capped = Curation.unimaxMix(df, "source", "doc_id",
+        totalBudget = 1000L, maxEpochs = 3.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("small" -> 6L, "big" -> 30L))
+    // zero budget keeps nothing; empty input is total
+    assert(Curation.unimaxMix(df, "source", "doc_id", 0L).count() == 0L)
+    assert(Curation.unimaxMix(df.limit(0), "source", "doc_id", 10L).count() == 0L)
+  }
+
   test("zipfFit: exact slope on a constructed power law; degenerate vocab yields nulls") {
     val s = spark
     import s.implicits._
