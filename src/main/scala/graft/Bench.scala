@@ -67,7 +67,8 @@ object Bench {
     // round 10: multiset-weighted MinHash (repetition-sensitive
     // near-dup), token-distribution entropy
     "dedup_weighted_lsh", "dedup_weighted_jaccard", "token_entropy",
-    "kmv_overlap", "zipf_fit", "badwords_redact", "unimax_mix")
+    "kmv_overlap", "zipf_fit", "badwords_redact", "unimax_mix",
+    "dedup_weighted_cross")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -1124,6 +1124,41 @@ object QueriesPipeline {
         Dedup.multisetJaccard(d, pairs, "text", "doc_id")
           .select("id1", "id2", "wjaccard").orderBy("id1", "id2")
       }
+
+      // cross-corpus face of the multiset relation: new-crawl half vs
+      // training half under the same hash-split as dedup_cross_corpus
+      val wXBucket = s"(${sqlMd5Hash64("'xcorp:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+      val bandSelectsWX = (0 until 4).map { bnd =>
+        s"SELECT doc_id, cb, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM wxsigs"
+      }.mkString("\n  UNION ALL\n  ")
+      register("dedup_weighted_cross",
+        s"""$DocsView,
+           |wxsh AS (SELECT doc_id, $wXBucket AS cb,
+           |                ${sqlShingles("toks")} AS shingles FROM docs),
+           |wxcnt AS (
+           |  SELECT doc_id, cb, token, count(*) AS c
+           |  FROM (SELECT doc_id, cb, unnest(shingles) AS token FROM wxsh)
+           |  GROUP BY 1, 2, 3),
+           |wxexp AS (
+           |  SELECT doc_id, cb,
+           |         token || '#' || CAST(unnest(range(1, c + 1)) AS VARCHAR) AS s
+           |  FROM wxcnt),
+           |wxhh AS (SELECT doc_id, cb, list(${sqlMd5HashMod("s")}) AS hh
+           |         FROM wxexp GROUP BY 1, 2),
+           |wxsigs AS (SELECT doc_id, cb, $mins FROM wxhh),
+           |wxb AS (
+           |  $bandSelectsWX)
+           |SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+           |FROM wxb l JOIN wxb r ON l.band = r.band AND l.sig = r.sig
+           |WHERE l.cb < 500000 AND r.cb >= 500000
+           |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val bucket = Sampling.hashBucket(col("doc_id"), "xcorp")
+        Dedup.weightedCrossCorpusCandidates(
+          d.filter(bucket < 500000), d.filter(bucket >= 500000),
+          "text", "doc_id", k = k, rowsPerBand = 2)
+          .orderBy("left_id", "right_id")
+      }
     }
 
     // exact-substring dedup signal (Lee et al. 2022): per-doc duplicated

@@ -326,6 +326,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus candidates under the MULTISET relation — the weighted
+    * twin of [[crossCorpusCandidates]] (new crawl vs training set where
+    * repetition matters): same banding, both sides shuffle ONCE on
+    * `(band, sig)`, neither assumed small. Output: distinct
+    * `(left_id, right_id)`.
+    */
+  def weightedCrossCorpusCandidates(left: DataFrame, right: DataFrame,
+                                    textCol: String, idCol: String,
+                                    k: Int = 8, rowsPerBand: Int = 2,
+                                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val l = bandRows(weightedSigTable(left, textCol, idCol, k, hashFn),
+      k, rowsPerBand).as("l")
+    val r = bandRows(weightedSigTable(right, textCol, idCol, k, hashFn),
+      k, rowsPerBand).as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.__id").as("left_id"), col("r.__id").as("right_id"))
+      .distinct()
+  }
+
   /** Exact multiset Jaccard `Σ min(c₁,c₂) / Σ max(c₁,c₂)` over bigram-
     * shingle counts for given pairs — the verification stage behind
     * [[weightedLshCandidates]], via inclusion-exclusion
