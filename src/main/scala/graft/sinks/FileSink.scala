@@ -61,6 +61,32 @@ object FileSink {
       .saveAsTable(table)
   }
 
+  /** Parquet with per-column BLOOM FILTERS — the 100 TB point-lookup
+    * lever next to [[writeBucketed]]'s join locality: a row-group whose
+    * bloom filter excludes the probed value is skipped without
+    * decoding, so needle queries (`doc_id = ?`, `urlkey = ?`,
+    * incremental-dedup anti-joins against a small id set) read a few
+    * row groups instead of the table. Complements min/max stats, which
+    * only help when the column correlates with write order — hash-like
+    * ids (the common corpus key) defeat min/max but are exactly what
+    * blooms handle. `ndv` sizes the filter (expected distinct values
+    * per row group; ~1 MB per 1M ndv at the default FPP).
+    *
+    * Plain writer options — no custom committer; composes with
+    * `partitionFields` via the caller using `.partitionBy` upstream.
+    */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     ndv: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty, "writeWithBloom: at least one bloom column")
+    require(ndv >= 1L, s"writeWithBloom: ndv must be >= 1, got $ndv")
+    val base = df.write.mode("overwrite")
+    val withOpts = bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    withOpts.parquet(path)
+  }
+
   /** Streaming twin: the same partitioned JSON-lines layout via
     * `writeStream` (exactly-once per micro-batch through the checkpoint
     * under `<path>/_checkpoints`). Returns the query handle; callers own

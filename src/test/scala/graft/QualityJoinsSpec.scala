@@ -429,6 +429,36 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(norm("already clean") == "already clean")
   }
 
+  test("writeWithBloom: bloom filters land in the parquet footers for the declared columns only") {
+    import graft.sinks.FileSink
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom_sink").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, s"doc$i", i % 7)).toDF("doc_id", "url", "grp")
+    FileSink.writeWithBloom(df.repartition(1), dir, Seq("doc_id", "url"), ndv = 4096L)
+
+    val part = new java.io.File(dir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val byName = rg.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("doc_id").getBloomFilterOffset > 0, "doc_id bloom missing")
+      assert(byName("url").getBloomFilterOffset > 0, "url bloom missing")
+      assert(byName("grp").getBloomFilterOffset <= 0, "grp must have NO bloom")
+      // the filter is functional: a present value hits, garbage can miss
+      val bf = reader.getBloomFilterDataReader(rg).readBloomFilter(byName("doc_id"))
+      assert(bf != null)
+      assert(bf.findHash(bf.hash(42L)), "present value must test true")
+    } finally reader.close()
+    // round trip intact
+    assert(s.read.parquet(dir).count() == 2000L)
+  }
+
   test("tokenEntropy: 0 for constant docs, ln n for all-distinct, exact on mixed runs, 0 for empty") {
     import graft.functions.{Quality, Text}
     val s = spark
