@@ -101,8 +101,32 @@ object Serve {
     */
   val reloadCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** True when SIGHUP was SIG_IGN at JVM start (a nohup'd / daemonized
+    * parent): HotSpot deliberately leaves ignored-at-startup signals
+    * ignored, so `Signal.handle` "succeeds" but the kernel discards every
+    * HUP — the handler can never run. Detected via the SigIgn mask in
+    * /proc/self/status (bit 0 = SIGHUP); non-Linux platforms report false
+    * and rely on `Signal.handle` itself throwing where unsupported.
+    */
+  private def sighupIgnoredAtStartup: Boolean =
+    try {
+      val st = java.nio.file.Paths.get("/proc/self/status")
+      java.nio.file.Files.exists(st) && {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(st).asScala
+          .find(_.startsWith("SigIgn:"))
+          .exists(l => (java.lang.Long.parseUnsignedLong(l.split("\\s+")(1), 16) & 1L) != 0L)
+      }
+    } catch { case _: Throwable => false }
+
   def installReloadHandler(registry: StreamRegistry, streamsDirs: Seq[String]): Boolean =
     try {
+      if (sighupIgnoredAtStartup) {
+        System.err.println("[serve] SIGHUP reload unavailable: the signal was ignored " +
+          "at JVM start (nohup'd parent) and the kernel will discard it — " +
+          "use the HTTP reload route instead")
+        return false
+      }
       sun.misc.Signal.handle(new sun.misc.Signal("HUP"), (_: sun.misc.Signal) =>
         try {
           val r = registry.reloadFrom(streamsDirs)

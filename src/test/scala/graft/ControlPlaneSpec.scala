@@ -265,8 +265,13 @@ class ControlPlaneSpec extends AnyFunSuite {
     val registry = new graft.ir.StreamRegistry(EngineCtx(testMode = true))
     registry.loadFrom(dir.toString)
     assert(registry.list == Seq("a"))
+    // installReloadHandler reports false both on platforms without
+    // sun.misc.Signal AND when SIGHUP was SIG_IGN at JVM start (a
+    // nohup'd/daemonized sbt — the kernel then discards every HUP, which
+    // was the real cause of the r8/r10 "flakes": the 0-completions runs
+    // were launched from nohup'd parents, not slow boxes)
     assume(Serve.installReloadHandler(registry, dir.toString),
-      "platform without sun.misc.Signal support")
+      "SIGHUP delivery unavailable in this launch context")
     // add a file, then poke the process: the handler must pick it up
     java.nio.file.Files.writeString(dir.resolve("b.json"),
       """{"action":"stream","params":[{"name":"b"}],
