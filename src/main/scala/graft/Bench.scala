@@ -68,7 +68,12 @@ object Bench {
     // near-dup), token-distribution entropy
     "dedup_weighted_lsh", "dedup_weighted_jaccard", "token_entropy",
     "kmv_overlap", "zipf_fit", "badwords_redact", "unimax_mix",
-    "dedup_weighted_cross")
+    "dedup_weighted_cross",
+    // round 10: example-selection family — EL2N difficulty (probe train
+    // + map-side scoring + global rank), within-cluster prototypicality,
+    // greedy k-center coreset (k incremental min-dist rounds)
+    "el2n_scores", "prototype_scores", "kcenter_coreset",
+    "cartography_stats")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -77,6 +77,46 @@ object QueriesPipeline {
     s"($dot / (sqrt($na) * sqrt($nb)))"
   }
 
+  /** Unrolled full-batch-GD CTE chain for the shared probe model
+    * (classifier / el2n / cartography gates): from `base(vec_id, x, y)`,
+    * `nn(n)` and `w0(w)` CTEs, produces `w1..w<epochs>` replaying
+    * [[graft.operators.Training.trainLogisticExact]] bit-for-bit
+    * (sorted gradient folds, algebraic sigmoid).
+    */
+  private def sqlProbeIters(d1: Int, epochs: Int, lr: Double): String =
+    (1 to epochs).map { t =>
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      s"""z$t AS (
+         |  SELECT b.vec_id, b.x, b.y,
+         |         list_reduce(list_prepend(0.0,
+         |           list_transform(list_zip(b.x, (SELECT w FROM $prev)), p -> p[1] * p[2])),
+         |           (a, c) -> a + c) AS z
+         |  FROM base b),
+         |p$t AS (SELECT vec_id, x, y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM z$t),
+         |c$t AS (SELECT vec_id, d.d AS dim, x[CAST(d.d AS INT) + 1] * (p - y) AS c
+         |        FROM p$t, (SELECT unnest(range($d1)) AS d) d),
+         |g$t AS (SELECT dim,
+         |               list_reduce(list_prepend(0.0, list(c ORDER BY vec_id)), (a, b) -> a + b)
+         |                 / (SELECT CAST(n AS DOUBLE) FROM nn) AS g
+         |        FROM c$t GROUP BY dim),
+         |w$t AS (SELECT list(wv - $lr * g ORDER BY dim) AS w
+         |        FROM (SELECT dim, g,
+         |                     (SELECT w FROM $prev)[CAST(dim AS INT) + 1] AS wv
+         |              FROM g$t))""".stripMargin
+    }.mkString(",\n")
+
+  /** The shared probe preamble: feature/label base over `embeddings`,
+    * row count, zero weights.
+    */
+  private def sqlProbeBase(d1: Int): String =
+    s"""base AS (
+       |  SELECT vec_id,
+       |         list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), 1.0) AS x,
+       |         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |w0 AS (SELECT list_transform(range($d1), d -> 0.0) AS w)""".stripMargin
+
   def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
 
     def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -3852,6 +3892,165 @@ object QueriesPipeline {
               lit(0.0), (acc, s2) => acc + s2.getField("p")) /
               count(lit(1)).cast("double")).as("mean_p"))
           .orderBy("bin")
+      }
+    }
+
+    // EL2N / GraNd example-difficulty scores (Paul et al. NeurIPS'21)
+    // under the same bit-reproduced 3-epoch probe as classifier_train;
+    // rank 1 = hardest, assigned via the range-exchange global order
+    locally {
+      val (dim, epochs, lr) = (64, 3, 0.5)
+      val d1 = dim + 1
+      val iters = sqlProbeIters(d1, epochs, lr)
+      register("el2n_scores",
+        s"""WITH ${sqlProbeBase(d1)},
+           |$iters,
+           |zf AS (
+           |  SELECT b.vec_id, b.x, b.y,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(list_zip(b.x, (SELECT w FROM w$epochs)), p -> p[1] * p[2])),
+           |           (a, c) -> a + c) AS z
+           |  FROM base b),
+           |sc AS (SELECT vec_id,
+           |              abs(0.5 * (1.0 + z / (1.0 + abs(z))) - y) AS el2n,
+           |              sqrt(list_reduce(list_prepend(0.0,
+           |                list_transform(x, v -> v * v)), (a, c) -> a + c)) AS nrm
+           |       FROM zf)
+           |SELECT vec_id, el2n, el2n * nrm AS grand,
+           |       row_number() OVER (ORDER BY el2n DESC, vec_id ASC) AS rank
+           |FROM sc ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir).withColumn("y", (col("label") < 5).cast("int"))
+        val model = graft.operators.Training.trainLogisticExact(
+          e, "vec_id", "embedding", "y", dim, epochs, lr)
+        graft.operators.Pruning.rankBy(
+          graft.operators.Pruning.difficultyScores(e, "embedding", "y", model),
+          "el2n", "vec_id")
+          .select("vec_id", "el2n", "grand", "rank")
+          .orderBy("vec_id")
+      }
+
+      // dataset cartography (Swayamdipta et al. EMNLP'20): gold-label
+      // probability mean/std + correctness fraction across the probe's
+      // per-epoch snapshots w1..w3, all in fixed epoch-order folds
+      val epochScores = (1 to epochs).map { t =>
+        s"""e$t AS (
+           |  SELECT b.vec_id, b.y,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(list_zip(b.x, (SELECT w FROM w$t)), p -> p[1] * p[2])),
+           |           (a, c) -> a + c) AS z
+           |  FROM base b),
+           |s$t AS (SELECT vec_id, y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM e$t)""".stripMargin
+      }.mkString(",\n")
+      register("cartography_stats",
+        s"""WITH ${sqlProbeBase(d1)},
+           |$iters,
+           |$epochScores,
+           |j AS (SELECT s1.vec_id, s1.y, s1.p AS p1, s2.p AS p2, s3.p AS p3
+           |      FROM s1 JOIN s2 USING (vec_id) JOIN s3 USING (vec_id)),
+           |g AS (SELECT vec_id,
+           |             CASE WHEN y = 1.0 THEN p1 ELSE 1.0 - p1 END AS g1,
+           |             CASE WHEN y = 1.0 THEN p2 ELSE 1.0 - p2 END AS g2,
+           |             CASE WHEN y = 1.0 THEN p3 ELSE 1.0 - p3 END AS g3,
+           |             CASE WHEN (p1 >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END AS c1,
+           |             CASE WHEN (p2 >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END AS c2,
+           |             CASE WHEN (p3 >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END AS c3
+           |      FROM j),
+           |m AS (SELECT vec_id, g1, g2, g3, c1, c2, c3,
+           |             (g1 + g2 + g3) / 3.0 AS confidence FROM g)
+           |SELECT vec_id, confidence,
+           |       sqrt(((g1 - confidence) * (g1 - confidence)
+           |             + (g2 - confidence) * (g2 - confidence)
+           |             + (g3 - confidence) * (g3 - confidence)) / 3.0) AS variability,
+           |       (c1 + c2 + c3) / 3.0 AS correct_frac,
+           |       CASE WHEN confidence >= 0.7 AND sqrt(((g1 - confidence) * (g1 - confidence)
+           |                  + (g2 - confidence) * (g2 - confidence)
+           |                  + (g3 - confidence) * (g3 - confidence)) / 3.0) <= 0.2 THEN 'easy'
+           |            WHEN confidence <= 0.3 AND sqrt(((g1 - confidence) * (g1 - confidence)
+           |                  + (g2 - confidence) * (g2 - confidence)
+           |                  + (g3 - confidence) * (g3 - confidence)) / 3.0) <= 0.2 THEN 'hard'
+           |            ELSE 'ambiguous' END AS region
+           |FROM m ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir).withColumn("y", (col("label") < 5).cast("int"))
+        val trace = graft.operators.Training.trainLogisticExactTrace(
+          e, "vec_id", "embedding", "y", dim, epochs, lr)
+        graft.operators.Pruning.cartography(e, "embedding", "y", trace)
+          .select("vec_id", "confidence", "variability", "correct_frac", "region")
+          .orderBy("vec_id")
+      }
+    }
+
+    // prototypicality (Sorscher et al. NeurIPS'22): cosine to the
+    // assigned seed centroid + within-cell rank (1 = most prototypical)
+    locally {
+      val kc = 8
+      val assignSql =
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+           |  ORDER BY vec_id LIMIT $kc),
+           |a AS (
+           |  SELECT vec_id, cell, cosine FROM (
+           |    SELECT e.vec_id, c.cell, ${sqlCosine("e.embedding", "c.cvec")} AS cosine,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+      register("prototype_scores",
+        s"""$assignSql
+           |SELECT vec_id, cell, cosine,
+           |       CAST(row_number() OVER (PARTITION BY cell
+           |         ORDER BY cosine DESC, vec_id ASC) AS INT) AS proto_rank
+           |FROM a ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        graft.operators.Pruning.prototypeRanks(e, "vec_id", "embedding",
+          Similarity.kmeansCentroids(e, "vec_id", "embedding", kc, iters = 0))
+          .orderBy("vec_id")
+      }
+
+      // cluster-balanced pruning: keep the 3 most prototypical per cell
+      register("cluster_balanced_sample",
+        s"""$assignSql,
+           |r AS (SELECT vec_id, cell, cosine,
+           |             row_number() OVER (PARTITION BY cell
+           |               ORDER BY cosine DESC, vec_id ASC) AS rn
+           |      FROM a)
+           |SELECT vec_id, cell, cosine FROM r WHERE rn <= 3
+           |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        graft.operators.Pruning.clusterPrune(e, "vec_id", "embedding",
+          Similarity.kmeansCentroids(e, "vec_id", "embedding", kc, iters = 0),
+          perCluster = 3)
+          .orderBy("vec_id")
+      }
+    }
+
+    // greedy k-center coreset (Gonzalez'85 / Sener-Savarese ICLR'18):
+    // the oracle unrolls the k selection rounds as chained CTEs — the
+    // same incremental min-distance fold the operator materializes
+    locally {
+      val k = 6
+      def cvec(cidSel: String) = s"(SELECT embedding FROM embeddings WHERE vec_id = $cidSel)"
+      val steps = (2 to k).map { t =>
+        s"""c$t AS (SELECT vec_id AS cid, mind FROM m${t - 1}
+           |        ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           |m$t AS (SELECT m.vec_id, m.embedding,
+           |        least(m.mind, 1.0 - ${sqlCosine("m.embedding", cvec(s"(SELECT cid FROM c$t)"))}) AS mind
+           |        FROM m${t - 1} m)""".stripMargin
+      }.mkString(",\n")
+      val picks = (2 to k).map(t =>
+        s"SELECT $t AS pick, (SELECT cid FROM c$t) AS center_id, (SELECT mind FROM c$t) AS radius")
+        .mkString("\nUNION ALL ")
+      register("kcenter_coreset",
+        s"""WITH c1 AS (SELECT min(vec_id) AS cid FROM embeddings),
+           |m1 AS (SELECT e.vec_id, e.embedding,
+           |       1.0 - ${sqlCosine("e.embedding", cvec("(SELECT cid FROM c1)"))} AS mind
+           |       FROM embeddings e),
+           |$steps
+           |SELECT CAST(pick AS INT) AS pick, center_id, radius FROM (
+           |  SELECT 1 AS pick, (SELECT cid FROM c1) AS center_id,
+           |         CAST(NULL AS DOUBLE) AS radius
+           |  UNION ALL $picks)
+           |ORDER BY pick""".stripMargin) { (s, dir) =>
+        graft.operators.Pruning.kcenterGreedy(emb(s, dir), "vec_id", "embedding", k)
+          .orderBy("pick")
       }
     }
   }

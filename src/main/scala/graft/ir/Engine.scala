@@ -305,6 +305,45 @@ object Engine {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               graft.operators.Similarity.HardNegSchema))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "el2n-scores" =>
+          // probe-model artifact rule: scores append to the input frame
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("vec"))); df(pStr(m("label"))); pStr(m("model-path"))
+            recurse(df.withColumn("el2n", lit(0.0)).withColumn("grand", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "prototype-ranks" | "cluster-prune" =>
+          // centroid artifact rule: (id, cell, cosine[, proto_rank]) out
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("vec"))); pStr(m("centroids-path"))
+            if (n.action == "cluster-prune")
+              require(pLong(m("per-cluster")) >= 1, "cluster-prune: per-cluster must be >= 1")
+            val base = df.select(col(pStr(m("id"))))
+              .withColumn("cell", lit(0L)).withColumn("cosine", lit(0.0))
+            recurse(if (n.action == "prototype-ranks")
+              base.withColumn("proto_rank", lit(0)) else base)
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "kcenter-coreset" =>
+          // artifact-free model-sized output; schema from the operator
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("vec")))
+            require(pLong(m("k")) >= 1, "kcenter-coreset: k must be >= 1")
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.Pruning.KcenterSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "cartography" =>
+          // trace artifact rule: stats append to the input frame
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("vec"))); df(pStr(m("label"))); pStr(m("trace-path"))
+            recurse(df.withColumn("confidence", lit(0.0))
+              .withColumn("variability", lit(0.0))
+              .withColumn("correct_frac", lit(0.0))
+              .withColumn("region", lit("ambiguous")))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "pca-train" =>
           // artifact rule: probe params/columns, emit the components
           // schema without running the corpus pass
@@ -1292,6 +1331,36 @@ object Engine {
         pStr(m("id")), pStr(m("vec")), pStr(m("label")), pLong(m("k")).toInt,
         bits = m.get("bits").map(pLong(_).toInt).getOrElse(16),
         extraProbes = m.get("probes").map(pLong(_).toInt).getOrElse(0))
+
+    // example-selection / data-pruning family (Pruning.scala)
+    case "el2n-scores" =>
+      // probe-model artifact rule (same as score-logistic): adds
+      // el2n + grand map-side under broadcast cached weights
+      val m = pMap(params.head)
+      df => graft.operators.Pruning.difficultyScoresWithWeights(df,
+        pStr(m("vec")), pStr(m("label")),
+        graft.operators.Training.loadWeightsCached(df.sparkSession, pStr(m("model-path"))))
+    case "prototype-ranks" =>
+      // centroid artifact rule (the kmeans-assign discipline)
+      val m = pMap(params.head)
+      df => graft.operators.Pruning.prototypeRanks(df, pStr(m("id")), pStr(m("vec")),
+        graft.operators.Similarity.loadCentroids(df.sparkSession, pStr(m("centroids-path"))))
+    case "cluster-prune" =>
+      val m = pMap(params.head)
+      df => graft.operators.Pruning.clusterPrune(df, pStr(m("id")), pStr(m("vec")),
+        graft.operators.Similarity.loadCentroids(df.sparkSession, pStr(m("centroids-path"))),
+        pLong(m("per-cluster")).toInt,
+        keepHard = m.get("keep-hard").exists(_.asInstanceOf[Boolean]))
+    case "kcenter-coreset" =>
+      val m = pMap(params.head)
+      df => graft.operators.Pruning.kcenterGreedy(df, pStr(m("id")), pStr(m("vec")),
+        pLong(m("k")).toInt)
+    case "cartography" =>
+      // trace artifact rule: the per-epoch weight snapshots come from a
+      // persisted trainLogisticExactTrace frame
+      val m = pMap(params.head)
+      df => graft.operators.Pruning.cartography(df, pStr(m("vec")), pStr(m("label")),
+        df.sparkSession.read.parquet(pStr(m("trace-path"))))
 
     case "url-canonicalize" =>
       val m = pMap(params.head)

@@ -106,7 +106,15 @@ object Training {
   }
 
   private def trainImpl(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
-                        dim: Int, epochs: Int, lr: Double, exact: Boolean): Array[Double] = {
+                        dim: Int, epochs: Int, lr: Double, exact: Boolean): Array[Double] =
+    trainTrace(df, idCol, vecCol, labelCol, dim, epochs, lr, exact).last
+
+  /** Weight snapshots AFTER each epoch (length `epochs`) — the training
+    * dynamics record dataset-cartography consumers need; cost identical
+    * to [[trainImpl]] (the loop already has every snapshot in hand).
+    */
+  private def trainTrace(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                         dim: Int, epochs: Int, lr: Double, exact: Boolean): Seq[Array[Double]] = {
     require(dim >= 1, s"Training: dim must be >= 1, got $dim")
     require(epochs >= 1, s"Training: epochs must be >= 1, got $epochs")
     val y = col(labelCol).cast("double")
@@ -126,12 +134,14 @@ object Training {
     require(st.getLong(3) == 0,
       s"Training: null elements inside $vecCol arrays — repair or drop those rows first")
     var w = Array.fill(dim + 1)(0.0)
+    val trace = Seq.newBuilder[Array[Double]]
     for (_ <- 1 to epochs) {
       val g = if (exact) gradientExact(df, idCol, vecCol, y, w, n)
               else gradientFast(df, vecCol, y, w, n)
       w = w.zip(g).map { case (wi, gi) => wi - lr * gi }
+      trace += w
     }
-    w
+    trace.result()
   }
 
   /** Oracle-exact trainer — returns the weight frame `(dim, weight)`
@@ -145,6 +155,22 @@ object Training {
     val spark = df.sparkSession
     import spark.implicits._
     w.zipWithIndex.map { case (wi, i) => (i, wi) }.toSeq.toDF("dim", "weight")
+  }
+
+  /** Oracle-exact trainer, full trajectory: `(epoch, dim, weight)` with
+    * `epoch` in `[1, epochs]` — the per-epoch snapshots dataset
+    * cartography consumes ([[Pruning.cartography]]). Same cost as
+    * [[trainLogisticExact]]: the GD loop already has every snapshot.
+    */
+  def trainLogisticExactTrace(df: DataFrame, idCol: String, vecCol: String,
+                              labelCol: String, dim: Int, epochs: Int,
+                              lr: Double): DataFrame = {
+    val tr = trainTrace(df, idCol, vecCol, labelCol, dim, epochs, lr, exact = true)
+    val spark = df.sparkSession
+    import spark.implicits._
+    tr.zipWithIndex.flatMap { case (w, e) =>
+      w.zipWithIndex.map { case (wi, i) => (e + 1, i, wi) }
+    }.toDF("epoch", "dim", "weight")
   }
 
   /** Production trainer — identical update rule, gradient by plain
