@@ -503,5 +503,64 @@ object QueriesIr {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       out
     }
+
+    // difficulty curriculum as an IR chain: cartography (by persisted
+    // probe trace) feeding curriculum-order on confidence — high-
+    // confidence (easy) examples first. The oracle replays the probe
+    // CTEs, the cartography fold, and the staged seeded-shuffle rank.
+    locally {
+      val (dim, epochs, lr, stages) = (64, 3, 0.5, 4)
+      val d1 = dim + 1
+      val epochScores = (1 to epochs).map { t =>
+        s"""e$t AS (
+           |  SELECT b.vec_id, b.y,
+           |         list_reduce(list_prepend(0.0,
+           |           list_transform(list_zip(b.x, (SELECT w FROM w$t)), p -> p[1] * p[2])),
+           |           (a, c) -> a + c) AS z
+           |  FROM base b),
+           |s$t AS (SELECT vec_id, y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM e$t)""".stripMargin
+      }.mkString(",\n")
+      register("ir_difficulty_curriculum",
+        s"""WITH ${QueriesPipeline.sqlProbeBase(d1)},
+           |${QueriesPipeline.sqlProbeIters(d1, epochs, lr)},
+           |$epochScores,
+           |j AS (SELECT s1.vec_id, s1.y, s1.p AS p1, s2.p AS p2, s3.p AS p3
+           |      FROM s1 JOIN s2 USING (vec_id) JOIN s3 USING (vec_id)),
+           |conf AS (SELECT vec_id,
+           |                ((CASE WHEN y = 1.0 THEN p1 ELSE 1.0 - p1 END)
+           |                 + (CASE WHEN y = 1.0 THEN p2 ELSE 1.0 - p2 END)
+           |                 + (CASE WHEN y = 1.0 THEN p3 ELSE 1.0 - p3 END)) / 3.0 AS confidence
+           |         FROM j),
+           |st AS (SELECT min(confidence) AS lo, max(confidence) AS hi FROM conf),
+           |staged AS (
+           |  SELECT vec_id, confidence,
+           |         CASE WHEN hi = lo THEN 0
+           |              ELSE least(CAST(floor((hi - confidence)
+           |                          / (hi - lo) * $stages) AS BIGINT),
+           |                         $stages - 1) END AS stage,
+           |         ${QueriesPipeline.sqlMd5Hash64("'carto:' || CAST(vec_id AS VARCHAR)")} AS ck
+           |  FROM conf CROSS JOIN st)
+           |SELECT row_number() OVER (ORDER BY stage, ck, vec_id) - 1 AS position,
+           |       vec_id, stage, confidence
+           |FROM staged ORDER BY position""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).withColumn("y", (col("label") < 5).cast("int"))
+      val tmp = java.nio.file.Files.createTempDirectory("ir_carto")
+      graft.operators.Training.trainLogisticExactTrace(
+        e, "vec_id", "embedding", "y", dim, epochs, lr)
+        .write.mode("overwrite").parquet(s"$tmp/trace")
+      val node = Node.fromJson(
+        s"""{"action":"cartography","params":[{"vec":"embedding","label":"y","trace-path":"$tmp/trace"}],
+           | "children":[{"action":"curriculum-order",
+           |   "params":[{"id":"vec_id","score":"confidence","stages":$stages,"seed":"carto"}],
+           |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+      val out = graft.operators.Materialize(tapOf(node, e)
+        .select(col("position"), col("vec_id"), col("stage"), col("confidence"))
+        .orderBy("position"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+      }
+    }
   }
 }

@@ -83,7 +83,7 @@ object QueriesPipeline {
     * [[graft.operators.Training.trainLogisticExact]] bit-for-bit
     * (sorted gradient folds, algebraic sigmoid).
     */
-  private def sqlProbeIters(d1: Int, epochs: Int, lr: Double): String =
+  private[graft] def sqlProbeIters(d1: Int, epochs: Int, lr: Double): String =
     (1 to epochs).map { t =>
       val prev = if (t == 1) "w0" else s"w${t - 1}"
       s"""z$t AS (
@@ -108,7 +108,7 @@ object QueriesPipeline {
   /** The shared probe preamble: feature/label base over `embeddings`,
     * row count, zero weights.
     */
-  private def sqlProbeBase(d1: Int): String =
+  private[graft] def sqlProbeBase(d1: Int): String =
     s"""base AS (
        |  SELECT vec_id,
        |         list_append(list_transform(embedding, v -> CAST(v AS DOUBLE)), 1.0) AS x,
