@@ -3737,6 +3737,63 @@ object QueriesPipeline {
         Curation.vocabDrift(d.filter(bucket < 500000), d.filter(bucket >= 500000), "text")
           .orderBy("token")
       }
+
+      // per-token KL(P_a || P_b) contributions over the same smoothed
+      // distributions (ln through the DECIMAL(38,6) ULP discipline)
+      register("vocab_kl",
+        s"""$DocsView
+           |, side AS (SELECT doc_id, $b AS b, toks FROM docs),
+           |ta AS (SELECT unnest(toks) AS token FROM side WHERE b < 500000),
+           |tb AS (SELECT unnest(toks) AS token FROM side WHERE b >= 500000),
+           |ca AS (SELECT token, count(*) AS cnt_a FROM ta GROUP BY token),
+           |cb AS (SELECT token, count(*) AS cnt_b FROM tb GROUP BY token),
+           |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+           |             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+           |      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+           |tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS v FROM j),
+           |p AS (SELECT token, cnt_a, cnt_b,
+           |             CAST(cnt_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p_a,
+           |             CAST(cnt_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS p_b
+           |      FROM j CROSS JOIN tot)
+           |SELECT token, cnt_a, cnt_b, p_a, p_b,
+           |       CAST(CAST(p_a * ln(p_a / p_b) AS DECIMAL(38,6)) AS DOUBLE) AS kl_term
+           |FROM p ORDER BY token""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val bucket = Sampling.hashBucket(col("doc_id"), "drift")
+        Curation.vocabKl(d.filter(bucket < 500000), d.filter(bucket >= 500000), "text")
+          .select("token", "cnt_a", "cnt_b", "p_a", "p_b", "kl_term")
+          .orderBy("token")
+      }
+    }
+
+    // per-source metric z-scores + outlier flag (anomalous-document
+    // detector): order-free DECIMAL sums to a group-sized stats table,
+    // broadcast back, row-wise z
+    register("source_outliers",
+      s"""WITH st AS (
+         |  SELECT source, count(*) AS n,
+         |         sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,9))) AS s1,
+         |         sum(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+         |             AS DECIMAL(38,9))) AS s2
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT source,
+         |             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |             sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         |               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS std
+         |      FROM st)
+         |SELECT d.doc_id, d.source,
+         |       CASE WHEN std > 0.0
+         |            THEN (CAST(d.n_chars AS DOUBLE) - mean) / std
+         |            ELSE 0.0 END AS zscore,
+         |       abs(CASE WHEN std > 0.0
+         |            THEN (CAST(d.n_chars AS DOUBLE) - mean) / std
+         |            ELSE 0.0 END) > 3.0 AS is_outlier
+         |FROM documents d JOIN m USING (source)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.sourceZscores(docs(s, dir), "source", "n_chars")
+        .select("doc_id", "source", "zscore", "is_outlier")
+        .orderBy("doc_id")
     }
 
     // per-source n-gram diversity (template-heavy source detector)

@@ -217,14 +217,23 @@ object Engine {
               acc.withColumn(name, lit(null).cast(dt))
             })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
-        case "vocab-drift" =>
+        case "vocab-drift" | "vocab-kl" =>
           // artifact rule: the comparison corpus is a runtime input
           try {
             val m = pMap(n.params.head)
             df(pStr(m("text"))); pStr(m("other-path"))
-            recurse(df.sparkSession.createDataFrame(
+            val base = df.sparkSession.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              graft.operators.Curation.VocabDriftSchema))
+              graft.operators.Curation.VocabDriftSchema)
+            recurse(if (n.action == "vocab-kl")
+              base.withColumn("kl_term", lit(0.0)) else base)
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "source-zscores" =>
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("group"))); df(pStr(m("value")))
+            recurse(df.withColumn("zscore", lit(0.0))
+              .withColumn("is_outlier", lit(false)))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "psi-report" =>
           // artifact rule: the comparison snapshot is a runtime input
@@ -1144,6 +1153,15 @@ object Engine {
         val other = df.sparkSession.read.parquet(pStr(m("other-path")))
         graft.operators.Curation.vocabDrift(df, other, pStr(m("text")))
       }
+    case "vocab-kl" =>
+      // same artifact rule as vocab-drift, plus the signed KL terms
+      val m = pMap(params.head)
+      df => graft.operators.Curation.vocabKl(df,
+        df.sparkSession.read.parquet(pStr(m("other-path"))), pStr(m("text")))
+    case "source-zscores" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.sourceZscores(df, pStr(m("group")), pStr(m("value")),
+        m.get("threshold").map(pDouble).getOrElse(3.0))
     case "psi-report" =>
       val m = pMap(params.head)
       val edges = m("edges").asInstanceOf[Seq[Any]].map(pDouble)

@@ -450,6 +450,57 @@ object Curation {
       pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("delta"))
   }
 
+  /** Token-distribution KL divergence `KL(P_a || P_b)` per token —
+    * [[vocabDrift]]'s add-1-smoothed distributions with each token's
+    * contribution `p_a * ln(p_a / p_b)`. Summing `kl_term` gives the
+    * corpus-level divergence ("how surprised is a model of B by A");
+    * the per-token frame names WHICH tokens drive the drift, signed
+    * (positive = over-represented in A). Same scale shape as
+    * vocabDrift: two token-count aggregates, one vocabulary-sized
+    * full-outer join, map-side math. `kl_term` passes through
+    * DECIMAL(38,6) (the ln-ULP discipline — engines' libm may differ in
+    * the last bit).
+    */
+  def vocabKl(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    vocabDrift(a, b, textCol)
+      .withColumn("kl_term",
+        (col("p_a") * log(col("p_a") / col("p_b")))
+          .cast("decimal(38,6)").cast("double"))
+
+  /** Per-group metric z-scores + outlier flag: mean/std of `valueCol`
+    * within `groupCol` (population std), z = (x - mean) / std (0 where
+    * the group is constant), `is_outlier` = |z| > `threshold`. The
+    * anomalous-document detector per domain/source.
+    *
+    * Scale: ONE map-side-combined aggregate to a group-sized stats
+    * table (sums go through DECIMAL — exact and ORDER-FREE, the
+    * float-sum discipline for corpus-scale groups), broadcast back, z
+    * row-wise. Determinism note: inputs that are integers (or already
+    * doubles) are exact; the DECIMAL cast of `v*v` matches any engine
+    * whose double→decimal rounding agrees on non-tie values.
+    */
+  def sourceZscores(df: DataFrame, groupCol: String, valueCol: String,
+                    threshold: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(v.cast("decimal(38,9)")).as("__s1"),
+      sum((v * v).cast("decimal(38,9)")).as("__s2"))
+      .select(col(groupCol),
+        (col("__s1").cast("double") / col("__n").cast("double")).as("__mean"),
+        sqrt(greatest(
+          col("__s2").cast("double") / col("__n").cast("double") -
+            (col("__s1").cast("double") / col("__n").cast("double")) *
+              (col("__s1").cast("double") / col("__n").cast("double")),
+          lit(0.0))).as("__std"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("zscore",
+        when(col("__std") > 0.0, (v - col("__mean")) / col("__std"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_outlier", abs(col("zscore")) > threshold)
+      .drop("__mean", "__std")
+  }
+
   /** Quality-ranked selection under a per-group token budget: within each
     * `groupCol`, rank rows by (`scoreCol` DESC, `idCol` ASC) and keep rows
     * while the cumulative `tokensCol` (inclusive) stays within `budget` —

@@ -792,4 +792,36 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.lshPlan(0, 0.5))
     intercept[IllegalArgumentException](Dedup.lshPlan(16, 1.0))
   }
+
+  test("vocabKl: zero on identical corpora; over-represented tokens get positive terms; total KL >= 0") {
+    val s = TestSpark.spark; import s.implicits._
+    val a = Seq((1L, "alpha beta beta gamma"), (2L, "alpha alpha delta")).toDF("doc_id", "text")
+    val same = Curation.vocabKl(a, a, "text").collect()
+    assert(same.nonEmpty && same.forall(r => math.abs(r.getDouble(r.fieldIndex("kl_term"))) < 1e-9))
+    val b = Seq((3L, "beta gamma gamma epsilon")).toDF("doc_id", "text")
+    val kl = Curation.vocabKl(a, b, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("kl_term"))).toMap
+    assert(kl("alpha") > 0.0, "token only in A must contribute positively")
+    assert(kl("epsilon") < 0.0, "token only in B is under-represented in A")
+    assert(kl.values.sum >= -1e-9, "total KL(P_a || P_b) must be non-negative")
+  }
+
+  test("sourceZscores: hand case, constant group -> z=0, threshold flags the far point") {
+    val s = TestSpark.spark; import s.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 10.0), (3L, "a", 10.0), (4L, "a", 50.0),
+      (5L, "b", 7.0), (6L, "b", 7.0)
+    ).toDF("id", "src", "v")
+    val out = Curation.sourceZscores(df, "src", "v", threshold = 1.5)
+      .select("id", "src", "v", "zscore", "is_outlier").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    // group a: mean 20, population var = (100+100+100+2500)/4 - 400 = 300
+    val mean = 20.0
+    val std = math.sqrt((3 * 100.0 + 2500.0) / 4.0 - mean * mean)
+    assert(math.abs(out(4L)._1 - (50.0 - mean) / std) < 1e-12)
+    assert(out(4L)._2, "the far point must be flagged")
+    assert(!out(1L)._2 && math.abs(out(1L)._1 - (10.0 - mean) / std) < 1e-12)
+    // constant group: std 0 -> z pinned to 0, never an outlier
+    assert(out(5L) == ((0.0, false)) && out(6L) == ((0.0, false)))
+  }
 }
