@@ -1491,6 +1491,55 @@ object QueriesPipeline {
         .orderBy("query_id", "rank")
     }
 
+    // MMR diversity re-rank (Carbonell-Goldstein): 3 greedy picks from
+    // each query's top-8 brute candidates at λ=0.75 — the oracle unrolls
+    // the greedy rounds (per-query argmax + running max-sim) as CTEs
+    locally {
+      val (nCand, kPick, lam, oneMinus) = (8, 3, "0.75", "0.25")
+      def argmax(src: String, out: String) =
+        s"""$out AS (SELECT query_id, nn_id, nn_vec, rel, mmr FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY mmr DESC, nn_id ASC) AS rn FROM $src) WHERE rn = 1)""".stripMargin
+      register("mmr_rerank",
+        s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id, embedding FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id, c.embedding AS nn_vec,
+           |         ${sqlCosine("q.embedding", "c.embedding")} AS rel
+           |  FROM q JOIN c ON c.vec_id != q.vec_id),
+           |cand AS (SELECT query_id, nn_id, nn_vec, rel FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rel DESC, nn_id ASC) AS rn FROM scored) WHERE rn <= $nCand),
+           |s1 AS (SELECT query_id, nn_id, nn_vec, rel,
+           |              $lam * rel - $oneMinus * 0.0 AS mmr FROM cand),
+           |${argmax("s1", "p1")},
+           |m1 AS (SELECT c.query_id, c.nn_id, c.nn_vec, c.rel,
+           |              greatest(0.0, ${sqlCosine("c.nn_vec", "p.nn_vec")}) AS ms
+           |       FROM cand c JOIN p1 p USING (query_id) WHERE c.nn_id != p.nn_id),
+           |s2 AS (SELECT query_id, nn_id, nn_vec, rel, ms,
+           |              $lam * rel - $oneMinus * ms AS mmr FROM m1),
+           |${argmax("s2", "p2")},
+           |m2 AS (SELECT c.query_id, c.nn_id, c.nn_vec, c.rel,
+           |              greatest(c.ms, ${sqlCosine("c.nn_vec", "p.nn_vec")}) AS ms
+           |       FROM s2 c JOIN p2 p USING (query_id) WHERE c.nn_id != p.nn_id),
+           |s3 AS (SELECT query_id, nn_id, nn_vec, rel, ms,
+           |              $lam * rel - $oneMinus * ms AS mmr FROM m2),
+           |${argmax("s3", "p3")}
+           |SELECT query_id, CAST(1 AS INT) AS mmr_rank, nn_id, mmr AS mmr_score FROM p1
+           |UNION ALL SELECT query_id, CAST(2 AS INT), nn_id, mmr FROM p2
+           |UNION ALL SELECT query_id, CAST(3 AS INT), nn_id, mmr FROM p3
+           |ORDER BY query_id, mmr_rank""".stripMargin) { (s, dir) =>
+        val e = emb(s, dir)
+        val cands = Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") < 5), "vec_id", "embedding", nCand)
+          .join(e.select(col("vec_id").as("nn_id"), col("embedding").as("nn_vec")), Seq("nn_id"))
+        graft.operators.Retrieval.mmrRerank(
+          cands, "query_id", "nn_id", "cosine", "nn_vec", kPick, 0.75)
+          .select("query_id", "mmr_rank", "nn_id", "mmr_score")
+          .orderBy("query_id", "mmr_rank")
+      }
+    }
+
     // hard-negative mining: nearest OTHER-label neighbors per anchor
     // (labels synthesized as vec_id % 4 on both sides)
     register("hard_negatives",

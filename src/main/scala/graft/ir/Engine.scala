@@ -353,6 +353,20 @@ object Engine {
               .withColumn("correct_frac", lit(0.0))
               .withColumn("region", lit("ambiguous")))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "mmr-rerank" =>
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("rel"))); df(pStr(m("vec")))
+            require(pLong(m("k")) >= 1, "mmr-rerank: k must be >= 1")
+            m.get("lambda").foreach { l =>
+              require(pDouble(l) >= 0.0 && pDouble(l) <= 1.0,
+                "mmr-rerank: lambda must be in [0,1]") }
+            // fixed output types: the operator casts query/id to long
+            recurse(df.select(col(pStr(m("query"))).cast("long"))
+              .withColumn("mmr_rank", lit(0))
+              .withColumn(pStr(m("id")), lit(0L))
+              .withColumn("mmr_score", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "pca-train" =>
           // artifact rule: probe params/columns, emit the components
           // schema without running the corpus pass
@@ -1379,6 +1393,12 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Pruning.cartography(df, pStr(m("vec")), pStr(m("label")),
         df.sparkSession.read.parquet(pStr(m("trace-path"))))
+    case "mmr-rerank" =>
+      // diversity-aware final ranking over a candidate frame
+      val m = pMap(params.head)
+      df => graft.operators.Retrieval.mmrRerank(df, pStr(m("query")), pStr(m("id")),
+        pStr(m("rel")), pStr(m("vec")), pLong(m("k")).toInt,
+        m.get("lambda").map(pDouble).getOrElse(0.5))
 
     case "url-canonicalize" =>
       val m = pMap(params.head)

@@ -200,4 +200,86 @@ object Retrieval {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity-aware final stage over a retrieved
+    * candidate set: greedily pick `k` of each query's candidates by
+    * `mmr = λ·rel − (1−λ)·maxSimToPicked` (cosine over `vecCol`,
+    * max-sim floored at 0 for the empty set, so pick 1 is the pure
+    * relevance argmax with score `λ·rel`). Ties break to the lower id;
+    * all arithmetic is the fixed IEEE shape the oracle replays.
+    *
+    * Input: one row per (query, candidate) carrying the candidate's
+    * relevance and vector — e.g. [[Similarity.bruteForceTopK]] /
+    * [[bm25TopK]] output joined to the embedding table. Output:
+    * `(queryCol, mmr_rank, idCol, mmr_score)`.
+    *
+    * Scale: ONE exchange on the query id; each group is a top-N
+    * candidate set (retrieval-sized, not corpus-sized), and the greedy
+    * loop is O(N·k) in-memory per group — `k` and `N` are knobs, never
+    * the corpus. No state leaves the executors.
+    */
+  def mmrRerank(cands: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrRerank: lambda in [0,1], got $lambda")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val prepped = cands.select(
+      col(queryCol).cast("long").as("_1"), col(idCol).cast("long").as("_2"),
+      col(relCol).cast("double").as("_3"), col(vecCol).as("_4"))
+      .as[(Long, Long, Double, Seq[Float])]
+    prepped.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = it.toArray.sortBy(c => (c._2, c._3)) // id order: deterministic iteration
+      val n = cs.length
+      val used = Array.fill(n)(false)
+      val maxSim = Array.fill(n)(0.0)
+      val out = Seq.newBuilder[(Long, Int, Long, Double)]
+      var r = 1
+      while (r <= math.min(k, n)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!used(i)) {
+            val s = lambda * cs(i)._3 - (1.0 - lambda) * maxSim(i)
+            if (s > bestScore) { best = i; bestScore = s } // strict: lowest id wins ties
+          }
+          i += 1
+        }
+        used(best) = true
+        out += ((q, r, cs(best)._2, bestScore))
+        val pv = cs(best)._4
+        i = 0
+        while (i < n) {
+          if (!used(i)) {
+            val s2 = localCosine(cs(i)._4, pv)
+            if (s2 > maxSim(i)) maxSim(i) = s2
+          }
+          i += 1
+        }
+        r += 1
+      }
+      out.result().iterator
+    }.toDF(queryCol, "mmr_rank", idCol, "mmr_score")
+  }
+
+  /** JVM twin of the oracle's cosine fold ([[Similarity.cosine]] /
+    * `sqlCosine`): index-order left folds in double, dot over the
+    * shorter prefix, norms over each full vector.
+    */
+  private def localCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val m = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < m) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
