@@ -73,7 +73,8 @@ object Bench {
     // + map-side scoring + global rank), within-cluster prototypicality,
     // greedy k-center coreset (k incremental min-dist rounds)
     "el2n_scores", "prototype_scores", "kcenter_coreset",
-    "cartography_stats", "vocab_kl", "source_outliers", "mmr_rerank")
+    "cartography_stats", "vocab_kl", "source_outliers", "mmr_rerank",
+    "ann_ivfpq_persisted")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

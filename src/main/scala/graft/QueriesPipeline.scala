@@ -1835,7 +1835,7 @@ object QueriesPipeline {
       val lutCols = (0 until m).map(mi =>
         s"list_transform(range($codes), j -> ${dot(s"p.query_vec[${mi * sub + 1}:${(mi + 1) * sub}]", s"cb.cb$mi[CAST(j AS INT) + 1]")}) AS lut$mi").mkString(",\n         |       ")
       val adc = (0 until m).map(mi => s"q.lut$mi[CAST(e.c$mi AS INT) + 1]").mkString(" + ")
-      register("ann_ivfpq_topk",
+      val ivfPqSql =
         s"""WITH cent AS (
            |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
            |  ORDER BY vec_id LIMIT $nCells),
@@ -1875,11 +1875,29 @@ object QueriesPipeline {
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |                               ORDER BY score DESC, nn_id ASC) AS rank
            |  FROM scored) WHERE rank <= $topK
-           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+           |ORDER BY query_id, rank""".stripMargin
+      register("ann_ivfpq_topk", ivfPqSql) { (s, dir) =>
         val e = emb(s, dir)
         Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
           topK, nCells, nProbe, m, codes)
           .orderBy("query_id", "rank")
+      }
+
+      // the PERSISTED index path must be bit-identical to the in-one-go
+      // operator: build (train + encode + cell-partitioned codes) to a
+      // temp dir, then query the stored index — same oracle
+      register("ann_ivfpq_persisted", ivfPqSql) { (s, dir) =>
+        val e = emb(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+        Similarity.buildIvfPqIndex(e, "vec_id", "embedding", tmp, nCells, m, codes)
+        val out = graft.operators.Materialize(
+          Similarity.queryIvfPqIndex(s, tmp, e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", topK, nProbe)
+            .orderBy("query_id", "rank"))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+          .toSeq.reverse.foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+        out
       }
     }
 

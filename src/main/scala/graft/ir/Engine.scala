@@ -353,6 +353,24 @@ object Engine {
               .withColumn("correct_frac", lit(0.0))
               .withColumn("region", lit("ambiguous")))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "ivfpq-build" =>
+          // sink-like artifact writer: params/columns checked, no IO
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("vec"))); pStr(m("path"))
+            recurse(df)
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "ivfpq-query" =>
+          // index artifact rule: fixed (query_id, rank, nn_id, score) out
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("vec"))); pStr(m("index-path"))
+            require(pLong(m("k")) >= 1, "ivfpq-query: k must be >= 1")
+            recurse(df.select(col(pStr(m("id"))).cast("long").as("query_id"))
+              .withColumn("rank", lit(0L))
+              .withColumn("nn_id", lit(0L))
+              .withColumn("score", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "mmr-rerank" =>
           try {
             val m = pMap(n.params.head)
@@ -1399,6 +1417,23 @@ object Engine {
       df => graft.operators.Retrieval.mmrRerank(df, pStr(m("query")), pStr(m("id")),
         pStr(m("rel")), pStr(m("vec")), pLong(m("k")).toInt,
         m.get("lambda").map(pDouble).getOrElse(0.5))
+    case "ivfpq-build" =>
+      // sink-like: persist the index (train + encode, cell-partitioned
+      // codes) and pass the corpus through unchanged
+      val m = pMap(params.head)
+      df => {
+        graft.operators.Similarity.buildIvfPqIndex(df, pStr(m("id")), pStr(m("vec")),
+          pStr(m("path")), m.get("cells").map(pLong(_).toInt).getOrElse(16),
+          m.get("m").map(pLong(_).toInt).getOrElse(4),
+          m.get("codes").map(pLong(_).toInt).getOrElse(16))
+        df
+      }
+    case "ivfpq-query" =>
+      // the input frame is the query batch; the corpus is the stored index
+      val m = pMap(params.head)
+      df => graft.operators.Similarity.queryIvfPqIndex(df.sparkSession,
+        pStr(m("index-path")), df, pStr(m("id")), pStr(m("vec")),
+        pLong(m("k")).toInt, m.get("probes").map(pLong(_).toInt).getOrElse(4))
 
     case "url-canonicalize" =>
       val m = pMap(params.head)

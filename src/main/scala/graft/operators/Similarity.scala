@@ -572,70 +572,111 @@ object Similarity {
     * collide often). Returns (query_id, rank, nn_id, score); recall
     * floor vs brute force is measured in AnnRecallSpec.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-                m: Int = 4, codes: Int = 16): DataFrame = {
+  /** Trained IVF-PQ model: coarse centroids + per-subspace residual
+    * codebooks. Model-sized (nCells·dim + m·codes·sub doubles) — the
+    * artifact a 100 TB pipeline trains ONCE and reuses.
+    */
+  final case class IvfPqModel(cents: Array[(Long, Seq[Float])],
+                              rcb: Array[Array[Seq[Double]]],
+                              m: Int, sub: Int, codes: Int)
+
+  private def foldSum(products: Column): Column =
+    aggregate(products, lit(0.0), (acc, x) => acc + x)
+
+  /** Map-side cell assignment + residual: `(nn_id, cell, __res)` — the
+    * argmax over centroid literals plus ONE broadcast join for the
+    * residual subtraction; no corpus shuffle.
+    */
+  private def ivfPqAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                          cents: Array[(Long, Seq[Float])]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Seq[Float])] =
-      kmeansCentroids(corpus, idCol, vecCol, nCells, iters = 0)
-    require(cents.length == nCells, s"ivfPqTopK: corpus smaller than $nCells distinct-id cells")
-    val dim = cents.head._2.length
-    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val maxCentId = cents.map(_._1).max
-    def cellScores(vec: Column): Column = cellScoresOf(cents)(vec)
     val centDf = cents.toSeq.toDF("cell", "cvec")
-
-    def foldSum(products: Column): Column =
-      aggregate(products, lit(0.0), (acc, x) => acc + x)
-    val assigned = corpus
+    corpus
       .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-        (-array_max(cellScores(col(vecCol)))("negCell")).as("cell"))
+        (-array_max(cellScoresOf(cents)(col(vecCol)))("negCell")).as("cell"))
       .join(broadcast(centDf), "cell")
       .withColumn("__res", zip_with(col("nn_vec"), col("cvec"),
         (x, y) => x.cast("double") - y.cast("double")))
       .select(col("nn_id"), col("cell"), col("__res"))
+  }
 
+  // composed HOF forms — measured faster than a fused L2 expression on
+  // the encode loop (see pqTopK's l2 note)
+  private def pqL2(a: Column, cv: Seq[Double]): Column =
+    foldSum(zip_with(a, typedLit(cv), (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }))
+  private def pqDot(a: Column, cv: Seq[Double]): Column =
+    foldSum(zip_with(a, typedLit(cv), (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Train the coarse + residual quantizers (the deterministic lowest-id
+    * stand-ins; training is pluggable, the index structure is the
+    * operator). Two model-sized collects.
+    */
+  private def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, m: Int, codes: Int,
+                         what: String): (IvfPqModel, DataFrame) = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters = 0)
+    require(cents.length == nCells, s"$what: corpus smaller than $nCells distinct-id cells")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"$what: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val maxCentId = cents.map(_._1).max
+    val assigned = ivfPqAssign(corpus, idCol, vecCol, cents)
     // residual codebook seeds: `codes` lowest DISTINCT ids strictly
-    // after the centroid seeds (duplicate-id rows would collapse the
-    // codebook, as in kmeansCentroids); one model-sized collect
+    // after the centroid seeds (the seeds' own residuals are ~0 and
+    // would make a degenerate codebook; duplicate-id rows would
+    // collapse it, as in kmeansCentroids); one model-sized collect
     val rseeds: Array[Seq[Double]] = assigned
       .filter(col("nn_id") > maxCentId)
       .dropDuplicates("nn_id")
       .orderBy(col("nn_id")).limit(codes)
       .select(col("__res")).collect().map(_.getSeq[Double](0))
-    require(rseeds.length == codes, s"ivfPqTopK: corpus smaller than ${nCells + codes} vectors")
+    require(rseeds.length == codes, s"$what: corpus smaller than ${nCells + codes} vectors")
     val rcb: Array[Array[Seq[Double]]] =
       Array.tabulate(m, codes)((mi, j) => rseeds(j).slice(mi * sub, (mi + 1) * sub))
+    (IvfPqModel(cents, rcb, m, sub, codes), assigned)
+  }
 
+  /** Encode assigned residuals to `m` codes: map-side arg-min L2 folds
+    * against codebook literals — `(nn_id, cell, __c0..__c{m-1})`.
+    */
+  private def ivfPqEncode(assigned: DataFrame, model: IvfPqModel): DataFrame = {
+    import model._
     def subvec(vec: Column, mi: Int): Column = slice(vec, mi * sub + 1, sub)
-    // composed HOF form — measured faster than a fused L2 expression on
-    // the encode loop (see pqTopK's l2 note)
-    def l2(a: Column, cv: Seq[Double]): Column =
-      foldSum(zip_with(a, typedLit(cv), (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }))
-    def dot(a: Column, cv: Seq[Double]): Column =
-      foldSum(zip_with(a, typedLit(cv), (x, y) => x.cast("double") * y.cast("double")))
     def codeOf(res: Column, mi: Int): Column =
       array_min(array((0 until codes).map(j =>
-        struct(l2(subvec(res, mi), rcb(mi)(j)).as("d"), lit(j.toLong).as("j"))): _*))("j")
-
-    val enc = assigned.select(col("nn_id") +: col("cell") +:
+        struct(pqL2(subvec(res, mi), rcb(mi)(j)).as("d"), lit(j.toLong).as("j"))): _*))("j")
+    assigned.select(col("nn_id") +: col("cell") +:
       (0 until m).map(mi => codeOf(col("__res"), mi).as(s"__c$mi")): _*)
+  }
 
-    val probes = queries
+  /** Probe frame: per (query, probed cell) the centroid dot + one ADC
+    * LUT per subspace — broadcast-sized for query batches.
+    */
+  private def ivfPqProbes(queries: DataFrame, idCol: String, vecCol: String,
+                          model: IvfPqModel, nProbe: Int): DataFrame = {
+    import model._
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = cents.toSeq.toDF("cell", "cvec")
+    def subvec(vec: Column, mi: Int): Column = slice(vec, mi * sub + 1, sub)
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)).as("p"))
+        explode(slice(reverse(array_sort(cellScoresOf(cents)(col(vecCol)))), 1, nProbe)).as("p"))
       .select(col("query_id"), col("__qv"), (-col("p.negCell")).as("cell"))
       .join(broadcast(centDf), "cell")
       .select(col("query_id") +: col("cell") +:
         foldSum(zip_with(col("__qv"), col("cvec"),
           (x, y) => x.cast("double") * y.cast("double"))).as("__cdot") +:
         (0 until m).map(mi => array((0 until codes).map(j =>
-          dot(subvec(col("__qv"), mi), rcb(mi)(j))): _*).as(s"__lut$mi")): _*)
+          pqDot(subvec(col("__qv"), mi), rcb(mi)(j))): _*).as(s"__lut$mi")): _*)
+  }
 
+  /** ADC scoring + per-query top-k over an encoded codes frame. */
+  private def ivfPqScore(enc: DataFrame, probes: DataFrame, m: Int,
+                         k: Int): DataFrame = {
     val scored = enc.join(broadcast(probes), "cell")
       .filter(col("nn_id") =!= col("query_id"))
       // fold ADC terms left-to-right STARTING from the centroid dot —
@@ -649,6 +690,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("score"))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, codes: Int = 16): DataFrame = {
+    val (model, assigned) = trainIvfPq(corpus, idCol, vecCol, nCells, m, codes, "ivfPqTopK")
+    ivfPqScore(ivfPqEncode(assigned, model),
+      ivfPqProbes(queries, idCol, vecCol, model, nProbe), m, k)
+  }
+
+  /** Build and PERSIST the IVF-PQ index — the production shape: the
+    * corpus-sized encode pass is paid ONCE, and every later query batch
+    * reads codes, never vectors. Layout under `path`:
+    *
+    *  - `centroids`  (cell, cvec)           — model-sized
+    *  - `codebooks`  (mi, j, subvec)        — model-sized
+    *  - `codes/cell=N/…` (nn_id, __c0..__c{m-1}) — corpus-sized,
+    *    PARTITIONED BY CELL, so a probe reads only its cells' files
+    *    (partition pruning: nProbe/nCells of the index per query batch,
+    *    undecoded skip for the rest).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nCells: Int = 16, m: Int = 4,
+                      codes: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (model, assigned) = trainIvfPq(corpus, idCol, vecCol, nCells, m, codes, "buildIvfPqIndex")
+    saveCentroids(model.cents, s"$path/centroids", spark)
+    model.rcb.zipWithIndex.flatMap { case (row, mi) =>
+      row.zipWithIndex.map { case (cv, j) => (mi, j, cv) }
+    }.toSeq.toDF("mi", "j", "subvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    ivfPqEncode(assigned, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Load the model half of a persisted index (two small reads). */
+  def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqModel = {
+    val cents = loadCentroids(spark, s"$path/centroids")
+    require(cents.nonEmpty, s"loadIvfPqModel: empty centroids at $path")
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .select(col("mi").cast("int"), col("j").cast("int"), col("subvec"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    require(cb.nonEmpty, s"loadIvfPqModel: empty codebooks at $path")
+    val m = cb.keys.map(_._1).max + 1
+    val codes = cb.keys.map(_._2).max + 1
+    val rcb = Array.tabulate(m, codes)((mi, j) => cb((mi, j)))
+    IvfPqModel(cents, rcb, m, cb((0, 0)).length, codes)
+  }
+
+  /** Query a persisted index: identical results to [[ivfPqTopK]] on the
+    * same corpus (pinned in AnnRecallSpec), but the corpus side is the
+    * stored codes frame — the read is pruned to the query batch's
+    * probed cells (a driver-side `isin` over the partition column, so
+    * unprobed cells' files are never opened).
+    */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbe: Int = 4): DataFrame = {
+    val model = loadIvfPqModel(spark, path)
+    val probes = Materialize(ivfPqProbes(queries, idCol, vecCol, model, nProbe))
+    val probedCells: Array[Long] = probes.select(col("cell").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    val enc = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    ivfPqScore(enc, probes, model.m, k)
   }
 
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -190,4 +190,60 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(trained > seeded - 0.05, "training must not degrade the index")
     assert(trained > 0.4, "regression floor (measured 0.594)")
   }
+
+  test("persisted IVF-PQ index: query == in-one-go operator bit-for-bit; codes pruned by cell") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_spec").toString
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", tmp,
+      nCells = 16, m = 4, codes = 16)
+    // cell-partitioned layout on disk
+    val cellDirs = new java.io.File(s"$tmp/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.nonEmpty, "codes must be written partitioned by cell")
+    val direct = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      K, nCells = 16, nProbe = 4, m = 4, codes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromIdx = Similarity.queryIvfPqIndex(spark, tmp, queries,
+      "vec_id", "embedding", K, nProbe = 4)
+    assert(fromIdx.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet == direct,
+      "stored-index query must reproduce the operator exactly, scores included")
+    // a single query probes nProbe cells: the scan is pruned to those
+    // partitions (visible in the physical plan's partition filters)
+    val one = Similarity.queryIvfPqIndex(spark, tmp,
+      queries.limit(1), "vec_id", "embedding", K, nProbe = 2)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"expected a non-empty partition filter on the codes scan:\n$plan")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("IR ivfpq-build / ivfpq-query: build-once-query-many declared as data; validate total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_ir").toString
+    val passedThrough = Engine.run(Node.fromJson(
+      s"""{"action":"ivfpq-build","params":[{"id":"vec_id","vec":"embedding","path":"$tmp/idx"}],
+         | "children":[{"action":"tap","params":["t"]}]}""".stripMargin),
+      corpus, EngineCtx(testMode = true)).taps("t")
+    assert(passedThrough.count() == corpus.count(), "build is a pass-through sink")
+    val out = Engine.run(Node.fromJson(
+      s"""{"action":"ivfpq-query","params":[{"index-path":"$tmp/idx","id":"vec_id",
+         | "vec":"embedding","k":$K,"probes":4}],
+         | "children":[{"action":"tap","params":["t"]}]}""".stripMargin),
+      queries, EngineCtx(testMode = true)).taps("t").collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) <= K))
+    for ((a, ps) <- Seq(
+      "ivfpq-build" -> s"""{"id":"vec_id","vec":"embedding","path":"/nope"}""",
+      "ivfpq-query" -> s"""{"index-path":"/nope","id":"vec_id","vec":"embedding","k":3}""")) {
+      val v = Engine.validate(Node.fromJson(
+        s"""{"action":"$a","params":[$ps],
+           | "children":[{"action":"tap","params":["t"]}]}""".stripMargin),
+        spark, EngineCtx(testMode = true), corpus.schema)
+      assert(v.isEmpty, s"$a: ${v.mkString("; ")}")
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }
