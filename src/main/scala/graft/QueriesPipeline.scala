@@ -1440,6 +1440,41 @@ object QueriesPipeline {
 
     // ---------------- similarity / ANN ----------------
 
+    // EXACT token-set Jaccard join via the PPJoin prefix filter — the
+    // recall-1.0 complement to the LSH family; the oracle replays the
+    // df-ordered prefix, the candidate equi-join and the rational verify
+    locally {
+      val t = "0.5"
+      register("dedup_jaccard_exact",
+        s"""$DocsView,
+           |d AS (SELECT doc_id, list_distinct(toks) AS ts FROM docs),
+           |tok AS (SELECT doc_id, unnest(ts) AS token FROM d),
+           |freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+           |ordered AS (SELECT t.doc_id, list(t.token ORDER BY f.df, t.token) AS sorted,
+           |                   CAST(count(*) AS BIGINT) AS n
+           |            FROM tok t JOIN freq f USING (token) GROUP BY t.doc_id),
+           |pref AS (SELECT doc_id, n,
+           |                unnest(sorted[1:CAST(n - ceil($t * n) + 1 AS INT)]) AS token
+           |         FROM ordered),
+           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |         FROM pref a JOIN pref b ON a.token = b.token
+           |          AND a.doc_id < b.doc_id
+           |          AND $t * a.n <= b.n AND $t * b.n <= a.n),
+           |inter AS (SELECT c.id1, c.id2, count(*) AS i
+           |          FROM cand c JOIN tok x ON x.doc_id = c.id1
+           |               JOIN tok y ON y.doc_id = c.id2 AND y.token = x.token
+           |          GROUP BY c.id1, c.id2),
+           |jj AS (SELECT i.id1, i.id2,
+           |              CAST(i.i AS DOUBLE) / CAST(o1.n + o2.n - i.i AS DOUBLE) AS jaccard
+           |       FROM inter i JOIN ordered o1 ON o1.doc_id = i.id1
+           |            JOIN ordered o2 ON o2.doc_id = i.id2)
+           |SELECT id1, id2, jaccard FROM jj WHERE jaccard >= $t
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        Dedup.jaccardPrefixJoin(docs(s, dir), "doc_id", "text", 0.5)
+          .orderBy("id1", "id2")
+      }
+    }
+
     register("embedding_near_dup",
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          |SELECT l.vec_id AS id1, r.vec_id AS id2,

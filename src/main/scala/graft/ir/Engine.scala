@@ -353,6 +353,19 @@ object Engine {
               .withColumn("correct_frac", lit(0.0))
               .withColumn("region", lit("ambiguous")))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "jaccard-join" =>
+          try {
+            val m = pMap(n.params.head)
+            val idf = df.schema(pStr(m("id"))); df(pStr(m("text")))
+            val th = pDouble(m("threshold"))
+            require(th > 0.0 && th < 1.0, "jaccard-join: threshold must be in (0,1)")
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                idf.copy(name = "id1"), idf.copy(name = "id2"),
+                org.apache.spark.sql.types.StructField("jaccard",
+                  org.apache.spark.sql.types.DoubleType)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "ivfpq-build" =>
           // sink-like artifact writer: params/columns checked, no IO
           try {
@@ -1417,6 +1430,11 @@ object Engine {
       df => graft.operators.Retrieval.mmrRerank(df, pStr(m("query")), pStr(m("id")),
         pStr(m("rel")), pStr(m("vec")), pLong(m("k")).toInt,
         m.get("lambda").map(pDouble).getOrElse(0.5))
+    case "jaccard-join" =>
+      // exact prefix-filtered similarity join (recall 1.0)
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.jaccardPrefixJoin(df, pStr(m("id")), pStr(m("text")),
+        pDouble(m("threshold")))
     case "ivfpq-build" =>
       // sink-like: persist the index (train + encode, cell-partitioned
       // codes) and pass the corpus through unchanged

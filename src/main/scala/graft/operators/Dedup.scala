@@ -746,4 +746,62 @@ object Dedup {
     // only when probing can actually produce duplicates
     if (extraProbes > 0) pairs.distinct() else pairs
   }
+
+  /** EXACT token-set Jaccard similarity join with prefix filtering
+    * (PPJoin's core filter — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): every pair with `jaccard >= threshold` is returned, no
+    * probabilistic misses — the exact complement to the MinHash/LSH
+    * family when recall must be 1.0 (contracts, eval-set hygiene).
+    *
+    * The pigeonhole that makes it scale: order each document's token
+    * SET by ascending global document frequency (rarest first, ties by
+    * token) and keep only the first `n − ceil(t·n) + 1` tokens as its
+    * prefix; two sets with `J ≥ t` MUST share a prefix token, so the
+    * candidate join is an equi-join on PREFIX tokens only — rare ones,
+    * by construction, which also kills the hub-token skew of a naive
+    * sharing-any-token join. A length filter (`t·|a| ≤ |b|`) prunes
+    * further before verification.
+    *
+    * Scale: one token-frequency aggregate, one candidate exchange on
+    * prefix tokens, and a verify join that ships token sets only for
+    * surviving candidate pairs (same cost class as the LSH verify).
+    * Output: `(id1, id2, jaccard)`, id1 < id2, exact rational values.
+    */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"jaccardPrefixJoin: threshold in (0,1), got $threshold")
+    val tok = graft.operators.Materialize(
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("token")))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val ordered = graft.operators.Materialize(
+      tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("token")))),
+          s => s.getField("token")).as("sorted"))
+        .withColumn("n", size(col("sorted")).cast("long")))
+    val prefLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val pref = ordered
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("sorted"), lit(1), prefLen)).as("token"))
+    val cand = pref.as("a").join(pref.as("b"),
+      col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        lit(threshold) * col("a.n") <= col("b.n") &&
+        lit(threshold) * col("b.n") <= col("a.n"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("id1"), col("token")), "id1")
+      .join(tok.select(col("doc_id").as("id2"), col("token")), Seq("id2", "token"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("__i"))
+    inter
+      .join(ordered.select(col("doc_id").as("id1"), col("n").as("__n1")), "id1")
+      .join(ordered.select(col("doc_id").as("id2"), col("n").as("__n2")), "id2")
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__n1") + col("__n2") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
 }

@@ -85,4 +85,26 @@ class DedupRecallSpec extends AnyFunSuite {
     info(f"weighted recall J>=0.8: $rHigh%.3f; candidates=${cands.size}")
     assert(rHigh >= 0.85, f"high-tier recall $rHigh%.3f")
   }
+
+  test("jaccardPrefixJoin: EXACT — equals brute-force token-set Jaccard, recall 1.0, nothing below t") {
+    val t = 0.5
+    // independent brute-force token-SET ground truth (whitespace≈regex
+    // tokens here: the fixture is lowercase alnum)
+    val sets = corpus.collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    }.toMap
+    val want = (for {
+      (i1, s1) <- sets; (i2, s2) <- sets if i1 < i2
+      j = s1.intersect(s2).size.toDouble / s1.union(s2).size
+      if j >= t
+    } yield (i1, i2) -> j).toMap
+    assert(want.nonEmpty, "fixture must contain qualifying pairs")
+    val got = Dedup.jaccardPrefixJoin(corpus, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet,
+      s"exact join must find exactly the qualifying pairs (missing=${(want.keySet -- got.keySet).take(3)}, extra=${(got.keySet -- want.keySet).take(3)})")
+    want.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-12, s"jaccard value mismatch at $k") }
+    assert(got.values.forall(_ >= t))
+  }
 }
