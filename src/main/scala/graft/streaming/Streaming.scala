@@ -825,4 +825,25 @@ object Streaming {
       (out, cur)
     }
   }
+
+  /** Online ANN serving from a PERSISTED IVF-PQ index
+    * ([[graft.operators.Similarity.buildIvfPqIndex]]): a `foreachBatch`
+    * body answering each micro-batch of query vectors from the stored
+    * codes — every batch's scan is pruned to ITS probed cells, so a
+    * trickle of queries reads a sliver of the index. `handler` receives
+    * the `(query_id, rank, nn_id, score)` answers per batch.
+    *
+    * Usage: `queries.writeStream.foreachBatch(Streaming.annServeBatch(
+    * path, "vec_id", "embedding", k)(handler)).start()`. The model half
+    * (centroids + codebooks) is re-read per batch — two model-sized
+    * parquet reads; cache behind your own `loadIvfPqModel` if the
+    * trigger rate makes that matter.
+    */
+  def annServeBatch(indexPath: String, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 4)(
+                    handler: (org.apache.spark.sql.DataFrame, Long) => Unit): (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (batch, batchId) => handler(
+      graft.operators.Similarity.queryIvfPqIndex(
+        batch.sparkSession, indexPath, batch, idCol, vecCol, k, nProbe),
+      batchId)
 }

@@ -785,4 +785,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.last < 32, s"horizon must evict idle buckets, got $counts")
     assert(counts.last <= counts(1), s"state must stop growing once eviction starts, got $counts")
   }
+
+  test("annServeBatch: streamed queries against a persisted IVF-PQ index == the batch answers") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // deterministic corpus: 60 vectors on a trigonometric lattice, dim 8
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, (0 until 8).map(d => math.cos(i * 0.37 + d * 1.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann_serve").toString
+    graft.operators.Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+      s"$tmp/idx", nCells = 4, m = 2, codes = 4)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val expected = graft.operators.Similarity.queryIvfPqIndex(s, s"$tmp/idx",
+      queries, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(Streaming.annServeBatch(s"$tmp/idx", "vec_id", "embedding",
+        k = 3, nProbe = 2) { (res, _) =>
+        res.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+      }).start()
+    ms.addData((0 until 5).map(i =>
+      (i.toLong, (0 until 8).map(d => math.cos(i * 0.37 + d * 1.1).toFloat).toSeq)))
+    q.processAllAvailable(); q.stop()
+    assert(got.toSet == expected,
+      "streamed index serving must reproduce the batch answers exactly")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }
