@@ -1103,6 +1103,123 @@ object QueriesPipeline {
           .orderBy("id1", "id2")
       }
 
+      // character-level Levenshtein CONFIRM over the same LSH pairs —
+      // the alignment verifier token-set measures can't express; the
+      // oracle computes the unbounded distance, the operator the
+      // early-exit bounded one: identical surviving sets by the bound
+      // argument in Dedup.editConfirm's scaladoc. Division is per-row
+      // double arithmetic — exact cross-engine.
+      register("dedup_edit_confirm",
+        s"""$lshPrefix,
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |t AS (SELECT doc_id, substr(text, 1, 200) AS tt FROM documents),
+           |d AS (SELECT p.id1, p.id2,
+           |             greatest(len(t1.tt), len(t2.tt)) AS n,
+           |             levenshtein(t1.tt, t2.tt) AS dist
+           |      FROM pairs p
+           |      JOIN t t1 ON t1.doc_id = p.id1
+           |      JOIN t t2 ON t2.doc_id = p.id2)
+           |SELECT id1, id2, CAST(dist AS BIGINT) AS edit_dist,
+           |       CASE WHEN n = 0 THEN 1.0
+           |            ELSE 1.0 - CAST(dist AS DOUBLE) / CAST(n AS DOUBLE) END AS edit_sim
+           |FROM d
+           |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.9 * CAST(n AS DOUBLE)
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.editConfirm(d, pairs, "text", "doc_id", minSim = 0.1, maxLen = 200)
+          .select("id1", "id2", "edit_dist", "edit_sim")
+          .orderBy("id1", "id2")
+      }
+
+      // the same funnel DECLARED AS DATA: the composed `edit-confirm` IR
+      // action (LSH inside the dispatch case) must hash-match the
+      // hand-written pipeline's oracle
+      register("ir_edit_confirm",
+        s"""$lshPrefix,
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |t AS (SELECT doc_id, substr(text, 1, 200) AS tt FROM documents),
+           |d AS (SELECT p.id1, p.id2,
+           |             greatest(len(t1.tt), len(t2.tt)) AS n,
+           |             levenshtein(t1.tt, t2.tt) AS dist
+           |      FROM pairs p
+           |      JOIN t t1 ON t1.doc_id = p.id1
+           |      JOIN t t2 ON t2.doc_id = p.id2)
+           |SELECT id1, id2, CAST(dist AS BIGINT) AS edit_dist,
+           |       CASE WHEN n = 0 THEN 1.0
+           |            ELSE 1.0 - CAST(dist AS DOUBLE) / CAST(n AS DOUBLE) END AS edit_sim
+           |FROM d
+           |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.9 * CAST(n AS DOUBLE)
+           |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+        val node = graft.ir.Node.fromJson(
+          s"""{"action":"edit-confirm",
+             | "params":[{"id":"doc_id","text":"text","min-sim":0.1,"max-len":200,
+             |            "k":$k,"rows-per-band":2}],
+             | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+        graft.ir.Engine.run(node, docs(s, dir),
+            graft.ir.EngineCtx(testMode = true)).taps("out")
+          .select("id1", "id2", "edit_dist", "edit_sim")
+          .orderBy("id1", "id2")
+      }
+
+      // ---------------- winnowing (MOSS) fingerprints ----------------
+      // Schleimer-Wilkerson-Aiken 2003: min-hash per sliding window over
+      // char k-gram hashes, rightmost tie-break. The oracle replays the
+      // identical selection with list folds; md5Hash64 keeps hashes
+      // bit-identical. k=5, w=4 here so the tiny fixture docs still emit
+      // multi-fingerprint sets.
+      val (wk, ww) = (5, 4)
+      def winnowSql(body: String) =
+        s"""WITH nrm AS (SELECT doc_id,
+           |               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+           |             FROM documents),
+           |g AS (SELECT doc_id,
+           |             list_transform(range(1, greatest(len(t) - $wk + 2, 1)),
+           |               i -> struct_pack(pos := i,
+           |                      h := ${sqlMd5Hash64(s"substr(t, CAST(i AS INT), $wk)")}))
+           |               AS grams
+           |      FROM nrm),
+           |sel AS (SELECT doc_id,
+           |               list_transform(range(1, greatest(len(grams) - $ww + 2, 1)),
+           |                 j -> list_reduce(list_slice(grams, j, j + $ww - 1),
+           |                   (acc, x) -> CASE WHEN x.h < acc.h OR
+           |                                    (x.h = acc.h AND x.pos > acc.pos)
+           |                               THEN x ELSE acc END)) AS fps
+           |        FROM g)
+           |$body""".stripMargin
+
+      register("winnow_fingerprints",
+        winnowSql(
+          """SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.h AS fp
+            |FROM sel, unnest(fps) AS t(u)
+            |ORDER BY doc_id, pos, fp""".stripMargin)) { (s, dir) =>
+        Dedup.winnowFingerprints(docs(s, dir), "text", "doc_id", k = wk, w = ww)
+          .orderBy("doc_id", "pos", "fp")
+      }
+
+      register("winnow_candidates",
+        winnowSql(
+          """,fp AS (SELECT DISTINCT doc_id, u.h AS fp
+            |        FROM sel, unnest(fps) AS t(u)),
+            |kept AS (SELECT a.doc_id, a.fp FROM fp a
+            |         JOIN (SELECT fp FROM fp GROUP BY fp
+            |               HAVING count(DISTINCT doc_id) <= 50) f ON f.fp = a.fp)
+            |SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |       CAST(count(*) AS BIGINT) AS shared
+            |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2 HAVING count(*) >= 2
+            |ORDER BY id1, id2""".stripMargin)) { (s, dir) =>
+        Dedup.winnowCandidates(docs(s, dir), "text", "doc_id", k = wk, w = ww,
+            minShared = 2, maxDf = 50)
+          .orderBy("id1", "id2")
+      }
+
       // multiset (integer-weighted) MinHash: the occurrence-indexed
       // expansion makes repetition count — same md5/affine convention,
       // so the oracle replays signatures, banding and candidates exactly

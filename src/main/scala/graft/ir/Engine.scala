@@ -366,6 +366,53 @@ object Engine {
                 org.apache.spark.sql.types.StructField("jaccard",
                   org.apache.spark.sql.types.DoubleType)))))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "winnow-fingerprints" =>
+          try {
+            val m = pMap(n.params.head)
+            val idf = df.schema(pStr(m("id"))); df(pStr(m("text")))
+            m.get("k").foreach { v => require(pLong(v) >= 1, "winnow-fingerprints: k must be >= 1") }
+            m.get("w").foreach { v => require(pLong(v) >= 1, "winnow-fingerprints: w must be >= 1") }
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                idf,
+                org.apache.spark.sql.types.StructField("pos",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("fp",
+                  org.apache.spark.sql.types.LongType)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "winnow-candidates" =>
+          try {
+            val m = pMap(n.params.head)
+            val idf = df.schema(pStr(m("id"))); df(pStr(m("text")))
+            m.get("min-shared").foreach { v =>
+              require(pLong(v) >= 1, "winnow-candidates: min-shared must be >= 1") }
+            m.get("max-df").foreach { v =>
+              require(pLong(v) >= 2, "winnow-candidates: max-df must be >= 2") }
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                idf.copy(name = "id1"), idf.copy(name = "id2"),
+                org.apache.spark.sql.types.StructField("shared",
+                  org.apache.spark.sql.types.LongType)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "edit-confirm" =>
+          try {
+            val m = pMap(n.params.head)
+            val idf = df.schema(pStr(m("id"))); df(pStr(m("text")))
+            val ms = pDouble(m("min-sim"))
+            require(ms >= 0.0 && ms <= 1.0, "edit-confirm: min-sim must be in [0,1]")
+            m.get("max-len").foreach { l =>
+              require(pLong(l) >= 1, "edit-confirm: max-len must be >= 1") }
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                idf.copy(name = "id1"), idf.copy(name = "id2"),
+                org.apache.spark.sql.types.StructField("edit_dist",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("edit_sim",
+                  org.apache.spark.sql.types.DoubleType)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "ivfpq-build" =>
           // sink-like artifact writer: params/columns checked, no IO
           try {
@@ -1435,6 +1482,30 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.jaccardPrefixJoin(df, pStr(m("id")), pStr(m("text")),
         pDouble(m("threshold")))
+    case "winnow-fingerprints" =>
+      // MOSS winnowing: per-doc local fingerprints (map-side fold)
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.winnowFingerprints(df, pStr(m("text")), pStr(m("id")),
+        k = m.get("k").map(pLong(_).toInt).getOrElse(5),
+        w = m.get("w").map(pLong(_).toInt).getOrElse(4))
+    case "winnow-candidates" =>
+      // shared-fingerprint near-dup pairs (local-overlap complement of LSH)
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.winnowCandidates(df, pStr(m("text")), pStr(m("id")),
+        k = m.get("k").map(pLong(_).toInt).getOrElse(5),
+        w = m.get("w").map(pLong(_).toInt).getOrElse(4),
+        minShared = m.get("min-shared").map(pLong(_).toInt).getOrElse(2),
+        maxDf = m.get("max-df").map(pLong(_).toInt).getOrElse(50))
+    case "edit-confirm" =>
+      // composed near-dup funnel: LSH candidates -> bounded Levenshtein
+      // alignment confirm (the order-sensitive verifier)
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.editConfirm(df,
+        graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
+          k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2)),
+        pStr(m("text")), pStr(m("id")), pDouble(m("min-sim")),
+        m.get("max-len").map(pLong(_).toInt).getOrElse(512))
     case "ivfpq-build" =>
       // sink-like: persist the index (train + encode, cell-partitioned
       // codes) and pass the corpus through unchanged

@@ -804,4 +804,116 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every character `k`-gram of
+    * the case/whitespace-normalized text, slide a window of `w`
+    * consecutive hashes, and keep the MINIMUM hash of each window
+    * (rightmost position on ties). The winnowing guarantee: any shared
+    * substring of length ≥ `w + k − 1` contributes at least one SHARED
+    * fingerprint, and the expected density is `2/(w+1)` — a ~`w/2`-fold
+    * reduction over all-grams fingerprinting with a detection floor,
+    * which MinHash (a per-DOC sketch) cannot give for local overlap.
+    *
+    * Scale: selection is the fused [[graft.functions.WinnowSelect]]
+    * kernel — one md5 per gram, deque sliding-min, `O(len)` amortized,
+    * no shuffle; output is the exploded `(doc_id, pos, fp)` relation,
+    * ~`2·len/(w+1)` rows per doc. The md5-prefix hash convention keeps
+    * the DuckDB oracle bit-identical.
+    *
+    * Output: `(<idCol>, pos, fp)` distinct, `pos` = 1-based char offset
+    * of the selected gram in the normalized text.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"winnowFingerprints: k must be >= 1, got $k")
+    require(w >= 1, s"winnowFingerprints: w must be >= 1, got $w")
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    df.select(col(idCol),
+        explode(graft.functions.Winnow.select(norm, k, w)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.h").as("fp"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints: the
+    * local-overlap complement of MinHash-LSH — a plagiarized PARAGRAPH
+    * inside an otherwise-unrelated page shares fingerprints even though
+    * whole-document Jaccard is tiny. One exchange on the fingerprint
+    * value (the LSH-bucket shape); fingerprints shared by more than
+    * `maxDf` documents (boilerplate k-grams — the hub-skew killers) are
+    * dropped BEFORE the self-join, the standard winnowing-index cap.
+    *
+    * Output: `(id1, id2, shared)` with `shared >= minShared`, id1 < id2.
+    */
+  def winnowCandidates(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 5, w: Int = 4, minShared: Int = 2,
+                       maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"winnowCandidates: minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"winnowCandidates: maxDf must be >= 2, got $maxDf")
+    val fps = graft.operators.Materialize(
+      winnowFingerprints(df, textCol, idCol, k, w)
+        .select(col(idCol).as("doc_id"), col("fp")).distinct())
+    val kept = fps.join(
+      fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp"),
+      "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id1"), col("id2"), col("shared"))
+  }
+
+  /** Edit-distance CONFIRM stage for a candidate-pair frame: exact
+    * character-level Levenshtein similarity `1 − d/max(|a|,|b|)` for each
+    * `(id1, id2)` pair, keeping pairs with similarity ≥ `minSim`.
+    *
+    * This is the last, most expensive verifier in the near-dup funnel
+    * (LSH / SimHash / prefix-join candidates → n-gram Jaccard →
+    * edit distance): token-set measures are blind to ORDER, so two
+    * documents with the same vocabulary but shuffled sentences pass a
+    * Jaccard verify — only an alignment measure like Levenshtein
+    * separates true revisions from bag-of-words coincidences
+    * (reference: mirabelle has no multi-stage near-dup funnel; this is
+    * the scale path the LLM-pipeline surface adds).
+    *
+    * Scale: the quadratic DP runs ONLY on surviving candidate pairs —
+    * never corpus × corpus — on text capped at `maxLen` chars, and
+    * Spark's codegen'd `levenshtein(l, r, bound)` variant abandons a
+    * pair early once the distance provably exceeds the bound implied by
+    * `minSim` (returns −1, O(n·bound) not O(n²); the oracle's unbounded
+    * distance filters to the identical set). Two id-equi-joins ship the
+    * capped texts to the pairs; cost class = the Jaccard verify join.
+    *
+    * Output: `(id1, id2, edit_dist, edit_sim)`; identical truncated
+    * texts give `edit_sim = 1.0`, disjoint ones approach 0.
+    */
+  def editConfirm(df: DataFrame, pairs: DataFrame, textCol: String,
+                  idCol: String, minSim: Double, maxLen: Int = 512): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"editConfirm: minSim in [0,1], got $minSim")
+    require(maxLen >= 1, s"editConfirm: maxLen must be >= 1, got $maxLen")
+    val t = df.select(col(idCol), substring(col(textCol), 1, maxLen).as("__t"))
+    val joined = pairs
+      .join(t.select(col(idCol).as("id1"), col("__t").as("__t1")), "id1")
+      .join(t.select(col(idCol).as("id2"), col("__t").as("__t2")), "id2")
+    val n = greatest(length(col("__t1")), length(col("__t2")))
+    // bound: d <= floor((1-minSim)*n) passes; levenshtein's early-exit
+    // threshold (a global int — the per-row bound is <= this because
+    // n <= maxLen) returns -1 above it, which the filter drops — same
+    // surviving set as the oracle's unbounded distance
+    val bound = math.floor((1.0 - minSim) * maxLen).toInt + 1
+    joined
+      .withColumn("edit_dist",
+        when(n === 0, lit(0))
+          .otherwise(levenshtein(col("__t1"), col("__t2"), bound)))
+      .filter(col("edit_dist") >= 0 &&
+        (n === 0 || col("edit_dist").cast("double") <= lit(1.0 - minSim) * n.cast("double")))
+      .withColumn("edit_sim",
+        when(n === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("edit_dist").cast("double") / n.cast("double")))
+      .select(col("id1"), col("id2"), col("edit_dist").cast("long").as("edit_dist"),
+        col("edit_sim"))
+  }
 }

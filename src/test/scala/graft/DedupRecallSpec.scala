@@ -107,4 +107,71 @@ class DedupRecallSpec extends AnyFunSuite {
       assert(math.abs(got(k) - j) < 1e-12, s"jaccard value mismatch at $k") }
     assert(got.values.forall(_ >= t))
   }
+
+  /** Reference Levenshtein for the confirm-stage tests — the classic
+    * O(nm) two-row DP, independent of Spark's implementation.
+    */
+  private def lev(a: String, b: String): Int = {
+    var prev = (0 to b.length).toArray
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1); cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length)
+  }
+
+  test("editConfirm: exact bounded distances on known pairs; minSim filter; truncation; empty texts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),              // d=3, n=7, sim=4/7
+      (3L, "the quick brown fox"), (4L, "the quick brown fix"), // d=1
+      (5L, ""), (6L, ""),                           // both empty: sim 1.0
+      (7L, "abcdefgh"), (8L, "zzzzzzzz")            // disjoint: sim 0
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id1", "id2")
+    val all = Dedup.editConfirm(docs, pairs, "text", "doc_id", minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(all((1L, 2L)) == ((3L, 1.0 - 3.0 / 7.0)), s"kitten/sitting: $all")
+    assert(all.values.exists { case (d, _) => d == 1L }, "fox/fix must be distance 1")
+    assert(all.exists { case (k, (d, sim)) => d == 0L && sim == 1.0 },
+      "both-empty pair must confirm at sim 1.0")
+    // threshold drops the disjoint pair but keeps the near-identical ones
+    val filtered = Dedup.editConfirm(docs, pairs, "text", "doc_id", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!filtered.contains((8L, 7L)) && !filtered.contains((7L, 8L)),
+      "disjoint pair must fail a 0.5 confirm")
+    assert(filtered.size == 3, s"three pairs survive 0.5: $filtered")
+    // truncation: beyond maxLen the texts are identical prefixes
+    val trunc = Dedup.editConfirm(docs.withColumn("text",
+        when(col("doc_id") === 7L, lit("same prefix AAAA")).when(col("doc_id") === 8L,
+          lit("same prefix BBBB")).otherwise(col("text"))),
+      Seq((7L, 8L)).toDF("id1", "id2"), "text", "doc_id", minSim = 0.9, maxLen = 11)
+      .collect()
+    assert(trunc.length == 1 && trunc(0).getDouble(3) == 1.0,
+      "maxLen=11 sees only the shared prefix -> sim 1.0")
+  }
+
+  test("editConfirm: bounded early-exit equals the unbounded reference DP on LSH candidates") {
+    val minSim = 0.3
+    val cands = Dedup.lshCandidates(corpus, "text", "doc_id", k = 8, rowsPerBand = 2)
+    val got = Dedup.editConfirm(corpus, cands, "text", "doc_id", minSim, maxLen = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1).take(200)).toMap
+    val want = cands.collect().map(r => (r.getLong(0), r.getLong(1))).distinct.flatMap {
+      case (i1, i2) =>
+        val (a, b) = (texts(i1), texts(i2)); val n = math.max(a.length, b.length)
+        val d = lev(a, b)
+        if (n == 0 || d <= (1.0 - minSim) * n)
+          Some((i1, i2) -> (d.toLong, if (n == 0) 1.0 else 1.0 - d.toDouble / n))
+        else None
+    }.toMap
+    assert(got.keySet == want.keySet,
+      s"surviving sets differ: missing=${(want.keySet -- got.keySet).take(3)} extra=${(got.keySet -- want.keySet).take(3)}")
+    want.foreach { case (k, (d, sim)) =>
+      assert(got(k)._1 == d && math.abs(got(k)._2 - sim) < 1e-12, s"mismatch at $k") }
+  }
 }
