@@ -4015,6 +4015,55 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // Poisson-bootstrap uncertainty for per-source metric means: each
+    // row mints deterministic Poisson(1) weights per replicate
+    // (inverse-CDF of md5-uniform against the SHARED decimal literals in
+    // Bootstrap.PoissonCdf), replicate means are weighted DECIMAL(38,9)
+    // sums — the whole resampling scheme replayed exactly in SQL
+    locally {
+      val r = 50
+      val bs = graft.operators.Bootstrap
+      val uSql = s"""(${sqlMd5Hash64(
+        "'bs:' || CAST(r.rep AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}
+        / 1152921504606846976.0)""".replace("\n", " ")
+      val wSql = bs.PoissonCdf
+        .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+      val meansSql =
+        s"""reps AS (SELECT unnest(range(0, $r)) AS rep),
+           |u0 AS (SELECT d.source, d.n_chars, r.rep, $uSql AS u
+           |       FROM documents d CROSS JOIN reps r),
+           |w AS (SELECT source, n_chars, rep, ($wSql) AS wgt FROM u0),
+           |m AS (SELECT source, CAST(rep AS BIGINT) AS rep,
+           |             CAST(sum(CAST(CAST(n_chars AS DOUBLE) * wgt
+           |                           AS DECIMAL(38,9))) AS DOUBLE)
+           |             / CAST(sum(wgt) AS DOUBLE) AS mean
+           |      FROM w WHERE wgt > 0 GROUP BY source, rep)""".stripMargin
+
+      register("bootstrap_means",
+        s"""WITH $meansSql
+           |SELECT source, rep, mean FROM m ORDER BY source, rep""".stripMargin) { (s, dir) =>
+        bs.replicateMeans(docs(s, dir), "n_chars", "doc_id",
+            Seq("source"), r = r, salt = "bs")
+          .orderBy("source", "rep")
+      }
+
+      register("bootstrap_ci",
+        s"""WITH $meansSql,
+           |ms AS (SELECT source, list_sort(list(mean)) AS ms FROM m GROUP BY source),
+           |pt AS (SELECT source, count(*) AS n,
+           |              CAST(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,9)))
+           |                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS point
+           |       FROM documents GROUP BY source)
+           |SELECT pt.source, pt.n, pt.point,
+           |       ms.ms[${math.floor(0.05 * (r - 1)).toInt + 1}] AS ci_lo,
+           |       ms.ms[${math.ceil(0.95 * (r - 1)).toInt + 1}] AS ci_hi
+           |FROM pt JOIN ms USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
+        bs.confidenceInterval(docs(s, dir), "n_chars", "doc_id",
+            Seq("source"), r = r, alpha = 0.1, salt = "bs")
+          .orderBy("source")
+      }
+    }
+
     // per-source n-gram diversity (template-heavy source detector)
     register("ngram_diversity",
       s"""$DocsView,

@@ -366,6 +366,22 @@ object Engine {
                 org.apache.spark.sql.types.StructField("jaccard",
                   org.apache.spark.sql.types.DoubleType)))))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "bootstrap-ci" =>
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("val"))); df(pStr(m("id")))
+            val groups = pStrs(m("group"))
+            require(groups.nonEmpty, "bootstrap-ci: group must be non-empty")
+            m.get("alpha").foreach { a =>
+              require(pDouble(a) > 0.0 && pDouble(a) < 1.0,
+                "bootstrap-ci: alpha must be in (0,1)") }
+            m.get("r").foreach { v => require(pLong(v) >= 1, "bootstrap-ci: r must be >= 1") }
+            recurse(df.select(groups.map(col): _*)
+              .withColumn("n", lit(0L))
+              .withColumn("point", lit(0.0))
+              .withColumn("ci_lo", lit(0.0))
+              .withColumn("ci_hi", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "winnow-fingerprints" =>
           try {
             val m = pMap(n.params.head)
@@ -1482,6 +1498,15 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.jaccardPrefixJoin(df, pStr(m("id")), pStr(m("text")),
         pDouble(m("threshold")))
+    case "bootstrap-ci" =>
+      // percentile-bootstrap CI of a metric mean per group (Poisson
+      // weights — one corpus pass, groups x r exchange)
+      val m = pMap(params.head)
+      df => graft.operators.Bootstrap.confidenceInterval(df,
+        pStr(m("val")), pStr(m("id")), pStrs(m("group")),
+        r = m.get("r").map(pLong(_).toInt).getOrElse(100),
+        alpha = m.get("alpha").map(pDouble).getOrElse(0.05),
+        salt = m.get("salt").map(pStr).getOrElse("bs"))
     case "winnow-fingerprints" =>
       // MOSS winnowing: per-doc local fingerprints (map-side fold)
       val m = pMap(params.head)
