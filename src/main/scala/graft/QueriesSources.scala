@@ -284,5 +284,35 @@ object QueriesSources {
           array_join(col("tags"), ",").as("tags_str"))
         .orderBy("eid")
     }
+
+    // gzip-JSONL corpus interchange round trip: documents (with a
+    // deliberately hostile suffix — quote, backslash, newline, tab,
+    // accented char, astral-adjacent snowman — the JSON-escaping
+    // minefield) are EXPORTED as range-partitioned .json.gz shards and
+    // read back schema-first; the oracle hashes the same strings
+    // straight from parquet, so any writer/reader mangling (escaping,
+    // charset, truncation, line splitting) breaks the md5
+    register("jsonl_roundtrip",
+      """SELECT doc_id,
+        |       md5(text || chr(34) || chr(92) || chr(10) || chr(9)
+        |           || 'caf' || chr(233) || ' ' || chr(9731)) AS h,
+        |       CAST(len(text || chr(34) || chr(92) || chr(10) || chr(9)
+        |           || 'caf' || chr(233) || ' ' || chr(9731)) AS BIGINT) AS n
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hostile = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\"\\\n\tcaf\u00e9 \u2603")).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+      graft.sources.Jsonl.writeShards(hostile, s"$tmp/shards", "doc_id", shards = 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Jsonl.read(s, s"$tmp/shards", schema)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("n"))
+        .orderBy("doc_id")
+    }
   }
 }
