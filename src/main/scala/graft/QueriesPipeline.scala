@@ -3265,6 +3265,53 @@ object QueriesPipeline {
       }
     }
 
+    // HITS hubs/authorities over the same host -> event-type bipartite
+    // graph as host_pagerank, fixed 3 mutual-reinforcement rounds. The
+    // oracle UNROLLS each half-step; per-edge contributions round to
+    // DECIMAL(38,18) BEFORE the sum, L1 totals are exact decimal sums,
+    // and the normalization divide is the same IEEE expression — so the
+    // iterative operator is hash-replayable like the PageRank gate
+    locally {
+      val iters = 3
+      val iterCtes = (1 to iters).map { i =>
+        s"""ca$i AS (SELECT e.dst, sum(CAST(s.hub AS DECIMAL(38,18))) AS s
+           |         FROM e JOIN s${i - 1} s ON s.node = e.src GROUP BY e.dst),
+           |ta$i AS (SELECT sum(s) AS tot FROM ca$i),
+           |wa$i AS (SELECT n.node,
+           |                coalesce(CAST(c.s AS DOUBLE), 0.0) / CAST(t.tot AS DOUBLE) AS auth,
+           |                s.hub
+           |         FROM nodes n LEFT JOIN ca$i c ON c.dst = n.node
+           |         JOIN s${i - 1} s ON s.node = n.node CROSS JOIN ta$i t),
+           |ch$i AS (SELECT e.src, sum(CAST(w.auth AS DECIMAL(38,18))) AS s
+           |         FROM e JOIN wa$i w ON w.node = e.dst GROUP BY e.src),
+           |th$i AS (SELECT sum(s) AS tot FROM ch$i),
+           |s$i AS (SELECT n.node, w.auth,
+           |               coalesce(CAST(c.s AS DOUBLE), 0.0) / CAST(t.tot AS DOUBLE) AS hub
+           |        FROM nodes n LEFT JOIN ch$i c ON c.src = n.node
+           |        JOIN wa$i w ON w.node = n.node CROSS JOIN th$i t)""".stripMargin
+      }.mkString(",\n")
+      register("hits_scores",
+        s"""WITH e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+           |                           event_type AS dst
+           |           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |s0 AS (SELECT node, 1.0 AS auth, 1.0 AS hub FROM nodes),
+           |$iterCtes
+           |SELECT node, CAST(CAST(auth AS DECIMAL(38,12)) AS DOUBLE) AS auth,
+           |       CAST(CAST(hub AS DECIMAL(38,12)) AS DOUBLE) AS hub
+           |FROM s$iters ORDER BY node""".stripMargin) { (s, dir) =>
+        val ev = graft.sources.Tables.events(s, dir)
+        val edges = ev.select(col("host"), col("service"))
+          .filter(col("host").isNotNull && col("service").isNotNull)
+          .distinct()
+        graft.operators.LinkGraph.hits(edges, "host", "service", iters = iters)
+          .select(col("node"),
+            col("auth").cast("decimal(38,12)").cast("double").as("auth"),
+            col("hub").cast("decimal(38,12)").cast("double").as("hub"))
+          .orderBy("node")
+      }
+    }
+
     // Unicode NFC normalization: two independent implementations of
     // UAX #15 (JDK Normalizer behind the codegen'd expression vs
     // DuckDB's nfc_normalize) must agree byte-for-byte — the query

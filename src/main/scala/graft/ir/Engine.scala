@@ -639,6 +639,22 @@ object Engine {
                 org.apache.spark.sql.types.StructField("rank",
                   org.apache.spark.sql.types.DoubleType, nullable = false)))))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "hits" =>
+          // eager like pagerank: params probed, schema emitted
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("src"))); df(pStr(m("dst")))
+            m.get("iters").foreach { v => require(pLong(v) >= 1, "hits: iters must be >= 1") }
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("node",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("auth",
+                  org.apache.spark.sql.types.DoubleType, nullable = false),
+                org.apache.spark.sql.types.StructField("hub",
+                  org.apache.spark.sql.types.DoubleType, nullable = false)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "doremi-weights" | "doremi-reweight" =>
           // eager (the MW loop collects the model-sized domain stats):
           // validate probes params and emits the schema only
@@ -1660,6 +1676,11 @@ object Engine {
       df => graft.operators.LinkGraph.pageRank(df, pStr(m("src")), pStr(m("dst")),
         m.get("iters").map(pLong(_).toInt).getOrElse(10),
         m.get("damping").map(pDouble).getOrElse(0.85))
+    case "hits" =>
+      // hubs & authorities over an edge frame (eager power iteration)
+      val m = pMap(params.head)
+      df => graft.operators.LinkGraph.hits(df, pStr(m("src")), pStr(m("dst")),
+        m.get("iters").map(pLong(_).toInt).getOrElse(5))
     case "doremi-weights" =>
       val m = pMap(params.head)
       df => graft.operators.Doremi.weights(df, pStr(m("domain")),

@@ -80,6 +80,68 @@ object LinkGraph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the complement of
+    * [[pageRank]] for crawl curation: PageRank scores global endorsement,
+    * HITS separates DIRECTORY pages (hubs: link to many good sources —
+    * link farms and index spam also score here, which is why it's a
+    * useful spam feature) from CONTENT pages (authorities). Fixed
+    * `iters` mutual-reinforcement rounds:
+    * `auth ∝ Σ_in hub`, then `hub ∝ Σ_out auth`, each half-step
+    * L1-normalized (Kleinberg uses L2; L1 keeps every op a plain
+    * sum/divide so the oracle replays it exactly — the RANKING is
+    * identical, scores are a constant multiple per round).
+    *
+    * Scale/determinism shape = [[pageRank]]: one map-side-combined
+    * `groupBy` shuffle per half-step, per-edge contributions rounded to
+    * `DECIMAL(38,18)` before the sum (order-independent), the L1 total
+    * is a one-row exact-decimal driver scalar, scores
+    * [[Materialize]]d per round so lineage stays flat.
+    *
+    * Output: `(node, auth, hub)` over all nodes; sink-only nodes have
+    * hub 0, source-only nodes auth 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val e = Materialize(edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull))
+    val nodes = Materialize(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    require(e.limit(1).count() > 0, "hits: empty edge list")
+    var scores = Materialize(nodes.select(col("node"),
+      lit(1.0).as("auth"), lit(1.0).as("hub")))
+    var t = 0
+    while (t < iters) {
+      // authority half-step: in-link hub mass
+      val ca = e.join(scores, e("src") === scores("node"))
+        .select(col("dst"), col("hub").cast("decimal(38,18)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      val aTot = ca.agg(sum(col("s"))).head.getDecimal(0).doubleValue()
+      val withAuth = Materialize(nodes
+        .join(ca, nodes("node") === ca("dst"), "left")
+        .join(scores.select(col("node").as("__n"), col("hub")),
+          nodes("node") === col("__n"))
+        .select(col("node"),
+          (coalesce(col("s").cast("double"), lit(0.0)) / lit(aTot)).as("auth"),
+          col("hub")))
+      // hub half-step: out-link authority mass
+      val ch = e.join(withAuth, e("dst") === withAuth("node"))
+        .select(col("src"), col("auth").cast("decimal(38,18)").as("c"))
+        .groupBy("src").agg(sum(col("c")).as("s"))
+      val hTot = ch.agg(sum(col("s"))).head.getDecimal(0).doubleValue()
+      scores = Materialize(nodes
+        .join(ch, nodes("node") === ch("src"), "left")
+        .join(withAuth.select(col("node").as("__n"), col("auth")),
+          nodes("node") === col("__n"))
+        .select(col("node"), col("auth"),
+          (coalesce(col("s").cast("double"), lit(0.0)) / lit(hTot)).as("hub")))
+      t += 1
+    }
+    scores
+  }
+
   /** Host-level link edges mined from document text: every URL host
     * mentioned in `textCol` ([[graft.functions.Pii.urlHosts]], the
     * engine-portable extraction the URL-analysis gates already pin)

@@ -116,4 +116,49 @@ class LinkGraphSpec extends AnyFunSuite {
       spark, schema = df.schema)
     assert(v.isEmpty, v.mkString("; "))
   }
+
+  private def hitsMap(df: org.apache.spark.sql.DataFrame, iters: Int = 5) =
+    LinkGraph.hits(df, "src", "dst", iters = iters)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  test("HITS star: all authority concentrates on the pointed-to node, hubs split evenly") {
+    val h = hitsMap(edges(("h1", "c"), ("h2", "c")))
+    assert(h("c")._1 == 1.0, s"sole sink holds all authority: $h")
+    assert(h("c")._2 == 0.0, "sink has no out-links -> hub 0")
+    assert(h("h1")._1 == 0.0 && h("h2")._1 == 0.0, "pure hubs have no in-links")
+    assert(math.abs(h("h1")._2 - 0.5) < 1e-12 && h("h1")._2 == h("h2")._2)
+  }
+
+  test("HITS mutual reinforcement: the hub covering both authorities beats the single-link hub") {
+    // g links to both a1,a2; s links only to a1; a1 gains over a2 because
+    // TWO hubs endorse it, and g's hub score beats s's because it covers more
+    val h = hitsMap(edges(("g", "a1"), ("g", "a2"), ("s", "a1")), iters = 8)
+    assert(h("g")._2 > h("s")._2, s"covering hub must win: $h")
+    assert(h("a1")._1 > h("a2")._1, s"doubly-endorsed authority must win: $h")
+  }
+
+  test("HITS L1 invariants and independent-reference equality on a mixed graph") {
+    val es = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("b", "d"))
+    val iters = 4
+    val got = hitsMap(edges(es: _*), iters = iters)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9, "auth L1 mass")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "hub L1 mass")
+    // independent local reference: plain double arithmetic (the decimal
+    // per-edge rounding is 1e-18 — far below this tolerance)
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var auth = nodes.map(_ -> 1.0).toMap
+    var hub = nodes.map(_ -> 1.0).toMap
+    for (_ <- 0 until iters) {
+      val a2 = nodes.map(n => n -> es.filter(_._2 == n).map(e => hub(e._1)).sum).toMap
+      val at = a2.values.sum
+      auth = a2.view.mapValues(_ / at).toMap
+      val h2 = nodes.map(n => n -> es.filter(_._1 == n).map(e => auth(e._2)).sum).toMap
+      val ht = h2.values.sum
+      hub = h2.view.mapValues(_ / ht).toMap
+    }
+    nodes.foreach { n =>
+      assert(math.abs(got(n)._1 - auth(n)) < 1e-12, s"auth($n): ${got(n)._1} vs ${auth(n)}")
+      assert(math.abs(got(n)._2 - hub(n)) < 1e-12, s"hub($n): ${got(n)._2} vs ${hub(n)}")
+    }
+  }
 }
