@@ -131,6 +131,32 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }
 
+    // Harman s-stemmer vocabulary: a plural-rich suffix is appended so
+    // every rule and every exception fires on the fixture; both engines
+    // run the identical longest-suffix-first CASE chain
+    register("stem_vocab",
+      s"""WITH aug AS (SELECT text || ' tables queries classes buses stories bus pass movies toes trees aliases species kiss campus' AS t2
+         |             FROM documents),
+         |t AS (SELECT unnest(list_filter(string_split_regex(lower(t2), '[^a-z0-9]+'),
+         |                    x -> len(x) > 0)) AS w FROM aug),
+         |st AS (SELECT CASE
+         |         WHEN ends_with(w,'eies') OR ends_with(w,'aies') THEN w
+         |         WHEN ends_with(w,'ies') THEN substr(w, 1, len(w)-3) || 'y'
+         |         WHEN ends_with(w,'aes') OR ends_with(w,'ees') OR ends_with(w,'oes') THEN w
+         |         WHEN ends_with(w,'es') THEN substr(w, 1, len(w)-1)
+         |         WHEN ends_with(w,'us') OR ends_with(w,'ss') THEN w
+         |         WHEN ends_with(w,'s') THEN substr(w, 1, len(w)-1)
+         |         ELSE w END AS stem FROM t)
+         |SELECT stem, count(*) AS n FROM st GROUP BY stem ORDER BY stem""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(Text.tokens(concat(col("text"),
+          lit(" tables queries classes buses stories bus pass" +
+            " movies toes trees aliases species kiss campus")))).as("w"))
+        .select(Text.sStem(col("w")).as("stem"))
+        .groupBy("stem").agg(count(lit(1)).as("n"))
+        .orderBy("stem")
+    }
+
     register("text_bpe_tokens",
       s"""SELECT doc_id,
          |       CAST(len(regexp_extract_all(text, '${Text.BpePretokenPattern}')) AS BIGINT) AS n_bpe

@@ -61,6 +61,33 @@ object Text {
     */
   def md5HashMod(c: Column): Column = md5Hash64(c) % lit(1000000007L)
 
+  /** Harman "s-stemmer" (Donna Harman, "How Effective Is Suffixing?",
+    * JASIS 1991) — the minimal English plural stemmer production
+    * retrieval stacks reach for when full Porter over-stems (Lucene's
+    * minimal-English family is the same idea): exactly three guarded
+    * rules, applied first-match on a lowercase token:
+    *
+    *  1. `-ies → -y` unless the word ends `-eies`/`-aies`
+    *  2. `-es  → -e` (drop the `s`) unless it ends `-aes`/`-ees`/`-oes`
+    *  3. `-s` dropped unless the word ends `-us`/`-ss`
+    *
+    * Pure CASE/substr algebra — codegen'd, engine-portable (the DuckDB
+    * oracle replays the identical rules), no dictionary. Feed it
+    * [[tokens]] output; conflating plural/singular raises recall in
+    * BM25/tf-idf retrieval at near-zero precision cost.
+    */
+  def sStem(c: Column): Column =
+    // branch on the LONGEST suffix first; an exception means the word is
+    // left unchanged, not passed to the next rule ("toes" stays "toes",
+    // it does not fall through to the bare-s rule)
+    when(c.endsWith("eies") || c.endsWith("aies"), c)
+      .when(c.endsWith("ies"), concat(c.substr(lit(1), length(c) - 3), lit("y")))
+      .when(c.endsWith("aes") || c.endsWith("ees") || c.endsWith("oes"), c)
+      .when(c.endsWith("es"), c.substr(lit(1), length(c) - 1))
+      .when(c.endsWith("us") || c.endsWith("ss"), c)
+      .when(c.endsWith("s"), c.substr(lit(1), length(c) - 1))
+      .otherwise(c)
+
   /** Word n-gram shingles (n=2): null-padded zip of the token array with
     * its own tail, nulls filtered.
     */

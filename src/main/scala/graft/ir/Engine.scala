@@ -1340,6 +1340,11 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "s-stem" =>
+      // Harman plural stemmer on a lowercase-token column
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.functions.Text.sStem(col(pStr(m("field")))))
     case "hashing-tf" =>
       val m = pMap(params.head)
       df => df.withColumn(pStr(m("out")),

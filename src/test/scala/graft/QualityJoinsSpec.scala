@@ -476,4 +476,25 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(math.abs(got("mixed") - StrictMath.log(2.0)) < 1e-15, got.toString)
     assert(got("empty") == 0.0)
   }
+
+  test("sStem: the Harman 1991 rules and every exception, exceptions stop not cascade") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "tables" -> "table", "stories" -> "story", "queries" -> "query",
+      "movies" -> "movy", // the documented s-stemmer artifact
+      "classes" -> "classe", // es-rule drops only the s
+      "toes" -> "toes", "trees" -> "trees", "aliases" -> "aliase",
+      "bus" -> "bus", "campus" -> "campus", // -us exception
+      "pass" -> "pass", "kiss" -> "kiss", // -ss exception
+      "species" -> "specy", // ies beats the es exceptions (longest suffix first)
+      "cats" -> "cat", "s" -> "", // bare 's' is not 'ss'/'us' -> drops to empty
+      "dog" -> "dog", "" -> "")
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), graft.functions.Text.sStem(col("w")).as("st"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) =>
+      assert(got(w) == want, s"sStem($w) = '${got(w)}', want '$want'")
+    }
+  }
 }
