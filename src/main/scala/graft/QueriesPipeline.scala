@@ -1872,7 +1872,7 @@ object QueriesPipeline {
       val lutCols = (0 until m).map(mi =>
         s"list_transform(range($codes), j -> ${dot(s"q.embedding[${mi * sub + 1}:${(mi + 1) * sub}]", s"cb.cb$mi[CAST(j AS INT) + 1]")}) AS lut$mi").mkString(",\n           |       ")
       val score = (0 until m).map(mi => s"q.lut$mi[CAST(e.c$mi AS INT) + 1]").mkString(" + ")
-      register("ann_pq_topk",
+      val pqSql =
         s"""WITH cb AS (
            |  SELECT $cbCols
            |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $codes)),
@@ -1891,10 +1891,26 @@ object QueriesPipeline {
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |                               ORDER BY score DESC, nn_id ASC) AS rank
            |  FROM scored) WHERE rank <= $topK
-           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+           |ORDER BY query_id, rank""".stripMargin
+      register("ann_pq_topk", pqSql) { (s, dir) =>
         val e = emb(s, dir)
         Similarity.pqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
           topK, m = m, codes = codes)
+          .orderBy("query_id", "rank")
+      }
+
+      // OPQ query path under the identity rotation: the rotation ride
+      // through the fused AffineProject kernel must change NOTHING -
+      // identical codes, LUTs, scores vs the plain-PQ oracle. (Trained
+      // rotations are spec-gated in AnnRecallSpec: orthogonality,
+      // distortion drop, recall >= PQ; the SVD step is not
+      // SQL-expressible, so the oracle lever is the identity model.)
+      register("ann_opq_identity", pqSql) { (s, dir) =>
+        val e = emb(s, dir)
+        val idModel = Similarity.opqIdentityModel(e, "vec_id", "embedding",
+          m = m, codes = codes)
+        Similarity.opqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+          topK, idModel)
           .orderBy("query_id", "rank")
       }
     }

@@ -377,12 +377,7 @@ object Similarity {
              vecCol: String, k: Int, m: Int = 4, codes: Int = 16): DataFrame = {
     // codes lowest DISTINCT ids — duplicate-id rows would collapse the
     // codebook to a handful of distinct entries (see kmeansCentroids)
-    val seeds: Array[Seq[Float]] = corpus
-      .select(col(idCol).cast("long").as("__pid"), col(vecCol).as("__pv"))
-      .dropDuplicates("__pid")
-      .orderBy(col("__pid")).limit(codes)
-      .collect().map(_.getSeq[Float](1))
-    require(seeds.length == codes, s"pqTopK: corpus smaller than $codes distinct-id codebook seeds")
+    val seeds = pqSeeds(corpus, idCol, vecCol, codes, "pqTopK")
     val dim = seeds.head.length
     require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -775,5 +770,276 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
+  }
+
+  // ---------------- OPQ: optimized product quantization ----------------
+
+  /** OPQ model: an orthogonal `d×d` rotation (row-major rows) plus
+    * per-subspace codebooks `codebooks(mi)(j)` of `d/m` doubles.
+    */
+  final case class OpqModel(rotation: Array[Array[Double]],
+                            codebooks: Array[Array[Array[Double]]]) {
+    def d: Int = rotation.length
+    def m: Int = codebooks.length
+  }
+
+  /** Identity-rotation model with codebooks = slices of the same
+    * deterministic lowest-id seeds [[pqTopK]] uses — by construction
+    * [[opqTopK]] under this model reproduces [[pqTopK]] bit-for-bit
+    * (the oracle-gate lever: `ann_opq_identity` shares the pq oracle).
+    */
+  def opqIdentityModel(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, codes: Int): OpqModel = {
+    val seeds = pqSeeds(corpus, idCol, vecCol, codes, "opqIdentityModel")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"opqIdentityModel: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    OpqModel(
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0),
+      Array.tabulate(m, codes)((mi, j) =>
+        seeds(j).slice(mi * sub, (mi + 1) * sub).map(_.toDouble).toArray))
+  }
+
+  /** Non-parametric OPQ training (Ge, He, Ke & Sun, CVPR 2013 /
+    * Norouzi & Fleet's ck-means): alternate
+    *
+    *  1. subspace codebook refresh — `lloydPerIter` Lloyd steps in the
+    *     ROTATED space (one map-side assign + one `(mi, code, dim)`
+    *     aggregate per step, model-sized result),
+    *  2. rotation refresh — orthogonal Procrustes `R = U Vᵀ` from the
+    *     SVD of the data↔codeword cross-covariance `C = Σ q xᵀ`,
+    *     accumulated distributively as ONE [[graft.functions.GramAgg]]
+    *     pass over `concat(q, x)` (a `2d×2d` mergeable partial, ~130 KB
+    *     at d=64; the cross block is read off the upper triangle) and
+    *     solved on the driver via the existing Jacobi eigensolver
+    *     (`SVD(C)` from `eig(CᵀC)`, rank-deficient directions completed
+    *     by Gram-Schmidt).
+    *
+    * PQ's axis-aligned subspace split is arbitrary; the learned rotation
+    * aligns the data's principal structure to that split, cutting
+    * quantization distortion (spec-pinned: distortion decreases, recall
+    * vs exact >= plain PQ on correlated data). Scale: every step is one
+    * corpus pass with model-sized driver state — the k-means/GD loop
+    * shape; nothing driver-side grows with the corpus.
+    */
+  def opqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int = 4, codes: Int = 16, iters: Int = 3,
+               lloydPerIter: Int = 1): OpqModel = {
+    require(iters >= 0, s"opqTrain: iters must be >= 0, got $iters")
+    require(lloydPerIter >= 1, s"opqTrain: lloydPerIter must be >= 1, got $lloydPerIter")
+    var model = opqIdentityModel(corpus, idCol, vecCol, m, codes)
+    val dim = model.d
+    val sub = dim / m
+    val zeros = new Array[Double](dim)
+    var t = 0
+    while (t < iters) {
+      val rotated = Materialize(corpus.select(col(idCol).as("__oid"),
+        col(vecCol).as("__ox"),
+        graft.functions.PcaKernels.affineProject(col(vecCol),
+          model.rotation.flatten, zeros, dim).as("__oy")))
+      // 1) Lloyd refresh of subspace codebooks in rotated space
+      var l = 0
+      while (l < lloydPerIter) {
+        val cb = model.codebooks
+        val entries = rotated.select(explode(array((0 until m).map { mi =>
+            struct(lit(mi).as("mi"),
+              opqCodeOf(col("__oy"), mi, sub, cb(mi)).as("code"),
+              slice(col("__oy"), mi * sub + 1, sub).as("sv"))
+          }: _*)).as("e"))
+          .select(col("e.mi"), col("e.code"), posexplode(col("e.sv")).as(Seq("dim", "x")))
+          .groupBy("mi", "code", "dim").agg(avg(col("x")).as("mu"))
+          .collect()
+        val next = Array.tabulate(m, codes)((mi, j) => cb(mi)(j).clone())
+        entries.foreach { r =>
+          next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+        }
+        model = OpqModel(model.rotation, next)
+        l += 1
+      }
+      // 2) Procrustes rotation refresh from C = sum q x^T
+      val cb = model.codebooks
+      val qCol = flatten(array((0 until m).map { mi =>
+        element_at(typedLit(cb(mi).map(_.toSeq).toSeq),
+          opqCodeOf(col("__oy"), mi, sub, cb(mi)).cast("int") + 1)
+      }: _*))
+      val z = concat(transform(qCol, e => e.cast("float")), col("__ox"))
+      val raw = rotated.agg(graft.functions.PcaKernels.gramAgg(z, 2 * dim).as("g"))
+        .head.getSeq[Double](0).toArray
+      val c = Array.ofDim[Double](dim, dim)
+      val dd = 2 * dim
+      def gIdx(i: Int, j: Int): Int = 1 + dd + i * dd - i * (i - 1) / 2 + (j - i)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { c(i)(j) = raw(gIdx(i, dim + j)); j += 1 }
+        i += 1
+      }
+      model = OpqModel(procrustes(c), model.codebooks)
+      t += 1
+    }
+    model
+  }
+
+  /** PQ top-k under an OPQ model: both sides rotate through the fused
+    * [[graft.functions.AffineProject]] kernel, then the exact [[pqTopK]]
+    * scoring path (asymmetric LUT dot, argmin-L2 codes, same window) in
+    * rotated coordinates. Output: `(query_id, rank, nn_id, score)`.
+    */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, model: OpqModel): DataFrame = {
+    val dim = model.d
+    val m = model.m
+    val sub = dim / m
+    val codes = model.codebooks.head.length
+    val zeros = new Array[Double](dim)
+    val y = graft.functions.PcaKernels.affineProject(col(vecCol),
+      model.rotation.flatten, zeros, dim)
+    val cb = model.codebooks
+    val enc = corpus.select(col(idCol).as("nn_id") +:
+      (0 until m).map(mi => opqCodeOf(y, mi, sub, cb(mi)).as(s"__c$mi")): _*)
+    val q = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map(mi => array((0 until codes).map(j =>
+        pqDot(slice(y, mi * sub + 1, sub), cb(mi)(j).toSeq)): _*).as(s"__lut$mi")): _*)
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", (0 until m).map(mi =>
+        element_at(col(s"__lut$mi"), col(s"__c$mi").cast("int") + 1)).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("score"))
+  }
+
+  /** Mean per-vector quantization distortion `‖y − q(y)‖²` under a
+    * model — the objective OPQ minimizes (spec observable).
+    */
+  def opqDistortion(corpus: DataFrame, vecCol: String, model: OpqModel): Double = {
+    val dim = model.d
+    val m = model.m
+    val sub = dim / m
+    val zeros = new Array[Double](dim)
+    val y = graft.functions.PcaKernels.affineProject(col(vecCol),
+      model.rotation.flatten, zeros, dim)
+    val dist = (0 until m).map { mi =>
+      array_min(array((0 until model.codebooks.head.length).map(j =>
+        pqL2(slice(y, mi * sub + 1, sub), model.codebooks(mi)(j).toSeq)): _*))
+    }.reduce(_ + _)
+    corpus.agg(avg(dist)).head.getDouble(0)
+  }
+
+  /** The deterministic lowest-distinct-id codebook seeds shared by
+    * [[pqTopK]] and [[opqIdentityModel]].
+    */
+  private def pqSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                      codes: Int, what: String): Array[Seq[Float]] = {
+    val seeds: Array[Seq[Float]] = corpus
+      .select(col(idCol).cast("long").as("__pid"), col(vecCol).as("__pv"))
+      .dropDuplicates("__pid")
+      .orderBy(col("__pid")).limit(codes)
+      .collect().map(_.getSeq[Float](1))
+    require(seeds.length == codes,
+      s"$what: corpus smaller than $codes distinct-id codebook seeds")
+    seeds
+  }
+
+  /** Arg-min-L2 code of subspace `mi` against a double codebook; struct
+    * ordering = (dist, then code) — [[pqTopK]]'s tie rule.
+    */
+  private def opqCodeOf(y: Column, mi: Int, sub: Int,
+                        cbMi: Array[Array[Double]]): Column =
+    array_min(array(cbMi.indices.map(j =>
+      struct(pqL2(slice(y, mi * sub + 1, sub), cbMi(j).toSeq).as("d"),
+        lit(j.toLong).as("j"))): _*))("j")
+
+  /** Orthogonal Procrustes: the rotation maximizing `tr(Rᵀ C)` — `U Vᵀ`
+    * from `C = U Σ Vᵀ`, computed as `eig(CᵀC) = V Σ² Vᵀ` (Jacobi),
+    * `u_k = C v_k / σ_k`, with Gram-Schmidt completion for
+    * rank-deficient directions.
+    */
+  private[graft] def procrustes(c: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = c.length
+    val ctc = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        var r = 0
+        while (r < d) { acc += c(r)(i) * c(r)(j); r += 1 }
+        ctc(i)(j) = acc
+        j += 1
+      }
+      i += 1
+    }
+    val (vals, vecsRows) = Pca.jacobiEigen(ctc) // rows = eigenvectors of CtC = V columns
+    val sigMax = math.sqrt(math.max(vals.headOption.getOrElse(0.0), 0.0))
+    val u = Array.ofDim[Double](d, d) // columns u_k
+    val used = new Array[Boolean](d)
+    // u_k = C v_k / ||C v_k|| accepted ONLY if, after modified
+    // Gram-Schmidt against already-accepted columns, a solid norm
+    // remains RELATIVE to sigMax — a sigma-only threshold lets
+    // near-null directions through with garbage (non-unit) columns
+    // (observed on rank-deficient C), which silently de-orthogonalizes R
+    def orthogonalizeAccept(k: Int, cand: Array[Double], floor: Double): Boolean = {
+      var kk = 0
+      while (kk < d) {
+        if (used(kk)) {
+          var dot = 0.0
+          var r = 0
+          while (r < d) { dot += cand(r) * u(r)(kk); r += 1 }
+          r = 0
+          while (r < d) { cand(r) -= dot * u(r)(kk); r += 1 }
+        }
+        kk += 1
+      }
+      var nrm = 0.0
+      var r = 0
+      while (r < d) { nrm += cand(r) * cand(r); r += 1 }
+      nrm = math.sqrt(nrm)
+      if (nrm > floor) {
+        r = 0
+        while (r < d) { u(r)(k) = cand(r) / nrm; r += 1 }
+        used(k) = true
+        true
+      } else false
+    }
+    var k = 0
+    while (k < d) {
+      val cand = new Array[Double](d)
+      var r = 0
+      while (r < d) {
+        var acc = 0.0
+        var s = 0
+        while (s < d) { acc += c(r)(s) * vecsRows(k)(s); s += 1 }
+        cand(r) = acc
+        r += 1
+      }
+      orthogonalizeAccept(k, cand, math.max(sigMax, 1.0) * 1e-7)
+      k += 1
+    }
+    // complete deficient columns from standard basis vectors
+    k = 0
+    var basis = 0
+    while (k < d) {
+      if (!used(k)) {
+        var done = false
+        while (!done && basis < d) {
+          val cand = new Array[Double](d)
+          cand(basis) = 1.0
+          basis += 1
+          done = orthogonalizeAccept(k, cand, 1e-8)
+        }
+        require(used(k), "procrustes: basis completion failed")
+      }
+      k += 1
+    }
+    // R = U V^T ; vecsRows(k) is v_k as a row
+    Array.tabulate(d, d) { (r, cIdx) =>
+      var acc = 0.0
+      var kk = 0
+      while (kk < d) { acc += u(r)(kk) * vecsRows(kk)(cIdx); kk += 1 }
+      acc
+    }
   }
 }

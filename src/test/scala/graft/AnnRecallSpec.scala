@@ -246,4 +246,52 @@ class AnnRecallSpec extends AnyFunSuite {
     java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
+
+  test("procrustes recovers a known rotation from C = R*diag(+)") {
+    // C = R0 · D with positive diagonal D  =>  SVD gives U = R0·sign-fix,
+    // V = I-ish, and UV^T must reproduce R0
+    val th = 0.6
+    val r0 = Array(
+      Array(math.cos(th), -math.sin(th), 0.0),
+      Array(math.sin(th), math.cos(th), 0.0),
+      Array(0.0, 0.0, 1.0))
+    val diag = Array(3.0, 2.0, 0.5)
+    val c = Array.tabulate(3, 3)((i, j) => r0(i)(j) * diag(j))
+    val r = Similarity.procrustes(c)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(r(i)(j) - r0(i)(j)) < 1e-9, s"R[$i][$j]=${r(i)(j)} vs ${r0(i)(j)}")
+  }
+
+  test("OPQ identity model reproduces pqTopK bit-for-bit (the shared-oracle lever)") {
+    val idModel = Similarity.opqIdentityModel(corpus, "vec_id", "embedding", m = 4, codes = 16)
+    val a = Similarity.opqTopK(corpus, queries, "vec_id", "embedding", K, idModel)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", K, m = 4, codes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b, s"identity OPQ must equal PQ exactly (|a|=${a.size} |b|=${b.size})")
+  }
+
+  test("OPQ training: orthogonal rotation, distortion falls, recall >= plain PQ") {
+    val trained = Similarity.opqTrain(corpus, "vec_id", "embedding",
+      m = 4, codes = 16, iters = 3, lloydPerIter = 1)
+    val d = trained.d
+    // R^T R = I
+    for (i <- 0 until d; j <- 0 until d) {
+      var acc = 0.0
+      for (r <- 0 until d) acc += trained.rotation(r)(i) * trained.rotation(r)(j)
+      assert(math.abs(acc - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"R^T R [$i][$j] = $acc")
+    }
+    val idModel = Similarity.opqIdentityModel(corpus, "vec_id", "embedding", m = 4, codes = 16)
+    val d0 = Similarity.opqDistortion(corpus, "embedding", idModel)
+    val d1 = Similarity.opqDistortion(corpus, "embedding", trained)
+    info(f"OPQ distortion: identity $d0%.5f -> trained $d1%.5f")
+    assert(d1 < d0, "training must cut quantization distortion")
+    val rPq = recall(Similarity.pqTopK(corpus, queries, "vec_id", "embedding", K,
+      m = 4, codes = 16))
+    val rOpq = recall(Similarity.opqTopK(corpus, queries, "vec_id", "embedding", K, trained))
+    info(f"recall@$K: pq $rPq%.3f, opq $rOpq%.3f")
+    assert(rOpq >= rPq - 0.02,
+      f"OPQ recall $rOpq%.3f must not fall materially below PQ $rPq%.3f")
+  }
 }
