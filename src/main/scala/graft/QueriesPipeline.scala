@@ -1913,6 +1913,24 @@ object QueriesPipeline {
           topK, idModel)
           .orderBy("query_id", "rank")
       }
+
+      // persisted flat OPQ index at iters=0 (identity training): the
+      // build -> store -> load -> query round trip must ALSO change
+      // nothing vs the plain-PQ oracle — third reuse of the same SQL
+      register("ann_opq_persisted", pqSql) { (s, dir) =>
+        val e = emb(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("opq_gate").toString
+        Similarity.buildOpqIndex(e, "vec_id", "embedding", s"$tmp/idx",
+          m = m, codes = codes, iters = 0)
+        val out = graft.operators.Materialize(
+          Similarity.queryOpqIndex(s, s"$tmp/idx", e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", topK)
+            .orderBy("query_id", "rank"))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        out
+      }
     }
 
     // SQ8 quantization + quantized-scan ANN: the oracle replays the

@@ -436,6 +436,24 @@ object Engine {
             df(pStr(m("id"))); df(pStr(m("vec"))); pStr(m("path"))
             recurse(df)
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "opq-build" =>
+          // sink-like artifact writer: params/columns checked, no IO
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("vec"))); pStr(m("path"))
+            recurse(df)
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "opq-query" =>
+          // index artifact rule: fixed (query_id, rank, nn_id, score) out
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("vec"))); pStr(m("index-path"))
+            require(pLong(m("k")) >= 1, "opq-query: k must be >= 1")
+            recurse(df.select(col(pStr(m("id"))).cast("long").as("query_id"))
+              .withColumn("rank", lit(0L))
+              .withColumn("nn_id", lit(0L))
+              .withColumn("score", lit(0.0)))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "ivfpq-query" =>
           // index artifact rule: fixed (query_id, rank, nn_id, score) out
           try {
@@ -1569,6 +1587,23 @@ object Engine {
       df => graft.operators.Similarity.queryIvfPqIndex(df.sparkSession,
         pStr(m("index-path")), df, pStr(m("id")), pStr(m("vec")),
         pLong(m("k")).toInt, m.get("probes").map(pLong(_).toInt).getOrElse(4))
+    case "opq-build" =>
+      // sink-like: train the OPQ rotation + codebooks, persist model and
+      // flat codes, pass the corpus through unchanged
+      val m = pMap(params.head)
+      df => {
+        graft.operators.Similarity.buildOpqIndex(df, pStr(m("id")), pStr(m("vec")),
+          pStr(m("path")), m.get("m").map(pLong(_).toInt).getOrElse(4),
+          m.get("codes").map(pLong(_).toInt).getOrElse(16),
+          m.get("iters").map(pLong(_).toInt).getOrElse(3))
+        df
+      }
+    case "opq-query" =>
+      // input frame = query batch; corpus = the stored flat codes
+      val m = pMap(params.head)
+      df => graft.operators.Similarity.queryOpqIndex(df.sparkSession,
+        pStr(m("index-path")), df, pStr(m("id")), pStr(m("vec")),
+        pLong(m("k")).toInt)
 
     case "url-canonicalize" =>
       val m = pMap(params.head)

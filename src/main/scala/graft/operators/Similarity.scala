@@ -928,6 +928,82 @@ object Similarity {
     corpus.agg(avg(dist)).head.getDouble(0)
   }
 
+  /** Persist a flat OPQ-PQ index: train ([[opqTrain]]), store the model
+    * (rotation rows + codebooks) and the corpus codes — the
+    * build-once/query-many shape of [[buildIvfPqIndex]] without the
+    * coarse quantizer: the codes table is a flat columnar scan (m tiny
+    * long columns per vector, ~m bytes/vector of real payload), which
+    * at 100 TB is the point — ADC scans the CODES, never the vectors.
+    */
+  def buildOpqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, m: Int = 4, codes: Int = 16,
+                    iters: Int = 3): OpqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = opqTrain(corpus, idCol, vecCol, m, codes, iters)
+    val dim = model.d
+    val sub = dim / m
+    model.rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+      .toSeq.toDF("i", "row").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/rotation")
+    model.codebooks.zipWithIndex.flatMap { case (cbMi, mi) =>
+      cbMi.zipWithIndex.map { case (cv, j) => (mi, j, cv.toSeq) }
+    }.toSeq.toDF("mi", "j", "subvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val y = graft.functions.PcaKernels.affineProject(col(vecCol),
+      model.rotation.flatten, new Array[Double](dim), dim)
+    corpus.select(col(idCol).as("nn_id") +:
+        (0 until m).map(mi => opqCodeOf(y, mi, sub, model.codebooks(mi)).as(s"__c$mi")): _*)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    model
+  }
+
+  /** Load the model half of a persisted OPQ index (two small reads). */
+  def loadOpqModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): OpqModel = {
+    val rot = spark.read.parquet(s"$path/rotation")
+      .select(col("i").cast("int"), col("row"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    require(rot.nonEmpty, s"loadOpqModel: empty rotation at $path")
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .select(col("mi").cast("int"), col("j").cast("int"), col("subvec"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    require(cb.nonEmpty, s"loadOpqModel: empty codebooks at $path")
+    val m = cb.keys.map(_._1).max + 1
+    val codes = cb.keys.map(_._2).max + 1
+    OpqModel(rot.map(_._2), Array.tabulate(m, codes)((mi, j) => cb((mi, j))))
+  }
+
+  /** Query a persisted OPQ index: identical results to [[opqTopK]] under
+    * the stored model (spec-pinned) — queries rotate + build LUTs
+    * map-side, the stored codes frame is the scan side.
+    */
+  def queryOpqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val model = loadOpqModel(spark, path)
+    val dim = model.d
+    val m = model.m
+    val sub = dim / m
+    val codes = model.codebooks.head.length
+    val y = graft.functions.PcaKernels.affineProject(col(vecCol),
+      model.rotation.flatten, new Array[Double](dim), dim)
+    val q = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map(mi => array((0 until codes).map(j =>
+        pqDot(slice(y, mi * sub + 1, sub), model.codebooks(mi)(j).toSeq)): _*)
+        .as(s"__lut$mi")): _*)
+    val enc = spark.read.parquet(s"$path/codes")
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("score", (0 until m).map(mi =>
+        element_at(col(s"__lut$mi"), col(s"__c$mi").cast("int") + 1)).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("score"))
+  }
+
   /** The deterministic lowest-distinct-id codebook seeds shared by
     * [[pqTopK]] and [[opqIdentityModel]].
     */

@@ -294,4 +294,34 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rOpq >= rPq - 0.02,
       f"OPQ recall $rOpq%.3f must not fall materially below PQ $rPq%.3f")
   }
+
+  test("persisted OPQ index: stored-model query == in-memory operator bit-for-bit; IR chain") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("opq_idx").toString
+    val model = Similarity.buildOpqIndex(corpus, "vec_id", "embedding",
+      s"$tmp/idx", m = 4, codes = 16, iters = 2)
+    def sets(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = sets(Similarity.opqTopK(corpus, queries, "vec_id", "embedding", K, model))
+    val stored = sets(Similarity.queryOpqIndex(s, s"$tmp/idx", queries,
+      "vec_id", "embedding", K))
+    assert(stored == direct, "stored-index query must reproduce the operator exactly")
+    // round trip of the model itself
+    val loaded = Similarity.loadOpqModel(s, s"$tmp/idx")
+    assert(loaded.rotation.flatten.toSeq == model.rotation.flatten.toSeq)
+    assert(loaded.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+    // IR: query the stored index declared as data
+    val node = graft.ir.Node.fromJson(
+      s"""{"action":"opq-query",
+         | "params":[{"id":"vec_id","vec":"embedding","index-path":"$tmp/idx","k":$K}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val irOut = sets(graft.ir.Engine.run(node, queries,
+      graft.ir.EngineCtx(testMode = true)).taps("out"))
+    assert(irOut == direct, "IR opq-query must match the operator")
+    val v = graft.ir.Engine.validate(node, s, schema = queries.schema)
+    assert(v.isEmpty, v.mkString("; "))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }
