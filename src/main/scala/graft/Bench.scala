@@ -74,7 +74,14 @@ object Bench {
     // greedy k-center coreset (k incremental min-dist rounds)
     "el2n_scores", "prototype_scores", "kcenter_coreset",
     "cartography_stats", "vocab_kl", "source_outliers", "mmr_rerank",
-    "ann_ivfpq_persisted")
+    "ann_ivfpq_persisted",
+    // round 10 session 4: exact PPJoin similarity join, winnowing
+    // fingerprints (fused kernel) + candidate pairs, Levenshtein confirm
+    // funnel, Poisson-bootstrap CI, JSONL export/read round trip, HITS,
+    // s-stemmer vocab, OPQ identity + persisted flat-codes index
+    "dedup_jaccard_exact", "winnow_fingerprints", "winnow_candidates",
+    "dedup_edit_confirm", "bootstrap_means", "jsonl_roundtrip",
+    "hits_scores", "stem_vocab", "ann_opq_identity", "ann_opq_persisted")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -314,5 +314,25 @@ object QueriesSources {
           length(col("text")).cast("long").as("n"))
         .orderBy("doc_id")
     }
+
+    // TFRecord round trip: every document framed per the public
+    // TensorFlow wire format (LE length + masked-CRC32C guards) and
+    // walked back through the byte-level parser — both CRCs verified on
+    // the way in, so any framing drift breaks the recovery; the oracle
+    // reads the same strings straight from parquet
+    register("tfrecord_roundtrip",
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |       text
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val framed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.sources.TfRecord.frame(encode(col("text"), "UTF-8")).as("rec"))
+      graft.sources.TfRecord.records(framed, "rec")
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n"),
+          decode(col("payload"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }
   }
 }

@@ -194,6 +194,12 @@ object Engine {
             df(pStr(m("uri"))); df(pStr(m("date"))); df(pStr(m("payload")))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "output-tfrecord" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path")); df(pStr(m("payload")))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "stream" => recurse(df) // declaration wrapper
         case "score-logistic" =>
           // the model ARTIFACT is a runtime input, not a config error:
@@ -894,6 +900,16 @@ object Engine {
             col(pStr(m("payload")))))
           graft.sources.Warc.writeArchives(recs, "__rec", pStr(m("path")),
             m.get("gzip").forall(_.asInstanceOf[Boolean]))
+        }
+        recurse(df)
+
+      case "output-tfrecord" => // TFRecord shard export; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode) {
+          val recs = df.withColumn("__rec",
+            graft.sources.TfRecord.frame(col(pStr(m("payload")))))
+          graft.sources.TfRecord.writeShards(recs, "__rec", pStr(m("path")),
+            m.get("gzip").exists(_.asInstanceOf[Boolean]))
         }
         recurse(df)
 
@@ -1794,6 +1810,10 @@ object Engine {
     case "warc-records" =>
       val m = pMap(params.head)
       df => graft.sources.Warc.records(df, pStr(m("bin")))
+    case "tfrecord-records" =>
+      // framed-shard blobs -> payload rows (CRC-verified, total)
+      val m = pMap(params.head)
+      df => graft.sources.TfRecord.records(df, pStr(m("bin")))
     case "robots-filter" =>
       val m = pMap(params.head)
       val robots = pMap(m("robots")).map { case (h, v) => h -> pStr(v) }

@@ -424,9 +424,23 @@ object Streaming {
       .select(col("__doc"), col("__ts"), unix_micros(col("__ts")).as("us"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
+    earliestOwnerMatches(banded, streaming)
+  }
+
+  /** The shared earliest-owner-per-bucket state machine behind
+    * [[nearDupWithinWatermark]] and [[winnowNearDupWithinWatermark]]:
+    * keyed `(doc, ts, us, bucket, sig)` rows; the first (event-time,
+    * then id) arrival in a bucket owns it within the horizon, later
+    * arrivals emit matches against the owner.
+    */
+  private def earliestOwnerMatches(
+      keyed: Dataset[(Long, java.sql.Timestamp, Long, Long, String)],
+      streaming: Boolean): Dataset[NearDupMatch] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
-    banded.groupByKey((r: (Long, java.sql.Timestamp, Long, Long, String)) => r._4 + ":" + r._5)
+    keyed.groupByKey((r: (Long, java.sql.Timestamp, Long, Long, String)) => r._4 + ":" + r._5)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
          state: GroupState[(Long, Long)]) =>
@@ -454,6 +468,37 @@ object Streaming {
             out.iterator
           }
       }
+  }
+
+  /** Winnowing twin of [[nearDupWithinWatermark]]: buckets are the MOSS
+    * fingerprints ([[graft.operators.Dedup.winnowFingerprints]]'s fused
+    * kernel) instead of MinHash band signatures — the LOCAL-overlap
+    * near-dup detector running on the stream ("this paragraph already
+    * came past within the horizon"). Same earliest-owner state machine,
+    * same horizon-bounded eviction; the emitted `band` field carries
+    * the shared fingerprint value. Pairs sharing many fingerprints are
+    * emitted once per shared fingerprint — `dropDuplicates` downstream
+    * if a distinct pair stream is wanted.
+    */
+  def winnowNearDupWithinWatermark(idCol: String, textCol: String, tsCol: String,
+                                   horizonSeconds: Long, k: Int = 5,
+                                   w: Int = 4)(df: DataFrame): Dataset[NearDupMatch] = {
+    require(horizonSeconds >= 0,
+      s"winnowNearDupWithinWatermark: negative horizon ($horizonSeconds s)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val streaming = df.isStreaming
+    val base0 = df.select(col(idCol).cast("long").as("__doc"),
+      col(tsCol).cast("timestamp").as("__ts"), col(textCol).as("__text"))
+    val base = if (streaming) base0.withWatermark("__ts", s"$horizonSeconds seconds") else base0
+    val norm = regexp_replace(lower(col("__text")), "[^a-z0-9]", "")
+    val keyed = base
+      .select(col("__doc"), col("__ts"), unix_micros(col("__ts")).as("us"),
+        explode(graft.functions.Winnow.select(norm, k, w)).as("__s"))
+      .select(col("__doc"), col("__ts"), col("us"),
+        col("__s.h").as("fp"), lit("").as("sig"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+    earliestOwnerMatches(keyed, streaming)
   }
 
   // --------------------------------------------------------------------

@@ -569,6 +569,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 8, s"one match per shared band (4 bands x 2 dups), got $streamed")
   }
 
+  test("streaming winnow near-dup == batch twin; shared-passage pairs found, disjoint not") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    val passage = "a very distinctive plagiarized paragraph with plenty of characters"
+    val batches = Seq(
+      Seq((1L, s"first doc zzzz $passage qqqq", 10L)),
+      Seq((2L, s"second doc mmmm $passage nnnn", 20L),
+        (3L, "totally unrelated content sharing nothing at all", 30L)))
+    val ms = MemoryStream[(Long, String, Long)]
+    val in = ms.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val q = Streaming.winnowNearDupWithinWatermark("doc_id", "text", "__time", 100)(in)
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = s.table(name).select("doc_id", "dup_of", "band")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchDf = batches.flatten.toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val batch = Streaming.winnowNearDupWithinWatermark("doc_id", "text", "__time", 100)(batchDf)
+      .collect().map(m => (m.doc_id, m.dup_of, m.band)).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val pairs = streamed.map { case (d, o, _) => (d, o) }
+    assert(pairs.contains((2L, 1L)), s"shared passage must pair 2 against owner 1: $pairs")
+    assert(!pairs.exists { case (d, o) => d == 3L || o == 3L },
+      "the disjoint doc must not pair")
+  }
+
   test("decontam flag is streaming-safe: map-side only, stream == batch") {
     val s = spark
     import s.implicits._
