@@ -81,7 +81,9 @@ object Bench {
     // s-stemmer vocab, OPQ identity + persisted flat-codes index
     "dedup_jaccard_exact", "winnow_fingerprints", "winnow_candidates",
     "dedup_edit_confirm", "bootstrap_means", "jsonl_roundtrip",
-    "hits_scores", "stem_vocab", "ann_opq_identity", "ann_opq_persisted")
+    "hits_scores", "stem_vocab", "ann_opq_identity", "ann_opq_persisted",
+    // round 10 session 5: diameter-independent connected components
+    "dedup_clusters_star")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

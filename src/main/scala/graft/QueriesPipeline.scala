@@ -1040,6 +1040,18 @@ object QueriesPipeline {
           .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
       }
 
+      // same labels via large-star/small-star contraction — the
+      // diameter-independent path; one oracle gates both algorithms
+      // because the contract is identical (cluster = min reachable id)
+      register("dedup_clusters_star",
+        s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$closure
+           |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val pairs = Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.clusterPairsStar(pairs)
+          .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
+      }
+
       register("dedup_cluster_canonical",
         s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
            |$closure

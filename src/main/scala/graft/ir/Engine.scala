@@ -1207,6 +1207,9 @@ object Engine {
     // pair list (id1, id2) → (id, cluster) labels via connected components
     case "dedup-cluster" =>
       df => graft.operators.Dedup.clusterPairs(df)
+    // diameter-independent twin: large-star/small-star contraction
+    case "dedup-cluster-star" =>
+      df => graft.operators.Dedup.clusterPairsStar(df)
     // deterministic sampling / splitting (Sampling.scala)
     case "sample-hash" =>
       val m = pMap(params.head)

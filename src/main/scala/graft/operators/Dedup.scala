@@ -664,6 +664,90 @@ object Dedup {
     labels.select("id", "cluster")
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * diameter-independent twin of [[clusterPairs]]' min-label
+    * propagation. Label propagation pays one round per hop of component
+    * DIAMETER: a duplicate chain a~b~c~…~z of length 10⁶ (real in
+    * boilerplate-heavy web corpora, where page N links near-dups page
+    * N+1) needs 10⁶ shuffles and trips the fail-loud cap. Star
+    * contraction instead rewires every node to its neighborhood minimum
+    * each round, halving-or-better the height of every tree — O(log² n)
+    * rounds worst case, ≤ ~log₂(n) in practice — so the round count
+    * depends on component SIZE's logarithm, never its shape.
+    *
+    * Per round: large-star connects every node's strictly-larger
+    * neighbors to its neighborhood min (one groupBy on the node = one
+    * edge-list shuffle, then a broadcast-free re-join replayed from the
+    * same aggregate via explode — no second shuffle of the corpus);
+    * small-star does the same for the ≤-side. Fixpoint when large-star
+    * changes nothing: every component is then a star centered on its
+    * minimum id, and (id, center) IS the label table. Lineage is
+    * truncated per round via [[Materialize]] exactly like
+    * [[clusterPairs]]; the driver sees only a count per round.
+    *
+    * Output matches [[clusterPairs]] bit-for-bit: one row per distinct
+    * id in `pairs`, columns (`id`, `cluster`), cluster = min reachable
+    * id — so the same recursive-CTE oracle gates both paths.
+    */
+  def clusterPairsStar(pairs: DataFrame, id1Col: String = "id1",
+                       id2Col: String = "id2", maxIters: Int = 60): DataFrame = {
+    val half = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
+      .filter(col("a") =!= col("b"))
+    // singletons in the pair list (a=b rows) still deserve a label row
+    val selfIds = pairs.select(col(id1Col).as("id"))
+      .union(pairs.select(col(id2Col).as("id"))).distinct()
+      .transform(Materialize.apply)
+    var edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct().transform(Materialize.apply)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIters) {
+      // large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v ∈ N(u), v > u.
+      // One shuffle on u; the (v>u → m) edges come straight out of the
+      // same aggregate by collecting the larger neighbors alongside min.
+      val ls = edges.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"),
+          collect_list(when(col("b") > col("a"), col("b"))).as("big"))
+        .select(explode(col("big")).as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct().transform(Materialize.apply)
+      // small-star on large-star's output: m = min(N(u) ∪ {u}); emit
+      // (v, m) for v ≤ u — with self-loops dropped, (u, m) plus the
+      // smaller neighbors re-pointed at m.
+      val ss = ls.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"),
+          collect_list(when(col("b") < col("a"), col("b"))).as("small"))
+        .select(explode(concat(col("small"), array(col("a")))).as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct().transform(Materialize.apply)
+      // fixpoint ⇔ the graph is a union of min-centered stars ⇔ no node
+      // has a smaller neighbor AND any second neighbor (members of a
+      // star see exactly one neighbor: the center below them; centers
+      // see only larger members). One aggregate over the edge list.
+      val undirected = ss.union(ss.select(col("b").as("a"), col("a").as("b")))
+        .distinct().transform(Materialize.apply)
+      converged = undirected.groupBy(col("a"))
+        .agg(min(col("b")).as("mn"), count(lit(1)).as("cnt"))
+        .filter(col("mn") < col("a") && col("cnt") > 1).isEmpty
+      edges = undirected
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairsStar did not converge after $maxIters rounds — raise maxIters " +
+          "(rounds grow with log of component size; 60 covers any practical graph)")
+    // stars: every member's min neighbor (or itself, for the center /
+    // singletons) is the component minimum
+    val labels = edges.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("cluster"))
+      .select(col("a").as("id"), col("cluster"))
+    selfIds.join(labels, selfIds("id") === labels("id"), "left")
+      .select(selfIds("id"),
+        coalesce(labels("cluster"), selfIds("id")).as("cluster"))
+  }
+
   /** The deduplicated corpus: drop every row whose id is a NON-canonical
     * member of a near-dup cluster (its cluster label is a smaller id);
     * rows in no pair survive untouched. One anti-join against the

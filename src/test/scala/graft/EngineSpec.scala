@@ -841,6 +841,13 @@ class EngineSpec extends AnyFunSuite {
     val out = Engine.run(node, pairs, EngineCtx(testMode = true)).taps("out")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    val star = Engine.run(Node.fromJson(
+      """{"action":"dedup-cluster-star","params":[],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      pairs, EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == out, "star contraction must label identically to min-label propagation")
   }
 
   test("curation IR actions dispatch on document frames (line-dedup, domain-mix, pack-nextfit)") {

@@ -243,6 +243,49 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("clusterPairsStar: labels == clusterPairs on chains, forests, and random graphs") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id1", "id2")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(Dedup.clusterPairsStar(pairs)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // pseudo-random graph: seeded edges over 60 nodes; star labels must
+    // equal the union-find path's bit-for-bit
+    val rng = new scala.util.Random(42)
+    val rand = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("id1", "id2")
+    assert(toMap(Dedup.clusterPairsStar(rand)) == toMap(Dedup.clusterPairs(rand)))
+  }
+
+  test("clusterPairsStar: diameter-independent — a 200-hop chain converges in O(log) rounds") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // label propagation pays one round per hop: this chain exceeds its
+    // default 20-round cap. Star contraction's rounds grow with log of
+    // component SIZE, so 12 rounds is ample for 200 nodes.
+    val chain = (1L to 200L).map(i => (i, i + 1)).toDF("id1", "id2").repartition(7)
+    assert(Dedup.clusterPairsStar(chain, maxIters = 12)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+    assertThrows[IllegalStateException] {
+      Dedup.clusterPairs(chain, maxIters = 20, onePartitionThreshold = 0L).collect()
+    }
+  }
+
+  test("clusterPairsStar: self-loop pairs label as singletons; empty input is empty") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val selfy = Seq((5L, 5L), (1L, 2L)).toDF("id1", "id2")
+    assert(Dedup.clusterPairsStar(selfy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    assert(Dedup.clusterPairsStar(Seq.empty[(Long, Long)].toDF("id1", "id2")).isEmpty)
+  }
+
   test("multiset MinHash: repetition counts — weighted relation separates what the set relation cannot") {
     import graft.operators.Dedup
     val s = spark
