@@ -82,8 +82,9 @@ object Bench {
     "dedup_jaccard_exact", "winnow_fingerprints", "winnow_candidates",
     "dedup_edit_confirm", "bootstrap_means", "jsonl_roundtrip",
     "hits_scores", "stem_vocab", "ann_opq_identity", "ann_opq_persisted",
-    // round 10 session 5: diameter-independent connected components
-    "dedup_clusters_star")
+    // round 10 session 5: diameter-independent connected components,
+    // Morton z-curve layout key
+    "dedup_clusters_star", "zorder_key")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -334,5 +334,25 @@ object QueriesSources {
           decode(col("payload"), "UTF-8").as("text"))
         .orderBy("doc_id")
     }
+
+    // Morton z-curve key: the same 64-term shift/mask interleave in both
+    // engines (pure integer bit algebra — exact by construction). The
+    // layout face (writeZOrdered pruning) is spec-proven in LayoutSpec;
+    // this gates the curve arithmetic itself.
+    locally {
+      val bits = 16
+      val terms = (0 until bits).flatMap(b => Seq(
+        s"((((doc_id & 65535) >> $b) & 1) << ${2 * b})",
+        s"((((n_chars & 65535) >> $b) & 1) << ${2 * b + 1})"))
+      register("zorder_key",
+        s"""SELECT doc_id, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+           |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.sources.Layout.zValue(Seq(
+            col("doc_id").bitwiseAND(lit(65535L)),
+            col("n_chars").bitwiseAND(lit(65535L))), bits).as("z"))
+          .orderBy("doc_id")
+      }
+    }
   }
 }

@@ -200,6 +200,13 @@ object Engine {
             pStr(m("path")); df(pStr(m("payload")))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "output-zordered" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path")); require(pLong(m("shards")) >= 1, "shards must be >= 1")
+            pStrs(m("cols")).foreach(df(_))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "stream" => recurse(df) // declaration wrapper
         case "score-logistic" =>
           // the model ARTIFACT is a runtime input, not a config error:
@@ -911,6 +918,15 @@ object Engine {
           graft.sources.TfRecord.writeShards(recs, "__rec", pStr(m("path")),
             m.get("gzip").exists(_.asInstanceOf[Boolean]))
         }
+        recurse(df)
+
+      case "output-zordered" => // Z-order clustered parquet export; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode)
+          graft.sources.Layout.writeZOrdered(df,
+            pStrs(m("cols")).map(col), pStr(m("path")),
+            pLong(m("shards")).toInt,
+            m.get("bits").map(pLong(_).toInt).getOrElse(16))
         recurse(df)
 
       case _ => recurse(applyOp(n.action, n.params, keys, ctx)(df))
@@ -1833,6 +1849,12 @@ object Engine {
       val m = pMap(params.head)
       df => df.withColumn(m.get("out").map(pStr).getOrElse("urlkey"),
         graft.sources.Cdx.surtKey(col(pStr(m("url")))))
+    // Morton z-curve key over integer grid columns (Layout.zValue)
+    case "zorder-key" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("z"),
+        graft.sources.Layout.zValue(pStrs(m("cols")).map(col),
+          m.get("bits").map(pLong(_).toInt).getOrElse(16)))
     case "cdx-index" =>
       val m = params.headOption.map(pMap).getOrElse(Map.empty)
       df => graft.sources.Cdx.index(df,
