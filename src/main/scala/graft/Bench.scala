@@ -84,7 +84,9 @@ object Bench {
     "hits_scores", "stem_vocab", "ann_opq_identity", "ann_opq_persisted",
     // round 10 session 5: diameter-independent connected components,
     // Morton z-curve layout key
-    "dedup_clusters_star", "zorder_key")
+    "dedup_clusters_star", "zorder_key",
+    // round 10 session 6: encoding-corruption health pass
+    "mojibake_health")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -2535,6 +2535,46 @@ object QueriesPipeline {
       }
     }
 
+    // Mojibake text health: the Aho-Corasick artifact counter and the
+    // chained-replace repair vs the oracle's per-pattern replace algebra.
+    // Injection makes the fixture hostile: a third of the docs get a
+    // UTF-8-as-cp1252 corrupted suffix (must be detected AND exactly
+    // repaired), a third get REAL accented text (must be untouched —
+    // the false-positive face), a third stay as-is.
+    locally {
+      import graft.functions.Mojibake
+      val dirty = " donâ€™t stop at the cafÃ© â€” Â£5 onlyâ€¦"
+      val accents = " don’t stop at the café — £5 only…"
+      val hitsSql = Mojibake.DefaultArtifacts.map(p =>
+        s"((length(text) - length(replace(text, '$p', ''))) // ${p.length})")
+        .mkString(" + ")
+      val repairSql = Mojibake.DefaultRepairs.foldLeft("text") {
+        case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+      }
+      register("mojibake_health",
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN text || '$dirty'
+           |       WHEN doc_id % 3 = 2 THEN text || '$accents'
+           |       ELSE text END AS text FROM documents)
+           |SELECT doc_id,
+           |       CAST($hitsSql AS BIGINT) AS moji_hits,
+           |       CASE WHEN length(text) > 0
+           |            THEN CAST($hitsSql AS DOUBLE) / length(text)
+           |            ELSE 0.0 END AS moji_score,
+           |       $repairSql AS text_fixed
+           |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val t = docs(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(dirty)))
+            .when(col("doc_id") % 3 === 2, concat(col("text"), lit(accents)))
+            .otherwise(col("text")))
+        t.select(col("doc_id"),
+            Mojibake.hits(col("text")).as("moji_hits"),
+            Mojibake.score(col("text")).as("moji_score"),
+            Mojibake.repair(col("text")).as("text_fixed"))
+          .orderBy("doc_id")
+      }
+    }
+
     // JL random projection: 64 -> 16 dims through the deterministic
     // md5-parity sign matrix; the oracle rebuilds the identical matrix
     locally {

@@ -1393,6 +1393,17 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "mojibake-repair" =>
+      // undo a single UTF-8-as-cp1252 misdecode (map-side replace chain)
+      val m = pMap(params.head)
+      df => df.withColumn(pStr(m("out")),
+        graft.functions.Mojibake.repair(col(pStr(m("field")))))
+    case "mojibake-filter" =>
+      // drop pages whose encoding-corruption rate exceeds max-score
+      val m = pMap(params.head)
+      val maxScore = m.get("max-score").map(pDouble).getOrElse(0.001)
+      df => df.filter(
+        graft.functions.Mojibake.score(col(pStr(m("text")))) <= maxScore)
     case "s-stem" =>
       // Harman plural stemmer on a lowercase-token column
       val m = pMap(params.head)
