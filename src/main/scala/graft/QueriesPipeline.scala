@@ -297,6 +297,49 @@ object QueriesPipeline {
             .orderBy("doc_id")
         }
       }
+
+      // Flesch / Flesch-Kincaid readability: the same vowel-group
+      // syllable heuristic (silent final 'e' unless '..le', floor 1)
+      // folded per doc in both engines; the two float indices round
+      // through DECIMAL(38,6) per the repo's double-sum convention.
+      locally {
+        val sylGroups = "len(regexp_extract_all(t, '[aeiouy]+'))"
+        val syl =
+          s"""greatest(CASE WHEN t LIKE '%e' AND t NOT LIKE '%le'
+             |                AND $sylGroups > 1
+             |           THEN $sylGroups - 1 ELSE $sylGroups END,
+             |         CAST(1 AS BIGINT))""".stripMargin.replace("\n", " ")
+        register("readability",
+          s"""$DocsView,
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+             |             CAST(1 AS BIGINT)) AS n_sentences,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(toks, t -> CAST($syl AS BIGINT))),
+             |      (a, x) -> a + x) AS n_syllables
+             |  FROM docs)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CAST(CAST(CASE WHEN n_words > 0
+             |    THEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+             |    ELSE 0.0 END AS DECIMAL(38,6)) AS DOUBLE) AS fre,
+             |  CAST(CAST(CASE WHEN n_words > 0
+             |    THEN 0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
+             |    ELSE 0.0 END AS DECIMAL(38,6)) AS DOUBLE) AS fk_grade
+             |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          docs(s, dir)
+            .select(col("doc_id"),
+              Quality.readabilitySignals(col("text")).as("r"))
+            .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+              col("r.n_syllables"),
+              col("r.fre").cast("decimal(38,6)").cast("double").as("fre"),
+              col("r.fk_grade").cast("decimal(38,6)").cast("double").as("fk_grade"))
+            .orderBy("doc_id")
+        }
+      }
     }
 
     // ---------------- PII scrubbing / URL analysis ----------------

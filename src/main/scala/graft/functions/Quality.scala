@@ -175,6 +175,52 @@ object Quality {
       .otherwise(lit(0.0))
   }
 
+  /** Heuristic English syllable count for one lowercase token: vowel
+    * groups (`[aeiouy]+` runs), minus one for a silent final 'e' (ends
+    * in 'e' but not 'le', and has another vowel group to carry the
+    * syllable), floored at 1 — the standard automated-readability
+    * approximation (Flesch 1948 tooling; Talburt 1985). Everything is a
+    * plain regexp count inside codegen; no lookup table ships.
+    */
+  def syllables(tok: Column): Column = {
+    val groups = regexp_count(tok, lit("[aeiouy]+")).cast("long")
+    val silentE = when(
+      tok.endsWith("e") && !tok.endsWith("le") && groups > 1L, lit(1L))
+      .otherwise(lit(0L))
+    greatest(groups - silentE, lit(1L))
+  }
+
+  /** Readability bundle over raw text: word / sentence / syllable counts
+    * plus Flesch Reading Ease (`206.835 − 1.015·W/S − 84.6·Syl/W`) and
+    * the Flesch-Kincaid grade level (`0.39·W/S + 11.8·Syl/W − 15.59`) —
+    * the length-free prose-complexity signal quality filters pair with
+    * the Gopher rules (too-low FRE = legalese/boilerplate, too-high on
+    * long pages = word-salad). Sentences are `[.!?]+` runs in the raw
+    * text, floored at 1 (headlines are one sentence, not zero). One
+    * arithmetic fold per document, map-side, no shuffle. Empty docs
+    * score 0 on both indices.
+    */
+  def readabilitySignals(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = Text.tokens(t)
+    val nWords = size(toks).cast("long")
+    val nSents = greatest(
+      regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+    val nSyl = aggregate(toks, lit(0L), (a, t) => a + syllables(t))
+    val wps = nWords.cast("double") / nSents.cast("double")
+    val spw = nSyl.cast("double") / nWords.cast("double")
+    val fre = when(nWords > 0L,
+      lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).otherwise(lit(0.0))
+    val fk = when(nWords > 0L,
+      lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).otherwise(lit(0.0))
+    struct(
+      nWords.as("n_words"),
+      nSents.as("n_sentences"),
+      nSyl.as("n_syllables"),
+      fre.as("fre"),
+      fk.as("fk_grade"))
+  }
+
   /** Gopher rule bundle over a raw text column: the individual signals
     * plus a `keep` verdict, as a struct. Word-count bounds are scaled to
     * the fixture corpus (the published 50..100k assumes web pages); every

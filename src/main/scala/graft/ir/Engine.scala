@@ -1393,6 +1393,11 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "readability" =>
+      // Flesch/FK readability bundle as a struct column
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("readability"),
+        graft.functions.Quality.readabilitySignals(col(pStr(m("text")))))
     case "mojibake-repair" =>
       // undo a single UTF-8-as-cp1252 misdecode (map-side replace chain)
       val m = pMap(params.head)
