@@ -85,8 +85,9 @@ object Bench {
     // round 10 session 5: diameter-independent connected components,
     // Morton z-curve layout key
     "dedup_clusters_star", "zorder_key",
-    // round 10 session 6: encoding-corruption health pass, readability
-    "mojibake_health", "readability")
+    // round 10 session 6: encoding-corruption health pass, readability,
+    // incremental dedup against the persisted signature store
+    "mojibake_health", "readability", "incremental_dedup")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -1095,6 +1095,90 @@ object QueriesPipeline {
           .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
       }
 
+      // incremental dedup against a persisted signature store: store =
+      // even docs, delta = odd docs + exact copies of some evens (must
+      // come back dup_store) + within-delta twin copies of some odds
+      // (must come back dup_delta pointing at their twin). The oracle
+      // replays BOTH stages: min colliding store id, then transitive
+      // closure over rest-only LSH pairs.
+      locally {
+        import graft.operators.IncrementalDedup
+        val bandSel = (0 until 4).map { bnd =>
+          s"SELECT doc_id, is_store, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM sigs"
+        }.mkString("\n  UNION ALL\n  ")
+        register("incremental_dedup",
+          s"""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, text, doc_id % 2 = 0 AS is_store FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000001, text, false FROM documents WHERE doc_id % 20 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000001, text, false FROM documents WHERE doc_id % 20 = 1),
+             |tok AS (
+             |  SELECT doc_id, is_store,
+             |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                     t -> len(t) > 0) AS toks
+             |  FROM corpus),
+             |sh AS (SELECT doc_id, is_store, ${sqlShingles("toks")} AS shingles FROM tok),
+             |hh AS (SELECT doc_id, is_store,
+             |              list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+             |sigs AS (
+             |  SELECT doc_id, is_store,
+             |         $mins
+             |  FROM hh),
+             |buckets AS (
+             |  $bandSel),
+             |shits AS (
+             |  SELECT d.doc_id, min(s.doc_id) AS dup_of
+             |  FROM buckets d JOIN buckets s
+             |    ON d.band = s.band AND d.sig = s.sig AND s.is_store AND NOT d.is_store
+             |  GROUP BY d.doc_id),
+             |rest AS (
+             |  SELECT doc_id FROM corpus
+             |  WHERE NOT is_store AND doc_id NOT IN (SELECT doc_id FROM shits)),
+             |pairs AS (
+             |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+             |  FROM buckets l JOIN buckets r
+             |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+             |   AND NOT l.is_store AND NOT r.is_store
+             |  WHERE l.doc_id IN (SELECT doc_id FROM rest)
+             |    AND r.doc_id IN (SELECT doc_id FROM rest)),
+             |edges AS (
+             |  SELECT id1 AS a, id2 AS b FROM pairs
+             |  UNION SELECT id2, id1 FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |labels AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+             |  FROM reach GROUP BY a)
+             |SELECT c.doc_id,
+             |       CASE WHEN sh.dup_of IS NOT NULL THEN 'dup_store'
+             |            WHEN l.cluster IS NOT NULL AND l.cluster <> c.doc_id THEN 'dup_delta'
+             |            ELSE 'kept' END AS status,
+             |       COALESCE(sh.dup_of,
+             |                CASE WHEN l.cluster <> c.doc_id THEN l.cluster END,
+             |                -1) AS dup_of
+             |FROM corpus c
+             |LEFT JOIN shits sh USING (doc_id)
+             |LEFT JOIN labels l USING (doc_id)
+             |WHERE NOT c.is_store ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          val d = docs(s, dir).select("doc_id", "text")
+          val store = d.filter(col("doc_id") % 2 === 0)
+          val delta = d.filter(col("doc_id") % 2 === 1)
+            .unionAll(d.filter(col("doc_id") % 20 === 0)
+              .select((col("doc_id") + 1000001).as("doc_id"), col("text")))
+            .unionAll(d.filter(col("doc_id") % 20 === 1)
+              .select((col("doc_id") + 2000001).as("doc_id"), col("text")))
+          val tmp = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+          IncrementalDedup.writeStore(store, "text", "doc_id", tmp, nBuckets = 16)
+          IncrementalDedup.dedupDelta(delta, "text", "doc_id", tmp)
+            .select(col("doc_id"), col("status"),
+              coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+            .orderBy("doc_id")
+        }
+      }
+
       register("dedup_cluster_canonical",
         s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
            |$closure

@@ -207,6 +207,25 @@ object Engine {
             pStrs(m("cols")).foreach(df(_))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "output-dedup-store" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path")); df(pStr(m("id"))); df(pStr(m("text")))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
+        case "dedup-delta" =>
+          // the signature STORE is a runtime artifact (an earlier
+          // output-dedup-store may produce it): check params/columns,
+          // declare the output from the operator's own schema constant
+          try {
+            val m = pMap(n.params.head)
+            val id = pStr(m("id")); df(id); df(pStr(m("text"))); pStr(m("store-path"))
+            recurse(graft.operators.IncrementalDedup.deltaSchema(id).fields
+              .foldLeft(df.select(col(id))) { (acc, f) =>
+                if (f.name == id) acc
+                else acc.withColumn(f.name, lit(null).cast(f.dataType))
+              })
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "stream" => recurse(df) // declaration wrapper
         case "score-logistic" =>
           // the model ARTIFACT is a runtime input, not a config error:
@@ -929,6 +948,16 @@ object Engine {
             m.get("bits").map(pLong(_).toInt).getOrElse(16))
         recurse(df)
 
+      case "output-dedup-store" => // persist the dedup signature index; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode)
+          graft.operators.IncrementalDedup.writeStore(df,
+            pStr(m("text")), pStr(m("id")), pStr(m("path")),
+            m.get("k").map(pLong(_).toInt).getOrElse(8),
+            m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+            m.get("buckets").map(pLong(_).toInt).getOrElse(64))
+        recurse(df)
+
       case _ => recurse(applyOp(n.action, n.params, keys, ctx)(df))
     }
   }
@@ -1500,6 +1529,12 @@ object Engine {
       df => graft.operators.Training.scoreWithWeights(df, pStr(m("vec")),
         graft.operators.Training.loadWeightsCached(df.sparkSession, pStr(m("model-path"))),
         pStr(m("out")))
+    case "dedup-delta" =>
+      // incremental near-dup dedup against a persisted signature store
+      val m = pMap(params.head)
+      df => graft.operators.IncrementalDedup.dedupDelta(df,
+        pStr(m("text")), pStr(m("id")), pStr(m("store-path")),
+        update = m.get("update").exists(_ == true))
     case "semantic-dedup" =>
       val m = pMap(params.head)
       df => graft.operators.Similarity.semanticDedup(df, pStr(m("id")), pStr(m("vec")),

@@ -235,6 +235,15 @@ object Dedup {
   private def bandedBuckets(df: DataFrame, textCol: String, idCol: String,
                             k: Int, rowsPerBand: Int,
                             hashFn: Column => Column): DataFrame =
+    bandTable(df, textCol, idCol, k, rowsPerBand, hashFn)
+
+  /** Public face of the banded bucket table — `(__id, band, sig)` rows,
+    * one per band per document. The unit [[IncrementalDedup]] persists:
+    * a stored corpus's band table IS its reusable dedup index.
+    */
+  def bandTable(df: DataFrame, textCol: String, idCol: String,
+                k: Int = 8, rowsPerBand: Int = 2,
+                hashFn: Column => Column = Text.md5HashMod): DataFrame =
     bandRows(minhashSigTable(df, textCol, idCol, k, hashFn), k, rowsPerBand)
 
   /** Band a `(__id, m0..m{k-1})` signature table into `(__id, band,

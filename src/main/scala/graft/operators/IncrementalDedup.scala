@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Incremental near-dup deduplication against a PERSISTED signature
+  * store — the production shape of corpus dedup: the 100 TB corpus you
+  * already accepted is never re-scanned as text; its banded MinHash
+  * table IS the reusable index, and each arriving shard (a crawl day, a
+  * new dump) pays only (a) its own signature pass and (b) a probe into
+  * the store pruned to the sig buckets the shard actually touches.
+  *
+  * Store layout under `path`:
+  *
+  *  - `bands/sigbucket=N/…` — `(id, band, sig)` rows PARTITIONED BY
+  *    `sigbucket = md5(sig) mod nBuckets`, with a parquet BLOOM FILTER
+  *    on `sig`. A delta's probe list of distinct sig buckets is at most
+  *    `nBuckets` values (a driver-side constant, never corpus-sized),
+  *    so partition pruning skips every untouched bucket's files and the
+  *    blooms skip non-colliding row groups inside touched ones — a
+  *    small delta reads a sliver of the index, a huge delta degrades
+  *    gracefully to the full scan that is its lower bound anyway.
+  *  - `meta/` — one row `(k, rows_per_band, n_buckets)`: the signature
+  *    RECIPE. Every later delta must hash with the identical recipe or
+  *    collisions silently vanish; reads fail loudly on a mismatch
+  *    instead.
+  *
+  * Delta semantics (two deterministic stages, both oracle-replayable):
+  *
+  *  1. `dup_store`: a delta doc sharing any (band, sig) bucket with the
+  *     store is a near-dup of an already-kept doc; `dup_of` = the
+  *     smallest colliding store id.
+  *  2. `dup_delta`: among the remaining docs, banded LSH self-join →
+  *     connected components (the diameter-independent star contraction)
+  *     → every non-canonical member loses to its component minimum.
+  *
+  * Survivors (`kept`) are appended to the store when `update = true`,
+  * making the pipeline idempotent: re-feeding the same shard marks
+  * every doc `dup_store`.
+  *
+  * Scale: the store side arrives as a pruned parquet scan joined on
+  * (band, sig) against the delta's (Materialized, typically
+  * AQE-broadcastable) band table — no store-side shuffle; the
+  * within-delta stage shuffles only delta-sized band rows.
+  */
+object IncrementalDedup {
+
+  /** Signature recipe pinned in the store's meta table. */
+  final case class StoreMeta(k: Int, rowsPerBand: Int, nBuckets: Int)
+
+  private def bucketOf(sig: Column, nBuckets: Int): Column =
+    pmod(Text.md5Hash64(sig), lit(nBuckets.toLong))
+
+  private def bandsWithBucket(df: DataFrame, textCol: String, idCol: String,
+                              m: StoreMeta): DataFrame =
+    Dedup.bandTable(df, textCol, idCol, m.k, m.rowsPerBand)
+      .select(col("__id").as("id"), col("band"), col("sig"),
+        bucketOf(col("sig"), m.nBuckets).as("sigbucket"))
+
+  private def writeBands(bands: DataFrame, path: String, nBuckets: Int,
+                         mode: String): Unit =
+    bands
+      // one writer per bucket: repartition ON the partition column so a
+      // bucket's rows land in one file per append, not one per task
+      .repartition(nBuckets, col("sigbucket"))
+      .write.mode(mode)
+      .option("parquet.bloom.filter.enabled#sig", "true")
+      .option("parquet.bloom.filter.expected.ndv#sig", "1000000")
+      .partitionBy("sigbucket")
+      .parquet(s"$path/bands")
+
+  /** Create the store from an accepted corpus (overwrites `path`). */
+  def writeStore(df: DataFrame, textCol: String, idCol: String, path: String,
+                 k: Int = 8, rowsPerBand: Int = 2, nBuckets: Int = 64): Unit = {
+    require(k >= 1 && rowsPerBand >= 1 && k % rowsPerBand == 0,
+      s"writeStore: k ($k) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    require(nBuckets >= 1, s"writeStore: nBuckets must be >= 1, got $nBuckets")
+    val meta = StoreMeta(k, rowsPerBand, nBuckets)
+    writeBands(bandsWithBucket(df, textCol, idCol, meta), path, nBuckets, "overwrite")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k.toLong, rowsPerBand.toLong, nBuckets.toLong))
+      .toDF("k", "rows_per_band", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read the pinned recipe; fails loudly on a missing/empty store. */
+  def readMeta(spark: SparkSession, path: String): StoreMeta = {
+    val rows = spark.read.parquet(s"$path/meta")
+      .select(col("k").cast("long"), col("rows_per_band").cast("long"),
+        col("n_buckets").cast("long")).collect()
+    require(rows.length == 1, s"readMeta: expected 1 meta row at $path, got ${rows.length}")
+    val r = rows.head
+    StoreMeta(r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+  }
+
+  /** Append an already-accepted frame's signatures (same recipe). */
+  def appendToStore(df: DataFrame, textCol: String, idCol: String,
+                    path: String): Unit = {
+    val meta = readMeta(df.sparkSession, path)
+    writeBands(bandsWithBucket(df, textCol, idCol, meta), path, meta.nBuckets, "append")
+  }
+
+  /** The store scan pruned to the delta's touched sig buckets. */
+  private def prunedStore(spark: SparkSession, path: String,
+                          deltaBands: DataFrame): DataFrame = {
+    // distinct sigbucket values: at most nBuckets rows — a driver-side
+    // constant independent of both corpus and delta size
+    val touched = deltaBands.select(col("sigbucket")).distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/bands")
+      .filter(col("sigbucket").isin(touched: _*))
+  }
+
+  /** Per delta id, the smallest colliding store id (`id`, `dup_of`) —
+    * only ids WITH a collision appear.
+    */
+  def storeHits(delta: DataFrame, textCol: String, idCol: String,
+                path: String): DataFrame = {
+    val spark = delta.sparkSession
+    val meta = readMeta(spark, path)
+    val dBands = Materialize(bandsWithBucket(delta, textCol, idCol, meta))
+    prunedStore(spark, path, dBands).as("s")
+      .join(dBands.as("d"),
+        col("s.band") === col("d.band") && col("s.sig") === col("d.sig"))
+      .groupBy(col("d.id").as(idCol))
+      .agg(min(col("s.id")).as("dup_of"))
+  }
+
+  /** Dedup one arriving shard against the store and within itself.
+    * Returns `(idCol, status, dup_of)` — status ∈ {kept, dup_store,
+    * dup_delta}; `dup_of` is null for kept rows. With `update = true`
+    * the kept rows' signatures are appended to the store.
+    */
+  def dedupDelta(delta: DataFrame, textCol: String, idCol: String,
+                 path: String, update: Boolean = false): DataFrame = {
+    val spark = delta.sparkSession
+    val meta = readMeta(spark, path)
+    val hits = Materialize(storeHits(delta, textCol, idCol, path))
+    val rest = delta.join(hits.select(col(idCol)), Seq(idCol), "left_anti")
+    val pairs = Dedup.lshCandidates(rest, textCol, idCol, meta.k, meta.rowsPerBand)
+    val losers = Materialize(
+      Dedup.clusterPairsStar(pairs)
+        .filter(col("cluster") =!= col("id"))
+        .select(col("id").as(idCol), col("cluster").as("__canon")))
+    val out = delta.select(col(idCol))
+      .join(hits.withColumnRenamed("dup_of", "__store_of"), Seq(idCol), "left")
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__store_of").isNotNull, lit("dup_store"))
+          .when(col("__canon").isNotNull, lit("dup_delta"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("__store_of"), col("__canon")).as("dup_of"))
+    if (update) {
+      val kept = delta.join(
+        out.filter(col("status") === "kept").select(col(idCol)), Seq(idCol))
+      appendToStore(kept, textCol, idCol, path)
+    }
+    out
+  }
+
+  /** Output schema of [[dedupDelta]] keyed by the id column — the
+    * validate-side contract for the IR `dedup-delta` action (the store
+    * is a runtime artifact, not a config-time input).
+    */
+  def deltaSchema(idCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType),
+    StructField("status", StringType, nullable = false),
+    StructField("dup_of", LongType)))
+}

@@ -1,0 +1,157 @@
+package graft
+
+import graft.ir.{Engine, EngineCtx, Node}
+import graft.operators.IncrementalDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup laws: store collisions win over within-delta
+  * clustering, survivors append makes the pipeline idempotent, the
+  * probe is partition-pruned to touched sig buckets, recipe mismatch
+  * and missing stores fail loudly, and the IR artifact rule holds.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("incdedup_spec").toString
+
+  private def rmrf(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+      .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  // distinct word-salad texts: no accidental shingle collisions
+  private def doc(i: Int): String =
+    s"unique alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+
+  private def frame(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("store dups, delta dups, and kept docs are labeled with the right dup_of") {
+    val store = frame((0L until 6L).map(i => i -> doc(i.toInt)))
+    // 10: copy of store doc 2 -> dup_store(2); 11+12: copies of each
+    // other -> 12 dup_delta(11); 13: fresh -> kept
+    val delta = frame(Seq(
+      10L -> doc(2), 11L -> doc(40), 12L -> doc(40), 13L -> doc(41)))
+    val dir = tmpDir()
+    try {
+      IncrementalDedup.writeStore(store, "text", "doc_id", dir, nBuckets = 8)
+      val out = IncrementalDedup.dedupDelta(delta, "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(out(10L) == (("dup_store", 2L)))
+      assert(out(11L) == (("kept", -1L)))
+      assert(out(12L) == (("dup_delta", 11L)))
+      assert(out(13L) == (("kept", -1L)))
+    } finally rmrf(dir)
+  }
+
+  test("update appends survivors: re-feeding the same delta is all dup_store") {
+    val store = frame(Seq(0L -> doc(0)))
+    val delta = frame(Seq(20L -> doc(50), 21L -> doc(51), 22L -> doc(50)))
+    val dir = tmpDir()
+    try {
+      IncrementalDedup.writeStore(store, "text", "doc_id", dir, nBuckets = 8)
+      val first = IncrementalDedup.dedupDelta(delta, "text", "doc_id", dir, update = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(first == Map(20L -> "kept", 21L -> "kept", 22L -> "dup_delta"))
+      // idempotence: the survivors are in the store now
+      val again = IncrementalDedup.dedupDelta(delta, "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(again(20L) == (("dup_store", 20L)))
+      assert(again(21L) == (("dup_store", 21L)))
+      assert(again(22L) == (("dup_store", 20L)), "the copy collides with its kept twin")
+    } finally rmrf(dir)
+  }
+
+  test("the probe reads only touched sigbucket partitions") {
+    val store = frame((0L until 64L).map(i => i -> doc(i.toInt)))
+    val one = frame(Seq(99L -> doc(3)))
+    val dir = tmpDir()
+    // files actually opened by the scan (post-planning metric — the
+    // relation's static inputFiles list does NOT reflect pruning)
+    def filesRead(df: DataFrame): Long = {
+      df.collect() // execute THIS Dataset's QueryExecution so its metrics fill
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    try {
+      IncrementalDedup.writeStore(store, "text", "doc_id", dir, nBuckets = 32)
+      val total = filesRead(spark.read.parquet(s"$dir/bands"))
+      // one doc touches at most 4 buckets (4 bands); the pruned scan
+      // must open at most that many partitions' files
+      val meta = IncrementalDedup.readMeta(spark, dir)
+      val bands = meta.k / meta.rowsPerBand
+      val deltaBands = graft.operators.Dedup.bandTable(one, "text", "doc_id")
+      val touched = deltaBands
+        .select(pmod(graft.functions.Text.md5Hash64(col("sig")), lit(32L)))
+        .distinct().collect().map(_.getLong(0))
+      val pruned = filesRead(spark.read.parquet(s"$dir/bands")
+        .filter(col("sigbucket").isin(touched: _*)))
+      assert(touched.length <= bands)
+      assert(pruned <= touched.length && pruned < total,
+        s"pruned scan must skip partitions: $pruned vs $total")
+      // and the probe still finds the collision through the pruned path
+      val hits = IncrementalDedup.storeHits(one, "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hits == Map(99L -> 3L))
+    } finally rmrf(dir)
+  }
+
+  test("missing store and malformed recipe fail loudly") {
+    val dir = tmpDir()
+    try {
+      intercept[Exception] {
+        IncrementalDedup.readMeta(spark, s"$dir/nope")
+      }
+      intercept[IllegalArgumentException] {
+        IncrementalDedup.writeStore(frame(Seq(1L -> doc(1))), "text", "doc_id",
+          s"$dir/bad", k = 8, rowsPerBand = 3) // 8 % 3 != 0
+      }
+    } finally rmrf(dir)
+  }
+
+  test("IR dedup-delta artifact rule and run; output-dedup-store validates") {
+    val s = spark
+    val store = frame(Seq(0L -> doc(0)))
+    val delta = frame(Seq(30L -> doc(0), 31L -> doc(60)))
+    val dir = tmpDir()
+    try {
+      IncrementalDedup.writeStore(store, "text", "doc_id", dir, nBuckets = 8)
+      // validate is total though the path does not exist yet
+      val v = Node.fromJson(
+        """{"action":"dedup-delta",
+          | "params":[{"id":"doc_id","text":"text","store-path":"/does/not/exist"}],
+          | "children":[]}""".stripMargin)
+      assert(Engine.validate(v, s, schema = delta.schema).isEmpty)
+      val badCol = Node.fromJson(
+        """{"action":"dedup-delta",
+          | "params":[{"id":"nope","text":"text","store-path":"/x"}],
+          | "children":[]}""".stripMargin)
+      assert(Engine.validate(badCol, s, schema = delta.schema).nonEmpty)
+      assert(Engine.validate(Node.fromJson(
+        """{"action":"output-dedup-store","params":[{"id":"doc_id","text":"text","path":"/x"}],
+          | "children":[]}""".stripMargin), s, schema = delta.schema).isEmpty)
+
+      val out = Engine.run(Node.fromJson(
+        s"""{"action":"dedup-delta",
+           | "params":[{"id":"doc_id","text":"text","store-path":"$dir"}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+        delta, EngineCtx(testMode = true)).taps("out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(30L -> "dup_store", 31L -> "kept"))
+    } finally rmrf(dir)
+  }
+}
