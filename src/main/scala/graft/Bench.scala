@@ -86,8 +86,8 @@ object Bench {
     // Morton z-curve layout key
     "dedup_clusters_star", "zorder_key",
     // round 10 session 6: encoding-corruption health pass, readability,
-    // incremental dedup against the persisted signature store
-    "mojibake_health", "readability", "incremental_dedup")
+    // incremental dedup against the persisted signature store, Hilbert key
+    "mojibake_health", "readability", "incremental_dedup", "hilbert_key")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -354,5 +354,31 @@ object QueriesSources {
           .orderBy("doc_id")
       }
     }
+
+    // Hilbert curve key: the oracle replays the per-bit rotate-fold as a
+    // chained-CTE integer recurrence GENERATED FROM THE SAME step
+    // emitter the Column algebra unrolls (Layout.hilbertStepSql) — the
+    // two implementations cannot drift. Integer-exact.
+    locally {
+      val bits = 8
+      val seed =
+        s"""c$bits AS (SELECT doc_id,
+           |  CAST(doc_id & 255 AS BIGINT) AS x,
+           |  CAST(n_chars & 255 AS BIGINT) AS y,
+           |  CAST(0 AS BIGINT) AS d FROM documents)""".stripMargin
+      val chain = (bits - 1 to 0 by -1).map(i =>
+        s"c$i AS (SELECT doc_id,\n${graft.sources.Layout.hilbertStepSql(i)}\nFROM c${i + 1})")
+        .mkString(",\n")
+      register("hilbert_key",
+        s"""WITH $seed,
+           |$chain
+           |SELECT doc_id, d AS h FROM c0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.sources.Layout.hilbertValue(
+            col("doc_id").bitwiseAND(lit(255L)),
+            col("n_chars").bitwiseAND(lit(255L)), bits).as("h"))
+          .orderBy("doc_id")
+      }
+    }
   }
 }

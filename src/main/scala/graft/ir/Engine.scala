@@ -213,6 +213,13 @@ object Engine {
             pStr(m("path")); df(pStr(m("id"))); df(pStr(m("text")))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "output-hilbert" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path")); require(pLong(m("shards")) >= 1, "shards must be >= 1")
+            df(pStr(m("x"))); df(pStr(m("y")))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "dedup-delta" =>
           // the signature STORE is a runtime artifact (an earlier
           // output-dedup-store may produce it): check params/columns,
@@ -944,6 +951,15 @@ object Engine {
         if (!ctx.testMode)
           graft.sources.Layout.writeZOrdered(df,
             pStrs(m("cols")).map(col), pStr(m("path")),
+            pLong(m("shards")).toInt,
+            m.get("bits").map(pLong(_).toInt).getOrElse(16))
+        recurse(df)
+
+      case "output-hilbert" => // Hilbert-clustered parquet export; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode)
+          graft.sources.Layout.writeHilbertOrdered(df,
+            col(pStr(m("x"))), col(pStr(m("y"))), pStr(m("path")),
             pLong(m("shards")).toInt,
             m.get("bits").map(pLong(_).toInt).getOrElse(16))
         recurse(df)
@@ -1905,6 +1921,12 @@ object Engine {
       val m = pMap(params.head)
       df => df.withColumn(m.get("out").map(pStr).getOrElse("z"),
         graft.sources.Layout.zValue(pStrs(m("cols")).map(col),
+          m.get("bits").map(pLong(_).toInt).getOrElse(16)))
+    // Hilbert curve key over a 2-D integer grid (Layout.hilbertValue)
+    case "hilbert-key" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("h"),
+        graft.sources.Layout.hilbertValue(col(pStr(m("x"))), col(pStr(m("y"))),
           m.get("bits").map(pLong(_).toInt).getOrElse(16)))
     case "cdx-index" =>
       val m = params.headOption.map(pMap).getOrElse(Map.empty)

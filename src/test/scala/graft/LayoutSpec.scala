@@ -81,6 +81,82 @@ class LayoutSpec extends AnyFunSuite {
     } finally { rmrf(zDir); rmrf(xDir) }
   }
 
+  test("hilbertValue: hand values at order 1; bijective AND continuous at order 3") {
+    val s = spark
+    import s.implicits._
+    // order 1: the U shape (0,0)->(0,1)->(1,1)->(1,0)
+    val u = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), 1).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(u == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+
+    // order 3 (8x8): indices are a permutation of 0..63, and the walk is
+    // CONTINUOUS — consecutive indices are always grid-adjacent. That is
+    // THE Hilbert property (the z-curve fails it at every quadrant seam)
+    // and any bug in the rotate-fold breaks it somewhere on the grid.
+    val cells = for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y)
+    val walk = cells.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), 3).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(walk.map(_._1).toSeq == (0L until 64L).toSeq, "bijection onto 0..63")
+    walk.sliding(2).foreach { case Array((_, (x1, y1)), (h2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"discontinuity before h=$h2: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // wrap law shared with zValue: bits above the grid are ignored
+    val wrapped = Seq((8L + 3L, 5L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 3)).collect().head.getLong(0)
+    val base = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 3)).collect().head.getLong(0)
+    assert(wrapped == base)
+  }
+
+  test("hilbert layout prunes slab queries at least as well as required of z-order") {
+    val s = spark
+    import s.implicits._
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val box = Map("x" -> (0L, 63L), "y" -> (4L, 7L))
+    val hDir = tmpDir()
+    try {
+      Layout.writeHilbertOrdered(grid, col("x"), col("y"), hDir, shards = 16, bits = 6)
+      val (hHit, hTotal) = Layout.filesTouched(s.read.parquet(hDir), box)
+      assert(hTotal == 16)
+      assert(hHit * 2 <= hTotal,
+        s"hilbert must prune at least half the files for a 1/16-height slab, touched $hHit/$hTotal")
+      val rows = s.read.parquet(hDir).filter(col("y").between(4, 7)).count()
+      assert(rows == 64 * 4)
+    } finally rmrf(hDir)
+  }
+
+  test("IR hilbert-key matches hilbertValue; output-hilbert validates and writes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 1L), (1L, 0L)).toDF("x", "y")
+    val keyed = Engine.run(Node.fromJson(
+      """{"action":"hilbert-key","params":[{"x":"x","y":"y","bits":1,"out":"h"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(keyed((0L, 1L)) == 1L && keyed((1L, 0L)) == 3L)
+
+    val bad = Node.fromJson(
+      """{"action":"output-hilbert","params":[{"x":"nope","y":"y","path":"/tmp/x","shards":2}],
+        | "children":[]}""".stripMargin)
+    assert(Engine.validate(bad, s, schema = df.schema).nonEmpty)
+    val outDir = tmpDir()
+    try {
+      Engine.run(Node.fromJson(
+        s"""{"action":"output-hilbert",
+           | "params":[{"x":"x","y":"y","path":"$outDir/t","shards":1,"bits":1}],
+           | "children":[]}""".stripMargin), df, EngineCtx(testMode = false))
+      val back = s.read.parquet(s"$outDir/t").collect()
+        .map(r => (r.getLong(r.fieldIndex("x")), r.getLong(r.fieldIndex("y")))).toSet
+      assert(back == Set((0L, 1L), (1L, 0L)))
+    } finally rmrf(outDir)
+  }
+
   test("IR zorder-key matches Layout.zValue; output-zordered validates and writes") {
     val s = spark
     import s.implicits._
