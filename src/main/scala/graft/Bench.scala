@@ -87,7 +87,8 @@ object Bench {
     "dedup_clusters_star", "zorder_key",
     // round 10 session 6: encoding-corruption health pass, readability,
     // incremental dedup against the persisted signature store, Hilbert key
-    "mojibake_health", "readability", "incremental_dedup", "hilbert_key")
+    "mojibake_health", "readability", "incremental_dedup", "hilbert_key",
+    "csv_roundtrip")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

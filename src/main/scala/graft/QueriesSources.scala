@@ -315,6 +315,32 @@ object QueriesSources {
         .orderBy("doc_id")
     }
 
+    // CSV round trip: the same hostile-suffix contract as jsonl — every
+    // doc gains an embedded delimiter, quote, newline, tab and unicode;
+    // the RFC 4180 quote-escape must carry all of it back byte-exact
+    register("csv_roundtrip",
+      """SELECT doc_id,
+        |       md5(text || chr(44) || chr(34) || chr(10) || chr(9)
+        |           || 'caf' || chr(233) || ' ' || chr(9731)) AS h,
+        |       CAST(len(text || chr(44) || chr(34) || chr(10) || chr(9)
+        |           || 'caf' || chr(233) || ' ' || chr(9731)) AS BIGINT) AS n
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hostile = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(",\"\n\tcafé ☃")).as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("csv_rt").toString
+      graft.sources.Csv.writeShards(hostile, s"$tmp/shards", "doc_id", shards = 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Csv.read(s, s"$tmp/shards", schema, multiLine = true)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("n"))
+        .orderBy("doc_id")
+    }
+
     // TFRecord round trip: every document framed per the public
     // TensorFlow wire format (LE length + masked-CRC32C guards) and
     // walked back through the byte-level parser — both CRCs verified on
