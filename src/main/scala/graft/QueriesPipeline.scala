@@ -1095,6 +1095,21 @@ object QueriesPipeline {
           .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
       }
 
+      // fuzzy decontamination: near-dup (banded-MinHash) benchmark leaks
+      // — bench = every 7th doc, so each bench doc at least flags itself
+      // and the natural LSH near-dups flag their train-side twins
+      register("fuzzy_decontam",
+        s"""$lshPrefix
+           |SELECT l.doc_id AS doc_id, min(r.doc_id) AS bench_dup_of
+           |FROM buckets l JOIN buckets r
+           |  ON l.band = r.band AND l.sig = r.sig AND r.doc_id % 7 = 0
+           |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        graft.operators.Decontam.fuzzyContamination(
+            d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+          .orderBy("doc_id")
+      }
+
       // incremental dedup against a persisted signature store: store =
       // even docs, delta = odd docs + exact copies of some evens (must
       // come back dup_store) + within-delta twin copies of some odds
@@ -1268,34 +1283,48 @@ object QueriesPipeline {
           .orderBy("id1", "id2")
       }
 
-      // character-level Levenshtein CONFIRM over the same LSH pairs —
-      // the alignment verifier token-set measures can't express; the
-      // oracle computes the unbounded distance, the operator the
-      // early-exit bounded one: identical surviving sets by the bound
-      // argument in Dedup.editConfirm's scaladoc. Division is per-row
-      // double arithmetic — exact cross-engine.
+      // character-level Levenshtein CONFIRM as the FULL funnel (LSH
+      // candidates -> n-gram Jaccard >= 0.3 -> alignment confirm): the
+      // quadratic DP runs only on the Jaccard survivors — the funnel
+      // order the operator scaladocs prescribe; skipping the middle
+      // stage made this the whole suite's hot spot at sf0.1 (95 s on
+      // 157k raw LSH pairs). The oracle computes the unbounded
+      // distance, the operator the early-exit bounded one: identical
+      // surviving sets by the bound argument in Dedup.editConfirm's
+      // scaladoc. Divisions are per-row double arithmetic from integer
+      // numerators — exact cross-engine, so the 0.3 cut is too.
       register("dedup_edit_confirm",
         s"""$lshPrefix,
            |pairs AS (
            |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
            |  FROM buckets l JOIN buckets r
            |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+           |jp AS (
+           |  SELECT p.id1, p.id2
+           |  FROM pairs p
+           |  JOIN sets s1 ON s1.doc_id = p.id1
+           |  JOIN sets s2 ON s2.doc_id = p.id2
+           |  WHERE CAST(len(list_filter(s1.ss, x -> list_contains(s2.ss, x))) AS DOUBLE) /
+           |        (len(s1.ss) + len(s2.ss) - len(list_filter(s1.ss, x -> list_contains(s2.ss, x)))) >= 0.3),
            |t AS (SELECT doc_id, substr(text, 1, 200) AS tt FROM documents),
            |d AS (SELECT p.id1, p.id2,
            |             greatest(len(t1.tt), len(t2.tt)) AS n,
            |             levenshtein(t1.tt, t2.tt) AS dist
-           |      FROM pairs p
+           |      FROM jp p
            |      JOIN t t1 ON t1.doc_id = p.id1
            |      JOIN t t2 ON t2.doc_id = p.id2)
            |SELECT id1, id2, CAST(dist AS BIGINT) AS edit_dist,
            |       CASE WHEN n = 0 THEN 1.0
            |            ELSE 1.0 - CAST(dist AS DOUBLE) / CAST(n AS DOUBLE) END AS edit_sim
            |FROM d
-           |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.9 * CAST(n AS DOUBLE)
+           |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)
         val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
-        Dedup.editConfirm(d, pairs, "text", "doc_id", minSim = 0.1, maxLen = 200)
+        val jp = Dedup.ngramJaccard(d, pairs, "text", "doc_id")
+          .filter(col("jaccard") >= 0.3).select("id1", "id2")
+        Dedup.editConfirm(d, jp, "text", "doc_id", minSim = 0.5, maxLen = 200)
           .select("id1", "id2", "edit_dist", "edit_sim")
           .orderBy("id1", "id2")
       }
@@ -1309,23 +1338,31 @@ object QueriesPipeline {
            |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
            |  FROM buckets l JOIN buckets r
            |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+           |jp AS (
+           |  SELECT p.id1, p.id2
+           |  FROM pairs p
+           |  JOIN sets s1 ON s1.doc_id = p.id1
+           |  JOIN sets s2 ON s2.doc_id = p.id2
+           |  WHERE CAST(len(list_filter(s1.ss, x -> list_contains(s2.ss, x))) AS DOUBLE) /
+           |        (len(s1.ss) + len(s2.ss) - len(list_filter(s1.ss, x -> list_contains(s2.ss, x)))) >= 0.3),
            |t AS (SELECT doc_id, substr(text, 1, 200) AS tt FROM documents),
            |d AS (SELECT p.id1, p.id2,
            |             greatest(len(t1.tt), len(t2.tt)) AS n,
            |             levenshtein(t1.tt, t2.tt) AS dist
-           |      FROM pairs p
+           |      FROM jp p
            |      JOIN t t1 ON t1.doc_id = p.id1
            |      JOIN t t2 ON t2.doc_id = p.id2)
            |SELECT id1, id2, CAST(dist AS BIGINT) AS edit_dist,
            |       CASE WHEN n = 0 THEN 1.0
            |            ELSE 1.0 - CAST(dist AS DOUBLE) / CAST(n AS DOUBLE) END AS edit_sim
            |FROM d
-           |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.9 * CAST(n AS DOUBLE)
+           |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
         val node = graft.ir.Node.fromJson(
           s"""{"action":"edit-confirm",
-             | "params":[{"id":"doc_id","text":"text","min-sim":0.1,"max-len":200,
-             |            "k":$k,"rows-per-band":2}],
+             | "params":[{"id":"doc_id","text":"text","min-sim":0.5,"max-len":200,
+             |            "min-jaccard":0.3,"k":$k,"rows-per-band":2}],
              | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
         graft.ir.Engine.run(node, docs(s, dir),
             graft.ir.EngineCtx(testMode = true)).taps("out")
@@ -1724,12 +1761,20 @@ object QueriesPipeline {
 
     // EXACT token-set Jaccard join via the PPJoin prefix filter — the
     // recall-1.0 complement to the LSH family; the oracle replays the
-    // df-ordered prefix, the candidate equi-join and the rational verify
+    // df-ordered prefix, the candidate equi-join and the rational
+    // verify. Gate runs t=0.8 (the published PPJoin evaluation range)
+    // on a deterministic 1/5 subset: the fixture's tiny vocabulary is
+    // the algorithm's adversarial worst case — rare tokens appear in
+    // most prefixes, so candidates approach all-pairs at ANY threshold
+    // (measured 52% of all pairs at t=0.8 on the full sf0.1 slice) and
+    // the verify cost measures the fixture, not the operator. The
+    // subset exercises every stage identically.
     locally {
-      val t = "0.5"
+      val t = "0.8"
       register("dedup_jaccard_exact",
         s"""$DocsView,
-           |d AS (SELECT doc_id, list_distinct(toks) AS ts FROM docs),
+           |sub AS (SELECT doc_id, toks FROM docs WHERE doc_id % 5 = 0),
+           |d AS (SELECT doc_id, list_distinct(toks) AS ts FROM sub),
            |tok AS (SELECT doc_id, unnest(ts) AS token FROM d),
            |freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
            |ordered AS (SELECT t.doc_id, list(t.token ORDER BY f.df, t.token) AS sorted,
@@ -1752,7 +1797,8 @@ object QueriesPipeline {
            |            JOIN ordered o2 ON o2.doc_id = i.id2)
            |SELECT id1, id2, jaccard FROM jj WHERE jaccard >= $t
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-        Dedup.jaccardPrefixJoin(docs(s, dir), "doc_id", "text", 0.5)
+        Dedup.jaccardPrefixJoin(docs(s, dir).filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", 0.8)
           .orderBy("id1", "id2")
       }
     }

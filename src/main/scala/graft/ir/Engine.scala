@@ -256,6 +256,14 @@ object Engine {
               acc.withColumn(name, lit(null).cast(dt))
             })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "decontam-fuzzy" =>
+          // artifact rule: the bench parquet is a runtime input; the
+          // output is the input frame filtered — schema unchanged
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("text"))); pStr(m("bench-path"))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "vocab-drift" | "vocab-kl" =>
           // artifact rule: the comparison corpus is a runtime input
           try {
@@ -1525,6 +1533,16 @@ object Engine {
         val bench = df.sparkSession.read.parquet(pStr(m("bench-path")))
         graft.operators.Decontam.overlapFraction(df, bench, pStr(m("id")), pStr(m("text")))
       }
+    case "decontam-fuzzy" =>
+      // drop train docs sharing any MinHash band with any bench doc
+      val m = pMap(params.head)
+      df => {
+        val bench = df.sparkSession.read.parquet(pStr(m("bench-path")))
+        graft.operators.Decontam.decontaminateFuzzy(df, bench,
+          pStr(m("id")), pStr(m("text")),
+          m.get("k").map(pLong(_).toInt).getOrElse(8),
+          m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+      }
     case "vocab-topk" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.vocabTopK(df, pStr(m("text")),
@@ -1663,15 +1681,24 @@ object Engine {
         minShared = m.get("min-shared").map(pLong(_).toInt).getOrElse(2),
         maxDf = m.get("max-df").map(pLong(_).toInt).getOrElse(50))
     case "edit-confirm" =>
-      // composed near-dup funnel: LSH candidates -> bounded Levenshtein
-      // alignment confirm (the order-sensitive verifier)
+      // composed near-dup funnel: LSH candidates -> optional n-gram
+      // Jaccard cut (min-jaccard; keeps the quadratic DP off raw LSH
+      // bucket collisions) -> bounded Levenshtein alignment confirm
       val m = pMap(params.head)
-      df => graft.operators.Dedup.editConfirm(df,
-        graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
+      df => {
+        val cands = graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
           k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2)),
-        pStr(m("text")), pStr(m("id")), pDouble(m("min-sim")),
-        m.get("max-len").map(pLong(_).toInt).getOrElse(512))
+          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+        val mj = m.get("min-jaccard").map(pDouble).getOrElse(0.0)
+        val pairs =
+          if (mj > 0.0)
+            graft.operators.Dedup.ngramJaccard(df, cands, pStr(m("text")), pStr(m("id")))
+              .filter(col("jaccard") >= mj).select("id1", "id2")
+          else cands
+        graft.operators.Dedup.editConfirm(df, pairs,
+          pStr(m("text")), pStr(m("id")), pDouble(m("min-sim")),
+          m.get("max-len").map(pLong(_).toInt).getOrElse(512))
+      }
     case "ivfpq-build" =>
       // sink-like: persist the index (train + encode, cell-partitioned
       // codes) and pass the corpus through unchanged

@@ -185,4 +185,36 @@ object Decontam {
       .select(col(idCol))
     train.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** FUZZY decontamination — near-duplicate benchmark leaks, not just
+    * shared-n-gram ones: a paraphrased or lightly-edited eval question
+    * can slip past [[contaminationReport]]'s exact-shingle counting but
+    * still share MinHash bands with its source. One banded cross-corpus
+    * join ([[Dedup.crossCorpusCandidates]]'s shape: a single (band, sig)
+    * exchange, candidate volume tracks bucket collisions — neither side
+    * broadcast, both can be fact-sized). Output: one row per flagged
+    * train doc with the smallest colliding bench id as evidence.
+    *
+    * The exact and fuzzy flags COMPOSE: production decontamination runs
+    * both and drops the union (GPT-3 app. C removed 13-gram overlaps;
+    * near-dup leaks are the documented residue that motivated fuzzier
+    * checks in later corpus audits).
+    */
+  def fuzzyContamination(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int = 8,
+                         rowsPerBand: Int = 2): DataFrame =
+    Dedup.crossCorpusCandidates(train, bench, textCol, idCol, k, rowsPerBand)
+      .groupBy(col("left_id").as(idCol))
+      .agg(min(col("right_id")).as("bench_dup_of"))
+
+  /** [[decontaminate]]'s fuzzy twin: drop every train doc sharing any
+    * MinHash band with any bench doc.
+    */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int = 8,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val flagged = fuzzyContamination(train, bench, idCol, textCol, k, rowsPerBand)
+      .select(col(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
 }

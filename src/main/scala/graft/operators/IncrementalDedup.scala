@@ -103,14 +103,34 @@ object IncrementalDedup {
     writeBands(bandsWithBucket(df, textCol, idCol, meta), path, meta.nBuckets, "append")
   }
 
+  /** All stored band rows: the base `bands/` layout plus any streaming
+    * `delta_bands/batch=N/` appends — excluding `excludeBatch` so a
+    * REPLAYED micro-batch never collides with its own signatures (the
+    * exactly-once linchpin of [[dedupDeltaStream]]).
+    */
+  private def readBands(spark: SparkSession, path: String,
+                        excludeBatch: Option[Long]): DataFrame = {
+    val base = spark.read.parquet(s"$path/bands")
+    val deltaDir = new org.apache.hadoop.fs.Path(s"$path/delta_bands")
+    val fs = deltaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(deltaDir)) base
+    else {
+      val deltas = spark.read.parquet(s"$path/delta_bands")
+        .filter(excludeBatch.map(b => col("batch") =!= b).getOrElse(lit(true)))
+        .select("id", "band", "sig", "sigbucket")
+      base.unionByName(deltas)
+    }
+  }
+
   /** The store scan pruned to the delta's touched sig buckets. */
   private def prunedStore(spark: SparkSession, path: String,
-                          deltaBands: DataFrame): DataFrame = {
+                          deltaBands: DataFrame,
+                          excludeBatch: Option[Long]): DataFrame = {
     // distinct sigbucket values: at most nBuckets rows — a driver-side
     // constant independent of both corpus and delta size
     val touched = deltaBands.select(col("sigbucket")).distinct()
       .collect().map(_.getLong(0))
-    spark.read.parquet(s"$path/bands")
+    readBands(spark, path, excludeBatch)
       .filter(col("sigbucket").isin(touched: _*))
   }
 
@@ -118,11 +138,11 @@ object IncrementalDedup {
     * only ids WITH a collision appear.
     */
   def storeHits(delta: DataFrame, textCol: String, idCol: String,
-                path: String): DataFrame = {
+                path: String, excludeBatch: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
     val meta = readMeta(spark, path)
     val dBands = Materialize(bandsWithBucket(delta, textCol, idCol, meta))
-    prunedStore(spark, path, dBands).as("s")
+    prunedStore(spark, path, dBands, excludeBatch).as("s")
       .join(dBands.as("d"),
         col("s.band") === col("d.band") && col("s.sig") === col("d.sig"))
       .groupBy(col("d.id").as(idCol))
@@ -135,10 +155,11 @@ object IncrementalDedup {
     * the kept rows' signatures are appended to the store.
     */
   def dedupDelta(delta: DataFrame, textCol: String, idCol: String,
-                 path: String, update: Boolean = false): DataFrame = {
+                 path: String, update: Boolean = false,
+                 excludeBatch: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
     val meta = readMeta(spark, path)
-    val hits = Materialize(storeHits(delta, textCol, idCol, path))
+    val hits = Materialize(storeHits(delta, textCol, idCol, path, excludeBatch))
     val rest = delta.join(hits.select(col(idCol)), Seq(idCol), "left_anti")
     val pairs = Dedup.lshCandidates(rest, textCol, idCol, meta.k, meta.rowsPerBand)
     val losers = Materialize(
@@ -160,6 +181,43 @@ object IncrementalDedup {
     }
     out
   }
+
+  /** The continuously-ingesting loop: every micro-batch is a delta —
+    * deduped against the store AND within itself, survivors' full rows
+    * land under `outPath/batch=N/` and their signatures under
+    * `<storePath>/delta_bands/batch=N/sigbucket=M/`. Sequential batches
+    * therefore dedup against everything already accepted.
+    *
+    * Exactly-once without a transaction log: both writes are
+    * per-batch-directory OVERWRITES (replay rewrites the same dirs),
+    * and the probe EXCLUDES the replaying batch's own `delta_bands`
+    * partition — so a batch that crashed between its two writes
+    * recomputes the identical verdicts on retry instead of colliding
+    * with its half-committed self and silently dropping everything.
+    * Compact `delta_bands` into the base `bands/` layout offline when
+    * batch count grows (a plain read-union-rewrite).
+    */
+  def dedupDeltaStream(stream: DataFrame, textCol: String, idCol: String,
+                       storePath: String, outPath: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val meta = readMeta(spark, storePath)
+        val verdicts = dedupDelta(batch, textCol, idCol, storePath,
+          update = false, excludeBatch = Some(batchId))
+        val kept = batch.join(
+          verdicts.filter(col("status") === "kept").select(col(idCol)), Seq(idCol))
+          .transform(Materialize.apply)
+        kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        bandsWithBucket(kept, textCol, idCol, meta)
+          .repartition(meta.nBuckets, col("sigbucket"))
+          .write.mode("overwrite").partitionBy("sigbucket")
+          .parquet(s"$storePath/delta_bands/batch=$batchId")
+        ()
+      }
+      .start()
 
   /** Output schema of [[dedupDelta]] keyed by the id column — the
     * validate-side contract for the IR `dedup-delta` action (the store

@@ -95,4 +95,38 @@ class DecontamSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(1L -> 12L, 2L -> 4L))
   }
+
+  test("fuzzy decontamination catches near-dup leaks and composes with exact") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely unrelated text about spark catalyst optimizer internals")).toDF("doc_id", "text")
+    // bench: a lightly-EDITED copy of train doc 1 (one word swapped) —
+    // high Jaccard, shares MinHash bands
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    val flagged = Decontam.fuzzyContamination(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged(1L) == 100L, "edited near-dup must flag")
+    assert(!flagged.contains(2L), "unrelated doc must not flag")
+    val cleaned = Decontam.decontaminateFuzzy(train, bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(2L))
+
+    // IR face: artifact-total validate, run against a written bench
+    import graft.ir.{Engine, EngineCtx, Node}
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"decontam-fuzzy","params":[{"id":"doc_id","text":"text","bench-path":"/does/not/exist"}],
+        | "children":[]}""".stripMargin), s, schema = train.schema).isEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy_bench").toString
+    bench.write.mode("overwrite").parquet(s"$tmp/bench")
+    val kept = Engine.run(Node.fromJson(
+      s"""{"action":"decontam-fuzzy","params":[{"id":"doc_id","text":"text","bench-path":"$tmp/bench"}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      train, EngineCtx(testMode = true)).taps("out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
 }

@@ -110,6 +110,39 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally rmrf(dir)
   }
 
+  test("streaming loop: later micro-batches dedup against earlier accepted batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val dir = tmpDir()
+    try {
+      IncrementalDedup.writeStore(frame(Seq(0L -> doc(0))), "text", "doc_id", dir, nBuckets = 8)
+      val q = IncrementalDedup.dedupDeltaStream(
+        ms.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        dir, s"$dir/out", s"$dir/ck")
+      try {
+        ms.addData((1L, doc(10)), (2L, doc(0))) // 2 is a store dup
+        q.processAllAvailable()
+        ms.addData((3L, doc(10)), (4L, doc(11))) // 3 dups batch-0's kept doc 1
+        q.processAllAvailable()
+        val kept = s.read.parquet(s"$dir/out")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L, 4L),
+          "survivors: batch-0 keeps 1 (2 = store dup); batch-1 keeps 4 (3 dups 1)")
+      } finally q.stop()
+      // replay-isolation law: a batch re-run with its OWN delta_bands
+      // excluded reproduces its original verdicts — the crash-recovery
+      // path cannot collide with its half-committed self
+      val replay = IncrementalDedup.dedupDelta(
+        frame(Seq(1L -> doc(10), 2L -> doc(0))), "text", "doc_id", dir,
+        excludeBatch = Some(0L))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(replay == Map(1L -> "kept", 2L -> "dup_store"))
+    } finally rmrf(dir)
+  }
+
   test("missing store and malformed recipe fail loudly") {
     val dir = tmpDir()
     try {
