@@ -2000,6 +2000,34 @@ object QueriesPipeline {
       }
     }
 
+    // cluster-capped (topic-balanced) subsampling: deterministic k-means
+    // assignment + the salted-hash per-cell quota — the oracle replays
+    // seed centroids, arg-max cells, and the md5 rank bit-for-bit
+    locally {
+      val (nCells, cap) = (8, 5)
+      register("cluster_cap_sample",
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+           |  ORDER BY vec_id LIMIT $nCells),
+           |assign AS (
+           |  SELECT vec_id, cell, cosine FROM (
+           |    SELECT e.vec_id, c.cell, ${sqlCosine("e.embedding", "c.cvec")} AS cosine,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+           |ranked AS (
+           |  SELECT vec_id, cell, cosine,
+           |         row_number() OVER (PARTITION BY cell
+           |           ORDER BY ${sqlMd5Hash64("'cbal:' || CAST(vec_id AS VARCHAR)")} % 1000000,
+           |                    vec_id) AS r
+           |  FROM assign)
+           |SELECT vec_id, cell, cosine, CAST(r AS BIGINT) AS sample_rank
+           |FROM ranked WHERE r <= $cap ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        Sampling.clusterBalancedSample(emb(s, dir), "vec_id", "embedding", nCells, cap)
+          .orderBy("vec_id")
+      }
+    }
+
     // IVF cell-probe ANN: the oracle replays the same deterministic index
     // — seed centroids, arg-max cell assignment, top-nprobe probing —
     // so cell contents and candidate sets match exactly

@@ -1569,6 +1569,14 @@ object Engine {
       df => graft.operators.IncrementalDedup.dedupDelta(df,
         pStr(m("text")), pStr(m("id")), pStr(m("store-path")),
         update = m.get("update").exists(_ == true))
+    case "cluster-cap-sample" =>
+      // topic-balanced subsample: at most `cap` docs per k-means cell
+      val m = pMap(params.head)
+      df => graft.operators.Sampling.clusterBalancedSample(df,
+        pStr(m("id")), pStr(m("vec")),
+        pLong(m("cells")).toInt, pLong(m("cap")).toInt,
+        m.get("iters").map(pLong(_).toInt).getOrElse(0),
+        m.get("salt").map(pStr).getOrElse("cbal"))
     case "semantic-dedup" =>
       val m = pMap(params.head)
       df => graft.operators.Similarity.semanticDedup(df, pStr(m("id")), pStr(m("vec")),

@@ -99,4 +99,32 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Topic-balanced subsampling (cluster cap): assign every embedding to
+    * a k-means cell and keep at most `cap` docs per cell by the
+    * deterministic salted-hash rank — the embedding-space twin of
+    * per-domain caps, stopping one dominant topic / boilerplate family
+    * from flooding a training mix (the balance goal behind SemDeDup's
+    * within-cluster pruning and DoReMi-style reweighting, as a hard
+    * per-cluster quota).
+    *
+    * Scale: centroids are model-sized (train on a sample here, or pass
+    * persisted ones to [[clusterBalancedSampleWith]] — the
+    * train-once/apply-many artifact discipline); assignment is a
+    * map-side argmax over centroid literals; the cap is ONE exchange on
+    * the cell key + a per-cell window, parallel across cells. Output:
+    * `(idCol, cell, cosine, sample_rank)`.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int, cap: Int, trainIters: Int = 0,
+                            salt: String = "cbal"): DataFrame =
+    clusterBalancedSampleWith(emb, idCol, vecCol,
+      Similarity.kmeansCentroids(emb, idCol, vecCol, nCells, trainIters), cap, salt)
+
+  /** [[clusterBalancedSample]] against already-trained centroids. */
+  def clusterBalancedSampleWith(emb: DataFrame, idCol: String, vecCol: String,
+                                cents: Array[(Long, Seq[Float])], cap: Int,
+                                salt: String = "cbal"): DataFrame =
+    sampleExactK(Similarity.kmeansAssign(emb, idCol, vecCol, cents),
+      "cell", idCol, cap, salt)
 }

@@ -427,4 +427,40 @@ class PropertySpec extends AnyFunSuite {
       assert(boiler == model, s"distributed $boiler != model $model")
     }
   }
+
+  test("clusterBalancedSample: per-cell quota, deterministic, assignment = argmax cosine") {
+    import graft.operators.Sampling
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // two tight clusters on orthogonal axes, 8 points each, ids interleaved
+    def v(axis: Int, eps: Float): Seq[Float] =
+      if (axis == 0) Seq(1f, eps, 0f, 0f) else Seq(eps, 1f, 0f, 0f)
+    val rows = (0 until 16).map { i =>
+      (i.toLong, v(i % 2, 0.01f * (i / 2)))
+    }
+    val df = rows.toDF("id", "vec")
+    val out = Sampling.clusterBalancedSample(df, "id", "vec", nCells = 2, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // seeds are ids 0 (axis 0) and 1 (axis 1): every even id lands in
+    // cell 0, every odd in cell 1; each cell keeps exactly cap rows
+    assert(out.length == 6)
+    val byCell = out.groupBy(_._2)
+    assert(byCell(0L).length == 3 && byCell(1L).length == 3)
+    assert(byCell(0L).forall(t => t._1 % 2 == 0))
+    assert(byCell(1L).forall(t => t._1 % 2 == 1))
+    assert(out.forall(_._3 <= 3L), "ranks bounded by cap")
+    // deterministic under rerun and repartition
+    val again = Sampling.clusterBalancedSample(df.repartition(7), "id", "vec", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+
+    // IR face
+    import graft.ir.{Engine, EngineCtx, Node}
+    val ir = Engine.run(Node.fromJson(
+      """{"action":"cluster-cap-sample","params":[{"id":"id","vec":"vec","cells":2,"cap":3}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(ir.toSeq == out.sortBy(_._1).toSeq)
+  }
 }
