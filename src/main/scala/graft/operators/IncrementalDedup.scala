@@ -219,6 +219,36 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Fold accumulated streaming `delta_bands/batch=N/` appends into the
+    * base `bands/` layout — the offline maintenance step that keeps the
+    * probe's file count bounded as batches accumulate. Verdicts are
+    * unchanged by construction (the probe reads the union either way);
+    * run it between streaming sessions, never concurrently with one.
+    * Writes through a sibling temp dir so a crash mid-compaction leaves
+    * the original layout intact.
+    */
+  def compactStore(spark: SparkSession, path: String): Unit = {
+    val meta = readMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaDir = new org.apache.hadoop.fs.Path(s"$path/delta_bands")
+    if (!fs.exists(deltaDir)) return // nothing to fold
+    val all = readBands(spark, path, excludeBatch = None)
+    val tmp = s"$path/bands_compact_tmp"
+    all.repartition(meta.nBuckets, col("sigbucket"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#sig", "true")
+      .option("parquet.bloom.filter.expected.ndv#sig", "1000000")
+      .partitionBy("sigbucket")
+      .parquet(tmp)
+    val bands = new org.apache.hadoop.fs.Path(s"$path/bands")
+    fs.delete(bands, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), bands),
+      s"compactStore: rename $tmp -> $bands failed")
+    fs.delete(deltaDir, true)
+    ()
+  }
+
   /** Output schema of [[dedupDelta]] keyed by the id column — the
     * validate-side contract for the IR `dedup-delta` action (the store
     * is a runtime artifact, not a config-time input).

@@ -140,6 +140,19 @@ class IncrementalDedupSpec extends AnyFunSuite {
         excludeBatch = Some(0L))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(replay == Map(1L -> "kept", 2L -> "dup_store"))
+
+      // compaction folds delta_bands into the base layout with
+      // identical verdicts, and a second compaction is a no-op
+      val probe = frame(Seq(40L -> doc(10), 41L -> doc(0), 42L -> doc(70)))
+      val before = IncrementalDedup.dedupDelta(probe, "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      IncrementalDedup.compactStore(s, dir)
+      assert(!new java.io.File(s"$dir/delta_bands").exists, "delta dirs folded away")
+      val after = IncrementalDedup.dedupDelta(probe, "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after == before)
+      assert(before == Map(40L -> "dup_store", 41L -> "dup_store", 42L -> "kept"))
+      IncrementalDedup.compactStore(s, dir) // idempotent no-op
     } finally rmrf(dir)
   }
 
