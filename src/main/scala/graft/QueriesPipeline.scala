@@ -2736,6 +2736,45 @@ object QueriesPipeline {
       }
     }
 
+    // Writing-script profile: per-script char counts + dominant script;
+    // a third of the docs get Cyrillic padding (latin still dominant --
+    // the mixed case), a third are truncated to a CJK-dominant snippet
+    // (argmax flips), a third stay Latin — the oracle counts the SAME generated
+    // character classes (one range table feeds both engines) and
+    // replays the argmax CASE in table order
+    locally {
+      import graft.functions.Text
+      val cyr = " привет мир"
+      val cjk = " 你好世界你好"
+      val countsSql = Text.ScriptRanges.map { case (name, _) =>
+        s"CAST(len(regexp_extract_all(text, '${Text.scriptClassRe2(name)}')) AS BIGINT) AS n_$name"
+      }.mkString(",\n           ")
+      val names = Text.ScriptRanges.map(_._1)
+      val bestSql = s"greatest(${names.map("n_" + _).mkString(", ")})"
+      val caseSql = names.map(n => s"WHEN n_$n = __best AND __best > 0 THEN '$n'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      register("script_profile",
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN '$cyr' || text || '$cyr'
+           |       WHEN doc_id % 3 = 1 THEN substr(text, 1, 4) || '$cjk'
+           |       ELSE text END AS text FROM documents),
+           |c AS (SELECT doc_id,
+           |$countsSql
+           |FROM t),
+           |b AS (SELECT *, $bestSql AS __best FROM c)
+           |SELECT doc_id, ${names.map("n_" + _).mkString(", ")},
+           |       $caseSql AS script
+           |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val t = docs(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(lit(cyr), col("text"), lit(cyr)))
+            .when(col("doc_id") % 3 === 1, concat(substring(col("text"), 1, 4), lit(cjk)))
+            .otherwise(col("text")))
+        t.select(col("doc_id"), Text.scriptProfile(col("text")).as("p"))
+          .select(col("doc_id") +: names.map(n => col(s"p.n_$n")) :+ col("p.script"): _*)
+          .orderBy("doc_id")
+      }
+    }
+
     // Mojibake text health: the Aho-Corasick artifact counter and the
     // chained-replace repair vs the oracle's per-pattern replace algebra.
     // Injection makes the fixture hostile: a third of the docs get a

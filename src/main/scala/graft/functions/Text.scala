@@ -127,6 +127,57 @@ object Text {
     }
   }
 
+  /** Unicode script ranges (BMP blocks) for [[scriptProfile]] — one
+    * source of truth both engines' character classes are generated
+    * from. Latin is its two ASCII letter runs; the CJK entry is the
+    * Unified Ideographs block; kana covers hiragana + katakana.
+    */
+  val ScriptRanges: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq(0x41 -> 0x5A, 0x61 -> 0x7A),
+    "cyrillic" -> Seq(0x400 -> 0x4FF),
+    "greek" -> Seq(0x370 -> 0x3FF),
+    "arabic" -> Seq(0x600 -> 0x6FF),
+    "hebrew" -> Seq(0x590 -> 0x5FF),
+    "devanagari" -> Seq(0x900 -> 0x97F),
+    "cjk" -> Seq(0x4E00 -> 0x9FFF),
+    "hangul" -> Seq(0xAC00 -> 0xD7AF),
+    "kana" -> Seq(0x3040 -> 0x30FF))
+
+  /** Java-regex character class for one script (for `regexp_count`). */
+  private def scriptClass(ranges: Seq[(Int, Int)]): String =
+    ranges.map { case (lo, hi) => f"\\x{$lo%04X}-\\x{$hi%04X}" }.mkString("[", "", "]")
+
+  /** RE2 (DuckDB) character class for one script — same ranges, RE2's
+    * `\x{...}` spelling; exposed so the oracle is generated from the
+    * identical table.
+    */
+  def scriptClassRe2(name: String): String =
+    ScriptRanges.toMap.apply(name)
+      .map { case (lo, hi) => f"\\x{$lo%04X}-\\x{$hi%04X}" }.mkString("[", "", "]")
+
+  /** Writing-script profile — the multilingual-corpus signal langid's
+    * stopword heuristic can't give (stopword lists are per-LANGUAGE;
+    * script is per-CHARACTER and catches mixed-script spam, wrong-script
+    * boilerplate, and transliteration artifacts): per-script character
+    * counts over the BMP block table plus the dominant script (`argmax`
+    * count, ties to table order, `unknown` when no scripted character
+    * occurs). One `regexp_count` per script inside codegen — map-side,
+    * zero shuffle, and exactly replayable (RE2 spells the same class
+    * via [[scriptClassRe2]]).
+    */
+  def scriptProfile(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val counts = ScriptRanges.map { case (name, ranges) =>
+      name -> regexp_count(t, lit(scriptClass(ranges))).cast("long")
+    }
+    val best = counts.map(_._2).reduce(greatest(_, _))
+    val script = counts.foldRight(lit("unknown"): Column) {
+      case ((name, cnt), acc) => when(cnt === best && best > 0L, lit(name)).otherwise(acc)
+    }
+    struct(counts.map { case (name, cnt) => cnt.as(s"n_$name") } :+
+      script.as("script"): _*)
+  }
+
   /** Control characters (C0 + DEL) — the cleanup targets of
     * [[normalize]]. Written as explicit hex ranges (no `\p{Cntrl}`,
     * which RE2 — the DuckDB oracle's engine — spells differently).

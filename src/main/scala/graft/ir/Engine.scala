@@ -1446,6 +1446,11 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "script-profile" =>
+      // per-script character counts + dominant writing script
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("script_profile"),
+        graft.functions.Text.scriptProfile(col(pStr(m("text")))))
     case "readability" =>
       // Flesch/FK readability bundle as a struct column
       val m = pMap(params.head)
