@@ -88,7 +88,8 @@ object Bench {
     // round 10 session 6: encoding-corruption health pass, readability,
     // incremental dedup against the persisted signature store, Hilbert key
     "mojibake_health", "readability", "incremental_dedup", "hilbert_key",
-    "csv_roundtrip", "fuzzy_decontam", "cluster_cap_sample", "script_profile")
+    "csv_roundtrip", "fuzzy_decontam", "cluster_cap_sample", "script_profile",
+    "chunk_sentences")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

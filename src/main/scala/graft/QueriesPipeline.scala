@@ -1657,6 +1657,49 @@ object QueriesPipeline {
       }
     }
 
+    // sentence-aware greedy chunking: the boundary split and the running
+    // token budget are a deterministic integer recurrence — the oracle
+    // walks it with a recursive CTE over numbered sentences, then the
+    // group-concat per chunk matches the fold's chunk strings exactly
+    locally {
+      val maxTok = 40
+      register("chunk_sentences",
+        s"""WITH RECURSIVE sen0 AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(
+           |           regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(1), 'g'),
+           |           chr(1)), s -> len(s) > 0) AS ss
+           |  FROM documents),
+           |sen AS (
+           |  SELECT doc_id, i, ss[i] AS s,
+           |         len(list_filter(string_split_regex(lower(ss[i]), '[^a-z0-9]+'),
+           |             x -> len(x) > 0)) AS t,
+           |         len(ss) AS ns
+           |  FROM sen0, unnest(range(1, len(ss) + 1)) AS r(i)),
+           |walk(doc_id, i, chunk, cnt, ns) AS (
+           |  SELECT doc_id, i, 0, t, ns FROM sen WHERE i = 1
+           |  UNION ALL
+           |  SELECT w.doc_id, s.i,
+           |         CASE WHEN w.cnt > 0 AND w.cnt + s.t <= $maxTok
+           |              THEN w.chunk ELSE w.chunk + 1 END,
+           |         CASE WHEN w.cnt > 0 AND w.cnt + s.t <= $maxTok
+           |              THEN w.cnt + s.t ELSE s.t END,
+           |         w.ns
+           |  FROM walk w JOIN sen s ON s.doc_id = w.doc_id AND s.i = w.i + 1),
+           |joined AS (
+           |  SELECT w.doc_id, w.chunk AS chunk_id,
+           |         string_agg(s.s, ' ' ORDER BY s.i) AS text
+           |  FROM walk w JOIN sen s ON s.doc_id = w.doc_id AND s.i = w.i
+           |  GROUP BY w.doc_id, w.chunk)
+           |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, text,
+           |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+           |FROM joined ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+        Curation.chunkSentences(docs(s, dir), "doc_id", "text", maxTok)
+          .orderBy("doc_id", "chunk_id")
+      }
+    }
+
     // per-doc top-k tf-idf terms; rational smoothed idf (N+1)/(df+1) is
     // log-free on BOTH sides, so scores are bit-identical doubles
     locally {

@@ -1446,6 +1446,11 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "chunk-sentences" =>
+      // boundary-respecting greedy chunking for retrieval
+      val m = pMap(params.head)
+      df => graft.operators.Curation.chunkSentences(df,
+        pStr(m("id")), pStr(m("text")), pLong(m("max-tokens")).toInt)
     case "script-profile" =>
       // per-script character counts + dominant writing script
       val m = pMap(params.head)

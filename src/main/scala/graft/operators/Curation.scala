@@ -812,6 +812,54 @@ object Curation {
         least(lit(chunkSize.toLong), col("__n") - col("__start")).as("n_tokens"))
   }
 
+  /** Sentence-aware chunking — [[chunkTokens]]'s RAG-grade sibling: the
+    * text splits at sentence boundaries (`[.!?]+` runs followed by
+    * whitespace) and CONSECUTIVE sentences pack greedily into chunks of
+    * at most `maxTokens` tokens, never splitting mid-sentence (a single
+    * over-long sentence becomes its own over-budget chunk rather than
+    * being cut — retrieval quality degrades far more from half
+    * sentences than from one long chunk). Greedy first-fit on an
+    * ordered sequence is the standard retrieval-chunking rule
+    * (fixed-window chunkers cut claims in half; LangChain-class
+    * splitters all do boundary-respecting greedy packing).
+    *
+    * The whole decision is ONE per-document array fold (sentence split
+    * → running token budget → chunk strings), map-side inside the scan,
+    * zero shuffle at any corpus size; and it is a deterministic integer
+    * recurrence, so a recursive-CTE walk replays it exactly for the
+    * oracle. Output: `(idCol, chunk_id, text, n_tokens)` — empty docs
+    * drop (same rule as [[chunkTokens]]).
+    */
+  def chunkSentences(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"chunkSentences: maxTokens must be >= 1, got $maxTokens")
+    val sep = ""
+    val sentences = filter(
+      split(regexp_replace(col(textCol), "([.!?]+)\\s+", "$1" + sep), sep),
+      s => length(s) > 0)
+    def tcount(s: Column): Column = size(Text.tokens(s)).cast("long")
+    val folded = aggregate(
+      sentences,
+      struct(lit(0L).as("cnt"),
+        array().cast("array<string>").as("chunks")),
+      (st, sen) => {
+        val t = tcount(sen)
+        val cnt = st.getField("cnt")
+        val ch = st.getField("chunks")
+        val fits = cnt > 0L && (cnt + t) <= lit(maxTokens.toLong)
+        struct(
+          when(fits, cnt + t).otherwise(t).as("cnt"),
+          when(fits,
+            concat(slice(ch, lit(1), size(ch) - 1),
+              array(concat(element_at(ch, -1), lit(" "), sen))))
+            .otherwise(concat(ch, array(sen))).as("chunks"))
+      },
+      st => st.getField("chunks"))
+    df.select(col(idCol), posexplode(folded).as(Seq("chunk_id", "text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("text"), tcount(col("text")).as("n_tokens"))
+  }
+
   /** Per-document top-`k` salient terms by tf-idf — the cheap keyword /
     * topic signal a curation pipeline uses for clustering, mixing and
     * contamination triage.

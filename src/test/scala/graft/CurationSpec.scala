@@ -824,4 +824,43 @@ class CurationSpec extends AnyFunSuite {
     // constant group: std 0 -> z pinned to 0, never an outlier
     assert(out(5L) == ((0.0, false)) && out(6L) == ((0.0, false)))
   }
+
+  test("chunkSentences: greedy boundary packing, over-long sentence kept whole, IR") {
+    val s = spark
+    import s.implicits._
+    // sentences of 3 / 4 / 5 / 2 tokens; budget 8:
+    // [s1 s2] = 7, s3 (5) opens chunk 1, s4 (2) fits -> [s3 s4] = 7
+    val text = "one two three. four five six seven! eight nine ten eleven twelve? thirteen fourteen."
+    val out = Curation.chunkSentences(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 8)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 2)
+    assert(out(0) == ((0L, "one two three. four five six seven!", 7L)))
+    assert(out(1) == ((1L, "eight nine ten eleven twelve? thirteen fourteen.", 7L)))
+
+    // a single sentence above budget is its own over-budget chunk
+    val long = Curation.chunkSentences(
+        Seq((2L, "a b c d e f. w x y z")).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 4)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(long.toSeq == Seq(("a b c d e f.", 6L), ("w x y z", 4L)))
+
+    // headline without terminal punctuation = one chunk; empty docs drop
+    val edge = Curation.chunkSentences(
+        Seq((3L, "just a headline"), (4L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(edge == Map(3L -> "just a headline"))
+
+    // IR face
+    import graft.ir.{Engine, EngineCtx, Node}
+    val ir = Engine.run(Node.fromJson(
+      """{"action":"chunk-sentences","params":[{"id":"doc_id","text":"text","max-tokens":8}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      Seq((1L, text)).toDF("doc_id", "text"), EngineCtx(testMode = true)).taps("out")
+      .count()
+    assert(ir == 2L)
+  }
 }
