@@ -1657,6 +1657,26 @@ object QueriesPipeline {
       }
     }
 
+    // within-source percent_rank normalization + the top-fraction keep
+    // rule: ANSI rank semantics (ties share), (rank-1)/(n-1) from
+    // integer window counts — bit-exact in both engines
+    register("rank_normalize",
+      """SELECT doc_id, source,
+        |       percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct_rank,
+        |       CAST(CASE WHEN cume_dist() OVER (PARTITION BY source ORDER BY n_chars) > 0.75
+        |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ranked = graft.operators.Curation.rankNormalize(
+        docs(s, dir), "source", "n_chars")
+      val kept = graft.operators.Curation.keepTopFraction(
+        docs(s, dir), "source", "n_chars", 0.25)
+        .select(col("doc_id"), lit(1L).as("kept"))
+      ranked.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("pct_rank"),
+          coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("doc_id")
+    }
+
     // sentence-aware greedy chunking: the boundary split and the running
     // token budget are a deterministic integer recurrence — the oracle
     // walks it with a recursive CTE over numbered sentences, then the

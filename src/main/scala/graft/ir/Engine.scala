@@ -1446,6 +1446,16 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "rank-normalize" =>
+      // within-group percent_rank: cross-source-comparable scores
+      val m = pMap(params.head)
+      df => graft.operators.Curation.rankNormalize(df,
+        pStr(m("group")), pStr(m("value")),
+        m.get("out").map(pStr).getOrElse("pct_rank"))
+    case "keep-top-fraction" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.keepTopFraction(df,
+        pStr(m("group")), pStr(m("value")), pDouble(m("fraction")))
     case "chunk-sentences" =>
       // boundary-respecting greedy chunking for retrieval
       val m = pMap(params.head)

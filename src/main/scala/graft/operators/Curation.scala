@@ -812,6 +812,37 @@ object Curation {
         least(lit(chunkSize.toLong), col("__n") - col("__start")).as("n_tokens"))
   }
 
+  /** Per-group rank normalization: append the ANSI `percent_rank` of
+    * `valueCol` WITHIN each group — the device that makes raw quality
+    * scores comparable ACROSS sources (a 0.6 from a high-quality
+    * source and a 0.6 from a spammy one mean different things; their
+    * within-source ranks mean the same), so one global threshold keeps
+    * the same fraction of every source. Ties share a rank (ANSI), the
+    * value is `(rank−1)/(n−1)` from integer window counts — bit-exact
+    * in any engine. One exchange on the group key; parallel across
+    * groups.
+    */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                    out: String = "pct_rank"): DataFrame =
+    df.withColumn(out, percent_rank().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+
+  /** The thresholding rule [[rankNormalize]] exists for: keep the top
+    * `fraction` of every group by `valueCol`. Uses `cume_dist` (the
+    * fraction of the group at or below the value), not `percent_rank`:
+    * `cume_dist > 1 − fraction` keeps ⌈fraction·n⌉-ish of every group
+    * INCLUDING singletons (whose cume_dist is 1; their percent_rank is
+    * 0, which would silently drop every one-document source).
+    */
+  def keepTopFraction(df: DataFrame, groupCol: String, valueCol: String,
+                      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"keepTopFraction: fraction in (0,1], got $fraction")
+    df.withColumn("__cd", cume_dist().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .filter(col("__cd") > lit(1.0 - fraction)).drop("__cd")
+  }
+
   /** Sentence-aware chunking — [[chunkTokens]]'s RAG-grade sibling: the
     * text splits at sentence boundaries (`[.!?]+` runs followed by
     * whitespace) and CONSECUTIVE sentences pack greedily into chunks of

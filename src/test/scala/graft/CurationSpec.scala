@@ -863,4 +863,29 @@ class CurationSpec extends AnyFunSuite {
       .count()
     assert(ir == 2L)
   }
+
+  test("rankNormalize: ANSI percent_rank within group; keepTopFraction thresholds") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 20L), ("A", 4L, 40L), ("A", 5L, 50L),
+      ("B", 6L, 7L)).toDF("src", "id", "v")
+    val r = Curation.rankNormalize(df, "src", "v")
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    // group A (n=5): ranks 1,2,2,4,5 -> (rank-1)/4
+    assert(r(1L) == 0.0 && r(2L) == 0.25 && r(3L) == 0.25 && r(4L) == 0.75 && r(5L) == 1.0)
+    assert(r(6L) == 0.0, "singleton group ranks 0")
+    val kept = Curation.keepTopFraction(df, "src", "v", 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 6L),
+      "A's cume_dist 0.8 and 1.0 pass > 0.75; B's singleton (cume_dist 1) is kept")
+
+    import graft.ir.{Engine, EngineCtx, Node}
+    val ir = Engine.run(Node.fromJson(
+      """{"action":"keep-top-fraction","params":[{"group":"src","value":"v","fraction":0.25}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ir == kept)
+  }
 }

@@ -654,6 +654,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains(1L -> "hello&world spaced out"))
   }
 
+  test("text-health pass (mojibake repair + readability + script) is streaming-safe") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    val dirty = new String("don\u2019t stop at the caf\u00e9.".getBytes("UTF-8"), "windows-1252")
+    val docs = Seq((1L, dirty + " Clean tail here."), (2L, "\uc548\ub155 plain page."))
+    val node = graft.ir.Node.fromJson(
+      """{"action":"mojibake-repair","params":[{"field":"text","out":"fixed"}],
+        | "children":[{"action":"readability","params":[{"text":"fixed","out":"r"}],
+        |   "children":[{"action":"script-profile","params":[{"text":"fixed","out":"p"}]}]}]}""".stripMargin)
+    def pipe(df: DataFrame): DataFrame =
+      graft.ir.Engine.run(node, df, graft.ir.EngineCtx(testMode = true)).outputs.head
+        .select(col("doc_id"), col("fixed"), col("r.n_syllables"), col("p.script"))
+    val ms = MemoryStream[(Long, String)]
+    val q = pipe(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(docs); q.processAllAvailable(); q.stop()
+    def canon(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = canon(s.table(name))
+    assert(streamed == canon(pipe(docs.toDF("doc_id", "text"))))
+    assert(streamed.exists(r => r._1 == 1L && r._2.startsWith("don\u2019t stop at the caf\u00e9.")),
+      s"misdecode repaired in-stream: $streamed")
+    assert(streamed.exists(r => r._1 == 2L && r._4 == "latin"))
+  }
+
   test("streaming corpus profile == batch twin per closed window") {
     val s = spark
     import s.implicits._
