@@ -144,6 +144,23 @@ object Queries {
         .orderBy("eventId")
     }
 
+    // salted equi-join: result-identical to the plain join (every big
+    // row meets its key's dim row exactly once, under exactly one
+    // salt) — so the oracle IS the plain join; the skew-spreading
+    // itself is pinned in QualityJoinsSpec
+    register("salted_join",
+      """WITH dim AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+        |             FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, m.src_docs
+        |FROM documents d JOIN dim m USING (source)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = graft.sources.Tables.documents(s, dir).select("doc_id", "source")
+      val dim = d.groupBy("source").agg(count(lit(1)).as("src_docs"))
+      graft.operators.Joins.saltedJoin(d, dim, "source", salts = 8, bigIdCol = "doc_id")
+        .select("doc_id", "source", "src_docs")
+        .orderBy("doc_id")
+    }
+
     // interval (range) join, bucketized equi-join formulation — see
     // [[operators.Joins.rangeJoin]]: each click lands in every 120 s
     // incident window an error on the same host opened. The oracle is

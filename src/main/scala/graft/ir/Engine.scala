@@ -256,6 +256,24 @@ object Engine {
               acc.withColumn(name, lit(null).cast(dt))
             })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "salted-join" =>
+          // artifact rule: the small table is a runtime input. Its
+          // columns join the schema only when the artifact already
+          // exists at validate time; otherwise stay schema-preserving
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("key"))); df(pStr(m("id")))
+            require(pLong(m("salts")) >= 1, "salted-join: salts must be >= 1")
+            val path = pStr(m("small-path"))
+            val widened =
+              try {
+                val small = df.sparkSession.read.parquet(path)
+                small.schema.fields.filterNot(f => df.columns.contains(f.name))
+                  .foldLeft(df)((acc, f) =>
+                    acc.withColumn(f.name, lit(null).cast(f.dataType)))
+              } catch { case _: Throwable => df }
+            recurse(widened)
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "decontam-fuzzy" =>
           // artifact rule: the bench parquet is a runtime input; the
           // output is the input frame filtered — schema unchanged
@@ -1446,6 +1464,15 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "salted-join" =>
+      // hot-key-safe equi-join: big side scattered over salts, the
+      // small artifact table replicated once per salt
+      val m = pMap(params.head)
+      df => {
+        val small = df.sparkSession.read.parquet(pStr(m("small-path")))
+        graft.operators.Joins.saltedJoin(df, small, pStr(m("key")),
+          pLong(m("salts")).toInt, pStr(m("id")))
+      }
     case "rank-normalize" =>
       // within-group percent_rank: cross-source-comparable scores
       val m = pMap(params.head)

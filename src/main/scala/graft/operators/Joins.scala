@@ -157,4 +157,29 @@ object Joins {
       .filter(col("__s") <= col(leftTs) && col(leftTs) <= col("__e"))
       .drop("__b", "__s", "__e")
   }
+
+  /** Salted equi-join — the hot-key lever for fact×fact joins AQE's
+    * skew splitting can't always reach (skew-join rewrites apply to
+    * sort-merge stages; a pathological key can still pin one task).
+    * The BIG side's rows scatter across `salts` sub-keys by a
+    * deterministic hash of `bigIdCol`; the SMALL side replicates once
+    * per salt value (an explode, ×salts rows — keep the smaller input
+    * on this side). The join key becomes `(key, salt)`, so one hot
+    * key's probe rows spread over `salts` tasks instead of one.
+    *
+    * Result-identical to `big.join(small, key)` by construction: every
+    * big row still meets every small row with its key — exactly once,
+    * under exactly one salt. The identity (and the skew fixture) is
+    * pinned in QualityJoinsSpec; the oracle gates the plain join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, bigIdCol: String): DataFrame = {
+    require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
+    val saltedBig = big.withColumn("__salt",
+      pmod(graft.functions.Text.md5Hash64(
+        concat_ws(":", lit("sj"), col(bigIdCol).cast("string"))), lit(salts.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

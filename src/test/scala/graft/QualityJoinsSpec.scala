@@ -497,4 +497,34 @@ class QualityJoinsSpec extends AnyFunSuite {
       assert(got(w) == want, s"sStem($w) = '${got(w)}', want '$want'")
     }
   }
+
+  test("saltedJoin: result-identical to the plain join on a hot-key fixture; IR artifact rule") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 90% of big rows share one hot key
+    val big = (1L to 200L).map(i => (i, if (i <= 180) "hot" else s"k${i % 5}"))
+      .toDF("id", "key")
+    val small = Seq(("hot", 1L), ("k1", 2L), ("k2", 3L), ("k3", 4L), ("k4", 5L))
+      .toDF("key", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "key", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val plain = canon(big.join(small, "key"))
+    val salted = canon(graft.operators.Joins.saltedJoin(big, small, "key", 16, "id"))
+    assert(salted == plain, "salting must not change the join result")
+    assert(plain.count(_._2 == "hot") == 180)
+
+    // IR: artifact-total validate; run against a written dim
+    import graft.ir.{Engine, EngineCtx, Node}
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"salted-join","params":[{"key":"key","id":"id","salts":8,"small-path":"/does/not/exist"}],
+        | "children":[]}""".stripMargin), s, schema = big.schema).isEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("salted_dim").toString
+    small.write.mode("overwrite").parquet(s"$tmp/dim")
+    val ir = Engine.run(Node.fromJson(
+      s"""{"action":"salted-join","params":[{"key":"key","id":"id","salts":8,"small-path":"$tmp/dim"}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      big, EngineCtx(testMode = true)).taps("out")
+    assert(canon(ir) == plain)
+  }
 }
