@@ -435,6 +435,38 @@ object QueriesPipeline {
           .orderBy("src", "dst")
       }
 
+      // anchor-tag link edges: the HTML twin of host_edges — hrefs in
+      // both quote styles plus a relative link that must NOT edge; the
+      // synthetic page is built identically in both engines
+      locally {
+        val htmlSql =
+          """'<p><A HREF="http://a' || CAST(doc_id % 13 AS VARCHAR)
+            || '.example.com/x">one</a> <a class=''c'' href=''https://b'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || '.example.net/y''>two</a> <a href="/relative/z">three</a></p>'"""
+            .replace("\n", " ")
+        val htmlCol = concat(
+          lit("<p><A HREF=\"http://a"), pmod(col("doc_id"), lit(13)).cast("string"),
+          lit(".example.com/x\">one</a> <a class='c' href='https://b"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.net/y'>two</a> <a href=\"/relative/z\">three</a></p>"))
+        register("anchor_edges",
+          s"""WITH u AS (SELECT doc_id, $htmlSql AS h FROM documents),
+             |e AS (SELECT 'd' || CAST(doc_id % 50 AS VARCHAR) AS src,
+             |             regexp_extract(t.u, '${Pii.UrlHostPattern}', 1) AS dst
+             |      FROM u, unnest(regexp_extract_all(h, '${Pii.HrefPattern.replace("'", "''")}', 1)) AS t(u))
+             |SELECT src, dst, count(*) AS n_links
+             |FROM e WHERE dst <> '' GROUP BY src, dst
+             |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+          graft.operators.LinkGraph.anchorEdges(
+              docs(s, dir).select(
+                concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string")).as("host"),
+                htmlCol.as("h")),
+              "host", "h")
+            .orderBy("src", "dst")
+        }
+      }
+
       register("url_domain_stats",
         s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents),
            |h AS (SELECT doc_id, unnest(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1)) AS host

@@ -45,6 +45,19 @@ object Pii {
   def urlHosts(c: Column): Column =
     regexp_extract_all(c, lit(UrlHostPattern), lit(1))
 
+  /** HTML anchor targets: the `href` value of every `<a …>` tag (single
+    * or double quoted, case-insensitive, attribute order free) in
+    * document order — the crawl-frontier / link-graph unit where
+    * [[urlHosts]] only catches PLAIN-TEXT mentions. Kept in the
+    * Java/RE2 common regex subset so the oracle replays it; a real DOM
+    * parser is deliberately out of scope (the totality rule: malformed
+    * markup yields fewer links, never failed tasks).
+    */
+  val HrefPattern = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'>]+)[\"']"
+
+  def hrefTargets(c: Column): Column =
+    regexp_extract_all(c, lit(HrefPattern), lit(1))
+
   /** Tracking query parameters dropped by [[canonicalizeUrl]] — the
     * analytics/click-id params that make the same page look like millions
     * of distinct URLs (the standard pre-dedup normalization cut).

@@ -1464,6 +1464,14 @@ object Engine {
       df => df.withColumn(pStr(m("out")),
         graft.functions.UnicodeNormalize(col(pStr(m("field"))),
           m.get("form").map(pStr).getOrElse("NFKC")))
+    case "host-edges" =>
+      // host -> mentioned-host link edges from plain text
+      val m = pMap(params.head)
+      df => graft.operators.LinkGraph.hostEdges(df, pStr(m("host")), pStr(m("text")))
+    case "anchor-edges" =>
+      // host -> anchor-target-host edges from HTML
+      val m = pMap(params.head)
+      df => graft.operators.LinkGraph.anchorEdges(df, pStr(m("host")), pStr(m("html")))
     case "salted-join" =>
       // hot-key-safe equi-join: big side scattered over salts, the
       // small artifact table replicated once per salt

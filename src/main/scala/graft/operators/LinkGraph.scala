@@ -158,6 +158,22 @@ object LinkGraph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("n_links"))
 
+  /** [[hostEdges]]'s HTML twin: edges mined from ANCHOR TAGS
+    * ([[graft.functions.Pii.hrefTargets]]) — the real hyperlink graph,
+    * where the text miner only sees URLs typed into prose. Only
+    * absolute `http(s)` targets yield edges (a relative href stays on
+    * `src`'s own host: pure self-signal, dropped with the host
+    * extraction's empty result). Same shape: map-side extraction, one
+    * pair-count aggregate.
+    */
+  def anchorEdges(docs: DataFrame, srcHostCol: String, htmlCol: String): DataFrame =
+    docs.select(col(srcHostCol).cast("string").as("src"),
+        explode(graft.functions.Pii.hrefTargets(col(htmlCol))).as("__u"))
+      .withColumn("dst",
+        regexp_extract(col("__u"), graft.functions.Pii.UrlHostPattern, 1))
+      .filter(col("src").isNotNull && col("dst") =!= "")
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_links"))
+
   /** Ranks joined back to a document frame by a key column — the "weight
     * documents by their host's rank" step. Documents whose key has no
     * rank (not in the graph) get null.

@@ -161,4 +161,28 @@ class LinkGraphSpec extends AnyFunSuite {
       assert(math.abs(got(n)._2 - hub(n)) < 1e-12, s"hub($n): ${got(n)._2} vs ${hub(n)}")
     }
   }
+
+  test("anchorEdges: both quote styles, case-insensitive tag, relative/malformed ignored, IR") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val html =
+      """<p><A HREF="http://x.com/a">one</a>
+        |<a class='k' href='https://y.org/b'>two</a>
+        |<a href="/relative">three</a>
+        |<a href="http://x.com/c">repeat</a>
+        |<a name="no-href">four</a> <a href=>broken</a></p>""".stripMargin
+    val docs = Seq(("h1", html), ("h2", "no links at all"), ("h3", null.asInstanceOf[String]))
+      .toDF("host", "html")
+    val edges = graft.operators.LinkGraph.anchorEdges(docs, "host", "html")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(edges == Map(("h1", "x.com") -> 2L, ("h1", "y.org") -> 1L))
+
+    import graft.ir.{Engine, EngineCtx, Node}
+    val ir = Engine.run(Node.fromJson(
+      """{"action":"anchor-edges","params":[{"host":"host","html":"html"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      docs, EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ir == edges)
+  }
 }
