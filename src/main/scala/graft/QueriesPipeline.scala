@@ -467,6 +467,51 @@ object QueriesPipeline {
         }
       }
 
+      // rel=canonical + <title> extraction: both attribute orders and
+      // quote styles across the fixture thirds, plus a declares-none
+      // third — identical synthetic pages in both engines
+      locally {
+        val esc = (p: String) => p.replace("'", "''")
+        val htmlSql =
+          """CASE WHEN doc_id % 3 = 0 THEN
+               '<head><title>Page ' || CAST(doc_id AS VARCHAR)
+               || '</title><link rel="canonical" href="http://c' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example.com/p"></head>'
+             WHEN doc_id % 3 = 1 THEN
+               '<head><LINK href=''http://r' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/q'' rel=''canonical''><title>T</title></head>'
+             ELSE '<head><title>No canonical here</title></head>' END"""
+            .replace("\n", " ")
+        val htmlCol = when(col("doc_id") % 3 === 0,
+            concat(lit("<head><title>Page "), col("doc_id").cast("string"),
+              lit("</title><link rel=\"canonical\" href=\"http://c"),
+              pmod(col("doc_id"), lit(11)).cast("string"),
+              lit(".example.com/p\"></head>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("<head><LINK href='http://r"),
+              pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".example.org/q' rel='canonical'><title>T</title></head>")))
+          .otherwise(lit("<head><title>No canonical here</title></head>"))
+        register("html_meta",
+          s"""WITH u AS (SELECT doc_id, $htmlSql AS h FROM documents),
+             |x AS (SELECT doc_id,
+             |        regexp_extract(h, '${esc(Pii.CanonicalPattern)}', 1) AS fwd,
+             |        regexp_extract(h, '${esc("(?i)<link\\s[^>]*href\\s*=\\s*[\"']([^\"'>]+)[\"'][^>]*rel\\s*=\\s*[\"']canonical[\"']")}', 1) AS rev,
+             |        regexp_extract(h, '${esc(Pii.TitlePattern)}', 1) AS title
+             |      FROM u)
+             |SELECT doc_id,
+             |       CASE WHEN fwd <> '' THEN fwd ELSE rev END AS canonical,
+             |       title
+             |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          docs(s, dir)
+            .select(col("doc_id"), htmlCol.as("h"))
+            .select(col("doc_id"),
+              Pii.canonicalTarget(col("h")).as("canonical"),
+              Pii.htmlTitle(col("h")).as("title"))
+            .orderBy("doc_id")
+        }
+      }
+
       register("url_domain_stats",
         s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents),
            |h AS (SELECT doc_id, unnest(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1)) AS host

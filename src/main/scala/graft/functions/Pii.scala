@@ -58,6 +58,33 @@ object Pii {
   def hrefTargets(c: Column): Column =
     regexp_extract_all(c, lit(HrefPattern), lit(1))
 
+  /** `<link rel="canonical" href="…">` target — the page's OWN
+    * statement of which URL is authoritative, the strongest URL-level
+    * dup signal a crawl carries (CMS mirrors, tracking-parameter
+    * variants and pagination shells all point at one canonical; dedup
+    * pipelines collapse on it BEFORE any content hashing). Attribute
+    * order free (`rel` before or after `href`), both quote styles,
+    * first match wins; empty string when the page declares none.
+    */
+  val CanonicalPattern =
+    "(?i)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*href\\s*=\\s*[\"']([^\"'>]+)[\"']"
+  private val CanonicalPatternRev =
+    "(?i)<link\\s[^>]*href\\s*=\\s*[\"']([^\"'>]+)[\"'][^>]*rel\\s*=\\s*[\"']canonical[\"']"
+
+  def canonicalTarget(c: Column): Column = {
+    val t = coalesce(c, lit(""))
+    val fwd = regexp_extract(t, CanonicalPattern, 1)
+    when(fwd =!= "", fwd).otherwise(regexp_extract(t, CanonicalPatternRev, 1))
+  }
+
+  /** `<title>` text (first match, tags inside not unescaped — compose
+    * with [[graft.functions.Text.stripHtml]] for entity handling).
+    */
+  val TitlePattern = "(?i)<title[^>]*>([^<]*)</title>"
+
+  def htmlTitle(c: Column): Column =
+    regexp_extract(coalesce(c, lit("")), TitlePattern, 1)
+
   /** Tracking query parameters dropped by [[canonicalizeUrl]] — the
     * analytics/click-id params that make the same page look like millions
     * of distinct URLs (the standard pre-dedup normalization cut).

@@ -1472,6 +1472,16 @@ object Engine {
       // host -> anchor-target-host edges from HTML
       val m = pMap(params.head)
       df => graft.operators.LinkGraph.anchorEdges(df, pStr(m("host")), pStr(m("html")))
+    case "html-meta" =>
+      // rel=canonical target + <title> text as new columns
+      val m = pMap(params.head)
+      df => {
+        val h = col(pStr(m("html")))
+        df.withColumn(m.get("canonical-out").map(pStr).getOrElse("canonical"),
+            graft.functions.Pii.canonicalTarget(h))
+          .withColumn(m.get("title-out").map(pStr).getOrElse("title"),
+            graft.functions.Pii.htmlTitle(h))
+      }
     case "salted-join" =>
       // hot-key-safe equi-join: big side scattered over salts, the
       // small artifact table replicated once per salt
