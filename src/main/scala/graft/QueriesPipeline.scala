@@ -298,6 +298,32 @@ object QueriesPipeline {
         }
       }
 
+      // staged quality cascade: first-rejector labels, per-stage drop
+      // counts — the identical first-match CASE replayed in SQL
+      locally {
+        val en = Text.LangStopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+        register("quality_cascade",
+          s"""$DocsView,
+             |sig AS (
+             |  SELECT doc_id, n_chars, lang,
+             |         CAST(len(list_filter($en, w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+             |  FROM docs),
+             |labeled AS (
+             |  SELECT CASE WHEN NOT (n_chars >= 100) THEN 'too_short'
+             |              WHEN NOT (lang = 'en') THEN 'not_english'
+             |              WHEN NOT (stop_hits >= 2) THEN 'few_stops'
+             |              ELSE 'kept' END AS stage
+             |  FROM sig)
+             |SELECT stage, count(*) AS n_docs
+             |FROM labeled GROUP BY stage ORDER BY stage""".stripMargin) { (s, dir) =>
+          Curation.cascadeReport(docs(s, dir), Seq(
+              "too_short" -> (col("n_chars") >= 100),
+              "not_english" -> (col("lang") === "en"),
+              "few_stops" -> (Quality.stopwordCount(Text.tokens(col("text"))) >= 2L)))
+            .orderBy("stage")
+        }
+      }
+
       // Flesch / Flesch-Kincaid readability: the same vowel-group
       // syllable heuristic (silent final 'e' unless '..le', floor 1)
       // folded per doc in both engines; the two float indices round

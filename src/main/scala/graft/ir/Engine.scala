@@ -1491,6 +1491,20 @@ object Engine {
         graft.operators.Joins.saltedJoin(df, small, pStr(m("key")),
           pLong(m("salts")).toInt, pStr(m("id")))
       }
+    case "quality-cascade" =>
+      // ordered keep-condition stages; first rejector labels the doc.
+      // params: [{"stages":[{"name":..., "keep": <condition>}], "mode":"label"|"filter"|"report"}]
+      val m = pMap(params.head)
+      val stages = m("stages").asInstanceOf[Seq[Any]].map { st =>
+        val sm = pMap(st)
+        pStr(sm("name")) -> graft.conditions.Condition.compile(
+          graft.conditions.Condition.parse(sm("keep")))
+      }
+      m.get("mode").map(pStr).getOrElse("label") match {
+        case "filter" => df => graft.operators.Curation.cascadeFilter(df, stages)
+        case "report" => df => graft.operators.Curation.cascadeReport(df, stages)
+        case _        => df => graft.operators.Curation.qualityCascade(df, stages)
+      }
     case "rank-normalize" =>
       // within-group percent_rank: cross-source-comparable scores
       val m = pMap(params.head)

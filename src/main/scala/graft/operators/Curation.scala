@@ -812,6 +812,39 @@ object Curation {
         least(lit(chunkSize.toLong), col("__n") - col("__start")).as("n_tokens"))
   }
 
+  /** Staged quality cascade: ordered `(stageName, keepPredicate)`
+    * stages; every document is labeled with the FIRST stage that
+    * rejects it (`drop_stage`, null for survivors) — the standard
+    * cheap-filters-first curation shape, where the report's per-stage
+    * drop counts ARE the pipeline's tuning dashboard (a stage dropping
+    * 40% of a trusted source is a bug, not a filter).
+    *
+    * The 100 TB point: the cascade compiles to ONE first-match CASE in
+    * one projection — a single corpus pass regardless of stage count,
+    * with CaseWhen branch laziness keeping expensive later signals
+    * unevaluated for rows an earlier stage already dropped. No
+    * per-stage materialization, no shuffle.
+    */
+  def qualityCascade(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "qualityCascade: at least one stage")
+    val label = stages.foldRight(lit(null).cast("string")) {
+      case ((name, keep), acc) => when(!keep, lit(name)).otherwise(acc)
+    }
+    df.withColumn("drop_stage", label)
+  }
+
+  /** Survivors of [[qualityCascade]] — one pass, one filter. */
+  def cascadeFilter(df: DataFrame, stages: Seq[(String, Column)]): DataFrame =
+    qualityCascade(df, stages).filter(col("drop_stage").isNull).drop("drop_stage")
+
+  /** The tuning dashboard: per-stage drop counts plus the survivor
+    * count (`drop_stage = 'kept'`), one aggregation.
+    */
+  def cascadeReport(df: DataFrame, stages: Seq[(String, Column)]): DataFrame =
+    qualityCascade(df, stages)
+      .groupBy(coalesce(col("drop_stage"), lit("kept")).as("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Per-group rank normalization: append the ANSI `percent_rank` of
     * `valueCol` WITHIN each group — the device that makes raw quality
     * scores comparable ACROSS sources (a 0.6 from a high-quality

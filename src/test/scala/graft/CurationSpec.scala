@@ -888,4 +888,38 @@ class CurationSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ir == kept)
   }
+
+  test("qualityCascade: first rejector labels; filter and report faces; IR conditions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 500L, "en"),   // kept
+      (2L, 50L, "en"),    // too_short
+      (3L, 50L, "fr"),    // too_short (first stage wins over not_english)
+      (4L, 500L, "de")    // not_english
+    ).toDF("id", "n_chars", "lang")
+    val stages = Seq(
+      "too_short" -> (col("n_chars") >= 100L),
+      "not_english" -> (col("lang") === "en"))
+    val labeled = Curation.qualityCascade(df, stages)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3)).getOrElse("kept")).toMap
+    assert(labeled == Map(1L -> "kept", 2L -> "too_short", 3L -> "too_short", 4L -> "not_english"))
+    assert(Curation.cascadeFilter(df, stages).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    val report = Curation.cascadeReport(df, stages)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report == Map("kept" -> 1L, "too_short" -> 2L, "not_english" -> 1L))
+
+    // IR: stages as condition-language data
+    import graft.ir.{Engine, EngineCtx, Node}
+    val kept = Engine.run(Node.fromJson(
+      """{"action":"quality-cascade",
+        | "params":[{"mode":"filter",
+        |   "stages":[{"name":"too_short","keep":[">=","n_chars",100]},
+        |             {"name":"not_english","keep":["=","lang","en"]}]}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
 }
