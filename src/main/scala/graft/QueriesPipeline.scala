@@ -3117,6 +3117,32 @@ object QueriesPipeline {
       val edges = Seq(150.0, 250.0, 350.0, 450.0)
       val bucketSql = edges.map(e =>
         s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+      // exact two-sample KS: the distributed prefix-sum cumulative
+      // ECDFs vs the oracle's single window over the same distinct
+      // values (v is distinct, so RANGE/ROWS frames agree)
+      register("ks_drift",
+        """WITH ca AS (SELECT n_chars AS v, count(*) AS ca FROM documents
+          |            WHERE doc_id % 2 = 0 GROUP BY 1),
+          |cb AS (SELECT n_chars AS v, count(*) AS cb FROM documents
+          |       WHERE doc_id % 2 = 1 GROUP BY 1),
+          |m AS (SELECT coalesce(ca.v, cb.v) AS v,
+          |             coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+          |      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+          |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cumA,
+          |             sum(cb) OVER (ORDER BY v) AS cumB FROM m),
+          |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m)
+          |SELECT CAST(CAST(max(abs(CAST(cumA AS DOUBLE) / CAST(na AS DOUBLE)
+          |                         - CAST(cumB AS DOUBLE) / CAST(nb AS DOUBLE)))
+          |            AS DECIMAL(38,6)) AS DOUBLE) AS ks,
+          |       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+          |FROM c, t""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        Curation.ksDrift(
+          d.filter(col("doc_id") % 2 === 0).select("n_chars"),
+          d.filter(col("doc_id") % 2 === 1).select("n_chars"),
+          "n_chars")
+      }
+
       register("psi_report",
         s"""WITH av AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
            |bv AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 1),

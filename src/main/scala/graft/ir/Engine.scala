@@ -282,6 +282,16 @@ object Engine {
             df(pStr(m("id"))); df(pStr(m("text"))); pStr(m("bench-path"))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "ks-drift" =>
+          // artifact rule: the comparison corpus is a runtime input;
+          // output from the operator's schema constant
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("value"))); pStr(m("other-path"))
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              graft.operators.Curation.KsDriftSchema))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "vocab-drift" | "vocab-kl" =>
           // artifact rule: the comparison corpus is a runtime input
           try {
@@ -1491,6 +1501,13 @@ object Engine {
         graft.operators.Joins.saltedJoin(df, small, pStr(m("key")),
           pLong(m("salts")).toInt, pStr(m("id")))
       }
+    case "ks-drift" =>
+      // exact two-sample KS vs a stored snapshot
+      val m = pMap(params.head)
+      df => graft.operators.Curation.ksDrift(df,
+        df.sparkSession.read.parquet(pStr(m("other-path"))),
+        pStr(m("value")),
+        m.get("partitions").map(pLong(_).toInt).getOrElse(32))
     case "quality-cascade" =>
       // ordered keep-condition stages; first rejector labels the doc.
       // params: [{"stages":[{"name":..., "keep": <condition>}], "mode":"label"|"filter"|"report"}]

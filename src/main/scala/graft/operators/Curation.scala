@@ -308,6 +308,71 @@ object Curation {
           .as("oov_rate"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic between corpus snapshots
+    * over a numeric column — the bucket-free drift test next to
+    * [[psiReport]]: `KS = max over pooled values of |ECDF_a − ECDF_b|`,
+    * exact (no edges to choose; PSI's answer changes with its buckets,
+    * KS's doesn't). Null values are ignored.
+    *
+    * Scale shape: each side pays one map-side-combined count per
+    * DISTINCT value; the cumulative sums run as a distributed prefix
+    * sum over the merged distinct-value table — ONE range exchange,
+    * per-partition window cumsums (parallel), and a partition-offset
+    * broadcast computed from partition subtotals (driver list bounded
+    * by the partition count, never data-sized). The distinct-value
+    * table is the only cardinality that matters: quantize continuous
+    * metrics upstream (the PSI convention) if it approaches corpus
+    * size. Output: one row `(ks, n_a, n_b)`; ks rounds through
+    * DECIMAL(38,6).
+    */
+  /** [[ksDrift]]'s output schema — the IR `ks-drift` validate contract
+    * (the comparison corpus is a runtime artifact).
+    */
+  val KsDriftSchema: StructType = StructType(Seq(
+    StructField("ks", org.apache.spark.sql.types.DoubleType),
+    StructField("n_a", LongType, nullable = false),
+    StructField("n_b", LongType, nullable = false)))
+
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String,
+              partitions: Int = 32): DataFrame = {
+    require(partitions >= 1, s"ksDrift: partitions must be >= 1, got $partitions")
+    def counts(df: DataFrame, out: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as(out))
+    val merged = counts(a, "ca").join(counts(b, "cb"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .repartitionByRange(partitions, col("v"))
+      .withColumn("__p", spark_partition_id())
+      .transform(Materialize.apply)
+    // partition subtotals -> running offsets (driver-side, ≤ partitions rows)
+    val subtotals = merged.groupBy("__p")
+      .agg(sum("ca").as("sa"), sum("cb").as("sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = subtotals.scanLeft((0, 0L, 0L)) {
+      case ((_, oa, ob), (p, sa, sb)) => (p + 1, oa + sa, ob + sb)
+    }
+    val offA = subtotals.zip(offsets).map { case ((p, _, _), (_, oa, _)) => (p, oa) }.toMap
+    val offB = subtotals.zip(offsets).map { case ((p, _, _), (_, _, ob)) => (p, ob) }.toMap
+    def offCol(m: Map[Int, Long]): Column =
+      m.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+        when(col("__p") === p, lit(o)).otherwise(acc) }
+    val w = Window.partitionBy("__p").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val na = subtotals.map(_._2).sum
+    val nb = subtotals.map(_._3).sum
+    require(na > 0 && nb > 0, s"ksDrift: both sides need rows (n_a=$na, n_b=$nb)")
+    merged
+      .withColumn("__cumA", sum("ca").over(w) + offCol(offA))
+      .withColumn("__cumB", sum("cb").over(w) + offCol(offB))
+      .agg(max(abs(col("__cumA").cast("double") / lit(na.toDouble)
+        - col("__cumB").cast("double") / lit(nb.toDouble)))
+        .cast("decimal(38,6)").cast("double").as("ks"))
+      .select(col("ks"), lit(na).as("n_a"), lit(nb).as("n_b"))
+  }
+
   /** Population Stability Index between two corpus snapshots over a
     * numeric column — the distribution-drift monitor next to the
     * vocabulary-level [[vocabDrift]]: PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over

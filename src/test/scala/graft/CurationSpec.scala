@@ -922,4 +922,34 @@ class CurationSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
   }
+
+  test("ksDrift: hand-computed statistic, zero on identity, partition-invariant; IR artifact rule") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = Seq(2L, 3L, 3L, 4L).toDF("v")
+    // pooled values 1,2,3,4: ECDF_a = .5,.75,1,1; ECDF_b = 0,.25,.75,1 -> KS = .5
+    val r = Curation.ksDrift(a, b, "v").collect().head
+    assert(r.getDouble(0) == 0.5 && r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(Curation.ksDrift(a, a, "v").collect().head.getDouble(0) == 0.0)
+    // partition-count and input-partitioning invariance
+    val r2 = Curation.ksDrift(a.repartition(7), b.repartition(3), "v", partitions = 2)
+      .collect().head
+    assert(r2.getDouble(0) == 0.5)
+    intercept[IllegalArgumentException] {
+      Curation.ksDrift(a, b.filter(col("v") > 100L), "v").collect()
+    }
+
+    import graft.ir.{Engine, EngineCtx, Node}
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"ks-drift","params":[{"value":"v","other-path":"/does/not/exist"}],
+        | "children":[]}""".stripMargin), s, schema = a.schema).isEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("ks_other").toString
+    b.write.mode("overwrite").parquet(s"$tmp/b")
+    val ir = Engine.run(Node.fromJson(
+      s"""{"action":"ks-drift","params":[{"value":"v","other-path":"$tmp/b"}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      a, EngineCtx(testMode = true)).taps("out").collect().head
+    assert(ir.getDouble(0) == 0.5)
+  }
 }
