@@ -3117,6 +3117,36 @@ object QueriesPipeline {
       val edges = Seq(150.0, 250.0, 350.0, 450.0)
       val bucketSql = edges.map(e =>
         s"(CASE WHEN v >= $e THEN 1 ELSE 0 END)").mkString(" + ")
+      // within-doc consecutive-line collapse: the fold's string result
+      // vs the oracle's lag-window + ordered group-concat replay; the
+      // injected page stutters one line 3x back-to-back AND repeats it
+      // once at distance (the distant copy must SURVIVE)
+      register("dedup_lines_consecutive",
+        """WITH pages AS (
+          |  SELECT doc_id,
+          |         'nav menu' || chr(10) || 'nav menu' || chr(10) || 'nav menu'
+          |         || chr(10) || text || chr(10) || 'nav menu' AS page
+          |  FROM documents),
+          |l AS (
+          |  SELECT doc_id, i, parts[i] AS line
+          |  FROM (SELECT doc_id, string_split(page, chr(10)) AS parts FROM pages),
+          |       unnest(range(1, len(parts) + 1)) AS r(i)),
+          |kept AS (
+          |  SELECT doc_id, i, line,
+          |         lag(line) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          |  FROM l)
+          |SELECT doc_id,
+          |       string_agg(line, chr(10) ORDER BY i) AS text_dedup
+          |FROM kept WHERE prev IS NULL OR line <> prev
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val page = concat(lit("nav menu\nnav menu\nnav menu\n"),
+          col("text"), lit("\nnav menu"))
+        Curation.dedupConsecutiveLines(
+            docs(s, dir).select(col("doc_id"), page.as("page")), "page")
+          .select("doc_id", "text_dedup")
+          .orderBy("doc_id")
+      }
+
       // exact two-sample KS: the distributed prefix-sum cumulative
       // ECDFs vs the oracle's single window over the same distinct
       // values (v is distinct, so RANGE/ROWS frames agree)

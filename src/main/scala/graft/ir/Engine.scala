@@ -1501,6 +1501,11 @@ object Engine {
         graft.operators.Joins.saltedJoin(df, small, pStr(m("key")),
           pLong(m("salts")).toInt, pStr(m("id")))
       }
+    case "dedup-lines-consecutive" =>
+      // collapse runs of identical lines inside each document
+      val m = pMap(params.head)
+      df => graft.operators.Curation.dedupConsecutiveLines(df,
+        pStr(m("text")), m.get("out").map(pStr).getOrElse("text_dedup"))
     case "ks-drift" =>
       // exact two-sample KS vs a stored snapshot
       val m = pMap(params.head)

@@ -877,6 +877,36 @@ object Curation {
         least(lit(chunkSize.toLong), col("__n") - col("__start")).as("n_tokens"))
   }
 
+  /** Within-document consecutive-duplicate-line removal — the intra-doc
+    * cleanup next to the corpus-global [[lineDedup]]: scraped pages
+    * repeat nav/footer lines back-to-back (pagination shells, infinite-
+    * scroll stutter); collapsing RUNS of identical lines keeps one copy
+    * and never touches legitimate distant repeats (a refrain, a code
+    * example used twice). One per-document array fold inside the scan —
+    * zero shuffle (the corpus-global variant necessarily exchanges on
+    * the line hash; this one is free).
+    */
+  def dedupConsecutiveLines(df: DataFrame, textCol: String,
+                            out: String = "text_dedup"): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val folded = aggregate(
+      lines,
+      struct(lit(null).cast("string").as("prev"), lit("").as("acc"),
+        lit(true).as("first")),
+      (st, line) => {
+        val keepIt = st.getField("prev").isNull || line =!= st.getField("prev")
+        struct(
+          line.as("prev"),
+          when(keepIt,
+            when(st.getField("first"), line)
+              .otherwise(concat(st.getField("acc"), lit("\n"), line)))
+            .otherwise(st.getField("acc")).as("acc"),
+          (st.getField("first") && !keepIt).as("first"))
+      },
+      st => st.getField("acc"))
+    df.withColumn(out, folded)
+  }
+
   /** Staged quality cascade: ordered `(stageName, keepPredicate)`
     * stages; every document is labeled with the FIRST stage that
     * rejects it (`drop_stage`, null for survivors) — the standard

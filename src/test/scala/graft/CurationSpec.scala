@@ -952,4 +952,24 @@ class CurationSpec extends AnyFunSuite {
       a, EngineCtx(testMode = true)).taps("out").collect().head
     assert(ir.getDouble(0) == 0.5)
   }
+
+  test("dedupConsecutiveLines: runs collapse, distant repeats survive, totality; IR") {
+    val s = spark
+    import s.implicits._
+    def run(t: String): String = Curation.dedupConsecutiveLines(
+      Seq(Option(t)).toDF("text"), "text").collect().head.getString(1)
+    assert(run("a\na\na\nb\na") == "a\nb\na", "run collapses; distant repeat survives")
+    assert(run("x") == "x")
+    assert(run("") == "")
+    assert(run(null) == "")
+    assert(run("\n\nx") == "\nx", "blank-line runs collapse to one")
+
+    import graft.ir.{Engine, EngineCtx, Node}
+    val out = Engine.run(Node.fromJson(
+      """{"action":"dedup-lines-consecutive","params":[{"text":"text","out":"t2"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      Seq("nav\nnav\nbody").toDF("text"), EngineCtx(testMode = true)).taps("out")
+      .select("t2").collect().head.getString(0)
+    assert(out == "nav\nbody")
+  }
 }
