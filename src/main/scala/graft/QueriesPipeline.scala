@@ -298,6 +298,48 @@ object QueriesPipeline {
         }
       }
 
+      // the text-health pass DECLARED AS DATA: corrupted docs (injected
+      // cp1252 suffix) drop at the mojibake-filter stage, survivors
+      // flow into the readability bundle — one IR chain, same oracle
+      // algebra as the standalone gates
+      locally {
+        val dirty = " donâ€™t stop hÃ©re"
+        val sylGroups = "len(regexp_extract_all(t, '[aeiouy]+'))"
+        val syl =
+          s"""greatest(CASE WHEN t LIKE '%e' AND t NOT LIKE '%le'
+             |                AND $sylGroups > 1
+             |           THEN $sylGroups - 1 ELSE $sylGroups END,
+             |         CAST(1 AS BIGINT))""".stripMargin.replace("\n", " ")
+        register("ir_text_health",
+          s"""WITH t AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN text || '$dirty' ELSE text END AS text
+             |  FROM documents),
+             |surv AS (SELECT doc_id, text FROM t WHERE doc_id % 3 <> 0),
+             |tok AS (SELECT doc_id,
+             |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                      x -> len(x) > 0) AS toks,
+             |          text
+             |        FROM surv)
+             |SELECT doc_id,
+             |       CAST(len(toks) AS BIGINT) AS n_words,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(toks, t -> CAST($syl AS BIGINT))),
+             |         (a, x) -> a + x) AS n_syllables
+             |FROM tok ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          val t = docs(s, dir).select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(dirty)))
+              .otherwise(col("text")).as("text"))
+          val node = graft.ir.Node.fromJson(
+            """{"action":"mojibake-filter","params":[{"text":"text","max-score":0.0001}],
+              | "children":[{"action":"readability","params":[{"text":"text","out":"r"}],
+              |   "children":[{"action":"tap","params":["out"]}]}]}""".stripMargin)
+          graft.ir.Engine.run(node, t, graft.ir.EngineCtx(testMode = true))
+            .taps("out")
+            .select(col("doc_id"), col("r.n_words"), col("r.n_syllables"))
+            .orderBy("doc_id")
+        }
+      }
+
       // staged quality cascade: first-rejector labels, per-stage drop
       // counts — the identical first-match CASE replayed in SQL
       locally {
