@@ -1240,6 +1240,58 @@ object QueriesPipeline {
           .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
       }
 
+      // duplicate-rate planning estimate: deterministic md5 sample ->
+      // within-sample LSH + closure -> rates; the oracle replays the
+      // sample membership, the signatures, and the transitive closure
+      locally {
+        import graft.operators.{Dedup => D}
+        val frac = 0.3
+        val bandSel = (0 until 4).map { bnd =>
+          s"SELECT doc_id, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM sigs"
+        }.mkString("\n  UNION ALL\n  ")
+        register("dup_rate_estimate",
+          s"""WITH RECURSIVE sample AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE ${sqlMd5Hash64("'dupest:' || CAST(doc_id AS VARCHAR)")} % 1000000
+             |        < ${(frac * 1000000).toLong}),
+             |tok AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             t -> len(t) > 0) AS toks
+             |  FROM sample),
+             |sh AS (SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM tok),
+             |hh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+             |sigs AS (SELECT doc_id, $mins FROM hh),
+             |buckets AS (
+             |  $bandSel),
+             |pairs AS (
+             |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+             |  FROM buckets l JOIN buckets r
+             |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+             |edges AS (
+             |  SELECT id1 AS a, id2 AS b FROM pairs
+             |  UNION SELECT id2, id1 FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |labels AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+             |stats AS (
+             |  SELECT (SELECT count(*) FROM sample) AS n_sampled,
+             |         (SELECT count(*) FROM labels WHERE cluster <> doc_id) AS n_dup,
+             |         (SELECT count(*) FROM pairs) AS n_pairs)
+             |SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
+             |       CAST(n_dup AS BIGINT) AS n_dup,
+             |       CASE WHEN n_sampled > 0
+             |            THEN CAST(n_dup AS DOUBLE) / CAST(n_sampled AS DOUBLE)
+             |            ELSE 0.0 END AS dup_rate,
+             |       CAST(n_pairs AS BIGINT) AS n_pairs,
+             |       CAST(n_pairs AS DOUBLE) / ${frac * frac} AS est_corpus_pairs
+             |FROM stats""".stripMargin) { (s, dir) =>
+          D.dupRateEstimate(docs(s, dir), "text", "doc_id", frac)
+        }
+      }
+
       // fuzzy decontamination: near-dup (banded-MinHash) benchmark leaks
       // — bench = every 7th doc, so each bench doc at least flags itself
       // and the natural LSH near-dups flag their train-side twins

@@ -1501,6 +1501,14 @@ object Engine {
         graft.operators.Joins.saltedJoin(df, small, pStr(m("key")),
           pLong(m("salts")).toInt, pStr(m("id")))
       }
+    case "dup-rate-estimate" =>
+      // planning probe: reproducible duplicate-rate estimate from a
+      // deterministic hash sample
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.dupRateEstimate(df,
+        pStr(m("text")), pStr(m("id")), pDouble(m("fraction")),
+        m.get("k").map(pLong(_).toInt).getOrElse(8),
+        m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
     case "dedup-lines-consecutive" =>
       // collapse runs of identical lines inside each document
       val m = pMap(params.head)

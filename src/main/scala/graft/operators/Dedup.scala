@@ -979,6 +979,45 @@ object Dedup {
       .select(col("id1"), col("id2"), col("shared"))
   }
 
+  /** Duplicate-rate ESTIMATE from a deterministic hash sample — the
+    * planning probe a 100 TB dedup job runs first: is this corpus 2%
+    * duplicated or 40%? (The answer sizes the job: band counts, the
+    * cluster pass, whether keep-best is worth its quality join.) The
+    * sample is [[Sampling.hashSample]]'s salted-md5 Bernoulli draw, so
+    * the estimate is REPRODUCIBLE — same corpus, same fraction, same
+    * answer, any partitioning, any engine.
+    *
+    * Two numbers, because sampling near-dup PAIRS is quadratic: a pair
+    * survives sampling only when BOTH endpoints land in it (p²), so
+    *  - `dup_rate` = within-sample duplicate-doc share (a lower bound
+    *    on the corpus rate, tight when clusters are large), and
+    *  - `est_corpus_pairs` = `n_pairs / fraction²`, the unbiased
+    *    pair-count extrapolation (the birthday correction).
+    * Output: one row `(n_sampled, n_dup, dup_rate, n_pairs,
+    * est_corpus_pairs)`.
+    */
+  def dupRateEstimate(df: DataFrame, textCol: String, idCol: String,
+                      fraction: Double, k: Int = 8, rowsPerBand: Int = 2,
+                      salt: String = "dupest"): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"dupRateEstimate: fraction in (0,1], got $fraction")
+    val sample = graft.operators.Sampling.hashSample(df, idCol, fraction, salt)
+      .transform(graft.operators.Materialize.apply)
+    val pairs = lshCandidates(sample, textCol, idCol, k, rowsPerBand)
+      .transform(graft.operators.Materialize.apply)
+    val losers = clusterPairsStar(pairs)
+      .filter(col("cluster") =!= col("id"))
+    val nSampled = sample.count()
+    val nPairs = pairs.count()
+    val nDup = losers.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nSampled, nDup,
+      if (nSampled > 0) nDup.toDouble / nSampled.toDouble else 0.0,
+      nPairs, nPairs.toDouble / (fraction * fraction)))
+      .toDF("n_sampled", "n_dup", "dup_rate", "n_pairs", "est_corpus_pairs")
+  }
+
   /** Edit-distance CONFIRM stage for a candidate-pair frame: exact
     * character-level Levenshtein similarity `1 − d/max(|a|,|b|)` for each
     * `(id1, id2)` pair, keeping pairs with similarity ≥ `minSim`.

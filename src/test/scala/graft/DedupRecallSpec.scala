@@ -174,4 +174,34 @@ class DedupRecallSpec extends AnyFunSuite {
     want.foreach { case (k, (d, sim)) =>
       assert(got(k)._1 == d && math.abs(got(k)._2 - sim) < 1e-12, s"mismatch at $k") }
   }
+
+  test("dupRateEstimate: reproducible, catches planted duplicates, extrapolation law") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 40 docs; every doc with id >= 20 is a copy of id - 20
+    val docs = (0L until 40L).map { i =>
+      val base = i % 20
+      (i, s"unique alpha$base beta$base gamma$base delta$base epsilon$base zeta$base")
+    }.toDF("doc_id", "text")
+    val full = graft.operators.Dedup.dupRateEstimate(docs, "text", "doc_id", 1.0)
+      .collect().head
+    assert(full.getLong(0) == 40L)
+    assert(full.getLong(1) == 20L, "every copy loses to its twin at fraction 1")
+    assert(full.getDouble(2) == 0.5)
+    assert(full.getDouble(4) == full.getLong(3).toDouble, "fraction 1: no extrapolation")
+    // deterministic under repartition and rerun
+    val a = graft.operators.Dedup.dupRateEstimate(docs, "text", "doc_id", 0.5).collect().head
+    val b = graft.operators.Dedup.dupRateEstimate(docs.repartition(7), "text", "doc_id", 0.5)
+      .collect().head
+    assert(a.toSeq == b.toSeq)
+    // extrapolation law: est = n_pairs / fraction^2
+    assert(a.getDouble(4) == a.getLong(3).toDouble / 0.25)
+
+    import graft.ir.{Engine, EngineCtx, Node}
+    val ir = Engine.run(Node.fromJson(
+      """{"action":"dup-rate-estimate","params":[{"text":"text","id":"doc_id","fraction":1.0}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      docs, EngineCtx(testMode = true)).taps("out").collect().head
+    assert(ir.getLong(1) == 20L)
+  }
 }
