@@ -89,7 +89,8 @@ object Bench {
     // incremental dedup against the persisted signature store, Hilbert key
     "mojibake_health", "readability", "incremental_dedup", "hilbert_key",
     "csv_roundtrip", "fuzzy_decontam", "cluster_cap_sample", "script_profile",
-    "chunk_sentences", "rank_normalize", "salted_join", "anchor_edges", "html_meta", "quality_cascade", "ks_drift", "dedup_lines_consecutive", "ir_text_health", "dup_rate_estimate")
+    "chunk_sentences", "rank_normalize", "salted_join", "anchor_edges", "html_meta", "quality_cascade", "ks_drift", "dedup_lines_consecutive", "ir_text_health", "dup_rate_estimate",
+    "bm25_persisted")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

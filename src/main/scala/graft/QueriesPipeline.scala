@@ -1947,7 +1947,7 @@ object QueriesPipeline {
     // decimal-stable cross-term sum, so scores match bit-for-bit
     locally {
       val (k, k1, b) = (5, 1.2, 0.75)
-      register("bm25_topk",
+      val bm25Sql =
         s"""$DocsView,
            |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -1970,13 +1970,26 @@ object QueriesPipeline {
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |                               ORDER BY score DESC, doc_id ASC) AS rank
            |  FROM sc) WHERE rank <= $k
-           |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-        val d = docs(s, dir)
-        val queries = d.filter(col("doc_id") < 8)
+           |ORDER BY query_id, rank""".stripMargin
+      def bm25Queries(s: SparkSession, dir: String) =
+        docs(s, dir).filter(col("doc_id") < 8)
           .select(col("doc_id").as("qid"),
             concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("qtext"))
-        graft.operators.Retrieval.bm25TopK(d, queries, "doc_id", "text",
-          "qid", "qtext", k, k1, b)
+      register("bm25_topk", bm25Sql) { (s, dir) =>
+        graft.operators.Retrieval.bm25TopK(docs(s, dir), bm25Queries(s, dir),
+          "doc_id", "text", "qid", "qtext", k, k1, b)
+          .orderBy("query_id", "rank")
+      }
+
+      // persisted postings index: build once into a temp dir, query the
+      // same batch — score-identical to the in-one-go operator, so ONE
+      // oracle gates both paths
+      register("bm25_persisted", bm25Sql) { (s, dir) =>
+        val tmp = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+        graft.operators.Retrieval.buildBm25Index(docs(s, dir), "doc_id", "text",
+          tmp, nBuckets = 16)
+        graft.operators.Retrieval.queryBm25Index(s, tmp, bm25Queries(s, dir),
+            "qid", "qtext", k, k1, b)
           .orderBy("query_id", "rank")
       }
     }

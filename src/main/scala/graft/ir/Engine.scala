@@ -213,6 +213,33 @@ object Engine {
             pStr(m("path")); df(pStr(m("id"))); df(pStr(m("text")))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "output-bm25-index" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path")); df(pStr(m("id"))); df(pStr(m("text")))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
+        case "bm25-query" =>
+          // index = runtime artifact; doc_id's type comes from the
+          // stored postings when they already exist, long otherwise
+          try {
+            val m = pMap(n.params.head)
+            val qid = df.schema(pStr(m("id"))); df(pStr(m("text")))
+            require(pLong(m("k")) >= 1, "bm25-query: k must be >= 1")
+            val path = pStr(m("index-path"))
+            val docIdType =
+              try df.sparkSession.read.parquet(s"$path/postings").schema("id").dataType
+              catch { case _: Throwable => org.apache.spark.sql.types.LongType }
+            recurse(df.sparkSession.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                qid.copy(name = "query_id"),
+                org.apache.spark.sql.types.StructField("rank",
+                  org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("doc_id", docIdType),
+                org.apache.spark.sql.types.StructField("score",
+                  org.apache.spark.sql.types.DoubleType)))))
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "output-hilbert" =>
           try {
             val m = pMap(n.params.head)
@@ -1000,6 +1027,14 @@ object Engine {
             m.get("bits").map(pLong(_).toInt).getOrElse(16))
         recurse(df)
 
+      case "output-bm25-index" => // persist the BM25 postings index; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode)
+          graft.operators.Retrieval.buildBm25Index(df,
+            pStr(m("id")), pStr(m("text")), pStr(m("path")),
+            m.get("buckets").map(pLong(_).toInt).getOrElse(64))
+        recurse(df)
+
       case "output-dedup-store" => // persist the dedup signature index; io-gated
         val m = pMap(n.params.head)
         if (!ctx.testMode)
@@ -1501,6 +1536,14 @@ object Engine {
         graft.operators.Joins.saltedJoin(df, small, pStr(m("key")),
           pLong(m("salts")).toInt, pStr(m("id")))
       }
+    case "bm25-query" =>
+      // query frame in, ranked results out, against a persisted index
+      val m = pMap(params.head)
+      df => graft.operators.Retrieval.queryBm25Index(df.sparkSession,
+        pStr(m("index-path")), df, pStr(m("id")), pStr(m("text")),
+        pLong(m("k")).toInt,
+        m.get("k1").map(pDouble).getOrElse(1.2),
+        m.get("b").map(pDouble).getOrElse(0.75))
     case "dup-rate-estimate" =>
       // planning probe: reproducible duplicate-rate estimate from a
       // deterministic hash sample

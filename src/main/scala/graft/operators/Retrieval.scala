@@ -150,6 +150,98 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Build and PERSIST the BM25 index — the sparse-retrieval face of the
+    * build-once/query-many discipline (IVF-PQ codes for dense, the
+    * MinHash band store for dedup, postings here): the corpus-sized
+    * tokenize/explode/count pass is paid ONCE, and every later query
+    * batch reads postings, never text. Layout under `path`:
+    *
+    *  - `postings/termbucket=N/…` — `(term, id, dl, tf)` PARTITIONED BY
+    *    `md5(term) mod nBuckets` with a parquet BLOOM on `term`: a query
+    *    batch's distinct term buckets (≤ nBuckets driver-side values)
+    *    prune the read to touched partitions, and the blooms skip
+    *    non-matching row groups inside them — a few-term query batch
+    *    reads a sliver of the index.
+    *  - `df/termbucket=N/…` — per-term document frequencies, same
+    *    layout (df is corpus-global, so it must be STORED; the in-one-go
+    *    operator can count it per batch, an index cannot re-scan).
+    *  - `meta/` — `(n_docs, total_len, n_buckets)`: N and avgdl are
+    *    corpus constants of the scoring formula; the bucket recipe is
+    *    pinned like the dedup store's.
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"buildBm25Index: nBuckets must be >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    postings(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("__dl").as("dl"), col("term"), col("tf"),
+        pmod(Text.md5Hash64(col("term")), lit(nBuckets.toLong)).as("termbucket"))
+      .repartition(nBuckets, col("termbucket"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+      .partitionBy("termbucket").parquet(s"$path/postings")
+    // df from the just-written postings (one index scan, no corpus re-pass)
+    spark.read.parquet(s"$path/postings")
+      .groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
+      .repartition(nBuckets, col("termbucket"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+      .partitionBy("termbucket").parquet(s"$path/df")
+    val row = docs.select(count(lit(1)).as("n"),
+      coalesce(sum(Text.tokenCount(col(textCol))), lit(0L)).as("tot")).head()
+    Seq((row.getLong(0), row.getLong(1), nBuckets.toLong))
+      .toDF("n_docs", "total_len", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Query a persisted index: score-identical to [[bm25TopK]] on the
+    * same corpus (pinned in RetrievalSpec) — the same contribution
+    * formula, the same decimal-stable sum, the same rank tie-break —
+    * but the corpus side is the pruned postings read.
+    */
+  def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, qIdCol: String, qTextCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75,
+                     idf: Long => Column => Column = rationalIdf): DataFrame = {
+    require(k >= 1, s"queryBm25Index: k must be >= 1, got $k")
+    val metaRows = spark.read.parquet(s"$path/meta")
+      .select(col("n_docs").cast("long"), col("total_len").cast("long"),
+        col("n_buckets").cast("long")).collect()
+    require(metaRows.length == 1, s"queryBm25Index: expected 1 meta row at $path")
+    val (n, tot, nBuckets) =
+      (metaRows.head.getLong(0), metaRows.head.getLong(1), metaRows.head.getLong(2))
+    val avgdl = tot.toDouble / n
+    val qt = Materialize(queries
+      .select(col(qIdCol).as("query_id"),
+        explode(array_distinct(Text.tokens(col(qTextCol)))).as("term"))
+      .distinct()
+      .withColumn("termbucket", pmod(Text.md5Hash64(col("term")), lit(nBuckets))))
+    // distinct buckets: ≤ n_buckets driver-side values
+    val touched = qt.select("termbucket").distinct().collect().map(_.getLong(0))
+    val dfq = spark.read.parquet(s"$path/df")
+      .filter(col("termbucket").isin(touched: _*))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .select("term", "df")
+    val qtd = qt.select("query_id", "term").join(broadcast(dfq), Seq("term"))
+    val dt = spark.read.parquet(s"$path/postings")
+      .filter(col("termbucket").isin(touched: _*))
+    val contrib = dt.join(broadcast(qtd), "term")
+      .withColumn("__c",
+        idf(n)(col("df")) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+    val sc = contrib.groupBy(col("query_id"), col("id").as("doc_id"))
+      .agg(dsum(col("__c")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** All-pairs document cosine similarity over sparse tf-idf vectors,
     * thresholded — postings-join formulation (no dense vectors, no
     * cartesian): for each term kept by the df cap, documents sharing it

@@ -190,4 +190,39 @@ class RetrievalSpec extends AnyFunSuite {
       s, EngineCtx(testMode = true), cands.schema)
     assert(bad.nonEmpty)
   }
+
+  test("persisted BM25 index: score-identical to the in-one-go operator; IR faces") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "the catalyst optimizer prunes columns"),
+      (3L, "shuffle partitions size executor memory"),
+      (4L, "unrelated prose about gardens and tea")).toDF("doc_id", "text")
+    val queries = Seq((10L, "shuffle partitions"), (11L, "catalyst optimizer")).toDF("qid", "qtext")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = canon(graft.operators.Retrieval.bm25TopK(
+      docs, queries, "doc_id", "text", "qid", "qtext", 3))
+    val dir = java.nio.file.Files.createTempDirectory("bm25spec").toString
+    graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 8)
+    val stored = canon(graft.operators.Retrieval.queryBm25Index(
+      s, dir, queries, "qid", "qtext", 3))
+    assert(stored == direct, "persisted path must reproduce exact scores and ranks")
+    assert(direct.nonEmpty)
+
+    // IR: io-gated build validates; query validates artifact-total and runs
+    import graft.ir.{Engine, EngineCtx, Node}
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"output-bm25-index","params":[{"id":"doc_id","text":"text","path":"/x"}],
+        | "children":[]}""".stripMargin), s, schema = docs.schema).isEmpty)
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"bm25-query","params":[{"id":"qid","text":"qtext","k":3,"index-path":"/does/not/exist"}],
+        | "children":[]}""".stripMargin), s, schema = queries.schema).isEmpty)
+    val ir = canon(Engine.run(Node.fromJson(
+      s"""{"action":"bm25-query","params":[{"id":"qid","text":"qtext","k":3,"index-path":"$dir"}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      queries, EngineCtx(testMode = true)).taps("out"))
+    assert(ir == direct)
+  }
 }
