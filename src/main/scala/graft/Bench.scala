@@ -135,6 +135,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    // Host-speed calibration: tpch_q1 has been pinned, unchanged, since
+    // round 1, so its isolated steady-state time is a pure host-speed
+    // proxy — rounds are compared via times NORMALIZED by this number,
+    // ending the every-round "regression or noisy host?" ambiguity
+    // (burned rounds 8-10; the box swings ~2× between rounds). Measured
+    // before the main passes: one warm-up run, then min of 3.
+    val calib = {
+      val q = qs("tpch_q1")
+      try {
+        q(spark, sfDir).count()
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); q(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calib FAILED: ${e.getMessage}"); -1.0
+      }
+    }
     val errors = scala.collection.mutable.ListBuffer[String]()
     val passLoads = scala.collection.mutable.ListBuffer[(Double, Double)]()
     def pass(dir: String = sfDir): Seq[(String, Double)] = {
@@ -229,12 +247,12 @@ object Bench {
     // ~2000 chars of stdout, so the detail line's head (per-query cold/
     // second-SF maps) is sacrificial but these survive in the window just
     // above the contract line.
-    println(f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail,"fixtures":$fixtures,"pass_loads":$loadsJson,"cold_total":$coldTotal%.3f$scaleSummary,"load_ambient":$ambientLoad%.1f,"load_max":${passLoads.map(l => l._1 max l._2).max}%.1f}""")
+    println(f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail,"fixtures":$fixtures,"pass_loads":$loadsJson,"cold_total":$coldTotal%.3f$scaleSummary,"calib":$calib%.3f,"load_ambient":$ambientLoad%.1f,"load_max":${passLoads.map(l => l._1 max l._2).max}%.1f}""")
     def json2(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
     def totalLine(queriesJson: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$om,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$om,"calib":$calib%.3f,"errors":$errJson,"sf":"$sfDir"}"""
     }
     // Budget: the driver captures ~2000 trailing chars and the sbt
     // epilogue takes ~100, so 1800 is the safe ceiling. Degrade in steps

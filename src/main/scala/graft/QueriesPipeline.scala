@@ -917,17 +917,17 @@ object QueriesPipeline {
            |d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n
            |      FROM docs WHERE len(toks) > 0),
            |c AS (SELECT doc_id, source, n,
-           |             coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+           |             CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
            |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           |               CAST(0 AS BIGINT)) AS s
+           |               CAST(0 AS BIGINT)) AS BIGINT) AS s
            |      FROM d),
            |e AS (SELECT source, doc_id, n, s,
            |             unnest(range(CAST(s // $L AS BIGINT),
            |                          CAST((s + n - 1) // $L + 1 AS BIGINT))) AS q
            |      FROM c)
            |SELECT source, CAST(q AS BIGINT) AS seq_id, doc_id,
-           |       greatest(CAST(0 AS BIGINT), s - q * $L) AS begin_tok,
-           |       least($L, s + n - q * $L) AS end_tok
+           |       CAST(greatest(CAST(0 AS BIGINT), s - q * $L) AS BIGINT) AS begin_tok,
+           |       CAST(least($L, s + n - q * $L) AS BIGINT) AS end_tok
            |FROM e ORDER BY source, seq_id, doc_id""".stripMargin) { (s, dir) =>
         val base = docs(s, dir).select(col("doc_id"), col("source"),
           Text.tokenCount(col("text")).as("n_tokens"))
@@ -1741,6 +1741,37 @@ object QueriesPipeline {
         Dedup.duplicateNgramStats(docs(s, dir), "text", "doc_id", n)
           .orderBy("doc_id")
       }
+
+      // cross-document exact-substring CUT SPANS at suffix-array
+      // strength (Lee et al. 2022 §4): maximal runs of cross-doc-shared
+      // window starts, replayed by the oracle with the identical
+      // gaps-and-islands run-length algebra
+      register("shared_substring_spans",
+        s"""$DocsView,
+           |w0 AS (SELECT doc_id, list_transform(${sqlNgrams("toks", n)},
+           |                      g -> ${sqlMd5HashMod("g")}) AS hh
+           |       FROM docs),
+           |w AS (SELECT doc_id, CAST(i AS BIGINT) AS p, hh[i] AS h
+           |      FROM w0, unnest(range(1, len(hh) + 1)) AS r(i)),
+           |sh AS (SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+           |m AS (SELECT w.doc_id, w.p FROM w JOIN sh USING (h)),
+           |i1 AS (SELECT doc_id, p,
+           |              CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+           |                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $n
+           |                   THEN 1 ELSE 0 END AS nw
+           |       FROM m),
+           |i2 AS (SELECT doc_id, p,
+           |              sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+           |       FROM i1)
+           |SELECT doc_id, CAST(min(p) AS BIGINT) AS begin_tok,
+           |       CAST(max(p) + $n - 1 AS BIGINT) AS end_tok,
+           |       CAST(max(p) - min(p) + $n AS BIGINT) AS n_tokens
+           |FROM i2 GROUP BY doc_id, isl
+           |ORDER BY doc_id, begin_tok""".stripMargin) { (s, dir) =>
+        Dedup.sharedSubstringSpans(docs(s, dir), "text", "doc_id", n)
+          .select("doc_id", "begin_tok", "end_tok", "n_tokens")
+          .orderBy("doc_id", "begin_tok")
+      }
     }
 
     // per-group document cap (C4/RefinedWeb anti-spam: at most k docs
@@ -1823,7 +1854,7 @@ object QueriesPipeline {
            |  SELECT doc_id, list_transform(toks, t -> ${sqlMd5Hash64("t")}) AS hh FROM docs)
            |, sig AS (SELECT doc_id, $votes AS simhash FROM hh)
            |SELECT l.doc_id AS id1, r.doc_id AS id2,
-           |       bit_count(xor(l.simhash, r.simhash)) AS hamming
+           |       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
            |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
            |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
@@ -1884,7 +1915,8 @@ object QueriesPipeline {
         s"""WITH RECURSIVE sen0 AS (
            |  SELECT doc_id,
            |         list_filter(string_split(
-           |           regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(1), 'g'),
+           |           regexp_replace(replace(text, chr(1), ''),
+           |                          '([.!?]+)\\s+', '\\1' || chr(1), 'g'),
            |           chr(1)), s -> len(s) > 0) AS ss
            |  FROM documents),
            |sen AS (
@@ -2606,8 +2638,8 @@ object QueriesPipeline {
          |       CASE WHEN doc_id % 3 = 0 THEN 'image'
          |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |       16 + (ascii(substr(text, 1, 1)) % 64) * 16 AS width,
-         |       16 + (octet_length(encode(text)) % 64) * 16 AS height,
+         |       CAST(16 + (ascii(substr(text, 1, 1)) % 64) * 16 AS BIGINT) AS width,
+         |       CAST(16 + (octet_length(encode(text)) % 64) * 16 AS BIGINT) AS height,
          |       CAST(octet_length(encode(text)) AS BIGINT) * 20 AS duration_ms
          |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
       Multimodal.decode(Multimodal.synthesize(docs(s, dir), "doc_id", "text", "source"))
@@ -4775,6 +4807,11 @@ object QueriesPipeline {
           .orderBy("source", "rep")
       }
 
+      // quantile indices are relative to the PRESENT replicate count
+      // len(ms) (an empty resample is a missing replicate, not a
+      // phantom) — interpolated from the same Scala doubles the operator
+      // uses, so floor/ceil see bit-identical products cross-engine
+      val (loQ, hiQ) = (0.1 / 2.0, 1.0 - 0.1 / 2.0)
       register("bootstrap_ci",
         s"""WITH $meansSql,
            |ms AS (SELECT source, list_sort(list(mean)) AS ms FROM m GROUP BY source),
@@ -4783,9 +4820,9 @@ object QueriesPipeline {
            |                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS point
            |       FROM documents GROUP BY source)
            |SELECT pt.source, pt.n, pt.point,
-           |       ms.ms[${math.floor(0.05 * (r - 1)).toInt + 1}] AS ci_lo,
-           |       ms.ms[${math.ceil(0.95 * (r - 1)).toInt + 1}] AS ci_hi
-           |FROM pt JOIN ms USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
+           |       ms.ms[CAST(floor($loQ * (len(ms.ms) - 1)) AS BIGINT) + 1] AS ci_lo,
+           |       ms.ms[CAST(ceil($hiQ * (len(ms.ms) - 1)) AS BIGINT) + 1] AS ci_hi
+           |FROM pt LEFT JOIN ms USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
         bs.confidenceInterval(docs(s, dir), "n_chars", "doc_id",
             Seq("source"), r = r, alpha = 0.1, salt = "bs")
           .orderBy("source")

@@ -13,6 +13,43 @@ import org.apache.spark.sql.functions._
   */
 object QueriesSources {
 
+  /** Events packed into the ExportMetricsServiceRequest struct shape
+    * [[Decode.otlpMetrics]] consumes: event_id%3 routes each event into
+    * gauge / sum / histogram (the histogram point pre-aggregates
+    * count = event_id%7+1, sum = value*count), grouped into one request
+    * per service (user_id%5) like the trace gates.
+    */
+  private def otlpMetricsRequests(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(s, dir)
+    def tNs = expr("(ts div 1000) * 1000")
+    val attrs = array(struct(lit("eid").as("key"),
+      col("event_id").cast("string").as("value")))
+    val numPt = struct(tNs.as("startTimeUnixNano"), tNs.as("timeUnixNano"),
+      col("value").as("asDouble"), attrs.as("attributes"))
+    val histN = (pmod(col("event_id"), lit(7)) + 1).cast("long")
+    val histPt = struct(tNs.as("startTimeUnixNano"), tNs.as("timeUnixNano"),
+      histN.as("count"), (col("value") * histN.cast("double")).as("sum"),
+      array(lit(1L), lit(2L)).as("bucketCounts"),
+      array(lit(10.0)).as("explicitBounds"),
+      attrs.as("attributes"))
+    val m3 = pmod(col("event_id"), lit(3))
+    val metric = struct(
+      concat(lit("m_"), col("event_type")).as("name"),
+      lit("ms").as("unit"),
+      struct(filter(array(numPt), _ => m3 === 0).as("dataPoints")).as("gauge"),
+      struct(filter(array(numPt), _ => m3 === 1).as("dataPoints"),
+        lit(true).as("isMonotonic")).as("sum"),
+      struct(filter(array(histPt), _ => m3 === 2).as("dataPoints")).as("histogram"))
+    raw.select(pmod(col("user_id"), lit(5)).as("svc"), metric.as("m"))
+      .groupBy("svc")
+      .agg(collect_list(col("m")).as("metrics"))
+      .select(array(struct(
+        struct(array(struct(lit("service.name").as("key"),
+          concat(lit("svc-"), col("svc").cast("string")).as("value")))
+          .as("attributes")).as("resource"),
+        array(struct(col("metrics"))).as("scopeMetrics"))).as("resourceMetrics"))
+  }
+
   def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
 
     register("prom_rw_decode",
@@ -196,6 +233,87 @@ object QueriesSources {
           col("state"), col("status"), col("service"), col("start_time"),
           col("time"), col("metric"))
         .orderBy("trace_id", "span_id")
+    }
+
+    // OTLP METRICS decode (beyond-reference §2.7: the reference covers
+    // metrics only via Prometheus remote-write; OTLP metrics is the
+    // OpenTelemetry-SDK default). Events fan into the three point
+    // families by event_id%3 — gauge / sum (value points) / histogram
+    // (pre-aggregated count+sum) — and the oracle computes the expected
+    // flat rows directly, so drift in family routing, the (sum, count)
+    // histogram reduction, or resource→service mapping mismatches.
+    register("otlp_metrics_decode",
+      """SELECT event_id AS eid,
+        |       'm_' || event_type AS name,
+        |       CASE event_id % 3 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+        |            ELSE 'histogram' END AS mtype,
+        |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+        |       (epoch_ns(ts) // 1000) * 1000 AS time,
+        |       CASE WHEN event_id % 3 = 2
+        |            THEN value * CAST(event_id % 7 + 1 AS DOUBLE)
+        |            ELSE value END AS metric,
+        |       CASE WHEN event_id % 3 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) END AS cnt
+        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      Decode.otlpMetrics(otlpMetricsRequests(s, dir))
+        .select(element_at(col("attributes"), "eid").cast("long").as("eid"),
+          col("name"), col("mtype"), col("service"), col("time"),
+          col("metric"), col("count").as("cnt"))
+        .orderBy("eid")
+    }
+
+    // OTLP METRICS WIRE decode: the same rows through the hand-rolled
+    // ExportMetricsServiceRequest protobuf codec (encode per service
+    // group → distributed byte-level decode → the SAME gated Column
+    // mapping), like otlp_wire_decode for traces.
+    register("otlp_metrics_wire_decode",
+      """SELECT event_id AS eid,
+        |       'm_' || event_type AS name,
+        |       CASE event_id % 3 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+        |            ELSE 'histogram' END AS mtype,
+        |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+        |       (epoch_ns(ts) // 1000) * 1000 AS time,
+        |       CASE WHEN event_id % 3 = 2
+        |            THEN value * CAST(event_id % 7 + 1 AS DOUBLE)
+        |            ELSE value END AS metric,
+        |       CASE WHEN event_id % 3 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) END AS cnt
+        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.eventsRaw(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("(ts div 1000) * 1000").as("t_ns"), col("value"))
+        .groupByKey(r => r.getAs[Long]("user_id") % 5)
+        .mapGroups { (svc: Long, it: Iterator[Row]) =>
+          val metrics = it.toSeq.sortBy(_.getAs[Long]("event_id")).map { r =>
+            val eid = r.getAs[Long]("event_id")
+            val tNs = r.getAs[Long]("t_ns")
+            val v = r.getAs[Double]("value")
+            val attrs = Seq(WireCodecs.OtlpKV("eid", eid.toString))
+            val numPt = WireCodecs.OtlpNumPoint(tNs, tNs, v, attrs)
+            val histN = eid % 7 + 1
+            val histPt = WireCodecs.OtlpHistPoint(tNs, tNs, histN,
+              v * histN.toDouble, Seq(1L, 2L), Seq(10.0), attrs)
+            WireCodecs.OtlpMetric(
+              name = "m_" + r.getAs[String]("event_type"), unit = "ms",
+              gauge = WireCodecs.OtlpGauge(
+                if (eid % 3 == 0) Seq(numPt) else Nil),
+              sum = WireCodecs.OtlpSum(
+                if (eid % 3 == 1) Seq(numPt) else Nil, isMonotonic = true),
+              histogram = WireCodecs.OtlpHistogram(
+                if (eid % 3 == 2) Seq(histPt) else Nil))
+          }
+          WireCodecs.encodeOtlpMetricsRequest(WireCodecs.OtlpMetricsRequest(Seq(
+            WireCodecs.OtlpResourceMetrics(
+              WireCodecs.OtlpResource(Seq(WireCodecs.OtlpKV("service.name", s"svc-$svc"))),
+              Seq(WireCodecs.OtlpScopeMetrics(metrics))))))
+        }(Encoders.BINARY)
+        .toDF("payload")
+      Decode.otlpMetrics(WireCodecs.decodeOtlpMetricFrames(payloads))
+        .select(element_at(col("attributes"), "eid").cast("long").as("eid"),
+          col("name"), col("mtype"), col("service"), col("time"),
+          col("metric"), col("count").as("cnt"))
+        .orderBy("eid")
     }
 
     // Prometheus remote-write WIRE decode (§2.7): canonical events →

@@ -26,27 +26,30 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // Convention guard: a raw DecimalType in a gate's FINAL schema is
-        // a cross-engine hash trap — Spark parquet keeps Decimal objects
-        // while DuckDB's fetchdf() decays DECIMAL to float64, so the
-        // driver's representation-keyed hash mismatches even when every
-        // value is identical (burned corpus_profile r7, ngram_lm_score +
-        // pca_covariance r9). Round through DECIMAL(38,x) for order
-        // independence, then CAST(... AS DOUBLE) on BOTH sides.
-        def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-          case _: org.apache.spark.sql.types.DecimalType => true
-          case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
-          case a: org.apache.spark.sql.types.ArrayType => hasDecimal(a.elementType)
-          case m: org.apache.spark.sql.types.MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
-          case _ => false
+        // Dtype-whitelist lint, HARD per-gate assertion (promoted from
+        // the r9 decimal warning after the r10 pack_boundaries burn —
+        // same genus, new disguise): every gated output column must be
+        // an engine-stable scalar type. Outside the whitelist, Spark
+        // parquet and DuckDB fetchdf() can represent the SAME values
+        // differently (Decimal objects vs float64 r7/r9; HUGEINT window
+        // sums decaying to float64 r10) and the driver's
+        // representation-keyed hash mismatches with every value equal.
+        // Allowed: long, int, double-after-decimal-round, string, bool,
+        // date. A violating gate fails HERE, loudly, in dev — not three
+        // days later in the driver's hash column.
+        locally {
+          import org.apache.spark.sql.types._
+          val ok: DataType => Boolean = {
+            case LongType | IntegerType | DoubleType | StringType |
+                 BooleanType | DateType => true
+            case _ => false
+          }
+          val bad = df.schema.fields.filterNot(f => ok(f.dataType))
+          require(bad.isEmpty, s"dtype lint: gate '$name' emits non-whitelisted " +
+            s"column(s) ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")} " +
+            "— allowed: bigint, int, double, string, boolean, date " +
+            "(cast on BOTH sides; see the pack_boundaries r10 note)")
         }
-        val decCols = df.schema.fields.collect {
-          case f if hasDecimal(f.dataType) => f.name
-        }
-        if (decCols.nonEmpty)
-          System.err.println(s"[verify] WARNING: $name emits raw DecimalType " +
-            s"column(s) ${decCols.mkString(",")} — wrap in .cast(\"double\") " +
-            "on both sides (see Queries.dsum) or the driver hash will mismatch")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

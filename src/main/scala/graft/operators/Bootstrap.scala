@@ -75,32 +75,42 @@ object Bootstrap {
   }
 
   /** Percentile-bootstrap confidence interval per group: `(groupCols...,
-    * n, point, ci_lo, ci_hi)` at level `1 - alpha` from `r` replicate
-    * means (empirical quantiles at index `floor(alpha/2·(r−1))` /
-    * `ceil((1−alpha/2)·(r−1))` of the sorted means — deterministic, no
-    * interpolation). The replicate frame is `groups × r` rows — sorting
-    * it per group via `sort_array(collect_list(...))` is model-sized
-    * work, never corpus-sized.
+    * n, point, ci_lo, ci_hi)` at level `1 - alpha` from the replicate
+    * means (empirical quantiles at index `floor(alpha/2·(m−1))` /
+    * `ceil((1−alpha/2)·(m−1))` of the sorted means, where `m` is the
+    * number of replicates PRESENT for the group — a replicate that
+    * sampled zero rows is absent from [[replicateMeans]] by contract, so
+    * indexing against `r` would read past the collected list for small
+    * groups (`m < r` with probability `1-(1-e^-n)^r`). Quantiles over
+    * the present replicates treat an empty resample as missing — the
+    * bias is O(e^-n), negligible for n ≳ 20 and documented here rather
+    * than silently truncated. A group whose EVERY replicate was empty
+    * (probability `e^-nr`) keeps its `n`/`point` row with null CI
+    * bounds. Deterministic, no interpolation. The replicate frame is at
+    * most `groups × r` rows — sorting it per group via
+    * `sort_array(collect_list(...))` is model-sized work, never
+    * corpus-sized.
     */
   def confidenceInterval(df: DataFrame, valCol: String, idCol: String,
                          groupCols: Seq[String], r: Int, alpha: Double,
                          salt: String = "bs"): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0,
       s"confidenceInterval: alpha in (0,1), got $alpha")
-    val loIdx = math.floor(alpha / 2.0 * (r - 1)).toInt
-    val hiIdx = math.ceil((1.0 - alpha / 2.0) * (r - 1)).toInt
     val means = replicateMeans(df, valCol, idCol, groupCols, r, salt)
     val point = df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         (sum(col(valCol).cast("double").cast("decimal(38,9)")).cast("double") /
           count(lit(1)).cast("double")).as("point"))
-    means.groupBy(groupCols.map(col): _*)
+    val m = size(col("__ms")).cast("double")
+    val loIdx = (floor(lit(alpha / 2.0) * (m - 1)) + 1).cast("int")
+    val hiIdx = (ceil(lit(1.0 - alpha / 2.0) * (m - 1)) + 1).cast("int")
+    val cis = means.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("mean"))).as("__ms"))
       .select((groupCols.map(col) :+
-        element_at(col("__ms"), loIdx + 1).as("ci_lo") :+
-        element_at(col("__ms"), hiIdx + 1).as("ci_hi")): _*)
-      .join(point, groupCols)
+        element_at(col("__ms"), loIdx).as("ci_lo") :+
+        element_at(col("__ms"), hiIdx).as("ci_hi")): _*)
+    point.join(cis, groupCols, "left")
       .select((groupCols.map(col) :+ col("n") :+ col("point") :+
         col("ci_lo") :+ col("ci_hi")): _*)
   }

@@ -992,9 +992,14 @@ object Curation {
   def chunkSentences(df: DataFrame, idCol: String, textCol: String,
                      maxTokens: Int): DataFrame = {
     require(maxTokens >= 1, s"chunkSentences: maxTokens must be >= 1, got $maxTokens")
-    val sep = ""
+    // U+0001 is the boundary sentinel; hostile crawl text can legally
+    // contain a raw 0x01 byte, which would forge sentence boundaries --
+    // strip it from the input FIRST (the oracle does the same via
+    // chr(1)); the literal is an escape, not a raw byte, for editability.
+    val sep = "\u0001"
     val sentences = filter(
-      split(regexp_replace(col(textCol), "([.!?]+)\\s+", "$1" + sep), sep),
+      split(regexp_replace(regexp_replace(col(textCol), sep, ""),
+        "([.!?]+)\\s+", "$1" + sep), sep),
       s => length(s) > 0)
     def tcount(s: Column): Column = size(Text.tokens(s)).cast("long")
     val folded = aggregate(

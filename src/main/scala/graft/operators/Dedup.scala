@@ -177,6 +177,69 @@ object Dedup {
               iv => i + 1 >= iv.getField("lo") && i + 1 <= iv.getField("hi"))))).as(textCol))
   }
 
+  /** Cross-document exact-substring spans at suffix-array strength —
+    * the span-emitting half of Lee et al. 2022 §4 (ExactSubstr dedup;
+    * the reference's capability anchor is [[duplicateNgramStats]]'s
+    * fixed-window signal): every MAXIMAL substring of `minLen`+ tokens
+    * that some OTHER document also contains is reported as a cut span.
+    * Where the paper builds one giant suffix array, the distributed
+    * equivalence is runs of duplicated window hashes: a substring of
+    * length `m >= minLen` is shared across documents iff all of its
+    * `m - minLen + 1` length-`minLen` windows are shared, so maximal
+    * shared substrings are exactly the maximal runs of consecutive
+    * cross-document-duplicated window starts — found with sorted
+    * per-document run-length (gaps-and-islands) algebra, no suffix
+    * array materialized. Overlapping/adjacent runs merge (these are CUT
+    * spans; a cutter consumes disjoint intervals).
+    *
+    * Cross-document test per window hash: `min(doc) != max(doc)` over
+    * the hash's partition — two window functions sharing ONE exchange,
+    * no distinct-count. A window repeated only WITHIN one document does
+    * not qualify (that is [[duplicateNgramStats]]'s self-repeat signal;
+    * Lee et al.'s cross-doc rule is what decontamination and
+    * memorization audits want).
+    *
+    * Output: `(idCol, begin_tok, end_tok, n_tokens)` — 1-based
+    * inclusive token spans, disjoint per document, each `>= minLen`
+    * tokens. Docs with no qualifying span emit nothing.
+    *
+    * Scale: one explode to (doc, pos, hash64) — the known n·|corpus|
+    * minimum working set of substring dedup — then one hash-keyed
+    * exchange (only 64-bit hashes + positions travel, never window
+    * text) and one doc-keyed exchange for the island merge. A
+    * boilerplate hash shared by millions of docs lands in one sort
+    * partition (external sort, never collected); cap such hubs upstream
+    * with a df-style frequency cut if profiling shows it.
+    */
+  def sharedSubstringSpans(df: DataFrame, textCol: String, idCol: String,
+                           minLen: Int,
+                           hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val toks = Text.tokens(col(textCol))
+    val wins = df.select(col(idCol).as("__id"),
+        posexplode(windowHashes(toks, minLen, hashFn)).as(Seq("__p0", "__h")))
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__p"), col("__h"))
+    val wh = Window.partitionBy(col("__h"))
+    val shared = wins
+      .withColumn("__dmin", min(col("__id")).over(wh))
+      .withColumn("__dmax", max(col("__id")).over(wh))
+      .filter(col("__dmin") =!= col("__dmax"))
+    val wd = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val lagP = lag(col("__p"), 1).over(wd)
+    // new island when the previous start can't reach this one: spans
+    // [prev, prev+minLen-1] and [p, p+minLen-1] merge iff p <= prev+minLen
+    val islands = shared
+      .withColumn("__new", when(lagP.isNull || col("__p") - lagP > minLen, 1L)
+        .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("__id"), col("__isl"))
+      .agg(min(col("__p")).as("begin_tok"),
+        (max(col("__p")) + lit((minLen - 1).toLong)).as("end_tok"))
+      .select(col("__id").as(idCol), col("begin_tok"), col("end_tok"),
+        (col("end_tok") - col("begin_tok") + 1).as("n_tokens"))
+  }
+
   /** Banding-theory planner (the MMDS ch.3 s-curve): for a `k`-hash
     * MinHash signature, choose `(bands, rowsPerBand)` whose collision
     * threshold `(1/b)^(1/r)` — the Jaccard similarity at which a pair's

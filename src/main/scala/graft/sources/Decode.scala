@@ -112,4 +112,74 @@ object Decode {
         col("span.endTimeUnixNano").as("time"),
         (col("span.endTimeUnixNano") - col("span.startTimeUnixNano")).as("metric"),
         map_from_entries(col("span.attributes")).as("attributes"))
+
+  /** OTLP metrics export → metric events — the modern default metrics
+    * wire format (the reference ingests metrics only via Prometheus
+    * remote-write, `prometheus.clj:11-29`; OTLP metrics is the same
+    * role for OpenTelemetry SDKs): one event per data point, tagged
+    * with its metric family. Gauge and sum points carry their value as
+    * `metric` (count 1); a histogram point carries its pre-aggregated
+    * `sum` as `metric` and its population as `count` — the same
+    * (sum, count) reduction Prometheus summaries expose, so downstream
+    * rate/mean algebra composes identically.
+    *
+    * Input schema (ExportMetricsServiceRequest shape; absent metric
+    * families may be null structs or carry null/empty dataPoints):
+    * `resourceMetrics: array<struct<
+    *    resource: struct<attributes: array<struct<key, value>>>,
+    *    scopeMetrics: array<struct<metrics: array<struct<
+    *      name, unit,
+    *      gauge: struct<dataPoints: array<struct<
+    *        startTimeUnixNano, timeUnixNano, asDouble,
+    *        attributes: array<struct<key, value>>>>>,
+    *      sum: struct<dataPoints: array<...same...>, isMonotonic>,
+    *      histogram: struct<dataPoints: array<struct<
+    *        startTimeUnixNano, timeUnixNano, count, sum,
+    *        bucketCounts, explicitBounds, attributes>>>>>>>>>`.
+    *
+    * Pure explode algebra like [[otlpSpans]] — fuses into the scan.
+    */
+  def otlpMetrics(df: DataFrame): DataFrame = {
+    val ptType = "array<struct<mtype:string,time:bigint,metric:double," +
+      "count:bigint,attributes:array<struct<key:string,value:string>>>>"
+    def numPts(fld: String, typ: String): Column = {
+      val arr = col(s"m.$fld.dataPoints")
+      coalesce(
+        when(arr.isNotNull, transform(arr, p => struct(
+          lit(typ).as("mtype"),
+          p.getField("timeUnixNano").cast("long").as("time"),
+          p.getField("asDouble").cast("double").as("metric"),
+          lit(1L).as("count"),
+          p.getField("attributes").as("attributes")))),
+        array().cast(ptType))
+    }
+    val histPts: Column = {
+      val arr = col("m.histogram.dataPoints")
+      coalesce(
+        when(arr.isNotNull, transform(arr, p => struct(
+          lit("histogram").as("mtype"),
+          p.getField("timeUnixNano").cast("long").as("time"),
+          p.getField("sum").cast("double").as("metric"),
+          p.getField("count").cast("long").as("count"),
+          p.getField("attributes").as("attributes")))),
+        array().cast(ptType))
+    }
+    df.select(explode(col("resourceMetrics")).as("rm"))
+      .select(
+        map_from_entries(col("rm.resource.attributes")).as("__res"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("__res"), explode(col("sm.metrics")).as("m"))
+      .select(col("__res"), col("m.name").as("name"), col("m.unit").as("unit"),
+        explode(concat(numPts("gauge", "gauge"), numPts("sum", "sum"), histPts))
+          .as("p"))
+      .select(
+        col("name"),
+        col("unit"),
+        col("p.mtype").as("mtype"),
+        element_at(col("__res"), "service.name").as("service"),
+        col("p.time").as("time"),
+        col("p.metric").as("metric"),
+        col("p.count").as("count"),
+        map_from_entries(col("p.attributes")).as("attributes"))
+  }
 }

@@ -317,6 +317,276 @@ object WireCodecs {
     w.result()
   }
 
+  // ---- OTLP metrics --------------------------------------------------
+  // public proto spec `opentelemetry/proto/metrics/v1/metrics.proto`:
+  // `ExportMetricsServiceRequest.resource_metrics=1`;
+  // `ResourceMetrics.resource=1, scope_metrics=2`;
+  // `ScopeMetrics.metrics=2`; `Metric.name=1, description=2, unit=3,
+  // gauge=5, sum=7, histogram=9`; `Gauge.data_points=1`;
+  // `Sum.data_points=1, is_monotonic=3`; `Histogram.data_points=1`;
+  // `NumberDataPoint.start_time_unix_nano=2, time_unix_nano=3,
+  // as_double=4, as_int=6 (both fixed64), attributes=7`;
+  // `HistogramDataPoint.start_time_unix_nano=2, time_unix_nano=3,
+  // count=4 (fixed64), sum=5 (double), bucket_counts=6 (packed
+  // fixed64), explicit_bounds=7 (packed double), attributes=9`.
+
+  final case class OtlpNumPoint(startTimeUnixNano: Long, timeUnixNano: Long,
+                                asDouble: Double, attributes: Seq[OtlpKV])
+  final case class OtlpHistPoint(startTimeUnixNano: Long, timeUnixNano: Long,
+                                 count: Long, sum: Double,
+                                 bucketCounts: Seq[Long],
+                                 explicitBounds: Seq[Double],
+                                 attributes: Seq[OtlpKV])
+  final case class OtlpGauge(dataPoints: Seq[OtlpNumPoint])
+  final case class OtlpSum(dataPoints: Seq[OtlpNumPoint], isMonotonic: Boolean)
+  final case class OtlpHistogram(dataPoints: Seq[OtlpHistPoint])
+  final case class OtlpMetric(name: String, unit: String,
+                              gauge: OtlpGauge, sum: OtlpSum,
+                              histogram: OtlpHistogram)
+  final case class OtlpScopeMetrics(metrics: Seq[OtlpMetric])
+  final case class OtlpResourceMetrics(resource: OtlpResource,
+                                       scopeMetrics: Seq[OtlpScopeMetrics])
+  final case class OtlpMetricsRequest(resourceMetrics: Seq[OtlpResourceMetrics])
+
+  def decodeOtlpMetricsRequest(bytes: Array[Byte]): OtlpMetricsRequest = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val rms = Seq.newBuilder[OtlpResourceMetrics]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val (off, len) = r.bytes()
+        rms += decodeResourceMetrics(bytes, off, len)
+      } else r.skip((tag & 7).toInt)
+    }
+    OtlpMetricsRequest(rms.result())
+  }
+
+  private def decodeResourceMetrics(buf: Array[Byte], off: Int, len: Int): OtlpResourceMetrics = {
+    val r = new Reader(buf, off, off + len)
+    var resource = OtlpResource(Nil)
+    val scopes = Seq.newBuilder[OtlpScopeMetrics]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val attrs = Seq.newBuilder[OtlpKV]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 1 && (t & 7) == 2) {
+              val (ko, kl) = rr.bytes()
+              attrs += decodeKeyValue(buf, ko, kl)
+            } else rr.skip((t & 7).toInt)
+          }
+          resource = OtlpResource(attrs.result())
+        case (2, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val metrics = Seq.newBuilder[OtlpMetric]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 2 && (t & 7) == 2) {
+              val (mo, ml) = rr.bytes()
+              metrics += decodeMetric(buf, mo, ml)
+            } else rr.skip((t & 7).toInt)
+          }
+          scopes += OtlpScopeMetrics(metrics.result())
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpResourceMetrics(resource, scopes.result())
+  }
+
+  private def decodeMetric(buf: Array[Byte], off: Int, len: Int): OtlpMetric = {
+    val r = new Reader(buf, off, off + len)
+    var name = ""; var unit = ""
+    var gauge = OtlpGauge(Nil); var sum = OtlpSum(Nil, isMonotonic = false)
+    var hist = OtlpHistogram(Nil)
+    def numPoints(o: Int, l: Int): (Seq[OtlpNumPoint], Boolean) = {
+      val rr = new Reader(buf, o, o + l)
+      val pts = Seq.newBuilder[OtlpNumPoint]
+      var monotonic = false
+      while (rr.hasRemaining) {
+        val t = rr.varint()
+        ((t >> 3).toInt, (t & 7).toInt) match {
+          case (1, 2) =>
+            val (po, pl) = rr.bytes()
+            pts += decodeNumPoint(buf, po, pl)
+          case (3, 0) => monotonic = rr.varint() != 0
+          case (_, w) => rr.skip(w)
+        }
+      }
+      (pts.result(), monotonic)
+    }
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => name = r.string()
+        case (3, 2) => unit = r.string()
+        case (5, 2) =>
+          val (o, l) = r.bytes(); gauge = OtlpGauge(numPoints(o, l)._1)
+        case (7, 2) =>
+          val (o, l) = r.bytes(); val (pts, mono) = numPoints(o, l)
+          sum = OtlpSum(pts, mono)
+        case (9, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val pts = Seq.newBuilder[OtlpHistPoint]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 1 && (t & 7) == 2) {
+              val (po, pl) = rr.bytes()
+              pts += decodeHistPoint(buf, po, pl)
+            } else rr.skip((t & 7).toInt)
+          }
+          hist = OtlpHistogram(pts.result())
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpMetric(name, unit, gauge, sum, hist)
+  }
+
+  private def decodeNumPoint(buf: Array[Byte], off: Int, len: Int): OtlpNumPoint = {
+    val r = new Reader(buf, off, off + len)
+    var start = 0L; var time = 0L; var v = 0.0
+    val attrs = Seq.newBuilder[OtlpKV]
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (2, 1) => start = r.fixed64()
+        case (3, 1) => time = r.fixed64()
+        case (4, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (6, 1) => v = r.fixed64().toDouble // as_int: sfixed64 oneof arm
+        case (7, 2) =>
+          val (o, l) = r.bytes()
+          attrs += decodeKeyValue(buf, o, l)
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpNumPoint(start, time, v, attrs.result())
+  }
+
+  private def decodeHistPoint(buf: Array[Byte], off: Int, len: Int): OtlpHistPoint = {
+    val r = new Reader(buf, off, off + len)
+    var start = 0L; var time = 0L; var count = 0L; var sum = 0.0
+    val buckets = Seq.newBuilder[Long]
+    val bounds = Seq.newBuilder[Double]
+    val attrs = Seq.newBuilder[OtlpKV]
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (2, 1) => start = r.fixed64()
+        case (3, 1) => time = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (6, 2) => // packed fixed64 bucket counts
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          while (rr.hasRemaining) buckets += rr.fixed64()
+        case (7, 2) => // packed double bounds
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          while (rr.hasRemaining)
+            bounds += java.lang.Double.longBitsToDouble(rr.fixed64())
+        case (9, 2) =>
+          val (o, l) = r.bytes()
+          attrs += decodeKeyValue(buf, o, l)
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpHistPoint(start, time, count, sum, buckets.result(), bounds.result(), attrs.result())
+  }
+
+  /** Distributed OTLP metrics wire decode: binary
+    * `ExportMetricsServiceRequest` payloads → the struct shape
+    * [[Decode.otlpMetrics]] consumes. Per-split flatMap, no shuffle.
+    */
+  def decodeOtlpMetricFrames(df: org.apache.spark.sql.DataFrame,
+                             bytesCol: String = "payload"): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(bytesCol)).as[Array[Byte]]
+      .map(bytes => decodeOtlpMetricsRequest(bytes))
+      .toDF()
+  }
+
+  /** Encode (tests + sink payloads): inverse of
+    * [[decodeOtlpMetricsRequest]] for the fields this library reads.
+    */
+  def encodeOtlpMetricsRequest(req: OtlpMetricsRequest): Array[Byte] = {
+    def kv(w: Writer, field: Int, k: OtlpKV): Unit = {
+      val kw = new Writer
+      kw.str(1, k.key)
+      val vw = new Writer
+      vw.str(1, k.value)
+      kw.msg(2, vw)
+      w.msg(field, kw)
+    }
+    def numPoint(p: OtlpNumPoint): Writer = {
+      val pw = new Writer
+      pw.fixed64(2, p.startTimeUnixNano)
+      pw.fixed64(3, p.timeUnixNano)
+      pw.fixed64(4, java.lang.Double.doubleToLongBits(p.asDouble))
+      p.attributes.foreach(kv(pw, 7, _))
+      pw
+    }
+    val w = new Writer
+    req.resourceMetrics.foreach { rm =>
+      val rw = new Writer
+      val resw = new Writer
+      rm.resource.attributes.foreach(kv(resw, 1, _))
+      rw.msg(1, resw)
+      rm.scopeMetrics.foreach { sm =>
+        val smw = new Writer
+        sm.metrics.foreach { m =>
+          val mw = new Writer
+          mw.str(1, m.name)
+          if (m.unit.nonEmpty) mw.str(3, m.unit)
+          if (m.gauge.dataPoints.nonEmpty) {
+            val gw = new Writer
+            m.gauge.dataPoints.foreach(p => gw.msg(1, numPoint(p)))
+            mw.msg(5, gw)
+          }
+          if (m.sum.dataPoints.nonEmpty) {
+            val sw = new Writer
+            m.sum.dataPoints.foreach(p => sw.msg(1, numPoint(p)))
+            sw.varintField(3, if (m.sum.isMonotonic) 1L else 0L)
+            mw.msg(7, sw)
+          }
+          if (m.histogram.dataPoints.nonEmpty) {
+            val hw = new Writer
+            m.histogram.dataPoints.foreach { p =>
+              val pw = new Writer
+              pw.fixed64(2, p.startTimeUnixNano)
+              pw.fixed64(3, p.timeUnixNano)
+              pw.fixed64(4, p.count)
+              pw.fixed64(5, java.lang.Double.doubleToLongBits(p.sum))
+              if (p.bucketCounts.nonEmpty) {
+                val bw = new Writer
+                p.bucketCounts.foreach(bw.rawFixed64)
+                pw.msgBytes(6, bw)
+              }
+              if (p.explicitBounds.nonEmpty) {
+                val bw = new Writer
+                p.explicitBounds.foreach(d =>
+                  bw.rawFixed64(java.lang.Double.doubleToLongBits(d)))
+                pw.msgBytes(7, bw)
+              }
+              p.attributes.foreach(kv(pw, 9, _))
+              hw.msg(1, pw)
+            }
+            mw.msg(9, hw)
+          }
+          smw.msg(2, mw)
+        }
+        rw.msg(2, smw)
+      }
+      w.msg(1, rw)
+    }
+    w.result()
+  }
+
   // ---- shared minimal proto plumbing ---------------------------------
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
@@ -391,6 +661,17 @@ object WireCodecs {
       tag(field, 2); vint(b.length.toLong); out.write(b)
     }
     def msg(field: Int, w: Writer): Unit = bytesField(field, w.result())
+    /** Un-tagged little-endian 64-bit word — the element encoding inside
+      * a packed repeated fixed64/double field.
+      */
+    def rawFixed64(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    /** Alias of [[msg]] for packed-payload writers (reads better at call
+      * sites that pack raw words, not submessages).
+      */
+    def msgBytes(field: Int, w: Writer): Unit = bytesField(field, w.result())
     def result(): Array[Byte] = out.toByteArray
   }
 }

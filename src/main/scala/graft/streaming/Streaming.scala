@@ -355,8 +355,14 @@ object Streaming {
     val vals = array_sort(transform(col("__s"), p => p.getField("value")))
     val idx = (q: Double) =>
       (floor((size(vals) - 1).cast("double") * lit(q)) + 1).cast("int")
+    // A window whose sample is empty (every event had a null metric or
+    // null id — both legal in the serve Event model) must read out null,
+    // not crash: idx(q) = floor(-q)+1 = 0 there, and element_at(_, 0)
+    // throws unconditionally ("SQL array indices start at 1").
     val quants = array(qs.map { q =>
-      struct(lit(q).as("q"), element_at(vals, idx(q)).as("value"))
+      struct(lit(q).as("q"),
+        when(size(vals) > 0, element_at(vals, idx(q)))
+          .otherwise(lit(null).cast("double")).as("value"))
     }: _*)
     agged.select(windowStartNs, col("n_rows"), quants.as("quantiles"))
   }

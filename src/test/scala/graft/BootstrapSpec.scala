@@ -74,4 +74,23 @@ class BootstrapSpec extends AnyFunSuite {
     assert(widthBig < widthSmall,
       s"16x data must tighten the interval: big=$widthBig small=$widthSmall")
   }
+
+  test("CI is total for tiny groups where replicates sample zero rows") {
+    // n=2 per group, r=200: each replicate is empty with prob e^-2, so
+    // ~27 of the 200 means are ABSENT per group — quantile indices keyed
+    // to r (not the present count) would read past the collected list
+    // and throw under ANSI; the law here is simply totality + sane bounds
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 5.0), ("b", 4L, 15.0))
+      .toDF("grp", "id", "v")
+    val out = Bootstrap.confidenceInterval(df, "v", "id", Seq("grp"), r = 200, alpha = 0.1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("a", "b"))
+    out.foreach { case (g, (lo, hi)) => assert(lo <= hi, s"$g: lo $lo > hi $hi") }
+    // bounds live inside the value range: a replicate mean is a convex
+    // combination of the group's values
+    assert(out("a")._1 >= 10.0 && out("a")._2 <= 20.0)
+    assert(out("b")._1 >= 5.0 && out("b")._2 <= 15.0)
+  }
 }

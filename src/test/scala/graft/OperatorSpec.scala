@@ -384,6 +384,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == "ab cd")
   }
 
+  test("sharedSubstringSpans: maximal cross-doc runs, self-repeats excluded") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // docs 1/2 share a 6-token span (3 consecutive 4-windows -> ONE
+    // maximal span), doc 3 repeats a 4-gram only within itself (must
+    // NOT qualify), doc 4 is clean
+    val docs = Seq(
+      (1L, "zero alpha beta gamma delta epsilon zeta tail"),
+      (2L, "head alpha beta gamma delta epsilon zeta"),
+      (3L, "spam one two spam one two spam one two"),
+      (4L, "completely fresh text with no shared spans")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: tokens 2..7 ("alpha".."zeta"); doc 2: tokens 2..7
+    assert(out == Set((1L, 2L, 7L, 6L), (2L, 2L, 7L, 6L)),
+      s"spans $out")
+  }
+
+  test("sharedSubstringSpans == brute-force maximal cross-doc substring reference") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // seeded small-vocab corpus: planted shared spans PLUS whatever
+    // coincidental cross-doc n-grams the tiny vocabulary produces —
+    // the brute force is the semantics, not the planting
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def sent(len: Int) = Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    val planted1 = sent(9)
+    val planted2 = sent(5)
+    val corpus: Seq[(Long, Vector[String])] = (0 until 12).map { i =>
+      val base = sent(6 + rnd.nextInt(10))
+      val toks =
+        if (i % 3 == 0) base ++ planted1 ++ sent(3)
+        else if (i % 3 == 1) sent(2) ++ planted2 ++ base
+        else base
+      (i.toLong, toks)
+    }
+    val n = 4
+    val df = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.sharedSubstringSpans(df, "text", "doc_id", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = corpus.flatMap { case (id, ts) =>
+      val starts = (0 to ts.length - n).filter { p =>
+        val w = ts.slice(p, p + n)
+        corpus.exists { case (oid, ots) =>
+          oid != id && ots.sliding(n).contains(w) }
+      }.map(_ + 1) // 1-based
+      starts.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+        acc match {
+          case (lo, last) :: rest if p - last <= n => (lo, p) :: rest
+          case _ => (p, p) :: acc
+        }
+      }.reverse.map { case (lo, last) =>
+        (id, lo.toLong, (last + n - 1).toLong, (last + n - lo).toLong) }
+    }.toSet
+    assert(got == want, s"got ${got.size} spans, want ${want.size}:\n" +
+      s"extra=${got -- want}\nmissing=${want -- got}")
+  }
+
   test("LSH hash-invariance: exact-duplicate docs pair under md5 AND xxhash64") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}

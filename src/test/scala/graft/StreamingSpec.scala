@@ -789,6 +789,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(vals == driver, s"column $vals != driver $driver")
   }
 
+  test("metric quantiles: a window whose sample is empty reads out null, not a crash") {
+    // the serve Event model makes metric optional — a window where every
+    // event carried a null metric (or null id) has an EMPTY KMV sample,
+    // and an unguarded element_at(vals, 0) throws on legal input
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option.empty[Double], 5L), (2L, Option.empty[Double], 7L))
+      .toDF("id", "v", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val out = Streaming.metricSketchWindow(60, 10, "id", "v", "__time", k = 16,
+        qs = Seq(0.5, 0.9))(df)
+      .select(col("n_rows"), expr("quantiles.value")).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 2L)
+    assert(out.head.getSeq[Any](1) == Seq(null, null),
+      s"empty-sample window must read out nulls, got ${out.head}")
+  }
+
   test("streaming near-dup: out-of-order arrival must not shorten the owner's horizon") {
     // owner at t=1000; an older-but-in-horizon arrival at t=950 must not
     // pull the bucket's eviction deadline back to 950+horizon — after the

@@ -60,6 +60,37 @@ class WireCodecsSpec extends AnyFunSuite {
       Seq(OtlpKV("k", "v")))
   }
 
+  test("OTLP ExportMetricsServiceRequest encode → decode is the identity") {
+    import WireCodecs._
+    val attrs = Seq(OtlpKV("region", "eu"))
+    val req = OtlpMetricsRequest(Seq(OtlpResourceMetrics(
+      OtlpResource(Seq(OtlpKV("service.name", "svc-7"))),
+      Seq(OtlpScopeMetrics(Seq(
+        OtlpMetric("req_latency", "ms",
+          OtlpGauge(Seq(OtlpNumPoint(1L, 2L, 3.25, attrs))),
+          OtlpSum(Seq(OtlpNumPoint(4L, 5L, 6.5, Nil)), isMonotonic = true),
+          OtlpHistogram(Seq(OtlpHistPoint(7L, 8L, 42L, 99.75,
+            Seq(1L, 40L, 1L), Seq(10.0, 100.0), attrs))))))))))
+    val dec = decodeOtlpMetricsRequest(encodeOtlpMetricsRequest(req))
+    assert(dec == req)
+  }
+
+  test("OTLP metrics decode skips unknown fields (forward compatibility)") {
+    // a Metric with an exponential_histogram (field 10) this codec does
+    // not model must be skipped, not crash — splice an unknown
+    // length-delimited field into an encoded request
+    import WireCodecs._
+    val req = OtlpMetricsRequest(Seq(OtlpResourceMetrics(
+      OtlpResource(Nil),
+      Seq(OtlpScopeMetrics(Seq(OtlpMetric("m", "",
+        OtlpGauge(Seq(OtlpNumPoint(1L, 2L, 3.0, Nil))),
+        OtlpSum(Nil, isMonotonic = false), OtlpHistogram(Nil))))))))
+    val bytes = encodeOtlpMetricsRequest(req)
+    // append an unknown top-level field 9 (len-delimited, 2 bytes)
+    val spliced = bytes ++ Array[Byte]((9 << 3 | 2).toByte, 2, 1, 1)
+    assert(decodeOtlpMetricsRequest(spliced) == req)
+  }
+
   test("truncated payloads fail loudly, not silently") {
     val good = encodePromWriteRequest(PromWriteRequest(Seq(
       PromSeries(Seq(PromLabel("a", "b")), Seq(PromSample(1.0, 1L))))))

@@ -23,6 +23,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def strict_hash(df: pd.DataFrame) -> str:
+    """Replica of the driver-style hash: order- and representation-
+    sensitive.  Columns sorted by name, rows in MATERIALIZED order (no
+    canonical row sort), each cell contributing its dtype kind and exact
+    string/repr form.  canon() deliberately hides this whole failure
+    class (row-order and dtype drift between engines); this does not.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    cols = sorted(df.columns)
+    for c in cols:
+        h.update(f"{c}:{df[c].dtype}|".encode())
+    for row in df[cols].itertuples(index=False, name=None):
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                h.update(b"<null>;")
+            elif isinstance(v, float):
+                h.update(repr(v).encode() + b";")
+            else:
+                h.update(str(v).encode() + b";")
+    return h.hexdigest()[:16]
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -83,7 +107,21 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"FAIL {name}: {bad} value mismatches; first={first}")
             failed.append(name)
         else:
-            print(f"OK   {name}: rows={len(s)} cols={len(s.columns)}")
+            sh, dh = strict_hash(spark_df), strict_hash(duck_df)
+            if sh != dh:
+                # values agree under canonical sort but the materialized
+                # order/representation differs — exactly the class the
+                # driver's hash_match keys on (pack_boundaries r10)
+                sd = dict(zip(sorted(spark_df.columns),
+                              [str(spark_df[c].dtype) for c in sorted(spark_df.columns)]))
+                dd = dict(zip(sorted(duck_df.columns),
+                              [str(duck_df[c].dtype) for c in sorted(duck_df.columns)]))
+                detail = "dtypes " + str({k: (sd[k], dd[k]) for k in sd if sd[k] != dd[k]}) \
+                    if sd != dd else "row order"
+                print(f"STRICT-MISMATCH {name}: spark={sh} duck={dh} ({detail})")
+                failed.append(name)
+            else:
+                print(f"OK   {name}: rows={len(s)} cols={len(s.columns)} hash={sh}")
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
