@@ -90,7 +90,12 @@ object Bench {
     "mojibake_health", "readability", "incremental_dedup", "hilbert_key",
     "csv_roundtrip", "fuzzy_decontam", "cluster_cap_sample", "script_profile",
     "chunk_sentences", "rank_normalize", "salted_join", "anchor_edges", "html_meta", "quality_cascade", "ks_drift", "dedup_lines_consecutive", "ir_text_health", "dup_rate_estimate",
-    "bm25_persisted")
+    "bm25_persisted",
+    // round 11: cross-doc exact-substring spans (Lee et al. ExactSubstr),
+    // OTLP metrics wire decode, keep-first substring cut, leakage-free
+    // cluster split, RSS/Atom parse round trip
+    "shared_substring_spans", "otlp_metrics_wire_decode",
+    "shared_substring_cut", "cluster_split", "feed_urls")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

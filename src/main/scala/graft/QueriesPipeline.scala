@@ -1240,6 +1240,29 @@ object QueriesPipeline {
           .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
       }
 
+      // leakage-free split: near-dup clusters are atomic split units —
+      // every doc gets the split of its cluster root (docs in no pair
+      // root at themselves); the oracle replays closure + root hashing
+      register("cluster_split",
+        s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$closure
+           |SELECT d.doc_id,
+           |       CASE WHEN (${sqlMd5Hash64(
+                      "'cs:' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)")} % 1000000)
+           |              < 800000 THEN 'train'
+           |            WHEN (${sqlMd5Hash64(
+                      "'cs:' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)")} % 1000000)
+           |              < 900000 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+           |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.clusterAwareSplit(d, pairs, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cs")
+          .select("doc_id", "split").orderBy("doc_id")
+      }
+
       // duplicate-rate planning estimate: deterministic md5 sample ->
       // within-sample LSH + closure -> rates; the oracle replays the
       // sample membership, the signatures, and the transitive closure
@@ -1771,6 +1794,59 @@ object QueriesPipeline {
         Dedup.sharedSubstringSpans(docs(s, dir), "text", "doc_id", n)
           .select("doc_id", "begin_tok", "end_tok", "n_tokens")
           .orderBy("doc_id", "begin_tok")
+      }
+
+      // keep-one-copy variant (the paper's actual rule at doc
+      // granularity): the min-id owner of each shared window emits no
+      // span — the oracle replays the ownership join
+      val substringLegs =
+        s"""w0 AS (SELECT doc_id, list_transform(${sqlNgrams("toks", n)},
+           |                      g -> ${sqlMd5HashMod("g")}) AS hh
+           |       FROM docs),
+           |w AS (SELECT doc_id, CAST(i AS BIGINT) AS p, hh[i] AS h
+           |      FROM w0, unnest(range(1, len(hh) + 1)) AS r(i)),
+           |own AS (SELECT h, min(doc_id) AS owner FROM w GROUP BY h),
+           |m AS (SELECT w.doc_id, w.p FROM w JOIN own USING (h)
+           |      WHERE w.doc_id <> own.owner),
+           |i1 AS (SELECT doc_id, p,
+           |              CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+           |                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $n
+           |                   THEN 1 ELSE 0 END AS nw
+           |       FROM m),
+           |i2 AS (SELECT doc_id, p,
+           |              sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+           |       FROM i1),
+           |cover AS (SELECT doc_id, isl, CAST(min(p) AS BIGINT) AS lo,
+           |                 CAST(max(p) + $n - 1 AS BIGINT) AS hi
+           |          FROM i2 GROUP BY doc_id, isl)""".stripMargin
+
+      register("shared_substring_keepfirst",
+        s"""$DocsView,
+           |$substringLegs
+           |SELECT doc_id, lo AS begin_tok, hi AS end_tok,
+           |       hi - lo + 1 AS n_tokens
+           |FROM cover ORDER BY doc_id, begin_tok""".stripMargin) { (s, dir) =>
+        Dedup.sharedSubstringSpans(docs(s, dir), "text", "doc_id", n, keepFirst = true)
+          .select("doc_id", "begin_tok", "end_tok", "n_tokens")
+          .orderBy("doc_id", "begin_tok")
+      }
+
+      // the destructive application: rebuild text with non-owner copies
+      // cut (dup_ngram_cut's rebuild pattern over the merged spans)
+      register("shared_substring_cut",
+        s"""$DocsView,
+           |$substringLegs,
+           |cv AS (SELECT doc_id, list(lo) AS los, list(hi) AS his
+           |       FROM cover GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CASE WHEN d.toks IS NULL THEN NULL
+           |            ELSE coalesce(array_to_string(
+           |       list_filter(d.toks, (t, i) ->
+           |         len(list_filter(range(1, len(coalesce(cv.los, CAST([] AS BIGINT[]))) + 1),
+           |             s -> i >= cv.los[s] AND i <= cv.his[s])) = 0), ' '), '') END AS text
+           |FROM docs d LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        Dedup.cutSharedSubstrings(docs(s, dir), "text", "doc_id", n)
+          .orderBy("doc_id")
       }
     }
 
@@ -4773,6 +4849,29 @@ object QueriesPipeline {
       Curation.sourceZscores(docs(s, dir), "source", "n_chars")
         .select("doc_id", "source", "zscore", "is_outlier")
         .orderBy("doc_id")
+    }
+
+    // empirical-Bayes shrunken per-source quality means (partial
+    // pooling toward the corpus prior with pseudo-count k): exact
+    // decimal sums, one fixed IEEE readout replayed by the oracle
+    locally {
+      val k = 25.0
+      register("shrunk_group_means",
+        s"""WITH g AS (SELECT source, count(*) AS n,
+           |                  sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,9))) AS s
+           |           FROM documents GROUP BY source),
+           |t AS (SELECT count(*) AS nn,
+           |             sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,9))) AS ss
+           |      FROM documents)
+           |SELECT g.source, g.n,
+           |       CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean,
+           |       (CAST(g.s AS DOUBLE) + $k *
+           |         (CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE)))
+           |       / (CAST(g.n AS DOUBLE) + $k) AS shrunk_mean
+           |FROM g, t ORDER BY source""".stripMargin) { (s, dir) =>
+        Curation.shrunkGroupMeans(docs(s, dir), "source", "n_chars", k)
+          .orderBy("source")
+      }
     }
 
     // Poisson-bootstrap uncertainty for per-source metric means: each

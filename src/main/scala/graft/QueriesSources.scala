@@ -280,11 +280,17 @@ object QueriesSources {
         |            ELSE CAST(1 AS BIGINT) END AS cnt
         |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // payload grouping key is user_id % 40 (NOT % 5): 40 encode tasks
+      // instead of 5, and since 5 | 40 the key still determines the
+      // request's service (k % 5) — the x10 scale probe showed the
+      // 5-group encode serializing (8.9x at x10 data) while the decode
+      // side is per-split; this is builder parallelism, same oracle
       val payloads = Tables.eventsRaw(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("(ts div 1000) * 1000").as("t_ns"), col("value"))
-        .groupByKey(r => r.getAs[Long]("user_id") % 5)
-        .mapGroups { (svc: Long, it: Iterator[Row]) =>
+        .groupByKey(r => r.getAs[Long]("user_id") % 40)
+        .mapGroups { (grp: Long, it: Iterator[Row]) =>
+          val svc = grp % 5
           val metrics = it.toSeq.sortBy(_.getAs[Long]("event_id")).map { r =>
             val eid = r.getAs[Long]("event_id")
             val tNs = r.getAs[Long]("t_ns")
@@ -314,6 +320,58 @@ object QueriesSources {
           col("name"), col("mtype"), col("service"), col("time"),
           col("metric"), col("count").as("cnt"))
         .orderBy("eid")
+    }
+
+    // RSS/Atom feed discovery (crawl-frontier sibling of sitemap_urls):
+    // per source, even docs publish through one RSS body and odd docs
+    // through one Atom body (with a decoy rel="self" link exercising
+    // the alternate-link rule); format-sniffed parse must recover every
+    // entry. Oracle computes the expected rows directly.
+    register("feed_urls",
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type,
+        |       source,
+        |       'https://ex.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+        |       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |       'p' || CAST(doc_id AS VARCHAR) AS published,
+        |       'g' || CAST(doc_id AS VARCHAR) AS entry_id
+        |FROM documents ORDER BY entry_id, feed_type""".stripMargin) { (s, dir) =>
+      val d = graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("id", col("doc_id").cast("string"))
+        .withColumn("url", concat(lit("https://ex.org/"), col("source"),
+          lit("/"), col("id")))
+      def feedBodies(even: Boolean): DataFrame = {
+        val part = d.filter(pmod(col("doc_id"), lit(2)) === (if (even) 0 else 1))
+        val entry =
+          if (even)
+            concat(lit("<item><link>"), col("url"),
+              lit("</link><title>doc "), col("id"),
+              lit("</title><pubDate>p"), col("id"),
+              lit("</pubDate><guid>g"), col("id"), lit("</guid></item>"))
+          else
+            concat(lit("<entry><link rel=\"self\" href=\"https://ex.org/feed\"/>"),
+              lit("<link rel=\"alternate\" href=\""), col("url"),
+              lit("\"/><title>doc "), col("id"),
+              lit("</title><updated>p"), col("id"),
+              lit("</updated><id>g"), col("id"), lit("</id></entry>"))
+        val body = part.withColumn("e", entry)
+          .groupBy("source")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("e")))),
+            x => x.getField("e")), "").as("es"))
+        if (even)
+          body.select(col("source"), concat(lit("<rss version=\"2.0\"><channel>"),
+            col("es"), lit("</channel></rss>")).as("xml"))
+        else
+          body.select(col("source"), concat(
+            lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">"),
+            col("es"), lit("</feed>")).as("xml"))
+      }
+      graft.sources.Feed.parseFeeds(
+          feedBodies(even = true).unionByName(feedBodies(even = false)))
+        .select(col("feed_type"), col("source"), col("url"), col("title"),
+          col("published"), col("entry_id"))
+        .orderBy("entry_id", "feed_type")
     }
 
     // Prometheus remote-write WIRE decode (§2.7): canonical events →

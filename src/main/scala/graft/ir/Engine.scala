@@ -1380,6 +1380,16 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.cutDuplicateNgrams(df, pStr(m("text")), pStr(m("id")),
         m.get("n").map(pLong(_).toInt).getOrElse(50))
+    case "shared-substring-spans" =>
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.sharedSubstringSpans(df, pStr(m("text")), pStr(m("id")),
+        m.get("min-len").map(pLong(_).toInt).getOrElse(50), // Lee et al.'s 50-token rule
+        keepFirst = m.get("keep-first").exists(_.asInstanceOf[Boolean]))
+    case "shared-substring-cut" =>
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.cutSharedSubstrings(df, pStr(m("text")), pStr(m("id")),
+        m.get("min-len").map(pLong(_).toInt).getOrElse(50),
+        keepFirst = m.get("keep-first").forall(_.asInstanceOf[Boolean]))
     case "chunk-tokens" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.chunkTokens(df, pStr(m("id")), pStr(m("text")),
@@ -1859,6 +1869,25 @@ object Engine {
           pStr(m("text")), pStr(m("id")), pDouble(m("min-sim")),
           m.get("max-len").map(pLong(_).toInt).getOrElse(512))
       }
+    case "cluster-split" =>
+      // leakage-free train/val/test: LSH pairs -> star-contraction
+      // roots -> hash split of the ROOT (near-dup clusters atomic)
+      val m = pMap(params.head)
+      df => {
+        val pairs = graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
+          k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+        val weights = m("weights").asInstanceOf[Seq[Any]].map { w =>
+          val wm = pMap(w)
+          (pStr(wm("name")), pDouble(wm("weight")))
+        }
+        graft.operators.Dedup.clusterAwareSplit(df, pairs, pStr(m("id")), weights,
+          salt = m.get("salt").map(pStr).getOrElse("split"))
+      }
+    case "shrunk-group-means" =>
+      val m = pMap(params.head)
+      df => graft.operators.Curation.shrunkGroupMeans(df, pStr(m("group")),
+        pStr(m("value")), pDouble(m("pseudo-count")))
     case "ivfpq-build" =>
       // sink-like: persist the index (train + encode, cell-partitioned
       // codes) and pass the corpus through unchanged
@@ -2125,6 +2154,9 @@ object Engine {
       val m = params.headOption.map(pMap).getOrElse(Map.empty)
       df => graft.sources.Cdx.parseCdxj(df,
         m.get("line").map(pStr).getOrElse("line"))
+    case "feed-urls" =>
+      val m = pMap(params.head)
+      df => graft.sources.Feed.parseFeeds(df, pStr(m("xml")))
     case "sitemap-urls" =>
       val m = pMap(params.head)
       df => graft.sources.Sitemap.parseUrlset(df, pStr(m("xml")))

@@ -971,6 +971,43 @@ object Curation {
       .filter(col("__cd") > lit(1.0 - fraction)).drop("__cd")
   }
 
+  /** Empirical-Bayes shrunken per-group metric means — the domain-level
+    * quality score a curation pipeline filters domains by: a raw mean
+    * over a 3-document domain is noise, so small groups shrink toward
+    * the corpus prior with pseudo-count weight `k`:
+    * `shrunk = (Σv + k·prior) / (n + k)` where `prior` is the global
+    * mean (the standard beta/normal-prior posterior-mean estimator —
+    * Gelman's partial pooling; MacKay's add-k smoothing is the count
+    * special case). A 10k-doc domain barely moves; a 3-doc domain lands
+    * near the prior — exactly the ranking you want before cutting
+    * domains by mean quality.
+    *
+    * Determinism: sums round through DECIMAL(38,9) (the repo's sum
+    * convention) and the readout is a fixed IEEE expression over those
+    * exact sums, so the oracle replays it bit-identically.
+    *
+    * Output: `(groupCol, n, mean, shrunk_mean)`. Scale: ONE map-side-
+    * combined group aggregate + a broadcast one-row global frame; no
+    * other shuffle at any corpus size.
+    */
+  def shrunkGroupMeans(df: DataFrame, groupCol: String, valCol: String,
+                       pseudoCount: Double): DataFrame = {
+    require(pseudoCount > 0,
+      s"shrunkGroupMeans: pseudoCount must be > 0, got $pseudoCount")
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valCol).cast("double").cast("decimal(38,9)")).as("__s"))
+    val tot = df.agg(
+      count(lit(1)).as("__tot_n"),
+      sum(col(valCol).cast("double").cast("decimal(38,9)")).as("__tot_s"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"),
+        (col("__s").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("__s").cast("double") + lit(pseudoCount) *
+          (col("__tot_s").cast("double") / col("__tot_n").cast("double"))) /
+          (col("n").cast("double") + lit(pseudoCount))).as("shrunk_mean"))
+  }
+
   /** Sentence-aware chunking — [[chunkTokens]]'s RAG-grade sibling: the
     * text splits at sentence boundaries (`[.!?]+` runs followed by
     * whitespace) and CONSECUTIVE sentences pack greedily into chunks of

@@ -212,7 +212,7 @@ object Dedup {
     * with a df-style frequency cut if profiling shows it.
     */
   def sharedSubstringSpans(df: DataFrame, textCol: String, idCol: String,
-                           minLen: Int,
+                           minLen: Int, keepFirst: Boolean = false,
                            hashFn: Column => Column = Text.md5HashMod): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val toks = Text.tokens(col(textCol))
@@ -220,10 +220,20 @@ object Dedup {
         posexplode(windowHashes(toks, minLen, hashFn)).as(Seq("__p0", "__h")))
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__p"), col("__h"))
     val wh = Window.partitionBy(col("__h"))
-    val shared = wins
+    // keepFirst = Lee et al.'s keep-one-copy rule at document
+    // granularity: the lowest-id document containing a shared window is
+    // its OWNER and emits no span for it (all its occurrences survive);
+    // every other document cuts. `id != min(id)` implies >= 2 distinct
+    // docs, so the owner filter subsumes the cross-doc test — and the
+    // global occurrence ordering that [[cutDuplicateNgrams]] documents
+    // as requiring a second corpus-wide shuffle comes free here (same
+    // min over the hash partition).
+    val shared0 = wins
       .withColumn("__dmin", min(col("__id")).over(wh))
       .withColumn("__dmax", max(col("__id")).over(wh))
-      .filter(col("__dmin") =!= col("__dmax"))
+    val shared =
+      if (keepFirst) shared0.filter(col("__id") =!= col("__dmin"))
+      else shared0.filter(col("__dmin") =!= col("__dmax"))
     val wd = Window.partitionBy(col("__id")).orderBy(col("__p"))
     val lagP = lag(col("__p"), 1).over(wd)
     // new island when the previous start can't reach this one: spans
@@ -238,6 +248,43 @@ object Dedup {
         (max(col("__p")) + lit((minLen - 1).toLong)).as("end_tok"))
       .select(col("__id").as(idCol), col("begin_tok"), col("end_tok"),
         (col("end_tok") - col("begin_tok") + 1).as("n_tokens"))
+  }
+
+  /** The destructive application of [[sharedSubstringSpans]] — Lee et
+    * al. 2022's ExactSubstr dedup proper: rebuild each document with
+    * its cross-document shared spans removed. With `keepFirst` (the
+    * paper's rule, the default) the lowest-id document containing a
+    * shared substring keeps it and every other document loses it —
+    * unlike [[cutDuplicateNgrams]], which cuts ALL copies and
+    * documents why one-copy semantics needed a global ordering it
+    * didn't have; the span operator's per-hash `min(doc)` IS that
+    * ordering, for free.
+    *
+    * Output: `(idCol, textCol)` rebuilt from surviving tokens (empty
+    * string when everything was covered; null text stays null; docs
+    * shorter than `minLen` pass through re-joined). Scale shape: the
+    * span pipeline plus ONE join of per-doc span lists (duplicated
+    * spans only — tiny next to the corpus) back to the docs; coverage
+    * is per-row interval algebra over the ALREADY-merged disjoint
+    * spans.
+    */
+  def cutSharedSubstrings(df: DataFrame, textCol: String, idCol: String,
+                          minLen: Int, keepFirst: Boolean = true,
+                          hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val spans = sharedSubstringSpans(df, textCol, idCol, minLen, keepFirst, hashFn)
+      .groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("begin_tok").cast("int").as("lo"),
+        col("end_tok").cast("int").as("hi"))).as("__iv0"))
+    val toks = Text.tokens(col(textCol))
+    val ids = df.select(col(idCol), toks.as("__toks"))
+    ids.join(spans, ids(idCol) === spans("__sid"), "left")
+      .withColumn("__iv",
+        coalesce(col("__iv0"), array().cast("array<struct<lo:int,hi:int>>")))
+      .select(col(idCol),
+        when(col("__toks").isNull, lit(null)).otherwise(
+          concat_ws(" ", filter(col("__toks"), (_, i) =>
+            !exists(col("__iv"),
+              iv => i + 1 >= iv.getField("lo") && i + 1 <= iv.getField("hi"))))).as(textCol))
   }
 
   /** Banding-theory planner (the MMDS ch.3 s-curve): for a `k`-hash
@@ -844,6 +891,33 @@ object Dedup {
     * corpus pays a single anti-join against the loser set (broadcast
     * when duplicates are rare — the common case AQE detects).
     */
+  /** Leakage-free train/val/test assignment — the split rule evaluation
+    * hygiene actually requires: hash-splitting DOCUMENTS puts two
+    * near-duplicates of the same page on both sides of the train/test
+    * fence (the classic contamination-by-split bug; Lee et al. 2022 §6
+    * measure the resulting eval inflation), so the atomic unit must be
+    * the near-dup CLUSTER. Every document is assigned the split of its
+    * cluster root (min reachable id via diameter-independent
+    * [[clusterPairsStar]]); documents in no pair are their own root, so
+    * the assignment is total and, for clean corpora, degrades to the
+    * plain [[graft.operators.Sampling.splitByHash]].
+    *
+    * Output: input columns + `split`. Scale: the star-contraction
+    * rounds on the PAIR LIST (edge-list-sized, not corpus-sized) plus
+    * one broadcast-or-shuffle join of labels back to the corpus; the
+    * split itself is a map-side hash.
+    */
+  def clusterAwareSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                        weights: Seq[(String, Double)],
+                        salt: String = "split"): DataFrame = {
+    val labels = clusterPairsStar(pairs).withColumnRenamed("id", "__cid")
+    val rooted = df.join(labels, df(idCol) === col("__cid"), "left")
+      .withColumn("__root", coalesce(col("cluster"), df(idCol)))
+      .drop("__cid", "cluster")
+    graft.operators.Sampling.splitByHash(rooted, "__root", weights, salt)
+      .drop("__root")
+  }
+
   def dedupByClustersKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
                               qualityCol: String,
                               id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {

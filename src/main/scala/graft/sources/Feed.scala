@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** RSS 2.0 / Atom feed parsing — the push-advertised half of crawl
+  * discovery next to [[Sitemap]] (site-advertised) and [[Robots]]
+  * (permission): feeds carry the freshest URLs a site publishes, which
+  * is why production crawlers poll them between sitemap sweeps.
+  *
+  * Same engineering rules as [[Sitemap]]: Spark-native `from_xml`
+  * against explicit schemas + `inline` explode — map-side, no scalar
+  * UDF, no driver DOM, total on malformed XML (an unparseable body
+  * yields zero rows, not a failed task). Dates stay strings (RFC 822 /
+  * RFC 3339 as published); parsing them is the caller's policy.
+  */
+object Feed {
+
+  private val RssItem = StructType(Seq(
+    StructField("link", StringType),
+    StructField("title", StringType),
+    StructField("pubDate", StringType),
+    StructField("guid", StringType)))
+
+  private val RssSchema = StructType(Seq(
+    StructField("channel", StructType(Seq(
+      StructField("item", ArrayType(RssItem)))))))
+
+  // Atom <link href=".."/> is attribute-carried; native from_xml maps
+  // attributes with the "_" prefix. Multiple link elements per entry
+  // (rel=self/alternate/...) parse as an array.
+  private val AtomLink = StructType(Seq(
+    StructField("_href", StringType),
+    StructField("_rel", StringType)))
+
+  private val AtomEntry = StructType(Seq(
+    StructField("link", ArrayType(AtomLink)),
+    StructField("title", StringType),
+    StructField("updated", StringType),
+    StructField("id", StringType)))
+
+  private val AtomSchema = StructType(Seq(
+    StructField("entry", ArrayType(AtomEntry))))
+
+  /** Explode RSS 2.0 bodies into one row per `<item>`: original columns
+    * survive; `url`, `title`, `published`, `entry_id` appended (absent
+    * children null). Non-RSS bodies contribute no rows.
+    */
+  def parseRss(df: DataFrame, xmlCol: String = "xml"): DataFrame =
+    df
+      .withColumn("__r", from_xml(col(xmlCol), RssSchema))
+      .select(col("*"), inline(col("__r.channel.item")))
+      .drop("__r")
+      .withColumnRenamed("link", "url")
+      .withColumnRenamed("pubDate", "published")
+      .withColumnRenamed("guid", "entry_id")
+
+  /** The per-entry Atom URL: the first `rel="alternate"` link, else the
+    * first link with no rel (the spec's implied alternate), else the
+    * first link of any kind.
+    */
+  private def atomUrl(links: Column): Column = {
+    // try_element_at, not element_at: a rel class with no match is an
+    // EMPTY array and ANSI element_at throws on index 1 — null is the
+    // correct "no such link" answer for coalesce to fall through
+    def firstHref(pred: Column => Column): Column =
+      try_element_at(transform(filter(links, l => pred(l.getField("_rel"))),
+        _.getField("_href")), lit(1))
+    coalesce(
+      firstHref(r => r === "alternate"),
+      firstHref(r => r.isNull),
+      try_element_at(transform(links, _.getField("_href")), lit(1)))
+  }
+
+  /** Explode Atom bodies into one row per `<entry>`: `url` (resolved by
+    * the alternate-link rule), `title`, `published` (`<updated>`),
+    * `entry_id` (`<id>`). Non-Atom bodies contribute no rows.
+    */
+  def parseAtom(df: DataFrame, xmlCol: String = "xml"): DataFrame =
+    df
+      .withColumn("__a", from_xml(col(xmlCol), AtomSchema))
+      .select(col("*"), explode(col("__a.entry")).as("__e"))
+      .select(col("*"),
+        atomUrl(col("__e.link")).as("url"),
+        col("__e.title").as("title"),
+        col("__e.updated").as("published"),
+        col("__e.id").as("entry_id"))
+      .drop("__a", "__e")
+
+  /** Format-sniffing union: each body routes to the RSS or Atom parser
+    * by its root element, with `feed_type` tagging the rows. One body
+    * parses at most once (a document can't be both); unparseable bodies
+    * contribute nothing. Two map-side projections over the same scan —
+    * at crawl scale the frame is millions of small bodies and the whole
+    * pass is still shuffle-free.
+    */
+  def parseFeeds(df: DataFrame, xmlCol: String = "xml"): DataFrame = {
+    val root = regexp_extract(col(xmlCol), "<\\s*([A-Za-z]+)", 1)
+    val rss = parseRss(df.filter(lower(root) === "rss"), xmlCol)
+      .withColumn("feed_type", lit("rss"))
+    val atom = parseAtom(df.filter(lower(root) === "feed"), xmlCol)
+      .withColumn("feed_type", lit("atom"))
+    rss.unionByName(atom)
+  }
+}

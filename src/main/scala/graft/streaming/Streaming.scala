@@ -897,4 +897,30 @@ object Streaming {
       graft.operators.Similarity.queryIvfPqIndex(
         batch.sparkSession, indexPath, batch, idCol, vecCol, k, nProbe),
       batchId)
+
+  /** Online sparse-retrieval serving from a PERSISTED BM25 postings
+    * index ([[graft.operators.Retrieval.buildBm25Index]]) — the lexical
+    * twin of [[annServeBatch]], completing the store trilogy's serving
+    * faces: each micro-batch of `(query_id, text)` rows is answered
+    * from the stored postings through the SAME
+    * [[graft.operators.Retrieval.queryBm25Index]] plan as the batch
+    * face (score-identical by construction), so every batch's postings
+    * scan is pruned to the term buckets ITS queries touch (partition
+    * filter on `termbucket`, parquet blooms skipping row groups inside
+    * touched partitions — the pruning proof lives in RetrievalSpec and
+    * applies verbatim here). `handler` receives the
+    * `(query_id, rank, doc_id, score)` answers per batch.
+    *
+    * Usage: `queries.writeStream.foreachBatch(Streaming.bm25ServeBatch(
+    * path, "query_id", "text", k)(handler)).start()`. The meta read is
+    * one 1-row parquet per batch; cache upstream if the trigger rate
+    * makes that matter.
+    */
+  def bm25ServeBatch(indexPath: String, qIdCol: String, qTextCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75)(
+                     handler: (org.apache.spark.sql.DataFrame, Long) => Unit): (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (batch, batchId) => handler(
+      graft.operators.Retrieval.queryBm25Index(
+        batch.sparkSession, indexPath, batch, qIdCol, qTextCol, k, k1, b),
+      batchId)
 }

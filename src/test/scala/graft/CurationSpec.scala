@@ -972,4 +972,25 @@ class CurationSpec extends AnyFunSuite {
       .select("t2").collect().head.getString(0)
     assert(out == "nav\nbody")
   }
+
+  test("shrunkGroupMeans: exact posterior-mean formula; small groups pool, big groups don't") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 100).map(i => ("big", i.toLong, 10.0)) ++
+      Seq(("tiny", 101L, 100.0), ("tiny", 102L, 100.0)))
+      .toDF("grp", "id", "v")
+    val k = 10.0
+    val out = Curation.shrunkGroupMeans(df, "grp", "v", k)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val prior = (100 * 10.0 + 2 * 100.0) / 102.0
+    val (nB, mB, sB) = out("big")
+    val (nT, mT, sT) = out("tiny")
+    assert(nB == 100L && mB == 10.0 && nT == 2L && mT == 100.0)
+    // exact formula replay: (sum + k*prior) / (n + k)
+    assert(sB == (1000.0 + k * prior) / (100.0 + k), s"big $sB")
+    assert(sT == (200.0 + k * prior) / (2.0 + k), s"tiny $sT")
+    // pooling law: the tiny group moves much closer to the prior
+    assert(math.abs(sT - prior) < math.abs(100.0 - prior) / 3)
+    assert(math.abs(sB - 10.0) < 0.2)
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.Feed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RSS 2.0 / Atom parsing: item/entry explode, the alternate-link
+  * resolution rule, format sniffing, totality on malformed XML. The XML
+  * round trip is oracle-gated (`feed_urls`).
+  */
+class FeedSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val rss =
+    """<?xml version="1.0"?>
+      |<rss version="2.0"><channel>
+      |  <title>chan</title>
+      |  <item><link>http://e.com/a</link><title>A</title>
+      |    <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate><guid>ga</guid></item>
+      |  <item><link>http://e.com/b</link><title>B</title></item>
+      |</channel></rss>""".stripMargin
+
+  private val atom =
+    """<?xml version="1.0"?>
+      |<feed xmlns="http://www.w3.org/2005/Atom">
+      |  <entry>
+      |    <link rel="self" href="http://e.com/feed"/>
+      |    <link rel="alternate" href="http://e.com/x"/>
+      |    <title>X</title><updated>2024-01-01T00:00:00Z</updated><id>gx</id>
+      |  </entry>
+      |  <entry>
+      |    <link href="http://e.com/y"/>
+      |    <title>Y</title><updated>2024-01-02T00:00:00Z</updated><id>gy</id>
+      |  </entry>
+      |</feed>""".stripMargin
+
+  test("parseRss: one row per item, absent children null") {
+    val s = spark
+    import s.implicits._
+    val out = Feed.parseRss(Seq(("f1", rss)).toDF("id", "xml"))
+      .select("url", "title", "published", "entry_id").orderBy("url").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "http://e.com/a" && out(0).getString(3) == "ga")
+    assert(out(1).getString(0) == "http://e.com/b" && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
+  test("parseAtom: alternate link beats self; bare link is the implied alternate") {
+    val s = spark
+    import s.implicits._
+    val out = Feed.parseAtom(Seq(("f2", atom)).toDF("id", "xml"))
+      .select("url", "title", "entry_id").orderBy("entry_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "http://e.com/x", s"self link must lose: ${out(0)}")
+    assert(out(1).getString(0) == "http://e.com/y")
+  }
+
+  test("parseFeeds: format sniffing routes each body once; garbage contributes nothing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", rss), ("b", atom), ("c", "not xml at all"),
+      ("d", "<html><body>page</body></html>")).toDF("id", "xml")
+    val out = Feed.parseFeeds(df).select("feed_type", "url").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("rss", "http://e.com/a"), ("rss", "http://e.com/b"),
+      ("atom", "http://e.com/x"), ("atom", "http://e.com/y")))
+  }
+}

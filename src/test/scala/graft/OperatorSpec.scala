@@ -384,6 +384,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == "ab cd")
   }
 
+  test("clusterAwareSplit: near-dup clusters are atomic; singletons degrade to splitByHash") {
+    import graft.operators.{Dedup, Sampling}
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val w = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = Dedup.clusterAwareSplit(docs, pairs, "doc_id", w, salt = "t")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 6)
+    // cluster {1,2,3} lands on ONE side, {5,6} on one side
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, s"cluster split apart: $out")
+    assert(out(5L) == out(6L), s"cluster split apart: $out")
+    // the singleton gets exactly the plain hash split of its own id
+    val plain = Sampling.splitByHash(docs.filter($"doc_id" === 4L), "doc_id", w, salt = "t")
+      .select("split").head.getString(0)
+    assert(out(4L) == plain)
+  }
+
   test("sharedSubstringSpans: maximal cross-doc runs, self-repeats excluded") {
     import graft.operators.Dedup
     val s = spark
@@ -402,6 +421,29 @@ class OperatorSpec extends AnyFunSuite {
     // doc 1: tokens 2..7 ("alpha".."zeta"); doc 2: tokens 2..7
     assert(out == Set((1L, 2L, 7L, 6L), (2L, 2L, 7L, 6L)),
       s"spans $out")
+  }
+
+  test("keepFirst spans + cutSharedSubstrings: the min-id owner keeps its copy, others cut") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "zero alpha beta gamma delta epsilon zeta tail"),
+      (2L, "head alpha beta gamma delta epsilon zeta"),
+      (3L, "spam one two spam one two spam one two"), // self-repeat only
+      (4L, "ab cd")                                   // shorter than minLen
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 4,
+        keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1 is the owner: no span; only doc 2 cuts
+    assert(spans == Set((2L, 2L, 7L, 6L)), s"spans $spans")
+    val cut = Dedup.cutSharedSubstrings(docs, "text", "doc_id", minLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == "zero alpha beta gamma delta epsilon zeta tail")
+    assert(cut(2L) == "head")
+    assert(cut(3L) == "spam one two spam one two spam one two")
+    assert(cut(4L) == "ab cd")
   }
 
   test("sharedSubstringSpans == brute-force maximal cross-doc substring reference") {

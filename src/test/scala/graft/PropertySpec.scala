@@ -342,6 +342,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shared-substring laws: spans disjoint and >= minLen; keepFirst ⊆ all-spans; owners uncut") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("data", "spark", "batch", "row", "key", "fast", "agg", "join")
+    val genDoc = Gen.listOfN(14, word).map(_.mkString(" "))
+    val genCorpus = Gen.listOf(genDoc).map(_.take(10).zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    forAll(genCorpus, cases = 5) { corpus =>
+      whenever(corpus.size >= 2) {
+        val df = corpus.toDF("doc_id", "text")
+        val n = 3
+        def collect(keepFirst: Boolean) =
+          Dedup.sharedSubstringSpans(df, "text", "doc_id", n, keepFirst)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val all = collect(keepFirst = false)
+        val kf = collect(keepFirst = true)
+        // every span is >= minLen tokens, internally consistent, in-doc
+        (all ++ kf).foreach { case (id, lo, hi, nt) =>
+          assert(nt == hi - lo + 1 && nt >= n, s"span ($id,$lo,$hi,$nt)")
+          val len = corpus.find(_._1 == id).get._2
+            .toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+          assert(lo >= 1 && hi <= len, s"span ($id,$lo,$hi) outside doc len $len")
+        }
+        // spans are pairwise disjoint and non-adjacent per doc (merged)
+        Seq(all, kf).foreach { spans =>
+          spans.groupBy(_._1).foreach { case (id, ss) =>
+            val sorted = ss.sortBy(_._2).toList
+            sorted.sliding(2).foreach {
+              case Seq((_, _, h1, _), (_, l2, _, _)) =>
+                assert(l2 > h1 + 1, s"doc $id: spans not merged: hi=$h1 lo=$l2")
+              case _ =>
+            }
+          }
+        }
+        // keepFirst token coverage ⊆ all-spans coverage, per doc
+        def covered(spans: Seq[(Long, Long, Long, Long)]) =
+          spans.flatMap { case (id, lo, hi, _) => (lo to hi).map(id -> _) }.toSet
+        assert(covered(kf).subsetOf(covered(all)))
+        // ownership law: the GLOBAL min-id doc owns every window it
+        // contains (no lower id exists), so it never emits a keepFirst
+        // span — its copy is the one that survives
+        assert(!kf.exists(_._1 == corpus.map(_._1).min),
+          "global min-id doc must never cut under keepFirst")
+      }
+    }
+  }
+
   test("shuffleOrder: dense permutation for every seed; within-source order law for interleave") {
     import graft.operators.Curation
     val s = spark

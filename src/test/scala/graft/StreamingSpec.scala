@@ -897,4 +897,43 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
+
+  test("bm25ServeBatch: streamed queries against the persisted postings index == the batch answers") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    // small deterministic corpus with term overlap across docs
+    val words = Vector("spark", "stream", "index", "bm25", "query", "terms",
+      "lexical", "serve", "batch", "score")
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => words((i * 7 + j * 3) % words.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_serve").toString
+    graft.operators.Retrieval.buildBm25Index(corpus, "doc_id", "text",
+      s"$tmp/idx", nBuckets = 8)
+    val queries = Seq((1L, "spark index score"), (2L, "lexical stream")).toDF("query_id", "text")
+    val expected = graft.operators.Retrieval.queryBm25Index(s, s"$tmp/idx",
+      queries, "query_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "fixture must produce batch answers")
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("query_id", "text").writeStream
+      .foreachBatch(Streaming.bm25ServeBatch(s"$tmp/idx", "query_id", "text",
+        k = 5) { (res, _) =>
+        res.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+      }).start()
+    // two micro-batches: per-batch pruning must not change the answers
+    ms.addData(Seq((1L, "spark index score")))
+    q.processAllAvailable()
+    ms.addData(Seq((2L, "lexical stream")))
+    q.processAllAvailable(); q.stop()
+    assert(got.toSet == expected,
+      "streamed BM25 serving must reproduce the batch answers exactly")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }
