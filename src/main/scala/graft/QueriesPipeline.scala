@@ -2100,6 +2100,22 @@ object QueriesPipeline {
             "qid", "qtext", k, k1, b)
           .orderBy("query_id", "rank")
       }
+
+      // incremental index maintenance: build on half the corpus, APPEND
+      // the other half, query — append(build(A), B) must answer
+      // identically to build(A ∪ B), so the SAME oracle gates it
+      register("bm25_incremental", bm25Sql) { (s, dir) =>
+        val d = docs(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+        graft.operators.Retrieval.buildBm25Index(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+          tmp, nBuckets = 16)
+        graft.operators.Retrieval.appendBm25Index(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", tmp)
+        graft.operators.Retrieval.queryBm25Index(s, tmp, bm25Queries(s, dir),
+            "qid", "qtext", k, k1, b)
+          .orderBy("query_id", "rank")
+      }
     }
 
     // sparse tf-idf all-pairs cosine (postings self-join, df-capped):
@@ -4860,9 +4876,7 @@ object QueriesPipeline {
         s"""WITH g AS (SELECT source, count(*) AS n,
            |                  sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,9))) AS s
            |           FROM documents GROUP BY source),
-           |t AS (SELECT count(*) AS nn,
-           |             sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,9))) AS ss
-           |      FROM documents)
+           |t AS (SELECT sum(n) AS nn, sum(s) AS ss FROM g)
            |SELECT g.source, g.n,
            |       CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean,
            |       (CAST(g.s AS DOUBLE) + $k *

@@ -213,7 +213,7 @@ object Engine {
             pStr(m("path")); df(pStr(m("id"))); df(pStr(m("text")))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
-        case "output-bm25-index" =>
+        case "output-bm25-index" | "append-bm25-index" =>
           try {
             val m = pMap(n.params.head)
             pStr(m("path")); df(pStr(m("id"))); df(pStr(m("text")))
@@ -1033,6 +1033,13 @@ object Engine {
           graft.operators.Retrieval.buildBm25Index(df,
             pStr(m("id")), pStr(m("text")), pStr(m("path")),
             m.get("buckets").map(pLong(_).toInt).getOrElse(64))
+        recurse(df)
+
+      case "append-bm25-index" => // delta-append to an existing index; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode)
+          graft.operators.Retrieval.appendBm25Index(df,
+            pStr(m("id")), pStr(m("text")), pStr(m("path")))
         recurse(df)
 
       case "output-dedup-store" => // persist the dedup signature index; io-gated

@@ -997,9 +997,13 @@ object Curation {
     val g = df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(col(valCol).cast("double").cast("decimal(38,9)")).as("__s"))
-    val tot = df.agg(
-      count(lit(1)).as("__tot_n"),
-      sum(col(valCol).cast("double").cast("decimal(38,9)")).as("__tot_s"))
+    // global prior from the GROUP frame, not a second corpus pass:
+    // decimal addition is exact, so the sum-of-group-sums equals the
+    // direct corpus sum bit-for-bit — and the group aggregate's
+    // exchange is structurally shared, so the corpus is scanned once
+    val tot = g.agg(
+      sum(col("n")).as("__tot_n"),
+      sum(col("__s")).as("__tot_s"))
     g.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n"),
         (col("__s").cast("double") / col("n").cast("double")).as("mean"),

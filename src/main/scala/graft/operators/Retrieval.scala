@@ -197,6 +197,69 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incremental index maintenance — the "new crawl lands every day"
+    * face of the BM25 store (the [[graft.operators.IncrementalDedup]]
+    * pattern for retrieval): append a delta corpus WITHOUT re-scanning
+    * the existing index's corpus. Contract, pinned in RetrievalSpec:
+    * `append(build(A), B)` answers queries IDENTICALLY to
+    * `build(A ∪ B)` — same postings multiset, same df totals, same
+    * meta constants, therefore bit-identical scores.
+    *
+    * Mechanics:
+    *  - delta postings append under the SAME bucket recipe (read from
+    *    `meta/`, never re-derived — the store pins it);
+    *  - `df/` merges old + delta counts for TOUCHED buckets only (the
+    *    delta's distinct term buckets prune the old-df read exactly
+    *    like a query batch's), rewritten via dynamic partition
+    *    overwrite so untouched buckets' files are never rewritten;
+    *    the merged frame is localCheckpoint'ed first — it reads the
+    *    same files the write replaces;
+    *  - `meta/` accumulates `n_docs`/`total_len`.
+    *
+    * Append-only by contract: re-appending the same documents
+    * double-counts them (same as re-ingesting a crawl twice anywhere
+    * else) — run the delta through dedup/`IncrementalDedup` first.
+    * Scale: one delta-sized postings build + one touched-bucket df
+    * merge; cost is O(delta + touched df), independent of index size.
+    */
+  def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("n_docs").cast("long"), col("total_len").cast("long"),
+        col("n_buckets").cast("long")).head()
+    val (n0, tot0, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getLong(2).toInt)
+    val post = postings(delta, idCol, textCol)
+      .select(col(idCol).as("id"), col("__dl").as("dl"), col("term"), col("tf"),
+        pmod(Text.md5Hash64(col("term")), lit(nBuckets.toLong)).as("termbucket"))
+      .localCheckpoint()
+    post.repartition(nBuckets, col("termbucket"))
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+      .partitionBy("termbucket").parquet(s"$path/postings")
+    val deltaDf = post.groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
+    val touched = deltaDf.select("termbucket").distinct().collect().map(_.getLong(0))
+    val merged = spark.read.parquet(s"$path/df")
+      .filter(col("termbucket").isin(touched: _*))
+      .select(col("termbucket"), col("term"), col("df"))
+      .union(deltaDf.select(col("termbucket"), col("term"), col("df")))
+      .groupBy("termbucket", "term").agg(sum(col("df")).cast("long").as("df"))
+      .localCheckpoint() // breaks lineage to the files the write replaces
+    merged.repartition(math.max(touched.length, 1), col("termbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+      .partitionBy("termbucket").parquet(s"$path/df")
+    val row = delta.select(count(lit(1)).as("n"),
+      coalesce(sum(Text.tokenCount(col(textCol))), lit(0L)).as("tot")).head()
+    Seq((n0 + row.getLong(0), tot0 + row.getLong(1), nBuckets.toLong))
+      .toDF("n_docs", "total_len", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Query a persisted index: score-identical to [[bm25TopK]] on the
     * same corpus (pinned in RetrievalSpec) — the same contribution
     * formula, the same decimal-stable sum, the same rank tie-break —

@@ -225,4 +225,38 @@ class RetrievalSpec extends AnyFunSuite {
       queries, EngineCtx(testMode = true)).taps("out"))
     assert(ir == direct)
   }
+
+  test("appendBm25Index: append(build(A), B) answers identically to build(A ∪ B)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "the catalyst optimizer prunes columns"),
+      (3L, "shuffle partitions size executor memory"),
+      (4L, "catalyst expressions compile to bytecode"),
+      (5L, "data stages shuffle through memory"),
+      (6L, "unrelated prose about gardens and tea")).toDF("doc_id", "text")
+    val queries = Seq((10L, "shuffle memory"), (11L, "catalyst columns")).toDF("qid", "qtext")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    graft.operators.Retrieval.buildBm25Index(corpus, "doc_id", "text", full, nBuckets = 8)
+    val inc = java.nio.file.Files.createTempDirectory("bm25_incr").toString
+    graft.operators.Retrieval.buildBm25Index(
+      corpus.filter(col("doc_id") <= 3), "doc_id", "text", inc, nBuckets = 8)
+    graft.operators.Retrieval.appendBm25Index(
+      corpus.filter(col("doc_id") > 3), "doc_id", "text", inc)
+    val a = canon(graft.operators.Retrieval.queryBm25Index(s, full, queries, "qid", "qtext", 4))
+    val b = canon(graft.operators.Retrieval.queryBm25Index(s, inc, queries, "qid", "qtext", 4))
+    assert(a == b, s"incremental index diverged:\nfull=$a\nincr=$b")
+    assert(a.nonEmpty)
+    // the merged df table must have ONE row per (bucket, term) — a
+    // double-counted merge would shift every idf
+    val dfTable = s.read.parquet(s"$inc/df")
+    assert(dfTable.groupBy("termbucket", "term").count()
+      .filter(col("count") > 1).isEmpty, "df merge produced duplicate term rows")
+    // meta accumulated: n_docs covers both halves
+    assert(s.read.parquet(s"$inc/meta").head.getAs[Long]("n_docs") == 6L)
+  }
 }
