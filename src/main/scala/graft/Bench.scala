@@ -95,7 +95,8 @@ object Bench {
     // OTLP metrics wire decode, keep-first substring cut, leakage-free
     // cluster split, RSS/Atom parse round trip
     "shared_substring_spans", "otlp_metrics_wire_decode",
-    "shared_substring_cut", "cluster_split", "feed_urls", "bm25_incremental")
+    "shared_substring_cut", "cluster_split", "feed_urls", "bm25_incremental",
+    "ann_ivfpq_incremental")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -2657,10 +2657,13 @@ object QueriesPipeline {
       val lutCols = (0 until m).map(mi =>
         s"list_transform(range($codes), j -> ${dot(s"p.query_vec[${mi * sub + 1}:${(mi + 1) * sub}]", s"cb.cb$mi[CAST(j AS INT) + 1]")}) AS lut$mi").mkString(",\n         |       ")
       val adc = (0 until m).map(mi => s"q.lut$mi[CAST(e.c$mi AS INT) + 1]").mkString(" + ")
-      val ivfPqSql =
+      // centFilter/rseedCond restrict the TRAINING legs (centroid seeds
+      // + residual codebook seeds) to a sub-corpus — the incremental
+      // gate trains on half the vectors and encodes all of them
+      def ivfPqSqlFor(centFilter: String, rseedCond: String) =
         s"""WITH cent AS (
            |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-           |  ORDER BY vec_id LIMIT $nCells),
+           |  $centFilter ORDER BY vec_id LIMIT $nCells),
            |assign AS (
            |  SELECT nn_id, nn_vec, cell FROM (
            |    SELECT e.vec_id AS nn_id, e.embedding AS nn_vec, c.cell,
@@ -2674,7 +2677,8 @@ object QueriesPipeline {
            |  FROM assign a JOIN cent c USING (cell)),
            |rseed AS (
            |  SELECT nn_id, res FROM resid
-           |  WHERE nn_id > (SELECT max(cell) FROM cent) ORDER BY nn_id LIMIT $codes),
+           |  WHERE $rseedCond nn_id > (SELECT max(cell) FROM cent)
+           |  ORDER BY nn_id LIMIT $codes),
            |rcb AS (SELECT $rcbCols FROM rseed),
            |enc AS (
            |  SELECT r.nn_id, r.cell,
@@ -2698,6 +2702,7 @@ object QueriesPipeline {
            |                               ORDER BY score DESC, nn_id ASC) AS rank
            |  FROM scored) WHERE rank <= $topK
            |ORDER BY query_id, rank""".stripMargin
+      val ivfPqSql = ivfPqSqlFor("", "")
       register("ann_ivfpq_topk", ivfPqSql) { (s, dir) =>
         val e = emb(s, dir)
         Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
@@ -2712,6 +2717,27 @@ object QueriesPipeline {
         val e = emb(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
         Similarity.buildIvfPqIndex(e, "vec_id", "embedding", tmp, nCells, m, codes)
+        val out = graft.operators.Materialize(
+          Similarity.queryIvfPqIndex(s, tmp, e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", topK, nProbe)
+            .orderBy("query_id", "rank"))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+          .toSeq.reverse.foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+        out
+      }
+
+      // incremental append: model trains on the EVEN half, the odd half
+      // is appended against that frozen model — the oracle replays the
+      // same split (training legs filtered, encode over the union)
+      register("ann_ivfpq_incremental",
+        ivfPqSqlFor("WHERE vec_id % 2 = 0", "nn_id % 2 = 0 AND")) { (s, dir) =>
+        val e = emb(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+        Similarity.buildIvfPqIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", tmp, nCells, m, codes)
+        Similarity.appendIvfPqIndex(e.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", tmp)
         val out = graft.operators.Materialize(
           Similarity.queryIvfPqIndex(s, tmp, e.filter(col("vec_id") < 50),
             "vec_id", "embedding", topK, nProbe)

@@ -531,7 +531,7 @@ object Engine {
                 org.apache.spark.sql.types.StructField("edit_sim",
                   org.apache.spark.sql.types.DoubleType)))))
           } catch { case e: Throwable => fail(at, e); recurse(df) }
-        case "ivfpq-build" =>
+        case "ivfpq-build" | "ivfpq-append" =>
           // sink-like artifact writer: params/columns checked, no IO
           try {
             val m = pMap(n.params.head)
@@ -1904,6 +1904,15 @@ object Engine {
           pStr(m("path")), m.get("cells").map(pLong(_).toInt).getOrElse(16),
           m.get("m").map(pLong(_).toInt).getOrElse(4),
           m.get("codes").map(pLong(_).toInt).getOrElse(16))
+        df
+      }
+    case "ivfpq-append" =>
+      // sink-like: encode the delta against the FROZEN stored model and
+      // append its codes; corpus passes through unchanged
+      val m = pMap(params.head)
+      df => {
+        graft.operators.Similarity.appendIvfPqIndex(df, pStr(m("id")), pStr(m("vec")),
+          pStr(m("path")))
         df
       }
     case "ivfpq-query" =>

@@ -721,6 +721,35 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Incremental index maintenance — the dense twin of
+    * [[graft.operators.Retrieval.appendBm25Index]], completing the
+    * store trilogy's append faces: encode a delta corpus against the
+    * index's FROZEN model (stored centroids + codebooks are never
+    * retrained — exactly how production IVF indexes absorb daily
+    * deltas; retraining is a deliberate offline rebuild) and append the
+    * codes under the same cell partitioning. Contract, pinned in
+    * AnnRecallSpec: after append, queries see the union corpus scored
+    * under the original model — existing ids' scores are bit-unchanged
+    * (model frozen ⇒ same codes ⇒ same ADC sums) and delta ids score
+    * exactly as the in-one-go encoder would encode them against this
+    * model.
+    *
+    * Append-only by contract (re-appending duplicates them — dedup the
+    * delta first). Scale: one delta-sized assign+encode map pass + a
+    * cell-partitioned append; cost independent of index size. Drift
+    * caveat, stated: a delta far from the training distribution
+    * degrades recall (cells/codebooks no longer fit) — monitor with
+    * the drift family and rebuild when KS/PSI flags it.
+    */
+  def appendIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = delta.sparkSession
+    val model = loadIvfPqModel(spark, path)
+    val assigned = ivfPqAssign(delta, idCol, vecCol, model.cents)
+    ivfPqEncode(assigned, model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Load the model half of a persisted index (two small reads). */
   def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
                      path: String): IvfPqModel = {

@@ -595,7 +595,11 @@ object WireCodecs {
 
   private final class Reader(buf: Array[Byte], var pos: Int, end: Int) {
     private def need(n: Int): Unit =
-      if (pos + n > end) throw new IllegalArgumentException(
+      // n < 0 guards a hostile varint length whose low 32 bits are
+      // negative (found by the codec fuzz spec); `pos > end - n` is the
+      // overflow-safe form of `pos + n > end` — a near-MaxValue n would
+      // wrap pos + n negative and pass the naive check
+      if (n < 0 || pos > end - n) throw new IllegalArgumentException(
         s"truncated protobuf: need $n bytes at $pos, end $end")
     def hasRemaining: Boolean = pos < end
     def varint(): Long = {

@@ -219,6 +219,42 @@ class AnnRecallSpec extends AnyFunSuite {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  test("appendIvfPqIndex: frozen model — surviving ids score bit-unchanged, delta retrievable") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    Similarity.buildIvfPqIndex(half, "vec_id", "embedding", tmp,
+      nCells = 16, m = 4, codes = 16)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val before = canon(Similarity.queryIvfPqIndex(spark, tmp, queries,
+      "vec_id", "embedding", K, nProbe = 4))
+      .map { case (q, nn, s) => (q, nn) -> s }.toMap
+    // delta: the odd half PLUS an exact duplicate of vector 0 under a
+    // fresh id — the model must stay frozen through the append
+    val dup = corpus.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfPqIndex(
+      corpus.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .unionByName(dup),
+      "vec_id", "embedding", tmp)
+    val after = canon(Similarity.queryIvfPqIndex(spark, tmp, queries,
+      "vec_id", "embedding", K, nProbe = 4))
+    // every surviving (query, nn) pair keeps its EXACT score: the model
+    // is frozen, so old codes and ADC sums cannot move
+    val survived = after.filter { case (q, nn, _) => before.contains((q, nn)) }
+    assert(survived.nonEmpty)
+    survived.foreach { case (q, nn, s) =>
+      assert(s == before((q, nn)), s"score moved for ($q, $nn)") }
+    // the appended duplicate of query 0's own vector must be retrievable
+    // for query 0 (same cell as the query's top probe, near-max ADC)
+    val q0 = after.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0.contains(100000L),
+      s"appended exact duplicate must surface for its twin query, got $q0")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("IR ivfpq-build / ivfpq-query: build-once-query-many declared as data; validate total") {
     import graft.ir.{Engine, EngineCtx, Node}
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq_ir").toString

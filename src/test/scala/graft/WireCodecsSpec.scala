@@ -91,6 +91,56 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(decodeOtlpMetricsRequest(spliced) == req)
   }
 
+  test("deterministic fuzz: mutated payloads parse or throw IllegalArgument — never hang or OOM") {
+    // hostile-input totality for all three decoders: flip/insert/truncate
+    // bytes of valid payloads under a FIXED seed; every mutant must
+    // either decode (garbage-in-garbage-out is fine) or throw the
+    // codec's own IllegalArgumentException — anything else (NPE, OOM,
+    // negative-size allocation, infinite loop) is a decoder bug that a
+    // crawl of hostile bytes would hit at scale
+    import WireCodecs._
+    val prom = encodePromWriteRequest(PromWriteRequest(Seq(
+      PromSeries(Seq(PromLabel("__name__", "m"), PromLabel("h", "x")),
+        Seq(PromSample(1.5, 42L), PromSample(2.5, 43L))))))
+    val traces = encodeOtlpTraceRequest(OtlpTraceRequest(Seq(OtlpResourceSpans(
+      OtlpResource(Seq(OtlpKV("service.name", "s"))),
+      Seq(OtlpScopeSpans(Seq(OtlpSpan("0a0b", "0c0d", "", "n", 1, 10L, 20L,
+        OtlpStatus(1, "ok"), Seq(OtlpKV("k", "v"))))))))))
+    val metrics = encodeOtlpMetricsRequest(OtlpMetricsRequest(Seq(OtlpResourceMetrics(
+      OtlpResource(Seq(OtlpKV("service.name", "s"))),
+      Seq(OtlpScopeMetrics(Seq(OtlpMetric("m", "ms",
+        OtlpGauge(Seq(OtlpNumPoint(1L, 2L, 3.0, Seq(OtlpKV("a", "b"))))),
+        OtlpSum(Seq(OtlpNumPoint(4L, 5L, 6.0, Nil)), isMonotonic = true),
+        OtlpHistogram(Seq(OtlpHistPoint(7L, 8L, 2L, 9.0, Seq(1L, 1L), Seq(5.0), Nil)))))))))))
+    val rnd = new scala.util.Random(1234)
+    def mutants(base: Array[Byte]): Iterator[Array[Byte]] = Iterator.tabulate(300) { _ =>
+      val b = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip a byte
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+        case 1 => // truncate
+          b.take(rnd.nextInt(b.length))
+        case 2 => // splice random bytes at a random offset
+          val at = rnd.nextInt(b.length)
+          val ins = Array.fill(1 + rnd.nextInt(6))(rnd.nextInt(256).toByte)
+          b.take(at) ++ ins ++ b.drop(at)
+      }
+    }
+    for ((name, base, dec) <- Seq[(String, Array[Byte], Array[Byte] => Any)](
+      ("prom", prom, decodePromWriteRequest _),
+      ("traces", traces, decodeOtlpTraceRequest _),
+      ("metrics", metrics, decodeOtlpMetricsRequest _))) {
+      mutants(base).zipWithIndex.foreach { case (m, i) =>
+        try dec(m)
+        catch {
+          case _: IllegalArgumentException => // the codec's declared failure mode
+          case e: Throwable =>
+            fail(s"$name mutant $i: unexpected ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   test("truncated payloads fail loudly, not silently") {
     val good = encodePromWriteRequest(PromWriteRequest(Seq(
       PromSeries(Seq(PromLabel("a", "b")), Seq(PromSample(1.0, 1L))))))
