@@ -562,5 +562,59 @@ object QueriesIr {
       out
       }
     }
+
+    // keep-first exact-substring cut through the IR, on a corpus where
+    // every doc has an exact higher-id twin: ownership (per-hash min id)
+    // must keep every ORIGINAL intact at its original-corpus cut and
+    // empty every COPY of >= minLen tokens — the crispest observable
+    // form of the keep-one-copy rule; the oracle replays the whole
+    // pipeline on the union
+    locally {
+      val n = 8
+      val tok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+      register("ir_substring_keepfirst",
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+           |docs AS (SELECT doc_id, $tok AS toks FROM corpus),
+           |w0 AS (SELECT doc_id, list_transform(${QueriesPipeline.sqlNgrams("toks", n)},
+           |                      g -> ${QueriesPipeline.sqlMd5HashMod("g")}) AS hh
+           |       FROM docs),
+           |w AS (SELECT doc_id, CAST(i AS BIGINT) AS p, hh[i] AS h
+           |      FROM w0, unnest(range(1, len(hh) + 1)) AS r(i)),
+           |own AS (SELECT h, min(doc_id) AS owner FROM w GROUP BY h),
+           |m AS (SELECT w.doc_id, w.p FROM w JOIN own USING (h)
+           |      WHERE w.doc_id <> own.owner),
+           |i1 AS (SELECT doc_id, p,
+           |              CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+           |                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $n
+           |                   THEN 1 ELSE 0 END AS nw
+           |       FROM m),
+           |i2 AS (SELECT doc_id, p,
+           |              sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+           |       FROM i1),
+           |cover AS (SELECT doc_id, isl, CAST(min(p) AS BIGINT) AS lo,
+           |                 CAST(max(p) + $n - 1 AS BIGINT) AS hi
+           |          FROM i2 GROUP BY doc_id, isl),
+           |cv AS (SELECT doc_id, list(lo) AS los, list(hi) AS his
+           |       FROM cover GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CASE WHEN d.toks IS NULL THEN NULL
+           |            ELSE coalesce(array_to_string(
+           |       list_filter(d.toks, (t, i) ->
+           |         len(list_filter(range(1, len(coalesce(cv.los, CAST([] AS BIGINT[]))) + 1),
+           |             s -> i >= cv.los[s] AND i <= cv.his[s])) = 0), ' '), '') END AS text
+           |FROM docs d LEFT JOIN cv USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val corpus = d.unionAll(
+          d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val node = Node.fromJson(
+          s"""{"action":"shared-substring-cut",
+             | "params":[{"id":"doc_id","text":"text","min-len":$n}],
+             | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+        tapOf(node, corpus).select("doc_id", "text").orderBy("doc_id")
+      }
+    }
   }
 }

@@ -45,7 +45,7 @@ object QueriesPipeline {
        |  (a, x) -> a * 16 + x)""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Text.md5HashMod]]. */
-  private def sqlMd5HashMod(s: String): String =
+  private[graft] def sqlMd5HashMod(s: String): String =
     s"(${sqlMd5Hash64(s)} % 1000000007)"
 
   /** DuckDB bigram shingles from a token-list expression (mirrors
@@ -58,7 +58,7 @@ object QueriesPipeline {
   /** DuckDB word n-grams (mirrors [[Quality.ngrams]]): null-padded zip of
     * shifted slices, nulls propagate through `||` and are filtered.
     */
-  private def sqlNgrams(toks: String, n: Int): String =
+  private[graft] def sqlNgrams(toks: String, n: Int): String =
     if (n == 1) toks
     else {
       val slices = (1 until n).map(i => s"$toks[${i + 1}:]").mkString(", ")

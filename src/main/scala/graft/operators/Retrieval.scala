@@ -260,6 +260,37 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Offline compaction after many [[appendBm25Index]] deltas — the
+    * [[graft.operators.IncrementalDedup.compactStore]] pattern: each
+    * append adds small files per touched bucket, and a year of daily
+    * deltas degrades the serving read to a small-file storm. Rewrites
+    * `postings/` to one coalesced file set per bucket (stage to a temp
+    * dir, atomic-ish rename swap — readers see old or new, never a
+    * partial mix), preserving rows, partitioning and blooms exactly;
+    * `df/` is already rewritten per-append and `meta/` is untouched.
+    * Query results are identical before and after by construction
+    * (same rows, same recipe).
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets").cast("long")).head().getLong(0).toInt
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$path/postings_compact_tmp"
+    spark.read.parquet(s"$path/postings")
+      .repartition(nBuckets, col("termbucket"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+      .partitionBy("termbucket").parquet(tmp)
+    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    fs.delete(postingsDir, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), postingsDir),
+      s"compactBm25Index: rename $tmp -> $postingsDir failed")
+    ()
+  }
+
   /** Query a persisted index: score-identical to [[bm25TopK]] on the
     * same corpus (pinned in RetrievalSpec) — the same contribution
     * formula, the same decimal-stable sum, the same rank tie-break —

@@ -258,5 +258,17 @@ class RetrievalSpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty, "df merge produced duplicate term rows")
     // meta accumulated: n_docs covers both halves
     assert(s.read.parquet(s"$inc/meta").head.getAs[Long]("n_docs") == 6L)
+    // compaction folds the append's small files; answers identical and
+    // the per-bucket file count shrinks to one data file
+    graft.operators.Retrieval.compactBm25Index(s, inc)
+    val c = canon(graft.operators.Retrieval.queryBm25Index(s, inc, queries, "qid", "qtext", 4))
+    assert(c == a, "compaction must not change any answer")
+    val bucketDirs = new java.io.File(s"$inc/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("termbucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"${d.getName}: expected 1 compacted file, found $parts")
+    }
   }
 }
