@@ -1831,6 +1831,50 @@ object QueriesPipeline {
           .orderBy("doc_id", "begin_tok")
       }
 
+      // incremental exact-substring dedup against the persisted
+      // window-hash store: store = even docs' distinct window hashes,
+      // probe = odd docs — spans of every maximal store-shared run; the
+      // oracle replays the hash semi-join + island merge
+      register("substring_store_probe",
+        s"""$DocsView,
+           |a AS (SELECT doc_id, toks FROM docs WHERE doc_id % 2 = 0),
+           |b AS (SELECT doc_id, toks FROM docs WHERE doc_id % 2 = 1),
+           |wa AS (SELECT DISTINCT unnest(list_transform(${sqlNgrams("toks", n)},
+           |                       g -> ${sqlMd5HashMod("g")})) AS h FROM a),
+           |w0 AS (SELECT doc_id, list_transform(${sqlNgrams("toks", n)},
+           |                      g -> ${sqlMd5HashMod("g")}) AS hh FROM b),
+           |wb AS (SELECT doc_id, CAST(i AS BIGINT) AS p, hh[i] AS h
+           |       FROM w0, unnest(range(1, len(hh) + 1)) AS r(i)),
+           |m AS (SELECT wb.doc_id, wb.p FROM wb JOIN wa USING (h)),
+           |i1 AS (SELECT doc_id, p,
+           |              CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+           |                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $n
+           |                   THEN 1 ELSE 0 END AS nw
+           |       FROM m),
+           |i2 AS (SELECT doc_id, p,
+           |              sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+           |       FROM i1)
+           |SELECT doc_id, CAST(min(p) AS BIGINT) AS begin_tok,
+           |       CAST(max(p) + $n - 1 AS BIGINT) AS end_tok,
+           |       CAST(max(p) - min(p) + $n AS BIGINT) AS n_tokens
+           |FROM i2 GROUP BY doc_id, isl
+           |ORDER BY doc_id, begin_tok""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("substr_store").toString
+        graft.operators.SubstringStore.writeStore(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+          tmp, minLen = n, nBuckets = 16)
+        val out = graft.operators.Materialize(
+          graft.operators.SubstringStore.probeDelta(
+            d.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id", tmp)
+            .select("doc_id", "begin_tok", "end_tok", "n_tokens")
+            .orderBy("doc_id", "begin_tok"))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+          .toSeq.reverse.foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+        out
+      }
+
       // the destructive application: rebuild text with non-owner copies
       // cut (dup_ngram_cut's rebuild pattern over the merged spans)
       register("shared_substring_cut",

@@ -260,6 +260,22 @@ object Engine {
                 else acc.withColumn(f.name, lit(null).cast(f.dataType))
               })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "substring-probe" =>
+          // the window-hash store is a runtime artifact; output schema
+          // declared from the span-table constant
+          try {
+            val m = pMap(n.params.head)
+            val id = pStr(m("id")); df(id); df(pStr(m("text"))); pStr(m("store-path"))
+            recurse(Seq("begin_tok", "end_tok", "n_tokens")
+              .foldLeft(df.select(col(id))) { (acc, c) =>
+                acc.withColumn(c, lit(null).cast("long")) })
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "output-substring-store" =>
+          try {
+            val m = pMap(n.params.head)
+            pStr(m("path")); df(pStr(m("id"))); df(pStr(m("text")))
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "stream" => recurse(df) // declaration wrapper
         case "score-logistic" =>
           // the model ARTIFACT is a runtime input, not a config error:
@@ -1052,6 +1068,15 @@ object Engine {
             m.get("buckets").map(pLong(_).toInt).getOrElse(64))
         recurse(df)
 
+      case "output-substring-store" => // persist the window-hash store; io-gated
+        val m = pMap(n.params.head)
+        if (!ctx.testMode)
+          graft.operators.SubstringStore.writeStore(df,
+            pStr(m("text")), pStr(m("id")), pStr(m("path")),
+            m.get("min-len").map(pLong(_).toInt).getOrElse(50),
+            m.get("buckets").map(pLong(_).toInt).getOrElse(64))
+        recurse(df)
+
       case _ => recurse(applyOp(n.action, n.params, keys, ctx)(df))
     }
   }
@@ -1738,6 +1763,12 @@ object Engine {
       df => graft.operators.IncrementalDedup.dedupDelta(df,
         pStr(m("text")), pStr(m("id")), pStr(m("store-path")),
         update = m.get("update").exists(_ == true))
+    case "substring-probe" =>
+      // incremental exact-substring cut spans against the persisted
+      // window-hash store
+      val m = pMap(params.head)
+      df => graft.operators.SubstringStore.probeDelta(df,
+        pStr(m("text")), pStr(m("id")), pStr(m("store-path")))
     case "cluster-cap-sample" =>
       // topic-balanced subsample: at most `cap` docs per k-means cell
       val m = pMap(params.head)

@@ -88,7 +88,7 @@ object Dedup {
     * [[cutDuplicateNgrams]] (and their shared DuckDB oracle replay)
     * hash-agree on.
     */
-  private def windowHashes(toks: Column, n: Int, hashFn: Column => Column): Column =
+  private[operators] def windowHashes(toks: Column, n: Int, hashFn: Column => Column): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - n + 1),
         i => hashFn(concat_ws(" ", slice(toks, i, lit(n))))))

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental exact-substring dedup against a PERSISTED window-hash
+  * store — the production shape of Lee et al. 2022's ExactSubstr at
+  * corpus scale (the [[IncrementalDedup]] pattern for the substring
+  * family): the accepted corpus's distinct length-`minLen` window
+  * hashes ARE the reusable index, so each arriving shard pays only its
+  * own window pass plus a probe pruned to the hash buckets it touches —
+  * the 100 TB corpus is never re-tokenized. A suffix array over the
+  * union would be rebuilt per delta; the window-hash reduction is what
+  * makes the operation incremental at all (same equivalence
+  * [[Dedup.sharedSubstringSpans]] builds on: a shared substring of
+  * length ≥ minLen ≡ a run of shared minLen-windows).
+  *
+  * Store layout under `path`:
+  *
+  *  - `hashes/hashbucket=N/…` — DISTINCT `(h, owner)` rows: each stored
+  *    window hash with the smallest doc id that contains it, partitioned
+  *    by `hashbucket = h mod nBuckets` with a parquet BLOOM on `h`. A
+  *    delta's distinct touched buckets (≤ nBuckets driver-side values)
+  *    prune the probe read; blooms skip non-colliding row groups inside
+  *    touched partitions.
+  *  - `meta/` — `(min_len, n_buckets)`: the window recipe, pinned like
+  *    the dedup store's signature recipe — probing with a different
+  *    minLen would silently miss every hash, so reads fail loudly.
+  *
+  * Semantics: the store is the KEEPER by construction (its docs were
+  * accepted first), so every probed span in a delta doc is a CUT span —
+  * the keep-first rule with ownership resolved by arrival order, which
+  * is exactly how [[Dedup.sharedSubstringSpans]]'s `keepFirst` resolves
+  * it by id inside one batch. Within-delta sharing is deliberately NOT
+  * the probe's job: compose `sharedSubstringSpans(delta, keepFirst)`
+  * for that stage, same as [[IncrementalDedup.dedupDelta]]'s two-stage
+  * split.
+  */
+object SubstringStore {
+
+  final case class StoreMeta(minLen: Int, nBuckets: Int)
+
+  private def bucketOf(h: Column, nBuckets: Int): Column =
+    pmod(h, lit(nBuckets.toLong))
+
+  /** (id, p, h, hashbucket) — one row per window start position. */
+  private def windows(df: DataFrame, textCol: String, idCol: String,
+                      m: StoreMeta): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(Dedup.windowHashes(Text.tokens(col(textCol)), m.minLen,
+          Text.md5HashMod)).as(Seq("__p0", "h")))
+      .select(col("id"), (col("__p0") + 1).cast("long").as("p"), col("h"),
+        bucketOf(col("h"), m.nBuckets).as("hashbucket"))
+
+  private def writeHashes(ws: DataFrame, path: String, nBuckets: Int,
+                          mode: String): Unit =
+    ws.groupBy("hashbucket", "h").agg(min(col("id")).as("owner"))
+      .repartition(nBuckets, col("hashbucket"))
+      .write.mode(mode)
+      .option("parquet.bloom.filter.enabled#h", "true")
+      .option("parquet.bloom.filter.expected.ndv#h", "1000000")
+      .partitionBy("hashbucket")
+      .parquet(s"$path/hashes")
+
+  /** Create the store from an accepted corpus (overwrites `path`). */
+  def writeStore(df: DataFrame, textCol: String, idCol: String, path: String,
+                 minLen: Int = 50, nBuckets: Int = 64): Unit = {
+    require(minLen >= 1, s"writeStore: minLen must be >= 1, got $minLen")
+    require(nBuckets >= 1, s"writeStore: nBuckets must be >= 1, got $nBuckets")
+    val meta = StoreMeta(minLen, nBuckets)
+    writeHashes(windows(df, textCol, idCol, meta), path, nBuckets, "overwrite")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((minLen.toLong, nBuckets.toLong)).toDF("min_len", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read the pinned window recipe; fails loudly on a missing store. */
+  def readMeta(spark: SparkSession, path: String): StoreMeta = {
+    val rows = spark.read.parquet(s"$path/meta")
+      .select(col("min_len").cast("long"), col("n_buckets").cast("long"))
+      .collect()
+    require(rows.length == 1, s"readMeta: expected 1 meta row at $path, got ${rows.length}")
+    StoreMeta(rows.head.getLong(0).toInt, rows.head.getLong(1).toInt)
+  }
+
+  /** Cut spans of a delta against the store: `(idCol, begin_tok,
+    * end_tok, n_tokens)` — 1-based inclusive disjoint spans per delta
+    * doc covering every maximal run of window starts whose hash exists
+    * in the store (same gaps-and-islands algebra as
+    * [[Dedup.sharedSubstringSpans]]). The store side is a pruned,
+    * bloom-skipped scan semi-joined to the delta's hashes; only the
+    * delta's window table ever shuffles.
+    */
+  def probeDelta(delta: DataFrame, textCol: String, idCol: String,
+                 path: String): DataFrame = {
+    val spark = delta.sparkSession
+    val m = readMeta(spark, path)
+    val dw = Materialize(windows(delta, textCol, idCol, m))
+    val touched = dw.select("hashbucket").distinct().collect().map(_.getLong(0))
+    val store = spark.read.parquet(s"$path/hashes")
+      .filter(col("hashbucket").isin(touched: _*))
+      .select(col("h"))
+    val hits = dw.join(store, Seq("h"), "left_semi")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+    val lagP = lag(col("p"), 1).over(wd)
+    hits
+      .withColumn("__new", when(lagP.isNull || col("p") - lagP > m.minLen, 1L)
+        .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("p")).as("begin_tok"),
+        (max(col("p")) + lit((m.minLen - 1).toLong)).as("end_tok"))
+      .select(col("id").as(idCol), col("begin_tok"), col("end_tok"),
+        (col("end_tok") - col("begin_tok") + 1).as("n_tokens"))
+  }
+
+  /** Merge a delta's window hashes into the store (touched buckets
+    * only, dynamic partition overwrite — the
+    * [[Retrieval.appendBm25Index]] df-merge shape): new hashes arrive
+    * with the delta's min id as owner, existing hashes keep
+    * `min(old owner, delta owner)` — arrival order preserved since
+    * store ids predate delta ids in any sane id scheme, and the min is
+    * deterministic regardless. Run AFTER cutting/accepting the delta
+    * (store what you kept, like [[IncrementalDedup]]'s survivors rule).
+    */
+  def appendDelta(delta: DataFrame, textCol: String, idCol: String,
+                  path: String): Unit = {
+    val spark = delta.sparkSession
+    val m = readMeta(spark, path)
+    val dh = Materialize(windows(delta, textCol, idCol, m)
+      .groupBy("hashbucket", "h").agg(min(col("id")).as("owner")))
+    val touched = dh.select("hashbucket").distinct().collect().map(_.getLong(0))
+    val merged = spark.read.parquet(s"$path/hashes")
+      .filter(col("hashbucket").isin(touched: _*))
+      .select(col("hashbucket"), col("h"), col("owner"))
+      .unionByName(dh.select(col("hashbucket"), col("h"), col("owner")))
+      .groupBy("hashbucket", "h").agg(min(col("owner")).as("owner"))
+      .localCheckpoint() // breaks lineage to the files the write replaces
+    merged.repartition(math.max(touched.length, 1), col("hashbucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.bloom.filter.enabled#h", "true")
+      .option("parquet.bloom.filter.expected.ndv#h", "1000000")
+      .partitionBy("hashbucket").parquet(s"$path/hashes")
+  }
+}

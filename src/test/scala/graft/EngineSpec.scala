@@ -596,6 +596,37 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.validate(node, spark) == Nil)
   }
 
+  test("validate: round-11 actions are total over their declared frames") {
+    val s = spark
+    import s.implicits._
+    val docSchema = Seq((1L, "t")).toDF("doc_id", "text").schema
+    val vecSchema = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding").schema
+    val grpSchema = Seq(("a", 1.0)).toDF("grp", "v").schema
+    def ok(json: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      val errs = Engine.validate(Node.fromJson(json), s, schema = schema)
+      assert(errs.isEmpty, s"$json -> $errs")
+    }
+    ok("""{"action":"shared-substring-spans","params":[{"id":"doc_id","text":"text","min-len":4}],
+         | "children":[]}""".stripMargin, docSchema)
+    ok("""{"action":"shared-substring-cut","params":[{"id":"doc_id","text":"text","min-len":4,"keep-first":true}],
+         | "children":[]}""".stripMargin, docSchema)
+    ok("""{"action":"cluster-split","params":[{"id":"doc_id","text":"text",
+         |   "weights":[{"name":"train","weight":0.9},{"name":"test","weight":0.1}]}],
+         | "children":[]}""".stripMargin, docSchema)
+    ok("""{"action":"shrunk-group-means","params":[{"group":"grp","value":"v","pseudo-count":10}],
+         | "children":[]}""".stripMargin, grpSchema)
+    ok("""{"action":"feed-urls","params":[{"xml":"text"}],"children":[]}""", docSchema)
+    ok("""{"action":"append-bm25-index","params":[{"id":"doc_id","text":"text","path":"/x"}],
+         | "children":[]}""".stripMargin, docSchema)
+    ok("""{"action":"ivfpq-append","params":[{"id":"vec_id","vec":"embedding","path":"/x"}],
+         | "children":[]}""".stripMargin, vecSchema)
+    // bad params fail LOUDLY with the node path, not at run time
+    val errs = Engine.validate(Node.fromJson(
+      """{"action":"shared-substring-cut","params":[{"id":"no_such","text":"text"}],
+        | "children":[]}""".stripMargin), s, schema = docSchema)
+    assert(errs.nonEmpty && errs.head.contains("shared-substring-cut"), errs.mkString(";"))
+  }
+
   test("validate: collects every problem with node paths, without executing") {
     val valid = Node.fromJson(
       """{"action":"where","params":[[">","metric",100]],"children":[

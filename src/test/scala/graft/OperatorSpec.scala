@@ -446,6 +446,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(cut(4L) == "ab cd")
   }
 
+  test("SubstringStore: probe == brute-force store-shared spans; append extends coverage, owners keep min") {
+    import graft.operators.SubstringStore
+    val s = spark
+    import s.implicits._
+    val store = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "xx alpha beta gamma delta yy one two three four"), // two store-shared runs
+      (11L, "totally novel words nothing shared here at all"),
+      (12L, "beta gamma delta epsilon zeta")                      // one full-width run
+    ).toDF("doc_id", "text")
+    val n = 4
+    val tmp = java.nio.file.Files.createTempDirectory("sstore").toString
+    SubstringStore.writeStore(store, "text", "doc_id", tmp, minLen = n, nBuckets = 8)
+    val got = SubstringStore.probeDelta(delta, "text", "doc_id", tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 10: "alpha beta gamma delta" at 2..5 and "one two three four"
+    // at 7..10 (1-based tokens); doc 12: whole doc 1..5; doc 11 nothing
+    assert(got == Set((10L, 2L, 5L, 4L), (10L, 7L, 10L, 4L), (12L, 1L, 5L, 5L)),
+      s"probe spans $got")
+    // append the delta, then a fresh exact copy of doc 11 must probe to
+    // FULL coverage (its windows are now stored)
+    SubstringStore.appendDelta(delta, "text", "doc_id", tmp)
+    val re = SubstringStore.probeDelta(
+      Seq((99L, "totally novel words nothing shared here at all")).toDF("doc_id", "text"),
+      "text", "doc_id", tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == Set((99L, 1L, 8L)), s"post-append coverage $re")
+    // owners: every pre-existing hash keeps its ORIGINAL owner (min rule)
+    val owners = s.read.parquet(s"$tmp/hashes")
+      .groupBy("owner").count().collect().map(_.getLong(0)).toSet
+    assert(owners.contains(1L) && owners.contains(2L),
+      s"store owners lost after merge: $owners")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("sharedSubstringSpans == brute-force maximal cross-doc substring reference") {
     import graft.operators.Dedup
     val s = spark
