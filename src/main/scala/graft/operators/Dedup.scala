@@ -270,14 +270,26 @@ object Dedup {
     */
   def cutSharedSubstrings(df: DataFrame, textCol: String, idCol: String,
                           minLen: Int, keepFirst: Boolean = true,
-                          hashFn: Column => Column = Text.md5HashMod): DataFrame = {
-    val spans = sharedSubstringSpans(df, textCol, idCol, minLen, keepFirst, hashFn)
+                          hashFn: Column => Column = Text.md5HashMod): DataFrame =
+    cutBySpans(df,
+      sharedSubstringSpans(df, textCol, idCol, minLen, keepFirst, hashFn),
+      textCol, idCol)
+
+  /** Rebuild `textCol` with the given 1-based-inclusive token spans
+    * removed — the shared destructive tail of [[cutSharedSubstrings]]
+    * and [[SubstringStore]]'s streaming cut. `spans` columns:
+    * `(idCol, begin_tok, end_tok)`; docs with no span row pass through
+    * re-joined; null text stays null.
+    */
+  private[operators] def cutBySpans(df: DataFrame, spans: DataFrame,
+                                    textCol: String, idCol: String): DataFrame = {
+    val iv = spans
       .groupBy(col(idCol).as("__sid"))
       .agg(collect_list(struct(col("begin_tok").cast("int").as("lo"),
         col("end_tok").cast("int").as("hi"))).as("__iv0"))
     val toks = Text.tokens(col(textCol))
     val ids = df.select(col(idCol), toks.as("__toks"))
-    ids.join(spans, ids(idCol) === spans("__sid"), "left")
+    ids.join(iv, ids(idCol) === iv("__sid"), "left")
       .withColumn("__iv",
         coalesce(col("__iv0"), array().cast("array<struct<lo:int,hi:int>>")))
       .select(col(idCol),

@@ -85,6 +85,26 @@ object SubstringStore {
     StoreMeta(rows.head.getLong(0).toInt, rows.head.getLong(1).toInt)
   }
 
+  /** All stored hash rows: the base `hashes/` layout plus any streaming
+    * `delta_hashes/batch=N/` appends — excluding `excludeBatch` so a
+    * REPLAYED micro-batch never probes its own hashes (the exactly-once
+    * linchpin of [[cutDeltaStream]], same as
+    * [[IncrementalDedup.dedupDeltaStream]]'s band exclusion).
+    */
+  private def readHashes(spark: SparkSession, path: String,
+                         excludeBatch: Option[Long]): DataFrame = {
+    val base = spark.read.parquet(s"$path/hashes")
+    val deltaDir = new org.apache.hadoop.fs.Path(s"$path/delta_hashes")
+    val fs = deltaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(deltaDir)) base
+    else {
+      val deltas = spark.read.parquet(s"$path/delta_hashes")
+        .filter(excludeBatch.map(b => col("batch") =!= b).getOrElse(lit(true)))
+        .select("hashbucket", "h", "owner")
+      base.select("hashbucket", "h", "owner").unionByName(deltas)
+    }
+  }
+
   /** Cut spans of a delta against the store: `(idCol, begin_tok,
     * end_tok, n_tokens)` — 1-based inclusive disjoint spans per delta
     * doc covering every maximal run of window starts whose hash exists
@@ -94,12 +114,12 @@ object SubstringStore {
     * delta's window table ever shuffles.
     */
   def probeDelta(delta: DataFrame, textCol: String, idCol: String,
-                 path: String): DataFrame = {
+                 path: String, excludeBatch: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
     val m = readMeta(spark, path)
     val dw = Materialize(windows(delta, textCol, idCol, m))
     val touched = dw.select("hashbucket").distinct().collect().map(_.getLong(0))
-    val store = spark.read.parquet(s"$path/hashes")
+    val store = readHashes(spark, path, excludeBatch)
       .filter(col("hashbucket").isin(touched: _*))
       .select(col("h"))
     val hits = dw.join(store, Seq("h"), "left_semi")
@@ -147,5 +167,72 @@ object SubstringStore {
       .option("parquet.bloom.filter.enabled#h", "true")
       .option("parquet.bloom.filter.expected.ndv#h", "1000000")
       .partitionBy("hashbucket").parquet(s"$path/hashes")
+  }
+
+  /** The continuously-ingesting cut loop — "remove already-seen text as
+    * the crawl arrives": every micro-batch probes the store, its
+    * store-shared spans are CUT, the cut documents land under
+    * `outPath/batch=N/` and the KEPT content's window hashes under
+    * `<storePath>/delta_hashes/batch=N/` — so sequential batches dedup
+    * against everything already accepted, including earlier batches.
+    *
+    * Exactly-once without a transaction log, exactly as
+    * [[IncrementalDedup.dedupDeltaStream]]: both writes are per-batch-
+    * directory OVERWRITES (replay rewrites the same dirs) and the probe
+    * EXCLUDES the replaying batch's own `delta_hashes` partition — a
+    * batch that crashed between its writes recomputes identical cuts on
+    * retry instead of probing its half-committed self (which would cut
+    * every document to nothing). Fold `delta_hashes` into the base
+    * layout with [[compactStore]] between sessions.
+    */
+  def cutDeltaStream(stream: DataFrame, textCol: String, idCol: String,
+                     storePath: String, outPath: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val m = readMeta(spark, storePath)
+        val spans = probeDelta(batch, textCol, idCol, storePath,
+          excludeBatch = Some(batchId))
+        val cut = Materialize(Dedup.cutBySpans(batch, spans, textCol, idCol))
+        cut.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        windows(cut, textCol, idCol, m)
+          .groupBy("hashbucket", "h").agg(min(col("id")).as("owner"))
+          .repartition(m.nBuckets, col("hashbucket"))
+          .write.mode("overwrite").partitionBy("hashbucket")
+          .parquet(s"$storePath/delta_hashes/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Fold accumulated streaming `delta_hashes/batch=N/` appends into
+    * the base `hashes/` layout via the min-owner merge — the offline
+    * maintenance step bounding the probe's file count. Probe results
+    * unchanged by construction (the probe reads the union either way);
+    * never run concurrently with a streaming session. Temp-dir stage +
+    * rename swap, so a crash mid-compaction leaves the original layout.
+    */
+  def compactStore(spark: SparkSession, path: String): Unit = {
+    val m = readMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaDir = new org.apache.hadoop.fs.Path(s"$path/delta_hashes")
+    if (!fs.exists(deltaDir)) return // nothing to fold
+    val tmp = s"$path/hashes_compact_tmp"
+    readHashes(spark, path, excludeBatch = None)
+      .groupBy("hashbucket", "h").agg(min(col("owner")).as("owner"))
+      .repartition(m.nBuckets, col("hashbucket"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#h", "true")
+      .option("parquet.bloom.filter.expected.ndv#h", "1000000")
+      .partitionBy("hashbucket")
+      .parquet(tmp)
+    val hashesDir = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    fs.delete(hashesDir, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hashesDir),
+      s"compactStore: rename $tmp -> $hashesDir failed")
+    fs.delete(deltaDir, true)
+    ()
   }
 }
