@@ -854,6 +854,17 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(edge == Map(3L -> "just a headline"))
 
+    // hostile input containing the raw U+0001 boundary sentinel must NOT
+    // forge sentence boundaries — the sentinel is stripped first
+    val hostile = Curation.chunkSentences(
+        Seq((5L, "alpha\u0001beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 4)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    // one 8-token "sentence" (no real boundary): stays ONE over-budget
+    // chunk; a forged split at the 0x01 byte would produce two
+    assert(hostile.length == 1 && hostile.head._1 == 0L,
+      s"sentinel forged a boundary: ${hostile.toSeq}")
+
     // IR face
     import graft.ir.{Engine, EngineCtx, Node}
     val ir = Engine.run(Node.fromJson(

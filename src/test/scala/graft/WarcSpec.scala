@@ -73,6 +73,41 @@ class WarcSpec extends AnyFunSuite {
     assert(wrapped.head.target_uri == "http://w/1")
   }
 
+  test("deterministic fuzz: mutated archives always return a Seq — no throw, no hang") {
+    // parseRecords' contract is TOTAL (garbage yields fewer/no records,
+    // never an exception — a crawl of hostile bytes must not fail
+    // tasks): flip/truncate/splice valid plain AND gzipped archives
+    // under a fixed seed and hold the contract, including that any
+    // records that DO survive carry sane bounded payloads
+    val base = rec("response", "http://f/1", "hello world".getBytes(UTF8)) ++
+      rec("resource", "http://f/2", Array.fill[Byte](64)(42))
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(base); g.close(); bos.toByteArray
+    }
+    val rnd = new scala.util.Random(99)
+    def mutants(b0: Array[Byte]): Iterator[Array[Byte]] = Iterator.tabulate(250) { _ =>
+      val b = b0.clone()
+      rnd.nextInt(3) match {
+        case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+        case 1 => b.take(rnd.nextInt(b.length))
+        case 2 =>
+          val at = rnd.nextInt(b.length)
+          b.take(at) ++ Array.fill(1 + rnd.nextInt(6))(rnd.nextInt(256).toByte) ++ b.drop(at)
+      }
+    }
+    for (seed <- Seq(base, gz); (m, i) <- mutants(seed).zipWithIndex) {
+      val out =
+        try Warc.parseRecords(m)
+        catch { case e: Throwable =>
+          fail(s"mutant $i (${seed.length}B seed): threw ${e.getClass.getName}: ${e.getMessage}") }
+      out.foreach { r =>
+        assert(r.payload.length <= m.length,
+          s"mutant $i: record payload larger than its input") }
+    }
+  }
+
   test("gzip: whole-archive and member-per-record forms parse identically") {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
