@@ -1263,6 +1263,33 @@ object QueriesPipeline {
           .select("doc_id", "split").orderBy("doc_id")
       }
 
+      // the same split via the DECLARED pipeline (IR composes the LSH
+      // pair generation in-action) — one oracle gates both faces
+      register("ir_cluster_split",
+        s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$closure
+           |SELECT d.doc_id,
+           |       CASE WHEN (${sqlMd5Hash64(
+                      "'cs:' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)")} % 1000000)
+           |              < 800000 THEN 'train'
+           |            WHEN (${sqlMd5Hash64(
+                      "'cs:' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)")} % 1000000)
+           |              < 900000 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+           |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+        import graft.ir.{Engine, EngineCtx, Node}
+        val node = Node.fromJson(
+          s"""{"action":"cluster-split","params":[{"id":"doc_id","text":"text",
+             |   "k":$k,"rows-per-band":2,"salt":"cs",
+             |   "weights":[{"name":"train","weight":0.8},
+             |              {"name":"val","weight":0.1},
+             |              {"name":"test","weight":0.1}]}],
+             | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+        Engine.run(node, docs(s, dir), EngineCtx(testMode = true)).taps("out")
+          .select("doc_id", "split").orderBy("doc_id")
+      }
+
       // duplicate-rate planning estimate: deterministic md5 sample ->
       // within-sample LSH + closure -> rates; the oracle replays the
       // sample membership, the signatures, and the transitive closure
