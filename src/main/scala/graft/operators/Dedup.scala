@@ -922,10 +922,15 @@ object Dedup {
   def clusterAwareSplit(df: DataFrame, pairs: DataFrame, idCol: String,
                         weights: Seq[(String, Double)],
                         salt: String = "split"): DataFrame = {
-    val labels = clusterPairsStar(pairs).withColumnRenamed("id", "__cid")
+    // label columns renamed into the __ namespace BEFORE the join: an
+    // input frame that already carries a `cluster` column (a prior
+    // clustering pass is exactly when this operator gets used) must not
+    // collide with the internal label table
+    val labels = clusterPairsStar(pairs)
+      .select(col("id").as("__cid"), col("cluster").as("__croot"))
     val rooted = df.join(labels, df(idCol) === col("__cid"), "left")
-      .withColumn("__root", coalesce(col("cluster"), df(idCol)))
-      .drop("__cid", "cluster")
+      .withColumn("__root", coalesce(col("__croot"), df(idCol)))
+      .drop("__cid", "__croot")
     graft.operators.Sampling.splitByHash(rooted, "__root", weights, salt)
       .drop("__root")
   }

@@ -219,6 +219,13 @@ object Retrieval {
     * Append-only by contract: re-appending the same documents
     * double-counts them (same as re-ingesting a crawl twice anywhere
     * else) — run the delta through dedup/`IncrementalDedup` first.
+    * Crash consistency, stated plainly: the three writes (postings
+    * append, df merge, meta) are not atomic as a group — a crash
+    * between them leaves the index stale-but-queryable (old df/meta
+    * with new postings); re-running the SAME append after a crash
+    * double-appends, so recover by rebuilding or by re-running from
+    * the failed write only. A transactional table format is the real
+    * fix at fleet scale; this library stays format-neutral.
     * Scale: one delta-sized postings build + one touched-bucket df
     * merge; cost is O(delta + touched df), independent of index size.
     */
