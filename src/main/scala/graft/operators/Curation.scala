@@ -994,6 +994,8 @@ object Curation {
                        pseudoCount: Double): DataFrame = {
     require(pseudoCount > 0,
       s"shrunkGroupMeans: pseudoCount must be > 0, got $pseudoCount")
+    require(!Set("n", "mean", "shrunk_mean").contains(groupCol),
+      s"shrunkGroupMeans: groupCol '$groupCol' collides with an output column")
     val g = df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(col(valCol).cast("double").cast("decimal(38,9)")).as("__s"))

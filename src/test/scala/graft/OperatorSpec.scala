@@ -401,6 +401,15 @@ class OperatorSpec extends AnyFunSuite {
     val plain = Sampling.splitByHash(docs.filter($"doc_id" === 4L), "doc_id", w, salt = "t")
       .select("split").head.getString(0)
     assert(out(4L) == plain)
+    // an input frame already carrying a `cluster` column (prior pass)
+    // must not collide with the internal label table — same assignments,
+    // caller's column survives
+    val withCluster = docs.withColumn("cluster", $"doc_id" * 10)
+    val out2 = Dedup.clusterAwareSplit(withCluster, pairs, "doc_id", w, salt = "t")
+    assert(out2.columns.contains("cluster"))
+    assert(out2.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == out)
+    assert(out2.filter($"doc_id" === 2L).select("cluster").head.getLong(0) == 20L)
   }
 
   test("sharedSubstringSpans: maximal cross-doc runs, self-repeats excluded") {
