@@ -53,6 +53,22 @@ class FeedSpec extends AnyFunSuite {
     assert(out(1).getString(0) == "http://e.com/y")
   }
 
+  test("IR feed-urls == direct parseFeeds on the same bodies") {
+    val s = spark
+    import s.implicits._
+    import graft.ir.{Engine, EngineCtx, Node}
+    val df = Seq(("a", rss), ("b", atom)).toDF("id", "xml")
+    val direct = Feed.parseFeeds(df).select("feed_type", "url", "entry_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val ir = Engine.run(Node.fromJson(
+      """{"action":"feed-urls","params":[{"xml":"xml"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .select("feed_type", "url", "entry_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ir == direct && direct.size == 4)
+  }
+
   test("parseFeeds: format sniffing routes each body once; garbage contributes nothing") {
     val s = spark
     import s.implicits._
