@@ -580,6 +580,49 @@ object QueriesPipeline {
         }
       }
 
+      // feed autodiscovery from HTML <link> tags — both attribute
+      // orders, mixed case/quoting, with decoy stylesheet/canonical
+      // links that must NOT match; tag-scan + filter algebra replayed
+      // identically in SQL
+      locally {
+        val htmlSql =
+          """CASE WHEN doc_id % 3 = 0 THEN
+               '<head><link rel="alternate" type="application/rss+xml" href="http://f'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/rss"><link rel="stylesheet" href="/css"></head>'
+             WHEN doc_id % 3 = 1 THEN
+               '<head><LINK href=''http://f' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/atom.xml'' TYPE=''application/atom+xml'' REL=alternate><title>x</title></head>'
+             ELSE '<head><link rel="canonical" href="http://c.example.com/"></head>' END"""
+            .replace("\n", " ")
+        val htmlCol = when(col("doc_id") % 3 === 0,
+            concat(lit("<head><link rel=\"alternate\" type=\"application/rss+xml\" href=\"http://f"),
+              pmod(col("doc_id"), lit(7)).cast("string"),
+              lit(".example.com/rss\"><link rel=\"stylesheet\" href=\"/css\"></head>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("<head><LINK href='http://f"),
+              pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".example.org/atom.xml' TYPE='application/atom+xml' REL=alternate><title>x</title></head>")))
+          .otherwise(lit("<head><link rel=\"canonical\" href=\"http://c.example.com/\"></head>"))
+        register("feed_discovery",
+          s"""WITH u AS (SELECT doc_id, $htmlSql AS h FROM documents),
+             |t AS (SELECT doc_id, unnest(regexp_extract_all(h, '(?i)<link\\s[^>]*>')) AS tag
+             |      FROM u),
+             |f AS (SELECT doc_id,
+             |        regexp_extract(tag, '(?i)href\\s*=\\s*["'']([^"''>]+)["'']', 1) AS feed_url
+             |      FROM t
+             |      WHERE regexp_matches(tag, '(?i)rel\\s*=\\s*["'']?alternate')
+             |        AND regexp_matches(tag, '(?i)type\\s*=\\s*["'']application/(rss|atom)\\+xml'))
+             |SELECT doc_id, feed_url FROM f WHERE feed_url <> ''
+             |ORDER BY doc_id, feed_url""".stripMargin) { (s, dir) =>
+          docs(s, dir)
+            .select(col("doc_id"), htmlCol.as("h"))
+            .select(col("doc_id"),
+              explode(graft.sources.Feed.discoveryLinks(col("h"))).as("feed_url"))
+            .orderBy("doc_id", "feed_url")
+        }
+      }
+
       register("url_domain_stats",
         s"""WITH u AS (SELECT doc_id, $urlSql AS s FROM documents),
            |h AS (SELECT doc_id, unnest(regexp_extract_all(s, '${Pii.UrlHostPattern}', 1)) AS host

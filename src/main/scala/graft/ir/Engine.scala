@@ -2204,6 +2204,10 @@ object Engine {
     case "feed-urls" =>
       val m = pMap(params.head)
       df => graft.sources.Feed.parseFeeds(df, pStr(m("xml")))
+    case "feed-discovery" =>
+      val m = pMap(params.head)
+      df => df.withColumn(m.get("out").map(pStr).getOrElse("feed_urls"),
+        graft.sources.Feed.discoveryLinks(col(pStr(m("html")))))
     case "sitemap-urls" =>
       val m = pMap(params.head)
       df => graft.sources.Sitemap.parseUrlset(df, pStr(m("xml")))

@@ -88,6 +88,26 @@ object Feed {
         col("__e.id").as("entry_id"))
       .drop("__a", "__e")
 
+  /** Feed AUTODISCOVERY from HTML pages (the RSS/Atom convention every
+    * browser and crawler honors): hrefs of
+    * `<link rel="alternate" type="application/rss+xml|atom+xml">` tags.
+    * Attributes appear in ANY order with any quoting, so the extraction
+    * is tag-scan → predicate-filter → href-extract array algebra (six
+    * permutation regexes would be the fragile alternative) — one
+    * map-side projection, total on non-HTML. Returns an array column of
+    * discovered feed URLs (empty when the page advertises none).
+    */
+  def discoveryLinks(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?i)<link\\s[^>]*>"), lit(0))
+    filter(
+      transform(
+        filter(tags, t =>
+          t.rlike("(?i)rel\\s*=\\s*[\"']?alternate") &&
+            t.rlike("(?i)type\\s*=\\s*[\"']application/(rss|atom)\\+xml")),
+        t => regexp_extract(t, "(?i)href\\s*=\\s*[\"']([^\"'>]+)[\"']", 1)),
+      h => h =!= "")
+  }
+
   /** Format-sniffing union: each body routes to the RSS or Atom parser
     * by its root element, with `feed_type` tagging the rows. One body
     * parses at most once (a document can't be both); unparseable bodies

@@ -53,6 +53,27 @@ class FeedSpec extends AnyFunSuite {
     assert(out(1).getString(0) == "http://e.com/y")
   }
 
+  test("discoveryLinks: any attribute order/quoting; decoys and garbage excluded") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      ("a", """<head><link rel="alternate" type="application/rss+xml" href="http://e/rss">
+              |<link rel="stylesheet" href="/css"></head>""".stripMargin.replace("\n", "")),
+      ("b", "<head><LINK href='http://e/atom' TYPE='application/atom+xml' REL=alternate></head>"),
+      ("c", """<head><link rel="alternate" type="text/html" href="http://e/mobile"></head>"""),
+      ("d", "no html at all"),
+      ("e", """<link type="application/rss+xml" href="http://e/r2" rel="alternate">""")
+    ).toDF("id", "html")
+    val out = pages.select(col("id"), graft.sources.Feed.discoveryLinks(col("html")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("a") == Seq("http://e/rss"))
+    assert(out("b") == Seq("http://e/atom"))
+    assert(out("c").isEmpty, "text/html alternate is not a feed")
+    assert(out("d").isEmpty)
+    assert(out("e") == Seq("http://e/r2"), "attribute order must not matter")
+  }
+
   test("IR feed-urls == direct parseFeeds on the same bodies") {
     val s = spark
     import s.implicits._
