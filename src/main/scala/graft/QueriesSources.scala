@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
 object QueriesSources {
 
   /** Events packed into the ExportMetricsServiceRequest struct shape
-    * [[Decode.otlpMetrics]] consumes: event_id%3 routes each event into
-    * gauge / sum / histogram (the histogram point pre-aggregates
-    * count = event_id%7+1, sum = value*count), grouped into one request
-    * per service (user_id%5) like the trace gates.
+    * [[Decode.otlpMetrics]] consumes: event_id%4 routes each event into
+    * gauge / sum / histogram / exponential histogram (the histogram
+    * point pre-aggregates count = event_id%7+1, the exponential one
+    * count = event_id%5+1, each with sum = value*count), grouped into
+    * one request per service (user_id%5) like the trace gates.
     */
   private def otlpMetricsRequests(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.eventsRaw(s, dir)
@@ -32,14 +33,20 @@ object QueriesSources {
       array(lit(1L), lit(2L)).as("bucketCounts"),
       array(lit(10.0)).as("explicitBounds"),
       attrs.as("attributes"))
-    val m3 = pmod(col("event_id"), lit(3))
+    val expN = (pmod(col("event_id"), lit(5)) + 1).cast("long")
+    val expPt = struct(tNs.as("startTimeUnixNano"), tNs.as("timeUnixNano"),
+      expN.as("count"), (col("value") * expN.cast("double")).as("sum"),
+      lit(3L).as("scale"), lit(0L).as("zeroCount"),
+      attrs.as("attributes"))
+    val m4 = pmod(col("event_id"), lit(4))
     val metric = struct(
       concat(lit("m_"), col("event_type")).as("name"),
       lit("ms").as("unit"),
-      struct(filter(array(numPt), _ => m3 === 0).as("dataPoints")).as("gauge"),
-      struct(filter(array(numPt), _ => m3 === 1).as("dataPoints"),
+      struct(filter(array(numPt), _ => m4 === 0).as("dataPoints")).as("gauge"),
+      struct(filter(array(numPt), _ => m4 === 1).as("dataPoints"),
         lit(true).as("isMonotonic")).as("sum"),
-      struct(filter(array(histPt), _ => m3 === 2).as("dataPoints")).as("histogram"))
+      struct(filter(array(histPt), _ => m4 === 2).as("dataPoints")).as("histogram"),
+      struct(filter(array(expPt), _ => m4 === 3).as("dataPoints")).as("expHistogram"))
     raw.select(pmod(col("user_id"), lit(5)).as("svc"), metric.as("m"))
       .groupBy("svc")
       .agg(collect_list(col("m")).as("metrics"))
@@ -245,14 +252,18 @@ object QueriesSources {
     register("otlp_metrics_decode",
       """SELECT event_id AS eid,
         |       'm_' || event_type AS name,
-        |       CASE event_id % 3 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
-        |            ELSE 'histogram' END AS mtype,
+        |       CASE event_id % 4 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+        |            WHEN 2 THEN 'histogram'
+        |            ELSE 'exponential_histogram' END AS mtype,
         |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
         |       (epoch_ns(ts) // 1000) * 1000 AS time,
-        |       CASE WHEN event_id % 3 = 2
+        |       CASE WHEN event_id % 4 = 2
         |            THEN value * CAST(event_id % 7 + 1 AS DOUBLE)
+        |            WHEN event_id % 4 = 3
+        |            THEN value * CAST(event_id % 5 + 1 AS DOUBLE)
         |            ELSE value END AS metric,
-        |       CASE WHEN event_id % 3 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
+        |       CASE WHEN event_id % 4 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
+        |            WHEN event_id % 4 = 3 THEN CAST(event_id % 5 + 1 AS BIGINT)
         |            ELSE CAST(1 AS BIGINT) END AS cnt
         |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
       Decode.otlpMetrics(otlpMetricsRequests(s, dir))
@@ -269,14 +280,18 @@ object QueriesSources {
     register("otlp_metrics_wire_decode",
       """SELECT event_id AS eid,
         |       'm_' || event_type AS name,
-        |       CASE event_id % 3 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
-        |            ELSE 'histogram' END AS mtype,
+        |       CASE event_id % 4 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+        |            WHEN 2 THEN 'histogram'
+        |            ELSE 'exponential_histogram' END AS mtype,
         |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
         |       (epoch_ns(ts) // 1000) * 1000 AS time,
-        |       CASE WHEN event_id % 3 = 2
+        |       CASE WHEN event_id % 4 = 2
         |            THEN value * CAST(event_id % 7 + 1 AS DOUBLE)
+        |            WHEN event_id % 4 = 3
+        |            THEN value * CAST(event_id % 5 + 1 AS DOUBLE)
         |            ELSE value END AS metric,
-        |       CASE WHEN event_id % 3 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
+        |       CASE WHEN event_id % 4 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
+        |            WHEN event_id % 4 = 3 THEN CAST(event_id % 5 + 1 AS BIGINT)
         |            ELSE CAST(1 AS BIGINT) END AS cnt
         |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -300,14 +315,22 @@ object QueriesSources {
             val histN = eid % 7 + 1
             val histPt = WireCodecs.OtlpHistPoint(tNs, tNs, histN,
               v * histN.toDouble, Seq(1L, 2L), Seq(10.0), attrs)
+            val expN = eid % 5 + 1
+            val expPt = WireCodecs.OtlpExpHistPoint(tNs, tNs, expN,
+              v * expN.toDouble, scale = 3L, zeroCount = 0L,
+              positive = WireCodecs.OtlpExpBuckets(1L, Seq(expN)),
+              negative = WireCodecs.OtlpExpBuckets(0L, Nil),
+              attributes = attrs)
             WireCodecs.OtlpMetric(
               name = "m_" + r.getAs[String]("event_type"), unit = "ms",
               gauge = WireCodecs.OtlpGauge(
-                if (eid % 3 == 0) Seq(numPt) else Nil),
+                if (eid % 4 == 0) Seq(numPt) else Nil),
               sum = WireCodecs.OtlpSum(
-                if (eid % 3 == 1) Seq(numPt) else Nil, isMonotonic = true),
+                if (eid % 4 == 1) Seq(numPt) else Nil, isMonotonic = true),
               histogram = WireCodecs.OtlpHistogram(
-                if (eid % 3 == 2) Seq(histPt) else Nil))
+                if (eid % 4 == 2) Seq(histPt) else Nil),
+              expHistogram = WireCodecs.OtlpExpHistogram(
+                if (eid % 4 == 3) Seq(expPt) else Nil))
           }
           WireCodecs.encodeOtlpMetricsRequest(WireCodecs.OtlpMetricsRequest(Seq(
             WireCodecs.OtlpResourceMetrics(

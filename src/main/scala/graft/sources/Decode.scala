@@ -153,11 +153,11 @@ object Decode {
           p.getField("attributes").as("attributes")))),
         array().cast(ptType))
     }
-    val histPts: Column = {
-      val arr = col("m.histogram.dataPoints")
+    def histPts(fld: String, typ: String): Column = {
+      val arr = col(s"m.$fld.dataPoints")
       coalesce(
         when(arr.isNotNull, transform(arr, p => struct(
-          lit("histogram").as("mtype"),
+          lit(typ).as("mtype"),
           p.getField("timeUnixNano").cast("long").as("time"),
           p.getField("sum").cast("double").as("metric"),
           p.getField("count").cast("long").as("count"),
@@ -170,8 +170,9 @@ object Decode {
         explode(col("rm.scopeMetrics")).as("sm"))
       .select(col("__res"), explode(col("sm.metrics")).as("m"))
       .select(col("__res"), col("m.name").as("name"), col("m.unit").as("unit"),
-        explode(concat(numPts("gauge", "gauge"), numPts("sum", "sum"), histPts))
-          .as("p"))
+        explode(concat(numPts("gauge", "gauge"), numPts("sum", "sum"),
+          histPts("histogram", "histogram"),
+          histPts("expHistogram", "exponential_histogram"))).as("p"))
       .select(
         col("name"),
         col("unit"),

@@ -337,12 +337,25 @@ object WireCodecs {
                                  bucketCounts: Seq[Long],
                                  explicitBounds: Seq[Double],
                                  attributes: Seq[OtlpKV])
+  /** One side (positive/negative) of an exponential-histogram point:
+    * base-2^(2^-scale) buckets starting at `offset`.
+    */
+  final case class OtlpExpBuckets(offset: Long, bucketCounts: Seq[Long])
+  final case class OtlpExpHistPoint(startTimeUnixNano: Long, timeUnixNano: Long,
+                                    count: Long, sum: Double, scale: Long,
+                                    zeroCount: Long,
+                                    positive: OtlpExpBuckets,
+                                    negative: OtlpExpBuckets,
+                                    attributes: Seq[OtlpKV])
   final case class OtlpGauge(dataPoints: Seq[OtlpNumPoint])
   final case class OtlpSum(dataPoints: Seq[OtlpNumPoint], isMonotonic: Boolean)
   final case class OtlpHistogram(dataPoints: Seq[OtlpHistPoint])
+  final case class OtlpExpHistogram(dataPoints: Seq[OtlpExpHistPoint])
   final case class OtlpMetric(name: String, unit: String,
                               gauge: OtlpGauge, sum: OtlpSum,
-                              histogram: OtlpHistogram)
+                              histogram: OtlpHistogram,
+                              expHistogram: OtlpExpHistogram =
+                                OtlpExpHistogram(Nil))
   final case class OtlpScopeMetrics(metrics: Seq[OtlpMetric])
   final case class OtlpResourceMetrics(resource: OtlpResource,
                                        scopeMetrics: Seq[OtlpScopeMetrics])
@@ -402,7 +415,7 @@ object WireCodecs {
     val r = new Reader(buf, off, off + len)
     var name = ""; var unit = ""
     var gauge = OtlpGauge(Nil); var sum = OtlpSum(Nil, isMonotonic = false)
-    var hist = OtlpHistogram(Nil)
+    var hist = OtlpHistogram(Nil); var expHist = OtlpExpHistogram(Nil)
     def numPoints(o: Int, l: Int): (Seq[OtlpNumPoint], Boolean) = {
       val rr = new Reader(buf, o, o + l)
       val pts = Seq.newBuilder[OtlpNumPoint]
@@ -441,10 +454,72 @@ object WireCodecs {
             } else rr.skip((t & 7).toInt)
           }
           hist = OtlpHistogram(pts.result())
+        case (10, 2) => // exponential_histogram
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val pts = Seq.newBuilder[OtlpExpHistPoint]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 1 && (t & 7) == 2) {
+              val (po, pl) = rr.bytes()
+              pts += decodeExpHistPoint(buf, po, pl)
+            } else rr.skip((t & 7).toInt)
+          }
+          expHist = OtlpExpHistogram(pts.result())
         case (_, w) => r.skip(w)
       }
     }
-    OtlpMetric(name, unit, gauge, sum, hist)
+    OtlpMetric(name, unit, gauge, sum, hist, expHist)
+  }
+
+  /** Protobuf zigzag decode (sint32/sint64 wire form). */
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  private def decodeExpBuckets(buf: Array[Byte], off: Int, len: Int): OtlpExpBuckets = {
+    val r = new Reader(buf, off, off + len)
+    var offset = 0L
+    val counts = Seq.newBuilder[Long]
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (1, 0) => offset = zigzag(r.varint())
+        case (2, 2) => // packed varint bucket counts
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          while (rr.hasRemaining) counts += rr.varint()
+        case (2, 0) => counts += r.varint() // unpacked form, legal too
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpExpBuckets(offset, counts.result())
+  }
+
+  private def decodeExpHistPoint(buf: Array[Byte], off: Int, len: Int): OtlpExpHistPoint = {
+    val r = new Reader(buf, off, off + len)
+    var start = 0L; var time = 0L; var count = 0L; var sum = 0.0
+    var scale = 0L; var zero = 0L
+    var pos = OtlpExpBuckets(0, Nil); var neg = OtlpExpBuckets(0, Nil)
+    val attrs = Seq.newBuilder[OtlpKV]
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (1, 2) =>
+          val (o, l) = r.bytes()
+          attrs += decodeKeyValue(buf, o, l)
+        case (2, 1) => start = r.fixed64()
+        case (3, 1) => time = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (6, 0) => scale = zigzag(r.varint())
+        case (7, 1) => zero = r.fixed64()
+        case (8, 2) =>
+          val (o, l) = r.bytes(); pos = decodeExpBuckets(buf, o, l)
+        case (9, 2) =>
+          val (o, l) = r.bytes(); neg = decodeExpBuckets(buf, o, l)
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpExpHistPoint(start, time, count, sum, scale, zero, pos, neg, attrs.result())
   }
 
   private def decodeNumPoint(buf: Array[Byte], off: Int, len: Int): OtlpNumPoint = {
@@ -578,6 +653,35 @@ object WireCodecs {
             }
             mw.msg(9, hw)
           }
+          if (m.expHistogram.dataPoints.nonEmpty) {
+            def buckets(field: Int, b: OtlpExpBuckets, pw: Writer): Unit = {
+              val bw = new Writer
+              bw.sintField(1, b.offset)
+              if (b.bucketCounts.nonEmpty) {
+                val cw = new Writer
+                b.bucketCounts.foreach(cw.rawVarint)
+                bw.msgBytes(2, cw)
+              }
+              pw.msg(field, bw)
+            }
+            val hw = new Writer
+            m.expHistogram.dataPoints.foreach { p =>
+              val pw = new Writer
+              p.attributes.foreach(kv(pw, 1, _))
+              pw.fixed64(2, p.startTimeUnixNano)
+              pw.fixed64(3, p.timeUnixNano)
+              pw.fixed64(4, p.count)
+              pw.fixed64(5, java.lang.Double.doubleToLongBits(p.sum))
+              pw.sintField(6, p.scale)
+              pw.fixed64(7, p.zeroCount)
+              if (p.positive.bucketCounts.nonEmpty || p.positive.offset != 0)
+                buckets(8, p.positive, pw)
+              if (p.negative.bucketCounts.nonEmpty || p.negative.offset != 0)
+                buckets(9, p.negative, pw)
+              hw.msg(1, pw)
+            }
+            mw.msg(10, hw)
+          }
           smw.msg(2, mw)
         }
         rw.msg(2, smw)
@@ -655,6 +759,14 @@ object WireCodecs {
     }
     private def tag(field: Int, wireType: Int): Unit = vint((field.toLong << 3) | wireType)
     def varintField(field: Int, v: Long): Unit = { tag(field, 0); vint(v) }
+    /** sint32/sint64 zigzag field. */
+    def sintField(field: Int, v: Long): Unit = {
+      tag(field, 0); vint((v << 1) ^ (v >> 63))
+    }
+    /** Un-tagged varint — the element encoding inside a packed repeated
+      * varint field.
+      */
+    def rawVarint(v: Long): Unit = vint(v)
     def fixed64(field: Int, v: Long): Unit = {
       tag(field, 1)
       var i = 0

@@ -70,7 +70,13 @@ class WireCodecsSpec extends AnyFunSuite {
           OtlpGauge(Seq(OtlpNumPoint(1L, 2L, 3.25, attrs))),
           OtlpSum(Seq(OtlpNumPoint(4L, 5L, 6.5, Nil)), isMonotonic = true),
           OtlpHistogram(Seq(OtlpHistPoint(7L, 8L, 42L, 99.75,
-            Seq(1L, 40L, 1L), Seq(10.0, 100.0), attrs))))))))))
+            Seq(1L, 40L, 1L), Seq(10.0, 100.0), attrs))),
+          // negative scale + negative offset exercise the zigzag arm
+          OtlpExpHistogram(Seq(OtlpExpHistPoint(9L, 10L, 17L, 55.5,
+            scale = -2L, zeroCount = 3L,
+            positive = OtlpExpBuckets(-4L, Seq(5L, 0L, 12L)),
+            negative = OtlpExpBuckets(2L, Seq(1L)),
+            attributes = attrs))))))))))
     val dec = decodeOtlpMetricsRequest(encodeOtlpMetricsRequest(req))
     assert(dec == req)
   }
@@ -111,7 +117,9 @@ class WireCodecsSpec extends AnyFunSuite {
       Seq(OtlpScopeMetrics(Seq(OtlpMetric("m", "ms",
         OtlpGauge(Seq(OtlpNumPoint(1L, 2L, 3.0, Seq(OtlpKV("a", "b"))))),
         OtlpSum(Seq(OtlpNumPoint(4L, 5L, 6.0, Nil)), isMonotonic = true),
-        OtlpHistogram(Seq(OtlpHistPoint(7L, 8L, 2L, 9.0, Seq(1L, 1L), Seq(5.0), Nil)))))))))))
+        OtlpHistogram(Seq(OtlpHistPoint(7L, 8L, 2L, 9.0, Seq(1L, 1L), Seq(5.0), Nil))),
+        OtlpExpHistogram(Seq(OtlpExpHistPoint(1L, 2L, 4L, 8.0, -1L, 1L,
+          OtlpExpBuckets(-2L, Seq(2L, 2L)), OtlpExpBuckets(0L, Nil), Nil)))))))))))
     val rnd = new scala.util.Random(1234)
     def mutants(base: Array[Byte]): Iterator[Array[Byte]] = Iterator.tabulate(300) { _ =>
       val b = base.clone()
