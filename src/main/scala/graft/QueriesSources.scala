@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
 object QueriesSources {
 
   /** Events packed into the ExportMetricsServiceRequest struct shape
-    * [[Decode.otlpMetrics]] consumes: event_id%4 routes each event into
-    * gauge / sum / histogram / exponential histogram (the histogram
-    * point pre-aggregates count = event_id%7+1, the exponential one
-    * count = event_id%5+1, each with sum = value*count), grouped into
-    * one request per service (user_id%5) like the trace gates.
+    * [[Decode.otlpMetrics]] consumes: event_id%5 routes each event into
+    * gauge / sum / histogram / exponential histogram / summary (the
+    * histogram point pre-aggregates count = event_id%7+1, the
+    * exponential one count = event_id%5+1, each with sum = value*count;
+    * the summary point carries count = event_id%9+1 and TWO quantile
+    * readouts — φ=0.5 at value and φ=0.99 at value*2 — which the decode
+    * fans out to one event each), grouped into one request per service
+    * (user_id%5) like the trace gates.
     */
   private def otlpMetricsRequests(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.eventsRaw(s, dir)
@@ -38,15 +41,24 @@ object QueriesSources {
       expN.as("count"), (col("value") * expN.cast("double")).as("sum"),
       lit(3L).as("scale"), lit(0L).as("zeroCount"),
       attrs.as("attributes"))
-    val m4 = pmod(col("event_id"), lit(4))
+    val sumN = (pmod(col("event_id"), lit(9)) + 1).cast("long")
+    val summaryPt = struct(tNs.as("startTimeUnixNano"), tNs.as("timeUnixNano"),
+      sumN.as("count"), (col("value") * sumN.cast("double")).as("sum"),
+      array(
+        struct(lit(0.5).as("quantile"), col("value").as("value")),
+        struct(lit(0.99).as("quantile"), (col("value") * 2).as("value")))
+        .as("quantileValues"),
+      attrs.as("attributes"))
+    val m5 = pmod(col("event_id"), lit(5))
     val metric = struct(
       concat(lit("m_"), col("event_type")).as("name"),
       lit("ms").as("unit"),
-      struct(filter(array(numPt), _ => m4 === 0).as("dataPoints")).as("gauge"),
-      struct(filter(array(numPt), _ => m4 === 1).as("dataPoints"),
+      struct(filter(array(numPt), _ => m5 === 0).as("dataPoints")).as("gauge"),
+      struct(filter(array(numPt), _ => m5 === 1).as("dataPoints"),
         lit(true).as("isMonotonic")).as("sum"),
-      struct(filter(array(histPt), _ => m4 === 2).as("dataPoints")).as("histogram"),
-      struct(filter(array(expPt), _ => m4 === 3).as("dataPoints")).as("expHistogram"))
+      struct(filter(array(histPt), _ => m5 === 2).as("dataPoints")).as("histogram"),
+      struct(filter(array(expPt), _ => m5 === 3).as("dataPoints")).as("expHistogram"),
+      struct(filter(array(summaryPt), _ => m5 === 4).as("dataPoints")).as("summary"))
     raw.select(pmod(col("user_id"), lit(5)).as("svc"), metric.as("m"))
       .groupBy("svc")
       .agg(collect_list(col("m")).as("metrics"))
@@ -56,6 +68,41 @@ object QueriesSources {
           .as("attributes")).as("resource"),
         array(struct(col("metrics"))).as("scopeMetrics"))).as("resourceMetrics"))
   }
+
+  /** Shared oracle for both OTLP metrics gates (struct + wire): the
+    * expected flat rows for all five point families, summary points
+    * fanning out to one row per quantile (φ as a VARCHAR `quantile`
+    * column; null for the other families).
+    */
+  private val otlpMetricsOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_id AS eid, 'm_' || event_type AS name,
+      |         'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+      |         (epoch_ns(ts) // 1000) * 1000 AS time,
+      |         value AS v, event_id % 5 AS fam,
+      |         CAST(event_id % 7 + 1 AS BIGINT) AS hn,
+      |         CAST(event_id % 5 + 1 AS BIGINT) AS en,
+      |         CAST(event_id % 9 + 1 AS BIGINT) AS sn
+      |  FROM events),
+      |rows AS (
+      |  SELECT eid, name,
+      |         CASE fam WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+      |              WHEN 2 THEN 'histogram'
+      |              ELSE 'exponential_histogram' END AS mtype,
+      |         service, time,
+      |         CASE fam WHEN 2 THEN v * CAST(hn AS DOUBLE)
+      |              WHEN 3 THEN v * CAST(en AS DOUBLE) ELSE v END AS metric,
+      |         CASE fam WHEN 2 THEN hn WHEN 3 THEN en
+      |              ELSE CAST(1 AS BIGINT) END AS cnt,
+      |         CAST(NULL AS VARCHAR) AS quantile
+      |  FROM base WHERE fam <> 4
+      |  UNION ALL
+      |  SELECT eid, name, 'summary', service, time, v, sn, '0.5'
+      |  FROM base WHERE fam = 4
+      |  UNION ALL
+      |  SELECT eid, name, 'summary', service, time, v * 2, sn, '0.99'
+      |  FROM base WHERE fam = 4)
+      |SELECT * FROM rows ORDER BY eid, coalesce(quantile, '')""".stripMargin
 
   def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
 
@@ -244,33 +291,21 @@ object QueriesSources {
 
     // OTLP METRICS decode (beyond-reference §2.7: the reference covers
     // metrics only via Prometheus remote-write; OTLP metrics is the
-    // OpenTelemetry-SDK default). Events fan into the three point
-    // families by event_id%3 — gauge / sum (value points) / histogram
-    // (pre-aggregated count+sum) — and the oracle computes the expected
-    // flat rows directly, so drift in family routing, the (sum, count)
-    // histogram reduction, or resource→service mapping mismatches.
+    // OpenTelemetry-SDK default). Events fan into the FIVE point
+    // families by event_id%5 — gauge / sum (value points) / histogram /
+    // exponential histogram (pre-aggregated count+sum) / summary (one
+    // event per φ-quantile, φ landing under the `quantile` attribute) —
+    // and the oracle computes the expected flat rows directly, so drift
+    // in family routing, the (sum, count) reduction, the quantile
+    // fan-out, or resource→service mapping mismatches.
     register("otlp_metrics_decode",
-      """SELECT event_id AS eid,
-        |       'm_' || event_type AS name,
-        |       CASE event_id % 4 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
-        |            WHEN 2 THEN 'histogram'
-        |            ELSE 'exponential_histogram' END AS mtype,
-        |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
-        |       (epoch_ns(ts) // 1000) * 1000 AS time,
-        |       CASE WHEN event_id % 4 = 2
-        |            THEN value * CAST(event_id % 7 + 1 AS DOUBLE)
-        |            WHEN event_id % 4 = 3
-        |            THEN value * CAST(event_id % 5 + 1 AS DOUBLE)
-        |            ELSE value END AS metric,
-        |       CASE WHEN event_id % 4 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
-        |            WHEN event_id % 4 = 3 THEN CAST(event_id % 5 + 1 AS BIGINT)
-        |            ELSE CAST(1 AS BIGINT) END AS cnt
-        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      otlpMetricsOracleSql) { (s, dir) =>
       Decode.otlpMetrics(otlpMetricsRequests(s, dir))
         .select(element_at(col("attributes"), "eid").cast("long").as("eid"),
           col("name"), col("mtype"), col("service"), col("time"),
-          col("metric"), col("count").as("cnt"))
-        .orderBy("eid")
+          col("metric"), col("count").as("cnt"),
+          element_at(col("attributes"), "quantile").as("quantile"))
+        .orderBy(col("eid"), coalesce(col("quantile"), lit("")))
     }
 
     // OTLP METRICS WIRE decode: the same rows through the hand-rolled
@@ -278,22 +313,7 @@ object QueriesSources {
     // group → distributed byte-level decode → the SAME gated Column
     // mapping), like otlp_wire_decode for traces.
     register("otlp_metrics_wire_decode",
-      """SELECT event_id AS eid,
-        |       'm_' || event_type AS name,
-        |       CASE event_id % 4 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
-        |            WHEN 2 THEN 'histogram'
-        |            ELSE 'exponential_histogram' END AS mtype,
-        |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
-        |       (epoch_ns(ts) // 1000) * 1000 AS time,
-        |       CASE WHEN event_id % 4 = 2
-        |            THEN value * CAST(event_id % 7 + 1 AS DOUBLE)
-        |            WHEN event_id % 4 = 3
-        |            THEN value * CAST(event_id % 5 + 1 AS DOUBLE)
-        |            ELSE value END AS metric,
-        |       CASE WHEN event_id % 4 = 2 THEN CAST(event_id % 7 + 1 AS BIGINT)
-        |            WHEN event_id % 4 = 3 THEN CAST(event_id % 5 + 1 AS BIGINT)
-        |            ELSE CAST(1 AS BIGINT) END AS cnt
-        |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
+      otlpMetricsOracleSql) { (s, dir) =>
       import s.implicits._
       // payload grouping key is user_id % 40 (NOT % 5): 40 encode tasks
       // instead of 5, and since 5 | 40 the key still determines the
@@ -321,16 +341,24 @@ object QueriesSources {
               positive = WireCodecs.OtlpExpBuckets(1L, Seq(expN)),
               negative = WireCodecs.OtlpExpBuckets(0L, Nil),
               attributes = attrs)
+            val sumN = eid % 9 + 1
+            val summaryPt = WireCodecs.OtlpSummaryPoint(tNs, tNs, sumN,
+              v * sumN.toDouble,
+              Seq(WireCodecs.OtlpQuantileValue(0.5, v),
+                WireCodecs.OtlpQuantileValue(0.99, v * 2)),
+              attrs)
             WireCodecs.OtlpMetric(
               name = "m_" + r.getAs[String]("event_type"), unit = "ms",
               gauge = WireCodecs.OtlpGauge(
-                if (eid % 4 == 0) Seq(numPt) else Nil),
+                if (eid % 5 == 0) Seq(numPt) else Nil),
               sum = WireCodecs.OtlpSum(
-                if (eid % 4 == 1) Seq(numPt) else Nil, isMonotonic = true),
+                if (eid % 5 == 1) Seq(numPt) else Nil, isMonotonic = true),
               histogram = WireCodecs.OtlpHistogram(
-                if (eid % 4 == 2) Seq(histPt) else Nil),
+                if (eid % 5 == 2) Seq(histPt) else Nil),
               expHistogram = WireCodecs.OtlpExpHistogram(
-                if (eid % 4 == 3) Seq(expPt) else Nil))
+                if (eid % 5 == 3) Seq(expPt) else Nil),
+              summary = WireCodecs.OtlpSummary(
+                if (eid % 5 == 4) Seq(summaryPt) else Nil))
           }
           WireCodecs.encodeOtlpMetricsRequest(WireCodecs.OtlpMetricsRequest(Seq(
             WireCodecs.OtlpResourceMetrics(
@@ -341,8 +369,9 @@ object QueriesSources {
       Decode.otlpMetrics(WireCodecs.decodeOtlpMetricFrames(payloads))
         .select(element_at(col("attributes"), "eid").cast("long").as("eid"),
           col("name"), col("mtype"), col("service"), col("time"),
-          col("metric"), col("count").as("cnt"))
-        .orderBy("eid")
+          col("metric"), col("count").as("cnt"),
+          element_at(col("attributes"), "quantile").as("quantile"))
+        .orderBy(col("eid"), coalesce(col("quantile"), lit("")))
     }
 
     // RSS/Atom feed discovery (crawl-frontier sibling of sitemap_urls):
@@ -395,6 +424,56 @@ object QueriesSources {
         .select(col("feed_type"), col("source"), col("url"), col("title"),
           col("published"), col("entry_id"))
         .orderBy("entry_id", "feed_type")
+    }
+
+    // Feed event time (completes the feed source into the Event model):
+    // RFC-822 and RFC-3339 published strings — named zones, numeric
+    // offsets, fractional seconds, plus garbage and impossible dates —
+    // parse to ns or null, never throw. The oracle computes the
+    // expected epoch directly from the same doc_id arithmetic, so any
+    // drift in zone handling, the weekday strip, or the µs→ns scaling
+    // mismatches.
+    register("feed_times",
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 6 AS fam,
+        |         CAST(doc_id % 28 + 1 AS BIGINT) AS d,
+        |         CAST(doc_id % 24 AS BIGINT) AS h,
+        |         CAST(doc_id % 60 AS BIGINT) AS mi
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, fam,
+        |         epoch_ns(make_timestamp(2024, 3, d, h, mi, 30)) AS base
+        |  FROM b)
+        |SELECT doc_id,
+        |       CASE fam WHEN 0 THEN base
+        |            WHEN 1 THEN base - 9000000000000
+        |            WHEN 2 THEN base
+        |            WHEN 3 THEN base + 18000000000000 + 250000000
+        |            ELSE NULL END AS time
+        |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = graft.sources.Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("fam", pmod(col("doc_id"), lit(6)))
+        .withColumn("d", (pmod(col("doc_id"), lit(28)) + 1).cast("long"))
+        .withColumn("hh", lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0"))
+        .withColumn("mm", lpad(pmod(col("doc_id"), lit(60)).cast("string"), 2, "0"))
+        .withColumn("dd", lpad(col("d").cast("string"), 2, "0"))
+      val published = when(col("fam") === 0,
+          concat(lit("Fri, "), col("d"), lit(" Mar 2024 "), col("hh"),
+            lit(":"), col("mm"), lit(":30 GMT")))
+        .when(col("fam") === 1,
+          concat(col("d"), lit(" Mar 2024 "), col("hh"), lit(":"), col("mm"),
+            lit(":30 +0230")))
+        .when(col("fam") === 2,
+          concat(lit("2024-03-"), col("dd"), lit("T"), col("hh"), lit(":"),
+            col("mm"), lit(":30Z")))
+        .when(col("fam") === 3,
+          concat(lit("2024-03-"), col("dd"), lit("T"), col("hh"), lit(":"),
+            col("mm"), lit(":30.250-05:00")))
+        .when(col("fam") === 4, lit("not a date at all"))
+        .otherwise(lit("Wed, 31 Feb 2024 10:00:00 GMT")) // impossible date
+      graft.sources.Feed.withEventTime(d.withColumn("published", published))
+        .select(col("doc_id"), col("time"))
+        .orderBy("doc_id")
     }
 
     // Prometheus remote-write WIRE decode (§2.7): canonical events →

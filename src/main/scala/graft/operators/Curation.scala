@@ -243,38 +243,56 @@ object Curation {
     * step — a one-number vocabulary-health diagnostic corpus reports
     * publish routinely.
     *
-    * One map-side-combined vocabulary aggregate; the ranked table is
-    * model-sized by definition, so the regression is a deterministic
-    * sequential driver fold (the repo's model-sized-collect rule).
-    * Returns one row `(v_size, slope, intercept)`; slope/intercept are
-    * null when fewer than 2 vocabulary entries exist (also what makes
-    * IR validation on an empty frame total). Gates compare at
-    * DECIMAL(38,6) — ln sums associate differently across engines.
+    * One map-side-combined vocabulary aggregate, then a DISTRIBUTED
+    * rank + regression: rank is a range exchange on `(n desc, token)`
+    * with per-partition `row_number` plus a partition-offset broadcast
+    * (the [[ksDrift]] prefix-sum shape — the driver sees only the ≤
+    * `partitions` subtotal rows), and the four least-squares sums
+    * reduce map-side. Nothing vocabulary-sized is ever collected — with
+    * `minCount = 1` a web corpus has 10⁸⁺ unique tokens (typos, URLs),
+    * which is corpus-shaped, not model-shaped. Returns one row
+    * `(v_size, slope, intercept)`; slope/intercept are null when fewer
+    * than 2 vocabulary entries exist (also what makes IR validation on
+    * an empty frame total). Gates compare at DECIMAL(38,6) — ln sums
+    * associate differently across engines.
     */
-  def zipfFit(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+  def zipfFit(df: DataFrame, textCol: String, minCount: Long = 1L,
+              partitions: Int = 32): DataFrame = {
+    require(partitions >= 1, s"zipfFit: partitions must be >= 1, got $partitions")
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.select(explode(Text.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .orderBy(col("n").desc, col("token"))
-      .collect().map(_.getLong(1))
-    val v = counts.length
+      .repartitionByRange(partitions, col("n").desc, col("token"))
+      .withColumn("__p", spark_partition_id())
+      .transform(Materialize.apply)
+    // per-partition sizes -> rank offsets (driver list ≤ partitions rows)
+    val sub = counts.groupBy("__p").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val v = sub.map(_._2).sum
     if (v < 2) {
-      Seq((v.toLong, Option.empty[Double], Option.empty[Double]))
+      Seq((v, Option.empty[Double], Option.empty[Double]))
         .toDF("v_size", "slope", "intercept")
     } else {
-      var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
-      var i = 0
-      while (i < v) {
-        val x = StrictMath.log((i + 1).toDouble)
-        val y = StrictMath.log(counts(i).toDouble)
-        sx += x; sy += y; sxy += x * y; sxx += x * x
-        i += 1
-      }
+      val offsets = sub.scanLeft((0, 0L)) {
+        case ((_, acc), (p, c)) => (p + 1, acc + c) }
+      val offMap = sub.zip(offsets).map { case ((p, _), (_, o)) => (p, o) }.toMap
+      val offCol = offMap.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+        when(col("__p") === p, lit(o)).otherwise(acc) }
+      val w = Window.partitionBy("__p").orderBy(col("n").desc, col("token"))
+      val r = counts
+        .withColumn("__rank", row_number().over(w).cast("long") + offCol)
+        .select(log(col("__rank").cast("double")).as("x"),
+          log(col("n").cast("double")).as("y"))
+      val row = r.agg(sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")).head()
+      val (sx, sy, sxy, sxx) =
+        (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
       val slope = (v * sxy - sx * sy) / (v * sxx - sx * sx)
       val intercept = (sy - slope * sx) / v
-      Seq((v.toLong, Some(slope), Some(intercept)))
+      Seq((v, Some(slope), Some(intercept)))
         .toDF("v_size", "slope", "intercept")
     }
   }

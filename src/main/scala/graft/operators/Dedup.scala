@@ -192,12 +192,20 @@ object Dedup {
     * array materialized. Overlapping/adjacent runs merge (these are CUT
     * spans; a cutter consumes disjoint intervals).
     *
-    * Cross-document test per window hash: `min(doc) != max(doc)` over
-    * the hash's partition — two window functions sharing ONE exchange,
-    * no distinct-count. A window repeated only WITHIN one document does
-    * not qualify (that is [[duplicateNgramStats]]'s self-repeat signal;
-    * Lee et al.'s cross-doc rule is what decontamination and
-    * memorization audits want).
+    * Cross-document test per window hash: `min(doc) != max(doc)`,
+    * computed as `groupBy(hash).agg(min, max)` joined back on the hash
+    * — NOT as window functions over `partitionBy(hash)`. The groupBy
+    * form gets map-side partial aggregation: a boilerplate hash shared
+    * by millions of documents collapses to one row per input partition
+    * before anything travels, and the join back is against a
+    * hash-cardinality-sized table that AQE can skew-split or broadcast.
+    * The window form would instead sort every occurrence of the hot
+    * hash inside one unsplittable partition — the classic
+    * full-shuffle-on-a-skewed-key scale-killer. A window repeated only
+    * WITHIN one document does not qualify (that is
+    * [[duplicateNgramStats]]'s self-repeat signal; Lee et al.'s
+    * cross-doc rule is what decontamination and memorization audits
+    * want).
     *
     * Output: `(idCol, begin_tok, end_tok, n_tokens)` — 1-based
     * inclusive token spans, disjoint per document, each `>= minLen`
@@ -205,11 +213,11 @@ object Dedup {
     *
     * Scale: one explode to (doc, pos, hash64) — the known n·|corpus|
     * minimum working set of substring dedup — then one hash-keyed
-    * exchange (only 64-bit hashes + positions travel, never window
-    * text) and one doc-keyed exchange for the island merge. A
-    * boilerplate hash shared by millions of docs lands in one sort
-    * partition (external sort, never collected); cap such hubs upstream
-    * with a df-style frequency cut if profiling shows it.
+    * partial-aggregated exchange (only 64-bit hashes + doc-id bounds
+    * travel, never window text), the join back on the hash, and one
+    * doc-keyed exchange for the island merge. Hot boilerplate hashes
+    * are collapsed map-side by the partial aggregate and skew-split by
+    * AQE on the join; nothing is collected.
     */
   def sharedSubstringSpans(df: DataFrame, textCol: String, idCol: String,
                            minLen: Int, keepFirst: Boolean = false,
@@ -219,7 +227,6 @@ object Dedup {
     val wins = df.select(col(idCol).as("__id"),
         posexplode(windowHashes(toks, minLen, hashFn)).as(Seq("__p0", "__h")))
       .select(col("__id"), (col("__p0") + 1).cast("long").as("__p"), col("__h"))
-    val wh = Window.partitionBy(col("__h"))
     // keepFirst = Lee et al.'s keep-one-copy rule at document
     // granularity: the lowest-id document containing a shared window is
     // its OWNER and emits no span for it (all its occurrences survive);
@@ -227,10 +234,10 @@ object Dedup {
     // docs, so the owner filter subsumes the cross-doc test — and the
     // global occurrence ordering that [[cutDuplicateNgrams]] documents
     // as requiring a second corpus-wide shuffle comes free here (same
-    // min over the hash partition).
-    val shared0 = wins
-      .withColumn("__dmin", min(col("__id")).over(wh))
-      .withColumn("__dmax", max(col("__id")).over(wh))
+    // per-hash min).
+    val bounds = wins.groupBy(col("__h"))
+      .agg(min(col("__id")).as("__dmin"), max(col("__id")).as("__dmax"))
+    val shared0 = wins.join(bounds, Seq("__h"))
     val shared =
       if (keepFirst) shared0.filter(col("__id") =!= col("__dmin"))
       else shared0.filter(col("__dmin") =!= col("__dmax"))

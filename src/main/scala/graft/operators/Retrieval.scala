@@ -233,6 +233,7 @@ object Retrieval {
                       path: String): Unit = {
     val spark = delta.sparkSession
     import spark.implicits._
+    recoverBm25Compaction(spark, path)
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("n_docs").cast("long"), col("total_len").cast("long"),
         col("n_buckets").cast("long")).head()
@@ -271,15 +272,20 @@ object Retrieval {
     * [[graft.operators.IncrementalDedup.compactStore]] pattern: each
     * append adds small files per touched bucket, and a year of daily
     * deltas degrades the serving read to a small-file storm. Rewrites
-    * `postings/` to one coalesced file set per bucket (stage to a temp
-    * dir, atomic-ish rename swap — readers see old or new, never a
-    * partial mix), preserving rows, partitioning and blooms exactly;
-    * `df/` is already rewritten per-append and `meta/` is untouched.
-    * Query results are identical before and after by construction
-    * (same rows, same recipe).
+    * `postings/` to one coalesced file set per bucket, preserving rows,
+    * partitioning and blooms exactly; `df/` is already rewritten
+    * per-append and `meta/` is untouched. Query results are identical
+    * before and after by construction (same rows, same recipe).
+    *
+    * Crash safety: stage to a temp dir, rename the live dir ASIDE
+    * (`postings_old`), rename the staged dir in, then delete the old —
+    * and every reader first runs [[recoverBm25Compaction]], so a crash
+    * at any step leaves a complete postings image recoverable on the
+    * next read (never a window with no `postings/` on disk).
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
+    recoverBm25Compaction(spark, path)
     val nBuckets = spark.read.parquet(s"$path/meta")
       .select(col("n_buckets").cast("long")).head().getLong(0).toInt
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -292,9 +298,37 @@ object Retrieval {
       .option("parquet.bloom.filter.expected.ndv#term", "1000000")
       .partitionBy("termbucket").parquet(tmp)
     val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
-    fs.delete(postingsDir, true)
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/postings_old")
+    require(fs.rename(postingsDir, oldDir),
+      s"compactBm25Index: rename $postingsDir -> $oldDir failed")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), postingsDir),
       s"compactBm25Index: rename $tmp -> $postingsDir failed")
+    fs.delete(oldDir, true)
+    ()
+  }
+
+  /** Repair a half-finished [[compactBm25Index]] swap (cheap `exists`
+    * checks when nothing is wrong): a live `postings/` makes any
+    * `postings_old`/`postings_compact_tmp` leftovers stale — sweep
+    * them; a MISSING `postings/` with `postings_old/` present means the
+    * crash hit between the two renames — rename the old image back
+    * (row-identical to the staged one, so queries are unaffected).
+    */
+  private[operators] def recoverBm25Compaction(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/postings_old")
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$path/postings_compact_tmp")
+    if (fs.exists(live)) {
+      if (fs.exists(oldDir)) fs.delete(oldDir, true)
+      if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    } else if (fs.exists(oldDir)) {
+      require(fs.rename(oldDir, live),
+        s"recoverBm25Compaction: rename $oldDir -> $live failed")
+      if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    }
     ()
   }
 
@@ -308,6 +342,7 @@ object Retrieval {
                      k: Int, k1: Double = 1.2, b: Double = 0.75,
                      idf: Long => Column => Column = rationalIdf): DataFrame = {
     require(k >= 1, s"queryBm25Index: k must be >= 1, got $k")
+    recoverBm25Compaction(spark, path)
     val metaRows = spark.read.parquet(s"$path/meta")
       .select(col("n_docs").cast("long"), col("total_len").cast("long"),
         col("n_buckets").cast("long")).collect()

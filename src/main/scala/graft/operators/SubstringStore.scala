@@ -93,6 +93,7 @@ object SubstringStore {
     */
   private def readHashes(spark: SparkSession, path: String,
                          excludeBatch: Option[Long]): DataFrame = {
+    recoverCompaction(spark, path)
     val base = spark.read.parquet(s"$path/hashes")
     val deltaDir = new org.apache.hadoop.fs.Path(s"$path/delta_hashes")
     val fs = deltaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,7 +112,11 @@ object SubstringStore {
     * in the store (same gaps-and-islands algebra as
     * [[Dedup.sharedSubstringSpans]]). The store side is a pruned,
     * bloom-skipped scan semi-joined to the delta's hashes; only the
-    * delta's window table ever shuffles.
+    * delta's window table ever shuffles. Skew note: the store side is
+    * DISTINCT per hash (one row per h), so a boilerplate hash ubiquitous
+    * in the delta never multiplies rows through the semi-join, and the
+    * fat delta-side partition is AQE-skew-splittable — unlike a window
+    * over `partitionBy(h)`, which this operator deliberately avoids.
     */
   def probeDelta(delta: DataFrame, textCol: String, idCol: String,
                  path: String, excludeBatch: Option[Long] = None): DataFrame = {
@@ -210,10 +215,21 @@ object SubstringStore {
     * the base `hashes/` layout via the min-owner merge — the offline
     * maintenance step bounding the probe's file count. Probe results
     * unchanged by construction (the probe reads the union either way);
-    * never run concurrently with a streaming session. Temp-dir stage +
-    * rename swap, so a crash mid-compaction leaves the original layout.
+    * never run concurrently with a streaming session.
+    *
+    * Crash safety: the swap is stage-tmp → rename live ASIDE
+    * (`hashes_old`) → rename tmp in → delete deltas → delete old, and
+    * every read path first runs [[recoverCompaction]], so a crash at
+    * ANY step leaves a store the next probe (or compaction) restores to
+    * a complete layout: either the original (`hashes_old` renamed
+    * back, deltas still present) or the compacted one (leftover
+    * `hashes_old`/`delta_hashes` are stale-but-idempotent — the
+    * min-owner merge over the union gives the same answer — and are
+    * swept). There is never a moment after which no complete `hashes`
+    * image exists on disk.
     */
   def compactStore(spark: SparkSession, path: String): Unit = {
+    recoverCompaction(spark, path)
     val m = readMeta(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -229,10 +245,39 @@ object SubstringStore {
       .partitionBy("hashbucket")
       .parquet(tmp)
     val hashesDir = new org.apache.hadoop.fs.Path(s"$path/hashes")
-    fs.delete(hashesDir, true)
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/hashes_old")
+    require(fs.rename(hashesDir, oldDir),
+      s"compactStore: rename $hashesDir -> $oldDir failed")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hashesDir),
       s"compactStore: rename $tmp -> $hashesDir failed")
     fs.delete(deltaDir, true)
+    fs.delete(oldDir, true)
+    ()
+  }
+
+  /** Repair any half-finished [[compactStore]] swap — called by every
+    * read path (cheap `exists` checks when nothing is wrong). Rules:
+    * if `hashes/` exists, any `hashes_old`/`hashes_compact_tmp`
+    * leftovers are stale (the new image is complete; lingering
+    * `delta_hashes` re-fold idempotently) — delete them. If `hashes/`
+    * is MISSING and `hashes_old/` exists, the crash hit between the two
+    * renames — rename the old image back (its `delta_hashes` were not
+    * yet deleted, so nothing is lost) and drop the tmp stage.
+    */
+  private[operators] def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hashesDir = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/hashes_old")
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$path/hashes_compact_tmp")
+    if (fs.exists(hashesDir)) {
+      if (fs.exists(oldDir)) fs.delete(oldDir, true)
+      if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    } else if (fs.exists(oldDir)) {
+      require(fs.rename(oldDir, hashesDir),
+        s"recoverCompaction: rename $oldDir -> $hashesDir failed")
+      if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    }
     ()
   }
 }

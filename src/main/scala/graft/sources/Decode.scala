@@ -123,8 +123,18 @@ object Decode {
     * (sum, count) reduction Prometheus summaries expose, so downstream
     * rate/mean algebra composes identically.
     *
-    * Input schema (ExportMetricsServiceRequest shape; absent metric
-    * families may be null structs or carry null/empty dataPoints):
+    * A summary point (the legacy-Prometheus quantile family bridged
+    * through an OTLP collector) fans out to ONE EVENT PER QUANTILE:
+    * `metric` is the quantile value, `count` the point's population,
+    * and the φ itself lands in `attributes` under the `quantile` key —
+    * exactly the label shape Prometheus remote-write quantiles arrive
+    * with (reference `prometheus.clj:11-29`) and the shape this
+    * library's own `percentiles` emits, so the two compose.
+    *
+    * Input schema (ExportMetricsServiceRequest shape; a metric family
+    * FIELD may be entirely absent from the schema — e.g. JSON-ingested
+    * OTLP that never saw a summary — or present with null structs or
+    * null/empty dataPoints):
     * `resourceMetrics: array<struct<
     *    resource: struct<attributes: array<struct<key, value>>>,
     *    scopeMetrics: array<struct<metrics: array<struct<
@@ -135,14 +145,32 @@ object Decode {
     *      sum: struct<dataPoints: array<...same...>, isMonotonic>,
     *      histogram: struct<dataPoints: array<struct<
     *        startTimeUnixNano, timeUnixNano, count, sum,
-    *        bucketCounts, explicitBounds, attributes>>>>>>>>>`.
+    *        bucketCounts, explicitBounds, attributes>>>,
+    *      expHistogram: struct<dataPoints: array<struct<
+    *        ...histogram fields..., scale, zeroCount,
+    *        positive/negative: struct<offset, bucketCounts>>>>,
+    *      summary: struct<dataPoints: array<struct<
+    *        startTimeUnixNano, timeUnixNano, count, sum,
+    *        quantileValues: array<struct<quantile, value>>,
+    *        attributes>>>>>>>>>`.
     *
     * Pure explode algebra like [[otlpSpans]] — fuses into the scan.
     */
   def otlpMetrics(df: DataFrame): DataFrame = {
     val ptType = "array<struct<mtype:string,time:bigint,metric:double," +
       "count:bigint,attributes:array<struct<key:string,value:string>>>>"
+    val exploded = df.select(explode(col("resourceMetrics")).as("rm"))
+      .select(
+        map_from_entries(col("rm.resource.attributes")).as("__res"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("__res"), explode(col("sm.metrics")).as("m"))
+    // a family absent from the SCHEMA (not just null) contributes an
+    // empty array instead of an unresolved-field AnalysisException
+    val mFields = exploded.schema("m").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    val empty = array().cast(ptType)
     def numPts(fld: String, typ: String): Column = {
+      if (!mFields.contains(fld)) return empty
       val arr = col(s"m.$fld.dataPoints")
       coalesce(
         when(arr.isNotNull, transform(arr, p => struct(
@@ -151,9 +179,10 @@ object Decode {
           p.getField("asDouble").cast("double").as("metric"),
           lit(1L).as("count"),
           p.getField("attributes").as("attributes")))),
-        array().cast(ptType))
+        empty)
     }
     def histPts(fld: String, typ: String): Column = {
+      if (!mFields.contains(fld)) return empty
       val arr = col(s"m.$fld.dataPoints")
       coalesce(
         when(arr.isNotNull, transform(arr, p => struct(
@@ -162,17 +191,30 @@ object Decode {
           p.getField("sum").cast("double").as("metric"),
           p.getField("count").cast("long").as("count"),
           p.getField("attributes").as("attributes")))),
-        array().cast(ptType))
+        empty)
     }
-    df.select(explode(col("resourceMetrics")).as("rm"))
-      .select(
-        map_from_entries(col("rm.resource.attributes")).as("__res"),
-        explode(col("rm.scopeMetrics")).as("sm"))
-      .select(col("__res"), explode(col("sm.metrics")).as("m"))
+    def summaryPts(fld: String): Column = {
+      if (!mFields.contains(fld)) return empty
+      val arr = col(s"m.$fld.dataPoints")
+      coalesce(
+        when(arr.isNotNull, flatten(transform(arr, p =>
+          transform(p.getField("quantileValues"), q => struct(
+            lit("summary").as("mtype"),
+            p.getField("timeUnixNano").cast("long").as("time"),
+            q.getField("value").cast("double").as("metric"),
+            p.getField("count").cast("long").as("count"),
+            concat(p.getField("attributes"),
+              array(struct(lit("quantile").as("key"),
+                q.getField("quantile").cast("double").cast("string")
+                  .as("value")))).as("attributes"))))).cast(ptType)),
+        empty)
+    }
+    exploded
       .select(col("__res"), col("m.name").as("name"), col("m.unit").as("unit"),
         explode(concat(numPts("gauge", "gauge"), numPts("sum", "sum"),
           histPts("histogram", "histogram"),
-          histPts("expHistogram", "exponential_histogram"))).as("p"))
+          histPts("expHistogram", "exponential_histogram"),
+          summaryPts("summary"))).as("p"))
       .select(
         col("name"),
         col("unit"),

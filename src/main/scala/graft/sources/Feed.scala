@@ -91,22 +91,66 @@ object Feed {
   /** Feed AUTODISCOVERY from HTML pages (the RSS/Atom convention every
     * browser and crawler honors): hrefs of
     * `<link rel="alternate" type="application/rss+xml|atom+xml">` tags.
-    * Attributes appear in ANY order with any quoting, so the extraction
-    * is tag-scan → predicate-filter → href-extract array algebra (six
-    * permutation regexes would be the fragile alternative) — one
-    * map-side projection, total on non-HTML. Returns an array column of
+    * Attributes appear in ANY order with any quoting — rel, type and
+    * href each accept double-quoted, single-quoted AND unquoted values
+    * (all legal HTML) — so the extraction is tag-scan →
+    * predicate-filter → href-extract array algebra (six permutation
+    * regexes would be the fragile alternative) — one map-side
+    * projection, total on non-HTML. Returns an array column of
     * discovered feed URLs (empty when the page advertises none).
     */
   def discoveryLinks(html: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?i)<link\\s[^>]*>"), lit(0))
+    // quoted hrefs may contain spaces; unquoted ones end at whitespace,
+    // a quote or the tag close — try the quoted form first
+    def href(t: Column): Column = {
+      val quoted = regexp_extract(t, "(?i)href\\s*=\\s*[\"']([^\"'>]+)[\"']", 1)
+      val bare = regexp_extract(t, "(?i)href\\s*=\\s*([^\\s\"'>][^\\s\"'>]*)", 1)
+      when(quoted =!= "", quoted).otherwise(bare)
+    }
     filter(
       transform(
         filter(tags, t =>
           t.rlike("(?i)rel\\s*=\\s*[\"']?alternate") &&
-            t.rlike("(?i)type\\s*=\\s*[\"']application/(rss|atom)\\+xml")),
-        t => regexp_extract(t, "(?i)href\\s*=\\s*[\"']([^\"'>]+)[\"']", 1)),
+            t.rlike("(?i)type\\s*=\\s*[\"']?application/(rss|atom)\\+xml")),
+        t => href(t)),
       h => h =!= "")
   }
+
+  /** Total feed-date parse: RFC 822 (RSS `pubDate`) and RFC 3339 / ISO
+    * 8601 (Atom `updated`) strings → event-time NANOSECONDS (the Event
+    * model's `time` unit), null on anything unparseable — never throws,
+    * so a crawl of hostile feeds can't fail a task. Covers the wild
+    * forms that dominate real feeds: optional weekday prefix, 1-2 digit
+    * days, named (GMT/UTC/...) and numeric (+0200) zones, seconds
+    * optional, ISO offsets and fractional seconds. Sub-microsecond
+    * fractions truncate (Spark timestamps are µs). Pure column algebra
+    * (`try_to_timestamp` cascade) — map-side, codegen'd.
+    */
+  def eventTime(published: Column): Column = {
+    // RFC 822's leading "Mon, " is optional and its weekday is
+    // redundant (the date determines it) — strip it instead of parsing
+    // it, which also forgives feeds that get the weekday wrong
+    val s = regexp_replace(trim(published), "^[A-Za-z]{3},\\s*", "")
+    val ts = coalesce(
+      try_to_timestamp(s),                                  // ISO / RFC 3339
+      try_to_timestamp(s, lit("d MMM yyyy HH:mm:ss Z")),    // +0200
+      try_to_timestamp(s, lit("d MMM yyyy HH:mm:ss zzz")),  // GMT / UTC
+      try_to_timestamp(s, lit("d MMM yyyy HH:mm Z")),
+      try_to_timestamp(s, lit("d MMM yyyy HH:mm zzz")),
+      try_to_timestamp(s, lit("d MMM yy HH:mm:ss Z")),
+      try_to_timestamp(s, lit("d MMM yy HH:mm:ss zzz")))
+    (unix_micros(ts) * lit(1000L)).as("time")
+  }
+
+  /** Append the Event model's ns `time` column parsed from a feed's
+    * published/updated string ([[eventTime]]; null on garbage) — the
+    * glue that lets [[parseFeeds]] rows enter windows/throttles/EWMAs
+    * directly.
+    */
+  def withEventTime(df: DataFrame, publishedCol: String = "published",
+                    out: String = "time"): DataFrame =
+    df.withColumn(out, eventTime(col(publishedCol)))
 
   /** Format-sniffing union: each body routes to the RSS or Atom parser
     * by its root element, with `feed_type` tagging the rows. One body

@@ -328,7 +328,11 @@ object WireCodecs {
   // as_double=4, as_int=6 (both fixed64), attributes=7`;
   // `HistogramDataPoint.start_time_unix_nano=2, time_unix_nano=3,
   // count=4 (fixed64), sum=5 (double), bucket_counts=6 (packed
-  // fixed64), explicit_bounds=7 (packed double), attributes=9`.
+  // fixed64), explicit_bounds=7 (packed double), attributes=9`;
+  // `Metric.summary=11`; `Summary.data_points=1`;
+  // `SummaryDataPoint.start_time_unix_nano=2, time_unix_nano=3,
+  // count=4 (fixed64), sum=5 (double), quantile_values=6,
+  // attributes=7`; `ValueAtQuantile.quantile=1, value=2 (doubles)`.
 
   final case class OtlpNumPoint(startTimeUnixNano: Long, timeUnixNano: Long,
                                 asDouble: Double, attributes: Seq[OtlpKV])
@@ -347,15 +351,23 @@ object WireCodecs {
                                     positive: OtlpExpBuckets,
                                     negative: OtlpExpBuckets,
                                     attributes: Seq[OtlpKV])
+  /** One φ-quantile readout of a legacy-Prometheus summary point. */
+  final case class OtlpQuantileValue(quantile: Double, value: Double)
+  final case class OtlpSummaryPoint(startTimeUnixNano: Long, timeUnixNano: Long,
+                                    count: Long, sum: Double,
+                                    quantileValues: Seq[OtlpQuantileValue],
+                                    attributes: Seq[OtlpKV])
   final case class OtlpGauge(dataPoints: Seq[OtlpNumPoint])
   final case class OtlpSum(dataPoints: Seq[OtlpNumPoint], isMonotonic: Boolean)
   final case class OtlpHistogram(dataPoints: Seq[OtlpHistPoint])
   final case class OtlpExpHistogram(dataPoints: Seq[OtlpExpHistPoint])
+  final case class OtlpSummary(dataPoints: Seq[OtlpSummaryPoint])
   final case class OtlpMetric(name: String, unit: String,
                               gauge: OtlpGauge, sum: OtlpSum,
                               histogram: OtlpHistogram,
                               expHistogram: OtlpExpHistogram =
-                                OtlpExpHistogram(Nil))
+                                OtlpExpHistogram(Nil),
+                              summary: OtlpSummary = OtlpSummary(Nil))
   final case class OtlpScopeMetrics(metrics: Seq[OtlpMetric])
   final case class OtlpResourceMetrics(resource: OtlpResource,
                                        scopeMetrics: Seq[OtlpScopeMetrics])
@@ -416,6 +428,7 @@ object WireCodecs {
     var name = ""; var unit = ""
     var gauge = OtlpGauge(Nil); var sum = OtlpSum(Nil, isMonotonic = false)
     var hist = OtlpHistogram(Nil); var expHist = OtlpExpHistogram(Nil)
+    var summary = OtlpSummary(Nil)
     def numPoints(o: Int, l: Int): (Seq[OtlpNumPoint], Boolean) = {
       val rr = new Reader(buf, o, o + l)
       val pts = Seq.newBuilder[OtlpNumPoint]
@@ -466,10 +479,56 @@ object WireCodecs {
             } else rr.skip((t & 7).toInt)
           }
           expHist = OtlpExpHistogram(pts.result())
+        case (11, 2) => // summary (legacy-Prometheus quantile family)
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val pts = Seq.newBuilder[OtlpSummaryPoint]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 1 && (t & 7) == 2) {
+              val (po, pl) = rr.bytes()
+              pts += decodeSummaryPoint(buf, po, pl)
+            } else rr.skip((t & 7).toInt)
+          }
+          summary = OtlpSummary(pts.result())
         case (_, w) => r.skip(w)
       }
     }
-    OtlpMetric(name, unit, gauge, sum, hist, expHist)
+    OtlpMetric(name, unit, gauge, sum, hist, expHist, summary)
+  }
+
+  private def decodeSummaryPoint(buf: Array[Byte], off: Int, len: Int): OtlpSummaryPoint = {
+    val r = new Reader(buf, off, off + len)
+    var start = 0L; var time = 0L; var count = 0L; var sum = 0.0
+    val qs = Seq.newBuilder[OtlpQuantileValue]
+    val attrs = Seq.newBuilder[OtlpKV]
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (2, 1) => start = r.fixed64()
+        case (3, 1) => time = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (6, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          var q = 0.0; var v = 0.0
+          while (rr.hasRemaining) {
+            val tt = rr.varint()
+            ((tt >> 3).toInt, (tt & 7).toInt) match {
+              case (1, 1) => q = java.lang.Double.longBitsToDouble(rr.fixed64())
+              case (2, 1) => v = java.lang.Double.longBitsToDouble(rr.fixed64())
+              case (_, w) => rr.skip(w)
+            }
+          }
+          qs += OtlpQuantileValue(q, v)
+        case (7, 2) =>
+          val (o, l) = r.bytes()
+          attrs += decodeKeyValue(buf, o, l)
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpSummaryPoint(start, time, count, sum, qs.result(), attrs.result())
   }
 
   /** Protobuf zigzag decode (sint32/sint64 wire form). */
@@ -681,6 +740,25 @@ object WireCodecs {
               hw.msg(1, pw)
             }
             mw.msg(10, hw)
+          }
+          if (m.summary.dataPoints.nonEmpty) {
+            val hw = new Writer
+            m.summary.dataPoints.foreach { p =>
+              val pw = new Writer
+              pw.fixed64(2, p.startTimeUnixNano)
+              pw.fixed64(3, p.timeUnixNano)
+              pw.fixed64(4, p.count)
+              pw.fixed64(5, java.lang.Double.doubleToLongBits(p.sum))
+              p.quantileValues.foreach { q =>
+                val qw = new Writer
+                qw.fixed64(1, java.lang.Double.doubleToLongBits(q.quantile))
+                qw.fixed64(2, java.lang.Double.doubleToLongBits(q.value))
+                pw.msg(6, qw)
+              }
+              p.attributes.foreach(kv(pw, 7, _))
+              hw.msg(1, pw)
+            }
+            mw.msg(11, hw)
           }
           smw.msg(2, mw)
         }

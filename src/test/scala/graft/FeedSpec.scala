@@ -74,6 +74,52 @@ class FeedSpec extends AnyFunSuite {
     assert(out("e") == Seq("http://e/r2"), "attribute order must not matter")
   }
 
+  test("discoveryLinks: unquoted href and type values (legal HTML) extract like quoted ones") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      ("u1", "<head><link rel=alternate type=application/rss+xml href=http://e/u1></head>"),
+      ("u2", "<head><link href=/feed.xml rel=alternate type=application/atom+xml></head>"),
+      // quoted href containing a space still extracts in full
+      ("q1", """<link rel=alternate type=application/rss+xml href="http://e/my feed.xml">"""),
+      // unquoted href ends at whitespace — the trailing attr is not swallowed
+      ("u3", "<link rel=alternate href=http://e/u3 type=application/rss+xml>")
+    ).toDF("id", "html")
+    val out = pages.select(col("id"), Feed.discoveryLinks(col("html")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("u1") == Seq("http://e/u1"))
+    assert(out("u2") == Seq("/feed.xml"))
+    assert(out("q1") == Seq("http://e/my feed.xml"))
+    assert(out("u3") == Seq("http://e/u3"))
+  }
+
+  test("eventTime: RFC-822 and RFC-3339 forms parse to ns; garbage and impossible dates are null, never throw") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("rfc822_gmt", "Mon, 01 Jan 2024 00:00:00 GMT", Some(1704067200000000000L)),
+      ("rfc822_offset", "1 Jan 2024 02:30:00 +0230", Some(1704067200000000000L)),
+      ("rfc822_wrong_weekday", "Tue, 01 Jan 2024 00:00:00 GMT", Some(1704067200000000000L)),
+      ("rfc822_no_secs", "01 Jan 2024 00:00 GMT", Some(1704067200000000000L)),
+      ("rfc3339_z", "2024-01-01T00:00:00Z", Some(1704067200000000000L)),
+      ("rfc3339_frac_offset", "2024-01-01T00:00:00.250+00:00", Some(1704067200250000000L)),
+      ("rfc3339_neg_offset", "2023-12-31T19:00:00-05:00", Some(1704067200000000000L)),
+      ("garbage", "not a date", None),
+      ("empty", "", None),
+      ("impossible", "Wed, 31 Feb 2024 10:00:00 GMT", None),
+      ("null_in", null, None))
+    val df = rows.map { case (k, v, _) => (k, v) }.toDF("k", "published")
+    val got = Feed.withEventTime(df)
+      .select(col("k"), col("time"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    rows.foreach { case (k, _, want) =>
+      assert(got(k) == want, s"$k: got ${got(k)}, want $want")
+    }
+  }
+
   test("IR feed-urls == direct parseFeeds on the same bodies") {
     val s = spark
     import s.implicits._

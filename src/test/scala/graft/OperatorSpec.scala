@@ -536,6 +536,33 @@ class OperatorSpec extends AnyFunSuite {
       s"extra=${got -- want}\nmissing=${want -- got}")
   }
 
+  test("sharedSubstringSpans: degenerate hash (one boilerplate window in EVERY doc) — correct spans, no per-hash window in the plan") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // the 100 TB skew nightmare in miniature: one boilerplate sentence
+    // shared by every document. Under the old min/max-over-
+    // Window.partitionBy(__h) plan every occurrence of the hot hash
+    // sorts in ONE partition; the groupBy+join plan collapses it
+    // map-side. Correctness: every doc shares the span with some other
+    // doc; keepFirst leaves only doc 0 intact.
+    val boiler = "all rights reserved contact us for details"
+    val docs = (0L until 40L).map(i => (i, s"unique$i lead$i $boiler tail$i")).toDF("doc_id", "text")
+    val spansDf = Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 4)
+    // plan audit: no Window node may partition by the hash column
+    val planStr = spansDf.queryExecution.optimizedPlan.toString
+    assert(!planStr.matches("(?s).*windowspecdefinition\\(__h.*"),
+      s"per-hash window survived in plan:\n$planStr")
+    val spans = spansDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // boiler occupies tokens 3..9 of every doc (1-based)
+    assert(spans == (0L until 40L).map(i => (i, 3L, 9L, 7L)).toSet, s"spans $spans")
+    val kf = Dedup.sharedSubstringSpans(docs, "text", "doc_id", minLen = 4,
+        keepFirst = true).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(kf == (1L until 40L).toSet, s"keepFirst cutters $kf")
+  }
+
   test("LSH hash-invariance: exact-duplicate docs pair under md5 AND xxhash64") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}

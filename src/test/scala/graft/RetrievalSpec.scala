@@ -270,5 +270,19 @@ class RetrievalSpec extends AnyFunSuite {
       val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(parts == 1, s"${d.getName}: expected 1 compacted file, found $parts")
     }
+    // compaction crash recovery: a crash between the two renames leaves
+    // postings_old only — the next query self-recovers; stale leftovers
+    // next to a live dir are swept
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$inc/postings"),
+      java.nio.file.Paths.get(s"$inc/postings_old"))
+    val d2 = canon(graft.operators.Retrieval.queryBm25Index(s, inc, queries, "qid", "qtext", 4))
+    assert(d2 == a, "query must self-recover from postings_old")
+    assert(new java.io.File(s"$inc/postings").exists)
+    assert(!new java.io.File(s"$inc/postings_old").exists)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$inc/postings_old"))
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$inc/postings_compact_tmp"))
+    assert(canon(graft.operators.Retrieval.queryBm25Index(s, inc, queries, "qid", "qtext", 4)) == a)
+    assert(!new java.io.File(s"$inc/postings_old").exists)
+    assert(!new java.io.File(s"$inc/postings_compact_tmp").exists)
   }
 }

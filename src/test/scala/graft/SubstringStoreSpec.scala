@@ -96,6 +96,46 @@ class SubstringStoreSpec extends AnyFunSuite {
     } finally rmrf(dir)
   }
 
+  test("compaction crash recovery: every interrupted swap state restores a complete layout on the next probe") {
+    val s = spark
+    val dir = tmpDir()
+    try {
+      val n = 4
+      SubstringStore.writeStore(
+        frame(Seq(0L -> "alpha beta gamma delta epsilon",
+          1L -> "one two three four five")),
+        "text", "doc_id", s"$dir/store", minLen = n, nBuckets = 8)
+      val probe = frame(Seq(50L -> "alpha beta gamma delta", 51L -> "one two three four"))
+      def spansOf(): Set[(Long, Long, Long)] =
+        SubstringStore.probeDelta(probe, "text", "doc_id", s"$dir/store")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = spansOf()
+      assert(want.nonEmpty)
+      def mv(a: String, b: String): Unit =
+        java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/store/$a"),
+          java.nio.file.Paths.get(s"$dir/store/$b"))
+      // crash between the two renames: live dir gone, old image aside
+      mv("hashes", "hashes_old")
+      assert(spansOf() == want, "probe must self-recover from hashes_old")
+      assert(new java.io.File(s"$dir/store/hashes").exists)
+      assert(!new java.io.File(s"$dir/store/hashes_old").exists)
+      // crash after the swap but before the old-image delete: stale
+      // leftovers next to a complete live dir are swept, not read
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$dir/store/hashes_old"))
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$dir/store/hashes_compact_tmp"))
+      assert(spansOf() == want)
+      assert(!new java.io.File(s"$dir/store/hashes_old").exists)
+      assert(!new java.io.File(s"$dir/store/hashes_compact_tmp").exists)
+      // compactStore itself starts with recovery: simulate the
+      // between-renames crash then compact (no deltas -> recover + return)
+      mv("hashes", "hashes_old")
+      SubstringStore.compactStore(s, s"$dir/store")
+      assert(spansOf() == want)
+    } finally rmrf(dir)
+  }
+
   test("missing store fails loudly") {
     intercept[Exception] {
       SubstringStore.probeDelta(frame(Seq(1L -> "a b c d")), "text", "doc_id",

@@ -76,15 +76,18 @@ class WireCodecsSpec extends AnyFunSuite {
             scale = -2L, zeroCount = 3L,
             positive = OtlpExpBuckets(-4L, Seq(5L, 0L, 12L)),
             negative = OtlpExpBuckets(2L, Seq(1L)),
-            attributes = attrs))))))))))
+            attributes = attrs))),
+          OtlpSummary(Seq(OtlpSummaryPoint(11L, 12L, 20L, 123.5,
+            Seq(OtlpQuantileValue(0.5, 4.0), OtlpQuantileValue(0.99, 9.5)),
+            attrs))))))))))
     val dec = decodeOtlpMetricsRequest(encodeOtlpMetricsRequest(req))
     assert(dec == req)
   }
 
   test("OTLP metrics decode skips unknown fields (forward compatibility)") {
-    // a Metric with an exponential_histogram (field 10) this codec does
-    // not model must be skipped, not crash — splice an unknown
-    // length-delimited field into an encoded request
+    // splice an unknown top-level field 9 (length-delimited) onto an
+    // encoded ExportMetricsServiceRequest — the decoder must skip it,
+    // not crash
     import WireCodecs._
     val req = OtlpMetricsRequest(Seq(OtlpResourceMetrics(
       OtlpResource(Nil),
@@ -119,7 +122,10 @@ class WireCodecsSpec extends AnyFunSuite {
         OtlpSum(Seq(OtlpNumPoint(4L, 5L, 6.0, Nil)), isMonotonic = true),
         OtlpHistogram(Seq(OtlpHistPoint(7L, 8L, 2L, 9.0, Seq(1L, 1L), Seq(5.0), Nil))),
         OtlpExpHistogram(Seq(OtlpExpHistPoint(1L, 2L, 4L, 8.0, -1L, 1L,
-          OtlpExpBuckets(-2L, Seq(2L, 2L)), OtlpExpBuckets(0L, Nil), Nil)))))))))))
+          OtlpExpBuckets(-2L, Seq(2L, 2L)), OtlpExpBuckets(0L, Nil), Nil))),
+        OtlpSummary(Seq(OtlpSummaryPoint(3L, 4L, 5L, 6.0,
+          Seq(OtlpQuantileValue(0.5, 1.0), OtlpQuantileValue(0.9, 2.0)),
+          Seq(OtlpKV("q", "r")))))))))))))
     val rnd = new scala.util.Random(1234)
     def mutants(base: Array[Byte]): Iterator[Array[Byte]] = Iterator.tabulate(300) { _ =>
       val b = base.clone()
@@ -146,6 +152,43 @@ class WireCodecsSpec extends AnyFunSuite {
             fail(s"$name mutant $i: unexpected ${e.getClass.getName}: ${e.getMessage}")
         }
       }
+    }
+  }
+
+  test("exp-histogram degenerate inputs: negative counts, absurd scales, truncated packed bucket arrays") {
+    import WireCodecs._
+    // base request with one exp-histogram point; we rewrite its buckets
+    // by hand to produce the degenerate wire forms an adversarial (or
+    // merely buggy) exporter could ship
+    def encode(p: OtlpExpHistPoint): Array[Byte] =
+      encodeOtlpMetricsRequest(OtlpMetricsRequest(Seq(OtlpResourceMetrics(
+        OtlpResource(Nil),
+        Seq(OtlpScopeMetrics(Seq(OtlpMetric("m", "", OtlpGauge(Nil),
+          OtlpSum(Nil, isMonotonic = false), OtlpHistogram(Nil),
+          OtlpExpHistogram(Seq(p))))))))))
+    def point(req: OtlpMetricsRequest): OtlpExpHistPoint =
+      req.resourceMetrics.head.scopeMetrics.head.metrics.head
+        .expHistogram.dataPoints.head
+    // a NEGATIVE bucket count (10-byte varint with the sign bit set):
+    // decodes as the negative long it is — garbage-in-garbage-out, the
+    // decoder neither rejects nor wraps it into an allocation size
+    val neg = encode(OtlpExpHistPoint(1L, 2L, 3L, 4.0, 0L, 0L,
+      OtlpExpBuckets(0L, Seq(-7L)), OtlpExpBuckets(0L, Nil), Nil))
+    assert(point(decodeOtlpMetricsRequest(neg)).positive.bucketCounts == Seq(-7L))
+    // an ABSURD scale (zigzag Long.MinValue) survives the round trip —
+    // interpretation is the consumer's policy, decode is total
+    val wild = encode(OtlpExpHistPoint(1L, 2L, 3L, 4.0, Long.MinValue, 0L,
+      OtlpExpBuckets(Long.MaxValue, Seq(1L)), OtlpExpBuckets(0L, Nil), Nil))
+    val wp = point(decodeOtlpMetricsRequest(wild))
+    assert(wp.scale == Long.MinValue && wp.positive.offset == Long.MaxValue)
+    // TRUNCATING a packed bucket array mid-varint must throw the
+    // codec's IllegalArgumentException, never hang or mis-read: chop
+    // bytes off the tail where the multi-byte packed varints live
+    val packed = encode(OtlpExpHistPoint(1L, 2L, 3L, 4.0, 1L, 0L,
+      OtlpExpBuckets(5L, Seq(300L, 70000L, 1L << 40)), OtlpExpBuckets(0L, Nil), Nil))
+    (1 to 12).foreach { cut =>
+      try decodeOtlpMetricsRequest(packed.dropRight(cut))
+      catch { case _: IllegalArgumentException => () }
     }
   }
 
