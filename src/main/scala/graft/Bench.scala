@@ -96,7 +96,10 @@ object Bench {
     // cluster split, RSS/Atom parse round trip
     "shared_substring_spans", "otlp_metrics_wire_decode",
     "shared_substring_cut", "cluster_split", "feed_urls", "bm25_incremental",
-    "ann_ivfpq_incremental", "substring_store_probe", "feed_discovery")
+    "ann_ivfpq_incremental", "substring_store_probe", "feed_discovery",
+    // round 12: OTLP logs (third signal) through the wire codec, feed
+    // event-time parse (try_to_timestamp cascade)
+    "otlp_logs_wire_decode", "feed_times")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -616,5 +616,61 @@ object QueriesIr {
         tapOf(node, corpus).select("doc_id", "text").orderBy("doc_id")
       }
     }
+
+    // feed parse WITH event time through the IR: even docs publish via
+    // RSS with RFC-822 GMT pubDates, odd via Atom with RFC-3339 Z
+    // updated stamps — `feed-urls {parse-times: true}` must recover one
+    // ns instant per entry; the oracle computes the expected epoch from
+    // the same doc_id arithmetic
+    register("ir_feed_times",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 28 + 1 AS BIGINT) AS d,
+        |         CAST(doc_id % 24 AS BIGINT) AS h,
+        |         CAST(doc_id % 60 AS BIGINT) AS mi
+        |  FROM documents)
+        |SELECT 'g' || CAST(doc_id AS VARCHAR) AS entry_id,
+        |       epoch_ns(make_timestamp(2024, 3, d, h, mi, 30)) AS time
+        |FROM b ORDER BY entry_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("id", col("doc_id").cast("string"))
+        .withColumn("day", (pmod(col("doc_id"), lit(28)) + 1).cast("long"))
+        .withColumn("hh", lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0"))
+        .withColumn("mm", lpad(pmod(col("doc_id"), lit(60)).cast("string"), 2, "0"))
+        .withColumn("dd", lpad(col("day").cast("string"), 2, "0"))
+      def bodies(even: Boolean): DataFrame = {
+        val part = d.filter(pmod(col("doc_id"), lit(2)) === (if (even) 0 else 1))
+        val entry =
+          if (even)
+            concat(lit("<item><link>u"), col("id"),
+              lit("</link><title>t</title><pubDate>Fri, "), col("day"),
+              lit(" Mar 2024 "), col("hh"), lit(":"), col("mm"),
+              lit(":30 GMT</pubDate><guid>g"), col("id"), lit("</guid></item>"))
+          else
+            concat(lit("<entry><link href=\"u"), col("id"),
+              lit("\"/><title>t</title><updated>2024-03-"), col("dd"),
+              lit("T"), col("hh"), lit(":"), col("mm"), lit(":30Z"),
+              lit("</updated><id>g"), col("id"), lit("</id></entry>"))
+        val body = part.withColumn("e", entry)
+          .groupBy("source")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("e")))),
+            x => x.getField("e")), "").as("es"))
+        if (even)
+          body.select(concat(lit("<rss version=\"2.0\"><channel>"),
+            col("es"), lit("</channel></rss>")).as("xml"))
+        else
+          body.select(concat(
+            lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">"),
+            col("es"), lit("</feed>")).as("xml"))
+      }
+      val node = Node.fromJson(
+        """{"action":"feed-urls","params":[{"xml":"xml","parse-times":true}],
+          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      tapOf(node, bodies(even = true).unionByName(bodies(even = false)))
+        .select(col("entry_id"), col("time"))
+        .orderBy("entry_id")
+    }
   }
 }

@@ -104,6 +104,58 @@ object QueriesSources {
       |  FROM base WHERE fam = 4)
       |SELECT * FROM rows ORDER BY eid, coalesce(quantile, '')""".stripMargin
 
+  /** Events packed into the ExportLogsServiceRequest struct shape
+    * [[Decode.otlpLogs]] consumes: severity = event_id%27 (covering all
+    * six spec ranges plus out-of-range → unspecified), body = props,
+    * trace/span ids in %016x hex, observed time 5 ms after event time,
+    * one request per service (user_id%5).
+    */
+  private def otlpLogsRequests(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(s, dir)
+    def tNs = expr("(ts div 1000) * 1000")
+    val attrs = array(struct(lit("eid").as("key"),
+      col("event_id").cast("string").as("value")))
+    val sev = pmod(col("event_id"), lit(27)).cast("long")
+    def hex16(c: org.apache.spark.sql.Column) = lower(lpad(hex(c), 16, "0"))
+    val rec = struct(
+      tNs.as("timeUnixNano"),
+      (tNs + lit(5000000L)).as("observedTimeUnixNano"),
+      sev.as("severityNumber"),
+      concat(lit("S"), sev.cast("string")).as("severityText"),
+      col("props").as("body"),
+      hex16(col("user_id")).as("traceId"),
+      hex16(col("event_id")).as("spanId"),
+      attrs.as("attributes"))
+    raw.select(pmod(col("user_id"), lit(5)).as("svc"), rec.as("r"))
+      .groupBy("svc")
+      .agg(collect_list(col("r")).as("logRecords"))
+      .select(array(struct(
+        struct(array(struct(lit("service.name").as("key"),
+          concat(lit("svc-"), col("svc").cast("string")).as("value")))
+          .as("attributes")).as("resource"),
+        array(struct(col("logRecords"))).as("scopeLogs"))).as("resourceLogs"))
+  }
+
+  /** Shared oracle for both OTLP logs gates (struct + wire). */
+  private val otlpLogsOracleSql: String =
+    """SELECT event_id AS eid,
+      |       (epoch_ns(ts) // 1000) * 1000 AS time,
+      |       (epoch_ns(ts) // 1000) * 1000 + 5000000 AS observed_time,
+      |       CAST(event_id % 27 AS BIGINT) AS severity_number,
+      |       'S' || CAST(event_id % 27 AS VARCHAR) AS severity_text,
+      |       CASE WHEN event_id % 27 BETWEEN 1 AND 4 THEN 'trace'
+      |            WHEN event_id % 27 BETWEEN 5 AND 8 THEN 'debug'
+      |            WHEN event_id % 27 BETWEEN 9 AND 12 THEN 'info'
+      |            WHEN event_id % 27 BETWEEN 13 AND 16 THEN 'warn'
+      |            WHEN event_id % 27 BETWEEN 17 AND 20 THEN 'error'
+      |            WHEN event_id % 27 BETWEEN 21 AND 24 THEN 'fatal'
+      |            ELSE 'unspecified' END AS state,
+      |       props AS description,
+      |       printf('%016x', user_id) AS trace_id,
+      |       printf('%016x', event_id) AS span_id,
+      |       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service
+      |FROM events ORDER BY eid""".stripMargin
+
   def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
 
     register("prom_rw_decode",
@@ -372,6 +424,60 @@ object QueriesSources {
           col("metric"), col("count").as("cnt"),
           element_at(col("attributes"), "quantile").as("quantile"))
         .orderBy(col("eid"), coalesce(col("quantile"), lit("")))
+    }
+
+    // OTLP LOGS decode (the third OTLP signal next to traces and
+    // metrics): one event per LogRecord — severity range name as
+    // `state` (the spec's six 4-wide ranges), body as description,
+    // trace/span correlation ids carried through. The oracle computes
+    // the expected flat rows directly, so drift in the range mapping,
+    // the AnyValue body decode, or the id hex forms mismatches.
+    register("otlp_logs_decode", otlpLogsOracleSql) { (s, dir) =>
+      Decode.otlpLogs(otlpLogsRequests(s, dir))
+        .select(element_at(col("attributes"), "eid").cast("long").as("eid"),
+          col("time"), col("observed_time"), col("severity_number"),
+          col("severity_text"), col("state"), col("description"),
+          col("trace_id"), col("span_id"), col("service"))
+        .orderBy("eid")
+    }
+
+    // OTLP LOGS WIRE decode: the same rows through the hand-rolled
+    // ExportLogsServiceRequest protobuf codec (encode per group →
+    // distributed byte-level decode → the SAME gated Column mapping).
+    register("otlp_logs_wire_decode", otlpLogsOracleSql) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.eventsRaw(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("(ts div 1000) * 1000").as("t_ns"), col("props"))
+        .groupByKey(r => r.getAs[Long]("user_id") % 40)
+        .mapGroups { (grp: Long, it: Iterator[Row]) =>
+          val svc = grp % 5
+          val recs = it.toSeq.sortBy(_.getAs[Long]("event_id")).map { r =>
+            val eid = r.getAs[Long]("event_id")
+            val tNs = r.getAs[Long]("t_ns")
+            val sev = eid % 27
+            WireCodecs.OtlpLogRecord(
+              timeUnixNano = tNs,
+              observedTimeUnixNano = tNs + 5000000L,
+              severityNumber = sev,
+              severityText = s"S$sev",
+              body = r.getAs[String]("props"),
+              traceId = f"${r.getAs[Long]("user_id")}%016x",
+              spanId = f"$eid%016x",
+              attributes = Seq(WireCodecs.OtlpKV("eid", eid.toString)))
+          }
+          WireCodecs.encodeOtlpLogsRequest(WireCodecs.OtlpLogsRequest(Seq(
+            WireCodecs.OtlpResourceLogs(
+              WireCodecs.OtlpResource(Seq(WireCodecs.OtlpKV("service.name", s"svc-$svc"))),
+              Seq(WireCodecs.OtlpScopeLogs(recs))))))
+        }(Encoders.BINARY)
+        .toDF("payload")
+      Decode.otlpLogs(WireCodecs.decodeOtlpLogFrames(payloads))
+        .select(element_at(col("attributes"), "eid").cast("long").as("eid"),
+          col("time"), col("observed_time"), col("severity_number"),
+          col("severity_text"), col("state"), col("description"),
+          col("trace_id"), col("span_id"), col("service"))
+        .orderBy("eid")
     }
 
     // RSS/Atom feed discovery (crawl-frontier sibling of sitemap_urls):

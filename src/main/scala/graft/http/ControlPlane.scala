@@ -23,7 +23,9 @@ import java.util.Base64
   *  - `POST   /api/v1/fluentbit/:name`               ← JSON log array
   *  - `POST   /api/v1/prometheus/remote-write/:name` ← snappy+protobuf
   *                                                     `WriteRequest`
-  *  - `POST   /api/v1/opentelemetry/v1/traces/:name` ← protobuf
+  *  - `POST   /api/v1/opentelemetry/v1/traces/:name`  ← protobuf
+  *  - `POST   /api/v1/opentelemetry/v1/metrics/:name` ← protobuf
+  *  - `POST   /api/v1/opentelemetry/v1/logs/:name`    ← protobuf
   *                                                     `ExportTraceServiceRequest`
   *  - `GET    /metrics`              → Prometheus text scrape
   *  - `GET    /healthz` | `/health`  → `{"message":"ok"}`
@@ -187,6 +189,70 @@ final class ControlPlane(registry: StreamRegistry, spark: SparkSession, port: In
                     "parent_span_id" -> sp.parentSpanId,
                     "kind" -> kinds.lift(sp.kind.toInt).getOrElse("unrecognized"),
                     "start_time" -> sp.startTimeUnixNano.toString),
+                eventId = eventSeq.incrementAndGet())
+            })
+          })
+          respond(ex, 200, """{"message":"ok"}""")
+        case ("POST", List("api", "v1", "opentelemetry", "v1", "metrics", name)) =>
+          val req = WireCodecs.decodeOtlpMetricsRequest(readBodyBytes(ex))
+          // mirror Decode.otlpMetrics' point→event mapping: value points
+          // carry the value (count 1), histogram families the (sum,
+          // count) reduction, summaries one event per φ-quantile with φ
+          // as a `quantile` attribute
+          pushEvents(name, req.resourceMetrics.flatMap { rm =>
+            val res = rm.resource.attributes.map(kv => kv.key -> kv.value).toMap
+            val svc = res.get("service.name")
+            def ev(mName: String, mtype: String, time: Long, value: Double,
+                   count: Long, attrs: Seq[WireCodecs.OtlpKV],
+                   extra: Map[String, String] = Map.empty): Event =
+              Event(host = None, service = svc, name = Option(mName),
+                state = None, metric = Some(value), time = time, ttl = None,
+                description = None, tags = Nil,
+                attributes = attrs.map(kv => kv.key -> kv.value).toMap ++
+                  Map("mtype" -> mtype, "count" -> count.toString) ++ extra,
+                eventId = eventSeq.incrementAndGet())
+            rm.scopeMetrics.flatMap(_.metrics.flatMap { m =>
+              m.gauge.dataPoints.map(p =>
+                ev(m.name, "gauge", p.timeUnixNano, p.asDouble, 1L, p.attributes)) ++
+              m.sum.dataPoints.map(p =>
+                ev(m.name, "sum", p.timeUnixNano, p.asDouble, 1L, p.attributes)) ++
+              m.histogram.dataPoints.map(p =>
+                ev(m.name, "histogram", p.timeUnixNano, p.sum, p.count, p.attributes)) ++
+              m.expHistogram.dataPoints.map(p =>
+                ev(m.name, "exponential_histogram", p.timeUnixNano, p.sum,
+                  p.count, p.attributes)) ++
+              m.summary.dataPoints.flatMap(p => p.quantileValues.map(q =>
+                ev(m.name, "summary", p.timeUnixNano, q.value, p.count,
+                  p.attributes, Map("quantile" -> q.quantile.toString))))
+            })
+          })
+          respond(ex, 200, """{"message":"ok"}""")
+        case ("POST", List("api", "v1", "opentelemetry", "v1", "logs", name)) =>
+          val req = WireCodecs.decodeOtlpLogsRequest(readBodyBytes(ex))
+          // mirror Decode.otlpLogs' record→event mapping: severity range
+          // name as state, body as description, severity number as the
+          // metric, correlation ids in attributes
+          def sevName(n: Long): String =
+            if (n >= 1 && n <= 4) "trace"
+            else if (n <= 8 && n >= 5) "debug"
+            else if (n <= 12 && n >= 9) "info"
+            else if (n <= 16 && n >= 13) "warn"
+            else if (n <= 20 && n >= 17) "error"
+            else if (n <= 24 && n >= 21) "fatal"
+            else "unspecified"
+          pushEvents(name, req.resourceLogs.flatMap { rl =>
+            val res = rl.resource.attributes.map(kv => kv.key -> kv.value).toMap
+            rl.scopeLogs.flatMap(_.logRecords.map { rec =>
+              Event(host = None, service = res.get("service.name"),
+                name = None,
+                state = Some(sevName(rec.severityNumber)),
+                metric = Some(rec.severityNumber.toDouble),
+                time = rec.timeUnixNano, ttl = None,
+                description = Option(rec.body), tags = Nil,
+                attributes = rec.attributes.map(kv => kv.key -> kv.value).toMap ++
+                  Map("trace_id" -> rec.traceId, "span_id" -> rec.spanId,
+                    "severity_text" -> rec.severityText,
+                    "observed_time" -> rec.observedTimeUnixNano.toString),
                 eventId = eventSeq.incrementAndGet())
             })
           })

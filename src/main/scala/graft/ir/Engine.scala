@@ -2203,7 +2203,14 @@ object Engine {
         m.get("line").map(pStr).getOrElse("line"))
     case "feed-urls" =>
       val m = pMap(params.head)
-      df => graft.sources.Feed.parseFeeds(df, pStr(m("xml")))
+      df => {
+        val parsed = graft.sources.Feed.parseFeeds(df, pStr(m("xml")))
+        // {"parse-times": true} appends the ns event-time column parsed
+        // from the published string (total; null on garbage)
+        if (m.get("parse-times").contains(true))
+          graft.sources.Feed.withEventTime(parsed)
+        else parsed
+      }
     case "feed-discovery" =>
       val m = pMap(params.head)
       df => df.withColumn(m.get("out").map(pStr).getOrElse("feed_urls"),

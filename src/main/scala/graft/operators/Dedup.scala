@@ -547,13 +547,28 @@ object Dedup {
       .distinct()
   }
 
+  /** One row per id of the capped/derived text payload for a verify
+    * join — duplicate-id input rows (crawl refetches; artificially
+    * duplicated probe corpora) would otherwise multiply every pair's
+    * verify work AND its output rows by dupcount², the quadratic
+    * artifact behind dedup_edit_confirm's creeping ×10 ratio.
+    * `max` tie-break: deterministic, and the identity when ids are
+    * unique (every gated corpus). One map-side-combined exchange of the
+    * payload — the same id-keyed exchange the verify join needed anyway.
+    */
+  private def perIdPayload(df: DataFrame, idCol: String, payload: Column,
+                           as: String): DataFrame =
+    df.groupBy(col(idCol).as("__id")).agg(max(payload).as(as))
+
   /** Exact n-gram Jaccard similarity for given pairs (verification stage
     * after LSH): joins the token-set back on both sides — broadcast when
-    * the candidate set is small.
+    * the candidate set is small. One verify row per pair even under
+    * duplicate-id inputs ([[perIdPayload]]).
     */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sets = df.select(col(idCol).as("__id"),
-      array_distinct(Text.bigramShingles(Text.tokens(col(textCol)))).as("__set"))
+    val sets = perIdPayload(df, idCol, col(textCol), "__txt")
+      .select(col("__id"),
+        array_distinct(Text.bigramShingles(Text.tokens(col("__txt")))).as("__set"))
     pairs
       .join(sets.withColumnRenamed("__id", "id1").withColumnRenamed("__set", "set1"), "id1")
       .join(sets.withColumnRenamed("__id", "id2").withColumnRenamed("__set", "set2"), "id2")
@@ -576,8 +591,9 @@ object Dedup {
     */
   def ngramContainment(df: DataFrame, pairs: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
-    val sets = df.select(col(idCol).as("__id"),
-      array_distinct(Text.bigramShingles(Text.tokens(col(textCol)))).as("__set"))
+    val sets = perIdPayload(df, idCol, col(textCol), "__txt")
+      .select(col("__id"),
+        array_distinct(Text.bigramShingles(Text.tokens(col("__txt")))).as("__set"))
     pairs
       .join(sets.withColumnRenamed("__id", "id1").withColumnRenamed("__set", "set1"), "id1")
       .join(sets.withColumnRenamed("__id", "id2").withColumnRenamed("__set", "set2"), "id2")
@@ -1198,7 +1214,9 @@ object Dedup {
     * pair early once the distance provably exceeds the bound implied by
     * `minSim` (returns −1, O(n·bound) not O(n²); the oracle's unbounded
     * distance filters to the identical set). Two id-equi-joins ship the
-    * capped texts to the pairs; cost class = the Jaccard verify join.
+    * capped texts to the pairs — ONE row per id ([[perIdPayload]]), so
+    * duplicate-id inputs can't multiply DP executions quadratically;
+    * cost class = the Jaccard verify join.
     *
     * Output: `(id1, id2, edit_dist, edit_sim)`; identical truncated
     * texts give `edit_sim = 1.0`, disjoint ones approach 0.
@@ -1208,10 +1226,10 @@ object Dedup {
     require(minSim >= 0.0 && minSim <= 1.0,
       s"editConfirm: minSim in [0,1], got $minSim")
     require(maxLen >= 1, s"editConfirm: maxLen must be >= 1, got $maxLen")
-    val t = df.select(col(idCol), substring(col(textCol), 1, maxLen).as("__t"))
+    val t = perIdPayload(df, idCol, substring(col(textCol), 1, maxLen), "__t")
     val joined = pairs
-      .join(t.select(col(idCol).as("id1"), col("__t").as("__t1")), "id1")
-      .join(t.select(col(idCol).as("id2"), col("__t").as("__t2")), "id2")
+      .join(t.select(col("__id").as("id1"), col("__t").as("__t1")), "id1")
+      .join(t.select(col("__id").as("id2"), col("__t").as("__t2")), "id2")
     val n = greatest(length(col("__t1")), length(col("__t2")))
     // bound: d <= floor((1-minSim)*n) passes; levenshtein's early-exit
     // threshold (a global int — the per-row bound is <= this because

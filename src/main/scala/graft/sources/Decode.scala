@@ -225,4 +225,66 @@ object Decode {
         col("p.count").as("count"),
         map_from_entries(col("p.attributes")).as("attributes"))
   }
+
+  /** OTLP severity_number → the spec's range name: 1-4 trace, 5-8 debug,
+    * 9-12 info, 13-16 warn, 17-20 error, 21-24 fatal; everything else
+    * (incl. 0) unspecified. The log twin of [[otlpSpans]]' kind names.
+    */
+  def severityName(n: Column): Column =
+    when(n.between(1, 4), "trace")
+      .when(n.between(5, 8), "debug")
+      .when(n.between(9, 12), "info")
+      .when(n.between(13, 16), "warn")
+      .when(n.between(17, 20), "error")
+      .when(n.between(21, 24), "fatal")
+      .otherwise("unspecified")
+
+  /** OTLP logs export → log events — the third OTLP signal next to
+    * [[otlpSpans]] and [[otlpMetrics]] (the reference ingests logs as
+    * Riemann events with a `state`; OTLP logs is the OpenTelemetry-SDK
+    * path for the same role): one event per LogRecord, with the
+    * severity range name as `state` (the spec's 6 ranges via
+    * [[severityName]]), the body string as `description`, the raw
+    * severity fields preserved, and trace/span correlation ids carried
+    * through so logs join traces.
+    *
+    * Input schema (ExportLogsServiceRequest shape; any LogRecord field
+    * other than `timeUnixNano`/`severityNumber` may be entirely absent
+    * from the schema — e.g. JSON-ingested OTLP that never carried
+    * correlation ids — and contributes null instead of an
+    * AnalysisException):
+    * `resourceLogs: array<struct<
+    *    resource: struct<attributes: array<struct<key, value>>>,
+    *    scopeLogs: array<struct<logRecords: array<struct<
+    *      timeUnixNano, observedTimeUnixNano, severityNumber: long,
+    *      severityText, body, traceId, spanId,
+    *      attributes: array<struct<key, value>>>>>>>>`.
+    *
+    * Pure explode algebra — fuses into the scan, no shuffle.
+    */
+  def otlpLogs(df: DataFrame): DataFrame = {
+    val exploded = df.select(explode(col("resourceLogs")).as("rl"))
+      .select(
+        map_from_entries(col("rl.resource.attributes")).as("__res"),
+        explode(col("rl.scopeLogs")).as("sl"))
+      .select(col("__res"), explode(col("sl.logRecords")).as("rec"))
+    val recFields = exploded.schema("rec").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    def opt(fld: String, typ: String): Column =
+      if (recFields.contains(fld)) col(s"rec.$fld").cast(typ)
+      else lit(null).cast(typ)
+    exploded.select(
+      col("rec.timeUnixNano").as("time"),
+      opt("observedTimeUnixNano", "long").as("observed_time"),
+      col("rec.severityNumber").as("severity_number"),
+      opt("severityText", "string").as("severity_text"),
+      severityName(col("rec.severityNumber")).as("state"),
+      opt("body", "string").as("description"),
+      opt("traceId", "string").as("trace_id"),
+      opt("spanId", "string").as("span_id"),
+      element_at(col("__res"), "service.name").as("service"),
+      if (recFields.contains("attributes"))
+        map_from_entries(col("rec.attributes")).as("attributes")
+      else map().cast("map<string,string>").as("attributes"))
+  }
 }

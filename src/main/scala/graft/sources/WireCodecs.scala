@@ -196,6 +196,26 @@ object WireCodecs {
     OtlpResourceSpans(resource, scopes.result())
   }
 
+  /** AnyValue → string (string/bool/int/double variants; nested
+    * kvlist/array variants skip to ""): the stringly-typed reduction
+    * every attribute and log body shares.
+    */
+  private def decodeAnyValue(buf: Array[Byte], off: Int, len: Int): String = {
+    val rr = new Reader(buf, off, off + len)
+    var value = ""
+    while (rr.hasRemaining) {
+      val vt = rr.varint()
+      ((vt >> 3).toInt, (vt & 7).toInt) match {
+        case (1, 2) => value = rr.string()
+        case (2, 0) => value = (rr.varint() != 0).toString
+        case (3, 0) => value = rr.varint().toString
+        case (4, 1) => value = java.lang.Double.longBitsToDouble(rr.fixed64()).toString
+        case (_, w) => rr.skip(w)
+      }
+    }
+    value
+  }
+
   private def decodeKeyValue(buf: Array[Byte], off: Int, len: Int): OtlpKV = {
     val r = new Reader(buf, off, off + len)
     var key = ""; var value = ""
@@ -203,19 +223,9 @@ object WireCodecs {
       val t = r.varint()
       ((t >> 3).toInt, (t & 7).toInt) match {
         case (1, 2) => key = r.string()
-        case (2, 2) => // AnyValue
+        case (2, 2) =>
           val (o, l) = r.bytes()
-          val rr = new Reader(buf, o, o + l)
-          while (rr.hasRemaining) {
-            val vt = rr.varint()
-            ((vt >> 3).toInt, (vt & 7).toInt) match {
-              case (1, 2) => value = rr.string()
-              case (2, 0) => value = (rr.varint() != 0).toString
-              case (3, 0) => value = rr.varint().toString
-              case (4, 1) => value = java.lang.Double.longBitsToDouble(rr.fixed64()).toString
-              case (_, w) => rr.skip(w)
-            }
-          }
+          value = decodeAnyValue(buf, o, l)
         case (_, w) => r.skip(w)
       }
     }
@@ -763,6 +773,162 @@ object WireCodecs {
           smw.msg(2, mw)
         }
         rw.msg(2, smw)
+      }
+      w.msg(1, rw)
+    }
+    w.result()
+  }
+
+  // ---- OTLP logs ------------------------------------------------------
+  // public proto spec `opentelemetry/proto/logs/v1/logs.proto`:
+  // `ExportLogsServiceRequest.resource_logs=1`;
+  // `ResourceLogs.resource=1, scope_logs=2`; `ScopeLogs.log_records=2`;
+  // `LogRecord.time_unix_nano=1 (fixed64), severity_number=2 (varint),
+  // severity_text=3, body=5 (AnyValue), attributes=6, flags=8 (fixed32),
+  // trace_id=9 (bytes), span_id=10 (bytes),
+  // observed_time_unix_nano=11 (fixed64)`.
+
+  final case class OtlpLogRecord(timeUnixNano: Long,
+                                 observedTimeUnixNano: Long,
+                                 severityNumber: Long, severityText: String,
+                                 body: String,
+                                 traceId: String, spanId: String,
+                                 attributes: Seq[OtlpKV])
+  final case class OtlpScopeLogs(logRecords: Seq[OtlpLogRecord])
+  final case class OtlpResourceLogs(resource: OtlpResource,
+                                    scopeLogs: Seq[OtlpScopeLogs])
+  final case class OtlpLogsRequest(resourceLogs: Seq[OtlpResourceLogs])
+
+  def decodeOtlpLogsRequest(bytes: Array[Byte]): OtlpLogsRequest = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val rls = Seq.newBuilder[OtlpResourceLogs]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val (off, len) = r.bytes()
+        rls += decodeResourceLogs(bytes, off, len)
+      } else r.skip((tag & 7).toInt)
+    }
+    OtlpLogsRequest(rls.result())
+  }
+
+  private def decodeResourceLogs(buf: Array[Byte], off: Int, len: Int): OtlpResourceLogs = {
+    val r = new Reader(buf, off, off + len)
+    var resource = OtlpResource(Nil)
+    val scopes = Seq.newBuilder[OtlpScopeLogs]
+    while (r.hasRemaining) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val attrs = Seq.newBuilder[OtlpKV]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 1 && (t & 7) == 2) {
+              val (ko, kl) = rr.bytes()
+              attrs += decodeKeyValue(buf, ko, kl)
+            } else rr.skip((t & 7).toInt)
+          }
+          resource = OtlpResource(attrs.result())
+        case (2, 2) =>
+          val (o, l) = r.bytes()
+          val rr = new Reader(buf, o, o + l)
+          val recs = Seq.newBuilder[OtlpLogRecord]
+          while (rr.hasRemaining) {
+            val t = rr.varint()
+            if ((t >> 3) == 2 && (t & 7) == 2) {
+              val (lo, ll) = rr.bytes()
+              recs += decodeLogRecord(buf, lo, ll)
+            } else rr.skip((t & 7).toInt)
+          }
+          scopes += OtlpScopeLogs(recs.result())
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpResourceLogs(resource, scopes.result())
+  }
+
+  private def decodeLogRecord(buf: Array[Byte], off: Int, len: Int): OtlpLogRecord = {
+    val r = new Reader(buf, off, off + len)
+    var time = 0L; var observed = 0L; var sevN = 0L
+    var sevT = ""; var body = ""; var traceId = ""; var spanId = ""
+    val attrs = Seq.newBuilder[OtlpKV]
+    while (r.hasRemaining) {
+      val t = r.varint()
+      ((t >> 3).toInt, (t & 7).toInt) match {
+        case (1, 1) => time = r.fixed64()
+        case (2, 0) => sevN = r.varint()
+        case (3, 2) => sevT = r.string()
+        case (5, 2) =>
+          val (o, l) = r.bytes()
+          body = decodeAnyValue(buf, o, l)
+        case (6, 2) =>
+          val (o, l) = r.bytes()
+          attrs += decodeKeyValue(buf, o, l)
+        case (9, 2) =>
+          val (o, l) = r.bytes()
+          traceId = hex(java.util.Arrays.copyOfRange(buf, o, o + l))
+        case (10, 2) =>
+          val (o, l) = r.bytes()
+          spanId = hex(java.util.Arrays.copyOfRange(buf, o, o + l))
+        case (11, 1) => observed = r.fixed64()
+        case (_, w) => r.skip(w)
+      }
+    }
+    OtlpLogRecord(time, observed, sevN, sevT, body, traceId, spanId, attrs.result())
+  }
+
+  /** Distributed OTLP logs wire decode: binary `ExportLogsServiceRequest`
+    * payloads → the struct shape [[Decode.otlpLogs]] consumes. Per-split
+    * flatMap, no shuffle.
+    */
+  def decodeOtlpLogFrames(df: org.apache.spark.sql.DataFrame,
+                          bytesCol: String = "payload"): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(bytesCol)).as[Array[Byte]]
+      .map(bytes => decodeOtlpLogsRequest(bytes))
+      .toDF()
+  }
+
+  /** Encode (tests + sink payloads): inverse of [[decodeOtlpLogsRequest]]
+    * for the fields this library reads.
+    */
+  def encodeOtlpLogsRequest(req: OtlpLogsRequest): Array[Byte] = {
+    def kv(w: Writer, field: Int, k: OtlpKV): Unit = {
+      val kw = new Writer
+      kw.str(1, k.key)
+      val vw = new Writer
+      vw.str(1, k.value)
+      kw.msg(2, vw)
+      w.msg(field, kw)
+    }
+    val w = new Writer
+    req.resourceLogs.foreach { rl =>
+      val rw = new Writer
+      val resw = new Writer
+      rl.resource.attributes.foreach(kv(resw, 1, _))
+      rw.msg(1, resw)
+      rl.scopeLogs.foreach { sl =>
+        val slw = new Writer
+        sl.logRecords.foreach { rec =>
+          val lw = new Writer
+          lw.fixed64(1, rec.timeUnixNano)
+          lw.varintField(2, rec.severityNumber)
+          if (rec.severityText.nonEmpty) lw.str(3, rec.severityText)
+          if (rec.body != null) {
+            val bw = new Writer
+            bw.str(1, rec.body)
+            lw.msg(5, bw)
+          }
+          rec.attributes.foreach(kv(lw, 6, _))
+          if (rec.traceId.nonEmpty) lw.bytesField(9, unhex(rec.traceId))
+          if (rec.spanId.nonEmpty) lw.bytesField(10, unhex(rec.spanId))
+          lw.fixed64(11, rec.observedTimeUnixNano)
+          slw.msg(2, lw)
+        }
+        rw.msg(2, slw)
       }
       w.msg(1, rw)
     }

@@ -148,6 +148,59 @@ class ControlPlaneSpec extends AnyFunSuite {
     }
   }
 
+  test("OTLP metrics route: all five point families land as events; summaries fan out per quantile") {
+    import graft.sources.WireCodecs
+    import graft.sources.WireCodecs._
+    withServer(EngineCtx()) { (_, base) =>
+      val outDir = addFileSinkStream(base, "omet")
+      val body = WireCodecs.encodeOtlpMetricsRequest(OtlpMetricsRequest(Seq(OtlpResourceMetrics(
+        OtlpResource(Seq(OtlpKV("service.name", "api"))),
+        Seq(OtlpScopeMetrics(Seq(
+          OtlpMetric("lat", "ms",
+            OtlpGauge(Seq(OtlpNumPoint(1L, 2L, 3.5, Nil))),
+            OtlpSum(Nil, isMonotonic = false),
+            OtlpHistogram(Seq(OtlpHistPoint(1L, 4L, 10L, 55.0, Seq(5L, 5L), Seq(1.0), Nil))),
+            OtlpExpHistogram(Nil),
+            OtlpSummary(Seq(OtlpSummaryPoint(1L, 6L, 20L, 100.0,
+              Seq(OtlpQuantileValue(0.5, 2.0), OtlpQuantileValue(0.99, 9.0)), Nil)))))))))))
+      assert(sendBytes(s"$base/api/v1/opentelemetry/v1/metrics/omet", body)._1 == 200)
+      val rows = spark.read.json(s"$outDir/out")
+        .selectExpr("name", "service", "metric", "time", "attributes.mtype",
+          "attributes.count", "attributes.quantile")
+        .collect().map(r => (r.getString(4), r.getDouble(2), r.getString(5),
+          Option(r.getString(6)))).toSet
+      assert(rows == Set(
+        ("gauge", 3.5, "1", None),
+        ("histogram", 55.0, "10", None),
+        ("summary", 2.0, "20", Some("0.5")),
+        ("summary", 9.0, "20", Some("0.99"))), s"got $rows")
+    }
+  }
+
+  test("OTLP logs route: protobuf log records land as events with severity-range states") {
+    import graft.sources.WireCodecs
+    import graft.sources.WireCodecs._
+    withServer(EngineCtx()) { (_, base) =>
+      val outDir = addFileSinkStream(base, "olog")
+      val body = WireCodecs.encodeOtlpLogsRequest(OtlpLogsRequest(Seq(OtlpResourceLogs(
+        OtlpResource(Seq(OtlpKV("service.name", "checkout"))),
+        Seq(OtlpScopeLogs(Seq(OtlpLogRecord(
+          1700000000000000000L, 1700000000005000000L, 17L, "ERROR",
+          "connection refused", "0102030405060708090a0b0c0d0e0f10",
+          "0102030405060708", Seq(OtlpKV("pod", "p-1"))))))))))
+      assert(sendBytes(s"$base/api/v1/opentelemetry/v1/logs/olog", body)._1 == 200)
+      val r = spark.read.json(s"$outDir/out")
+        .selectExpr("service", "state", "metric", "description", "time",
+          "attributes.trace_id", "attributes.pod", "attributes.severity_text")
+        .collect().head
+      assert(r.getString(0) == "checkout" && r.getString(1) == "error")
+      assert(r.getDouble(2) == 17.0 && r.getString(3) == "connection refused")
+      assert(r.getLong(4) == 1700000000000000000L)
+      assert(r.getString(5) == "0102030405060708090a0b0c0d0e0f10")
+      assert(r.getString(6) == "p-1" && r.getString(7) == "ERROR")
+    }
+  }
+
   test("fluentbit route: JSON logs land as events; extras become attributes") {
     withServer(EngineCtx()) { (_, base) =>
       val outDir = addFileSinkStream(base, "flb")

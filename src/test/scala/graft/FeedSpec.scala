@@ -134,6 +134,18 @@ class FeedSpec extends AnyFunSuite {
       .select("feed_type", "url", "entry_id")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(ir == direct && direct.size == 4)
+    // parse-times appends the ns event time: the RSS item's RFC-822
+    // pubDate parses, the Atom fixture's p-prefixed strings are garbage
+    val timed = Engine.run(Node.fromJson(
+      """{"action":"feed-urls","params":[{"xml":"xml","parse-times":true}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .select("entry_id", "time")
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(timed(Some("ga")) == Some(1704067200000000000L), s"$timed")
+    assert(timed(Some("gx")).contains(1704067200000000000L))
+    assert(timed(None).isEmpty, "item without pubDate has null time")
   }
 
   test("parseFeeds: format sniffing routes each body once; garbage contributes nothing") {

@@ -563,6 +563,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(kf == (1L until 40L).toSet, s"keepFirst cutters $kf")
   }
 
+  test("verify stages emit ONE row per pair under duplicate-id inputs (refetch/probe-duplication hygiene)") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // each doc appears 3x (a crawl refetch, or the x10 scale-probe
+    // corpus in miniature): without the per-id reduction every pair
+    // would verify 3x3 = 9 times and emit 9 rows
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words here now yes"))
+    val docs = (base ++ base ++ base).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id").collect()
+    assert(j.length == 2, s"expected 2 verify rows, got ${j.length}")
+    val c = Dedup.ngramContainment(docs, pairs, "text", "doc_id").collect()
+    assert(c.length == 2, s"expected 2 containment rows, got ${c.length}")
+    val e = Dedup.editConfirm(docs, pairs, "text", "doc_id", minSim = 0.0).collect()
+    assert(e.length == 2, s"expected 2 edit rows, got ${e.length}")
+    // values match the unique-id run exactly
+    val uniq = base.toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(uniq, pairs, "text", "doc_id")
+      .collect().map(_.toSeq).toSet == j.map(_.toSeq).toSet)
+    assert(Dedup.editConfirm(uniq, pairs, "text", "doc_id", minSim = 0.0)
+      .collect().map(_.toSeq).toSet == e.map(_.toSeq).toSet)
+  }
+
   test("LSH hash-invariance: exact-duplicate docs pair under md5 AND xxhash64") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}

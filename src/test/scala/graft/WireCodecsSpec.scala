@@ -84,6 +84,31 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(dec == req)
   }
 
+  test("OTLP ExportLogsServiceRequest encode → decode is the identity") {
+    import WireCodecs._
+    val req = OtlpLogsRequest(Seq(OtlpResourceLogs(
+      OtlpResource(Seq(OtlpKV("service.name", "svc-3"))),
+      Seq(OtlpScopeLogs(Seq(
+        OtlpLogRecord(1700000000000000000L, 1700000000005000000L,
+          17L, "ERROR", "boom: connection refused",
+          "0102030405060708090a0b0c0d0e0f10", "0102030405060708",
+          Seq(OtlpKV("k", "v"), OtlpKV("pod", "p-1"))),
+        // empty correlation ids and body round-trip too
+        OtlpLogRecord(5L, 6L, 0L, "", "", "", "", Nil)))))))
+    assert(decodeOtlpLogsRequest(encodeOtlpLogsRequest(req)) == req)
+  }
+
+  test("OTLP logs decode skips unknown fields (forward compatibility)") {
+    import WireCodecs._
+    val req = OtlpLogsRequest(Seq(OtlpResourceLogs(
+      OtlpResource(Nil),
+      Seq(OtlpScopeLogs(Seq(OtlpLogRecord(1L, 2L, 9L, "INFO", "hello",
+        "", "", Nil)))))))
+    val bytes = encodeOtlpLogsRequest(req)
+    val spliced = bytes ++ Array[Byte]((9 << 3 | 2).toByte, 2, 1, 1)
+    assert(decodeOtlpLogsRequest(spliced) == req)
+  }
+
   test("OTLP metrics decode skips unknown fields (forward compatibility)") {
     // splice an unknown top-level field 9 (length-delimited) onto an
     // encoded ExportMetricsServiceRequest — the decoder must skip it,
@@ -126,6 +151,10 @@ class WireCodecsSpec extends AnyFunSuite {
         OtlpSummary(Seq(OtlpSummaryPoint(3L, 4L, 5L, 6.0,
           Seq(OtlpQuantileValue(0.5, 1.0), OtlpQuantileValue(0.9, 2.0)),
           Seq(OtlpKV("q", "r")))))))))))))
+    val logs = encodeOtlpLogsRequest(OtlpLogsRequest(Seq(OtlpResourceLogs(
+      OtlpResource(Seq(OtlpKV("service.name", "s"))),
+      Seq(OtlpScopeLogs(Seq(OtlpLogRecord(10L, 11L, 17L, "ERROR", "boom",
+        "0a0b0c0d0a0b0c0d", "0102030405060708", Seq(OtlpKV("k", "v"))))))))))
     val rnd = new scala.util.Random(1234)
     def mutants(base: Array[Byte]): Iterator[Array[Byte]] = Iterator.tabulate(300) { _ =>
       val b = base.clone()
@@ -143,7 +172,8 @@ class WireCodecsSpec extends AnyFunSuite {
     for ((name, base, dec) <- Seq[(String, Array[Byte], Array[Byte] => Any)](
       ("prom", prom, decodePromWriteRequest _),
       ("traces", traces, decodeOtlpTraceRequest _),
-      ("metrics", metrics, decodeOtlpMetricsRequest _))) {
+      ("metrics", metrics, decodeOtlpMetricsRequest _),
+      ("logs", logs, decodeOtlpLogsRequest _))) {
       mutants(base).zipWithIndex.foreach { case (m, i) =>
         try dec(m)
         catch {
