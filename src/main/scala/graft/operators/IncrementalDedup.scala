@@ -108,8 +108,33 @@ object IncrementalDedup {
     * REPLAYED micro-batch never collides with its own signatures (the
     * exactly-once linchpin of [[dedupDeltaStream]]).
     */
+  /** Repair a half-finished [[compactStore]] swap — the
+    * [[SubstringStore.recoverCompaction]] rules: a live `bands/` makes
+    * `bands_old`/`bands_compact_tmp` leftovers stale (swept); a missing
+    * `bands/` with `bands_old/` present means the crash hit between the
+    * two renames — rename the old image back (its `delta_bands` were
+    * not yet deleted, so verdicts are unchanged).
+    */
+  private[operators] def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/bands_old")
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$path/bands_compact_tmp")
+    if (fs.exists(live)) {
+      if (fs.exists(oldDir)) fs.delete(oldDir, true)
+      if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    } else if (fs.exists(oldDir)) {
+      require(fs.rename(oldDir, live),
+        s"recoverCompaction: rename $oldDir -> $live failed")
+      if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    }
+    ()
+  }
+
   private def readBands(spark: SparkSession, path: String,
                         excludeBatch: Option[Long]): DataFrame = {
+    recoverCompaction(spark, path)
     val base = spark.read.parquet(s"$path/bands")
     val deltaDir = new org.apache.hadoop.fs.Path(s"$path/delta_bands")
     val fs = deltaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -224,10 +249,14 @@ object IncrementalDedup {
     * probe's file count bounded as batches accumulate. Verdicts are
     * unchanged by construction (the probe reads the union either way);
     * run it between streaming sessions, never concurrently with one.
-    * Writes through a sibling temp dir so a crash mid-compaction leaves
-    * the original layout intact.
+    * Crash safety: stage-tmp → rename live ASIDE (`bands_old`) → rename
+    * tmp in → delete deltas → delete old, with [[recoverCompaction]]
+    * run by every read path — a crash at any step leaves a complete
+    * layout recoverable on the next probe (never a moment without a
+    * full `bands/` image on disk; leftover deltas re-fold idempotently).
     */
   def compactStore(spark: SparkSession, path: String): Unit = {
+    recoverCompaction(spark, path)
     val meta = readMeta(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -242,10 +271,13 @@ object IncrementalDedup {
       .partitionBy("sigbucket")
       .parquet(tmp)
     val bands = new org.apache.hadoop.fs.Path(s"$path/bands")
-    fs.delete(bands, true)
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/bands_old")
+    require(fs.rename(bands, oldDir),
+      s"compactStore: rename $bands -> $oldDir failed")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), bands),
       s"compactStore: rename $tmp -> $bands failed")
     fs.delete(deltaDir, true)
+    fs.delete(oldDir, true)
     ()
   }
 

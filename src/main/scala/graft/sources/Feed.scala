@@ -130,8 +130,12 @@ object Feed {
   def eventTime(published: Column): Column = {
     // RFC 822's leading "Mon, " is optional and its weekday is
     // redundant (the date determines it) — strip it instead of parsing
-    // it, which also forgives feeds that get the weekday wrong
-    val s = regexp_replace(trim(published), "^[A-Za-z]{3},\\s*", "")
+    // it, which also forgives feeds that get the weekday wrong. The
+    // obsolete-but-legal "UT" zone token (RFC 822 §5.1) normalizes to
+    // GMT, which the zzz pattern parses.
+    val s = regexp_replace(
+      regexp_replace(trim(published), "^[A-Za-z]{3},\\s*", ""),
+      "\\bUT$", "GMT")
     val ts = coalesce(
       try_to_timestamp(s),                                  // ISO / RFC 3339
       try_to_timestamp(s, lit("d MMM yyyy HH:mm:ss Z")),    // +0200

@@ -103,6 +103,7 @@ class FeedSpec extends AnyFunSuite {
       ("rfc822_offset", "1 Jan 2024 02:30:00 +0230", Some(1704067200000000000L)),
       ("rfc822_wrong_weekday", "Tue, 01 Jan 2024 00:00:00 GMT", Some(1704067200000000000L)),
       ("rfc822_no_secs", "01 Jan 2024 00:00 GMT", Some(1704067200000000000L)),
+      ("rfc822_ut_zone", "Mon, 01 Jan 2024 00:00:00 UT", Some(1704067200000000000L)),
       ("rfc3339_z", "2024-01-01T00:00:00Z", Some(1704067200000000000L)),
       ("rfc3339_frac_offset", "2024-01-01T00:00:00.250+00:00", Some(1704067200250000000L)),
       ("rfc3339_neg_offset", "2023-12-31T19:00:00-05:00", Some(1704067200000000000L)),

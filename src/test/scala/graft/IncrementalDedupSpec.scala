@@ -153,6 +153,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
       assert(after == before)
       assert(before == Map(40L -> "dup_store", 41L -> "dup_store", 42L -> "kept"))
       IncrementalDedup.compactStore(s, dir) // idempotent no-op
+
+      // compaction crash recovery: the between-renames state (live dir
+      // gone, old image aside) self-heals on the next probe; stale
+      // leftovers next to a live dir are swept
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/bands"),
+        java.nio.file.Paths.get(s"$dir/bands_old"))
+      assert(IncrementalDedup.dedupDelta(probe, "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == before)
+      assert(new java.io.File(s"$dir/bands").exists)
+      assert(!new java.io.File(s"$dir/bands_old").exists)
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/bands_old"))
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/bands_compact_tmp"))
+      assert(IncrementalDedup.dedupDelta(probe, "text", "doc_id", dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == before)
+      assert(!new java.io.File(s"$dir/bands_old").exists)
+      assert(!new java.io.File(s"$dir/bands_compact_tmp").exists)
     } finally rmrf(dir)
   }
 
