@@ -79,15 +79,25 @@ object Curation {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String, lineTokens: Int): DataFrame = {
     val lines = df.select(col(idCol), posexplode_outer(tokenLines(col(textCol), lineTokens)).as(Seq("pos", "line")))
-    val w = Window.partitionBy(md5(col("line"))).orderBy(col(idCol), col("pos"))
-    lines
-      .withColumn("__rn", when(col("line").isNull, lit(1)).otherwise(row_number().over(w)))
+      .withColumn("__h", md5(col("line")))
+    // first occurrence per line = min (id, pos), computed as a map-side-
+    // combined aggregate joined back on the hash — NOT row_number over
+    // Window.partitionBy(hash): a nav-bar line shared by 10⁸ documents
+    // would sort inside one unsplittable window partition, where the
+    // aggregate collapses it to one row per input partition and AQE can
+    // skew-split (or broadcast) the join back
+    val firsts = lines.filter(col("line").isNotNull)
+      .groupBy("__h")
+      .agg(min(struct(col(idCol).as("__fid"), col("pos").as("__fpos"))).as("__first"))
+    val keep = col("line").isNull ||
+      (col(idCol) === col("__first.__fid") && col("pos") === col("__first.__fpos"))
+    lines.join(firsts, Seq("__h"), "left")
       .groupBy(col(idCol))
       .agg(
         count(col("line")).as("n_lines"),
-        count(when(col("__rn") === 1, col("line"))).as("n_kept"),
+        count(when(keep, col("line"))).as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__rn") === 1, struct(col("pos"), col("line"))))),
+          array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
           s => s.getField("line"))).as("text_clean"))
   }
 
@@ -100,31 +110,24 @@ object Curation {
     * Output: (idCol, n_lines, n_kept, text_clean), one row per input
     * document.
     *
-    * Scale shape: identical to [[lineDedup]] — one shuffle on the line
-    * hash (distinct-doc counting via dense_rank + max over the SAME
-    * window partitioning, so the two window passes share one exchange
-    * and one sort), one shuffle on the doc id to reassemble. The
-    * boilerplate threshold never materializes a per-line document set
-    * (no `collect_set`): `dense_rank` over ids makes the count, so a
-    * line sitting in millions of documents costs its row count, not a
-    * set copy per row.
+    * Scale shape: identical to [[lineDedup]] — distinct-doc counting is
+    * a two-stage `groupBy(hash).agg(countDistinct(id))` joined back on
+    * the hash (the (hash, id) partial stage spreads a boilerplate
+    * line's 10⁸ documents across ALL partitions; the former
+    * dense_rank-over-hash window sorted them in one), one shuffle on
+    * the doc id to reassemble. The boilerplate threshold never
+    * materializes a per-line document set (no `collect_set`).
     */
   def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
                         lineTokens: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"boilerplateRemove: minDocs must be >= 2, got $minDocs")
     val lines = df.select(col(idCol),
       posexplode_outer(tokenLines(col(textCol), lineTokens)).as(Seq("pos", "line")))
-      // the hash must be ONE materialized attribute: partitioning two
-      // windows by separate md5(line) projections re-plans a second
-      // exchange + sort (measured 5 exchanges instead of 3 in the audit)
       .withColumn("__h", md5(col("line")))
-    // same partitioning AND ordering → both windows share one exchange+sort
-    val wOrd = Window.partitionBy(col("__h")).orderBy(col(idCol))
-    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    lines
-      // distinct docs touching this line = max dense_rank over ids
-      .withColumn("__dr", when(col("line").isNull, lit(1)).otherwise(dense_rank().over(wOrd)))
-      .withColumn("__df", when(col("line").isNull, lit(0)).otherwise(max(col("__dr")).over(wAll)))
+    val docFreq = lines.filter(col("line").isNotNull)
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__df0"))
+    lines.join(docFreq, Seq("__h"), "left")
+      .withColumn("__df", when(col("line").isNull, lit(0L)).otherwise(col("__df0")))
       .groupBy(col(idCol))
       .agg(
         count(col("line")).as("n_lines"),
@@ -958,35 +961,66 @@ object Curation {
       .groupBy(coalesce(col("drop_stage"), lit("kept")).as("stage"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Per-(group, value) rank statistics for the ANSI window readouts,
+    * computed WITHOUT a row-scale window: `groupBy(group, value).count`
+    * (map-side combined — a 90%-of-corpus source collapses per input
+    * partition), ONE window over the DISTINCT-value table (its hot
+    * partition is bounded by distinct values per group, not rows —
+    * quality scores are coarse; a web-scale source's row count is not),
+    * and the caller joins back on (group, value) — AQE-skew-splittable.
+    * Columns: `__g, __v, __cum` (count of rows ≤ v), `__c` (count of
+    * rows = v), `__n` (group size).
+    */
+  private def groupValueRanks(df: DataFrame, groupCol: String,
+                              valueCol: String): DataFrame = {
+    val gv = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    gv.withColumn("__cum", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__g"))))
+  }
+
   /** Per-group rank normalization: append the ANSI `percent_rank` of
     * `valueCol` WITHIN each group — the device that makes raw quality
     * scores comparable ACROSS sources (a 0.6 from a high-quality
     * source and a 0.6 from a spammy one mean different things; their
     * within-source ranks mean the same), so one global threshold keeps
     * the same fraction of every source. Ties share a rank (ANSI), the
-    * value is `(rank−1)/(n−1)` from integer window counts — bit-exact
-    * in any engine. One exchange on the group key; parallel across
-    * groups.
+    * value is `(rank−1)/(n−1)` from integer counts — bit-exact in any
+    * engine, and identical to `percent_rank over (partition by group
+    * order by value)` — but computed via [[groupValueRanks]], so a
+    * group holding most of the corpus never owns a sort partition.
     */
   def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
-                    out: String = "pct_rank"): DataFrame =
-    df.withColumn(out, percent_rank().over(
-      Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+                    out: String = "pct_rank"): DataFrame = {
+    val ranks = groupValueRanks(df, groupCol, valueCol)
+      .select(col("__g"), col("__v"),
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          (col("__cum") - col("__c")).cast("double")
+            / (col("__n") - 1).cast("double")).as(out))
+    df.join(ranks, col(groupCol) <=> col("__g") && col(valueCol) <=> col("__v"))
+      .drop("__g", "__v")
+  }
 
   /** The thresholding rule [[rankNormalize]] exists for: keep the top
-    * `fraction` of every group by `valueCol`. Uses `cume_dist` (the
-    * fraction of the group at or below the value), not `percent_rank`:
-    * `cume_dist > 1 − fraction` keeps ⌈fraction·n⌉-ish of every group
-    * INCLUDING singletons (whose cume_dist is 1; their percent_rank is
-    * 0, which would silently drop every one-document source).
+    * `fraction` of every group by `valueCol`. Uses the `cume_dist`
+    * readout (the fraction of the group at or below the value), not
+    * `percent_rank`: `cume_dist > 1 − fraction` keeps ⌈fraction·n⌉-ish
+    * of every group INCLUDING singletons (whose cume_dist is 1; their
+    * percent_rank is 0, which would silently drop every one-document
+    * source). Same [[groupValueRanks]] shape — no row-scale window.
     */
   def keepTopFraction(df: DataFrame, groupCol: String, valueCol: String,
                       fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"keepTopFraction: fraction in (0,1], got $fraction")
-    df.withColumn("__cd", cume_dist().over(
-        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
-      .filter(col("__cd") > lit(1.0 - fraction)).drop("__cd")
+    val ranks = groupValueRanks(df, groupCol, valueCol)
+      .select(col("__g"), col("__v"),
+        (col("__cum").cast("double") / col("__n").cast("double")).as("__cd"))
+    df.join(ranks, col(groupCol) <=> col("__g") && col(valueCol) <=> col("__v"))
+      .filter(col("__cd") > lit(1.0 - fraction))
+      .drop("__g", "__v", "__cd")
   }
 
   /** Empirical-Bayes shrunken per-group metric means — the domain-level
@@ -1491,11 +1525,26 @@ object Curation {
     }
     val hash = Text.md5Hash64(
       concat(lit(seed), lit(":"), col(idCol).cast("string")))
-    val rank = row_number().over(
-      Window.partitionBy(col(sourceCol)).orderBy(hash, col(idCol)))
-    val keyed = df
-      .withColumn("source_rank", rank.cast("long"))
+    // per-source rank WITHOUT a row-scale window over the source key (a
+    // 90%-of-corpus source would own one unsplittable sort partition):
+    // one BALANCED range-exchange global position over (source, hash,
+    // id) — the seeded hash spreads a hot source across range
+    // partitions — minus per-source start offsets from a model-sized
+    // count table (sources are enumerated by `weights`; the offset
+    // window runs over |sources| rows)
+    val pos = withGlobalPositionAs(df.withColumn("__ikey", hash),
+      Seq(col(sourceCol), col("__ikey"), col(idCol)), "__gp")
+    val off = pos.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__src")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__src"), col("__off"))
+    val keyed = pos
+      .join(broadcast(off), col(sourceCol) === col("__src"))
+      .withColumn("source_rank", col("__gp") - col("__off") + 1)
       .withColumn("vtime", col("source_rank").cast("double") / weightCol)
+      .drop("__src", "__off", "__gp", "__ikey")
     withGlobalPosition(keyed,
       Seq(col("vtime"), col(sourceCol), col("source_rank")))
   }

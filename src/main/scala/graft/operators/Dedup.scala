@@ -23,19 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per exact text hash. */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  /** Keep the lowest-`ordCol` row per `key` — the skew-immune keep-first
+    * kernel shared by [[exact]] and [[byFingerprint]]: ONE `min_by`
+    * aggregate with map-side partial combine, so a pathological
+    * duplicate cluster (the empty document, a boilerplate page
+    * duplicated 10⁸ times) collapses to one row per input partition
+    * before anything travels. The former `row_number over
+    * Window.partitionBy(hash)` form sorted every member of the hot
+    * cluster inside one unsplittable partition — the same scale-killer
+    * class [[sharedSubstringSpans]] was purged of.
+    */
+  private def keepMinBy(df: DataFrame, key: Column, ordCol: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(key.as("__k"))
+      .agg(min_by(struct(cols.map(col): _*), col(ordCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
+
+  /** Exact dedup: keep the lowest-id row per exact text hash. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepMinBy(df, md5(col(textCol)), idCol)
 
   /** Fingerprint (token-set) dedup: collapse docs with identical sorted
     * distinct token sets.
     */
-  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(Text.fingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepMinBy(df, Text.fingerprint(col(textCol)), idCol)
 
   /** MinHash signature: k permutations `(a_j*h + b_j) mod p` over bigram
     * shingle hashes; appended as `minhash` array column.
@@ -72,15 +85,16 @@ object Dedup {
     * Scale: the exploded window table is one row per token position,
     * which is the known minimum working set of substring dedup (suffix
     * arrays reach the same n·|corpus| bound) — and it is exploded and
-    * hashed exactly ONCE (a count-then-join-back formulation plans the
-    * explode twice: the partial aggregate under one branch defeats
-    * exchange reuse). Only 64-bit window hashes are ever shuffled, never
-    * window strings: (1) groupBy (doc, hash) with map-side combine —
-    * within-doc repeats collapse here, so later shuffles carry distinct
-    * (doc, hash) pairs, not raw windows; (2) a sum-over-hash window
-    * gives each pair its corpus-wide occurrence total (skew degrades to
-    * external sort, never a collected list); (3) per-doc re-aggregation.
-    * No crossJoin, no driver materialization.
+    * hashed exactly ONCE. Only 64-bit window hashes are ever shuffled,
+    * never window strings: (1) groupBy (doc, hash) with map-side
+    * combine — within-doc repeats collapse here, so later shuffles
+    * carry distinct (doc, hash) pairs, not raw windows; (2) corpus-wide
+    * occurrence totals per hash via `groupBy(hash).agg` joined back —
+    * NOT a sum-over-hash window: a boilerplate window shared by 10⁸
+    * documents would sort in one unsplittable window partition, where
+    * the aggregate collapses it map-side and AQE can skew-split the
+    * join; (3) per-doc re-aggregation. No crossJoin, no driver
+    * materialization.
     */
   /** One hash per length-`n` window start of a token array; empty array
     * (not a descending sequence) for docs shorter than `n` tokens. The
@@ -102,8 +116,8 @@ object Dedup {
     val winHashes = windowHashes(toks, n, hashFn)
     val docWin = df.select(col(idCol).as("__id"), explode(winHashes).as("__h"))
       .groupBy("__id", "__h").agg(count(lit(1)).as("__k"))
-    val withTotal = docWin.withColumn("__c",
-      sum(col("__k")).over(Window.partitionBy(col("__h"))))
+    val totals = docWin.groupBy("__h").agg(sum(col("__k")).as("__c"))
+    val withTotal = docWin.join(totals, Seq("__h"))
     val stats = withTotal.groupBy("__id").agg(
       sum(col("__k")).as("n_windows"),
       sum(when(col("__c") > 1, col("__k")).otherwise(0L)).as("dup_windows"))
@@ -144,8 +158,11 @@ object Dedup {
     val wins = df.select(col(idCol).as("__id"),
         posexplode(windowHashes(toks, n, hashFn)).as(Seq("__p0", "__h")))
       .select(col("__id"), (col("__p0") + 1).as("__p"), col("__h"))
-    val withTotal = wins.withColumn("__c",
-      sum(lit(1L)).over(Window.partitionBy(col("__h"))))
+    // occurrence totals as a map-side-combined aggregate joined back
+    // (not a count-over-hash window — see duplicateNgramStats' scale
+    // note; a hot boilerplate hash must never own a sort partition)
+    val totals = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+    val withTotal = wins.join(totals, Seq("__h"))
     val dupStarts = withTotal.filter(col("__c") > 1)
       .groupBy("__id").agg(sort_array(collect_list(col("__p"))).as("__starts"))
     // Merge sorted starts into disjoint covered intervals [lo, hi] first:

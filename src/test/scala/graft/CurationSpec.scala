@@ -900,6 +900,40 @@ class CurationSpec extends AnyFunSuite {
     assert(ir == kept)
   }
 
+  test("rank/interleave rewrites == the ANSI window forms on a hot-group corpus (the 90%-source shape)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{percent_rank, cume_dist, row_number, concat, lit => flit}
+    val s = spark
+    import s.implicits._
+    // one source holds 94% of rows (the web-crawl reality the rewrites
+    // target), with heavy value ties; two tiny sources
+    val rows = (0L until 470L).map(i => ("web", i, i % 7)) ++
+      (470L until 490L).map(i => ("books", i, i % 3)) ++ Seq(("tiny", 490L, 0L))
+    val df = rows.toDF("src", "id", "v")
+    val wr = Window.partitionBy($"src").orderBy($"v")
+    val wantPr = df.withColumn("pr", percent_rank().over(wr))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val gotPr = Curation.rankNormalize(df, "src", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(gotPr == wantPr, "percent_rank parity (bit-exact) on ties + hot group")
+    val wantKeep = df.withColumn("cd", cume_dist().over(wr))
+      .filter($"cd" > 0.6).select("id").collect().map(_.getLong(0)).toSet
+    val gotKeep = Curation.keepTopFraction(df, "src", "v", 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotKeep == wantKeep, "cume_dist threshold parity")
+    // interleave: per-source rank must equal the window row_number
+    val hash = graft.functions.Text.md5Hash64(
+      concat(flit("t:"), $"id".cast("string")))
+    val wantRk = df.withColumn("rk",
+        row_number().over(Window.partitionBy($"src").orderBy(hash, $"id")))
+      .collect().map(r => r.getLong(1) -> r.getInt(3).toLong).toMap
+    val gotRk = Curation.interleaveSources(df, "src", "id",
+        Map("web" -> 10.0, "books" -> 2.0, "tiny" -> 1.0), seed = "t")
+      .select("id", "source_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRk == wantRk, "per-source rank parity without the per-source window")
+  }
+
   test("qualityCascade: first rejector labels; filter and report faces; IR conditions") {
     val s = spark
     import s.implicits._

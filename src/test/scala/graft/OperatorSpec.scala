@@ -563,6 +563,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(kf == (1L until 40L).toSet, s"keepFirst cutters $kf")
   }
 
+  test("keep-first dedup and line dedup: degenerate all-duplicate corpus, no per-hash window in any plan") {
+    import graft.operators.{Curation, Dedup}
+    val s = spark
+    import s.implicits._
+    // every doc identical (the empty-document / mirrored-page cluster in
+    // miniature): correctness = exactly the min-id row survives; plan =
+    // keep-first runs as an aggregate, never as a window over the hash
+    val docs = (0L until 50L).map(i => (i, "same text in every single row here"))
+      .toDF("doc_id", "text")
+    def noHashWindow(df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("windowspecdefinition"),
+        s"window survived in plan:\n$p")
+    }
+    val ex = Dedup.exact(docs, "text", "doc_id")
+    noHashWindow(ex)
+    assert(ex.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val fp = Dedup.byFingerprint(docs, "text", "doc_id")
+    noHashWindow(fp)
+    assert(fp.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val ld = Curation.lineDedup(docs, "doc_id", "text", lineTokens = 4)
+    noHashWindow(ld)
+    val kept = ld.select("doc_id", "n_kept").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(0L) == 2L && (1L until 50L).forall(kept(_) == 0L),
+      s"only doc 0 keeps its two 4-token lines: $kept")
+    val bp = Curation.boilerplateRemove(docs, "doc_id", "text", lineTokens = 4, minDocs = 2)
+    noHashWindow(bp)
+    assert(bp.select("n_kept").collect().forall(_.getLong(0) == 0L),
+      "lines in all 50 docs are boilerplate everywhere")
+    val st = Dedup.duplicateNgramStats(docs, "text", "doc_id", n = 3)
+    noHashWindow(st)
+    assert(st.select("dup_frac").collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("verify stages emit ONE row per pair under duplicate-id inputs (refetch/probe-duplication hygiene)") {
     import graft.operators.Dedup
     val s = spark
