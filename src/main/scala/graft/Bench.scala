@@ -98,8 +98,9 @@ object Bench {
     "shared_substring_cut", "cluster_split", "feed_urls", "bm25_incremental",
     "ann_ivfpq_incremental", "substring_store_probe", "feed_discovery",
     // round 12: OTLP logs (third signal) through the wire codec, feed
-    // event-time parse (try_to_timestamp cascade)
-    "otlp_logs_wire_decode", "feed_times")
+    // event-time parse (try_to_timestamp cascade), DPO preference-pair
+    // mining (one min_by aggregate)
+    "otlp_logs_wire_decode", "feed_times", "preference_pairs", "best_of_n")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

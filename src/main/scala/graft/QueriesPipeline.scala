@@ -5238,6 +5238,58 @@ object QueriesPipeline {
       }
     }
 
+    // Preference-pair mining (the DPO/RLHF data-prep step): per prompt
+    // group the argmax-score response pairs with the argmin, margin
+    // filter on the gap, ties to the lower id. One map-side-combined
+    // aggregate (two min_by argmaxes), no window, no row-scale join —
+    // a viral prompt with 10^8 completions collapses per partition.
+    // Fixture: user_id = prompt group, event_id = response, value =
+    // reward-model score. The oracle derives the same argmaxes via
+    // max/min + min-id-at-extreme joins (deterministic without relying
+    // on DuckDB's unspecified arg_max tie-break).
+    register("preference_pairs",
+      """WITH g AS (
+        |  SELECT user_id, max(value) AS mx, min(value) AS mn, count(*) AS n
+        |  FROM events GROUP BY user_id),
+        |ch AS (SELECT e.user_id, min(e.event_id) AS chosen_id
+        |       FROM events e JOIN g ON e.user_id = g.user_id AND e.value = g.mx
+        |       GROUP BY e.user_id),
+        |rj AS (SELECT e.user_id, min(e.event_id) AS rejected_id
+        |       FROM events e JOIN g ON e.user_id = g.user_id AND e.value = g.mn
+        |       GROUP BY e.user_id)
+        |SELECT g.user_id AS group_id, ch.chosen_id, rj.rejected_id,
+        |       g.mx AS chosen_score, g.mn AS rejected_score,
+        |       g.mx - g.mn AS score_gap
+        |FROM g JOIN ch ON ch.user_id = g.user_id
+        |       JOIN rj ON rj.user_id = g.user_id
+        |WHERE g.n >= 2 AND g.mx > g.mn AND g.mx - g.mn >= 0.5
+        |ORDER BY group_id""".stripMargin) { (s, dir) =>
+      val ev = graft.sources.Tables.eventsRaw(s, dir)
+        .select(col("user_id").as("group_id"), col("event_id"), col("value"))
+      graft.operators.Training.preferencePairs(
+          ev, "group_id", "event_id", "value", minGap = 0.5)
+        .orderBy("group_id")
+    }
+
+    // Best-of-n selection (rejection sampling / BoN distillation):
+    // keep the argmax-score response ROW per prompt group, ties to the
+    // lower id — the argmax face of preference_pairs, same one-aggregate
+    // shape. Oracle: min-id-at-max join (deterministic tie rule).
+    register("best_of_n",
+      """WITH g AS (SELECT user_id, max(value) AS mx FROM events GROUP BY user_id),
+        |b AS (SELECT e.user_id, min(e.event_id) AS best_id
+        |      FROM events e JOIN g ON e.user_id = g.user_id AND e.value = g.mx
+        |      GROUP BY e.user_id)
+        |SELECT e.user_id AS group_id, e.event_id, e.event_type, e.value
+        |FROM events e JOIN b ON e.user_id = b.user_id AND e.event_id = b.best_id
+        |ORDER BY group_id""".stripMargin) { (s, dir) =>
+      val ev = graft.sources.Tables.eventsRaw(s, dir)
+        .select(col("user_id").as("group_id"), col("event_id"),
+          col("event_type"), col("value"))
+      graft.operators.Training.bestOfN(ev, "group_id", "event_id", "value")
+        .orderBy("group_id")
+    }
+
     // EL2N / GraNd example-difficulty scores (Paul et al. NeurIPS'21)
     // under the same bit-reproduced 3-epoch probe as classifier_train;
     // rank 1 = hardest, assigned via the range-exchange global order

@@ -1630,6 +1630,15 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Curation.keepTopFraction(df,
         pStr(m("group")), pStr(m("value")), pDouble(m("fraction")))
+    case "preference-pairs" =>
+      val m = pMap(params.head)
+      df => graft.operators.Training.preferencePairs(df,
+        pStr(m("group")), pStr(m("id")), pStr(m("score")),
+        m.get("min-gap").map(pDouble).getOrElse(0.0))
+    case "best-of-n" =>
+      val m = pMap(params.head)
+      df => graft.operators.Training.bestOfN(df,
+        pStr(m("group")), pStr(m("id")), pStr(m("score")))
     case "chunk-sentences" =>
       // boundary-respecting greedy chunking for retrieval
       val m = pMap(params.head)

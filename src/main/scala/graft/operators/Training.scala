@@ -275,4 +275,62 @@ object Training {
     require(w.nonEmpty, "Training.scoreLogistic: empty model")
     df.withColumn(scoreCol, fastSigmoid(margin(col(vecCol), w)))
   }
+
+  /** Preference-pair mining — the DPO/RLHF data-prep step: per prompt
+    * group, pair the highest-scored response (CHOSEN) with the
+    * lowest-scored one (REJECTED), keeping groups whose score gap
+    * reaches `minGap` (a pair the reward model barely separates teaches
+    * nothing and drowns the gradient — the standard margin filter).
+    * Ties break to the LOWER response id on both sides, so the output
+    * is deterministic under any input order; single-response groups
+    * and all-tied groups (gap 0 < minGap) emit nothing.
+    *
+    * Output: `(groupCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, score_gap)`, one row per surviving group.
+    *
+    * Scale: ONE map-side-combined aggregate — two `min_by` argmaxes
+    * over lexicographic (score, id) structs plus min/max/count — so a
+    * viral prompt with 10⁸ scored completions collapses per input
+    * partition; nothing row-scale ever shuffles and no window runs.
+    */
+  /** Best-of-n selection — rejection sampling / BoN distillation data
+    * prep: keep the single highest-scored response ROW per prompt group
+    * (ties to the lower id; null scores never win — a group whose every
+    * score is null emits nothing). The argmax face of
+    * [[preferencePairs]]: the same ONE map-side-combined `min_by`
+    * aggregate over a lexicographic (−score, id) struct, so group size
+    * never concentrates in a partition. All input columns survive.
+    */
+  def bestOfN(df: DataFrame, groupCol: String, idCol: String,
+              scoreCol: String): DataFrame = {
+    val cols = df.columns
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct((-s).as("a"), col(idCol).as("b"))).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, minGap: Double = 0.0): DataFrame = {
+    require(minGap >= 0.0, s"preferencePairs: minGap must be >= 0, got $minGap")
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        // argmax score, tie -> min id: minimize (-score, id)
+        min_by(col(idCol), struct((-s).as("a"), col(idCol).as("b"))).as("chosen_id"),
+        // argmin score, tie -> min id: minimize (score, id)
+        min_by(col(idCol), struct(s.as("a"), col(idCol).as("b"))).as("rejected_id"),
+        max(s).as("chosen_score"),
+        min(s).as("rejected_score"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 &&
+        (col("chosen_score") - col("rejected_score")) >= minGap &&
+        col("chosen_score") > col("rejected_score"))
+      .select(col(groupCol), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("score_gap"))
+  }
 }

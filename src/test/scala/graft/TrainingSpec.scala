@@ -178,4 +178,53 @@ class TrainingSpec extends AnyFunSuite {
       .select("p").collect().map(_.getDouble(0))
     assert(ps.forall(p => p > 0.0 && p < 1.0))
   }
+
+  test("preferencePairs: argmax/argmin per group, deterministic ties, margin filter, degenerate groups drop") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // group 1: clear winner/loser + a middle row
+      (1L, 10L, 0.9), (1L, 11L, 0.1), (1L, 12L, 0.5),
+      // group 2: TIES at both extremes -> lowest id on each side
+      (2L, 23L, 0.8), (2L, 21L, 0.8), (2L, 24L, 0.2), (2L, 22L, 0.2),
+      // group 3: gap below the margin
+      (3L, 30L, 0.55), (3L, 31L, 0.50),
+      // group 4: singleton; group 5: all-tied
+      (4L, 40L, 0.99), (5L, 50L, 0.5), (5L, 51L, 0.5)
+    ).toDF("grp", "resp", "score")
+    val out = Training.preferencePairs(df, "grp", "resp", "score", minGap = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    assert(out == Set(
+      (1L, 10L, 11L, 0.8),
+      (2L, 21L, 22L, 0.6000000000000001)), s"pairs: $out")
+    // null scores are ignored; a group that is all-null emits nothing
+    val withNulls = df.unionByName(
+      Seq((6L, 60L, Option.empty[Double]), (6L, 61L, Option.empty[Double]))
+        .toDF("grp", "resp", "score"))
+    assert(Training.preferencePairs(withNulls, "grp", "resp", "score", minGap = 0.3)
+      .count() == 2)
+    // IR face
+    import graft.ir.{Engine, EngineCtx, Node}
+    val ir = Engine.run(Node.fromJson(
+      """{"action":"preference-pairs",
+        | "params":[{"group":"grp","id":"resp","score":"score","min-gap":0.3}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      df, EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    assert(ir == out)
+
+    // bestOfN: the argmax face — whole row survives, ties to lower id,
+    // all-null groups emit nothing
+    val best = Training.bestOfN(withNulls, "grp", "resp", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best == Map(1L -> 10L, 2L -> 21L, 3L -> 30L, 4L -> 40L, 5L -> 50L),
+      s"best rows: $best")
+    val irBest = Engine.run(Node.fromJson(
+      """{"action":"best-of-n",
+        | "params":[{"group":"grp","id":"resp","score":"score"}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      withNulls, EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(irBest == best)
+  }
 }
