@@ -100,7 +100,8 @@ object Bench {
     // round 12: OTLP logs (third signal) through the wire codec, feed
     // event-time parse (try_to_timestamp cascade), DPO preference-pair
     // mining (one min_by aggregate)
-    "otlp_logs_wire_decode", "feed_times", "preference_pairs", "best_of_n")
+    "otlp_logs_wire_decode", "feed_times", "preference_pairs", "best_of_n",
+    "dedup_pair_eval")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

@@ -2314,6 +2314,78 @@ object QueriesPipeline {
       }
     }
 
+    // Candidate-quality harness: LSH candidates (k=8, r=2) scored
+    // against the exact Jaccard >= 0.8 join as truth, on the same 1/5
+    // subset the exact gate uses. The oracle replays BOTH legs plus the
+    // canonical full-outer count — tp/fp/fn integers, ratios one IEEE
+    // division each.
+    locally {
+      val t = "0.8"
+      val p = 1000000007L
+      val mins = (0 until 8).map { j =>
+        val a = 2L * j + 1
+        val b = 7919L * j + 13
+        s"list_min(list_transform(hh2, h -> ($a * h + $b) % $p)) AS m$j"
+      }.mkString(",\n           ")
+      val bandSelects = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      register("dedup_pair_eval",
+        s"""$DocsView,
+           |sub AS (SELECT doc_id, toks FROM docs WHERE doc_id % 5 = 0),
+           |sh2 AS (SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM sub),
+           |hh0 AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh2 FROM sh2),
+           |sigs AS (SELECT doc_id, $mins FROM hh0 WHERE len(hh2) > 0),
+           |buckets AS (
+           |  $bandSelects),
+           |pred AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |         FROM buckets l JOIN buckets r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |d AS (SELECT doc_id, list_distinct(toks) AS ts FROM sub),
+           |tok AS (SELECT doc_id, unnest(ts) AS token FROM d),
+           |freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+           |ordered AS (SELECT tk.doc_id, list(tk.token ORDER BY f.df, tk.token) AS sorted,
+           |                   CAST(count(*) AS BIGINT) AS n
+           |            FROM tok tk JOIN freq f USING (token) GROUP BY tk.doc_id),
+           |pref AS (SELECT doc_id, n,
+           |                unnest(sorted[1:CAST(n - ceil($t * n) + 1 AS INT)]) AS token
+           |         FROM ordered),
+           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |         FROM pref a JOIN pref b ON a.token = b.token
+           |          AND a.doc_id < b.doc_id
+           |          AND $t * a.n <= b.n AND $t * b.n <= a.n),
+           |inter AS (SELECT c.id1, c.id2, count(*) AS i
+           |          FROM cand c JOIN tok x ON x.doc_id = c.id1
+           |               JOIN tok y ON y.doc_id = c.id2 AND y.token = x.token
+           |          GROUP BY c.id1, c.id2),
+           |truth AS (SELECT i.id1 AS a, i.id2 AS b
+           |          FROM inter i JOIN ordered o1 ON o1.doc_id = i.id1
+           |               JOIN ordered o2 ON o2.doc_id = i.id2
+           |          WHERE CAST(i.i AS DOUBLE) / CAST(o1.n + o2.n - i.i AS DOUBLE) >= $t),
+           |m AS (SELECT p.a AS pa, tr.a AS ta
+           |      FROM pred p FULL OUTER JOIN truth tr
+           |        ON p.a = tr.a AND p.b = tr.b),
+           |c AS (SELECT
+           |        CAST(count(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+           |        CAST(count(CASE WHEN pa IS NOT NULL AND ta IS NULL THEN 1 END) AS BIGINT) AS fp,
+           |        CAST(count(CASE WHEN pa IS NULL AND ta IS NOT NULL THEN 1 END) AS BIGINT) AS fn
+           |      FROM m)
+           |SELECT tp, fp, fn,
+           |       CASE WHEN tp + fp > 0
+           |            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           |       CASE WHEN tp + fn > 0
+           |            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           |       CASE WHEN 2 * tp + fp + fn > 0
+           |            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+           |FROM c""".stripMargin) { (s, dir) =>
+        val sub = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2)
+        val truth = Dedup.jaccardPrefixJoin(sub, "doc_id", "text", 0.8)
+          .select("id1", "id2")
+        Dedup.pairEval(pred, truth)
+      }
+    }
+
     register("embedding_near_dup",
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          |SELECT l.vec_id AS id1, r.vec_id AS id2,

@@ -260,6 +260,19 @@ object Engine {
                 else acc.withColumn(f.name, lit(null).cast(f.dataType))
               })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "dedup-pair-eval" =>
+          // the truth pair-list is a runtime artifact (a labeled sample
+          // or an exact-join output); the 1-row report schema is the
+          // operator's own constant
+          try {
+            val m = n.params.headOption.map(pMap).getOrElse(Map.empty)
+            df(m.get("id1").map(pStr).getOrElse("id1"))
+            df(m.get("id2").map(pStr).getOrElse("id2"))
+            pStr(m("truth-path"))
+            recurse(graft.operators.Dedup.PairEvalSchema.fields
+              .foldLeft(df.sparkSession.range(0).select()) { (acc, f) =>
+                acc.withColumn(f.name, lit(null).cast(f.dataType)) })
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "substring-probe" =>
           // the window-hash store is a runtime artifact; output schema
           // declared from the span-table constant
@@ -1639,6 +1652,14 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Training.bestOfN(df,
         pStr(m("group")), pStr(m("id")), pStr(m("score")))
+    case "dedup-pair-eval" =>
+      // truth pairs from a parquet artifact; the stream is the PREDICTED
+      // pair list
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.pairEval(df,
+        df.sparkSession.read.parquet(pStr(m("truth-path"))),
+        m.get("id1").map(pStr).getOrElse("id1"),
+        m.get("id2").map(pStr).getOrElse("id2"))
     case "chunk-sentences" =>
       // boundary-respecting greedy chunking for retrieval
       val m = pMap(params.head)

@@ -323,6 +323,65 @@ object Dedup {
               iv => i + 1 >= iv.getField("lo") && i + 1 <= iv.getField("hi"))))).as(textCol))
   }
 
+  /** Candidate-quality evaluation — precision/recall/F1 of a predicted
+    * pair set against labeled truth pairs, the harness every dedup
+    * pipeline runs when tuning LSH bands / SimHash radii / thresholds
+    * against a labeled sample (or against the exact-join complement,
+    * e.g. [[lshCandidates]] scored against [[jaccardPrefixJoin]]).
+    * Pairs are canonicalized (unordered, self-pairs dropped, duplicates
+    * collapsed) on both sides first, so orientation conventions never
+    * skew the counts.
+    *
+    * Output: ONE row `(tp, fp, fn, precision, recall, f1)`; precision
+    * is null with no predictions, recall null with no truth, f1 null
+    * when 2·tp+fp+fn = 0. The ratios are single IEEE divisions of exact
+    * integer counts — cross-engine exact. Scale: two distinct
+    * aggregates + one full-outer pair equi-join; both sides are
+    * pair-lists (≪ corpus), and nothing is collected.
+    */
+  /** [[pairEval]]'s output schema — the IR `dedup-pair-eval` validate
+    * contract (the truth pair-list is a runtime artifact).
+    */
+  val PairEvalSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tp",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fn",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("precision",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("recall",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("f1",
+        org.apache.spark.sql.types.DoubleType)))
+
+  def pairEval(pred: DataFrame, truth: DataFrame,
+               id1: String = "id1", id2: String = "id2"): DataFrame = {
+    def canon(df: DataFrame, flag: String) = df
+      .select(least(col(id1), col(id2)).as("a"),
+        greatest(col(id1), col(id2)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .withColumn(flag, lit(1))
+    canon(pred, "__p").join(canon(truth, "__t"), Seq("a", "b"), "full_outer")
+      .agg(
+        count(when(col("__p").isNotNull && col("__t").isNotNull, 1)).as("tp"),
+        count(when(col("__p").isNotNull && col("__t").isNull, 1)).as("fp"),
+        count(when(col("__p").isNull && col("__t").isNotNull, 1)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2) * col("tp")).cast("double")
+            / (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+  }
+
   /** Banding-theory planner (the MMDS ch.3 s-curve): for a `k`-hash
     * MinHash signature, choose `(bands, rowsPerBand)` whose collision
     * threshold `(1/b)^(1/r)` — the Jaccard similarity at which a pair's

@@ -204,4 +204,43 @@ class DedupRecallSpec extends AnyFunSuite {
       docs, EngineCtx(testMode = true)).taps("out").collect().head
     assert(ir.getLong(1) == 20L)
   }
+
+  test("pairEval: canonicalization, exact counts, null-ratio edges, IR artifact face") {
+    val s = spark
+    import s.implicits._
+    // pred contains a REVERSED duplicate of (1,2), a self-pair, and a
+    // plain duplicate — canonicalization must collapse all of that
+    val pred = Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 5L), (4L, 5L), (6L, 7L))
+      .toDF("id1", "id2")
+    val truth = Seq((2L, 1L), (5L, 4L), (8L, 9L)).toDF("id1", "id2")
+    val r = Dedup.pairEval(pred, truth).collect().head
+    // canonical pred = {(1,2),(4,5),(6,7)}; truth = {(1,2),(4,5),(8,9)}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)), r.toString)
+    assert(r.getDouble(3) == 2.0 / 3 && r.getDouble(4) == 2.0 / 3)
+    assert(r.getDouble(5) == 4.0 / 6)
+    // no predictions: precision null, recall 0, f1 defined by fn
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val r2 = Dedup.pairEval(empty, truth).collect().head
+    assert(r2.getLong(0) == 0L && r2.isNullAt(3) && r2.getDouble(4) == 0.0)
+    // both empty: everything null except the zero counts
+    val r3 = Dedup.pairEval(empty, empty).collect().head
+    assert(r3.getLong(0) == 0L && r3.isNullAt(3) && r3.isNullAt(4) && r3.isNullAt(5))
+
+    // IR face: truth arrives as a parquet artifact
+    import graft.ir.{Engine, EngineCtx, Node}
+    val tmp = java.nio.file.Files.createTempDirectory("paireval").toString
+    truth.write.mode("overwrite").parquet(s"$tmp/truth")
+    val ir = Engine.run(Node.fromJson(
+      s"""{"action":"dedup-pair-eval","params":[{"truth-path":"$tmp/truth"}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      pred, EngineCtx(testMode = true)).taps("out").collect().head
+    assert(ir.toSeq == r.toSeq)
+    // validate is total without the artifact existing
+    assert(Engine.validate(Node.fromJson(
+      """{"action":"dedup-pair-eval","params":[{"truth-path":"/does/not/exist"}],
+        | "children":[]}""".stripMargin), s, schema = pred.schema).isEmpty)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }
