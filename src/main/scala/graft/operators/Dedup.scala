@@ -1127,9 +1127,15 @@ object Dedup {
                         threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0,
       s"jaccardPrefixJoin: threshold in (0,1), got $threshold")
+    // one row per id first ([[perIdPayload]]): duplicate-id input rows
+    // (crawl refetches, duplicated probe corpora) would otherwise
+    // inflate token frequencies, prefix tables AND the verify's
+    // intersection counts — wrong jaccard values, dupcount²-multiplied
+    // candidate work
+    val one = perIdPayload(df, idCol, col(textCol), "__txt")
     val tok = graft.operators.Materialize(
-      df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(Text.tokens(col(textCol)))).as("token")))
+      one.select(col("__id").as("doc_id"),
+        explode(array_distinct(Text.tokens(col("__txt")))).as("token")))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val ordered = graft.operators.Materialize(
       tok.join(freq, "token")

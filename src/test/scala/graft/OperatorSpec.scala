@@ -623,6 +623,13 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == j.map(_.toSeq).toSet)
     assert(Dedup.editConfirm(uniq, pairs, "text", "doc_id", minSim = 0.0)
       .collect().map(_.toSeq).toSet == e.map(_.toSeq).toSet)
+    // jaccardPrefixJoin: duplicate-id rows must not inflate token
+    // frequencies or intersection counts — identical PAIRS AND VALUES
+    val pj = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(pj == Dedup.jaccardPrefixJoin(uniq, "doc_id", "text", 0.5)
+      .collect().map(_.toSeq).toSet, s"ppjoin drifted under duplicate ids: $pj")
+    assert(pj.nonEmpty, "fixture docs 1/2 share 5 of 7 distinct tokens")
   }
 
   test("LSH hash-invariance: exact-duplicate docs pair under md5 AND xxhash64") {
