@@ -2384,6 +2384,78 @@ object QueriesPipeline {
           .select("id1", "id2")
         Dedup.pairEval(pred, truth)
       }
+
+      // the PR-curve sweep over the same legs: shingle-jaccard scores on
+      // the LSH candidates, evaluated against the token-set exact join
+      // at five thresholds in one pass
+      register("dedup_pair_eval_sweep",
+        s"""$DocsView,
+           |sub AS (SELECT doc_id, toks FROM docs WHERE doc_id % 5 = 0),
+           |sh2 AS (SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM sub),
+           |hh0 AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh2 FROM sh2),
+           |sigs AS (SELECT doc_id, $mins FROM hh0 WHERE len(hh2) > 0),
+           |buckets AS (
+           |  $bandSelects),
+           |pred AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |         FROM buckets l JOIN buckets r
+           |           ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh2),
+           |scored AS (SELECT p.a, p.b,
+           |             CAST(len(list_filter(s1.ss, x -> list_contains(s2.ss, x))) AS DOUBLE) /
+           |             (len(s1.ss) + len(s2.ss)
+           |              - len(list_filter(s1.ss, x -> list_contains(s2.ss, x)))) AS s
+           |           FROM pred p JOIN sets s1 ON s1.doc_id = p.a
+           |                JOIN sets s2 ON s2.doc_id = p.b),
+           |d AS (SELECT doc_id, list_distinct(toks) AS ts FROM sub),
+           |tok AS (SELECT doc_id, unnest(ts) AS token FROM d),
+           |freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+           |ordered AS (SELECT tk.doc_id, list(tk.token ORDER BY f.df, tk.token) AS sorted,
+           |                   CAST(count(*) AS BIGINT) AS n
+           |            FROM tok tk JOIN freq f USING (token) GROUP BY tk.doc_id),
+           |pref AS (SELECT doc_id, n,
+           |                unnest(sorted[1:CAST(n - ceil($t * n) + 1 AS INT)]) AS token
+           |         FROM ordered),
+           |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |         FROM pref a JOIN pref b ON a.token = b.token
+           |          AND a.doc_id < b.doc_id
+           |          AND $t * a.n <= b.n AND $t * b.n <= a.n),
+           |inter AS (SELECT c.id1, c.id2, count(*) AS i
+           |          FROM cand c JOIN tok x ON x.doc_id = c.id1
+           |               JOIN tok y ON y.doc_id = c.id2 AND y.token = x.token
+           |          GROUP BY c.id1, c.id2),
+           |truth AS (SELECT i.id1 AS a, i.id2 AS b
+           |          FROM inter i JOIN ordered o1 ON o1.doc_id = i.id1
+           |               JOIN ordered o2 ON o2.doc_id = i.id2
+           |          WHERE CAST(i.i AS DOUBLE) / CAST(o1.n + o2.n - i.i AS DOUBLE) >= $t),
+           |m AS (SELECT sc.s, tr.a IS NOT NULL AS is_t
+           |      FROM scored sc FULL OUTER JOIN truth tr
+           |        ON sc.a = tr.a AND sc.b = tr.b),
+           |g AS (SELECT unnest([0.3, 0.5, 0.7, 0.8, 0.9]) AS threshold),
+           |c AS (SELECT g.threshold,
+           |        CAST(count(CASE WHEN m.s IS NOT NULL AND m.s >= g.threshold
+           |                             AND m.is_t THEN 1 END) AS BIGINT) AS tp,
+           |        CAST(count(CASE WHEN m.s IS NOT NULL AND m.s >= g.threshold
+           |                             AND NOT m.is_t THEN 1 END) AS BIGINT) AS fp,
+           |        CAST(count(CASE WHEN (m.s IS NULL OR m.s < g.threshold)
+           |                             AND m.is_t THEN 1 END) AS BIGINT) AS fn
+           |      FROM g CROSS JOIN m GROUP BY g.threshold)
+           |SELECT threshold, tp, fp, fn,
+           |       CASE WHEN tp + fp > 0
+           |            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           |       CASE WHEN tp + fn > 0
+           |            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           |       CASE WHEN 2 * tp + fp + fn > 0
+           |            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+           |FROM c ORDER BY threshold""".stripMargin) { (s, dir) =>
+        val sub = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2)
+        val scored = Dedup.ngramJaccard(sub, pred, "text", "doc_id")
+          .select(col("id1"), col("id2"), col("jaccard").as("score"))
+        val truth = Dedup.jaccardPrefixJoin(sub, "doc_id", "text", 0.8)
+          .select("id1", "id2")
+        Dedup.pairEvalSweep(scored, truth, Seq(0.3, 0.5, 0.7, 0.8, 0.9))
+          .orderBy("threshold")
+      }
     }
 
     register("embedding_near_dup",

@@ -273,6 +273,20 @@ object Engine {
               .foldLeft(df.sparkSession.range(0).select()) { (acc, f) =>
                 acc.withColumn(f.name, lit(null).cast(f.dataType)) })
           } catch { case e: Throwable => fail(at, e); recurse(df) }
+        case "dedup-pair-eval-sweep" =>
+          try {
+            val m = n.params.headOption.map(pMap).getOrElse(Map.empty)
+            df(m.get("id1").map(pStr).getOrElse("id1"))
+            df(m.get("id2").map(pStr).getOrElse("id2"))
+            df(m.get("score").map(pStr).getOrElse("score"))
+            pStr(m("truth-path"))
+            require(m("thresholds").asInstanceOf[Seq[Any]].nonEmpty,
+              "dedup-pair-eval-sweep: empty threshold grid")
+            recurse(graft.operators.Dedup.PairEvalSchema.fields
+              .foldLeft(df.sparkSession.range(0)
+                .select(lit(0.0).as("threshold"))) { (acc, f) =>
+                acc.withColumn(f.name, lit(null).cast(f.dataType)) })
+          } catch { case e: Throwable => fail(at, e); recurse(df) }
         case "substring-probe" =>
           // the window-hash store is a runtime artifact; output schema
           // declared from the span-table constant
@@ -1660,6 +1674,15 @@ object Engine {
         df.sparkSession.read.parquet(pStr(m("truth-path"))),
         m.get("id1").map(pStr).getOrElse("id1"),
         m.get("id2").map(pStr).getOrElse("id2"))
+    case "dedup-pair-eval-sweep" =>
+      // the PR-curve face: the stream is the SCORED pair list
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.pairEvalSweep(df,
+        df.sparkSession.read.parquet(pStr(m("truth-path"))),
+        m("thresholds").asInstanceOf[Seq[Any]].map(pDouble),
+        m.get("id1").map(pStr).getOrElse("id1"),
+        m.get("id2").map(pStr).getOrElse("id2"),
+        m.get("score").map(pStr).getOrElse("score"))
     case "chunk-sentences" =>
       // boundary-respecting greedy chunking for retrieval
       val m = pMap(params.head)

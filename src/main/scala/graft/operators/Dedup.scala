@@ -382,6 +382,59 @@ object Dedup {
           .as("f1"))
   }
 
+  /** Threshold-sweep evaluation — the PR CURVE over a scored pair list:
+    * [[pairEval]] at every threshold of a grid in ONE pass, the "where
+    * do I cut the verify score" calibration every near-dup pipeline
+    * tunes (predicted pairs carry a similarity score; truth is a
+    * labeled sample or an exact join). Pairs canonicalize like
+    * [[pairEval]], duplicates keep the MAX score (the pair's best
+    * evidence); a truth pair absent from the scored list counts as a
+    * false negative at every threshold.
+    *
+    * Output: one row per threshold `(threshold, tp, fp, fn, precision,
+    * recall, f1)`, same null conventions as [[pairEval]]. Scale: the
+    * pair-union full-outer join once, then a |thresholds|-way explode
+    * over it (grid is model-sized) into one aggregation — never a pass
+    * per threshold.
+    */
+  def pairEvalSweep(scored: DataFrame, truth: DataFrame,
+                    thresholds: Seq[Double],
+                    id1: String = "id1", id2: String = "id2",
+                    scoreCol: String = "score"): DataFrame = {
+    require(thresholds.nonEmpty, "pairEvalSweep: empty threshold grid")
+    val p = scored
+      .select(least(col(id1), col(id2)).as("a"),
+        greatest(col(id1), col(id2)).as("b"),
+        col(scoreCol).cast("double").as("__s"))
+      .filter(col("a") =!= col("b") && col("__s").isNotNull)
+      .groupBy("a", "b").agg(max(col("__s")).as("__s"))
+    val t = truth
+      .select(least(col(id1), col(id2)).as("a"),
+        greatest(col(id1), col(id2)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .withColumn("__t", lit(1))
+    p.join(t, Seq("a", "b"), "full_outer")
+      .withColumn("threshold",
+        explode(array(thresholds.map(lit(_)): _*)))
+      .withColumn("__pred", col("__s").isNotNull && col("__s") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(when(col("__pred") && col("__t").isNotNull, 1)).as("tp"),
+        count(when(col("__pred") && col("__t").isNull, 1)).as("fp"),
+        count(when(!col("__pred") && col("__t").isNotNull, 1)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2) * col("tp")).cast("double")
+            / (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+  }
+
   /** Banding-theory planner (the MMDS ch.3 s-curve): for a `k`-hash
     * MinHash signature, choose `(bands, rowsPerBand)` whose collision
     * threshold `(1/b)^(1/r)` — the Jaccard similarity at which a pair's

@@ -243,4 +243,30 @@ class DedupRecallSpec extends AnyFunSuite {
     java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
+
+  test("pairEvalSweep: one-pass PR curve == pairEval at each threshold; max-score dedup; absent truth = fn everywhere") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq(
+      (1L, 2L, 0.9), (2L, 1L, 0.4), // duplicate orientation: max score 0.9 wins
+      (4L, 5L, 0.6),
+      (6L, 7L, 0.2)).toDF("id1", "id2", "score")
+    val truth = Seq((1L, 2L), (4L, 5L), (8L, 9L)).toDF("id1", "id2")
+    val grid = Seq(0.1, 0.5, 0.95)
+    val sweep = Dedup.pairEvalSweep(scored, truth, grid)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // t=0.1: pred {12,45,67} -> tp 2 fp 1 fn 1; t=0.5: pred {12,45} ->
+    // tp 2 fp 0 fn 1; t=0.95: pred {} -> tp 0 fp 0 fn 3
+    assert(sweep == Map(0.1 -> ((2L, 1L, 1L)), 0.5 -> ((2L, 0L, 1L)),
+      0.95 -> ((0L, 0L, 3L))), s"sweep: $sweep")
+    // each grid point agrees with the single-threshold pairEval
+    grid.foreach { th =>
+      val single = Dedup.pairEval(
+        scored.filter(col("score") >= th).select("id1", "id2"), truth)
+        .collect().head
+      assert((single.getLong(0), single.getLong(1), single.getLong(2)) == sweep(th),
+        s"threshold $th disagrees with pairEval")
+    }
+  }
 }
