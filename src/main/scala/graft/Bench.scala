@@ -101,7 +101,10 @@ object Bench {
     // event-time parse (try_to_timestamp cascade), DPO preference-pair
     // mining (one min_by aggregate)
     "otlp_logs_wire_decode", "feed_times", "preference_pairs", "best_of_n",
-    "dedup_pair_eval", "dedup_pair_eval_sweep")
+    "dedup_pair_eval", "dedup_pair_eval_sweep",
+    // round 12: DDSketch bounded-state quantiles (one bucket-count
+    // aggregate), key-skew pre-flight profile (count agg + top-k)
+    "dd_quantiles", "key_skew_profile")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

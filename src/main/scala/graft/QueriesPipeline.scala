@@ -4837,6 +4837,75 @@ object QueriesPipeline {
       }
     }
 
+    // DDSketch relative-error quantiles: deterministic log-gamma
+    // buckets (the ln quotient is decimal-rounded before ceil and the
+    // representative decimal-rounded after pow, so a last-ulp
+    // transcendental disagreement between engines can't flip a bucket
+    // or leak into the hash), replayed verbatim in SQL. q stays DOUBLE
+    // on both sides — the rank fold floor(q*(n-1))+1 must run the SAME
+    // IEEE multiply (a DECIMAL q would floor exactly where the double
+    // product lands one ulp low).
+    locally {
+      val g = 1.02
+      val G = s"CAST($g AS DOUBLE)"
+      val qs = Seq(0.0, 0.5, 0.9, 0.95, 0.99, 1.0)
+      register("dd_quantiles",
+        s"""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           |           WHERE n_chars IS NOT NULL),
+           |b AS (SELECT CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sign,
+           |             CASE WHEN x = 0 THEN 0
+           |                  ELSE CAST(ceil(CAST(ln(abs(x)) / ln($G)
+           |                                      AS DECIMAL(38,6))) AS BIGINT)
+           |             END AS idx,
+           |             count(*) AS cnt
+           |      FROM v GROUP BY 1, 2),
+           |o AS (SELECT cnt,
+           |             CASE WHEN sign = 0 THEN 0.0
+           |                  ELSE CAST(CAST(sign * (pow($G, idx) * 2 / ($G + 1))
+           |                                 AS DECIMAL(38,6)) AS DOUBLE)
+           |             END AS est,
+           |             sum(cnt) OVER (ORDER BY sign, sign * idx
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM b),
+           |t AS (SELECT sum(cnt) AS n FROM b),
+           |qs AS (SELECT CAST(unnest([${qs.mkString(", ")}]) AS DOUBLE) AS q)
+           |SELECT qs.q AS q, min(o.est) AS est
+           |FROM qs, t, o
+           |WHERE o.cum >= floor(qs.q * (t.n - 1)) + 1
+           |GROUP BY qs.q ORDER BY q""".stripMargin) { (s, dir) =>
+        graft.operators.Sketches.ddQuantiles(docs(s, dir), "n_chars", g, qs)
+      }
+    }
+
+    // Key-skew profile: count aggregate + top-k + 1-row total — every
+    // output cell is exact integer arithmetic or a single IEEE division
+    // of exact integers, so the oracle replays it bit-for-bit.
+    locally {
+      val k = 15
+      val target = 500L
+      register("key_skew_profile",
+        s"""WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), '<null>') || '|' ||
+           |                  coalesce(CAST(source AS VARCHAR), '<null>') AS key,
+           |                  count(*) AS cnt
+           |           FROM documents GROUP BY 1),
+           |t AS (SELECT sum(cnt) AS n FROM c),
+           |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT $k),
+           |r AS (SELECT key, cnt,
+           |             row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+           |             sum(cnt) OVER (ORDER BY cnt DESC, key
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM top)
+           |SELECT r.key AS key, CAST(r.cnt AS BIGINT) AS cnt,
+           |       CAST(r.rank AS BIGINT) AS rank,
+           |       CAST(r.cnt AS DOUBLE) / t.n AS share,
+           |       CAST(r.cum AS DOUBLE) / t.n AS cum_share,
+           |       CAST((r.cnt + ${target - 1}) // $target AS BIGINT) AS salt_hint
+           |FROM r, t ORDER BY rank""".stripMargin) { (s, dir) =>
+        graft.operators.Joins.keySkewProfile(docs(s, dir), Seq("lang", "source"),
+          k, target)
+      }
+    }
+
     // GPT-2 byte-level pretokens: the same regex runs in Java and RE2,
     // and over the (pure-ASCII) corpus the byte map reduces to the
     // space->Ġ rule the oracle replays; full 256-byte semantics are

@@ -182,4 +182,51 @@ object Joins {
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew profile — the pre-flight diagnostic for any corpus-scale
+    * `groupBy`/`join`: the `topK` heaviest keys with their count, rank,
+    * corpus share, cumulative top-k share, and a recommended
+    * [[saltedJoin]] salt count (`ceil(cnt / targetPerTask)` — the
+    * number of sub-keys that caps each task's probe volume at
+    * `targetPerTask` rows). Run it on yesterday's partition before
+    * committing a plan: `share` near `1/shufflePartitions` is where one
+    * task's runtime detaches from the median, and `salt_hint > 1` rows
+    * are exactly the keys AQE's sort-merge skew split may not reach
+    * (broadcast-hash stages, aggregates with huge per-key state).
+    *
+    * Multi-column keys are canonicalized as a `'|'`-joined string with
+    * nulls spelled `<null>` (so a null-heavy foreign key — the classic
+    * hidden hot key — surfaces instead of vanishing).
+    *
+    * Scale shape: ONE map-side-combined count aggregate (the only
+    * corpus-sized exchange — hot keys collapse per input partition
+    * before travel), a `TakeOrderedAndProject` top-k (no full-
+    * cardinality window: the rank/cumsum windows run AFTER the `limit`,
+    * over `topK` rows), and a 1-row total cross-joined in. Output
+    * ordered by `rank`.
+    */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String], topK: Int = 20,
+                     targetPerTask: Long = 5000000L): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewProfile: keyCols must be non-empty")
+    require(topK >= 1, s"keySkewProfile: topK must be >= 1, got $topK")
+    require(targetPerTask >= 1,
+      s"keySkewProfile: targetPerTask must be >= 1, got $targetPerTask")
+    val key = concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    val counts = df.select(key.as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(counts.agg(sum(col("cnt")).as("__n")))
+      .select(col("key"), col("cnt"), col("rank"),
+        (col("cnt").cast("double") / col("__n")).as("share"),
+        (col("__cum").cast("double") / col("__n")).as("cum_share"),
+        expr(s"(cnt + ${targetPerTask - 1L}) DIV $targetPerTask")
+          .cast("long").as("salt_hint"))
+      .orderBy(col("rank"))
+  }
 }

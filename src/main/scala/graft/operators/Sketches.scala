@@ -227,4 +227,89 @@ object Sketches {
     Seq((union.length.toLong, hk, dU, m, jaccard, jaccard * dU))
       .toDF("k_union", "h_k", "d_union", "n_both", "jaccard", "d_inter")
   }
+
+  /** DDSketch bucket table (Masson, Rim & Lee, VLDB 2019) — the
+    * BOUNDED-state quantile path, completing the family next to the
+    * exact value-counts sketch ([[graft.functions.PercentileSketch]],
+    * whose state is distinct-VALUE-sized — unbounded on continuous
+    * metrics at corpus scale) and the KMV rank sample
+    * ([[kmvQuantiles]], additive rank error). DDSketch instead
+    * guarantees RELATIVE value error: every positive `x` lands in
+    * bucket `idx = ceil(log_gamma(x))`, whose representative
+    * `2·gamma^idx / (gamma+1)` is within `alpha = (gamma-1)/(gamma+1)`
+    * of every value it absorbs — and the bucket count is
+    * `O(log(max/min) / log(gamma))` REGARDLESS of row count or value
+    * cardinality (gamma 1.02 spans 1e-9..1e9 in ~2100 buckets).
+    *
+    * The sketch IS this frame: `(sign, idx, cnt)` with the paper's
+    * three stores folded into a sign column (negative values mirror
+    * through `|x|`, zeros get their own bucket, nulls drop). Merging
+    * shards = unioning frames and re-summing `cnt` — the aggregation
+    * is one map-side-combined `groupBy` whose key space is the bucket
+    * count, so partial aggregation collapses a 100 TB scan to
+    * kilobytes per input partition before the exchange (the
+    * determinism-over-randomized-KLL trade: same buckets from any
+    * partitioning, which also makes the DuckDB oracle replay exact).
+    *
+    * Engine-portability: `ln(x)/ln(gamma)` is rounded through
+    * DECIMAL(38,6) before the `ceil`, so a last-ulp `ln` disagreement
+    * between engines cannot flip a bucket boundary (the repo-wide
+    * convention for transcendental folds; a value must sit within 5e-7
+    * of an exact power of gamma to be affected even in principle).
+    */
+  def ddBuckets(df: DataFrame, valueCol: String, gamma: Double): DataFrame = {
+    require(gamma > 1.0, s"ddBuckets: gamma must be > 1, got $gamma")
+    val x = col(valueCol).cast("double")
+    val sgn = when(x > 0d, 1).when(x < 0d, -1).otherwise(0)
+    val idx = when(x === 0d, lit(0L)).otherwise(
+      ceil((log(abs(x)) / log(lit(gamma))).cast("decimal(38,6)")).cast("long"))
+    df.where(x.isNotNull)
+      .select(sgn.as("sign"), idx.as("idx"))
+      .groupBy("sign", "idx").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile readout of a [[ddBuckets]] frame: for each requested `q`
+    * the representative value of the bucket holding sorted rank
+    * `floor(q·(n-1)) + 1` ([[kmvQuantiles]]' rank convention, so the
+    * two estimators answer the same question). All work after the
+    * sketch aggregate is over the MODEL-SIZED bucket table: one
+    * keyless running-count window (bounded by the bucket count — the
+    * SCALING.md keyless-window class, deliberate), one 1-row total,
+    * and a nested-loop join of |qs| × |buckets| rows. Empty input
+    * yields an empty frame. Output `(q, est)` ordered by `q`;
+    * `est` is decimal-rounded on both engines so `pow` ulp drift
+    * cannot leak into the hash.
+    */
+  def ddQuantiles(df: DataFrame, valueCol: String, gamma: Double,
+                  qs: Seq[Double]): DataFrame =
+    ddQuantilesOf(ddBuckets(df, valueCol, gamma), gamma, qs)
+
+  /** [[ddQuantiles]] over an already-built (possibly merged) bucket
+    * frame — the serving half for a PERSISTED sketch.
+    */
+  def ddQuantilesOf(buckets: DataFrame, gamma: Double, qs: Seq[Double]): DataFrame = {
+    require(gamma > 1.0, s"ddQuantilesOf: gamma must be > 1, got $gamma")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"ddQuantilesOf: quantiles must be in [0, 1], got $qs")
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    // bucket order == value order: sign ascending, then idx ascending
+    // for positives and DESCENDING for negatives (bigger |x| is smaller
+    // x), i.e. sign*idx ascending within each sign.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sign").asc, (col("sign") * col("idx")).asc)
+    val est = when(col("sign") === 0, lit(0.0)).otherwise(
+        (col("sign") * (pow(lit(gamma), col("idx")) * lit(2d) / lit(gamma + 1d)))
+          .cast("decimal(38,6)").cast("double"))
+    val cum = buckets
+      .withColumn("est", est)
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val total = buckets.agg(sum(col("cnt")).as("__n"))
+    qs.toDF("q").crossJoin(total)
+      .join(cum, col("__cum") >= floor(col("q") * (col("__n") - 1)) + 1)
+      .groupBy(col("q")).agg(min(col("est")).as("est"))
+      .orderBy(col("q"))
+  }
 }

@@ -527,4 +527,34 @@ class QualityJoinsSpec extends AnyFunSuite {
       big, EngineCtx(testMode = true)).taps("out")
     assert(canon(ir) == plain)
   }
+
+  test("keySkewProfile: shares/ranks/salt hints exact; nulls surface; degenerate one-key") {
+    val s = spark
+    import s.implicits._
+    // 60 rows of hot (a,x), 30 of (b, null), 10 of (c,y)
+    val rows = Seq.fill(60)(("a", Some("x"))) ++
+      Seq.fill(30)(("b", Option.empty[String])) ++ Seq.fill(10)(("c", Some("y")))
+    val df = rows.toDF("k1", "k2").repartition(7)
+    val got = Joins.keySkewProfile(df, Seq("k1", "k2"), topK = 2, targetPerTask = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    // topK=2 keeps the two heaviest; the null key is spelled out; shares
+    // are over the FULL total (100), not the kept rows; salt_hint is
+    // ceil(cnt/target)
+    assert(got == Seq(
+      ("a|x", 60L, 1L, 0.6, 0.6, 3L),
+      ("b|<null>", 30L, 2L, 0.3, 0.9, 2L)))
+    // degenerate single key: one row, full share, hint covers everything
+    val onekey = Seq.fill(40)(("k", "k")).toDF("k1", "k2")
+    val deg = Joins.keySkewProfile(onekey, Seq("k1"), topK = 5, targetPerTask = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(deg == Seq(("k", 40L, 1L, 1.0, 1.0, 6L)))
+    // count ties break by key ascending — deterministic under reruns
+    val ties = (Seq.fill(5)("z") ++ Seq.fill(5)("y") ++ Seq.fill(5)("x"))
+      .toDF("k1")
+    val tied = Joins.keySkewProfile(ties, Seq("k1"), topK = 3, targetPerTask = 100)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(tied == Seq(("x", 1L), ("y", 2L), ("z", 3L)))
+  }
 }
