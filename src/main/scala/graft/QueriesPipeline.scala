@@ -4849,7 +4849,7 @@ object QueriesPipeline {
       val g = 1.02
       val G = s"CAST($g AS DOUBLE)"
       val qs = Seq(0.0, 0.5, 0.9, 0.95, 0.99, 1.0)
-      register("dd_quantiles",
+      val ddSql =
         s"""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
            |           WHERE n_chars IS NOT NULL),
            |b AS (SELECT CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sign,
@@ -4872,8 +4872,24 @@ object QueriesPipeline {
            |SELECT qs.q AS q, min(o.est) AS est
            |FROM qs, t, o
            |WHERE o.cum >= floor(qs.q * (t.n - 1)) + 1
-           |GROUP BY qs.q ORDER BY q""".stripMargin) { (s, dir) =>
+           |GROUP BY qs.q ORDER BY q""".stripMargin
+      register("dd_quantiles", ddSql) { (s, dir) =>
         graft.operators.Sketches.ddQuantiles(docs(s, dir), "n_chars", g, qs)
+      }
+
+      // persisted sketch with incremental maintenance: build on half
+      // the corpus, APPEND the other half, serve from the store —
+      // append(build(A), B) == build(A ∪ B) by the bucket-addition
+      // merge law, so the SAME oracle gates the whole loop
+      register("dd_persisted", ddSql) { (s, dir) =>
+        val d = docs(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("dd_sketch").toString
+        graft.operators.Sketches.writeDdSketch(
+          graft.operators.Sketches.ddBuckets(
+            d.filter(pmod(col("doc_id"), lit(2)) === 0), "n_chars", g), tmp, g)
+        graft.operators.Sketches.appendDdSketch(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), "n_chars", tmp)
+        graft.operators.Sketches.ddQuantilesStored(s, tmp, qs)
       }
     }
 

@@ -284,6 +284,90 @@ object Sketches {
                   qs: Seq[Double]): DataFrame =
     ddQuantilesOf(ddBuckets(df, valueCol, gamma), gamma, qs)
 
+  /** Persist a [[ddBuckets]] frame — the metrics-observability member
+    * of the build-once/query-many store family (dense codes, dedup
+    * signatures, sparse postings, window hashes; this one is the
+    * cheapest: the WHOLE store is bucket-count-sized, i.e. kilobytes,
+    * so there is nothing to partition-prune — serving reads the full
+    * tiny table). Layout: `path/buckets` (parquet `(sign, idx, cnt)`)
+    * plus `path/meta` (one row: `gamma`) so a reader can never apply
+    * the wrong resolution — gamma IS the bucket boundary definition;
+    * mixing gammas would silently misbin.
+    */
+  def writeDdSketch(buckets: DataFrame, path: String, gamma: Double): Unit = {
+    require(gamma > 1.0, s"writeDdSketch: gamma must be > 1, got $gamma")
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets.select(col("sign").cast("int"), col("idx").cast("long"),
+        col("cnt").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/buckets")
+    Seq(gamma).toDF("gamma")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted sketch: `(buckets frame, gamma)`. */
+  def readDdSketch(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, Double) = {
+    val gamma = spark.read.parquet(s"$path/meta").head.getDouble(0)
+    (spark.read.parquet(s"$path/buckets"), gamma)
+  }
+
+  /** Fold a new batch into a persisted sketch —
+    * `append(build(A), B) == build(A ∪ B)` bit-identically, because
+    * merging IS bucket-count addition ([[ddBuckets]]' merge law; the
+    * spec pins the contract). gamma comes from the store's own meta:
+    * the caller cannot misbin a delta against a differently-bucketed
+    * base. The delta pays one map-side-combined aggregate; the merge
+    * re-sums two bucket-count-sized frames (kilobytes) and swaps the
+    * store crash-safely (write tmp → rename live aside → rename tmp
+    * in → delete old; a reader or a crash mid-swap sees old or new,
+    * and [[recoverDdSketch]] finishes a half-swap).
+    */
+  def appendDdSketch(df: DataFrame, valueCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (base, gamma) = readDdSketch(spark, path)
+    val merged = base.unionByName(ddBuckets(df, valueCol, gamma))
+      .groupBy("sign", "idx").agg(sum("cnt").as("cnt"))
+      .select(col("sign").cast("int"), col("idx"), col("cnt").cast("long"))
+      .coalesce(1)
+    merged.write.mode("overwrite").parquet(s"$path/buckets_tmp")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/buckets_tmp")
+    require(fs.rename(live, old), s"appendDdSketch: rename $live -> $old failed")
+    require(fs.rename(tmp, live), s"appendDdSketch: rename $tmp -> $live failed")
+    fs.delete(old, true)
+  }
+
+  /** Repair a half-finished [[appendDdSketch]] swap: if `buckets/` is
+    * missing but `buckets_old/` exists, the crash hit between the two
+    * renames — restore the old layout (the append is then simply
+    * un-applied: re-run it). Stale `buckets_tmp`/`buckets_old` next to
+    * a live `buckets/` are swept. Idempotent.
+    */
+  def recoverDdSketch(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val old = new org.apache.hadoop.fs.Path(s"$path/buckets_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/buckets_tmp")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"recoverDdSketch: rename $old -> $live failed")
+    if (fs.exists(live)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
+
+  /** Serve quantiles straight from a persisted sketch. */
+  def ddQuantilesStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                        qs: Seq[Double]): DataFrame = {
+    val (buckets, gamma) = readDdSketch(spark, path)
+    ddQuantilesOf(buckets, gamma, qs)
+  }
+
   /** [[ddQuantiles]] over an already-built (possibly merged) bucket
     * frame — the serving half for a PERSISTED sketch.
     */

@@ -95,4 +95,42 @@ class DdSketchSpec extends AnyFunSuite {
     val empty = df(Nil)
     assert(Sketches.ddQuantiles(empty, "v", Gamma, Seq(0.5)).count() == 0L)
   }
+
+  test("persisted store: append(build(A), B) == build(A ∪ B); gamma travels with the store") {
+    val dir = java.nio.file.Files.createTempDirectory("ddspec").toString
+    val (a, b) = values.splitAt(1000)
+    Sketches.writeDdSketch(Sketches.ddBuckets(df(a), "v", Gamma), dir, Gamma)
+    Sketches.appendDdSketch(df(b), "v", dir)
+    val (stored, g) = Sketches.readDdSketch(spark, dir)
+    assert(g == Gamma)
+    val s = stored.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.ddBuckets(df(values), "v", Gamma).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s == whole)
+    val qs = Seq(0.1, 0.5, 0.99)
+    val served = Sketches.ddQuantilesStored(spark, dir, qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    val direct = Sketches.ddQuantiles(df(values), "v", Gamma, qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    assert(served == direct)
+    // append swap left no debris
+    assert(!new java.io.File(s"$dir/buckets_old").exists())
+    assert(!new java.io.File(s"$dir/buckets_tmp").exists())
+  }
+
+  test("recoverDdSketch repairs a half-finished swap and sweeps debris") {
+    val dir = java.nio.file.Files.createTempDirectory("ddspec2").toString
+    Sketches.writeDdSketch(Sketches.ddBuckets(df(values), "v", Gamma), dir, Gamma)
+    val before = Sketches.ddQuantilesStored(spark, dir, Seq(0.5)).collect().head.getDouble(1)
+    // simulate a crash between the two renames: live moved aside, tmp gone
+    val live = new java.io.File(s"$dir/buckets")
+    assert(live.renameTo(new java.io.File(s"$dir/buckets_old")))
+    Sketches.recoverDdSketch(spark, dir)
+    assert(live.exists())
+    assert(Sketches.ddQuantilesStored(spark, dir, Seq(0.5)).collect().head.getDouble(1) == before)
+    // idempotent, and stale debris next to a live store is swept
+    new java.io.File(s"$dir/buckets_tmp").mkdirs()
+    Sketches.recoverDdSketch(spark, dir)
+    assert(live.exists() && !new java.io.File(s"$dir/buckets_tmp").exists())
+  }
 }
