@@ -318,6 +318,35 @@ object QueriesIr {
       tapOf(node, corpus).select("doc_id").orderBy("doc_id")
     }
 
+    // the WHOLE curation chain declared as data: gopher quality gate →
+    // exact dedup → near-dup prune (LSH + star contraction, cluster
+    // root survives) → exact-shingle decontamination against the
+    // held-out split artifact → token count. Gated by the SAME oracle
+    // as the hand-written curation_e2e, so the declared face, the
+    // operator face, and the SQL replay can never drift apart.
+    register("ir_curation_e2e",
+      s"${QueriesPipeline.CurationChainSql}\n${QueriesPipeline.CurationFinalSql}") { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val bucketC = graft.operators.Sampling.hashBucket(col("doc_id"), "split")
+      val base = d.filter(bucketC < 800000).select("doc_id", "text")
+      val train = base.unionAll(
+        base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val benchPath = java.nio.file.Files.createTempDirectory("ir_bench").toString
+      d.filter(bucketC >= 900000).select("doc_id", "text")
+        .write.mode("overwrite").parquet(benchPath)
+      val node = Node.fromJson(
+        s"""{"action":"gopher-filter","params":["text"],"children":[
+           |  {"action":"dedup-exact","params":["text","doc_id"],"children":[
+           |    {"action":"near-dup-prune","params":[{"text":"text","id":"doc_id",
+           |        "k":${QueriesPipeline.CurationLshK},"rows-per-band":2}],"children":[
+           |      {"action":"decontam-exact","params":[{"id":"doc_id","text":"text",
+           |          "bench-path":"$benchPath","min-hits":${QueriesPipeline.CurationMinHits}}],
+           |       "children":[
+           |        {"action":"text-tokens","params":["text","n_tokens"],"children":[
+           |          {"action":"tap","params":["out"]}]}]}]}]}]}""".stripMargin)
+      tapOf(node, train).select("doc_id", "n_tokens").orderBy("doc_id")
+    }
+
     // windowed latest-per-fields through the IR
     register("ir_coalesce",
       s"""$Ev

@@ -117,6 +117,119 @@ object QueriesPipeline {
        |nn AS (SELECT count(*) AS n FROM base),
        |w0 AS (SELECT list_transform(range($d1), d -> 0.0) AS w)""".stripMargin
 
+  /** End-to-end curation chain parameters, shared by the operator-face
+    * gates (`curation_e2e*`) and the IR twin (`ir_curation_e2e`).
+    */
+  private[graft] val CurationLshK = 8
+  private[graft] val CurationMinHits = 40L
+
+  /** The end-to-end curation chain as one DuckDB CTE prefix ending in
+    * `clean` — quality gate (gopher thresholds) → exact dedup →
+    * MinHash-LSH near-dup prune (recursive-CTE closure, cluster root
+    * survives) → exact-shingle decontamination against the held-out
+    * split. One definition gates the hand-written chain AND the IR
+    * twin, so the three faces can never drift.
+    */
+  private[graft] lazy val CurationChainSql: String = {
+    val k = CurationLshK
+    val p = 1000000007L
+    val bucket = s"(${sqlMd5Hash64("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000)"
+    val en = Text.LangStopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    val meanLen =
+      """CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+        |  (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)""".stripMargin.replace("\n", " ")
+    val mins = (0 until k).map { j =>
+      val a = 2L * j + 1
+      val b = 7919L * j + 13
+      s"list_min(list_transform(hh, h -> ($a * h + $b) % $p)) AS m$j"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until k / 2).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, CAST(m${2 * bnd} AS VARCHAR) || ':' || CAST(m${2 * bnd + 1} AS VARCHAR) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                     t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |base AS (SELECT * FROM corpus WHERE $bucket < 800000),
+       |docs AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, toks FROM base),
+       |benchsh AS (
+       |  SELECT DISTINCT unnest(list_distinct(${sqlShingles("toks")})) AS shingle
+       |  FROM corpus WHERE $bucket >= 900000),
+       |g2 AS (SELECT doc_id, unnest(${sqlNgrams("toks", 2)}) AS g FROM docs),
+       |g3 AS (SELECT doc_id, unnest(${sqlNgrams("toks", 3)}) AS g FROM docs),
+       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+       |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+       |s2 AS (SELECT doc_id, max(c * len(g)) AS bc, sum(c * len(g)) AS tc
+       |       FROM c2 GROUP BY doc_id),
+       |s3 AS (SELECT doc_id,
+       |              coalesce(sum(CASE WHEN c > 1 THEN c * len(g) END), 0) AS dc,
+       |              sum(c * len(g)) AS tc
+       |       FROM c3 GROUP BY doc_id),
+       |sig AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CASE WHEN len(toks) > 0 THEN $meanLen ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE)
+       |         ELSE 0.0 END AS alpha_frac,
+       |    CAST(len(list_filter($en, w -> list_contains(toks, w))) AS BIGINT) AS stop_hits,
+       |    CASE WHEN s2.tc > 0 THEN CAST(s2.bc AS DOUBLE) / CAST(s2.tc AS DOUBLE)
+       |         ELSE 0.0 END AS top2_frac,
+       |    CASE WHEN s3.tc > 0 THEN CAST(s3.dc AS DOUBLE) / CAST(s3.tc AS DOUBLE)
+       |         ELSE 0.0 END AS dup3_frac
+       |  FROM docs d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)),
+       |q AS (
+       |  SELECT d.doc_id, d.text, d.toks
+       |  FROM docs d JOIN sig s USING (doc_id)
+       |  WHERE s.n_words BETWEEN 20 AND 100000
+       |    AND s.mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND s.alpha_frac >= 0.8 AND s.stop_hits >= 2
+       |    AND s.top2_frac <= 0.20 AND s.dup3_frac <= 0.60),
+       |ex AS (
+       |  SELECT doc_id, text, toks FROM (
+       |    SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+       |             ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+       |sh AS (SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM ex),
+       |hh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hh),
+       |buckets AS (
+       |  $bandSelects),
+       |prs AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM buckets l JOIN buckets r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM prs UNION SELECT id2, id1 FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+       |pruned AS (
+       |  SELECT e.* FROM ex e
+       |  WHERE NOT EXISTS (SELECT 1 FROM labels l
+       |                    WHERE l.doc_id = e.doc_id AND l.cluster <> e.doc_id)),
+       |psh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles("toks")})) AS shingle
+       |        FROM pruned),
+       |flagged AS (
+       |  SELECT doc_id FROM psh JOIN benchsh USING (shingle)
+       |  GROUP BY doc_id HAVING count(*) >= $CurationMinHits),
+       |clean AS (SELECT * FROM pruned WHERE doc_id NOT IN (SELECT doc_id FROM flagged))""".stripMargin
+  }
+
+  /** The shared final projection over [[CurationChainSql]]'s `clean`. */
+  private[graft] val CurationFinalSql: String =
+    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      |FROM clean ORDER BY doc_id""".stripMargin
+
   def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
 
     def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -5675,6 +5788,76 @@ object QueriesPipeline {
            |ORDER BY pick""".stripMargin) { (s, dir) =>
         graft.operators.Pruning.kcenterGreedy(emb(s, dir), "vec_id", "embedding", k)
           .orderBy("pick")
+      }
+    }
+
+    // ---------------- end-to-end curation pipeline ----------------
+    //
+    // The composition gate: the whole Gopher/FineWeb-style curation
+    // chain — quality gate → exact dedup → MinHash-LSH near-dup prune
+    // (cluster root survives) → exact-shingle decontamination against
+    // the held-out split — run as ONE pipeline over the train slice,
+    // gated by ONE DuckDB oracle that replays every stage end-to-end.
+    // Each stage is individually gated elsewhere (`gopher_filter`,
+    // `dedup_exact`, `dedup_clusters_star`, `decontam_clean`); this
+    // gate proves they COMPOSE: every stage's input is the previous
+    // stage's survivor set, not the raw corpus, so any cross-stage
+    // column/semantics drift breaks the hash.
+    //
+    // Scale shape = the sum of its audited parts: quality is one
+    // map-side pass; exact dedup one min_by aggregate; LSH one banded
+    // (band, sig) self-join; star clustering edge-list-sized rounds;
+    // decontamination one shingle join against the (tiny) benchmark
+    // shingle set broadcast as an anti-join. The funnel face
+    // materializes each stage once — exactly what a production run
+    // checkpoints — so counting never recomputes the chain.
+    locally {
+      val k = CurationLshK
+      val minHits = CurationMinHits
+      val chain = CurationChainSql
+
+      def chainStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+        val d = docs(s, dir)
+        val bucketC = Sampling.hashBucket(col("doc_id"), "split")
+        // synthetic exact duplicates (the dedup_exact convention) so the
+        // exact-dedup stage has real work on the fixture corpus
+        val base = d.filter(bucketC < 800000).select("doc_id", "text")
+        val train = base.unionAll(
+          base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val bench = d.filter(bucketC >= 900000).select("doc_id", "text")
+        val q = train
+          .filter(Quality.gopherSignals(col("text")).getField("keep") === 1L)
+          .transform(graft.operators.Materialize.apply)
+        val ex = Dedup.exact(q, "text", "doc_id")
+          .transform(graft.operators.Materialize.apply)
+        val pruned = Dedup.pruneNearDups(ex, "text", "doc_id", k = k, rowsPerBand = 2)
+          .transform(graft.operators.Materialize.apply)
+        val clean = Decontam.decontaminate(pruned, bench, "doc_id", "text", minHits)
+          .transform(graft.operators.Materialize.apply)
+        Seq("s0_input" -> train, "s1_quality" -> q, "s2_exact" -> ex,
+          "s3_neardup" -> pruned, "s4_decontam" -> clean)
+      }
+
+      register("curation_e2e",
+        s"$chain\n$CurationFinalSql") { (s, dir) =>
+        val clean = chainStages(s, dir).last._2
+        clean.select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+      }
+
+      register("curation_e2e_funnel",
+        s"""$chain
+           |SELECT stage, n_docs FROM (
+           |  SELECT 's0_input' AS stage, count(*) AS n_docs FROM docs
+           |  UNION ALL SELECT 's1_quality', count(*) FROM q
+           |  UNION ALL SELECT 's2_exact', count(*) FROM ex
+           |  UNION ALL SELECT 's3_neardup', count(*) FROM pruned
+           |  UNION ALL SELECT 's4_decontam', count(*) FROM clean)
+           |ORDER BY stage""".stripMargin) { (s, dir) =>
+        chainStages(s, dir).map { case (n, df) =>
+          df.groupBy().agg(count(lit(1)).as("n_docs"))
+            .select(lit(n).as("stage"), col("n_docs"))
+        }.reduce(_ unionAll _).orderBy("stage")
       }
     }
   }

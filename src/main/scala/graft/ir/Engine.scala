@@ -352,6 +352,16 @@ object Engine {
             df(pStr(m("id"))); df(pStr(m("text"))); pStr(m("bench-path"))
           } catch { case e: Throwable => fail(at, e) }
           recurse(df)
+        case "decontam-exact" =>
+          // same artifact rule as decontam-fuzzy: bench parquet is a
+          // runtime input; output = input filtered, schema unchanged
+          try {
+            val m = pMap(n.params.head)
+            df(pStr(m("id"))); df(pStr(m("text"))); pStr(m("bench-path"))
+            m.get("min-hits").foreach { v =>
+              require(pLong(v) >= 1, "decontam-exact: min-hits must be >= 1") }
+          } catch { case e: Throwable => fail(at, e) }
+          recurse(df)
         case "ks-drift" =>
           // artifact rule: the comparison corpus is a runtime input;
           // output from the operator's schema constant
@@ -1790,6 +1800,29 @@ object Engine {
           m.get("k").map(pLong(_).toInt).getOrElse(8),
           m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
       }
+    case "decontam-exact" =>
+      // drop train docs whose distinct-shingle overlap with the bench
+      // corpus reaches min-hits (GPT-3 app. C's exact-n-gram rule)
+      val m = pMap(params.head)
+      df => {
+        val bench = df.sparkSession.read.parquet(pStr(m("bench-path")))
+        graft.operators.Decontam.decontaminate(df, bench,
+          pStr(m("id")), pStr(m("text")),
+          m.get("min-hits").map(pLong).getOrElse(3L))
+      }
+    case "gopher-filter" =>
+      // keep only docs passing the Gopher quality thresholds — the
+      // FILTER face of gopher-signals (which appends the struct)
+      df => df.filter(
+        graft.functions.Quality.gopherSignals(col(pStr(params.head)))
+          .getField("keep") === 1L)
+    case "near-dup-prune" =>
+      // MinHash-LSH candidates -> star-contraction components -> keep
+      // each cluster's canonical (min-id) member; schema-preserving
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.pruneNearDups(df, pStr(m("text")), pStr(m("id")),
+        k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
     case "vocab-topk" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.vocabTopK(df, pStr(m("text")),

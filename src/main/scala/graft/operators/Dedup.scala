@@ -1043,6 +1043,30 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** One-call near-dup pruning — the curation-chain stage: MinHash-LSH
+    * candidates ([[lshCandidates]]) → star-contraction components
+    * ([[clusterPairsStar]], the diameter-independent path) → keep each
+    * cluster's canonical (minimum-id) member. Rows in no candidate pair
+    * survive untouched; everything else anti-joins against the loser
+    * set (pair-derived, never corpus-sized, broadcast when duplicates
+    * are rare — the common case AQE detects).
+    *
+    * This is [[dedupByClusters]] with the pair generation and the
+    * star labeling fused into one call, so a pipeline (or the IR's
+    * `near-dup-prune` action) states the POLICY — "drop near-dups, keep
+    * the first copy" — without wiring three operators. For keep-best
+    * semantics use [[dedupByClustersKeepBest]]; for the exact-Jaccard
+    * complement use [[jaccardPrefixJoin]]'s pairs with
+    * [[dedupByClusters]].
+    */
+  def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, rowsPerBand: Int = 2,
+                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
+    val losers = clusterPairsStar(lshCandidates(df, textCol, idCol, k, rowsPerBand, hashFn))
+      .filter(col("cluster") =!= col("id")).select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Near-dup dedup keeping the BEST member of each cluster by a quality
     * column (ties → lowest id) instead of [[dedupByClusters]]'s lowest
     * id — the curation rule "among duplicates, keep the highest-quality

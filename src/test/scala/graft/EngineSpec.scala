@@ -620,6 +620,17 @@ class EngineSpec extends AnyFunSuite {
          | "children":[]}""".stripMargin, docSchema)
     ok("""{"action":"ivfpq-append","params":[{"id":"vec_id","vec":"embedding","path":"/x"}],
          | "children":[]}""".stripMargin, vecSchema)
+    // round-12 curation-chain actions
+    ok("""{"action":"gopher-filter","params":["text"],"children":[]}""", docSchema)
+    ok("""{"action":"near-dup-prune","params":[{"id":"doc_id","text":"text","k":8,"rows-per-band":2}],
+         | "children":[]}""".stripMargin, docSchema)
+    ok("""{"action":"decontam-exact","params":[{"id":"doc_id","text":"text","bench-path":"/x","min-hits":3}],
+         | "children":[]}""".stripMargin, docSchema)
+    // decontam-exact validates min-hits without touching the artifact
+    val dxErrs = Engine.validate(Node.fromJson(
+      """{"action":"decontam-exact","params":[{"id":"doc_id","text":"text","bench-path":"/x","min-hits":0}],
+        | "children":[]}""".stripMargin), s, schema = docSchema)
+    assert(dxErrs.nonEmpty && dxErrs.head.contains("min-hits"), dxErrs.mkString(";"))
     // bad params fail LOUDLY with the node path, not at run time
     val errs = Engine.validate(Node.fromJson(
       """{"action":"shared-substring-cut","params":[{"id":"no_such","text":"text"}],

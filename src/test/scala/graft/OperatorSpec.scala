@@ -243,6 +243,30 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("pruneNearDups: one-call LSH+star prune keeps cluster min-ids; pair-free docs untouched") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    // docs 1..3 share one text (exact dups always LSH-pair), 10..11
+    // another; 30 and 31 are distinct texts in no pair
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val dup2 = "entirely different shared boilerplate paragraph repeated verbatim here"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (10L, dup2), (11L, dup2),
+      (30L, "distributed star contraction converges in logarithmic rounds"),
+      (31L, "band tables join on equal signatures within each band")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.pruneNearDups(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 30L, 31L))
+    // equals the three-op wiring it fuses
+    val manual = Dedup.dedupByClusters(docs,
+      Dedup.lshCandidates(docs, "text", "doc_id"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == manual)
+  }
+
   test("clusterPairsStar: labels == clusterPairs on chains, forests, and random graphs") {
     import graft.operators.Dedup
     val s = spark
