@@ -104,7 +104,10 @@ object Bench {
     "dedup_pair_eval", "dedup_pair_eval_sweep",
     // round 12: DDSketch bounded-state quantiles (one bucket-count
     // aggregate), key-skew pre-flight profile (count agg + top-k)
-    "dd_quantiles", "key_skew_profile")
+    "dd_quantiles", "key_skew_profile",
+    // round 12: the whole curation chain as one composed pipeline
+    // (quality gate -> exact dedup -> LSH near-dup prune -> decontam)
+    "curation_e2e")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

