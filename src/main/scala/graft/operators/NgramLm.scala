@@ -69,6 +69,15 @@ object NgramLm {
   /** One row per scoring position: `(pos, ctx, word)` — `pos` is the
     * 1-based index of `word` in the padded array, `ctx` the space-joined
     * `n-1` tokens before it ('' for unigrams).
+    *
+    * The lambda indexes back into `toksCol` per element, so callers
+    * MUST pass a materialized column (an attribute is free to re-read),
+    * never an expression like `padded(col(text), n)` — an expression is
+    * re-EVALUATED per element inside the lambda, re-tokenizing the
+    * document once per position (the lambda-boundary O(tokens²) class;
+    * see [[graft.functions.Quality.ngrams]]'s scaladoc). Use
+    * [[positionsTable]], which stages the padded array behind the
+    * explode so the optimizer cannot inline it back.
     */
   private def positions(toksCol: Column, n: Int): Column =
     transform(sequence(lit(n), size(toksCol)), i =>
@@ -76,13 +85,29 @@ object NgramLm {
         array_join(slice(toksCol, i - lit(n - 1), lit(n - 1)), " ").as("ctx"),
         element_at(toksCol, i).as("word")))
 
+  /** Exploded scoring positions `(["__id"], pos, ctx, word)` with the
+    * padded token array materialized as a real column FIRST: the
+    * `Generate` (explode) boundary between the two projections is one
+    * `CollapseProject` does not cross, so [[positions]]' lambda indexes
+    * an attribute, not the tokenization expression.
+    */
+  private def positionsTable(docs: DataFrame, textCol: String, n: Int,
+                             idCol: Option[String]): DataFrame = {
+    val id = idCol.map(ic => col(ic).as("__id")).toSeq
+    val g = docs.select(id :+ padded(col(textCol), n).as("__toks"): _*)
+      .select(idCol.map(_ => col("__id")).toSeq :+
+        explode(positions(col("__toks"), n)).as("g"): _*)
+    g.select(idCol.map(_ => col("__id")).toSeq ++ Seq(
+      col("g.pos").as("pos"), col("g.ctx").as("ctx"), col("g.word").as("word")): _*)
+  }
+
   /** N-gram count table `(ctx, word, cnt)` — the model's bulk. One
     * corpus explode, one map-side-combined count.
     */
   def trainCounts(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"NgramLm: order must be >= 1, got $n")
-    docs.select(explode(positions(padded(col(textCol), n), n)).as("g"))
-      .groupBy(col("g.ctx").as("ctx"), col("g.word").as("word"))
+    positionsTable(docs, textCol, n, None)
+      .groupBy(col("ctx"), col("word"))
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -135,11 +160,7 @@ object NgramLm {
     val counts = model.counts
     val ctxTot = contextTotals(counts)
     val n = model.n
-    val exploded = docs
-      .select(col(idCol).as("__id"),
-        explode(positions(padded(col(textCol), n), n)).as("g"))
-      .select(col("__id"), col("g.pos").as("pos"),
-        col("g.ctx").as("ctx"), col("g.word").as("word"))
+    val exploded = positionsTable(docs, textCol, n, Some(idCol))
     val joined = exploded
       .join(counts.withColumnRenamed("cnt", "__cnt"), Seq("ctx", "word"), "left")
       .join(ctxTot.withColumnRenamed("ctx_cnt", "__ctx_cnt"), Seq("ctx"), "left")
@@ -235,11 +256,7 @@ object NgramLm {
     val uni = bi.groupBy("word").agg(sum("cnt").as("__cw"))
     val nTotal = bi.agg(sum("cnt")).head.getLong(0)
     val denom = (nTotal + vocabSize).toDouble
-    val exploded = docs
-      .select(col(idCol).as("__id"),
-        explode(positions(padded(col(textCol), 2), 2)).as("g"))
-      .select(col("__id"), col("g.pos").as("pos"),
-        col("g.ctx").as("ctx"), col("g.word").as("word"))
+    val exploded = positionsTable(docs, textCol, 2, Some(idCol))
     val joined = exploded
       .join(bi.withColumnRenamed("cnt", "__c"), Seq("ctx", "word"), "left")
       .join(ctxTot.withColumnRenamed("ctx_cnt", "__t"), Seq("ctx"), "left")
@@ -264,11 +281,7 @@ object NgramLm {
     // action, same class as [[vocabSize]])
     val contDenom = (bi.count() + model.vocabSize).toDouble
     val d = lit(model.discount)
-    val exploded = docs
-      .select(col(idCol).as("__id"),
-        explode(positions(padded(col(textCol), 2), 2)).as("g"))
-      .select(col("__id"), col("g.pos").as("pos"),
-        col("g.ctx").as("ctx"), col("g.word").as("word"))
+    val exploded = positionsTable(docs, textCol, 2, Some(idCol))
     val joined = exploded
       .join(bi.withColumnRenamed("cnt", "__c"), Seq("ctx", "word"), "left")
       .join(ctxAgg, Seq("ctx"), "left")
