@@ -1355,6 +1355,26 @@ object QueriesPipeline {
           .orderBy("id1", "id2")
       }
 
+      // mega-bucket guard: buckets over the cap dropped whole BEFORE the
+      // self-join (the production boilerplate-signature defense) — the
+      // oracle replays the identical qualify-then-join
+      locally {
+        val cap = 3
+        register("dedup_minhash_lsh_capped",
+          s"""$lshPrefix,
+             |ok AS (SELECT band, sig FROM buckets
+             |       GROUP BY band, sig HAVING count(*) <= $cap),
+             |kept AS (SELECT b.* FROM buckets b JOIN ok USING (band, sig))
+             |SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+             |FROM kept l JOIN kept r
+             |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+             |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+          Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k,
+              rowsPerBand = 2, maxBucket = cap)
+            .orderBy("id1", "id2")
+        }
+      }
+
       // connected components over the LSH pairs: the oracle computes the
       // same min-reachable-id labels via transitive closure (recursive
       // CTE — fine at oracle scale; Spark side is iterative label

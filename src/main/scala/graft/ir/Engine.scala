@@ -1393,7 +1393,8 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
         k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+        maxBucket = m.get("max-bucket").map(pLong(_).toInt).getOrElse(Int.MaxValue))
     case "dedup-weighted-lsh" =>
       val m = pMap(params.head)
       df => graft.operators.Dedup.weightedLshCandidates(df, pStr(m("text")), pStr(m("id")),
@@ -1822,7 +1823,8 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.Dedup.pruneNearDups(df, pStr(m("text")), pStr(m("id")),
         k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+        maxBucket = m.get("max-bucket").map(pLong(_).toInt).getOrElse(Int.MaxValue))
     case "vocab-topk" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.vocabTopK(df, pStr(m("text")),

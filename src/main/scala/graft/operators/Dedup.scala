@@ -519,16 +519,41 @@ object Dedup {
       .select(col("__id"), col("bucket.band"), col("bucket.sig"))
   }
 
+  /** MinHash-LSH candidate pairs. `maxBucket` (default unlimited) is
+    * the production mega-bucket guard: a band bucket holding B
+    * documents emits B(B−1)/2 pairs out of the self-join, so ONE
+    * boilerplate signature shared by 10⁶ docs (empty pages, parked
+    * domains, license stubs) costs 10¹² candidate pairs regardless of
+    * how well everything else scales. Buckets larger than the cap are
+    * dropped whole BEFORE the join (one map-side-combined `(band, sig)`
+    * count + a semi-join — the winnowing-index cap's shape). Recall
+    * loss is confined to clusters of > maxBucket near-identical docs —
+    * boilerplate by definition, and already collapsed by the exact
+    * dedup pass a curation chain runs first. Capped runs stay
+    * oracle-gated (`dedup_minhash_lsh_capped` replays the same
+    * qualify-then-join in SQL).
+    */
   def lshCandidates(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, rowsPerBand: Int = 2,
-                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
-    val banded = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
-      // the banded bucket table is tiny (bands rows × ~20 bytes per doc)
-      // and feeds both sides of the self-join: materialize it once
-      // (eagerly) instead of running the hash pipeline twice; blocks are
-      // reclaimed by the ContextCleaner when the plan is unreferenced
-      // (persist() leaked them for the session lifetime).
-      .transform(Materialize.apply)
+                    hashFn: Column => Column = Text.md5HashMod,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket >= 2, s"lshCandidates: maxBucket must be >= 2, got $maxBucket")
+    val banded0 = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
+    val capped =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val ok = banded0.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") <= maxBucket)
+          .select(col("band"), col("sig"))
+        banded0.join(ok, Seq("band", "sig"), "left_semi")
+      }
+    // the banded bucket table is tiny (bands rows × ~20 bytes per doc)
+    // and feeds both sides of the self-join: materialize it once
+    // (eagerly) instead of running the hash pipeline twice; blocks are
+    // reclaimed by the ContextCleaner when the plan is unreferenced
+    // (persist() leaked them for the session lifetime).
+    val banded = capped.transform(Materialize.apply)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -1061,8 +1086,10 @@ object Dedup {
     */
   def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, rowsPerBand: Int = 2,
-                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
-    val losers = clusterPairsStar(lshCandidates(df, textCol, idCol, k, rowsPerBand, hashFn))
+                    hashFn: Column => Column = Text.md5HashMod,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val losers = clusterPairsStar(
+        lshCandidates(df, textCol, idCol, k, rowsPerBand, hashFn, maxBucket))
       .filter(col("cluster") =!= col("id")).select(col("id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }

@@ -267,6 +267,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == manual)
   }
 
+  test("lshCandidates maxBucket: mega-buckets dropped whole, small clusters keep their pairs") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val boiler = "this domain is parked free hosting by example provider contact sales"
+    val pair = "a small near duplicate cluster of exactly two documents here"
+    val docs = ((1L to 50L).map(i => (i, boiler)) ++ Seq((100L, pair), (101L, pair)))
+      .toDF("doc_id", "text")
+    // uncapped: the 50-doc boilerplate clique emits 50*49/2 pairs
+    assert(Dedup.lshCandidates(docs, "text", "doc_id").count() == 50L * 49 / 2 + 1)
+    // capped: every boilerplate bucket exceeds the cap and is dropped
+    // whole; the 2-doc cluster's buckets survive untouched
+    val capped = Dedup.lshCandidates(docs, "text", "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    // pruneNearDups under the cap: boilerplate survives UNpruned (its
+    // buckets were dropped), the small cluster keeps its min id
+    val kept = Dedup.pruneNearDups(docs, "text", "doc_id", maxBucket = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 50L).toSet + 100L)
+  }
+
   test("clusterPairsStar: labels == clusterPairs on chains, forests, and random graphs") {
     import graft.operators.Dedup
     val s = spark
