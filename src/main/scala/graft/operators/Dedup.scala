@@ -1094,18 +1094,6 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
-  /** Near-dup dedup keeping the BEST member of each cluster by a quality
-    * column (ties → lowest id) instead of [[dedupByClusters]]'s lowest
-    * id — the curation rule "among duplicates, keep the highest-quality
-    * copy" (longest, best quality score, freshest). A null quality loses
-    * to any non-null one.
-    *
-    * Same scale shape as the canonical variant: labels are bounded by
-    * 2·|pairs| (never corpus-sized), the winner argmax is one
-    * cluster-keyed aggregation of that pair-derived table, and the
-    * corpus pays a single anti-join against the loser set (broadcast
-    * when duplicates are rare — the common case AQE detects).
-    */
   /** Leakage-free train/val/test assignment — the split rule evaluation
     * hygiene actually requires: hash-splitting DOCUMENTS puts two
     * near-duplicates of the same page on both sides of the train/test
@@ -1138,6 +1126,18 @@ object Dedup {
       .drop("__root")
   }
 
+  /** Near-dup dedup keeping the BEST member of each cluster by a quality
+    * column (ties → lowest id) instead of [[dedupByClusters]]'s lowest
+    * id — the curation rule "among duplicates, keep the highest-quality
+    * copy" (longest, best quality score, freshest). A null quality loses
+    * to any non-null one.
+    *
+    * Same scale shape as the canonical variant: labels are bounded by
+    * 2·|pairs| (never corpus-sized), the winner argmax is one
+    * cluster-keyed aggregation of that pair-derived table, and the
+    * corpus pays a single anti-join against the loser set (broadcast
+    * when duplicates are rare — the common case AQE detects).
+    */
   def dedupByClustersKeepBest(df: DataFrame, pairs: DataFrame, idCol: String,
                               qualityCol: String,
                               id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
