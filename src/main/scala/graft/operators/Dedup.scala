@@ -542,11 +542,19 @@ object Dedup {
     val capped =
       if (maxBucket == Int.MaxValue) banded0
       else {
+        // the ok side re-aliases its keys into FRESH attributes before
+        // the semi-join: a groupBy keeps its grouping attributes' expr
+        // ids, so joining the aggregate back onto its own source by
+        // bare column name is Spark's ambiguous-self-join knife edge
+        // (observed resolving trivially-true in a REPL context); the
+        // Alias makes the condition unambiguous by construction
         val ok = banded0.groupBy(col("band"), col("sig"))
           .agg(count(lit(1)).as("__bs"))
           .filter(col("__bs") <= maxBucket)
-          .select(col("band"), col("sig"))
-        banded0.join(ok, Seq("band", "sig"), "left_semi")
+          .select(col("band").as("__okband"), col("sig").as("__oksig"))
+        banded0.join(ok,
+            col("band") === col("__okband") && col("sig") === col("__oksig"),
+            "left_semi")
       }
     // the banded bucket table is tiny (bands rows × ~20 bytes per doc)
     // and feeds both sides of the self-join: materialize it once
