@@ -5100,6 +5100,101 @@ object QueriesPipeline {
         .limit(200)
     }
 
+    // ---- full BPE train + encode, oracle-replayed in DuckDB ----
+    // The merge loop IS SQL-expressible on a restricted vocabulary: words
+    // whose characters are all DISTINCT. There every (multi-char) symbol
+    // occurs at most once per word, so a delimiter-guarded string
+    // replace() is exactly the left-to-right non-overlapping merge scan
+    // (the general case breaks replace() on runs like "aaaa" — that case
+    // is spec-gated in TokenizerSpec). The oracle replays the FULL
+    // sequential train as chained CTEs (the kcenter_coreset precedent);
+    // the Spark side runs the BATCHED trainer, so this gate also pins
+    // batched ≡ sequential end to end on real data.
+    locally {
+      val rounds = 8
+      def roundCtes(r: Int): String =
+        s"""p$r AS (
+           |  SELECT toks[CAST(i AS INT)] AS l, toks[CAST(i AS INT)+1] AS r,
+           |         CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM (SELECT cnt, toks, unnest(range(1, len(toks))) AS i
+           |        FROM (SELECT cnt, list_filter(string_split(w, '|'), t -> len(t) > 0) AS toks
+           |              FROM w$r))
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT l, r, cnt FROM p$r WHERE cnt >= 2
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |w${r + 1} AS (SELECT replace(w.w, '|' || m.l || '|' || m.r || '|',
+           |                          '|' || m.l || m.r || '|') AS w, w.cnt
+           |           FROM w$r w, m$r m)""".stripMargin
+      // distinct-char word-frequency table + chained merge rounds
+      val trainChain =
+        s"""fwords AS MATERIALIZED (
+           |  SELECT tok AS word, count(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                  t -> len(t) > 0)) AS tok
+           |    FROM documents)
+           |  WHERE len(tok) BETWEEN 3 AND 12
+           |    AND len(list_distinct(string_split(tok, ''))) = len(tok)
+           |  GROUP BY 1),
+           |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS w, cnt
+           |       FROM fwords),
+           |""".stripMargin + (0 until rounds).map(roundCtes).mkString(",\n")
+
+      def gateWords(s: SparkSession, dir: String) =
+        graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+          .filter(length(col("word")).between(3, 12) &&
+            size(array_distinct(split(col("word"), ""))) === length(col("word")))
+
+      register("bpe_train",
+        s"""WITH $trainChain
+           |${(0 until rounds).map(r =>
+              s"""SELECT CAST($r AS INT) AS rank, l AS "left", r AS "right", cnt AS pair_count FROM m$r""")
+              .mkString("\nUNION ALL\n")}
+           |ORDER BY rank""".stripMargin) { (s, dir) =>
+        graft.operators.Tokenizer
+          .trainBpeWordsBatched(gateWords(s, dir), rounds, 2L)
+          .orderBy("rank")
+      }
+
+      // rank-priority encode of every gate word, replayed with a
+      // recursive CTE: each step applies the LOWEST-rank merge present
+      // (the GPT-2/HF application rule), until none applies
+      register("bpe_encode",
+        s"""WITH RECURSIVE $trainChain,
+           |mg AS MATERIALIZED (${(0 until rounds).map(r =>
+              s"SELECT $r AS rank, l, r FROM m$r").mkString("\nUNION ALL\n")}),
+           |seed AS (SELECT word, regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS w,
+           |                0 AS step
+           |         FROM fwords),
+           |enc AS (
+           |  SELECT word, w, step FROM seed
+           |  UNION ALL
+           |  SELECT e.word,
+           |         replace(e.w, '|' || m.l || '|' || m.r || '|',
+           |                 '|' || m.l || m.r || '|') AS w,
+           |         e.step + 1
+           |  FROM enc e JOIN mg m
+           |    ON position('|' || m.l || '|' || m.r || '|' IN e.w) > 0
+           |   AND m.rank = (SELECT min(m2.rank) FROM mg m2
+           |                 WHERE position('|' || m2.l || '|' || m2.r || '|' IN e.w) > 0))
+           |SELECT word,
+           |       array_to_string(list_filter(string_split(w, '|'), t -> len(t) > 0), ' ') AS pieces
+           |FROM enc
+           |QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+           |ORDER BY word""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        val words = graft.operators.Materialize(gateWords(s, dir))
+        val merges = graft.operators.Tokenizer
+          .trainBpeWordsBatched(words, rounds, 2L)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val rankOf = merges.zipWithIndex.toMap
+        words.select(col("word")).as[String]
+          .map(w => (w, graft.operators.Tokenizer.encodeWord(w, rankOf).mkString(" ")))
+          .toDF("word", "pieces")
+          .orderBy("word")
+      }
+    }
+
     // WordPiece scored pairs — the oracle-gated primitive of the
     // likelihood-argmax trainer (the merge loop is spec-gated like BPE's;
     // score = cnt/(lcnt*rcnt) is two IEEE double ops in the same order on

@@ -2199,9 +2199,12 @@ object Engine {
         pLong(m("b")).toInt, m.get("seed").map(pStr).getOrElse("hll"))
     case "bpe-train" =>
       val m = pMap(params.head)
-      df => graft.operators.Tokenizer.trainBpe(df, pStr(m("text")),
+      // batched driver loop by default (exactly equal to sequential;
+      // `batch 1` recovers the one-merge-per-job reference path)
+      df => graft.operators.Tokenizer.trainBpeBatched(df, pStr(m("text")),
         pLong(m("merges")).toInt,
-        m.get("min-pair").map(pLong).getOrElse(2L))
+        m.get("min-pair").map(pLong).getOrElse(2L),
+        m.get("batch").map(pLong(_).toInt).getOrElse(16))
     case "bpe-encode" =>
       val m = pMap(params.head)
       df => graft.operators.Tokenizer.encode(df, pStr(m("text")),

@@ -114,11 +114,19 @@ object Tokenizer {
     * (rank, left, right, pair_count) — the persisted tokenizer model.
     */
   def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
-               minPairCount: Long = 2L): DataFrame = {
+               minPairCount: Long = 2L): DataFrame =
+    trainBpeWords(wordCounts(docs, textCol), numMerges, minPairCount)
+
+  /** [[trainBpe]] starting from an explicit word-frequency table
+    * (columns `word`, `cnt`) — the entry point when the caller has already
+    * paid the one corpus-sized shuffle, or wants a filtered vocabulary.
+    */
+  def trainBpeWords(wordFreqs: DataFrame, numMerges: Int,
+                    minPairCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, s"trainBpe: numMerges must be >= 1, got $numMerges")
-    val spark = docs.sparkSession
+    val spark = wordFreqs.sparkSession
     import spark.implicits._
-    var words = Materialize.dataset(symbolize(wordCounts(docs, textCol)))
+    var words = Materialize.dataset(symbolize(wordFreqs))
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 0
     var done = false
@@ -134,6 +142,125 @@ object Tokenizer {
         words = Materialize.dataset(
           words.map(w => BpeWord(mergePair(w.syms, l, r), w.cnt)))
         rank += 1
+      }
+    }
+    spark.createDataFrame(merges.result())
+      .select(col("rank"), col("left"), col("right"), col("pair_count"))
+  }
+
+  /** Batched BPE training: EXACTLY the same merge list as [[trainBpe]],
+    * with O(numMerges / batchSize) Spark passes instead of one pass per
+    * merge — the fix for the driver-coordination bottleneck a 32k–50k
+    * production vocabulary would hit (tens of thousands of sequential
+    * argmax jobs, each with a Materialize barrier).
+    *
+    * Per pass: ONE pair-count aggregate, one model-sized top-K collect in
+    * the exact sequential-argmax order (cnt DESC, left ASC, right ASC),
+    * two model-sized neighbor-bound aggregates, then a single map-only
+    * merge pass that applies the whole selected batch in rank order.
+    *
+    * Why the batch reproduces sequential training bit-for-bit — the two
+    * selection rules, both of which STOP the batch (prefix selection, not
+    * skip-and-continue, so the batch is always a prefix of the sequential
+    * argmax order):
+    *
+    *  1. Disjointness. A candidate is admitted only if its `left`,
+    *     `right`, and produced `left+right` strings are all unused by
+    *     every previously admitted merge (including their produced
+    *     symbols). Applying a merge can neither create nor destroy an
+    *     adjacency of a symbol-disjoint pair (merging fuses two adjacent
+    *     symbols into one that sits in the same position — nothing is
+    *     deleted between other symbols), so every admitted candidate's
+    *     count is still exact when its sequential round arrives.
+    *  2. New-pair dominance. Applying merge i = (a,b)→ab creates new
+    *     adjacencies involving `ab`. Every occurrence of a new pair
+    *     (ab, z) maps injectively to an original adjacency (b, z') (z'
+    *     = first original symbol of z), and (z, ab) to (z'', a) — so its
+    *     count is ≤ min(cᵢ, max(maxCntLeft(b), maxCntRight(a))), both
+    *     maxes read from THIS pass's pair table. A candidate is admitted
+    *     only if its count is STRICTLY greater than that bound over all
+    *     previously admitted merges, so no created pair can outrank (or
+    *     tie) it at its sequential round.
+    *
+    * Under those two rules, at sequential round j the argmax domain is:
+    * candidates 1..j-1 (fully consumed — a left-to-right merge pass
+    * leaves zero residual occurrences of its own pair), old pairs ranked
+    * below candidate j (counts can only have decreased), and created
+    * pairs (strictly below candidate j's count) — so the sequential
+    * argmax IS candidate j. Pinned by TokenizerSpec against [[trainBpe]]
+    * on adversarial overlapping-pair corpora, and oracle-gated end to end
+    * (`bpe_train` replays a full small-vocab train in DuckDB as chained
+    * CTEs).
+    *
+    * When the bound fires immediately (e.g. after a self-pair merge,
+    * whose created (aa, a) pairs can be large), a pass degrades to one
+    * merge — sequential behavior, never worse than [[trainBpe]] by more
+    * than the two small bound aggregates.
+    */
+  def trainBpeBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                      minPairCount: Long = 2L, batchSize: Int = 16): DataFrame =
+    trainBpeWordsBatched(wordCounts(docs, textCol), numMerges, minPairCount, batchSize)
+
+  /** [[trainBpeBatched]] from an explicit word-frequency table. */
+  def trainBpeWordsBatched(wordFreqs: DataFrame, numMerges: Int,
+                           minPairCount: Long = 2L, batchSize: Int = 16): DataFrame = {
+    require(numMerges >= 1, s"trainBpeBatched: numMerges must be >= 1, got $numMerges")
+    require(batchSize >= 1, s"trainBpeBatched: batchSize must be >= 1, got $batchSize")
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    var words = Materialize.dataset(symbolize(wordFreqs))
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairs = Materialize(pairCounts(words))
+      val topK = math.max(batchSize * 4, 64)
+      val top = pairs
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(topK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty || top.head._3 < minPairCount) done = true
+      else {
+        // neighbor bounds for rule 2, restricted to candidate symbols
+        // (model-sized aggregates over the vocab-sized pair table)
+        val candLefts  = top.map(_._1).distinct.toSeq
+        val candRights = top.map(_._2).distinct.toSeq
+        val maxCntLeft = pairs.filter(col("left").isin(candRights: _*))
+          .groupBy("left").agg(max("cnt").as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maxCntRight = pairs.filter(col("right").isin(candLefts: _*))
+          .groupBy("right").agg(max("cnt").as("m")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val sel = Vector.newBuilder[(String, String, Long)]
+        var nSel = 0
+        var createdBound = 0L
+        var stop = false
+        var i = 0
+        val passLimit = math.min(batchSize, numMerges - rank)
+        while (!stop && nSel < passLimit && i < top.length) {
+          val (l, r, c) = top(i)
+          if (c < minPairCount) stop = true
+          else if (nSel > 0 && (c <= createdBound || used(l) || used(r) || used(l + r)))
+            stop = true
+          else {
+            sel += ((l, r, c)); nSel += 1
+            used += l; used += r; used += (l + r)
+            createdBound = math.max(createdBound,
+              math.min(c, math.max(maxCntLeft.getOrElse(r, 0L),
+                maxCntRight.getOrElse(l, 0L))))
+            i += 1
+          }
+        }
+        val selected = sel.result()
+        merges ++= selected.zipWithIndex.map { case ((l, r, c), j) =>
+          BpeMerge(rank + j, l, r, c) }
+        rank += selected.length
+        val batch = selected.map { case (l, r, _) => (l, r) }
+        words = Materialize.dataset(words.map { w =>
+          BpeWord(batch.foldLeft(w.syms) { case (s, (a, b)) => mergePair(s, a, b) },
+            w.cnt)
+        })
       }
     }
     spark.createDataFrame(merges.result())

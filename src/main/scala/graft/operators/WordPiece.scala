@@ -180,6 +180,101 @@ object WordPiece {
       .select(col("rank"), col("left"), col("right"), col("score"), col("pair_count"))
   }
 
+  /** Batched WordPiece training: EXACTLY the same merge list as
+    * [[trainWordPiece]], with O(numMerges / batchSize) Spark passes
+    * instead of one per merge — the WordPiece twin of
+    * [[Tokenizer.trainBpeWordsBatched]] (same driver-bottleneck fix, same
+    * prefix-selection discipline), with the dominance guard restated in
+    * SCORE space because the likelihood argmax is not count-monotone:
+    *
+    *  1. Disjointness (stop, don't skip): a candidate is admitted only if
+    *     its left, right, and merged symbol are unused by every admitted
+    *     merge. Disjoint pairs keep both their pair count AND their unit
+    *     counts, hence their exact IEEE score, when earlier batch merges
+    *     are applied.
+    *  2. Score dominance. After applying merge i = (a,b)→m with pair
+    *     count cᵢ: (a) any created pair involves m, and since
+    *     cnt(pair) ≤ min(cnt of each member) and cnt(m) = cᵢ, its score
+    *     cnt/(lcnt·rcnt) is ≤ 1/cᵢ; (b) an old pair touching a or b can
+    *     RE-SCORE upward (its unit denominator shrinks as occurrences of
+    *     a/b are consumed) — but only up to 1/residual(s) where
+    *     residual(s) = cnt(s) − cᵢ·(2 if a=b else 1) is the surviving
+    *     occurrence count of the touched symbol (residual ≤ 0 means the
+    *     symbol is gone and contributes nothing). A candidate is admitted
+    *     only if its score is STRICTLY above the max of those bounds over
+    *     all admitted merges.
+    *
+    * Under rules 1+2 the sequential argmax at each batched rank is the
+    * batch's candidate at that rank, so batched ≡ sequential — pinned by
+    * WordPieceSpec against [[trainWordPiece]] on adversarial corpora.
+    */
+  def trainWordPieceBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                            minPairCount: Long = 2L, batchSize: Int = 16): DataFrame = {
+    require(numMerges >= 0, s"trainWordPieceBatched: numMerges must be >= 0, got $numMerges")
+    require(batchSize >= 1, s"trainWordPieceBatched: batchSize must be >= 1, got $batchSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = Materialize.dataset(
+      symbolize(Tokenizer.wordCounts(docs, textCol)))
+    val merges = Seq.newBuilder[WpMerge]
+    var rank = 0
+    var done = numMerges == 0
+    while (rank < numMerges && !done) {
+      val scored = Materialize(
+        pairScores(words).filter(col("cnt") >= minPairCount))
+      val topK = math.max(batchSize * 4, 64)
+      val top = scored
+        .orderBy(col("score").desc, col("cnt").desc,
+          col("l_sym").asc, col("r_sym").asc)
+        .limit(topK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      if (top.isEmpty) done = true
+      else {
+        // unit counts of candidate symbols, for the residual bound
+        // (model-sized collect over the vocab-sized unit table)
+        val candSyms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+        val unit = unitCounts(words).filter(col("sym").isin(candSyms: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val sel = Vector.newBuilder[WpMerge]
+        var nSel = 0
+        var scoreBound = 0.0
+        var stop = false
+        var i = 0
+        val passLimit = math.min(batchSize, numMerges - rank)
+        while (!stop && nSel < passLimit && i < top.length) {
+          val (l, r, c, s) = top(i)
+          val m = mergedSym(l, r)
+          if (nSel > 0 && (s <= scoreBound || used(l) || used(r) || used(m)))
+            stop = true
+          else {
+            sel += WpMerge(rank + nSel, l, r, s, c); nSel += 1
+            used += l; used += r; used += m
+            var b = 1.0 / c.toDouble
+            val consumed = Seq(l -> (if (l == r) 2L * c else c),
+              r -> (if (l == r) 2L * c else c))
+            consumed.foreach { case (sym, eaten) =>
+              val residual = unit.getOrElse(sym, 0L) - eaten
+              if (residual > 0L) b = math.max(b, 1.0 / residual.toDouble)
+            }
+            scoreBound = math.max(scoreBound, b)
+            i += 1
+          }
+        }
+        val selected = sel.result()
+        merges ++= selected
+        rank += selected.length
+        val batch = selected.map(m => (m.left, m.right))
+        words = Materialize.dataset(words.map { w =>
+          WpWord(batch.foldLeft(w.syms) { case (s, (a, b)) => mergeMarked(s, a, b) },
+            w.cnt)
+        })
+      }
+    }
+    spark.createDataFrame(merges.result())
+      .select(col("rank"), col("left"), col("right"), col("score"), col("pair_count"))
+  }
+
   /** The learned vocabulary as a frame: every base unit of the corpus
     * (rank -1) plus each merge's output symbol at its merge rank. This is
     * the persisted model the greedy encoder loads.

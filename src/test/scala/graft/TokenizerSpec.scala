@@ -75,6 +75,46 @@ class TokenizerSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size < 10) // early stop, not the full budget
   }
 
+  test("trainBpeBatched equals sequential trainBpe (classic + adversarial corpora)") {
+    // corpora chosen to exercise every stop rule of the batch selector:
+    //  - classic: several disjoint merges per pass (real amortization)
+    //  - runs:    self-pair argmax (created (aa, a) pairs force a stop)
+    //  - shared:  top candidates share symbols ((a,b) vs (b,c) in "abc")
+    //  - created: merging (x,y) creates (xy,z) that outranks the next
+    //             old candidate — the dominance bound must stop the batch
+    val corpora = Seq(
+      corpus((1L, "low low low low low"), (2L, "lower lower"),
+        (3L, "newest newest newest newest newest newest"),
+        (4L, "widest widest widest")),
+      corpus((1L, "aaaa aaaa aaa aa aaaa"), (2L, "aaaaaa aaa baab")),
+      corpus((1L, "abc abc abc abc"), (2L, "ab bc abc cab")),
+      corpus((1L, "xyz xyz xyz xyz xyz xyz xyz"), (2L, "xy pq pq pq")))
+    for ((docs, ci) <- corpora.zipWithIndex; m <- Seq(1, 2, 4, 16)) {
+      val seq = Tokenizer.trainBpe(docs, "text", 10)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      val bat = Tokenizer.trainBpeBatched(docs, "text", 10, batchSize = m)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(bat == seq, s"corpus $ci batchSize $m")
+    }
+  }
+
+  test("trainBpeBatched equals sequential on seeded random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val words = (0 until 30).map { _ =>
+        val len = 2 + rnd.nextInt(6)
+        (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w)).mkString(" ")
+      val docs = corpus((1L, text))
+      val seq = Tokenizer.trainBpe(docs, "text", 12)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      val bat = Tokenizer.trainBpeBatched(docs, "text", 12, batchSize = 8)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(bat == seq, s"trial $trial")
+    }
+  }
+
   test("pairCounts weights by word frequency (hand-computed)") {
     val s = spark
     import s.implicits._

@@ -100,6 +100,30 @@ class WordPieceSpec extends AnyFunSuite {
     assert(WordPiece.trainWordPiece(docs, "text", 0).count() == 0L)
   }
 
+  test("trainWordPieceBatched equals sequential (classic + adversarial + random corpora)") {
+    val fixed = Seq(
+      corpus((1L, "low low low low low"), (2L, "lower lower"),
+        (3L, "newest newest newest newest newest newest"),
+        (4L, "widest widest widest")),
+      // near-consumed symbols: the residual re-score bound must fire
+      corpus((1L, "he he he he he hx"), (2L, "zq zq zq he")),
+      corpus((1L, "aaaa aaa aa aaaa"), (2L, "abab abab baab")),
+      corpus((1L, "abc abc abc abc"), (2L, "ab bc cab")))
+    val rnd = new scala.util.Random(7)
+    val random = (0 until 4).map { _ =>
+      val words = (0 until 25).map { _ =>
+        (1 to 2 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString }
+      corpus((1L, words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w)).mkString(" ")))
+    }
+    for ((docs, ci) <- (fixed ++ random).zipWithIndex; m <- Seq(2, 8)) {
+      val seq = WordPiece.trainWordPiece(docs, "text", 10)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      val bat = WordPiece.trainWordPieceBatched(docs, "text", 10, batchSize = m)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(bat == seq, s"corpus $ci batchSize $m")
+    }
+  }
+
   test("vocabFrame = base units at rank -1 plus merge outputs at merge rank") {
     val docs = corpus((1L, "he he he she she"))
     val merges = WordPiece.trainWordPiece(docs, "text", 2)
