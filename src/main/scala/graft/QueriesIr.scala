@@ -22,6 +22,24 @@ object QueriesIr {
   private def tapOf(node: Node, df: DataFrame, tap: String = "out"): DataFrame =
     Engine.run(node, df, EngineCtx(testMode = true)).taps(tap)
 
+  /** Temp dirs for the IR artifact gates, one per (tag, input dir):
+    * created lazily ONCE per JVM and deleted on exit, so repeated gate /
+    * bench runs reuse the same directory instead of leaking a fresh one
+    * per run. The artifacts are deterministic functions of the input
+    * dir, so reuse never changes a gate's output.
+    */
+  private val tmpDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteRec(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec); f.delete(); ()
+  }
+  private def cachedTmpDir(tag: String, dir: String)(init: String => Unit): String =
+    tmpDirs.computeIfAbsent(s"$tag|$dir", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"ir_$tag")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
+      init(p.toString)
+      p.toString
+    })
+
   def registerAll(register: (String, String) => (((SparkSession, String) => DataFrame) => Unit)): Unit = {
 
     // where + condition language through the IR
@@ -331,9 +349,13 @@ object QueriesIr {
       val base = d.filter(bucketC < 800000).select("doc_id", "text")
       val train = base.unionAll(
         base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val benchPath = java.nio.file.Files.createTempDirectory("ir_bench").toString
-      d.filter(bucketC >= 900000).select("doc_id", "text")
-        .write.mode("overwrite").parquet(benchPath)
+      // bench slice written ONCE per JVM per input dir (deterministic),
+      // not on every query construction — repeated gate/bench runs reuse
+      // it and the shutdown hook removes it
+      val benchPath = cachedTmpDir("bench", dir) { p =>
+        d.filter(bucketC >= 900000).select("doc_id", "text")
+          .write.mode("overwrite").parquet(p)
+      }
       val node = Node.fromJson(
         s"""{"action":"gopher-filter","params":["text"],"children":[
            |  {"action":"dedup-exact","params":["text","doc_id"],"children":[

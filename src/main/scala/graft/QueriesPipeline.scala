@@ -1373,6 +1373,44 @@ object QueriesPipeline {
               rowsPerBand = 2, maxBucket = cap)
             .orderBy("id1", "id2")
         }
+
+        // mega-bucket cap PLANNER: sampled probe -> bucket-size stats ->
+        // recommended maxBucket (headroom x extrapolated largest organic
+        // bucket). The oracle replays the sampled banding and the exact
+        // discrete p99 index rule.
+        register("lsh_cap_plan",
+          s"""$DocsView
+             |, fd AS (
+             |  SELECT doc_id, toks FROM docs
+             |  WHERE (${sqlMd5Hash64("'capplan:' || CAST(doc_id AS VARCHAR)")} % 1000000) < 500000),
+             |sh AS (
+             |  SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM fd),
+             |hh AS (
+             |  SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+             |sigs AS (
+             |  SELECT doc_id,
+             |         $mins
+             |  FROM hh),
+             |buckets AS (
+             |  $bandSelects),
+             |bs AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+             |       FROM buckets GROUP BY 1, 2),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             |              CAST(max(c) AS BIGINT) AS max_bucket FROM bs),
+             |srt AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS rn FROM bs),
+             |p99 AS (SELECT c FROM srt, st
+             |        WHERE rn = least(st.n_buckets - 1,
+             |                         CAST(floor(0.99 * st.n_buckets) AS BIGINT))),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled FROM fd)
+             |SELECT ns.n_sampled, st.n_buckets, st.max_bucket,
+             |       p99.c AS p99_bucket,
+             |       greatest(CAST(16 AS BIGINT),
+             |                CAST(ceil(4.0 * CAST(st.max_bucket AS DOUBLE) / 0.5) AS BIGINT))
+             |         AS recommended_max_bucket
+             |FROM ns, st, p99""".stripMargin) { (s, dir) =>
+          Dedup.maxBucketPlan(docs(s, dir), "text", "doc_id",
+            fraction = 0.5, k = k, rowsPerBand = 2)
+        }
       }
 
       // connected components over the LSH pairs: the oracle computes the
@@ -1743,11 +1781,8 @@ object QueriesPipeline {
            |FROM d
            |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-        val d = docs(s, dir)
-        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
-        val jp = Dedup.ngramJaccard(d, pairs, "text", "doc_id")
-          .filter(col("jaccard") >= 0.3).select("id1", "id2")
-        Dedup.editConfirm(d, jp, "text", "doc_id", minSim = 0.5, maxLen = 200)
+        Dedup.editConfirmFunnel(docs(s, dir), "text", "doc_id",
+          minJaccard = 0.3, minSim = 0.5, maxLen = 200, k = k, rowsPerBand = 2)
           .select("id1", "id2", "edit_dist", "edit_sim")
           .orderBy("id1", "id2")
       }

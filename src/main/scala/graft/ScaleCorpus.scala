@@ -63,16 +63,42 @@ object ScaleCorpus {
     def table(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
 
-    // one global stride covers every family; ids stay disjoint per replica
-    val stride = 1L + KeyCols.flatMap { case (t, cols) =>
-      val df = table(t)
-      cols.map(c => df.agg(max(col(c).cast("long"))).head.getLong(0))
-    }.max
+    // only scale the tables actually present in srcDir (partial corpora
+    // are a legitimate probe input)
+    val present = KeyCols.filter { case (t, _) =>
+      new java.io.File(s"$src/$t.parquet").exists() }
+    require(present.nonEmpty, s"no KeyCols table found under $src")
 
-    for (t <- CopyOnce)
+    // one global stride covers every family; ids stay disjoint per
+    // replica. Empty tables contribute no key (max over an empty table
+    // is null, not 0 — getLong would NPE).
+    val maxKeys = present.toSeq.flatMap { case (t, cols) =>
+      val df = table(t)
+      cols.flatMap(c => Option(df.agg(max(col(c).cast("long"))).head
+        .getAs[java.lang.Long](0)).map(_.longValue))
+    }
+    require(maxKeys.nonEmpty, "every present KeyCols table is empty")
+    val stride = 1L + maxKeys.max
+
+    // shifted keys are cast back to the source dtype WITHOUT ANSI
+    // checks — an IntegerType key overflowing stride*(copies-1)+max
+    // would silently wrap into colliding/negative ids and corrupt the
+    // join-scaling measurements this tool exists to make honest
+    for ((t, keys) <- present; k <- keys) {
+      val top = stride * (copies - 1L) + (stride - 1L)
+      val fits = table(t).schema(k).dataType match {
+        case org.apache.spark.sql.types.LongType => true
+        case org.apache.spark.sql.types.IntegerType => top <= Int.MaxValue.toLong
+        case other => sys.error(s"$t.$k: unsupported key dtype $other")
+      }
+      require(fits, s"$t.$k: shifted ids up to $top overflow the column's " +
+        s"int dtype at copies=$copies — use fewer copies or widen the key")
+    }
+
+    for (t <- CopyOnce if new java.io.File(s"$src/$t.parquet").exists())
       table(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    for ((t, keys) <- KeyCols) {
+    for ((t, keys) <- present) {
       val df = table(t)
       val replicated = df
         .withColumn("__r", explode(sequence(lit(0L), lit(copies - 1L))))

@@ -1982,18 +1982,21 @@ object Engine {
       // bucket collisions) -> bounded Levenshtein alignment confirm
       val m = pMap(params.head)
       df => {
-        val cands = graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
-          k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+        val kk = m.get("k").map(pLong(_).toInt).getOrElse(8)
+        val rpb = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2)
         val mj = m.get("min-jaccard").map(pDouble).getOrElse(0.0)
-        val pairs =
-          if (mj > 0.0)
-            graft.operators.Dedup.ngramJaccard(df, cands, pStr(m("text")), pStr(m("id")))
-              .filter(col("jaccard") >= mj).select("id1", "id2")
-          else cands
-        graft.operators.Dedup.editConfirm(df, pairs,
-          pStr(m("text")), pStr(m("id")), pDouble(m("min-sim")),
-          m.get("max-len").map(pLong(_).toInt).getOrElse(512))
+        val ml = m.get("max-len").map(pLong(_).toInt).getOrElse(512)
+        if (mj > 0.0)
+          // fused single-pass funnel: one payload table, two id-joins
+          graft.operators.Dedup.editConfirmFunnel(df, pStr(m("text")), pStr(m("id")),
+            minJaccard = mj, minSim = pDouble(m("min-sim")), maxLen = ml,
+            k = kk, rowsPerBand = rpb)
+        else {
+          val cands = graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
+            k = kk, rowsPerBand = rpb)
+          graft.operators.Dedup.editConfirm(df, cands,
+            pStr(m("text")), pStr(m("id")), pDouble(m("min-sim")), ml)
+        }
       }
     case "cluster-split" =>
       // leakage-free train/val/test: LSH pairs -> star-contraction

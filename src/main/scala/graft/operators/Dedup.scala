@@ -454,6 +454,68 @@ object Dedup {
     }.minBy { case (_, r, t) => (math.abs(t - targetJaccard), r) }
   }
 
+  /** Mega-bucket cap planner — turns a cheap sampled probe into a
+    * recommended `maxBucket` for [[lshCandidates]] /
+    * [[IncrementalDedup]] (the opt-in guard against adversarial bucket
+    * skew, where one boilerplate band bucket of size s emits s² pairs).
+    *
+    * Method: hash-sample the corpus at `fraction` (same deterministic
+    * [[Sampling.hashSample]] the dup-rate probe uses), build the banded
+    * bucket table, and read its size distribution. A real near-dup
+    * clique of size s appears in the sample as ~s·fraction members, so
+    * the largest ORGANIC bucket extrapolates to `max_bucket / fraction`;
+    * the recommendation is `headroom ×` that (default 4× — organic
+    * buckets keep a wide margin, adversarial mega-buckets far beyond it
+    * get capped), floored at 16 so tiny probes never recommend a cap
+    * that bites normal pairs.
+    *
+    * Output (one row): `n_sampled, n_buckets, max_bucket, p99_bucket,
+    * recommended_max_bucket` — all integer arithmetic plus one exact
+    * discrete quantile (`sorted[min(n-1, floor(0.99·n))]`, the same
+    * index rule the percentiles operator pins), so the DuckDB oracle
+    * replays it bit-for-bit (`lsh_cap_plan` gate).
+    *
+    * Scale: the probe touches `fraction` of the corpus once; everything
+    * downstream of the bucket table is bucket-count-sized. Driver gets
+    * one row.
+    */
+  def maxBucketPlan(df: DataFrame, textCol: String, idCol: String,
+                    fraction: Double, k: Int = 8, rowsPerBand: Int = 2,
+                    salt: String = "capplan", headroom: Double = 4.0): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"maxBucketPlan: fraction in (0,1], got $fraction")
+    require(headroom >= 1.0, s"maxBucketPlan: headroom must be >= 1, got $headroom")
+    val sample = Materialize(
+      graft.operators.Sampling.hashSample(df, idCol, fraction, salt))
+    val nSampled = sample.count()
+    // bucket-SIZE histogram: (size, how many buckets have it) — distinct
+    // sizes are bounded by the largest bucket, so this collect is
+    // model-sized even when the bucket table itself is corpus-sized
+    val hist = bandedBuckets(sample, textCol, idCol, k, rowsPerBand, Text.md5HashMod)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val nBuckets = hist.map(_._2).sum
+    val maxB = if (hist.isEmpty) 0L else hist.last._1
+    // exact discrete p99 from the histogram: the floor(0.99·n)-th
+    // (0-based) size in sorted order, capped at the last index — the
+    // percentiles operator's index rule
+    val p99 =
+      if (nBuckets == 0L) 0L
+      else {
+        val idx = math.min(nBuckets - 1, math.floor(0.99 * nBuckets).toLong)
+        var cum = 0L
+        hist.find { case (_, n) => cum += n; cum > idx }.map(_._1).getOrElse(maxB)
+      }
+    val recommended =
+      math.max(16L, math.ceil(headroom * maxB.toDouble / fraction).toLong)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nSampled, nBuckets, maxB, p99, recommended))
+      .toDF("n_sampled", "n_buckets", "max_bucket", "p99_bucket",
+        "recommended_max_bucket")
+  }
+
   /** MinHash signatures via the distributed shape: explode shingles to
     * rows, hash each shingle EXACTLY ONCE, then k cheap arithmetic `min`
     * aggregates with map-side partial combine. The per-row array-fold
@@ -542,17 +604,21 @@ object Dedup {
     val capped =
       if (maxBucket == Int.MaxValue) banded0
       else {
+        // materialize BEFORE deriving the cap aggregate: the bucket table
+        // feeds both the count aggregate and the semi-join probe side, and
+        // without this the whole MinHash/banding hash pipeline runs twice
+        val b0 = Materialize(banded0)
         // the ok side re-aliases its keys into FRESH attributes before
         // the semi-join: a groupBy keeps its grouping attributes' expr
         // ids, so joining the aggregate back onto its own source by
         // bare column name is Spark's ambiguous-self-join knife edge
         // (observed resolving trivially-true in a REPL context); the
         // Alias makes the condition unambiguous by construction
-        val ok = banded0.groupBy(col("band"), col("sig"))
+        val ok = b0.groupBy(col("band"), col("sig"))
           .agg(count(lit(1)).as("__bs"))
           .filter(col("__bs") <= maxBucket)
           .select(col("band").as("__okband"), col("sig").as("__oksig"))
-        banded0.join(ok,
+        b0.join(ok,
             col("band") === col("__okband") && col("sig") === col("__oksig"),
             "left_semi")
       }
@@ -1431,6 +1497,77 @@ object Dedup {
     // surviving set as the oracle's unbounded distance
     val bound = math.floor((1.0 - minSim) * maxLen).toInt + 1
     joined
+      .withColumn("edit_dist",
+        when(n === 0, lit(0))
+          .otherwise(levenshtein(col("__t1"), col("__t2"), bound)))
+      .filter(col("edit_dist") >= 0 &&
+        (n === 0 || col("edit_dist").cast("double") <= lit(1.0 - minSim) * n.cast("double")))
+      .withColumn("edit_sim",
+        when(n === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("edit_dist").cast("double") / n.cast("double")))
+      .select(col("id1"), col("id2"), col("edit_dist").cast("long").as("edit_dist"),
+        col("edit_sim"))
+  }
+
+  /** The FUSED four-stage near-dup funnel (LSH candidates → n-gram
+    * Jaccard ≥ `minJaccard` → bounded Levenshtein ≥ `minSim`) in a
+    * single verify pass: one per-id payload table carrying BOTH the
+    * shingle set and the capped text (derived from one representative
+    * text per id, `max` — identical to the staged composition whenever
+    * ids are unique, i.e. every gated corpus), joined onto the pairs
+    * ONCE per side. The staged composition
+    * ([[ngramJaccard]] then [[editConfirm]]) builds two payload tables
+    * and runs four id-joins; at small inputs those extra exchanges were
+    * the whole oracle-ratio gap for `dedup_edit_confirm` (measured
+    * sf0.01: the exchange overhead, not the DP, dominated — see
+    * SCALING.md), and at any scale this halves the verify-join work.
+    *
+    * The Jaccard filter sits between the two computed columns, so the
+    * quadratic DP still runs only on Jaccard survivors — same math,
+    * same bounds, same output as the staged composition (spec-pinned in
+    * DedupRecallSpec).
+    */
+  def editConfirmFunnel(df: DataFrame, textCol: String, idCol: String,
+                        minJaccard: Double, minSim: Double, maxLen: Int = 512,
+                        k: Int = 8, rowsPerBand: Int = 2,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"editConfirmFunnel: minJaccard in [0,1], got $minJaccard")
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"editConfirmFunnel: minSim in [0,1], got $minSim")
+    require(maxLen >= 1, s"editConfirmFunnel: maxLen must be >= 1, got $maxLen")
+    // Re-spread the candidate table before the verify: AQE coalesces
+    // shuffles by BYTES, and a few MB of (id1, id2) pairs lands in ONE
+    // partition — which then serializes the whole compute-dense verify
+    // stage (set intersection + bounded DP are expensive per byte of
+    // input, and the payload joins broadcast, so the pair layout is the
+    // stage layout). A round-robin repartition survives as
+    // REPARTITION_BY_NUM (AQE honors user-numbered repartitions; a
+    // keyed one on (id1,id2) is optimized away as redundant with the
+    // distinct's own exchange and then coalesced) and costs one
+    // narrow-row exchange. Measured 3.5× on the sf0.1 verify stage.
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val pairs = lshCandidates(df, textCol, idCol, k, rowsPerBand,
+      maxBucket = maxBucket)
+      .repartition(np)
+    val pay = df.groupBy(col(idCol).as("__id"))
+      .agg(max(col(textCol)).as("__txt"))
+      .select(col("__id"),
+        array_distinct(Text.bigramShingles(Text.tokens(col("__txt")))).as("__set"),
+        substring(col("__txt"), 1, maxLen).as("__t"))
+    val joined = pairs
+      .join(pay.select(col("__id").as("id1"), col("__set").as("set1"),
+        col("__t").as("__t1")), "id1")
+      .join(pay.select(col("__id").as("id2"), col("__set").as("set2"),
+        col("__t").as("__t2")), "id2")
+    val n = greatest(length(col("__t1")), length(col("__t2")))
+    val bound = math.floor((1.0 - minSim) * maxLen).toInt + 1
+    joined
+      .withColumn("__inter", size(array_intersect(col("set1"), col("set2"))).cast("double"))
+      .withColumn("jaccard",
+        col("__inter") /
+          (size(col("set1")).cast("double") + size(col("set2")).cast("double") - col("__inter")))
+      .filter(col("jaccard") >= minJaccard)
       .withColumn("edit_dist",
         when(n === 0, lit(0))
           .otherwise(levenshtein(col("__t1"), col("__t2"), bound)))

@@ -174,13 +174,18 @@ object Tokenizer {
     *     count is still exact when its sequential round arrives.
     *  2. New-pair dominance. Applying merge i = (a,b)→ab creates new
     *     adjacencies involving `ab`. Every occurrence of a new pair
-    *     (ab, z) maps injectively to an original adjacency (b, z') (z'
-    *     = first original symbol of z), and (z, ab) to (z'', a) — so its
-    *     count is ≤ min(cᵢ, max(maxCntLeft(b), maxCntRight(a))), both
-    *     maxes read from THIS pass's pair table. A candidate is admitted
-    *     only if its count is STRICTLY greater than that bound over all
+    *     (ab, z) maps injectively to an original TRIPLE (a, b, z') (z' =
+    *     first original symbol of z — prior batch merges are disjoint,
+    *     so the mapping survives them), and (z, ab) to (z'', a, b) — so
+    *     its count is ≤ max(maxTripleStarting(a,b),
+    *     maxTripleEnding(a,b)), read from one adjacent-triple aggregate
+    *     over THIS pass's word table. A candidate is admitted only if
+    *     its count is STRICTLY greater than that bound over all
     *     previously admitted merges, so no created pair can outrank (or
-    *     tie) it at its sequential round.
+    *     tie) it at its sequential round. (A looser bound from the pair
+    *     table alone — max pair count touching a or b — stopped batches
+    *     at 1-3 merges on real corpora; the triple bound is what makes
+    *     the amortization land.)
     *
     * Under those two rules, at sequential round j the argmax domain is:
     * candidates 1..j-1 (fully consumed — a left-to-right merge pass
@@ -213,46 +218,84 @@ object Tokenizer {
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val pairs = Materialize(pairCounts(words))
+      // single consumer (this TakeOrdered collect) — no Materialize
       val topK = math.max(batchSize * 4, 64)
-      val top = pairs
+      val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
         .limit(topK).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty || top.head._3 < minPairCount) done = true
       else {
-        // neighbor bounds for rule 2, restricted to candidate symbols
-        // (model-sized aggregates over the vocab-sized pair table)
-        val candLefts  = top.map(_._1).distinct.toSeq
-        val candRights = top.map(_._2).distinct.toSeq
-        val maxCntLeft = pairs.filter(col("left").isin(candRights: _*))
-          .groupBy("left").agg(max("cnt").as("m")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val maxCntRight = pairs.filter(col("right").isin(candLefts: _*))
-          .groupBy("right").agg(max("cnt").as("m")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val passLimit = math.min(batchSize, numMerges - rank)
+        // rule 1 first, driver-side and job-free: the maximal
+        // mutually-disjoint prefix of the argmax order
         val used = scala.collection.mutable.HashSet.empty[String]
-        val sel = Vector.newBuilder[(String, String, Long)]
-        var nSel = 0
-        var createdBound = 0L
+        val prefix = Vector.newBuilder[(String, String, Long)]
+        var nPre = 0
         var stop = false
         var i = 0
-        val passLimit = math.min(batchSize, numMerges - rank)
-        while (!stop && nSel < passLimit && i < top.length) {
+        while (!stop && nPre < passLimit && i < top.length) {
           val (l, r, c) = top(i)
-          if (c < minPairCount) stop = true
-          else if (nSel > 0 && (c <= createdBound || used(l) || used(r) || used(l + r)))
-            stop = true
+          if (c < minPairCount ||
+            (nPre > 0 && (used(l) || used(r) || used(l + r)))) stop = true
           else {
-            sel += ((l, r, c)); nSel += 1
+            prefix += ((l, r, c)); nPre += 1
             used += l; used += r; used += (l + r)
-            createdBound = math.max(createdBound,
-              math.min(c, math.max(maxCntLeft.getOrElse(r, 0L),
-                maxCntRight.getOrElse(l, 0L))))
             i += 1
           }
         }
-        val selected = sel.result()
+        val disjoint = prefix.result()
+        val selected =
+          if (disjoint.length <= 1) disjoint // sequential-cost pass: no bound jobs
+          else {
+            // rule 2 — triple bounds: per candidate pair (a,b), the max
+            // weighted count over adjacent triples starting with (a,b)
+            // and ending with (a,b). One vocab-sized aggregate; the
+            // collect is restricted to a candidate-symbol superset and
+            // matched exactly on the driver by TUPLE key (no separator
+            // ambiguity for arbitrary word tables).
+            val cand = disjoint.map(t => (t._1, t._2)).toSet
+            val lefts = cand.map(_._1).toSeq
+            val rights = cand.map(_._2).toSeq
+            val df = words.toDF()
+            val n = size(col("syms"))
+            val triples = df.filter(n >= 3)
+              .select(col("cnt"),
+                explode(arrays_zip(
+                  slice(col("syms"), lit(1), n - 2).as("x"),
+                  slice(col("syms"), lit(2), n - 2).as("y"),
+                  slice(col("syms"), lit(3), n - 2).as("z"))).as("t"))
+              .groupBy(col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"))
+              .agg(sum(col("cnt")).as("tc"))
+              .transform(Materialize.apply)
+            val maxStarting = triples
+              .filter(col("x").isin(lefts: _*) && col("y").isin(rights: _*))
+              .groupBy("x", "y").agg(max("tc").as("m")).collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+              .filter { case (k, _) => cand(k) }.toMap
+            val maxEnding = triples
+              .filter(col("y").isin(lefts: _*) && col("z").isin(rights: _*))
+              .groupBy("y", "z").agg(max("tc").as("m")).collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+              .filter { case (k, _) => cand(k) }.toMap
+            // cut the prefix at the first candidate a created pair could
+            // outrank or tie at its sequential round
+            var createdBound = 0L
+            var cut = false
+            val admitted = Vector.newBuilder[(String, String, Long)]
+            disjoint.zipWithIndex.foreach { case ((l, r, c), j) =>
+              if (!cut) {
+                if (j > 0 && c <= createdBound) cut = true
+                else {
+                  admitted += ((l, r, c))
+                  createdBound = math.max(createdBound,
+                    math.max(maxStarting.getOrElse((l, r), 0L),
+                      maxEnding.getOrElse((l, r), 0L)))
+                }
+              }
+            }
+            admitted.result()
+          }
         merges ++= selected.zipWithIndex.map { case ((l, r, c), j) =>
           BpeMerge(rank + j, l, r, c) }
         rank += selected.length

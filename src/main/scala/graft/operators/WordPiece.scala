@@ -220,48 +220,66 @@ object WordPiece {
     var rank = 0
     var done = numMerges == 0
     while (rank < numMerges && !done) {
-      val scored = Materialize(
-        pairScores(words).filter(col("cnt") >= minPairCount))
+      // single consumer (this TakeOrdered collect) — no Materialize
       val topK = math.max(batchSize * 4, 64)
-      val top = scored
+      val top = pairScores(words).filter(col("cnt") >= minPairCount)
         .orderBy(col("score").desc, col("cnt").desc,
           col("l_sym").asc, col("r_sym").asc)
         .limit(topK).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       if (top.isEmpty) done = true
       else {
-        // unit counts of candidate symbols, for the residual bound
-        // (model-sized collect over the vocab-sized unit table)
-        val candSyms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
-        val unit = unitCounts(words).filter(col("sym").isin(candSyms: _*))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val passLimit = math.min(batchSize, numMerges - rank)
+        // rule 1 first, driver-side and job-free: maximal disjoint prefix
         val used = scala.collection.mutable.HashSet.empty[String]
-        val sel = Vector.newBuilder[WpMerge]
-        var nSel = 0
-        var scoreBound = 0.0
+        val prefix = Vector.newBuilder[(String, String, Long, Double)]
+        var nPre = 0
         var stop = false
         var i = 0
-        val passLimit = math.min(batchSize, numMerges - rank)
-        while (!stop && nSel < passLimit && i < top.length) {
-          val (l, r, c, s) = top(i)
-          val m = mergedSym(l, r)
-          if (nSel > 0 && (s <= scoreBound || used(l) || used(r) || used(m)))
-            stop = true
+        while (!stop && nPre < passLimit && i < top.length) {
+          val (l, r, c, sc) = top(i)
+          val mm = mergedSym(l, r)
+          if (nPre > 0 && (used(l) || used(r) || used(mm))) stop = true
           else {
-            sel += WpMerge(rank + nSel, l, r, s, c); nSel += 1
-            used += l; used += r; used += m
-            var b = 1.0 / c.toDouble
-            val consumed = Seq(l -> (if (l == r) 2L * c else c),
-              r -> (if (l == r) 2L * c else c))
-            consumed.foreach { case (sym, eaten) =>
-              val residual = unit.getOrElse(sym, 0L) - eaten
-              if (residual > 0L) b = math.max(b, 1.0 / residual.toDouble)
-            }
-            scoreBound = math.max(scoreBound, b)
+            prefix += ((l, r, c, sc)); nPre += 1
+            used += l; used += r; used += mm
             i += 1
           }
         }
-        val selected = sel.result()
+        val disjoint = prefix.result()
+        val selected =
+          if (disjoint.length <= 1)
+            disjoint.zipWithIndex.map { case ((l, r, c, sc), j) =>
+              WpMerge(rank + j, l, r, sc, c) }
+          else {
+            // rule 2 — score-dominance cut over the prefix; unit counts
+            // of the prefix's symbols feed the residual bound
+            // (model-sized collect over the vocab-sized unit table)
+            val candSyms = disjoint.flatMap(t => Seq(t._1, t._2)).distinct
+            val unit = unitCounts(words).filter(col("sym").isin(candSyms: _*))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            var scoreBound = 0.0
+            var cut = false
+            val admitted = Vector.newBuilder[WpMerge]
+            var nAdm = 0
+            disjoint.zipWithIndex.foreach { case ((l, r, c, sc), j) =>
+              if (!cut) {
+                if (j > 0 && sc <= scoreBound) cut = true
+                else {
+                  admitted += WpMerge(rank + nAdm, l, r, sc, c); nAdm += 1
+                  var b = 1.0 / c.toDouble
+                  val consumed = Seq(l -> (if (l == r) 2L * c else c),
+                    r -> (if (l == r) 2L * c else c))
+                  consumed.foreach { case (sym, eaten) =>
+                    val residual = unit.getOrElse(sym, 0L) - eaten
+                    if (residual > 0L) b = math.max(b, 1.0 / residual.toDouble)
+                  }
+                  scoreBound = math.max(scoreBound, b)
+                }
+              }
+            }
+            admitted.result()
+          }
         merges ++= selected
         rank += selected.length
         val batch = selected.map(m => (m.left, m.right))

@@ -255,6 +255,45 @@ class AnnRecallSpec extends AnyFunSuite {
       .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  test("persisted-index recall floors on the key-shifted x10 corpus (index maintenance guard)") {
+    // The build/append/query plumbing is pinned bit-for-bit above; this
+    // pins QUALITY under growth — recall@10 floors for the PERSISTED
+    // ivfpq/opq paths on a 10x key-shifted corpus (the ScaleCorpus probe
+    // shape: each replica re-ids the same vectors, so every true
+    // neighbor recurs 10x and a broken cell layout or stale codebook
+    // would crater recall rather than shave it). Floors pinned well
+    // under first-measurement so fixture jitter never trips them, but a
+    // silent maintenance regression (wrong partition key, rotation
+    // drift, probe-set bug) does.
+    val stride = 1L + corpus.agg(max(col("vec_id"))).head.getLong(0)
+    val corpus10 = (0L until 10L).map { r =>
+      corpus.select((col("vec_id") + lit(r * stride)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val truth10 = topSets(
+      Similarity.bruteForceTopK(corpus10, queries, "vec_id", "embedding", K))
+    def recall10(approx: DataFrame): Double = {
+      val got = topSets(approx)
+      val per = truth10.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("x10_recall").toString
+    Similarity.buildIvfPqIndex(corpus10, "vec_id", "embedding", s"$tmp/ivfpq",
+      nCells = 16, m = 4, codes = 16)
+    val rIvfPq = recall10(Similarity.queryIvfPqIndex(spark, s"$tmp/ivfpq",
+      queries, "vec_id", "embedding", K, nProbe = 4))
+    Similarity.buildOpqIndex(corpus10, "vec_id", "embedding", s"$tmp/opq",
+      m = 4, codes = 16)
+    val rOpq = recall10(Similarity.queryOpqIndex(spark, s"$tmp/opq",
+      queries, "vec_id", "embedding", K))
+    info(f"x10 persisted recall@$K: ivfpq(nProbe=4) $rIvfPq%.3f, opq $rOpq%.3f")
+    assert(rIvfPq > 0.45, f"persisted ivfpq recall floor on x10 (got $rIvfPq%.3f)")
+    assert(rOpq > 0.45, f"persisted opq recall floor on x10 (got $rOpq%.3f)")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("IR ivfpq-build / ivfpq-query: build-once-query-many declared as data; validate total") {
     import graft.ir.{Engine, EngineCtx, Node}
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq_ir").toString

@@ -175,6 +175,57 @@ class DedupRecallSpec extends AnyFunSuite {
       assert(got(k)._1 == d && math.abs(got(k)._2 - sim) < 1e-12, s"mismatch at $k") }
   }
 
+  test("editConfirmFunnel (fused single-pass) equals the staged composition, incl. duplicate ids") {
+    val s = TestSpark.spark
+    import s.implicits._
+    for ((df, tag) <- Seq(corpus -> "unique-ids",
+      corpus.union(corpus.limit(4)) -> "duplicate-ids")) {
+      val staged = {
+        val p = Dedup.lshCandidates(df, "text", "doc_id", k = 8, rowsPerBand = 2)
+        val jp = Dedup.ngramJaccard(df, p, "text", "doc_id")
+          .filter(col("jaccard") >= 0.3).select("id1", "id2")
+        Dedup.editConfirm(df, jp, "text", "doc_id", minSim = 0.5, maxLen = 200)
+          .collect().map(_.toSeq).toSet
+      }
+      val fused = Dedup.editConfirmFunnel(df, "text", "doc_id",
+        minJaccard = 0.3, minSim = 0.5, maxLen = 200, k = 8, rowsPerBand = 2)
+        .collect().map(_.toSeq).toSet
+      assert(fused == staged, tag)
+    }
+  }
+
+  test("maxBucketPlan: planted mega-bucket drives the recommendation; clean corpus hits the floor") {
+    val s = TestSpark.spark
+    import s.implicits._
+    def rec(plan: org.apache.spark.sql.Row, fraction: Double): Long =
+      math.max(16L, math.ceil(4.0 * plan.getAs[Long]("max_bucket") / fraction).toLong)
+    val clean = (1L to 200L).map(i =>
+      (i, s"unique alpha$i beta$i gamma$i delta$i epsilon$i")).toDF("doc_id", "text")
+    val pc = Dedup.maxBucketPlan(clean, "text", "doc_id", fraction = 1.0).collect().head
+    // near-unique docs: recommendation is self-consistent and floored
+    assert(pc.getAs[Long]("recommended_max_bucket") == rec(pc, 1.0))
+    assert(pc.getAs[Long]("max_bucket") <= 4L,
+      "distinct-shingle docs should not form large buckets")
+    assert(pc.getAs[Long]("recommended_max_bucket") >= 16L)
+    // planted boilerplate clique: 100 identical docs collide in EVERY band
+    val boiler = (1L to 100L).map(i =>
+      (1000L + i, "the same boilerplate header text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val mixed = clean.unionByName(boiler)
+    val pm = Dedup.maxBucketPlan(mixed, "text", "doc_id", fraction = 1.0).collect().head
+    assert(pm.getAs[Long]("max_bucket") >= 100L, "the clique is the max bucket")
+    assert(pm.getAs[Long]("recommended_max_bucket") == rec(pm, 1.0))
+    assert(pm.getAs[Long]("p99_bucket") <= pm.getAs[Long]("max_bucket"))
+    assert(pm.getAs[Long]("n_sampled") == 300L)
+    // sampled probe extrapolates: fraction 0.5 sees ~half the clique but
+    // recommends in the same regime as the full-corpus plan
+    val ph = Dedup.maxBucketPlan(mixed, "text", "doc_id", fraction = 0.5).collect().head
+    assert(ph.getAs[Long]("recommended_max_bucket") == rec(ph, 0.5))
+    assert(ph.getAs[Long]("recommended_max_bucket") >= 200L &&
+      ph.getAs[Long]("recommended_max_bucket") <= 800L,
+      s"extrapolated recommendation out of regime: $ph")
+  }
+
   test("dupRateEstimate: reproducible, catches planted duplicates, extrapolation law") {
     val s = TestSpark.spark
     import s.implicits._

@@ -73,6 +73,71 @@ class StreamServeSpec extends AnyFunSuite {
     assert(streamed.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("crash mid-commit window: replayed batch is deduped by the sink manifest (exactly-once)") {
+    // The real failure mode for a config-declared long-running query is a
+    // crash BETWEEN the file sink's manifest commit and the checkpoint's
+    // offset-commit record — Structured Streaming then replays the whole
+    // micro-batch on restart, and exactly-once holds only because the
+    // sink manifest already lists that batchId. Simulate that exact
+    // on-disk state deterministically: process a batch, then delete its
+    // `commits/<id>` marker from the checkpoint (the crash window's
+    // signature), restart, land more data, and require the final output
+    // to equal the batch twin with NO duplicate rows.
+    //
+    // Reference delta: mirabelle's SIGHUP hot reload keeps operator state
+    // live in-process (stream.clj:227-259); the Spark twin's contract is
+    // checkpoint RESTART — same query + same checkpoint resumes state and
+    // offsets, and a torn shutdown must not double-write.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stream_crash")
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val conf = graft.ir.Config.parse(
+      s"""{:streaming {:queries [{:name "ewma-crash"
+         |                        :source {:type "file" :path "$inDir" :format "json"}
+         |                        :op {:action "ewma" :r 0.5 :keys ["host"]}
+         |                        :sink {:path "$outDir" :checkpoint "$ckDir"
+         |                               :format "json"}}]}}""".stripMargin)
+    val fixture = Seq(ev(10, 1 * S, "a", 1), ev(20, 2 * S, "a", 2),
+      ev(2, 3 * S, "a", 3), ev(8, 4 * S, "a", 4))
+    def land(events: Seq[Event]): Unit =
+      events.toDS().coalesce(1).write.mode("append").json(inDir)
+
+    land(fixture.take(2))
+    val q1 = StreamServe.start(s, conf.streaming.head)
+    q1.processAllAvailable(); q1.stop()
+
+    // tear the commit record of the last completed batch: offsets say
+    // "planned", sink manifest says "written", commits say nothing —
+    // exactly what a kill -9 in the commit window leaves behind
+    val commits = new java.io.File(s"$ckDir/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "expected at least one committed batch")
+    assert(commits.last.delete(), "failed to tear the commit record")
+    // Hadoop's local ChecksumFileSystem shadows each entry with a .N.crc
+    // file; a stale one left beside the torn record would make the
+    // replayed commit write look like a concurrent-query conflict
+    val crc = new java.io.File(s"$ckDir/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+
+    land(fixture.drop(2))
+    val q2 = StreamServe.start(s, conf.streaming.head) // same checkpoint
+    q2.processAllAvailable(); q2.stop()
+
+    val streamed = s.read.schema(Event.schema).json(outDir)
+      .select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // exactly-once: no eventId appears twice even though batch 0 was
+    // re-executed after the torn commit
+    assert(streamed.length == streamed.map(_._1).distinct.length,
+      s"duplicate rows after crash replay: ${streamed.toSeq.sorted}")
+    val batch = Analytics.ewmaTimeless(0.5, Seq("host"))(events(fixture: _*))
+      .toDF().select("eventId", "metric").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.toMap == batch && streamed.toMap.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("rate source maps onto the canonical event schema") {
     val df = StreamServe.source(spark,
       Map("type" -> "rate", "rows-per-second" -> (2: Integer), "hosts" -> (2: Integer)))

@@ -88,7 +88,15 @@ class TokenizerSpec extends AnyFunSuite {
         (4L, "widest widest widest")),
       corpus((1L, "aaaa aaaa aaa aa aaaa"), (2L, "aaaaaa aaa baab")),
       corpus((1L, "abc abc abc abc"), (2L, "ab bc abc cab")),
-      corpus((1L, "xyz xyz xyz xyz xyz xyz xyz"), (2L, "xy pq pq pq")))
+      corpus((1L, "xyz xyz xyz xyz xyz xyz xyz"), (2L, "xy pq pq pq")),
+      // dominance-bound live-fire: (x,y) c=8 admitted, then (p,q) c=3 —
+      // DISJOINT, so only the triple bound (created (xy,w)/(xy,z) c=4)
+      // can correctly stop the batch before it; sequential rank-2 is the
+      // created (xy,w)
+      corpus((1L, "xyw xyw xyw xyw xyz xyz xyz xyz"), (2L, "pq pq pq")),
+      // and its admit twin: (p,q) c=5 BEATS the created bound 4, so the
+      // batch may (and must, for amortization) take both
+      corpus((1L, "xyw xyw xyw xyw xyz xyz xyz xyz"), (2L, "pq pq pq pq pq")))
     for ((docs, ci) <- corpora.zipWithIndex; m <- Seq(1, 2, 4, 16)) {
       val seq = Tokenizer.trainBpe(docs, "text", 10)
         .orderBy("rank").collect().map(_.toSeq).toSeq
