@@ -107,7 +107,10 @@ object Bench {
     "dd_quantiles", "key_skew_profile",
     // round 12: the whole curation chain as one composed pipeline
     // (quality gate -> exact dedup -> LSH near-dup prune -> decontam)
-    "curation_e2e")
+    "curation_e2e",
+    // round 13: full batched BPE train + rank-priority encode (the
+    // driver-round amortization story), mega-bucket cap planner probe
+    "bpe_train", "bpe_encode", "lsh_cap_plan")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate
