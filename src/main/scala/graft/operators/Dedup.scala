@@ -1343,7 +1343,11 @@ object Dedup {
       .select(col("id1"), col("id2"))
     // verify map-side: the token-set frame is corpus-keyed (small next
     // to the candidate table) — two broadcast-able joins, one fused
-    // array intersect per pair, zero per-token shuffle rows
+    // array intersect per pair, zero per-token shuffle rows. (No
+    // editConfirmFunnel-style round-robin re-spread here: measured
+    // no-op — this operator is candidate/output-volume-bound, the
+    // prefix join's own aggregate already sizes the verify's partitions
+    // to the candidate table.)
     cand
       .join(ordered.select(col("doc_id").as("id1"), col("sorted").as("__s1"),
         col("n").as("__n1")), "id1")
