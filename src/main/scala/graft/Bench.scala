@@ -110,7 +110,8 @@ object Bench {
     "curation_e2e",
     // round 13: full batched BPE train + rank-priority encode (the
     // driver-round amortization story), mega-bucket cap planner probe
-    "bpe_train", "bpe_encode", "lsh_cap_plan")
+    "bpe_train", "bpe_encode", "lsh_cap_plan", "wordpiece_train",
+    "wordpiece_encode")
 
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate

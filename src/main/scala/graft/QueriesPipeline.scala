@@ -5230,6 +5230,119 @@ object QueriesPipeline {
       }
     }
 
+    // full WordPiece train, oracle-replayed: same distinct-character
+    // vocabulary trick as bpe_train (every marked symbol occurs at most
+    // once per word, so delimited replace() IS the merge scan), with the
+    // score argmax — cnt/(lcnt*rcnt) in IEEE doubles, the exact
+    // expression wordpiece_pair_scores already hash-matches. Every
+    // per-round CTE is MATERIALIZED: the chain re-inlines exponentially
+    // otherwise (tk feeds two consumers per round).
+    locally {
+      val rounds = 8
+      def roundCtes(r: Int): String =
+        s"""tk$r AS MATERIALIZED (
+           |  SELECT cnt, list_filter(string_split(w, '|'), t -> len(t) > 0) AS toks FROM w$r),
+           |u$r AS MATERIALIZED (
+           |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS ucnt FROM (
+           |    SELECT cnt, unnest(toks) AS sym FROM tk$r) GROUP BY 1),
+           |p$r AS MATERIALIZED (
+           |  SELECT toks[CAST(i AS INT)] AS l, toks[CAST(i AS INT)+1] AS r,
+           |         CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM (SELECT cnt, toks, unnest(range(1, len(toks))) AS i FROM tk$r)
+           |  GROUP BY 1, 2),
+           |m$r AS MATERIALIZED (
+           |  SELECT p.l, p.r, p.cnt,
+           |         CAST(p.cnt AS DOUBLE) / (CAST(ul.ucnt AS DOUBLE) * CAST(ur.ucnt AS DOUBLE)) AS score
+           |  FROM p$r p JOIN u$r ul ON ul.sym = p.l JOIN u$r ur ON ur.sym = p.r
+           |  WHERE p.cnt >= 2
+           |  ORDER BY score DESC, p.cnt DESC, p.l, p.r LIMIT 1),
+           |w${r + 1} AS MATERIALIZED (
+           |  SELECT replace(w.w, '|' || m.l || '|' || m.r || '|',
+           |                 '|' || m.l || CASE WHEN starts_with(m.r, '##') THEN substr(m.r, 3) ELSE m.r END || '|') AS w, w.cnt
+           |  FROM w$r w, m$r m)""".stripMargin
+      register("wordpiece_train",
+        s"""WITH fwords AS MATERIALIZED (
+           |  SELECT tok AS word, count(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                  t -> len(t) > 0)) AS tok
+           |    FROM documents)
+           |  WHERE len(tok) BETWEEN 3 AND 12
+           |    AND len(list_distinct(string_split(tok, ''))) = len(tok)
+           |  GROUP BY 1),
+           |w0 AS (SELECT '|' || substr(word, 1, 1) ||
+           |              regexp_replace(substr(word, 2), '(.)', '|##\\1', 'g') || '|' AS w, cnt
+           |       FROM fwords),
+           |${(0 until rounds).map(roundCtes).mkString(",\n")}
+           |${(0 until rounds).map(r =>
+              s"""SELECT CAST($r AS INT) AS rank, l AS "left", r AS "right", score, cnt AS pair_count FROM m$r""")
+              .mkString("\nUNION ALL\n")}
+           |ORDER BY rank""".stripMargin) { (s, dir) =>
+        val words = graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+          .filter(length(col("word")).between(3, 12) &&
+            size(array_distinct(split(col("word"), ""))) === length(col("word")))
+        graft.operators.WordPiece
+          .trainWordPieceWordsBatched(words, rounds, 2L)
+          .orderBy("rank")
+      }
+
+      // greedy longest-match WordPiece ENCODE with the trained vocab,
+      // replayed as a recursive CTE: at each position take the longest
+      // vocab piece (marked iff word-internal); base units cover every
+      // corpus character, so [UNK] never fires on the training words
+      register("wordpiece_encode",
+        s"""WITH RECURSIVE fwords AS MATERIALIZED (
+           |  SELECT tok AS word, count(*) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                  t -> len(t) > 0)) AS tok
+           |    FROM documents)
+           |  WHERE len(tok) BETWEEN 3 AND 12
+           |    AND len(list_distinct(string_split(tok, ''))) = len(tok)
+           |  GROUP BY 1),
+           |w0 AS (SELECT '|' || substr(word, 1, 1) ||
+           |              regexp_replace(substr(word, 2), '(.)', '|##\\1', 'g') || '|' AS w, cnt
+           |       FROM fwords),
+           |${(0 until rounds).map(roundCtes).mkString(",\n")},
+           |vocab AS MATERIALIZED (
+           |  SELECT DISTINCT sym AS piece FROM (
+           |    SELECT unnest(list_filter(string_split(w, '|'), t -> len(t) > 0)) AS sym FROM w0)
+           |  UNION
+           |  ${(0 until rounds).map(r =>
+              s"SELECT l || CASE WHEN starts_with(r, '##') THEN substr(r, 3) ELSE r END AS piece FROM m$r")
+              .mkString("\n  UNION\n  ")}),
+           |vraw AS MATERIALIZED (
+           |  SELECT piece, starts_with(piece, '##') AS marked,
+           |         CASE WHEN starts_with(piece, '##') THEN substr(piece, 3) ELSE piece END AS raw
+           |  FROM vocab),
+           |enc AS (
+           |  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS acc FROM fwords
+           |  UNION ALL
+           |  SELECT e.word, e.pos + len(v.raw) AS pos,
+           |         CASE WHEN e.acc = '' THEN v.piece ELSE e.acc || ' ' || v.piece END AS acc
+           |  FROM enc e JOIN vraw v
+           |    ON v.marked = (e.pos > 1)
+           |   AND substr(e.word, e.pos, len(v.raw)) = v.raw
+           |   AND len(v.raw) = (SELECT max(len(v2.raw)) FROM vraw v2
+           |                     WHERE v2.marked = (e.pos > 1)
+           |                       AND substr(e.word, e.pos, len(v2.raw)) = v2.raw)
+           |  WHERE e.pos <= len(e.word))
+           |SELECT word, acc AS pieces FROM enc WHERE pos = len(word) + 1
+           |ORDER BY word""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        val words = graft.operators.Materialize(
+          graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+            .filter(length(col("word")).between(3, 12) &&
+              size(array_distinct(split(col("word"), ""))) === length(col("word"))))
+        val merges = graft.operators.WordPiece
+          .trainWordPieceWordsBatched(words, rounds, 2L)
+        val vocab = graft.operators.WordPiece.vocabFrameWords(words, merges)
+          .select("piece").collect().map(_.getString(0)).toSet
+        words.select(col("word")).as[String]
+          .map(w => (w, graft.operators.WordPiece.encodeWord(w, vocab).mkString(" ")))
+          .toDF("word", "pieces")
+          .orderBy("word")
+      }
+    }
+
     // WordPiece scored pairs — the oracle-gated primitive of the
     // likelihood-argmax trainer (the merge loop is spec-gated like BPE's;
     // score = cnt/(lcnt*rcnt) is two IEEE double ops in the same order on

@@ -1632,6 +1632,17 @@ object Engine {
         pStr(m("text")), pStr(m("id")), pDouble(m("fraction")),
         m.get("k").map(pLong(_).toInt).getOrElse(8),
         m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+    case "lsh-cap-plan" =>
+      // planning probe: sampled banding -> bucket-size stats ->
+      // recommended max-bucket for dedup-minhash-lsh / near-dup-prune
+      // (docs/IR.md: the cap itself stays opt-in)
+      val m = pMap(params.head)
+      df => graft.operators.Dedup.maxBucketPlan(df,
+        pStr(m("text")), pStr(m("id")), pDouble(m("fraction")),
+        m.get("k").map(pLong(_).toInt).getOrElse(8),
+        m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+        m.get("salt").map(pStr).getOrElse("capplan"),
+        m.get("headroom").map(pDouble).getOrElse(4.0))
     case "dedup-lines-consecutive" =>
       // collapse runs of identical lines inside each document
       val m = pMap(params.head)
@@ -2237,10 +2248,13 @@ object Engine {
         pStr(m("out")), m.get("max-piece").map(pLong(_).toInt).getOrElse(8))
     case "wordpiece-train" =>
       val m = pMap(params.head)
+      // batched driver loop by default (exactly equal to sequential;
+      // `batch 1` recovers the one-merge-per-job reference path)
       df => {
-        val merges = graft.operators.WordPiece.trainWordPiece(df, pStr(m("text")),
+        val merges = graft.operators.WordPiece.trainWordPieceBatched(df, pStr(m("text")),
           pLong(m("merges")).toInt,
-          m.get("min-pair").map(pLong).getOrElse(2L))
+          m.get("min-pair").map(pLong).getOrElse(2L),
+          m.get("batch").map(pLong(_).toInt).getOrElse(16))
         graft.operators.WordPiece.vocabFrame(df, pStr(m("text")), merges)
       }
     case "wordpiece-encode" =>

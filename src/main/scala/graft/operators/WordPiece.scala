@@ -147,12 +147,19 @@ object WordPiece {
     * segmentation is oracle-replayable: one piece per character).
     */
   def trainWordPiece(docs: DataFrame, textCol: String, numMerges: Int,
-                     minPairCount: Long = 2L): DataFrame = {
+                     minPairCount: Long = 2L): DataFrame =
+    trainWordPieceWords(Tokenizer.wordCounts(docs, textCol), numMerges, minPairCount)
+
+  /** [[trainWordPiece]] from an explicit word-frequency table (columns
+    * `word`, `cnt`) — the filtered-vocabulary / pre-shuffled entry point,
+    * mirroring [[Tokenizer.trainBpeWords]].
+    */
+  def trainWordPieceWords(wordFreqs: DataFrame, numMerges: Int,
+                          minPairCount: Long = 2L): DataFrame = {
     require(numMerges >= 0, s"trainWordPiece: numMerges must be >= 0, got $numMerges")
-    val spark = docs.sparkSession
+    val spark = wordFreqs.sparkSession
     import spark.implicits._
-    var words = Materialize.dataset(
-      symbolize(Tokenizer.wordCounts(docs, textCol)))
+    var words = Materialize.dataset(symbolize(wordFreqs))
     val merges = Seq.newBuilder[WpMerge]
     var rank = 0
     var done = numMerges == 0
@@ -209,13 +216,18 @@ object WordPiece {
     * WordPieceSpec against [[trainWordPiece]] on adversarial corpora.
     */
   def trainWordPieceBatched(docs: DataFrame, textCol: String, numMerges: Int,
-                            minPairCount: Long = 2L, batchSize: Int = 16): DataFrame = {
+                            minPairCount: Long = 2L, batchSize: Int = 16): DataFrame =
+    trainWordPieceWordsBatched(Tokenizer.wordCounts(docs, textCol), numMerges,
+      minPairCount, batchSize)
+
+  /** [[trainWordPieceBatched]] from an explicit word-frequency table. */
+  def trainWordPieceWordsBatched(wordFreqs: DataFrame, numMerges: Int,
+                                 minPairCount: Long = 2L, batchSize: Int = 16): DataFrame = {
     require(numMerges >= 0, s"trainWordPieceBatched: numMerges must be >= 0, got $numMerges")
     require(batchSize >= 1, s"trainWordPieceBatched: batchSize must be >= 1, got $batchSize")
-    val spark = docs.sparkSession
+    val spark = wordFreqs.sparkSession
     import spark.implicits._
-    var words = Materialize.dataset(
-      symbolize(Tokenizer.wordCounts(docs, textCol)))
+    var words = Materialize.dataset(symbolize(wordFreqs))
     val merges = Seq.newBuilder[WpMerge]
     var rank = 0
     var done = numMerges == 0
@@ -297,9 +309,12 @@ object WordPiece {
     * (rank -1) plus each merge's output symbol at its merge rank. This is
     * the persisted model the greedy encoder loads.
     */
-  def vocabFrame(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val units = unitCounts(symbolize(Tokenizer.wordCounts(docs, textCol)))
+  def vocabFrame(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame =
+    vocabFrameWords(Tokenizer.wordCounts(docs, textCol), merges)
+
+  /** [[vocabFrame]] from an explicit word-frequency table. */
+  def vocabFrameWords(wordFreqs: DataFrame, merges: DataFrame): DataFrame = {
+    val units = unitCounts(symbolize(wordFreqs))
       .select(col("sym").as("piece"), lit(-1).as("rank"))
     val merged = merges
       .select(concat(col("left"),

@@ -224,6 +224,13 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(ph.getAs[Long]("recommended_max_bucket") >= 200L &&
       ph.getAs[Long]("recommended_max_bucket") <= 800L,
       s"extrapolated recommendation out of regime: $ph")
+    // declared as data: the IR action reproduces the operator exactly
+    import graft.ir.{Engine, EngineCtx, Node}
+    val viaIr = Engine.run(Node.fromJson(
+      """{"action":"lsh-cap-plan","params":[{"text":"text","id":"doc_id","fraction":1.0}],
+        | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      mixed, EngineCtx(testMode = true)).taps("out").collect().head
+    assert(viaIr.toSeq == pm.toSeq)
   }
 
   test("dupRateEstimate: reproducible, catches planted duplicates, extrapolation law") {

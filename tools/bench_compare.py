@@ -19,10 +19,25 @@ import sys
 
 
 def load(path: str) -> dict:
-    with open(path) as f:
-        raw = json.load(f) if path.endswith(".json") else None
-    if raw is None:
+    if not path.endswith(".json"):
         raise SystemExit(f"{path}: expected a .json file")
+    with open(path) as f:
+        text = f.read()
+    try:
+        raw = json.loads(text)
+    except json.JSONDecodeError:
+        # raw Bench stdout captures hold several JSON lines (per-pass
+        # detail, then the driver-contract line LAST) — take the last
+        # parseable line instead of demanding a single JSON document
+        raw = None
+        for line in reversed([l for l in text.splitlines() if l.strip()]):
+            try:
+                raw = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+    if raw is None:
+        raise SystemExit(f"{path}: no parseable JSON (not a bench file?)")
     parsed = raw.get("parsed", raw)
     if "queries" not in parsed:
         raise SystemExit(f"{path}: no 'queries' map (not a bench file?)")
