@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   * (count DESC, left ASC, right ASC); the merge scan is left-to-right
   * non-overlapping — every engine reproduces the merge list exactly.
   *
-  * The adjacent-pair primitive is oracle-gated (`bpe_pair_counts` —
-  * DuckDB replays character pairs with `substr`); the iterative loop is
-  * NOT SQL-expressible (the left-to-right merge scan is stateful within a
-  * word — a string `replace` resumes AFTER each replacement and so
-  * under-merges runs of 3+ identical symbols), so the loop is spec-gated
-  * against an independent in-memory reference implementation instead.
+  * Correctness gates, layered: the adjacent-pair primitive is
+  * oracle-gated on the full corpus (`bpe_pair_counts`); the FULL train
+  * and the rank-priority encode are oracle-gated end to end on the
+  * distinct-character vocabulary (`bpe_train` / `bpe_encode` — there a
+  * delimited string `replace` IS the merge scan, because every symbol
+  * occurs at most once per word); and the general-case merge scan
+  * (where `replace` would under-merge runs of 3+ identical symbols —
+  * stateful within a word, not SQL-expressible) is spec-gated against
+  * an independent in-memory reference implementation. [[trainBpeBatched]]
+  * is the production driver loop; [[trainBpe]] is the one-merge-per-job
+  * reference semantics.
   */
 object Tokenizer {
 

@@ -29,12 +29,15 @@ import org.apache.spark.sql.functions._
   * the same order on every engine — and the argmax tie-breaks by
   * (score DESC, pair count DESC, left ASC, right ASC).
   *
-  * The scored-pair primitive is oracle-gated (`wordpiece_pair_scores`
-  * — DuckDB replays the marked symbolization with `substr` and `||`);
-  * the iterative loop is spec-gated against an independent in-memory
-  * reference, exactly like BPE's merge loop (the left-to-right
-  * non-overlapping merge scan is stateful within a word and not
-  * SQL-expressible).
+  * Correctness gates, layered like BPE's: the scored-pair primitive is
+  * oracle-gated on the full corpus (`wordpiece_pair_scores`); the FULL
+  * train and the trained-vocab greedy encode are oracle-gated end to
+  * end on the distinct-character vocabulary (`wordpiece_train` /
+  * `wordpiece_encode`); and the general-case merge scan (stateful
+  * within a word, not SQL-expressible on runs) is spec-gated against an
+  * independent in-memory reference. [[trainWordPieceBatched]] is the
+  * production driver loop; [[trainWordPiece]] the one-merge-per-job
+  * reference semantics.
   *
   * Reference scope note: the reference engine (mirabelle) has no
   * tokenizer surface; this is part of the training-data-pipeline
