@@ -2016,7 +2016,11 @@ object Engine {
       df => {
         val pairs = graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
           k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+          // same opt-in mega-bucket guard as dedup-minhash-lsh (a capped
+          // bucket's members root at themselves — they fall out of the
+          // atomic-cluster rule, never out of the split)
+          maxBucket = m.get("max-bucket").map(pLong(_).toInt).getOrElse(Int.MaxValue))
         val weights = m("weights").asInstanceOf[Seq[Any]].map { w =>
           val wm = pMap(w)
           (pStr(wm("name")), pDouble(wm("weight")))

@@ -458,6 +458,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(out2.filter($"doc_id" === 2L).select("cluster").head.getLong(0) == 20L)
   }
 
+  test("IR cluster-split honors max-bucket: capped mega-clique roots at self, split stays total") {
+    import graft.ir.{Engine, EngineCtx, Node}
+    val s = spark
+    import s.implicits._
+    // 30 identical docs (one mega-clique) + 3 distinct ones
+    val docs = ((1L to 30L).map(i => (i, "the same boilerplate body verbatim")) ++
+      Seq((101L, "alpha beta gamma delta epsilon"),
+        (102L, "zeta eta theta iota kappa"),
+        (103L, "lambda mu nu xi omicron"))).toDF("doc_id", "text")
+    def split(mb: String) = Engine.run(Node.fromJson(
+      s"""{"action":"cluster-split","params":[{"id":"doc_id","text":"text",$mb
+         |  "weights":[{"name":"train","weight":0.5},{"name":"test","weight":0.5}]}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
+      docs, EngineCtx(testMode = true)).taps("out")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val atomic = split("")
+    assert((1L to 30L).map(atomic).toSet.size == 1, "uncapped: clique atomic")
+    val capped = split("\"max-bucket\":5,")
+    assert(capped.size == 33, "capped split stays total — every doc assigned")
+    // capped clique members root at THEMSELVES (hash of own id), exactly
+    // like the plain splitByHash of their ids
+    val plain = graft.operators.Sampling.splitByHash(
+      docs.filter($"doc_id" <= 30L), "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5), salt = "split")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 30L).foreach(i => assert(capped(i) == plain(i), s"doc $i"))
+  }
+
   test("sharedSubstringSpans: maximal cross-doc runs, self-repeats excluded") {
     import graft.operators.Dedup
     val s = spark
