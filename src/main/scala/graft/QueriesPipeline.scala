@@ -5111,10 +5111,11 @@ object QueriesPipeline {
     }
 
     // BPE adjacent-pair counts — the oracle-gated primitive of the
-    // distributed tokenizer trainer (the iterative merge loop itself is
-    // not SQL-expressible: the left-to-right merge scan is stateful
-    // within a word, so the loop is spec-gated in TokenizerSpec against
-    // an independent reference implementation)
+    // distributed tokenizer trainer on the FULL corpus (the merge loop
+    // is stateful within a word, so its general case is spec-gated in
+    // TokenizerSpec; the full train/encode are oracle-gated end to end
+    // on the distinct-character vocabulary — bpe_train / bpe_encode
+    // above)
     register("bpe_pair_counts",
       s"""$DocsView,
          |words AS (SELECT tok AS word, count(*) AS cnt

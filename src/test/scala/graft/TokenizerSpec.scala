@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Distributed BPE training vs an INDEPENDENT in-memory reference
-  * implementation (the loop is not SQL-expressible, so this spec is its
-  * correctness gate — the adjacent-pair primitive has the DuckDB gate
-  * `bpe_pair_counts`), plus the merge-scan and encoder laws.
+  * implementation — the general merge scan (stateful within a word) is
+  * gated HERE; the adjacent-pair primitive and the full train/encode on
+  * the distinct-character vocabulary have DuckDB gates
+  * (`bpe_pair_counts`, `bpe_train`, `bpe_encode`). Plus the merge-scan,
+  * batched-equals-sequential, and encoder laws.
   */
 class TokenizerSpec extends AnyFunSuite {
   import TestSpark.spark

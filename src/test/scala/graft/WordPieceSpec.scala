@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Distributed WordPiece training vs an INDEPENDENT in-memory reference
-  * (the merge loop is not SQL-expressible, so this spec is its
-  * correctness gate — the scored-pair primitive has the DuckDB gate
-  * `wordpiece_pair_scores`), plus the greedy-encoder laws.
+  * — the general merge scan is gated HERE; the scored-pair primitive and
+  * the full train/encode on the distinct-character vocabulary have
+  * DuckDB gates (`wordpiece_pair_scores`, `wordpiece_train`,
+  * `wordpiece_encode`). Plus the batched-equals-sequential and
+  * greedy-encoder laws.
   */
 class WordPieceSpec extends AnyFunSuite {
   import TestSpark.spark
