@@ -1413,6 +1413,108 @@ object QueriesPipeline {
         }
       }
 
+      // ---- AUTO mega-bucket guard: the r14 default path ----
+      //
+      // Adversarial fixture: every document replicated 40× with a replica
+      // token appended (rep 0 = the original — the ScaleCorpus text
+      // convention), so each band bucket's membership multiplies ~40× and
+      // the corpus's total candidate-pair emissions blow past the
+      // 32-per-doc budget. The AUTO guard (the default every LSH-composing
+      // IR action now gets) must resolve a finite cap from the exact
+      // bucket-size histogram and drop the mega buckets whole. The oracle
+      // replays the ENTIRE decision — histogram, banded-doc count, budget,
+      // largest-qualifying size, the 16 floor — then the qualify-then-join,
+      // so a drift in any part of the resolution breaks the hash. (On the
+      // UNREPLICATED corpus the same default resolves to unlimited and is
+      // bit-identical to the unguarded join — that is what keeps every
+      // pre-r14 LSH gate green with auto as the new default.)
+      locally {
+        val reps = 40
+        val autoPrefix =
+          s"""WITH corpus AS (
+             |  SELECT doc_id + rep * 1000000 AS doc_id,
+             |         CASE WHEN rep = 0 THEN text
+             |              ELSE text || ' rep' || CAST(rep AS VARCHAR) END AS text
+             |  FROM documents CROSS JOIN (SELECT unnest(range($reps)) AS rep)),
+             |docs AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                     t -> len(t) > 0) AS toks
+             |  FROM corpus),
+             |sh AS (
+             |  SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM docs),
+             |hh AS (
+             |  SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+             |sigs AS (
+             |  SELECT doc_id,
+             |         $mins
+             |  FROM hh),
+             |buckets AS (
+             |  $bandSelects),
+             |bs AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+             |       FROM buckets WHERE sig IS NOT NULL GROUP BY 1, 2),
+             |hist AS (SELECT c AS s, CAST(count(*) AS BIGINT) AS n FROM bs GROUP BY c),
+             |nd AS (SELECT CAST(sum(s * n) AS BIGINT) // 4 AS n_docs FROM hist),
+             |bdg AS (SELECT CAST(ceil(32.0 * n_docs) AS BIGINT) AS budget FROM nd),
+             |sol AS (
+             |  SELECT CASE WHEN (SELECT CAST(sum(n * ((s * (s - 1)) // 2)) AS BIGINT) FROM hist)
+             |                   <= bdg.budget
+             |              THEN CAST(9223372036854775807 AS BIGINT)
+             |              ELSE greatest(CAST(16 AS BIGINT), coalesce((
+             |                SELECT CAST(max(s) AS BIGINT) FROM (
+             |                  SELECT s, sum(n * ((s * (s - 1)) // 2)) OVER (ORDER BY s) AS cum
+             |                  FROM hist)
+             |                WHERE cum <= bdg.budget), CAST(0 AS BIGINT)))
+             |         END AS cap
+             |  FROM bdg),
+             |kept AS (SELECT b.* FROM buckets b JOIN bs USING (band, sig), sol
+             |         WHERE bs.c <= sol.cap)""".stripMargin
+
+        def advCorpus(s: SparkSession, dir: String) =
+          docs(s, dir).select(col("doc_id"), col("text"))
+            .withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
+            .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+              when(col("rep") === 0L, col("text"))
+                .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
+
+        register("dedup_minhash_lsh_auto",
+          s"""$autoPrefix
+             |SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+             |FROM kept l JOIN kept r
+             |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+             |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+          // through the IR action with NO max-bucket param — the exact
+          // path a naive user declares; the default must be the guard
+          val node = graft.ir.Node.fromJson(
+            s"""{"action":"dedup-minhash-lsh",
+               | "params":[{"id":"doc_id","text":"text","k":$k,"rows-per-band":2}],
+               | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+          graft.ir.Engine.run(node, advCorpus(s, dir),
+              graft.ir.EngineCtx(testMode = true)).taps("out")
+            .orderBy("id1", "id2")
+        }
+
+        // the guard's one-row account — what a capped run excluded. This
+        // is the in-band observability row (`audit-path` in the IR): a
+        // production run can tell "no near-dups" from "near-dups exempted
+        // by cap" without scraping driver logs.
+        register("lsh_auto_audit",
+          s"""$autoPrefix
+             |SELECT sol.cap AS resolved_max_bucket,
+             |       nd.n_docs,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM bs) AS n_buckets,
+             |       (SELECT CAST(coalesce(max(c), 0) AS BIGINT) FROM bs) AS largest_bucket,
+             |       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM hist, sol
+             |        WHERE s > sol.cap) AS excluded_buckets,
+             |       (SELECT CAST(coalesce(sum(s * n), 0) AS BIGINT) FROM hist, sol
+             |        WHERE s > sol.cap) AS excluded_members
+             |FROM sol, nd""".stripMargin) { (s, dir) =>
+          val audit = Dedup.lshCandidatesAudited(advCorpus(s, dir), "text", "doc_id",
+            k = k, rowsPerBand = 2, cap = Dedup.BucketCap.Auto())._2
+          audit.get.toDF(s)
+        }
+      }
+
       // connected components over the LSH pairs: the oracle computes the
       // same min-reachable-id labels via transitive closure (recursive
       // CTE — fine at oracle scale; Spark side is iterative label

@@ -1391,10 +1391,15 @@ object Engine {
       df => graft.operators.Dedup.simhash(df, pStr(params.head))
     case "dedup-minhash-lsh" =>
       val m = pMap(params.head)
-      df => graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
-        k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
-        maxBucket = m.get("max-bucket").map(pLong(_).toInt).getOrElse(Int.MaxValue))
+      df => {
+        val (pairs, audit) = graft.operators.Dedup.lshCandidatesAudited(
+          df, pStr(m("text")), pStr(m("id")),
+          k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+          cap = pBucketCap(m))
+        writeCapAudit(m, df.sparkSession, audit)
+        pairs
+      }
     case "dedup-weighted-lsh" =>
       val m = pMap(params.head)
       df => graft.operators.Dedup.weightedLshCandidates(df, pStr(m("text")), pStr(m("id")),
@@ -1832,10 +1837,15 @@ object Engine {
       // MinHash-LSH candidates -> star-contraction components -> keep
       // each cluster's canonical (min-id) member; schema-preserving
       val m = pMap(params.head)
-      df => graft.operators.Dedup.pruneNearDups(df, pStr(m("text")), pStr(m("id")),
-        k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
-        maxBucket = m.get("max-bucket").map(pLong(_).toInt).getOrElse(Int.MaxValue))
+      df => {
+        val (pruned, audit) = graft.operators.Dedup.pruneNearDupsAudited(
+          df, pStr(m("text")), pStr(m("id")),
+          k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+          cap = pBucketCap(m))
+        writeCapAudit(m, df.sparkSession, audit)
+        pruned
+      }
     case "vocab-topk" =>
       val m = pMap(params.head)
       df => graft.operators.Curation.vocabTopK(df, pStr(m("text")),
@@ -1997,14 +2007,19 @@ object Engine {
         val rpb = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2)
         val mj = m.get("min-jaccard").map(pDouble).getOrElse(0.0)
         val ml = m.get("max-len").map(pLong(_).toInt).getOrElse(512)
-        if (mj > 0.0)
+        val cap = pBucketCap(m)
+        if (mj > 0.0) {
           // fused single-pass funnel: one payload table, two id-joins
-          graft.operators.Dedup.editConfirmFunnel(df, pStr(m("text")), pStr(m("id")),
+          val (out, audit) = graft.operators.Dedup.editConfirmFunnelAudited(
+            df, pStr(m("text")), pStr(m("id")),
             minJaccard = mj, minSim = pDouble(m("min-sim")), maxLen = ml,
-            k = kk, rowsPerBand = rpb)
-        else {
-          val cands = graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
-            k = kk, rowsPerBand = rpb)
+            k = kk, rowsPerBand = rpb, cap = cap)
+          writeCapAudit(m, df.sparkSession, audit)
+          out
+        } else {
+          val (cands, audit) = graft.operators.Dedup.lshCandidatesAudited(
+            df, pStr(m("text")), pStr(m("id")), k = kk, rowsPerBand = rpb, cap = cap)
+          writeCapAudit(m, df.sparkSession, audit)
           graft.operators.Dedup.editConfirm(df, cands,
             pStr(m("text")), pStr(m("id")), pDouble(m("min-sim")), ml)
         }
@@ -2014,13 +2029,15 @@ object Engine {
       // roots -> hash split of the ROOT (near-dup clusters atomic)
       val m = pMap(params.head)
       df => {
-        val pairs = graft.operators.Dedup.lshCandidates(df, pStr(m("text")), pStr(m("id")),
+        // same mega-bucket guard as dedup-minhash-lsh (a capped bucket's
+        // members root at themselves — they fall out of the atomic-cluster
+        // rule, never out of the split); auto by default like its siblings
+        val (pairs, audit) = graft.operators.Dedup.lshCandidatesAudited(
+          df, pStr(m("text")), pStr(m("id")),
           k = m.get("k").map(pLong(_).toInt).getOrElse(8),
           rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
-          // same opt-in mega-bucket guard as dedup-minhash-lsh (a capped
-          // bucket's members root at themselves — they fall out of the
-          // atomic-cluster rule, never out of the split)
-          maxBucket = m.get("max-bucket").map(pLong(_).toInt).getOrElse(Int.MaxValue))
+          cap = pBucketCap(m))
+        writeCapAudit(m, df.sparkSession, audit)
         val weights = m("weights").asInstanceOf[Seq[Any]].map { w =>
           val wm = pMap(w)
           (pStr(wm("name")), pDouble(wm("weight")))
@@ -2411,6 +2428,42 @@ object Engine {
     p.asInstanceOf[Seq[Any]].map(pDouble)
   private def pMap(p: Any): Map[String, Any] =
     p.asInstanceOf[Map[String, Any]].map { case (k, v) => k.stripPrefix(":") -> v }
+  /** Shared mega-bucket guard spec for the LSH-composing actions
+    * (`dedup-minhash-lsh`, `near-dup-prune`, `cluster-split`,
+    * `edit-confirm`). `max-bucket` accepts an int (fixed cap),
+    * `"unlimited"` (the pre-r14 opt-out), or `"auto"` — and DEFAULTS to
+    * auto: resolve the cap from the corpus's exact bucket-size
+    * histogram under a `pairs-per-doc` emission budget (default 32,
+    * `cap-floor` 16; [[graft.operators.Dedup.solveBucketCap]]). Clean
+    * corpora resolve to unlimited (bit-identical to the old default);
+    * adversarial mega-bucket corpora get a bounded run instead of a
+    * quadratic blow-up — the naive 100 TB user now gets the path that
+    * SURVIVES, and can still opt out explicitly.
+    */
+  private def pBucketCap(m: Map[String, Any]): graft.operators.Dedup.BucketCap = {
+    import graft.operators.Dedup.BucketCap
+    def auto = BucketCap.Auto(
+      pairsPerDoc = m.get("pairs-per-doc").map(pDouble).getOrElse(32.0),
+      floor = m.get("cap-floor").map(pLong(_).toInt).getOrElse(16))
+    m.get("max-bucket") match {
+      case None => auto
+      case Some(s: String) if pStr(s) == "auto" => auto
+      case Some(s: String) if pStr(s) == "unlimited" => BucketCap.Unlimited
+      case Some(v) => BucketCap.fromInt(pLong(v).toInt)
+    }
+  }
+
+  /** Optional `audit-path` side output for the guard's [[graft.operators
+    * .Dedup.LshAudit]] row — one tiny parquet a production run can join
+    * into its run report, so "no near-dups" and "near-dups exempted by
+    * cap" are distinguishable without scraping driver logs.
+    */
+  private def writeCapAudit(m: Map[String, Any],
+                            spark: org.apache.spark.sql.SparkSession,
+                            audit: Option[graft.operators.Dedup.LshAudit]): Unit =
+    for (p <- m.get("audit-path").map(pStr); a <- audit)
+      a.toDF(spark).coalesce(1).write.mode("overwrite").parquet(p)
+
   private def durOf(params: Seq[Any]): Long = pLong(pMap(params.head)("duration"))
   private def sizeOf(params: Seq[Any]): Int = pLong(pMap(params.head)("size")).toInt
   private def delayOf(params: Seq[Any]): Long =

@@ -23,6 +23,105 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Mega-bucket guard specification for the LSH-composing operators
+    * ([[lshCandidates]], [[pruneNearDups]], [[editConfirmFunnel]], the
+    * IR `cluster-split`). Three modes:
+    *
+    *  - [[BucketCap.Unlimited]] — no guard: every band bucket joins,
+    *    pairs grow as Σ s² over bucket sizes s. Correct and exact, but
+    *    ONE adversarial signature shared by 10⁶ docs costs 10¹² pairs.
+    *  - [[BucketCap.Fixed]] — drop buckets larger than a hand-set size
+    *    whole, before the join (the r12 opt-in guard).
+    *  - [[BucketCap.Auto]] — the 100 TB-safe default: resolve the cap
+    *    from the corpus's own EXACT bucket-size histogram under a pair
+    *    budget linear in corpus size (see [[solveBucketCap]]). Clean
+    *    corpora — total candidate emissions within budget — resolve to
+    *    Unlimited, so auto never approximates a corpus that doesn't
+    *    need it; adversarial corpora resolve to the largest cap whose
+    *    kept buckets stay inside the budget.
+    *
+    * Auto is deliberately NOT the sampled [[maxBucketPlan]]
+    * extrapolation: a headroom × largest-observed-bucket rule lets an
+    * already-poisoned corpus launder its own mega-bucket into the cap
+    * (the probe sees the 10⁶-member bucket, extrapolates it as
+    * "organic", and recommends a cap above it — capping nothing). An
+    * ABSOLUTE budget of O(pairsPerDoc · n) emissions cannot be
+    * laundered: no distribution of bucket sizes makes a quadratic
+    * blow-up look affordable. [[maxBucketPlan]] stays as the cheap
+    * sampled PLANNING face (run it on a trusted baseline corpus);
+    * Auto is the enforcement face and pays one exact histogram
+    * aggregate (map-side combined, bucket-count-sized collect).
+    */
+  sealed trait BucketCap
+  object BucketCap {
+    case object Unlimited extends BucketCap
+    final case class Fixed(maxBucket: Int) extends BucketCap {
+      require(maxBucket >= 2, s"BucketCap.Fixed: maxBucket must be >= 2, got $maxBucket")
+    }
+    /** `pairsPerDoc` — budget of candidate-pair EMISSIONS (within-bucket
+      * pairs summed over every band, BEFORE the distinct) allowed per
+      * banded document; `floor` — never resolve a cap below this, so a
+      * tiny corpus can't be capped into dropping normal 2–15-member
+      * near-dup buckets.
+      */
+    final case class Auto(pairsPerDoc: Double = 32.0, floor: Int = 16) extends BucketCap {
+      require(pairsPerDoc > 0, s"BucketCap.Auto: pairsPerDoc must be > 0, got $pairsPerDoc")
+      require(floor >= 2, s"BucketCap.Auto: floor must be >= 2, got $floor")
+    }
+    /** The IR/back-compat bridge: `Int.MaxValue` (the old "no cap"
+      * sentinel) means Unlimited, anything else a fixed cap.
+      */
+    def fromInt(n: Int): BucketCap = if (n == Int.MaxValue) Unlimited else Fixed(n)
+  }
+
+  /** One-row account of what the mega-bucket guard did — the in-band
+    * observability a capped production run needs to distinguish "no
+    * near-dups" from "near-dups exempted by cap". `resolvedMaxBucket`
+    * is `Long.MaxValue` when the guard resolved to unlimited (nothing
+    * dropped); `excludedBuckets`/`excludedMembers` count the band
+    * buckets (and their member rows, band-multiplicity included) that
+    * were dropped whole before the candidate join.
+    */
+  final case class LshAudit(resolvedMaxBucket: Long, nDocs: Long,
+                            nBuckets: Long, largestBucket: Long,
+                            excludedBuckets: Long, excludedMembers: Long) {
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      Seq((resolvedMaxBucket, nDocs, nBuckets, largestBucket,
+        excludedBuckets, excludedMembers))
+        .toDF("resolved_max_bucket", "n_docs", "n_buckets", "largest_bucket",
+          "excluded_buckets", "excluded_members")
+    }
+  }
+
+  /** Resolve [[BucketCap.Auto]] against an exact bucket-size histogram
+    * `hist = (size, bucketsOfThatSize)` (ascending sizes). The budget is
+    * `ceil(pairsPerDoc · nDocs)` candidate EMISSIONS (Σ s(s−1)/2 over
+    * kept buckets, all bands); if the whole histogram fits, the result
+    * is `Long.MaxValue` (unlimited — clean corpora are never capped
+    * into approximation). Otherwise: the largest bucket size whose
+    * cumulative emission count stays within budget, floored at `floor`.
+    * Pure integer/driver arithmetic — the DuckDB oracle replays it
+    * bit-for-bit (`dedup_minhash_lsh_auto` gate).
+    */
+  def solveBucketCap(hist: Seq[(Long, Long)], nDocs: Long,
+                     pairsPerDoc: Double, floor: Int): Long = {
+    val budget = math.ceil(pairsPerDoc * nDocs).toLong
+    val total = hist.iterator.map { case (s, n) => n * (s * (s - 1) / 2) }.sum
+    if (total <= budget) Long.MaxValue
+    else {
+      var cum = 0L
+      var best = 0L
+      hist.foreach { case (s, n) =>
+        cum += n * (s * (s - 1) / 2)
+        if (cum <= budget) best = s
+      }
+      math.max(floor.toLong, best)
+    }
+  }
+
   /** Keep the lowest-`ordCol` row per `key` — the skew-immune keep-first
     * kernel shared by [[exact]] and [[byFingerprint]]: ONE `min_by`
     * aggregate with map-side partial combine, so a pathological
@@ -600,40 +699,96 @@ object Dedup {
                     hashFn: Column => Column = Text.md5HashMod,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket >= 2, s"lshCandidates: maxBucket must be >= 2, got $maxBucket")
+    lshCandidatesAudited(df, textCol, idCol, k, rowsPerBand, hashFn,
+      BucketCap.fromInt(maxBucket))._1
+  }
+
+  /** [[lshCandidates]] with the guard's account attached: returns the
+    * candidate pairs plus a one-row [[LshAudit]] when a guard was
+    * active (`None` for [[BucketCap.Unlimited]] — nothing can be
+    * excluded, and computing the histogram would cost an eager job the
+    * unguarded path never needed). Guarded modes materialize the band
+    * table anyway (it feeds the cap aggregate, the semi-join and both
+    * join sides), so the audit's histogram is one extra map-side-
+    * combined aggregate with a bucket-count-sized collect — and in
+    * [[BucketCap.Auto]] mode the same collect IS the cap resolution.
+    * Exclusions are logged at WARN so a production run surfaces the
+    * trade in-band even when the caller drops the audit.
+    */
+  def lshCandidatesAudited(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 8, rowsPerBand: Int = 2,
+                           hashFn: Column => Column = Text.md5HashMod,
+                           cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
     val banded0 = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
-    val capped =
-      if (maxBucket == Int.MaxValue) banded0
-      else {
+    // (frame, already materialized?, audit)
+    val (capped, alreadyMat, audit) = cap match {
+      case BucketCap.Unlimited => (banded0, false, None)
+      case guarded =>
         // materialize BEFORE deriving the cap aggregate: the bucket table
         // feeds both the count aggregate and the semi-join probe side, and
         // without this the whole MinHash/banding hash pipeline runs twice
         val b0 = Materialize(banded0)
-        // the ok side re-aliases its keys into FRESH attributes before
-        // the semi-join: a groupBy keeps its grouping attributes' expr
-        // ids, so joining the aggregate back onto its own source by
-        // bare column name is Spark's ambiguous-self-join knife edge
-        // (observed resolving trivially-true in a REPL context); the
-        // Alias makes the condition unambiguous by construction
-        val ok = b0.groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("__bs"))
-          .filter(col("__bs") <= maxBucket)
-          .select(col("band").as("__okband"), col("sig").as("__oksig"))
-        b0.join(ok,
+        // exact bucket-SIZE histogram: (size, how many buckets have it) —
+        // distinct sizes are bounded by the largest bucket, so the collect
+        // is model-sized even when the bucket table is corpus-sized
+        val hist = b0.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("__c"))
+          .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val bands = k / rowsPerBand
+        // every banded doc contributes exactly `bands` rows, so the doc
+        // count falls out of the histogram for free (docs with <2 tokens
+        // never banded, never candidates)
+        val nDocs = hist.iterator.map { case (s, n) => s * n }.sum / math.max(1, bands)
+        val resolved: Long = guarded match {
+          case BucketCap.Fixed(n) => n.toLong
+          case BucketCap.Auto(ppd, floor) => solveBucketCap(hist, nDocs, ppd, floor)
+          case BucketCap.Unlimited => Long.MaxValue // unreachable
+        }
+        val excluded = hist.filter(_._1 > resolved)
+        val a = LshAudit(resolved, nDocs,
+          nBuckets = hist.iterator.map(_._2).sum,
+          largestBucket = hist.lastOption.map(_._1).getOrElse(0L),
+          excludedBuckets = excluded.iterator.map(_._2).sum,
+          excludedMembers = excluded.iterator.map { case (s, n) => s * n }.sum)
+        if (a.excludedBuckets > 0)
+          log.warn(s"lshCandidates: mega-bucket guard (cap=$resolved, mode=$guarded) " +
+            s"excluded ${a.excludedBuckets} band buckets / ${a.excludedMembers} member rows " +
+            s"(largest bucket ${a.largestBucket}) from candidate generation — " +
+            "near-dups inside those buckets are NOT in the pair list")
+        if (resolved == Long.MaxValue) (b0, true, Some(a))
+        else {
+          // the ok side re-aliases its keys into FRESH attributes before
+          // the semi-join: a groupBy keeps its grouping attributes' expr
+          // ids, so joining the aggregate back onto its own source by
+          // bare column name is Spark's ambiguous-self-join knife edge
+          // (observed resolving trivially-true in a REPL context); the
+          // Alias makes the condition unambiguous by construction
+          val ok = b0.groupBy(col("band"), col("sig"))
+            .agg(count(lit(1)).as("__bs"))
+            .filter(col("__bs") <= resolved)
+            .select(col("band").as("__okband"), col("sig").as("__oksig"))
+          val kept = b0.join(ok,
             col("band") === col("__okband") && col("sig") === col("__oksig"),
             "left_semi")
-      }
+          (kept, false, Some(a))
+        }
+    }
     // the banded bucket table is tiny (bands rows × ~20 bytes per doc)
     // and feeds both sides of the self-join: materialize it once
     // (eagerly) instead of running the hash pipeline twice; blocks are
     // reclaimed by the ContextCleaner when the plan is unreferenced
-    // (persist() leaked them for the session lifetime).
-    val banded = capped.transform(Materialize.apply)
+    // (persist() leaked them for the session lifetime). An auto guard
+    // that resolved to unlimited hands back the ALREADY-checkpointed
+    // band table — re-checkpointing it would copy every block again.
+    val banded = if (alreadyMat) capped else capped.transform(Materialize.apply)
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-      col("l.__id") < col("r.__id"))
+    val pairs = l.join(r,
+      col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
       .distinct()
+    (pairs, audit)
   }
 
   /** Multiset (integer-weighted) MinHash signature table: MinHash over
@@ -1161,11 +1316,26 @@ object Dedup {
   def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, rowsPerBand: Int = 2,
                     hashFn: Column => Column = Text.md5HashMod,
-                    maxBucket: Int = Int.MaxValue): DataFrame = {
-    val losers = clusterPairsStar(
-        lshCandidates(df, textCol, idCol, k, rowsPerBand, hashFn, maxBucket))
+                    maxBucket: Int = Int.MaxValue): DataFrame =
+    pruneNearDupsAudited(df, textCol, idCol, k, rowsPerBand, hashFn,
+      BucketCap.fromInt(maxBucket))._1
+
+  /** [[pruneNearDups]] with the guard spec and its audit: the pruned
+    * corpus (schema-preserving, as before) plus the one-row
+    * [[LshAudit]] when a guard was active — so a capped curation run
+    * can report "N buckets / M member rows exempted from pruning"
+    * instead of silently passing mega-cliques through as survivors
+    * (the ×100 chain's 146 → 35,745 survivor jump, SCALING.md).
+    */
+  def pruneNearDupsAudited(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 8, rowsPerBand: Int = 2,
+                           hashFn: Column => Column = Text.md5HashMod,
+                           cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
+    val (pairs, audit) =
+      lshCandidatesAudited(df, textCol, idCol, k, rowsPerBand, hashFn, cap)
+    val losers = clusterPairsStar(pairs)
       .filter(col("cluster") =!= col("id")).select(col("id").as("__loser"))
-    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+    (df.join(losers, df(idCol) === col("__loser"), "left_anti"), audit)
   }
 
   /** Leakage-free train/val/test assignment — the split rule evaluation
@@ -1534,7 +1704,17 @@ object Dedup {
   def editConfirmFunnel(df: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double, minSim: Double, maxLen: Int = 512,
                         k: Int = 8, rowsPerBand: Int = 2,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    editConfirmFunnelAudited(df, textCol, idCol, minJaccard, minSim, maxLen,
+      k, rowsPerBand, BucketCap.fromInt(maxBucket))._1
+
+  /** [[editConfirmFunnel]] with the guard spec and its audit (same
+    * contract as [[lshCandidatesAudited]]'s second return).
+    */
+  def editConfirmFunnelAudited(df: DataFrame, textCol: String, idCol: String,
+                               minJaccard: Double, minSim: Double, maxLen: Int = 512,
+                               k: Int = 8, rowsPerBand: Int = 2,
+                               cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
     require(minJaccard >= 0.0 && minJaccard <= 1.0,
       s"editConfirmFunnel: minJaccard in [0,1], got $minJaccard")
     require(minSim >= 0.0 && minSim <= 1.0,
@@ -1551,9 +1731,9 @@ object Dedup {
     // distinct's own exchange and then coalesced) and costs one
     // narrow-row exchange. Measured 3.5× on the sf0.1 verify stage.
     val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val pairs = lshCandidates(df, textCol, idCol, k, rowsPerBand,
-      maxBucket = maxBucket)
-      .repartition(np)
+    val (pairs0, audit) = lshCandidatesAudited(df, textCol, idCol, k, rowsPerBand,
+      cap = cap)
+    val pairs = pairs0.repartition(np)
     val pay = df.groupBy(col(idCol).as("__id"))
       .agg(max(col(textCol)).as("__txt"))
       .select(col("__id"),
@@ -1581,6 +1761,6 @@ object Dedup {
         when(n === 0, lit(1.0))
           .otherwise(lit(1.0) - col("edit_dist").cast("double") / n.cast("double")))
       .select(col("id1"), col("id2"), col("edit_dist").cast("long").as("edit_dist"),
-        col("edit_sim"))
+        col("edit_sim")) -> audit
   }
 }

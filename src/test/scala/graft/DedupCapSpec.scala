@@ -1,0 +1,237 @@
+package graft
+
+import graft.operators.Dedup
+import graft.operators.Dedup.{BucketCap, LshAudit}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r14 mega-bucket guard contract: [[BucketCap.Auto]] — the new
+  * DEFAULT for every LSH-composing IR action — must (a) NEVER cap a
+  * clean corpus into approximation (auto resolves to unlimited whenever
+  * the corpus's total candidate emissions fit the linear budget, so the
+  * planted ORGANIC max bucket always survives), (b) bound an adversarial
+  * corpus to a finite cap equal to what an explicit Fixed cap at the
+  * same value produces, and (c) account for what it dropped in the
+  * [[LshAudit]] row (the in-band "near-dups exempted by cap" signal).
+  */
+class DedupCapSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  // ---- solveBucketCap: pure driver arithmetic ----
+
+  test("solveBucketCap: within-budget histogram resolves to unlimited") {
+    // 100 buckets of 2 + 10 of 5 = 100*1 + 10*10 = 200 emissions
+    val hist = Seq((2L, 100L), (5L, 10L))
+    assert(Dedup.solveBucketCap(hist, nDocs = 100L, pairsPerDoc = 2.0, floor = 16)
+      == Long.MaxValue)
+  }
+
+  test("solveBucketCap: over-budget picks the largest size whose cumulative fits") {
+    // sizes 2 (100 buckets, 100 pairs), 10 (10 buckets, 450), 1000 (1, 499500)
+    val hist = Seq((2L, 100L), (10L, 10L), (1000L, 1L))
+    // budget 1000 >= 100+450 but < +499500 -> cap at 10
+    assert(Dedup.solveBucketCap(hist, 1000L, 1.0, floor = 2) == 10L)
+    // budget 200 >= 100 but < 550 -> cap at 2... floored to 16
+    assert(Dedup.solveBucketCap(hist, 200L, 1.0, floor = 16) == 16L)
+    assert(Dedup.solveBucketCap(hist, 200L, 1.0, floor = 2) == 2L)
+  }
+
+  test("solveBucketCap: nothing fits -> floor") {
+    val hist = Seq((100L, 50L))
+    assert(Dedup.solveBucketCap(hist, 10L, 1.0, floor = 16) == 16L)
+  }
+
+  test("solveBucketCap: empty histogram is unlimited") {
+    assert(Dedup.solveBucketCap(Nil, 0L, 32.0, 16) == Long.MaxValue)
+  }
+
+  // ---- fixtures ----
+
+  /** Clean corpus: 120 token-disjoint docs PLUS one planted organic
+    * near-dup cluster of 24 near-identical members — the largest bucket
+    * is the organic cluster, and the whole corpus's emissions sit far
+    * inside the 32-per-doc budget.
+    */
+  private lazy val clean: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val uniques = (0 until 120).map { i =>
+      (i.toLong, (0 until 30).map(j => s"u${i}w$j").mkString(" "))
+    }
+    val cluster = (0 until 24).map { i =>
+      (1000L + i, (0 until 30).map(j => s"cw$j").mkString(" ") + s" tail$i")
+    }
+    (uniques ++ cluster).toDF("doc_id", "text")
+  }
+
+  /** Adversarial corpus: the SAME docs replicated 50× with a replica
+    * token appended (the ScaleCorpus convention) — every band bucket
+    * multiplies ~50×, emissions turn quadratic, and an unguarded run
+    * would pay ~50² pairs per original bucket.
+    */
+  private lazy val adversarial: DataFrame =
+    clean.withColumn("rep", explode(sequence(lit(0L), lit(49L))))
+      .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
+        when(col("rep") === 0L, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
+
+  // ---- auto on a clean corpus: no capping, planted organic max survives ----
+
+  test("auto resolves unlimited on a clean corpus; organic cluster uncapped") {
+    val (pairs, audit) =
+      Dedup.lshCandidatesAudited(clean, "text", "doc_id", cap = BucketCap.Auto())
+    val a = audit.get
+    assert(a.resolvedMaxBucket == Long.MaxValue,
+      s"clean corpus must not be capped, got $a")
+    assert(a.excludedBuckets == 0L && a.excludedMembers == 0L)
+    // auto >= the planted organic max: the 24-member cluster's bucket is
+    // the corpus's largest and it survives whole
+    assert(a.largestBucket >= 24L)
+    val unlimited = Dedup.lshCandidates(clean, "text", "doc_id")
+    assert(pairs.orderBy("id1", "id2").collect().toSeq
+      == unlimited.orderBy("id1", "id2").collect().toSeq)
+    // the organic cluster is fully pair-connected (24 choose 2 pairs
+    // among ids 1000..1023)
+    val clusterPairs = pairs.filter(col("id1") >= 1000L && col("id2") < 1024L).count()
+    assert(clusterPairs == 24L * 23 / 2)
+  }
+
+  // ---- auto on an adversarial corpus: finite cap == Fixed at same value ----
+
+  test("auto caps an adversarial corpus; pairs == Fixed(resolved); audit accounts") {
+    val (autoPairs, audit) =
+      Dedup.lshCandidatesAudited(adversarial, "text", "doc_id", cap = BucketCap.Auto())
+    val a = audit.get
+    assert(a.resolvedMaxBucket != Long.MaxValue && a.resolvedMaxBucket >= 16L,
+      s"adversarial corpus must resolve a finite cap, got $a")
+    assert(a.excludedBuckets > 0L && a.excludedMembers > a.excludedBuckets)
+    assert(a.largestBucket > a.resolvedMaxBucket)
+    // equivalence with the explicit guard at the resolved value
+    val fixed = Dedup.lshCandidates(adversarial, "text", "doc_id",
+      maxBucket = a.resolvedMaxBucket.toInt)
+    assert(autoPairs.orderBy("id1", "id2").collect().toSeq
+      == fixed.orderBy("id1", "id2").collect().toSeq)
+    // audit counts re-derivable from the corpus's own histogram
+    val hist = Dedup.bandTable(adversarial, "text", "doc_id")
+      .groupBy("band", "sig").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a.nBuckets == hist.map(_._2).sum)
+    assert(a.largestBucket == hist.last._1)
+    assert(a.excludedBuckets == hist.filter(_._1 > a.resolvedMaxBucket).map(_._2).sum)
+    assert(a.excludedMembers ==
+      hist.filter(_._1 > a.resolvedMaxBucket).map { case (s, n) => s * n }.sum)
+    // and the budget property itself: kept emissions fit, kept+smallest
+    // excluded size would not
+    val budget = math.ceil(32.0 * a.nDocs).toLong
+    val kept = hist.filter(_._1 <= a.resolvedMaxBucket)
+      .map { case (s, n) => n * (s * (s - 1) / 2) }.sum
+    assert(kept <= budget)
+  }
+
+  test("unlimited audit is None; Fixed audit counts the drop") {
+    val (_, none) = Dedup.lshCandidatesAudited(clean, "text", "doc_id",
+      cap = BucketCap.Unlimited)
+    assert(none.isEmpty)
+    val (_, fx) = Dedup.lshCandidatesAudited(clean, "text", "doc_id",
+      cap = BucketCap.Fixed(10))
+    val a = fx.get
+    assert(a.resolvedMaxBucket == 10L)
+    // the 24-member organic cluster is above the hand-set cap
+    assert(a.excludedBuckets >= 1L && a.excludedMembers >= 24L)
+  }
+
+  // ---- carried through the composing operators ----
+
+  test("pruneNearDupsAudited: schema preserved, audit carried, capped members unpruned") {
+    val (prunedAuto, aAuto) = Dedup.pruneNearDupsAudited(
+      adversarial, "text", "doc_id", cap = BucketCap.Auto())
+    assert(prunedAuto.columns.toSeq == adversarial.columns.toSeq)
+    assert(aAuto.get.excludedBuckets > 0L)
+    // a low fixed cap exempts the whole organic cluster from pruning:
+    // all 24 planted originals survive (their buckets were dropped)
+    val (prunedLow, _) = Dedup.pruneNearDupsAudited(
+      clean, "text", "doc_id", cap = BucketCap.Fixed(3))
+    val survivors = prunedLow.filter(col("doc_id") >= 1000L && col("doc_id") < 1024L).count()
+    assert(survivors == 24L)
+  }
+
+  test("editConfirmFunnelAudited == staged composition under the same cap") {
+    val capv = 30
+    val (funnel, audit) = Dedup.editConfirmFunnelAudited(
+      adversarial, "text", "doc_id", minJaccard = 0.3, minSim = 0.5,
+      maxLen = 128, cap = BucketCap.Fixed(capv))
+    assert(audit.get.resolvedMaxBucket == capv.toLong)
+    val cands = Dedup.lshCandidates(adversarial, "text", "doc_id", maxBucket = capv)
+    val staged = Dedup.editConfirm(
+      adversarial, Dedup.ngramJaccard(adversarial, cands, "text", "doc_id")
+        .filter(col("jaccard") >= 0.3).select("id1", "id2"),
+      "text", "doc_id", 0.5, 128)
+    assert(funnel.select("id1", "id2", "edit_dist").orderBy("id1", "id2").collect().toSeq
+      == staged.select("id1", "id2", "edit_dist").orderBy("id1", "id2").collect().toSeq)
+  }
+
+  // ---- IR faces: default auto, explicit overrides, audit-path ----
+
+  private def runIr(json: String, input: DataFrame): DataFrame =
+    graft.ir.Engine.run(graft.ir.Node.fromJson(json), input,
+      graft.ir.EngineCtx(testMode = true)).taps("out")
+
+  test("IR dedup-minhash-lsh: default == auto; 'unlimited' and int override") {
+    val tap = """"children":[{"action":"tap","params":["out"]}]"""
+    val auto = runIr(
+      s"""{"action":"dedup-minhash-lsh","params":[{"id":"doc_id","text":"text"}],$tap}""",
+      adversarial)
+    val (expAuto, a) = Dedup.lshCandidatesAudited(
+      adversarial, "text", "doc_id", cap = BucketCap.Auto())
+    assert(auto.count() == expAuto.count())
+    val unlimited = runIr(
+      s"""{"action":"dedup-minhash-lsh",
+         | "params":[{"id":"doc_id","text":"text","max-bucket":"unlimited"}],$tap}""".stripMargin,
+      adversarial)
+    assert(unlimited.count() > auto.count(),
+      "explicit unlimited must emit the mega-bucket pairs auto excluded")
+    val fixed = runIr(
+      s"""{"action":"dedup-minhash-lsh",
+         | "params":[{"id":"doc_id","text":"text",
+         |            "max-bucket":${a.get.resolvedMaxBucket}}],$tap}""".stripMargin,
+      adversarial)
+    assert(fixed.count() == auto.count())
+    // pairs-per-doc override shifts the auto budget: a huge budget
+    // resolves unlimited even here
+    val big = runIr(
+      s"""{"action":"dedup-minhash-lsh",
+         | "params":[{"id":"doc_id","text":"text","max-bucket":"auto",
+         |            "pairs-per-doc":100000.0}],$tap}""".stripMargin,
+      adversarial)
+    assert(big.count() == unlimited.count())
+  }
+
+  test("IR audit-path writes the guard's account as parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-capaudit").toString
+    val path = s"$dir/audit"
+    runIr(
+      s"""{"action":"dedup-minhash-lsh",
+         | "params":[{"id":"doc_id","text":"text","audit-path":"$path"}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin,
+      adversarial).count()
+    val audit = spark.read.parquet(path).collect()
+    assert(audit.length == 1)
+    val r = audit.head
+    assert(r.getAs[Long]("excluded_buckets") > 0L)
+    assert(r.getAs[Long]("resolved_max_bucket") >= 16L)
+  }
+
+  test("IR cluster-split default is bounded: capped members root at themselves") {
+    val tap = """"children":[{"action":"tap","params":["out"]}]"""
+    val split = runIr(
+      s"""{"action":"cluster-split","params":[{"id":"doc_id","text":"text","salt":"cs",
+         |   "weights":[{"name":"train","weight":0.8},{"name":"val","weight":0.1},
+         |              {"name":"test","weight":0.1}]}],$tap}""".stripMargin,
+      adversarial)
+    // total and partition-complete despite the guard
+    assert(split.count() == adversarial.count())
+    assert(split.select("split").distinct().count() >= 2)
+  }
+}

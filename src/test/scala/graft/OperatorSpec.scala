@@ -473,9 +473,18 @@ class OperatorSpec extends AnyFunSuite {
          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
       docs, EngineCtx(testMode = true)).taps("out")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val atomic = split("")
-    assert((1L to 30L).map(atomic).toSet.size == 1, "uncapped: clique atomic")
+    // r14: the DEFAULT is the auto guard. On this pathological fixture
+    // (30 of 33 docs are one mega-clique: 1,740 band emissions vs a
+    // ceil(32·33)=1,056 budget) auto resolves a finite cap below the
+    // clique, so the default run is bounded and the clique members root
+    // at themselves; explicit "unlimited" restores the atomic clique.
+    val atomic = split("\"max-bucket\":\"unlimited\",")
+    assert((1L to 30L).map(atomic).toSet.size == 1, "unlimited: clique atomic")
+    val auto = split("")
+    assert(auto.size == 33, "auto split stays total — every doc assigned")
     val capped = split("\"max-bucket\":5,")
+    assert((1L to 30L).forall(i => auto(i) == capped(i)),
+      "auto and an explicit sub-clique cap agree on this fixture: both drop the clique bucket")
     assert(capped.size == 33, "capped split stays total — every doc assigned")
     // capped clique members root at THEMSELVES (hash of own id), exactly
     // like the plain splitByHash of their ids
