@@ -5213,11 +5213,10 @@ object QueriesPipeline {
     }
 
     // BPE adjacent-pair counts — the oracle-gated primitive of the
-    // distributed tokenizer trainer on the FULL corpus (the merge loop
-    // is stateful within a word, so its general case is spec-gated in
-    // TokenizerSpec; the full train/encode are oracle-gated end to end
-    // on the distinct-character vocabulary — bpe_train / bpe_encode
-    // above)
+    // distributed tokenizer trainer on the FULL corpus (the full
+    // train/encode are oracle-gated end to end on the distinct-character
+    // vocabulary — bpe_train / bpe_encode above — and the general merge
+    // scan, repeats included, by bpe_encode_general / TokenizerSpec)
     register("bpe_pair_counts",
       s"""$DocsView,
          |words AS (SELECT tok AS word, count(*) AS cnt
@@ -5244,7 +5243,9 @@ object QueriesPipeline {
     // occurs at most once per word, so a delimiter-guarded string
     // replace() is exactly the left-to-right non-overlapping merge scan
     // (the general case breaks replace() on runs like "aaaa" — that case
-    // is spec-gated in TokenizerSpec). The oracle replays the FULL
+    // is spec-gated in TokenizerSpec AND, since r14, oracle-gated by
+    // `bpe_encode_general`'s position-exact list_reduce replay). The
+    // oracle replays the FULL
     // sequential train as chained CTEs (the kcenter_coreset precedent);
     // the Spark side runs the BATCHED trainer, so this gate also pins
     // batched ≡ sequential end to end on real data.
@@ -5327,6 +5328,77 @@ object QueriesPipeline {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         val rankOf = merges.zipWithIndex.toMap
         words.select(col("word")).as[String]
+          .map(w => (w, graft.operators.Tokenizer.encodeWord(w, rankOf).mkString(" ")))
+          .toDF("word", "pieces")
+          .orderBy("word")
+      }
+    }
+
+    // ---- GENERAL-CASE BPE encode (r14): no distinct-character
+    // restriction. The delimited replace() the train gates use breaks on
+    // repeated-character runs ("aaaa" + merge (a,a): replace consumes the
+    // shared delimiter, yielding [aa, a, a] instead of the scan's
+    // [aa, aa]) — so the general merge APPLICATION is replayed as a
+    // position-exact left-to-right fold instead: list_reduce over the
+    // symbol list with a string accumulator, merging when the
+    // accumulator's LAST symbol is `l` and the next is `r`. The fold is
+    // provably the mergePair scan: a merge's output l||r can never equal
+    // `l` (r is non-empty), so a just-created symbol never re-merges as
+    // the left side within the same pass — the same blocking the
+    // imperative scan gets from skipping two symbols. The merge table is
+    // PINNED (self-merges + a chain + common English pairs) and the word
+    // set is EVERY corpus word (1..12 chars, repeats included) plus
+    // synthetic run words, so the overlap semantics the TokenizerSpec
+    // pins are now also DuckDB-oracle-gated end to end.
+    locally {
+      val merges = Seq(
+        ("a", "a"), ("aa", "a"), ("e", "e"), ("l", "l"), ("o", "o"),
+        ("s", "s"), ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"))
+      val synth = Seq("aaaa", "aaa", "aaaaa", "aaaaaa", "banana",
+        "mississippi", "bookkeeper", "thethe", "seeress", "lessee")
+      val mgValues = merges.zipWithIndex
+        .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(", ")
+      register("bpe_encode_general",
+        s"""WITH RECURSIVE allw AS MATERIALIZED (
+           |  SELECT tok AS word FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                  t -> len(t) > 0)) AS tok
+           |    FROM documents)
+           |  WHERE len(tok) BETWEEN 1 AND 12 GROUP BY 1
+           |  UNION
+           |  SELECT unnest([${synth.map(w => s"'$w'").mkString(", ")}]) AS word),
+           |mg AS (SELECT * FROM (VALUES $mgValues) t(rank, l, r)),
+           |seed AS (SELECT word, regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS w,
+           |                0 AS step
+           |         FROM allw),
+           |enc AS (
+           |  SELECT word, w, step FROM seed
+           |  UNION ALL
+           |  SELECT e.word,
+           |         list_reduce(
+           |           list_prepend('|', list_filter(string_split(e.w, '|'), t -> len(t) > 0)),
+           |           (acc, x) -> CASE
+           |             WHEN x = m.r AND ends_with(acc, '|' || m.l || '|')
+           |             THEN substr(acc, 1, len(acc) - len(m.l) - 1) || m.l || m.r || '|'
+           |             ELSE acc || x || '|' END) AS w,
+           |         e.step + 1
+           |  FROM enc e JOIN mg m
+           |    ON position('|' || m.l || '|' || m.r || '|' IN e.w) > 0
+           |   AND m.rank = (SELECT min(m2.rank) FROM mg m2
+           |                 WHERE position('|' || m2.l || '|' || m2.r || '|' IN e.w) > 0))
+           |SELECT word,
+           |       array_to_string(list_filter(string_split(w, '|'), t -> len(t) > 0), ' ') AS pieces
+           |FROM enc
+           |QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+           |ORDER BY word""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        val rankOf = merges.zipWithIndex.toMap
+        val words = graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+          .filter(length(col("word")).between(1, 12))
+          .select("word")
+          .unionByName(synth.toDF("word"))
+          .distinct()
+        words.as[String]
           .map(w => (w, graft.operators.Tokenizer.encodeWord(w, rankOf).mkString(" ")))
           .toDF("word", "pieces")
           .orderBy("word")
@@ -5443,6 +5515,179 @@ object QueriesPipeline {
           .map(w => (w, graft.operators.WordPiece.encodeWord(w, vocab).mkString(" ")))
           .toDF("word", "pieces")
           .orderBy("word")
+      }
+
+      // GENERAL-CASE WordPiece encode (r14): the greedy longest-match
+      // scan is position-indexed by construction (substr at pos), so the
+      // only thing the r13 gate's distinct-character restriction was
+      // protecting was the TRAIN replay — not the encoder. This gate
+      // keeps the train on the restricted vocabulary (where the chained
+      // CTE replay is exact) but encodes EVERY corpus word (1..12 chars,
+      // repeats included) plus synthetic run words, with base units
+      // covering every character of the general word set (single chars,
+      // marked and unmarked) so [UNK] never fires and repeated-character
+      // words like "aaaa" are oracle-covered end to end.
+      locally {
+        val synth = Seq("aaaa", "aaa", "aaaaa", "banana", "mississippi",
+          "bookkeeper", "thethe", "seeress", "lessee")
+        register("wordpiece_encode_general",
+          s"""WITH RECURSIVE fwords AS MATERIALIZED (
+             |  SELECT tok AS word, count(*) AS cnt FROM (
+             |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                  t -> len(t) > 0)) AS tok
+             |    FROM documents)
+             |  WHERE len(tok) BETWEEN 3 AND 12
+             |    AND len(list_distinct(string_split(tok, ''))) = len(tok)
+             |  GROUP BY 1),
+             |w0 AS (SELECT '|' || substr(word, 1, 1) ||
+             |              regexp_replace(substr(word, 2), '(.)', '|##\\1', 'g') || '|' AS w, cnt
+             |       FROM fwords),
+             |${(0 until rounds).map(roundCtes).mkString(",\n")},
+             |allw AS MATERIALIZED (
+             |  SELECT tok AS word FROM (
+             |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                  t -> len(t) > 0)) AS tok
+             |    FROM documents)
+             |  WHERE len(tok) BETWEEN 1 AND 12 GROUP BY 1
+             |  UNION
+             |  SELECT unnest([${synth.map(w => s"'$w'").mkString(", ")}]) AS word),
+             |chars AS (SELECT DISTINCT unnest(string_split(word, '')) AS c FROM allw),
+             |vraw AS MATERIALIZED (
+             |  SELECT DISTINCT piece, starts_with(piece, '##') AS marked,
+             |         CASE WHEN starts_with(piece, '##') THEN substr(piece, 3) ELSE piece END AS raw
+             |  FROM (
+             |    SELECT c AS piece FROM chars
+             |    UNION SELECT '##' || c AS piece FROM chars
+             |    UNION
+             |    ${(0 until rounds).map(r =>
+                s"SELECT l || CASE WHEN starts_with(r, '##') THEN substr(r, 3) ELSE r END AS piece FROM m$r")
+                .mkString("\n    UNION\n    ")})),
+             |enc AS (
+             |  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS acc FROM allw
+             |  UNION ALL
+             |  SELECT e.word, e.pos + len(v.raw) AS pos,
+             |         CASE WHEN e.acc = '' THEN v.piece ELSE e.acc || ' ' || v.piece END AS acc
+             |  FROM enc e JOIN vraw v
+             |    ON v.marked = (e.pos > 1)
+             |   AND substr(e.word, e.pos, len(v.raw)) = v.raw
+             |   AND len(v.raw) = (SELECT max(len(v2.raw)) FROM vraw v2
+             |                     WHERE v2.marked = (e.pos > 1)
+             |                       AND substr(e.word, e.pos, len(v2.raw)) = v2.raw)
+             |  WHERE e.pos <= len(e.word))
+             |SELECT word, acc AS pieces FROM enc WHERE pos = len(word) + 1
+             |ORDER BY word""".stripMargin) { (s, dir) =>
+          import s.implicits._
+          val restricted = graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+            .filter(length(col("word")).between(3, 12) &&
+              size(array_distinct(split(col("word"), ""))) === length(col("word")))
+          val merges = graft.operators.WordPiece
+            .trainWordPieceWordsBatched(restricted, rounds, 2L)
+          val mergedPieces = merges.orderBy("rank").collect()
+            .map(r => r.getString(1) + r.getString(2).stripPrefix("##")).toSet
+          val allw = graft.operators.Materialize(
+            graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+              .filter(length(col("word")).between(1, 12))
+              .select("word")
+              .unionByName(synth.toDF("word"))
+              .distinct())
+          val chars = allw.select(explode(split(col("word"), "")).as("c"))
+            .distinct().as[String].collect()
+          val vocab = chars.flatMap(c => Seq(c, "##" + c)).toSet ++ mergedPieces
+          allw.as[String]
+            .map(w => (w, graft.operators.WordPiece.encodeWord(w, vocab).mkString(" ")))
+            .toDF("word", "pieces")
+            .orderBy("word")
+        }
+      }
+    }
+
+    // ---- full Unigram-LM (hard-EM) train, oracle-replayed (r14) ----
+    // The last ungated trainer. The DuckDB oracle replays the ENTIRE
+    // hard-EM: seed vocabulary (substring freqs, top-k + single-char
+    // coverage), then per round the max-likelihood segmentation of every
+    // word (paths ENUMERATED by a recursive CTE — position-indexed, so
+    // repeated-character words need no restriction at all — winner by
+    // score with the pinned longest-piece tie-break = lexicographically
+    // minimal reversed start list among max-score paths), Viterbi
+    // counts, zero-mass pruning with the single-char floor, and
+    // renormalization. Log-probs go through the repo's DECIMAL(38,6)
+    // transcendental-fold convention on BOTH engines
+    // (UnigramTokenizer.trainHardQuantized ↔ CAST(ln(..) AS
+    // DECIMAL(38,6))), so an ulp disagreement between StrictMath.log and
+    // DuckDB's ln cannot flip a segmentation; everything else is exact
+    // integer or pinned-order IEEE arithmetic.
+    locally {
+      val maxVocab = 24
+      val mpl = 3 // max piece length
+      val iters = 2
+      def lpCte(r: Int) =
+        s"""t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v$r),
+           |lp$r AS MATERIALIZED (
+           |  SELECT piece,
+           |         CAST(CAST(ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+           |                   AS DECIMAL(38,6)) AS DOUBLE) AS lp
+           |  FROM v$r, t$r t)""".stripMargin
+      def roundCte(r: Int) =
+        s"""${lpCte(r)},
+           |path$r AS (
+           |  SELECT word, cnt, 0 AS pos, CAST(0.0 AS DOUBLE) AS score,
+           |         CAST([] AS VARCHAR[]) AS pieces, CAST([] AS BIGINT[]) AS starts
+           |  FROM uwords
+           |  UNION ALL
+           |  SELECT p.word, p.cnt, p.pos + len(v.piece) AS pos,
+           |         p.score + v.lp AS score,
+           |         list_append(p.pieces, v.piece) AS pieces,
+           |         list_append(p.starts, CAST(p.pos AS BIGINT)) AS starts
+           |  FROM path$r p JOIN lp$r v
+           |    ON p.pos < len(p.word)
+           |   AND substr(p.word, p.pos + 1, len(v.piece)) = v.piece),
+           |seg$r AS MATERIALIZED (
+           |  SELECT word, cnt, pieces FROM (
+           |    SELECT word, cnt, pieces,
+           |           row_number() OVER (PARTITION BY word
+           |             ORDER BY score DESC, list_reverse(starts) ASC) AS rn
+           |    FROM path$r WHERE pos = len(word)) WHERE rn = 1),
+           |c$r AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, unnest(pieces) AS piece FROM seg$r) GROUP BY 1),
+           |v${r + 1} AS MATERIALIZED (
+           |  SELECT v.piece,
+           |         CASE WHEN coalesce(c.c, 0) > 0 THEN c.c
+           |              ELSE CAST(1 AS BIGINT) END AS cnt
+           |  FROM v$r v LEFT JOIN c$r c ON c.piece = v.piece
+           |  WHERE coalesce(c.c, 0) > 0 OR len(v.piece) = 1)""".stripMargin
+      register("unigram_train",
+        s"""WITH RECURSIVE uwords AS MATERIALIZED (
+           |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                  t -> len(t) > 0)) AS tok
+           |    FROM documents)
+           |  WHERE len(tok) BETWEEN 2 AND 10 GROUP BY 1),
+           |cand AS (
+           |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+           |         CAST(sum(cnt) AS BIGINT) AS freq
+           |  FROM (SELECT word, cnt, i,
+           |               unnest(range(1, least($mpl, len(word) - i + 1) + 1)) AS l
+           |        FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i
+           |              FROM uwords))
+           |  GROUP BY 1),
+           |topc AS (SELECT piece, freq FROM cand
+           |         ORDER BY freq DESC, piece LIMIT $maxVocab),
+           |v0 AS MATERIALIZED (
+           |  SELECT piece, freq AS cnt FROM (
+           |    SELECT * FROM topc
+           |    UNION
+           |    SELECT piece, freq FROM cand WHERE len(piece) = 1)),
+           |${(0 until iters).map(roundCte).mkString(",\n")},
+           |${lpCte(iters)}
+           |SELECT v.piece, v.cnt, l.lp AS logp
+           |FROM v$iters v JOIN lp$iters l ON l.piece = v.piece
+           |ORDER BY v.piece""".stripMargin) { (s, dir) =>
+        val words = graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+          .filter(length(col("word")).between(2, 10))
+        graft.operators.UnigramTokenizer
+          .trainHardQuantized(words, maxVocab, mpl, iters)
+          .orderBy("piece")
       }
     }
 

@@ -577,6 +577,17 @@ object Dedup {
     * Scale: the probe touches `fraction` of the corpus once; everything
     * downstream of the bucket table is bucket-count-sized. Driver gets
     * one row.
+    *
+    * TRUST CAVEAT: the headroom × largest-observed rule assumes the
+    * probe corpus is a clean baseline. If the probe ALREADY contains an
+    * adversarial mega-bucket, `max_bucket` IS that bucket and the
+    * recommendation extrapolates it as organic — capping nothing (the
+    * corpus launders its own pathology into the cap). Run the planner
+    * on a trusted baseline, eyeball `max_bucket` vs `p99_bucket`
+    * (orders-of-magnitude separation = a poisoned probe), or skip
+    * planning entirely and let the operators' default
+    * [[BucketCap.Auto]] decide — its ABSOLUTE emission budget cannot be
+    * laundered by any bucket-size distribution.
     */
   def maxBucketPlan(df: DataFrame, textCol: String, idCol: String,
                     fraction: Double, k: Int = 8, rowsPerBand: Int = 2,

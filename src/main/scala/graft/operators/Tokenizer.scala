@@ -192,6 +192,25 @@ object Tokenizer {
     *     at 1-3 merges on real corpora; the triple bound is what makes
     *     the amortization land.)
     *
+    *     Rule 2 additionally assumes the produced symbol `a+b` is FRESH
+    *     — not already a live symbol in the word table. If `ab` already
+    *     existed, a "created" pair (ab, z) would ADD onto the
+    *     pre-existing pair's count, and the case split above (old pairs
+    *     only decrease / created pairs bounded by the triple bound)
+    *     would not bound the COMBINED count. Freshness is overwhelmingly
+    *     the case in BPE (the left-to-right scan consumes every (a,b)
+    *     adjacency the round it merges, and a string can only become a
+    *     symbol BY being merged — at which point (a,b) can no longer be
+    *     a top pair; 30k instrumented fuzz corpora never reached the
+    *     state), but it is not a theorem over arbitrary word tables, so
+    *     multi-candidate passes GUARD it: one symbol-universe membership
+    *     probe of the candidates' produced strings (a filtered distinct
+    *     over this pass's word table, candidate-set-sized collect), and
+    *     the batch is cut just before the first candidate whose produced
+    *     symbol already exists. A cut-to-one pass degrades to exactly
+    *     sequential behavior, so correctness never depends on the
+    *     assumption.
+    *
     * Under those two rules, at sequential round j the argmax domain is:
     * candidates 1..j-1 (fully consumed — a left-to-right merge pass
     * leaves zero residual occurrences of its own pair), old pairs ranked
@@ -211,6 +230,14 @@ object Tokenizer {
                       minPairCount: Long = 2L, batchSize: Int = 16): DataFrame =
     trainBpeWordsBatched(wordCounts(docs, textCol), numMerges, minPairCount, batchSize)
 
+  /** Pass count of the most recent [[trainBpeWordsBatched]] call on this
+    * JVM — probe instrumentation for the jobs-per-merge amortization
+    * tables (SCALING.md), not part of the model output. Each pass is one
+    * pair-count aggregate + (for multi-candidate passes) the freshness
+    * probe and two triple-bound aggregates.
+    */
+  @volatile var lastBatchedPasses: Int = 0
+
   /** [[trainBpeBatched]] from an explicit word-frequency table. */
   def trainBpeWordsBatched(wordFreqs: DataFrame, numMerges: Int,
                            minPairCount: Long = 2L, batchSize: Int = 16): DataFrame = {
@@ -222,7 +249,9 @@ object Tokenizer {
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 0
     var done = false
+    var passes = 0
     while (rank < numMerges && !done) {
+      passes += 1
       // single consumer (this TakeOrdered collect) — no Materialize
       val topK = math.max(batchSize * 4, 64)
       val top = pairCounts(words)
@@ -263,6 +292,13 @@ object Tokenizer {
             val lefts = cand.map(_._1).toSeq
             val rights = cand.map(_._2).toSeq
             val df = words.toDF()
+            // rule-2 freshness guard (see the doc comment): which of the
+            // candidates' produced symbols are ALREADY live in the word
+            // table? Map-side filtered distinct, candidate-sized collect.
+            val produced = disjoint.map(t => t._1 + t._2).distinct
+            val notFresh = df.select(explode(col("syms")).as("__s"))
+              .filter(col("__s").isin(produced: _*)).distinct()
+              .collect().map(_.getString(0)).toSet
             val n = size(col("syms"))
             val triples = df.filter(n >= 3)
               .select(col("cnt"),
@@ -296,6 +332,12 @@ object Tokenizer {
                   createdBound = math.max(createdBound,
                     math.max(maxStarting.getOrElse((l, r), 0L),
                       maxEnding.getOrElse((l, r), 0L)))
+                  // freshness guard: a non-fresh produced symbol makes
+                  // the triple bound unsound for every LATER candidate
+                  // (created pairs add onto the pre-existing symbol's
+                  // pairs), so the batch ends with this merge; the merge
+                  // itself is the exact argmax of its own round either way
+                  if (notFresh(l + r)) cut = true
                 }
               }
             }
@@ -311,6 +353,7 @@ object Tokenizer {
         })
       }
     }
+    lastBatchedPasses = passes
     spark.createDataFrame(merges.result())
       .select(col("rank"), col("left"), col("right"), col("pair_count"))
   }

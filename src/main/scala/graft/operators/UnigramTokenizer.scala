@@ -227,6 +227,76 @@ object UnigramTokenizer {
     vocab.map { case (p, c) => p -> StrictMath.log(c.toDouble / total) }
   }
 
+  /** Oracle-replayable hard-EM twin of [[trainDistributed]]: identical
+    * EM (same seed, same distributed Viterbi counts, same prune/floor)
+    * except every piece log-prob is rounded onto the DECIMAL(38,6) grid
+    * after each normalization — the repo-wide transcendental-fold
+    * convention ([[Sketches.ddBuckets]]): `StrictMath.log` and a SQL
+    * engine's `ln` may disagree in the last ulp, and the 1e-6 grid
+    * absorbs that before a Viterbi comparison could flip a
+    * segmentation. Every other quantity in the loop is exact integer
+    * or correctly-rounded IEEE arithmetic in a pinned evaluation
+    * order, so the DuckDB oracle replays the ENTIRE train — seed
+    * vocabulary, per-round max-likelihood segmentations (enumerated
+    * with the pinned longest-piece tie-break), count/prune/floor, and
+    * the final quantized log-probs — bit for bit (`unigram_train`
+    * gate). Output: `(piece, cnt, logp)` of the final round, ordered
+    * by piece.
+    *
+    * The rounding is confined to this gate face on purpose:
+    * [[trainDistributed]] keeps full-precision `StrictMath.log`
+    * (bit-reproducible across JVMs, which is the property a production
+    * run needs); UnigramTokenizerSpec pins that the quantized twin
+    * produces the same vocabulary and counts on the gate fixtures.
+    */
+  def trainHardQuantized(words: DataFrame, maxVocab: Int,
+                         maxPieceLen: Int = 8, iters: Int = 3): DataFrame = {
+    require(maxVocab >= 1 && iters >= 1,
+      s"unigram: need maxVocab/iters >= 1, got $maxVocab/$iters")
+    val spark = words.sparkSession
+    import spark.implicits._
+    def q6(x: Double): Double =
+      // exact-binary BigDecimal + HALF_UP == a SQL CAST(double AS
+      // DECIMAL(38,6)) (round half away from zero on the binary value);
+      // BigDecimal.valueOf would round the SHORTEST DECIMAL RENDERING
+      // instead and can disagree on representation boundaries
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def normalizeQ(vocab: Map[String, Long]): Map[String, Double] = {
+      val total = vocab.values.sum.toDouble
+      vocab.map { case (p, c) => p -> q6(StrictMath.log(c.toDouble / total)) }
+    }
+    val w = Materialize(words)
+    var vocab: Map[String, Long] = seedVocab(w, maxPieceLen, maxVocab).toMap
+    var logp: Map[String, Double] = normalizeQ(vocab)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(logp)
+      val counts = w.as[(String, Long)]
+        .mapPartitions { rows =>
+          val lp = bc.value
+          val local = scala.collection.mutable.HashMap[String, Long]()
+          rows.foreach { case (word, c) =>
+            segmentWord(word, lp, maxPieceLen).foreach(p =>
+              local.update(p, local.getOrElse(p, 0L) + c))
+          }
+          local.iterator
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      vocab = vocab.flatMap { case (p, _) =>
+        val c = counts.getOrElse(p, 0L)
+        if (c > 0) Some(p -> c)
+        else if (p.length == 1) Some(p -> 1L)
+        else None
+      }
+      logp = normalizeQ(vocab)
+      it += 1
+    }
+    vocab.toSeq.map { case (p, c) => (p, c, logp(p)) }
+      .sortBy(_._1).toDF("piece", "cnt", "logp")
+  }
+
   /** Tokenize a text column with a trained model: per-word Viterbi under
     * the broadcast piece log-probs, concatenated in word order. Map-side
     * `mapPartitions`, total on null/unseen input.

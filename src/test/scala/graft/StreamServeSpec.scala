@@ -138,6 +138,98 @@ class StreamServeSpec extends AnyFunSuite {
     assert(streamed.toMap == batch && streamed.toMap.keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("seeded kill-point sweep: clean stop / torn commit / mid-batch crash all replay exactly-once (ewma + throttle)") {
+    // Generalizes the single torn-commit test above to a seeded sweep of
+    // the three distinct on-disk states a kill -9 can leave, for a
+    // chain-stateful op (ewma) AND a second stateful op (throttle):
+    //
+    //  - clean      : stop between batches — offsets, sink manifest and
+    //                 commit records all consistent
+    //  - torn-commit: offsets + sink manifest written, commits/<id>
+    //                 missing (killed between sink commit and the
+    //                 checkpoint's offset-commit record)
+    //  - mid-batch  : offsets written, NEITHER sink manifest nor commit
+    //                 record (killed during batch execution) — data
+    //                 files may exist on disk as orphans absent from the
+    //                 manifest, and the reader must exclude them
+    //
+    // Every scenario must converge to the batch twin with no duplicate
+    // and no missing rows after restart + replay.
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(1404L)
+    val fixture = (1 to 12).map(i =>
+      ev(rng.nextInt(100).toDouble, i.toLong * S, if (i % 2 == 0) "a" else "b", i.toLong))
+    val lands = fixture.grouped(3).toSeq // 4 micro-batch lands
+    val ops: Seq[(String, String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("ewma", """:op {:action "ewma" :r 0.5 :keys ["host"]}""",
+        df => Analytics.ewmaTimeless(0.5, Seq("host"))(df).toDF()),
+      ("throttle", """:op {:action "throttle" :count 2 :seconds 4 :keys ["host"]}""",
+        df => Analytics.throttle(2, 4, Seq("host"))(df)))
+    for ((opName, opEdn, batchTwin) <- ops; kill <- Seq("clean", "torn-commit", "mid-batch")) {
+      val afterBatch = 1 + rng.nextInt(2) // seeded kill position (after land 1 or 2)
+      val base = java.nio.file.Files.createTempDirectory(s"stream_sweep_${opName}_$kill")
+      val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val conf = graft.ir.Config.parse(
+        s"""{:streaming {:queries [{:name "sweep"
+           |                        :source {:type "file" :path "$inDir" :format "json"}
+           |                        $opEdn
+           |                        :sink {:path "$outDir" :checkpoint "$ckDir"
+           |                               :format "json"}}]}}""".stripMargin)
+      def land(events: Seq[Event]): Unit =
+        events.toDS().coalesce(1).write.mode("append").json(inDir)
+      def lastBatchFile(dir: String): java.io.File = {
+        val fs = new java.io.File(dir).listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+        assert(fs.nonEmpty, s"[$opName/$kill] no batch records in $dir")
+        fs.last
+      }
+      def tear(f: java.io.File): Unit = {
+        val crc = new java.io.File(f.getParent, s".${f.getName}.crc")
+        assert(f.delete(), s"[$opName/$kill] failed to delete $f")
+        if (crc.exists()) crc.delete()
+      }
+      // phase 1: process lands 0..afterBatch, then kill
+      land(lands(0))
+      val q1 = StreamServe.start(s, conf.streaming.head)
+      q1.processAllAvailable()
+      (1 to afterBatch).foreach { b => land(lands(b)); q1.processAllAvailable() }
+      q1.stop()
+      kill match {
+        case "clean" => ()
+        case "torn-commit" =>
+          tear(lastBatchFile(s"$ckDir/commits"))
+        case "mid-batch" =>
+          val last = lastBatchFile(s"$ckDir/commits")
+          val id = last.getName
+          tear(last)
+          // the sink manifest entry for the same batch: gone too — the
+          // already-written data files stay behind as orphans
+          val manifest = new java.io.File(s"$outDir/_spark_metadata/$id")
+          if (manifest.exists()) tear(manifest)
+      }
+      // phase 2: restart from the same checkpoint, land the rest
+      val q2 = StreamServe.start(s, conf.streaming.head)
+      q2.processAllAvailable()
+      ((afterBatch + 1) until lands.length).foreach { b =>
+        land(lands(b)); q2.processAllAvailable()
+      }
+      q2.stop()
+      val streamed = s.read.schema(Event.schema).json(outDir)
+        .select("eventId", "metric").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      assert(streamed.length == streamed.map(_._1).distinct.length,
+        s"[$opName/$kill/after=$afterBatch] duplicates after replay: ${streamed.toSeq.sorted}")
+      val expect = batchTwin(events(fixture: _*))
+        .select("eventId", "metric").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.toMap == expect,
+        s"[$opName/$kill/after=$afterBatch] stream != batch twin: " +
+          s"got ${streamed.toSeq.sorted}, want ${expect.toSeq.sorted}")
+    }
+  }
+
   test("rate source maps onto the canonical event schema") {
     val df = StreamServe.source(spark,
       Map("type" -> "rate", "rows-per-second" -> (2: Integer), "hosts" -> (2: Integer)))

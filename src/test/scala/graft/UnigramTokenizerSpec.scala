@@ -106,6 +106,26 @@ class UnigramTokenizerSpec extends AnyFunSuite {
     assert(again == local)
   }
 
+  test("trainHardQuantized == trainDistributed vocabulary and counts (r14 oracle face)") {
+    // the DECIMAL(38,6) grid exists to absorb cross-engine ln ulp drift;
+    // it must NOT change which segmentations win on the gate fixtures —
+    // same vocabulary, and logp within the grid step of the exact model
+    val words = graft.operators.Tokenizer.wordCounts(docsDf, "text")
+    val q = UnigramTokenizer.trainHardQuantized(words, maxVocab = 40,
+        maxPieceLen = 8, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val exact = UnigramTokenizer.trainDistributed(docsDf, "text", maxVocab = 40,
+        maxPieceLen = 8, iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(q.map(_._1).toSet == exact.keySet, "same final vocabulary")
+    q.foreach { case (p, _, lp) =>
+      assert(math.abs(lp - exact(p)) <= 5e-7 + 1e-12, s"piece $p logp off-grid") }
+    // quantized logp really is on the 1e-6 decimal grid
+    q.foreach { case (p, _, lp) =>
+      val scaled = BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert((scaled.toDouble - lp).abs < 1e-12, s"piece $p not on grid") }
+  }
+
   test("softCounts: hand-checked two-path lattice posteriors and word likelihood") {
     // word "ab", vocab {a, b, ab}: two segmentations — [ab] and [a, b]
     val (pa, pb, pab) = (0.2, 0.3, 0.5)

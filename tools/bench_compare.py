@@ -2,6 +2,18 @@
 """Calibrated round-over-round bench comparison.
 
 Usage: python3 tools/bench_compare.py <BENCH_a.json> <BENCH_b.json> [threshold]
+       python3 tools/bench_compare.py --scale <BENCH.json> [min_secs]
+
+--scale mode: scale-ratio distribution hygiene. The driver's
+`ratio_median` (per-query sf0.1/sf0.01 wall ratio) drifts DOWN as cheap
+fixed-overhead gates enter the query set (a 0.8s/0.65s gate contributes
+a ~1.2 ratio that says nothing about data scaling), so cross-round
+median comparisons need a stable basis. This mode reports the ratio
+distribution twice — all queries, and excluding queries whose main-SF
+time is under `min_secs` (default 1.0s, the overhead-dominated band) —
+plus the quartiles and the excluded list. Needs a bench capture that
+still has the full detail line (local runs; the driver's trailing-2000-
+char capture usually truncates the per-query ratio map).
 
 Reads two driver bench files (BENCH_r{N}.json — the driver wraps the
 Bench main's JSON line under "parsed"; a raw one-line Bench output file
@@ -89,7 +101,75 @@ def main(a_path: str, b_path: str, threshold: float) -> int:
     return 0
 
 
+def load_detail(path: str) -> dict:
+    """Parse the bench DETAIL line (the one carrying per-query `ratio`
+    and `queries2` maps) out of a full bench capture; falls back to any
+    JSON line that has a `ratio` map."""
+    with open(path) as f:
+        text = f.read()
+    best = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            raw = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        parsed = raw.get("parsed", raw)
+        for cand in (parsed, raw):
+            if isinstance(cand, dict) and "ratio" in cand:
+                best = cand if best is None else best
+    if best is None:
+        raise SystemExit(f"{path}: no line with a per-query 'ratio' map — "
+                         "driver-truncated capture? re-run Bench locally")
+    return best
+
+
+def quartiles(xs):
+    xs = sorted(xs)
+    if not xs:
+        return (0.0, 0.0, 0.0)
+    # the Bench main's median convention: sorted[n/2]
+    return (xs[len(xs) // 4], xs[len(xs) // 2], xs[(3 * len(xs)) // 4])
+
+
+def scale_mode(path: str, min_secs: float) -> int:
+    d = load_detail(path)
+    ratio = d["ratio"]
+    # main-SF per-query times live in the contract line; the detail line
+    # itself may not carry them — reload via load() for the queries map
+    big = load(path)["queries"]
+    rows = [(q, r, big.get(q)) for q, r in ratio.items()]
+    all_r = [r for _, r, _ in rows]
+    kept = [(q, r) for q, r, b in rows if b is not None and b >= min_secs]
+    cheap = [(q, r) for q, r, b in rows if b is not None and b < min_secs]
+    unk = [(q, r) for q, r, b in rows if b is None]
+    q1a, meda, q3a = quartiles(all_r)
+    q1k, medk, q3k = quartiles([r for _, r in kept])
+    print(f"scale-ratio distribution of {path} (min_secs={min_secs}):")
+    print(f"  all {len(all_r)} queries:            "
+          f"q1={q1a:.3f} median={meda:.3f} q3={q3a:.3f}")
+    print(f"  >= {min_secs}s at main SF ({len(kept)} queries): "
+          f"q1={q1k:.3f} median={medk:.3f} q3={q3k:.3f}")
+    if cheap:
+        worst_cheap = sorted(cheap, key=lambda t: -t[1])[:5]
+        print(f"  excluded sub-{min_secs}s: {len(cheap)} queries "
+              f"(their ratios say overhead, not scaling); "
+              f"largest: {', '.join(f'{q}={r:.2f}' for q, r in worst_cheap)}")
+    if unk:
+        print(f"  {len(unk)} ratio rows missing from the main-SF query map "
+              "(truncated contract line) — counted in 'all' only")
+    worst = sorted(kept, key=lambda t: -t[1])[:8]
+    print("  worst data-dominated ratios: "
+          + ", ".join(f"{q}={r:.2f}" for q, r in worst))
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale":
+        sys.exit(scale_mode(sys.argv[2],
+                            float(sys.argv[3]) if len(sys.argv) > 3 else 1.0))
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
     sys.exit(main(sys.argv[1], sys.argv[2],
