@@ -691,8 +691,10 @@ object Dedup {
       .select(col("__id"), col("bucket.band"), col("bucket.sig"))
   }
 
-  /** MinHash-LSH candidate pairs. `maxBucket` (default unlimited) is
-    * the production mega-bucket guard: a band bucket holding B
+  /** MinHash-LSH candidate pairs — the Int-cap back-compat face of
+    * [[lshCandidatesAudited]] (this signature's `maxBucket` default is
+    * unlimited; the IR actions default to [[BucketCap.Auto]] instead —
+    * see [[BucketCap]]). The guard: a band bucket holding B
     * documents emits B(B−1)/2 pairs out of the self-join, so ONE
     * boilerplate signature shared by 10⁶ docs (empty pages, parked
     * domains, license stubs) costs 10¹² candidate pairs regardless of

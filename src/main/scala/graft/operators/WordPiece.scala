@@ -269,9 +269,20 @@ object WordPiece {
           else {
             // rule 2 — score-dominance cut over the prefix; unit counts
             // of the prefix's symbols feed the residual bound
-            // (model-sized collect over the vocab-sized unit table)
+            // (model-sized collect over the vocab-sized unit table).
+            // The probe set also carries the candidates' PRODUCED
+            // symbols: like the BPE trainer's freshness guard, the
+            // dominance bound assumes a produced symbol is not already
+            // live in the word table (a pre-existing twin would add the
+            // created pair occurrences onto existing pairs' counts and
+            // unit counts, outside what the residual bound covers), so
+            // a batch is cut after admitting a merge whose produced
+            // symbol the unit table already knows — zero extra jobs,
+            // and the degraded pass is exactly sequential.
             val candSyms = disjoint.flatMap(t => Seq(t._1, t._2)).distinct
-            val unit = unitCounts(words).filter(col("sym").isin(candSyms: _*))
+            val producedSyms = disjoint.map(t => mergedSym(t._1, t._2)).distinct
+            val probeSyms = (candSyms ++ producedSyms).distinct
+            val unit = unitCounts(words).filter(col("sym").isin(probeSyms: _*))
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             var scoreBound = 0.0
             var cut = false
@@ -290,6 +301,7 @@ object WordPiece {
                     if (residual > 0L) b = math.max(b, 1.0 / residual.toDouble)
                   }
                   scoreBound = math.max(scoreBound, b)
+                  if (unit.contains(mergedSym(l, r))) cut = true // freshness guard
                 }
               }
             }
