@@ -137,9 +137,14 @@ def quartiles(xs):
 def scale_mode(path: str, min_secs: float) -> int:
     d = load_detail(path)
     ratio = d["ratio"]
-    # main-SF per-query times live in the contract line; the detail line
-    # itself may not carry them — reload via load() for the queries map
-    big = load(path)["queries"]
+    # main-SF per-query times live in the contract line (truncated to the
+    # most expensive ~70 entries); reconstruct the rest from the detail
+    # line's second-SF times: t_big = ratio * t_small by definition
+    big = dict(load(path)["queries"])
+    q2 = d.get("queries2", {})
+    for q, r in ratio.items():
+        if q not in big and q in q2:
+            big[q] = q2[q] * r
     rows = [(q, r, big.get(q)) for q, r in ratio.items()]
     all_r = [r for _, r, _ in rows]
     kept = [(q, r) for q, r, b in rows if b is not None and b >= min_secs]
