@@ -1871,7 +1871,8 @@ object Engine {
       val m = pMap(params.head)
       df => graft.operators.IncrementalDedup.dedupDelta(df,
         pStr(m("text")), pStr(m("id")), pStr(m("store-path")),
-        update = m.get("update").exists(_ == true))
+        update = m.get("update").exists(_ == true),
+        cap = pBucketCap(m)) // within-delta stage under the shared guard
     case "substring-probe" =>
       // incremental exact-substring cut spans against the persisted
       // window-hash store

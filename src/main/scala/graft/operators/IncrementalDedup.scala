@@ -167,11 +167,22 @@ object IncrementalDedup {
     val spark = delta.sparkSession
     val meta = readMeta(spark, path)
     val dBands = Materialize(bandsWithBucket(delta, textCol, idCol, meta))
-    prunedStore(spark, path, dBands, excludeBatch).as("s")
+    // collapse the pruned store slice to ONE row per (band, sig) BEFORE
+    // the join: dup_of only needs the smallest colliding store id, and
+    // min over a union of buckets == min over per-bucket minima — so a
+    // store mega-bucket (10⁶ docs behind one boilerplate signature)
+    // contributes one row to the join instead of 10⁶ rows PER colliding
+    // delta doc. The aggregate is map-side combined over the
+    // partition-pruned scan the probe already pays; without it the
+    // store×delta bucket product is the same quadratic blow-up the
+    // lshCandidates guard exists for, resurfacing in the probe join.
+    val owners = prunedStore(spark, path, dBands, excludeBatch)
+      .groupBy(col("band"), col("sig")).agg(min(col("id")).as("__owner"))
+    owners.as("s")
       .join(dBands.as("d"),
         col("s.band") === col("d.band") && col("s.sig") === col("d.sig"))
       .groupBy(col("d.id").as(idCol))
-      .agg(min(col("s.id")).as("dup_of"))
+      .agg(min(col("__owner")).as("dup_of"))
   }
 
   /** Dedup one arriving shard against the store and within itself.
@@ -181,12 +192,20 @@ object IncrementalDedup {
     */
   def dedupDelta(delta: DataFrame, textCol: String, idCol: String,
                  path: String, update: Boolean = false,
-                 excludeBatch: Option[Long] = None): DataFrame = {
+                 excludeBatch: Option[Long] = None,
+                 cap: Dedup.BucketCap = Dedup.BucketCap.Auto()): DataFrame = {
     val spark = delta.sparkSession
     val meta = readMeta(spark, path)
     val hits = Materialize(storeHits(delta, textCol, idCol, path, excludeBatch))
     val rest = delta.join(hits.select(col(idCol)), Seq(idCol), "left_anti")
-    val pairs = Dedup.lshCandidates(rest, textCol, idCol, meta.k, meta.rowsPerBand)
+    // within-delta stage under the same default guard as the batch LSH
+    // family: a boilerplate-heavy shard (one crawl day of parked
+    // domains) self-joins quadratically without it. Store-hit verdicts
+    // are unaffected; a capped mega-clique's members surface as `kept`
+    // (the audited guard trade) and collapse via dup_store on the NEXT
+    // shard once one of them is in the store.
+    val (pairs, _) = Dedup.lshCandidatesAudited(rest, textCol, idCol,
+      meta.k, meta.rowsPerBand, cap = cap)
     val losers = Materialize(
       Dedup.clusterPairsStar(pairs)
         .filter(col("cluster") =!= col("id"))

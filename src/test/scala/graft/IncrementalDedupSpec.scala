@@ -52,6 +52,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally rmrf(dir)
   }
 
+  test("mega-bucket store: per-bucket owner collapse keeps dup_of = min id; delta stage guarded") {
+    // A 300-member boilerplate clique in the STORE (one signature shared
+    // by all) is the probe-side twin of the lshCandidates mega-bucket:
+    // without the per-(band,sig) owner pre-aggregate the probe join
+    // emits |store bucket| rows per colliding delta doc. Semantics must
+    // be unchanged by the collapse: every colliding delta doc maps to
+    // the MINIMUM store id.
+    val boiler = "the same parked domain boilerplate body verbatim"
+    val store = frame((1L to 300L).map(_ -> boiler) ++ Seq(900L -> doc(900)))
+    // delta: 40 more copies of the boilerplate (all must dup_store -> 1),
+    // plus a fresh 30-member within-delta clique, plus one unique doc
+    val fresh = "fresh adversarial clique body repeated across the delta"
+    val delta = frame((1000L to 1039L).map(_ -> boiler) ++
+      (2000L to 2029L).map(_ -> fresh) ++ Seq(3000L -> doc(3000)))
+    val dir = tmpDir()
+    try {
+      IncrementalDedup.writeStore(store, "text", "doc_id", dir, nBuckets = 8)
+      def run(cap: graft.operators.Dedup.BucketCap) =
+        IncrementalDedup.dedupDelta(delta, "text", "doc_id", dir, cap = cap)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      val unlimited = run(graft.operators.Dedup.BucketCap.Unlimited)
+      (1000L to 1039L).foreach(i => assert(unlimited(i) == (("dup_store", 1L)), s"doc $i"))
+      (2001L to 2029L).foreach(i => assert(unlimited(i) == (("dup_delta", 2000L)), s"doc $i"))
+      assert(unlimited(2000L) == (("kept", -1L)))
+      assert(unlimited(3000L) == (("kept", -1L)))
+      // a cap below the fresh clique exempts it from WITHIN-DELTA dedup
+      // (documented guard trade: members surface kept, collapse via
+      // dup_store on the next shard); store verdicts are untouched
+      val capped = run(graft.operators.Dedup.BucketCap.Fixed(5))
+      (1000L to 1039L).foreach(i => assert(capped(i) == (("dup_store", 1L)), s"doc $i"))
+      (2000L to 2029L).foreach(i => assert(capped(i) == (("kept", -1L)), s"doc $i"))
+      // the default auto guard is total and store-verdict-preserving
+      val auto = run(graft.operators.Dedup.BucketCap.Auto())
+      assert(auto.size == delta.count())
+      (1000L to 1039L).foreach(i => assert(auto(i) == (("dup_store", 1L)), s"doc $i"))
+    } finally rmrf(dir)
+  }
+
   test("update appends survivors: re-feeding the same delta is all dup_store") {
     val store = frame(Seq(0L -> doc(0)))
     val delta = frame(Seq(20L -> doc(50), 21L -> doc(51), 22L -> doc(50)))
