@@ -1402,9 +1402,15 @@ object Engine {
       }
     case "dedup-weighted-lsh" =>
       val m = pMap(params.head)
-      df => graft.operators.Dedup.weightedLshCandidates(df, pStr(m("text")), pStr(m("id")),
-        k = m.get("k").map(pLong(_).toInt).getOrElse(8),
-        rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+      df => {
+        val (pairs, audit) = graft.operators.Dedup.weightedLshCandidatesAudited(
+          df, pStr(m("text")), pStr(m("id")),
+          k = m.get("k").map(pLong(_).toInt).getOrElse(8),
+          rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+          cap = pBucketCap(m))
+        writeCapAudit(m, df.sparkSession, audit)
+        pairs
+      }
     case "dedup-embedding" =>
       val m = pMap(params.head)
       df => graft.operators.Dedup.embeddingNearDupBucketed(df, pStr(m("id")), pStr(m("vec")),
@@ -1908,8 +1914,11 @@ object Engine {
     case "media-dhash" =>
       df => graft.operators.Multimodal.imageDHash(df)
     case "media-near-dup" =>
+      // same default guard as the text LSH family: the all-zero dHash
+      // (black frames, decode failures) is the image-side mega-bucket
+      val m0 = pMap(params.head)
       df => graft.operators.Multimodal.imageNearDup(df,
-        pLong(pMap(params.head)("max-hamming")).toInt)
+        pLong(m0("max-hamming")).toInt, cap = pBucketCap(m0))
     case "media-audio-decode" =>
       df => graft.operators.Multimodal.audioDecode(df)
     case "media-video-decode" =>

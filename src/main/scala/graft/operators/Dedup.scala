@@ -733,25 +733,56 @@ object Dedup {
                            hashFn: Column => Column = Text.md5HashMod,
                            cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
     val banded0 = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
-    // (frame, already materialized?, audit)
-    val (capped, alreadyMat, audit) = cap match {
-      case BucketCap.Unlimited => (banded0, false, None)
+    val (banded, audit) =
+      cappedBandTable(banded0, Seq("band", "sig"), k / rowsPerBand, cap, "lshCandidates")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val pairs = l.join(r,
+      col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
+    (pairs, audit)
+  }
+
+  /** The guard kernel shared by every banded candidate join (set
+    * MinHash, multiset MinHash, pigeonhole hamming bands): materialize
+    * the band table, read its EXACT bucket-size histogram (map-side
+    * combined; the collect is bounded by the largest bucket size),
+    * resolve the cap ([[solveBucketCap]] for [[BucketCap.Auto]]), drop
+    * over-cap buckets whole via a semi-join, and account for the drop
+    * in an [[LshAudit]]. Returns the MATERIALIZED kept band table —
+    * every caller feeds it to a (self- or cross-) join, so the
+    * producing pipeline must run once. `bandsPerDoc` converts band
+    * rows to the banded-doc count the auto budget is linear in.
+    */
+  private def cappedBandTable(banded0: DataFrame, keyCols: Seq[String],
+                              bandsPerDoc: Int, cap: BucketCap,
+                              what: String): (DataFrame, Option[LshAudit]) = {
+    val keys = keyCols.map(col)
+    cap match {
+      case BucketCap.Unlimited =>
+        // the band table is tiny (bands rows × ~20 bytes per doc) and
+        // feeds both sides of a join: materialize it once (eagerly)
+        // instead of running the hash pipeline twice; blocks are
+        // reclaimed by the ContextCleaner when the plan is unreferenced
+        // (persist() leaked them for the session lifetime)
+        (Materialize(banded0), None)
       case guarded =>
         // materialize BEFORE deriving the cap aggregate: the bucket table
         // feeds both the count aggregate and the semi-join probe side, and
-        // without this the whole MinHash/banding hash pipeline runs twice
+        // without this the whole hash/banding pipeline runs twice
         val b0 = Materialize(banded0)
         // exact bucket-SIZE histogram: (size, how many buckets have it) —
         // distinct sizes are bounded by the largest bucket, so the collect
         // is model-sized even when the bucket table is corpus-sized
-        val hist = b0.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("__c"))
+        val hist = b0.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
           .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-        val bands = k / rowsPerBand
-        // every banded doc contributes exactly `bands` rows, so the doc
-        // count falls out of the histogram for free (docs with <2 tokens
-        // never banded, never candidates)
-        val nDocs = hist.iterator.map { case (s, n) => s * n }.sum / math.max(1, bands)
+        // every banded doc contributes exactly `bandsPerDoc` rows, so the
+        // doc count falls out of the histogram for free (docs with no
+        // bandable content never banded, never candidates)
+        val nDocs = hist.iterator.map { case (s, n) => s * n }.sum / math.max(1, bandsPerDoc)
         val resolved: Long = guarded match {
           case BucketCap.Fixed(n) => n.toLong
           case BucketCap.Auto(ppd, floor) => solveBucketCap(hist, nDocs, ppd, floor)
@@ -764,11 +795,11 @@ object Dedup {
           excludedBuckets = excluded.iterator.map(_._2).sum,
           excludedMembers = excluded.iterator.map { case (s, n) => s * n }.sum)
         if (a.excludedBuckets > 0)
-          log.warn(s"lshCandidates: mega-bucket guard (cap=$resolved, mode=$guarded) " +
+          log.warn(s"$what: mega-bucket guard (cap=$resolved, mode=$guarded) " +
             s"excluded ${a.excludedBuckets} band buckets / ${a.excludedMembers} member rows " +
             s"(largest bucket ${a.largestBucket}) from candidate generation — " +
             "near-dups inside those buckets are NOT in the pair list")
-        if (resolved == Long.MaxValue) (b0, true, Some(a))
+        if (resolved == Long.MaxValue) (b0, Some(a))
         else {
           // the ok side re-aliases its keys into FRESH attributes before
           // the semi-join: a groupBy keeps its grouping attributes' expr
@@ -776,32 +807,16 @@ object Dedup {
           // bare column name is Spark's ambiguous-self-join knife edge
           // (observed resolving trivially-true in a REPL context); the
           // Alias makes the condition unambiguous by construction
-          val ok = b0.groupBy(col("band"), col("sig"))
+          val ok = b0.groupBy(keys: _*)
             .agg(count(lit(1)).as("__bs"))
             .filter(col("__bs") <= resolved)
-            .select(col("band").as("__okband"), col("sig").as("__oksig"))
-          val kept = b0.join(ok,
-            col("band") === col("__okband") && col("sig") === col("__oksig"),
-            "left_semi")
-          (kept, false, Some(a))
+            .select(keyCols.map(c => col(c).as(s"__ok_$c")): _*)
+          val cond = keyCols.map(c => col(c) === col(s"__ok_$c")).reduce(_ && _)
+          val kept = b0.join(ok, cond, "left_semi")
+          // re-materialize the FILTERED table: it feeds both join sides
+          (Materialize(kept), Some(a))
         }
     }
-    // the banded bucket table is tiny (bands rows × ~20 bytes per doc)
-    // and feeds both sides of the self-join: materialize it once
-    // (eagerly) instead of running the hash pipeline twice; blocks are
-    // reclaimed by the ContextCleaner when the plan is unreferenced
-    // (persist() leaked them for the session lifetime). An auto guard
-    // that resolved to unlimited hands back the ALREADY-checkpointed
-    // band table — re-checkpointing it would copy every block again.
-    val banded = if (alreadyMat) capped else capped.transform(Materialize.apply)
-    val l = banded.as("l")
-    val r = banded.as("r")
-    val pairs = l.join(r,
-      col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-        col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
-      .distinct()
-    (pairs, audit)
   }
 
   /** Multiset (integer-weighted) MinHash signature table: MinHash over
@@ -848,16 +863,31 @@ object Dedup {
     */
   def weightedLshCandidates(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 8, rowsPerBand: Int = 2,
-                            hashFn: Column => Column = Text.md5HashMod): DataFrame = {
-    val banded = bandRows(weightedSigTable(df, textCol, idCol, k, hashFn),
-        k, rowsPerBand)
-      .transform(Materialize.apply)
+                            hashFn: Column => Column = Text.md5HashMod): DataFrame =
+    weightedLshCandidatesAudited(df, textCol, idCol, k, rowsPerBand, hashFn,
+      BucketCap.Unlimited)._1
+
+  /** [[weightedLshCandidates]] under the shared mega-bucket guard
+    * ([[cappedBandTable]]) — repetition-heavy boilerplate (the exact
+    * audience of the multiset relation) is if anything MORE prone to
+    * the one-signature mega-bucket than the set variant.
+    */
+  def weightedLshCandidatesAudited(df: DataFrame, textCol: String, idCol: String,
+                                   k: Int = 8, rowsPerBand: Int = 2,
+                                   hashFn: Column => Column = Text.md5HashMod,
+                                   cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
+    val banded0 = bandRows(weightedSigTable(df, textCol, idCol, k, hashFn),
+      k, rowsPerBand)
+    val (banded, audit) = cappedBandTable(banded0, Seq("band", "sig"),
+      k / rowsPerBand, cap, "weightedLshCandidates")
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-      col("l.__id") < col("r.__id"))
+    val pairs = l.join(r,
+      col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
       .distinct()
+    (pairs, audit)
   }
 
   /** Cross-corpus candidates under the MULTISET relation — the weighted
@@ -1074,7 +1104,20 @@ object Dedup {
     * Output: (id1, id2, hamming) with id1 < id2, hamming ≤ `maxHamming`.
     */
   def hammingNearDup(sigs: DataFrame, idCol: String, sigCol: String,
-                     sigBits: Int, maxHamming: Int): DataFrame = {
+                     sigBits: Int, maxHamming: Int): DataFrame =
+    hammingNearDupAudited(sigs, idCol, sigCol, sigBits, maxHamming,
+      BucketCap.Unlimited)._1
+
+  /** [[hammingNearDup]] under the shared mega-bucket guard: the
+    * pigeonhole bands have their own canonical mega-bucket — the
+    * all-zero signature (empty documents, black images) puts EVERY such
+    * row in the same band buckets, and the band equi-join then pays
+    * |bucket|² exactly like the MinHash case. Same [[cappedBandTable]]
+    * kernel, keyed on `(band, bits)`.
+    */
+  def hammingNearDupAudited(sigs: DataFrame, idCol: String, sigCol: String,
+                            sigBits: Int, maxHamming: Int,
+                            cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
     require(sigBits >= 1 && sigBits <= 64,
       s"hammingNearDup: sigBits must be in [1,64], got $sigBits")
     require(maxHamming >= 0 && maxHamming + 1 <= sigBits,
@@ -1082,7 +1125,7 @@ object Dedup {
     val bands = maxHamming + 1
     val width = sigBits / bands
     val s = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
-    val banded = s.select(
+    val banded0 = s.select(
       col("__id"), col("__sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -1092,9 +1135,11 @@ object Dedup {
             .as("bits"))
       }: _*)).as("bk"))
       .select(col("__id"), col("__sig"), col("bk.band"), col("bk.bits"))
+    val (banded, audit) = cappedBandTable(banded0, Seq("band", "bits"),
+      bands, cap, "hammingNearDup")
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
+    val pairs = l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
         bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).cast("long").as("hamming"))
@@ -1102,6 +1147,7 @@ object Dedup {
       // within-budget pairs, not every band collision
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair agreeing on several bands appears once
+    (pairs, audit)
   }
 
   /** Connected components over a near-dup pair list: every id that appears

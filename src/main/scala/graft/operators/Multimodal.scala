@@ -569,9 +569,10 @@ object Multimodal {
     *
     * Output: (id1, id2, hamming), id1 < id2.
     */
-  def imageNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame =
-    Dedup.hammingNearDup(imageDHash(media), "media_id", "dhash",
-      sigBits = 64, maxHamming = maxHamming)
+  def imageNearDup(media: DataFrame, maxHamming: Int = 6,
+                   cap: Dedup.BucketCap = Dedup.BucketCap.Unlimited): DataFrame =
+    Dedup.hammingNearDupAudited(imageDHash(media), "media_id", "dhash",
+      sigBits = 64, maxHamming = maxHamming, cap = cap)._1
 
   // ------------------------------------------------------------------
   // REAL video kernel: ISO BMFF (MP4/MOV) box walk — O(moov), no codec.

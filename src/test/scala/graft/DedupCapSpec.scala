@@ -172,6 +172,46 @@ class DedupCapSpec extends AnyFunSuite {
       == staged.select("id1", "id2", "edit_dist").orderBy("id1", "id2").collect().toSeq)
   }
 
+  // ---- the shared kernel's other faces: weighted MinHash, hamming bands ----
+
+  test("weightedLshCandidatesAudited: same guard kernel; unlimited face unchanged") {
+    val (autoPairs, audit) = Dedup.weightedLshCandidatesAudited(
+      adversarial, "text", "doc_id", cap = BucketCap.Auto())
+    val a = audit.get
+    assert(a.resolvedMaxBucket != Long.MaxValue && a.excludedBuckets > 0L)
+    val fixed = Dedup.weightedLshCandidatesAudited(adversarial, "text", "doc_id",
+      cap = BucketCap.Fixed(a.resolvedMaxBucket.toInt))._1
+    assert(autoPairs.orderBy("id1", "id2").collect().toSeq
+      == fixed.orderBy("id1", "id2").collect().toSeq)
+    // the Int-free legacy face is the Unlimited guard — bit-unchanged
+    val legacy = Dedup.weightedLshCandidates(clean, "text", "doc_id")
+    val unlimited = Dedup.weightedLshCandidatesAudited(clean, "text", "doc_id",
+      cap = BucketCap.Unlimited)._1
+    assert(legacy.orderBy("id1", "id2").collect().toSeq
+      == unlimited.orderBy("id1", "id2").collect().toSeq)
+  }
+
+  test("hammingNearDupAudited: all-zero-signature mega-bucket capped, organic pairs kept") {
+    val s = spark
+    import s.implicits._
+    // 2000 all-zero signatures (the empty-doc/black-image bucket) + one
+    // organic near-dup pair at hamming 1 + isolated far signatures
+    val sigs = ((0L until 2000L).map(i => (i, 0L)) ++
+      Seq((5000L, 0x0F0F0F0FL), (5001L, 0x0F0F0F0EL), (6000L, 0x7A5A5A5AL)))
+      .toDF("id", "sig")
+    val (pairs, audit) = Dedup.hammingNearDupAudited(sigs, "id", "sig",
+      sigBits = 32, maxHamming = 1, cap = BucketCap.Auto())
+    val a = audit.get
+    assert(a.excludedBuckets > 0L, s"zero-bucket must be capped: $a")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the organic pair survives; the zero clique's 2M pairs do not
+    assert(got == Set((5000L, 5001L, 1L)), s"got $got")
+    // unlimited face still finds the clique (legacy behavior intact)
+    val unl = Dedup.hammingNearDup(
+      Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "sig"), "id", "sig", 32, 1)
+    assert(unl.count() == 3L) // (1,2,0),(1,3,1),(2,3,1)
+  }
+
   // ---- IR faces: default auto, explicit overrides, audit-path ----
 
   private def runIr(json: String, input: DataFrame): DataFrame =
