@@ -758,16 +758,19 @@ object Dedup {
     */
   private def cappedBandTable(banded0: DataFrame, keyCols: Seq[String],
                               bandsPerDoc: Int, cap: BucketCap,
-                              what: String): (DataFrame, Option[LshAudit]) = {
+                              what: String,
+                              materializeUnlimited: Boolean = true): (DataFrame, Option[LshAudit]) = {
     val keys = keyCols.map(col)
     cap match {
       case BucketCap.Unlimited =>
-        // the band table is tiny (bands rows × ~20 bytes per doc) and
-        // feeds both sides of a join: materialize it once (eagerly)
-        // instead of running the hash pipeline twice; blocks are
-        // reclaimed by the ContextCleaner when the plan is unreferenced
-        // (persist() leaked them for the session lifetime)
-        (Materialize(banded0), None)
+        // the band table is tiny (bands rows × ~20 bytes per doc) and —
+        // for the SELF-join faces — feeds both sides of the join:
+        // materialize it once (eagerly) instead of running the hash
+        // pipeline twice; blocks are reclaimed by the ContextCleaner
+        // when the plan is unreferenced (persist() leaked them for the
+        // session lifetime). Cross-corpus callers consume each side
+        // once and skip the checkpoint copy.
+        (if (materializeUnlimited) Materialize(banded0) else banded0, None)
       case guarded =>
         // materialize BEFORE deriving the cap aggregate: the bucket table
         // feeds both the count aggregate and the semi-join probe side, and
@@ -899,14 +902,33 @@ object Dedup {
   def weightedCrossCorpusCandidates(left: DataFrame, right: DataFrame,
                                     textCol: String, idCol: String,
                                     k: Int = 8, rowsPerBand: Int = 2,
-                                    hashFn: Column => Column = Text.md5HashMod): DataFrame = {
-    val l = bandRows(weightedSigTable(left, textCol, idCol, k, hashFn),
-      k, rowsPerBand).as("l")
-    val r = bandRows(weightedSigTable(right, textCol, idCol, k, hashFn),
-      k, rowsPerBand).as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+                                    hashFn: Column => Column = Text.md5HashMod): DataFrame =
+    weightedCrossCorpusCandidatesAudited(left, right, textCol, idCol, k,
+      rowsPerBand, hashFn, BucketCap.Unlimited, BucketCap.Unlimited)._1
+
+  /** [[weightedCrossCorpusCandidates]] under the per-side guard — same
+    * contract as [[crossCorpusCandidatesAudited]].
+    */
+  def weightedCrossCorpusCandidatesAudited(left: DataFrame, right: DataFrame,
+                                           textCol: String, idCol: String,
+                                           k: Int = 8, rowsPerBand: Int = 2,
+                                           hashFn: Column => Column = Text.md5HashMod,
+                                           capLeft: BucketCap = BucketCap.Auto(),
+                                           capRight: BucketCap = BucketCap.Auto())
+      : (DataFrame, Option[LshAudit], Option[LshAudit]) = {
+    val (l, auditL) = cappedBandTable(
+      bandRows(weightedSigTable(left, textCol, idCol, k, hashFn), k, rowsPerBand),
+      Seq("band", "sig"), k / rowsPerBand, capLeft,
+      "weightedCrossCorpusCandidates(left)", materializeUnlimited = false)
+    val (r, auditR) = cappedBandTable(
+      bandRows(weightedSigTable(right, textCol, idCol, k, hashFn), k, rowsPerBand),
+      Seq("band", "sig"), k / rowsPerBand, capRight,
+      "weightedCrossCorpusCandidates(right)", materializeUnlimited = false)
+    val pairs = l.as("l").join(r.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.__id").as("left_id"), col("r.__id").as("right_id"))
       .distinct()
+    (pairs, auditL, auditR)
   }
 
   /** Exact multiset Jaccard `Σ min(c₁,c₂) / Σ max(c₁,c₂)` over bigram-
@@ -965,12 +987,38 @@ object Dedup {
   def crossCorpusCandidates(left: DataFrame, right: DataFrame,
                             textCol: String, idCol: String,
                             k: Int = 8, rowsPerBand: Int = 2,
-                            hashFn: Column => Column = Text.md5HashMod): DataFrame = {
-    val l = bandedBuckets(left, textCol, idCol, k, rowsPerBand, hashFn).as("l")
-    val r = bandedBuckets(right, textCol, idCol, k, rowsPerBand, hashFn).as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+                            hashFn: Column => Column = Text.md5HashMod): DataFrame =
+    crossCorpusCandidatesAudited(left, right, textCol, idCol, k, rowsPerBand,
+      hashFn, BucketCap.Unlimited, BucketCap.Unlimited)._1
+
+  /** [[crossCorpusCandidates]] with the mega-bucket guard applied PER
+    * SIDE ([[cappedBandTable]] on each corpus's own band table and doc
+    * budget): a cross-bucket emits `l_size × r_size` pairs, so one
+    * boilerplate signature shared by 10⁶ docs on each side costs 10¹²
+    * rows unguarded; capping each factor independently bounds the
+    * product at `cap_l × cap_r` per bucket while keeping the rule
+    * replayable per corpus. Returns the pairs plus each side's audit.
+    */
+  def crossCorpusCandidatesAudited(left: DataFrame, right: DataFrame,
+                                   textCol: String, idCol: String,
+                                   k: Int = 8, rowsPerBand: Int = 2,
+                                   hashFn: Column => Column = Text.md5HashMod,
+                                   capLeft: BucketCap = BucketCap.Auto(),
+                                   capRight: BucketCap = BucketCap.Auto())
+      : (DataFrame, Option[LshAudit], Option[LshAudit]) = {
+    val (l, auditL) = cappedBandTable(
+      bandedBuckets(left, textCol, idCol, k, rowsPerBand, hashFn),
+      Seq("band", "sig"), k / rowsPerBand, capLeft, "crossCorpusCandidates(left)",
+      materializeUnlimited = false)
+    val (r, auditR) = cappedBandTable(
+      bandedBuckets(right, textCol, idCol, k, rowsPerBand, hashFn),
+      Seq("band", "sig"), k / rowsPerBand, capRight, "crossCorpusCandidates(right)",
+      materializeUnlimited = false)
+    val pairs = l.as("l").join(r.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.__id").as("left_id"), col("r.__id").as("right_id"))
       .distinct()
+    (pairs, auditL, auditR)
   }
 
   /** One row per id of the capped/derived text payload for a verify
