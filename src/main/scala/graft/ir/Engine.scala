@@ -1413,10 +1413,16 @@ object Engine {
       }
     case "dedup-embedding" =>
       val m = pMap(params.head)
-      df => graft.operators.Dedup.embeddingNearDupBucketed(df, pStr(m("id")), pStr(m("vec")),
-        threshold = pDouble(m("threshold")),
-        bits = m.get("bits").map(pLong(_).toInt).getOrElse(16),
-        extraProbes = m.get("probes").map(pLong(_).toInt).getOrElse(0))
+      df => {
+        val (pairs, audit) = graft.operators.Dedup.embeddingNearDupBucketedAudited(
+          df, pStr(m("id")), pStr(m("vec")),
+          threshold = pDouble(m("threshold")),
+          bits = m.get("bits").map(pLong(_).toInt).getOrElse(16),
+          extraProbes = m.get("probes").map(pLong(_).toInt).getOrElse(0),
+          cap = pBucketCap(m))
+        writeCapAudit(m, df.sparkSession, audit)
+        pairs
+      }
     // pair list (id1, id2) → (id, cluster) labels via connected components
     case "dedup-cluster" =>
       df => graft.operators.Dedup.clusterPairs(df)

@@ -1528,7 +1528,23 @@ object Dedup {
     */
   def embeddingNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, bits: Int = 16,
-                               extraProbes: Int = 0): DataFrame = {
+                               extraProbes: Int = 0): DataFrame =
+    embeddingNearDupBucketedAudited(emb, idCol, vecCol, threshold, bits,
+      extraProbes, BucketCap.Unlimited)._1
+
+  /** [[embeddingNearDupBucketed]] under the shared mega-bucket guard:
+    * the sign-bucket family's degenerate bucket is a mass of IDENTICAL
+    * embeddings (re-encoded boilerplate, zero vectors from failed
+    * embedding jobs) — every member lands in one sign bucket and the
+    * within-bucket join pays |bucket|² cosine evaluations. The guard
+    * caps the HOME bucket table only ([[cappedBandTable]] keyed on the
+    * bucket, one row per doc): a dropped bucket finds no join partners,
+    * so probe rows into it die in the hash join for free.
+    */
+  def embeddingNearDupBucketedAudited(emb: DataFrame, idCol: String, vecCol: String,
+                                      threshold: Double, bits: Int = 16,
+                                      extraProbes: Int = 0,
+                                      cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
     // multi-probe (like Similarity.bucketedTopK): one side additionally
     // visits the buckets reached by flipping its least-confident sign
     // bits, recovering pairs that straddle a bucket boundary — each probe
@@ -1536,8 +1552,10 @@ object Dedup {
     // measures the recall lift on planted near-duplicates.
     val l = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       explode(Similarity.probeBuckets(col(vecCol), bits, extraProbes)).as("__bucket"))
-    val r = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+    val home = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
       Similarity.signBucket(col(vecCol), bits).as("__bucket"))
+    val (r, audit) = cappedBandTable(home, Seq("__bucket"), 1, cap,
+      "embeddingNearDupBucketed", materializeUnlimited = false)
     val pairs = l.join(r, "__bucket")
       .filter(col("id1") < col("id2"))
       .withColumn("cosine", graft.functions.VectorExpressions.cosineF(col("v1"), col("v2")))
@@ -1545,7 +1563,7 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cosine"))
     // a straddling pair can be reached from both ends' probes — dedupe
     // only when probing can actually produce duplicates
-    if (extraProbes > 0) pairs.distinct() else pairs
+    (if (extraProbes > 0) pairs.distinct() else pairs, audit)
   }
 
   /** EXACT token-set Jaccard similarity join with prefix filtering
