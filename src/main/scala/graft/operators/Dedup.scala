@@ -108,14 +108,21 @@ object Dedup {
     */
   def solveBucketCap(hist: Seq[(Long, Long)], nDocs: Long,
                      pairsPerDoc: Double, floor: Int): Long = {
-    val budget = math.ceil(pairsPerDoc * nDocs).toLong
-    val total = hist.iterator.map { case (s, n) => n * (s * (s - 1) / 2) }.sum
+    val budget = BigInt(math.ceil(pairsPerDoc * nDocs).toLong)
+    // BigInt accumulation: a single 10¹¹-member bucket's s(s−1)/2
+    // overflows Long (s² > 9.2×10¹⁸ at s > 4.3×10⁹), and an overflowed
+    // emission count could wrap NEGATIVE and silently disable the
+    // guard exactly on the corpus that needs it most. Driver-side over
+    // a largest-bucket-bounded histogram, so the cost is nothing; the
+    // DuckDB gate replay is value-identical at any gateable scale.
+    def emissions(s: Long, n: Long): BigInt = BigInt(n) * (BigInt(s) * BigInt(s - 1) / 2)
+    val total = hist.iterator.map { case (s, n) => emissions(s, n) }.sum
     if (total <= budget) Long.MaxValue
     else {
-      var cum = 0L
+      var cum = BigInt(0)
       var best = 0L
       hist.foreach { case (s, n) =>
-        cum += n * (s * (s - 1) / 2)
+        cum += emissions(s, n)
         if (cum <= budget) best = s
       }
       math.max(floor.toLong, best)

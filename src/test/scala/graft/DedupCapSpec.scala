@@ -46,6 +46,14 @@ class DedupCapSpec extends AnyFunSuite {
     assert(Dedup.solveBucketCap(Nil, 0L, 32.0, 16) == Long.MaxValue)
   }
 
+  test("solveBucketCap: a 10^11-member bucket cannot overflow the guard off") {
+    // s(s-1)/2 overflows Long at s > 4.3e9; a wrapped-negative emission
+    // count would make the pathological corpus look within budget
+    val hist = Seq((2L, 1000L), (100000000000L, 1L))
+    val cap = Dedup.solveBucketCap(hist, nDocs = 100000000000L, pairsPerDoc = 32.0, floor = 16)
+    assert(cap != Long.MaxValue && cap == 16L, s"got $cap")
+  }
+
   // ---- fixtures ----
 
   /** Clean corpus: 120 token-disjoint docs PLUS one planted organic
