@@ -5691,6 +5691,99 @@ object QueriesPipeline {
       }
     }
 
+    // ---- soft-EM forward-backward expected counts, oracle-replayed ----
+    // The E-step primitive of the SentencePiece-faithful trainer
+    // (trainSoft/trainSoftDistributed run it in log space with
+    // log-sum-exp — not cross-engine-replayable bit-for-bit). The gate
+    // drives the PRODUCT-space twin (UnigramTokenizer.softCountsLinear):
+    // every multiply/add and its association order is pinned on both
+    // engines (forward a_i = ((0 + a_{i-3}·p3) + a_{i-2}·p2) + a_{i-1}·p1
+    // with literal-zero padding — x+0.0 == x exactly for non-negative
+    // a — backward mirrored ascending, per-occurrence posteriors folded
+    // in (j,i) order, per-piece totals folded in sorted-word order), and
+    // the model is a deterministic quantized function of piece length
+    // with digit-bearing pieces at p=0 to exercise the OOV skip. DuckDB
+    // replays the recurrence UNROLLED over positions (lateral column
+    // aliases) and the folds as ordered list_reduce.
+    locally {
+      val mpl = 3
+      val maxLen = 8
+      def pSql(j: String, d: Int): String =
+        s"""(CASE WHEN regexp_matches(substr(word, $j + 1, $d), '[0-9]')
+           |      THEN CAST(0.0 AS DOUBLE)
+           |      ELSE CAST(CAST(1.0/(2 + $d) AS DECIMAL(38,12)) AS DOUBLE) END)"""
+          .stripMargin.replace("\n", " ")
+      val fwdCols = (1 to maxLen).map { i =>
+        val terms = (mpl to 1 by -1).map { d =>
+          if (i - d >= 0) s"a${i - d} * ${pSql((i - d).toString, d)}"
+          else "CAST(0.0 AS DOUBLE)"
+        }
+        val acc = terms.foldLeft("CAST(0.0 AS DOUBLE)")((a, t) => s"($a + $t)")
+        s"CASE WHEN n >= $i THEN $acc ELSE CAST(0.0 AS DOUBLE) END AS a$i"
+      }.mkString(",\n         ")
+      val bwdCols = (maxLen - 1 to 0 by -1).map { j =>
+        val terms = (1 to mpl).map { d =>
+          if (j + d <= maxLen) s"CASE WHEN $j + $d <= n THEN ${pSql(j.toString, d)} * b${j + d} ELSE CAST(0.0 AS DOUBLE) END"
+          else "CAST(0.0 AS DOUBLE)"
+        }
+        val acc = terms.foldLeft("CAST(0.0 AS DOUBLE)")((a, t) => s"($a + $t)")
+        s"CASE WHEN $j > n THEN CAST(0.0 AS DOUBLE) WHEN $j = n THEN CAST(1.0 AS DOUBLE) ELSE $acc END AS b$j"
+      }.mkString(",\n         ")
+      val aCase = "CASE j " + (0 until maxLen).map(j => s"WHEN $j THEN a$j").mkString(" ") + " END"
+      val bCase = "CASE j + d " + (1 to maxLen).map(i => s"WHEN $i THEN b$i").mkString(" ") + " END"
+      val zCase = "CASE n " + (2 to maxLen).map(i => s"WHEN $i THEN a$i").mkString(" ") + " END"
+      register("unigram_soft_counts",
+        s"""WITH uw AS MATERIALIZED (
+           |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                  t -> len(t) > 0)) AS tok
+           |    FROM documents)
+           |  WHERE len(tok) BETWEEN 2 AND $maxLen GROUP BY 1),
+           |fb AS MATERIALIZED (
+           |  SELECT word, cnt, len(word) AS n,
+           |         CAST(1.0 AS DOUBLE) AS a0,
+           |         $fwdCols,
+           |         CAST(1.0 AS DOUBLE) AS b$maxLen,
+           |         $bwdCols,
+           |         $zCase AS z
+           |  FROM uw),
+           |occ AS (
+           |  SELECT word, cnt, j, d, substr(word, CAST(j AS INT) + 1, CAST(d AS INT)) AS piece,
+           |         ($aCase) * (CAST(CAST(1.0/(2 + d) AS DECIMAL(38,12)) AS DOUBLE)) * ($bCase) / z AS post
+           |  FROM fb
+           |  CROSS JOIN (SELECT unnest(range($maxLen)) AS j)
+           |  CROSS JOIN (SELECT unnest(range(1, ${mpl + 1})) AS d)
+           |  WHERE j + d <= n AND z <> 0
+           |    AND NOT regexp_matches(substr(word, CAST(j AS INT) + 1, CAST(d AS INT)), '[0-9]')),
+           |wp AS (
+           |  SELECT word, piece,
+           |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list(post ORDER BY j, d)), (acc, x) -> acc + x)
+           |           * CAST(any_value(cnt) AS DOUBLE) AS e
+           |  FROM occ GROUP BY word, piece)
+           |SELECT piece,
+           |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |         list(e ORDER BY word)), (acc, x) -> acc + x) AS expected
+           |FROM wp GROUP BY piece ORDER BY piece""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        def q12(x: Double): Double =
+          new java.math.BigDecimal(x)
+            .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+        val words = graft.operators.Materialize(
+          graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
+            .filter(length(col("word")).between(2, maxLen)))
+        val pieces = words.select(col("word")).as[String].collect()
+          .flatMap(w => for {
+            i <- 0 until w.length
+            l <- 1 to math.min(mpl, w.length - i)
+          } yield w.substring(i, i + l)).distinct
+        val p = pieces.filterNot(_.exists(_.isDigit))
+          .map(s0 => s0 -> q12(1.0 / (2 + s0.length))).toMap
+        graft.operators.UnigramTokenizer.softCountsTable(words, p, mpl)
+          .orderBy("piece")
+      }
+    }
+
     // WordPiece scored pairs — the oracle-gated primitive of the
     // likelihood-argmax trainer (the merge loop is spec-gated like BPE's;
     // score = cnt/(lcnt*rcnt) is two IEEE double ops in the same order on

@@ -433,6 +433,109 @@ object UnigramTokenizer {
     (out, z)
   }
 
+  /** PRODUCT-space forward-backward expected counts for ONE word — the
+    * oracle-replayable twin of [[softCounts]]. [[softCounts]] runs in
+    * log space with [[logAdd]] (the numerically-robust production
+    * form), but log-sum-exp cannot be replayed bit-for-bit by a SQL
+    * engine (its exp/log differ in the last ulp and the grouping-by-
+    * prefix association differs from any SQL formulation). This twin
+    * fixes EVERY floating operation and its order so the DuckDB gate
+    * (`unigram_soft_counts`) hashes bit-exactly:
+    *
+    *  - probabilities arrive ALREADY quantized linear-space values;
+    *  - forward: `α(0)=1; α(i) = ((0 + α(i−3)·p₃) + α(i−2)·p₂) +
+    *    α(i−1)·p₁` (a missing/OOV term contributes literal `0.0` —
+    *    `x + 0.0 == x` exactly for the non-negative α, so skipping and
+    *    adding zero are the same IEEE value);
+    *  - backward mirrored with the ascending-length order
+    *    `((0 + t₁) + t₂) + t₃`;
+    *  - per-word occurrence posteriors `α(j)·p·β(i)/Z` fold in
+    *    (j, i) ascending order per piece.
+    *
+    * Underflow bound: α ≥ p_min^len, fine in double for the gate's
+    * short words; at production lengths use [[softCounts]] — this twin
+    * exists to PIN the recurrence, UnigramTokenizerSpec pins the two
+    * faces against each other within float tolerance.
+    */
+  def softCountsLinear(word: String, p: collection.Map[String, Double],
+                       maxPieceLen: Int): Seq[(String, Double)] = {
+    val n = word.length
+    if (n == 0) return Nil
+    def pOf(j: Int, i: Int): Double = p.getOrElse(word.substring(j, i), 0.0)
+    val a = Array.fill(n + 1)(0.0); a(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var acc = 0.0
+      var d = maxPieceLen
+      while (d >= 1) { // descending length == ascending j, the pinned order
+        if (i - d >= 0) acc = acc + a(i - d) * pOf(i - d, i)
+        d -= 1
+      }
+      a(i) = acc
+      i += 1
+    }
+    val b = Array.fill(n + 1)(0.0); b(n) = 1.0
+    var j = n - 1
+    while (j >= 0) {
+      var acc = 0.0
+      var d = 1
+      while (d <= maxPieceLen) { // ascending end position, the pinned order
+        if (j + d <= n) acc = acc + pOf(j, j + d) * b(j + d)
+        d += 1
+      }
+      b(j) = acc
+      j -= 1
+    }
+    val z = a(n)
+    if (z == 0.0) return Nil
+    // (piece, posterior) per occurrence in (j, i) ascending order, then
+    // a left fold per piece in that same order
+    val occ = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var jj = 0
+    while (jj < n) {
+      var ii = jj + 1
+      val lim = math.min(n, jj + maxPieceLen)
+      while (ii <= lim) {
+        val pv = pOf(jj, ii)
+        if (pv != 0.0) {
+          val piece = word.substring(jj, ii)
+          occ.update(piece, occ.getOrElse(piece, 0.0) + a(jj) * pv * b(ii) / z)
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    occ.toSeq
+  }
+
+  /** Corpus-level [[softCountsLinear]]: expected piece counts summed
+    * with the count weight in SORTED WORD ORDER per piece (the
+    * deterministic fold the DuckDB twin replays with
+    * `list(x ORDER BY word)`); output `(piece, expected)` ordered by
+    * piece. The model map must hold quantized probabilities so both
+    * engines start from identical doubles.
+    */
+  def softCountsTable(words: DataFrame, p: Map[String, Double],
+                      maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(p)
+    val perWord = words.as[(String, Long)]
+      .flatMap { case (w, c) =>
+        softCountsLinear(w, bc.value, maxPieceLen)
+          .map { case (piece, e) => (piece, w, e * c.toDouble) }
+      }
+      .toDF("piece", "word", "e")
+    // deterministic per-piece total: sorted-word left fold inside the
+    // aggregation (collect_list order is partition-dependent; the sort
+    // + higher-order fold pins it — the trainSoftDistributed pattern,
+    // one level since per-piece buffers are word-vocabulary-bounded)
+    perWord.groupBy("piece")
+      .agg(expr("aggregate(array_sort(collect_list(struct(word, e))), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.e)").as("expected"))
+      .orderBy("piece")
+  }
+
   /** Two-char word-prefix bucket for the deterministic two-level count
     * fold (see [[trainSoftDistributed]]).
     */

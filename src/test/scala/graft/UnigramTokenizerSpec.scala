@@ -126,6 +126,44 @@ class UnigramTokenizerSpec extends AnyFunSuite {
       assert((scaled.toDouble - lp).abs < 1e-12, s"piece $p not on grid") }
   }
 
+  test("softCountsLinear == softCounts within float tolerance (the r14 oracle twin)") {
+    // the product-space twin exists so the DuckDB gate can replay the
+    // forward-backward bit-for-bit; it must agree with the log-space
+    // production face up to float round-off on every battery word
+    val s = spark
+    import s.implicits._
+    val words = Seq("nation", "nations", "internation", "aaaa", "ab",
+      "mississippi", "na", "onat")
+    val pieces = words.flatMap(w => for {
+      i <- 0 until w.length; l <- 1 to math.min(3, w.length - i)
+    } yield w.substring(i, i + l)).distinct
+    val p = pieces.map(x => x -> 1.0 / (2 + x.length)).toMap
+    val logp = p.map { case (k, v) => k -> StrictMath.log(v) }
+    for (w <- words) {
+      val lin = UnigramTokenizer.softCountsLinear(w, p, 3).toMap
+      val (soft, z) = UnigramTokenizer.softCounts(w, logp, 3)
+      assert(lin.keySet == soft.keySet, s"word $w piece sets differ")
+      lin.foreach { case (piece, e) =>
+        assert(math.abs(e - soft(piece)) <= 1e-9 * math.max(1.0, soft(piece)),
+          s"word $w piece $piece: linear $e vs log-space ${soft(piece)}") }
+      assert(z != Double.NegativeInfinity)
+    }
+    // OOV skip: a piece absent from the model never earns counts
+    val noAa = UnigramTokenizer.softCountsLinear("aaaa", p - "aa" - "aaa", 3).toMap
+    assert(noAa.keySet == Set("a"))
+    assert(math.abs(noAa("a") - 4.0) < 1e-12, s"pure single-char lattice: ${noAa("a")}")
+    // table face: sorted-word fold, count-weighted
+    val tbl = UnigramTokenizer.softCountsTable(
+      Seq(("ab", 3L), ("na", 2L)).toDF("word", "cnt"), p, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // "ab" and "na" each have paths x·y (1/3·1/3) and xy (1/4);
+    // Z = 1/9 + 1/4 for both. Piece "a" earns from BOTH words.
+    val z2 = 1.0 / 9 + 1.0 / 4
+    assert(math.abs(tbl("ab") - 3.0 * (0.25 / z2)) < 1e-9)
+    assert(math.abs(tbl("a") - (3.0 + 2.0) * ((1.0 / 9) / z2)) < 1e-9)
+    assert(math.abs(tbl("na") - 2.0 * (0.25 / z2)) < 1e-9)
+  }
+
   test("softCounts: hand-checked two-path lattice posteriors and word likelihood") {
     // word "ab", vocab {a, b, ab}: two segmentations — [ab] and [a, b]
     val (pa, pb, pab) = (0.2, 0.3, 0.5)
