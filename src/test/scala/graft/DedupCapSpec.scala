@@ -54,6 +54,30 @@ class DedupCapSpec extends AnyFunSuite {
     assert(cap != Long.MaxValue && cap == 16L, s"got $cap")
   }
 
+  test("solveBucketCap == brute-force reference over seeded random histograms") {
+    val rng = new scala.util.Random(14014L)
+    (1 to 300).foreach { _ =>
+      val hist = (1 to 1 + rng.nextInt(8))
+        .map(_ => (1L + rng.nextInt(50), 1L + rng.nextInt(20)))
+        .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+        .toSeq.sortBy(_._1)
+      val nDocs = hist.map { case (s, n) => s * n }.sum / 4
+      val ppd = 0.5 + rng.nextDouble() * 8
+      val floor = 2 + rng.nextInt(10)
+      val got = Dedup.solveBucketCap(hist, nDocs, ppd, floor)
+      val budget = math.ceil(ppd * nDocs).toLong
+      def pairs(cap: Long) =
+        hist.filter(_._1 <= cap).map { case (s, n) => n * s * (s - 1) / 2 }.sum
+      if (pairs(hist.map(_._1).max) <= budget) assert(got == Long.MaxValue)
+      else {
+        val best = hist.map(_._1).filter(s => pairs(s) <= budget)
+          .maxOption.getOrElse(0L)
+        assert(got == math.max(floor.toLong, best),
+          s"hist=$hist nDocs=$nDocs ppd=$ppd floor=$floor got=$got")
+      }
+    }
+  }
+
   // ---- fixtures ----
 
   /** Clean corpus: 120 token-disjoint docs PLUS one planted organic

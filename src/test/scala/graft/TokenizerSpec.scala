@@ -181,4 +181,35 @@ class TokenizerSpec extends AnyFunSuite {
     assert(out(0).getSeq[String](2) == Seq("n", "e", "w", "est", "l", "o", "w", "est"))
     assert(out(1).getSeq[String](2).isEmpty) // null text -> empty tokens
   }
+
+  test("delimiter-fold merge application == mergePair (the bpe_encode_general SQL lambda's law)") {
+    // the r14 general-encode oracle replays one merge pass as a string
+    // fold: merge when the accumulator's LAST symbol is `l` and the next
+    // element is `r`. This is mergePair's left-to-right non-overlapping
+    // scan because a merge's output l+r can never equal `l` (r is
+    // non-empty), so a just-created symbol never re-merges as the left
+    // side within the pass. Pin the equivalence as a seeded property
+    // over overlap-inducing symbol alphabets (self-pairs, prefixes).
+    def foldMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val acc = syms.foldLeft("|") { (a, x) =>
+        if (x == r && a.endsWith("|" + l + "|"))
+          a.substring(0, a.length - l.length - 1) + l + r + "|"
+        else a + x + "|"
+      }
+      acc.split('|').toSeq.filter(_.nonEmpty)
+    }
+    val rng = new scala.util.Random(1414L)
+    val alpha = Vector("a", "b", "ab", "aa", "ba", "aab", "bb")
+    (1 to 3000).foreach { _ =>
+      val syms = (0 until 1 + rng.nextInt(10)).map(_ => alpha(rng.nextInt(alpha.length)))
+      val l = alpha(rng.nextInt(alpha.length))
+      val r = alpha(rng.nextInt(alpha.length))
+      assert(foldMerge(syms, l, r) == Tokenizer.mergePair(syms, l, r),
+        s"syms=$syms merge=($l,$r)")
+    }
+    // the documented acid cases
+    assert(foldMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(foldMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(foldMerge(Seq("aa", "aa", "aa"), "aa", "aa") == Seq("aaaa", "aa"))
+  }
 }
