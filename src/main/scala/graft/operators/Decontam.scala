@@ -202,10 +202,21 @@ object Decontam {
     */
   def fuzzyContamination(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, k: Int = 8,
-                         rowsPerBand: Int = 2): DataFrame =
-    Dedup.crossCorpusCandidates(train, bench, textCol, idCol, k, rowsPerBand)
-      .groupBy(col("left_id").as(idCol))
-      .agg(min(col("right_id")).as("bench_dup_of"))
+                         rowsPerBand: Int = 2): DataFrame = {
+    // the flag only needs the SMALLEST colliding bench id, and min over
+    // a union of buckets == min over per-bucket minima — so the bench
+    // side collapses to ONE (band, sig, min id) owner row per bucket
+    // BEFORE the join (the IncrementalDedup.storeHits r14 shape). A
+    // bench-side boilerplate bucket then costs one row instead of
+    // |bucket| rows per colliding train doc — exact, no cap, no recall
+    // trade; the previous pair-join form paid the l×r bucket product.
+    val owners = Dedup.bandTable(bench, textCol, idCol, k, rowsPerBand)
+      .groupBy(col("band"), col("sig")).agg(min(col("__id")).as("__owner"))
+    Dedup.bandTable(train, textCol, idCol, k, rowsPerBand)
+      .join(owners, Seq("band", "sig"))
+      .groupBy(col("__id").as(idCol))
+      .agg(min(col("__owner")).as("bench_dup_of"))
+  }
 
   /** [[decontaminate]]'s fuzzy twin: drop every train doc sharing any
     * MinHash band with any bench doc.
