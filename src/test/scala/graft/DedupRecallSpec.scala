@@ -75,6 +75,22 @@ class DedupRecallSpec extends AnyFunSuite {
       s"$unrelated of ${cands.size} candidates are cross-base noise")
   }
 
+  test("AUTO guard on the organic recall fixture: resolves unlimited, recall identical (r14)") {
+    // the default-guard promise quantified on the recall corpus: an
+    // organic near-dup structure (90 docs, 3-way tiers) sits far inside
+    // the 32-per-doc budget, so auto must resolve to unlimited and the
+    // candidate set — hence every recall number above — is bit-identical
+    val (auto, audit) = Dedup.lshCandidatesAudited(corpus, "text", "doc_id",
+      k = 8, rowsPerBand = 2, cap = Dedup.BucketCap.Auto())
+    assert(audit.get.resolvedMaxBucket == Long.MaxValue, s"audit: ${audit.get}")
+    assert(audit.get.excludedBuckets == 0L)
+    val unlimited = Dedup.lshCandidates(corpus, "text", "doc_id", k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == unlimited, "auto must not change the organic candidate set")
+    assert(recallAbove(got, 0.8) >= 0.85)
+  }
+
   test("weighted-LSH recall on the multiset relation mirrors the set variant on repeat-free docs") {
     // on a repeat-free corpus every shingle count is 1, so the multiset
     // relation degenerates to the set relation — same ground truth applies
