@@ -101,7 +101,8 @@ object Queries {
       graft.operators.Dedup.lshCandidates(
         graft.sources.Tables.documents(s, dir), "text", "doc_id",
         k = 8, rowsPerBand = 2,
-        hashFn = c => pmod(xxhash64(c), lit(1000000007L)))
+        hashFn = c => pmod(xxhash64(c), lit(1000000007L)),
+        cap = graft.operators.Dedup.BucketCap.Unlimited)
         .orderBy("id1", "id2")
     }
 

@@ -1351,7 +1351,8 @@ object QueriesPipeline {
            |FROM buckets l JOIN buckets r
            |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-        Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2)
+        Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
           .orderBy("id1", "id2")
       }
 
@@ -1370,7 +1371,7 @@ object QueriesPipeline {
              |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
              |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
           Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k,
-              rowsPerBand = 2, maxBucket = cap)
+              rowsPerBand = 2, cap = Dedup.BucketCap.Fixed(cap))
             .orderBy("id1", "id2")
         }
 
@@ -1413,6 +1414,27 @@ object QueriesPipeline {
         }
       }
 
+      // connected components over the LSH pairs: the oracle computes the
+      // same min-reachable-id labels via transitive closure (recursive
+      // CTE — fine at oracle scale; Spark side is iterative label
+      // propagation, one edge shuffle per round). Builds on whatever
+      // `buckets` CTE the surrounding prefix defines.
+      val closure =
+        s"""pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |labels AS (
+           |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+           |  FROM reach GROUP BY a)""".stripMargin
+
       // ---- AUTO mega-bucket guard: the r14 default path ----
       //
       // Adversarial fixture: every document replicated 40× with a replica
@@ -1454,7 +1476,7 @@ object QueriesPipeline {
              |bs AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c
              |       FROM buckets WHERE sig IS NOT NULL GROUP BY 1, 2),
              |hist AS (SELECT c AS s, CAST(count(*) AS BIGINT) AS n FROM bs GROUP BY c),
-             |nd AS (SELECT CAST(sum(s * n) AS BIGINT) // 4 AS n_docs FROM hist),
+             |nd AS (SELECT CAST(sum(s * n) AS BIGINT) // ${k / 2} AS n_docs FROM hist),
              |bdg AS (SELECT CAST(ceil(32.0 * n_docs) AS BIGINT) AS budget FROM nd),
              |sol AS (
              |  SELECT CASE WHEN (SELECT CAST(sum(n * ((s * (s - 1)) // 2)) AS BIGINT) FROM hist)
@@ -1513,33 +1535,102 @@ object QueriesPipeline {
             k = k, rowsPerBand = 2, cap = Dedup.BucketCap.Auto())._2
           audit.get.toDF(s)
         }
+
       }
 
-      // connected components over the LSH pairs: the oracle computes the
-      // same min-reachable-id labels via transitive closure (recursive
-      // CTE — fine at oracle scale; Spark side is iterative label
-      // propagation, one edge shuffle per round)
-      val closure =
-        s"""pairs AS (
-           |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-           |  FROM buckets l JOIN buckets r
-           |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
-           |edges AS (
-           |  SELECT id1 AS a, id2 AS b FROM pairs
-           |  UNION SELECT id2, id1 FROM pairs),
-           |reach(a, b) AS (
-           |  SELECT a, b FROM edges
-           |  UNION
-           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-           |labels AS (
-           |  SELECT a AS doc_id, least(a, min(b)) AS cluster
-           |  FROM reach GROUP BY a)""".stripMargin
+      // ---- r15: the guard's CONNECTIVITY face is EXACT ----
+      //
+      // For consumers that feed the pairs into connected components
+      // (cluster-split, near-dup-prune), over-cap buckets emit linear
+      // member→bucket-min star edges with the same components as their
+      // dropped cliques. The strongest possible gate: the Spark side
+      // runs the CAPPED default (auto resolves a finite cap on this
+      // corpus — the 200-copy boilerplate clique blows the 32-per-doc
+      // budget), while the ORACLE replays the UNLIMITED closure. Hash
+      // equality means capping cost the split/prune NOTHING — at
+      // O(bucket) instead of O(bucket²) cost. (The clique is a SINGLE
+      // planted mega-bucket, unlike dedup_minhash_lsh_auto's 40×
+      // whole-corpus replication, so the oracle's transitive closure
+      // stays small: organic pairs + one 200² clique.)
+      locally {
+        val boiler = "parked domain boilerplate placeholder page body verbatim"
+        val clones = 200
+        val starPrefix =
+          s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 2000000 + i AS doc_id, '$boiler' AS text
+             |  FROM (SELECT unnest(range($clones)) AS i)),
+             |docs AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                     t -> len(t) > 0) AS toks
+             |  FROM corpus),
+             |sh AS (
+             |  SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM docs),
+             |hh AS (
+             |  SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+             |sigs AS (
+             |  SELECT doc_id,
+             |         $mins
+             |  FROM hh),
+             |buckets AS (
+             |  $bandSelects)""".stripMargin
+        def starCorpus(s: SparkSession, dir: String) = {
+          val extra = s.range(clones.toLong)
+            .select((col("id") + 2000000L).as("doc_id"), lit(boiler).as("text"))
+          docs(s, dir).select(col("doc_id"), col("text")).unionAll(extra)
+        }
+        val splitCase =
+          s"""CASE WHEN (${sqlMd5Hash64(
+                  "'cs:' || CAST(coalesce(l.cluster, c.doc_id) AS VARCHAR)")} % 1000000)
+             |       < 800000 THEN 'train'
+             |     WHEN (${sqlMd5Hash64(
+                  "'cs:' || CAST(coalesce(l.cluster, c.doc_id) AS VARCHAR)")} % 1000000)
+             |       < 900000 THEN 'val'
+             |     ELSE 'test' END""".stripMargin
+        register("cluster_split_star",
+          s"""${starPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |$closure
+             |SELECT c.doc_id, $splitCase AS split
+             |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
+             |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+          val node = graft.ir.Node.fromJson(
+            s"""{"action":"cluster-split","params":[{"id":"doc_id","text":"text",
+               |   "k":$k,"rows-per-band":2,"salt":"cs",
+               |   "weights":[{"name":"train","weight":0.8},
+               |              {"name":"val","weight":0.1},
+               |              {"name":"test","weight":0.1}]}],
+               | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+          graft.ir.Engine.run(node, starCorpus(s, dir),
+              graft.ir.EngineCtx(testMode = true)).taps("out")
+            .select("doc_id", "split").orderBy("doc_id")
+        }
+
+        register("near_dup_prune_star",
+          s"""${starPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |$closure
+             |SELECT c.doc_id FROM corpus c
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM labels l
+             |  WHERE l.doc_id = c.doc_id AND l.cluster <> l.doc_id)
+             |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+          val node = graft.ir.Node.fromJson(
+            s"""{"action":"near-dup-prune",
+               | "params":[{"id":"doc_id","text":"text","k":$k,"rows-per-band":2}],
+               | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+          graft.ir.Engine.run(node, starCorpus(s, dir),
+              graft.ir.EngineCtx(testMode = true)).taps("out")
+            .select("doc_id").orderBy("doc_id")
+        }
+      }
 
       register("dedup_clusters",
         s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
            |$closure
            |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin) { (s, dir) =>
-        val pairs = Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2)
+        val pairs = Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         Dedup.clusterPairs(pairs)
           .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
       }
@@ -1551,7 +1642,8 @@ object QueriesPipeline {
         s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
            |$closure
            |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin) { (s, dir) =>
-        val pairs = Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2)
+        val pairs = Dedup.lshCandidates(docs(s, dir), "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         Dedup.clusterPairsStar(pairs)
           .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
       }
@@ -1573,7 +1665,8 @@ object QueriesPipeline {
            |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
            |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)
-        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         Dedup.clusterAwareSplit(d, pairs, "doc_id",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cs")
           .select("doc_id", "split").orderBy("doc_id")
@@ -1604,6 +1697,52 @@ object QueriesPipeline {
              | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
         Engine.run(node, docs(s, dir), EngineCtx(testMode = true)).taps("out")
           .select("doc_id", "split").orderBy("doc_id")
+      }
+
+      // the composition the preflight lint steers users toward: a
+      // CLUSTER-AWARE train/bench fence feeding exact-shingle
+      // decontamination. split-by-hash before decontam is the measured
+      // footgun (near-dup family members straddle the fence and decontam
+      // flags every duplicated train doc — the ×100 chain's clean = 0
+      // row, SCALING.md); cluster-split keeps families atomic, so only
+      // genuine cross-family contamination is flagged. The oracle
+      // replays closure → root hash split → shared-distinct-shingle
+      // counting end to end.
+      register("cluster_fence_decontam",
+        s"""${lshPrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |$closure,
+           |roots AS (
+           |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS root
+           |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+           |sp AS (
+           |  SELECT doc_id,
+           |         CASE WHEN (${sqlMd5Hash64(
+                  "'fence:' || CAST(root AS VARCHAR)")} % 1000000)
+           |                < 900000 THEN 'train' ELSE 'bench' END AS split
+           |  FROM roots),
+           |shd AS (
+           |  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh),
+           |bsh AS (
+           |  SELECT DISTINCT shingle FROM shd JOIN sp USING (doc_id)
+           |  WHERE sp.split = 'bench'),
+           |flagged AS (
+           |  SELECT shd.doc_id FROM shd
+           |  JOIN sp USING (doc_id) JOIN bsh USING (shingle)
+           |  WHERE sp.split = 'train'
+           |  GROUP BY shd.doc_id HAVING count(*) >= 3)
+           |SELECT d.doc_id FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+           |WHERE sp.split = 'train'
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+           |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+        val d = docs(s, dir)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
+        val sp = Dedup.clusterAwareSplit(d, pairs, "doc_id",
+          Seq("train" -> 0.9, "bench" -> 0.1), salt = "fence")
+        val train = sp.filter(col("split") === "train").select("doc_id", "text")
+        val bench = sp.filter(col("split") === "bench").select("doc_id", "text")
+        Decontam.decontaminate(train, bench, "doc_id", "text", 3)
+          .select("doc_id").orderBy("doc_id")
       }
 
       // duplicate-rate planning estimate: deterministic md5 sample ->
@@ -1654,7 +1793,8 @@ object QueriesPipeline {
              |       CAST(n_pairs AS BIGINT) AS n_pairs,
              |       CAST(n_pairs AS DOUBLE) / ${frac * frac} AS est_corpus_pairs
              |FROM stats""".stripMargin) { (s, dir) =>
-          D.dupRateEstimate(docs(s, dir), "text", "doc_id", frac)
+          D.dupRateEstimate(docs(s, dir), "text", "doc_id", frac,
+            cap = D.BucketCap.Unlimited)
         }
       }
 
@@ -1766,7 +1906,8 @@ object QueriesPipeline {
            |  WHERE l.doc_id = d.doc_id AND l.cluster <> l.doc_id)
            |ORDER BY doc_id""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)
-        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         Dedup.dedupByClusters(d, pairs, "doc_id")
           .select("doc_id").orderBy("doc_id")
       }
@@ -1793,7 +1934,8 @@ object QueriesPipeline {
            |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
            |ORDER BY doc_id""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)
-        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         Dedup.dedupByClustersKeepBest(d, pairs, "doc_id", "n_chars")
           .select("doc_id").orderBy("doc_id")
       }
@@ -1813,7 +1955,8 @@ object QueriesPipeline {
            |JOIN sets s2 ON s2.doc_id = p.id2
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)
-        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         Dedup.ngramJaccard(d, pairs, "text", "doc_id")
           .select("id1", "id2", "jaccard").orderBy("id1", "id2")
       }
@@ -1840,7 +1983,8 @@ object QueriesPipeline {
            |JOIN sets s2 ON s2.doc_id = p.id2
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)
-        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2)
+        val pairs = Dedup.lshCandidates(d, "text", "doc_id", k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         Dedup.ngramContainment(d, pairs, "text", "doc_id")
           .select("id1", "id2", "containment_1in2", "containment_2in1")
           .orderBy("id1", "id2")
@@ -1884,7 +2028,8 @@ object QueriesPipeline {
            |WHERE n = 0 OR CAST(dist AS DOUBLE) <= 0.5 * CAST(n AS DOUBLE)
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
         Dedup.editConfirmFunnel(docs(s, dir), "text", "doc_id",
-          minJaccard = 0.3, minSim = 0.5, maxLen = 200, k = k, rowsPerBand = 2)
+          minJaccard = 0.3, minSim = 0.5, maxLen = 200, k = k, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
           .select("id1", "id2", "edit_dist", "edit_sim")
           .orderBy("id1", "id2")
       }
@@ -2011,7 +2156,7 @@ object QueriesPipeline {
         s"""$weightedPrefix
            |SELECT id1, id2 FROM wpairs ORDER BY id1, id2""".stripMargin) { (s, dir) =>
         Dedup.weightedLshCandidates(docs(s, dir), "text", "doc_id",
-            k = k, rowsPerBand = 2)
+            k = k, rowsPerBand = 2, cap = Dedup.BucketCap.Unlimited)
           .orderBy("id1", "id2")
       }
 
@@ -2039,7 +2184,7 @@ object QueriesPipeline {
            |ORDER BY p.id1, p.id2""".stripMargin) { (s, dir) =>
         val d = docs(s, dir)
         val pairs = Dedup.weightedLshCandidates(d, "text", "doc_id",
-          k = k, rowsPerBand = 2)
+          k = k, rowsPerBand = 2, cap = Dedup.BucketCap.Unlimited)
         Dedup.multisetJaccard(d, pairs, "text", "doc_id")
           .select("id1", "id2", "wjaccard").orderBy("id1", "id2")
       }
@@ -2075,7 +2220,9 @@ object QueriesPipeline {
         val bucket = Sampling.hashBucket(col("doc_id"), "xcorp")
         Dedup.weightedCrossCorpusCandidates(
           d.filter(bucket < 500000), d.filter(bucket >= 500000),
-          "text", "doc_id", k = k, rowsPerBand = 2)
+          "text", "doc_id", k = k, rowsPerBand = 2,
+          capLeft = Dedup.BucketCap.Unlimited,
+          capRight = Dedup.BucketCap.Unlimited)
           .orderBy("left_id", "right_id")
       }
     }
@@ -2318,7 +2465,8 @@ object QueriesPipeline {
            |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
            |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-        Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", maxHamming = 3)
+        Dedup.simhashNearDup(docs(s, dir), "text", "doc_id", maxHamming = 3,
+          cap = Dedup.BucketCap.Unlimited)
           .orderBy("id1", "id2")
       }
     }
@@ -2649,7 +2797,8 @@ object QueriesPipeline {
            |            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
            |FROM c""".stripMargin) { (s, dir) =>
         val sub = docs(s, dir).filter(col("doc_id") % 5 === 0)
-        val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2)
+        val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         val truth = Dedup.jaccardPrefixJoin(sub, "doc_id", "text", 0.8)
           .select("id1", "id2")
         Dedup.pairEval(pred, truth)
@@ -2718,7 +2867,8 @@ object QueriesPipeline {
            |            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
            |FROM c ORDER BY threshold""".stripMargin) { (s, dir) =>
         val sub = docs(s, dir).filter(col("doc_id") % 5 === 0)
-        val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2)
+        val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2,
+          cap = Dedup.BucketCap.Unlimited)
         val scored = Dedup.ngramJaccard(sub, pred, "text", "doc_id")
           .select(col("id1"), col("id2"), col("jaccard").as("score"))
         val truth = Dedup.jaccardPrefixJoin(sub, "doc_id", "text", 0.8)
@@ -2757,7 +2907,8 @@ object QueriesPipeline {
            |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
            |WHERE ${sqlCosine("l.embedding", "r.embedding")} > 0.3
            |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
-        Dedup.embeddingNearDupBucketed(emb(s, dir), "vec_id", "embedding", 0.3, bits = 4)
+        Dedup.embeddingNearDupBucketed(emb(s, dir), "vec_id", "embedding", 0.3,
+          bits = 4, cap = Dedup.BucketCap.Unlimited)
           .orderBy("id1", "id2")
       }
     }
@@ -3395,7 +3546,9 @@ object QueriesPipeline {
         val bucket = Sampling.hashBucket(col("doc_id"), "xcorp")
         Dedup.crossCorpusCandidates(
           d.filter(bucket < 500000), d.filter(bucket >= 500000),
-          "text", "doc_id", k = k, rowsPerBand = 2)
+          "text", "doc_id", k = k, rowsPerBand = 2,
+          capLeft = Dedup.BucketCap.Unlimited,
+          capRight = Dedup.BucketCap.Unlimited)
           .orderBy("left_id", "right_id")
       }
     }
@@ -6534,7 +6687,8 @@ object QueriesPipeline {
           .transform(graft.operators.Materialize.apply)
         val ex = Dedup.exact(q, "text", "doc_id")
           .transform(graft.operators.Materialize.apply)
-        val pruned = Dedup.pruneNearDups(ex, "text", "doc_id", k = k, rowsPerBand = 2)
+        val pruned = Dedup.pruneNearDups(ex, "text", "doc_id", k = k,
+            rowsPerBand = 2, cap = Dedup.BucketCap.Unlimited)
           .transform(graft.operators.Materialize.apply)
         val clean = Decontam.decontaminate(pruned, bench, "doc_id", "text", minHits)
           .transform(graft.operators.Materialize.apply)

@@ -97,16 +97,53 @@ final class StreamResult {
   */
 object Engine {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Run one pipeline over an input frame. `include` nodes (config-layer
     * snippet reuse, `action.clj:2249-2277`) are expanded before
     * interpretation.
     */
   def run(node: Node, input: DataFrame, ctx: EngineCtx = EngineCtx(),
           registry: StreamRegistry = null): StreamResult = {
+    preflightWarnings(node).foreach(w => log.warn(s"pipeline preflight: $w"))
     val res = new StreamResult
     interp(Node.expandIncludes(node), input, Nil, ctx, res, registry, depth = 0)
     drainReinjects(ctx, res, registry)
     res
+  }
+
+  /** Composition lints run before interpretation — warnings for chains
+    * that are individually correct but compose into a known footgun.
+    * Currently one rule: `split-by-hash` upstream of a decontamination
+    * stage. Hash-splitting DOCUMENTS puts near-duplicates of the same
+    * page on both sides of the train/bench fence, so exact-shingle
+    * decontam then (correctly) flags essentially every duplicated train
+    * doc — the whole-chain ×100 probe measured `clean = 0` survivors on
+    * a replica-heavy corpus (SCALING.md). The split that composes with
+    * decontam is `cluster-split` (near-dup clusters atomic across the
+    * fence); `dup-rate-estimate` is the cheap probe for whether a
+    * corpus is duplicate-heavy enough to care. Pure function of the
+    * tree (spec-pinned); [[run]] logs each warning at WARN.
+    */
+  def preflightWarnings(node: Node): Seq[String] = {
+    val decontam = Set("decontam-exact", "decontam-fuzzy", "decontam-overlap")
+    def descendants(n: Node): Iterator[Node] =
+      n.children.iterator.flatMap(c => Iterator.single(c) ++ descendants(c))
+    def walk(n: Node): Seq[String] = {
+      val here =
+        if (n.action == "split-by-hash") {
+          val downstream = descendants(n).map(_.action).filter(decontam).toSeq.distinct
+          if (downstream.nonEmpty)
+            Seq(s"split-by-hash feeds ${downstream.mkString(", ")}: document-level " +
+              "hash splitting puts near-duplicates on both sides of the train/bench " +
+              "fence, and decontamination will then flag every duplicated train doc " +
+              "(measured clean=0 on a replica-heavy corpus). Use cluster-split for a " +
+              "leakage-free fence; probe the corpus with dup-rate-estimate first.")
+          else Nil
+        } else Nil
+      here ++ n.children.flatMap(walk)
+    }
+    walk(Node.expandIncludes(node))
   }
 
   /** Static pipeline validation — the analog of the reference's per-action
@@ -1384,7 +1421,8 @@ object Engine {
         pStr(m("id")), pStr(m("text")), pStr(m("time")),
         m.get("horizon").map(pLong).getOrElse(3600L),
         m.get("k").map(pLong(_).toInt).getOrElse(8),
-        m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))(df).toDF()
+        m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+        m.get("max-matches-per-bucket").map(pLong(_).toInt).getOrElse(4096))(df).toDF()
     case "dedup-fingerprint" =>
       df => graft.operators.Dedup.byFingerprint(df, pStr(params.head), pStr(params(1)))
     case "dedup-simhash" =>
@@ -1648,11 +1686,14 @@ object Engine {
       df => graft.operators.Dedup.dupRateEstimate(df,
         pStr(m("text")), pStr(m("id")), pDouble(m("fraction")),
         m.get("k").map(pLong(_).toInt).getOrElse(8),
-        m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2))
+        m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
+        salt = m.get("salt").map(pStr).getOrElse("dupest"),
+        cap = pBucketCap(m))
     case "lsh-cap-plan" =>
       // planning probe: sampled banding -> bucket-size stats ->
       // recommended max-bucket for dedup-minhash-lsh / near-dup-prune
-      // (docs/IR.md: the cap itself stays opt-in)
+      // (since r14 the ENFORCEMENT default is max-bucket auto; this
+      // planner remains the cheap sampled sizing face for hand-set caps)
       val m = pMap(params.head)
       df => graft.operators.Dedup.maxBucketPlan(df,
         pStr(m("text")), pStr(m("id")), pDouble(m("fraction")),
@@ -1855,7 +1896,7 @@ object Engine {
           k = m.get("k").map(pLong(_).toInt).getOrElse(8),
           rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
           cap = pBucketCap(m))
-        writeCapAudit(m, df.sparkSession, audit)
+        writeCapAudit(m, df.sparkSession, audit, connectivityExact = true)
         pruned
       }
     case "vocab-topk" =>
@@ -1881,10 +1922,17 @@ object Engine {
     case "dedup-delta" =>
       // incremental near-dup dedup against a persisted signature store
       val m = pMap(params.head)
-      df => graft.operators.IncrementalDedup.dedupDelta(df,
-        pStr(m("text")), pStr(m("id")), pStr(m("store-path")),
-        update = m.get("update").exists(_ == true),
-        cap = pBucketCap(m)) // within-delta stage under the shared guard
+      df => {
+        // within-delta stage under the shared guard (connectivity face:
+        // capped == unlimited verdicts; audit records the pair-join
+        // exemptions the star edges stood in for)
+        val (out, audit) = graft.operators.IncrementalDedup.dedupDeltaAudited(df,
+          pStr(m("text")), pStr(m("id")), pStr(m("store-path")),
+          update = m.get("update").exists(_ == true),
+          cap = pBucketCap(m))
+        writeCapAudit(m, df.sparkSession, audit, connectivityExact = true)
+        out
+      }
     case "substring-probe" =>
       // incremental exact-substring cut spans against the persisted
       // window-hash store
@@ -1923,8 +1971,12 @@ object Engine {
       // same default guard as the text LSH family: the all-zero dHash
       // (black frames, decode failures) is the image-side mega-bucket
       val m0 = pMap(params.head)
-      df => graft.operators.Multimodal.imageNearDup(df,
-        pLong(m0("max-hamming")).toInt, cap = pBucketCap(m0))
+      df => {
+        val (pairs, audit) = graft.operators.Multimodal.imageNearDupAudited(df,
+          pLong(m0("max-hamming")).toInt, cap = pBucketCap(m0))
+        writeCapAudit(m0, df.sparkSession, audit)
+        pairs
+      }
     case "media-audio-decode" =>
       df => graft.operators.Multimodal.audioDecode(df)
     case "media-video-decode" =>
@@ -2045,15 +2097,18 @@ object Engine {
       // roots -> hash split of the ROOT (near-dup clusters atomic)
       val m = pMap(params.head)
       df => {
-        // same mega-bucket guard as dedup-minhash-lsh (a capped bucket's
-        // members root at themselves — they fall out of the atomic-cluster
-        // rule, never out of the split); auto by default like its siblings
-        val (pairs, audit) = graft.operators.Dedup.lshCandidatesAudited(
+        // the guard's CONNECTIVITY face: over-cap buckets are exempted
+        // from the quadratic pair join but contribute linear
+        // member→bucket-min star edges with identical connected
+        // components — so the split under any cap (auto included)
+        // equals the unlimited split exactly; the leakage-free contract
+        // survives capping even on organically duplicate-heavy corpora
+        val (pairs, audit) = graft.operators.Dedup.lshCandidatesConnectivity(
           df, pStr(m("text")), pStr(m("id")),
           k = m.get("k").map(pLong(_).toInt).getOrElse(8),
           rowsPerBand = m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
           cap = pBucketCap(m))
-        writeCapAudit(m, df.sparkSession, audit)
+        writeCapAudit(m, df.sparkSession, audit, connectivityExact = true)
         val weights = m("weights").asInstanceOf[Seq[Any]].map { w =>
           val wm = pMap(w)
           (pStr(wm("name")), pDouble(wm("weight")))
@@ -2473,12 +2528,31 @@ object Engine {
     * .Dedup.LshAudit]] row — one tiny parquet a production run can join
     * into its run report, so "no near-dups" and "near-dups exempted by
     * cap" are distinguishable without scraping driver logs.
+    *
+    * `on-excluded: "fail"` upgrades the exclusion WARN to a hard error:
+    * a run whose default-auto guard actually dropped buckets aborts
+    * instead of producing a silently-approximate pair list — the
+    * reproducibility stance for pipelines whose downstream cannot
+    * tolerate the cap (default stays `"warn"`). Connectivity-face
+    * actions (`cluster-split`, `near-dup-prune`) are exempt even under
+    * `"fail"`: their star edges make the capped result EXACT, so an
+    * exclusion there is a cost win, not an approximation.
     */
   private def writeCapAudit(m: Map[String, Any],
                             spark: org.apache.spark.sql.SparkSession,
-                            audit: Option[graft.operators.Dedup.LshAudit]): Unit =
+                            audit: Option[graft.operators.Dedup.LshAudit],
+                            connectivityExact: Boolean = false): Unit = {
     for (p <- m.get("audit-path").map(pStr); a <- audit)
       a.toDF(spark).coalesce(1).write.mode("overwrite").parquet(p)
+    if (!connectivityExact &&
+        m.get("on-excluded").map(pStr).contains("fail"))
+      for (a <- audit; if a.excludedBuckets > 0)
+        throw new IllegalStateException(
+          s"mega-bucket guard excluded ${a.excludedBuckets} band buckets / " +
+            s"${a.excludedMembers} member rows (resolved cap ${a.resolvedMaxBucket}, " +
+            s"largest bucket ${a.largestBucket}) and on-excluded=fail — " +
+            "raise pairs-per-doc, set max-bucket explicitly, or drop on-excluded")
+  }
 
   private def durOf(params: Seq[Any]): Long = pLong(pMap(params.head)("duration"))
   private def sizeOf(params: Seq[Any]): Int = pLong(pMap(params.head)("size")).toInt

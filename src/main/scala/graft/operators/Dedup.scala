@@ -698,30 +698,29 @@ object Dedup {
       .select(col("__id"), col("bucket.band"), col("bucket.sig"))
   }
 
-  /** MinHash-LSH candidate pairs — the Int-cap back-compat face of
-    * [[lshCandidatesAudited]] (this signature's `maxBucket` default is
-    * unlimited; the IR actions default to [[BucketCap.Auto]] instead —
-    * see [[BucketCap]]). The guard: a band bucket holding B
-    * documents emits B(B−1)/2 pairs out of the self-join, so ONE
-    * boilerplate signature shared by 10⁶ docs (empty pages, parked
-    * domains, license stubs) costs 10¹² candidate pairs regardless of
-    * how well everything else scales. Buckets larger than the cap are
-    * dropped whole BEFORE the join (one map-side-combined `(band, sig)`
-    * count + a semi-join — the winnowing-index cap's shape). Recall
-    * loss is confined to clusters of > maxBucket near-identical docs —
-    * boilerplate by definition, and already collapsed by the exact
-    * dedup pass a curation chain runs first. Capped runs stay
-    * oracle-gated (`dedup_minhash_lsh_capped` replays the same
-    * qualify-then-join in SQL).
+  /** MinHash-LSH candidate pairs — the audit-dropping face of
+    * [[lshCandidatesAudited]]; defaults to [[BucketCap.Auto]] like the
+    * IR actions since r15 (pre-r15 this face defaulted unlimited — a
+    * library caller got the unguarded quadratic path the IR surface
+    * was already protected from; pass `BucketCap.Unlimited` explicitly
+    * to reproduce pre-r15 outputs on dup-cluster-heavy corpora). The
+    * guard: a band bucket holding B documents emits B(B−1)/2 pairs out
+    * of the self-join, so ONE boilerplate signature shared by 10⁶ docs
+    * (empty pages, parked domains, license stubs) costs 10¹² candidate
+    * pairs regardless of how well everything else scales. Buckets
+    * larger than the cap are dropped whole BEFORE the join (one
+    * map-side-combined `(band, sig)` count + a semi-join — the
+    * winnowing-index cap's shape). Recall loss is confined to clusters
+    * of > cap near-identical docs — boilerplate by definition, and
+    * already collapsed by the exact dedup pass a curation chain runs
+    * first. Capped runs stay oracle-gated (`dedup_minhash_lsh_capped`
+    * replays the same qualify-then-join in SQL).
     */
   def lshCandidates(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, rowsPerBand: Int = 2,
                     hashFn: Column => Column = Text.md5HashMod,
-                    maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxBucket >= 2, s"lshCandidates: maxBucket must be >= 2, got $maxBucket")
-    lshCandidatesAudited(df, textCol, idCol, k, rowsPerBand, hashFn,
-      BucketCap.fromInt(maxBucket))._1
-  }
+                    cap: BucketCap = BucketCap.Auto()): DataFrame =
+    lshCandidatesAudited(df, textCol, idCol, k, rowsPerBand, hashFn, cap)._1
 
   /** [[lshCandidates]] with the guard's account attached: returns the
     * candidate pairs plus a one-row [[LshAudit]] when a guard was
@@ -752,6 +751,38 @@ object Dedup {
     (pairs, audit)
   }
 
+  /** The CONNECTIVITY face of [[lshCandidatesAudited]] — for consumers
+    * that feed the pairs into connected components (near-dup pruning,
+    * cluster-aware splitting) rather than consuming the pair list
+    * itself: over-cap buckets are still exempted from the quadratic
+    * pair join, but each contributes linear `member → bucket-min-id`
+    * star edges with the SAME connected components as its full clique
+    * (every bucket member is pairwise-candidate by construction, so
+    * clique and star close transitively to the same component). Net:
+    * prune/split results under ANY cap — auto included — are exactly
+    * the unlimited results, at O(bucket) instead of O(bucket²) cost.
+    * The audit still accounts the buckets exempted from PAIR LISTING;
+    * `excludedMembers > 0` here means "connectivity preserved via
+    * stars", not "near-dups lost".
+    */
+  def lshCandidatesConnectivity(df: DataFrame, textCol: String, idCol: String,
+                                k: Int = 8, rowsPerBand: Int = 2,
+                                hashFn: Column => Column = Text.md5HashMod,
+                                cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
+    val banded0 = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
+    val (banded, audit, stars) = cappedBandTableWithStars(banded0,
+      Seq("band", "sig"), k / rowsPerBand, cap, "lshCandidates(connectivity)",
+      starEdges = true)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val pairs = l.join(r,
+      col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
+    (stars.map(pairs.unionAll).getOrElse(pairs), audit)
+  }
+
   /** The guard kernel shared by every banded candidate join (set
     * MinHash, multiset MinHash, pigeonhole hamming bands): materialize
     * the band table, read its EXACT bucket-size histogram (map-side
@@ -760,13 +791,37 @@ object Dedup {
     * over-cap buckets whole via a semi-join, and account for the drop
     * in an [[LshAudit]]. Returns the MATERIALIZED kept band table —
     * every caller feeds it to a (self- or cross-) join, so the
-    * producing pipeline must run once. `bandsPerDoc` converts band
-    * rows to the banded-doc count the auto budget is linear in.
+    * producing pipeline must run once — plus, when `starEdges` is set,
+    * the linear connectivity replacement for what was dropped (see
+    * below). `bandsPerDoc` converts band rows to the banded-doc count
+    * the auto budget is linear in.
+    *
+    * `starEdges` — the connectivity-exact mode for consumers that feed
+    * the pairs into connected components (near-dup-prune,
+    * cluster-split) rather than consuming the pair LIST itself: each
+    * over-cap bucket additionally emits `member → bucket-min-id` star
+    * edges — the same connected components as the bucket's full
+    * B(B−1)/2 clique at O(B) cost — so capping costs those consumers
+    * NOTHING semantically: prune/split under any cap equal the
+    * unlimited run exactly. Pair-list faces keep plain dropping (a
+    * star edge is not a candidate pair; fabricating B−1 pairs out of a
+    * 10⁶-clique would misrepresent the relation).
     */
   private def cappedBandTable(banded0: DataFrame, keyCols: Seq[String],
                               bandsPerDoc: Int, cap: BucketCap,
                               what: String,
                               materializeUnlimited: Boolean = true): (DataFrame, Option[LshAudit]) = {
+    val (kept, audit, _) = cappedBandTableWithStars(banded0, keyCols,
+      bandsPerDoc, cap, what, materializeUnlimited, starEdges = false)
+    (kept, audit)
+  }
+
+  private def cappedBandTableWithStars(banded0: DataFrame, keyCols: Seq[String],
+                                       bandsPerDoc: Int, cap: BucketCap,
+                                       what: String,
+                                       materializeUnlimited: Boolean = true,
+                                       starEdges: Boolean = false)
+      : (DataFrame, Option[LshAudit], Option[DataFrame]) = {
     val keys = keyCols.map(col)
     cap match {
       case BucketCap.Unlimited =>
@@ -777,17 +832,24 @@ object Dedup {
         // when the plan is unreferenced (persist() leaked them for the
         // session lifetime). Cross-corpus callers consume each side
         // once and skip the checkpoint copy.
-        (if (materializeUnlimited) Materialize(banded0) else banded0, None)
+        (if (materializeUnlimited) Materialize(banded0) else banded0, None, None)
       case guarded =>
         // materialize BEFORE deriving the cap aggregate: the bucket table
         // feeds both the count aggregate and the semi-join probe side, and
         // without this the whole hash/banding pipeline runs twice
         val b0 = Materialize(banded0)
+        // per-bucket count frame computed ONCE and materialized: the
+        // histogram collect, the ok-side semi-join and the star-edge
+        // over side all derive from it (the r14 kernel re-aggregated
+        // the corpus-sized band table per consumer — at 100 TB that was
+        // a full extra scan+aggregate). Bucket-count-sized: bounded by
+        // the band table, usually far below it.
+        val counts = Materialize(
+          b0.groupBy(keys: _*).agg(count(lit(1)).as("__bs")))
         // exact bucket-SIZE histogram: (size, how many buckets have it) —
         // distinct sizes are bounded by the largest bucket, so the collect
         // is model-sized even when the bucket table is corpus-sized
-        val hist = b0.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
-          .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+        val hist = counts.groupBy(col("__bs")).agg(count(lit(1)).as("__n"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         // every banded doc contributes exactly `bandsPerDoc` rows, so the
         // doc count falls out of the histogram for free (docs with no
@@ -808,8 +870,11 @@ object Dedup {
           log.warn(s"$what: mega-bucket guard (cap=$resolved, mode=$guarded) " +
             s"excluded ${a.excludedBuckets} band buckets / ${a.excludedMembers} member rows " +
             s"(largest bucket ${a.largestBucket}) from candidate generation — " +
-            "near-dups inside those buckets are NOT in the pair list")
-        if (resolved == Long.MaxValue) (b0, Some(a))
+            (if (starEdges)
+              "their connectivity is preserved via linear member→bucket-min star edges"
+            else
+              "near-dups inside those buckets are NOT in the pair list"))
+        if (resolved == Long.MaxValue) (b0, Some(a), None)
         else {
           // the ok side re-aliases its keys into FRESH attributes before
           // the semi-join: a groupBy keeps its grouping attributes' expr
@@ -817,14 +882,32 @@ object Dedup {
           // bare column name is Spark's ambiguous-self-join knife edge
           // (observed resolving trivially-true in a REPL context); the
           // Alias makes the condition unambiguous by construction
-          val ok = b0.groupBy(keys: _*)
-            .agg(count(lit(1)).as("__bs"))
-            .filter(col("__bs") <= resolved)
+          val ok = counts.filter(col("__bs") <= resolved)
             .select(keyCols.map(c => col(c).as(s"__ok_$c")): _*)
           val cond = keyCols.map(c => col(c) === col(s"__ok_$c")).reduce(_ && _)
           val kept = b0.join(ok, cond, "left_semi")
+          val stars =
+            if (!starEdges || a.excludedBuckets == 0L) None
+            else {
+              // over-cap members → their bucket's min id, one edge per
+              // member row (distinct'd across bands): O(excludedMembers)
+              // rows, the linear stand-in for the dropped cliques
+              val over = counts.filter(col("__bs") > resolved)
+                .select(keyCols.map(c => col(c).as(s"__ov_$c")): _*)
+              val condOv = keyCols.map(c => col(c) === col(s"__ov_$c")).reduce(_ && _)
+              val members = b0.join(over, condOv, "left_semi")
+              val roots = members.groupBy(keys: _*).agg(min(col("__id")).as("__root"))
+                .select(keyCols.map(c => col(c).as(s"__rt_$c")) :+ col("__root"): _*)
+              val condRt = keyCols.map(c => col(c) === col(s"__rt_$c")).reduce(_ && _)
+              Some(members.join(roots, condRt)
+                .filter(col("__id") =!= col("__root"))
+                // root = bucket min, so root < member: (id1, id2) keeps
+                // the family's id1 < id2 convention
+                .select(col("__root").as("id1"), col("__id").as("id2"))
+                .distinct())
+            }
           // re-materialize the FILTERED table: it feeds both join sides
-          (Materialize(kept), Some(a))
+          (Materialize(kept), Some(a), stars)
         }
     }
   }
@@ -873,9 +956,10 @@ object Dedup {
     */
   def weightedLshCandidates(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 8, rowsPerBand: Int = 2,
-                            hashFn: Column => Column = Text.md5HashMod): DataFrame =
+                            hashFn: Column => Column = Text.md5HashMod,
+                            cap: BucketCap = BucketCap.Auto()): DataFrame =
     weightedLshCandidatesAudited(df, textCol, idCol, k, rowsPerBand, hashFn,
-      BucketCap.Unlimited)._1
+      cap)._1
 
   /** [[weightedLshCandidates]] under the shared mega-bucket guard
     * ([[cappedBandTable]]) — repetition-heavy boilerplate (the exact
@@ -909,9 +993,11 @@ object Dedup {
   def weightedCrossCorpusCandidates(left: DataFrame, right: DataFrame,
                                     textCol: String, idCol: String,
                                     k: Int = 8, rowsPerBand: Int = 2,
-                                    hashFn: Column => Column = Text.md5HashMod): DataFrame =
+                                    hashFn: Column => Column = Text.md5HashMod,
+                                    capLeft: BucketCap = BucketCap.Auto(),
+                                    capRight: BucketCap = BucketCap.Auto()): DataFrame =
     weightedCrossCorpusCandidatesAudited(left, right, textCol, idCol, k,
-      rowsPerBand, hashFn, BucketCap.Unlimited, BucketCap.Unlimited)._1
+      rowsPerBand, hashFn, capLeft, capRight)._1
 
   /** [[weightedCrossCorpusCandidates]] under the per-side guard — same
     * contract as [[crossCorpusCandidatesAudited]].
@@ -994,9 +1080,11 @@ object Dedup {
   def crossCorpusCandidates(left: DataFrame, right: DataFrame,
                             textCol: String, idCol: String,
                             k: Int = 8, rowsPerBand: Int = 2,
-                            hashFn: Column => Column = Text.md5HashMod): DataFrame =
+                            hashFn: Column => Column = Text.md5HashMod,
+                            capLeft: BucketCap = BucketCap.Auto(),
+                            capRight: BucketCap = BucketCap.Auto()): DataFrame =
     crossCorpusCandidatesAudited(left, right, textCol, idCol, k, rowsPerBand,
-      hashFn, BucketCap.Unlimited, BucketCap.Unlimited)._1
+      hashFn, capLeft, capRight)._1
 
   /** [[crossCorpusCandidates]] with the mega-bucket guard applied PER
     * SIDE ([[cappedBandTable]] on each corpus's own band table and doc
@@ -1140,11 +1228,13 @@ object Dedup {
 
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 1,
-                     hashFn: Column => Column = Text.md5Hash64): DataFrame = {
+                     hashFn: Column => Column = Text.md5Hash64,
+                     cap: BucketCap = BucketCap.Auto()): DataFrame = {
     // signatures feed both sides of the self-join: materialize the tiny
     // (id, sig) table once instead of running the hash pipeline twice
     val sigs = simhashSigTable(df, textCol, idCol, hashFn).transform(Materialize.apply)
-    hammingNearDup(sigs, "__id", "simhash", sigBits = 32, maxHamming = maxHamming)
+    hammingNearDup(sigs, "__id", "simhash", sigBits = 32, maxHamming = maxHamming,
+      cap = cap)
   }
 
   /** Pigeonhole-banded hamming near-dup over ANY ≤64-bit signature column
@@ -1159,9 +1249,9 @@ object Dedup {
     * Output: (id1, id2, hamming) with id1 < id2, hamming ≤ `maxHamming`.
     */
   def hammingNearDup(sigs: DataFrame, idCol: String, sigCol: String,
-                     sigBits: Int, maxHamming: Int): DataFrame =
-    hammingNearDupAudited(sigs, idCol, sigCol, sigBits, maxHamming,
-      BucketCap.Unlimited)._1
+                     sigBits: Int, maxHamming: Int,
+                     cap: BucketCap = BucketCap.Auto()): DataFrame =
+    hammingNearDupAudited(sigs, idCol, sigCol, sigBits, maxHamming, cap)._1
 
   /** [[hammingNearDup]] under the shared mega-bucket guard: the
     * pigeonhole bands have their own canonical mega-bucket — the
@@ -1190,8 +1280,13 @@ object Dedup {
             .as("bits"))
       }: _*)).as("bk"))
       .select(col("__id"), col("__sig"), col("bk.band"), col("bk.bits"))
+    // materializeUnlimited = false: banding here is cheap bit-shift
+    // projections over the caller's (usually already-materialized) sigs
+    // frame — computing it on both join sides is cheaper than an eager
+    // checkpoint copy (guarded modes still materialize: the band table
+    // also feeds the count aggregate and the semi-join)
     val (banded, audit) = cappedBandTable(banded0, Seq("band", "bits"),
-      bands, cap, "hammingNearDup")
+      bands, cap, "hammingNearDup", materializeUnlimited = false)
     val l = banded.as("l")
     val r = banded.as("r")
     val pairs = l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
@@ -1430,23 +1525,27 @@ object Dedup {
   def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8, rowsPerBand: Int = 2,
                     hashFn: Column => Column = Text.md5HashMod,
-                    maxBucket: Int = Int.MaxValue): DataFrame =
-    pruneNearDupsAudited(df, textCol, idCol, k, rowsPerBand, hashFn,
-      BucketCap.fromInt(maxBucket))._1
+                    cap: BucketCap = BucketCap.Auto()): DataFrame =
+    pruneNearDupsAudited(df, textCol, idCol, k, rowsPerBand, hashFn, cap)._1
 
   /** [[pruneNearDups]] with the guard spec and its audit: the pruned
     * corpus (schema-preserving, as before) plus the one-row
-    * [[LshAudit]] when a guard was active — so a capped curation run
-    * can report "N buckets / M member rows exempted from pruning"
-    * instead of silently passing mega-cliques through as survivors
-    * (the ×100 chain's 146 → 35,745 survivor jump, SCALING.md).
+    * [[LshAudit]] when a guard was active. Pruning consumes only the
+    * CONNECTIVITY of the pair relation, so the guard runs in its
+    * star-edge mode ([[lshCandidatesConnectivity]]): over-cap buckets
+    * are exempted from the quadratic pair join but contribute linear
+    * member→bucket-min star edges with identical connected components
+    * — the pruned corpus under ANY cap equals the unlimited run
+    * exactly, and a mega-clique collapses to its one canonical member
+    * instead of passing through whole as survivors (the ×100 chain's
+    * 146 → 35,745 survivor jump, SCALING.md, is gone by construction).
     */
   def pruneNearDupsAudited(df: DataFrame, textCol: String, idCol: String,
                            k: Int = 8, rowsPerBand: Int = 2,
                            hashFn: Column => Column = Text.md5HashMod,
                            cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
     val (pairs, audit) =
-      lshCandidatesAudited(df, textCol, idCol, k, rowsPerBand, hashFn, cap)
+      lshCandidatesConnectivity(df, textCol, idCol, k, rowsPerBand, hashFn, cap)
     val losers = clusterPairsStar(pairs)
       .filter(col("cluster") =!= col("id")).select(col("id").as("__loser"))
     (df.join(losers, df(idCol) === col("__loser"), "left_anti"), audit)
@@ -1535,9 +1634,10 @@ object Dedup {
     */
   def embeddingNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, bits: Int = 16,
-                               extraProbes: Int = 0): DataFrame =
+                               extraProbes: Int = 0,
+                               cap: BucketCap = BucketCap.Auto()): DataFrame =
     embeddingNearDupBucketedAudited(emb, idCol, vecCol, threshold, bits,
-      extraProbes, BucketCap.Unlimited)._1
+      extraProbes, cap)._1
 
   /** [[embeddingNearDupBucketed]] under the shared mega-bucket guard:
     * the sign-bucket family's degenerate bucket is a mass of IDENTICAL
@@ -1741,12 +1841,17 @@ object Dedup {
     */
   def dupRateEstimate(df: DataFrame, textCol: String, idCol: String,
                       fraction: Double, k: Int = 8, rowsPerBand: Int = 2,
-                      salt: String = "dupest"): DataFrame = {
+                      salt: String = "dupest",
+                      cap: BucketCap = BucketCap.Auto()): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"dupRateEstimate: fraction in (0,1], got $fraction")
     val sample = graft.operators.Sampling.hashSample(df, idCol, fraction, salt)
       .transform(graft.operators.Materialize.apply)
-    val pairs = lshCandidates(sample, textCol, idCol, k, rowsPerBand)
+    // under the default auto guard a mega-bucket IN THE SAMPLE can't
+    // quadratic-blow the probe; capping undercounts est_corpus_pairs on
+    // such corpora (the WARN log + audit flag it) — pass Unlimited for
+    // the exact estimate on trusted corpora
+    val pairs = lshCandidates(sample, textCol, idCol, k, rowsPerBand, cap = cap)
       .transform(graft.operators.Materialize.apply)
     val losers = clusterPairsStar(pairs)
       .filter(col("cluster") =!= col("id"))
@@ -1836,9 +1941,9 @@ object Dedup {
   def editConfirmFunnel(df: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double, minSim: Double, maxLen: Int = 512,
                         k: Int = 8, rowsPerBand: Int = 2,
-                        maxBucket: Int = Int.MaxValue): DataFrame =
+                        cap: BucketCap = BucketCap.Auto()): DataFrame =
     editConfirmFunnelAudited(df, textCol, idCol, minJaccard, minSim, maxLen,
-      k, rowsPerBand, BucketCap.fromInt(maxBucket))._1
+      k, rowsPerBand, cap)._1
 
   /** [[editConfirmFunnel]] with the guard spec and its audit (same
     * contract as [[lshCandidatesAudited]]'s second return).

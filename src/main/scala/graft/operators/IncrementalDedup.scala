@@ -193,7 +193,17 @@ object IncrementalDedup {
   def dedupDelta(delta: DataFrame, textCol: String, idCol: String,
                  path: String, update: Boolean = false,
                  excludeBatch: Option[Long] = None,
-                 cap: Dedup.BucketCap = Dedup.BucketCap.Auto()): DataFrame = {
+                 cap: Dedup.BucketCap = Dedup.BucketCap.Auto()): DataFrame =
+    dedupDeltaAudited(delta, textCol, idCol, path, update, excludeBatch, cap)._1
+
+  /** [[dedupDelta]] with the within-delta guard's [[Dedup.LshAudit]]
+    * attached (None under Unlimited or when the delta has no banded
+    * docs) — the IR `dedup-delta` action writes it to `audit-path`.
+    */
+  def dedupDeltaAudited(delta: DataFrame, textCol: String, idCol: String,
+                        path: String, update: Boolean = false,
+                        excludeBatch: Option[Long] = None,
+                        cap: Dedup.BucketCap = Dedup.BucketCap.Auto()): (DataFrame, Option[Dedup.LshAudit]) = {
     val spark = delta.sparkSession
     val meta = readMeta(spark, path)
     val hits = Materialize(storeHits(delta, textCol, idCol, path, excludeBatch))
@@ -201,10 +211,11 @@ object IncrementalDedup {
     // within-delta stage under the same default guard as the batch LSH
     // family: a boilerplate-heavy shard (one crawl day of parked
     // domains) self-joins quadratically without it. Store-hit verdicts
-    // are unaffected; a capped mega-clique's members surface as `kept`
-    // (the audited guard trade) and collapse via dup_store on the NEXT
-    // shard once one of them is in the store.
-    val (pairs, _) = Dedup.lshCandidatesAudited(rest, textCol, idCol,
+    // are unaffected — and since the pairs feed connected components
+    // (a connectivity consumer), the guard runs in its star-edge mode:
+    // a capped mega-clique still collapses to its canonical member
+    // THIS shard, exactly as the unlimited run would, at linear cost.
+    val (pairs, audit) = Dedup.lshCandidatesConnectivity(rest, textCol, idCol,
       meta.k, meta.rowsPerBand, cap = cap)
     val losers = Materialize(
       Dedup.clusterPairsStar(pairs)
@@ -223,7 +234,7 @@ object IncrementalDedup {
         out.filter(col("status") === "kept").select(col(idCol)), Seq(idCol))
       appendToStore(kept, textCol, idCol, path)
     }
-    out
+    (out, audit)
   }
 
   /** The continuously-ingesting loop: every micro-batch is a delta —

@@ -570,9 +570,22 @@ object Multimodal {
     * Output: (id1, id2, hamming), id1 < id2.
     */
   def imageNearDup(media: DataFrame, maxHamming: Int = 6,
-                   cap: Dedup.BucketCap = Dedup.BucketCap.Unlimited): DataFrame =
-    Dedup.hammingNearDupAudited(imageDHash(media), "media_id", "dhash",
-      sigBits = 64, maxHamming = maxHamming, cap = cap)._1
+                   cap: Dedup.BucketCap = Dedup.BucketCap.Auto()): DataFrame =
+    imageNearDupAudited(media, maxHamming, cap)._1
+
+  /** [[imageNearDup]] with the guard's [[Dedup.LshAudit]] attached —
+    * the image-side mega-bucket is the all-zero dHash (black frames,
+    * decode failures); the IR `media-near-dup` action writes the audit
+    * to `audit-path`. Defaults to [[Dedup.BucketCap.Auto]] like the
+    * rest of the banded family (r15; pre-r15 this face was unlimited).
+    */
+  def imageNearDupAudited(media: DataFrame, maxHamming: Int = 6,
+                          cap: Dedup.BucketCap = Dedup.BucketCap.Auto()): (DataFrame, Option[Dedup.LshAudit]) =
+    // materialize the signatures (the simhashNearDup convention): the
+    // hamming kernel consumes its band table lazily on both self-join
+    // sides, and the dHash decode+luma pipeline must not run twice
+    Dedup.hammingNearDupAudited(Materialize(imageDHash(media)), "media_id", "dhash",
+      sigBits = 64, maxHamming = maxHamming, cap = cap)
 
   // ------------------------------------------------------------------
   // REAL video kernel: ISO BMFF (MP4/MOV) box walk — O(moov), no codec.

@@ -141,7 +141,7 @@ class DedupCapSpec extends AnyFunSuite {
     assert(a.largestBucket > a.resolvedMaxBucket)
     // equivalence with the explicit guard at the resolved value
     val fixed = Dedup.lshCandidates(adversarial, "text", "doc_id",
-      maxBucket = a.resolvedMaxBucket.toInt)
+      cap = BucketCap.Fixed(a.resolvedMaxBucket.toInt))
     assert(autoPairs.orderBy("id1", "id2").collect().toSeq
       == fixed.orderBy("id1", "id2").collect().toSeq)
     // audit counts re-derivable from the corpus's own histogram
@@ -176,17 +176,29 @@ class DedupCapSpec extends AnyFunSuite {
 
   // ---- carried through the composing operators ----
 
-  test("pruneNearDupsAudited: schema preserved, audit carried, capped members unpruned") {
+  test("pruneNearDupsAudited: schema + audit carried; capped == unlimited (star edges)") {
     val (prunedAuto, aAuto) = Dedup.pruneNearDupsAudited(
       adversarial, "text", "doc_id", cap = BucketCap.Auto())
     assert(prunedAuto.columns.toSeq == adversarial.columns.toSeq)
     assert(aAuto.get.excludedBuckets > 0L)
-    // a low fixed cap exempts the whole organic cluster from pruning:
-    // all 24 planted originals survive (their buckets were dropped)
+    // pruning is a CONNECTIVITY consumer: over-cap buckets contribute
+    // member→bucket-min star edges with the same connected components
+    // as their dropped pair cliques — so the pruned corpus under ANY
+    // cap equals the unlimited run exactly (the r14 behavior, where a
+    // capped bucket's members all survived as exempted, is gone)
+    val survAuto = prunedAuto.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survUnlimited = Dedup.pruneNearDups(
+        adversarial, "text", "doc_id", cap = BucketCap.Unlimited)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survAuto == survUnlimited)
+    // same exactness under a hand-set low cap on the clean fixture:
+    // the 24-member organic cluster collapses to its min id even
+    // though every one of its buckets is over the cap
     val (prunedLow, _) = Dedup.pruneNearDupsAudited(
       clean, "text", "doc_id", cap = BucketCap.Fixed(3))
-    val survivors = prunedLow.filter(col("doc_id") >= 1000L && col("doc_id") < 1024L).count()
-    assert(survivors == 24L)
+    val survivors = prunedLow.filter(col("doc_id") >= 1000L && col("doc_id") < 1024L)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1000L))
   }
 
   test("editConfirmFunnelAudited == staged composition under the same cap") {
@@ -195,7 +207,8 @@ class DedupCapSpec extends AnyFunSuite {
       adversarial, "text", "doc_id", minJaccard = 0.3, minSim = 0.5,
       maxLen = 128, cap = BucketCap.Fixed(capv))
     assert(audit.get.resolvedMaxBucket == capv.toLong)
-    val cands = Dedup.lshCandidates(adversarial, "text", "doc_id", maxBucket = capv)
+    val cands = Dedup.lshCandidates(adversarial, "text", "doc_id",
+      cap = BucketCap.Fixed(capv))
     val staged = Dedup.editConfirm(
       adversarial, Dedup.ngramJaccard(adversarial, cands, "text", "doc_id")
         .filter(col("jaccard") >= 0.3).select("id1", "id2"),
@@ -215,7 +228,8 @@ class DedupCapSpec extends AnyFunSuite {
       cap = BucketCap.Fixed(a.resolvedMaxBucket.toInt))._1
     assert(autoPairs.orderBy("id1", "id2").collect().toSeq
       == fixed.orderBy("id1", "id2").collect().toSeq)
-    // the Int-free legacy face is the Unlimited guard — bit-unchanged
+    // the audit-free face defaults to Auto, which resolves unlimited on
+    // the clean fixture — bit-identical to the explicit Unlimited run
     val legacy = Dedup.weightedLshCandidates(clean, "text", "doc_id")
     val unlimited = Dedup.weightedLshCandidatesAudited(clean, "text", "doc_id",
       cap = BucketCap.Unlimited)._1
@@ -242,6 +256,42 @@ class DedupCapSpec extends AnyFunSuite {
     val unl = Dedup.hammingNearDup(
       Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("id", "sig"), "id", "sig", 32, 1)
     assert(unl.count() == 3L) // (1,2,0),(1,3,1),(2,3,1)
+  }
+
+  test("cross-corpus weighted twin: per-side caps, BOTH sides' audits returned") {
+    val (pairs, auditL, auditR) = Dedup.weightedCrossCorpusCandidatesAudited(
+      adversarial, clean, "text", "doc_id",
+      capLeft = BucketCap.Auto(), capRight = BucketCap.Auto())
+    // the adversarial left side resolves a finite cap; the clean right
+    // side resolves unlimited — two independent accounts, one per corpus
+    assert(auditL.get.resolvedMaxBucket != Long.MaxValue && auditL.get.excludedBuckets > 0L,
+      s"left: ${auditL.get}")
+    assert(auditR.get.resolvedMaxBucket == Long.MaxValue && auditR.get.excludedBuckets == 0L,
+      s"right: ${auditR.get}")
+    // a dropped home bucket finds no partners: the mega-clique's pairs
+    // are bounded while clean-side organics still join
+    assert(pairs.count() >= 0L) // shape-sane; exact values pinned by the gates
+  }
+
+  test("preflightWarnings: split-by-hash feeding decontam warns; cluster-split does not") {
+    import graft.ir.Node
+    def chain(split: String) = Node.fromJson(
+      s"""{"action":"$split","params":[{"id":"doc_id",
+         |   "weights":[{"name":"train","weight":0.9},{"name":"bench","weight":0.1}]}],
+         | "children":[{"action":"where","params":[["=","host","x"]],
+         |              "children":[{"action":"decontam-exact",
+         |                           "params":[{"id":"doc_id","text":"text",
+         |                                      "bench-path":"/tmp/nope"}]}]}]}""".stripMargin)
+    val warns = graft.ir.Engine.preflightWarnings(chain("split-by-hash"))
+    assert(warns.size == 1 && warns.head.contains("cluster-split"),
+      s"expected the leakage warning, got $warns")
+    assert(graft.ir.Engine.preflightWarnings(chain("cluster-split")).isEmpty,
+      "cluster-split composes leakage-free: no warning")
+    // split-by-hash with no decontam downstream is fine too
+    val plain = Node.fromJson(
+      """{"action":"split-by-hash","params":[{"id":"doc_id",
+        |   "weights":[{"name":"a","weight":1.0}]}]}""".stripMargin)
+    assert(graft.ir.Engine.preflightWarnings(plain).isEmpty)
   }
 
   // ---- IR faces: default auto, explicit overrides, audit-path ----
@@ -295,15 +345,47 @@ class DedupCapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("resolved_max_bucket") >= 16L)
   }
 
-  test("IR cluster-split default is bounded: capped members root at themselves") {
+  test("IR cluster-split default is bounded AND exact: capped split == unlimited split") {
     val tap = """"children":[{"action":"tap","params":["out"]}]"""
-    val split = runIr(
-      s"""{"action":"cluster-split","params":[{"id":"doc_id","text":"text","salt":"cs",
+    def splitJson(extra: String) =
+      s"""{"action":"cluster-split","params":[{"id":"doc_id","text":"text","salt":"cs",$extra
          |   "weights":[{"name":"train","weight":0.8},{"name":"val","weight":0.1},
-         |              {"name":"test","weight":0.1}]}],$tap}""".stripMargin,
-      adversarial)
+         |              {"name":"test","weight":0.1}]}],$tap}""".stripMargin
+    val split = runIr(splitJson(""), adversarial)
     // total and partition-complete despite the guard
     assert(split.count() == adversarial.count())
     assert(split.select("split").distinct().count() >= 2)
+    // the connectivity face's star edges make the capped run EXACT: the
+    // auto-guarded default assigns every document the same split as the
+    // unguarded run — near-dup families never straddle the fence even
+    // when their buckets blew the pair budget
+    val unlimited = runIr(splitJson(""""max-bucket":"unlimited","""), adversarial)
+    assert(split.orderBy("doc_id").select("doc_id", "split").collect().toSeq
+      == unlimited.orderBy("doc_id").select("doc_id", "split").collect().toSeq)
+  }
+
+  test("IR on-excluded=fail aborts a capped pair-list run; connectivity faces exempt") {
+    val tap = """"children":[{"action":"tap","params":["out"]}]"""
+    val ex = intercept[IllegalStateException] {
+      runIr(
+        s"""{"action":"dedup-minhash-lsh",
+           | "params":[{"id":"doc_id","text":"text","on-excluded":"fail"}],$tap}""".stripMargin,
+        adversarial).count()
+    }
+    assert(ex.getMessage.contains("on-excluded=fail"))
+    // clean corpus: auto resolves unlimited, nothing excluded, no throw
+    runIr(
+      s"""{"action":"dedup-minhash-lsh",
+         | "params":[{"id":"doc_id","text":"text","on-excluded":"fail"}],$tap}""".stripMargin,
+      clean).count()
+    // cluster-split under fail: exclusions happened but the star edges
+    // make the result exact — fail must NOT fire on connectivity faces
+    val split = runIr(
+      s"""{"action":"cluster-split","params":[{"id":"doc_id","text":"text","salt":"cs",
+         |   "on-excluded":"fail",
+         |   "weights":[{"name":"train","weight":0.8},{"name":"val","weight":0.1},
+         |              {"name":"test","weight":0.1}]}],$tap}""".stripMargin,
+      adversarial)
+    assert(split.count() == adversarial.count())
   }
 }

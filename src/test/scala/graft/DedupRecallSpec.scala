@@ -91,6 +91,52 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(recallAbove(got, 0.8) >= 0.85)
   }
 
+  test("AUTO guard on the hamming face: organic signatures resolve unlimited, pairs identical (r15)") {
+    // the guarded pigeonhole-banded face must be zero-cost on organic
+    // signature distributions, like the MinHash face above: the recall
+    // corpus's simhash signatures have no degenerate all-equal bucket,
+    // so auto resolves unlimited and the pair set is bit-identical
+    val sigs = Dedup.simhashSigTable(corpus, "text", "doc_id")
+    val (autoPairs, audit) = Dedup.hammingNearDupAudited(sigs, "__id", "simhash",
+      sigBits = 32, maxHamming = 3, cap = Dedup.BucketCap.Auto())
+    assert(audit.get.resolvedMaxBucket == Long.MaxValue, s"audit: ${audit.get}")
+    assert(audit.get.excludedBuckets == 0L && audit.get.excludedMembers == 0L)
+    val unlimited = Dedup.hammingNearDupAudited(sigs, "__id", "simhash",
+      sigBits = 32, maxHamming = 3, cap = Dedup.BucketCap.Unlimited)._1
+    assert(autoPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == unlimited.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "auto must not change the organic hamming pair set")
+  }
+
+  test("AUTO guard on the embedding sign-bucket face: organic vectors resolve unlimited (r15)") {
+    val s = spark
+    import s.implicits._
+    // organic embedding fixture: 40 seeded-random unit-ish vectors plus
+    // 10 planted near-dup twins (tiny perturbations) — near-dups share
+    // sign buckets, but no bucket is degenerate
+    val rng = new scala.util.Random(1515L)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val twins = base.take(10).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val (autoPairs, audit) = Dedup.embeddingNearDupBucketedAudited(
+      emb, "vec_id", "embedding", threshold = 0.9, bits = 4,
+      cap = Dedup.BucketCap.Auto())
+    assert(audit.get.resolvedMaxBucket == Long.MaxValue, s"audit: ${audit.get}")
+    assert(audit.get.excludedBuckets == 0L)
+    val unlimited = Dedup.embeddingNearDupBucketed(
+      emb, "vec_id", "embedding", threshold = 0.9, bits = 4,
+      cap = Dedup.BucketCap.Unlimited)
+    assert(autoPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == unlimited.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "auto must not change the organic embedding pair set")
+    // the planted twins are actually found (the pin is not vacuous)
+    assert(autoPairs.count() >= 8, "expected most planted twins to pair")
+  }
+
   test("weighted-LSH recall on the multiset relation mirrors the set variant on repeat-free docs") {
     // on a repeat-free corpus every shingle count is 1, so the multiset
     // relation degenerates to the set relation — same ground truth applies

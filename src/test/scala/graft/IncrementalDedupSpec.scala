@@ -78,16 +78,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
       (2001L to 2029L).foreach(i => assert(unlimited(i) == (("dup_delta", 2000L)), s"doc $i"))
       assert(unlimited(2000L) == (("kept", -1L)))
       assert(unlimited(3000L) == (("kept", -1L)))
-      // a cap below the fresh clique exempts it from WITHIN-DELTA dedup
-      // (documented guard trade: members surface kept, collapse via
-      // dup_store on the next shard); store verdicts are untouched
+      // r15: the within-delta stage runs the guard's CONNECTIVITY face —
+      // a cap below the fresh clique bounds the pair join but the star
+      // edges keep the clique connected, so verdicts under ANY cap equal
+      // the unlimited run (the r14 trade, where capped clique members
+      // surfaced kept until the next shard, is gone)
       val capped = run(graft.operators.Dedup.BucketCap.Fixed(5))
-      (1000L to 1039L).foreach(i => assert(capped(i) == (("dup_store", 1L)), s"doc $i"))
-      (2000L to 2029L).foreach(i => assert(capped(i) == (("kept", -1L)), s"doc $i"))
-      // the default auto guard is total and store-verdict-preserving
+      assert(capped == unlimited, "capped verdicts must equal unlimited (star edges)")
+      // the default auto guard is total and identical too
       val auto = run(graft.operators.Dedup.BucketCap.Auto())
       assert(auto.size == delta.count())
-      (1000L to 1039L).foreach(i => assert(auto(i) == (("dup_store", 1L)), s"doc $i"))
+      assert(auto == unlimited, "auto verdicts must equal unlimited (star edges)")
+    } finally rmrf(dir)
+  }
+
+  test("IR dedup-delta audit-path: the within-delta guard's account lands as parquet") {
+    val boiler = "the same parked domain boilerplate body verbatim"
+    val store = frame(Seq(0L -> doc(0)))
+    val delta = frame((2000L to 2049L).map(_ -> boiler) ++ Seq(3000L -> doc(3000)))
+    val dir = tmpDir()
+    val auditPath = s"${tmpDir()}/audit"
+    try {
+      IncrementalDedup.writeStore(store, "text", "doc_id", dir, nBuckets = 8)
+      val node = graft.ir.Node.fromJson(
+        s"""{"action":"dedup-delta",
+           | "params":[{"id":"doc_id","text":"text","store-path":"$dir",
+           |            "max-bucket":5,"audit-path":"$auditPath"}],
+           | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+      val out = graft.ir.Engine.run(node, delta,
+        graft.ir.EngineCtx(testMode = true)).taps("out")
+      // connectivity face: verdicts equal the unlimited run even capped
+      val verdicts = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(verdicts(2000L) == "kept" && verdicts(2001L) == "dup_delta")
+      val audit = spark.read.parquet(auditPath).collect()
+      assert(audit.length == 1)
+      assert(audit.head.getAs[Long]("excluded_buckets") > 0L,
+        "the capped 50-member clique must be accounted in the audit")
     } finally rmrf(dir)
   }
 

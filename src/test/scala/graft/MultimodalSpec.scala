@@ -174,6 +174,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("IR media-near-dup audit-path: the dHash mega-bucket's exemption lands as parquet") {
+    val s = spark
+    import s.implicits._
+    // 40 identical solid-black frames — ONE degenerate dHash bucket per
+    // band — plus the organic re-encode pair from the test above
+    def black(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = ((100L until 140L).map(i => (i, black())) ++ Seq(
+      (1L, makeImage(64, 48, "png")), (2L, makeImage(64, 48, "jpg"))))
+      .toDF("media_id", "payload")
+    val auditPath = s"${java.nio.file.Files.createTempDirectory("graft-media-audit")}/audit"
+    val node = graft.ir.Node.fromJson(
+      s"""{"action":"media-near-dup",
+         | "params":[{"max-hamming":6,"max-bucket":8,"audit-path":"$auditPath"}],
+         | "children":[{"action":"tap","params":["out"]}]}""".stripMargin)
+    val pairs = graft.ir.Engine.run(node, media,
+        graft.ir.EngineCtx(testMode = true)).taps("out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the black clique's buckets are dropped from the pair list; the
+    // organic pair survives
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    val audit = spark.read.parquet(auditPath).collect()
+    assert(audit.length == 1)
+    assert(audit.head.getAs[Long]("excluded_buckets") > 0L)
+    assert(audit.head.getAs[Long]("excluded_members") >= 40L)
+  }
+
   // ---- real-audio kernels: WAV fixtures built byte-by-byte in-test ----
 
   /** Mono 16-bit PCM WAV: first half a `freq` Hz sine at ~0.92 amplitude,

@@ -276,17 +276,26 @@ class OperatorSpec extends AnyFunSuite {
     val docs = ((1L to 50L).map(i => (i, boiler)) ++ Seq((100L, pair), (101L, pair)))
       .toDF("doc_id", "text")
     // uncapped: the 50-doc boilerplate clique emits 50*49/2 pairs
-    assert(Dedup.lshCandidates(docs, "text", "doc_id").count() == 50L * 49 / 2 + 1)
+    assert(Dedup.lshCandidates(docs, "text", "doc_id",
+      cap = Dedup.BucketCap.Unlimited).count() == 50L * 49 / 2 + 1)
     // capped: every boilerplate bucket exceeds the cap and is dropped
     // whole; the 2-doc cluster's buckets survive untouched
-    val capped = Dedup.lshCandidates(docs, "text", "doc_id", maxBucket = 10)
+    val capped = Dedup.lshCandidates(docs, "text", "doc_id",
+        cap = Dedup.BucketCap.Fixed(10))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((100L, 101L)))
-    // pruneNearDups under the cap: boilerplate survives UNpruned (its
-    // buckets were dropped), the small cluster keeps its min id
-    val kept = Dedup.pruneNearDups(docs, "text", "doc_id", maxBucket = 10)
+    // pruneNearDups is a CONNECTIVITY consumer: over-cap buckets emit
+    // linear star edges instead of pair cliques, so pruning under the
+    // cap equals the unlimited run exactly — the boilerplate clique
+    // collapses to its min id, it does NOT pass through as survivors
+    val kept = Dedup.pruneNearDups(docs, "text", "doc_id",
+        cap = Dedup.BucketCap.Fixed(10))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept == (1L to 50L).toSet + 100L)
+    assert(kept == Set(1L, 100L))
+    val keptUnlimited = Dedup.pruneNearDups(docs, "text", "doc_id",
+        cap = Dedup.BucketCap.Unlimited)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptUnlimited)
   }
 
   test("clusterPairsStar: labels == clusterPairs on chains, forests, and random graphs") {
@@ -473,26 +482,25 @@ class OperatorSpec extends AnyFunSuite {
          | "children":[{"action":"tap","params":["out"]}]}""".stripMargin),
       docs, EngineCtx(testMode = true)).taps("out")
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // r14: the DEFAULT is the auto guard. On this pathological fixture
-    // (30 of 33 docs are one mega-clique: 1,740 band emissions vs a
-    // ceil(32·33)=1,056 budget) auto resolves a finite cap below the
-    // clique, so the default run is bounded and the clique members root
-    // at themselves; explicit "unlimited" restores the atomic clique.
+    // r15: the guard runs in its CONNECTIVITY face here. On this
+    // pathological fixture (30 of 33 docs are one mega-clique: 1,740
+    // band emissions vs a ceil(32·33)=1,056 budget) auto resolves a
+    // finite cap below the clique, so the quadratic pair join is
+    // bounded — but the over-cap buckets emit linear member→bucket-min
+    // star edges with identical connected components, so the clique
+    // stays ATOMIC under any cap: capped split == unlimited split,
+    // exactly (the r14 members-root-at-themselves weakening is gone).
     val atomic = split("\"max-bucket\":\"unlimited\",")
     assert((1L to 30L).map(atomic).toSet.size == 1, "unlimited: clique atomic")
     val auto = split("")
     assert(auto.size == 33, "auto split stays total — every doc assigned")
     val capped = split("\"max-bucket\":5,")
-    assert((1L to 30L).forall(i => auto(i) == capped(i)),
-      "auto and an explicit sub-clique cap agree on this fixture: both drop the clique bucket")
     assert(capped.size == 33, "capped split stays total — every doc assigned")
-    // capped clique members root at THEMSELVES (hash of own id), exactly
-    // like the plain splitByHash of their ids
-    val plain = graft.operators.Sampling.splitByHash(
-      docs.filter($"doc_id" <= 30L), "doc_id",
-      Seq("train" -> 0.5, "test" -> 0.5), salt = "split")
-      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    (1L to 30L).foreach(i => assert(capped(i) == plain(i), s"doc $i"))
+    (docs.collect().map(_.getLong(0))).foreach { i =>
+      assert(auto(i) == atomic(i), s"auto == unlimited, doc $i")
+      assert(capped(i) == atomic(i), s"capped == unlimited, doc $i")
+    }
+    assert((1L to 30L).map(capped).toSet.size == 1, "capped: clique still atomic")
   }
 
   test("sharedSubstringSpans: maximal cross-doc runs, self-repeats excluded") {
