@@ -371,6 +371,14 @@ object Streaming {
     * bucket-owner `dup_of` in LSH band `band`. A document pairs once per
     * shared band — `distinct` on (doc_id, dup_of) downstream for unique
     * pairs.
+    *
+    * AUDIT sentinel (`band == -1`): the bucket's per-bucket match cap
+    * was hit — `doc_id` is the bucket OWNER, `dup_of` the number of
+    * arrivals exempted from matching in this micro-batch. One sentinel
+    * per bucket per batch with exemptions, so "no near-dups" and
+    * "near-dups exempted by cap" stay distinguishable in-band, exactly
+    * like the batch guard's [[graft.operators.Dedup.LshAudit]]. Filter
+    * `band >= 0` for pure matches.
     */
   final case class NearDupMatch(doc_id: Long, dup_of: Long, band: Long)
 
@@ -406,9 +414,12 @@ object Streaming {
     */
   def nearDupWithinWatermark(idCol: String, textCol: String, tsCol: String,
                              horizonSeconds: Long, k: Int = 8,
-                             rowsPerBand: Int = 2)(df: DataFrame): Dataset[NearDupMatch] = {
+                             rowsPerBand: Int = 2,
+                             maxMatchesPerBucket: Int = 4096)(df: DataFrame): Dataset[NearDupMatch] = {
     require(k % rowsPerBand == 0, s"nearDupWithinWatermark: k=$k not divisible by rowsPerBand=$rowsPerBand")
     require(horizonSeconds >= 0, s"nearDupWithinWatermark: negative horizon ($horizonSeconds s)")
+    require(maxMatchesPerBucket >= 1,
+      s"nearDupWithinWatermark: maxMatchesPerBucket must be >= 1, got $maxMatchesPerBucket")
     val spark = df.sparkSession
     import spark.implicits._
     val streaming = df.isStreaming
@@ -430,7 +441,7 @@ object Streaming {
       .select(col("__doc"), col("__ts"), unix_micros(col("__ts")).as("us"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
-    earliestOwnerMatches(banded, streaming)
+    earliestOwnerMatches(banded, streaming, maxMatchesPerBucket)
   }
 
   /** The shared earliest-owner-per-bucket state machine behind
@@ -438,10 +449,34 @@ object Streaming {
     * keyed `(doc, ts, us, bucket, sig)` rows; the first (event-time,
     * then id) arrival in a bucket owns it within the horizon, later
     * arrivals emit matches against the owner.
+    *
+    * THE STREAMING MEGA-BUCKET GUARD (the stream-side mirror of
+    * [[graft.operators.Dedup.BucketCap]]): a degenerate signature
+    * (empty pages, parked-domain boilerplate) funnels every arrival
+    * into ONE bucket — unguarded, each arrival both joins an unbounded
+    * per-micro-batch group materialization and emits a match forever,
+    * so the output stream itself becomes the blow-up. `maxMatches`
+    * bounds each bucket to that many LIFETIME match emissions
+    * (count-bounded state, the only cap resolvable online: the batch
+    * guard's Auto needs the corpus's full bucket histogram, which an
+    * unbounded stream never has). Within the cap the kept matches are
+    * the (event-time, id)-EARLIEST arrivals — deterministic, so the
+    * capped batch face equals the capped stream face (StreamingSpec) —
+    * and per-batch group memory is O(cap), never O(bucket): rows are
+    * folded through a bounded heap, not `.toSeq`-materialized.
+    * Exemptions surface in-band as `band == -1` audit sentinels (see
+    * [[NearDupMatch]]) plus a WARN log. Organic buckets sit far under
+    * the default, where the fold is emission-for-emission identical to
+    * the unguarded r14 machine.
+    *
+    * CHECKPOINT COMPATIBILITY: r15 widened the state tuple with the
+    * emitted-match count — streaming checkpoints written by the r14
+    * two-field state do not restore into this machine (start a fresh
+    * checkpoint dir, the standard Spark rule for state schema changes).
     */
   private def earliestOwnerMatches(
       keyed: Dataset[(Long, java.sql.Timestamp, Long, Long, String)],
-      streaming: Boolean): Dataset[NearDupMatch] = {
+      streaming: Boolean, maxMatches: Int): Dataset[NearDupMatch] = {
     val spark = keyed.sparkSession
     import spark.implicits._
     val timeoutConf =
@@ -449,29 +484,66 @@ object Streaming {
     keyed.groupByKey((r: (Long, java.sql.Timestamp, Long, Long, String)) => r._4 + ":" + r._5)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
-         state: GroupState[(Long, Long)]) =>
+         state: GroupState[(Long, Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rs = rows.toSeq.sortBy(r => (r._3, r._1))
-            var owner = state.getOption.map(_._1)
-            val out = scala.collection.mutable.ListBuffer[NearDupMatch]()
-            rs.foreach { case (doc, _, _, band, _) =>
-              owner match {
-                case None            => owner = Some(doc)
-                case Some(o) if doc != o => out += NearDupMatch(doc, o, band)
-                case _               =>
+            val prior = state.getOption
+            val priorOwner = prior.map(_._1)
+            val emittedSoFar = prior.map(_._3).getOrElse(0L)
+            val remaining = math.max(0L, maxMatches.toLong - emittedSoFar)
+            // bounded fold: keep only the (us, id)-smallest `remaining`
+            // match candidates (+1 slot for ownership resolution when no
+            // prior owner) in a max-heap; everything else is counted,
+            // never buffered — group memory is O(cap) on a mega-bucket
+            val keep = (remaining + (if (priorOwner.isEmpty) 1L else 0L))
+              .min(Int.MaxValue.toLong).toInt
+            implicit val ord: Ordering[(Long, Long, Long)] =
+              Ordering.by(r => (r._1, r._2)) // (us, doc); max-heap default
+            val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)]
+            var nRows = 0L
+            var ownerReArrivals = 0L // prior owner re-arriving: never a match
+            var maxUs = Long.MinValue
+            rows.foreach { case (doc, _, us, band, _) =>
+              nRows += 1
+              if (us > maxUs) maxUs = us
+              if (priorOwner.contains(doc)) ownerReArrivals += 1
+              else if (keep > 0) {
+                heap.enqueue((us, doc, band))
+                if (heap.size > keep) heap.dequeue()
               }
             }
+            val ordered = heap.dequeueAll.reverse // ascending (us, doc)
+            val (owner, cands) = priorOwner match {
+              case Some(o) => (o, ordered)
+              case None    => (ordered.head._2, ordered.tail)
+            }
+            // with no prior owner, the owner doc's SAME-id re-arrivals can
+            // sit past the heap window indistinguishably — the audit count
+            // is exact up to that pathological same-id case
+            val out = cands.collect {
+              case (_, doc, band) if doc != owner => NearDupMatch(doc, owner, band)
+            }.take(remaining.min(Int.MaxValue.toLong).toInt)
+            val nonOwnerRows = nRows - ownerReArrivals -
+              (if (priorOwner.isEmpty) 1L else 0L) -
+              (if (priorOwner.isEmpty) cands.count(_._2 == owner).toLong else 0L)
+            val exempted = math.max(0L, nonOwnerRows - out.size)
             // lastSeen keeps its MAX across batches: an out-of-order (older
             // but in-horizon) arrival must not pull the eviction deadline
             // backward and shorten the advertised horizon
-            val lastMs = math.max(rs.iterator.map(_._3).max / 1000L,
-              state.getOption.map(_._2).getOrElse(Long.MinValue))
-            state.update((owner.get, lastMs))
+            val lastMs = math.max(maxUs / 1000L,
+              prior.map(_._2).getOrElse(Long.MinValue))
+            state.update((owner, lastMs, emittedSoFar + out.size))
             if (streaming)
               state.setTimeoutTimestamp(
                 math.max(lastMs + 1, state.getCurrentWatermarkMs() + 1))
-            out.iterator
+            val audit =
+              if (exempted > 0) {
+                org.slf4j.LoggerFactory.getLogger("graft.streaming.Streaming").warn(
+                  s"near-dup bucket cap: owner=$owner exempted=$exempted arrivals " +
+                    s"this batch (cap=$maxMatches, emitted=${emittedSoFar + out.size})")
+                Iterator.single(NearDupMatch(owner, exempted, -1L))
+              } else Iterator.empty
+            out.iterator ++ audit
           }
       }
   }
@@ -488,9 +560,12 @@ object Streaming {
     */
   def winnowNearDupWithinWatermark(idCol: String, textCol: String, tsCol: String,
                                    horizonSeconds: Long, k: Int = 5,
-                                   w: Int = 4)(df: DataFrame): Dataset[NearDupMatch] = {
+                                   w: Int = 4,
+                                   maxMatchesPerBucket: Int = 4096)(df: DataFrame): Dataset[NearDupMatch] = {
     require(horizonSeconds >= 0,
       s"winnowNearDupWithinWatermark: negative horizon ($horizonSeconds s)")
+    require(maxMatchesPerBucket >= 1,
+      s"winnowNearDupWithinWatermark: maxMatchesPerBucket must be >= 1, got $maxMatchesPerBucket")
     val spark = df.sparkSession
     import spark.implicits._
     val streaming = df.isStreaming
@@ -504,7 +579,7 @@ object Streaming {
       .select(col("__doc"), col("__ts"), col("us"),
         col("__s.h").as("fp"), lit("").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
-    earliestOwnerMatches(keyed, streaming)
+    earliestOwnerMatches(keyed, streaming, maxMatchesPerBucket)
   }
 
   // --------------------------------------------------------------------

@@ -601,6 +601,60 @@ class StreamingSpec extends AnyFunSuite {
       "the disjoint doc must not pair")
   }
 
+  test("streaming near-dup bucket cap: planted mega-bucket bounded, organic pairs kept, stream == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    val cap = 5
+    // 30 identical docs (ONE degenerate signature — every band bucket is
+    // the mega-bucket) split across two micro-batches, plus one organic
+    // near-dup pair with a distinct text in the second batch
+    val mega = (1L to 30L).map(i => (i, FoxText, 10L + i))
+    val batches = Seq(
+      mega.take(12), mega.drop(12) ++ Seq((100L, JugText, 50L), (101L, JugText, 60L)))
+    val ms = MemoryStream[(Long, String, Long)]
+    val in = ms.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val q = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", 1000,
+        maxMatchesPerBucket = cap)(in)
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val out = s.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val matches = out.filter(_._3 >= 0)
+    val audits = out.filter(_._3 == -1L)
+    // per band bucket at most `cap` lifetime matches: the mega-clique's 29
+    // non-owner arrivals emit only the 5 earliest per band
+    val megaMatches = matches.filter(_._2 == 1L)
+    megaMatches.groupBy(_._3).foreach { case (band, ms0) =>
+      assert(ms0.length <= cap, s"band $band emitted ${ms0.length} > cap $cap")
+      assert(ms0.map(_._1).toSet == (2L to (1L + cap)).toSet,
+        s"kept matches must be the (ts,id)-earliest arrivals, got ${ms0.toSeq}")
+    }
+    // the organic pair is untouched by the mega-bucket's cap (separate buckets)
+    assert(matches.exists { case (d, o, _) => d == 101L && o == 100L },
+      s"organic pair must still emit: ${matches.toSeq}")
+    // exemptions surface in-band: audit sentinels against the mega owner,
+    // totaling the exempted arrivals (29 non-owner docs x 4 bands - 5x4 kept)
+    assert(audits.nonEmpty && audits.forall(_._1 == 1L), s"audits: ${audits.toSeq}")
+    assert(audits.map(_._2).sum == (29L - cap) * 4,
+      s"exempted total: ${audits.toSeq}")
+    // capped stream == capped batch (deterministic earliest-N rule)
+    val batchDf = batches.flatten.toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val batch = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", 1000,
+        maxMatchesPerBucket = cap)(batchDf)
+      .collect().map(m => (m.doc_id, m.dup_of, m.band))
+    assert(matches.toSet == batch.filter(_._3 >= 0).toSet,
+      "capped stream matches != capped batch matches")
+    assert(audits.map(_._2).sum == batch.filter(_._3 == -1L).map(_._2).sum,
+      "stream exempted total != batch exempted total")
+  }
+
   test("decontam flag is streaming-safe: map-side only, stream == batch") {
     val s = spark
     import s.implicits._
