@@ -137,6 +137,12 @@ object StreamServe {
       case "throttle" =>
         df => Streaming.throttle(num(op, "count", 1).toInt,
           num(op, "seconds", 60).toLong, keys(op))(df).toDF()
+      case "stable" =>
+        // buffer-state representative: runs of equal field values hold
+        // until they last `seconds`, then flush whole — restart must
+        // resume a half-buffered run from the checkpoint
+        df => Streaming.stable(num(op, "seconds", 60).toLong,
+          str(op, "field", "stable op"), keys(op))(df).toDF()
       case "dedup" =>
         df => Streaming.dedupWithinWatermark(
           keys(op) match { case Nil => Seq("host", "service"); case ks => ks },
@@ -166,7 +172,7 @@ object StreamServe {
           })(df.withColumn("__evt_ts",
             timestamp_micros(expr("time div 1000"))))
       case other => throw new IllegalArgumentException(
-        s"streaming op '$other' not supported (ewma|changed|throttle|dedup|" +
+        s"streaming op '$other' not supported (ewma|changed|throttle|stable|dedup|" +
           "sum-window|mean-window|rate-window|fixed-time-window|metric-quantiles)")
     }
   }

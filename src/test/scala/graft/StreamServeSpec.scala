@@ -138,10 +138,14 @@ class StreamServeSpec extends AnyFunSuite {
     assert(streamed.toMap == batch && streamed.toMap.keySet == Set(1L, 2L, 3L, 4L))
   }
 
-  test("seeded kill-point sweep: clean stop / torn commit / mid-batch crash all replay exactly-once (ewma + throttle)") {
+  test("seeded kill-point sweep: clean / torn commit / mid-batch / mid-write replay exactly-once (ewma + throttle + stable)") {
     // Generalizes the single torn-commit test above to a seeded sweep of
-    // the three distinct on-disk states a kill -9 can leave, for a
-    // chain-stateful op (ewma) AND a second stateful op (throttle):
+    // the four distinct on-disk states a kill -9 can leave, for a
+    // chain-stateful op (ewma), a counter-stateful op (throttle) and a
+    // BUFFER-stateful op (stable — a half-buffered run must resume from
+    // the checkpoint, not re-seed); every op is `by`-forked on host
+    // (the fixture alternates two hosts, so per-key state is exercised
+    // across the fence too):
     //
     //  - clean      : stop between batches — offsets, sink manifest and
     //                 commit records all consistent
@@ -152,6 +156,10 @@ class StreamServeSpec extends AnyFunSuite {
     //                 record (killed during batch execution) — data
     //                 files may exist on disk as orphans absent from the
     //                 manifest, and the reader must exclude them
+    //  - mid-write  : killed DURING a sink data-file write — a PARTIAL
+    //                 (truncated, not even valid JSON) orphan part file
+    //                 sits in the output dir with no manifest entry; the
+    //                 manifest-driven reader must never surface it
     //
     // Every scenario must converge to the batch twin with no duplicate
     // and no missing rows after restart + replay.
@@ -165,8 +173,11 @@ class StreamServeSpec extends AnyFunSuite {
       ("ewma", """:op {:action "ewma" :r 0.5 :keys ["host"]}""",
         df => Analytics.ewmaTimeless(0.5, Seq("host"))(df).toDF()),
       ("throttle", """:op {:action "throttle" :count 2 :seconds 4 :keys ["host"]}""",
-        df => Analytics.throttle(2, 4, Seq("host"))(df)))
-    for ((opName, opEdn, batchTwin) <- ops; kill <- Seq("clean", "torn-commit", "mid-batch")) {
+        df => Analytics.throttle(2, 4, Seq("host"))(df)),
+      ("stable", """:op {:action "stable" :seconds 4 :field "state" :keys ["host"]}""",
+        df => Analytics.stable(4, "state", Seq("host"))(df)))
+    for ((opName, opEdn, batchTwin) <- ops;
+         kill <- Seq("clean", "torn-commit", "mid-batch", "mid-write")) {
       val afterBatch = 1 + rng.nextInt(2) // seeded kill position (after land 1 or 2)
       val base = java.nio.file.Files.createTempDirectory(s"stream_sweep_${opName}_$kill")
       val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
@@ -208,6 +219,18 @@ class StreamServeSpec extends AnyFunSuite {
           // already-written data files stay behind as orphans
           val manifest = new java.io.File(s"$outDir/_spark_metadata/$id")
           if (manifest.exists()) tear(manifest)
+        case "mid-write" =>
+          val last = lastBatchFile(s"$ckDir/commits")
+          val id = last.getName
+          tear(last)
+          val manifest = new java.io.File(s"$outDir/_spark_metadata/$id")
+          if (manifest.exists()) tear(manifest)
+          // the kill landed mid-write: a truncated part file (not even a
+          // complete JSON line) is on disk, absent from the manifest
+          val orphan = new java.io.File(outDir,
+            "part-00000-00000000-dead-beef-0000-000000000000-c000.json")
+          java.nio.file.Files.write(orphan.toPath,
+            """{"host":"a","metric":12.""".getBytes("UTF-8"))
       }
       // phase 2: restart from the same checkpoint, land the rest
       val q2 = StreamServe.start(s, conf.streaming.head)
