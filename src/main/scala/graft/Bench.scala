@@ -268,7 +268,9 @@ object Bench {
     // ~2000 chars of stdout, so the detail line's head (per-query cold/
     // second-SF maps) is sacrificial but these survive in the window just
     // above the contract line.
-    println(f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail,"fixtures":$fixtures,"pass_loads":$loadsJson,"cold_total":$coldTotal%.3f$scaleSummary,"calib":$calib%.3f,"load_ambient":$ambientLoad%.1f,"load_max":${passLoads.map(l => l._1 max l._2).max}%.1f}""")
+    val detailLine =
+      f"""{"metric":"detail","cold_queries":${json(cold)}$scaleDetail,"fixtures":$fixtures,"pass_loads":$loadsJson,"cold_total":$coldTotal%.3f$scaleSummary,"calib":$calib%.3f,"load_ambient":$ambientLoad%.1f,"load_max":${passLoads.map(l => l._1 max l._2).max}%.1f}"""
+    println(detailLine)
     def json2(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
     def totalLine(queriesJson: String, omitted: Int): String = {
@@ -288,7 +290,22 @@ object Bench {
         val keep = results.sortBy(-_._2).dropRight(drop).sortBy(r => results.indexOf(r))
         totalLine(json2(keep), drop)
       }
-    println(candidates.find(_.length <= 1800).get)
+    val contractLine = candidates.find(_.length <= 1800).get
+    println(contractLine)
+    // Reproducible capture: the driver keeps only the trailing ~2000
+    // chars of stdout, which usually truncates the detail line's
+    // per-query ratio map — so cross-round `bench_compare --scale`
+    // claims were only re-derivable from uncommitted builder-side
+    // captures. Write the FULL two-line capture to a file the repo can
+    // commit (BENCH_full.json by default; override with
+    // SPARK_GRAFT_BENCH_FULL, empty disables). Best-effort: a read-only
+    // working dir must not fail the bench contract line.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    if (fullPath.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (detailLine + "\n" + contractLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] full capture write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
