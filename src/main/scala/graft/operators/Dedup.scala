@@ -838,18 +838,29 @@ object Dedup {
         // feeds both the count aggregate and the semi-join probe side, and
         // without this the whole hash/banding pipeline runs twice
         val b0 = Materialize(banded0)
-        // per-bucket count frame computed ONCE and materialized: the
-        // histogram collect, the ok-side semi-join and the star-edge
-        // over side all derive from it (the r14 kernel re-aggregated
-        // the corpus-sized band table per consumer — at 100 TB that was
-        // a full extra scan+aggregate). Bucket-count-sized: bounded by
-        // the band table, usually far below it.
-        val counts = Materialize(
-          b0.groupBy(keys: _*).agg(count(lit(1)).as("__bs")))
+        // per-bucket count PLAN, shared by every consumer below. The
+        // histogram collect runs it FUSED (one two-level aggregate job,
+        // exactly the r14 happy-path cost — measured: eagerly
+        // checkpointing counts up front added ~5-10% to the
+        // auto-resolves-unlimited bench rows for nothing); only when a
+        // cap actually resolves is the frame materialized, and then the
+        // ok-side semi-join, the star-edge over side and the star roots
+        // all reuse it instead of re-aggregating the corpus-sized band
+        // table per consumer (the r14 kernel's double aggregate).
+        val countsPlan = b0.groupBy(keys: _*).agg(count(lit(1)).as("__bs"))
+        // Fixed mode WILL consume the count frame (the cap is certain):
+        // pin it before the histogram so the whole guard costs ONE band-
+        // table aggregate. Auto can't know yet — it reads the histogram
+        // first and pins only if a cap resolves.
+        val countsFixed = guarded match {
+          case BucketCap.Fixed(_) => Some(Materialize(countsPlan))
+          case _ => None
+        }
         // exact bucket-SIZE histogram: (size, how many buckets have it) —
         // distinct sizes are bounded by the largest bucket, so the collect
         // is model-sized even when the bucket table is corpus-sized
-        val hist = counts.groupBy(col("__bs")).agg(count(lit(1)).as("__n"))
+        val hist = countsFixed.getOrElse(countsPlan)
+          .groupBy(col("__bs")).agg(count(lit(1)).as("__n"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         // every banded doc contributes exactly `bandsPerDoc` rows, so the
         // doc count falls out of the histogram for free (docs with no
@@ -876,6 +887,9 @@ object Dedup {
               "near-dups inside those buckets are NOT in the pair list"))
         if (resolved == Long.MaxValue) (b0, Some(a), None)
         else {
+          // a cap resolved: pin the count frame (already pinned in Fixed
+          // mode) — after this, ok/over/roots are all counts-sized reads
+          val counts = countsFixed.getOrElse(Materialize(countsPlan))
           // the ok side re-aliases its keys into FRESH attributes before
           // the semi-join: a groupBy keeps its grouping attributes' expr
           // ids, so joining the aggregate back onto its own source by
