@@ -1949,9 +1949,19 @@ object Engine {
         m.get("salt").map(pStr).getOrElse("cbal"))
     case "semantic-dedup" =>
       val m = pMap(params.head)
-      df => graft.operators.Similarity.semanticDedup(df, pStr(m("id")), pStr(m("vec")),
-        nCells = m.get("cells").map(pLong(_).toInt).getOrElse(0), // 0 = derive ~sqrt(corpus)
-        threshold = m.get("threshold").map(pDouble).getOrElse(0.35))
+      df => {
+        // mega-CELL guard (r15): cells past max-cell-factor × the
+        // expected n/cells size take a linear cosine-verified
+        // root-verify instead of the |cell|² self-join; audit-path
+        // gets the account like the banded family
+        val (out, audit) = graft.operators.Similarity.semanticDedupAudited(
+          df, pStr(m("id")), pStr(m("vec")),
+          nCells = m.get("cells").map(pLong(_).toInt).getOrElse(0), // 0 = derive ~sqrt(corpus)
+          threshold = m.get("threshold").map(pDouble).getOrElse(0.35),
+          maxCellFactor = m.get("max-cell-factor").map(pDouble).getOrElse(32.0))
+        writeCapAudit(m, df.sparkSession, audit)
+        out
+      }
 
     // multimodal plumbing as declarable stages (media frame in, media/
     // feature frame out)

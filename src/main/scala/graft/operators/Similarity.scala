@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** L2 normalization to unit length (double precision) — the standard
     * ANN prep step that turns every downstream cosine into a plain dot.
     * Index-order norm fold + one division per element: bit-reproducible
@@ -315,10 +317,56 @@ object Similarity {
     * one count() job; pass an explicit `nCells` to skip it.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int = 0, threshold: Double = 0.35): DataFrame = {
+                    nCells: Int = 0, threshold: Double = 0.35,
+                    maxCellFactor: Double = 32.0): DataFrame =
+    semanticDedupAudited(df, idCol, vecCol, nCells, threshold, maxCellFactor)._1
+
+  /** [[semanticDedup]] with its mega-CELL guard's account attached —
+    * the k-means-face sibling of the banded family's mega-bucket guard
+    * (r15). The hazard is the same shape: a mass of identical/
+    * near-identical embeddings (re-encoded boilerplate, zero vectors
+    * from failed embedding jobs) all argmax onto ONE cell, and the
+    * within-cell self-join pays |cell|² cosine evaluations.
+    *
+    * The cap rule is deliberately NOT [[graft.operators.Dedup.BucketCap.Auto]]'s
+    * linear emission budget: this operator's CONTRACT cost is already
+    * super-linear (√n cells × (n/√n)² within-cell pairs = n^1.5), so a
+    * pairs-per-doc budget would cap perfectly healthy cells on any
+    * corpus past ~4k vectors. The operator-shaped rule instead flags
+    * cells beyond `maxCellFactor ×` the EXPECTED cell size `⌈n/cells⌉`
+    * (floor 64) — a factor of the structural expectation, not of the
+    * observed distribution, so a poisoned corpus cannot launder its
+    * own mega-cell into the threshold (the [[graft.operators.Dedup.maxBucketPlan]]
+    * laundering argument).
+    *
+    * Over-cap cells are NOT exempted (the pre-r15 prune trade would
+    * pass mega-clusters through whole) and NOT blind-star-connected
+    * (this operator's drop rule is cosine-VERIFIED): they fall back to
+    * a LINEAR anchor-verify — each member is cosine-checked against
+    * the cell's K = 8 lowest-id ANCHOR rows only, O(K · cell)
+    * evaluations. A single min-id root would under-approximate badly
+    * on a mixed cell (a dissimilar organic low id as root lets the
+    * whole mega-family through); K anchors keep the family's own
+    * minimum in the anchor set whenever fewer than K dissimilar lower
+    * ids share the cell, so the degenerate cells that create the
+    * hazard collapse exactly as the unlimited run. Anchors are
+    * gathered skew-safely (salted per-group minima, then the K
+    * smallest of ≤ 64 salted rows — no mega-cell ever sorts or
+    * collect_lists whole). A genuinely mixed over-cap cell can still
+    * under-approximate (a member similar only to a non-anchor lower
+    * id survives) — which is why exclusions are audited in-band
+    * (reusing [[graft.operators.Dedup.LshAudit]]: `resolved_max_bucket`
+    * = the cell-size threshold, buckets = cells) and WARN-logged.
+    */
+  def semanticDedupAudited(df: DataFrame, idCol: String, vecCol: String,
+                           nCells: Int = 0, threshold: Double = 0.35,
+                           maxCellFactor: Double = 32.0): (DataFrame, Option[graft.operators.Dedup.LshAudit]) = {
+    require(maxCellFactor >= 1.0,
+      s"semanticDedup: maxCellFactor must be >= 1, got $maxCellFactor")
+    val n = df.count()
     val cells =
       if (nCells > 0) nCells
-      else math.min(65536, math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt))
+      else math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
     // distinct ids, as kmeansCentroids: duplicate-id rows must not
     // collapse the cell structure (degenerate cells = quadratic pairs)
     val cents: Array[(Long, Seq[Float])] = df
@@ -328,15 +376,68 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     // no vectors, no duplicates — also keeps plan-construction total on
     // the empty frame the IR validator probes with
-    if (cents.isEmpty) return df
-    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-      (-array_max(cellScoresOf(cents)(col(vecCol)))("negCell")).as("__cell"))
+    if (cents.isEmpty) return (df, None)
+    val capSize = math.max(64L,
+      math.ceil(maxCellFactor * (n.toDouble / cents.length)).toLong)
+    // materialized: feeds the cell histogram, both self-join sides and
+    // (when a mega-cell exists) the root-verify joins
+    val assigned = Materialize(df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      (-array_max(cellScoresOf(cents)(col(vecCol)))("negCell")).as("__cell")))
+    val counts = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__cs"))
+    val hist = counts.groupBy(col("__cs")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val over = hist.filter(_._1 > capSize)
+    val audit = graft.operators.Dedup.LshAudit(
+      resolvedMaxBucket = capSize, nDocs = n,
+      nBuckets = hist.iterator.map(_._2).sum,
+      largestBucket = hist.lastOption.map(_._1).getOrElse(0L),
+      excludedBuckets = over.iterator.map(_._2).sum,
+      excludedMembers = over.iterator.map { case (s, c) => s * c }.sum)
     val a = assigned.select(col("__cell"), col("__id").as("__ida"), col("__vec").as("__veca"))
-    val dropped = assigned.join(a, Seq("__cell"))
-      .filter(col("__ida") < col("__id"))
-      .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
-      .select(col("__id")).distinct()
-    df.join(dropped, col(idCol) === col("__id"), "left_anti")
+    val dropped0 =
+      if (audit.excludedBuckets == 0L) {
+        assigned.join(a, Seq("__cell"))
+          .filter(col("__ida") < col("__id"))
+          .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
+          .select(col("__id"))
+      } else {
+        log.warn(s"semanticDedup: mega-cell guard (cell cap $capSize = " +
+          s"$maxCellFactor x expected ${math.ceil(n.toDouble / cents.length).toLong}) " +
+          s"routed ${audit.excludedBuckets} cells / ${audit.excludedMembers} rows " +
+          s"(largest ${audit.largestBucket}) to the linear anchor-verify path — " +
+          "members of those cells are checked against the cell's 8 lowest ids only")
+        val okCells = counts.filter(col("__cs") <= capSize)
+          .select(col("__cell").as("__ok_cell"))
+        val ok = assigned.join(okCells, col("__cell") === col("__ok_cell"), "left_semi")
+        val base = ok.join(a, Seq("__cell"))
+          .filter(col("__ida") < col("__id"))
+          .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
+          .select(col("__id"))
+        val megaCells = counts.filter(col("__cs") > capSize)
+          .select(col("__cell").as("__mg_cell"))
+        val mega = assigned.join(megaCells, col("__cell") === col("__mg_cell"), "left_semi")
+        // K lowest-id anchors per mega cell, skew-safely: per-(cell, id
+        // mod 64) minima first (map-side combined — a 10⁸-member cell
+        // never sorts or collect_lists whole), then the K smallest of
+        // those ≤ 64 rows per cell
+        val anchorsK = 8
+        val salted = mega.groupBy(col("__cell"), pmod(col("__id"), lit(64L)).as("__s"))
+          .agg(min(col("__id")).as("__aid"))
+        val anchorIds = salted.groupBy(col("__cell"))
+          .agg(slice(array_sort(collect_list(col("__aid"))), 1, anchorsK).as("__as"))
+          .select(col("__cell").as("__ac"), explode(col("__as")).as("__aid"))
+        val anchorVecs = mega.join(anchorIds,
+            col("__cell") === col("__ac") && col("__id") === col("__aid"))
+          .select(col("__cell").as("__cellr"), col("__id").as("__ida"),
+            col("__vec").as("__veca"))
+        val anchorVerified = mega.join(anchorVecs, col("__cell") === col("__cellr"))
+          .filter(col("__ida") < col("__id"))
+          .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
+          .select(col("__id"))
+        base.unionAll(anchorVerified)
+      }
+    val dropped = dropped0.distinct()
+    (df.join(dropped, col(idCol) === col("__id"), "left_anti"), Some(audit))
   }
 
   /** Array of (cosine-to-centroid, -cell) structs for a vector column;

@@ -294,6 +294,47 @@ class DedupCapSpec extends AnyFunSuite {
     assert(graft.ir.Engine.preflightWarnings(plain).isEmpty)
   }
 
+  test("semanticDedup mega-cell guard: degenerate cell routed to linear root-verify, result exact") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(1516L)
+    // 60 organic vectors (balanced cells) + 1,500 near-identical planted
+    // vectors that all argmax onto one cell — the mega-cell hazard
+    val organic = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+    }
+    val base = Array.fill(8)(1.0f)
+    val planted = (0 until 1500).map { i =>
+      (10000L + i, base.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val emb = (organic ++ planted).toDF("vec_id", "embedding")
+    // factor 4 (the default 32x expected = 3,120 sits above this small
+    // fixture's 1,500-member planted cell; the rule is structural —
+    // factor x n/cells — so the fixture pins it at a tighter factor)
+    val (guarded, audit) = graft.operators.Similarity.semanticDedupAudited(
+      emb, "vec_id", "embedding", nCells = 16, threshold = 0.9,
+      maxCellFactor = 4.0)
+    val a = audit.get
+    assert(a.excludedBuckets >= 1L && a.excludedMembers >= 1500L,
+      s"the planted cell must trip the guard: $a")
+    // on the degenerate cell every member matches the root, so the
+    // linear root-verify equals the unguarded quadratic run exactly
+    val unlimited = graft.operators.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", nCells = 16, threshold = 0.9,
+      maxCellFactor = 1e9)
+    assert(guarded.select("vec_id").collect().map(_.getLong(0)).toSet
+      == unlimited.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "guarded result must equal unlimited on the degenerate fixture")
+    // the planted family collapsed to its min id (not exempted whole)
+    val survivors = guarded.filter(col("vec_id") >= 10000L).count()
+    assert(survivors == 1L, s"planted family must collapse, got $survivors")
+    // organic corpora never trip the guard (balanced cells)
+    val (_, organicAudit) = graft.operators.Similarity.semanticDedupAudited(
+      organic.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nCells = 8, threshold = 0.9)
+    assert(organicAudit.get.excludedBuckets == 0L, s"organic: $organicAudit")
+  }
+
   // ---- IR faces: default auto, explicit overrides, audit-path ----
 
   private def runIr(json: String, input: DataFrame): DataFrame =
