@@ -167,12 +167,21 @@ object Dedup {
     // no-op, so the oracle-parity path is unchanged
     val shingleHashes = transform(Text.bigramShingles(Text.tokens(col(textCol))),
       s => pmod(hashFn(s), lit(p)))
+    // project the hashed-shingle array into a REAL column before the k
+    // permutation folds: higher-order lambdas are not common-
+    // subexpression-eliminated, so folding over the expression directly
+    // re-evaluates the whole tokenize→shingle→md5 chain once PER
+    // PERMUTATION (the lambda-boundary trap the distributed
+    // [[minhashSigTable]] shape documents; k× the hashing on the
+    // streaming twin's per-event hot path). Same values, one hash pass.
     val sig = array((0 until k).map { j =>
       val a = 2L * j + 1
       val b = 7919L * j + 13
-      array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % lit(p)))
+      array_min(transform(col("__minhash_sh"), h => (lit(a) * h + lit(b)) % lit(p)))
     }: _*)
-    df.withColumn("minhash", sig)
+    df.withColumn("__minhash_sh", shingleHashes)
+      .withColumn("minhash", sig)
+      .drop("__minhash_sh")
   }
 
   /** Duplicated n-gram window statistics — the exact-substring dedup
