@@ -3589,7 +3589,11 @@ object QueriesPipeline {
         graft.streaming.Streaming.nearDupWithinWatermark(
           "doc_id", "text", "__time", horizonSeconds = 3600, k = k, rowsPerBand = 2)(
           docs(s, dir).withColumn("__time", timestamp_seconds(col("doc_id"))))
-          .toDF().orderBy("doc_id", "dup_of", "band")
+          // band >= 0: matches only — band == -1 rows are the cap's
+          // audit sentinels (none on this organic corpus, but a match
+          // consumer must always filter them; the defensive form IS the
+          // documented consumption pattern)
+          .toDF().filter(col("band") >= 0).orderBy("doc_id", "dup_of", "band")
       }
     }
 

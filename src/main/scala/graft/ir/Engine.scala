@@ -105,9 +105,13 @@ object Engine {
     */
   def run(node: Node, input: DataFrame, ctx: EngineCtx = EngineCtx(),
           registry: StreamRegistry = null): StreamResult = {
-    preflightWarnings(node).foreach(w => log.warn(s"pipeline preflight: $w"))
+    // expand ONCE: both the preflight walk and the interpreter consume
+    // the expanded tree (preflightWarnings expands only when handed a
+    // raw tree)
+    val expanded = Node.expandIncludes(node)
+    preflightWarnings(expanded).foreach(w => log.warn(s"pipeline preflight: $w"))
     val res = new StreamResult
-    interp(Node.expandIncludes(node), input, Nil, ctx, res, registry, depth = 0)
+    interp(expanded, input, Nil, ctx, res, registry, depth = 0)
     drainReinjects(ctx, res, registry)
     res
   }

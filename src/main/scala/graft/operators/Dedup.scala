@@ -174,14 +174,18 @@ object Dedup {
     // PERMUTATION (the lambda-boundary trap the distributed
     // [[minhashSigTable]] shape documents; k× the hashing on the
     // streaming twin's per-event hot path). Same values, one hash pass.
+    // collision-proof temp name: withColumn would silently OVERWRITE a
+    // caller's same-named column and the trailing drop would lose it
+    val tmp = Iterator.from(0).map(i => s"__minhash_sh$i")
+      .find(n => !df.columns.contains(n)).get
     val sig = array((0 until k).map { j =>
       val a = 2L * j + 1
       val b = 7919L * j + 13
-      array_min(transform(col("__minhash_sh"), h => (lit(a) * h + lit(b)) % lit(p)))
+      array_min(transform(col(tmp), h => (lit(a) * h + lit(b)) % lit(p)))
     }: _*)
-    df.withColumn("__minhash_sh", shingleHashes)
+    df.withColumn(tmp, shingleHashes)
       .withColumn("minhash", sig)
-      .drop("__minhash_sh")
+      .drop(tmp)
   }
 
   /** Duplicated n-gram window statistics — the exact-substring dedup
@@ -773,6 +777,15 @@ object Dedup {
     * The audit still accounts the buckets exempted from PAIR LISTING;
     * `excludedMembers > 0` here means "connectivity preserved via
     * stars", not "near-dups lost".
+    *
+    * CONTRACT NOTE: unlike the pair-list faces, the output may contain
+    * DUPLICATE (id1, id2) rows — a pair that collides in both an
+    * over-cap bucket (star edge) and a kept bucket (regular pair) is
+    * emitted from each. Connectivity consumers (connected components)
+    * are insensitive; dedupe with `.distinct()` if a distinct edge
+    * list is needed (an extra exchange the main prune/split path
+    * deliberately does not pay — [[clusterPairsStar]] distincts its
+    * own edge union anyway).
     */
   def lshCandidatesConnectivity(df: DataFrame, textCol: String, idCol: String,
                                 k: Int = 8, rowsPerBand: Int = 2,
@@ -1870,12 +1883,23 @@ object Dedup {
       s"dupRateEstimate: fraction in (0,1], got $fraction")
     val sample = graft.operators.Sampling.hashSample(df, idCol, fraction, salt)
       .transform(graft.operators.Materialize.apply)
-    // under the default auto guard a mega-bucket IN THE SAMPLE can't
-    // quadratic-blow the probe; capping undercounts est_corpus_pairs on
-    // such corpora (the WARN log + audit flag it) — pass Unlimited for
-    // the exact estimate on trusted corpora
-    val pairs = lshCandidates(sample, textCol, idCol, k, rowsPerBand, cap = cap)
-      .transform(graft.operators.Materialize.apply)
+    // the CONNECTIVITY face: dup_rate / n_dup derive from connected
+    // components, and the star edges keep those EXACT under the default
+    // auto guard even when the sample is duplicate-heavy — which is
+    // precisely the corpus this probe exists to detect (a guard that
+    // silently zeroed the estimate there would greenlight the footgun
+    // chain the preflight lint warns about). Only the PAIR counts are
+    // affected by capping: n_pairs / est_corpus_pairs count the
+    // connectivity list (capped pairs + star edges), a LOWER bound on
+    // the unlimited pair count when buckets were dropped (WARN-logged);
+    // pass Unlimited for the exact pair extrapolation.
+    val (pairs0, audit) = lshCandidatesConnectivity(sample, textCol, idCol, k,
+      rowsPerBand, cap = cap)
+    // the union with star edges can duplicate a pair that also collided
+    // in a kept bucket — dedup only when stars were actually emitted
+    // (the clean path keeps its plan identical to the plain pair list)
+    val pairs = graft.operators.Materialize(
+      if (audit.exists(_.excludedBuckets > 0)) pairs0.distinct() else pairs0)
     val losers = clusterPairsStar(pairs)
       .filter(col("cluster") =!= col("id"))
     val nSampled = sample.count()

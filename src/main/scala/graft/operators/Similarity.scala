@@ -314,7 +314,10 @@ object Similarity {
     * (clamped to [16, 65536]), which keeps the within-cell pair step at
     * ~corpus^1.5 total instead of corpus²/constant — a fixed default like
     * 16 silently turns quadratic on a large corpus. The derivation costs
-    * one count() job; pass an explicit `nCells` to skip it.
+    * one count() job; the r15 mega-cell guard needs the same count for
+    * its cap, so an explicit `nCells` alone no longer skips it — pass
+    * `nCells > 0` AND `maxCellFactor = Double.PositiveInfinity` to
+    * disable the guard and its count/histogram entirely (pre-r15 plan).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 0, threshold: Double = 0.35,
@@ -346,24 +349,34 @@ object Similarity {
     * the cell's K = 8 lowest-id ANCHOR rows only, O(K · cell)
     * evaluations. A single min-id root would under-approximate badly
     * on a mixed cell (a dissimilar organic low id as root lets the
-    * whole mega-family through); K anchors keep the family's own
-    * minimum in the anchor set whenever fewer than K dissimilar lower
-    * ids share the cell, so the degenerate cells that create the
-    * hazard collapse exactly as the unlimited run. Anchors are
-    * gathered skew-safely (salted per-group minima, then the K
-    * smallest of ≤ 64 salted rows — no mega-cell ever sorts or
-    * collect_lists whole). A genuinely mixed over-cap cell can still
-    * under-approximate (a member similar only to a non-anchor lower
-    * id survives) — which is why exclusions are audited in-band
-    * (reusing [[graft.operators.Dedup.LshAudit]]: `resolved_max_bucket`
-    * = the cell-size threshold, buckets = cells) and WARN-logged.
+    * whole mega-family through). Anchors are gathered skew-safely:
+    * per-(cell, id mod 64) minima first, then the K smallest of those
+    * ≤ 64 rows — no mega-cell ever sorts or collect_lists whole. The
+    * HARD guarantee is that the cell's GLOBAL minimum is always an
+    * anchor (it is its residue's minimum and the smallest overall);
+    * the family's own minimum is additionally anchored when no smaller
+    * id shares its residue and fewer than K salted minima sit below it
+    * — so a pure degenerate cell (the hazard case) collapses exactly
+    * as the unlimited run, while a mixed over-cap cell can
+    * under-approximate (a member similar only to a non-anchor lower id
+    * survives, e.g. under adversarial id-residue collisions) — which
+    * is why exclusions are audited in-band (reusing
+    * [[graft.operators.Dedup.LshAudit]]: `resolved_max_bucket` = the
+    * cell-size threshold, buckets = cells) and WARN-logged.
+    *
+    * `nCells > 0` plus `maxCellFactor = Double.PositiveInfinity`
+    * disables the guard entirely and skips its corpus count and cell
+    * histogram — the exact pre-r15 plan.
     */
   def semanticDedupAudited(df: DataFrame, idCol: String, vecCol: String,
                            nCells: Int = 0, threshold: Double = 0.35,
                            maxCellFactor: Double = 32.0): (DataFrame, Option[graft.operators.Dedup.LshAudit]) = {
     require(maxCellFactor >= 1.0,
       s"semanticDedup: maxCellFactor must be >= 1, got $maxCellFactor")
-    val n = df.count()
+    // explicit nCells + infinite factor = guard fully off: skip the
+    // corpus count and the cell histogram (the exact pre-r15 plan)
+    val guardOff = nCells > 0 && maxCellFactor.isPosInfinity
+    val n = if (guardOff) -1L else df.count()
     val cells =
       if (nCells > 0) nCells
       else math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -377,14 +390,26 @@ object Similarity {
     // no vectors, no duplicates — also keeps plan-construction total on
     // the empty frame the IR validator probes with
     if (cents.isEmpty) return (df, None)
-    val capSize = math.max(64L,
-      math.ceil(maxCellFactor * (n.toDouble / cents.length)).toLong)
     // materialized: feeds the cell histogram, both self-join sides and
-    // (when a mega-cell exists) the root-verify joins
+    // (when a mega-cell exists) the anchor-verify joins
     val assigned = Materialize(df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
       (-array_max(cellScoresOf(cents)(col(vecCol)))("negCell")).as("__cell")))
-    val counts = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__cs"))
-    val hist = counts.groupBy(col("__cs")).agg(count(lit(1)).as("__n"))
+    val a = assigned.select(col("__cell"), col("__id").as("__ida"), col("__vec").as("__veca"))
+    if (guardOff) {
+      val dropped = assigned.join(a, Seq("__cell"))
+        .filter(col("__ida") < col("__id"))
+        .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
+        .select(col("__id")).distinct()
+      return (df.join(dropped, col(idCol) === col("__id"), "left_anti"), None)
+    }
+    val capSize = math.max(64L,
+      math.ceil(maxCellFactor * (n.toDouble / cents.length)).toLong)
+    // per-cell count PLAN: the histogram collect runs it fused; when a
+    // mega-cell exists it is pinned ONCE and the ok/mega semi-joins
+    // read the pinned frame instead of re-aggregating the corpus-sized
+    // assigned table per consumer (the Dedup guard kernel's shape)
+    val countsPlan = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__cs"))
+    val hist = countsPlan.groupBy(col("__cs")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val over = hist.filter(_._1 > capSize)
     val audit = graft.operators.Dedup.LshAudit(
@@ -393,7 +418,6 @@ object Similarity {
       largestBucket = hist.lastOption.map(_._1).getOrElse(0L),
       excludedBuckets = over.iterator.map(_._2).sum,
       excludedMembers = over.iterator.map { case (s, c) => s * c }.sum)
-    val a = assigned.select(col("__cell"), col("__id").as("__ida"), col("__vec").as("__veca"))
     val dropped0 =
       if (audit.excludedBuckets == 0L) {
         assigned.join(a, Seq("__cell"))
@@ -405,7 +429,9 @@ object Similarity {
           s"$maxCellFactor x expected ${math.ceil(n.toDouble / cents.length).toLong}) " +
           s"routed ${audit.excludedBuckets} cells / ${audit.excludedMembers} rows " +
           s"(largest ${audit.largestBucket}) to the linear anchor-verify path — " +
-          "members of those cells are checked against the cell's 8 lowest ids only")
+          "members of those cells are checked against 8 low-id anchors only " +
+          "(the cell's global minimum always among them)")
+        val counts = Materialize(countsPlan)
         val okCells = counts.filter(col("__cs") <= capSize)
           .select(col("__cell").as("__ok_cell"))
         val ok = assigned.join(okCells, col("__cell") === col("__ok_cell"), "left_semi")

@@ -491,15 +491,23 @@ object Streaming {
             val priorOwner = prior.map(_._1)
             val emittedSoFar = prior.map(_._3).getOrElse(0L)
             val remaining = math.max(0L, maxMatches.toLong - emittedSoFar)
-            // bounded fold: keep only the (us, id)-smallest `remaining`
-            // match candidates (+1 slot for ownership resolution when no
-            // prior owner) in a max-heap; everything else is counted,
-            // never buffered — group memory is O(cap) on a mega-bucket
+            // bounded fold: keep the (us, id)-smallest `remaining` match
+            // candidates (+1 slot for ownership resolution when no prior
+            // owner), ONE ENTRY PER DOC — without the per-doc dedup, a
+            // burst of same-id re-arrivals at the earliest timestamps
+            // (the eventual owner included) would occupy every slot and
+            // evict genuine near-dup docs below the cap. Everything else
+            // is counted, never buffered — group memory is O(cap) on a
+            // mega-bucket. The dedup also collapses a doc's multiple
+            // same-batch arrivals to ONE match (its earliest), which the
+            // family's distinct-on-(doc_id, dup_of) convention already
+            // assumed downstream.
             val keep = (remaining + (if (priorOwner.isEmpty) 1L else 0L))
               .min(Int.MaxValue.toLong).toInt
-            implicit val ord: Ordering[(Long, Long, Long)] =
-              Ordering.by(r => (r._1, r._2)) // (us, doc); max-heap default
-            val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)]
+            // doc -> (us, band) earliest arrival; ordered index for the
+            // bounded eviction of the (us, doc)-largest entry
+            val best = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+            val order = scala.collection.mutable.TreeSet.empty[(Long, Long)] // (us, doc)
             var nRows = 0L
             var ownerReArrivals = 0L // prior owner re-arriving: never a match
             var maxUs = Long.MinValue
@@ -508,24 +516,32 @@ object Streaming {
               if (us > maxUs) maxUs = us
               if (priorOwner.contains(doc)) ownerReArrivals += 1
               else if (keep > 0) {
-                heap.enqueue((us, doc, band))
-                if (heap.size > keep) heap.dequeue()
+                best.get(doc) match {
+                  case Some((oldUs, _)) =>
+                    if (us < oldUs) { order.remove((oldUs, doc)); best(doc) = (us, band); order.add((us, doc)) }
+                  case None =>
+                    best(doc) = (us, band); order.add((us, doc))
+                    if (order.size > keep) {
+                      val worst = order.last
+                      order.remove(worst); best.remove(worst._2)
+                    }
+                }
               }
             }
-            val ordered = heap.dequeueAll.reverse // ascending (us, doc)
+            val ordered = order.toSeq.map { case (us, doc) => (us, doc, best(doc)._2) }
             val (owner, cands) = priorOwner match {
               case Some(o) => (o, ordered)
               case None    => (ordered.head._2, ordered.tail)
             }
-            // with no prior owner, the owner doc's SAME-id re-arrivals can
-            // sit past the heap window indistinguishably — the audit count
-            // is exact up to that pathological same-id case
             val out = cands.collect {
               case (_, doc, band) if doc != owner => NearDupMatch(doc, owner, band)
             }.take(remaining.min(Int.MaxValue.toLong).toInt)
+            // exempted counts ARRIVALS (rows), not docs: dupes of matched
+            // docs and everything past the bounded window count as
+            // exempted — conservative, and exact on re-arrival-free
+            // streams (the StreamingSpec pin)
             val nonOwnerRows = nRows - ownerReArrivals -
-              (if (priorOwner.isEmpty) 1L else 0L) -
-              (if (priorOwner.isEmpty) cands.count(_._2 == owner).toLong else 0L)
+              (if (priorOwner.isEmpty) 1L else 0L)
             val exempted = math.max(0L, nonOwnerRows - out.size)
             // lastSeen keeps its MAX across batches: an out-of-order (older
             // but in-horizon) arrival must not pull the eviction deadline

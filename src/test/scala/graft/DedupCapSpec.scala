@@ -294,6 +294,25 @@ class DedupCapSpec extends AnyFunSuite {
     assert(graft.ir.Engine.preflightWarnings(plain).isEmpty)
   }
 
+  test("dupRateEstimate under auto: dup_rate/n_dup EXACT on the duplicate-heavy corpus it exists to detect") {
+    // the probe's whole job is detecting dup-heavy corpora; a guard that
+    // silently zeroed dup_rate there would greenlight the footgun chain
+    // the preflight lint warns about. The connectivity face keeps the
+    // component-derived numbers exact under the default cap; only the
+    // raw pair counts can lower-bound.
+    def row(cap: BucketCap) = Dedup.dupRateEstimate(
+      adversarial, "text", "doc_id", fraction = 1.0, cap = cap).collect().head
+    val auto = row(BucketCap.Auto())
+    val unlimited = row(BucketCap.Unlimited)
+    assert(auto.getAs[Long]("n_sampled") == unlimited.getAs[Long]("n_sampled"))
+    assert(auto.getAs[Long]("n_dup") == unlimited.getAs[Long]("n_dup"),
+      s"n_dup must be exact under auto: ${auto} vs ${unlimited}")
+    assert(auto.getAs[Double]("dup_rate") == unlimited.getAs[Double]("dup_rate"))
+    assert(auto.getAs[Long]("n_dup") > 0L, "the adversarial fixture IS duplicate-heavy")
+    // pair counts lower-bound under capping (stars replace cliques)
+    assert(auto.getAs[Long]("n_pairs") <= unlimited.getAs[Long]("n_pairs"))
+  }
+
   test("semanticDedup mega-cell guard: degenerate cell routed to linear root-verify, result exact") {
     val s = spark
     import s.implicits._

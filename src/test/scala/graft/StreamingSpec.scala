@@ -655,6 +655,36 @@ class StreamingSpec extends AnyFunSuite {
       "stream exempted total != batch exempted total")
   }
 
+  test("streaming near-dup cap: same-id burst cannot evict genuine matches below the cap") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    // the eventual owner (doc 7) re-arrives six times at the EARLIEST
+    // timestamps, then two genuine near-dups arrive — a bounded fold
+    // without per-doc dedup would fill its window with the owner's
+    // re-arrivals and evict docs 8 and 9 even though the cap (5) has
+    // headroom; they must still match
+    val batch = (1 to 6).map(i => (7L, FoxText, 10L + i)) ++
+      Seq((8L, FoxText, 30L), (9L, FoxText, 40L))
+    val ms = MemoryStream[(Long, String, Long)]
+    val in = ms.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val q = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", 1000,
+        maxMatchesPerBucket = 5)(in)
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(batch); q.processAllAvailable(); q.stop()
+    val out = s.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val matchPairs = out.filter(_._3 >= 0).map { case (d, o, _) => (d, o) }.toSet
+    assert(matchPairs == Set((8L, 7L), (9L, 7L)),
+      s"owner burst must not evict real matches: ${out.toSeq.sorted}")
+    // a doc's same-batch re-arrivals collapse to one match per band:
+    // 2 dup docs x 4 bands, no more
+    assert(out.count(_._3 >= 0) == 8, s"got ${out.toSeq.sorted}")
+  }
+
   test("decontam flag is streaming-safe: map-side only, stream == batch") {
     val s = spark
     import s.implicits._
