@@ -685,6 +685,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count(_._3 >= 0) == 8, s"got ${out.toSeq.sorted}")
   }
 
+  test("winnow twin honors the bucket cap with the same sentinel convention") {
+    val s = spark
+    import s.implicits._
+    // 40 docs sharing one distinctive passage -> every shared fingerprint
+    // bucket holds all 40; cap 3 keeps the 3 earliest matches per
+    // fingerprint and audits the rest in-band
+    val passage = "a very distinctive plagiarized paragraph with plenty of characters"
+    val batchDf = (1L to 40L).map(i => (i, s"doc $i says $passage", i))
+      .toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val out = Streaming.winnowNearDupWithinWatermark("doc_id", "text", "__time", 1000,
+        maxMatchesPerBucket = 3)(batchDf)
+      .collect().map(m => (m.doc_id, m.dup_of, m.band))
+    val matches = out.filter(_._3 >= 0)
+    val audits = out.filter(_._3 == -1L)
+    // per fingerprint bucket: at most cap matches, each against an
+    // earlier owner; the passage-interior fps (shared by ALL 40 docs)
+    // keep exactly the 3 earliest and audit the other 36
+    matches.groupBy(_._3).foreach { case (fp, ms) =>
+      assert(ms.length <= 3, s"fp $fp over cap: ${ms.toSeq}")
+      assert(ms.forall { case (d, o, _) => o < d }, s"fp $fp: ${ms.toSeq}")
+    }
+    assert(matches.nonEmpty && audits.nonEmpty)
+    assert(audits.exists { case (o, ex, _) => o == 1L && ex == 36L },
+      s"an all-docs fp bucket must audit 36 exemptions against owner 1: ${audits.toSeq}")
+  }
+
   test("decontam flag is streaming-safe: map-side only, stream == batch") {
     val s = spark
     import s.implicits._
