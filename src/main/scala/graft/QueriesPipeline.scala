@@ -2913,6 +2913,52 @@ object QueriesPipeline {
       }
     }
 
+    // r16: batch face of the STREAMING embedding near-dup twin
+    // (sign-bucket candidates against the earliest (ts, id) bucket
+    // owner, event time = vec_id seconds) under the histogram-resolved
+    // Auto guard — 2 bits packs ~125 vectors per bucket, blowing the
+    // 32-per-doc budget, so the oracle replays the full solveBucketCap
+    // resolution and keeps owner + the cap-1 earliest matches per
+    // bucket (the same account as near_dup_twin_auto, on the embedding
+    // family's bucket key).
+    locally {
+      val bits = 2
+      val bucketTerms = (1 to bits).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+      register("embedding_near_dup_stream_twin",
+        s"""WITH e AS (
+           |  SELECT vec_id, $bucketTerms AS bucket FROM embeddings),
+           |bs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+           |hist AS (SELECT c AS s, CAST(count(*) AS BIGINT) AS n FROM bs GROUP BY c),
+           |nd AS (SELECT CAST(sum(s * n) AS BIGINT) AS n_docs FROM hist),
+           |bdg AS (SELECT CAST(ceil(32.0 * n_docs) AS BIGINT) AS budget FROM nd),
+           |sol AS (
+           |  SELECT CASE WHEN (SELECT CAST(sum(n * ((s * (s - 1)) // 2)) AS BIGINT) FROM hist)
+           |                   <= bdg.budget
+           |              THEN CAST(9223372036854775807 AS BIGINT)
+           |              ELSE greatest(CAST(16 AS BIGINT), coalesce((
+           |                SELECT CAST(max(s) AS BIGINT) FROM (
+           |                  SELECT s, sum(n * ((s * (s - 1)) // 2)) OVER (ORDER BY s) AS cum
+           |                  FROM hist)
+           |                WHERE cum <= bdg.budget), CAST(0 AS BIGINT)))
+           |         END AS cap
+           |  FROM bdg),
+           |ranked AS (
+           |  SELECT vec_id, bucket,
+           |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+           |  FROM e),
+           |owners AS (SELECT bucket, min(vec_id) AS owner FROM e GROUP BY 1)
+           |SELECT r.vec_id AS doc_id, o.owner AS dup_of, CAST(r.bucket AS BIGINT) AS band
+           |FROM ranked r JOIN owners o ON r.bucket = o.bucket, sol
+           |WHERE r.vec_id != o.owner AND r.rn <= sol.cap
+           |ORDER BY doc_id, dup_of, band""".stripMargin) { (s, dir) =>
+        graft.streaming.Streaming.embeddingNearDupWithinWatermark(
+          "vec_id", "embedding", "__time", horizonSeconds = 3600, bits = bits)(
+          emb(s, dir).withColumn("__time", timestamp_seconds(col("vec_id"))))
+          .toDF().filter(col("band") >= 0).orderBy("doc_id", "dup_of", "band")
+      }
+    }
+
     register("ann_topk",
       s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id, embedding FROM embeddings),
@@ -3594,6 +3640,75 @@ object QueriesPipeline {
           // consumer must always filter them; the defensive form IS the
           // documented consumption pattern)
           .toDF().filter(col("band") >= 0).orderBy("doc_id", "dup_of", "band")
+      }
+
+      // r16: the twin's BATCH face resolves the histogram-based Auto
+      // guard (the same solveBucketCap arithmetic as lshCandidates)
+      // instead of the stream's fixed online cap. Gate: a planted
+      // 200-clone mega-bucket blows the 32-per-doc budget, the oracle
+      // replays the full resolution (histogram -> budget -> cap) and
+      // keeps, per band bucket, exactly the owner plus the (ts,id)-
+      // earliest cap-1 matches — the twin's earliest-N rule under a
+      // bucket-size cap c maps to a match budget of c-1.
+      locally {
+        val boiler = "parked domain twin boilerplate placeholder body verbatim"
+        val clones = 200
+        register("near_dup_twin_auto",
+          s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 2000000 + i AS doc_id, '$boiler' AS text
+             |  FROM (SELECT unnest(range($clones)) AS i)),
+             |docs AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                     t -> len(t) > 0) AS toks
+             |  FROM corpus),
+             |sh AS (
+             |  SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM docs),
+             |hh AS (
+             |  SELECT doc_id, list_transform(shingles, s -> ${sqlMd5HashMod("s")}) AS hh FROM sh),
+             |sigs AS (
+             |  SELECT doc_id,
+             |         $mins
+             |  FROM hh),
+             |buckets AS (
+             |  $bandSelects),
+             |bs AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+             |       FROM buckets WHERE sig IS NOT NULL GROUP BY 1, 2),
+             |hist AS (SELECT c AS s, CAST(count(*) AS BIGINT) AS n FROM bs GROUP BY c),
+             |nd AS (SELECT CAST(sum(s * n) AS BIGINT) // ${k / 2} AS n_docs FROM hist),
+             |bdg AS (SELECT CAST(ceil(32.0 * n_docs) AS BIGINT) AS budget FROM nd),
+             |sol AS (
+             |  SELECT CASE WHEN (SELECT CAST(sum(n * ((s * (s - 1)) // 2)) AS BIGINT) FROM hist)
+             |                   <= bdg.budget
+             |              THEN CAST(9223372036854775807 AS BIGINT)
+             |              ELSE greatest(CAST(16 AS BIGINT), coalesce((
+             |                SELECT CAST(max(s) AS BIGINT) FROM (
+             |                  SELECT s, sum(n * ((s * (s - 1)) // 2)) OVER (ORDER BY s) AS cum
+             |                  FROM hist)
+             |                WHERE cum <= bdg.budget), CAST(0 AS BIGINT)))
+             |         END AS cap
+             |  FROM bdg),
+             |ranked AS (
+             |  SELECT doc_id, band, sig,
+             |         row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+             |  FROM buckets WHERE sig IS NOT NULL),
+             |owners AS (
+             |  SELECT band, sig, min(doc_id) AS owner
+             |  FROM buckets WHERE sig IS NOT NULL GROUP BY 1, 2)
+             |SELECT r.doc_id, o.owner AS dup_of, CAST(r.band AS BIGINT) AS band
+             |FROM ranked r JOIN owners o ON r.band = o.band AND r.sig = o.sig, sol
+             |WHERE r.doc_id != o.owner AND r.rn <= sol.cap
+             |ORDER BY doc_id, dup_of, band""".stripMargin) { (s, dir) =>
+          val extra = s.range(clones.toLong)
+            .select((col("id") + 2000000L).as("doc_id"), lit(boiler).as("text"))
+          val corpus = docs(s, dir).select(col("doc_id"), col("text")).unionAll(extra)
+          graft.streaming.Streaming.nearDupWithinWatermark(
+            "doc_id", "text", "__time", horizonSeconds = 3600, k = k, rowsPerBand = 2)(
+            corpus.withColumn("__time", timestamp_seconds(col("doc_id"))))
+            .toDF().filter(col("band") >= 0).orderBy("doc_id", "dup_of", "band")
+        }
       }
     }
 

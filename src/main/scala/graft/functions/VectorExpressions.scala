@@ -296,6 +296,165 @@ case class MarginDot(child: Expression, weights: Array[Double])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared per-task centroid-assignment kernel: the full codebook
+  * (`cids` cell ids, `flat` row-major `n × dim` centroid floats) ships
+  * ONCE per task as a codegen reference object, and each input vector
+  * gets its top-`k` cells by cosine in one fused unboxed pass —
+  * constant codegen size at any codebook size.
+  *
+  * This replaces the literal-expression form (`array(struct(cosineF(v,
+  * typedLit(c))), …)` per centroid): that shape puts one float-array
+  * literal plus a cosine sub-tree PER CENTROID into the plan, and at
+  * the 65,536-cell auto cap × 64 dims that is ~4.2M literal floats in
+  * the expression tree — driver-side analysis, serialization and
+  * per-task binding of a multi-hundred-MB plan, the same
+  * 64 KB-codegen-limit / plan-size scale-killer class [[SignedProject]]
+  * and [[MarginDot]] exist to avoid.
+  *
+  * Output contract (bit-compatible with the literal form so every
+  * ANN/semantic oracle gate hash-matches): an array of `kk = min(k, n)`
+  * `struct<cc: double, negCell: long>` in DESCENDING `(cc, negCell)`
+  * order — exactly `slice(reverse(array_sort(<literal array>)), 1, k)`,
+  * and element 1 is exactly `array_max(<literal array>)`. Cosine
+  * accumulates in double precision in index order (dot and the two
+  * norms are independent fold chains, so the split loops are
+  * bit-identical to [[CosineSimilarity]]'s fused one); the double
+  * comparator is Spark's (`==` first, then `Double.compare` — NaN
+  * largest, ±0.0 equal); ties break to the larger `negCell` (= lower
+  * cell id). A null vector, any null element, or a length ≠ `dim`
+  * yields null `cc` for EVERY centroid (each per-centroid cosine is
+  * null in the literal form), so ordering degrades to `negCell` alone —
+  * the k lowest cell ids with null scores, never a silent prefix
+  * cosine.
+  */
+final class CentroidKernel(val cids: Array[Long], val flat: Array[Float],
+                           val dim: Int, val k: Int) extends Serializable {
+  private val n = cids.length
+  require(n >= 1 && dim >= 1 && flat.length == n * dim,
+    s"CentroidKernel: flat length ${flat.length} != n=$n x dim=$dim")
+  require(k >= 1, s"CentroidKernel: k must be >= 1, got $k")
+  private val kk = math.min(k, n)
+  // sqrt of each centroid's norm, precomputed once: same fold sequence
+  // (index-order double accumulation) as the per-row form, so
+  // `sqna * sqnb(j)` is bit-identical to cosineF's
+  // `sqrt(na) * sqrt(nb)`
+  private val sqnb: Array[Double] = {
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      var nb = 0.0
+      var i = 0
+      while (i < dim) { val yi = flat(j * dim + i).toDouble; nb += yi * yi; i += 1 }
+      out(j) = math.sqrt(nb)
+      j += 1
+    }
+    out
+  }
+
+  /** Insert into the kk-slot descending buffers; returns the new fill
+    * count. `ccValid = false` orders by `negCell` alone (the null-score
+    * branch). Spark's double comparator: equal-first (±0.0 equal), then
+    * `Double.compare` (NaN largest).
+    */
+  private def insert(tc: Array[Double], tn: Array[Long], filled: Int,
+                     cc: Double, neg: Long, ccValid: Boolean): Int = {
+    var pos = filled
+    var go = true
+    while (go && pos > 0) {
+      val c =
+        if (!ccValid) 0
+        else if (cc == tc(pos - 1)) 0
+        else java.lang.Double.compare(cc, tc(pos - 1))
+      if (c > 0 || (c == 0 && neg > tn(pos - 1))) pos -= 1 else go = false
+    }
+    if (pos < kk) {
+      var s = math.min(filled, kk - 1)
+      while (s > pos) { tc(s) = tc(s - 1); tn(s) = tn(s - 1); s -= 1 }
+      tc(pos) = cc; tn(pos) = neg
+      math.min(kk, filled + 1)
+    } else filled
+  }
+
+  /** Top-k cells for one vector; called per row from both the
+    * interpreted and the codegen path. Never returns null (the literal
+    * form's array constructor is non-null even on a null vector).
+    */
+  def topK(x: ArrayData): ArrayData = {
+    var degenerate = x == null || x.numElements() != dim
+    if (!degenerate) {
+      var i = 0
+      while (i < dim) {
+        if (x.isNullAt(i)) { degenerate = true; i = dim } else i += 1
+      }
+    }
+    val tc = new Array[Double](kk)
+    val tn = new Array[Long](kk)
+    var filled = 0
+    if (degenerate) {
+      var j = 0
+      while (j < n) { filled = insert(tc, tn, filled, 0.0, -cids(j), ccValid = false); j += 1 }
+    } else {
+      var na = 0.0
+      var i = 0
+      while (i < dim) { val xi = x.getFloat(i).toDouble; na += xi * xi; i += 1 }
+      val sqna = math.sqrt(na)
+      var j = 0
+      while (j < n) {
+        var dot = 0.0
+        val base = j * dim
+        var i2 = 0
+        while (i2 < dim) { dot += x.getFloat(i2).toDouble * flat(base + i2).toDouble; i2 += 1 }
+        filled = insert(tc, tn, filled, dot / (sqna * sqnb(j)), -cids(j), ccValid = true)
+        j += 1
+      }
+    }
+    val rows = new Array[Any](filled)
+    var s = 0
+    while (s < filled) {
+      rows(s) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](if (degenerate) null else tc(s), tn(s)))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** Top-k centroid cells by cosine for an `array<float>` column, the
+  * codebook shipped as a [[CentroidKernel]] reference object — see the
+  * kernel's scaladoc for the exact output/ordering contract. Never
+  * null: a null/corrupt vector yields the k lowest cells with null
+  * scores, matching the literal form it replaces.
+  */
+case class CentroidTopK(child: Expression, kernel: CentroidKernel)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cc", DoubleType, nullable = true),
+      StructField("negCell", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    kernel.topK(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kref = ctx.addReferenceObj("centKernel", kernel,
+      classOf[CentroidKernel].getName)
+    val childGen = child.genCode(ctx)
+    val adt = classOf[ArrayData].getName
+    ev.copy(
+      code = childGen.code + code"""
+        |$adt ${ev.value} = $kref.topK(${childGen.isNull} ? null : ${childGen.value});
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** `array<float>` cosine similarity as a codegen'd native kernel. */
   def cosineF(a: Column, b: Column): Column = {
@@ -332,4 +491,59 @@ object VectorExpressions {
     val B = org.apache.spark.sql.graft.Bridge
     B.column(MarginDot(B.expression(vec), w))
   }
+
+  /** Top-`k` centroid cells by cosine for a vector column, descending
+    * `(cc, negCell)` structs — `slice(reverse(array_sort(<per-centroid
+    * literal array>)), 1, k)` bit-for-bit, with the codebook shipped as
+    * a [[CentroidKernel]] reference object instead of literal
+    * expression nodes (constant plan size at any codebook size; see the
+    * kernel scaladoc). A mixed-dimension codebook (malformed corpus —
+    * the kernel's uniform-`dim` degenerate rule couldn't reproduce the
+    * literal form's PER-centroid null) falls back to the literal
+    * composed form, preserving its semantics exactly.
+    */
+  def centroidTopK(vec: Column, cents: Array[(Long, Seq[Float])], k: Int): Column = {
+    require(cents.nonEmpty, "centroidTopK: empty codebook")
+    val dims = cents.iterator.map(_._2.length).toSet
+    if (dims.size != 1)
+      org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.reverse(
+          org.apache.spark.sql.functions.array_sort(literalCellScores(vec, cents))),
+        1, k)
+    else {
+      val B = org.apache.spark.sql.graft.Bridge
+      val kernel = new CentroidKernel(cents.map(_._1),
+        flatFloats(cents, dims.head), dims.head, k)
+      B.column(CentroidTopK(B.expression(vec), kernel))
+    }
+  }
+
+  /** Best centroid cell for a vector column: `struct<cc, negCell>` —
+    * `array_max(<per-centroid literal array>)` bit-for-bit (element 1
+    * of the descending [[centroidTopK]]).
+    */
+  def centroidBest(vec: Column, cents: Array[(Long, Seq[Float])]): Column =
+    org.apache.spark.sql.functions.element_at(centroidTopK(vec, cents, 1), 1)
+
+  private def flatFloats(cents: Array[(Long, Seq[Float])], dim: Int): Array[Float] = {
+    val out = new Array[Float](cents.length * dim)
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)._2
+      var i = 0
+      while (i < dim) { out(j * dim + i) = cv(i); i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  /** The pre-r16 literal per-centroid score array — kept ONLY as the
+    * mixed-dimension fallback for [[centroidTopK]].
+    */
+  private def literalCellScores(vec: Column, cents: Array[(Long, Seq[Float])]): Column =
+    org.apache.spark.sql.functions.array(cents.map { case (cid, cv) =>
+      org.apache.spark.sql.functions.struct(
+        cosineF(vec, org.apache.spark.sql.functions.typedLit(cv)).as("cc"),
+        org.apache.spark.sql.functions.lit(-cid).as("negCell"))
+    }.toIndexedSeq: _*)
 }

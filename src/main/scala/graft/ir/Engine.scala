@@ -1426,7 +1426,8 @@ object Engine {
         m.get("horizon").map(pLong).getOrElse(3600L),
         m.get("k").map(pLong(_).toInt).getOrElse(8),
         m.get("rows-per-band").map(pLong(_).toInt).getOrElse(2),
-        m.get("max-matches-per-bucket").map(pLong(_).toInt).getOrElse(4096))(df).toDF()
+        m.get("max-matches-per-bucket").map(pLong(_).toInt)
+          .getOrElse(graft.streaming.Streaming.AutoMatchCap))(df).toDF()
     case "dedup-fingerprint" =>
       df => graft.operators.Dedup.byFingerprint(df, pStr(params.head), pStr(params(1)))
     case "dedup-simhash" =>

@@ -165,7 +165,9 @@ object Similarity {
     *     to the driver — the same data movement as any `broadcast()`; the
     *     corpus itself is never collected.
     *  2. *assign*: each corpus vector gets `nCells` codegen'd cosines
-    *     against centroid literals and takes the arg-max cell via a
+    *     against the centroid codebook (a task-shipped reference
+    *     object — [[graft.functions.CentroidKernel]]) and takes the
+    *     arg-max cell via a
     *     struct-max — pure map-side projection, NO shuffle and no row
     *     amplification (a crossJoin+window argmax would shuffle
     *     corpus×nCells rows).
@@ -184,7 +186,9 @@ object Similarity {
     * of a previous run's centroids as a DataFrame and re-seeding).
     *
     * Per iteration: assignment is a map-side argmax over centroid
-    * LITERALS (no join, no row amplification); the update is one shuffle
+    * KERNEL ([[graft.functions.CentroidKernel]] — the codebook ships
+    * per task as a reference object, constant plan size at any cell
+    * count; no join, no row amplification); the update is one shuffle
     * of `k × dim` per-cell partial sums (posexplode + map-side-combined
     * avg) — the vectors themselves never shuffle, and only the
     * model-sized (cell, mean) table reaches the driver. Empty cells keep
@@ -205,9 +209,8 @@ object Similarity {
     // own cell) rather than failing — small/dev corpora stay usable
     require(cents.nonEmpty, "kmeansCentroids: empty corpus")
     for (_ <- 1 to iters) {
-      val assignScores: Column => Column = cellScoresOf(cents)(_)
       val means = corpus
-        .select((-array_max(assignScores(col(vecCol)))("negCell")).as("cell"),
+        .select((-graft.functions.VectorExpressions.centroidBest(col(vecCol), cents)("negCell")).as("cell"),
           posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
@@ -238,11 +241,11 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
 
   /** Cluster assignment for trained centroids: `(idCol, cell, cosine)` —
-    * map-side argmax over centroid literals, ties to the lower cell.
+    * map-side argmax via the centroid kernel, ties to the lower cell.
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    cents: Array[(Long, Seq[Float])]): DataFrame = {
-    val best = array_max(cellScoresOf(cents)(col(vecCol)))
+    val best = graft.functions.VectorExpressions.centroidBest(col(vecCol), cents)
     df.select(col(idCol), (-best("negCell")).as("cell"), best("cc").as("cosine"))
   }
 
@@ -251,15 +254,13 @@ object Similarity {
               trainIters: Int = 0): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, trainIters)
 
-    def cellScores(vec: Column): Column = cellScoresOf(cents)(vec)
-
     val inverted = corpus.select(
       col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-      (-array_max(cellScores(col(vecCol)))("negCell")).as("cell"))
+      (-graft.functions.VectorExpressions.centroidBest(col(vecCol), cents)("negCell")).as("cell"))
 
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-        explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe)).as("p"))
+        explode(graft.functions.VectorExpressions.centroidTopK(col(vecCol), cents, nProbe)).as("p"))
       .select(col("query_id"), col("query_vec"), (-col("p.negCell")).as("cell"))
 
     val scored = inverted.join(probes, "cell")
@@ -344,30 +345,62 @@ object Similarity {
     *
     * Over-cap cells are NOT exempted (the pre-r15 prune trade would
     * pass mega-clusters through whole) and NOT blind-star-connected
-    * (this operator's drop rule is cosine-VERIFIED): they fall back to
-    * a LINEAR anchor-verify — each member is cosine-checked against
-    * the cell's K = 8 lowest-id ANCHOR rows only, O(K · cell)
-    * evaluations. A single min-id root would under-approximate badly
-    * on a mixed cell (a dissimilar organic low id as root lets the
-    * whole mega-family through). Anchors are gathered skew-safely:
-    * per-(cell, id mod 64) minima first, then the K smallest of those
-    * ≤ 64 rows — no mega-cell ever sorts or collect_lists whole. The
-    * HARD guarantee is that the cell's GLOBAL minimum is always an
-    * anchor (it is its residue's minimum and the smallest overall);
-    * the family's own minimum is additionally anchored when no smaller
-    * id shares its residue and fewer than K salted minima sit below it
-    * — so a pure degenerate cell (the hazard case) collapses exactly
-    * as the unlimited run, while a mixed over-cap cell can
-    * under-approximate (a member similar only to a non-anchor lower id
-    * survives, e.g. under adversarial id-residue collisions) — which
-    * is why exclusions are audited in-band (reusing
+    * (this operator's drop rule is cosine-VERIFIED). r16 replaces the
+    * 8-anchor-only fallback with a TWO-STAGE guard:
+    *
+    *  - *stage 1 — sub-cell re-split*: each mega cell of size B
+    *    re-assigns its members to k' = ⌈√B⌉ member-seeded sub-cells
+    *    (seeds = the k' salted-minima lowest ids, capped at 4,096;
+    *    assignment = nearest-seed cosine, ties to the lowest seed) and
+    *    runs the EXACT within-sub-cell verify — O(B · k') = O(B^1.5),
+    *    the operator's contract cost. Sub-splitting is a BLOCKING
+    *    scheme, not a clustering guarantee: near-identical members
+    *    noise-shatter across near-tied seeds, so stage 1 alone would
+    *    leave one survivor per sub-cell per family. A sub-cell still
+    *    over the cap (an exactly-identical mass, the only shape that
+    *    concentrates) takes the r15 8-low-id-anchor check instead of a
+    *    quadratic verify, anchors gathered skew-safely per (cell, sub,
+    *    id mod 64) — no mega cell ever sorts or collect_lists whole.
+    *  - *stage 2 — survivor cross-check*: every stage-1 survivor is
+    *    cosine-verified against ALL smaller members of its mega cell.
+    *    If the unlimited run drops b, then b is either dropped in
+    *    stage 1 or it reaches stage 2 and meets its dropper — so the
+    *    guarded result is EXACT for every mega cell whose stage-1
+    *    survivor count stays within 4·k' (DedupCapSpec pins both the
+    *    pure-degenerate and the MIXED two-family fixtures equal to
+    *    unlimited; the r15 anchors under-approximated the mixed one).
+    *    A cell beyond the 4·k' survivor bound — B mutually-dissimilar
+    *    vectors forced into one cell, where exactness IS the quadratic
+    *    join — degrades to a roots-only cross-check (each sub-cell
+    *    minimum vs all smaller members), WARN-logged.
+    *
+    * Exclusions stay audited in-band either way (reusing
     * [[graft.operators.Dedup.LshAudit]]: `resolved_max_bucket` = the
-    * cell-size threshold, buckets = cells) and WARN-logged.
+    * cell-size threshold, buckets = cells) and WARN-logged. An
+    * exactly-duplicated (id, vec) input row collapses to one row
+    * inside the re-split assignment — invisible downstream, since the
+    * verify emits distinct dropped ids.
     *
     * `nCells > 0` plus `maxCellFactor = Double.PositiveInfinity`
     * disables the guard entirely and skips its corpus count and cell
     * histogram — the exact pre-r15 plan.
     */
+  /** Deployment-guidance check behind semanticDedup's WARN (pinned in
+    * OperatorSpec): the auto cell count is ceil(sqrt(n)) capped at
+    * 65,536, which makes assignment work grow ~x3.2 per x10 data BY
+    * CONTRACT. Past 4,096 auto cells a production pipeline should pin
+    * an explicit `nCells` (fixed nlist — the standard IVF deployment
+    * practice: train once at a size chosen for the index, reuse across
+    * corpus growth; SCALING.md measures fixed vs sqrt(n) at x10/x100).
+    * Returns the warning only when the count was AUTO-derived.
+    */
+  def autoCellsWarning(cells: Int, nCells: Int): Option[String] =
+    if (nCells <= 0 && cells > 4096)
+      Some(s"semanticDedup: auto cell count $cells (= ceil(sqrt(n)), cap 65536) " +
+        "exceeds 4096 — assignment cost grows superlinearly with corpus size by " +
+        "contract; pin an explicit nCells (fixed nlist) for production corpora")
+    else None
+
   def semanticDedupAudited(df: DataFrame, idCol: String, vecCol: String,
                            nCells: Int = 0, threshold: Double = 0.35,
                            maxCellFactor: Double = 32.0): (DataFrame, Option[graft.operators.Dedup.LshAudit]) = {
@@ -380,6 +413,7 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    autoCellsWarning(cells, nCells).foreach(log.warn(_))
     // distinct ids, as kmeansCentroids: duplicate-id rows must not
     // collapse the cell structure (degenerate cells = quadratic pairs)
     val cents: Array[(Long, Seq[Float])] = df
@@ -393,7 +427,7 @@ object Similarity {
     // materialized: feeds the cell histogram, both self-join sides and
     // (when a mega-cell exists) the anchor-verify joins
     val assigned = Materialize(df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-      (-array_max(cellScoresOf(cents)(col(vecCol)))("negCell")).as("__cell")))
+      (-graft.functions.VectorExpressions.centroidBest(col(vecCol), cents)("negCell")).as("__cell")))
     val a = assigned.select(col("__cell"), col("__id").as("__ida"), col("__vec").as("__veca"))
     if (guardOff) {
       val dropped = assigned.join(a, Seq("__cell"))
@@ -428,9 +462,10 @@ object Similarity {
         log.warn(s"semanticDedup: mega-cell guard (cell cap $capSize = " +
           s"$maxCellFactor x expected ${math.ceil(n.toDouble / cents.length).toLong}) " +
           s"routed ${audit.excludedBuckets} cells / ${audit.excludedMembers} rows " +
-          s"(largest ${audit.largestBucket}) to the linear anchor-verify path — " +
-          "members of those cells are checked against 8 low-id anchors only " +
-          "(the cell's global minimum always among them)")
+          s"(largest ${audit.largestBucket}) to the sub-cell re-split path — " +
+          "each mega cell re-assigns its members to ~sqrt(B) member-seeded " +
+          "sub-cells and verifies within them exactly; only sub-cells STILL " +
+          "over the cap fall back to the 8-low-id-anchor check")
         val counts = Materialize(countsPlan)
         val okCells = counts.filter(col("__cs") <= capSize)
           .select(col("__cell").as("__ok_cell"))
@@ -439,43 +474,149 @@ object Similarity {
           .filter(col("__ida") < col("__id"))
           .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
           .select(col("__id"))
+        // ---- r16 stage 1: ONE sub-cell re-split level (the blocking
+        // stage — see the scaladoc's two-stage design). Each over-cap
+        // cell re-assigns its members to k' = ceil(sqrt(B)) member-
+        // seeded sub-cells (capped at 4,096) — O(B * k') = O(B^1.5),
+        // the contract cost — and runs the EXACT within-sub-cell
+        // verify; stage 2 below closes the cross-sub-cell pairs that
+        // noise-shattering leaves behind. Seeds are gathered
+        // skew-safely: per-(cell, id mod 8192) minima (map-side
+        // combined) then the k' smallest of those — no mega cell ever
+        // sorts or collect_lists whole. Ties in the argmax go to the
+        // lowest seed id.
         val megaCells = counts.filter(col("__cs") > capSize)
-          .select(col("__cell").as("__mg_cell"))
-        val mega = assigned.join(megaCells, col("__cell") === col("__mg_cell"), "left_semi")
-        // K lowest-id anchors per mega cell, skew-safely: per-(cell, id
-        // mod 64) minima first (map-side combined — a 10⁸-member cell
-        // never sorts or collect_lists whole), then the K smallest of
-        // those ≤ 64 rows per cell
-        val anchorsK = 8
-        val salted = mega.groupBy(col("__cell"), pmod(col("__id"), lit(64L)).as("__s"))
-          .agg(min(col("__id")).as("__aid"))
-        val anchorIds = salted.groupBy(col("__cell"))
-          .agg(slice(array_sort(collect_list(col("__aid"))), 1, anchorsK).as("__as"))
-          .select(col("__cell").as("__ac"), explode(col("__as")).as("__aid"))
-        val anchorVecs = mega.join(anchorIds,
-            col("__cell") === col("__ac") && col("__id") === col("__aid"))
-          .select(col("__cell").as("__cellr"), col("__id").as("__ida"),
-            col("__vec").as("__veca"))
-        val anchorVerified = mega.join(anchorVecs, col("__cell") === col("__cellr"))
+          .select(col("__cell").as("__mg_cell"), col("__cs").as("__b"))
+        val mega = Materialize(assigned
+          .join(megaCells, col("__cell") === col("__mg_cell"))
+          .select(col("__cell"), col("__id"), col("__vec"), col("__b")))
+        val saltedSeeds = mega.groupBy(col("__cell"), pmod(col("__id"), lit(8192L)).as("__s"))
+          .agg(min(col("__id")).as("__aid"), first(col("__b")).as("__b0"))
+        val seedIds = saltedSeeds.groupBy(col("__cell"))
+          .agg(array_sort(collect_list(col("__aid"))).as("__ids"),
+            first(col("__b0")).as("__b1"))
+          .select(col("__cell").as("__sc_cell"),
+            explode(slice(col("__ids"), lit(1),
+              least(ceil(sqrt(col("__b1"))), lit(4096)).cast("int"))).as("__sid"))
+        val seedVecs = Materialize(mega.join(seedIds,
+            col("__cell") === col("__sc_cell") && col("__id") === col("__sid"))
+          .select(col("__cell").as("__sv_cell"), col("__id").as("__seed"),
+            col("__vec").as("__svec"))
+          .dropDuplicates("__sv_cell", "__seed"))
+        // nearest-seed assignment: max (cosine, -seed) — null cosines
+        // (corrupt vectors) degrade to the lowest seed, deterministic.
+        // Exact-duplicate (id, vec) rows collapse here; the verify output
+        // is distinct'd anyway
+        val subAssigned = Materialize(mega
+          .select(col("__cell"), col("__id"), col("__vec"))
+          .join(seedVecs, col("__cell") === col("__sv_cell"))
+          .groupBy(col("__cell"), col("__id"), col("__vec"))
+          .agg(max(struct(
+            graft.functions.VectorExpressions.cosineF(col("__svec"), col("__vec")).as("cc"),
+            (-col("__seed")).as("negSeed"))).as("__m"))
+          .select(col("__cell"), col("__id"), col("__vec"),
+            (-col("__m")("negSeed")).as("__sub")))
+        val subCounts = Materialize(
+          subAssigned.groupBy(col("__cell"), col("__sub")).agg(count(lit(1)).as("__scs")))
+        val okSubKeys = subCounts.filter(col("__scs") <= capSize)
+          .select(col("__cell").as("__okc"), col("__sub").as("__oks"))
+        val okSub = subAssigned.join(okSubKeys,
+          col("__cell") === col("__okc") && col("__sub") === col("__oks"), "left_semi")
+        val subA = okSub.select(col("__cell"), col("__sub"),
+          col("__id").as("__ida"), col("__vec").as("__veca"))
+        val subVerified = okSub.join(subA, Seq("__cell", "__sub"))
           .filter(col("__ida") < col("__id"))
           .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
           .select(col("__id"))
-        base.unionAll(anchorVerified)
+        // sub-cells STILL over the cap (a degenerate family larger than
+        // the cell cap concentrates rather than shatters only when its
+        // members are EXACTLY identical; near-identical members
+        // noise-shatter across near-tied seeds, so this branch is the
+        // exactly-identical mass) fall back to the 8-anchor check,
+        // anchors gathered within (cell, sub)
+        val overSubKeys = subCounts.filter(col("__scs") > capSize)
+          .select(col("__cell").as("__mgc"), col("__sub").as("__mgs"))
+        val megaSub = subAssigned.join(overSubKeys,
+          col("__cell") === col("__mgc") && col("__sub") === col("__mgs"), "left_semi")
+        val anchorsK = 8
+        val salted = megaSub.groupBy(col("__cell"), col("__sub"),
+            pmod(col("__id"), lit(64L)).as("__s"))
+          .agg(min(col("__id")).as("__aid"))
+        val anchorIds = salted.groupBy(col("__cell"), col("__sub"))
+          .agg(slice(array_sort(collect_list(col("__aid"))), 1, anchorsK).as("__as"))
+          .select(col("__cell").as("__ac"), col("__sub").as("__asb"),
+            explode(col("__as")).as("__aid"))
+        val anchorVecs = megaSub.join(anchorIds,
+            col("__cell") === col("__ac") && col("__sub") === col("__asb") &&
+              col("__id") === col("__aid"))
+          .select(col("__cell").as("__cellr"), col("__sub").as("__subr"),
+            col("__id").as("__ida"), col("__vec").as("__veca"))
+        val anchorVerified = megaSub.join(anchorVecs,
+            col("__cell") === col("__cellr") && col("__sub") === col("__subr"))
+          .filter(col("__ida") < col("__id"))
+          .filter(graft.functions.VectorExpressions.cosineF(col("__veca"), col("__vec")) >= threshold)
+          .select(col("__id"))
+        // ---- stage 2: cross-sub-cell closure. Sub-splitting is a
+        // BLOCKING scheme — near-identical members noise-shatter across
+        // near-tied seeds, so a family's per-sub-cell minima would each
+        // survive stage 1. Every stage-1 SURVIVOR is therefore verified
+        // against ALL smaller members of its mega cell: if b is dropped
+        // by the unlimited run, b is either dropped in stage 1 or it
+        // survives stage 1 and stage 2 checks it against its dropper —
+        // so the guard is EXACT for every mega cell whose stage-1
+        // survivor count stays within 4·k' (cost <= 4·B·sqrt(B), the
+        // contract). The survivor count is model-sized per cell
+        // (collected); a cell beyond the bound — B mutually-dissimilar
+        // vectors forced into one cell, where exactness IS the
+        // quadratic join — degrades to roots-only cross-check (each
+        // sub-cell minimum vs all smaller members) and keeps the
+        // in-band audit + WARN.
+        val stage1 = subVerified.unionAll(anchorVerified).distinct()
+        val survivors = Materialize(subAssigned
+          .select(col("__cell"), col("__id"), col("__vec"))
+          .join(stage1, Seq("__id"), "left_anti"))
+        val survByCell = survivors.groupBy(col("__cell")).agg(count(lit(1)).as("__sv"))
+          .join(megaCells, col("__cell") === col("__mg_cell"))
+          .select(col("__cell"), col("__sv"), col("__b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val rootOnlyCells = survByCell.collect { case (cell, sv, b)
+          if sv > 4L * math.min(4096L, math.ceil(math.sqrt(b.toDouble)).toLong) => cell }
+        val crossSide =
+          if (rootOnlyCells.isEmpty) survivors
+          else {
+            log.warn(s"semanticDedup: ${rootOnlyCells.length} mega cells exceed the " +
+              "4*sqrt(B) stage-1 survivor bound — their stage-2 cross-check degrades " +
+              "to sub-cell roots only (exactness there is the quadratic join); " +
+              "residual approximation stays audited in-band")
+            val spark0 = survivors.sparkSession
+            import spark0.implicits._
+            val rootCellDf = rootOnlyCells.toSeq.toDF("__ro_cell")
+            val exactSide = survivors.join(rootCellDf,
+              col("__cell") === col("__ro_cell"), "left_anti")
+            val rootIds = subAssigned.join(rootCellDf,
+                col("__cell") === col("__ro_cell"), "left_semi")
+              .groupBy(col("__cell"), col("__sub")).agg(min(col("__id")).as("__rid"))
+              .select(col("__cell").as("__r_cell"), col("__sub").as("__r_sub"),
+                col("__rid"))
+            val rootSide = subAssigned.join(rootIds,
+                col("__cell") === col("__r_cell") && col("__sub") === col("__r_sub") &&
+                  col("__id") === col("__rid"))
+              .select(col("__cell"), col("__id"), col("__vec"))
+              .dropDuplicates("__cell", "__id")
+            exactSide.unionAll(rootSide)
+          }
+        val crossB = crossSide.select(col("__cell"), col("__id").as("__idb"),
+          col("__vec").as("__vecb"))
+        val crossVerified = mega.select(col("__cell"), col("__id"), col("__vec"))
+          .join(crossB, Seq("__cell"))
+          .filter(col("__id") < col("__idb"))
+          .filter(graft.functions.VectorExpressions.cosineF(col("__vec"), col("__vecb")) >= threshold)
+          .select(col("__idb").as("__id"))
+        base.unionAll(subVerified).unionAll(anchorVerified).unionAll(crossVerified)
       }
     val dropped = dropped0.distinct()
     (df.join(dropped, col(idCol) === col("__id"), "left_anti"), Some(audit))
   }
-
-  /** Array of (cosine-to-centroid, -cell) structs for a vector column;
-    * struct ordering gives "best cosine, ties to lowest cell" via
-    * max / descending sort.
-    */
-  private def cellScoresOf(cents: Array[(Long, Seq[Float])])(vec: Column): Column =
-    array(cents.map { case (cid, cv) =>
-      struct(
-        graft.functions.VectorExpressions.cosineF(vec, typedLit(cv)).as("cc"),
-        lit(-cid).as("negCell"))
-    }: _*)
 
   /** Product-quantization (PQ) ANN top-k — the compressed-scan scale path
     * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
@@ -706,7 +847,7 @@ object Similarity {
     aggregate(products, lit(0.0), (acc, x) => acc + x)
 
   /** Map-side cell assignment + residual: `(nn_id, cell, __res)` — the
-    * argmax over centroid literals plus ONE broadcast join for the
+    * argmax via the centroid kernel plus ONE broadcast join for the
     * residual subtraction; no corpus shuffle.
     */
   private def ivfPqAssign(corpus: DataFrame, idCol: String, vecCol: String,
@@ -716,7 +857,7 @@ object Similarity {
     val centDf = cents.toSeq.toDF("cell", "cvec")
     corpus
       .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-        (-array_max(cellScoresOf(cents)(col(vecCol)))("negCell")).as("cell"))
+        (-graft.functions.VectorExpressions.centroidBest(col(vecCol), cents)("negCell")).as("cell"))
       .join(broadcast(centDf), "cell")
       .withColumn("__res", zip_with(col("nn_vec"), col("cvec"),
         (x, y) => x.cast("double") - y.cast("double")))
@@ -786,7 +927,7 @@ object Similarity {
     def subvec(vec: Column, mi: Int): Column = slice(vec, mi * sub + 1, sub)
     queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(slice(reverse(array_sort(cellScoresOf(cents)(col(vecCol)))), 1, nProbe)).as("p"))
+        explode(graft.functions.VectorExpressions.centroidTopK(col(vecCol), cents, nProbe)).as("p"))
       .select(col("query_id"), col("__qv"), (-col("p.negCell")).as("cell"))
       .join(broadcast(centDf), "cell")
       .select(col("query_id") +: col("cell") +:

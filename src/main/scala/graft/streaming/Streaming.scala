@@ -372,13 +372,20 @@ object Streaming {
     * shared band — `distinct` on (doc_id, dup_of) downstream for unique
     * pairs.
     *
-    * AUDIT sentinel (`band == -1`): the bucket's per-bucket match cap
-    * was hit — `doc_id` is the bucket OWNER, `dup_of` the number of
-    * arrivals exempted from matching in this micro-batch. One sentinel
-    * per bucket per batch with exemptions, so "no near-dups" and
-    * "near-dups exempted by cap" stay distinguishable in-band, exactly
-    * like the batch guard's [[graft.operators.Dedup.LshAudit]]. Filter
-    * `band >= 0` for pure matches.
+    * AUDIT sentinel (`band == -1`): the bucket's match budget or its
+    * bounded candidate window actually SUPPRESSED a candidate this
+    * micro-batch (an eviction from the bounded fold, a truncation by
+    * the remaining lifetime budget, or arrivals into a bucket whose
+    * budget is spent) — `doc_id` is the bucket OWNER, `dup_of` the
+    * number of ARRIVALS not matched this batch (conservative: same-
+    * batch re-arrivals of matched docs count too, so the value bounds
+    * the suppressed-doc count from above; it is exact on re-arrival-
+    * free streams). Mere re-arrivals with the cap untouched do NOT
+    * fire the sentinel. One sentinel per bucket per batch with
+    * suppressions, so "no near-dups" and "near-dups exempted by cap"
+    * stay distinguishable in-band, exactly like the batch guard's
+    * [[graft.operators.Dedup.LshAudit]]. Filter `band >= 0` for pure
+    * matches.
     */
   final case class NearDupMatch(doc_id: Long, dup_of: Long, band: Long)
 
@@ -402,7 +409,12 @@ object Streaming {
     * (one group per bucket over all data): owner = global (ts, id)
     * minimum — a deterministic twin the `near_dup_stream_twin` oracle
     * gate replays in SQL, and the equality `stream == batch` is pinned
-    * in StreamingSpec.
+    * in StreamingSpec. Under the default cap ([[AutoMatchCap]]) a batch
+    * frame additionally resolves the guard from its FULL bucket
+    * histogram — the same [[graft.operators.Dedup.BucketCap.Auto]]
+    * arithmetic as `lshCandidates`, replayed by the
+    * `near_dup_twin_auto` oracle gate — instead of the stream's fixed
+    * online cap, so organic batch corpora through the twin are exact.
     *
     * Documents with fewer than 2 tokens have no shingles and are
     * dropped, exactly like the batch explode.
@@ -415,11 +427,11 @@ object Streaming {
   def nearDupWithinWatermark(idCol: String, textCol: String, tsCol: String,
                              horizonSeconds: Long, k: Int = 8,
                              rowsPerBand: Int = 2,
-                             maxMatchesPerBucket: Int = 4096)(df: DataFrame): Dataset[NearDupMatch] = {
+                             maxMatchesPerBucket: Int = AutoMatchCap)(df: DataFrame): Dataset[NearDupMatch] = {
     require(k % rowsPerBand == 0, s"nearDupWithinWatermark: k=$k not divisible by rowsPerBand=$rowsPerBand")
     require(horizonSeconds >= 0, s"nearDupWithinWatermark: negative horizon ($horizonSeconds s)")
-    require(maxMatchesPerBucket >= 1,
-      s"nearDupWithinWatermark: maxMatchesPerBucket must be >= 1, got $maxMatchesPerBucket")
+    require(maxMatchesPerBucket >= 1 || maxMatchesPerBucket == AutoMatchCap,
+      s"nearDupWithinWatermark: maxMatchesPerBucket must be >= 1 (or AutoMatchCap), got $maxMatchesPerBucket")
     val spark = df.sparkSession
     import spark.implicits._
     val streaming = df.isStreaming
@@ -441,7 +453,70 @@ object Streaming {
       .select(col("__doc"), col("__ts"), unix_micros(col("__ts")).as("us"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
-    earliestOwnerMatches(banded, streaming, maxMatchesPerBucket)
+    earliestOwnerMatches(banded, streaming,
+      resolveMatchCap(banded.toDF(), streaming, maxMatchesPerBucket,
+        nDocsFromHist = Some(bands), "nearDupWithinWatermark"))
+  }
+
+  /** Default-cap sentinel for the stream-twin family: a true STREAM
+    * takes the fixed online per-bucket match cap
+    * ([[OnlineMatchCapDefault]] — the only cap resolvable without the
+    * corpus's full bucket histogram, which an unbounded stream never
+    * has); a BATCH frame, where the histogram IS available, resolves
+    * [[graft.operators.Dedup.BucketCap.Auto]] against it with exactly
+    * [[graft.operators.Dedup.solveBucketCap]]'s arithmetic — the same
+    * guard the rest of the batch family applies, so a batch caller
+    * going through the twin no longer gets a coarser (fixed-4096)
+    * guard than the same corpus through `lshCandidates`: organic
+    * corpora resolve to unlimited (the twin is EXACT), adversarial
+    * ones to a finite bucket-size cap `c`, which maps to a per-bucket
+    * match budget of `c - 1` (a kept bucket of size s emits s-1
+    * matches, so buckets within the cap stay emission-identical to
+    * the unguarded fold). An EXPLICIT `maxMatchesPerBucket` applies
+    * verbatim in both modes.
+    */
+  val AutoMatchCap: Int = -1
+
+  /** The fixed online cap a true stream falls back to under
+    * [[AutoMatchCap]] (the pre-r16 default).
+    */
+  val OnlineMatchCapDefault: Int = 4096
+
+  /** Resolve the per-bucket match cap for the shared state machine —
+    * see [[AutoMatchCap]]. `keyed` must carry the bucket key in its
+    * 4th/5th columns (the family's tuple layout). `nDocsFromHist`:
+    * rows-per-doc when every doc contributes exactly that many bucket
+    * rows (MinHash bands); `None` counts distinct docs (winnow, where
+    * fingerprints-per-doc varies).
+    */
+  private def resolveMatchCap(keyed: DataFrame, streaming: Boolean,
+                              maxMatchesPerBucket: Int,
+                              nDocsFromHist: Option[Int],
+                              what: String): Int = {
+    if (maxMatchesPerBucket != AutoMatchCap) return maxMatchesPerBucket
+    if (streaming) return OnlineMatchCapDefault
+    val cols = keyed.columns
+    val bucketKeys = Seq(col(cols(3)), col(cols(4)))
+    val hist = keyed.groupBy(bucketKeys: _*).agg(count(lit(1)).as("__bs"))
+      .groupBy(col("__bs")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    if (hist.isEmpty) return Int.MaxValue
+    val nDocs = nDocsFromHist match {
+      case Some(rowsPerDoc) =>
+        hist.iterator.map { case (sz, n) => sz * n }.sum / math.max(1, rowsPerDoc)
+      case None => keyed.select(col(cols(0))).distinct().count()
+    }
+    val auto = graft.operators.Dedup.BucketCap.Auto()
+    val resolved = graft.operators.Dedup.solveBucketCap(
+      hist, nDocs, auto.pairsPerDoc, auto.floor)
+    if (resolved == Long.MaxValue) Int.MaxValue
+    else {
+      org.slf4j.LoggerFactory.getLogger("graft.streaming.Streaming").warn(
+        s"$what (batch face): bucket histogram resolved the auto guard to " +
+          s"max bucket $resolved over ${nDocs} docs — per-bucket match budget " +
+          s"${resolved - 1}; over-budget arrivals surface as band == -1 sentinels")
+      math.max(1L, resolved - 1L).min(Int.MaxValue.toLong).toInt
+    }
   }
 
   /** The shared earliest-owner-per-bucket state machine behind
@@ -459,15 +534,23 @@ object Streaming {
     * bounds each bucket to that many LIFETIME match emissions
     * (count-bounded state, the only cap resolvable online: the batch
     * guard's Auto needs the corpus's full bucket histogram, which an
-    * unbounded stream never has). Within the cap the kept matches are
-    * the (event-time, id)-EARLIEST arrivals — deterministic, so the
-    * capped batch face equals the capped stream face (StreamingSpec) —
-    * and per-batch group memory is O(cap), never O(bucket): rows are
-    * folded through a bounded heap, not `.toSeq`-materialized.
-    * Exemptions surface in-band as `band == -1` audit sentinels (see
+    * unbounded stream never has — a BATCH frame through
+    * [[resolveMatchCap]] resolves that histogram instead). Within the
+    * cap the kept matches are the (event-time, id)-EARLIEST arrivals —
+    * deterministic, so on in-order (or re-arrival-free, batch-aligned)
+    * streams the capped stream face equals the capped batch face
+    * (StreamingSpec). The qualifier is load-bearing: the lifetime
+    * budget is spent incrementally, so an in-horizon OUT-OF-ORDER
+    * arrival in a later micro-batch (supported by the lastSeen-max
+    * rule) cannot reclaim budget already spent on later-timestamp
+    * matches, while the batch face picks the global (us, id)-earliest
+    * N. Per-batch group memory is O(cap), never O(bucket): rows are
+    * folded through a bounded heap, not `.toSeq`-materialized. When the
+    * budget or the bounded window actually suppresses a candidate, the
+    * suppression surfaces in-band as a `band == -1` audit sentinel (see
     * [[NearDupMatch]]) plus a WARN log. Organic buckets sit far under
     * the default, where the fold is emission-for-emission identical to
-    * the unguarded r14 machine.
+    * the unguarded r14 machine and no sentinel ever fires.
     *
     * CHECKPOINT COMPATIBILITY: r15 widened the state tuple with the
     * emitted-match count — streaming checkpoints written by the r14
@@ -511,6 +594,14 @@ object Streaming {
             var nRows = 0L
             var ownerReArrivals = 0L // prior owner re-arriving: never a match
             var maxUs = Long.MinValue
+            // did the budget/window actually SUPPRESS a candidate? The
+            // sentinel fires only then — a burst of re-arrivals on a
+            // bucket far under its cap must not cry "cap" (evictions
+            // from the bounded window, take(remaining) truncation, and
+            // arrivals into a spent budget all count; an evicted doc
+            // that later re-enters with a smaller us counts once
+            // spuriously — conservative, never silent)
+            var suppressed = 0L
             rows.foreach { case (doc, _, us, band, _) =>
               nRows += 1
               if (us > maxUs) maxUs = us
@@ -524,18 +615,21 @@ object Streaming {
                     if (order.size > keep) {
                       val worst = order.last
                       order.remove(worst); best.remove(worst._2)
+                      suppressed += 1
                     }
                 }
-              }
+              } else suppressed += 1
             }
             val ordered = order.toSeq.map { case (us, doc) => (us, doc, best(doc)._2) }
             val (owner, cands) = priorOwner match {
               case Some(o) => (o, ordered)
               case None    => (ordered.head._2, ordered.tail)
             }
-            val out = cands.collect {
+            val windowed = cands.collect {
               case (_, doc, band) if doc != owner => NearDupMatch(doc, owner, band)
-            }.take(remaining.min(Int.MaxValue.toLong).toInt)
+            }
+            val out = windowed.take(remaining.min(Int.MaxValue.toLong).toInt)
+            suppressed += windowed.size - out.size
             // exempted counts ARRIVALS (rows), not docs: dupes of matched
             // docs and everything past the bounded window count as
             // exempted — conservative, and exact on re-arrival-free
@@ -553,7 +647,7 @@ object Streaming {
               state.setTimeoutTimestamp(
                 math.max(lastMs + 1, state.getCurrentWatermarkMs() + 1))
             val audit =
-              if (exempted > 0) {
+              if (suppressed > 0 && exempted > 0) {
                 org.slf4j.LoggerFactory.getLogger("graft.streaming.Streaming").warn(
                   s"near-dup bucket cap: owner=$owner exempted=$exempted arrivals " +
                     s"this batch (cap=$maxMatches, emitted=${emittedSoFar + out.size})")
@@ -577,11 +671,11 @@ object Streaming {
   def winnowNearDupWithinWatermark(idCol: String, textCol: String, tsCol: String,
                                    horizonSeconds: Long, k: Int = 5,
                                    w: Int = 4,
-                                   maxMatchesPerBucket: Int = 4096)(df: DataFrame): Dataset[NearDupMatch] = {
+                                   maxMatchesPerBucket: Int = AutoMatchCap)(df: DataFrame): Dataset[NearDupMatch] = {
     require(horizonSeconds >= 0,
       s"winnowNearDupWithinWatermark: negative horizon ($horizonSeconds s)")
-    require(maxMatchesPerBucket >= 1,
-      s"winnowNearDupWithinWatermark: maxMatchesPerBucket must be >= 1, got $maxMatchesPerBucket")
+    require(maxMatchesPerBucket >= 1 || maxMatchesPerBucket == AutoMatchCap,
+      s"winnowNearDupWithinWatermark: maxMatchesPerBucket must be >= 1 (or AutoMatchCap), got $maxMatchesPerBucket")
     val spark = df.sparkSession
     import spark.implicits._
     val streaming = df.isStreaming
@@ -595,7 +689,50 @@ object Streaming {
       .select(col("__doc"), col("__ts"), col("us"),
         col("__s.h").as("fp"), lit("").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
-    earliestOwnerMatches(keyed, streaming, maxMatchesPerBucket)
+    earliestOwnerMatches(keyed, streaming,
+      resolveMatchCap(keyed.toDF(), streaming, maxMatchesPerBucket,
+        nDocsFromHist = None, "winnowNearDupWithinWatermark"))
+  }
+
+  /** Embedding (sign-bucket) twin of [[nearDupWithinWatermark]]: buckets
+    * are the leading-dimension sign patterns
+    * ([[graft.operators.Similarity.signBucket]], the batch
+    * [[graft.operators.Dedup.embeddingNearDupBucketed]] key) instead of
+    * MinHash band signatures — "flag re-encoded boilerplate as the
+    * embeddings arrive". Same earliest-owner state machine, same
+    * horizon-bounded eviction and cap/audit semantics; the emitted
+    * `band` field carries the shared sign bucket. Like the batch face's
+    * candidate stage this emits bucket-collision CANDIDATES, not
+    * cosine-verified pairs: the state machine keeps only (owner,
+    * lastSeen) per bucket, so verification is a stateless downstream
+    * join of both ids' vectors plus one
+    * [[graft.functions.VectorExpressions.cosineF]] filter — map-side,
+    * composable, and exactly the verify the batch face applies after
+    * its bucket join.
+    */
+  def embeddingNearDupWithinWatermark(idCol: String, vecCol: String, tsCol: String,
+                                      horizonSeconds: Long, bits: Int = 16,
+                                      maxMatchesPerBucket: Int = AutoMatchCap)(df: DataFrame): Dataset[NearDupMatch] = {
+    require(horizonSeconds >= 0,
+      s"embeddingNearDupWithinWatermark: negative horizon ($horizonSeconds s)")
+    require(bits >= 1 && bits <= 62,
+      s"embeddingNearDupWithinWatermark: bits in [1, 62], got $bits")
+    require(maxMatchesPerBucket >= 1 || maxMatchesPerBucket == AutoMatchCap,
+      s"embeddingNearDupWithinWatermark: maxMatchesPerBucket must be >= 1 (or AutoMatchCap), got $maxMatchesPerBucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val streaming = df.isStreaming
+    val base0 = df.select(col(idCol).cast("long").as("__doc"),
+      col(tsCol).cast("timestamp").as("__ts"), col(vecCol).as("__vec"))
+    val base = if (streaming) base0.withWatermark("__ts", s"$horizonSeconds seconds") else base0
+    val keyed = base
+      .select(col("__doc"), col("__ts"), unix_micros(col("__ts")).as("us"),
+        graft.operators.Similarity.signBucket(col("__vec"), bits).as("bucket"),
+        lit("").as("sig"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+    earliestOwnerMatches(keyed, streaming,
+      resolveMatchCap(keyed.toDF(), streaming, maxMatchesPerBucket,
+        nDocsFromHist = Some(1), "embeddingNearDupWithinWatermark"))
   }
 
   // --------------------------------------------------------------------

@@ -354,6 +354,94 @@ class DedupCapSpec extends AnyFunSuite {
     assert(organicAudit.get.excludedBuckets == 0L, s"organic: $organicAudit")
   }
 
+  test("semanticDedup sub-cell re-split: MIXED mega cell (two dissimilar families + singletons) == unlimited") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(1617L)
+    // 60 organic vectors seed the 16 cells (lowest ids 0-15 become the
+    // centroids); everything planted below argmaxes onto cell 0 = v0
+    val organic = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+    }
+    val v0 = organic.head._2.map(_.toDouble)
+    val n0 = math.sqrt(v0.map(x => x * x).sum)
+    val v0n = v0.map(_ / n0)
+    // deterministic unit vector orthogonal to v0 from a gaussian draw
+    def ortho(): Array[Double] = {
+      val g = Array.fill(8)(rng.nextGaussian())
+      val d = g.zip(v0n).map { case (x, y) => x * y }.sum
+      val o = g.zip(v0n).map { case (x, y) => x - d * y }
+      val no = math.sqrt(o.map(x => x * x).sum)
+      o.map(_ / no)
+    }
+    def mix(c: Double, u: Array[Double]): Array[Float] = {
+      val sqs = math.sqrt(1 - c * c)
+      v0n.zip(u).map { case (a, b) => (c * a + sqs * b).toFloat }
+    }
+    // family bases: cosine(vA, c0) = 1, cosine(vB, c0) = 0.8,
+    // cosine(vA, vB) ~ 0.8 < the 0.9 threshold — two families in ONE
+    // cell that must NOT merge; 6 in-cell singletons on ORTHONORMAL
+    // off-axis directions: pairwise cos = 0.82^2 + 0.33*0 = 0.67,
+    // deterministically below threshold (random directions in the
+    // 7-dim complement would collide above 0.9)
+    val uB = ortho()
+    val famA = (0 until 700).map { i =>
+      (10000L + i, v0.map(x => (x + 0.001 * rng.nextGaussian()).toFloat))
+    }
+    val vB = mix(0.8, uB).map(_.toDouble)
+    val famB = (0 until 700).map { i =>
+      (20000L + i, vB.map(x => (x + 0.001 * rng.nextGaussian()).toFloat))
+    }
+    // Gram-Schmidt the standard basis against v0n -> 6 orthonormal
+    // complement directions (deterministic)
+    val basis = scala.collection.mutable.ArrayBuffer[Array[Double]](v0n)
+    var bi = 0
+    while (basis.size < 7 && bi < 8) {
+      val e = Array.tabulate(8)(j => if (j == bi) 1.0 else 0.0)
+      val r = basis.foldLeft(e) { (acc, b) =>
+        val d = acc.zip(b).map { case (x, y) => x * y }.sum
+        acc.zip(b).map { case (x, y) => x - d * y }
+      }
+      val nr = math.sqrt(r.map(x => x * x).sum)
+      if (nr > 1e-6) basis += r.map(_ / nr)
+      bi += 1
+    }
+    val singles = (0 until 6).map { i =>
+      (100L + i, mix(0.82, basis(i + 1)))
+    }
+    val emb = (organic.map { case (i, v) => (i, v.toSeq) } ++
+      singles.map { case (i, v) => (i, v.toSeq) } ++
+      famA.map { case (i, v) => (i, v.toSeq) } ++
+      famB.map { case (i, v) => (i, v.toSeq) }).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // factor 8: cap = ceil(8 * 1466/16) = 733 — the ~1,407-member cell
+    // trips the guard; stage 1 shatters both families across near-tied
+    // seeds, and the stage-2 survivor cross-check closes every
+    // cross-sub-cell pair, so the guarded result is exact
+    val (guarded, audit) = graft.operators.Similarity.semanticDedupAudited(
+      emb, "vec_id", "embedding", nCells = 16, threshold = 0.9,
+      maxCellFactor = 8.0)
+    val a = audit.get
+    assert(a.excludedBuckets >= 1L && a.excludedMembers >= 1400L,
+      s"the mixed planted cell must trip the guard: $a")
+    val unlimited = graft.operators.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", nCells = 16, threshold = 0.9,
+      maxCellFactor = 1e9)
+    val got = guarded.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = unlimited.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"sub-split must equal unlimited on the MIXED cell (r15 anchors could not): " +
+        s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    // and the unlimited run itself behaves as constructed: family A
+    // (clones of organic id 0's vector) is absorbed whole by id 0,
+    // family B collapses to its min id, singletons all survive
+    assert(guarded.filter(col("vec_id") >= 10000L && col("vec_id") < 20000L).count() == 0L)
+    assert(guarded.filter(col("vec_id") === 0L).count() == 1L)
+    assert(guarded.filter(col("vec_id") >= 20000L).count() == 1L)
+    assert(guarded.filter(col("vec_id") >= 100L && col("vec_id") < 200L).count() == 6L,
+      "in-cell singletons are below threshold to everything and must all survive")
+  }
+
   // ---- IR faces: default auto, explicit overrides, audit-path ----
 
   private def runIr(json: String, input: DataFrame): DataFrame =

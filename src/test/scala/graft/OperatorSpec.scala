@@ -839,4 +839,15 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("metric"))
   }
+  test("semanticDedup auto-cells guidance: WARN past 4096 auto cells, silent when nCells is pinned") {
+    import graft.operators.Similarity
+    // auto-derived counts past the threshold warn; pinned nCells never does
+    assert(Similarity.autoCellsWarning(4097, nCells = 0).exists(_.contains("fixed nlist")))
+    assert(Similarity.autoCellsWarning(65536, nCells = 0).isDefined)
+    assert(Similarity.autoCellsWarning(4096, nCells = 0).isEmpty)
+    assert(Similarity.autoCellsWarning(16, nCells = 0).isEmpty)
+    assert(Similarity.autoCellsWarning(65536, nCells = 65536).isEmpty,
+      "an explicit nCells is a deployment decision, not a hazard")
+  }
+
 }

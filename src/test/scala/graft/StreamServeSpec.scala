@@ -4,6 +4,7 @@ import graft.model.Event
 import graft.operators.Analytics
 import graft.streaming.StreamServe
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** The config-declared long-running streaming path: a `:streaming` section
   * in the main config.edn must parse into query specs, boot a
@@ -138,7 +139,7 @@ class StreamServeSpec extends AnyFunSuite {
     assert(streamed.toMap == batch && streamed.toMap.keySet == Set(1L, 2L, 3L, 4L))
   }
 
-  test("seeded kill-point sweep: clean / torn commit / mid-batch / mid-write replay exactly-once (ewma + throttle + stable)") {
+  test("seeded kill-point sweep: clean / torn commit / mid-batch / mid-write / torn state delta replay exactly-once (ewma + throttle + stable)") {
     // Generalizes the single torn-commit test above to a seeded sweep of
     // the four distinct on-disk states a kill -9 can leave, for a
     // chain-stateful op (ewma), a counter-stateful op (throttle) and a
@@ -160,6 +161,13 @@ class StreamServeSpec extends AnyFunSuite {
     //                 (truncated, not even valid JSON) orphan part file
     //                 sits in the output dir with no manifest entry; the
     //                 manifest-driven reader must never surface it
+    //  - torn-state : killed DURING the state store's own delta write —
+    //                 commit record missing AND the newest
+    //                 state/**/<v>.delta truncated mid-stream (any
+    //                 matching <v>.snapshot gone too); recovery must
+    //                 replay the batch from the previous version's
+    //                 delta chain and OVERWRITE the torn file, never
+    //                 read it
     //
     // Every scenario must converge to the batch twin with no duplicate
     // and no missing rows after restart + replay.
@@ -177,7 +185,7 @@ class StreamServeSpec extends AnyFunSuite {
       ("stable", """:op {:action "stable" :seconds 4 :field "state" :keys ["host"]}""",
         df => Analytics.stable(4, "state", Seq("host"))(df)))
     for ((opName, opEdn, batchTwin) <- ops;
-         kill <- Seq("clean", "torn-commit", "mid-batch", "mid-write")) {
+         kill <- Seq("clean", "torn-commit", "mid-batch", "mid-write", "torn-state")) {
       val afterBatch = 1 + rng.nextInt(2) // seeded kill position (after land 1 or 2)
       val base = java.nio.file.Files.createTempDirectory(s"stream_sweep_${opName}_$kill")
       val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
@@ -207,6 +215,12 @@ class StreamServeSpec extends AnyFunSuite {
       q1.processAllAvailable()
       (1 to afterBatch).foreach { b => land(lands(b)); q1.processAllAvailable() }
       q1.stop()
+      // a kill -9 takes the whole JVM: drop the state store providers'
+      // in-memory loadedMaps cache so recovery reads the DISK state the
+      // kill left behind (with the cache warm, a replayed batch skips
+      // re-writing a delta version it believes committed — which hides
+      // exactly the torn-file faults this sweep plants)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       kill match {
         case "clean" => ()
         case "torn-commit" =>
@@ -231,6 +245,54 @@ class StreamServeSpec extends AnyFunSuite {
             "part-00000-00000000-dead-beef-0000-000000000000-c000.json")
           java.nio.file.Files.write(orphan.toPath,
             """{"host":"a","metric":12.""".getBytes("UTF-8"))
+        case "torn-state" =>
+          // the kill lands DURING batch (vMax - 1)'s state write, where
+          // vMax is the newest delta version on disk (batch N reads
+          // state version N and writes N + 1). Everything the engine
+          // writes AFTER the state commit of that batch — its own
+          // commit record, and any trailing no-data watermark-advance
+          // batch's offsets/commits — cannot exist at such a kill, so
+          // the fixture erases them; leaving them would model an
+          // impossible disk state (a committed batch whose state
+          // finalization never happened) that recovery rightly cannot
+          // serve
+          val stateRoot = java.nio.file.Paths.get(s"$ckDir/state")
+          assert(java.nio.file.Files.isDirectory(stateRoot),
+            s"[$opName/$kill] no state dir — op not stateful?")
+          val deltas = java.nio.file.Files.walk(stateRoot).iterator().asScala
+            .filter(p => p.toString.endsWith(".delta")).toSeq
+          assert(deltas.nonEmpty, s"[$opName/$kill] no state deltas under $stateRoot")
+          def version(p: java.nio.file.Path): Long =
+            p.getFileName.toString.stripSuffix(".delta").toLong
+          val vMax = deltas.map(version).max
+          val killBatch = vMax - 1
+          // the state delta write happens inside batch killBatch's write
+          // JOB — so at the kill, neither the sink manifest for that
+          // batch (written at job completion; leaving it would make the
+          // replay skip the whole job, state commit included), nor its
+          // offset-commit record, nor anything from later batches can
+          // exist yet
+          for (log0 <- Seq("commits", "offsets", "out-manifest");
+               dir0 = if (log0 == "out-manifest") s"$outDir/_spark_metadata" else s"$ckDir/$log0";
+               f <- Option(new java.io.File(dir0).listFiles()).toSeq.flatten
+               if f.getName.forall(_.isDigit)
+               if f.getName.toLong > killBatch ||
+                 ((log0 == "commits" || log0 == "out-manifest") && f.getName.toLong == killBatch))
+            tear(f)
+          deltas.filter(version(_) == vMax).foreach { p =>
+            val bytes = java.nio.file.Files.readAllBytes(p)
+            java.nio.file.Files.write(p, bytes.take(math.max(1, bytes.length / 2)))
+            // a mid-write kill never finalizes the checksum sidecars:
+            // drop Spark 4's own <v>.delta.crc AND the Hadoop dot-crcs
+            // (leaving the sidecar would model a DIFFERENT fault —
+            // silent post-commit corruption — which Spark rightly
+            // refuses to load)
+            Seq(s".${p.getFileName}.crc", s"${p.getFileName}.crc",
+                s".${p.getFileName}.crc.crc",
+                s"$vMax.snapshot", s".$vMax.snapshot.crc",
+                s"$vMax.snapshot.crc", s".$vMax.snapshot.crc.crc")
+              .foreach(n => java.nio.file.Files.deleteIfExists(p.resolveSibling(n)))
+          }
       }
       // phase 2: restart from the same checkpoint, land the rest
       val q2 = StreamServe.start(s, conf.streaming.head)

@@ -683,6 +683,9 @@ class StreamingSpec extends AnyFunSuite {
     // a doc's same-batch re-arrivals collapse to one match per band:
     // 2 dup docs x 4 bands, no more
     assert(out.count(_._3 >= 0) == 8, s"got ${out.toSeq.sorted}")
+    // r16 (ADVICE): the cap was never hit — a re-arrival burst on an
+    // under-cap bucket must NOT fire the band == -1 audit sentinel
+    assert(!out.exists(_._3 == -1L), s"spurious cap sentinel: ${out.toSeq.sorted}")
   }
 
   test("winnow twin honors the bucket cap with the same sentinel convention") {
@@ -710,6 +713,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(matches.nonEmpty && audits.nonEmpty)
     assert(audits.exists { case (o, ex, _) => o == 1L && ex == 36L },
       s"an all-docs fp bucket must audit 36 exemptions against owner 1: ${audits.toSeq}")
+  }
+
+  test("batch twin default resolves the histogram Auto cap: mega-bucket bounded by arithmetic, organic exact") {
+    val s = spark
+    import s.implicits._
+    // 300 clones = one degenerate signature -> 4 band buckets of 300;
+    // plus one organic near-dup pair. Auto arithmetic on this corpus:
+    // nDocs = 302, budget = ceil(32 x 302) = 9664, emissions =
+    // 4 x 300x299/2 + 4 x 1 = 179,404 > budget; largest fitting size is
+    // 2 (cum 4), floored at 16 -> cap 16 -> per-bucket match budget 15.
+    val clones = (1L to 300L).map(i => (i, FoxText, 10L + i))
+    val batchDf = (clones ++ Seq((1000L, JugText, 400L), (1001L, JugText, 401L)))
+      .toDF("doc_id", "text", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val out = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", 100000)(batchDf)
+      .collect().map(m => (m.doc_id, m.dup_of, m.band))
+    val matches = out.filter(_._3 >= 0)
+    val mega = matches.filter(_._2 == 1L)
+    mega.groupBy(_._3).foreach { case (band, ms0) =>
+      assert(ms0.map(_._1).toSet == (2L to 16L).toSet,
+        s"band $band must keep the 15 earliest (cap 16 - owner): ${ms0.toSeq.sorted}")
+    }
+    assert(matches.exists { case (d, o, _) => d == 1001L && o == 1000L },
+      "the organic under-cap pair must stay exact")
+    // sentinel totals the suppressed arrivals: (299 - 15) per band
+    assert(out.filter(_._3 == -1L).map(_._2).sum == (299L - 15L) * 4, s"${out.filter(_._3 == -1L).toSeq}")
+    // the resolved behavior equals an EXPLICIT budget of 15 — the
+    // documented cap-size c -> match budget c-1 mapping
+    val explicit = Streaming.nearDupWithinWatermark("doc_id", "text", "__time", 100000,
+        maxMatchesPerBucket = 15)(batchDf)
+      .collect().map(m => (m.doc_id, m.dup_of, m.band)).toSet
+    assert(out.toSet == explicit, "auto-resolved batch face != explicit budget-15 face")
+  }
+
+  test("embedding stream twin == batch twin; sign-bucket collisions pair against the earliest owner") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    ctr += 1
+    val name = s"stream_out_$ctr"
+    // vecs 1-3 share the sign pattern (+,+,-,+) = bucket 1+2+0+8 = 11;
+    // vec 4 lands elsewhere
+    val a = Seq(0.5f, 0.2f, -0.3f, 0.9f)
+    val b = Seq(0.4f, 0.1f, -0.2f, 0.8f)
+    val c = Seq(0.6f, 0.3f, -0.1f, 0.7f)
+    val d = Seq(-0.5f, 0.2f, 0.3f, -0.9f)
+    val batches = Seq(Seq((1L, a, 10L), (2L, b, 20L)), Seq((3L, c, 30L), (4L, d, 40L)))
+    val ms = MemoryStream[(Long, Seq[Float], Long)]
+    val in = ms.toDF().toDF("vec_id", "vec", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val q = Streaming.embeddingNearDupWithinWatermark("vec_id", "vec", "__time", 100, bits = 4)(in)
+      .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { bt => ms.addData(bt); q.processAllAvailable() }
+    q.stop()
+    val streamed = s.table(name).select("doc_id", "dup_of", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchDf = batches.flatten.toDF("vec_id", "vec", "secs")
+      .withColumn("__time", timestamp_seconds(col("secs")))
+    val batch = Streaming.embeddingNearDupWithinWatermark("vec_id", "vec", "__time", 100, bits = 4)(batchDf)
+      .collect().map(m => (m.doc_id, m.dup_of, m.band)).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set((2L, 1L, 11L), (3L, 1L, 11L)),
+      s"shared-sign vectors must pair against the earliest owner with the bucket in band: $streamed")
   }
 
   test("decontam flag is streaming-safe: map-side only, stream == batch") {

@@ -143,6 +143,113 @@ class VectorExprSpec extends AnyFunSuite {
     assert(short.head.isNullAt(0))
   }
 
+  // the literal per-centroid score array CentroidTopK replaces — the
+  // bit-compat reference for the kernel tests below
+  private def literalScores(vec: org.apache.spark.sql.Column,
+                            cents: Array[(Long, Seq[Float])]) =
+    array(cents.map { case (cid, cv) =>
+      struct(VectorExpressions.cosineF(vec, typedLit(cv)).as("cc"),
+        lit(-cid).as("negCell"))
+    }.toIndexedSeq: _*)
+
+  test("CentroidTopK == slice(reverse(array_sort(<literal array>))), bit for bit") {
+    val rng = new scala.util.Random(31)
+    val dim = 24
+    val cents: Array[(Long, Seq[Float])] =
+      Array.tabulate(37)(j => (j.toLong * 3 + 1, Seq.fill(dim)(rng.nextFloat() * 2 - 1)))
+    val rows = (1L to 150L).map(i => (i, Seq.fill(dim)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+    for (k <- Seq(1, 4, 37, 50)) {
+      val got = df.select(col("id"),
+          VectorExpressions.centroidTopK(col("v"), cents, k).as("kern"),
+          slice(reverse(array_sort(literalScores(col("v"), cents))), 1, k).as("ref"))
+        .collect()
+      got.foreach { r =>
+        val a = r.getSeq[org.apache.spark.sql.Row](1)
+        val b = r.getSeq[org.apache.spark.sql.Row](2)
+        assert(a.size == b.size, s"k=$k id=${r.getLong(0)}")
+        a.zip(b).foreach { case (x, y) =>
+          assert(java.lang.Double.doubleToLongBits(x.getDouble(0)) ==
+            java.lang.Double.doubleToLongBits(y.getDouble(0)))
+          assert(x.getLong(1) == y.getLong(1))
+        }
+      }
+    }
+    // best face == array_max of the literal array
+    val best = df.select(
+        VectorExpressions.centroidBest(col("v"), cents).as("kern"),
+        array_max(literalScores(col("v"), cents)).as("ref"))
+      .collect()
+    best.foreach { r =>
+      val (x, y) = (r.getStruct(0), r.getStruct(1))
+      assert(java.lang.Double.doubleToLongBits(x.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(y.getDouble(0)))
+      assert(x.getLong(1) == y.getLong(1))
+    }
+  }
+
+  test("CentroidTopK ties break to the lower cell; degenerate vectors degrade like the literal form") {
+    val v = Seq.fill(8)(0.5f)
+    // two identical centroids under different cells: cosine ties exactly,
+    // negCell (desc) must pick the LOWER cell first — and the duplicate
+    // centroid must still appear second in a k=2 probe list
+    val cents: Array[(Long, Seq[Float])] =
+      Array((7L, v), (3L, v), (11L, Seq.fill(8)(-0.5f)))
+    val df = Seq((1L, v)).toDF("id", "v")
+    val got = df.select(VectorExpressions.centroidTopK(col("v"), cents, 3).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(got.map(_.getLong(1)) == Seq(-3L, -7L, -11L))
+    // null vector / null element / wrong length: all-null cc, cells
+    // ascending — exactly the literal form's per-centroid null cosines
+    val weird = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST(NULL AS ARRAY<FLOAT>)),
+        |  (2L, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT),
+        |             CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT),
+        |             CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))),
+        |  (3L, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS t(id, v)""".stripMargin)
+    val wr = weird.select(col("id"),
+        VectorExpressions.centroidTopK(col("v"), cents, 2).as("kern"),
+        slice(reverse(array_sort(literalScores(col("v"), cents))), 1, 2).as("ref"))
+      .orderBy("id").collect()
+    wr.foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](1)
+      val b = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(a.map(_.getLong(1)) == Seq(-3L, -7L), s"id=${r.getLong(0)}")
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.isNullAt(0) && y.isNullAt(0), s"id=${r.getLong(0)}")
+        assert(x.getLong(1) == y.getLong(1))
+      }
+    }
+  }
+
+  test("CentroidTopK interpreted eval matches codegen path") {
+    val rng = new scala.util.Random(41)
+    val dim = 8
+    val cents: Array[(Long, Seq[Float])] =
+      Array.tabulate(5)(j => (j.toLong, Seq.fill(dim)(rng.nextFloat() * 2 - 1)))
+    val vec = Seq.fill(dim)(rng.nextFloat() * 2 - 1)
+    val viaCodegen = Seq((1L, vec)).toDF("id", "v")
+      .select(VectorExpressions.centroidTopK(col("v"), cents, 3))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val kernel = new graft.functions.CentroidKernel(cents.map(_._1),
+      cents.flatMap(_._2), dim, 3)
+    val viaEval = graft.functions.CentroidTopK(
+        Literal.create(ArrayData.toArrayData(vec.toArray),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        kernel)
+      .eval(null).asInstanceOf[ArrayData]
+    assert(viaEval.numElements() == viaCodegen.size)
+    (0 until viaEval.numElements()).foreach { i =>
+      val row = viaEval.getStruct(i, 2)
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(viaCodegen(i).getDouble(0)))
+      assert(row.getLong(1) == viaCodegen(i).getLong(1))
+    }
+  }
+
   test("randomProject preserves pairwise squared distances in expectation (JL lemma)") {
     // the ±1/sqrt(d') construction satisfies E[||P(x-y)||²] = ||x-y||²
     // with per-pair relative std ~ sqrt(2/d') ≈ 0.35 at d'=16 — so the
