@@ -4288,11 +4288,13 @@ object QueriesPipeline {
       val d = docs(s, dir)
       // materialize the count table once: score() consumes it twice (the
       // (ctx,word) join and the derived context totals) — without this
-      // the in-query trainer re-aggregates the exploded corpus per use
-      graft.operators.NgramLm.Model(
-        graft.operators.Materialize(
-          graft.operators.NgramLm.trainCounts(d, "text", 2)), 2, 0.5,
-        graft.operators.NgramLm.vocabSize(d, "text"))
+      // the in-query trainer re-aggregates the exploded corpus per use.
+      // V reads off the materialized counts (vocabSizeFromCounts) — the
+      // corpus-pass form re-tokenized the whole corpus a second time
+      val counts = graft.operators.Materialize(
+        graft.operators.NgramLm.trainCounts(d, "text", 2))
+      graft.operators.NgramLm.Model(counts, 2, 0.5,
+        graft.operators.NgramLm.vocabSizeFromCounts(counts))
     }
 
     register("ngram_lm_counts",
@@ -4407,10 +4409,11 @@ object QueriesPipeline {
          |       CAST(CAST(exp(-lp / n_scored) AS DECIMAL(38,6)) AS DOUBLE) AS ppl
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
+      val sbCounts = graft.operators.Materialize(
+        graft.operators.NgramLm.trainCounts(d, "text", 2))
       graft.operators.NgramLm.scoreStupidBackoff(d, "text", "doc_id",
-          graft.operators.Materialize(
-            graft.operators.NgramLm.trainCounts(d, "text", 2)),
-          graft.operators.NgramLm.vocabSize(d, "text"))
+          sbCounts,
+          graft.operators.NgramLm.vocabSizeFromCounts(sbCounts))
         .select(col("doc_id"), col("n_scored"),
           col("logprob").cast("decimal(38,6)").cast("double").as("logprob"),
           col("cross_entropy").cast("decimal(38,6)").cast("double").as("cross_entropy"),

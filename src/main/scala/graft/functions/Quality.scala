@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Expression-level LET BINDING: evaluate `c` ONCE per row and feed the
+    * bound value to every use inside `f` — `transform` over a 1-element
+    * array, whose lambda variable IS the binding. Catalyst does not
+    * common-subexpression-eliminate across higher-order-function lambda
+    * boundaries (the [[ngrams]] scaladoc's measured 12× trap, and the
+    * `minhashSignature` "project into a real column first" fix are both
+    * this problem), and a composite like [[gopherSignals]] references its
+    * token array from SIX sub-signals — without the binding each
+    * reference re-runs the tokenizing regex split per row. Same values,
+    * one evaluation (r16; gated by gopher_filter/text_quality/curation
+    * staying hash-green).
+    */
+  private[graft] def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Space-joined word n-grams from a token array. Null-padded zip of
     * shifted slices (generalizes [[Text.bigramShingles]]): position i
     * yields `toks[i] .. toks[i+n-1]`, positions past `size-n` null out
@@ -70,20 +85,23 @@ object Quality {
     * running count per gram is a run length and the max of
     * `run * len(gram)` is exact.
     */
-  def topNgramCharFraction(toks: Column, n: Int): Column = {
-    val gs = array_sort(ngrams(toks, n))
-    val best = aggregate(
-      gs,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run * length(g)).as("best"))
-      },
-      acc => acc.getField("best"))
-    val total = gramChars(gs)
-    when(total > 0, best.cast("double") / total.cast("double")).otherwise(lit(0.0))
-  }
+  def topNgramCharFraction(toks: Column, n: Int): Column =
+    // the sorted gram array feeds both the run fold and the denominator:
+    // bind it once (it embeds the caller's token EXPRESSION, which would
+    // otherwise be re-evaluated per reference — see [[bindOnce]])
+    bindOnce(array_sort(ngrams(toks, n))) { gs =>
+      val best = aggregate(
+        gs,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, g) => {
+          val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run * length(g)).as("best"))
+        },
+        acc => acc.getField("best"))
+      val total = gramChars(gs)
+      when(total > 0, best.cast("double") / total.cast("double")).otherwise(lit(0.0))
+    }
 
   /** Character fraction of n-grams that occur more than once:
     * `sum_{g: count(g)>1} count(g)*len(g) / sum_g len(g)` — Gopher's
@@ -92,22 +110,22 @@ object Quality {
     * Same sorted-run fold: when a run reaches 2 the first occurrence is
     * retro-credited (`+2*len`), every further repeat adds `len`.
     */
-  def dupNgramCharFraction(toks: Column, n: Int): Column = {
-    val gs = array_sort(ngrams(toks, n))
-    val dup = aggregate(
-      gs,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-        val add = when(run === 2, lit(2L) * length(g))
-          .when(run > 2, length(g).cast("long"))
-          .otherwise(lit(0L))
-        struct(g.as("prev"), run.as("run"), (acc.getField("dup") + add).as("dup"))
-      },
-      acc => acc.getField("dup"))
-    val total = gramChars(gs)
-    when(total > 0, dup.cast("double") / total.cast("double")).otherwise(lit(0.0))
-  }
+  def dupNgramCharFraction(toks: Column, n: Int): Column =
+    bindOnce(array_sort(ngrams(toks, n))) { gs =>
+      val dup = aggregate(
+        gs,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
+        (acc, g) => {
+          val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          val add = when(run === 2, lit(2L) * length(g))
+            .when(run > 2, length(g).cast("long"))
+            .otherwise(lit(0L))
+          struct(g.as("prev"), run.as("run"), (acc.getField("dup") + add).as("dup"))
+        },
+        acc => acc.getField("dup"))
+      val total = gramChars(gs)
+      when(total > 0, dup.cast("double") / total.cast("double")).otherwise(lit(0.0))
+    }
 
   /** Mean token length in characters (0.0 on empty documents). */
   def meanWordLength(toks: Column): Column =
@@ -250,26 +268,35 @@ object Quality {
       minStopwords: Int = 2,
       maxTop2Frac: Double = 0.20,
       maxDup3Frac: Double = 0.60): Column = {
-    val toks = Text.tokens(text)
-    val nWords = size(toks).cast("long")
-    val meanLen = meanWordLength(toks)
-    val alphaFrac = alphaWordFraction(toks)
-    val stops = stopwordCount(toks)
-    val top2 = topNgramCharFraction(toks, 2)
-    val dup3 = dupNgramCharFraction(toks, 3)
-    val keep = nWords.between(minWords, maxWords) &&
-      meanLen.between(minMeanLen, maxMeanLen) &&
-      alphaFrac >= minAlphaFrac &&
-      stops >= minStopwords &&
-      top2 <= maxTop2Frac &&
-      dup3 <= maxDup3Frac
-    struct(
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      alphaFrac.as("alpha_frac"),
-      stops.as("stop_hits"),
-      top2.as("top2_frac"),
-      dup3.as("dup3_frac"),
-      keep.cast("long").as("keep"))
+    // bind the token array once: six sub-signals reference it, and
+    // without the binding each reference re-runs the tokenizing regex
+    // split per row (lambda boundaries defeat CSE — [[bindOnce]]); then
+    // bind the signal struct once so `keep`'s six threshold reads don't
+    // re-fold the signals
+    val sig = bindOnce(Text.tokens(text)) { toks =>
+      struct(
+        size(toks).cast("long").as("n_words"),
+        meanWordLength(toks).as("mean_word_len"),
+        alphaWordFraction(toks).as("alpha_frac"),
+        stopwordCount(toks).as("stop_hits"),
+        topNgramCharFraction(toks, 2).as("top2_frac"),
+        dupNgramCharFraction(toks, 3).as("dup3_frac"))
+    }
+    bindOnce(sig) { s =>
+      val keep = s.getField("n_words").between(minWords, maxWords) &&
+        s.getField("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        s.getField("alpha_frac") >= minAlphaFrac &&
+        s.getField("stop_hits") >= minStopwords &&
+        s.getField("top2_frac") <= maxTop2Frac &&
+        s.getField("dup3_frac") <= maxDup3Frac
+      struct(
+        s.getField("n_words").as("n_words"),
+        s.getField("mean_word_len").as("mean_word_len"),
+        s.getField("alpha_frac").as("alpha_frac"),
+        s.getField("stop_hits").as("stop_hits"),
+        s.getField("top2_frac").as("top2_frac"),
+        s.getField("dup3_frac").as("dup3_frac"),
+        keep.cast("long").as("keep"))
+    }
   }
 }

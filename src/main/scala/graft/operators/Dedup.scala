@@ -1388,31 +1388,8 @@ object Dedup {
         case _ => false
       })
     }
-    if (integralIds && edges.count() <= onePartitionThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return edges.select(col("a").cast("long"), col("b").cast("long"))
-        .as[(Long, Long)].coalesce(1)
-        .mapPartitions { it =>
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent(r) != r) r = parent(r)
-            var c = x
-            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-            r
-          }
-          it.foreach { case (a, b) =>
-            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-            val ra = find(a); val rb = find(b)
-            // union by MIN id: the root of every component stays its
-            // minimum member, matching the iterative path's labels
-            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-          }
-          parent.keysIterator.map(id => (id, find(id)))
-        }
-        .toDF("id", "cluster")
-    }
+    if (integralIds && edges.count() <= onePartitionThreshold)
+      return unionFindLabels(edges)
     // round 1 needs no label join: labels start as the identity, so the
     // propagated label is simply min(self, min neighbor id)
     var labels = edges.groupBy(col("a"))
@@ -1446,6 +1423,41 @@ object Dedup {
     labels.select("id", "cluster")
   }
 
+  /** Single-task union-find (union-by-min + path compression) over an
+    * undirected edge list — the exact small-graph path shared by
+    * [[clusterPairs]] and [[clusterPairsStar]]: a pair list far below
+    * cluster scale (the common case — LSH pair output is tiny next to
+    * the corpus) pays more in per-round job scheduling than in compute,
+    * so one EXECUTOR-side pass (not a driver collect) labels it in one
+    * job. Output: (id, cluster = min reachable id), one row per id in
+    * the edge list — bit-identical to the iterative paths' labels.
+    */
+  private def unionFindLabels(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN id: the root of every component stays its
+          // minimum member, matching the iterative paths' labels
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "cluster")
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
@@ -1474,57 +1486,91 @@ object Dedup {
     * id — so the same recursive-CTE oracle gates both paths.
     */
   def clusterPairsStar(pairs: DataFrame, id1Col: String = "id1",
-                       id2Col: String = "id2", maxIters: Int = 60): DataFrame = {
-    val half = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
-      .filter(col("a") =!= col("b"))
-    // singletons in the pair list (a=b rows) still deserve a label row
-    val selfIds = pairs.select(col(id1Col).as("id"))
-      .union(pairs.select(col(id2Col).as("id"))).distinct()
-      .transform(Materialize.apply)
-    var edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+                       id2Col: String = "id2", maxIters: Int = 60,
+                       onePartitionThreshold: Long = 10000000L): DataFrame = {
+    // materialize the pair list ONCE: it has two consumers here (the
+    // singleton-id table and the initial edge set), and `pairs` is
+    // usually the UNMATERIALIZED banded LSH self-join — without this the
+    // whole candidate pipeline (tokenize → minhash → band → join) ran
+    // twice per clustering call (r16 fix, guide §2.4)
+    val pr = Materialize(pairs.select(col(id1Col).as("a"), col(id2Col).as("b")))
+    val half = pr.filter(col("a") =!= col("b"))
+    // singletons in the pair list (a=b rows) still deserve a label row;
+    // single consumer (the final join) reading materialized pr blocks —
+    // no checkpoint of its own needed
+    val selfIds = pr.select(col("a").as("id"))
+      .union(pr.select(col("b").as("id"))).distinct()
+    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
       .distinct().transform(Materialize.apply)
-    var it = 0
-    var converged = edges.isEmpty
-    while (!converged && it < maxIters) {
-      // large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v ∈ N(u), v > u.
-      // One shuffle on u; the (v>u → m) edges come straight out of the
-      // same aggregate by collecting the larger neighbors alongside min.
-      val ls = edges.groupBy(col("a"))
-        .agg(least(min(col("b")), col("a")).as("m"),
-          collect_list(when(col("b") > col("a"), col("b"))).as("big"))
-        .select(explode(col("big")).as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct().transform(Materialize.apply)
-      // small-star on large-star's output: m = min(N(u) ∪ {u}); emit
-      // (v, m) for v ≤ u — with self-loops dropped, (u, m) plus the
-      // smaller neighbors re-pointed at m.
-      val ss = ls.groupBy(col("a"))
-        .agg(least(min(col("b")), col("a")).as("m"),
-          collect_list(when(col("b") < col("a"), col("b"))).as("small"))
-        .select(explode(concat(col("small"), array(col("a")))).as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct().transform(Materialize.apply)
-      // fixpoint ⇔ the graph is a union of min-centered stars ⇔ no node
-      // has a smaller neighbor AND any second neighbor (members of a
-      // star see exactly one neighbor: the center below them; centers
-      // see only larger members). One aggregate over the edge list.
-      val undirected = ss.union(ss.select(col("b").as("a"), col("a").as("b")))
-        .distinct().transform(Materialize.apply)
-      converged = undirected.groupBy(col("a"))
-        .agg(min(col("b")).as("mn"), count(lit(1)).as("cnt"))
-        .filter(col("mn") < col("a") && col("cnt") > 1).isEmpty
-      edges = undirected
-      it += 1
+
+    // Adaptive small-graph path ([[clusterPairs]]' rule, shared kernel):
+    // far below cluster scale the star rounds pay more in per-round job
+    // scheduling than in compute — one single-task union-find labels the
+    // edge list exactly, in one job. Labels are min-reachable-id either
+    // way, so the same oracle gates both paths.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      edges.schema.fields.forall(_.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"clusterPairsStar did not converge after $maxIters rounds — raise maxIters " +
-          "(rounds grow with log of component size; 60 covers any practical graph)")
-    // stars: every member's min neighbor (or itself, for the center /
-    // singletons) is the component minimum
-    val labels = edges.groupBy(col("a"))
-      .agg(least(min(col("b")), col("a")).as("cluster"))
-      .select(col("a").as("id"), col("cluster"))
+    val labels =
+      if (integralIds && edges.count() <= onePartitionThreshold)
+        unionFindLabels(edges)
+      else {
+        var cur = edges
+        var it = 0
+        var converged = false
+        while (!converged) {
+          // large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for
+          // v ∈ N(u), v > u. One shuffle on u; the (v>u → m) edges come
+          // straight out of the same aggregate by collecting the larger
+          // neighbors alongside min. The aggregate ALSO carries the
+          // fixpoint probe (min neighbor + degree): the graph is a union
+          // of min-centered stars ⇔ no node has a smaller neighbor AND
+          // any second neighbor — so convergence is read off this frame
+          // instead of a separate post-round aggregate job, and a
+          // converged graph never pays the (idempotent) round it used to
+          // (r16: 4 checkpoints + 1 probe job per round → 2 checkpoints
+          // + 1 block-scan probe, and the final round drops entirely)
+          val lsAgg = cur.groupBy(col("a"))
+            .agg(least(min(col("b")), col("a")).as("m"),
+              collect_list(when(col("b") > col("a"), col("b"))).as("big"),
+              min(col("b")).as("__mn"), count(lit(1)).as("__cnt"))
+            .transform(Materialize.apply)
+          converged = lsAgg.filter(col("__mn") < col("a") && col("__cnt") > 1).isEmpty
+          if (!converged) {
+            if (it >= maxIters)
+              throw new IllegalStateException(
+                s"clusterPairsStar did not converge after $maxIters rounds — raise maxIters " +
+                  "(rounds grow with log of component size; 60 covers any practical graph)")
+            val ls = lsAgg.select(explode(col("big")).as("a"), col("m").as("b"))
+              .filter(col("a") =!= col("b"))
+              .distinct()
+            // small-star on large-star's output: m = min(N(u) ∪ {u});
+            // emit (v, m) for v ≤ u — with self-loops dropped, (u, m)
+            // plus the smaller neighbors re-pointed at m. Pipelined into
+            // the round's one edge checkpoint together with the
+            // undirected closure (ls and ss each had their own
+            // checkpoint before; neither has a second consumer).
+            val ss = ls.groupBy(col("a"))
+              .agg(least(min(col("b")), col("a")).as("m"),
+                collect_list(when(col("b") < col("a"), col("b"))).as("small"))
+              .select(explode(concat(col("small"), array(col("a")))).as("a"), col("m").as("b"))
+              .filter(col("a") =!= col("b"))
+              .distinct()
+            cur = ss.union(ss.select(col("b").as("a"), col("a").as("b")))
+              .distinct().transform(Materialize.apply)
+            it += 1
+          }
+        }
+        // stars: every member's min neighbor (or itself, for the center /
+        // singletons) is the component minimum
+        cur.groupBy(col("a"))
+          .agg(least(min(col("b")), col("a")).as("cluster"))
+          .select(col("a").as("id"), col("cluster"))
+      }
     selfIds.join(labels, selfIds("id") === labels("id"), "left")
       .select(selfIds("id"),
         coalesce(labels("cluster"), selfIds("id")).as("cluster"))

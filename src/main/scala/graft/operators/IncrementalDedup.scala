@@ -78,12 +78,20 @@ object IncrementalDedup {
       s"writeStore: k ($k) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     require(nBuckets >= 1, s"writeStore: nBuckets must be >= 1, got $nBuckets")
     val meta = StoreMeta(k, rowsPerBand, nBuckets)
-    writeBands(bandsWithBucket(df, textCol, idCol, meta), path, nBuckets, "overwrite")
+    // the recipe row is independent of the corpus-sized bands write:
+    // overlap the two jobs (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((k.toLong, rowsPerBand.toLong, nBuckets.toLong))
-      .toDF("k", "rows_per_band", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val metaWrite = Future {
+      Seq((k.toLong, rowsPerBand.toLong, nBuckets.toLong))
+        .toDF("k", "rows_per_band", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+    writeBands(bandsWithBucket(df, textCol, idCol, meta), path, nBuckets, "overwrite")
+    Await.result(metaWrite, Duration.Inf)
   }
 
   /** Read the pinned recipe; fails loudly on a missing/empty store. */

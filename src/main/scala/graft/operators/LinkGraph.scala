@@ -57,12 +57,15 @@ object LinkGraph {
     var ranks = Materialize(nodes.select(col("node"), lit(1.0 / nD).as("rank")))
     var t = 0
     while (t < iters) {
-      // dangling mass: rank parked on nodes with no out-edges (exact
-      // decimal sum -> one driver scalar)
+      // dangling mass: rank parked on nodes with no out-edges — an exact
+      // decimal one-ROW aggregate, cross-joined into the round's plan
+      // instead of collected to the driver (r16: was a separate `head`
+      // job per iteration; `cast(decimal→double)` is BigDecimal
+      // .doubleValue, bit-identical to the collected scalar, so the
+      // oracle-replayed arithmetic is unchanged)
       val dang = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank").cast("decimal(38,18)")),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)")))
-        .head.getDecimal(0).doubleValue()
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)")).as("__dang"))
       val contrib = e
         .join(ranks, e("src") === ranks("node"))
         .join(outdeg, Seq("src"))
@@ -71,9 +74,11 @@ object LinkGraph {
         .groupBy("dst").agg(sum(col("c")).as("c"))
       ranks = Materialize(nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(dang)
         .select(col("node"),
           (lit(base) + lit(damping) *
-            (coalesce(col("c").cast("double"), lit(0.0)) + lit(dang) / lit(nD)))
+            (coalesce(col("c").cast("double"), lit(0.0)) +
+              col("__dang").cast("double") / lit(nD)))
             .as("rank")))
       t += 1
     }
@@ -114,29 +119,35 @@ object LinkGraph {
       lit(1.0).as("auth"), lit(1.0).as("hub")))
     var t = 0
     while (t < iters) {
-      // authority half-step: in-link hub mass
+      // authority half-step: in-link hub mass. The L1 total rides as a
+      // one-row cross join instead of a per-half-step driver collect
+      // (r16; cast(decimal→double) == the collected scalar bit-for-bit)
       val ca = e.join(scores, e("src") === scores("node"))
         .select(col("dst"), col("hub").cast("decimal(38,18)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      val aTot = ca.agg(sum(col("s"))).head.getDecimal(0).doubleValue()
+      val aTot = ca.agg(sum(col("s")).as("__tot"))
       val withAuth = Materialize(nodes
         .join(ca, nodes("node") === ca("dst"), "left")
         .join(scores.select(col("node").as("__n"), col("hub")),
           nodes("node") === col("__n"))
+        .crossJoin(aTot)
         .select(col("node"),
-          (coalesce(col("s").cast("double"), lit(0.0)) / lit(aTot)).as("auth"),
+          (coalesce(col("s").cast("double"), lit(0.0)) /
+            col("__tot").cast("double")).as("auth"),
           col("hub")))
       // hub half-step: out-link authority mass
       val ch = e.join(withAuth, e("dst") === withAuth("node"))
         .select(col("src"), col("auth").cast("decimal(38,18)").as("c"))
         .groupBy("src").agg(sum(col("c")).as("s"))
-      val hTot = ch.agg(sum(col("s"))).head.getDecimal(0).doubleValue()
+      val hTot = ch.agg(sum(col("s")).as("__tot"))
       scores = Materialize(nodes
         .join(ch, nodes("node") === ch("src"), "left")
         .join(withAuth.select(col("node").as("__n"), col("auth")),
           nodes("node") === col("__n"))
+        .crossJoin(hTot)
         .select(col("node"), col("auth"),
-          (coalesce(col("s").cast("double"), lit(0.0)) / lit(hTot)).as("hub")))
+          (coalesce(col("s").cast("double"), lit(0.0)) /
+            col("__tot").cast("double")).as("hub")))
       t += 1
     }
     scores

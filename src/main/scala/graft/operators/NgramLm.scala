@@ -124,6 +124,19 @@ object NgramLm {
     docs.select(explode(Text.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t"))).head.getLong(0) + 1L
 
+  /** [[vocabSize]] derived from an (ideally materialized) count table
+    * instead of a second full corpus tokenize pass: [[padded]] puts
+    * `n−1` BOS markers in front, so word position covers EVERY corpus
+    * token, and EOS appears in word position exactly once per non-null
+    * doc — `countDistinct(word)` IS `|distinct tokens| + 1`. The floor
+    * keeps the corpus-pass value (1) on an empty/all-null corpus, where
+    * the count table has no rows. Value-identical to [[vocabSize]] for
+    * the same corpus/order (r16, guide §2.4 — the n-gram gates paid a
+    * redundant corpus pass per model build).
+    */
+  def vocabSizeFromCounts(counts: DataFrame): Long =
+    math.max(counts.agg(countDistinct(col("word"))).head.getLong(0), 1L)
+
   /** Full training run → persisted model directory (`ngrams.parquet` +
     * single-row `meta.parquet` with n/alpha/vocab_size). The artifact is
     * what production pipelines reuse: train once on a reference corpus
@@ -136,7 +149,9 @@ object NgramLm {
     counts.write.mode("overwrite").parquet(s"$path/ngrams.parquet")
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((n, alpha, vocabSize(docs, textCol)))
+    // V off the just-written count table's word column — not a second
+    // corpus tokenize pass (vocabSizeFromCounts scaladoc)
+    Seq((n, alpha, vocabSizeFromCounts(spark.read.parquet(s"$path/ngrams.parquet"))))
       .toDF("n", "alpha", "vocab_size")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
   }
@@ -212,8 +227,9 @@ object NgramLm {
                      discount: Double = 0.75): KnModel = {
     require(discount > 0 && discount < 1,
       s"NgramLm: KN discount must be in (0,1), got $discount")
-    KnModel(Materialize(trainCounts(docs, textCol, 2)), discount,
-      vocabSize(docs, textCol))
+    val counts = Materialize(trainCounts(docs, textCol, 2))
+    // V from the materialized counts — not a second corpus pass
+    KnModel(counts, discount, vocabSizeFromCounts(counts))
   }
 
   /** Persist / reload the KN artifact (same layout discipline as

@@ -70,6 +70,18 @@ object Retrieval {
   def luceneIdf(n: Long): Column => Column =
     df => log(lit(1.0) + (lit(n.toDouble) - df + lit(0.5)) / (df + lit(0.5)))
 
+  /** Total token mass from a postings-shaped `(id, dl, …)` frame: the
+    * per-doc length summed over distinct `(id, dl)` pairs — exactly
+    * `Σ_docs tokenCount(doc)` for unique-id corpora (token-less docs
+    * carry no postings and contribute 0), WITHOUT re-tokenizing the
+    * text. Duplicate-id inputs are outside the index contract (the
+    * append face already requires deduping deltas first).
+    */
+  private def docStats(idDl: DataFrame): Long =
+    idDl.distinct()
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .head().getLong(0)
+
   /** (doc, dl, term, tf) postings with per-doc length, via explode +
     * map-side-combined aggregate — the inverted-index build.
     */
@@ -119,11 +131,14 @@ object Retrieval {
     // MEMORY_AND_DISK blocks for a 2x corpus-pipeline recompute)
     val dt = postings(docs, idCol, textCol).transform(Materialize.apply)
     // corpus stats: two scalars (model-sized, same class as broadcast
-    // centroids). N counts ALL docs, empty ones included; dl sums exactly
-    // the postings' token mass.
-    val row = docs.select(count(lit(1)).as("n"),
-      coalesce(sum(Text.tokenCount(col(textCol))), lit(0L)).as("tot")).head()
-    val (n, tot) = (row.getLong(0), row.getLong(1))
+    // centroids). N counts ALL docs, empty ones included — a text-free
+    // count (the scan prunes to the filter columns); the token mass is
+    // read off the MATERIALIZED postings' per-doc lengths instead of a
+    // second full tokenize pass over the corpus (empty docs carry no
+    // postings and contribute 0 either way) — r16, guide §2.4. Assumes
+    // unique doc ids, like the index contract ("dedup the delta first").
+    val n = docs.count()
+    val tot = docStats(dt.select(col(idCol).as("id"), col("__dl").as("dl")))
     val avgdl = tot.toDouble / n
     val qt = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(Text.tokens(col(qTextCol)))).as("term"))
@@ -182,19 +197,28 @@ object Retrieval {
       .option("parquet.bloom.filter.enabled#term", "true")
       .option("parquet.bloom.filter.expected.ndv#term", "1000000")
       .partitionBy("termbucket").parquet(s"$path/postings")
-    // df from the just-written postings (one index scan, no corpus re-pass)
-    spark.read.parquet(s"$path/postings")
-      .groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
-      .repartition(nBuckets, col("termbucket"))
-      .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#term", "true")
-      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
-      .partitionBy("termbucket").parquet(s"$path/df")
-    val row = docs.select(count(lit(1)).as("n"),
-      coalesce(sum(Text.tokenCount(col(textCol))), lit(0L)).as("tot")).head()
-    Seq((row.getLong(0), row.getLong(1), nBuckets.toLong))
+    // df and meta both derive from the just-written postings (one index
+    // scan each, no corpus re-pass — the meta pass was a second full
+    // TOKENIZE of the corpus before r16, guide §2.4) and are independent
+    // of each other: overlap their jobs (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dfWrite = Future {
+      spark.read.parquet(s"$path/postings")
+        .groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
+        .repartition(nBuckets, col("termbucket"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+        .partitionBy("termbucket").parquet(s"$path/df")
+    }
+    val n = docs.count()
+    val tot = docStats(spark.read.parquet(s"$path/postings").select("id", "dl"))
+    Seq((n, tot, nBuckets.toLong))
       .toDF("n_docs", "total_len", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Await.result(dfWrite, Duration.Inf)
   }
 
   /** Incremental index maintenance — the "new crawl lands every day"
@@ -242,11 +266,19 @@ object Retrieval {
       .select(col(idCol).as("id"), col("__dl").as("dl"), col("term"), col("tf"),
         pmod(Text.md5Hash64(col("term")), lit(nBuckets.toLong)).as("termbucket"))
       .localCheckpoint()
-    post.repartition(nBuckets, col("termbucket"))
-      .write.mode("append")
-      .option("parquet.bloom.filter.enabled#term", "true")
-      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
-      .partitionBy("termbucket").parquet(s"$path/postings")
+    // the postings append and the df merge both read only the
+    // checkpointed `post` blocks (and the OLD df files respectively) —
+    // independent writes, overlapped (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val postingsAppend = Future {
+      post.repartition(nBuckets, col("termbucket"))
+        .write.mode("append")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+        .partitionBy("termbucket").parquet(s"$path/postings")
+    }
     val deltaDf = post.groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
     val touched = deltaDf.select("termbucket").distinct().collect().map(_.getLong(0))
     val merged = spark.read.parquet(s"$path/df")
@@ -261,11 +293,14 @@ object Retrieval {
       .option("parquet.bloom.filter.enabled#term", "true")
       .option("parquet.bloom.filter.expected.ndv#term", "1000000")
       .partitionBy("termbucket").parquet(s"$path/df")
-    val row = delta.select(count(lit(1)).as("n"),
-      coalesce(sum(Text.tokenCount(col(textCol))), lit(0L)).as("tot")).head()
-    Seq((n0 + row.getLong(0), tot0 + row.getLong(1), nBuckets.toLong))
+    // meta delta from a text-free count + the already-checkpointed delta
+    // postings' dl column (was a second tokenize pass over the delta)
+    val nDelta = delta.count()
+    val totDelta = docStats(post.select("id", "dl"))
+    Seq((n0 + nDelta, tot0 + totDelta, nBuckets.toLong))
       .toDF("n_docs", "total_len", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Await.result(postingsAppend, Duration.Inf)
   }
 
   /** Offline compaction after many [[appendBm25Index]] deltas — the

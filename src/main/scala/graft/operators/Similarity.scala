@@ -875,31 +875,70 @@ object Similarity {
 
   /** Train the coarse + residual quantizers (the deterministic lowest-id
     * stand-ins; training is pluggable, the index structure is the
-    * operator). Two model-sized collects.
+    * operator). ONE model-sized collect.
+    *
+    * r16 optimization (guide §2.4, remove passes outright): this used to
+    * cost TWO full corpus passes before the encode — one
+    * `kmeansCentroids` seed collect, and one full-corpus
+    * [[ivfPqAssign]] (nCells cosines per row + broadcast join +
+    * residual zip_with) consumed only to `dropDuplicates.orderBy.limit`
+    * out `codes` residual-seed rows. The centroid seeds are the
+    * `nCells` lowest distinct ids and the residual seeds are the next
+    * `codes` distinct ids, so BOTH are the head of the same ordering:
+    * collect the `nCells + codes` lowest-distinct-id vectors once and
+    * compute the `codes` seed residuals driver-side, via the SAME
+    * [[graft.functions.CentroidKernel]] the distributed assignment
+    * uses (identical fold order / tie rule ⇒ bit-identical cells and
+    * residuals; gated by ann_ivfpq_topk/persisted/incremental staying
+    * hash-green). The corpus-sized assignment now runs exactly once,
+    * in the encode pass.
     */
   private def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                          nCells: Int, m: Int, codes: Int,
                          what: String): (IvfPqModel, DataFrame) = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters = 0)
+    val seedRows: Array[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long").as("__kid"), col(vecCol).as("__kv"))
+      .dropDuplicates("__kid")
+      .orderBy(col("__kid")).limit(nCells + codes)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cents = seedRows.take(nCells)
     require(cents.length == nCells, s"$what: corpus smaller than $nCells distinct-id cells")
     val dim = cents.head._2.length
     require(dim % m == 0, s"$what: dim $dim not divisible by m=$m")
+    require(cents.forall(c => c._2 != null && c._2.length == dim),
+      s"$what: mixed-dimension centroid seeds (expected uniform dim $dim)")
     val sub = dim / m
-    val maxCentId = cents.map(_._1).max
-    val assigned = ivfPqAssign(corpus, idCol, vecCol, cents)
-    // residual codebook seeds: `codes` lowest DISTINCT ids strictly
-    // after the centroid seeds (the seeds' own residuals are ~0 and
-    // would make a degenerate codebook; duplicate-id rows would
-    // collapse it, as in kmeansCentroids); one model-sized collect
-    val rseeds: Array[Seq[Double]] = assigned
-      .filter(col("nn_id") > maxCentId)
-      .dropDuplicates("nn_id")
-      .orderBy(col("nn_id")).limit(codes)
-      .select(col("__res")).collect().map(_.getSeq[Double](0))
-    require(rseeds.length == codes, s"$what: corpus smaller than ${nCells + codes} vectors")
+    require(seedRows.length == nCells + codes,
+      s"$what: corpus smaller than ${nCells + codes} vectors")
+    // driver-side argmax through the shared kernel (k=1): same double
+    // fold sequence and (cc, negCell) tie rule as the distributed path
+    val kernel = new graft.functions.CentroidKernel(
+      cents.map(_._1), flatCentFloats(cents, dim), dim, 1)
+    val centByCell = cents.toMap
+    val rseeds: Array[Seq[Double]] = seedRows.drop(nCells).map { case (rid, rv) =>
+      require(rv != null && rv.length == dim,
+        s"$what: residual seed id=$rid has dim ${if (rv == null) -1 else rv.length}, expected $dim")
+      val best = kernel.topK(new org.apache.spark.sql.catalyst.util.GenericArrayData(rv.toArray))
+      val cell = -best.getStruct(0, 2).getLong(1)
+      val cv = centByCell(cell)
+      rv.indices.map(i => rv(i).toDouble - cv(i).toDouble)
+    }
     val rcb: Array[Array[Seq[Double]]] =
       Array.tabulate(m, codes)((mi, j) => rseeds(j).slice(mi * sub, (mi + 1) * sub))
-    (IvfPqModel(cents, rcb, m, sub, codes), assigned)
+    (IvfPqModel(cents, rcb, m, sub, codes),
+      ivfPqAssign(corpus, idCol, vecCol, cents))
+  }
+
+  private def flatCentFloats(cents: Array[(Long, Seq[Float])], dim: Int): Array[Float] = {
+    val out = new Array[Float](cents.length * dim)
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)._2
+      var i = 0
+      while (i < dim) { out(j * dim + i) = cv(i); i += 1 }
+      j += 1
+    }
+    out
   }
 
   /** Encode assigned residuals to `m` codes: map-side arg-min L2 folds
@@ -980,13 +1019,27 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (model, assigned) = trainIvfPq(corpus, idCol, vecCol, nCells, m, codes, "buildIvfPqIndex")
-    saveCentroids(model.cents, s"$path/centroids", spark)
-    model.rcb.zipWithIndex.flatMap { case (row, mi) =>
-      row.zipWithIndex.map { case (cv, j) => (mi, j, cv) }
-    }.toSeq.toDF("mi", "j", "subvec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // the two model-sized writes are independent of the corpus-sized
+    // encode write: overlap them so their job tails back-fill the encode
+    // stage's idle cores (guide §2.6) instead of running serially after it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val modelWrites = Future {
+      saveCentroids(model.cents, s"$path/centroids", spark)
+      model.rcb.zipWithIndex.flatMap { case (row, mi) =>
+        row.zipWithIndex.map { case (cv, j) => (mi, j, cv) }
+      }.toSeq.toDF("mi", "j", "subvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+    // one writer per cell (the writeBands discipline): without the
+    // repartition every map task writes a file per cell it sees — up to
+    // tasks × nCells small files per build, paid again by every pruned
+    // query read
     ivfPqEncode(assigned, model)
+      .repartition(nCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    Await.result(modelWrites, Duration.Inf)
   }
 
   /** Incremental index maintenance — the dense twin of
@@ -1015,6 +1068,10 @@ object Similarity {
     val model = loadIvfPqModel(spark, path)
     val assigned = ivfPqAssign(delta, idCol, vecCol, model.cents)
     ivfPqEncode(assigned, model)
+      // one file per touched cell per append (writeBands discipline) —
+      // daily deltas otherwise degrade the pruned read to a small-file
+      // storm at tasks × cells files per append
+      .repartition(model.cents.length, col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 

@@ -117,6 +117,12 @@ object Training {
                          dim: Int, epochs: Int, lr: Double, exact: Boolean): Seq[Array[Double]] = {
     require(dim >= 1, s"Training: dim must be >= 1, got $dim")
     require(epochs >= 1, s"Training: epochs must be >= 1, got $epochs")
+    // materialize the (id, vec, label) projection ONCE: the stats pass
+    // plus every epoch's gradient re-ran the full upstream pipeline
+    // (scan, fan-out repartition, any feature derivation) per pass —
+    // epochs+1 corpus pipelines for one training run (r16, guide §2.4;
+    // the standard cache-the-training-set discipline)
+    val tdf = Materialize(df.select(col(idCol), col(vecCol), col(labelCol)))
     val y = col(labelCol).cast("double")
     // ONE stats pass: row count, null labels/vectors, null ELEMENTS
     // inside vectors — all of which would silently damp the fast path's
@@ -124,7 +130,7 @@ object Training {
     // (Empty-frame totality for the IR validator lives in
     // Engine.validate's train-logistic stub, not here: an empty
     // PRODUCTION training frame is a loud error, not a zero model.)
-    val Array(st) = df.agg(
+    val Array(st) = tdf.agg(
       count(lit(1)), count(col(labelCol)), count(col(vecCol)),
       count(when(exists(col(vecCol), x => x.isNull), 1))).collect()
     val n = st.getLong(0)
@@ -136,8 +142,8 @@ object Training {
     var w = Array.fill(dim + 1)(0.0)
     val trace = Seq.newBuilder[Array[Double]]
     for (_ <- 1 to epochs) {
-      val g = if (exact) gradientExact(df, idCol, vecCol, y, w, n)
-              else gradientFast(df, vecCol, y, w, n)
+      val g = if (exact) gradientExact(tdf, idCol, vecCol, y, w, n)
+              else gradientFast(tdf, vecCol, y, w, n)
       w = w.zip(g).map { case (wi, gi) => wi - lr * gi }
       trace += w
     }

@@ -67,6 +67,21 @@ class NgramLmSpec extends AnyFunSuite {
     assert(v == corpus.flatMap(c => refToks(c._2)).distinct.size + 1L)
   }
 
+  test("vocabSizeFromCounts == vocabSize at n=1,2,3 incl empty docs; empty corpus floors at 1") {
+    val s = spark; import s.implicits._
+    // include a token-less and a null-text doc: they contribute no tokens
+    // but must not shift V under either derivation
+    val weird = (corpus.map(c => (c._1, c._2)) ++
+      Seq((6L, ""), (7L, null: String))).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val fromCounts = NgramLm.vocabSizeFromCounts(NgramLm.trainCounts(weird, "text", n))
+      assert(fromCounts == NgramLm.vocabSize(weird, "text"), s"n=$n")
+    }
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(NgramLm.vocabSizeFromCounts(NgramLm.trainCounts(empty, "text", 2)) == 1L)
+    assert(NgramLm.vocabSize(empty, "text") == 1L)
+  }
+
   test("score == in-memory reference for n = 1, 2, 3 (bit-exact doubles)") {
     for (n <- Seq(1, 2, 3)) {
       val counts = NgramLm.trainCounts(docsDf, "text", n)

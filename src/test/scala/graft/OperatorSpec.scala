@@ -314,6 +314,17 @@ class OperatorSpec extends AnyFunSuite {
     val rand = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
       .filter { case (a, b) => a != b }.toDF("id1", "id2")
     assert(toMap(Dedup.clusterPairsStar(rand)) == toMap(Dedup.clusterPairs(rand)))
+    // r16: the star face now ALSO takes the adaptive union-find path on
+    // small graphs — pin the forced-iterative rounds (threshold 0)
+    // against the union-find default and against clusterPairs, on a
+    // graph mixing chains, forests, self-pairs and singleton ids
+    val mixed = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 9L), (7L, 8L)) ++
+      Seq.fill(60)((rng.nextInt(40).toLong, rng.nextInt(40).toLong)))
+      .toDF("id1", "id2")
+    val viaUf = toMap(Dedup.clusterPairsStar(mixed))
+    val viaRounds = toMap(Dedup.clusterPairsStar(mixed, onePartitionThreshold = 0L))
+    assert(viaUf == viaRounds, "union-find and star-round labels diverged")
+    assert(viaUf == toMap(Dedup.clusterPairs(mixed)))
   }
 
   test("clusterPairsStar: diameter-independent — a 200-hop chain converges in O(log) rounds") {
@@ -324,7 +335,9 @@ class OperatorSpec extends AnyFunSuite {
     // default 20-round cap. Star contraction's rounds grow with log of
     // component SIZE, so 12 rounds is ample for 200 nodes.
     val chain = (1L to 200L).map(i => (i, i + 1)).toDF("id1", "id2").repartition(7)
-    assert(Dedup.clusterPairsStar(chain, maxIters = 12)
+    // threshold 0 forces the ITERATIVE star rounds (the default would
+    // take the r16 union-find path and never exercise them)
+    assert(Dedup.clusterPairsStar(chain, maxIters = 12, onePartitionThreshold = 0L)
       .collect().map(_.getLong(1)).toSet == Set(1L))
     assertThrows[IllegalStateException] {
       Dedup.clusterPairs(chain, maxIters = 20, onePartitionThreshold = 0L).collect()
@@ -339,6 +352,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.clusterPairsStar(selfy).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
     assert(Dedup.clusterPairsStar(Seq.empty[(Long, Long)].toDF("id1", "id2")).isEmpty)
+    // same pins through the forced-iterative rounds (r16 adaptive path)
+    assert(Dedup.clusterPairsStar(selfy, onePartitionThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    assert(Dedup.clusterPairsStar(Seq.empty[(Long, Long)].toDF("id1", "id2"),
+      onePartitionThreshold = 0L).isEmpty)
   }
 
   test("multiset MinHash: repetition counts — weighted relation separates what the set relation cannot") {

@@ -59,6 +59,39 @@ class QualityJoinsSpec extends AnyFunSuite {
     assert(keep(ok) == 1L)
   }
 
+  test("gopherSignals: r16 bindOnce form — full struct equals unbound per-signal recomputation") {
+    val s = spark
+    import s.implicits._
+    // adversarial rows for the let-binding rewrite: null text, empty,
+    // whitespace-only, heavy repetition, a long varied doc, unicode
+    val rows = Seq("", "   ", Seq.fill(30)("spam").mkString(" "),
+      "the quick brown fox jumps over the lazy dog " * 4,
+      "café naïve résumé tokens with accents and 123 numbers mixed in " +
+        "plus more ordinary words to clear the minimum length rule set",
+      null: String).toDF("text")
+    val got = rows.select(Quality.gopherSignals(col("text")).as("g")).collect()
+    // unbound reference: each signal computed independently (the pre-r16
+    // shape, field by field)
+    val toks = graft.functions.Text.tokens(col("text"))
+    val ref = rows.select(
+      size(toks).cast("long"), Quality.meanWordLength(toks),
+      Quality.alphaWordFraction(toks), Quality.stopwordCount(toks),
+      Quality.topNgramCharFraction(toks, 2), Quality.dupNgramCharFraction(toks, 3)
+    ).collect()
+    got.zip(ref).foreach { case (g, r) =>
+      val st = g.getStruct(0)
+      assert(st.isNullAt(0) == r.isNullAt(0) &&
+        (st.isNullAt(0) || st.getLong(0) == r.getLong(0)), "n_words")
+      Seq((1, "mean_word_len"), (2, "alpha_frac"), (4, "top2_frac"), (5, "dup3_frac"))
+        .foreach { case (i, nm) =>
+          assert(st.isNullAt(i) == r.isNullAt(i) &&
+            (st.isNullAt(i) || st.getDouble(i) == r.getDouble(i)), nm)
+        }
+      assert(st.isNullAt(3) == r.isNullAt(3) &&
+        (st.isNullAt(3) || st.getLong(3) == r.getLong(3)), "stop_hits")
+    }
+  }
+
   test("bpeTokenCount: letter/digit/punct runs with leading-space folding") {
     def n(t: String): Long =
       one(t).select(Text.bpeTokenCount(col("text"))).collect().head.getLong(0)
