@@ -250,7 +250,8 @@ object QueriesSources {
         |       event_type || ',u' || CAST(user_id % 10 AS VARCHAR) AS tags_str
         |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val ev = Tables.events(s, dir).select(
+      // fanOut=false: the groupByKey exchange below re-partitions anyway
+      val ev = Tables.events(s, dir, fanOut = false).select(
         col("eventId"), col("time"), col("host"), col("service"),
         col("state"), col("metric"), col("ttl"), col("description"), col("tags"))
       val streams = ev
@@ -308,7 +309,7 @@ object QueriesSources {
         |       CAST(floor(value * 1000) AS BIGINT) AS metric
         |FROM events ORDER BY trace_id, span_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val payloads = Tables.eventsRaw(s, dir)
+      val payloads = Tables.eventsRaw(s, dir, fanOut = false)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("(ts div 1000) * 1000").as("start_ns"),
           floor(col("value") * 1000).cast("long").as("dur"),
@@ -372,7 +373,7 @@ object QueriesSources {
       // request's service (k % 5) — the x10 scale probe showed the
       // 5-group encode serializing (8.9x at x10 data) while the decode
       // side is per-split; this is builder parallelism, same oracle
-      val payloads = Tables.eventsRaw(s, dir)
+      val payloads = Tables.eventsRaw(s, dir, fanOut = false)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("(ts div 1000) * 1000").as("t_ns"), col("value"))
         .groupByKey(r => r.getAs[Long]("user_id") % 40)
@@ -446,7 +447,7 @@ object QueriesSources {
     // distributed byte-level decode → the SAME gated Column mapping).
     register("otlp_logs_wire_decode", otlpLogsOracleSql) { (s, dir) =>
       import s.implicits._
-      val payloads = Tables.eventsRaw(s, dir)
+      val payloads = Tables.eventsRaw(s, dir, fanOut = false)
         .select(col("event_id"), col("user_id"),
           expr("(ts div 1000) * 1000").as("t_ns"), col("props"))
         .groupByKey(r => r.getAs[Long]("user_id") % 40)
@@ -597,7 +598,8 @@ object QueriesSources {
         |       (epoch_ns(ts) // 1000000) * 1000000 AS time
         |FROM events ORDER BY eid""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val ev = Tables.events(s, dir)
+      // fanOut=false: the groupByKey exchange below re-partitions anyway
+      val ev = Tables.events(s, dir, fanOut = false)
         .select(col("eventId"), col("time"), col("host"), col("service"), col("metric"))
       val payloads = ev
         .groupByKey(_.getAs[String]("host"))

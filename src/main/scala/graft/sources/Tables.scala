@@ -74,8 +74,18 @@ object Tables {
     * time zone is pinned UTC by every entrypoint, matching DuckDB's
     * UTC-naive `epoch_ns`.
     */
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = fact(spark, sfDir, "events")
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir, fanOut = true)
+
+  /** `fanOut = false` skips the small-scan fan-out guard: for consumers
+    * whose FIRST operation is a key exchange (the wire-encode harnesses'
+    * `groupByKey`), the guard's round-robin shuffle is paid and then
+    * immediately re-partitioned away by the key exchange — pure overhead
+    * on under-split local inputs, a no-op at production split counts.
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String, fanOut: Boolean): DataFrame = {
+    val df = if (fanOut) fact(spark, sfDir, "events")
+             else table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case LongType => df
       case TimestampNTZType | TimestampType =>
@@ -96,7 +106,11 @@ object Tables {
     * [[graft.OracleViews.EventsView]].
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    eventsRaw(spark, sfDir).select(
+    events(spark, sfDir, fanOut = true)
+
+  /** See [[eventsRaw]] on `fanOut = false` (pre-key-exchange consumers). */
+  def events(spark: SparkSession, sfDir: String, fanOut: Boolean): DataFrame =
+    eventsRaw(spark, sfDir, fanOut).select(
       col("event_id").as("eventId"),
       // µs-aligned ns: DuckDB (the correctness oracle) reads parquet
       // TIMESTAMP(NANOS) at µs precision, so the canonical view pins the
