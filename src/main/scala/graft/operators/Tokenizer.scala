@@ -161,7 +161,8 @@ object Tokenizer {
     *
     * Per pass: ONE pair-count aggregate, one model-sized top-K collect in
     * the exact sequential-argmax order (cnt DESC, left ASC, right ASC),
-    * two model-sized neighbor-bound aggregates, then a single map-only
+    * ONE neighbor-bound aggregate (pre-filtered to candidate-touching
+    * triples, both bound families in one job), then a single map-only
     * merge pass that applies the whole selected batch in rank order.
     *
     * Why the batch reproduces sequential training bit-for-bit — the two
@@ -203,13 +204,15 @@ object Tokenizer {
     *     symbol BY being merged — at which point (a,b) can no longer be
     *     a top pair; 30k instrumented fuzz corpora never reached the
     *     state), but it is not a theorem over arbitrary word tables, so
-    *     multi-candidate passes GUARD it: one symbol-universe membership
-    *     probe of the candidates' produced strings (a filtered distinct
-    *     over this pass's word table, candidate-set-sized collect), and
-    *     the batch is cut just before the first candidate whose produced
-    *     symbol already exists. A cut-to-one pass degrades to exactly
-    *     sequential behavior, so correctness never depends on the
-    *     assumption.
+    *     multi-candidate passes GUARD it — driver-side and job-free: a
+    *     multi-char symbol can only be live in the word table if some
+    *     earlier applied merge produced it (base units are single chars,
+    *     produced strings >= 2 chars), so membership in the applied-merge
+    *     output set is a conservative superset of "already live", and
+    *     the batch is cut after the first candidate whose produced
+    *     symbol is in that set. A conservative (or cut-to-one) pass
+    *     degrades toward exactly sequential behavior, so correctness
+    *     never depends on the assumption.
     *
     * Under those two rules, at sequential round j the argmax domain is:
     * candidates 1..j-1 (fully consumed — a left-to-right merge pass
@@ -233,8 +236,8 @@ object Tokenizer {
   /** Pass count of the most recent [[trainBpeWordsBatched]] call on this
     * JVM — probe instrumentation for the jobs-per-merge amortization
     * tables (SCALING.md), not part of the model output. Each pass is one
-    * pair-count aggregate + (for multi-candidate passes) the freshness
-    * probe and two triple-bound aggregates.
+    * pair-count aggregate + (for multi-candidate passes) the single
+    * fused triple-bound aggregate; freshness is decided driver-side.
     */
   @volatile var lastBatchedPasses: Int = 0
 
@@ -247,6 +250,10 @@ object Tokenizer {
     import spark.implicits._
     var words = Materialize.dataset(symbolize(wordFreqs))
     val merges = Seq.newBuilder[BpeMerge]
+    // every merge output applied so far — the driver-side symbol universe
+    // behind the rule-2 freshness guard (superset of the word table's
+    // live multi-char symbols; see the guard comment below)
+    val producedEver = scala.collection.mutable.HashSet.empty[String]
     var rank = 0
     var done = false
     var passes = 0
@@ -284,41 +291,42 @@ object Tokenizer {
           else {
             // rule 2 — triple bounds: per candidate pair (a,b), the max
             // weighted count over adjacent triples starting with (a,b)
-            // and ending with (a,b). One vocab-sized aggregate; the
-            // collect is restricted to a candidate-symbol superset and
-            // matched exactly on the driver by TUPLE key (no separator
+            // and ending with (a,b). ONE job for both bound families:
+            // the candidate predicate is on the triple's own key
+            // columns, so it pushes BELOW the (x,y,z) aggregate (whole
+            // groups pass or die before the exchange — the shuffle
+            // carries candidate-touching triples only, not the whole
+            // vocabulary's adjacency table), and the starting/ending
+            // bounds ride one exploded (side, l, r) max aggregate.
+            // Driver matches exactly by TUPLE key (no separator
             // ambiguity for arbitrary word tables).
             val cand = disjoint.map(t => (t._1, t._2)).toSet
             val lefts = cand.map(_._1).toSeq
             val rights = cand.map(_._2).toSeq
             val df = words.toDF()
-            // rule-2 freshness guard (see the doc comment): which of the
-            // candidates' produced symbols are ALREADY live in the word
-            // table? Map-side filtered distinct, candidate-sized collect.
-            val produced = disjoint.map(t => t._1 + t._2).distinct
-            val notFresh = df.select(explode(col("syms")).as("__s"))
-              .filter(col("__s").isin(produced: _*)).distinct()
-              .collect().map(_.getString(0)).toSet
             val n = size(col("syms"))
-            val triples = df.filter(n >= 3)
+            val bounds = df.filter(n >= 3)
               .select(col("cnt"),
                 explode(arrays_zip(
                   slice(col("syms"), lit(1), n - 2).as("x"),
                   slice(col("syms"), lit(2), n - 2).as("y"),
                   slice(col("syms"), lit(3), n - 2).as("z"))).as("t"))
+              .filter((col("t.x").isin(lefts: _*) && col("t.y").isin(rights: _*)) ||
+                (col("t.y").isin(lefts: _*) && col("t.z").isin(rights: _*)))
               .groupBy(col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"))
               .agg(sum(col("cnt")).as("tc"))
-              .transform(Materialize.apply)
-            val maxStarting = triples
-              .filter(col("x").isin(lefts: _*) && col("y").isin(rights: _*))
-              .groupBy("x", "y").agg(max("tc").as("m")).collect()
-              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+              .select(col("tc"), explode(array(
+                struct(lit(0).as("side"), col("x").as("l"), col("y").as("r")),
+                struct(lit(1).as("side"), col("y").as("l"), col("z").as("r")))).as("k"))
+              .filter(col("k.l").isin(lefts: _*) && col("k.r").isin(rights: _*))
+              .groupBy(col("k.side").as("side"), col("k.l").as("l"), col("k.r").as("r"))
+              .agg(max(col("tc")).as("m")).collect()
+            def boundMap(side: Int) = bounds.iterator
+              .filter(_.getInt(0) == side)
+              .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3))
               .filter { case (k, _) => cand(k) }.toMap
-            val maxEnding = triples
-              .filter(col("y").isin(lefts: _*) && col("z").isin(rights: _*))
-              .groupBy("y", "z").agg(max("tc").as("m")).collect()
-              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-              .filter { case (k, _) => cand(k) }.toMap
+            val maxStarting = boundMap(0)
+            val maxEnding = boundMap(1)
             // cut the prefix at the first candidate a created pair could
             // outrank or tie at its sequential round
             var createdBound = 0L
@@ -336,8 +344,17 @@ object Tokenizer {
                   // the triple bound unsound for every LATER candidate
                   // (created pairs add onto the pre-existing symbol's
                   // pairs), so the batch ends with this merge; the merge
-                  // itself is the exact argmax of its own round either way
-                  if (notFresh(l + r)) cut = true
+                  // itself is the exact argmax of its own round either
+                  // way. Freshness is decided DRIVER-SIDE, zero jobs: a
+                  // multi-char symbol can only enter the word table as
+                  // some earlier merge's output (base units are single
+                  // chars; produced strings are >= 2 chars), so the set
+                  // of merges applied so far is a superset of the live
+                  // multi-char symbols — conservative only when an old
+                  // produced symbol has since been fully consumed, and a
+                  // conservative cut just shortens the batch (still a
+                  // prefix of the sequential argmax order).
+                  if (producedEver(l + r)) cut = true
                 }
               }
             }
@@ -346,6 +363,7 @@ object Tokenizer {
         merges ++= selected.zipWithIndex.map { case ((l, r, c), j) =>
           BpeMerge(rank + j, l, r, c) }
         rank += selected.length
+        producedEver ++= selected.map { case (l, r, _) => l + r }
         val batch = selected.map { case (l, r, _) => (l, r) }
         words = Materialize.dataset(words.map { w =>
           BpeWord(batch.foldLeft(w.syms) { case (s, (a, b)) => mergePair(s, a, b) },

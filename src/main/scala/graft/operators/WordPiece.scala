@@ -95,7 +95,16 @@ object WordPiece {
     * sides are model-sized → broadcast. Output:
     * (l_sym, r_sym, cnt, score).
     */
-  def pairScores(words: Dataset[WpWord]): DataFrame = {
+  def pairScores(words: Dataset[WpWord]): DataFrame =
+    pairScoresWithUnits(words)
+      .select(col("l_sym"), col("r_sym"), col("cnt"), col("score"))
+
+  /** [[pairScores]] keeping the joined per-side unit counts (`lcnt`,
+    * `rcnt`) in the output — the batched trainer reads the dominance
+    * bound's residuals off these columns of the same top-K collect
+    * instead of running a separate unit-count probe job per pass.
+    */
+  private[operators] def pairScoresWithUnits(words: Dataset[WpWord]): DataFrame = {
     val df = words.toDF()
     val n = size(col("syms"))
     val pairs = df.filter(n >= 2)
@@ -111,7 +120,7 @@ object WordPiece {
         col("l_sym") === col("sym")).drop("sym")
       .join(broadcast(units.select(col("sym"), col("cnt").as("rcnt"))),
         col("r_sym") === col("sym")).drop("sym")
-      .select(col("l_sym"), col("r_sym"), col("cnt"),
+      .select(col("l_sym"), col("r_sym"), col("cnt"), col("lcnt"), col("rcnt"),
         (col("cnt").cast("double") /
           (col("lcnt").cast("double") * col("rcnt").cast("double"))).as("score"))
   }
@@ -232,31 +241,39 @@ object WordPiece {
     import spark.implicits._
     var words = Materialize.dataset(symbolize(wordFreqs))
     val merges = Seq.newBuilder[WpMerge]
+    // every merge output applied so far — driver-side freshness universe:
+    // a multi-raw-char symbol can only be live in the word table if an
+    // earlier applied merge produced it (base units are single raw
+    // chars), so this set is a conservative superset of "already live"
+    val producedEver = scala.collection.mutable.HashSet.empty[String]
     var rank = 0
     var done = numMerges == 0
     while (rank < numMerges && !done) {
-      // single consumer (this TakeOrdered collect) — no Materialize
+      // single consumer (this TakeOrdered collect) — no Materialize.
+      // lcnt/rcnt ride the same collect: the dominance bound's residuals
+      // read the top rows' own unit counts, no per-pass probe job.
       val topK = math.max(batchSize * 4, 64)
-      val top = pairScores(words).filter(col("cnt") >= minPairCount)
+      val top = pairScoresWithUnits(words).filter(col("cnt") >= minPairCount)
         .orderBy(col("score").desc, col("cnt").desc,
           col("l_sym").asc, col("r_sym").asc)
         .limit(topK).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5)))
       if (top.isEmpty) done = true
       else {
         val passLimit = math.min(batchSize, numMerges - rank)
         // rule 1 first, driver-side and job-free: maximal disjoint prefix
         val used = scala.collection.mutable.HashSet.empty[String]
-        val prefix = Vector.newBuilder[(String, String, Long, Double)]
+        val prefix = Vector.newBuilder[(String, String, Long, Long, Long, Double)]
         var nPre = 0
         var stop = false
         var i = 0
         while (!stop && nPre < passLimit && i < top.length) {
-          val (l, r, c, sc) = top(i)
+          val (l, r, c, lc, rc, sc) = top(i)
           val mm = mergedSym(l, r)
           if (nPre > 0 && (used(l) || used(r) || used(mm))) stop = true
           else {
-            prefix += ((l, r, c, sc)); nPre += 1
+            prefix += ((l, r, c, lc, rc, sc)); nPre += 1
             used += l; used += r; used += mm
             i += 1
           }
@@ -264,44 +281,40 @@ object WordPiece {
         val disjoint = prefix.result()
         val selected =
           if (disjoint.length <= 1)
-            disjoint.zipWithIndex.map { case ((l, r, c, sc), j) =>
+            disjoint.zipWithIndex.map { case ((l, r, c, _, _, sc), j) =>
               WpMerge(rank + j, l, r, sc, c) }
           else {
-            // rule 2 — score-dominance cut over the prefix; unit counts
-            // of the prefix's symbols feed the residual bound
-            // (model-sized collect over the vocab-sized unit table).
-            // The probe set also carries the candidates' PRODUCED
-            // symbols: like the BPE trainer's freshness guard, the
-            // dominance bound assumes a produced symbol is not already
-            // live in the word table (a pre-existing twin would add the
-            // created pair occurrences onto existing pairs' counts and
-            // unit counts, outside what the residual bound covers), so
-            // a batch is cut after admitting a merge whose produced
-            // symbol the unit table already knows — zero extra jobs,
-            // and the degraded pass is exactly sequential.
-            val candSyms = disjoint.flatMap(t => Seq(t._1, t._2)).distinct
-            val producedSyms = disjoint.map(t => mergedSym(t._1, t._2)).distinct
-            val probeSyms = (candSyms ++ producedSyms).distinct
-            val unit = unitCounts(words).filter(col("sym").isin(probeSyms: _*))
-              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            // rule 2 — score-dominance cut over the prefix; the residual
+            // bound's unit counts are the candidates' own lcnt/rcnt from
+            // the top-K collect (the SAME pre-batch unit table the join
+            // read), so the pass runs no extra job. Like the BPE
+            // trainer's freshness guard, the dominance bound assumes a
+            // produced symbol is not already live in the word table (a
+            // pre-existing twin would add the created pair occurrences
+            // onto existing pairs' counts and unit counts, outside what
+            // the residual bound covers); liveness is over-approximated
+            // driver-side by the applied-merge output set, and the batch
+            // is cut after admitting a merge whose produced symbol that
+            // set already knows — a conservative cut only shortens the
+            // batch, which stays a prefix of the sequential argmax order.
             var scoreBound = 0.0
             var cut = false
             val admitted = Vector.newBuilder[WpMerge]
             var nAdm = 0
-            disjoint.zipWithIndex.foreach { case ((l, r, c, sc), j) =>
+            disjoint.zipWithIndex.foreach { case ((l, r, c, lc, rc, sc), j) =>
               if (!cut) {
                 if (j > 0 && sc <= scoreBound) cut = true
                 else {
                   admitted += WpMerge(rank + nAdm, l, r, sc, c); nAdm += 1
                   var b = 1.0 / c.toDouble
-                  val consumed = Seq(l -> (if (l == r) 2L * c else c),
-                    r -> (if (l == r) 2L * c else c))
-                  consumed.foreach { case (sym, eaten) =>
-                    val residual = unit.getOrElse(sym, 0L) - eaten
+                  val consumed = Seq(lc -> (if (l == r) 2L * c else c),
+                    rc -> (if (l == r) 2L * c else c))
+                  consumed.foreach { case (ucnt, eaten) =>
+                    val residual = ucnt - eaten
                     if (residual > 0L) b = math.max(b, 1.0 / residual.toDouble)
                   }
                   scoreBound = math.max(scoreBound, b)
-                  if (unit.contains(mergedSym(l, r))) cut = true // freshness guard
+                  if (producedEver(mergedSym(l, r))) cut = true // freshness guard
                 }
               }
             }
@@ -309,6 +322,7 @@ object WordPiece {
           }
         merges ++= selected
         rank += selected.length
+        producedEver ++= selected.map(m => mergedSym(m.left, m.right))
         val batch = selected.map(m => (m.left, m.right))
         words = Materialize.dataset(words.map { w =>
           WpWord(batch.foldLeft(w.syms) { case (s, (a, b)) => mergeMarked(s, a, b) },
