@@ -453,10 +453,24 @@ object Streaming {
       .select(col("__doc"), col("__ts"), unix_micros(col("__ts")).as("us"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .transform(materializeForCapResolve(streaming, maxMatchesPerBucket))
     earliestOwnerMatches(banded, streaming,
       resolveMatchCap(banded.toDF(), streaming, maxMatchesPerBucket,
         nDocsFromHist = Some(bands), "nearDupWithinWatermark"))
   }
+
+  /** On the BATCH face under [[AutoMatchCap]] the keyed table has TWO
+    * consumers — the cap-resolving bucket histogram and the owner fold —
+    * so without this the whole upstream pipeline (tokenize → minhash →
+    * band → explode, or winnow/sign-bucket) runs twice per call.
+    * Materialize it once (guide §2.4); a true stream (no checkpointable
+    * blocks) or an explicit cap (single consumer) passes through.
+    */
+  private def materializeForCapResolve[T](streaming: Boolean, cap: Int)(
+      keyed: Dataset[T]): Dataset[T] =
+    if (!streaming && cap == AutoMatchCap)
+      graft.operators.Materialize.dataset(keyed)
+    else keyed
 
   /** Default-cap sentinel for the stream-twin family: a true STREAM
     * takes the fixed online per-bucket match cap
@@ -689,6 +703,7 @@ object Streaming {
       .select(col("__doc"), col("__ts"), col("us"),
         col("__s.h").as("fp"), lit("").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .transform(materializeForCapResolve(streaming, maxMatchesPerBucket))
     earliestOwnerMatches(keyed, streaming,
       resolveMatchCap(keyed.toDF(), streaming, maxMatchesPerBucket,
         nDocsFromHist = None, "winnowNearDupWithinWatermark"))
@@ -730,6 +745,7 @@ object Streaming {
         graft.operators.Similarity.signBucket(col("__vec"), bits).as("bucket"),
         lit("").as("sig"))
       .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .transform(materializeForCapResolve(streaming, maxMatchesPerBucket))
     earliestOwnerMatches(keyed, streaming,
       resolveMatchCap(keyed.toDF(), streaming, maxMatchesPerBucket,
         nDocsFromHist = Some(1), "embeddingNearDupWithinWatermark"))
