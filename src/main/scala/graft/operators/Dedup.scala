@@ -1359,8 +1359,16 @@ object Dedup {
   def clusterPairs(pairs: DataFrame, id1Col: String = "id1", id2Col: String = "id2",
                    maxIters: Int = 20, onePartitionThreshold: Long = 10000000L): DataFrame = {
     val half = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
-    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
-      .distinct().transform(Materialize.apply)
+    // the edge count (the small-graph gate input below) rides the
+    // Materialize job as an observed metric instead of a separate
+    // count() job over the checkpointed blocks — one fewer job per
+    // clustering call on both paths (guide §1.2); plain-count fallback
+    // is defensive only
+    val edgesSrc = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct().observe("graft_cp_edges", count(lit(1)).as("n"))
+    val edges = Materialize(edgesSrc)
+    def edgeCount: Long = edgesSrc.queryExecution.observedMetrics
+      .get("graft_cp_edges").map(_.getLong(0)).getOrElse(edges.count())
 
     // Adaptive small-graph path: a pair list far below cluster scale (the
     // common case — LSH pair output is tiny next to the corpus) pays more
@@ -1388,7 +1396,7 @@ object Dedup {
         case _ => false
       })
     }
-    if (integralIds && edges.count() <= onePartitionThreshold)
+    if (integralIds && edgeCount <= onePartitionThreshold)
       return unionFindLabels(edges)
     // round 1 needs no label join: labels start as the identity, so the
     // propagated label is simply min(self, min neighbor id)
@@ -1500,8 +1508,13 @@ object Dedup {
     // no checkpoint of its own needed
     val selfIds = pr.select(col("a").as("id"))
       .union(pr.select(col("b").as("id"))).distinct()
-    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
-      .distinct().transform(Materialize.apply)
+    // edge count rides the Materialize job (see [[clusterPairs]]) — no
+    // separate count() job for the small-graph gate
+    val edgesSrc = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct().observe("graft_cps_edges", count(lit(1)).as("n"))
+    val edges = Materialize(edgesSrc)
+    def edgeCount: Long = edgesSrc.queryExecution.observedMetrics
+      .get("graft_cps_edges").map(_.getLong(0)).getOrElse(edges.count())
 
     // Adaptive small-graph path ([[clusterPairs]]' rule, shared kernel):
     // far below cluster scale the star rounds pay more in per-round job
@@ -1516,7 +1529,7 @@ object Dedup {
       })
     }
     val labels =
-      if (integralIds && edges.count() <= onePartitionThreshold)
+      if (integralIds && edgeCount <= onePartitionThreshold)
         unionFindLabels(edges)
       else {
         var cur = edges
