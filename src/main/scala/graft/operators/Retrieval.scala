@@ -189,6 +189,19 @@ object Retrieval {
     require(nBuckets >= 1, s"buildBm25Index: nBuckets must be >= 1, got $nBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // text-free corpus count, launched BEFORE the corpus-sized postings
+    // write so the two scans overlap (guide §2.6); fused with the
+    // duplicate-id probe (ONE id-column agg, no extra pass) — docStats'
+    // postings-derived token mass is value-identical to the tokenize
+    // pass only for unique-id corpora (r16 "What's wrong" #3), so a
+    // duplicate-id build warns loudly instead of silently hardening
+    // that contract into different avgdl arithmetic
+    val statsF = Future {
+      docs.agg(count(lit(1)), count_distinct(col(idCol))).head()
+    }
     postings(docs, idCol, textCol)
       .select(col(idCol).as("id"), col("__dl").as("dl"), col("term"), col("tf"),
         pmod(Text.md5Hash64(col("term")), lit(nBuckets.toLong)).as("termbucket"))
@@ -201,9 +214,6 @@ object Retrieval {
     // scan each, no corpus re-pass — the meta pass was a second full
     // TOKENIZE of the corpus before r16, guide §2.4) and are independent
     // of each other: overlap their jobs (guide §2.6)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val dfWrite = Future {
       spark.read.parquet(s"$path/postings")
         .groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
@@ -213,8 +223,14 @@ object Retrieval {
         .option("parquet.bloom.filter.expected.ndv#term", "1000000")
         .partitionBy("termbucket").parquet(s"$path/df")
     }
-    val n = docs.count()
     val tot = docStats(spark.read.parquet(s"$path/postings").select("id", "dl"))
+    val stats = Await.result(statsF, Duration.Inf)
+    val (n, nDistinct) = (stats.getLong(0), stats.getLong(1))
+    if (nDistinct != n)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Retrieval").warn(
+        s"buildBm25Index: $n docs but only $nDistinct distinct '$idCol' values — " +
+          "duplicate ids are outside the index contract (same-id docs merge in the " +
+          "postings and avgdl drifts from the per-document mean); dedup the corpus first")
     Seq((n, tot, nBuckets.toLong))
       .toDF("n_docs", "total_len", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -257,21 +273,37 @@ object Retrieval {
                       path: String): Unit = {
     val spark = delta.sparkSession
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     recoverBm25Compaction(spark, path)
+    // text-free delta count fused with the duplicate-id probe (see
+    // buildBm25Index), launched before everything else: it only needs
+    // the delta scan, so it overlaps the meta read AND the delta
+    // postings checkpoint (guide §2.6)
+    val statsF = Future {
+      delta.agg(count(lit(1)), count_distinct(col(idCol))).head()
+    }
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("n_docs").cast("long"), col("total_len").cast("long"),
         col("n_buckets").cast("long")).head()
     val (n0, tot0, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getLong(2).toInt)
-    val post = postings(delta, idCol, textCol)
+    // the touched-bucket set rides the checkpoint job as an observed
+    // metric (≤ nBuckets values) instead of a separate distinct+collect
+    // job over the blocks (guide §1.2; the clusterPairs edge-count
+    // pattern). Fallback to the plain job if the metric is absent.
+    val postSrc = postings(delta, idCol, textCol)
       .select(col(idCol).as("id"), col("__dl").as("dl"), col("term"), col("tf"),
         pmod(Text.md5Hash64(col("term")), lit(nBuckets.toLong)).as("termbucket"))
-      .localCheckpoint()
-    // the postings append and the df merge both read only the
-    // checkpointed `post` blocks (and the OLD df files respectively) —
-    // independent writes, overlapped (guide §2.6)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+      .observe("graft_bm25_touched", collect_set(col("termbucket")).as("tb"))
+    val post = postSrc.localCheckpoint()
+    // after the checkpoint, FOUR independent chains read only the `post`
+    // blocks (plus the OLD df files / the delta scan respectively): the
+    // postings append, the touched-bucket df merge, the delta stats and
+    // the token mass. Run them all concurrently instead of serially —
+    // the store protocol's cost is its job count, not any hot stage
+    // (guide §1.2 / §2.6; r16 profile: ~50 sub-0.4 s jobs per
+    // build+append+query cycle)
     val postingsAppend = Future {
       post.repartition(nBuckets, col("termbucket"))
         .write.mode("append")
@@ -279,28 +311,38 @@ object Retrieval {
         .option("parquet.bloom.filter.expected.ndv#term", "1000000")
         .partitionBy("termbucket").parquet(s"$path/postings")
     }
-    val deltaDf = post.groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
-    val touched = deltaDf.select("termbucket").distinct().collect().map(_.getLong(0))
-    val merged = spark.read.parquet(s"$path/df")
-      .filter(col("termbucket").isin(touched: _*))
-      .select(col("termbucket"), col("term"), col("df"))
-      .union(deltaDf.select(col("termbucket"), col("term"), col("df")))
-      .groupBy("termbucket", "term").agg(sum(col("df")).cast("long").as("df"))
-      .localCheckpoint() // breaks lineage to the files the write replaces
-    merged.repartition(math.max(touched.length, 1), col("termbucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .option("parquet.bloom.filter.enabled#term", "true")
-      .option("parquet.bloom.filter.expected.ndv#term", "1000000")
-      .partitionBy("termbucket").parquet(s"$path/df")
-    // meta delta from a text-free count + the already-checkpointed delta
-    // postings' dl column (was a second tokenize pass over the delta)
-    val nDelta = delta.count()
+    val dfMerge = Future {
+      val deltaDf = post.groupBy("termbucket", "term").agg(count(lit(1)).as("df"))
+      val touched = postSrc.queryExecution.observedMetrics.get("graft_bm25_touched")
+        .map(_.getSeq[Long](0).toArray)
+        .getOrElse(deltaDf.select("termbucket").distinct().collect().map(_.getLong(0)))
+      val merged = spark.read.parquet(s"$path/df")
+        .filter(col("termbucket").isin(touched: _*))
+        .select(col("termbucket"), col("term"), col("df"))
+        .union(deltaDf.select(col("termbucket"), col("term"), col("df")))
+        .groupBy("termbucket", "term").agg(sum(col("df")).cast("long").as("df"))
+        .localCheckpoint() // breaks lineage to the files the write replaces
+      merged.repartition(math.max(touched.length, 1), col("termbucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option("parquet.bloom.filter.expected.ndv#term", "1000000")
+        .partitionBy("termbucket").parquet(s"$path/df")
+    }
+    // meta delta from the overlapped text-free count + the checkpointed
+    // delta postings' dl column (was a second tokenize pass pre-r16)
     val totDelta = docStats(post.select("id", "dl"))
+    val stats = Await.result(statsF, Duration.Inf)
+    val (nDelta, nDistinct) = (stats.getLong(0), stats.getLong(1))
+    if (nDistinct != nDelta)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Retrieval").warn(
+        s"appendBm25Index: $nDelta delta docs but only $nDistinct distinct '$idCol' " +
+          "values — duplicate ids are outside the index contract; dedup the delta first")
     Seq((n0 + nDelta, tot0 + totDelta, nBuckets.toLong))
       .toDF("n_docs", "total_len", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     Await.result(postingsAppend, Duration.Inf)
+    Await.result(dfMerge, Duration.Inf)
   }
 
   /** Offline compaction after many [[appendBm25Index]] deltas — the
@@ -378,6 +420,24 @@ object Retrieval {
                      idf: Long => Column => Column = rationalIdf): DataFrame = {
     require(k >= 1, s"queryBm25Index: k must be >= 1, got $k")
     recoverBm25Compaction(spark, path)
+    // the query-term tokenize/materialize does not depend on meta (the
+    // bucket recipe is applied AFTER, as a cheap projection over the
+    // materialized blocks), so it overlaps the meta read (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qtF = Future {
+      // the distinct term HASHES ride the materialize job as an observed
+      // metric (query-batch-vocabulary-sized); buckets are derived
+      // driver-side once meta's recipe arrives — no separate
+      // distinct+collect job (guide §1.2)
+      val src = queries
+        .select(col(qIdCol).as("query_id"),
+          explode(array_distinct(Text.tokens(col(qTextCol)))).as("term"))
+        .distinct()
+        .observe("graft_bm25_qhashes", collect_set(Text.md5Hash64(col("term"))).as("h"))
+      (Materialize(src), src)
+    }
     val metaRows = spark.read.parquet(s"$path/meta")
       .select(col("n_docs").cast("long"), col("total_len").cast("long"),
         col("n_buckets").cast("long")).collect()
@@ -385,13 +445,14 @@ object Retrieval {
     val (n, tot, nBuckets) =
       (metaRows.head.getLong(0), metaRows.head.getLong(1), metaRows.head.getLong(2))
     val avgdl = tot.toDouble / n
-    val qt = Materialize(queries
-      .select(col(qIdCol).as("query_id"),
-        explode(array_distinct(Text.tokens(col(qTextCol)))).as("term"))
-      .distinct()
-      .withColumn("termbucket", pmod(Text.md5Hash64(col("term")), lit(nBuckets))))
-    // distinct buckets: ≤ n_buckets driver-side values
-    val touched = qt.select("termbucket").distinct().collect().map(_.getLong(0))
+    val (qt, qtSrc) = Await.result(qtF, Duration.Inf)
+    // distinct buckets: ≤ n_buckets driver-side values (pmod twin:
+    // floorMod matches pmod for the positive bucket count)
+    val touched = qtSrc.queryExecution.observedMetrics.get("graft_bm25_qhashes")
+      .map(_.getSeq[Long](0).map(h => java.lang.Math.floorMod(h, nBuckets)).distinct.toArray)
+      .getOrElse(qt
+        .select(pmod(Text.md5Hash64(col("term")), lit(nBuckets)).as("termbucket"))
+        .distinct().collect().map(_.getLong(0)))
     val dfq = spark.read.parquet(s"$path/df")
       .filter(col("termbucket").isin(touched: _*))
       .join(broadcast(qt.select("term").distinct()), "term")
