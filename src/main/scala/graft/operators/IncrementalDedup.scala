@@ -155,17 +155,15 @@ object IncrementalDedup {
     }
   }
 
-  /** The store scan pruned to the delta's touched sig buckets. */
+  /** The store scan pruned to the delta's touched sig buckets (a
+    * driver-side list of at most nBuckets values, independent of both
+    * corpus and delta size).
+    */
   private def prunedStore(spark: SparkSession, path: String,
-                          deltaBands: DataFrame,
-                          excludeBatch: Option[Long]): DataFrame = {
-    // distinct sigbucket values: at most nBuckets rows — a driver-side
-    // constant independent of both corpus and delta size
-    val touched = deltaBands.select(col("sigbucket")).distinct()
-      .collect().map(_.getLong(0))
+                          touched: Array[Long],
+                          excludeBatch: Option[Long]): DataFrame =
     readBands(spark, path, excludeBatch)
       .filter(col("sigbucket").isin(touched: _*))
-  }
 
   /** Per delta id, the smallest colliding store id (`id`, `dup_of`) —
     * only ids WITH a collision appear.
@@ -174,7 +172,16 @@ object IncrementalDedup {
                 path: String, excludeBatch: Option[Long] = None): DataFrame = {
     val spark = delta.sparkSession
     val meta = readMeta(spark, path)
-    val dBands = Materialize(bandsWithBucket(delta, textCol, idCol, meta))
+    // the touched-bucket set rides the Materialize job as an observed
+    // metric (≤ nBuckets values) instead of a separate distinct+collect
+    // job over the blocks (guide §1.2; r17 — fallback job kept defensive)
+    val dBandsSrc = bandsWithBucket(delta, textCol, idCol, meta)
+      .observe("graft_dedup_touched", collect_set(col("sigbucket")).as("sb"))
+    val dBands = Materialize(dBandsSrc)
+    val touched = dBandsSrc.queryExecution.observedMetrics.get("graft_dedup_touched")
+      .map(_.getSeq[Long](0).toArray)
+      .getOrElse(dBands.select(col("sigbucket")).distinct()
+        .collect().map(_.getLong(0)))
     // collapse the pruned store slice to ONE row per (band, sig) BEFORE
     // the join: dup_of only needs the smallest colliding store id, and
     // min over a union of buckets == min over per-bucket minima — so a
@@ -184,7 +191,7 @@ object IncrementalDedup {
     // partition-pruned scan the probe already pays; without it the
     // store×delta bucket product is the same quadratic blow-up the
     // lshCandidates guard exists for, resurfacing in the probe join.
-    val owners = prunedStore(spark, path, dBands, excludeBatch)
+    val owners = prunedStore(spark, path, touched, excludeBatch)
       .groupBy(col("band"), col("sig")).agg(min(col("id")).as("__owner"))
     owners.as("s")
       .join(dBands.as("d"),

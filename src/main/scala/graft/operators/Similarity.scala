@@ -1075,14 +1075,21 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
-  /** Load the model half of a persisted index (two small reads). */
+  /** Load the model half of a persisted index (two small reads —
+    * independent, overlapped: each is a sub-100 ms collect, and the
+    * query face sits at the per-job floor, guide §2.6).
+    */
   def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
                      path: String): IvfPqModel = {
-    val cents = loadCentroids(spark, s"$path/centroids")
-    require(cents.nonEmpty, s"loadIvfPqModel: empty centroids at $path")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centsF = Future { loadCentroids(spark, s"$path/centroids") }
     val cb = spark.read.parquet(s"$path/codebooks")
       .select(col("mi").cast("int"), col("j").cast("int"), col("subvec"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    val cents = Await.result(centsF, Duration.Inf)
+    require(cents.nonEmpty, s"loadIvfPqModel: empty centroids at $path")
     require(cb.nonEmpty, s"loadIvfPqModel: empty codebooks at $path")
     val m = cb.keys.map(_._1).max + 1
     val codes = cb.keys.map(_._2).max + 1
@@ -1100,9 +1107,16 @@ object Similarity {
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int, nProbe: Int = 4): DataFrame = {
     val model = loadIvfPqModel(spark, path)
-    val probes = Materialize(ivfPqProbes(queries, idCol, vecCol, model, nProbe))
-    val probedCells: Array[Long] = probes.select(col("cell").cast("long"))
-      .distinct().collect().map(_.getLong(0))
+    // the probed-cell set rides the Materialize job as an observed
+    // metric (≤ queries×nProbe values) instead of a separate
+    // distinct+collect job over the blocks (guide §1.2; r17)
+    val probesSrc = ivfPqProbes(queries, idCol, vecCol, model, nProbe)
+      .observe("graft_ivfpq_cells", collect_set(col("cell").cast("long")).as("c"))
+    val probes = Materialize(probesSrc)
+    val probedCells: Array[Long] = probesSrc.queryExecution.observedMetrics
+      .get("graft_ivfpq_cells").map(_.getSeq[Long](0).toArray)
+      .getOrElse(probes.select(col("cell").cast("long"))
+        .distinct().collect().map(_.getLong(0)))
     val enc = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probedCells: _*))
       .withColumn("cell", col("cell").cast("long"))
@@ -1297,31 +1311,48 @@ object Similarity {
     val model = opqTrain(corpus, idCol, vecCol, m, codes, iters)
     val dim = model.d
     val sub = dim / m
-    model.rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
-      .toSeq.toDF("i", "row").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/rotation")
-    model.codebooks.zipWithIndex.flatMap { case (cbMi, mi) =>
-      cbMi.zipWithIndex.map { case (cv, j) => (mi, j, cv.toSeq) }
-    }.toSeq.toDF("mi", "j", "subvec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // the two model-sized writes are independent of the corpus-sized
+    // encode write: overlap them (guide §2.6 — the buildIvfPqIndex
+    // discipline, applied here in r17)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val modelWrites = Future {
+      model.rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+        .toSeq.toDF("i", "row").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/rotation")
+      model.codebooks.zipWithIndex.flatMap { case (cbMi, mi) =>
+        cbMi.zipWithIndex.map { case (cv, j) => (mi, j, cv.toSeq) }
+      }.toSeq.toDF("mi", "j", "subvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+    }
     val y = graft.functions.PcaKernels.affineProject(col(vecCol),
       model.rotation.flatten, new Array[Double](dim), dim)
     corpus.select(col(idCol).as("nn_id") +:
         (0 until m).map(mi => opqCodeOf(y, mi, sub, model.codebooks(mi)).as(s"__c$mi")): _*)
       .write.mode("overwrite").parquet(s"$path/codes")
+    Await.result(modelWrites, Duration.Inf)
     model
   }
 
-  /** Load the model half of a persisted OPQ index (two small reads). */
+  /** Load the model half of a persisted OPQ index (two small reads —
+    * independent, overlapped like [[loadIvfPqModel]]'s, guide §2.6).
+    */
   def loadOpqModel(spark: org.apache.spark.sql.SparkSession,
                    path: String): OpqModel = {
-    val rot = spark.read.parquet(s"$path/rotation")
-      .select(col("i").cast("int"), col("row"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    require(rot.nonEmpty, s"loadOpqModel: empty rotation at $path")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rotF = Future {
+      spark.read.parquet(s"$path/rotation")
+        .select(col("i").cast("int"), col("row"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    }
     val cb = spark.read.parquet(s"$path/codebooks")
       .select(col("mi").cast("int"), col("j").cast("int"), col("subvec"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val rot = Await.result(rotF, Duration.Inf)
+    require(rot.nonEmpty, s"loadOpqModel: empty rotation at $path")
     require(cb.nonEmpty, s"loadOpqModel: empty codebooks at $path")
     val m = cb.keys.map(_._1).max + 1
     val codes = cb.keys.map(_._2).max + 1

@@ -69,11 +69,20 @@ object SubstringStore {
     require(minLen >= 1, s"writeStore: minLen must be >= 1, got $minLen")
     require(nBuckets >= 1, s"writeStore: nBuckets must be >= 1, got $nBuckets")
     val meta = StoreMeta(minLen, nBuckets)
-    writeHashes(windows(df, textCol, idCol, meta), path, nBuckets, "overwrite")
+    // the recipe row is independent of the corpus-sized hashes write:
+    // overlap the two jobs (guide §2.6 — the IncrementalDedup.writeStore
+    // discipline, applied here in r17)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((minLen.toLong, nBuckets.toLong)).toDF("min_len", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val metaWrite = Future {
+      Seq((minLen.toLong, nBuckets.toLong)).toDF("min_len", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+    writeHashes(windows(df, textCol, idCol, meta), path, nBuckets, "overwrite")
+    Await.result(metaWrite, Duration.Inf)
   }
 
   /** Read the pinned window recipe; fails loudly on a missing store. */
