@@ -5601,10 +5601,16 @@ object QueriesPipeline {
           .trainBpeWordsBatched(words, rounds, 2L)
           .orderBy("rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        val rankOf = merges.zipWithIndex.toMap
-        words.select(col("word")).as[String]
-          .map(w => (w, graft.operators.Tokenizer.encodeWord(w, rankOf).mkString(" ")))
-          .toDF("word", "pieces")
+        // r17: the per-word rank-priority merge runs inside WholeStage-
+        // Codegen via SubwordEncode (no DeserializeToObject row
+        // boundary); gate words are lowercase-alnum corpus tokens, so
+        // the kernel's tokenize wrapper is the identity on them and the
+        // emitted pieces are bit-identical to the Dataset.map form
+        val B = org.apache.spark.sql.graft.Bridge
+        words.select(col("word"),
+          array_join(B.column(graft.functions.SubwordEncode(
+            B.expression(col("word")),
+            new graft.functions.BpeEncodeKernel(merges))), " ").as("pieces"))
           .orderBy("word")
       }
     }
@@ -5667,15 +5673,18 @@ object QueriesPipeline {
            |QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
            |ORDER BY word""".stripMargin) { (s, dir) =>
         import s.implicits._
-        val rankOf = merges.zipWithIndex.toMap
         val words = graft.operators.Tokenizer.wordCounts(docs(s, dir), "text")
           .filter(length(col("word")).between(1, 12))
           .select("word")
           .unionByName(synth.toDF("word"))
           .distinct()
-        words.as[String]
-          .map(w => (w, graft.operators.Tokenizer.encodeWord(w, rankOf).mkString(" ")))
-          .toDF("word", "pieces")
+        // r17: codegen encode (see bpe_encode) — gate words are
+        // lowercase-alnum, kernel output bit-identical to Dataset.map
+        val B = org.apache.spark.sql.graft.Bridge
+        words.select(col("word"),
+          array_join(B.column(graft.functions.SubwordEncode(
+            B.expression(col("word")),
+            new graft.functions.BpeEncodeKernel(merges))), " ").as("pieces"))
           .orderBy("word")
       }
     }
@@ -5786,9 +5795,13 @@ object QueriesPipeline {
           .trainWordPieceWordsBatched(words, rounds, 2L)
         val vocab = graft.operators.WordPiece.vocabFrameWords(words, merges)
           .select("piece").collect().map(_.getString(0)).toSet
-        words.select(col("word")).as[String]
-          .map(w => (w, graft.operators.WordPiece.encodeWord(w, vocab).mkString(" ")))
-          .toDF("word", "pieces")
+        // r17: codegen encode (see bpe_encode) — greedy longest-match
+        // runs inside WholeStageCodegen, pieces bit-identical
+        val B = org.apache.spark.sql.graft.Bridge
+        words.select(col("word"),
+          array_join(B.column(graft.functions.SubwordEncode(
+            B.expression(col("word")),
+            new graft.functions.WordPieceEncodeKernel(vocab, "[UNK]"))), " ").as("pieces"))
           .orderBy("word")
       }
 
@@ -5868,9 +5881,12 @@ object QueriesPipeline {
           val chars = allw.select(explode(split(col("word"), "")).as("c"))
             .distinct().as[String].collect()
           val vocab = chars.flatMap(c => Seq(c, "##" + c)).toSet ++ mergedPieces
-          allw.as[String]
-            .map(w => (w, graft.operators.WordPiece.encodeWord(w, vocab).mkString(" ")))
-            .toDF("word", "pieces")
+          // r17: codegen encode (see bpe_encode)
+          val B = org.apache.spark.sql.graft.Bridge
+          allw.select(col("word"),
+            array_join(B.column(graft.functions.SubwordEncode(
+              B.expression(col("word")),
+              new graft.functions.WordPieceEncodeKernel(vocab, "[UNK]"))), " ").as("pieces"))
             .orderBy("word")
         }
       }

@@ -379,31 +379,22 @@ object Tokenizer {
   /** Encode text with a trained merge list — canonical BPE application:
     * per word, repeatedly apply the LOWEST-RANK merge present until none
     * applies (rank priority, not left-to-right greed — the rule HF/GPT-2
-    * encoders follow). Map-only over the corpus; the merge table ships as
-    * a broadcast-sized Scala map.
+    * encoders follow). Map-only over the corpus; the merge table ships
+    * once per task inside a [[graft.functions.BpeEncodeKernel]] codegen
+    * expression (r17: was an iterator-to-iterator `mapPartitions`, whose
+    * row-at-a-time object boundary paid a DeserializeToObject/
+    * SerializeFromObject round trip per row and broke the surrounding
+    * WholeStageCodegen span; the per-word merge loop is the same JVM
+    * method, so tokens are bit-identical).
     *
-    * Output: input columns + `outCol` array of subword tokens.
+    * Output: input columns + `outCol` array of subword tokens
+    * (null text → empty array).
     */
   def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
              outCol: String): DataFrame = {
-    val rankOf: Map[(String, String), Int] = merges.zipWithIndex.toMap
-    val schema = df.schema.add(outCol,
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType, containsNull = false))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val idx = df.schema.fieldIndex(textCol)
-    // iterator-to-iterator mapPartitions, not a scalar UDF: the rank-
-    // priority merge loop is genuinely imperative per word (same rule as
-    // the Multimodal kernels), and the rankOf map ships once per task
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val text = if (r.isNullAt(idx)) null else r.getString(idx)
-        val toks =
-          if (text == null) Seq.empty[String]
-          else tokenizeWords(text).flatMap(encodeWord(_, rankOf))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ toks)
-      }
-    }(enc)
+    val B = org.apache.spark.sql.graft.Bridge
+    df.withColumn(outCol, B.column(graft.functions.SubwordEncode(
+      B.expression(col(textCol)), new graft.functions.BpeEncodeKernel(merges))))
   }
 
   /** The same lowercase-alnum split [[Text.tokens]] performs, on the

@@ -391,24 +391,17 @@ object WordPiece {
   }
 
   /** Encode text with a trained vocabulary — map-only over the corpus;
-    * the vocab ships as a broadcast-sized Scala set. Output: input
-    * columns + `outCol` array of subword tokens (null text → empty).
+    * the vocab ships once per task inside a
+    * [[graft.functions.WordPieceEncodeKernel]] codegen expression (r17:
+    * was a row-at-a-time `mapPartitions` with its Ser/De boundary — see
+    * [[Tokenizer.encode]]; the greedy longest-match loop is the same JVM
+    * method, so tokens are bit-identical). Output: input columns +
+    * `outCol` array of subword tokens (null text → empty).
     */
   def encode(df: DataFrame, textCol: String, vocab: Set[String],
              outCol: String, unk: String = "[UNK]"): DataFrame = {
-    val schema = df.schema.add(outCol,
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType, containsNull = false))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val idx = df.schema.fieldIndex(textCol)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val text = if (r.isNullAt(idx)) null else r.getString(idx)
-        val toks =
-          if (text == null) Seq.empty[String]
-          else Tokenizer.tokenizeWords(text).flatMap(encodeWord(_, vocab, unk))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ toks)
-      }
-    }(enc)
+    val B = org.apache.spark.sql.graft.Bridge
+    df.withColumn(outCol, B.column(graft.functions.SubwordEncode(
+      B.expression(col(textCol)), new graft.functions.WordPieceEncodeKernel(vocab, unk))))
   }
 }

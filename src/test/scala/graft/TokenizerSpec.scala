@@ -182,6 +182,33 @@ class TokenizerSpec extends AnyFunSuite {
     assert(out(1).getSeq[String](2).isEmpty) // null text -> empty tokens
   }
 
+  test("codegen encode == per-row reference (incl. '#', punct, empty) and no object boundary in the plan") {
+    // r17: encode() runs as a SubwordEncode codegen expression instead
+    // of mapPartitions — pin (a) token equality against the literal
+    // per-row rule tokenizeWords(text).flatMap(encodeWord) on adversarial
+    // text, (b) that the plan really lost its Ser/De row boundary
+    val merges = Seq(("e", "s"), ("es", "t"), ("a", "a"), ("t", "h"))
+    val rankOf = merges.zipWithIndex.toMap
+    val texts = Seq("newest Widest", "a#b ##c", "AAAA aaa", "", "  ", "th the est",
+      null.asInstanceOf[String], "punct, punct; 42x!")
+    val docs = corpus(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val out = Tokenizer.encode(docs, "text", merges, "bpe").orderBy("doc_id")
+    val got = out.collect().map(_.getSeq[String](2).toSeq).toSeq
+    val want = texts.map { t =>
+      if (t == null) Seq.empty[String]
+      else Tokenizer.tokenizeWords(t).flatMap(Tokenizer.encodeWord(_, rankOf))
+    }
+    assert(got == want)
+    // no object boundary: on this local relation the optimizer folds the
+    // whole projection (ConvertToLocalRelation evaluates SubwordEncode's
+    // interpreted eval at plan time — itself proof the non-codegen path
+    // agrees); a parquet-backed scan keeps the expression inline, see the
+    // committed wordpiece_encode/bpe_encode executed plans (plans/r17/)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"encode plan still has an object boundary:\n$plan")
+  }
+
   test("delimiter-fold merge application == mergePair (the bpe_encode_general SQL lambda's law)") {
     // the r14 general-encode oracle replays one merge pass as a string
     // fold: merge when the accumulator's LAST symbol is `l` and the next

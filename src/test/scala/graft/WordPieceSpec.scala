@@ -151,6 +151,22 @@ class WordPieceSpec extends AnyFunSuite {
     assert(WordPiece.encodeWord("", vocab) == Nil)
   }
 
+  test("codegen encode == per-row reference and no object boundary in the plan (r17)") {
+    val vocab = Set("h", "##e", "##l", "##o", "he", "##ll", "x", "##y")
+    val texts = Seq("hello He!", "xy x#y", null.asInstanceOf[String], "", "zzz")
+    val docs = corpus(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val out = WordPiece.encode(docs, "text", vocab, "pieces").orderBy("doc_id")
+    val got = out.collect().map(_.getSeq[String](2).toSeq).toSeq
+    val want = texts.map { t =>
+      if (t == null) Seq.empty[String]
+      else graft.operators.Tokenizer.tokenizeWords(t).flatMap(WordPiece.encodeWord(_, vocab))
+    }
+    assert(got == want)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"encode plan still has an object boundary:\n$plan")
+  }
+
   test("trained round-trip: encode concat law and model persistence") {
     val docs = corpus(
       (1L, "hugging hugging hugging hug hug"),
