@@ -244,7 +244,12 @@ object WordPiece {
     // every merge output applied so far — driver-side freshness universe:
     // a multi-raw-char symbol can only be live in the word table if an
     // earlier applied merge produced it (base units are single raw
-    // chars), so this set is a conservative superset of "already live"
+    // chars), so this set is a conservative superset of "already live".
+    // The STRING encoding of that fact is ambiguous when raw text
+    // contains literal '#' (mergedSym("#", "###") == "##"), so the
+    // prefix loop ends a batch after admitting a '#'-bearing merge —
+    // batches stay prefixes of the sequential order on such tables too
+    // (WordPieceSpec pins batched ≡ sequential on '#' corpora)
     val producedEver = scala.collection.mutable.HashSet.empty[String]
     var rank = 0
     var done = numMerges == 0
@@ -276,6 +281,18 @@ object WordPiece {
             prefix += ((l, r, c, lc, rc, sc)); nPre += 1
             used += l; used += r; used += mm
             i += 1
+            // literal-'#' raw characters make the marker prefix ambiguous
+            // (mergedSym("#", "###") == "##" — stripPrefix cannot tell a
+            // continuation marker from a raw '#'), which the driver-side
+            // freshness guard's string-keyed producedEver set depends on.
+            // End the batch after admitting such a merge: a shortened
+            // batch is still a prefix of the sequential argmax order, so
+            // batched ≡ sequential holds for '#'-bearing word tables too
+            // (pinned in WordPieceSpec; the tokenize pipeline never
+            // produces '#' — this only affects explicit word-table
+            // callers. r16 ADVICE #1).
+            if (l.stripPrefix(Marker).contains("#") ||
+                r.stripPrefix(Marker).contains("#")) stop = true
           }
         }
         val disjoint = prefix.result()

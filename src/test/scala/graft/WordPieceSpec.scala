@@ -126,6 +126,38 @@ class WordPieceSpec extends AnyFunSuite {
     }
   }
 
+  test("batched equals sequential on literal-'#' word tables (marker ambiguity)") {
+    // raw '#' characters collide with the continuation marker in the
+    // string-keyed freshness guard (mergedSym("#", "###") == "##"), so
+    // the batched trainer ends a batch after admitting a '#'-bearing
+    // merge — this pins that batched ≡ sequential STILL holds on such
+    // tables (r16 ADVICE #1). Words reach this path only via the
+    // explicit word-table entry points; the tokenize pipeline never
+    // emits '#'.
+    val s = spark
+    import s.implicits._
+    val fixed = Seq(
+      Seq(("##", 6L), ("#a#", 4L), ("a#a", 5L), ("aa", 7L)),
+      Seq(("#", 9L), ("##", 8L), ("###", 7L), ("####", 6L)),
+      Seq(("a#", 5L), ("#a", 5L), ("##", 5L), ("ab", 9L), ("abab", 3L)))
+    val rnd = new scala.util.Random(11)
+    val random = (0 until 4).map { _ =>
+      (0 until 20).map { i =>
+        val w = (1 to 2 + rnd.nextInt(5))
+          .map(_ => "a#b"(rnd.nextInt(3))).mkString
+        (w + i.toString.take(0), 1L + rnd.nextInt(6)) // dup words fine: groupMap below
+      }.groupMapReduce(_._1)(_._2)(_ + _).toSeq
+    }
+    for ((tbl, ci) <- (fixed ++ random).zipWithIndex; m <- Seq(2, 8)) {
+      val words = tbl.toDF("word", "cnt")
+      val seq = WordPiece.trainWordPieceWords(words, 10)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      val bat = WordPiece.trainWordPieceWordsBatched(words, 10, batchSize = m)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(bat == seq, s"'#' corpus $ci batchSize $m")
+    }
+  }
+
   test("vocabFrame = base units at rank -1 plus merge outputs at merge rank") {
     val docs = corpus((1L, "he he he she she"))
     val merges = WordPiece.trainWordPiece(docs, "text", 2)
