@@ -2796,7 +2796,13 @@ object QueriesPipeline {
            |       CASE WHEN 2 * tp + fp + fn > 0
            |            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
            |FROM c""".stripMargin) { (s, dir) =>
-        val sub = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        // r17 (verdict item 3): the LSH leg and the PPJoin truth leg
+        // share the scanned+filtered 1/5 sub-corpus — materialize it once
+        // instead of two parquet scans + filters (guide §2.4; A/B-kept,
+        // see OPTIMIZATION_r17.md; rows identical so the gate is
+        // unchanged)
+        val sub = graft.operators.Materialize(
+          docs(s, dir).filter(col("doc_id") % 5 === 0))
         val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2,
           cap = Dedup.BucketCap.Unlimited)
         val truth = Dedup.jaccardPrefixJoin(sub, "doc_id", "text", 0.8)
@@ -2866,7 +2872,10 @@ object QueriesPipeline {
            |       CASE WHEN 2 * tp + fp + fn > 0
            |            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
            |FROM c ORDER BY threshold""".stripMargin) { (s, dir) =>
-        val sub = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        // r17: shared sub-corpus across THREE legs here (LSH, the
+        // shingle-jaccard scorer, the PPJoin truth) — see dedup_pair_eval
+        val sub = graft.operators.Materialize(
+          docs(s, dir).filter(col("doc_id") % 5 === 0))
         val pred = Dedup.lshCandidates(sub, "text", "doc_id", k = 8, rowsPerBand = 2,
           cap = Dedup.BucketCap.Unlimited)
         val scored = Dedup.ngramJaccard(sub, pred, "text", "doc_id")
