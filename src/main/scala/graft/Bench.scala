@@ -113,6 +113,39 @@ object Bench {
     "bpe_train", "bpe_encode", "lsh_cap_plan", "wordpiece_train",
     "wordpiece_encode")
 
+  /** Queries the PREVIOUS round's contract line printed (the driver's
+    * round-over-round diff reads only that line): the omission rule
+    * below must never drop one of these while any unpinned query can be
+    * dropped instead, or the diff reports a phantom "dropped_from_bench"
+    * every time a query gets FASTER and rotates out of the
+    * slowest-printed window (r16 PERF showed 5 such phantom drops; all
+    * five had actually improved). Additions-only reporting hygiene: the
+    * full per-query map still lands in BENCH_full.json and the detail
+    * line; this only biases WHICH queries survive the 1800-char budget.
+    */
+  private val pinnedPrint: Set[String] = Set(
+    "tpch_q3_top_orders", "tpch_q5_region_revenue", "parts_by_type_revenue",
+    "by_sum", "coalesce_window", "ewma", "throttle", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_xx", "ann_ivf_topk", "dedup_simhash_near",
+    "dedup_clusters", "ann_pq_topk", "semantic_dedup", "ann_sq8_topk",
+    "bm25_topk", "tfidf_cosine_pairs", "ann_ivfpq_topk", "dedup_cross_corpus",
+    "near_dup_stream_twin", "dsir_ratio_sum", "interleave_sources",
+    "classifier_train", "frequent_ngrams", "ngram_lm_score",
+    "ppl_bucket_counts", "host_pagerank", "cdx_roundtrip", "crawl_diff",
+    "mirror_hosts", "kneser_ney_score", "stupid_backoff_score", "rank_fusion",
+    "dedup_cluster_keep_best", "dedup_weighted_lsh", "dedup_weighted_jaccard",
+    "zipf_fit", "dedup_weighted_cross", "el2n_scores", "kcenter_coreset",
+    "cartography_stats", "ann_ivfpq_persisted", "dedup_jaccard_exact",
+    "winnow_candidates", "dedup_edit_confirm", "bootstrap_means",
+    "hits_scores", "ann_opq_identity", "ann_opq_persisted",
+    "dedup_clusters_star", "incremental_dedup", "fuzzy_decontam",
+    "rank_normalize", "ks_drift", "dup_rate_estimate", "bm25_persisted",
+    "shared_substring_spans", "otlp_metrics_wire_decode", "cluster_split",
+    "bm25_incremental", "ann_ivfpq_incremental", "substring_store_probe",
+    "otlp_logs_wire_decode", "dedup_pair_eval", "dedup_pair_eval_sweep",
+    "curation_e2e", "bpe_train", "bpe_encode", "lsh_cap_plan",
+    "wordpiece_train", "wordpiece_encode")
+
   /** 1-min system load average — recorded at process start (ambient: the
     * box has documented multi-minute noisy-neighbor bursts that inflate
     * runs 2-10×) and at each pass boundary. During a pass our own
@@ -283,11 +316,16 @@ object Bench {
     // the SLOWEST queries only (the cheap tail is the least informative),
     // with an explicit queries_omitted marker. Full 3-decimal detail
     // always lives on the line above.
+    // Drop order: UNPINNED fastest first, pinned only once no unpinned
+    // query remains — prior-round printed queries (pinnedPrint) keep
+    // printing, so the driver's diff sees rotation-free membership.
+    val dropOrder = results.sortBy { case (n, v) => (pinnedPrint.contains(n), v) }
     val candidates = Iterator(
       totalLine(json(results), 0),
       totalLine(json2(results), 0)) ++
       Iterator.from(5).map { drop =>
-        val keep = results.sortBy(-_._2).dropRight(drop).sortBy(r => results.indexOf(r))
+        val dropped = dropOrder.take(drop).map(_._1).toSet
+        val keep = results.filterNot(r => dropped.contains(r._1))
         totalLine(json2(keep), drop)
       }
     val contractLine = candidates.find(_.length <= 1800).get
