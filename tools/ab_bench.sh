@@ -24,8 +24,16 @@ for i in $(seq 1 "$ROUNDS"); do
     java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-24g} -XX:ReservedCodeCacheSize=1g \
       -XX:-DontCompileHugeMethods -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC \
-      -cp "$CP:/opt/spark/jars/*" graft.Bench 2>/dev/null \
+      -cp "$CP:/opt/spark/jars/*" graft.Bench 2>/tmp/ab_bench_err.$$ \
       | grep '"metric":"total"' >> "$OUT"
+    # a crashed/OOM'd JVM emits no contract line — mark the side FAILED
+    # instead of silently skewing the table with a missing row (r16
+    # ADVICE #2): check the exit status AND that a line actually landed
+    rc=${PIPESTATUS[0]}
+    if [ "$rc" -ne 0 ] || ! tail -1 "$OUT" | grep -q '"metric":"total"'; then
+      echo "FAILED round $i side $side rc=$rc (stderr tail: $(tail -2 /tmp/ab_bench_err.$$ | tr '\n' ' '))" >> "$OUT"
+    fi
+    rm -f /tmp/ab_bench_err.$$
   done
 done
 echo "done: $OUT"
