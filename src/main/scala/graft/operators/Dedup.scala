@@ -1824,11 +1824,34 @@ object Dedup {
         posexplode(slice(col("sorted"), lit(1), prefLen)))
       .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("token"))
+    // The candidate join below is an EXPANDING self-join: its output
+    // (the pair candidates) is the operator's real work, orders of
+    // magnitude larger than its inputs. AQE coalesces `ordered` by
+    // BYTES (a corpus of sorted-token arrays is a few MB → ONE
+    // partition), the planner then broadcasts the build side — and the
+    // whole quadratic expansion runs in a single task on the collapsed
+    // stream side (measured: 26M candidate rows from one 135 s task at
+    // the keyed ×10 corpus, pinning the 8-vs-32-core ratio to ~1.2).
+    // Re-spread the STREAM side when it is under-split — the
+    // editConfirmFunnel re-spread, one stage earlier. HASHED by doc_id,
+    // not round-robin: a pair (a,b) is generated once per SHARED prefix
+    // token, all on a's prefix rows — keeping each doc's rows together
+    // lets the candidate aggregate's map-side partial combine those
+    // per-token duplicates exactly as the collapsed layout did
+    // (measured: round-robin shuffled 97.7M raw candidate rows where
+    // doc-hashed shuffles the combined 26M). REPARTITION_BY_NUM
+    // survives AQE; one narrow exchange of the prefix table. At
+    // production split counts the guard is a no-op (and the planner
+    // picks a shuffle join there, which spreads by key on its own).
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val prefA =
+      if (ordered.rdd.getNumPartitions < np) pref.repartition(np, col("doc_id"))
+      else pref
     // α with a downward slack: float rounding may only UNDER-prune, so
     // the candidate set stays a superset of the qualifying pairs
     def alpha(n1: Column, n2: Column): Column =
       ceil(lit(threshold / (1.0 + threshold)) * (n1 + n2).cast("double") - lit(1e-9))
-    val cand = pref.as("a").join(pref.as("b"),
+    val cand = prefA.as("a").join(pref.as("b"),
       col("a.token") === col("b.token") &&
         col("a.doc_id") < col("b.doc_id") &&
         lit(threshold) * col("a.n") <= col("b.n") &&
