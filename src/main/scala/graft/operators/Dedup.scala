@@ -747,6 +747,38 @@ object Dedup {
     * Exclusions are logged at WARN so a production run surfaces the
     * trade in-band even when the caller drops the audit.
     */
+  /** Re-spread the STREAM side of an expanding banded join when it is
+    * under-split. AQE coalesces band tables by BYTES (a few MB of
+    * `(band, sig, id)` rows → one or two partitions), the planner
+    * broadcasts the other side, and the bucket-quadratic candidate
+    * expansion — the join's real work, orders of magnitude larger than
+    * either input — then runs on those few tasks with the other cores
+    * idle (measured: 17.4 M pairs from a 2-task stage on the keyed ×10
+    * probe corpus; the jaccardPrefixJoin twin of this fix measured a
+    * 26 M-row single task). Hashing by the id column keeps every band
+    * row of a doc together, so the downstream `.distinct()`'s map-side
+    * partial combine still collapses per-band duplicate pairs before
+    * the shuffle (round-robin spread was measured to 3.7× the shuffled
+    * row count on the prefix-join twin). At production split counts the
+    * guard is a no-op — and there the planner picks a shuffle join,
+    * which spreads by key on its own.
+    *
+    * Applied ONLY where the band table is already materialized (the
+    * set-MinHash pair/connectivity faces): probing `rdd.getNumPartitions`
+    * on a checkpointed frame is free, while on the deliberately-lazy
+    * faces (cross-corpus, hamming — `materializeUnlimited = false`) it
+    * forces a physical planning pass per call that measured +10…45 % on
+    * their ×10 rows against a −4…+3 % best case; their expansions also
+    * showed no serial stage in the ×10 profile.
+    */
+  private def spreadExpandingJoinSide(banded: DataFrame,
+                                      idCol: String = "__id"): DataFrame = {
+    val np = banded.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (banded.rdd.getNumPartitions < np) banded.repartition(np, col(idCol))
+    else banded
+  }
+
   def lshCandidatesAudited(df: DataFrame, textCol: String, idCol: String,
                            k: Int = 8, rowsPerBand: Int = 2,
                            hashFn: Column => Column = Text.md5HashMod,
@@ -754,7 +786,7 @@ object Dedup {
     val banded0 = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
     val (banded, audit) =
       cappedBandTable(banded0, Seq("band", "sig"), k / rowsPerBand, cap, "lshCandidates")
-    val l = banded.as("l")
+    val l = spreadExpandingJoinSide(banded).as("l")
     val r = banded.as("r")
     val pairs = l.join(r,
       col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -795,7 +827,7 @@ object Dedup {
     val (banded, audit, stars) = cappedBandTableWithStars(banded0,
       Seq("band", "sig"), k / rowsPerBand, cap, "lshCandidates(connectivity)",
       starEdges = true)
-    val l = banded.as("l")
+    val l = spreadExpandingJoinSide(banded).as("l")
     val r = banded.as("r")
     val pairs = l.join(r,
       col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
