@@ -763,13 +763,18 @@ object Dedup {
     * guard is a no-op — and there the planner picks a shuffle join,
     * which spreads by key on its own.
     *
-    * Applied ONLY where the band table is already materialized (the
-    * set-MinHash pair/connectivity faces): probing `rdd.getNumPartitions`
-    * on a checkpointed frame is free, while on the deliberately-lazy
-    * faces (cross-corpus, hamming — `materializeUnlimited = false`) it
+    * Applied ONLY via [[cappedBandTableWithStars]]' `spreadKept` on the
+    * set-MinHash pair/connectivity faces, where the band table is
+    * already materialized (probing `rdd.getNumPartitions` on a
+    * checkpointed frame is free — on the deliberately-lazy faces
+    * (cross-corpus, hamming, `materializeUnlimited = false`) the probe
     * forces a physical planning pass per call that measured +10…45 % on
-    * their ×10 rows against a −4…+3 % best case; their expansions also
-    * showed no serial stage in the ×10 profile.
+    * their ×10 rows against a −4…+3 % best case, and their expansions
+    * showed no serial stage in the ×10 profile). On the guarded cap
+    * paths the spread is additionally histogram-gated: the exact
+    * bucket-size histogram predicts the kept-pair volume, and the
+    * spread's flat exchange only pays for itself when that volume gives
+    * each target partition a task-floor-amortizing chunk.
     */
   private def spreadExpandingJoinSide(banded: DataFrame,
                                       idCol: String = "__id"): DataFrame = {
@@ -785,8 +790,9 @@ object Dedup {
                            cap: BucketCap = BucketCap.Auto()): (DataFrame, Option[LshAudit]) = {
     val banded0 = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
     val (banded, audit) =
-      cappedBandTable(banded0, Seq("band", "sig"), k / rowsPerBand, cap, "lshCandidates")
-    val l = spreadExpandingJoinSide(banded).as("l")
+      cappedBandTable(banded0, Seq("band", "sig"), k / rowsPerBand, cap, "lshCandidates",
+        spreadKept = true)
+    val l = banded.as("l")
     val r = banded.as("r")
     val pairs = l.join(r,
       col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -826,8 +832,8 @@ object Dedup {
     val banded0 = bandedBuckets(df, textCol, idCol, k, rowsPerBand, hashFn)
     val (banded, audit, stars) = cappedBandTableWithStars(banded0,
       Seq("band", "sig"), k / rowsPerBand, cap, "lshCandidates(connectivity)",
-      starEdges = true)
-    val l = spreadExpandingJoinSide(banded).as("l")
+      starEdges = true, spreadKept = true)
+    val l = banded.as("l")
     val r = banded.as("r")
     val pairs = l.join(r,
       col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -864,9 +870,11 @@ object Dedup {
   private def cappedBandTable(banded0: DataFrame, keyCols: Seq[String],
                               bandsPerDoc: Int, cap: BucketCap,
                               what: String,
-                              materializeUnlimited: Boolean = true): (DataFrame, Option[LshAudit]) = {
+                              materializeUnlimited: Boolean = true,
+                              spreadKept: Boolean = false): (DataFrame, Option[LshAudit]) = {
     val (kept, audit, _) = cappedBandTableWithStars(banded0, keyCols,
-      bandsPerDoc, cap, what, materializeUnlimited, starEdges = false)
+      bandsPerDoc, cap, what, materializeUnlimited, starEdges = false,
+      spreadKept = spreadKept)
     (kept, audit)
   }
 
@@ -874,7 +882,8 @@ object Dedup {
                                        bandsPerDoc: Int, cap: BucketCap,
                                        what: String,
                                        materializeUnlimited: Boolean = true,
-                                       starEdges: Boolean = false)
+                                       starEdges: Boolean = false,
+                                       spreadKept: Boolean = false)
       : (DataFrame, Option[LshAudit], Option[DataFrame]) = {
     val keys = keyCols.map(col)
     cap match {
@@ -886,7 +895,12 @@ object Dedup {
         // when the plan is unreferenced (persist() leaked them for the
         // session lifetime). Cross-corpus callers consume each side
         // once and skip the checkpoint copy.
-        (if (materializeUnlimited) Materialize(banded0) else banded0, None, None)
+        (if (materializeUnlimited) {
+          // no histogram on this path (deliberately no eager count job):
+          // the under-split guard alone decides the expanding-join spread
+          val m = Materialize(banded0)
+          if (spreadKept) spreadExpandingJoinSide(m) else m
+        } else banded0, None, None)
       case guarded =>
         // materialize BEFORE deriving the cap aggregate: the bucket table
         // feeds both the count aggregate and the semi-join probe side, and
@@ -939,7 +953,30 @@ object Dedup {
               "their connectivity is preserved via linear member→bucket-min star edges"
             else
               "near-dups inside those buckets are NOT in the pair list"))
-        if (resolved == Long.MaxValue) (b0, Some(a), None)
+        // Expanding-join spread, histogram-informed (unlike the
+        // Unlimited path, the exact bucket sizes are in hand): the
+        // spread's extra exchange + 32-task stage only pays for itself
+        // when the candidate expansion is large, and the KEPT pair
+        // volume is exactly sum n*s*(s-1)/2 over kept bucket sizes.
+        // Threshold: enough pairs to give each target partition a
+        // task-floor-amortizing chunk (~64k rows) - work-per-task, not
+        // a machine constant; np is the scale-adaptive factor.
+        // (Measured: unconditional spread cost the sf0.1 cluster gates
+        // +19..57% - one flat exchange per clustering call against a
+        // tiny expansion - while the same spread wins -36..-79% at x10
+        // where the expansion is millions of rows.)
+        def spreadIfExpanding(kept: DataFrame, capBound: Long): DataFrame =
+          if (!spreadKept) kept
+          else {
+            val np = kept.sparkSession.conf
+              .get("spark.sql.shuffle.partitions", "200").toInt
+            val keptPairs = hist.iterator.filter(_._1 <= capBound)
+              .map { case (sz, n) => n * sz * (sz - 1) / 2 }.sum
+            if (keptPairs >= np.toLong * 65536L) spreadExpandingJoinSide(kept)
+            else kept
+          }
+        if (resolved == Long.MaxValue)
+          (spreadIfExpanding(b0, Long.MaxValue), Some(a), None)
         else {
           // a cap resolved: pin the count frame (already pinned in Fixed
           // mode) — after this, ok/over/roots are all counts-sized reads
@@ -975,7 +1012,7 @@ object Dedup {
                 .distinct())
             }
           // re-materialize the FILTERED table: it feeds both join sides
-          (Materialize(kept), Some(a), stars)
+          (spreadIfExpanding(Materialize(kept), resolved), Some(a), stars)
         }
     }
   }
